@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed via the same registry the driver checks; the
+timed action is a full materialization (count via write-less
+``df.toPandas`` would bias toward small results, so we use
+``df.count()`` after a no-op cache-free plan — the dominant cost is
+the scan/shuffle/agg pipeline itself).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from osm_airflow_spark.registry import all_queries  # noqa: E402
+from osm_airflow_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship_revenue_by_region",
+    "join_multiway",
+    "agg_groupby",
+    "agg_collect_ordered",
+    "win_dedup_latest",
+    "win_topk_group",
+    "join_asof",
+    "set_union_distinct",
+    "win_time_session",
+    "llm_dedup_exact",
+    "llm_dedup_near",
+    "llm_sim_topk",
+    "llm_text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    registry = all_queries()
+    queries = {k: registry[k] for k in HEADLINE if k in registry}
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # the plan, not first-touch overheads
+    next(iter(queries.values()))(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for key, fn in queries.items():
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[key] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

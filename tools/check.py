@@ -1,0 +1,112 @@
+"""Local driver-mimic: run each registered query on Spark AND its
+oracle SQL on DuckDB at sf0.01, compare row count, column names, and
+order-insensitive canonical values. Exact string canonicalization —
+we target bit-identical results, not tolerances.
+
+Usage:
+    python tools/check.py [key ...]      # default: all registered keys
+    SF_DIR=/root/testdata/sf0.001 python tools/check.py
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from osm_airflow_spark.io import TABLES  # noqa: E402
+from osm_airflow_spark.registry import all_oracles, all_queries  # noqa: E402
+from osm_airflow_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+
+def _cell(v) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, float) or isinstance(v, (np.floating,)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        return f"{f:.17g}"
+    if isinstance(v, (np.integer,)):
+        return str(int(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_cell(x)}" for k, x in sorted(v.items())) + "}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def canon(pdf) -> tuple[list[str], list[tuple]]:
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = sorted(tuple(_cell(v) for v in row) for row in pdf.itertuples(index=False))
+    return cols, rows
+
+
+def main(keys: list[str]) -> int:
+    queries = all_queries()
+    oracles = all_oracles()
+    targets = keys or sorted(queries)
+
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    failures = []
+    for key in targets:
+        if key not in queries:
+            print(f"✗ {key}: NOT REGISTERED")
+            failures.append(key)
+            continue
+        t0 = time.time()
+        try:
+            sdf = queries[key](spark, SF_DIR).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"✗ {key}: SPARK ERROR: {type(e).__name__}: {e}")
+            failures.append(key)
+            continue
+        if key not in oracles:
+            print(f"~ {key}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.sql(oracles[key]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"✗ {key}: ORACLE ERROR: {type(e).__name__}: {e}")
+            failures.append(key)
+            continue
+        scols, srows = canon(sdf)
+        ocols, orows = canon(odf)
+        if scols != ocols:
+            print(f"✗ {key}: SCHEMA spark={scols} oracle={ocols}")
+            failures.append(key)
+            continue
+        if len(srows) != len(orows):
+            print(f"✗ {key}: ROWS spark={len(srows)} oracle={len(orows)}")
+            failures.append(key)
+            continue
+        if srows != orows:
+            diff = next(i for i, (a, b) in enumerate(zip(srows, orows)) if a != b)
+            print(f"✗ {key}: VALUES differ at sorted row {diff}:")
+            print(f"    spark : {srows[diff]}")
+            print(f"    oracle: {orows[diff]}")
+            failures.append(key)
+            continue
+        print(f"✓ {key} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+
+    print(f"\n{len(targets)-len(failures)}/{len(targets)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
