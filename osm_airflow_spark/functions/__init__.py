@@ -1,1 +1,1 @@
-"""placeholder — filled in by build plan."""
+"""Scalar function surface (SURVEY.md §2.H)."""

@@ -1,1 +1,102 @@
-"""placeholder — filled in by build plan."""
+"""Geo functions H10–H11 (SURVEY.md §2.H).
+
+The reference's output is geodata "amenable to efficient querying"
+in PostGIS (/root/reference/README.md:70,82). Spark has no geometry
+type; the engine's v1 spatial surface is the prunable core:
+haversine distance and bounding-box containment over plain
+``lon``/``lat`` doubles — pure column expressions (no UDF), so both
+stay inside whole-stage codegen and the bbox predicate pushes down
+to Parquet min/max stats.
+
+Scale notes: at 100 TB the spatial layout is a geohash-prefix
+partition column — a bbox query prunes to the geohash cells it
+overlaps, then applies these exact predicates. WKB geometry rides
+along as an opaque BinaryType column (same pattern as multimodal
+payloads, llm/multimodal.py).
+
+The fixtures carry no lon/lat, so queries derive deterministic
+synthetic coordinates from integer keys (exact double arithmetic —
+reproducible in the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_airflow_spark.io import load_table
+from osm_airflow_spark.registry import query
+
+EARTH_RADIUS_KM = 6371.0
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km as a pure column expression."""
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+
+
+def in_bbox(lon: Column, lat: Column, west: float, south: float, east: float, north: float) -> Column:
+    """Point-in-bounding-box predicate — sargable, prunable."""
+    return lon.between(west, east) & lat.between(south, north)
+
+
+# Synthetic coordinates from integer keys: exact double arithmetic,
+# identical in any engine.
+_LAT = "(CAST(c_custkey % 180 AS DOUBLE) - 90.0) * 0.9"
+_LON = "(CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0) * 0.9"
+
+
+@query(
+    "fn_geo_distance",
+    oracle=f"""
+    SELECT c_custkey,
+           {_LAT} AS lat,
+           {_LON} AS lon,
+           round(2 * 6371.0 * asin(sqrt(
+               sin(radians(51.5 - ({_LAT})) / 2) * sin(radians(51.5 - ({_LAT})) / 2)
+               + cos(radians({_LAT})) * cos(radians(51.5))
+                 * sin(radians(-0.1 - ({_LON})) / 2) * sin(radians(-0.1 - ({_LON})) / 2)
+           )), 6) AS dist_london_km
+    FROM customer
+    """,
+)
+def fn_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H10 — haversine distance to a fixed point (London), no UDF."""
+    c = load_table(spark, sf_dir, "customer")
+    lat = ((F.col("c_custkey") % 180).cast("double") - 90.0) * 0.9
+    lon = (((F.col("c_custkey") * 7) % 360).cast("double") - 180.0) * 0.9
+    return c.select(
+        "c_custkey",
+        lat.alias("lat"),
+        lon.alias("lon"),
+        # JVM libm and DuckDB libm differ in the last ulp of the
+        # transcendentals; 6 decimals = sub-millimeter, beyond any
+        # engine's trig divergence.
+        F.round(haversine_km(lat, lon, F.lit(51.5), F.lit(-0.1)), 6).alias("dist_london_km"),
+    )
+
+
+@query(
+    "fn_geo_bbox",
+    oracle=f"""
+    SELECT c_custkey, {_LAT} AS lat, {_LON} AS lon
+    FROM customer
+    WHERE ({_LON}) BETWEEN -10.0 AND 30.0
+      AND ({_LAT}) BETWEEN 35.0 AND 70.0
+    """,
+)
+def fn_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H11 — point-in-bbox filter (the prunable spatial predicate;
+    with a geohash partition column this becomes partition pruning)."""
+    c = load_table(spark, sf_dir, "customer")
+    lat = ((F.col("c_custkey") % 180).cast("double") - 90.0) * 0.9
+    lon = (((F.col("c_custkey") * 7) % 360).cast("double") - 180.0) * 0.9
+    return c.select("c_custkey", lat.alias("lat"), lon.alias("lon")).where(
+        in_bbox(F.col("lon"), F.col("lat"), -10.0, 35.0, 30.0, 70.0)
+    )

@@ -1,1 +1,257 @@
-"""placeholder — filled in by build plan."""
+"""Scalar functions H1–H9 (SURVEY.md §2.H).
+
+Tag/value transformation is the essence of the reference's "flex"
+styling — Lua hooks normalize OSM tag values into typed columns
+(/root/reference/README.md:74,93). Every operator here is a built-in
+``pyspark.sql.functions`` expression: JVM-side, whole-stage-codegen'd,
+vectorized over Parquet batches. No Python in any of these paths —
+that is the point (UDFs for genuinely custom logic live in llm/udfs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_airflow_spark.io import load_table
+from osm_airflow_spark.registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           LOWER(p_name) AS name_lower,
+           UPPER(p_brand) AS brand_upper,
+           TRIM(p_type) AS type_trim,
+           LENGTH(p_name) AS name_len,
+           SUBSTR(p_name, 1, 5) AS name_prefix,
+           p_brand || ':' || p_type AS brand_type,
+           string_split(p_name, ' ') AS name_words
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 — string normalization (tag-value cleanup)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.trim("p_type").alias("type_trim"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.split("p_name", " ").alias("name_words"),
+    )
+
+
+@query(
+    "fn_regex",
+    oracle="""
+    SELECT p_partkey, p_name,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_name, '^(red|blue)') AS is_primary_color,
+           regexp_extract(p_brand, '(\\d+)', 1) AS brand_num
+    FROM part
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 — regex match/extract/replace on tag-like values. (Spark
+    regexp_replace is global by default; DuckDB needs the 'g' flag —
+    dialect drift caught by the oracle harness.)"""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_name",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("^(red|blue)").alias("is_primary_color"),
+        F.regexp_extract("p_brand", r"(\d+)", 1).alias("brand_num"),
+    )
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           date_trunc('month', o_orderdate) AS month_start,
+           date_trunc('week', o_orderdate) AS week_start,
+           date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_to_2002,
+           CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date
+    FROM orders
+    """,
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 — snapshot-date arithmetic (pgosm_date pinning,
+    osm_etl.py:13; weekly cadence, osm_etl.py:45 → the week_start
+    bucket)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_trunc("week", "o_orderdate").alias("week_start"),
+        F.datediff(F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_2002"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_date"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / 3, 2) AS third_price,
+           abs(l_discount - 0.05) AS disc_dev,
+           floor(l_quantity / 10) AS qty_decile,
+           ceil(l_extendedprice / 1000) AS price_k,
+           sqrt(l_quantity) AS qty_sqrt,
+           l_quantity * l_quantity AS qty_sq
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 — arithmetic on measures. All IEEE-exact per row (sqrt is
+    correctly-rounded by spec; round ties can't occur on non-
+    representable decimals)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") / 3, 2).alias("third_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor(F.col("l_quantity") / 10).alias("qty_decile"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'large'
+                WHEN o_totalprice >= 100000 THEN 'medium'
+                ELSE 'small' END AS size_band,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_label,
+           CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS is_rush
+    FROM orders
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5 — CASE WHEN classification (road-class bucketing in flex
+    routing terms, README.md:93)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+        .alias("size_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_label"
+        ),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("is_rush"),
+    )
+
+
+@query(
+    "fn_map_json",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           json_keys(props)[1] AS first_key
+    FROM events
+    """,
+)
+def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6 — map functions over promoted tag payloads: parse the JSON
+    once into MapType, then map_keys/element_at (the engine-side
+    analogue of OSM's tags map, README.md:80-82)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return e.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").cast("long").alias("k_val"),
+        F.map_keys(m).getItem(0).alias("first_key"),
+    )
+
+
+@query(
+    "fn_array_explode",
+    oracle="""
+    SELECT p_partkey, CAST(pos - 1 AS INT) AS word_pos, word
+    FROM (
+      SELECT p_partkey,
+             unnest(string_split(p_name, ' ')) AS word,
+             unnest(generate_series(1, len(string_split(p_name, ' ')))) AS pos
+      FROM part
+    )
+    """,
+)
+def fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H7 — array functions + positional explode: the node_refs
+    pattern (README.md:80) — order carried by array position,
+    recoverable after explode via posexplode."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.posexplode(F.split("p_name", " ")).alias("word_pos", "word")
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_val
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H8 — JSON path extraction from residual payloads (flex stores
+    leftover tags as jsonb, README.md:78,93; fixture: events.props)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_num"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           md5(source || ':' || lang) AS source_lang_md5
+    FROM documents
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H9 — stable content hashes: the identity primitive for dedup
+    and bucketing at 100 TB (SURVEY §2.K reuses this). md5/sha2 are
+    standardized → oracle-checkable; xxhash64 (used internally for
+    cheap shuffle keys) is Spark-specific and stays out of declared
+    output."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.md5(F.concat_ws(":", "source", "lang")).alias("source_lang_md5"),
+    )

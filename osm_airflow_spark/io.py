@@ -39,7 +39,25 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """B2 — scan one fixture/layer table (self-describing Parquet)."""
+    if name == "events":
+        return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the events table, normalizing its ns-precision timestamp.
+
+    Spark's Parquet reader rejects INT64 TIMESTAMP(NANOS) outright
+    (PARQUET_TYPE_ILLEGAL); the engine reads nanos as long and
+    truncates to microseconds — exactly what DuckDB/PostgreSQL do
+    with ns inputs, so oracle values agree. The conversion is one
+    JVM-side integer division: no Python, no extra pass.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

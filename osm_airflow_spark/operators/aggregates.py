@@ -1,1 +1,262 @@
-"""placeholder — filled in by build plan."""
+"""Aggregation operators (SURVEY.md §2.E).
+
+The reference's delegate builds per-layer tables and stats so the
+loaded DB is "amenable to efficient querying"
+(/root/reference/README.md:70,93). E3 (ordered positional collect) is
+the signature OSM semantic: assembling a way's geometry means
+collecting member node coordinates *in node_refs order*
+(README.md:80) — re-expressed as ``array_sort(collect_list(struct))``
+so the result is deterministic under any partitioning.
+
+Scale notes: group-bys are partial+final automatically (map-side
+combine), so shuffle volume is one row per (partition, group), not
+per input row. Rollup/cube/grouping-sets expand grouping keys before
+the shuffle — at 100 TB prefer explicit grouping sets over full cube
+when only some combinations are needed. Ordered collect shuffles the
+full payload by design; bucket the table by the collect key at write
+time to turn it into a zero-shuffle local sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_airflow_spark.io import load_table
+from osm_airflow_spark.registry import dsum, query, sql_dsum
+
+
+@query(
+    "agg_groupby",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — hash group-by with sum/avg/min/max/count (TPC-H Q1 shape:
+    the per-class feature stats workload)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("sum_disc_price"),
+        (F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_disc"
+        ),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_value,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — global (no-group) aggregate: table-wide totals."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("total_value"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@query(
+    "agg_collect_ordered",
+    oracle="""
+    SELECT l_orderkey,
+           list(l_quantity ORDER BY l_linenumber, l_quantity) AS qty_seq
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — ordered positional collect: the way-geometry assembly
+    semantic (collect member values in node_refs order,
+    README.md:80). ``collect_list`` order is partition-dependent, so
+    we sort (pos, val) structs *inside* the array — deterministic
+    under any shuffle — then strip the position. (l_orderkey,
+    l_linenumber) is not unique in the fixture, so the value itself
+    is the tiebreak, mirrored in the oracle's ORDER BY."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("l_linenumber"), F.col("l_quantity")))
+            ).alias("pairs")
+        )
+        .select(
+            "l_orderkey",
+            F.transform(F.col("pairs"), lambda s: s.getField("l_quantity")).alias("qty_seq"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — exact distinct counts per group (expands then dedups
+    internally; at 100 TB prefer E5's sketch when exactness is not
+    required)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL estimate is impl-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — HyperLogLog distinct estimate: the 100 TB path for
+    cardinality (fixed sketch memory, one pass, mergeable across
+    partitions). Estimates are engine-specific → rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           {sql_dsum('c_acctbal')} AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 — hierarchical subtotals region → nation → grand total."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal").alias("sum_acctbal"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — all grouping combinations of two dimensions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 — explicit grouping-set list (cheaper than CUBE when only
+    named combinations are needed — less pre-shuffle row expansion)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum('CASE WHEN l_discount > 0.05 THEN l_extendedprice END')} AS high_disc_price,
+           {sql_dsum('CASE WHEN l_discount <= 0.05 THEN l_extendedprice END')} AS low_disc_price,
+           COUNT(CASE WHEN l_quantity >= 25 THEN 1 END) AS n_bulk
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 — filtered/conditional aggregates (pivot-style measures)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dsum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))).alias(
+            "high_disc_price"
+        ),
+        dsum(F.when(F.col("l_discount") <= 0.05, F.col("l_extendedprice"))).alias(
+            "low_disc_price"
+        ),
+        F.count(F.when(F.col("l_quantity") >= 25, F.lit(1))).alias("n_bulk"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS "F",
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS "O"
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 — pivot with a pinned value list (implicit value discovery
+    is a full extra scan AND non-deterministic column order — always
+    pass explicit values, SURVEY.md §7.3)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum("l_quantity"))
+    )

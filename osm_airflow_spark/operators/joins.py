@@ -1,1 +1,268 @@
-"""placeholder — filled in by build plan."""
+"""Join operators (SURVEY.md §2.D).
+
+Geometry assembly in the reference is fundamentally a join problem:
+"ways get their geometry from member nodes and relations get their
+geometry from member nodes and ways" (/root/reference/README.md:80).
+The delegate resolves references with an in-RAM node-location cache
+(``--ram=8``, osm_etl.py:18); the Spark-native answer is the shuffle:
+sort-merge / shuffle-hash joins scale past RAM, AQE fixes skew at
+runtime, and small dimensions are broadcast.
+
+Scale notes per operator are inline. The general rules at 100 TB:
+big⋈big on a stable key → bucket both sides at write time (zero
+shuffle); big⋈small → ``F.broadcast``; non-equi → never raw BNLJ at
+scale, pre-bucket the range key into an equi key first (see
+``join_range``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osm_airflow_spark.io import load_table
+from osm_airflow_spark.registry import query
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — equi inner join (the way⋈node reference-resolution shape).
+    Spark picks SMJ/SHJ; at 100 TB bucket both sides by the key."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(customer, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT c_custkey, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 — broadcast hash join: tiny dims (25/5 rows — OSM's region
+    lookup shape) ship to every executor; zero shuffle on the fact."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01') o
+           ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 — left outer join: keep elements with no match (a way whose
+    member nodes fall outside the extract, README.md:80)."""
+    customer = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return customer.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_multiway",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 — multi-way join (relation → member ways → member nodes,
+    two-hop assembly). Catalyst reorders; nation broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 — left semi join: existence filter (ways having ≥1 member
+    node present in the extract). No row multiplication."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 — left anti join: orphan detection (refs with no resolvable
+    target — extract-completeness QA, README.md:80)."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT s_suppkey,
+           COUNT(*) AS n_parts_in_band,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS band_price_sum
+    FROM supplier JOIN part
+      ON p_retailprice BETWEEN s_acctbal - 100 AND s_acctbal + 100
+    GROUP BY s_suppkey
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 — theta / non-equi join (BNLJ). Kept to dim×dim size here;
+    at scale a pure inequality join must be re-keyed (bucketize the
+    band, equi-join on bucket, post-filter) — raw BNLJ is O(n·m)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    cond = F.col("p_retailprice").between(F.col("s_acctbal") - 100, F.col("s_acctbal") + 100)
+    return (
+        supplier.join(part, cond)
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts_in_band"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("band_price_sum"),
+        )
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, o_orderdate, l_shipdate
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <  o_orderdate + INTERVAL 60 DAY
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 — range/interval join: point-in-range with an equi
+    co-key (the prunable form — spatial analogue is point-in-bbox
+    within a geohash cell). The equi key keeps it a hash/merge join
+    with a residual range filter: this is the shape that survives
+    100 TB, unlike a raw interval BNLJ."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+    )
+    return li.join(orders, cond).select("l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT event_id, ts, user_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
+    FROM (
+      SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 — as-of join: latest snapshot ≤ a point in time — the
+    relational form of the reference's ``--pgosm-date`` pinning
+    (osm_etl.py:13). Implemented as join + row_number; ties broken by
+    orderkey for determinism. At scale: pre-bucket by key, sort
+    within bucket, and the window collapses to a per-bucket merge."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        e.join(o, (F.col("o_custkey") == F.col("user_id")) & (F.col("o_orderdate") <= F.col("ts")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.col("o_orderdate").alias("asof_orderdate"),
+        )
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 — cross join of small inputs (the base of pairwise
+    similarity in §2.K). Only ever dim×dim; a big-side cartesian is a
+    design bug at scale."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")

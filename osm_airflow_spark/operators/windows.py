@@ -1,1 +1,218 @@
-"""placeholder — filled in by build plan."""
+"""Window functions (SURVEY.md §2.F).
+
+F1 (latest-version-per-id dedup) is the relational form of the
+reference's snapshot pinning: each run processes one consistent
+``--pgosm-date`` version of every element
+(/root/reference/osm_etl.py:13,71,81). The rest are the ranking /
+offset / frame operators any queryable layer needs (README.md:70).
+
+Scale notes: a window shuffles by its partition key once; multiple
+windows over the same key share the exchange (Catalyst reuses it).
+Running/sliding frames use the decimal-sum pattern so frame results
+are bit-stable. Avoid ``Window.orderBy`` without ``partitionBy`` at
+scale — it collapses to a single task (the engine only does that in
+G1's explicit global sort, which range-partitions instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osm_airflow_spark.io import load_table
+from osm_airflow_spark.registry import query
+
+
+@query(
+    "win_dedup_latest",
+    oracle="""
+    SELECT user_id, event_id AS latest_event, ts AS latest_ts, event_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def win_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — latest version per id (snapshot semantics of
+    ``--pgosm-date``, osm_etl.py:13). event_id is the deterministic
+    tiebreak; at scale this is one shuffle by id and prunes to one
+    row per key map-side if pre-sorted."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event"),
+            F.col("ts").alias("latest_ts"),
+            "event_type",
+        )
+    )
+
+
+@query(
+    "win_rank",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           RANK() OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal DESC, c_custkey) AS bal_rank,
+           DENSE_RANK() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal DESC, c_custkey) AS bal_dense_rank
+    FROM customer
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — rank / dense_rank within group (top features per class)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           LAG(ts)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
+           epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)) AS gap_us
+    FROM events
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — lag/lead offsets in ordered partition (event gaps in
+    exact integer microseconds — ms rounding conventions differ
+    between engines, µs subtraction doesn't)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        prev_ts.alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(prev_ts.cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_value
+    FROM events
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — cumulative sum over ordered frame (decimal-summed: frame
+    evaluation strategy differs across engines, exact decimal addition
+    does not)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                /
+                COUNT(value)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS moving_avg
+    FROM events
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — sliding frame aggregate (3-row moving average)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("moving_avg"),
+    )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS bal_quartile,
+           PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) AS bal_pct_rank
+    FROM customer
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — distribution buckets. Unpartitioned window is acceptable
+    only on dimension-sized inputs (single-task); at scale compute
+    quantile cut points via approx_percentile and bucket by range."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+    )
+
+
+@query(
+    "win_topk_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — top-k per group (k most valuable orders per customer).
+    AQE + rank pushdown keep this one shuffle; Spark 3.5+ inserts a
+    WindowGroupLimit so each map task keeps only k rows per key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )

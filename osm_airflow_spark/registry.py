@@ -67,11 +67,13 @@ def dsum(col: Column | str, scale: int = 2) -> Column:
 
 
 def davg(col: Column | str, scale: int = 2) -> Column:
-    """Order-independent mean: exact decimal sum / exact count."""
+    """Order-independent mean: exact decimal sum → double, then one
+    IEEE division. (Dividing while still decimal is a trap: Spark and
+    DuckDB assign different result scales to decimal division.)"""
     c = F.col(col) if isinstance(col, str) else col
     return (
-        F.sum(c.cast(f"decimal(18,{scale})")) / F.count(c)
-    ).cast("double")
+        F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c)
+    ).alias("avg")
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:
@@ -79,7 +81,7 @@ def sql_dsum(expr: str, scale: int = 2) -> str:
 
 
 def sql_davg(expr: str, scale: int = 2) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) / COUNT({expr}) AS DOUBLE)"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) / COUNT({expr})"
 
 
 def import_all_operators() -> None:
