@@ -1,1 +1,272 @@
-"""placeholder — filled in by build plan."""
+"""Deduplication operators (SURVEY.md §2.K — K1/K2 + extensions).
+
+The training-data dedup family required by the north star, over the
+``documents`` fixture: exact (content hash), MinHash+LSH (near-dup
+candidates at scale), SimHash (Hamming-ball near-dup), n-gram Jaccard
+(exact set similarity), and embedding-cosine near-dup.
+
+Scale notes (the whole point of these designs):
+* Exact dedup is a hash-groupBy — one shuffle on the digest, no
+  full-text comparison ever.
+* MinHash/LSH never computes all-pairs: banding turns "compare
+  everything" into an equi-join on (band, band_hash) — candidates
+  only. At 100 TB, cap bucket sizes (a degenerate bucket with 10⁶
+  docs means the shingle choice is wrong) and salt hot buckets.
+* SimHash candidates come from the pigeonhole principle: fingerprints
+  within Hamming distance d must share one of d+1 chunks — again an
+  equi-join, not a cross join.
+* Embedding near-dup brute-force is quadratic — kept for the fixture
+  and as the correctness oracle for the LSH path in similarity.py.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osm_airflow_spark.io import load_table
+from osm_airflow_spark.llm.similarity import cosine_expr
+from osm_airflow_spark.registry import query
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+
+
+@query(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+          FROM documents GROUP BY md5(text)) k
+      ON d.doc_id = k.keep_id
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 — exact dedup by content digest: keep the lowest doc_id per
+    md5(text). Window + row_number (the F1 pattern) rather than
+    dropDuplicates, so the survivor is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def _minhash_signature(words_col: str, n_hashes: int = N_MINHASH) -> list[Column]:
+    """One minhash per seeded hash family member, as plain column
+    aggregates (JVM-side xxhash64 — no Python)."""
+    return [
+        F.min(F.xxhash64(F.lit(i), F.col(words_col))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs.
+
+    shingle → minhash → band → bucket-join, all DataFrame ops:
+    1. explode distinct word shingles;
+    2. 16 seeded xxhash64 minhashes per doc (one groupBy, 16 aggs —
+       partial aggregation keeps shuffle rows = docs, not shingles);
+    3. split the signature into bands, hash each band;
+    4. self-equi-join on (band_idx, band_hash) → candidates;
+    5. estimate Jaccard as the fraction of matching signature slots;
+       keep pairs ≥ threshold.
+    """
+    shingles = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("shingle")
+    )
+    sigs = shingles.groupBy("doc_id").agg(*_minhash_signature("shingle", n_hashes))
+
+    rows_per_band = n_hashes // n_bands
+    sig_array = F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)])
+    bands = F.array(
+        *[
+            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", sig_array.alias("sig"), F.posexplode(bands).alias("band_idx", "band_hash")
+    )
+
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
+    )
+    candidates = (
+        left.join(right, ["band_idx", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    est = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.lit(N_MINHASH if n_hashes is None else n_hashes)
+    )
+    return (
+        candidates.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+@query("llm_dedup_near")  # rows-only: hash-family dependent
+def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 — MinHash+LSH near-duplicate pairs (word shingles, 16
+    hashes, 4 bands, est-Jaccard ≥ 0.8). Deterministic given the
+    seeded hash family, but the family is Spark's xxhash64 →
+    rows-only for the oracle; exactness is cross-checked against
+    llm_dedup_ngram_jaccard in tests."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d)
+
+
+def simhash_expr(words_col: Column, n_bits: int = 32) -> Column:
+    """SimHash fingerprint of a word array, as one column expression.
+
+    Per bit: sign of Σ_words (±1 by word-hash bit) — here computed by
+    summing each word's bit, then testing count > half. 32 bits keeps
+    the fingerprint in a positive long.
+    """
+    n_words = F.size(words_col)
+    bits = [
+        (
+            F.aggregate(
+                F.transform(
+                    words_col,
+                    lambda w: F.shiftright(F.xxhash64(w), i).bitwiseAND(F.lit(1)),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            * 2
+            > n_words
+        ).cast("long")
+        * F.lit(2**i)
+        for i in range(n_bits)
+    ]
+    return reduce(lambda a, b: a + b, bits)
+
+
+@query("llm_dedup_simhash")  # rows-only: hash-family dependent
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — SimHash near-dup candidates within Hamming
+    distance 3. Candidates by pigeonhole: a 32-bit fingerprint is
+    split into 4 chunks; pairs within distance 3 must agree on ≥1
+    chunk → equi-join per chunk (no cross join). Exact Hamming check
+    with bit_count afterwards."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    fp = d.select("doc_id", simhash_expr(words).alias("simhash"))
+
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(0xFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    left = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk_val"
+    )
+    right = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk_val"
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        left.join(right, ["chunk_idx", "chunk_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", hamming.alias("hamming_dist"))
+        .where(F.col("hamming_dist") <= 3)
+    )
+
+
+@query(
+    "llm_dedup_ngram_jaccard",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS words
+      FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+             / len(list_distinct(a.words || b.words)) AS jaccard
+    FROM w a, w b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+            / len(list_distinct(a.words || b.words)) >= 0.5
+    """,
+)
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — exact n-gram (word-set) Jaccard on a candidate
+    subset. This is the ground-truth near-dup measure the MinHash
+    path approximates; on the fixture we bound the pair count with a
+    key filter (at scale candidates come from LSH, never a cross
+    join). Integer set sizes → exact division → SQL-oracled."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    w = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("words"))
+    a = w.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
+    inter = F.size(F.array_intersect("wa", "wb")).cast("double")
+    union = F.size(F.array_union("wa", "wb"))
+    jac = inter / union
+    return (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+@query(
+    "llm_dedup_embed",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS cos_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+)
+def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — embedding-cosine near-duplicate pairs (brute
+    force; the fixture's max pairwise cosine is ~0.51, so 0.4 marks
+    the 'suspiciously similar' tail). Double-precision sequential
+    cosine is bit-identical to DuckDB's list_cosine_similarity →
+    SQL-oracled. The 100 TB path replaces the cross join with LSH
+    bucketing (similarity.llm_sim_ann_lsh)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = cosine_expr("ea", "eb")
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.4)
+    )

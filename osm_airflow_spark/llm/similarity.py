@@ -1,1 +1,160 @@
-"""placeholder — filled in by build plan."""
+"""Similarity search over embedding columns (SURVEY.md §2.K — K3/K4
++ the ANN extension).
+
+``array<float>`` embeddings are first-class columns; all similarity
+math is double-precision sequential (cast each element, left-to-right
+aggregate) so scores are bit-identical across engines — DuckDB's
+``list_cosine_similarity(CAST(… AS DOUBLE[]))`` reproduces them
+exactly, which makes even top-k ordering oracle-checkable.
+
+Scale notes: brute-force top-k broadcasts the query vector and plans
+TakeOrderedAndProject — a full scan but no shuffle; that is the
+correct baseline even at 100 TB (one pass, embarrassingly parallel).
+The sub-linear path is LSH bucketing (random-hyperplane signatures →
+equi-join on bucket), trading recall for candidate reduction;
+centroid-style IVF is the same shape with learned buckets.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_airflow_spark.io import load_table
+from osm_airflow_spark.registry import query
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot_expr(a, b) -> Column:
+    """Σ aᵢ·bᵢ, double precision, strict left-to-right — the exact
+    accumulation order DuckDB uses, hence bit-stable oracles."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_as_double(a), lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine_expr(a, b) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+@query(
+    "llm_sim_pairwise",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label_a, b.label AS label_b,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS cos_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id % 50 = 0 AND b.vec_id % 50 = 0 AND a.vec_id < b.vec_id
+    """,
+)
+def llm_sim_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 — pairwise cosine similarity on a keyed sample (pairwise is
+    inherently quadratic: sample/bucket first, always)."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 50 == 0)
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"), F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "label_a", "label_b", cosine_expr("ea", "eb").alias("cos_sim"))
+    )
+
+
+@query(
+    "llm_sim_topk",
+    oracle="""
+    SELECT b.vec_id, b.label,
+           list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[])) AS cos_sim
+    FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE b.vec_id <> 0
+    ORDER BY cos_sim DESC, b.vec_id
+    LIMIT 10
+    """,
+)
+def llm_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 — brute-force cosine top-k for one query vector: broadcast
+    the query, score every row, TakeOrderedAndProject keeps k per
+    partition then merges — no shuffle of the corpus. Bit-stable
+    scores make the ordering itself oracle-checkable (ties broken by
+    vec_id)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cosine_expr("embedding", "qvec").alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def _plane_component(p: int, i: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1]:
+    md5 of the (plane, dim) coordinates — stable across machines,
+    runs, and engines; no stored model to ship."""
+    import hashlib
+
+    h = int.from_bytes(hashlib.md5(f"{p}:{i}".encode()).digest()[:8], "big")
+    return (h % 200001) / 100000.0 - 1.0
+
+
+def hyperplane_signature(vec_col, n_planes: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane LSH signature as one integer column.
+
+    Plane components are computed driver-side as literal arrays
+    (deterministic — see _plane_component), so the per-row work is
+    n_planes array dot products, not a giant per-element expression
+    tree. Signature bit p = sign(v · plane_p).
+    """
+    dv = _as_double(vec_col)
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(_plane_component(p, i)) for i in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(dv, plane, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+        bits.append((dot > 0).cast("long") * F.lit(2**p))
+    return reduce(lambda a, b: a + b, bits)
+
+
+@query("llm_sim_ann_lsh")  # rows-only: recall depends on the hash family
+def llm_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — LSH-bucketed approximate nearest neighbors: the
+    sub-linear scale path for K4. Bucket = 8-bit hyperplane
+    signature; search only the query's bucket (multi-probe at the
+    Hamming-1 neighbors would raise recall). Scores within the
+    bucket are exact cosine. Recall vs brute force is asserted in
+    tests; bucket contents are hash-family-specific → rows-only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sig = hyperplane_signature("embedding")
+    bucketed = e.select("vec_id", "label", "embedding", sig.alias("bucket"))
+    q = bucketed.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        bucketed.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", "label", cosine_expr("embedding", "qvec").alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )

@@ -1,1 +1,219 @@
-"""placeholder — filled in by build plan."""
+"""Text analysis operators (SURVEY.md §2.K — K5 + extensions).
+
+The text-side of the training-data pipeline over ``documents``:
+corpus statistics, language identification, quality scoring, token
+counting, and rolling-hash fingerprinting. Everything except the
+fingerprint (which needs xxhash64) is built-in column expressions
+with an exact SQL oracle.
+
+Scale notes: all of these are narrow per-row transforms + one
+aggregation — they pipeline inside whole-stage codegen and scale
+linearly. The fingerprint's explode multiplies rows by document
+length; at 100 TB fingerprint in the same pass as ingest and store
+only the winnowed set (bounded per doc), never the exploded grams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_airflow_spark.io import load_table
+from osm_airflow_spark.registry import query
+
+# tiny curated stopword lists for the n-gram language heuristic
+_EN_STOP = ("the", "a", "of", "and", "in", "to", "is")
+_DE_STOP = ("der", "die", "das", "und", "ist", "ein")
+_FR_STOP = ("le", "la", "les", "et", "est", "un")
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "llm_text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           SUM(len(string_split(text, ' '))) AS total_tokens,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 — corpus statistics per language (integer sums → exact)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def _stop_count(words: Column, stopwords: tuple[str, ...]) -> Column:
+    return F.size(F.filter(words, lambda w: w.isin(*stopwords)))
+
+
+@query(
+    "llm_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                WHEN de_hits >= fr_hits THEN 'de'
+                ELSE 'fr' END AS predicted_lang,
+           en_hits, de_hits, fr_hits
+    FROM (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ({_sql_list(_EN_STOP)}))) AS en_hits,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ({_sql_list(_DE_STOP)}))) AS de_hits,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ({_sql_list(_FR_STOP)}))) AS fr_hits
+      FROM documents
+    )
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — stopword-profile language ID (the n-gram-heuristic
+    family: count hits against per-language marker lists, argmax with
+    a fixed preference order for ties). Real corpora swap in char
+    n-gram profiles; the plumbing — filter/size over split, argmax —
+    is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        _stop_count(words, _EN_STOP).alias("en_hits"),
+        _stop_count(words, _DE_STOP).alias("de_hits"),
+        _stop_count(words, _FR_STOP).alias("fr_hits"),
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.when(
+            (F.col("en_hits") >= F.col("de_hits")) & (F.col("en_hits") >= F.col("fr_hits")), "en"
+        )
+        .when(F.col("de_hits") >= F.col("fr_hits"), "de")
+        .otherwise("fr")
+        .alias("predicted_lang"),
+        "en_hits",
+        "de_hits",
+        "fr_hits",
+    )
+
+
+@query(
+    "llm_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           n_words,
+           stop_ratio,
+           mean_word_len,
+           round( least(n_words, 200) / 200.0 * 0.4
+                + least(stop_ratio * 4, 1.0) * 0.3
+                + CASE WHEN mean_word_len BETWEEN 3 AND 8 THEN 0.3 ELSE 0.0 END, 6)
+             AS quality_score
+    FROM (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w IN ({_sql_list(_EN_STOP)}))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_word_len
+      FROM documents
+    )
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — heuristic document quality: length saturation +
+    stopword ratio + mean word length band (the Gopher-rules shape).
+    Weights are explicit; every term is exact arithmetic on integer
+    counts, rounded once at the end."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    stop_ratio = _stop_count(words, _EN_STOP).cast("double") / n_words
+    mean_word_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / n_words
+    base = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        stop_ratio.alias("stop_ratio"),
+        mean_word_len.alias("mean_word_len"),
+    )
+    score = (
+        F.least(F.col("n_words"), F.lit(200)) / 200.0 * 0.4
+        + F.least(F.col("stop_ratio") * 4, F.lit(1.0)) * 0.3
+        + F.when(F.col("mean_word_len").between(3, 8), 0.3).otherwise(0.0)
+    )
+    return base.select(
+        "doc_id", "n_words", "stop_ratio", "mean_word_len", F.round(score, 6).alias("quality_score")
+    )
+
+
+@query(
+    "llm_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           length(regexp_replace(text, '[a-z0-9]+', 't', 'g'))
+             - length(replace(regexp_replace(text, '[a-z0-9]+', 't', 'g'), 't', ''))
+             AS regex_tokens,
+           CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_est_tokens
+    FROM documents
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — token counting three ways: whitespace split, a
+    BPE-ish regex word segmentation (count alnum runs), and the
+    chars/4 estimator used for quick budget math."""
+    d = load_table(spark, sf_dir, "documents")
+    collapsed = F.regexp_replace(F.col("text"), "[a-z0-9]+", "t")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        (
+            F.length(collapsed) - F.length(F.replace(collapsed, F.lit("t"), F.lit("")))
+        ).cast("long").alias("regex_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).alias("bpe_est_tokens"),
+    )
+
+
+@query("llm_fingerprint")  # rows-only: xxhash64 fingerprints
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — winnowing document fingerprint: rolling char
+    8-gram hashes, minimum per 4-gram window, distinct survivors.
+    The standard plagiarism/near-dup fingerprint (Schleimer et al.,
+    SIGMOD 2003), all in column expressions: sequence → transform →
+    sliding slice minima → array_distinct. Hash family is xxhash64 →
+    rows-only."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(text) - 7, 1)),"
+        " i -> xxhash64(substring(text, i, 8)))"
+    )
+    winnowed = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(size(grams) - 3, 1)),"
+            " j -> array_min(slice(grams, j, 4)))"
+        )
+    )
+    return (
+        d.select("doc_id", grams.alias("grams"))
+        .select("doc_id", winnowed.alias("fp"))
+        .select(
+            "doc_id",
+            F.size("fp").alias("n_fingerprints"),
+            F.array_min("fp").alias("min_fp"),
+        )
+    )

@@ -1,1 +1,121 @@
-"""placeholder — filled in by build plan."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.J).
+
+The engine's analogue of the reference's Lua flex hooks — arbitrary
+user transforms plugged into the pipeline
+(/root/reference/README.md:74,93). The performance ladder, enforced
+by example here:
+
+1. built-in column expressions (everything in functions/ — the 99%);
+2. Arrow-vectorized pandas UDFs (J2/J4) when genuinely custom —
+   ~10-100× faster than row UDFs, batch-at-a-time over Arrow;
+3. row-at-a-time Python UDFs (J1) — last resort, kept for surface
+   completeness; per-row pickle serde makes them the slow path at
+   any scale;
+4. grouped-map ``applyInPandas`` (J3) for per-group model-ish logic —
+   one shuffle by group key, each group must fit in executor memory
+   (salt or pre-aggregate million-row groups at 100 TB).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from osm_airflow_spark.io import load_table
+from osm_airflow_spark.registry import query
+
+
+@F.udf(T.StringType())
+def _price_band_udf(total: float) -> str:
+    if total is None:
+        return "unknown"
+    if total >= 300000:
+        return "large"
+    if total >= 100000:
+        return "medium"
+    return "small"
+
+
+@query(
+    "udf_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'large'
+                WHEN o_totalprice >= 100000 THEN 'medium'
+                ELSE 'small' END AS price_band
+    FROM orders
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — row-at-a-time Python UDF (flex-hook analogue). The oracle
+    states the same logic in SQL; in production this exact transform
+    belongs in fn_conditional's built-in form."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", _price_band_udf("o_totalprice").alias("price_band"))
+
+
+@F.pandas_udf(T.DoubleType())
+def _net_price_pandas(price: pd.Series, discount: pd.Series) -> pd.Series:
+    # vectorized over Arrow batches; same IEEE ops as the SQL twin
+    return price * (1.0 - discount)
+
+
+@query(
+    "udf_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    """,
+)
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — Arrow-vectorized pandas UDF (series → series). Numpy
+    performs the identical per-element IEEE arithmetic, so values
+    hash-match the SQL oracle exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _net_price_pandas("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+def _demean(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.copy()
+    pdf["value_demeaned"] = pdf["value"] - pdf["value"].mean()
+    return pdf[["user_id", "event_id", "value", "value_demeaned"]]
+
+
+@query("udf_grouped_map")  # rows-only: float mean order is impl-defined
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — grouped-map applyInPandas: per-group DataFrame→DataFrame
+    (per-region normalization shape). pandas' pairwise float mean is
+    summation-order-dependent → declared rows-only."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select("user_id", "event_id", "value").groupBy("user_id").applyInPandas(
+        _demean, "user_id long, event_id long, value double, value_demeaned double"
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def _mean_qty(qty: pd.Series) -> float:
+    # l_quantity is integer-valued; float64 integer sums < 2^53 are
+    # exact under any summation order → oracle-safe mean
+    return float(qty.sum() / len(qty))
+
+
+@query(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(l_quantity) / COUNT(l_quantity) AS mean_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — custom aggregate as a grouped-agg pandas UDF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(_mean_qty("l_quantity").alias("mean_qty"))
