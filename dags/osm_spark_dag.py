@@ -1,0 +1,100 @@
+"""Airflow DAG mirroring the reference pipeline, Spark-native
+(SURVEY.md §2.A, §7.5).
+
+Shape parity with /root/reference/osm_etl.py:40-93 — provision →
+per-region transform fan-out → dated publish — with its known issues
+fixed:
+
+* connection/variable lookups happen inside task callables, not at
+  module parse time (reference does both at import, osm_etl.py:9-14 —
+  runs on every scheduler parse loop);
+* regions fan out via dynamic task mapping instead of static
+  BashOperator loops (osm_etl.py:69-85);
+* US and EU groups run in parallel — they were serialized in the
+  reference (osm_etl.py:93) despite being data-independent;
+* retries > 0: Spark jobs here are idempotent dated-partition
+  overwrites, so retrying is safe (reference pins retries=0,
+  osm_etl.py:36).
+
+Airflow is not installed in this container; the module import-gates
+so the engine package never depends on it.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+REGIONS = [
+    {"region": "north-america/us", "subregion": "colorado"},
+    {"region": "north-america/us", "subregion": "oregon"},
+    {"region": "north-america/us", "subregion": "washington"},
+    {"region": "europe", "subregion": "spain"},
+]
+
+SNAPSHOT_DATE = "2024-07-25"  # reference: pgosm_date, osm_etl.py:13
+
+
+def transform_region(region: str, subregion: str, snapshot_date: str, data_dir: str) -> None:
+    """One region's ETL as a Spark job: element tables → thematic
+    layers → dated partitioned snapshot (replaces the reference's
+    docker-exec of pgosm_flex.py, osm_etl.py:17-18,71-72)."""
+    from osm_airflow_spark.io import write_snapshot
+    from osm_airflow_spark.plans.osm import build_highway_layer
+    from osm_airflow_spark.session import get_spark
+
+    spark = get_spark(f"osm-etl-{subregion}")
+    nodes = spark.read.parquet(f"{data_dir}/{subregion}/nodes")
+    ways = spark.read.parquet(f"{data_dir}/{subregion}/ways")
+    layer = build_highway_layer(nodes, ways).drop("line")
+    write_snapshot(layer, f"{data_dir}/layers/highway", snapshot_date, ("geohash",))
+
+
+try:
+    from airflow.decorators import dag, task
+
+    @dag(
+        dag_id="osm_spark_etl",
+        schedule="@weekly",  # reference cadence, osm_etl.py:45
+        start_date=datetime(2024, 1, 1),
+        catchup=False,
+        tags=["osm", "etl", "spark"],
+        default_args={
+            "owner": "data-eng",
+            "retries": 2,
+            "retry_delay": timedelta(minutes=5),
+        },
+    )
+    def osm_spark_etl():
+        @task
+        def bootstrap() -> str:
+            # task-scope config resolution (fixes the parse-time
+            # anti-pattern at osm_etl.py:9-14)
+            from airflow.models import Variable
+
+            return Variable.get("osm_spark_data_dir")
+
+        @task
+        def transform(region_spec: dict, data_dir: str) -> str:
+            transform_region(
+                region_spec["region"],
+                region_spec["subregion"],
+                SNAPSHOT_DATE,
+                data_dir,
+            )
+            return region_spec["subregion"]
+
+        @task
+        def publish(subregions: list[str], data_dir: str) -> None:
+            # dated artifact is already on disk per-region (idempotent
+            # partition overwrite); here we only validate completeness
+            # — the analogue of the pg_dump step (osm_etl.py:88-91)
+            assert len(subregions) == len(REGIONS)
+
+        data_dir = bootstrap()
+        done = transform.partial(data_dir=data_dir).expand(region_spec=REGIONS)
+        publish(done, data_dir)
+
+    osm_spark_etl()
+
+except ImportError:  # Airflow not installed — engine stays importable
+    dag = task = None

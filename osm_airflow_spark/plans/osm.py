@@ -1,0 +1,193 @@
+"""OSM domain layer: the reference pipeline's semantics as Spark plans.
+
+What PgOSM-Flex/osm2pgsql do inside their container
+(/root/reference/README.md:74-93), re-expressed as DataFrame
+compositions over the element tables (schemas: sources/pbf.py):
+
+1. layer routing — tag predicate filter (C1);
+2. tag promotion — selected keys become typed columns, the residual
+   map rides along (C4);
+3. reference resolution — way.node_refs ⋈ nodes replaces osm2pgsql's
+   ``--ram=8`` node-location cache (osm_etl.py:18): the shuffle IS
+   the cache, and it scales past RAM;
+4. geometry assembly — member coordinates collected in node_refs
+   order (README.md:80: "ways get their geometry from member
+   nodes"), E3's ordered-collect pattern;
+5. WKB encoding — OGC Simple Features linestrings (README.md:82) as
+   BinaryType, plus prunable lon/lat bbox columns;
+6. dated snapshot write — io.write_snapshot (osm_etl.py:88-91).
+
+Scale notes: step 3 is the planet-scale shuffle (ways×nodes ~ 10⁹ ×
+10¹⁰ rows). Bucket both element tables by id at ingest and the join
+co-locates; AQE splits the skewed keys (mega-relations, dense urban
+nodes). bbox columns + geohash partition keys make spatial queries
+prune before any geometry math.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def route_layer(elements: DataFrame, required_tag: str) -> DataFrame:
+    """Flex-style layer routing: keep elements carrying the layer's
+    selector tag (e.g. ``highway``)."""
+    return elements.where(F.map_contains_key("tags", required_tag))
+
+
+def promote_tags(elements: DataFrame, keys: dict[str, str]) -> DataFrame:
+    """Promote tag keys to typed top-level columns; keep the residual
+    map (README.md:93 — 'transform the data and improve the table and
+    column setup')."""
+    out = elements
+    for key, dtype in keys.items():
+        out = out.withColumn(
+            key.replace(":", "_"), F.element_at("tags", key).cast(dtype)
+        )
+    promoted = F.array(*[F.lit(k) for k in keys])
+    return out.withColumn(
+        "residual_tags",
+        F.map_filter("tags", lambda k, _: ~F.array_contains(promoted, k)),
+    )
+
+
+def assemble_way_lines(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Way geometry assembly: resolve node refs, collect coordinates
+    in node_refs order (the E3 ordered-collect), emit bbox columns.
+
+    posexplode keeps the array position through the join so the
+    collected line is order-correct under any shuffle. Ways whose
+    refs are all missing from the extract drop out (inner join);
+    partially-resolved ways keep the resolved subset — osm2pgsql
+    equally cannot invent coordinates for absent nodes
+    (README.md:80)."""
+    refs = ways.select(
+        "way_id", "tags", F.posexplode("node_refs").alias("pos", "node_id")
+    )
+    resolved = refs.join(nodes.select("node_id", "lat", "lon"), "node_id")
+    return (
+        resolved.groupBy("way_id")
+        .agg(
+            F.first("tags").alias("tags"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "lon", "lat"))
+            ).alias("points_raw"),
+        )
+        .select(
+            "way_id",
+            "tags",
+            F.transform(
+                "points_raw", lambda s: F.struct(s.getField("lon"), s.getField("lat"))
+            ).alias("line"),
+            F.expr("transform(points_raw, s -> s.lon)").alias("_lons"),
+            F.expr("transform(points_raw, s -> s.lat)").alias("_lats"),
+        )
+        .select(
+            "way_id",
+            "tags",
+            "line",
+            F.array_min("_lons").alias("bbox_west"),
+            F.array_min("_lats").alias("bbox_south"),
+            F.array_max("_lons").alias("bbox_east"),
+            F.array_max("_lats").alias("bbox_north"),
+        )
+    )
+
+
+def resolve_relation_members(
+    relations: DataFrame, ways: DataFrame, nodes: DataFrame
+) -> DataFrame:
+    """Two-hop relation assembly (README.md:80: 'relations get their
+    geometry from member nodes and ways'): explode members, resolve
+    way members against assembled ways and node members against
+    nodes, tag each resolved member with its role and position."""
+    members = relations.select(
+        "rel_id", F.posexplode("members").alias("pos", "m")
+    ).select("rel_id", "pos", "m.mtype", "m.ref", "m.role")
+    way_lines = assemble_way_lines(ways, nodes).select(
+        F.col("way_id").alias("ref"), F.col("line").alias("way_line")
+    )
+    node_pts = nodes.select(
+        F.col("node_id").alias("ref"), F.col("lon").alias("pt_lon"), F.col("lat").alias("pt_lat")
+    )
+    resolved_ways = (
+        members.where(F.col("mtype") == "way")
+        .join(way_lines, "ref")
+        .select("rel_id", "pos", "role", F.lit("way").alias("mtype"), "way_line",
+                F.lit(None).cast("double").alias("pt_lon"),
+                F.lit(None).cast("double").alias("pt_lat"))
+    )
+    resolved_nodes = (
+        members.where(F.col("mtype") == "node")
+        .join(node_pts, "ref")
+        .select("rel_id", "pos", "role", F.lit("node").alias("mtype"),
+                F.lit(None).cast("array<struct<lon:double,lat:double>>").alias("way_line"),
+                "pt_lon", "pt_lat")
+    )
+    return resolved_ways.unionByName(resolved_nodes)
+
+
+_WKB_LINESTRING_SCHEMA = T.StructType(
+    [
+        T.StructField("way_id", T.LongType()),
+        T.StructField("wkb", T.BinaryType()),
+    ]
+)
+
+
+def lines_to_wkb(assembled: DataFrame) -> DataFrame:
+    """Encode assembled lines as WKB linestrings (OGC Simple
+    Features, README.md:82) — BinaryType output, Arrow-batched.
+
+    WKB framing is 9 bytes header (byte order, geom type, count) +
+    16 bytes per point; simple enough to emit with struct.pack, no
+    geometry library needed."""
+
+    def encode(it):
+        for pdf in it:
+            wkbs = []
+            for line in pdf["line"]:
+                buf = struct.pack("<BII", 1, 2, len(line))  # LE, LineString, n
+                for p in line:
+                    buf += struct.pack("<dd", p["lon"], p["lat"])
+                wkbs.append(buf)
+            yield pd.DataFrame({"way_id": pdf["way_id"], "wkb": wkbs})
+
+    return assembled.select("way_id", "line").mapInPandas(
+        encode, _WKB_LINESTRING_SCHEMA
+    )
+
+
+def geohash_cell(lon: Column, lat: Column, bits: int = 12) -> Column:
+    """Spatial partition key: interleaved lon/lat bit prefix (a
+    geohash without the base32 dressing). 12 bits ≈ 4096 cells —
+    the partition column that makes fn_geo_bbox prune at 100 TB."""
+    lon_q = ((lon + 180.0) / 360.0 * (1 << (bits // 2))).cast("int")
+    lat_q = ((lat + 90.0) / 180.0 * (1 << (bits // 2))).cast("int")
+    return lon_q * (1 << (bits // 2)) + lat_q
+
+
+def build_highway_layer(
+    nodes: DataFrame, ways: DataFrame, promote: dict[str, str] | None = None
+) -> DataFrame:
+    """End-to-end thematic layer (the flex 'highway' table shape):
+    route → promote → assemble → bbox columns, ready for
+    io.write_snapshot(partition_cols=('geohash',))."""
+    routed = route_layer(ways, "highway")
+    promoted = promote_tags(
+        routed, promote or {"highway": "string", "name": "string", "maxspeed": "int"}
+    )
+    assembled = assemble_way_lines(
+        promoted.select("way_id", "node_refs", "tags"), nodes
+    )
+    keep = promoted.drop("node_refs", "tags", "residual_tags")
+    return assembled.join(keep, "way_id").withColumn(
+        "geohash",
+        geohash_cell((F.col("bbox_west") + F.col("bbox_east")) / 2,
+                     (F.col("bbox_south") + F.col("bbox_north")) / 2),
+    )

@@ -1,1 +1,2 @@
-"""placeholder — filled in by build plan."""
+"""Structured Streaming ports of the time-window operators (SURVEY.md
+§2.I / §7.6)."""

@@ -1,0 +1,108 @@
+"""Streaming time-window operators (SURVEY.md §7.6 design note, made
+runnable).
+
+The reference sidesteps streams with weekly full rebuilds
+(/root/reference/osm_etl.py:45-46); real OSM publishes minutely diff
+replication, and the engine's time-window operators are written so
+the same expressions run incrementally: ``F.window`` and
+``F.session_window`` are streaming-native, batch F1-dedup becomes
+``dropDuplicatesWithinWatermark``.
+
+These builders take any streaming DataFrame with (ts, user_id,
+event_type, value) columns — tests drive them from a file source over
+the events fixture and assert parity with the batch results, which is
+the actual contract: one set of window semantics, two execution modes.
+
+Scale notes: watermarks bound state (without one, windowed streaming
+state grows forever); session windows shuffle by the session key the
+same as batch; sink-side, ``foreachBatch`` + idempotent dated-
+partition writes gives exactly-once into the same snapshot layout the
+batch path uses (io.write_snapshot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        # the fixture stores TIMESTAMP(NANOS), which Spark reads only
+        # as long (see io.load_events) — converted right below
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, dir_glob: str) -> DataFrame:
+    """File-based streaming source over event parquet (the test rig;
+    production swaps in Kafka with the same downstream plan)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir_glob)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """I1, streaming: same F.window expression as the batch operator,
+    plus a watermark so state for closed hours is evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """I2, streaming: 1 h window / 15 min slide."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """I3, streaming: native session_window replaces the batch
+    gap-and-island composition — same sessions, state-managed."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end_bound"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_latest_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """F1, streaming: bounded-state dedup — the snapshot 'latest
+    version per id' semantic under continuous arrival."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drive a streaming plan to completion over the available files
+    (test/smoke path: memory sink + processAllAvailable)."""
+    q = (
+        stream_df.writeStream.outputMode("complete" if stream_df.isStreaming else "append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

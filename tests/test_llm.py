@@ -1,0 +1,104 @@
+"""LLM training-data operator tests: known duplicates get caught,
+LSH agrees with brute force, multimodal plumbing produces the right
+bytes/features."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_airflow_spark.llm.dedup import minhash_lsh_pairs, simhash_expr
+from osm_airflow_spark.llm.multimodal import documents_as_media, extract_features, fake_features
+from osm_airflow_spark.llm.similarity import cosine_expr
+from osm_airflow_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+            (4, "completely different words entirely unrelated content here now"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_minhash_finds_exact_and_near_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in minhash_lsh_pairs(docs).collect()}
+    assert pairs.get((1, 2)) == 1.0  # identical word sets
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_near_dup_estimate_reasonable(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.0).collect()
+    }
+    if (1, 3) in pairs:  # true jaccard 8/10
+        assert pairs[(1, 3)] >= 0.5
+
+
+def test_simhash_identical_docs_same_fingerprint(docs):
+    fp = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", simhash_expr(F.split("text", " ")).alias("s")).collect()
+    }
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[4]
+
+
+def test_cosine_expr_exact_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([3.0, 4.0], [3.0, 4.0])],
+        "a array<float>, b array<float>",
+    )
+    vals = [r["c"] for r in df.select(cosine_expr("a", "b").alias("c")).collect()]
+    assert vals == [1.0, 0.0, 1.0]
+
+
+def test_ann_lsh_results_subset_of_brute_force(spark, sf_dir):
+    brute = {r["vec_id"] for r in QUERIES["llm_sim_topk"](spark, sf_dir).collect()}
+    ann = QUERIES["llm_sim_ann_lsh"](spark, sf_dir).collect()
+    # every ANN hit must be a genuine cosine score (sanity), and the
+    # bucket's top hits should overlap the true top-k
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in ann)
+    if ann:
+        assert any(r["vec_id"] in brute for r in ann)
+
+
+def test_exact_dedup_drops_duplicate_text(spark, docs):
+    d = docs.withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    d.createOrReplaceTempView("_docs_tmp")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    out = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 3, 4}  # doc 2 deduped into doc 1
+
+
+def test_multimodal_payload_roundtrip(spark, sf_dir):
+    media = documents_as_media(spark, sf_dir)
+    row = media.orderBy("media_id").first()
+    assert bytes(row["payload"]).decode("utf-8")  # payload is the utf-8 text
+    assert row["meta"]["n_bytes"] == len(bytes(row["payload"]))
+    assert row["meta"]["mime"] == "text/plain"
+
+
+def test_feature_extract_matches_python_kernel(spark, sf_dir):
+    media = documents_as_media(spark, sf_dir).limit(5)
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, payload in raw.items():
+        assert feats[mid]["n_bytes"] == len(payload)
+        assert feats[mid]["features"] == fake_features(payload)
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    out = QUERIES["llm_quality_score"](spark, sf_dir)
+    assert out.where((F.col("quality_score") < 0) | (F.col("quality_score") > 1)).count() == 0

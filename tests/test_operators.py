@@ -1,0 +1,124 @@
+"""Operator unit tests on tiny inline inputs (SURVEY.md §5.2):
+hand-computed expectations plus algebraic invariants — null keys,
+empty groups, window ties, dedup idempotence."""
+
+from pyspark.sql import functions as F
+
+from osm_airflow_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def test_ordered_collect_with_duplicate_positions(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 30.0), (1, 1, 10.0), (1, 2, 20.0), (2, 1, 5.0)],
+        "k int, pos int, v double",
+    )
+    out = (
+        df.groupBy("k")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pairs"))
+        .select("k", F.transform("pairs", lambda s: s.getField("v")).alias("seq"))
+    )
+    rows = {r["k"]: r["seq"] for r in out.collect()}
+    # ties on pos=2 break by value → fully deterministic
+    assert rows[1] == [10.0, 20.0, 30.0]
+    assert rows[2] == [5.0]
+
+
+def test_window_dedup_exactly_one_row_per_key(spark, sf_dir):
+    out = QUERIES["win_dedup_latest"](spark, sf_dir)
+    total = out.count()
+    assert total == out.select("user_id").distinct().count()
+
+
+def test_dedup_idempotent(spark, sf_dir):
+    once = QUERIES["llm_dedup_exact"](spark, sf_dir)
+    assert once.count() == once.dropDuplicates(["doc_id"]).count()
+
+
+def test_union_count_additivity(spark, sf_dir):
+    u = QUERIES["set_union_all"](spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_f = li.where(F.col("l_linestatus") == "F").count()
+    n_o = li.where(F.col("l_linestatus") == "O").count()
+    assert u.count() == n_f + n_o
+
+
+def test_semi_join_equals_inner_distinct(spark, sf_dir):
+    semi = QUERIES["join_semi"](spark, sf_dir)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    inner_distinct = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey")
+        .distinct()
+    )
+    assert semi.count() == inner_distinct.count()
+
+
+def test_semi_anti_partition_the_left(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    assert (
+        QUERIES["join_semi"](spark, sf_dir).count()
+        + QUERIES["join_anti"](spark, sf_dir).count()
+        == c.count()
+    )
+
+
+def test_null_join_keys_never_match(spark):
+    a = spark.createDataFrame([(1,), (None,)], "k int")
+    b = spark.createDataFrame([(1,), (None,)], "k int")
+    assert a.join(b, a["k"] == b["k"]).count() == 1
+
+
+def test_session_islands_on_hand_data(spark):
+    # gaps: 10min, 45min (new session), 5min → sessions of 2 and 2
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),
+        (1, "2024-01-01 00:55:00"),
+        (1, "2024-01-01 01:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        F.monotonically_increasing_id().alias("event_id"),
+        F.lit(1.0).alias("value"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    sessions = (
+        df.withColumn("is_new", F.when(gap <= 30 * 60 * 1_000_000, 0).otherwise(1))
+        .withColumn(
+            "sid",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .groupBy("user_id", "sid")
+        .count()
+    )
+    assert sorted(r["count"] for r in sessions.collect()) == [2, 2]
+
+
+def test_asof_join_picks_latest_not_after(spark, sf_dir):
+    out = QUERIES["join_asof"](spark, sf_dir)
+    sample = out.limit(50).collect()
+    assert sample and all(r["asof_orderdate"] <= r["ts"] for r in sample)
+
+
+def test_empty_group_aggregate(spark):
+    df = spark.createDataFrame([], "k int, v double")
+    assert df.groupBy("k").agg(F.sum("v")).count() == 0
+
+
+def test_unicode_string_functions(spark):
+    df = spark.createDataFrame([("Straße café ÄÖÜ",)], "s string")
+    row = df.select(
+        F.lower("s").alias("lo"), F.length("s").alias("n"), F.upper("s").alias("up")
+    ).collect()[0]
+    assert row["lo"] == "straße café äöü"
+    assert row["n"] == 15

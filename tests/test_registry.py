@@ -1,0 +1,47 @@
+"""Driver-contract invariants: every declared key runs on the smoke
+fixture with a stable schema; oracle keys are a subset of query keys;
+column names stay canonical (no auto-generated aggregate names that
+would break the driver's sorted-by-name hash compare)."""
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from osm_airflow_spark.registry import all_oracles, all_queries
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+AUTO_NAME = re.compile(r"[()]")  # sum(x), count(1) … = unaliased
+
+
+def test_oracles_subset_of_queries():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_rows_only_keys_are_the_documented_ones():
+    rows_only = set(QUERIES) - set(ORACLES)
+    assert rows_only == {
+        "agg_approx_distinct",
+        "udf_grouped_map",
+        "llm_dedup_near",
+        "llm_dedup_simhash",
+        "llm_sim_ann_lsh",
+        "llm_fingerprint",
+        "mm_feature_extract",
+    }
+
+
+@pytest.mark.parametrize("key", sorted(QUERIES))
+def test_query_runs_and_has_clean_schema(spark, sf_dir, key):
+    df = QUERIES[key](spark, sf_dir)
+    assert df.columns, key
+    for c in df.columns:
+        assert not AUTO_NAME.search(c), f"{key}: unaliased column {c!r}"
+    assert df.count() >= 0
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0

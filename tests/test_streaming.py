@@ -1,0 +1,69 @@
+"""Streaming/batch parity: the same window semantics must produce the
+same aggregates whether the events table arrives as a batch scan or
+through a streaming source (SURVEY.md §7.6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_airflow_spark.io import load_events
+from osm_airflow_spark.streaming.windows import (
+    read_events_stream,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_events(spark, sf_dir):
+    return read_events_stream(spark, sf_dir)
+
+
+def _run(stream_df, name):
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_tumbling_parity(spark, sf_dir, stream_events):
+    _run(tumbling_counts(stream_events), "t_tumble")
+    streamed = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM t_tumble").collect()
+    }
+    batch = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in load_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_sliding_parity(spark, sf_dir, stream_events):
+    _run(sliding_counts(stream_events), "t_slide")
+    streamed = {
+        r["window_start"]: r["n_events"] for r in spark.sql("SELECT * FROM t_slide").collect()
+    }
+    batch = {
+        r["ws"]: r["n"]
+        for r in load_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_session_total_events_conserved(spark, sf_dir, stream_events):
+    _run(session_counts(stream_events), "t_sess")
+    streamed_total = spark.sql("SELECT SUM(n_events) AS s FROM t_sess").collect()[0]["s"]
+    assert streamed_total == load_events(spark, sf_dir).count()
