@@ -66,25 +66,55 @@ def _minhash_signature(words_col: str, n_hashes: int = N_MINHASH) -> list[Column
     ]
 
 
+def shingle_array(words_col: str = "words", n: int = 3) -> Column:
+    """Word n-gram shingles over a pre-split word array (split once,
+    shingle from the array — re-splitting inside the lambda costs a
+    regex scan per gram). Short docs fall back to the whole word set
+    as one shingle. n-grams, not unigrams: with a small shared
+    vocabulary unigram sets collide for *every* pair and LSH
+    degenerates to all-pairs — the n-gram keeps bucket selectivity
+    tied to phrase overlap, which is what near-duplicate means."""
+    grams = F.expr(
+        f"transform(sequence(0, size({words_col}) - {n}),"
+        f" i -> concat_ws(' ', "
+        + ", ".join(f"{words_col}[i + {j}]" for j in range(n))
+        + "))"
+    )
+    return F.when(F.size(F.col(words_col)) >= n, grams).otherwise(
+        F.array(F.concat_ws(" ", words_col))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n_hashes: int = N_MINHASH,
     n_bands: int = N_BANDS,
     threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs.
 
     shingle → minhash → band → bucket-join, all DataFrame ops:
-    1. explode distinct word shingles;
+    1. explode distinct word n-gram shingles;
     2. 16 seeded xxhash64 minhashes per doc (one groupBy, 16 aggs —
        partial aggregation keeps shuffle rows = docs, not shingles);
     3. split the signature into bands, hash each band;
-    4. self-equi-join on (band_idx, band_hash) → candidates;
+    4. self-equi-join on (band_idx, band_hash) → candidates, with a
+       bucket-size cap: a bucket holding >max_bucket docs means the
+       shingle carries no signal (boilerplate), and joining it would
+       be quadratic — the standard skip-mega-buckets guard (logged
+       loudly in production; silently correct to skip for dedup
+       since such pairs get found via their other bands);
     5. estimate Jaccard as the fraction of matching signature slots;
        keep pairs ≥ threshold.
     """
-    shingles = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("shingle")
+    shingles = (
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingle_array("words", shingle_n))).alias("shingle"),
+        )
     )
     sigs = shingles.groupBy("doc_id").agg(*_minhash_signature("shingle", n_hashes))
 
@@ -99,6 +129,10 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "doc_id", sig_array.alias("sig"), F.posexplode(bands).alias("band_idx", "band_hash")
     )
+    bucket_w = Window.partitionBy("band_idx", "band_hash")
+    banded = banded.withColumn("bucket_n", F.count(F.lit(1)).over(bucket_w)).where(
+        F.col("bucket_n") <= max_bucket
+    ).drop("bucket_n")
 
     left = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"

@@ -17,7 +17,7 @@ scale, pre-bucket the range key into an equi key first (see
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from osm_airflow_spark.io import load_table
@@ -230,24 +230,26 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D9 — as-of join: latest snapshot ≤ a point in time — the
     relational form of the reference's ``--pgosm-date`` pinning
-    (osm_etl.py:13). Implemented as join + row_number; ties broken by
-    orderkey for determinism. At scale: pre-bucket by key, sort
-    within bucket, and the window collapses to a per-bucket merge."""
+    (osm_etl.py:13). Implemented as join + max(struct): the struct
+    max is lexicographic (orderdate, then orderkey — the same
+    deterministic tie-break as a DESC/DESC window) but aggregates
+    map-side, so the shuffle carries one row per event instead of
+    one per (event × matching order) — the shape that survives a
+    deep history at 100 TB. The window-rank formulation is what the
+    oracle states; results are identical."""
     e = load_table(spark, sf_dir, "events")
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
+    best = F.max(F.struct("o_orderdate", "o_orderkey")).alias("best")
     return (
         e.join(o, (F.col("o_custkey") == F.col("user_id")) & (F.col("o_orderdate") <= F.col("ts")))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .groupBy("event_id", "ts", "user_id")
+        .agg(best)
         .select(
             "event_id",
             "ts",
             "user_id",
-            F.col("o_orderkey").alias("asof_orderkey"),
-            F.col("o_orderdate").alias("asof_orderdate"),
+            F.col("best.o_orderkey").alias("asof_orderkey"),
+            F.col("best.o_orderdate").alias("asof_orderdate"),
         )
     )
 
