@@ -24,6 +24,10 @@ from osm_airflow_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "flagship_revenue_by_region",
+    "pipeline_pricing_summary",
+    "pipeline_shipping_priority",
+    "pipeline_local_supplier_volume",
+    "pipeline_top_returning_customers",
     "join_multiway",
     "agg_groupby",
     "agg_collect_ordered",
