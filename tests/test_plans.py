@@ -1,0 +1,66 @@
+"""Physical-plan assertions (SURVEY.md §5.5 scale smoke): the point
+is not that queries pass but that they pass with the plan that
+survives 100×. Pushdown reaches the scan, dims broadcast, top-k
+avoids global sorts, and nothing collapses to a cartesian product."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from osm_airflow_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def plan_of(spark, sf_dir, key) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        QUERIES[key](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_predicate")
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # PushedFilters
+    # column pruning: untouched wide columns absent from ReadSchema
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_returnflag" not in read_schema
+    assert "l_shipdate" in read_schema
+
+
+def test_dims_broadcast_in_flagship(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "flagship_revenue_by_region")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "sort_topk")
+
+
+def test_window_topk_gets_group_limit(spark, sf_dir):
+    # Spark 3.5+ WindowGroupLimit: map tasks keep only k rows per key
+    assert "WindowGroupLimit" in plan_of(spark, sf_dir, "win_topk_group")
+
+
+def test_similarity_topk_broadcasts_query_vector(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "llm_sim_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row query vec, not a shuffle
+
+
+def test_lsh_join_is_equi_not_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "llm_dedup_near")
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "key", ["agg_groupby", "join_multiway", "win_dedup_latest", "pipeline_pricing_summary"]
+)
+def test_no_single_partition_collapse(spark, sf_dir, key):
+    # orderBy-free aggregates/joins must not funnel through one task
+    plan = plan_of(spark, sf_dir, key)
+    assert "SinglePartition" not in plan.replace(
+        "Exchange SinglePartition", ""
+    ) or "hashpartitioning" in plan

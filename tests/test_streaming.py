@@ -67,3 +67,32 @@ def test_session_total_events_conserved(spark, sf_dir, stream_events):
     _run(session_counts(stream_events), "t_sess")
     streamed_total = spark.sql("SELECT SUM(n_events) AS s FROM t_sess").collect()[0]["s"]
     assert streamed_total == load_events(spark, sf_dir).count()
+
+
+def test_stateful_user_profiles(spark, sf_dir, stream_events):
+    from osm_airflow_spark.io import load_events
+    from osm_airflow_spark.streaming.stateful import user_profiles
+
+    q = (
+        user_profiles(stream_events.select("user_id", "ts", "value"))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_profiles")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # one final profile row per user; totals match batch aggregation
+    prof = {
+        r["user_id"]: r
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n FROM t_profiles GROUP BY user_id"
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    batch = {
+        r["user_id"]: r["n"]
+        for r in load_events(spark, sf_dir).groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {u: r["n"] for u, r in prof.items()} == batch
