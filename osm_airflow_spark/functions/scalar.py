@@ -255,3 +255,31 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("text_sha256"),
         F.md5(F.concat_ws(":", "source", "lang")).alias("source_lang_md5"),
     )
+
+
+@query(
+    "fn_edit_distance",
+    oracle="""
+    SELECT p_partkey, p_name,
+           levenshtein(p_name, 'red widget') AS dist_to_red_widget,
+           CASE WHEN length(p_name) >= length('red widget')
+                THEN length(p_name) ELSE length('red widget') END
+             - levenshtein(p_name, 'red widget') AS common_score
+    FROM part
+    """,
+)
+def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H12 (extension) — Levenshtein edit distance (fuzzy tag-value
+    matching: OSM tag typos like 'residental'; dedup-adjacent string
+    similarity)."""
+    p = load_table(spark, sf_dir, "part")
+    target = F.lit("red widget")
+    return p.select(
+        "p_partkey",
+        "p_name",
+        F.levenshtein("p_name", target).alias("dist_to_red_widget"),
+        (
+            F.greatest(F.length("p_name"), F.length(target))
+            - F.levenshtein("p_name", target)
+        ).alias("common_score"),
+    )

@@ -313,3 +313,18 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax)"
         " AS (measure, value)",
     )
+
+
+@query("agg_approx_percentile")  # rows-only: t-digest estimate is impl-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 (extension) — sketch-based percentile: the 100 TB twin of
+    agg_percentile (exact sort-based quantiles don't scale to 10¹²
+    rows; the t-digest sketch is one pass, fixed memory, mergeable
+    across partitions)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

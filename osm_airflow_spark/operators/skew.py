@@ -1,0 +1,67 @@
+"""Skew mitigation utilities (SURVEY.md §4 'skew handling').
+
+The reference never handles skew — but at planet scale OSM is
+pathologically skewed (dense urban areas: one relation with 10⁵
+members, one node referenced by 10⁴ ways). AQE's skew-join splitting
+(on by default in session.py) handles most cases at runtime; salting
+is the explicit fallback for aggregations and for joins whose skew
+AQE can't see (e.g. after a UDF).
+
+``salted_join``: replicate the small side R times, scatter the big
+side's hot keys across R salt buckets — the hot key's rows spread
+over R tasks instead of one straggler.
+``salted_agg_count``: two-phase aggregation — partial per (key,
+salt), final per key. Works for any commutative-associative
+aggregate; the decimal-sum pattern keeps it exact for doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, col_name: str = "_salt") -> DataFrame:
+    """Deterministic pseudo-random salt derived from the row content
+    (xxhash64 of all columns mod R) — no rand(), so retries and
+    speculative tasks see identical salts."""
+    return df.withColumn(
+        col_name, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )
+
+
+def replicate_with_salts(df: DataFrame, n_salts: int, col_name: str = "_salt") -> DataFrame:
+    """Small-side replication: one copy per salt value."""
+    return df.withColumn(
+        col_name, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+
+
+def salted_join(
+    big: DataFrame, small: DataFrame, on: Column, n_salts: int = 8
+) -> DataFrame:
+    """Equi-join resilient to hot keys on the big side: big rows get
+    a content-derived salt, the small side is replicated across all
+    salts, and the join key becomes (key, salt). Output equals the
+    plain join (verified by tests); cost is n_salts× the small side —
+    use only when a specific key set is hot."""
+    b = with_salt(big, n_salts)
+    s = replicate_with_salts(small, n_salts)
+    return b.join(s, on & (b["_salt"] == s["_salt"])).drop("_salt")
+
+
+def salted_agg_count(
+    df: DataFrame, key: str, n_salts: int = 8
+) -> DataFrame:
+    """Two-phase count for a skewed grouping key: partial count per
+    (key, salt) — spreading a hot key over n_salts tasks — then final
+    sum per key. Same result as a direct groupBy (Spark's own partial
+    aggregation usually suffices; this is the explicit form for
+    post-UDF pipelines where map-side combine is unavailable)."""
+    return (
+        with_salt(df, n_salts)
+        .groupBy(key, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+        .groupBy(key)
+        .agg(F.sum("_partial").alias("n"))
+    )

@@ -1,0 +1,103 @@
+"""Driver-checkable OSM assembly queries (SURVEY.md §7.1 step 4).
+
+The OSM domain layer (plans/osm.py) is unit-tested on micro-fixtures,
+but the driver's oracle only sees the ten fixture tables — so these
+queries *derive* OSM-shaped element tables from fixtures and run the
+real assembly operators on them, giving the signature semantics
+(/root/reference/README.md:80) a hash-checked entry in the t2 matrix:
+
+* nodes ← part: node_id = p_partkey, deterministic lon/lat from the key;
+* ways  ← orders: way_id = o_orderkey, node_refs = that order's
+  lineitem partkeys in l_linenumber order.
+
+Way assembly is then exactly the production composition: explode refs
+with position → join node coordinates → ordered collect → bbox.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_airflow_spark.io import load_table
+from osm_airflow_spark.plans.osm import assemble_way_lines
+from osm_airflow_spark.registry import query
+
+# deterministic synthetic coordinates from the part key (exact
+# integer-derived doubles, reproducible in SQL)
+_LON = "(CAST((p_partkey * 13) % 360 AS DOUBLE) - 180.0) * 0.95"
+_LAT = "(CAST((p_partkey * 7) % 180 AS DOUBLE) - 90.0) * 0.95"
+
+
+def _derived_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("node_id"),
+        ((((F.col("p_partkey") * 7) % 180).cast("double") - 90.0) * 0.95).alias("lat"),
+        ((((F.col("p_partkey") * 13) % 360).cast("double") - 180.0) * 0.95).alias("lon"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+
+
+def _derived_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("l_linenumber", "l_partkey"))
+            ).alias("pairs")
+        )
+        .select(
+            F.col("l_orderkey").alias("way_id"),
+            F.expr("transform(pairs, s -> s.l_partkey)").alias("node_refs"),
+            F.create_map().cast("map<string,string>").alias("tags"),
+        )
+    )
+
+
+@query(
+    "osm_assemble_ways",
+    oracle=f"""
+    WITH nodes AS (
+      SELECT p_partkey AS node_id,
+             (CAST((p_partkey * 7) % 180 AS DOUBLE) - 90.0) * 0.95 AS lat,
+             {_LON} AS lon
+      FROM part
+    ),
+    refs AS (
+      SELECT l_orderkey AS way_id, l_linenumber, l_partkey AS node_id,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) - 1 AS pos
+      FROM lineitem
+    )
+    SELECT way_id,
+           list(lon ORDER BY pos) AS line_lons,
+           list(lat ORDER BY pos) AS line_lats,
+           MIN(lon) AS bbox_west,
+           MIN(lat) AS bbox_south,
+           MAX(lon) AS bbox_east,
+           MAX(lat) AS bbox_north
+    FROM refs JOIN nodes USING (node_id)
+    GROUP BY way_id
+    """,
+)
+def osm_assemble_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's signature operation, hash-checked end to end:
+    'ways get their geometry from member nodes' (README.md:80) —
+    ordered reference-resolution join + positional collect + bbox.
+    Note the (pos, node_id) sort inside both engines: fixture
+    l_linenumber repeats within an order, so position ties break by
+    the ref itself."""
+    nodes = _derived_nodes(spark, sf_dir)
+    ways = _derived_ways(spark, sf_dir)
+    assembled = assemble_way_lines(ways, nodes)
+    return assembled.select(
+        "way_id",
+        F.expr("transform(line, s -> s.lon)").alias("line_lons"),
+        F.expr("transform(line, s -> s.lat)").alias("line_lats"),
+        "bbox_west",
+        "bbox_south",
+        "bbox_east",
+        "bbox_north",
+    )

@@ -97,7 +97,7 @@ def import_all_operators() -> None:
     from osm_airflow_spark.functions import scalar, geo  # noqa: F401
     from osm_airflow_spark.llm import dedup, multimodal, similarity, text, udfs  # noqa: F401
     from osm_airflow_spark import sources  # noqa: F401
-    from osm_airflow_spark.plans import analytics, flagship  # noqa: F401
+    from osm_airflow_spark.plans import analytics, flagship, osm_queries  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -122,3 +122,25 @@ def test_unicode_string_functions(spark):
     ).collect()[0]
     assert row["lo"] == "straße café äöü"
     assert row["n"] == 15
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from osm_airflow_spark.operators.skew import salted_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    plain = orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+    salted = salted_join(orders, customer, F.col("o_custkey") == F.col("c_custkey"))
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in plain.select("o_orderkey", "c_custkey").collect()}
+    b = {tuple(r) for r in salted.select("o_orderkey", "c_custkey").collect()}
+    assert a == b
+
+
+def test_salted_agg_count_equals_groupby(spark, sf_dir):
+    from osm_airflow_spark.operators.skew import salted_agg_count
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    direct = {r["l_returnflag"]: r["n"] for r in li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()}
+    salted = {r["l_returnflag"]: r["n"] for r in salted_agg_count(li, "l_returnflag").collect()}
+    assert direct == salted

@@ -24,6 +24,7 @@ def test_rows_only_keys_are_the_documented_ones():
     rows_only = set(QUERIES) - set(ORACLES)
     assert rows_only == {
         "agg_approx_distinct",
+        "agg_approx_percentile",
         "udf_grouped_map",
         "llm_dedup_near",
         "llm_dedup_simhash",
