@@ -31,9 +31,14 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            # DuckDB timestamps are UTC-naive; pin the session TZ so
-            # value hashes agree no matter who built the session.
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # The driver may hand us a session built with defaults;
+            # every conf here is runtime-settable and required either
+            # for oracle comparability (UTC — DuckDB timestamps are
+            # UTC-naive) or for sane local performance (200 default
+            # shuffle partitions over-parallelizes these inputs).
+            from osm_airflow_spark.session import configure_runtime
+
+            configure_runtime(spark)
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

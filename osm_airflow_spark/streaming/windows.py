@@ -106,3 +106,31 @@ def run_to_memory(stream_df: DataFrame, name: str) -> None:
     )
     q.processAllAvailable()
     q.stop()
+
+
+def write_snapshot_stream(
+    stream_df: DataFrame, out_dir: str, snapshot_date: str, checkpoint_dir: str
+):
+    """Exactly-once publish: foreachBatch + idempotent overwrite of
+    the batch's dated partition. A replayed micro-batch rewrites the
+    same partition with the same rows — the sink-side half of
+    end-to-end exactly-once (the source half is the checkpoint)."""
+    from osm_airflow_spark.io import write_snapshot
+
+    def publish(batch_df: DataFrame, epoch_id: int) -> None:
+        write_snapshot(
+            batch_df.withColumn("_epoch", F.lit(epoch_id)),
+            out_dir,
+            snapshot_date,
+            mode="overwrite",
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(publish)
+        .outputMode("complete")  # snapshot = the whole aggregate, not
+        # just watermark-finalized windows (append would hold back the
+        # open tail until the watermark passes it)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

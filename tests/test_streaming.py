@@ -96,3 +96,30 @@ def test_stateful_user_profiles(spark, sf_dir, stream_events):
         for r in load_events(spark, sf_dir).groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert {u: r["n"] for u, r in prof.items()} == batch
+
+
+def test_foreachbatch_snapshot_sink(spark, sf_dir, stream_events):
+    import tempfile
+
+    from osm_airflow_spark.io import load_events, read_snapshot
+    from osm_airflow_spark.streaming.windows import tumbling_counts, write_snapshot_stream
+
+    with tempfile.TemporaryDirectory() as d:
+        q = write_snapshot_stream(
+            tumbling_counts(stream_events), f"{d}/out", "2024-07-25", f"{d}/ckpt"
+        )
+        q.awaitTermination(120)
+        back = read_snapshot(spark, f"{d}/out", "2024-07-25")
+        batch_total = load_events(spark, sf_dir).count()
+        streamed_total = back.agg({"n_events": "sum"}).collect()[0][0]
+        assert streamed_total == batch_total
+
+
+def test_airflow_dag_module_imports_without_airflow():
+    import importlib.util, pathlib
+
+    path = pathlib.Path(__file__).parent.parent / "dags" / "osm_spark_dag.py"
+    spec = importlib.util.spec_from_file_location("osm_spark_dag", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)  # no airflow in image → import-gated path
+    assert mod.REGIONS and mod.SNAPSHOT_DATE
