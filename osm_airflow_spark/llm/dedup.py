@@ -304,3 +304,79 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= 0.4)
     )
+
+
+def cluster_pairs(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max_iter: int = 20) -> DataFrame:
+    """Connected components over candidate pairs → (doc_id,
+    cluster_id) with cluster_id = min member id.
+
+    Label propagation as alternating DataFrame joins: each node
+    adopts the smallest label among itself and its neighbors, until
+    a fixpoint. Iterations needed = graph diameter (near-dup
+    clusters are shallow — a handful of rounds); each round is one
+    join + one groupBy, all partitioned on the node id, so the whole
+    thing scales like the pair list, never like pairs².
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut the lineage per round
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@query("llm_dedup_cluster_best")  # rows-only: clusters come from LSH pairs
+def llm_dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — dedup that keeps the BEST document per near-dup
+    cluster (not an arbitrary survivor): LSH candidate pairs →
+    connected components → one representative per cluster by
+    (longest text, lowest doc_id). The full production shape:
+    candidates, clustering, quality-ranked survivor selection —
+    each stage a shuffle-bounded DataFrame op."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.8)
+    clusters = cluster_pairs(pairs)
+    members = d.join(clusters, "doc_id", "inner")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    survivors = (
+        members.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "n_chars")
+    )
+    singletons = (
+        d.join(clusters, "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"), "n_chars")
+    )
+    return survivors.unionByName(singletons)

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from osm_airflow_spark.io import load_table
@@ -153,6 +153,43 @@ def llm_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         bucketed.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", "label", cosine_expr("embedding", "qvec").alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@query("llm_sim_ann_ivf")  # rows-only: probe set depends on centroid seed
+def llm_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — IVF-style ANN: the learned-bucket twin of the LSH
+    path. Coarse quantizer = 8 seed centroids (deterministically the
+    embeddings with vec_id 1..8 — production would k-means these);
+    every vector is assigned to its nearest centroid (one broadcast
+    join + argmax, no shuffle of the corpus); a query searches only
+    its centroid's inverted list. nprobe>1 would raise recall by
+    scanning the next-nearest lists too."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        e.where(F.col("vec_id").between(1, 8))
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
+    )
+    scored = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "label", "embedding", "cent_id", cosine_expr("embedding", "cvec").alias("c")
+        )
+    )
+    best = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("cent_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(best)).where(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "cent_id")
+    )
+    q = assigned.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), F.col("cent_id").alias("qcent")
+    )
+    return (
+        assigned.join(F.broadcast(q), F.col("cent_id") == F.col("qcent"))
         .where(F.col("vec_id") != 0)
         .select("vec_id", "label", cosine_expr("embedding", "qvec").alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))

@@ -102,3 +102,25 @@ def test_feature_extract_matches_python_kernel(spark, sf_dir):
 def test_quality_score_bounds(spark, sf_dir):
     out = QUERIES["llm_quality_score"](spark, sf_dir)
     assert out.where((F.col("quality_score") < 0) | (F.col("quality_score") > 1)).count() == 0
+
+
+def test_cluster_pairs_connected_components(spark):
+    from osm_airflow_spark.llm.dedup import cluster_pairs
+
+    # components: {1,2,3,4} via chain, {7,8}, (5 and 6 absent = no edges)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_dedup_cluster_best_covers_all_docs_once(spark, sf_dir):
+    from osm_airflow_spark.registry import all_queries
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = all_queries()["llm_dedup_cluster_best"](spark, sf_dir)
+    rows = out.collect()
+    # one survivor per cluster, survivors + singleton clusters ≤ corpus
+    assert len(rows) == len({r["cluster_id"] for r in rows})
+    assert 0 < len(rows) <= d.count()

@@ -1,0 +1,77 @@
+"""Property-based tests (SURVEY.md §5.4): algebraic invariants on
+hypothesis-generated inputs — the operator-interaction bugs example
+tables can't catch."""
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+amounts = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(vals=amounts, parts=st.integers(min_value=1, max_value=8))
+def test_dsum_partition_independent(spark, vals, parts):
+    """The decimal-sum pattern returns the identical double for any
+    partition count — the core determinism claim."""
+    from osm_airflow_spark.registry import dsum
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    a = df.repartition(1).agg(dsum("v").alias("s")).collect()[0]["s"]
+    b = df.repartition(parts).agg(dsum("v").alias("s")).collect()[0]["s"]
+    assert a == b  # bit equality, not approx
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=30),
+)
+def test_semi_plus_anti_is_identity(spark, keys):
+    left = spark.range(10).withColumnRenamed("id", "k")
+    right = spark.createDataFrame([(k,) for k in keys], "k long") if keys else (
+        spark.createDataFrame([], "k long")
+    )
+    semi = left.join(right, "k", "left_semi").count()
+    anti = left.join(right, "k", "left_anti").count()
+    assert semi + anti == 10
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    a=st.lists(st.integers(0, 20), min_size=0, max_size=25),
+    b=st.lists(st.integers(0, 20), min_size=0, max_size=25),
+)
+def test_union_all_count_additive_and_intersect_bounded(spark, a, b):
+    da = spark.createDataFrame([(x,) for x in a], "v int") if a else spark.createDataFrame([], "v int")
+    db = spark.createDataFrame([(x,) for x in b], "v int") if b else spark.createDataFrame([], "v int")
+    assert da.union(db).count() == len(a) + len(b)
+    inter = da.intersect(db).count()
+    assert inter <= min(da.distinct().count(), db.distinct().count())
+
+
+@settings(max_examples=10, deadline=None)
+@given(vals=st.lists(st.integers(-100, 100), min_size=1, max_size=40))
+def test_window_dedup_returns_one_row_per_key(spark, vals):
+    rows = [(i % 5, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy(F.col("v").desc(), F.col("k"))
+    dedup = df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    assert dedup.count() == df.select("k").distinct().count()
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=10))
+def test_exact_dedup_idempotent_on_random_text(spark, texts):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    once = df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    twice = once.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    assert sorted(once.collect()) == sorted(twice.collect())
+    assert once.count() == df.select(F.md5("text")).distinct().count()

@@ -28,7 +28,9 @@ def test_rows_only_keys_are_the_documented_ones():
         "udf_grouped_map",
         "llm_dedup_near",
         "llm_dedup_simhash",
+        "llm_dedup_cluster_best",
         "llm_sim_ann_lsh",
+        "llm_sim_ann_ivf",
         "llm_fingerprint",
         "mm_feature_extract",
     }
