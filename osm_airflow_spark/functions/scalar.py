@@ -283,3 +283,28 @@ def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.levenshtein("p_name", target)
         ).alias("common_score"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey >> 8 AS high_bits,
+           xor(o_orderkey, 6700417) AS xored,
+           o_orderkey | 1 AS odd_forced
+    FROM orders
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H13 (extension) — bitwise ops on keys (bucket masks, simhash
+    chunking, bloom-filter bit math all reduce to these)."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.shiftright(k, 8).alias("high_bits"),
+        k.bitwiseXOR(F.lit(6700417)).alias("xored"),
+        k.bitwiseOR(F.lit(1)).alias("odd_forced"),
+    )

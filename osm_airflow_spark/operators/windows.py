@@ -248,3 +248,25 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w_full).alias("last_type"),
         F.nth_value("event_type", 2).over(w_full).alias("second_type"),
     )
+
+
+@query(
+    "win_cume_dist",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           CUME_DIST() OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal, c_custkey) AS bal_cume
+    FROM customer
+    """,
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 (extension) — cumulative distribution within group (exact
+    rational n_le/n → identical doubles in both engines)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.cume_dist().over(w).alias("bal_cume"),
+    )
