@@ -100,3 +100,31 @@ def fn_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("c_custkey", lat.alias("lat"), lon.alias("lon")).where(
         in_bbox(F.col("lon"), F.col("lat"), -10.0, 35.0, 30.0, 70.0)
     )
+
+
+def point_in_polygon(px: Column, py: Column, poly_lons: Column, poly_lats: Column) -> Column:
+    """Ray-casting point-in-polygon as one column expression (no UDF).
+
+    Counts crossings of a horizontal ray from (px, py) against each
+    polygon edge (vertex i → i+1, closed implicitly); odd crossings =
+    inside. Vertices arrive as parallel lon/lat arrays — the same
+    shape plans/osm.assemble_way_lines emits — so the predicate runs
+    inside codegen over assembled geometries. This is the exact-test
+    half of PostGIS ST_Contains for points; the prunable half is the
+    bbox/geohash filter that runs first (SCALE.md layout contract).
+    """
+    n = F.size(poly_lons)
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def crossing(i: Column) -> Column:
+        j = F.when(i == 0, n - 1).otherwise(i - 1)
+        xi, yi = F.element_at(poly_lons, i + 1), F.element_at(poly_lats, i + 1)
+        xj, yj = F.element_at(poly_lons, j + 1), F.element_at(poly_lats, j + 1)
+        crosses = (yi > py) != (yj > py)
+        x_at_ray = (xj - xi) * (py - yi) / (yj - yi) + xi
+        return (crosses & (px < x_at_ray)).cast("int")
+
+    crossings = F.aggregate(
+        F.transform(idx, crossing), F.lit(0), lambda acc, v: acc + v
+    )
+    return crossings % 2 == 1

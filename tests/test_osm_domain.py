@@ -124,3 +124,41 @@ def test_geohash_cell_bounds(spark):
     cells = [r["c"] for r in df.select(geohash_cell(F.col("lon"), F.col("lat")).alias("c")).collect()]
     assert all(0 <= c < 4096 for c in cells)
     assert len(set(cells)) == 3
+
+
+def test_point_in_polygon_ray_cast(spark):
+    from osm_airflow_spark.functions.geo import point_in_polygon
+
+    # unit square (0,0)-(1,1) counterclockwise; concave L-shape check too
+    rows = [
+        (0.5, 0.5, [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0], True),
+        (1.5, 0.5, [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0], False),
+        (-0.1, 0.0, [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0], False),
+        # L-shape: [(0,0),(2,0),(2,1),(1,1),(1,2),(0,2)]; (1.5,1.5) is outside
+        (1.5, 1.5, [0.0, 2.0, 2.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0, 2.0, 2.0], False),
+        (0.5, 1.5, [0.0, 2.0, 2.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0, 2.0, 2.0], True),
+    ]
+    df = spark.createDataFrame(
+        rows, "px double, py double, lons array<double>, lats array<double>, expect boolean"
+    )
+    out = df.select(
+        "expect",
+        point_in_polygon(F.col("px"), F.col("py"), F.col("lons"), F.col("lats")).alias("got"),
+    ).collect()
+    assert all(r["got"] == r["expect"] for r in out)
+
+
+def test_sql_api_over_registered_views(spark, sf_dir):
+    from osm_airflow_spark.api import register_views, sql
+
+    views = register_views(spark, sf_dir)
+    assert "lineitem" in views
+    df = sql(
+        spark,
+        """
+        SELECT l_returnflag, COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_returnflag
+        """,
+    )
+    assert df.count() == 3
