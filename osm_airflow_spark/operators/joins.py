@@ -268,3 +268,38 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     return region.crossJoin(nation).select("r_name", "n_name")
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT f.o_custkey AS custkey_f, l.o_custkey AS custkey_l,
+           f.n_f, l.n_l
+    FROM (SELECT o_custkey, COUNT(*) AS n_f FROM orders
+          WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+    FULL OUTER JOIN
+         (SELECT o_custkey, COUNT(*) AS n_l FROM orders
+          WHERE o_orderstatus = 'O' GROUP BY o_custkey) l
+      ON f.o_custkey = l.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11 (extension) — full outer join: customers present in either
+    era keep their row, mismatches null-padded on the absent side
+    (snapshot diffing where both sides may have exclusive keys).
+    Full outer can't broadcast — always a shuffle join; both sides
+    pre-aggregate so the shuffle carries one row per key."""
+    o = load_table(spark, sf_dir, "orders")
+    f = (
+        o.where(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_f"))
+        .select(F.col("o_custkey").alias("custkey_f"), "n_f")
+    )
+    l = (
+        o.where(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_l"))
+        .select(F.col("o_custkey").alias("custkey_l"), "n_l")
+    )
+    return f.join(l, F.col("custkey_f") == F.col("custkey_l"), "full_outer")

@@ -191,3 +191,40 @@ def build_highway_layer(
         geohash_cell((F.col("bbox_west") + F.col("bbox_east")) / 2,
                      (F.col("bbox_south") + F.col("bbox_north")) / 2),
     )
+
+
+def wkb_to_lines(wkb_df: DataFrame) -> DataFrame:
+    """Inverse of lines_to_wkb: decode WKB linestrings back to
+    (lon, lat) struct arrays — the read path for layers published
+    with binary geometry (round-trip tested)."""
+
+    def decode(it):
+        for pdf in it:
+            lines = []
+            for raw in pdf["wkb"]:
+                buf = bytes(raw)
+                _, gtype, n = struct.unpack_from("<BII", buf, 0)
+                assert gtype == 2, f"not a linestring: {gtype}"
+                pts = [
+                    {"lon": x, "lat": y}
+                    for x, y in (struct.unpack_from("<dd", buf, 9 + 16 * i) for i in range(n))
+                ]
+                lines.append(pts)
+            yield pd.DataFrame({"way_id": pdf["way_id"], "line": lines})
+
+    return wkb_df.mapInPandas(
+        decode,
+        T.StructType(
+            [
+                T.StructField("way_id", T.LongType()),
+                T.StructField(
+                    "line",
+                    T.ArrayType(
+                        T.StructType(
+                            [T.StructField("lon", T.DoubleType()), T.StructField("lat", T.DoubleType())]
+                        )
+                    ),
+                ),
+            ]
+        ),
+    )

@@ -162,3 +162,15 @@ def test_sql_api_over_registered_views(spark, sf_dir):
         """,
     )
     assert df.count() == 3
+
+
+def test_wkb_roundtrip(nodes, ways):
+    from osm_airflow_spark.plans.osm import wkb_to_lines
+
+    assembled = assemble_way_lines(ways, nodes)
+    decoded = {r["way_id"]: r["line"] for r in wkb_to_lines(lines_to_wkb(assembled)).collect()}
+    original = {r["way_id"]: r["line"] for r in assembled.collect()}
+    for wid, line in original.items():
+        assert [(p["lon"], p["lat"]) for p in decoded[wid]] == [
+            (p["lon"], p["lat"]) for p in line
+        ]
