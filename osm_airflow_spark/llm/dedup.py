@@ -321,7 +321,13 @@ def cluster_pairs(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", ma
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    # iterative rounds pay per-partition job overhead; size the graph's
+    # parallelism to its edge count, not the session default
+    n_edges = edges.count()
+    parts = max(2, min(32, n_edges // 50_000 + 2))
+    edges = edges.repartition(parts, "dst")
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -333,11 +339,24 @@ def cluster_pairs(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", ma
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        # shortcut (pointer doubling): also adopt the label's own
+        # label, collapsing chains in O(log diameter) rounds instead
+        # of O(diameter)
+        via = labels.select(F.col("node").alias("l_node"), F.col("label").alias("l_label"))
+        new_labels = (
+            stepped.join(via, stepped["label"] == via["l_node"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))).alias(
                     "label"
                 ),
             )
