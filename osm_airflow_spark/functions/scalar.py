@@ -308,3 +308,32 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.bitwiseXOR(F.lit(6700417)).alias("xored"),
         k.bitwiseOR(F.lit(1)).alias("odd_forced"),
     )
+
+
+@query(
+    "fn_string_shape",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '.') AS brand_padded,
+           reverse(p_name) AS name_reversed,
+           repeat(p_type, 2) AS type_doubled,
+           translate(p_name, 'aeiou', 'AEIOU') AS name_upvoweled,
+           left(p_name, 3) AS name_left3,
+           right(p_name, 3) AS name_right3
+    FROM part
+    """,
+)
+def fn_string_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H14 (extension) — string shaping: pad/reverse/repeat/translate
+    and the left/right slices (fixed-width export formatting, value
+    normalization)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, ".").alias("brand_padded"),
+        F.reverse("p_name").alias("name_reversed"),
+        F.repeat("p_type", 2).alias("type_doubled"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_upvoweled"),
+        F.substring("p_name", 1, 3).alias("name_left3"),
+        F.expr("right(p_name, 3)").alias("name_right3"),
+    )

@@ -149,3 +149,41 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas (deterministic fake kernel; see decode_image stub)."""
     media = documents_as_media(spark, sf_dir)
     return extract_features(media)
+
+
+def frame_sample(media: DataFrame, chunk_bytes: int = 64, every_nth: int = 4) -> DataFrame:
+    """Frame-sampling template for video-like payloads: slice the
+    binary into fixed-size chunks ('frames'), keep every nth — the
+    batch shape of video preprocessing (decode is stubbed like
+    decode_image; the chunk arithmetic, schema, and Arrow batching
+    are the real deliverable). Runs as one mapInPandas pass; output
+    rows = sampled frames, each carrying (media_id, frame_idx,
+    frame_bytes)."""
+
+    def batches(it):
+        for pdf in it:
+            out = {"media_id": [], "frame_idx": [], "frame_bytes": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                n_frames = max(1, (len(raw) + chunk_bytes - 1) // chunk_bytes)
+                for idx in range(0, n_frames, every_nth):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(raw[idx * chunk_bytes : (idx + 1) * chunk_bytes])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches, "media_id long, frame_idx int, frame_bytes binary"
+    )
+
+
+@query("mm_frame_sample")  # rows-only: mapInPandas sampling path
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 — every-nth-frame sampling over binary payloads (video
+    preprocessing shape), aggregated to per-media frame counts."""
+    media = documents_as_media(spark, sf_dir)
+    frames = frame_sample(media)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_sampled_frames"),
+        F.sum(F.octet_length("frame_bytes")).alias("sampled_bytes"),
+    )

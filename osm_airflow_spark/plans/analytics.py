@@ -192,3 +192,84 @@ def pipeline_top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFr
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "pipeline_small_quantity_revenue",
+    oracle=f"""
+    SELECT p_brand,
+           {sql_dsum('l_extendedprice', 2)} AS small_lot_revenue,
+           COUNT(*) AS n_small_lots
+    FROM lineitem l1
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_quantity < 0.5 * (SELECT AVG(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = l1.l_partkey)
+    GROUP BY p_brand
+    """,
+)
+def pipeline_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape — correlated scalar subquery: lineitems under half
+    their part's average quantity. Catalyst decorrelates the subquery
+    into an aggregate + join (no per-row re-execution — the thing a
+    naive engine gets catastrophically wrong at scale). l_quantity is
+    integer-valued so the average is summation-order exact."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_q17")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_q17")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_lot_revenue,
+               COUNT(*) AS n_small_lots
+        FROM li_q17 l1
+        JOIN part_q17 ON l_partkey = p_partkey
+        WHERE l_quantity < 0.5 * (SELECT AVG(l2.l_quantity)
+                                  FROM li_q17 l2
+                                  WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY p_brand
+        """
+    )
+
+
+@query(
+    "pipeline_nation_trade",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(year(o_orderdate) AS INT) AS trade_year,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY cn.n_name, sn.n_name, CAST(year(o_orderdate) AS INT)
+    """,
+)
+def pipeline_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape — cross-nation trade volume: the same dimension table
+    joined twice under different roles (customer's nation vs
+    supplier's nation), anti-diagonal filter, per-year rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("o_orderdate").alias("trade_year"))
+        .agg(dsum(_rev(), 4).alias("volume"))
+    )
