@@ -228,3 +228,60 @@ def wkb_to_lines(wkb_df: DataFrame) -> DataFrame:
             ]
         ),
     )
+
+
+def is_closed_way(node_refs: Column) -> Column:
+    """A way whose first and last refs coincide forms a ring — the
+    flex styles' line/polygon routing test (closed + area-ish tags →
+    polygon table, README.md:80-82)."""
+    return (F.size(node_refs) >= 4) & (
+        F.element_at(node_refs, 1) == F.element_at(node_refs, -1)
+    )
+
+
+def ring_area(lons: Column, lats: Column) -> Column:
+    """Shoelace area of a closed ring (planar, in coordinate units²;
+    positive = counterclockwise winding). Pure column expression over
+    the parallel coordinate arrays — no UDF. For geographic areas,
+    project first; the winding sign alone settles ring orientation
+    for multipolygon assembly."""
+    n = F.size(lons)
+    terms = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.element_at(lons, i) * F.element_at(lats, i + 1)
+        - F.element_at(lons, i + 1) * F.element_at(lats, i),
+    )
+    return F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v) / 2
+
+
+def line_length_km(lons: Column, lats: Column) -> Column:
+    """Great-circle length of a line in km: haversine summed over
+    consecutive vertex pairs, as one column expression (road length —
+    the first statistic any OSM highway layer reports)."""
+    from osm_airflow_spark.functions.geo import haversine_km
+
+    n = F.size(lons)
+    segs = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: haversine_km(
+            F.element_at(lats, i),
+            F.element_at(lons, i),
+            F.element_at(lats, i + 1),
+            F.element_at(lons, i + 1),
+        ),
+    )
+    return F.when(n >= 2, F.aggregate(segs, F.lit(0.0), lambda acc, v: acc + v)).otherwise(0.0)
+
+
+def assemble_way_polygons(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Polygon assembly: closed ways → single-ring polygons with
+    signed area and bbox (the buildings/landuse layer shape). Open
+    ways are excluded — they belong to the line layer; the flex
+    styles route on exactly this closure test."""
+    closed = ways.where(is_closed_way(F.col("node_refs")))
+    assembled = assemble_way_lines(closed, nodes)
+    lons = F.expr("transform(line, s -> s.lon)")
+    lats = F.expr("transform(line, s -> s.lat)")
+    return assembled.withColumn("ring_area", ring_area(lons, lats)).withColumn(
+        "is_ccw", F.col("ring_area") > 0
+    )

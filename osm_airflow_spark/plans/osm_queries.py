@@ -101,3 +101,70 @@ def osm_assemble_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bbox_east",
         "bbox_north",
     )
+
+
+@query(
+    "osm_way_lengths",
+    oracle=f"""
+    WITH nodes AS (
+      SELECT p_partkey AS node_id,
+             (CAST((p_partkey * 7) % 180 AS DOUBLE) - 90.0) * 0.95 AS lat,
+             {_LON} AS lon
+      FROM part
+    ),
+    refs AS (
+      SELECT l_orderkey AS way_id, l_partkey AS node_id,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS pos
+      FROM lineitem
+    ),
+    pts AS (SELECT way_id, pos, lon, lat FROM refs JOIN nodes USING (node_id)),
+    edges AS (
+      SELECT way_id, lon, lat,
+             LAG(lon) OVER (PARTITION BY way_id ORDER BY pos) AS plon,
+             LAG(lat) OVER (PARTITION BY way_id ORDER BY pos) AS plat
+      FROM pts
+    )
+    SELECT way_id,
+           CAST(SUM(CAST(round(
+             2 * 6371.0 * asin(sqrt(
+               sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)
+               + cos(radians(plat)) * cos(radians(lat))
+                 * sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2)
+             )), 6) AS DECIMAL(18,6))) AS DOUBLE) AS length_km,
+           COUNT(*) AS n_segments
+    FROM edges WHERE plon IS NOT NULL
+    GROUP BY way_id
+    """,
+)
+def osm_way_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial measurement in the t2 matrix: total great-circle length
+    per assembled way. Each edge's haversine rounds to 6 dp (past any
+    libm divergence), then the decimal-sum pattern makes the per-way
+    total order-independent — the only hash-safe way to sum
+    transcendental terms across engines."""
+    from pyspark.sql import Window
+
+    from osm_airflow_spark.functions.geo import haversine_km
+
+    nodes = _derived_nodes(spark, sf_dir)
+    ways = _derived_ways(spark, sf_dir)
+    pts = (
+        ways.select("way_id", F.posexplode("node_refs").alias("pos", "node_id"))
+        .join(nodes.select("node_id", "lat", "lon"), "node_id")
+    )
+    w = Window.partitionBy("way_id").orderBy("pos")
+    edges = pts.select(
+        "way_id",
+        "lon",
+        "lat",
+        F.lag("lon").over(w).alias("plon"),
+        F.lag("lat").over(w).alias("plat"),
+    ).where(F.col("plon").isNotNull())
+    edge_km = F.round(
+        haversine_km(F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon")), 6
+    )
+    return edges.groupBy("way_id").agg(
+        F.sum(edge_km.cast("decimal(18,6)")).cast("double").alias("length_km"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )

@@ -174,3 +174,44 @@ def test_wkb_roundtrip(nodes, ways):
         assert [(p["lon"], p["lat"]) for p in decoded[wid]] == [
             (p["lon"], p["lat"]) for p in line
         ]
+
+
+def test_polygon_assembly_closed_ways(spark):
+    from osm_airflow_spark.plans.osm import assemble_way_polygons, is_closed_way
+
+    nodes = spark.createDataFrame(
+        [(1, 0.0, 0.0, {}), (2, 0.0, 2.0, {}), (3, 2.0, 2.0, {}), (4, 2.0, 0.0, {})],
+        NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame(
+        [
+            (300, [1, 2, 3, 4, 1], {"building": "yes"}),  # ccw square, area 4
+            (301, [1, 4, 3, 2, 1], {"building": "yes"}),  # cw square, area -4
+            (302, [1, 2, 3], {"highway": "path"}),  # open — excluded
+        ],
+        WAY_SCHEMA,
+    )
+    closed_flags = {
+        r["way_id"]: r["c"]
+        for r in ways.select("way_id", is_closed_way(F.col("node_refs")).alias("c")).collect()
+    }
+    assert closed_flags == {300: True, 301: True, 302: False}
+
+    polys = {r["way_id"]: r for r in assemble_way_polygons(ways, nodes).collect()}
+    assert set(polys) == {300, 301}
+    assert polys[300]["ring_area"] == 4.0 and polys[300]["is_ccw"]
+    assert polys[301]["ring_area"] == -4.0 and not polys[301]["is_ccw"]
+
+
+def test_line_length_km_known_distance(spark):
+    from osm_airflow_spark.plans.osm import line_length_km
+
+    # one degree of longitude at the equator ≈ 111.19 km; two-segment
+    # path doubles it
+    df = spark.createDataFrame(
+        [([0.0, 1.0, 2.0], [0.0, 0.0, 0.0]), ([0.0], [0.0])],
+        "lons array<double>, lats array<double>",
+    )
+    out = [r["km"] for r in df.select(line_length_km(F.col("lons"), F.col("lats")).alias("km")).collect()]
+    assert abs(out[0] - 2 * 111.19) < 0.5
+    assert out[1] == 0.0
