@@ -1,0 +1,88 @@
+"""Incremental snapshot merge (ROADMAP item 4; SURVEY.md §7.6).
+
+The reference rebuilds everything weekly (osm_etl.py:45-46); real OSM
+publishes minutely diffs of (create / modify / delete) element
+versions. These ops apply such a change batch to a snapshot without a
+full rebuild — the MERGE INTO emulation from the public Spark
+playbook (anti-join + union; no Delta/Iceberg jars needed):
+
+* ``apply_diff`` — type-1 merge: the new snapshot keeps every
+  unchanged row, replaces modified rows, drops deletes, adds creates.
+* ``scd2_merge`` — type-2 history: instead of overwriting, close the
+  old version's validity interval and append the new one, so
+  time-travel queries (as-of join D9 on valid_from) see any past
+  state.
+
+Scale notes: both are one anti-join + one union on the key — shuffle
+per merged batch is O(batch + touched keys), not O(snapshot). With
+both sides bucketed by id the anti-join is Exchange-free. Deletes are
+tombstones in the change feed, never scans of the base.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHANGE_COL = "change_op"  # 'create' | 'modify' | 'delete'
+
+
+def apply_diff(snapshot: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+    """Type-1 merge: latest state only.
+
+    ``changes`` carries the full new row plus a ``change_op`` column.
+    Rows in the base whose key appears in the batch are superseded
+    (anti-join); creates/modifies append their new version; deletes
+    contribute nothing."""
+    survivors = snapshot.join(changes.select(key), key, "left_anti")
+    additions = changes.where(F.col(CHANGE_COL) != "delete").drop(CHANGE_COL)
+    return survivors.unionByName(additions)
+
+
+def scd2_merge(
+    history: DataFrame,
+    changes: DataFrame,
+    key: str,
+    change_ts: str = "change_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Type-2 merge: full version history with validity intervals.
+
+    ``history`` rows carry [valid_from, valid_to) with open versions
+    at valid_to = NULL. For each changed key: the open version closes
+    at the change timestamp; creates/modifies append a new open
+    version starting there. Deletes only close.
+
+    The as-of join (D9 pattern) over (key, valid_from) then answers
+    "the element as of time T" for any T — the relational form of
+    running a query against an old pgosm_date snapshot."""
+    changed_keys = changes.select(key, F.col(change_ts).alias("_close_ts"))
+    closed = (
+        history.join(changed_keys, key, "left")
+        .withColumn(
+            valid_to,
+            F.when(
+                F.col(valid_to).isNull() & F.col("_close_ts").isNotNull(), F.col("_close_ts")
+            ).otherwise(F.col(valid_to)),
+        )
+        .drop("_close_ts")
+    )
+    new_versions = (
+        changes.where(F.col(CHANGE_COL) != "delete")
+        .drop(CHANGE_COL)
+        .withColumn(valid_from, F.col(change_ts))
+        .withColumn(valid_to, F.lit(None).cast("timestamp"))
+        .drop(change_ts)
+    )
+    return closed.unionByName(new_versions)
+
+
+def snapshot_as_of(history: DataFrame, ts, valid_from: str = "valid_from", valid_to: str = "valid_to") -> DataFrame:
+    """Read one consistent historical state out of an SCD2 table:
+    versions whose interval covers ``ts`` (the query-side of the
+    pgosm_date pinning semantics, osm_etl.py:13)."""
+    t = F.lit(ts).cast("timestamp")
+    return history.where(
+        (F.col(valid_from) <= t) & (F.col(valid_to).isNull() | (F.col(valid_to) > t))
+    ).drop(valid_from, valid_to)
