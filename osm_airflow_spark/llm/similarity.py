@@ -195,3 +195,38 @@ def llm_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@query("llm_sim_ann_multiprobe")  # rows-only: hash-family dependent
+def llm_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — multi-probe LSH ANN: beside the query's own bucket,
+    probe all Hamming-1 neighbor buckets (flip each signature bit
+    once) — 9 probes for an 8-bit signature. Recall rises sharply —
+    a near neighbor differing on one hyperplane side is recovered —
+    while cost stays bucket-sized, not corpus-sized. The probe list
+    is a 9-row broadcast; the corpus join stays an equi-join on the
+    bucket id."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n_planes = 8
+    sig = hyperplane_signature("embedding", n_planes=n_planes)
+    bucketed = e.select("vec_id", "label", "embedding", sig.alias("bucket"))
+    probes = (
+        bucketed.where(F.col("vec_id") == 0)
+        .select(
+            F.col("embedding").alias("qvec"),
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)],
+                )
+            ).alias("probe_bucket"),
+        )
+    )
+    return (
+        bucketed.join(F.broadcast(probes), F.col("bucket") == F.col("probe_bucket"))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", "label", cosine_expr("embedding", "qvec").alias("cos_sim"))
+        .dropDuplicates(["vec_id"])
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )

@@ -124,3 +124,12 @@ def test_dedup_cluster_best_covers_all_docs_once(spark, sf_dir):
     # one survivor per cluster, survivors + singleton clusters ≤ corpus
     assert len(rows) == len({r["cluster_id"] for r in rows})
     assert 0 < len(rows) <= d.count()
+
+
+def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    brute = [r["vec_id"] for r in QUERIES["llm_sim_topk"](spark, sf_dir).collect()]
+    single = {r["vec_id"] for r in QUERIES["llm_sim_ann_lsh"](spark, sf_dir).collect()}
+    multi = {r["vec_id"] for r in QUERIES["llm_sim_ann_multiprobe"](spark, sf_dir).collect()}
+    recall_single = len(single & set(brute)) / len(brute)
+    recall_multi = len(multi & set(brute)) / len(brute)
+    assert recall_multi >= recall_single

@@ -31,6 +31,7 @@ def test_rows_only_keys_are_the_documented_ones():
         "llm_dedup_cluster_best",
         "llm_sim_ann_lsh",
         "llm_sim_ann_ivf",
+        "llm_sim_ann_multiprobe",
         "llm_fingerprint",
         "mm_feature_extract",
         "mm_frame_sample",
