@@ -230,3 +230,86 @@ def llm_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+def kmeans_centroids(
+    vectors: DataFrame, k: int = 8, iters: int = 3, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Distributed Lloyd's k-means over array<float> columns, pure
+    DataFrame ops (returns (cent_id, cvec) with double elements).
+
+    Per iteration: assign each vector to its nearest centroid
+    (broadcast k centroids, argmin squared distance), then rebuild
+    each centroid as the element-wise mean of its members (posexplode
+    to (cent, dim, val) → avg → ordered re-collect). Two shuffles per
+    iteration, both proportional to corpus × dims — the standard
+    scalable formulation. Init = first k vectors by id
+    (deterministic; k-means++ would sample-broadcast the same way)."""
+    init = (
+        vectors.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("cent_id"), _as_double(vec_col).alias("cvec"))
+    )
+    centroids = init
+    for _ in range(iters):
+        dist = F.aggregate(
+            F.zip_with(_as_double(vec_col), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        best = Window.partitionBy(id_col).orderBy(F.col("dist"), F.col("cent_id"))
+        assigned = (
+            vectors.crossJoin(F.broadcast(centroids))
+            .select(id_col, vec_col, "cent_id", dist.alias("dist"))
+            .withColumn("rn", F.row_number().over(best))
+            .where(F.col("rn") == 1)
+        )
+        centroids = (
+            assigned.select("cent_id", F.posexplode(_as_double(vec_col)).alias("dim", "val"))
+            .groupBy("cent_id", "dim")
+            .agg(F.avg("val").alias("mean_val"))
+            .groupBy("cent_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "mean_val"))).alias("pairs")
+            )
+            .select(
+                "cent_id", F.expr("transform(pairs, s -> s.mean_val)").alias("cvec")
+            )
+        ).localCheckpoint(eager=True)
+    return centroids
+
+
+@query("llm_sim_ann_ivf_kmeans")  # rows-only: learned buckets
+def llm_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — IVF with a LEARNED coarse quantizer: 3 Lloyd
+    iterations build 8 centroids, vectors land in centroid inverted
+    lists, the query probes its nearest 2 lists (nprobe=2). The
+    production ANN shape: train once, assign at ingest, probe at
+    query time."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(e, k=8, iters=3)
+
+    dist = F.aggregate(
+        F.zip_with(_as_double("embedding"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    best = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cent_id"))
+    ranked = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "label", "embedding", "cent_id", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(best))
+    )
+    assigned = ranked.where(F.col("rn") == 1).select("vec_id", "label", "embedding", "cent_id")
+    probes = (
+        ranked.where((F.col("vec_id") == 0) & (F.col("rn") <= 2))  # nprobe=2
+        .select(F.col("embedding").alias("qvec"), F.col("cent_id").alias("probe_cent"))
+    )
+    return (
+        assigned.join(F.broadcast(probes), F.col("cent_id") == F.col("probe_cent"))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", "label", cosine_expr("embedding", "qvec").alias("cos_sim"))
+        .dropDuplicates(["vec_id"])
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )

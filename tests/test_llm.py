@@ -133,3 +133,18 @@ def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
     recall_single = len(single & set(brute)) / len(brute)
     recall_multi = len(multi & set(brute)) / len(brute)
     assert recall_multi >= recall_single
+
+
+def test_kmeans_centroids_shape_and_stability(spark, sf_dir):
+    from osm_airflow_spark.llm.similarity import kmeans_centroids
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_centroids(e, k=4, iters=2).collect()
+    assert len(cents) <= 4  # a centroid can die if no vectors assign
+    assert all(len(r["cvec"]) == 64 for r in cents)
+
+
+def test_ivf_kmeans_returns_valid_scores(spark, sf_dir):
+    out = QUERIES["llm_sim_ann_ivf_kmeans"](spark, sf_dir).collect()
+    assert 0 < len(out) <= 10
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in out)
