@@ -273,3 +273,83 @@ def pipeline_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cust_nation", "supp_nation", F.year("o_orderdate").alias("trade_year"))
         .agg(dsum(_rev(), 4).alias("volume"))
     )
+
+
+@query(
+    "pipeline_priority_fulfillment",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(CASE WHEN late THEN 1 END) AS n_with_late_item
+    FROM (
+      SELECT o_orderkey, o_orderpriority,
+             EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def pipeline_priority_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape — per-priority fulfillment check: orders with ≥1 item
+    shipped >90 days after ordering. The correlated EXISTS plans as a
+    left-semi join feeding a flag — no row multiplication."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late_keys = (
+        o.select("o_orderkey", "o_orderdate")
+        .join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+            "left_semi",
+        )
+        .select(F.col("o_orderkey").alias("late_key"))
+    )
+    flagged = o.join(late_keys, F.col("o_orderkey") == F.col("late_key"), "left").select(
+        "o_orderpriority", F.col("late_key").isNotNull().alias("late")
+    )
+    return flagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("late"), F.lit(1))).alias("n_with_late_item"),
+    )
+
+
+@query(
+    "pipeline_priority_class_share",
+    oracle=f"""
+    SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count,
+           {sql_dsum('l_extendedprice', 2)} AS shipped_value
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '2000-01-01'
+    GROUP BY CAST(year(l_shipdate) AS INT)
+    """,
+)
+def pipeline_priority_class_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape — priority-class split per ship year: conditional
+    counts over a fact⋈dim join with a pushed date band."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.count(F.when(high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~high, F.lit(1))).alias("low_line_count"),
+            dsum("l_extendedprice").alias("shipped_value"),
+        )
+    )

@@ -285,3 +285,32 @@ def assemble_way_polygons(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     return assembled.withColumn("ring_area", ring_area(lons, lats)).withColumn(
         "is_ccw", F.col("ring_area") > 0
     )
+
+
+def assemble_multipolygons(relations: DataFrame, ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Multipolygon relation assembly with holes: member ways tagged
+    role='outer' form shells, role='inner' form holes; net area =
+    Σ|outer| − Σ|inner| (the OSM multipolygon model osm2pgsql
+    assembles, README.md:80-82). Member rings must be closed ways;
+    unresolved/open members drop, mirroring the delegate's inability
+    to build geometry from absent data."""
+    members = resolve_relation_members(relations, ways, nodes).where(
+        F.col("mtype") == "way"
+    )
+    lons = F.expr("transform(way_line, s -> s.lon)")
+    lats = F.expr("transform(way_line, s -> s.lat)")
+    ring_closed = (F.size("way_line") >= 4) & (
+        (F.element_at(lons, 1) == F.element_at(lons, -1))
+        & (F.element_at(lats, 1) == F.element_at(lats, -1))
+    )
+    rings = members.where(ring_closed).select(
+        "rel_id",
+        "role",
+        F.abs(ring_area(lons, lats)).alias("abs_area"),
+    )
+    signed = F.when(F.col("role") == "inner", -F.col("abs_area")).otherwise(F.col("abs_area"))
+    return rings.groupBy("rel_id").agg(
+        F.sum(F.when(F.col("role") == "outer", 1).otherwise(0)).alias("n_outer"),
+        F.sum(F.when(F.col("role") == "inner", 1).otherwise(0)).alias("n_inner"),
+        F.sum(signed).alias("net_area"),
+    )

@@ -215,3 +215,43 @@ def test_line_length_km_known_distance(spark):
     out = [r["km"] for r in df.select(line_length_km(F.col("lons"), F.col("lats")).alias("km")).collect()]
     assert abs(out[0] - 2 * 111.19) < 0.5
     assert out[1] == 0.0
+
+
+def test_multipolygon_with_hole(spark):
+    from osm_airflow_spark.plans.osm import assemble_multipolygons
+
+    # outer 4x4 square (area 16), inner 2x2 hole (area 4) → net 12
+    nodes = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0, {}), (2, 0.0, 4.0, {}), (3, 4.0, 4.0, {}), (4, 4.0, 0.0, {}),
+            (5, 1.0, 1.0, {}), (6, 1.0, 3.0, {}), (7, 3.0, 3.0, {}), (8, 3.0, 1.0, {}),
+        ],
+        NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame(
+        [
+            (400, [1, 2, 3, 4, 1], {}),
+            (401, [5, 6, 7, 8, 5], {}),
+            (402, [1, 2, 3], {}),  # open way — must be ignored
+        ],
+        WAY_SCHEMA,
+    )
+    relations = spark.createDataFrame(
+        [
+            (
+                500,
+                [
+                    {"mtype": "way", "ref": 400, "role": "outer"},
+                    {"mtype": "way", "ref": 401, "role": "inner"},
+                    {"mtype": "way", "ref": 402, "role": "outer"},
+                ],
+                {"type": "multipolygon"},
+            )
+        ],
+        RELATION_SCHEMA,
+    )
+    out = assemble_multipolygons(relations, ways, nodes).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_outer"] == 1 and row["n_inner"] == 1  # open way dropped
+    assert row["net_area"] == 12.0
