@@ -39,7 +39,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("p_name").alias("name_lower"),
         F.upper("p_brand").alias("brand_upper"),
         F.trim("p_type").alias("type_trim"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.substring("p_name", 1, 5).alias("name_prefix"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
         F.split("p_name", " ").alias("name_words"),
@@ -109,8 +109,8 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice / 3, 2) AS third_price,
            abs(l_discount - 0.05) AS disc_dev,
-           floor(l_quantity / 10) AS qty_decile,
-           ceil(l_extendedprice / 1000) AS price_k,
+           CAST(floor(l_quantity / 10) AS BIGINT) AS qty_decile,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k,
            sqrt(l_quantity) AS qty_sqrt,
            l_quantity * l_quantity AS qty_sq
     FROM lineitem
@@ -277,11 +277,11 @@ def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey",
         "p_name",
-        F.levenshtein("p_name", target).alias("dist_to_red_widget"),
+        F.levenshtein("p_name", target).cast("long").alias("dist_to_red_widget"),
         (
             F.greatest(F.length("p_name"), F.length(target))
             - F.levenshtein("p_name", target)
-        ).alias("common_score"),
+        ).cast("long").alias("common_score"),
     )
 
 

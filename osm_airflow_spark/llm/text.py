@@ -36,9 +36,9 @@ def _sql_list(words: tuple[str, ...]) -> str:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
-           SUM(len(string_split(text, ' '))) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            COUNT(DISTINCT source) AS n_sources
     FROM documents
     GROUP BY lang
@@ -57,7 +57,8 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stop_count(words: Column, stopwords: tuple[str, ...]) -> Column:
-    return F.size(F.filter(words, lambda w: w.isin(*stopwords)))
+    # long, matching DuckDB len() (BIGINT) for dtype-strict compares
+    return F.size(F.filter(words, lambda w: w.isin(*stopwords))).cast("long")
 
 
 @query(
@@ -140,7 +141,7 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, rounded once at the end."""
     d = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
-    n_words = F.size(words)
+    n_words = F.size(words).cast("long")
     stop_ratio = _stop_count(words, _EN_STOP).cast("double") / n_words
     mean_word_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
         "double"
@@ -181,7 +182,7 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsed = F.regexp_replace(F.col("text"), "[a-z0-9]+", "t")
     return d.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
         (
             F.length(collapsed) - F.length(F.replace(collapsed, F.lit("t"), F.lit("")))
         ).cast("long").alias("regex_tokens"),

@@ -75,8 +75,10 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         "c_custkey",
         "c_acctbal",
-        F.rank().over(w).alias("bal_rank"),
-        F.dense_rank().over(w).alias("bal_dense_rank"),
+        # ranks cast to long: DuckDB RANK() is BIGINT, Spark's is int —
+        # align so a dtype-strict compare can't trip
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
     )
 
 
@@ -188,7 +190,7 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(4).over(w).alias("bal_quartile"),
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
         F.percent_rank().over(w).alias("bal_pct_rank"),
     )
 
