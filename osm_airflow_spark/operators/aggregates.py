@@ -328,3 +328,24 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "agg_collect_set",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14 (extension) — distinct-set collect per group (the tag-value
+    vocabulary per element class). collect_set order is partition-
+    dependent → always array_sort before exposing."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
