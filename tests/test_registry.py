@@ -51,3 +51,10 @@ def test_query_runs_and_has_clean_schema(spark, sf_dir, key):
 def test_entry_returns_rows(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_registry_import_idempotent():
+    a = all_queries()
+    b = all_queries()
+    assert a.keys() == b.keys()
+    assert len(a) >= 99

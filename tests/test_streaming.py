@@ -123,3 +123,38 @@ def test_airflow_dag_module_imports_without_airflow():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)  # no airflow in image → import-gated path
     assert mod.REGIONS and mod.SNAPSHOT_DATE
+
+
+def test_dedup_stream_drops_cross_file_duplicates(spark, sf_dir, tmp_path):
+    import shutil
+
+    from osm_airflow_spark.streaming.windows import dedup_latest_stream, read_events_stream
+
+    # the same events file twice in one source dir = every event duplicated
+    src = f"{sf_dir}/events.parquet"
+    d = tmp_path / "dups"
+    d.mkdir()
+    shutil.copy(src, d / "events.parquet")
+    shutil.copy(src, d / "more-events.parquet")
+    # pathGlobFilter in read_events_stream matches only events.parquet;
+    # use a fresh reader matching both
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.streaming.windows import EVENTS_STREAM_SCHEMA
+
+    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(str(d))
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = (
+        dedup_latest_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    n_unique = spark.read.parquet(src).count()
+    got = spark.sql("SELECT COUNT(DISTINCT event_id) AS n, COUNT(*) AS total FROM t_dedup").collect()[0]
+    assert got["n"] == n_unique
+    assert got["total"] == n_unique  # duplicates dropped, not just distinct-counted
