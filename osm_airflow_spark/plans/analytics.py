@@ -353,3 +353,68 @@ def pipeline_priority_class_share(spark: SparkSession, sf_dir: str) -> DataFrame
             dsum("l_extendedprice").alias("shipped_value"),
         )
     )
+
+
+@query(
+    "pipeline_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', 4)} AS potential_revenue,
+           COUNT(*) AS n_qualifying
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def pipeline_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape — the minimal plan: one scan, three pushed
+    predicates, one global aggregate. Every filter reaches the
+    Parquet reader; the whole query is a single codegen stage plus a
+    one-row final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("potential_revenue"),
+            F.count(F.lit(1)).alias("n_qualifying"),
+        )
+    )
+
+
+@query(
+    "pipeline_branded_discounts",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 5 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 10 AND 40)
+    """,
+)
+def pipeline_branded_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape — OR-of-conjunctions mixing join-side and fact-side
+    predicates: Catalyst must split the disjunction so the common
+    part-side terms still prune the broadcast build side while the
+    residual evaluates post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(5, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(10, 40))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            dsum(_rev(), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
