@@ -59,3 +59,54 @@ def test_scd2_merge_and_asof_reads(spark):
     after = {r["node_id"]: r["amenity"] for r in snapshot_as_of(merged, "2024-07-01").collect()}
     assert before == {1: "cafe", 2: "pub"}
     assert after == {1: "restaurant"}  # node 2 deleted, node 1 renamed
+
+
+def test_scd2_sequential_batches(spark):
+    """Two change batches applied in sequence: history grows, each
+    as-of cut is consistent."""
+    from pyspark.sql import functions as F
+
+    history = spark.createDataFrame(
+        [(1, "v1", "2024-01-01", None)],
+        "node_id long, amenity string, valid_from string, valid_to string",
+    ).select(
+        "node_id",
+        "amenity",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "node_id long, amenity string, change_ts string, change_op string"
+        ).withColumn("change_ts", F.col("change_ts").cast("timestamp"))
+
+    h1 = scd2_merge(history, batch([(1, "v2", "2024-02-01", "modify")]), "node_id")
+    h2 = scd2_merge(h1, batch([(1, "v3", "2024-03-01", "modify")]), "node_id")
+    assert h2.count() == 3  # three versions of node 1
+    for ts, expect in [("2024-01-15", "v1"), ("2024-02-15", "v2"), ("2024-03-15", "v3")]:
+        got = snapshot_as_of(h2, ts).collect()
+        assert len(got) == 1 and got[0]["amenity"] == expect, ts
+
+
+def test_apply_diff_delete_then_recreate(spark, base):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    deleted = apply_diff(
+        base,
+        spark.createDataFrame(
+            [(1, None, 0, "delete")], "node_id long, amenity string, version int, change_op string"
+        ),
+        "node_id",
+    )
+    recreated = apply_diff(
+        deleted,
+        spark.createDataFrame(
+            [(1, "cafe-new", 2, "create")],
+            "node_id long, amenity string, version int, change_op string",
+        ),
+        "node_id",
+    )
+    rows = {r["node_id"]: r for r in recreated.collect()}
+    assert rows[1]["amenity"] == "cafe-new" and rows[1]["version"] == 2
+    assert len(rows) == 3

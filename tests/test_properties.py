@@ -75,3 +75,34 @@ def test_exact_dedup_idempotent_on_random_text(spark, texts):
     twice = once.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
     assert sorted(once.collect()) == sorted(twice.collect())
     assert once.count() == df.select(F.md5("text")).distinct().count()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    lines=st.lists(
+        st.lists(
+            st.tuples(
+                st.floats(-180, 180, allow_nan=False, width=32),
+                st.floats(-90, 90, allow_nan=False, width=32),
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_wkb_roundtrip_property(spark, lines):
+    """Encode→decode over arbitrary coordinate lists is the identity."""
+    from osm_airflow_spark.plans.osm import lines_to_wkb, wkb_to_lines
+
+    rows = [
+        (i, [{"lon": float(x), "lat": float(y)} for x, y in pts])
+        for i, pts in enumerate(lines)
+    ]
+    df = spark.createDataFrame(rows, "way_id long, line array<struct<lon:double,lat:double>>")
+    decoded = {r["way_id"]: r["line"] for r in wkb_to_lines(lines_to_wkb(df)).collect()}
+    for i, pts in enumerate(lines):
+        assert [(p["lon"], p["lat"]) for p in decoded[i]] == [
+            (float(x), float(y)) for x, y in pts
+        ]
