@@ -337,3 +337,60 @@ def fn_string_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_name", 1, 3).alias("name_left3"),
         F.expr("right(p_name, 3)").alias("name_right3"),
     )
+
+
+@query(
+    "fn_array_ops",
+    oracle="""
+    SELECT p_partkey,
+           list_contains(string_split(p_name, ' '), 'red') AS has_red,
+           string_split(p_name, ' ')[1:2] AS first_two,
+           len(string_split(p_name, ' ')) AS n_words,
+           list_sort(string_split(p_name, ' ')) AS words_sorted,
+           array_to_string(list_sort(string_split(p_name, ' ')), '-') AS joined
+    FROM part
+    """,
+)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H15 (extension) — array surface beyond explode: containment,
+    slicing, sizing, in-array sort, join-to-string (the node_refs
+    manipulation toolkit, README.md:80)."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.array_contains(words, "red").alias("has_red"),
+        F.slice(words, 1, 2).alias("first_two"),
+        F.size(words).cast("long").alias("n_words"),
+        F.array_sort(words).alias("words_sorted"),
+        F.array_join(F.array_sort(words), "-").alias("joined"),
+    )
+
+
+@query(
+    "fn_null_safety",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'SUPPRESSED') AS segment_masked,
+           (c_acctbal IS NOT DISTINCT FROM NULL) AS bal_is_null,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_nonneg,
+           COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_floor0
+    FROM customer
+    """,
+)
+def fn_null_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H16 (extension) — null-handling semantics: nullif/coalesce
+    masking, null-safe comparison (<=> ↔ IS NOT DISTINCT FROM), and
+    null-out + default patterns — the tag-absence handling every OSM
+    layer needs (most tags are absent on most elements)."""
+    c = load_table(spark, sf_dir, "customer")
+    bal_nonneg = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("SUPPRESSED")).alias(
+            "segment_masked"
+        ),
+        F.col("c_acctbal").eqNullSafe(F.lit(None).cast("double")).alias("bal_is_null"),
+        bal_nonneg.alias("bal_nonneg"),
+        F.coalesce(bal_nonneg, F.lit(0.0)).alias("bal_floor0"),
+    )
