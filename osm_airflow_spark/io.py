@@ -82,6 +82,10 @@ def write_snapshot(
     (
         df.withColumn("pgosm_date", F.lit(snapshot_date))
         .write.mode(mode)
+        # dynamic: overwrite replaces only the partitions this write
+        # touches — a week-2 publish must not clobber week 1's
+        # snapshot (static overwrite truncates the whole out_dir)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("pgosm_date", *partition_cols)
         .parquet(out_dir)
     )

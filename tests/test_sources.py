@@ -83,3 +83,19 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_snapshot_overwrite_preserves_other_dates(spark, tmp_path):
+    """Dynamic partition overwrite: re-publishing one snapshot date
+    must not clobber previously published dates."""
+    from osm_airflow_spark.io import read_snapshot, write_snapshot
+
+    out = str(tmp_path / "snaps")
+    week1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    week2 = spark.createDataFrame([(2, "b")], "id long, v string")
+    write_snapshot(week1, out, "2024-07-18")
+    write_snapshot(week2, out, "2024-07-25")
+    # re-publish week 2 (idempotent retry)
+    write_snapshot(week2, out, "2024-07-25")
+    assert read_snapshot(spark, out, "2024-07-18").count() == 1  # survived
+    assert read_snapshot(spark, out, "2024-07-25").count() == 1  # replaced, not duplicated
