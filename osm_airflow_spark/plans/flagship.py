@@ -29,7 +29,6 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
 
-    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
