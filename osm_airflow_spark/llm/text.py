@@ -218,3 +218,99 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_min("fp").alias("min_fp"),
         )
     )
+
+
+@query(
+    "llm_chunk_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST(c - 1 AS INT) AS chunk_idx,
+           array_to_string(words[(c - 1) * 40 + 1 : (c - 1) * 40 + 50], ' ') AS chunk_text,
+           len(words[(c - 1) * 40 + 1 : (c - 1) * 40 + 50]) AS chunk_tokens
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             CAST(ceil(len(string_split(text, ' ')) / 40.0) AS INT) AS n_chunks
+      FROM documents
+    ), UNNEST(generate_series(1, n_chunks)) AS t(c)
+    """,
+)
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — fixed-size chunking with overlap: 50-token windows
+    advancing by 40 (10-token overlap) — the context-window prep
+    every training pipeline runs. Pure column expressions: sequence
+    over chunk starts → slice → explode; rows multiply by
+    ceil(len/stride), known in advance."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stride, size = 40, 50
+    n_chunks = F.ceil(F.size(words) / stride).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.struct(
+            c.cast("int").alias("chunk_idx"),
+            F.array_join(F.slice(words, c * stride + 1, size), " ").alias("chunk_text"),
+            F.size(F.slice(words, c * stride + 1, size)).cast("long").alias("chunk_tokens"),
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("ch"))
+        .select("doc_id", "ch.chunk_idx", "ch.chunk_text", "ch.chunk_tokens")
+    )
+
+
+@query(
+    "llm_split_assign",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5(text), 1, 2) < '0a' THEN 'test'
+                WHEN substr(md5(text), 1, 2) < '1a' THEN 'val'
+                ELSE 'train' END AS split,
+           substr(md5(text), 1, 2) AS hash_prefix
+    FROM documents
+    """,
+)
+def llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — deterministic train/val/test assignment by content
+    hash prefix (~4% test, ~6% val by hex range). Content-hashed, not
+    random: the same document lands in the same split on any cluster,
+    any partitioning, any rerun — and duplicated texts can never
+    straddle splits (leakage guard). The scalable reproducible-split
+    idiom."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5("text"), 1, 2)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(prefix < "0a", "test").when(prefix < "1a", "val").otherwise("train").alias(
+            "split"
+        ),
+        prefix.alias("hash_prefix"),
+    )
+
+
+@query(
+    "llm_sample_stratified",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM documents
+    WHERE substr(md5(text), 1, 2) < '40'
+    GROUP BY source
+    """,
+)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — reproducible ~25% corpus sample (md5 prefix <
+    0x40) with per-source accounting: the down-sampling step before
+    expensive stages, deterministic under any execution plan (unlike
+    seeded random sampling, which varies with partition iteration
+    order)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.where(F.substring(F.md5("text"), 1, 2) < "40")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )
