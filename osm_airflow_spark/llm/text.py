@@ -314,3 +314,43 @@ def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sampled_chars"),
         )
     )
+
+
+@query(
+    "llm_pack_sequences",
+    oracle="""
+    SELECT CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs_in_pack,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             SUM(len(string_split(text, ' ')))
+               OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM documents
+    )
+    GROUP BY 1
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — sequence packing: assign documents to fixed-budget
+    context windows (512 tokens) by running-total binning over a
+    deterministic order — the batch-construction step that minimizes
+    padding in training. Exact integer token counts make the cumsum
+    engine-independent. The single-task global window is the fixture
+    form; at scale pack within partitions (doc order is a free
+    variable) so each task packs independently."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_cum = d.select(
+        "doc_id", n_tokens.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    pack = F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 512.0)
+    return with_cum.groupBy(pack.alias("pack_id")).agg(
+        F.count(F.lit(1)).alias("n_docs_in_pack"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
