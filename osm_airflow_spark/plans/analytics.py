@@ -418,3 +418,58 @@ def pipeline_branded_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "pipeline_market_share",
+    oracle=f"""
+    SELECT trade_year,
+           CAST(SUM(CAST(CASE WHEN r_name = 'ASIA'
+                         THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(18,4)))
+                AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS asia_share,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS total_volume
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS trade_year,
+             l_extendedprice, l_discount, r_name
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1999-01-01'
+    )
+    GROUP BY trade_year
+    """,
+)
+def pipeline_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape — market share: a ratio of conditional aggregate to
+    total aggregate in one group-by (nested-aggregation silhouette).
+    Both numerator and denominator decimal-sum before one double
+    division — exact under any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = _rev()
+    asia_rev = F.when(F.col("r_name") == "ASIA", rev)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("trade_year"))
+        .agg(
+            (
+                F.sum(asia_rev.cast("decimal(18,4)")).cast("double")
+                / F.sum(rev.cast("decimal(18,4)")).cast("double")
+            ).alias("asia_share"),
+            dsum(rev, 4).alias("total_volume"),
+        )
+    )

@@ -158,3 +158,34 @@ def test_dedup_stream_drops_cross_file_duplicates(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT COUNT(DISTINCT event_id) AS n, COUNT(*) AS total FROM t_dedup").collect()[0]
     assert got["n"] == n_unique
     assert got["total"] == n_unique  # duplicates dropped, not just distinct-counted
+
+
+def test_merge_diff_stream_applies_changes(spark, tmp_path):
+    """Streamed change batches update the persisted snapshot via the
+    incremental merge (no full rebuild)."""
+    import json
+
+    from osm_airflow_spark.streaming.windows import merge_diff_stream
+
+    snap = str(tmp_path / "snapshot")
+    spark.createDataFrame(
+        [(1, "cafe"), (2, "pub")], "node_id long, amenity string"
+    ).write.parquet(snap)
+
+    changes_dir = tmp_path / "changes"
+    changes_dir.mkdir()
+    rows = [
+        {"node_id": 2, "amenity": "restaurant", "change_op": "modify"},
+        {"node_id": 3, "amenity": "bank", "change_op": "create"},
+        {"node_id": 1, "amenity": None, "change_op": "delete"},
+    ]
+    (changes_dir / "batch1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = spark.readStream.schema("node_id long, amenity string, change_op string").json(
+        str(changes_dir)
+    )
+    q = merge_diff_stream(stream, snap, "node_id", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    final = {r["node_id"]: r["amenity"] for r in spark.read.parquet(snap).collect()}
+    assert final == {2: "restaurant", 3: "bank"}
