@@ -168,3 +168,64 @@ def osm_way_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(edge_km.cast("decimal(18,6)")).cast("double").alias("length_km"),
         F.count(F.lit(1)).alias("n_segments"),
     )
+
+
+@query(
+    "osm_spatial_join_bbox",
+    oracle=f"""
+    WITH nodes AS (
+      SELECT p_partkey AS node_id,
+             (CAST((p_partkey * 7) % 180 AS DOUBLE) - 90.0) * 0.95 AS lat,
+             {_LON} AS lon
+      FROM part
+    ),
+    refs AS (
+      SELECT l_orderkey AS way_id, l_partkey AS node_id FROM lineitem
+      WHERE l_orderkey % 100 = 0
+    ),
+    boxes AS (
+      SELECT way_id, MIN(lon) AS west, MIN(lat) AS south,
+             MAX(lon) AS east, MAX(lat) AS north
+      FROM refs JOIN nodes USING (node_id)
+      GROUP BY way_id
+    )
+    SELECT way_id,
+           COUNT(*) AS n_nodes_in_bbox
+    FROM boxes JOIN nodes
+      ON lon BETWEEN west AND east AND lat BETWEEN south AND north
+    GROUP BY way_id
+    """,
+)
+def osm_spatial_join_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial join in the t2 matrix: count all nodes falling inside
+    each (sampled) way's bounding box — the contains-style query a
+    PostGIS user runs over the loaded layers (README.md:70,82). The
+    keyed sample bounds the non-equi join; the 100 TB form equi-joins
+    on geohash cell first (SCALE.md layout contract) and applies this
+    exact bbox predicate only within candidate cells."""
+    nodes = _derived_nodes(spark, sf_dir).select("node_id", "lat", "lon")
+    refs = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 100 == 0)
+        .select(F.col("l_orderkey").alias("way_id"), F.col("l_partkey").alias("node_id"))
+    )
+    boxes = (
+        refs.join(nodes, "node_id")
+        .groupBy("way_id")
+        .agg(
+            F.min("lon").alias("west"),
+            F.min("lat").alias("south"),
+            F.max("lon").alias("east"),
+            F.max("lat").alias("north"),
+        )
+    )
+    contained = (
+        F.col("lon").between(F.col("west"), F.col("east"))
+        & F.col("lat").between(F.col("south"), F.col("north"))
+    )
+    return (
+        F.broadcast(boxes)
+        .join(nodes, contained)
+        .groupBy("way_id")
+        .agg(F.count(F.lit(1)).alias("n_nodes_in_bbox"))
+    )
