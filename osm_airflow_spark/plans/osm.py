@@ -314,3 +314,19 @@ def assemble_multipolygons(relations: DataFrame, ways: DataFrame, nodes: DataFra
         F.sum(F.when(F.col("role") == "inner", 1).otherwise(0)).alias("n_inner"),
         F.sum(signed).alias("net_area"),
     )
+
+
+def ring_area_km2(lons: Column, lats: Column) -> Column:
+    """Geodesic (spherical-excess approximation) ring area in km²:
+    A = R²/2 · |Σ (λᵢ₊₁−λᵢ)(sin φᵢ + sin φᵢ₊₁)| over closed-ring
+    edges, radians. The standard small-polygon spherical shoelace —
+    what turns assembled building/landuse rings into real areas
+    (planar ring_area only settles winding). Pure column expression."""
+    n = F.size(lons)
+    terms = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: (F.radians(F.element_at(lons, i + 1)) - F.radians(F.element_at(lons, i)))
+        * (F.sin(F.radians(F.element_at(lats, i))) + F.sin(F.radians(F.element_at(lats, i + 1)))),
+    )
+    r = 6371.0
+    return F.abs(F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)) * (r * r) / 2

@@ -255,3 +255,15 @@ def test_multipolygon_with_hole(spark):
     row = out[0]
     assert row["n_outer"] == 1 and row["n_inner"] == 1  # open way dropped
     assert row["net_area"] == 12.0
+
+
+def test_ring_area_km2_known_square(spark):
+    from osm_airflow_spark.plans.osm import ring_area_km2
+
+    # 1°x1° closed ring at the equator ≈ 111.19² km² ≈ 12,364 km²
+    df = spark.createDataFrame(
+        [([0.0, 1.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 1.0, 0.0])],
+        "lons array<double>, lats array<double>",
+    )
+    area = df.select(ring_area_km2(F.col("lons"), F.col("lats")).alias("a")).collect()[0]["a"]
+    assert abs(area - 12364) < 50
