@@ -27,12 +27,15 @@ from osm_airflow_spark.registry import query
            LENGTH(p_name) AS name_len,
            SUBSTR(p_name, 1, 5) AS name_prefix,
            p_brand || ':' || p_type AS brand_type,
-           string_split(p_name, ' ') AS name_words
+           array_to_string(string_split(p_name, ' '), '|') AS name_words
     FROM part
     """,
 )
 def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H1 — string normalization (tag-value cleanup)."""
+    """H1 — string normalization (tag-value cleanup). The split words
+    are re-joined with '|' so the output schema stays scalar (array
+    columns break downstream hash comparison); the split/tokenize
+    semantic is still exercised end to end."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -42,7 +45,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("p_name").cast("long").alias("name_len"),
         F.substring("p_name", 1, 5).alias("name_prefix"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
-        F.split("p_name", " ").alias("name_words"),
+        F.array_join(F.split("p_name", " "), "|").alias("name_words"),
     )
 
 
@@ -344,9 +347,9 @@ def fn_string_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey,
            list_contains(string_split(p_name, ' '), 'red') AS has_red,
-           string_split(p_name, ' ')[1:2] AS first_two,
+           array_to_string(string_split(p_name, ' ')[1:2], '|') AS first_two,
            len(string_split(p_name, ' ')) AS n_words,
-           list_sort(string_split(p_name, ' ')) AS words_sorted,
+           array_to_string(list_sort(string_split(p_name, ' ')), '|') AS words_sorted,
            array_to_string(list_sort(string_split(p_name, ' ')), '-') AS joined
     FROM part
     """,
@@ -354,15 +357,17 @@ def fn_string_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H15 (extension) — array surface beyond explode: containment,
     slicing, sizing, in-array sort, join-to-string (the node_refs
-    manipulation toolkit, README.md:80)."""
+    manipulation toolkit, README.md:80). Slice and sort results are
+    '|'-joined in the final projection so the schema stays scalar —
+    the array ops themselves still run inside the plan."""
     p = load_table(spark, sf_dir, "part")
     words = F.split("p_name", " ")
     return p.select(
         "p_partkey",
         F.array_contains(words, "red").alias("has_red"),
-        F.slice(words, 1, 2).alias("first_two"),
+        F.array_join(F.slice(words, 1, 2), "|").alias("first_two"),
         F.size(words).cast("long").alias("n_words"),
-        F.array_sort(words).alias("words_sorted"),
+        F.array_join(F.array_sort(words), "|").alias("words_sorted"),
         F.array_join(F.array_sort(words), "-").alias("joined"),
     )
 

@@ -319,14 +319,15 @@ def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_pack_sequences",
     oracle="""
-    SELECT CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+    SELECT (doc_id % 16) * 1000000
+             + CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS pack_id,
            COUNT(*) AS n_docs_in_pack,
            CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
     FROM (
       SELECT doc_id,
              len(string_split(text, ' ')) AS n_tokens,
              SUM(len(string_split(text, ' ')))
-               OVER (ORDER BY doc_id
+               OVER (PARTITION BY doc_id % 16 ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
       FROM documents
     )
@@ -335,21 +336,33 @@ def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension — sequence packing: assign documents to fixed-budget
-    context windows (512 tokens) by running-total binning over a
-    deterministic order — the batch-construction step that minimizes
-    padding in training. Exact integer token counts make the cumsum
-    engine-independent. The single-task global window is the fixture
-    form; at scale pack within partitions (doc order is a free
-    variable) so each task packs independently."""
+    context windows (512 tokens) by running-total binning — the
+    batch-construction step that minimizes padding in training. Doc
+    order inside a pack is a free variable, so packing runs WITHIN
+    deterministic key-derived partitions (``doc_id % 16``): each
+    partition packs independently in parallel (no global single-task
+    window), and pack ids are made globally unique as
+    ``partition * 1e6 + local_pack``. Exact integer token counts make
+    the per-partition cumsum engine-independent; at 100 TB raise the
+    modulus to O(cluster cores) — per-partition padding waste is at
+    most one underfull tail window per partition."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split("text", " ")).cast("long")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    with_cum = d.select(
-        "doc_id", n_tokens.alias("n_tokens")
-    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
-    pack = F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 512.0)
+    part = F.pmod(F.col("doc_id"), F.lit(16)).cast("long")
+    w = (
+        Window.partitionBy("pack_part")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = (
+        d.select("doc_id", n_tokens.alias("n_tokens"), part.alias("pack_part"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    )
+    pack = F.col("pack_part") * F.lit(1_000_000) + F.floor(
+        (F.col("cum_tokens") - F.col("n_tokens")) / 512.0
+    )
     return with_cum.groupBy(pack.alias("pack_id")).agg(
         F.count(F.lit(1)).alias("n_docs_in_pack"),
         F.sum("n_tokens").alias("pack_tokens"),

@@ -85,7 +85,9 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_ordered",
     oracle="""
     SELECT l_orderkey,
-           list(l_quantity ORDER BY l_linenumber, l_quantity) AS qty_seq
+           array_to_string(
+             list(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS VARCHAR)
+                  ORDER BY l_linenumber, l_quantity), ',') AS qty_seq
     FROM lineitem
     GROUP BY l_orderkey
     """,
@@ -97,7 +99,10 @@ def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     we sort (pos, val) structs *inside* the array — deterministic
     under any shuffle — then strip the position. (l_orderkey,
     l_linenumber) is not unique in the fixture, so the value itself
-    is the tiebreak, mirrored in the oracle's ORDER BY."""
+    is the tiebreak, mirrored in the oracle's ORDER BY. The ordered
+    sequence is exposed as a comma-joined fixed-scale string — same
+    element order, but scalar-typed so any hash/canonicalize layer
+    can compare it (arrays-of-double are not hashable downstream)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_orderkey")
@@ -108,7 +113,13 @@ def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_orderkey",
-            F.transform(F.col("pairs"), lambda s: s.getField("l_quantity")).alias("qty_seq"),
+            F.array_join(
+                F.transform(
+                    F.col("pairs"),
+                    lambda s: s.getField("l_quantity").cast("decimal(18,6)").cast("string"),
+                ),
+                ",",
+            ).alias("qty_seq"),
         )
     )
 
@@ -334,7 +345,7 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_set",
     oracle="""
     SELECT o_custkey,
-           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY o_custkey
@@ -343,9 +354,12 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E14 (extension) — distinct-set collect per group (the tag-value
     vocabulary per element class). collect_set order is partition-
-    dependent → always array_sort before exposing."""
+    dependent → always array_sort before exposing; the sorted set is
+    emitted comma-joined so the output schema stays scalar."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
         F.count(F.lit(1)).alias("n_orders"),
     )

@@ -182,16 +182,68 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F6 — distribution buckets. Unpartitioned window is acceptable
-    only on dimension-sized inputs (single-task); at scale compute
-    quantile cut points via approx_percentile and bucket by range."""
+    """F6 — distribution buckets via DISTRIBUTED exact rank (no
+    unpartitioned window anywhere in the plan):
+
+    1. approx_percentile cut points (one aggregation) → B range-
+       contiguous, content-derived buckets of ``c_acctbal``;
+    2. per-bucket local ``row_number`` (window partitioned by bucket
+       → B-way parallel, never single-task);
+    3. per-bucket row counts (B tiny rows, collected — control
+       plane, like cluster metadata) → cumulative offsets;
+    4. global_rank = offset[bucket] + local_rank, exact because the
+       buckets are range-contiguous and the ordering key
+       (c_acctbal, c_custkey) is unique.
+
+    NTILE/percent_rank are then pure column math on the exact rank —
+    matching the oracle's global-window semantics bit for bit while
+    every stage stays partition-parallel. Cut points are collected
+    once and embedded as literals, so bucket assignment is identical
+    across the counts job and the final job."""
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+
+    n_buckets = 8
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = c.agg(
+        F.percentile_approx("c_acctbal", probs, 10_000).alias("cuts")
+    ).head()[0]
+    # Range-contiguous bucket id from literal cut points (0..B-1).
+    bucket = F.lit(0)
+    for cut in cuts:
+        bucket = bucket + F.when(F.col("c_acctbal") > F.lit(cut), 1).otherwise(0)
+    bucketed = c.select("c_custkey", "c_acctbal", bucket.cast("int").alias("bkt"))
+
+    counts = {
+        r["bkt"]: r["n"]
+        for r in bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(counts.values())
+    offsets, running = {}, 0
+    for b in range(n_buckets):
+        offsets[b] = running
+        running += counts.get(b, 0)
+    offset_expr = F.lit(0)
+    for b, off in offsets.items():
+        if off:
+            offset_expr = F.when(F.col("bkt") == b, F.lit(off)).otherwise(offset_expr)
+
+    w_local = Window.partitionBy("bkt").orderBy("c_acctbal", "c_custkey")
+    rank = (offset_expr + F.row_number().over(w_local)).cast("long")
+
+    # NTILE(k): first n%k buckets get ceil(n/k) rows, rest floor(n/k).
+    k = 4
+    q, r = divmod(n_total, k)
+    big = r * (q + 1)  # rows covered by the size-(q+1) tiles
+    ntile_expr = F.when(
+        F.lit(r > 0) & (rank <= F.lit(big)),
+        F.ceil(rank / F.lit(q + 1)),
+    ).otherwise(F.lit(r) + F.ceil((rank - F.lit(big)) / F.lit(max(q, 1))))
+
+    return bucketed.select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
-        F.percent_rank().over(w).alias("bal_pct_rank"),
+        ntile_expr.cast("long").alias("bal_quartile"),
+        ((rank - F.lit(1)) / F.lit(n_total - 1)).alias("bal_pct_rank"),
     )
 
 

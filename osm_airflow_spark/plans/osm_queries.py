@@ -72,8 +72,12 @@ def _derived_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     )
     SELECT way_id,
-           list(lon ORDER BY pos) AS line_lons,
-           list(lat ORDER BY pos) AS line_lats,
+           array_to_string(
+             list(CAST(CAST(lon AS DECIMAL(14,6)) AS VARCHAR) ORDER BY pos),
+             ',') AS line_lons,
+           array_to_string(
+             list(CAST(CAST(lat AS DECIMAL(14,6)) AS VARCHAR) ORDER BY pos),
+             ',') AS line_lats,
            MIN(lon) AS bbox_west,
            MIN(lat) AS bbox_south,
            MAX(lon) AS bbox_east,
@@ -88,14 +92,27 @@ def osm_assemble_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered reference-resolution join + positional collect + bbox.
     Note the (pos, node_id) sort inside both engines: fixture
     l_linenumber repeats within an order, so position ties break by
-    the ref itself."""
+    the ref itself. Coordinate sequences are emitted as comma-joined
+    fixed-scale (6 dp ≈ 0.1 m) strings: same order, scalar-typed, so
+    the geometry line survives hash comparison (array<double> cells
+    are unhashable downstream)."""
     nodes = _derived_nodes(spark, sf_dir)
     ways = _derived_ways(spark, sf_dir)
     assembled = assemble_way_lines(ways, nodes)
+
+    def _coords(field: str):
+        return F.array_join(
+            F.transform(
+                F.col("line"),
+                lambda s: s.getField(field).cast("decimal(14,6)").cast("string"),
+            ),
+            ",",
+        )
+
     return assembled.select(
         "way_id",
-        F.expr("transform(line, s -> s.lon)").alias("line_lons"),
-        F.expr("transform(line, s -> s.lat)").alias("line_lats"),
+        _coords("lon").alias("line_lons"),
+        _coords("lat").alias("line_lats"),
         "bbox_west",
         "bbox_south",
         "bbox_east",

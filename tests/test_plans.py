@@ -55,6 +55,23 @@ def test_lsh_join_is_equi_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.parametrize("key", sorted(QUERIES))
+def test_no_unpartitioned_window(spark, sf_dir, key):
+    """No Window.orderBy without partitionBy anywhere: a global window
+    is a single-task total sort — the canonical 100×-scale killer. In
+    windowspecdefinition(...), partition columns precede order columns;
+    an order column carries ASC/DESC, so a spec whose FIRST argument is
+    ordered (or goes straight to the frame) has no partition clause."""
+    import re
+
+    opt = QUERIES[key](spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)", opt):
+        head = spec.split(",")[0]
+        assert not (
+            " ASC" in head or " DESC" in head or head.startswith("specifiedwindowframe")
+        ), f"{key}: unpartitioned window spec: {spec[:120]}"
+
+
 @pytest.mark.parametrize(
     "key", ["agg_groupby", "join_multiway", "win_dedup_latest", "pipeline_pricing_summary"]
 )

@@ -46,6 +46,21 @@ def _cell(v) -> str:
     return str(v)
 
 
+def complex_columns(df) -> list[str]:
+    """Oracled queries must emit only scalar top-level columns: the
+    external driver's canonicalizer (pandas sort_values → factorize)
+    crashes on array/map/struct/binary cells (numpy.ndarray is
+    unhashable), which in round 1 aborted the whole sweep. Serialize
+    collections with array_join/to_json in the final projection."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
+    return [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType, BinaryType))
+    ]
+
+
 def canon(pdf) -> tuple[list[str], list[tuple]]:
     cols = sorted(pdf.columns)
     pdf = pdf[cols]
@@ -71,7 +86,14 @@ def main(keys: list[str]) -> int:
             continue
         t0 = time.time()
         try:
-            sdf = queries[key](spark, SF_DIR).toPandas()
+            sdf_spark = queries[key](spark, SF_DIR)
+            if key in oracles:
+                hazard = complex_columns(sdf_spark)
+                if hazard:
+                    print(f"✗ {key}: DRIVER-HAZARD SCHEMA (complex top-level cols): {hazard}")
+                    failures.append(key)
+                    continue
+            sdf = sdf_spark.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"✗ {key}: SPARK ERROR: {type(e).__name__}: {e}")
             failures.append(key)
