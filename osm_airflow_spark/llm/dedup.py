@@ -92,6 +92,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     shingle_n: int = 3,
     max_bucket: int = 200,
+    observation=None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs.
 
@@ -103,9 +104,13 @@ def minhash_lsh_pairs(
     4. self-equi-join on (band_idx, band_hash) → candidates, with a
        bucket-size cap: a bucket holding >max_bucket docs means the
        shingle carries no signal (boilerplate), and joining it would
-       be quadratic — the standard skip-mega-buckets guard (logged
-       loudly in production; silently correct to skip for dedup
-       since such pairs get found via their other bands);
+       be quadratic — the standard skip-mega-buckets guard (correct
+       to skip for dedup since such pairs get found via their other
+       bands). The dropped volume is OBSERVABLE: pass a
+       ``pyspark.sql.Observation`` and after the first action it
+       reports ``lsh_rows_skipped`` (doc×band rows dropped by the
+       cap) and ``lsh_buckets_skipped_approx`` — recall loss from
+       boilerplate mega-buckets is never silent;
     5. estimate Jaccard as the fraction of matching signature slots;
        keep pairs ≥ threshold.
     """
@@ -130,9 +135,17 @@ def minhash_lsh_pairs(
         "doc_id", sig_array.alias("sig"), F.posexplode(bands).alias("band_idx", "band_hash")
     )
     bucket_w = Window.partitionBy("band_idx", "band_hash")
-    banded = banded.withColumn("bucket_n", F.count(F.lit(1)).over(bucket_w)).where(
-        F.col("bucket_n") <= max_bucket
-    ).drop("bucket_n")
+    banded = banded.withColumn("bucket_n", F.count(F.lit(1)).over(bucket_w))
+    if observation is not None:
+        over = F.col("bucket_n") > max_bucket
+        banded = banded.observe(
+            observation,
+            F.count(F.when(over, 1)).alias("lsh_rows_skipped"),
+            F.approx_count_distinct(
+                F.when(over, F.concat_ws(":", "band_idx", "band_hash"))
+            ).alias("lsh_buckets_skipped_approx"),
+        )
+    banded = banded.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
 
     left = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
@@ -282,19 +295,23 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                   CAST(b.embedding AS DOUBLE[])) AS cos_sim
     FROM embeddings a, embeddings b
-    WHERE a.vec_id < b.vec_id
+    WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 0 AND a.vec_id < b.vec_id
       AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                  CAST(b.embedding AS DOUBLE[])) >= 0.4
     """,
 )
 def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extension — embedding-cosine near-duplicate pairs (brute
-    force; the fixture's max pairwise cosine is ~0.51, so 0.4 marks
-    the 'suspiciously similar' tail). Double-precision sequential
-    cosine is bit-identical to DuckDB's list_cosine_similarity →
-    SQL-oracled. The 100 TB path replaces the cross join with LSH
-    bucketing (similarity.llm_sim_ann_lsh)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    """Extension — embedding-cosine near-duplicate pairs on a keyed
+    candidate sample (``vec_id % 2``; the fixture's max pairwise
+    cosine is ~0.51, so 0.4 marks the 'suspiciously similar' tail).
+    Pairwise cosine is inherently quadratic, so the cross join is
+    NEVER unbounded — sample/bucket first, always (same guard as
+    llm_sim_pairwise / llm_dedup_ngram_jaccard). Double-precision
+    sequential cosine is bit-identical to DuckDB's
+    list_cosine_similarity → SQL-oracled. The 100 TB path replaces
+    the sampled cross join with LSH bucketing
+    (similarity.llm_sim_ann_lsh)."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 2 == 0)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = cosine_expr("ea", "eb")

@@ -125,7 +125,12 @@ def hyperplane_signature(vec_col, n_planes: int = 8, dim: int = 64) -> Column:
     (deterministic — see _plane_component), so the per-row work is
     n_planes array dot products, not a giant per-element expression
     tree. Signature bit p = sign(v · plane_p).
-    """
+
+    Dimension guard: ``zip_with`` pads the shorter array with nulls,
+    so a vector of any length ≠ dim would silently yield a NULL dot
+    product, a NULL bucket, and ZERO ANN candidates. Instead the
+    expression raises on the first mismatched row — wrong dimension
+    is a data error, not an empty result."""
     dv = _as_double(vec_col)
     bits = []
     for p in range(n_planes):
@@ -134,7 +139,16 @@ def hyperplane_signature(vec_col, n_planes: int = 8, dim: int = 64) -> Column:
             F.zip_with(dv, plane, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
         )
         bits.append((dot > 0).cast("long") * F.lit(2**p))
-    return reduce(lambda a, b: a + b, bits)
+    sig = reduce(lambda a, b: a + b, bits)
+    dim_ok = F.assert_true(
+        F.size(dv) == F.lit(dim),
+        F.concat(
+            F.lit(f"hyperplane_signature: planes have dim={dim} but vector has "),
+            F.size(dv).cast("string"),
+            F.lit(" elements"),
+        ),
+    )
+    return F.when(dim_ok.isNull(), sig)
 
 
 @query("llm_sim_ann_lsh")  # rows-only: recall depends on the hash family

@@ -21,19 +21,52 @@ tombstones in the change feed, never scans of the base.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 CHANGE_COL = "change_op"  # 'create' | 'modify' | 'delete'
 
 
-def apply_diff(snapshot: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+def latest_change_per_key(
+    changes: DataFrame, key: str, change_ts: str = "change_ts"
+) -> DataFrame:
+    """Collapse a change batch to ONE row per key: the latest by
+    ``change_ts``, tie-broken deterministically (delete > modify >
+    create at the same timestamp — a delete is the strongest claim,
+    and any total order beats a partition-dependent one). Without
+    this, N same-key changes in one batch fan out every joined base
+    row N times and append N conflicting versions."""
+    op_rank = (
+        F.when(F.col(CHANGE_COL) == "delete", 3)
+        .when(F.col(CHANGE_COL) == "modify", 2)
+        .otherwise(1)
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.col(change_ts).desc(), op_rank.desc(), F.col(CHANGE_COL)
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def apply_diff(
+    snapshot: DataFrame, changes: DataFrame, key: str, change_ts: str = "change_ts"
+) -> DataFrame:
     """Type-1 merge: latest state only.
 
     ``changes`` carries the full new row plus a ``change_op`` column.
+    The batch is first collapsed to the latest change per key, so a
+    key that is created and then modified within one batch lands as
+    exactly one new row (and create-then-delete lands as nothing).
     Rows in the base whose key appears in the batch are superseded
     (anti-join); creates/modifies append their new version; deletes
     contribute nothing."""
+    if change_ts in changes.columns:
+        changes = latest_change_per_key(changes, key, change_ts)
+        if change_ts not in snapshot.columns:
+            changes = changes.drop(change_ts)
     survivors = snapshot.join(changes.select(key), key, "left_anti")
     additions = changes.where(F.col(CHANGE_COL) != "delete").drop(CHANGE_COL)
     return survivors.unionByName(additions)
@@ -56,24 +89,42 @@ def scd2_merge(
 
     The as-of join (D9 pattern) over (key, valid_from) then answers
     "the element as of time T" for any T — the relational form of
-    running a query against an old pgosm_date snapshot."""
+    running a query against an old pgosm_date snapshot.
+
+    Batch hygiene: the batch is collapsed to the LATEST change per
+    key first (``latest_change_per_key``) — otherwise N same-key
+    changes fan out every history row N times and append N open
+    versions. Out-of-order guard: a change whose timestamp is not
+    after the open version's ``valid_from`` closes it at
+    ``valid_from`` (zero-length interval) rather than inverting it,
+    and the new version starts at the same clamped instant — history
+    never contains valid_to < valid_from."""
+    changes = latest_change_per_key(changes, key, change_ts)
     changed_keys = changes.select(key, F.col(change_ts).alias("_close_ts"))
     closed = (
         history.join(changed_keys, key, "left")
         .withColumn(
             valid_to,
             F.when(
-                F.col(valid_to).isNull() & F.col("_close_ts").isNotNull(), F.col("_close_ts")
+                F.col(valid_to).isNull() & F.col("_close_ts").isNotNull(),
+                F.greatest(F.col("_close_ts"), F.col(valid_from)),
             ).otherwise(F.col(valid_to)),
         )
         .drop("_close_ts")
     )
+    open_starts = history.where(F.col(valid_to).isNull()).groupBy(key).agg(
+        F.max(valid_from).alias("_open_from")
+    )
     new_versions = (
         changes.where(F.col(CHANGE_COL) != "delete")
         .drop(CHANGE_COL)
-        .withColumn(valid_from, F.col(change_ts))
+        .join(open_starts, key, "left")
+        .withColumn(
+            valid_from,
+            F.greatest(F.col(change_ts), F.coalesce(F.col("_open_from"), F.col(change_ts))),
+        )
         .withColumn(valid_to, F.lit(None).cast("timestamp"))
-        .drop(change_ts)
+        .drop(change_ts, "_open_from")
     )
     return closed.unionByName(new_versions)
 

@@ -167,9 +167,17 @@ def geohash_cell(lon: Column, lat: Column, bits: int = 12) -> Column:
     """Spatial partition key: interleaved lon/lat bit prefix (a
     geohash without the base32 dressing). 12 bits ≈ 4096 cells —
     the partition column that makes fn_geo_bbox prune at 100 TB."""
-    lon_q = ((lon + 180.0) / 360.0 * (1 << (bits // 2))).cast("int")
-    lat_q = ((lat + 90.0) / 180.0 * (1 << (bits // 2))).cast("int")
-    return lon_q * (1 << (bits // 2)) + lat_q
+    cells = 1 << (bits // 2)
+    # Clamp: lon=180 / lat=90 quantize to `cells`, one past the last
+    # valid cell — boundary points belong in the last cell, not a
+    # phantom partition.
+    lon_q = F.least(
+        ((lon + 180.0) / 360.0 * cells).cast("int"), F.lit(cells - 1)
+    )
+    lat_q = F.least(
+        ((lat + 90.0) / 180.0 * cells).cast("int"), F.lit(cells - 1)
+    )
+    return lon_q * cells + lat_q
 
 
 def build_highway_layer(
@@ -239,19 +247,30 @@ def is_closed_way(node_refs: Column) -> Column:
     )
 
 
+def _wrap_dlon(dlon: Column) -> Column:
+    """Normalize a longitude delta into [-180, 180]: an edge crossing
+    the antimeridian (e.g. 179 → -179) is 2° of travel, not -358°.
+    Without this, rings spanning ±180° get grossly wrong areas and
+    inverted winding."""
+    return dlon - 360.0 * F.round(dlon / 360.0)
+
+
 def ring_area(lons: Column, lats: Column) -> Column:
     """Shoelace area of a closed ring (planar, in coordinate units²;
     positive = counterclockwise winding). Pure column expression over
-    the parallel coordinate arrays — no UDF. For geographic areas,
-    project first; the winding sign alone settles ring orientation
-    for multipolygon assembly."""
+    the parallel coordinate arrays — no UDF. Uses the trapezoid
+    (delta) form of the shoelace, A = -½ Σ Δlonᵢ·(latᵢ+latᵢ₊₁), with
+    each Δlon wrapped into [-180, 180] so antimeridian-crossing rings
+    keep correct area and winding. For geographic areas, project
+    first; the winding sign alone settles ring orientation for
+    multipolygon assembly."""
     n = F.size(lons)
     terms = F.transform(
         F.sequence(F.lit(1), n - 1),
-        lambda i: F.element_at(lons, i) * F.element_at(lats, i + 1)
-        - F.element_at(lons, i + 1) * F.element_at(lats, i),
+        lambda i: _wrap_dlon(F.element_at(lons, i + 1) - F.element_at(lons, i))
+        * (F.element_at(lats, i) + F.element_at(lats, i + 1)),
     )
-    return F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v) / 2
+    return -F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v) / 2
 
 
 def line_length_km(lons: Column, lats: Column) -> Column:
@@ -325,7 +344,9 @@ def ring_area_km2(lons: Column, lats: Column) -> Column:
     n = F.size(lons)
     terms = F.transform(
         F.sequence(F.lit(1), n - 1),
-        lambda i: (F.radians(F.element_at(lons, i + 1)) - F.radians(F.element_at(lons, i)))
+        lambda i: F.radians(
+            _wrap_dlon(F.element_at(lons, i + 1) - F.element_at(lons, i))
+        )
         * (F.sin(F.radians(F.element_at(lats, i))) + F.sin(F.radians(F.element_at(lats, i + 1)))),
     )
     r = 6371.0

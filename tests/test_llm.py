@@ -41,6 +41,28 @@ def test_minhash_near_dup_estimate_reasonable(docs):
         assert pairs[(1, 3)] >= 0.5
 
 
+def test_minhash_mega_bucket_drops_are_observable(docs):
+    """With a pathological cap every bucket is a 'mega-bucket'; the
+    Observation must report the dropped doc×band rows instead of the
+    recall loss being silent."""
+    from pyspark.sql import Observation
+
+    obs = Observation("lsh_cap")
+    out = minhash_lsh_pairs(docs, max_bucket=1, observation=obs)
+    assert out.count() == 0  # all candidates came from capped buckets
+    assert obs.get["lsh_rows_skipped"] > 0
+    assert obs.get["lsh_buckets_skipped_approx"] > 0
+
+
+def test_minhash_no_drops_reports_zero(docs):
+    from pyspark.sql import Observation
+
+    obs = Observation("lsh_nocap")
+    pairs = minhash_lsh_pairs(docs, observation=obs).collect()
+    assert len(pairs) >= 1
+    assert obs.get["lsh_rows_skipped"] == 0
+
+
 def test_simhash_identical_docs_same_fingerprint(docs):
     fp = {
         r["doc_id"]: r["s"]

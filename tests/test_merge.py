@@ -89,6 +89,77 @@ def test_scd2_sequential_batches(spark):
         assert len(got) == 1 and got[0]["amenity"] == expect, ts
 
 
+def test_apply_diff_collapses_multi_change_batch(spark, base):
+    """N same-key changes in one batch must land as ONE outcome (the
+    latest by change_ts), not N appended rows."""
+    changes = spark.createDataFrame(
+        [
+            (4, "bank", 1, "2024-01-01", "create"),
+            (4, "atm", 2, "2024-01-02", "modify"),
+            (2, "bar", 2, "2024-01-01", "modify"),
+            (2, None, 0, "2024-01-02", "delete"),
+        ],
+        "node_id long, amenity string, version int, change_ts string, change_op string",
+    ).withColumn("change_ts", F.col("change_ts").cast("timestamp"))
+    out = {r["node_id"]: r for r in apply_diff(base, changes, "node_id").collect()}
+    assert set(out) == {1, 3, 4}  # 2 created-then-... no: 2 modified then deleted
+    assert out[4]["amenity"] == "atm" and out[4]["version"] == 2  # latest wins, once
+
+
+def test_apply_diff_same_ts_delete_wins(spark, base):
+    changes = spark.createDataFrame(
+        [
+            (2, "bar", 2, "2024-01-01", "modify"),
+            (2, None, 0, "2024-01-01", "delete"),
+        ],
+        "node_id long, amenity string, version int, change_ts string, change_op string",
+    ).withColumn("change_ts", F.col("change_ts").cast("timestamp"))
+    out = {r["node_id"] for r in apply_diff(base, changes, "node_id").collect()}
+    assert out == {1, 3}  # tie at same ts: delete outranks modify
+
+
+def test_scd2_multi_change_batch_single_close_and_open(spark):
+    history = spark.createDataFrame(
+        [(1, "v1", "2024-01-01", None)],
+        "node_id long, amenity string, valid_from string, valid_to string",
+    ).select(
+        "node_id",
+        "amenity",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    changes = spark.createDataFrame(
+        [(1, "v2", "2024-02-01", "modify"), (1, "v3", "2024-03-01", "modify")],
+        "node_id long, amenity string, change_ts string, change_op string",
+    ).withColumn("change_ts", F.col("change_ts").cast("timestamp"))
+    merged = scd2_merge(history, changes, "node_id")
+    rows = merged.collect()
+    assert len(rows) == 2  # one closed v1 + ONE open v3, not three
+    open_rows = [r for r in rows if r["valid_to"] is None]
+    assert len(open_rows) == 1 and open_rows[0]["amenity"] == "v3"
+
+
+def test_scd2_out_of_order_change_never_inverts_interval(spark):
+    history = spark.createDataFrame(
+        [(1, "v1", "2024-06-01", None)],
+        "node_id long, amenity string, valid_from string, valid_to string",
+    ).select(
+        "node_id",
+        "amenity",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    # change_ts BEFORE the open version's valid_from
+    changes = spark.createDataFrame(
+        [(1, "v0", "2024-01-01", "modify")],
+        "node_id long, amenity string, change_ts string, change_op string",
+    ).withColumn("change_ts", F.col("change_ts").cast("timestamp"))
+    merged = scd2_merge(history, changes, "node_id")
+    for r in merged.collect():
+        if r["valid_to"] is not None:
+            assert r["valid_to"] >= r["valid_from"], r
+
+
 def test_apply_diff_delete_then_recreate(spark, base):
     from pyspark.sql import functions as F  # noqa: F401
 

@@ -126,6 +126,43 @@ def test_geohash_cell_bounds(spark):
     assert len(set(cells)) == 3
 
 
+def test_geohash_cell_boundary_points_clamped(spark):
+    """lon=180 / lat=90 quantize one past the last cell without the
+    clamp — they must land in the last valid cell, not a phantom."""
+    df = spark.createDataFrame(
+        [(180.0, 90.0), (180.0, -90.0), (-180.0, 90.0), (179.999, 89.999)],
+        "lon double, lat double",
+    )
+    cells = [r["c"] for r in df.select(geohash_cell(F.col("lon"), F.col("lat")).alias("c")).collect()]
+    assert all(0 <= c < 4096 for c in cells), cells
+    assert cells[0] == 4095  # NE corner → last cell
+
+
+def test_ring_area_antimeridian_crossing(spark):
+    """A 2°x2° square straddling ±180° must have the same area and
+    winding as the identical square at lon 0 — delta-lon wrapping."""
+    from osm_airflow_spark.plans.osm import ring_area, ring_area_km2
+
+    df = spark.createDataFrame(
+        [
+            ("at_zero", [-1.0, 1.0, 1.0, -1.0, -1.0], [0.0, 0.0, 2.0, 2.0, 0.0]),
+            ("at_180", [179.0, -179.0, -179.0, 179.0, 179.0], [0.0, 0.0, 2.0, 2.0, 0.0]),
+        ],
+        "name string, lons array<double>, lats array<double>",
+    )
+    out = {
+        r["name"]: r
+        for r in df.select(
+            "name",
+            ring_area(F.col("lons"), F.col("lats")).alias("planar"),
+            ring_area_km2(F.col("lons"), F.col("lats")).alias("km2"),
+        ).collect()
+    }
+    assert abs(out["at_180"]["planar"] - out["at_zero"]["planar"]) < 1e-9
+    assert out["at_180"]["planar"] > 0  # CCW preserved across the seam
+    assert abs(out["at_180"]["km2"] - out["at_zero"]["km2"]) < 1e-6
+
+
 def test_point_in_polygon_ray_cast(spark):
     from osm_airflow_spark.functions.geo import point_in_polygon
 
