@@ -63,6 +63,41 @@ def test_minhash_no_drops_reports_zero(docs):
     assert obs.get["lsh_rows_skipped"] == 0
 
 
+def test_minhash_recall_bound_vs_exact_shingle_jaccard(spark, sf_dir):
+    """Quantified quality invariant for llm_dedup_near: against the
+    EXACT 3-gram shingle-set Jaccard (the quantity MinHash estimates
+    — word-set Jaccard is a different, looser measure on templated
+    text), the LSH pipeline at threshold 0.8 must recall ≥ 90% of
+    true ≥0.8 pairs and every reported pair must be a true ≥0.7
+    pair. Deterministic: content-hash family, fixed fixture."""
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.llm.dedup import shingle_array
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.split("text", " ").alias("words")).select(
+        "doc_id", F.array_distinct(shingle_array("words", 3)).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("da"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    truth = {
+        (r["da"], r["db"]): r["j"]
+        for r in a.crossJoin(b)
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db", jac.alias("j"))
+        .where(F.col("j") >= 0.7)
+        .collect()
+    }
+    got = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(d).collect()}
+    true_pairs = {p for p, j in truth.items() if j >= 0.8}
+    assert true_pairs, "fixture must contain near-dup pairs"
+    recall = len(got & true_pairs) / len(true_pairs)
+    assert recall >= 0.9, f"recall {recall:.3f} < 0.9 ({len(true_pairs)} true pairs)"
+    assert all(p in truth for p in got), "false positive below true j=0.7"
+
+
 def test_simhash_identical_docs_same_fingerprint(docs):
     fp = {
         r["doc_id"]: r["s"]
