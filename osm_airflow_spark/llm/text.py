@@ -367,3 +367,176 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs_in_pack"),
         F.sum("n_tokens").alias("pack_tokens"),
     )
+
+
+@query(
+    "llm_pii_scrub",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(c_name, '\\d', '#', 'g') AS name_masked,
+           regexp_extract(c_name, '(\\d+)', 1) AS numeric_id,
+           length(c_name) - length(regexp_replace(c_name, '\\d', '', 'g'))
+             AS n_digits,
+           regexp_matches(c_name, '\\d{6,}') AS has_long_number
+    FROM customer
+    """,
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — PII-style redaction: mask digit runs, extract the
+    numeric identifier, count digits, flag long (id-like) numbers.
+    The standard scrub pass before corpus release — all built-in
+    regex expressions (JVM-side), exact across engines (note the 'g'
+    flag: DuckDB replaces first-match by default, Spark globally)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", r"\d", "#").alias("name_masked"),
+        F.regexp_extract("c_name", r"(\d+)", 1).alias("numeric_id"),
+        (
+            F.length("c_name")
+            - F.length(F.regexp_replace("c_name", r"\d", ""))
+        ).cast("long").alias("n_digits"),
+        F.col("c_name").rlike(r"\d{6,}").alias("has_long_number"),
+    )
+
+
+@query(
+    "llm_repetition_ratio",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2]) AS grams
+      FROM documents
+    )
+    SELECT doc_id,
+           len(grams) AS n_grams,
+           len(list_distinct(grams)) AS n_distinct,
+           1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+             AS repetition_ratio
+    FROM g
+    """,
+)
+def llm_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — within-document repetition: 1 − distinct/total
+    3-grams, the boilerplate/spam signal quality filters cut on
+    (high ratio = copy-pasted or templated text). Integer set sizes
+    → exact division → SQL-oracled; one narrow projection, no
+    shuffle at all."""
+    from osm_airflow_spark.llm.dedup import shingle_array
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = shingle_array("words", 3)
+    return (
+        d.select("doc_id", F.split("text", " ").alias("words"))
+        .select("doc_id", grams.alias("grams"))
+        .select(
+            "doc_id",
+            F.size("grams").cast("long").alias("n_grams"),
+            F.size(F.array_distinct("grams")).cast("long").alias("n_distinct"),
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct("grams")).cast("double") / F.size("grams")
+            ).alias("repetition_ratio"),
+        )
+    )
+
+
+@query(
+    "llm_length_histogram",
+    oracle="""
+    SELECT length(bin(n_chars)) AS log2_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — power-of-two document-length histogram (the
+    corpus-shape report sequence-packing and batch-sizing read).
+    Bucket = bit length of n_chars — pure INTEGER math, engine-exact,
+    unlike floor(log2(x)) whose libm rounding can differ at
+    boundaries. One partial-aggregated groupBy over ~60 buckets."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.length(F.bin("n_chars")).cast("long").alias("log2_bucket"), "n_chars")
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@query(
+    "llm_contamination_check",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2]))) AS gram
+      FROM documents
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 0),
+    train AS (SELECT doc_id, gram FROM grams WHERE doc_id % 17 <> 0),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_contaminated
+      FROM train t JOIN bench b USING (gram)
+      GROUP BY t.doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id)
+    SELECT totals.doc_id,
+           totals.n_grams,
+           COALESCE(hits.n_contaminated, 0) AS n_contaminated,
+           CAST(COALESCE(hits.n_contaminated, 0) AS DOUBLE) / totals.n_grams
+             AS contamination_ratio
+    FROM totals LEFT JOIN hits USING (doc_id)
+    """,
+)
+def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — benchmark decontamination: fraction of each
+    training document's distinct 3-grams that appear in the held-out
+    benchmark set (docs with ``doc_id % 17 = 0`` stand in for the
+    eval suite). The screen every training corpus runs before
+    release. Shape: explode distinct grams once, equi-join against
+    the (much smaller, broadcastable) benchmark gram set, two keyed
+    aggregations — shuffle ∝ gram count, never pairs of documents."""
+    from osm_airflow_spark.llm.dedup import shingle_array
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.split("text", " ").alias("words"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingle_array("words", 3))).alias("gram"),
+        )
+    )
+    bench = (
+        grams.where(F.col("doc_id") % 17 == 0).select("gram").distinct()
+    )
+    train = grams.where(F.col("doc_id") % 17 != 0)
+    hits = (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        (
+            F.coalesce("n_contaminated", F.lit(0)).cast("double") / F.col("n_grams")
+        ).alias("contamination_ratio"),
+    )

@@ -292,17 +292,70 @@ def line_length_km(lons: Column, lats: Column) -> Column:
     return F.when(n >= 2, F.aggregate(segs, F.lit(0.0), lambda acc, v: acc + v)).otherwise(0.0)
 
 
+def ring_is_simple(lons: Column, lats: Column) -> Column:
+    """Ring validity: True when no two non-adjacent edges properly
+    cross (the self-intersection test behind osm2pgsql's 'assembles
+    VALID geometries', README.md:80-82). Classic orientation test —
+    segments AB and CD cross iff C and D are on opposite sides of AB
+    AND A and B are on opposite sides of CD — evaluated over all
+    non-adjacent edge pairs with nested array transforms: a pure
+    column expression, no UDF. OSM rings are small (buildings:
+    5–50 vertices), so the O(E²) pair scan is per-row constant work;
+    degenerate collinear-overlap touches are not flagged (rare in
+    snapped OSM data; a full repair pass would be a geometry-library
+    job, out of scope per SCALE.md)."""
+    n = F.size(lons)
+
+    def x(i):
+        return F.element_at(lons, i)
+
+    def y(i):
+        return F.element_at(lats, i)
+
+    def cross_sign(ax, ay, bx, by, cx, cy):
+        # sign of the z-component of (B-A)×(C-A)
+        return F.signum((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+
+    def edges_cross(i, j):
+        d1 = cross_sign(x(i), y(i), x(i + 1), y(i + 1), x(j), y(j))
+        d2 = cross_sign(x(i), y(i), x(i + 1), y(i + 1), x(j + 1), y(j + 1))
+        d3 = cross_sign(x(j), y(j), x(j + 1), y(j + 1), x(i), y(i))
+        d4 = cross_sign(x(j), y(j), x(j + 1), y(j + 1), x(i + 1), y(i + 1))
+        return (d1 * d2 < 0) & (d3 * d4 < 0)
+
+    # Edge i spans points (i, i+1), i in 1..n-1. Test only j ≥ i+2
+    # (adjacent edges share a vertex, not a crossing) and skip the
+    # closing edge (n-1) against the first (they share start=end).
+    # NB: guard with j>=i+2 over a FIXED ascending range — Spark's
+    # sequence(a, b) silently DESCENDS when a > b.
+    edge_range = F.sequence(F.lit(1), n - 1)
+    crossing = F.exists(
+        edge_range,
+        lambda i: F.exists(
+            edge_range,
+            lambda j: (j >= i + 2)
+            & ~((i == 1) & (j == n - 1))
+            & edges_cross(i, j),
+        ),
+    )
+    return F.when(n >= 4, ~crossing).otherwise(F.lit(False))
+
+
 def assemble_way_polygons(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     """Polygon assembly: closed ways → single-ring polygons with
-    signed area and bbox (the buildings/landuse layer shape). Open
-    ways are excluded — they belong to the line layer; the flex
-    styles route on exactly this closure test."""
+    signed area, bbox, and a validity flag (the buildings/landuse
+    layer shape; osm2pgsql publishes only VALID geometries —
+    README.md:80-82 — so downstream layers filter or quarantine on
+    ``is_simple``). Open ways are excluded — they belong to the line
+    layer; the flex styles route on exactly this closure test."""
     closed = ways.where(is_closed_way(F.col("node_refs")))
     assembled = assemble_way_lines(closed, nodes)
     lons = F.expr("transform(line, s -> s.lon)")
     lats = F.expr("transform(line, s -> s.lat)")
-    return assembled.withColumn("ring_area", ring_area(lons, lats)).withColumn(
-        "is_ccw", F.col("ring_area") > 0
+    return (
+        assembled.withColumn("ring_area", ring_area(lons, lats))
+        .withColumn("is_ccw", F.col("ring_area") > 0)
+        .withColumn("is_simple", ring_is_simple(lons, lats))
     )
 
 

@@ -138,6 +138,55 @@ def test_geohash_cell_boundary_points_clamped(spark):
     assert cells[0] == 4095  # NE corner → last cell
 
 
+def test_ring_is_simple_detects_self_intersection(spark):
+    """Geometry validity (osm2pgsql 'assembles VALID geometries',
+    README.md:80-82): proper crossings flagged, convex/concave simple
+    rings pass, sub-ring point counts are invalid by definition."""
+    from osm_airflow_spark.plans.osm import ring_is_simple
+
+    rows = [
+        ("square", [0.0, 1.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 1.0, 0.0], True),
+        ("bowtie", [0.0, 1.0, 0.0, 1.0, 0.0], [0.0, 1.0, 1.0, 0.0, 0.0], False),
+        ("triangle", [0.0, 1.0, 0.5, 0.0], [0.0, 0.0, 1.0, 0.0], True),
+        ("pentagram", [0.0, 2.0, -0.5, 1.0, 2.5, 0.0], [0.0, 1.5, 1.5, 0.0, 2.4, 0.0], False),
+        ("two_points", [0.0, 1.0, 0.0], [0.0, 0.0, 0.0], False),
+        ("concave_L", [0.0, 2.0, 2.0, 1.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 1.0, 2.0, 2.0, 0.0], True),
+    ]
+    df = spark.createDataFrame(
+        [(n, lo, la) for n, lo, la, _ in rows],
+        "name string, lons array<double>, lats array<double>",
+    )
+    got = {
+        r["name"]: r["s"]
+        for r in df.select(
+            "name", ring_is_simple(F.col("lons"), F.col("lats")).alias("s")
+        ).collect()
+    }
+    for name, _, _, expect in rows:
+        assert got[name] == expect, name
+
+
+def test_way_polygons_carry_validity_flag(spark):
+    from osm_airflow_spark.plans.osm import assemble_way_polygons
+
+    nodes = spark.createDataFrame(
+        [(i, float(la), float(lo), {}) for i, (lo, la) in enumerate(
+            [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+        )],
+        "node_id long, lat double, lon double, tags map<string,string>",
+    )
+    ways = spark.createDataFrame(
+        [
+            (500, [0, 1, 2, 3, 0], {}),   # square: simple
+            (501, [0, 2, 1, 3, 0], {}),   # bowtie order: self-crossing
+        ],
+        "way_id long, node_refs array<long>, tags map<string,string>",
+    )
+    out = {r["way_id"]: r for r in assemble_way_polygons(ways, nodes).collect()}
+    assert out[500]["is_simple"] is True
+    assert out[501]["is_simple"] is False
+
+
 def test_ring_area_antimeridian_crossing(spark):
     """A 2°x2° square straddling ±180° must have the same area and
     winding as the identical square at lon 0 — delta-lon wrapping."""
