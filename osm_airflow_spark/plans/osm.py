@@ -379,12 +379,17 @@ def assemble_multipolygons(relations: DataFrame, ways: DataFrame, nodes: DataFra
         "rel_id",
         "role",
         F.abs(ring_area(lons, lats)).alias("abs_area"),
+        ring_area_km2(lons, lats).alias("abs_area_km2"),
     )
-    signed = F.when(F.col("role") == "inner", -F.col("abs_area")).otherwise(F.col("abs_area"))
+
+    def signed(col: str):
+        return F.when(F.col("role") == "inner", -F.col(col)).otherwise(F.col(col))
+
     return rings.groupBy("rel_id").agg(
         F.sum(F.when(F.col("role") == "outer", 1).otherwise(0)).alias("n_outer"),
         F.sum(F.when(F.col("role") == "inner", 1).otherwise(0)).alias("n_inner"),
-        F.sum(signed).alias("net_area"),
+        F.sum(signed("abs_area")).alias("net_area"),
+        F.sum(signed("abs_area_km2")).alias("net_area_km2"),
     )
 
 

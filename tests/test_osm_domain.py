@@ -341,6 +341,9 @@ def test_multipolygon_with_hole(spark):
     row = out[0]
     assert row["n_outer"] == 1 and row["n_inner"] == 1  # open way dropped
     assert row["net_area"] == 12.0
+    # geodesic net area: 4°×4° outer minus 2°×2° inner near the
+    # equator ≈ (4·111.19)² − (2·111.19)² ≈ 148k km² (small-angle)
+    assert 140_000 < row["net_area_km2"] < 160_000
 
 
 def test_ring_area_km2_known_square(spark):
