@@ -363,3 +363,47 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS mean_qty,
+           (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,6))) AS DOUBLE)
+             - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               * CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1) AS var_qty,
+           sqrt((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,6))) AS DOUBLE)
+             - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               * CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1)) AS stddev_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 (extension) — mean/variance/stddev from one-pass sufficient
+    statistics (Σx, Σx², n as DECIMAL sums → cast double → identical
+    IEEE arithmetic in both engines). The built-in var_samp/stddev
+    use engine-specific streaming algorithms whose low bits differ —
+    deriving the moments from exact sums is both hash-stable AND the
+    mergeable 100 TB form (partials combine by adding the three
+    statistics; that is what partial aggregation already does)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    grouped = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast("decimal(18,6)")).cast("double").alias("_s"),
+        F.sum((q * q).cast("decimal(24,6)")).cast("double").alias("_s2"),
+    )
+    var = (F.col("_s2") - F.col("_s") * F.col("_s") / F.col("n")) / (F.col("n") - 1)
+    return grouped.select(
+        "l_returnflag",
+        "n",
+        (F.col("_s") / F.col("n")).alias("mean_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+    )

@@ -89,6 +89,40 @@ def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
+def interval_join_streams(
+    clicks: DataFrame,
+    views: DataFrame,
+    watermark: str = "2 hours",
+    join_window: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: pair each
+    'click' with the same user's 'view' that happened at most
+    ``join_window`` earlier (the attribution join). Both sides carry
+    watermarks and the join predicate bounds event time in BOTH
+    directions, so Spark can size the state store and expire rows —
+    the required shape for an unbounded stream-stream join (state is
+    O(watermark window), not O(stream)).
+
+    Parity: the same function applied to two batch DataFrames
+    produces the batch interval join — tested against it."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    return c.join(
+        v,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {join_window}")),
+    ).select("c_user", "click_id", "click_ts", "view_id", "view_ts")
+
+
 def dedup_latest_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """F1, streaming: bounded-state dedup — the snapshot 'latest
     version per id' semantic under continuous arrival."""

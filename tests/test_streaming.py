@@ -189,3 +189,37 @@ def test_merge_diff_stream_applies_changes(spark, tmp_path):
 
     final = {r["node_id"]: r["amenity"] for r in spark.read.parquet(snap).collect()}
     assert final == {2: "restaurant", 3: "bank"}
+
+
+def test_stream_stream_interval_join_parity(spark, sf_dir, stream_events):
+    """Stream-stream attribution join (click ← view within 30 min)
+    must equal the identical interval join run as a batch query.
+    Append mode: bounded-state joins emit finalized rows only."""
+    from osm_airflow_spark.streaming.windows import interval_join_streams
+
+    clicks_s = stream_events.where(F.col("event_type") == "click")
+    views_s = stream_events.where(F.col("event_type") == "view")
+    q = (
+        interval_join_streams(clicks_s, views_s)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ssjoin")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        (r["click_id"], r["view_id"])
+        for r in spark.sql("SELECT * FROM t_ssjoin").collect()
+    }
+
+    ev = load_events(spark, sf_dir)
+    batch = {
+        (r["click_id"], r["view_id"])
+        for r in interval_join_streams(
+            ev.where(F.col("event_type") == "click"),
+            ev.where(F.col("event_type") == "view"),
+        ).collect()
+    }
+    assert len(batch) > 0
+    assert streamed == batch
