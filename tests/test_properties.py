@@ -106,3 +106,54 @@ def test_wkb_roundtrip_property(spark, lines):
         assert [(p["lon"], p["lat"]) for p in decoded[i]] == [
             (float(x), float(y)) for x, y in pts
         ]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),          # key
+            st.sampled_from(["create", "modify", "delete"]),
+            st.integers(min_value=0, max_value=400),        # day offset
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_scd2_intervals_never_invert_property(spark, changes):
+    """SCD2 invariants under arbitrary (multi-change-per-key,
+    out-of-order) batches: no closed version has valid_to <
+    valid_from, and each key has at most one open version."""
+    from osm_airflow_spark.plans.merge import scd2_merge
+
+    history = spark.createDataFrame(
+        [(k, f"v{k}", "2024-06-01", None) for k in {c[0] for c in changes}],
+        "node_id long, amenity string, valid_from string, valid_to string",
+    ).select(
+        "node_id",
+        "amenity",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    batch = (
+        spark.createDataFrame(
+            [(k, f"n{k}-{d}", op, d) for (k, op, d) in changes],
+            "node_id long, amenity string, change_op string, d int",
+        )
+        .withColumn(
+            "change_ts",
+            F.to_timestamp(F.lit("2024-01-01")) + F.make_interval(days=F.col("d")),
+        )
+        .drop("d")
+        .dropDuplicates(["node_id", "amenity", "change_op"])
+    )
+    merged = scd2_merge(history, batch, "node_id")
+    rows = merged.collect()
+    for r in rows:
+        if r["valid_to"] is not None:
+            assert r["valid_to"] >= r["valid_from"], r
+    open_per_key = {}
+    for r in rows:
+        if r["valid_to"] is None:
+            open_per_key[r["node_id"]] = open_per_key.get(r["node_id"], 0) + 1
+    assert all(v == 1 for v in open_per_key.values()), open_per_key
