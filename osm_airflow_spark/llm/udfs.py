@@ -119,3 +119,50 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 — custom aggregate as a grouped-agg pandas UDF."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(_mean_qty("l_quantity").alias("mean_qty"))
+
+
+def _l2_norm_arrow(batches):
+    """Arrow-native batch transform: per-vector L2 norm. The dot
+    product is accumulated SEQUENTIALLY in float64 (a Python loop,
+    not numpy pairwise summation) so the result is bit-identical to
+    the oracle's left-to-right list_aggregate sum — parity-grade, not
+    throughput-grade; swap the loop for np.einsum when exactness can
+    relax."""
+    import math
+
+    import pyarrow as pa
+
+    for batch in batches:
+        vec_ids = batch.column("vec_id").to_pylist()
+        embeddings = batch.column("embedding").to_pylist()
+        norms = []
+        for vec in embeddings:
+            acc = 0.0
+            for x in vec:
+                acc += float(x) * float(x)
+            norms.append(math.sqrt(acc))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(vec_ids, pa.int64()), pa.array(norms, pa.float64())],
+            names=["vec_id", "l2_norm"],
+        )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT vec_id,
+           sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x), 'sum')) AS l2_norm
+    FROM embeddings
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 (extension) — mapInArrow: the zero-copy Arrow batch API,
+    the lowest-overhead Python hook (no pandas conversion on either
+    side). Demonstrated as per-vector L2 norm with an exact SQL
+    oracle; at scale this is where a C-backed kernel (tokenizer,
+    codec) plugs in, consuming Arrow buffers directly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "embedding").mapInArrow(
+        _l2_norm_arrow, "vec_id long, l2_norm double"
+    )
