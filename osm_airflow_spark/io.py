@@ -91,6 +91,32 @@ def write_snapshot(
     )
 
 
+def write_clustered(
+    df: DataFrame,
+    out_dir: str,
+    cluster_cols: tuple[str, ...],
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Cluster-sorted parquet publish: range-partition by the cluster
+    key, then sort within each partition before writing.
+
+    Why it matters at 100 TB: parquet stores min/max statistics per
+    row group. When rows arrive sorted, each row group covers a
+    NARROW key range, so a point/range predicate prunes most row
+    groups at scan time without any index — the poor man's z-order.
+    An unsorted write scatters every key across every row group and
+    min/max stats prune nothing (verified by the row-group-stats
+    tightness test in tests/test_sources.py). Same trick is what
+    makes the geohash layout contract in SCALE.md actually prune."""
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(out_dir)
+    )
+
+
 def read_snapshot(spark: SparkSession, out_dir: str, snapshot_date: str) -> DataFrame:
     """Read back one dated snapshot; partition pruning keeps the scan
     to a single date directory."""

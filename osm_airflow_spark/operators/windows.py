@@ -239,11 +239,13 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(rank / F.lit(q + 1)),
     ).otherwise(F.lit(r) + F.ceil((rank - F.lit(big)) / F.lit(max(q, 1))))
 
+    # percent_rank of a single row is 0.0 by definition (avoid 0/0)
+    pct_denom = max(n_total - 1, 1)
     return bucketed.select(
         "c_custkey",
         "c_acctbal",
         ntile_expr.cast("long").alias("bal_quartile"),
-        ((rank - F.lit(1)) / F.lit(n_total - 1)).alias("bal_pct_rank"),
+        ((rank - F.lit(1)) / F.lit(pct_denom)).alias("bal_pct_rank"),
     )
 
 

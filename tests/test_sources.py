@@ -200,3 +200,42 @@ def test_pbf_spark_ingest_and_assembly(spark, pbf_file, tmp_path):
     out = ingest_pbf(spark, pbf_file, str(tmp_path / "elements"), region="test")
     back = spark.read.parquet(out["nodes"])
     assert back.count() == 4 and "tags" in back.columns
+
+
+def test_clustered_write_tightens_row_group_stats(spark, sf_dir, tmp_path):
+    """write_clustered must produce row groups whose min/max key
+    ranges are narrow (disjoint-ish), so parquet stat pruning works;
+    an unsorted write scatters the key across every row group. We
+    assert the mean per-row-group key span shrinks by >5x."""
+    import pyarrow.parquet as pq
+
+    from osm_airflow_spark.io import load_table, write_clustered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    clustered_dir = str(tmp_path / "clustered")
+    scattered_dir = str(tmp_path / "scattered")
+    write_clustered(li, clustered_dir, ("l_orderkey",), n_files=16)
+    li.repartition(16).write.mode("overwrite").parquet(scattered_dir)
+
+    def mean_span(d):
+        import glob
+
+        spans, total = [], 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                col = meta.row_group(rg).column(0)
+                assert col.path_in_schema == "l_orderkey"
+                st = col.statistics
+                spans.append(st.max - st.min)
+                total += 1
+        return sum(spans) / total
+
+    clustered_span = mean_span(clustered_dir)
+    scattered_span = mean_span(scattered_dir)
+    assert clustered_span * 5 < scattered_span, (clustered_span, scattered_span)
+
+    # and the data survives intact
+    assert spark.read.parquet(clustered_dir).count() == li.count()
