@@ -34,6 +34,23 @@ REGIONS = [
 SNAPSHOT_DATE = "2024-07-25"  # reference: pgosm_date, osm_etl.py:13
 
 
+def ingest_region(region: str, subregion: str, data_dir: str) -> None:
+    """Decode one region's .osm.pbf extract into element parquet
+    (replaces the reference's download + osm2pgsql streaming,
+    osm_etl.py:54-56 — no container, no native decoder: the pure-
+    Python blob-parallel reader in sources/pbf)."""
+    from osm_airflow_spark.session import get_spark
+    from osm_airflow_spark.sources.pbf import ingest_pbf
+
+    spark = get_spark(f"osm-ingest-{subregion}")
+    ingest_pbf(
+        spark,
+        f"{data_dir}/{subregion}.osm.pbf",
+        f"{data_dir}/{subregion}",
+        region=subregion,
+    )
+
+
 def transform_region(region: str, subregion: str, snapshot_date: str, data_dir: str) -> None:
     """One region's ETL as a Spark job: element tables → thematic
     layers → dated partitioned snapshot (replaces the reference's
@@ -74,6 +91,13 @@ try:
             return Variable.get("osm_spark_data_dir")
 
         @task
+        def ingest(region_spec: dict, data_dir: str) -> dict:
+            ingest_region(
+                region_spec["region"], region_spec["subregion"], data_dir
+            )
+            return region_spec
+
+        @task
         def transform(region_spec: dict, data_dir: str) -> str:
             transform_region(
                 region_spec["region"],
@@ -91,7 +115,8 @@ try:
             assert len(subregions) == len(REGIONS)
 
         data_dir = bootstrap()
-        done = transform.partial(data_dir=data_dir).expand(region_spec=REGIONS)
+        ingested = ingest.partial(data_dir=data_dir).expand(region_spec=REGIONS)
+        done = transform.partial(data_dir=data_dir).expand(region_spec=ingested)
         publish(done, data_dir)
 
     osm_spark_etl()

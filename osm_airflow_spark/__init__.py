@@ -21,7 +21,8 @@ Layout:
   llm/       — training-data pipeline ops (dedup, similarity, text,
                multimodal)
   plans/     — composed pipelines (flagship query, OSM domain layer)
-  sources/   — source connectors (parquet, jdbc, pbf design stub)
+  sources/   — source connectors (parquet, jdbc, OSM PBF — pure-
+               Python wire decoder/sink, blob-parallel ingest)
   streaming/ — Structured Streaming ports of the time-window ops
 """
 

@@ -473,3 +473,132 @@ def pipeline_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(rev, 4).alias("total_volume"),
         )
     )
+
+
+@query(
+    "pipeline_order_count_distribution",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def pipeline_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 silhouette — customer order-count distribution
+    INCLUDING zero-order customers: the left join with the filter in
+    the JOIN CONDITION (not a WHERE, which would silently turn the
+    join inner), then a double aggregation. First groupBy shuffles on
+    c_custkey; the second is over ≤ a few hundred distinct counts —
+    negligible. At 100 TB broadcast customer? No — both sides are
+    large; this is the legitimate big-big shuffle join, bucketable on
+    the customer key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "pipeline_large_volume_customers",
+    oracle=f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           {sql_dsum('l_quantity')} AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def pipeline_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 silhouette — large-volume orders: IN over a
+    GROUP BY ... HAVING subquery, expressed as an aggregate-then-
+    semi-join. The qualifying-keys set aggregates lineitem once
+    (partial-agg shuffle), is tiny after HAVING, and semi-joins back
+    — Catalyst turns it into a LeftSemi with the aggregate
+    broadcast when it fits."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(qualifying, F.col("o_orderkey") == qualifying["l_orderkey"], "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+    )
+
+
+@query(
+    "pipeline_waiting_multi_supplier",
+    oracle="""
+    SELECT l1.l_suppkey AS suppkey, COUNT(*) AS n_waiting
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY l1.l_suppkey
+    """,
+)
+def pipeline_waiting_multi_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 silhouette — the sole late supplier on multi-
+    supplier finished orders: one correlated EXISTS plus one
+    correlated NOT EXISTS over the same fact, the hardest
+    decorrelation shape in the suite. Expressed as a per-order
+    aggregate (suppliers present / suppliers late) joined back once —
+    ONE extra shuffle over lineitem replaces two correlated
+    re-scans; each EXISTS/NOT EXISTS becomes a column predicate on
+    the aggregate."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = F.col("l_returnflag") == "R"
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supps"),
+        F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    # EXISTS other-supplier  → n_supps > 1
+    # NOT EXISTS other-late  → exactly one late supplier overall
+    qualifying = per_order.where(
+        (F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)
+    ).select("l_orderkey", "late_supp")
+    waiting = (
+        li.where(late)
+        .join(qualifying, "l_orderkey")
+        .where(F.col("l_suppkey") == F.col("late_supp"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    )
+    return waiting.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).alias("n_waiting")
+    )

@@ -239,3 +239,44 @@ def test_clustered_write_tightens_row_group_stats(spark, sf_dir, tmp_path):
 
     # and the data survives intact
     assert spark.read.parquet(clustered_dir).count() == li.count()
+
+
+def test_dag_ingest_and_transform_callables_end_to_end(spark, tmp_path):
+    """The DAG's task callables, run directly (no Airflow): generated
+    region .pbf → ingest_region (element parquet) → transform_region
+    (highway layer, dated geohash-partitioned snapshot) — the full
+    reference pipeline shape (osm_etl.py:40-93) on the engine."""
+    import importlib.util
+    import pathlib
+
+    from osm_airflow_spark.sources.pbf_wire import write_pbf
+
+    path = pathlib.Path(__file__).parent.parent / "dags" / "osm_spark_dag.py"
+    spec = importlib.util.spec_from_file_location("osm_spark_dag_e2e", path)
+    dag_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dag_mod)
+
+    data_dir = str(tmp_path)
+    highway_nodes = [
+        {"node_id": i, "lat": 40.0 + i * 1e-4, "lon": -105.0 + i * 1e-4, "tags": {}}
+        for i in range(1, 6)
+    ]
+    ways = [
+        {
+            "way_id": 900,
+            "node_refs": [1, 2, 3, 4, 5],
+            "tags": {"highway": "primary", "name": "main st", "maxspeed": "45"},
+        },
+        {"way_id": 901, "node_refs": [1, 2], "tags": {"waterway": "river"}},
+    ]
+    write_pbf(f"{data_dir}/testregion.osm.pbf", highway_nodes, ways, [])
+
+    dag_mod.ingest_region("test", "testregion", data_dir)
+    dag_mod.transform_region("test", "testregion", "2024-07-25", data_dir)
+
+    layer = spark.read.parquet(f"{data_dir}/layers/highway")
+    rows = layer.collect()
+    assert len(rows) == 1  # waterway routed out of the highway layer
+    r = rows[0]
+    assert r["way_id"] == 900 and r["highway"] == "primary" and r["maxspeed"] == 45
+    assert r["geohash"] is not None and str(r["pgosm_date"]) == "2024-07-25"
