@@ -246,3 +246,47 @@ def osm_spatial_join_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("way_id")
         .agg(F.count(F.lit(1)).alias("n_nodes_in_bbox"))
     )
+
+
+@query(
+    "osm_tile_rollup",
+    oracle=f"""
+    WITH nodes AS (
+      SELECT p_partkey AS node_id,
+             (CAST((p_partkey * 7) % 180 AS DOUBLE) - 90.0) * 0.95 AS lat,
+             {_LON} AS lon
+      FROM part
+    )
+    SELECT CAST(least(CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT), 63) * 64
+             + least(CAST(floor((lat + 90.0) / 180.0 * 64) AS BIGINT), 63) AS BIGINT)
+             AS tile,
+           COUNT(*) AS n_nodes,
+           CAST(min(floor(lon)) AS BIGINT) AS lon_floor_min,
+           CAST(max(floor(lon)) AS BIGINT) AS lon_floor_max
+    FROM nodes
+    GROUP BY 1
+    """,
+)
+def osm_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial tile rollup: aggregate nodes into geohash-style
+    interleaved cells — the operation that materializes SCALE.md's
+    spatial layout contract (write partitioned by tile → bbox queries
+    prune partitions). The cell id is pure integer math, mirrored
+    exactly in SQL: both engines floor() explicitly, because bare
+    double→int CAST truncates in Spark but ROUNDS in DuckDB — the
+    kind of dialect drift the oracle harness exists to catch."""
+    from osm_airflow_spark.plans.osm import geohash_cell
+
+    nodes = _derived_nodes(spark, sf_dir)
+    return (
+        nodes.select(
+            geohash_cell(F.col("lon"), F.col("lat")).cast("long").alias("tile"),
+            "lon",
+        )
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min(F.floor("lon")).alias("lon_floor_min"),
+            F.max(F.floor("lon")).alias("lon_floor_max"),
+        )
+    )
