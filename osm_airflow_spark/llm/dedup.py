@@ -391,6 +391,94 @@ def cluster_pairs(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", ma
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def cluster_pairs_star(
+    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    edge contraction (the public MapReduce-CC formulation) — same
+    output contract as ``cluster_pairs``: (doc_id, cluster_id = min
+    member id), equivalence-tested against it.
+
+    Why a second implementation: label propagation keeps the EDGE
+    SET fixed and iterates labels (O(log d) rounds with pointer
+    doubling, shuffle ∝ edges every round); star contraction instead
+    REWRITES the edges toward the component minimum each round, so
+    dense components collapse their edge count as they converge —
+    the better shape when components are large and dense (boilerplate
+    mega-clusters), at the cost of a distinct() per round.
+
+    * large-star: every neighbor v > u re-attaches to
+      m = min(Γ(u) ∪ {u});
+    * small-star: every neighbor v < u, plus u itself, attaches to
+      m = min(Γ<(u));
+    * converged when the canonical edge set stops changing — then
+      every component is a star centered at its minimum, and labels
+      read directly off the adjacency."""
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+
+    def canon(e: DataFrame) -> DataFrame:
+        return e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+
+    def large_star(s: DataFrame) -> DataFrame:
+        mins = (
+            s.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        return (
+            s.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(s: DataFrame) -> DataFrame:
+        le = s.where(F.col("v") < F.col("u"))
+        mins = le.groupBy("u").agg(F.min("v").alias("m"))
+        re_attach = (
+            le.join(mins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        center = mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        return (
+            re_attach.union(center)
+            .where(F.col("a") != F.col("b"))
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        stepped = small_star(sym(large_star(sym(edges)))).localCheckpoint(eager=True)
+        delta = (
+            canon(stepped).exceptAll(canon(edges)).limit(1).count()
+            + canon(edges).exceptAll(canon(stepped)).limit(1).count()
+        )
+        edges = stepped
+        if delta == 0:
+            break
+
+    s = sym(edges)
+    return (
+        s.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(
+            F.col("u").alias("doc_id"),
+            F.least("mv", F.col("u")).alias("cluster_id"),
+        )
+    )
+
+
 @query("llm_dedup_cluster_best")  # rows-only: clusters come from LSH pairs
 def llm_dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension — dedup that keeps the BEST document per near-dup

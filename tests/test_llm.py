@@ -205,3 +205,33 @@ def test_ivf_kmeans_returns_valid_scores(spark, sf_dir):
     out = QUERIES["llm_sim_ann_ivf_kmeans"](spark, sf_dir).collect()
     assert 0 < len(out) <= 10
     assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in out)
+
+
+def test_star_contraction_equals_label_propagation(spark, sf_dir):
+    """cluster_pairs_star must produce the identical (doc_id,
+    cluster_id) map as cluster_pairs: on a chain (worst diameter), a
+    clique (worst density), a singleton edge — and on the real LSH
+    candidate pairs from the fixture."""
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.llm.dedup import cluster_pairs, cluster_pairs_star
+
+    chain = [(i, i + 1) for i in range(1, 10)]
+    clique = [(a, b) for a in range(20, 26) for b in range(20, 26) if a < b]
+    single = [(100, 101)]
+    synthetic = spark.createDataFrame(
+        chain + clique + single, "doc_a long, doc_b long"
+    )
+    lp = {(r["doc_id"], r["cluster_id"]) for r in cluster_pairs(synthetic).collect()}
+    star = {
+        (r["doc_id"], r["cluster_id"]) for r in cluster_pairs_star(synthetic).collect()
+    }
+    assert lp == star
+    assert (9, 1) in star and (25, 20) in star and (101, 100) in star
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.8)
+    lp2 = {(r["doc_id"], r["cluster_id"]) for r in cluster_pairs(pairs).collect()}
+    star2 = {
+        (r["doc_id"], r["cluster_id"]) for r in cluster_pairs_star(pairs).collect()
+    }
+    assert lp2 == star2 and len(star2) > 0
