@@ -280,3 +280,37 @@ def test_dag_ingest_and_transform_callables_end_to_end(spark, tmp_path):
     r = rows[0]
     assert r["way_id"] == 900 and r["highway"] == "primary" and r["maxspeed"] == 45
     assert r["geohash"] is not None and str(r["pgosm_date"]) == "2024-07-25"
+
+
+def test_zorder_write_tightens_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order must beat a random layout in BOTH dimensions at once —
+    1-D sort is tight on its sort key only; Morton buys locality on
+    each axis simultaneously."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from osm_airflow_spark.io import load_table, write_zordered
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    z_dir = str(tmp_path / "zorder")
+    r_dir = str(tmp_path / "random")
+    write_zordered(li, z_dir, "l_orderkey", "l_partkey", n_files=16)
+    li.repartition(16).write.mode("overwrite").parquet(r_dir)
+
+    def mean_spans(d):
+        spans = {"l_orderkey": [], "l_partkey": []}
+        for f in glob.glob(f"{d}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                row_group = meta.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    st = col.statistics
+                    spans[col.path_in_schema].append(st.max - st.min)
+        return {k: sum(v) / len(v) for k, v in spans.items()}
+
+    z, r = mean_spans(z_dir), mean_spans(r_dir)
+    assert z["l_orderkey"] * 2 < r["l_orderkey"], (z, r)
+    assert z["l_partkey"] * 2 < r["l_partkey"], (z, r)
+    assert spark.read.parquet(z_dir).count() == li.count()
