@@ -68,3 +68,69 @@ def user_profiles(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- Spark 4 transformWithState variant -----------------------------
+
+try:
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserProfileProcessor(StatefulProcessor):
+        """The same per-user profile on the Spark 4
+        ``transformWithStateInPandas`` API — typed value state via a
+        handle, explicit lifecycle (init/handleInputRows/close), and
+        room for timers/TTL that the old applyInPandasWithState
+        lacked. Output parity with ``user_profiles`` is tested."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "profile", "n_events BIGINT, sum_value DOUBLE, last_seen_us BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, last = (
+                self._state.get() if self._state.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                last = max(last, int(pdf["ts"].astype("int64").max() // 1000))
+            self._state.update((n, total, last))
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "n_events": n,
+                        "sum_value": total,
+                        "last_seen_us": last,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    def user_profiles_tws(events: DataFrame) -> DataFrame:
+        """``user_profiles`` on the transformWithState API (Spark 4
+        state-v2: typed state handles, timers, column-family state
+        store — the forward path for custom stateful operators).
+
+        Environment note: the plan builds and the processor is plain
+        pandas, but EXECUTING state-v2 needs the ``protobuf`` wheel
+        (the Python worker speaks protobuf to the state server),
+        which this image lacks — the parity test skips in that case.
+        ``user_profiles`` (applyInPandasWithState) is the executable
+        twin here and stays the tested default."""
+        return events.groupBy("user_id").transformWithStateInPandas(
+            UserProfileProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pre-4.0 PySpark — old API only
+    StatefulProcessor = StatefulProcessorHandle = None  # type: ignore[assignment]
+    user_profiles_tws = None  # type: ignore[assignment]

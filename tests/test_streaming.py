@@ -223,3 +223,59 @@ def test_stream_stream_interval_join_parity(spark, sf_dir, stream_events):
     }
     assert len(batch) > 0
     assert streamed == batch
+
+
+def test_transform_with_state_parity_or_env_gate(spark, sf_dir, stream_events):
+    """Spark-4 transformWithStateInPandas twin of user_profiles: when
+    the runtime can execute state-v2 (needs the protobuf wheel for
+    the state-server protocol), its final per-user profile must match
+    the applyInPandasWithState implementation; without the wheel the
+    plan must still build and the test records the env gate."""
+    import pytest as _pytest
+
+    from osm_airflow_spark.streaming.stateful import user_profiles, user_profiles_tws
+
+    assert user_profiles_tws is not None  # API present in PySpark 4.x
+    out = user_profiles_tws(stream_events)  # plan builds
+    assert set(out.schema.fieldNames()) == {
+        "user_id", "n_events", "sum_value", "last_seen_us"
+    }
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        _pytest.skip(
+            "state-v2 runtime needs the protobuf wheel (absent in image); "
+            "plan construction verified above"
+        )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_tws")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    new_api = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.sql(
+            "SELECT * FROM t_tws QUALIFY ROW_NUMBER() OVER "
+            "(PARTITION BY user_id ORDER BY n_events DESC) = 1"
+        ).collect()
+    }
+    q2 = (
+        user_profiles(stream_events)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_aips")
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    old_api = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.sql(
+            "SELECT * FROM t_aips QUALIFY ROW_NUMBER() OVER "
+            "(PARTITION BY user_id ORDER BY n_events DESC) = 1"
+        ).collect()
+    }
+    assert new_api == old_api
