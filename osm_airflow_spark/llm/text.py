@@ -540,3 +540,145 @@ def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_contaminated", F.lit(0)).cast("double") / F.col("n_grams")
         ).alias("contamination_ratio"),
     )
+
+
+@query(
+    "llm_boilerplate_df",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2]))) AS gram
+      FROM documents
+    ),
+    df AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN df.df >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate,
+           CAST(SUM(CASE WHEN df.df >= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS boilerplate_ratio,
+           CAST(SUM(CASE WHEN df.df >= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) > 0.3 AS is_boilerplate
+    FROM grams g JOIN df USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def llm_boilerplate_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — corpus-frequency boilerplate screen (the C4-style
+    filter: spans repeated across many documents are navigation
+    chrome / license headers / templates, not content). Per document:
+    the fraction of its distinct 3-grams whose corpus document
+    frequency is >= 5, and a cut verdict at ratio > 0.3.
+
+    Shape: explode distinct grams once (rows ∝ corpus tokens), one
+    groupBy(gram) for the df table, one equi-join back on gram, one
+    groupBy(doc). Never doc-pairs. At 100 TB the df table is the only
+    wide intermediate — it is itself a candidate for a frequency
+    floor (df >= 2 prunes the long unique tail, typically ~80% of
+    grams) before the join-back; integer counts keep every engine
+    bit-identical."""
+    from osm_airflow_spark.llm.dedup import shingle_array
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.split("text", " ").alias("words"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingle_array("words", 3))).alias("gram"),
+        )
+    )
+    df_tab = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    boiler = F.when(F.col("df") >= 5, 1).otherwise(0)
+    per_doc = (
+        grams.join(df_tab, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(boiler).alias("n_boilerplate"),
+        )
+    )
+    ratio = F.col("n_boilerplate").cast("double") / F.col("n_grams")
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_boilerplate",
+        ratio.alias("boilerplate_ratio"),
+        (ratio > 0.3).alias("is_boilerplate"),
+    )
+
+
+@query(
+    "llm_tfidf_topk",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, word, tf,
+             tf * round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, word ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id,
+           array_to_string(list(word ORDER BY rn), ',') AS top_terms,
+           CAST(CAST(MAX(CASE WHEN rn = 1 THEN score END) AS DECIMAL(18,6))
+                AS DOUBLE) AS top_score
+    FROM ranked WHERE rn <= 3 GROUP BY doc_id
+    """,
+)
+def llm_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — per-document top-3 TF-IDF terms (keyword
+    extraction, the classic relevance / topic signal). idf =
+    ln(N/df) rounded to 6 dp before the tf multiply, so the libm
+    last-ulp divergence between JVM ``Math.log`` and C ``ln`` cannot
+    leak into the ranking (same recipe as ``osm_way_lengths``); ties
+    broken by the term itself → total order → oracle-exact.
+
+    Shape: explode → groupBy(doc, word) for tf → groupBy(word) for
+    df → join back → per-doc top-3 window (row_number <= k plans as
+    WindowGroupLimit: map-side k-capping, no full sort). N is one
+    control-plane scalar. At 100 TB the df table is vocabulary-sized
+    (millions, not billions) → broadcast the join-back; all shuffles
+    are ∝ (doc, word) pairs, never pairs of documents."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # control-plane scalar, like win_ntile's cut points
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_tab = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_tab), "word").select(
+        "doc_id",
+        "word",
+        (
+            F.col("tf")
+            * F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word").asc())
+    top = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    return top.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "word"))),
+                lambda s: s.getField("word"),
+            ),
+            ",",
+        ).alias("top_terms"),
+        F.max(F.when(F.col("rn") == 1, F.col("score")))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("top_score"),
+    )
