@@ -504,3 +504,83 @@ def llm_dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("cluster_id"), "n_chars")
     )
     return survivors.unionByName(singletons)
+
+
+@query("llm_semdedup")  # rows-only: learned k-means partition → no SQL twin
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — SemDedup (Abbas et al. 2023, arXiv:2303.09540):
+    semantic dedup via embedding clustering. Instead of an all-pairs
+    cosine over the corpus, k-means partitions the space, the
+    quadratic step runs ONLY within each (small) cluster, and each
+    near-duplicate group keeps its most-central member — the one
+    closest to the cluster centroid, the paper's "keep low
+    distance-to-centroid" rule (tie-broken by vec_id).
+
+    Pipeline, every stage a bounded DataFrame op:
+      1. kmeans_centroids (2 Lloyd iterations, broadcast centroids);
+      2. assign vectors → nearest centroid (argmin over k, one
+         broadcast crossJoin, never vector-pairs);
+      3. within-cluster pairwise cosine via self-join ON cent_id —
+         quadratic only in cluster size, which k is chosen to bound
+         (the paper uses k ∝ N so clusters stay ~constant-sized);
+      4. edges at cos >= tau → connected components (cluster_pairs,
+         the label-propagation CC used by the MinHash path);
+      5. survivor per component = argmin distance-to-centroid.
+
+    Output: one row per vector — (vec_id, cent_id, group_id, kept,
+    dist_to_cent); scalar-only schema. Rows-only because the learned
+    quantizer has no SQL twin; the invariants (dropped ⇒ has a kept
+    tau-neighbor in its cluster; kept pairs in a cluster are all
+    below tau; deterministic reruns) are pytest-asserted instead."""
+    from osm_airflow_spark.llm.similarity import _as_double, kmeans_centroids
+
+    tau = 0.25
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(e, k=8, iters=2)
+
+    dist2 = F.aggregate(
+        F.zip_with(_as_double("embedding"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    best = Window.partitionBy("vec_id").orderBy(F.col("dist_to_cent"), F.col("cent_id"))
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cent_id", dist2.alias("dist_to_cent"))
+        .withColumn("rn", F.row_number().over(best))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=True)  # cut the Lloyd lineage once; reused 3×
+    )
+
+    a = assigned.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = assigned.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+    )
+    edges = (
+        a.join(b, "cent_id")  # equi-join on cluster id: quadratic per cluster only
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine_expr("ea", "eb").alias("cos_sim"))
+        .where(F.col("cos_sim") >= tau)
+    )
+    groups = cluster_pairs(edges, id_a="vec_a", id_b="vec_b")
+
+    members = assigned.join(
+        groups.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cent_id",
+        # singletons form their own group
+        F.coalesce("cluster_id", "vec_id").alias("group_id"),
+        "dist_to_cent",
+    )
+    w = Window.partitionBy("group_id").orderBy(F.col("dist_to_cent"), F.col("vec_id"))
+    return members.withColumn(
+        "kept", F.row_number().over(w) == F.lit(1)
+    ).select("vec_id", "cent_id", "group_id", "dist_to_cent", "kept")

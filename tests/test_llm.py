@@ -235,3 +235,62 @@ def test_star_contraction_equals_label_propagation(spark, sf_dir):
         (r["doc_id"], r["cluster_id"]) for r in cluster_pairs_star(pairs).collect()
     }
     assert lp2 == star2 and len(star2) > 0
+
+
+def test_semdedup_invariants(spark, sf_dir):
+    """llm_semdedup structural invariants (rows-only key): exactly
+    one survivor per group; groups never span k-means clusters;
+    survivors within a cluster are pairwise below tau (no edge
+    between components); every multi-member group is tau-connected
+    (each dropped member has SOME tau-neighbor in its group); and
+    the whole thing is deterministic across reruns."""
+    import math
+    from collections import defaultdict
+
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.llm.dedup import llm_semdedup
+
+    tau = 0.25
+    rows = llm_semdedup(spark, sf_dir).collect()
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["group_id"]].append(r)
+    assert len(rows) == len(vecs), "one output row per vector"
+    for gid, members in groups.items():
+        kept = [m for m in members if m["kept"]]
+        assert len(kept) == 1, f"group {gid}: {len(kept)} survivors"
+        assert len({m["cent_id"] for m in members}) == 1, "group spans clusters"
+        # survivor is the centroid-closest (tie-break vec_id)
+        best = min(members, key=lambda m: (m["dist_to_cent"], m["vec_id"]))
+        assert kept[0]["vec_id"] == best["vec_id"]
+        if len(members) > 1:
+            for m in members:
+                others = [o for o in members if o["vec_id"] != m["vec_id"]]
+                assert any(
+                    cos(vecs[m["vec_id"]], vecs[o["vec_id"]]) >= tau for o in others
+                ), f"group {gid}: member {m['vec_id']} has no tau-neighbor"
+
+    by_cluster = defaultdict(list)
+    for r in rows:
+        if r["kept"]:
+            by_cluster[r["cent_id"]].append(r["vec_id"])
+    for cid, kept_ids in by_cluster.items():
+        for i, va in enumerate(kept_ids):
+            for vb in kept_ids[i + 1 :]:
+                assert cos(vecs[va], vecs[vb]) < tau, (
+                    f"cluster {cid}: kept pair ({va},{vb}) above tau"
+                )
+
+    again = llm_semdedup(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again)), "nondeterministic"

@@ -33,6 +33,7 @@ def test_rows_only_keys_are_the_documented_ones():
         "llm_sim_ann_ivf",
         "llm_sim_ann_multiprobe",
         "llm_sim_ann_ivf_kmeans",
+        "llm_semdedup",
         "llm_fingerprint",
         "mm_feature_extract",
         "mm_frame_sample",
