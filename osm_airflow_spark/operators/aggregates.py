@@ -407,3 +407,62 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_qty"),
         F.sqrt(var).alias("stddev_qty"),
     )
+
+
+@query(
+    "agg_incremental_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS avg_price,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 (extension) — incremental aggregate maintenance via
+    mergeable partial states. The query computes the SAME answer as
+    a full groupBy, but the engine path is the incremental-refresh
+    one: partial states (count, exact decimal sum, min, max) are
+    built separately over the "already materialized" slice (orders
+    before 1997) and the "new batch" (1997+), then merged by a
+    second aggregation — exactly how a 100 TB nightly pipeline
+    avoids rescanning history: store the per-group state, fold each
+    new partition in, finalize avg/metrics at read time. Every state
+    chosen is an algebraic (commutative-monoid) aggregate, so merge
+    order — and therefore partitioning — cannot change the result;
+    avg is derived at finalize, never merged. The oracle is the full
+    recompute, proving state-merge ≡ recompute."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("date")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_sum"),
+            F.min("o_orderdate").alias("_min"),
+            F.max("o_orderdate").alias("_max"),
+        )
+
+    states = partial(o.where(F.col("o_orderdate") < cut)).unionByName(
+        partial(o.where(F.col("o_orderdate") >= cut))
+    )
+    merged = states.groupBy("o_orderpriority").agg(
+        F.sum("_n").alias("n_orders"),
+        F.sum("_sum").alias("_sum"),
+        F.min("_min").alias("first_order"),
+        F.max("_max").alias("last_order"),
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("_sum").cast("double").alias("total_price"),
+        (F.col("_sum").cast("double") / F.col("n_orders")).alias("avg_price"),
+        "first_order",
+        "last_order",
+    )

@@ -602,3 +602,79 @@ def pipeline_waiting_multi_supplier(spark: SparkSession, sf_dir: str) -> DataFra
     return waiting.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         F.count(F.lit(1)).alias("n_waiting")
     )
+
+
+@query(
+    "pipeline_event_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    ),
+    n AS (SELECT (SELECT COUNT(*) FROM v) AS n1,
+                 (SELECT COUNT(*) FROM c) AS n2,
+                 (SELECT COUNT(*) FROM p) AS n3)
+    SELECT 1 AS step_order, 'view' AS step, n1 AS n_users,
+           CAST(NULL AS DOUBLE) AS conversion FROM n
+    UNION ALL
+    SELECT 2, 'click', n2, CAST(n2 AS DOUBLE) / n1 FROM n
+    UNION ALL
+    SELECT 3, 'purchase', n3, CAST(n3 AS DOUBLE) / n2 FROM n
+    """,
+)
+def pipeline_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel over the event stream: users who viewed,
+    then clicked strictly after their first view, then purchased
+    strictly after that click — the product-analytics query shape
+    (strict event ordering per user, not mere co-occurrence).
+
+    Shape: three keyed min-aggregations chained by equi-joins on
+    user_id — each stage's state is one timestamp per surviving
+    user, monotonically shrinking. No window functions, no
+    self-cross; shuffle ∝ events once, then ∝ users. The three final
+    counts are single-row aggregates combined by a 1×1×1 crossJoin
+    (control-plane, like win_ntile's cut points) and unpivoted with
+    ``stack`` — so the output is the 3-row funnel report."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = v.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = c.agg(F.count(F.lit(1)).alias("n2"))
+    n3 = p.agg(F.count(F.lit(1)).alias("n3"))
+    funnel = n1.crossJoin(n2).crossJoin(n3)
+    return funnel.selectExpr(
+        """stack(3,
+             1, 'view',     n1, CAST(NULL AS DOUBLE),
+             2, 'click',    n2, CAST(n2 AS DOUBLE) / n1,
+             3, 'purchase', n3, CAST(n3 AS DOUBLE) / n2
+           ) AS (step_order, step, n_users, conversion)"""
+    )
