@@ -7,6 +7,7 @@ import io
 from contextlib import redirect_stdout
 
 import pytest
+from pyspark.sql import functions as F
 
 from osm_airflow_spark.registry import all_queries
 
@@ -81,3 +82,53 @@ def test_no_single_partition_collapse(spark, sf_dir, key):
     assert "SinglePartition" not in plan.replace(
         "Exchange SinglePartition", ""
     ) or "hashpartitioning" in plan
+
+
+def test_runtime_bloom_filter_injected_on_selective_shuffle_join(spark, sf_dir):
+    """100 TB scale proof: when a join is too big to broadcast, Spark
+    can still push a runtime Bloom filter built from the selective
+    (filtered) side into the probe side's scan — cutting the shuffled
+    volume of the big fact table before the exchange. This asserts
+    the engine's joins are written so the optimizer CAN inject it
+    (equi-join, deterministic filter on the creation side); thresholds
+    are lowered because local fixtures are far below the 10 GB
+    production default."""
+    from osm_airflow_spark.io import load_table
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1B",
+        )
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "bloomfilter" in plan.lower() or "BloomFilterMightContain" in plan, (
+            "runtime bloom filter not injected:\n" + plan[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

@@ -279,3 +279,28 @@ def test_transform_with_state_parity_or_env_gate(spark, sf_dir, stream_events):
         ).collect()
     }
     assert new_api == old_api
+
+
+def test_drop_duplicates_within_watermark_parity(spark, sf_dir, stream_events):
+    """Streaming dedup: the same event file unioned with itself (every
+    row duplicated) deduped by event_id via
+    dropDuplicatesWithinWatermark must reproduce the batch distinct
+    count. The watermark bounds the dedup state — at 100 TB the state
+    store holds only ids within the lateness horizon, not the whole
+    history (unlike plain dropDuplicates on a stream, which grows
+    without bound)."""
+    doubled = stream_events.union(stream_events)
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup_wm")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = spark.sql("SELECT COUNT(*) AS n FROM t_dedup_wm").head()["n"]
+    batch = load_events(spark, sf_dir).select("event_id").distinct().count()
+    assert streamed == batch
