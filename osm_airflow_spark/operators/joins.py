@@ -303,3 +303,132 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("custkey_l"), "n_l")
     )
     return f.join(l, F.col("custkey_f") == F.col("custkey_l"), "full_outer")
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_event_id, ts AS click_ts, user_id
+      FROM events WHERE event_type = 'click'
+    ),
+    m AS (
+      SELECT p.event_id, c.click_event_id, c.click_ts,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.click_ts DESC,
+                                         c.click_event_id DESC) AS rn
+      FROM p JOIN c ON c.user_id = p.user_id
+                   AND c.click_ts <= p.ts
+                   AND c.click_ts >= p.ts - INTERVAL 1 HOUR
+    )
+    SELECT p.event_id, p.ts, p.user_id,
+           m.click_event_id, m.click_ts,
+           epoch_us(p.ts) - epoch_us(m.click_ts) AS staleness_us
+    FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9b (extension) — as-of join with a tolerance bound and LEFT
+    semantics: each purchase matches its latest click by the same
+    user at most 1 hour earlier; purchases with no click inside the
+    window keep NULLs (pandas ``merge_asof(tolerance=...)`` /
+    kdb ``wj`` semantics — the feature-attribution shape: "the click
+    that caused this purchase, if fresh enough").
+
+    Same scale design as join_asof (map-side ``max(struct)``, one
+    row per probe key into the shuffle) plus: the tolerance predicate
+    makes the join band-bounded, so at 100 TB both sides can be
+    bucketed by (user, coarse time bucket) and the join never scans
+    history older than the tolerance — state is O(window), the batch
+    twin of the stream-stream interval join. The unmatched probes are
+    restored by a left join against the (already aggregated, small)
+    match set. Staleness is exact integer microseconds (unix_micros
+    on both engines — no float epoch, no rounding divergence)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select("event_id", "ts", "user_id")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("user_id").alias("c_user"),
+    )
+    matched = (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("click_ts") <= F.col("ts"))
+            & (F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("event_id")
+        .agg(F.max(F.struct("click_ts", "click_event_id")).alias("best"))
+        .select(
+            "event_id",
+            F.col("best.click_event_id").alias("click_event_id"),
+            F.col("best.click_ts").alias("click_ts"),
+        )
+    )
+    return p.join(matched, "event_id", "left").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "click_event_id",
+        "click_ts",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp"))
+        ).alias("staleness_us"),
+    )
+
+
+@query(
+    "er_blocked_match",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+      FROM part
+    )
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           levenshtein(a.p_name, b.p_name) AS name_dist
+    FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12 (extension) — entity resolution as a blocked similarity
+    join: candidate pairs share a blocking key (first name token),
+    then the expensive edit-distance verify runs only within blocks —
+    the classic record-linkage shape (block → compare → match, here
+    at Levenshtein <= 3).
+
+    Scale: the cross product is per-block, so cost is sum(block²),
+    not corpus²; the blocking key is an equi-join — shuffle both
+    sides on blk, co-partitioned compare. At 100 TB: multi-pass
+    blocking (several cheap keys, union the candidates) and a skew
+    guard on mega-blocks (same Observation-counted cap as the LSH
+    path) keep the quadratic term bounded; Levenshtein is exact
+    integer math on both engines, so the verify is oracle-exact."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", F.split("p_name", " ").getItem(0).alias("blk"))
+    )
+    a = p.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+        "blk",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+        "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("part_a") < F.col("part_b"))
+        .select(
+            "part_a",
+            "part_b",
+            F.levenshtein("name_a", "name_b").alias("name_dist"),
+        )
+        .where(F.col("name_dist") <= 3)
+    )

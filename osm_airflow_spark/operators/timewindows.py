@@ -127,3 +127,40 @@ def win_time_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     ).drop("session_id").select("user_id", "session_start", "session_end", "n_events", "sum_value")
+
+
+@query(
+    "win_dedup_time_window",
+    oracle="""
+    SELECT user_id, event_type, bucket, event_id, ts
+    FROM (
+      SELECT user_id, event_type,
+             epoch_us(ts) // 600000000 AS bucket,
+             event_id, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type, epoch_us(ts) // 600000000
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def win_dedup_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5 (extension) — time-bucketed dedup: first event per (user,
+    type) per 10-minute tumbling bucket — the batch twin of streaming
+    dropDuplicatesWithinWatermark (test_streaming), and the standard
+    retry/double-fire collapse in event pipelines. The bucket is
+    exact integer microseconds div 600e6 (no float epoch), so both
+    engines bucket identically; the per-(key, bucket) row_number
+    plans as WindowGroupLimit — map-side first-row capping, state
+    O(groups), never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(600000000)).cast(
+        "long"
+    )
+    df = ev.select("user_id", "event_type", bucket.alias("bucket"), "event_id", "ts")
+    w = Window.partitionBy("user_id", "event_type", "bucket").orderBy("ts", "event_id")
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -326,3 +326,33 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.cume_dist().over(w).alias("bal_cume"),
     )
+
+
+@query(
+    "win_share_of_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS order_price,
+           CAST(o_totalprice AS DOUBLE) /
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey) AS DOUBLE) AS share_of_customer
+    FROM orders
+    """,
+)
+def win_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 (extension) — ratio-to-report: each order's share of its
+    customer's lifetime spend (the contribution/mix analysis window).
+    Unbounded window partitioned by the group key — fully parallel
+    across customers, no ordering needed so no sort inside the
+    window; the denominator sums in decimal (order-independent) and
+    divides once in double, keeping partition count out of the
+    hash."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    denom = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("order_price"),
+        (F.col("o_totalprice").cast("double") / denom).alias("share_of_customer"),
+    )
