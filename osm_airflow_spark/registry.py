@@ -93,6 +93,7 @@ def import_all_operators() -> None:
     """Import every module that registers query keys (idempotent)."""
     from osm_airflow_spark.operators import (  # noqa: F401
         aggregates,
+        graph,
         joins,
         projection,
         setops,

@@ -144,3 +144,32 @@ def test_salted_agg_count_equals_groupby(spark, sf_dir):
     direct = {r["l_returnflag"]: r["n"] for r in li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()}
     salted = {r["l_returnflag"]: r["n"] for r in salted_agg_count(li, "l_returnflag").collect()}
     assert direct == salted
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    """graph_pagerank (rows-only): ranks form a probability
+    distribution (Σ=1, all above the teleport floor), reruns are
+    bit-identical, and rank tracks degree (the highest-degree node
+    outranks the lowest-degree one)."""
+    from osm_airflow_spark.operators.graph import graph_pagerank, trade_edges
+
+    rows = graph_pagerank(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-6, f"sum {total}"
+    floor = (1.0 - 0.85) / n
+    assert all(r["pagerank"] >= floor - 1e-12 for r in rows)
+
+    deg = {}
+    for r in trade_edges(spark, sf_dir).collect():
+        deg[r["a"]] = deg.get(r["a"], 0) + 1
+        deg[r["b"]] = deg.get(r["b"], 0) + 1
+    ranks = {r["node"]: r["pagerank"] for r in rows}
+    hi = max(deg, key=lambda k: (deg[k], k))
+    lo = min(deg, key=lambda k: (deg[k], k))
+    if deg[hi] > deg[lo]:
+        assert ranks[hi] > ranks[lo]
+
+    again = graph_pagerank(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
