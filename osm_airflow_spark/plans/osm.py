@@ -409,3 +409,48 @@ def ring_area_km2(lons: Column, lats: Column) -> Column:
     )
     r = 6371.0
     return F.abs(F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)) * (r * r) / 2
+
+
+def normalize_ring(lons: Column, lats: Column, outer: Column) -> Column:
+    """Ring repair step 1 — normalization (the deterministic fixes
+    osm2pgsql applies before validity testing; full self-intersection
+    *resolution* needs polygon clipping and stays out of scope, per
+    SCALE.md):
+
+    * drop consecutive duplicate vertices (zero-length edges — the
+      most common invalidity in hand-edited rings);
+    * re-close the ring if dedup removed the closing vertex;
+    * enforce winding: outer rings CCW (signed area > 0), inner
+      rings CW — flip by reversal when wrong.
+
+    Pure column expression over the zipped (lon, lat) array → runs
+    inside codegen per row, no shuffle. Returns the repaired array
+    of (lon, lat) structs."""
+    pts = F.arrays_zip(lons.alias("lon"), lats.alias("lat"))
+    # consecutive-dup removal: keep p[i] when i==0 or p[i] != p[i-1]
+    deduped = F.filter(
+        pts,
+        lambda p, i: (i == 0)
+        | (p.getField("lon") != F.element_at(pts, i).getField("lon"))
+        | (p.getField("lat") != F.element_at(pts, i).getField("lat")),
+    )
+    closed = F.when(
+        (F.size(deduped) > 1)
+        & (
+            (
+                F.element_at(deduped, 1).getField("lon")
+                != F.element_at(deduped, -1).getField("lon")
+            )
+            | (
+                F.element_at(deduped, 1).getField("lat")
+                != F.element_at(deduped, -1).getField("lat")
+            )
+        ),
+        F.concat(deduped, F.array(F.element_at(deduped, 1))),
+    ).otherwise(deduped)
+    c_lons = F.transform(closed, lambda p: p.getField("lon"))
+    c_lats = F.transform(closed, lambda p: p.getField("lat"))
+    signed = ring_area(c_lons, c_lats)
+    want_ccw = outer
+    ok = (want_ccw & (signed > 0)) | (~want_ccw & (signed < 0)) | (signed == 0)
+    return F.when(ok, closed).otherwise(F.reverse(closed))

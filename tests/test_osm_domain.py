@@ -356,3 +356,45 @@ def test_ring_area_km2_known_square(spark):
     )
     area = df.select(ring_area_km2(F.col("lons"), F.col("lats")).alias("a")).collect()[0]["a"]
     assert abs(area - 12364) < 50
+
+
+def test_normalize_ring_repairs_dups_closure_and_winding(spark):
+    """normalize_ring: consecutive duplicates dropped, ring re-closed,
+    outer rings forced CCW / inner CW by reversal."""
+    from osm_airflow_spark.plans.osm import normalize_ring, ring_area
+
+    rows = [
+        # CW square with a duplicated vertex and missing closure -> outer
+        ([0.0, 0.0, 0.0, 1.0, 1.0], [0.0, 0.0, 1.0, 1.0, 0.0], True),
+        # CCW square, already closed -> inner must flip to CW
+        ([0.0, 1.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 1.0, 0.0], False),
+    ]
+    df = spark.createDataFrame(rows, "lons array<double>, lats array<double>, outer boolean")
+    fixed = df.select(
+        normalize_ring(F.col("lons"), F.col("lats"), F.col("outer")).alias("ring"),
+        "outer",
+    ).collect()
+    for r in fixed:
+        ring = [(p["lon"], p["lat"]) for p in r["ring"]]
+        assert ring[0] == ring[-1], "ring must close"
+        assert all(a != b for a, b in zip(ring, ring[1:])), "no zero-length edges"
+    # winding: recompute signed area on the repaired rings
+    rep = spark.createDataFrame(
+        [
+            (
+                [p["lon"] for p in r["ring"]],
+                [p["lat"] for p in r["ring"]],
+                r["outer"],
+            )
+            for r in fixed
+        ],
+        "lons array<double>, lats array<double>, outer boolean",
+    )
+    areas = rep.select(
+        ring_area(F.col("lons"), F.col("lats")).alias("a"), "outer"
+    ).collect()
+    for r in areas:
+        if r["outer"]:
+            assert r["a"] > 0, "outer ring must be CCW"
+        else:
+            assert r["a"] < 0, "inner ring must be CW"
