@@ -356,3 +356,50 @@ def win_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("order_price"),
         (F.col("o_totalprice").cast("double") / denom).alias("share_of_customer"),
     )
+
+
+@query(
+    "win_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    grp AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INTEGER) AS grp_key
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp_key, COUNT(*) AS streak_len
+      FROM grp GROUP BY user_id, grp_key
+    )
+    SELECT user_id,
+           CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+           MAX(streak_len) AS longest_streak,
+           COUNT(*) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 (extension) — longest consecutive-day activity streak per
+    user: the gaps-and-islands pattern (day − row_number is constant
+    within a run of consecutive days). Distinct → window → two
+    aggregations, all partitioned by user — no self-join, no
+    sequence explosion; the window is per-user so parallelism is the
+    user count. Pure integer/date math on both engines →
+    oracle-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "grp_key", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "grp_key").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("streak_len").alias("n_active_days"),
+        F.max("streak_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )

@@ -678,3 +678,65 @@ def pipeline_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
              3, 'purchase', n3, CAST(n3 AS DOUBLE) / n2
            ) AS (step_order, step, n_users, conversion)"""
     )
+
+
+@query(
+    "pipeline_retention_cohort",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+    ),
+    activity AS (
+      SELECT f.cohort_day, d.day - f.cohort_day AS day_offset, d.user_id
+      FROM days d JOIN firsts f USING (user_id)
+    ),
+    cells AS (
+      SELECT cohort_day, day_offset, COUNT(DISTINCT user_id) AS n_active
+      FROM activity GROUP BY cohort_day, day_offset
+    ),
+    sizes AS (
+      SELECT cohort_day, n_active AS cohort_size FROM cells WHERE day_offset = 0
+    )
+    SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+           c.day_offset, c.n_active, s.cohort_size,
+           CAST(c.n_active AS DOUBLE) / s.cohort_size AS retention
+    FROM cells c JOIN sizes s USING (cohort_day)
+    """,
+)
+def pipeline_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day,
+    tracked by day offset — the standard growth-analytics triangle.
+    day_offset is exact integer date arithmetic (no week-truncation,
+    whose start-of-week convention differs across engines).
+
+    Shape: distinct (user, day) once → min-aggregate for cohorts →
+    join back on user (both sides user-partitioned) → count-distinct
+    per (cohort, offset) cell → tiny self-join for cohort sizes. At
+    100 TB the only wide shuffle carries distinct user-days; the
+    cell matrix is days² — control-plane sized."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    firsts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = days.join(firsts, "user_id").select(
+        "cohort_day",
+        F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias("day_offset"),
+        "user_id",
+    )
+    cells = activity.groupBy("cohort_day", "day_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    sizes = cells.where(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("n_active").alias("cohort_size")
+    )
+    return cells.join(sizes, "cohort_day").select(
+        # ISO string, not DATE: date cells stringify differently across
+        # engines' canonicalizers (DATE vs midnight TIMESTAMP)
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
+    )
