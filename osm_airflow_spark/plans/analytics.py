@@ -740,3 +740,54 @@ def pipeline_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_size",
         (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
     )
+
+
+@query(
+    "pipeline_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 89 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'create'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'modify' END AS change_op,
+           CAST(o.o_totalprice AS DOUBLE) AS old_price,
+           CAST(n.o_totalprice AS DOUBLE) AS new_price
+    FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice <> n.o_totalprice
+    """,
+)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC extraction between two snapshot states (deterministic
+    fixture slices standing in for week N / week N+1): the minimal
+    create/modify/delete feed that upgrades a full-rebuild pipeline
+    to incremental — see ``plans/merge.snapshot_diff`` for the scale
+    contract (one key-partitioned full outer join, feed is
+    O(changes); roundtrip with ``apply_diff`` is property-tested)."""
+    from osm_airflow_spark.plans.merge import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.where(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    d = snapshot_diff(old, new, "o_orderkey", ["o_totalprice"])
+    return d.select(
+        "o_orderkey",
+        "change_op",
+        F.col("_old_o_totalprice").cast("double").alias("old_price"),
+        F.col("_new_o_totalprice").cast("double").alias("new_price"),
+    )

@@ -137,3 +137,49 @@ def snapshot_as_of(history: DataFrame, ts, valid_from: str = "valid_from", valid
     return history.where(
         (F.col(valid_from) <= t) & (F.col(valid_to).isNull() | (F.col(valid_to) > t))
     ).drop(valid_from, valid_to)
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, compare_cols: list[str]
+) -> DataFrame:
+    """CDC extraction — the inverse of ``apply_diff``: given two full
+    snapshots, emit the minimal change feed (create / modify /
+    delete) that turns ``old`` into ``new``. This is how a pipeline
+    without an upstream change log bootstraps incremental processing
+    (diff week N vs N+1, then switch to applying diffs — exactly the
+    upgrade path away from the reference's weekly full rebuild,
+    osm_etl.py:45-46).
+
+    One full outer join on the key; rows equal on all
+    ``compare_cols`` drop out, so the feed is O(changes), not
+    O(snapshot). With both snapshots bucketed by key the join is
+    Exchange-free. Null-safe comparison (``eqNullSafe``) keeps NULL
+    → value and value → NULL transitions visible as modifies."""
+    # explicit presence markers: a present row may hold NULLs in every
+    # compared column, so presence must never be inferred from values
+    o = old.select(
+        F.col(key),
+        F.lit(True).alias("_old_present"),
+        *[F.col(c).alias(f"_old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        F.col(key),
+        F.lit(True).alias("_new_present"),
+        *[F.col(c).alias(f"_new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, key, "full_outer")
+    old_present = F.col("_old_present").isNotNull()
+    new_present = F.col("_new_present").isNotNull()
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}"))
+    op = (
+        F.when(~old_present, F.lit("create"))
+        .when(~new_present, F.lit("delete"))
+        .otherwise(F.lit("modify"))
+    )
+    return (
+        j.withColumn(CHANGE_COL, op)
+        .where(~old_present | ~new_present | ~same)
+        .drop("_old_present", "_new_present")
+    )

@@ -181,3 +181,29 @@ def test_apply_diff_delete_then_recreate(spark, base):
     rows = {r["node_id"]: r for r in recreated.collect()}
     assert rows[1]["amenity"] == "cafe-new" and rows[1]["version"] == 2
     assert len(rows) == 3
+
+
+def test_snapshot_diff_roundtrip_apply(spark):
+    """snapshot_diff(old, new) fed back through apply_diff(old, ...)
+    must reproduce `new` exactly — the CDC bootstrap contract. Also:
+    rows equal in both snapshots must not appear in the feed, and
+    null↔value transitions are visible modifies."""
+    from osm_airflow_spark.plans.merge import apply_diff, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "id long, val string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c"), (4, None), (5, "e")], "id long, val string"
+    )
+    feed = snapshot_diff(old, new, "id", ["val"])
+    by_op = {r["id"]: r["change_op"] for r in feed.collect()}
+    assert by_op == {1: "delete", 3: "modify", 4: "modify", 5: "create"}, by_op
+
+    changes = feed.select(
+        "id", F.col("_new_val").alias("val"), F.col("change_op")
+    )
+    rebuilt = apply_diff(old, changes, "id")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
