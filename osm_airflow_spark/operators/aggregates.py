@@ -466,3 +466,41 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_order",
         "last_order",
     )
+
+
+@query("agg_hll_partial_merge")  # rows-only: sketch estimates have no SQL twin
+def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17 (extension) — mergeable HyperLogLog sketches (Apache
+    DataSketches via Spark's hll_* functions): per-(type, day)
+    sketches of distinct users are built independently, then merged
+    per type — the cardinality twin of agg_incremental_merge's exact
+    states, and THE pattern for distinct-counting at 100 TB: store
+    tiny per-partition sketches, merge on read; never re-scan, never
+    shuffle raw ids twice. HLL register merge is max() — associative
+    and order-independent — so merging daily sketches is
+    bit-identical to one direct build over the month (asserted
+    in-query as merge_equals_direct, and pytest-asserted with an
+    error bound vs the exact count).
+
+    Output stays scalar: estimates + exact + the equality flag."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias(
+            "est_direct"
+        ),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type",
+        F.col("est_merged").cast("long").alias("est_users"),
+        F.col("exact_users"),
+        (F.col("est_merged") == F.col("est_direct")).alias("merge_equals_direct"),
+    )

@@ -173,3 +173,18 @@ def test_pagerank_invariants(spark, sf_dir):
 
     again = graph_pagerank(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_hll_partial_merge_matches_direct_and_bounds_error(spark, sf_dir):
+    """agg_hll_partial_merge (rows-only): merging per-day sketches
+    must equal the direct whole-table sketch exactly (register max
+    is associative), and the estimate must sit within 5% of the
+    exact distinct count at lgK=12."""
+    from osm_airflow_spark.operators.aggregates import agg_hll_partial_merge
+
+    rows = agg_hll_partial_merge(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["merge_equals_direct"], r
+        err = abs(r["est_users"] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert err < 0.05, r

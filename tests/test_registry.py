@@ -25,6 +25,7 @@ def test_rows_only_keys_are_the_documented_ones():
     assert rows_only == {
         "agg_approx_distinct",
         "agg_approx_percentile",
+        "agg_hll_partial_merge",
         "udf_grouped_map",
         "llm_dedup_near",
         "llm_dedup_simhash",
