@@ -504,3 +504,33 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_users"),
         (F.col("est_merged") == F.col("est_direct")).alias("merge_equals_direct"),
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT user_id, event_type AS top_event_type, n
+    FROM (
+      SELECT user_id, event_type, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18 (extension) — per-group mode (most frequent value) with a
+    total-order tie-break (count DESC, then the value itself — never
+    the partition-dependent built-in ``mode``). Count then top-1:
+    the window is per-user over ≤5 candidate rows and plans as
+    WindowGroupLimit; shuffle carries (group, value) pairs once."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event_type"), "n")
+    )

@@ -403,3 +403,35 @@ def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak_len").alias("longest_streak"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) // 1000000 AS epoch_s,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+    FROM events
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 (extension) — RANGE-framed window (value-based frame, not
+    row-based): each event's count of same-user events in the
+    trailing hour — the rate-limit / burst-detection shape. RANGE
+    frames include ALL peers at equal ordering values, so the result
+    is deterministic even when timestamps tie (a ROWS frame there
+    would be partition-order-dependent — the trap this key pins
+    down). Ordering key is exact integer seconds on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch_s = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000)).cast(
+        "long"
+    )
+    df = ev.select("event_id", "user_id", epoch_s.alias("epoch_s"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return df.withColumn("n_last_hour", F.count(F.lit(1)).over(w))

@@ -791,3 +791,53 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_old_o_totalprice").cast("double").alias("old_price"),
         F.col("_new_o_totalprice").cast("double").alias("new_price"),
     )
+
+
+@query(
+    "pipeline_date_spine",
+    oracle="""
+    WITH span AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM span
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY event_type, day
+    )
+    SELECT t.event_type, strftime(s.day, '%Y-%m-%d') AS day,
+           COALESCE(a.n, 0) AS n_events
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN actual a ON a.event_type = t.event_type AND a.day = s.day
+    """,
+)
+def pipeline_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: every (event_type, day) cell over the
+    observed span, zero-filled — the reporting prerequisite (moving
+    averages and charts break on missing days). The spine is
+    ``sequence(min, max)`` exploded from a 1-row aggregate — control
+    plane, like win_ntile's cut points; the only real shuffle is the
+    daily count. The spine×types cross join is dim×dim (days ×
+    5 types). Day is emitted as an ISO string (DATE cells stringify
+    differently across engine canonicalizers)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(F.to_date("ts").alias("day"), "event_type")
+    span = days.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = days.select("event_type").distinct()
+    actual = days.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.crossJoin(types)
+        .join(actual, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
