@@ -327,3 +327,88 @@ def llm_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@query("llm_sim_ann_pq")  # rows-only: learned codebooks, no SQL twin
+def llm_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — product quantization (PQ, Jégou et al. 2011): the
+    memory-bound ANN scale path. The 64-dim vector splits into M=4
+    16-dim subvectors; each subspace gets its own 8-centroid k-means
+    codebook; a vector is stored as 4 one-byte codes (64 floats →
+    4 bytes, 64× compression). Query-time ADC: precompute the
+    query-to-centroid distance table (M×K = 32 numbers, broadcast),
+    approximate each corpus vector's distance as the sum of its
+    codes' table entries, take top-10.
+
+    Every stage is a bounded DataFrame op: codebooks train on
+    posexploded subvectors via the same distributed Lloyd as IVF
+    (per-subspace, K tiny); encoding is one broadcast join + argmin
+    window per subspace; ADC scan is an M-row explode + broadcast
+    lookup + groupBy(vec) sum — shuffle ∝ corpus × M, and at 100 TB
+    the codes table is what sits in memory, not the floats.
+    Deterministic end to end (Lloyd init = first-K ids, argmin ties
+    broken by code id); invariants are pytest-asserted."""
+    m_sub, k_codes, sub_dim = 4, 8, 16
+    e = load_table(spark, sf_dir, "embeddings")
+    # (vec_id, m, subvec): slice the vector into M contiguous subspaces
+    sub = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(_as_double("embedding"), m * sub_dim + 1, sub_dim).alias(
+                            "subvec"
+                        ),
+                    )
+                    for m in range(m_sub)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.subvec").alias("subvec"))
+
+    # per-subspace codebooks (independent tiny k-means)
+    books = []
+    for m in range(m_sub):
+        cb = kmeans_centroids(
+            sub.where(F.col("m") == m),
+            k=k_codes,
+            iters=2,
+            id_col="vec_id",
+            vec_col="subvec",
+        ).select(F.lit(m).alias("m"), F.col("cent_id").alias("code"), "cvec")
+        books.append(cb)
+    codebook = books[0]
+    for cb in books[1:]:
+        codebook = codebook.unionByName(cb)
+    codebook = codebook.localCheckpoint(eager=True)  # 4×8 rows, reused twice
+
+    dist2 = F.aggregate(
+        F.zip_with(F.col("subvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    best = Window.partitionBy("vec_id", "m").orderBy(F.col("d"), F.col("code"))
+    codes = (
+        sub.join(F.broadcast(codebook), "m")
+        .select("vec_id", "m", "code", dist2.alias("d"))
+        .withColumn("rn", F.row_number().over(best))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+
+    # ADC: query (vec_id 0) distance table, broadcast, summed by code
+    qtab = (
+        sub.where(F.col("vec_id") == 0)
+        .join(F.broadcast(codebook), "m")
+        .select("m", "code", dist2.alias("qd"))
+    )
+    return (
+        codes.where(F.col("vec_id") != 0)
+        .join(F.broadcast(qtab), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").alias("approx_dist"))
+        .orderBy(F.col("approx_dist"), F.col("vec_id"))
+        .limit(10)
+    )

@@ -682,3 +682,57 @@ def llm_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("top_score"),
     )
+
+
+@query(
+    "llm_bigram_lm",
+    oracle="""
+    WITH g AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1])) AS bg
+      FROM documents
+    ),
+    bc AS (SELECT bg, COUNT(*) AS n_bigram FROM g GROUP BY bg),
+    cc AS (
+      SELECT string_split(bg, ' ')[1] AS w1,
+             CAST(SUM(n_bigram) AS BIGINT) AS n_context
+      FROM bc GROUP BY 1
+    )
+    SELECT string_split(bc.bg, ' ')[1] AS w1,
+           string_split(bc.bg, ' ')[2] AS w2,
+           bc.n_bigram, cc.n_context,
+           CAST(bc.n_bigram AS DOUBLE) / cc.n_context AS cond_p
+    FROM bc JOIN cc ON string_split(bc.bg, ' ')[1] = cc.w1
+    """,
+)
+def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — count-based bigram language model over the corpus:
+    P(w2 | w1) = count(w1 w2) / count(w1 ·) — the n-gram LM
+    estimation step (and the statistic behind perplexity-based
+    quality filters). Integer counts and one IEEE division →
+    engine-exact. Shape: explode bigrams once, two keyed
+    aggregations, join back on the context word (vocabulary-sized →
+    broadcastable). Shuffle ∝ distinct bigrams, which the shared
+    vocabulary bounds at |V|²."""
+    from osm_airflow_spark.llm.dedup import shingle_array
+
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = (
+        d.select(F.split("text", " ").alias("words"))
+        .select(F.explode(shingle_array("words", 2)).alias("bg"))
+    )
+    bc = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("n_bigram"))
+    parts = F.split("bg", " ")
+    bc = bc.select(
+        parts.getItem(0).alias("w1"), parts.getItem(1).alias("w2"), "n_bigram"
+    )
+    cc = bc.groupBy("w1").agg(F.sum("n_bigram").alias("n_context"))
+    return bc.join(F.broadcast(cc), "w1").select(
+        "w1",
+        "w2",
+        "n_bigram",
+        "n_context",
+        (F.col("n_bigram").cast("double") / F.col("n_context")).alias("cond_p"),
+    )

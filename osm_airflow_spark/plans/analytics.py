@@ -841,3 +841,77 @@ def pipeline_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).alias("n_events"),
         )
     )
+
+
+@query(
+    "pipeline_market_basket",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    pair_counts AS (
+      SELECT part_a, part_b, COUNT(*) AS support
+      FROM pairs GROUP BY part_a, part_b
+    ),
+    item_counts AS (
+      SELECT l_partkey, COUNT(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem GROUP BY l_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT o_orderkey) AS n_total FROM orders)
+    SELECT p.part_a, p.part_b, p.support,
+           CAST(p.support AS DOUBLE) * n_total
+             / (ia.n_orders * ib.n_orders) AS lift
+    FROM pair_counts p
+    JOIN item_counts ia ON ia.l_partkey = p.part_a
+    JOIN item_counts ib ON ib.l_partkey = p.part_b
+    CROSS JOIN n
+    WHERE p.support >= 2
+    """,
+)
+def pipeline_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs ordered together, with
+    support and lift — the association-rules primer (the full Apriori
+    loop just iterates this shape). The self-join is keyed on
+    l_orderkey, so the quadratic term is per-basket (≤ items²/order,
+    single digits here), never corpus-wide — the same bounded-block
+    discipline as er_blocked_match; support ≥ 2 prunes the long
+    tail before the (broadcastable) item-frequency join-back. Lift's
+    division is double-only: integer counts in, one IEEE division
+    out — engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pair_counts = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+    )
+    item_counts = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    n_total = o.select("o_orderkey").distinct().count()  # control-plane scalar
+    ia = item_counts.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("n_a")
+    )
+    ib = item_counts.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("n_b")
+    )
+    return (
+        pair_counts.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            (
+                F.col("support").cast("double")
+                * F.lit(n_total)
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )

@@ -294,3 +294,19 @@ def test_semdedup_invariants(spark, sf_dir):
 
     again = llm_semdedup(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again)), "nondeterministic"
+
+
+def test_pq_ann_invariants(spark, sf_dir):
+    """llm_sim_ann_pq (rows-only): exactly 10 candidates, approximate
+    distances non-negative and ascending (total order with vec_id
+    tie-break), query vector itself excluded, deterministic rerun."""
+    from osm_airflow_spark.llm.similarity import llm_sim_ann_pq
+
+    rows = llm_sim_ann_pq(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r["vec_id"] != 0 for r in rows)
+    dists = [r["approx_dist"] for r in rows]
+    assert all(d >= 0 for d in dists)
+    assert dists == sorted(dists)
+    again = llm_sim_ann_pq(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]

@@ -34,6 +34,7 @@ def test_rows_only_keys_are_the_documented_ones():
         "llm_sim_ann_ivf",
         "llm_sim_ann_multiprobe",
         "llm_sim_ann_ivf_kmeans",
+        "llm_sim_ann_pq",
         "llm_semdedup",
         "graph_pagerank",
         "llm_fingerprint",
