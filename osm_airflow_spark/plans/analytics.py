@@ -915,3 +915,92 @@ def pipeline_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "pipeline_data_quality",
+    oracle="""
+    SELECT 'orders_custkey_null' AS check_name,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS n_violations
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 1)
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+    """,
+)
+def pipeline_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (the Deequ / Great Expectations
+    shape — Deequ itself is a Spark library, so this is the native
+    formulation): completeness (null rate), uniqueness (count vs
+    distinct), referential integrity (anti-join orphans), and two
+    range constraints, emitted as one (check_name, n_violations)
+    report the pipeline gates publishes on.
+
+    Scale: each check is a single-pass aggregate or an anti-join on
+    the key it guards — no check materializes violating rows (count
+    first, sample violators separately only when a gate trips). The
+    five 1-row aggregates union into a control-plane-sized report;
+    at 100 TB the scan-bound checks on the same table share one pass
+    via a multi-aggregate (as the null/range checks on orders do
+    here)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    # one pass over orders for all orders-scoped expectations
+    o_stats = o.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("nulls"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dupes"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("nonpos"),
+    )
+    orphans = li.join(
+        o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    disc = li.agg(
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(
+                0
+            )
+        ).alias("n")
+    )
+    report = (
+        o_stats.select(
+            F.lit("orders_custkey_null").alias("check_name"),
+            F.col("nulls").cast("long").alias("n_violations"),
+        )
+        .unionByName(
+            o_stats.select(
+                F.lit("orders_orderkey_unique").alias("check_name"),
+                F.col("dupes").cast("long").alias("n_violations"),
+            )
+        )
+        .unionByName(
+            orphans.select(
+                F.lit("lineitem_orphan_orderkey").alias("check_name"),
+                F.col("n").cast("long").alias("n_violations"),
+            )
+        )
+        .unionByName(
+            disc.select(
+                F.lit("lineitem_discount_range").alias("check_name"),
+                F.col("n").cast("long").alias("n_violations"),
+            )
+        )
+        .unionByName(
+            o_stats.select(
+                F.lit("orders_totalprice_positive").alias("check_name"),
+                F.col("nonpos").cast("long").alias("n_violations"),
+            )
+        )
+    )
+    return report
