@@ -534,3 +534,64 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("top_event_type"), "n")
     )
+
+
+@query(
+    "agg_corr_exact",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           (COUNT(*) * CAST(SUM(CAST(l_quantity * l_extendedprice
+                                     AS DECIMAL(28,4))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
+           / sqrt(COUNT(*) * CAST(SUM(CAST(l_quantity * l_quantity
+                                           AS DECIMAL(24,4))) AS DOUBLE)
+                  - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
+           / sqrt(COUNT(*) * CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                                           AS DECIMAL(28,4))) AS DOUBLE)
+                  - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                    * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
+             AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19 (extension) — Pearson correlation from exact decimal
+    sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²), same recipe as
+    agg_stats_moments: the built-in ``corr`` accumulates in floating
+    point whose partial-merge order varies with partitioning, so it
+    is NOT cross-engine (or even cross-partitioning) hash-stable;
+    the six decimal sums are exact and mergeable, and the final
+    double expression is one deterministic evaluation per group.
+    This is also the incremental form — the six statistics fold per
+    batch like agg_incremental_merge's states."""
+    li = load_table(spark, sf_dir, "lineitem")
+    grp = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_sy"),
+        F.sum(
+            (F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(28,4)")
+        ).alias("_sxy"),
+        F.sum(
+            (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(24,4)")
+        ).alias("_sxx"),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(28,4)")
+        ).alias("_syy"),
+    )
+    n = F.col("n")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    corr = (
+        (n * sxy - sx * sy)
+        / F.sqrt(n * sxx - sx * sx)
+        / F.sqrt(n * syy - sy * sy)
+    )
+    return grp.select("l_returnflag", "n", corr.alias("corr_qty_price"))
