@@ -1004,3 +1004,59 @@ def pipeline_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return report
+
+
+@query(
+    "pipeline_time_travel",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0
+                THEN CAST(o_totalprice * 1.1 AS DOUBLE)
+                ELSE CAST(o_totalprice AS DOUBLE) END AS price
+    FROM orders
+    WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+    """,
+)
+def pipeline_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through an SCD2 history built in-engine: an
+    initial snapshot (orders slice, open versions at 1995) merged
+    with one change batch at 1999 (modify every %3 key to price×1.1,
+    delete every %7 key — keys hitting both exercise the
+    delete-beats-modify same-timestamp tie-break), then read back
+    as-of 2000. The oracle states the expected end state directly —
+    so the whole merge→close→append→interval-read machinery
+    (plans/merge.py: scd2_merge + snapshot_as_of, the relational
+    form of the reference's --pgosm-date snapshot pinning,
+    osm_etl.py:13) is hash-checked, not just pytest-checked.
+    Scale contract is scd2_merge's: shuffle O(batch + touched keys),
+    never O(history)."""
+    from osm_airflow_spark.plans.merge import scd2_merge, snapshot_as_of
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 5 == 0)
+    history = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    ts = F.lit("1999-01-01").cast("timestamp")
+    modifies = (
+        o.where(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice").cast("double") * 1.1).alias("price"),
+            ts.alias("change_ts"),
+            F.lit("modify").alias("change_op"),
+        )
+    )
+    deletes = (
+        o.where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.lit(None).cast("double").alias("price"),
+            ts.alias("change_ts"),
+            F.lit("delete").alias("change_op"),
+        )
+    )
+    merged = scd2_merge(history, modifies.unionByName(deletes), "o_orderkey")
+    return snapshot_as_of(merged, "2000-01-01").select("o_orderkey", "price")
