@@ -148,9 +148,17 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.shuffle.partitions",
     )
     saved = {k: conf.get(k, None) for k in keys}
     try:
+        # pin the partition count: AQE either coalesces or skew-splits
+        # a shuffle partition, never both — over-partitioning this tiny
+        # fixture makes every partition sub-advisory, the coalesce rule
+        # claims the whole range (hot partition included), and the skew
+        # rule never fires. 8 partitions keep the hot one above the
+        # advisory size so it stays split-eligible.
+        conf.set("spark.sql.shuffle.partitions", "8")
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
         conf.set(
