@@ -736,3 +736,89 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_context",
         (F.col("n_bigram").cast("double") / F.col("n_context")).alias("cond_p"),
     )
+
+
+@query(
+    "llm_perplexity_filter",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1])) AS bg
+      FROM documents
+    ),
+    bc AS (SELECT bg, COUNT(*) AS n_bigram FROM g GROUP BY bg),
+    cc AS (
+      SELECT string_split(bg, ' ')[1] AS w1,
+             CAST(SUM(n_bigram) AS BIGINT) AS n_context
+      FROM bc GROUP BY 1
+    ),
+    lm AS (
+      SELECT bg, round(-ln(CAST(n_bigram AS DOUBLE) / n_context), 6) AS nll
+      FROM bc JOIN cc ON string_split(bg, ' ')[1] = cc.w1
+    ),
+    scored AS (
+      SELECT g.doc_id,
+             COUNT(*) AS n_bigrams,
+             CAST(SUM(CAST(lm.nll AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS avg_nll
+      FROM g JOIN lm USING (bg)
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_bigrams, avg_nll,
+           avg_nll > 3.0 AS is_outlier
+    FROM scored
+    """,
+)
+def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — LM-perplexity quality filter (the CCNet/Wikipedia
+    -LM screen): score each document by the average negative log
+    likelihood of its bigrams under the corpus's own bigram LM
+    (``llm_bigram_lm``), flag outliers above a fixed threshold —
+    high-perplexity docs are gibberish/OCR noise, suspiciously-low
+    ones are templates. Determinism recipe for the transcendental:
+    each bigram's −ln(p) is rounded to 6 dp, the per-doc mean sums
+    those in exact decimal and divides once in double (the
+    ``osm_way_lengths`` pattern), so the engines agree bit-for-bit.
+
+    Shape: the LM table (vocabulary² at worst — broadcastable) joins
+    the exploded bigram stream once; two keyed aggregations. At
+    100 TB: train the LM on a sample, broadcast it, score the corpus
+    in one pass — exactly this plan with the bc/cc stage sampled."""
+    from osm_airflow_spark.llm.dedup import shingle_array
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.split("text", " ").alias("words"))
+        .select("doc_id", F.explode(shingle_array("words", 2)).alias("bg"))
+    )
+    bc = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("n_bigram"))
+    cc = bc.groupBy(F.split("bg", " ").getItem(0).alias("w1")).agg(
+        F.sum("n_bigram").alias("n_context")
+    )
+    lm = (
+        bc.withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(F.broadcast(cc), "w1")
+        .select(
+            "bg",
+            F.round(
+                -F.log(F.col("n_bigram").cast("double") / F.col("n_context")), 6
+            ).alias("nll"),
+        )
+    )
+    scored = (
+        grams.join(F.broadcast(lm), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_nll"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_bigrams", "avg_nll", (F.col("avg_nll") > 3.0).alias("is_outlier")
+    )
