@@ -435,3 +435,40 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-3600, Window.currentRow)
     )
     return df.withColumn("n_last_hour", F.count(F.lit(1)).over(w))
+
+
+@query(
+    "win_locf",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           reading,
+           last_value(reading IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS reading_filled
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type <> 'error' THEN value END AS reading
+      FROM events
+    )
+    """,
+)
+def win_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 (extension) — last-observation-carried-forward gap fill:
+    sensor-style readings (here: event value, nulled out on 'error'
+    rows) forward-filled per user in time order —
+    ``last(ignorenulls)`` over a running frame, the standard
+    time-series imputation. The window is user-partitioned with a
+    (ts, event_id) total order, so ties can't reorder the fill and
+    the result is partition-count-independent. ROWS frame, one
+    shuffle on the partition key."""
+    ev = load_table(spark, sf_dir, "events")
+    reading = F.when(F.col("event_type") != "error", F.col("value"))
+    df = ev.select("event_id", "user_id", "ts", reading.alias("reading"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        "reading_filled", F.last("reading", ignorenulls=True).over(w)
+    )
