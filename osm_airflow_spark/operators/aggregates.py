@@ -541,6 +541,7 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n,
+           round(
            (COUNT(*) * CAST(SUM(CAST(l_quantity * l_extendedprice
                                      AS DECIMAL(28,4))) AS DOUBLE)
             - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
@@ -552,8 +553,8 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
            / sqrt(COUNT(*) * CAST(SUM(CAST(l_extendedprice * l_extendedprice
                                            AS DECIMAL(28,4))) AS DOUBLE)
                   - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                    * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
-             AS corr_qty_price
+                    * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)),
+                 9) AS corr_qty_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -589,9 +590,13 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy = F.col("_sxy").cast("double")
     sxx = F.col("_sxx").cast("double")
     syy = F.col("_syy").cast("double")
-    corr = (
+    # rounded to 9 dp: DuckDB may contract a*b-c into a fused
+    # multiply-add, which differs from Spark's separate ops by one
+    # ulp — far below any statistical meaning, so round it away
+    corr = F.round(
         (n * sxy - sx * sy)
         / F.sqrt(n * sxx - sx * sx)
-        / F.sqrt(n * syy - sy * sy)
+        / F.sqrt(n * syy - sy * sy),
+        9,
     )
     return grp.select("l_returnflag", "n", corr.alias("corr_qty_price"))
