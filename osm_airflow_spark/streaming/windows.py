@@ -201,3 +201,31 @@ def merge_diff_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_stream_with_dims(
+    events: DataFrame, users: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-static dimension enrichment: the streaming fact joins a
+    batch dimension table — Spark re-plans the static side per
+    micro-batch (so a slowly-refreshed dim parquet is picked up
+    without restarting the query), and the join itself is stateless:
+    no watermark bookkeeping on the dim side, broadcast when small.
+    This is the streaming twin of join_broadcast (D2) and the
+    standard enrichment hop in front of every windowed aggregate.
+
+    The aggregate downstream keeps the watermark so its state still
+    evicts; per-(segment, window) counts mirror the batch oracle in
+    tests."""
+    enriched = events.withWatermark("ts", watermark).join(
+        F.broadcast(users), "user_id"
+    )
+    return (
+        enriched.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("segment")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "segment", "n_events"
+        )
+    )

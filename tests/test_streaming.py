@@ -304,3 +304,41 @@ def test_drop_duplicates_within_watermark_parity(spark, sf_dir, stream_events):
     streamed = spark.sql("SELECT COUNT(*) AS n FROM t_dedup_wm").head()["n"]
     batch = load_events(spark, sf_dir).select("event_id").distinct().count()
     assert streamed == batch
+
+
+def test_stream_static_enrichment_parity(spark, sf_dir, stream_events):
+    """Stream-static join: events enriched with a derived user
+    dimension (user_id % 4 segment buckets) then windowed — must
+    match the identical batch computation. The dim side is a plain
+    batch DataFrame: stateless join, no dim-side watermark."""
+    from osm_airflow_spark.streaming.windows import enrich_stream_with_dims
+
+    users = (
+        load_events(spark, sf_dir)
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 4).cast("string"))
+    )
+    q = (
+        enrich_stream_with_dims(stream_events, users)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_enrich")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        (r["window_start"], r["segment"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM t_enrich").collect()
+    }
+    ev = load_events(spark, sf_dir)
+    batch = {
+        (r["ws"], r["segment"]): r["n"]
+        for r in ev.join(users, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "segment", F.col("n"))
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
