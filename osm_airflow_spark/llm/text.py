@@ -822,3 +822,68 @@ def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "n_bigrams", "avg_nll", (F.col("avg_nll") > 3.0).alias("is_outlier")
     )
+
+
+@query(
+    "llm_corpus_curation",
+    oracle="""
+    WITH ok AS (
+      SELECT doc_id, text, lang, n_chars
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 20
+    ),
+    survivors AS (
+      SELECT MIN(doc_id) AS doc_id FROM ok GROUP BY md5(text)
+    ),
+    kept AS (
+      SELECT ok.* FROM ok JOIN survivors USING (doc_id)
+    ),
+    assigned AS (
+      SELECT lang,
+             CASE WHEN substr(md5(text), 1, 2) < '0a' THEN 'test'
+                  WHEN substr(md5(text), 1, 2) < '1a' THEN 'val'
+                  ELSE 'train' END AS split,
+             len(string_split(text, ' ')) AS toks,
+             n_chars
+      FROM kept
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned
+    GROUP BY split, lang
+    """,
+)
+def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass — quality gate → exact dedup →
+    leakage-proof split assignment → corpus report — as ONE Catalyst
+    plan, proving the K-family operators compose the way the TPC-H
+    pipelines prove the warehouse operators do. Stages: length
+    filter (>= 20 tokens, pushable predicate), md5-groupBy dedup with min-doc_id
+    survivor (one shuffle on the digest — llm_dedup_exact's shape),
+    content-hash split (zero-shuffle column math, duplicates can't
+    straddle splits BECAUSE dedup and split key on the same digest),
+    then one partial-aggregated rollup. At 100 TB this whole chain
+    is two shuffles: the digest groupBy and the final tiny rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    ok = d.where(F.size(F.split("text", " ")) >= 20)
+    survivors = ok.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = ok.join(survivors.select("doc_id"), "doc_id")
+    prefix = F.substring(F.md5("text"), 1, 2)
+    assigned = kept.select(
+        "lang",
+        F.when(prefix < "0a", "test")
+        .when(prefix < "1a", "val")
+        .otherwise("train")
+        .alias("split"),
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+        "n_chars",
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
