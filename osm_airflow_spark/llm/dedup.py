@@ -295,23 +295,25 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                   CAST(b.embedding AS DOUBLE[])) AS cos_sim
     FROM embeddings a, embeddings b
-    WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 0 AND a.vec_id < b.vec_id
+    WHERE a.vec_id % 25 = 0 AND b.vec_id % 25 = 0 AND a.vec_id < b.vec_id
       AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.3
     """,
 )
 def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension — embedding-cosine near-duplicate pairs on a keyed
-    candidate sample (``vec_id % 2``; the fixture's max pairwise
-    cosine is ~0.51, so 0.4 marks the 'suspiciously similar' tail).
-    Pairwise cosine is inherently quadratic, so the cross join is
-    NEVER unbounded — sample/bucket first, always (same guard as
-    llm_sim_pairwise / llm_dedup_ngram_jaccard). Double-precision
-    sequential cosine is bit-identical to DuckDB's
-    list_cosine_similarity → SQL-oracled. The 100 TB path replaces
-    the sampled cross join with LSH bucketing
-    (similarity.llm_sim_ann_lsh)."""
-    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 2 == 0)
+    candidate sample (``vec_id % 25`` — 4% retention, the same guard
+    as llm_sim_pairwise / llm_dedup_ngram_jaccard, so the quadratic
+    blowup is bounded at n²/625 and never exceeds 10% of the table;
+    the fixture's max pairwise cosine is ~0.51, so 0.3 marks the
+    'suspiciously similar' tail on the sampled set). Pairwise cosine
+    is inherently quadratic, so the cross join is NEVER unbounded —
+    sample/bucket first, always. Double-precision sequential cosine
+    is bit-identical to DuckDB's list_cosine_similarity →
+    SQL-oracled. The 100 TB path replaces the sampled cross join
+    with LSH bucketing (similarity.llm_sim_ann_lsh candidates +
+    exact-cosine verify — see llm_dedup_embed_lsh)."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 25 == 0)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = cosine_expr("ea", "eb")
@@ -319,7 +321,61 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(b)
         .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .where(F.col("cos_sim") >= 0.4)
+        .where(F.col("cos_sim") >= 0.3)
+    )
+
+
+@query("llm_dedup_embed_lsh")  # rows-only: candidate set is hash-family dependent
+def llm_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — the 100 TB path for embedding-cosine near-dup:
+    banded random-hyperplane LSH candidates + exact-cosine verify.
+
+    Full table, no sample, and still no cross join: each vector gets
+    4 independent 4-bit band signatures (content-derived planes — no
+    rand(), see similarity.hyperplane_signature); candidate pairs are
+    an equi-join on (band, signature); duplicates across bands are
+    collapsed BEFORE embeddings are re-attached, so exact cosine runs
+    once per candidate pair. Cost scales with Σ bucket², never n² —
+    the plan is shuffle-partitioned on the band key end to end.
+    Recall for true near-dups (cos ≥ 0.9): a pair agrees on one 4-bit
+    band w.p. ((1 - θ/π)⁴); at cos 0.9 that is ~0.54 per band →
+    1-(1-0.54)⁴ ≈ 0.96 over 4 bands (planted-dup recall asserted in
+    tests/test_llm.py). The fixture corpus tops out at cos ~0.51, so
+    the emitted threshold matches llm_dedup_embed's 0.3 tail; output
+    is deterministic given the fixed plane family → rows-only."""
+    from osm_airflow_spark.llm.similarity import hyperplane_signature
+
+    bands, bits = 4, 4
+    e = load_table(spark, sf_dir, "embeddings")
+    sigs = e.select(
+        "vec_id",
+        *[
+            hyperplane_signature("embedding", n_planes=bits, plane_offset=b * bits).alias(f"sig{b}")
+            for b in range(bands)
+        ],
+    )
+    keyed = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig")) for b in range(bands)])
+        ).alias("bk"),
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    a = keyed.select(F.col("vec_id").alias("vec_a"), "band", "sig")
+    b = keyed.select(F.col("vec_id").alias("vec_b"), "band", "sig")
+    pairs = (
+        a.join(b, ["band", "sig"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cosine_expr("ea", "eb").alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.3)
+        .orderBy("vec_a", "vec_b")
     )
 
 

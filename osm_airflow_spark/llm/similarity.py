@@ -118,13 +118,18 @@ def _plane_component(p: int, i: int) -> float:
     return (h % 200001) / 100000.0 - 1.0
 
 
-def hyperplane_signature(vec_col, n_planes: int = 8, dim: int = 64) -> Column:
+def hyperplane_signature(
+    vec_col, n_planes: int = 8, dim: int = 64, plane_offset: int = 0
+) -> Column:
     """Random-hyperplane LSH signature as one integer column.
 
     Plane components are computed driver-side as literal arrays
     (deterministic — see _plane_component), so the per-row work is
     n_planes array dot products, not a giant per-element expression
-    tree. Signature bit p = sign(v · plane_p).
+    tree. Signature bit p = sign(v · plane_p). ``plane_offset``
+    selects a disjoint plane family, so banded LSH (b bands × r bits,
+    as in dedup.llm_dedup_embed_lsh) gets independent per-band
+    signatures from the same deterministic generator.
 
     Dimension guard: ``zip_with`` pads the shorter array with nulls,
     so a vector of any length ≠ dim would silently yield a NULL dot
@@ -133,12 +138,12 @@ def hyperplane_signature(vec_col, n_planes: int = 8, dim: int = 64) -> Column:
     is a data error, not an empty result."""
     dv = _as_double(vec_col)
     bits = []
-    for p in range(n_planes):
+    for b, p in enumerate(range(plane_offset, plane_offset + n_planes)):
         plane = F.array(*[F.lit(_plane_component(p, i)) for i in range(dim)])
         dot = F.aggregate(
             F.zip_with(dv, plane, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
         )
-        bits.append((dot > 0).cast("long") * F.lit(2**p))
+        bits.append((dot > 0).cast("long") * F.lit(2**b))
     sig = reduce(lambda a, b: a + b, bits)
     dim_ok = F.assert_true(
         F.size(dv) == F.lit(dim),

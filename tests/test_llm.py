@@ -98,6 +98,58 @@ def test_minhash_recall_bound_vs_exact_shingle_jaccard(spark, sf_dir):
     assert all(p in truth for p in got), "false positive below true j=0.7"
 
 
+def test_embed_lsh_planted_duplicate_recall(spark, sf_dir):
+    """Planted-duplicate recall for llm_dedup_embed_lsh's banding: a
+    vector and its exact copy have identical band signatures (cos=1
+    → every hyperplane side agrees), so recall on planted dups must
+    be 100%. Also: every emitted pair really meets the cosine bar
+    (precision is by construction — assert it anyway), and the
+    candidate generator is an equi-join, so the pair set must be a
+    subset of brute force at the same threshold."""
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.llm.dedup import llm_dedup_embed_lsh
+    from osm_airflow_spark.llm.similarity import cosine_expr
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    planted = e.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + F.lit(n * 10)).alias("vec_id"),
+        "label",
+        "embedding",
+    )
+    planted_ids = {r["vec_id"] - n * 10 for r in planted.select("vec_id").collect()}
+    assert planted_ids, "fixture must yield planted rows"
+    union = e.unionByName(planted.select(*e.columns))
+    union.createOrReplaceTempView("_embed_lsh_planted")
+
+    import osm_airflow_spark.llm.dedup as dd
+
+    orig = dd.load_table
+    dd.load_table = lambda sp, sd, t: union if t == "embeddings" else orig(sp, sd, t)
+    try:
+        got = llm_dedup_embed_lsh(spark, sf_dir)
+        pairs = {(r["vec_a"], r["vec_b"]): r["cos_sim"] for r in got.collect()}
+    finally:
+        dd.load_table = orig
+
+    for vid in planted_ids:
+        assert (vid, vid + n * 10) in pairs, f"planted dup {vid} not recalled"
+        assert abs(pairs[(vid, vid + n * 10)] - 1.0) < 1e-9
+    assert all(c >= 0.3 for c in pairs.values())
+
+    a = union.select(F.col("vec_id").alias("va"), F.col("embedding").alias("xa"))
+    b = union.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("xb"))
+    brute = {
+        (r["va"], r["vb"])
+        for r in a.crossJoin(b)
+        .where(F.col("va") < F.col("vb"))
+        .select("va", "vb", cosine_expr("xa", "xb").alias("c"))
+        .where(F.col("c") >= 0.3)
+        .collect()
+    }
+    assert set(pairs) <= brute
+
+
 def test_simhash_identical_docs_same_fingerprint(docs):
     fp = {
         r["doc_id"]: r["s"]

@@ -8,10 +8,22 @@ import re
 import pytest
 
 import __spark_entry__ as entry_mod
-from osm_airflow_spark.registry import all_oracles, all_queries
+from osm_airflow_spark.registry import DRIVER_WINDOW, all_oracles, all_queries
 
 QUERIES = all_queries()
 ORACLES = all_oracles()
+
+
+def test_driver_window_is_pinned():
+    """The external driver checks exactly the first 50 keys of
+    all_queries(). Round 2 proved that letting import order decide
+    those 50 silently evicts keys (fn_string's fixed FAIL never got
+    re-checked). The window must be the explicit manifest — if this
+    fails, a registration change reshuffled driver visibility without
+    review. Update DRIVER_WINDOW deliberately, never incidentally."""
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+    assert list(QUERIES)[:50] == DRIVER_WINDOW
 
 AUTO_NAME = re.compile(r"[()]")  # sum(x), count(1) … = unaliased
 
@@ -28,6 +40,7 @@ def test_rows_only_keys_are_the_documented_ones():
         "agg_hll_partial_merge",
         "udf_grouped_map",
         "llm_dedup_near",
+        "llm_dedup_embed_lsh",
         "llm_dedup_simhash",
         "llm_dedup_cluster_best",
         "llm_sim_ann_lsh",
