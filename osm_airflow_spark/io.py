@@ -45,19 +45,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scan the events table, normalizing its ns-precision timestamp.
+    """Scan the events table, normalizing its timestamp to µs NTZ.
 
-    Spark's Parquet reader rejects INT64 TIMESTAMP(NANOS) outright
-    (PARQUET_TYPE_ILLEGAL); the engine reads nanos as long and
-    truncates to microseconds — exactly what DuckDB/PostgreSQL do
-    with ns inputs, so oracle values agree. The conversion is one
-    JVM-side integer division: no Python, no extra pass.
+    The fixture generator has shipped ``ts`` both as INT64
+    TIMESTAMP(NANOS) and as plain µs timestamps across rounds, so the
+    loader adapts to the file's actual physical type. Spark's Parquet
+    reader rejects TIMESTAMP(NANOS) outright (PARQUET_TYPE_ILLEGAL);
+    with ``nanosAsLong`` the ns case surfaces as a long column, which
+    is truncated to microseconds — exactly what DuckDB/PostgreSQL do
+    with ns inputs, so oracle values agree. µs files pass through with
+    only an NTZ cast. Either way the conversion is one JVM-side
+    expression: no Python, no extra pass.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-    )
+    if dict(df.dtypes)["ts"] == "bigint":  # ns-as-long fixture
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:  # native µs timestamp fixture
+        ts = F.col("ts")
+    return df.withColumn("ts", ts.cast("timestamp_ntz"))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -50,13 +50,18 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     One multiway join (dims broadcast) + one groupBy — the edge list
     is the only shuffle product, ∝ distinct node pairs. The weight
     floor is scale-relative (total lineitems / 500 — 120 at sf0.01)
-    so the graph stays comparably sparse at every SF."""
+    so the graph stays comparably sparse at every SF. The total is a
+    1-row in-plan aggregate broadcast-cross-joined into the filter
+    (mirroring the oracle's scalar subquery) — no driver-side
+    ``.count()`` action, so callers that checkpoint the edge list pay
+    for lineitem exactly once per job, and the count-only branch
+    prunes to a zero-column scan."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    w_floor = li.count() / 500.0  # control-plane scalar, scale-relative
+    total = li.agg((F.count(F.lit(1)) / 500.0).alias("w_floor"))  # 1 row
     nc = n.select(
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
@@ -74,7 +79,8 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("supp_nation").alias("a"), F.col("cust_nation").alias("b")
         )
         .agg(F.count(F.lit(1)).alias("w"))
-        .where(F.col("w") >= F.lit(w_floor))
+        .join(F.broadcast(total))  # 1-row cross join: scalar threshold
+        .where(F.col("w") >= F.col("w_floor"))
         .select("a", "b")
     )
 

@@ -152,11 +152,11 @@ def win_dedup_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer microseconds div 600e6 (no float epoch), so both
     engines bucket identically; the per-(key, bucket) row_number
     plans as WindowGroupLimit — map-side first-row capping, state
-    O(groups), never a global sort."""
+    O(groups), never a global sort. ``div`` is true 64-bit integer
+    division (truncation toward zero, same as DuckDB's ``//``) — no
+    double-rounding hazard at bucket boundaries."""
     ev = load_table(spark, sf_dir, "events")
-    bucket = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(600000000)).cast(
-        "long"
-    )
+    bucket = F.expr("unix_micros(cast(ts as timestamp)) div 600000000")
     df = ev.select("user_id", "event_type", bucket.alias("bucket"), "event_id", "ts")
     w = Window.partitionBy("user_id", "event_type", "bucket").orderBy("ts", "event_id")
     return (

@@ -425,9 +425,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be partition-order-dependent — the trap this key pins
     down). Ordering key is exact integer seconds on both engines."""
     ev = load_table(spark, sf_dir, "events")
-    epoch_s = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000)).cast(
-        "long"
-    )
+    epoch_s = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
     df = ev.select("event_id", "user_id", epoch_s.alias("epoch_s"))
     w = (
         Window.partitionBy("user_id")

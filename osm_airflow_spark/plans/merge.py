@@ -33,16 +33,25 @@ def latest_change_per_key(
     """Collapse a change batch to ONE row per key: the latest by
     ``change_ts``, tie-broken deterministically (delete > modify >
     create at the same timestamp — a delete is the strongest claim,
-    and any total order beats a partition-dependent one). Without
-    this, N same-key changes in one batch fan out every joined base
-    row N times and append N conflicting versions."""
+    and any total order beats a partition-dependent one). Two
+    same-key changes tying on (ts, op) can still differ in payload,
+    so a content hash over the remaining columns closes the order to
+    a total one — the surviving row never depends on partitioning."""
     op_rank = (
         F.when(F.col(CHANGE_COL) == "delete", 3)
         .when(F.col(CHANGE_COL) == "modify", 2)
         .otherwise(1)
     )
+    payload_cols = [
+        c for c in changes.columns if c not in (key, change_ts, CHANGE_COL)
+    ]
+    payload_tiebreak = (
+        F.xxhash64(*[F.col(c) for c in payload_cols])
+        if payload_cols
+        else F.lit(0)
+    )
     w = Window.partitionBy(key).orderBy(
-        F.col(change_ts).desc(), op_rank.desc(), F.col(CHANGE_COL)
+        F.col(change_ts).desc(), op_rank.desc(), F.col(CHANGE_COL), payload_tiebreak
     )
     return (
         changes.withColumn("_rn", F.row_number().over(w))

@@ -67,12 +67,26 @@ RELATION_SCHEMA = T.StructType(
     ]
 )
 
-_KIND_SCHEMA = {"nodes": NODE_SCHEMA, "ways": WAY_SCHEMA, "relations": RELATION_SCHEMA}
-_KIND_COLS = {
-    "nodes": ["node_id", "lat", "lon", "tags"],
-    "ways": ["way_id", "node_refs", "tags"],
-    "relations": ["rel_id", "members", "tags"],
-}
+# One decode pass emits every element kind at once; the union schema
+# carries a kind discriminator plus the superset of per-kind columns
+# (unused ones null). Splitting back to the three typed tables is a
+# filter + rename — pure metadata, no second decode.
+UNION_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("elem_id", T.LongType(), False),
+        T.StructField("lat", T.DoubleType(), True),
+        T.StructField("lon", T.DoubleType(), True),
+        T.StructField("node_refs", T.ArrayType(T.LongType()), True),
+        T.StructField(
+            "members",
+            RELATION_SCHEMA["members"].dataType,
+            True,
+        ),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+_UNION_COLS = [f.name for f in UNION_SCHEMA.fields]
 
 
 def decode_blob(blob_bytes: bytes) -> dict:
@@ -93,45 +107,87 @@ def _offsets_df(spark: SparkSession, pbf_path: str) -> DataFrame:
     ).repartition(n_part)
 
 
-def _decode_kind(kind: str):
-    cols = _KIND_COLS[kind]
+def _decode_union(iterator):
+    """mapInPandas body: each blob is read + decompressed + parsed
+    exactly ONCE, emitting all three element kinds from that single
+    pass (a planet blob mixes kinds across its PrimitiveGroups)."""
+    import pandas as pd  # noqa: PLC0415
 
-    def decode_partition(iterator):
-        import pandas as pd  # noqa: PLC0415
+    for pdf in iterator:
+        rows = []
+        for path, start, length in pdf.itertuples(index=False):
+            with open(path, "rb") as fh:
+                fh.seek(start)
+                dec = pbf_wire.decode_blob(fh.read(length))
+            for r in dec["nodes"]:
+                rows.append(
+                    ("node", r["node_id"], r["lat"], r["lon"], None, None, r["tags"])
+                )
+            for r in dec["ways"]:
+                rows.append(
+                    ("way", r["way_id"], None, None, r["node_refs"], None, r["tags"])
+                )
+            for r in dec["relations"]:
+                rows.append(
+                    ("relation", r["rel_id"], None, None, None, r["members"], r["tags"])
+                )
+        yield pd.DataFrame(rows, columns=_UNION_COLS)
 
-        for pdf in iterator:
-            rows = []
-            for path, start, length in pdf.itertuples(index=False):
-                with open(path, "rb") as fh:
-                    fh.seek(start)
-                    rows.extend(decode_blob(fh.read(length)).get(kind, []))
-            yield pd.DataFrame(
-                [[r[c] for c in cols] for r in rows], columns=cols
-            )
 
-    return decode_partition
+def read_pbf_elements(spark: SparkSession, pbf_path: str) -> DataFrame:
+    """PBF → ONE unioned element DataFrame (kind-discriminated),
+    parallel by blob offset. Each executor task opens the file at its
+    own offsets — no driver-side decode, no full-file broadcast, and
+    each blob is decoded once per action (not once per element kind)."""
+    return _offsets_df(spark, pbf_path).mapInPandas(_decode_union, UNION_SCHEMA)
+
+
+def split_elements(union: DataFrame) -> dict[str, DataFrame]:
+    """Kind-discriminated union → the three typed element tables.
+    Pure filter + rename — evaluating all three against a *staged or
+    persisted* union costs one decode total."""
+    return {
+        "nodes": union.where(union.kind == "node").select(
+            union.elem_id.alias("node_id"), "lat", "lon", "tags"
+        ),
+        "ways": union.where(union.kind == "way").select(
+            union.elem_id.alias("way_id"), "node_refs", "tags"
+        ),
+        "relations": union.where(union.kind == "relation").select(
+            union.elem_id.alias("rel_id"), "members", "tags"
+        ),
+    }
 
 
 def read_pbf(spark: SparkSession, pbf_path: str) -> dict[str, DataFrame]:
-    """PBF → {nodes, ways, relations} DataFrames, parallel by blob
-    offset. Each executor task opens the file at its own offsets —
-    no driver-side decode, no full-file broadcast."""
-    offsets = _offsets_df(spark, pbf_path)
-    return {
-        kind: offsets.mapInPandas(_decode_kind(kind), _KIND_SCHEMA[kind])
-        for kind in ("nodes", "ways", "relations")
-    }
+    """PBF → {nodes, ways, relations} DataFrames derived from the
+    single-pass union scan. Lazy caveat: running separate actions on
+    all three re-decodes (Spark re-executes the shared scan per
+    action) — the ingest-once path (``ingest_pbf``) stages the union
+    to Parquet first so the expensive decode happens exactly once."""
+    return split_elements(read_pbf_elements(spark, pbf_path))
 
 
 def ingest_pbf(
     spark: SparkSession, pbf_path: str, out_dir: str, region: str
 ) -> dict[str, str]:
-    """PBF → element Parquet, the ingest-once step. At planet scale
-    (~70 GB PBF / ~80k blobs) this is embarrassingly parallel; the
-    parquet layout (type dir + region partition) is what SCALE.md's
-    layout contract expects downstream."""
+    """PBF → element Parquet, the ingest-once step.
+
+    Two passes: (1) the decode pass writes the kind-partitioned union
+    Parquet — every blob decompressed + parsed exactly once; (2) a
+    columnar pass per kind reads back only its partition directory
+    (partition-pruned) and lays down the typed table. Pass 2 touches
+    already-columnar data, so total decode cost is 1× (the previous
+    design paid 3×). At planet scale (~70 GB PBF / ~80k blobs) pass 1
+    is embarrassingly parallel; the final layout (type dir + region
+    partition) is what SCALE.md's layout contract expects downstream."""
+    staged = f"{out_dir}/_staged_elements/region={region}"
+    read_pbf_elements(spark, pbf_path).write.mode("overwrite").partitionBy(
+        "kind"
+    ).parquet(staged)
+    union = spark.read.parquet(staged)  # kind restored as partition column
     paths = {}
-    for kind, df in read_pbf(spark, pbf_path).items():
+    for kind, df in split_elements(union).items():
         path = f"{out_dir}/{kind}/region={region}"
         df.write.mode("overwrite").parquet(path)
         paths[kind] = path

@@ -92,6 +92,11 @@ def parse_message(buf: bytes) -> dict[int, list]:
             val, pos = decode_varint(buf, pos)
         elif wire_type == 2:
             length, pos = decode_varint(buf, pos)
+            if pos + length > n:
+                raise ValueError(
+                    f"truncated length-delimited field {field_no}: "
+                    f"need {length} bytes at offset {pos}, have {n - pos}"
+                )
             val = buf[pos : pos + length]
             pos += length
         elif wire_type == 1:
@@ -154,6 +159,12 @@ def encode_packed(
 NANO = 1e-9
 _MEMBER_TYPES = ("node", "way", "relation")
 
+# fileformat.proto limits: uncompressed blob SHOULD be < 16MB, MUST be
+# < 32MB; BlobHeader MUST be < 64KB. Enforcing them bounds executor
+# memory against decompression bombs in untrusted .pbf input.
+MAX_BLOB_RAW = 32 * 1024 * 1024
+MAX_HEADER_LEN = 64 * 1024
+
 
 def _tags(keys: list[int], vals: list[int], strings: list[str]) -> dict[str, str]:
     return {strings[k]: strings[v] for k, v in zip(keys, vals)}
@@ -163,12 +174,45 @@ def decode_blob(blob_bytes: bytes) -> dict:
     """One OSMData Blob → {"nodes": [...], "ways": [...],
     "relations": [...]} row dicts matching pbf.NODE/WAY/RELATION
     schemas. Pure function of the bytes — safe to run on any
-    executor."""
+    executor. Untrusted-input bounds: decompression is capped at the
+    declared ``raw_size`` (itself capped at the spec's 32MB blob
+    limit), so a zlib bomb can't OOM an executor; declared-vs-actual
+    size mismatch and truncation surface as ValueError, not raw
+    IndexError (the varint hot path stays branch-free — truncation
+    is caught once here, not per byte)."""
+    try:
+        return _decode_blob(blob_bytes)
+    except IndexError as e:
+        raise ValueError(f"truncated or corrupt PBF blob: {e!r}") from e
+
+
+def _decode_blob(blob_bytes: bytes) -> dict:
     blob = parse_message(blob_bytes)
+    raw_size = first(blob, 2)
+    if raw_size is not None and raw_size > MAX_BLOB_RAW:
+        raise ValueError(
+            f"Blob declares raw_size={raw_size} > {MAX_BLOB_RAW} spec cap"
+        )
+    cap = MAX_BLOB_RAW if raw_size is None else raw_size
     if 3 in blob:
-        data = zlib.decompress(blob[3][0])
+        d = zlib.decompressobj()
+        # ask for one byte beyond the cap: any surplus proves overrun
+        data = d.decompress(blob[3][0], cap + 1)
+        if len(data) > cap:
+            raise ValueError(
+                f"Blob inflates past its cap ({cap} bytes) — "
+                "corrupt raw_size or decompression bomb"
+            )
+        if raw_size is not None and len(data) != raw_size:
+            raise ValueError(
+                f"Blob raw_size={raw_size} but inflated to {len(data)} bytes"
+            )
     elif 1 in blob:
         data = blob[1][0]
+        if len(data) > MAX_BLOB_RAW:
+            raise ValueError(
+                f"raw Blob of {len(data)} bytes exceeds {MAX_BLOB_RAW} spec cap"
+            )
     else:
         raise ValueError("Blob carries neither raw (1) nor zlib_data (3)")
 
@@ -275,17 +319,40 @@ def scan_blob_offsets(pbf_path: str) -> list[tuple[int, int, str]]:
     """Fileblock framing: [4-byte BE len][BlobHeader][Blob]. Returns
     (blob_start, blob_len, type) per block — the driver-side pass
     reads only headers (bytes proportional to block COUNT, not file
-    size), then executors fetch their blob ranges independently."""
+    size), then executors fetch their blob ranges independently.
+
+    Bounds (untrusted input): BlobHeader capped at the spec's 64KB,
+    datasize at the 32MB blob cap, and a truncated header surfaces as
+    ValueError carrying the file offset — never a raw IndexError."""
     offsets: list[tuple[int, int, str]] = []
     with open(pbf_path, "rb") as fh:
         while True:
+            at = fh.tell()
             raw = fh.read(4)
-            if len(raw) < 4:
+            if len(raw) == 0:
                 break
+            if len(raw) < 4:
+                raise ValueError(f"truncated fileblock length prefix at {at}")
             header_len = struct.unpack(">I", raw)[0]
-            header = parse_message(fh.read(header_len))
+            if header_len > MAX_HEADER_LEN:
+                raise ValueError(
+                    f"BlobHeader of {header_len} bytes at {at} exceeds "
+                    f"{MAX_HEADER_LEN} spec cap"
+                )
+            header_bytes = fh.read(header_len)
+            if len(header_bytes) < header_len:
+                raise ValueError(f"truncated BlobHeader at {at}")
+            try:
+                header = parse_message(header_bytes)
+            except (IndexError, ValueError) as e:
+                raise ValueError(f"corrupt BlobHeader at {at}: {e!r}") from e
             blob_type = first(header, 1, b"").decode("utf-8")
             datasize = first(header, 3, 0)
+            if datasize > MAX_BLOB_RAW:
+                raise ValueError(
+                    f"Blob datasize={datasize} at {at} exceeds "
+                    f"{MAX_BLOB_RAW} spec cap"
+                )
             start = fh.tell()
             offsets.append((start, datasize, blob_type))
             fh.seek(start + datasize)

@@ -177,6 +177,75 @@ def test_pbf_blob_decode_roundtrip(pbf_file):
     assert rel["tags"] == {"type": "multipolygon"}
 
 
+def test_pbf_single_pass_union_decode(spark, pbf_file):
+    """read_pbf_elements decodes each blob ONCE and emits all kinds
+    from that pass (the 3x-decode fix): one action over the union
+    sees every element with its kind discriminator."""
+    from osm_airflow_spark.sources.pbf import read_pbf_elements
+
+    union = read_pbf_elements(spark, pbf_file)
+    counts = {r["kind"]: r["n"] for r in union.groupBy("kind").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"node": 4, "way": 2, "relation": 1}
+
+
+def test_pbf_decode_rejects_malformed_input(pbf_file):
+    """Untrusted-input bounds: truncated blobs, lying raw_size, and
+    decompression bombs all surface as descriptive ValueError — never
+    a raw IndexError or an uncapped zlib.decompress."""
+    import zlib
+
+    import pytest as _pytest
+
+    from osm_airflow_spark.sources.pbf_wire import (
+        MAX_BLOB_RAW,
+        decode_blob,
+        encode_field,
+        scan_blob_offsets,
+    )
+
+    offsets = scan_blob_offsets(pbf_file)
+    start, length, _ = next(o for o in offsets if o[2] == "OSMData")
+    with open(pbf_file, "rb") as fh:
+        fh.seek(start)
+        good = fh.read(length)
+
+    with _pytest.raises(ValueError):
+        decode_blob(good[: length // 2])  # truncated mid-message
+
+    # raw_size that contradicts the actual inflated size
+    payload = zlib.compress(b"x" * 100)
+    lying = encode_field(2, 0, 50) + encode_field(3, 2, payload)
+    with _pytest.raises(ValueError, match="raw_size|cap"):
+        decode_blob(lying)
+
+    # decompression bomb: declares a legal raw_size but inflates past it
+    bomb = encode_field(2, 0, 1024) + encode_field(
+        3, 2, zlib.compress(b"\0" * (4 * 1024 * 1024))
+    )
+    with _pytest.raises(ValueError, match="cap|raw_size"):
+        decode_blob(bomb)
+
+    # declared raw_size beyond the spec's 32MB hard cap
+    too_big = encode_field(2, 0, MAX_BLOB_RAW + 1) + encode_field(
+        3, 2, zlib.compress(b"")
+    )
+    with _pytest.raises(ValueError, match="spec cap"):
+        decode_blob(too_big)
+
+
+def test_pbf_scan_rejects_truncated_file(tmp_path, pbf_file):
+    import pytest as _pytest
+
+    from osm_airflow_spark.sources.pbf_wire import scan_blob_offsets
+
+    with open(pbf_file, "rb") as fh:
+        data = fh.read()
+    bad = tmp_path / "trunc.osm.pbf"
+    bad.write_bytes(data[: len(data) - (len(data) - 8)])  # 8 bytes: inside header
+    with _pytest.raises(ValueError):
+        scan_blob_offsets(str(bad))
+
+
 def test_pbf_spark_ingest_and_assembly(spark, pbf_file, tmp_path):
     """The full B1 path: blob-offset fan-out → executor decode →
     element DataFrames → way-geometry assembly (the reference's
