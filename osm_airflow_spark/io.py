@@ -44,26 +44,48 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scan the events table, normalizing its timestamp to µs NTZ.
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize an events DataFrame's ``ts`` to µs NTZ, whatever the
+    fixture shipped.
 
     The fixture generator has shipped ``ts`` both as INT64
-    TIMESTAMP(NANOS) and as plain µs timestamps across rounds, so the
-    loader adapts to the file's actual physical type. Spark's Parquet
-    reader rejects TIMESTAMP(NANOS) outright (PARQUET_TYPE_ILLEGAL);
-    with ``nanosAsLong`` the ns case surfaces as a long column, which
-    is truncated to microseconds — exactly what DuckDB/PostgreSQL do
+    TIMESTAMP(NANOS) and as plain µs timestamps across rounds, so this
+    adapts to the surfaced dtype. Spark's Parquet reader rejects
+    TIMESTAMP(NANOS) outright (PARQUET_TYPE_ILLEGAL); with
+    ``nanosAsLong`` the ns case surfaces as a long column, which is
+    truncated to microseconds — exactly what DuckDB/PostgreSQL do
     with ns inputs, so oracle values agree. µs files pass through with
     only an NTZ cast. Either way the conversion is one JVM-side
     expression: no Python, no extra pass.
+
+    Used by BOTH the batch loader and the streaming source
+    (streaming/windows.read_events_stream) so a fixture dtype flip
+    can never split their semantics again (the r3 regression: the
+    stream reader hardcoded ns-as-long while the fixture had moved to
+    native µs, shifting every streamed event to 1970).
+
+    Guardrail (ADVICE r3): a fixture that ships ``ts`` as plain INT64
+    *microseconds* without the TIMESTAMP(NANOS) annotation would also
+    surface as bigint; dividing that by 1000 would be 1000× off. The
+    two regimes differ by 3 orders of magnitude (2020-era epochs:
+    ~1.6e18 ns vs ~1.6e15 µs), so interpret longs ≥ 1e17 as ns and
+    smaller longs as already-µs.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes)["ts"] == "bigint":  # ns-as-long fixture
-        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    if dict(df.dtypes)["ts"] == "bigint":  # long fixture: ns or µs?
+        ts = F.timestamp_micros(
+            F.when(F.abs(F.col("ts")) >= F.lit(10**17), F.expr("ts div 1000"))
+            .otherwise(F.col("ts"))
+        )
     else:  # native µs timestamp fixture
         ts = F.col("ts")
     return df.withColumn("ts", ts.cast("timestamp_ntz"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the events table, normalizing its timestamp to µs NTZ
+    (see normalize_events_ts for the adaptivity contract)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

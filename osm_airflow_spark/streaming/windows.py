@@ -26,30 +26,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        # the fixture stores TIMESTAMP(NANOS), which Spark reads only
-        # as long (see io.load_events) — converted right below
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
-def read_events_stream(spark: SparkSession, dir_glob: str) -> DataFrame:
-    """File-based streaming source over event parquet (the test rig;
-    production swaps in Kafka with the same downstream plan)."""
+def events_stream_schema(spark: SparkSession, dir_glob: str, glob: str | None) -> T.StructType:
+    """Probe the static files' actual schema with a batch reader so
+    the stream declares whatever physical type the fixture shipped
+    (ns-as-long vs native µs — the fixture has flipped between rounds;
+    hardcoding one broke parity by 1000× in r3). Schema-only: no scan."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.read
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.parquet(dir_glob).schema
+
+
+def read_events_stream(
+    spark: SparkSession, dir_glob: str, glob: str | None = "events.parquet"
+) -> DataFrame:
+    """File-based streaming source over event parquet (the test rig;
+    production swaps in Kafka with the same downstream plan).
+
+    The stream schema is probed from the files themselves and the ts
+    column normalized by the SAME expression as the batch loader
+    (io.normalize_events_ts) — one conversion contract, two execution
+    modes, so a fixture dtype flip cannot desynchronize them."""
+    from osm_airflow_spark.io import normalize_events_ts
+
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir_glob)
+        spark.readStream.schema(events_stream_schema(spark, dir_glob, glob))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if glob:
+        raw = raw.option("pathGlobFilter", glob)
+    # watermarks demand TIMESTAMP (ltz) — EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    # on NTZ. Session TZ is pinned UTC by the registry wrapper, so the
+    # ntz→ltz cast is value-preserving and batch/stream windows align.
+    return normalize_events_ts(raw.parquet(dir_glob)).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -30,6 +30,26 @@ def _run(stream_df, name):
     q.stop()
 
 
+def test_stream_batch_ts_canary(spark, sf_dir, stream_events):
+    """Fixture-dtype canary: the streaming source and the batch loader
+    must see the SAME event times (min/max µs-exact). Guards against a
+    fixture physical-type flip re-desynchronizing the two readers (the
+    r3 regression: stream hardcoded ns-as-long, fixture moved to µs,
+    every streamed event landed in 1970)."""
+    _run(
+        stream_events.groupBy().agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ),
+        "t_canary",
+    )
+    got = spark.sql("SELECT * FROM t_canary").head()
+    want = load_events(spark, sf_dir).agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).head()
+    assert (got["lo"], got["hi"]) == (want["lo"], want["hi"])
+    assert got["lo"].year >= 2000  # not 1970: conversion regime is right
+
+
 def test_tumbling_parity(spark, sf_dir, stream_events):
     _run(tumbling_counts(stream_events), "t_tumble")
     streamed = {
@@ -136,15 +156,8 @@ def test_dedup_stream_drops_cross_file_duplicates(spark, sf_dir, tmp_path):
     d.mkdir()
     shutil.copy(src, d / "events.parquet")
     shutil.copy(src, d / "more-events.parquet")
-    # pathGlobFilter in read_events_stream matches only events.parquet;
-    # use a fresh reader matching both
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    from pyspark.sql import functions as F
-
-    from osm_airflow_spark.streaming.windows import EVENTS_STREAM_SCHEMA
-
-    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(str(d))
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # glob=None: match both copies (default glob is events.parquet only)
+    stream = read_events_stream(spark, str(d), glob=None)
     q = (
         dedup_latest_stream(stream)
         .writeStream.outputMode("append")
