@@ -103,64 +103,69 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ``tests/test_registry.py`` pins the exact list so adding a key can
 # never reshuffle the window unreviewed.
 #
-# Round-3 window: all fn_* (incl. the fn_string redemption — r1 FAIL
-# fixed in r2 but evicted before re-check), udf_*, SURVEY K-keys,
-# the text-pipeline suite, scan_parquet, flagship, two TPC-shape
-# pipelines, and the round-1 scale-fix proofs (llm_pack_sequences,
-# win_ntile).
+# Round-4 window: the 39 keys never driver-checked in r1–r3 (the
+# ANN/semantic-dedup family, the remaining win_* frames, the TPC-shape
+# pipeline_* suite, the osm_* composites, mm_* plumbing) — this
+# completes driver coverage of the whole registry (108→147) — plus 11
+# re-checks of keys whose code paths changed this round (events-loader
+# consumers after the ns/µs normalization rework, llm_tfidf_topk after
+# the single-scan rewrite, mm_feature_extract after the real decoder)
+# and two stable anchors (flagship, scan_parquet).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    "fn_string",
-    "fn_regex",
+    # -- never driver-checked before round 4 (39) --
+    "win_share_of_group",
+    "win_streak",
+    "win_range_frame",
+    "win_locf",
+    "llm_sim_ann_lsh",
+    "llm_sim_ann_ivf",
+    "llm_sim_ann_multiprobe",
+    "llm_sim_ann_ivf_kmeans",
+    "llm_sim_ann_pq",
+    "llm_dedup_simhash",
+    "llm_dedup_embed_lsh",
+    "llm_dedup_cluster_best",
+    "llm_semdedup",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "llm_fingerprint",
+    "pipeline_pricing_summary",
+    "pipeline_top_returning_customers",
+    "pipeline_small_quantity_revenue",
+    "pipeline_nation_trade",
+    "pipeline_priority_fulfillment",
+    "pipeline_priority_class_share",
+    "pipeline_forecast_revenue",
+    "pipeline_branded_discounts",
+    "pipeline_market_share",
+    "pipeline_order_count_distribution",
+    "pipeline_large_volume_customers",
+    "pipeline_waiting_multi_supplier",
+    "pipeline_event_funnel",
+    "pipeline_retention_cohort",
+    "pipeline_snapshot_diff",
+    "pipeline_date_spine",
+    "pipeline_market_basket",
+    "pipeline_data_quality",
+    "pipeline_time_travel",
+    "osm_assemble_ways",
+    "osm_way_lengths",
+    "osm_spatial_join_bbox",
+    "osm_tile_rollup",
+    # -- re-checks: code paths touched in round 4 + anchors (11) --
     "fn_datetime",
-    "fn_math",
-    "fn_conditional",
-    "fn_map_json",
-    "fn_array_explode",
-    "fn_json",
-    "fn_hash",
-    "fn_edit_distance",
-    "fn_bitwise",
-    "fn_string_shape",
-    "fn_array_ops",
-    "fn_null_safety",
-    "fn_geo_distance",
-    "fn_geo_bbox",
-    "udf_scalar",
-    "udf_pandas",
-    "udf_grouped_map",
-    "udf_grouped_agg",
-    "udf_map_in_arrow",
-    "scan_parquet",
-    "flagship_revenue_by_region",
-    "llm_dedup_exact",
-    "llm_dedup_near",
-    "llm_sim_pairwise",
-    "llm_sim_topk",
-    "llm_text_stats",
-    "llm_pack_sequences",
-    "win_ntile",
-    "llm_lang_id",
-    "llm_quality_score",
-    "llm_token_count",
-    "llm_chunk_documents",
-    "llm_split_assign",
-    "llm_sample_stratified",
-    "llm_pii_scrub",
-    "llm_repetition_ratio",
-    "llm_length_histogram",
-    "llm_contamination_check",
-    "llm_boilerplate_df",
+    "win_time_tumbling",
+    "win_time_sliding",
+    "win_time_session",
+    "win_dedup_time_window",
     "llm_tfidf_topk",
-    "llm_bigram_lm",
-    "llm_perplexity_filter",
     "llm_corpus_curation",
-    "llm_dedup_ngram_jaccard",
-    "llm_dedup_embed",
-    "mm_binary_meta",
-    "pipeline_shipping_priority",
-    "pipeline_local_supplier_volume",
+    "llm_dedup_exact",
+    "llm_pack_sequences",
+    "flagship_revenue_by_region",
+    "scan_parquet",
 ]
 
 
