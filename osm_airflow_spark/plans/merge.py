@@ -21,10 +21,39 @@ tombstones in the change feed, never scans of the base.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 CHANGE_COL = "change_op"  # 'create' | 'modify' | 'delete'
+
+
+def _contains_map(dt: T.DataType) -> bool:
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _hashable(name: str, dt: T.DataType) -> Column:
+    """A deterministic, hash-safe stand-in for a payload column.
+
+    Spark refuses to hash MapType (DATATYPE_MISMATCH.HASH_MAP_TYPE)
+    because map equality ignores entry order — and OSM change feeds
+    always carry one (tags map<string,string>). Canonicalize a
+    top-level map to its entries sorted by key; for the rare payload
+    with a map nested deeper, fall back to the JSON serialization,
+    which is stable for any given stored row (the tiebreak only needs
+    the same row to hash the same regardless of partitioning)."""
+    c = F.col(name)
+    if isinstance(dt, T.MapType):
+        return F.array_sort(F.map_entries(c))
+    if _contains_map(dt):
+        return F.to_json(c)
+    return c
 
 
 def latest_change_per_key(
@@ -42,12 +71,13 @@ def latest_change_per_key(
         .when(F.col(CHANGE_COL) == "modify", 2)
         .otherwise(1)
     )
-    payload_cols = [
-        c for c in changes.columns if c not in (key, change_ts, CHANGE_COL)
+    payload_fields = [
+        f for f in changes.schema.fields
+        if f.name not in (key, change_ts, CHANGE_COL)
     ]
     payload_tiebreak = (
-        F.xxhash64(*[F.col(c) for c in payload_cols])
-        if payload_cols
+        F.xxhash64(*[_hashable(f.name, f.dataType) for f in payload_fields])
+        if payload_fields
         else F.lit(0)
     )
     w = Window.partitionBy(key).orderBy(

@@ -183,6 +183,51 @@ def test_apply_diff_delete_then_recreate(spark, base):
     assert len(rows) == 3
 
 
+def test_apply_diff_with_tags_map_payload(spark, base):
+    """OSM change feeds carry tags map<string,string>; Spark refuses
+    to hash maps, so the payload tiebreak must canonicalize them
+    (array_sort(map_entries)) instead of crashing at analysis time
+    (DATATYPE_MISMATCH.HASH_MAP_TYPE — the r3 advice finding)."""
+    base_tagged = base.withColumn(
+        "tags", F.create_map(F.lit("amenity"), F.col("amenity"))
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "restaurant", 2, {"amenity": "restaurant", "cuisine": "thai"}, "2024-01-01", "modify"),
+            (2, "bar", 3, {"amenity": "bar"}, "2024-01-02", "modify"),
+            (4, "bank", 1, {"amenity": "bank"}, "2024-01-01", "create"),
+        ],
+        "node_id long, amenity string, version int, tags map<string,string>, "
+        "change_ts string, change_op string",
+    ).withColumn("change_ts", F.col("change_ts").cast("timestamp"))
+    out = {r["node_id"]: r for r in apply_diff(base_tagged, changes, "node_id").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[2]["amenity"] == "bar" and out[2]["tags"] == {"amenity": "bar"}
+    assert out[4]["tags"] == {"amenity": "bank"}
+
+
+def test_latest_change_tiebreak_total_order_with_map(spark):
+    """Two same-key changes tying on (ts, op) but differing only in a
+    MAP payload must still pick ONE partition-independent survivor."""
+    from osm_airflow_spark.plans.merge import latest_change_per_key
+
+    rows = [
+        (1, {"name": "a"}, "2024-01-01", "modify"),
+        (1, {"name": "b"}, "2024-01-01", "modify"),
+    ]
+    schema = "node_id long, tags map<string,string>, change_ts string, change_op string"
+    one = (
+        spark.createDataFrame(rows, schema)
+        .withColumn("change_ts", F.col("change_ts").cast("timestamp"))
+    )
+    got = [
+        latest_change_per_key(one.repartition(n, "node_id"), "node_id").collect()
+        for n in (1, 7)
+    ]
+    assert len(got[0]) == 1
+    assert got[0][0]["tags"] == got[1][0]["tags"]  # partition-independent
+
+
 def test_snapshot_diff_roundtrip_apply(spark):
     """snapshot_diff(old, new) fed back through apply_diff(old, ...)
     must reproduce `new` exactly — the CDC bootstrap contract. Also:
