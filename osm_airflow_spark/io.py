@@ -20,8 +20,29 @@ partition by date+region so downstream queries prune both.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from collections.abc import Callable
+from weakref import WeakKeyDictionary
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Resolved-scan memo, one dict per live SparkSession. Building a scan
+# DataFrame is NOT free: spark.read.parquet lists the directory and
+# reads footers to resolve the schema (~100-200 ms per table locally,
+# a namenode round-trip per file at cluster scale). The fixture layer
+# tables are immutable for the life of a session, so the resolved
+# logical plan is reused; DataFrames are immutable, sharing one is
+# safe. Keyed weakly so a stopped session's plans are collectable,
+# and a fresh session (new object) never sees stale file listings.
+_PLAN_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+
+
+def _cached_plan(spark: SparkSession, key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
+    per_session = _PLAN_CACHE.setdefault(spark, {})
+    if key not in per_session:
+        per_session[key] = build()
+    return per_session[key]
+
 
 TABLES = (
     "region",
@@ -41,7 +62,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """B2 — scan one fixture/layer table (self-describing Parquet)."""
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _cached_plan(
+        spark,
+        ("table", sf_dir, name),
+        lambda: spark.read.parquet(f"{sf_dir}/{name}.parquet"),
+    )
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
@@ -84,8 +109,12 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan the events table, normalizing its timestamp to µs NTZ
     (see normalize_events_ts for the adaptivity contract)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+    def build() -> DataFrame:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+    return _cached_plan(spark, ("events", sf_dir), build)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
