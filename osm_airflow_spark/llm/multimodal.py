@@ -6,10 +6,13 @@ exactly the WKB-geometry pattern from SURVEY §1.4: the engine never
 interprets the bytes in the relational layer; decode/feature-extract
 runs as Arrow-batched ``mapInPandas`` at the edges.
 
-The container has no image/audio decoders, so ``decode_image`` is a
-clearly-marked stub and the query path uses a deterministic fake
-feature extractor — the Spark-side plumbing (binary columns, schema,
-batch iteration, partition sizing) is real and oracle-checked.
+The container has no codec wheels (PIL/opencv), so ``decode_image``
+implements the header-parseable formats natively (binary PPM/PGM,
+uncompressed 24/32-bit BMP) and raises on entropy-coded formats
+(JPEG/PNG need a real codec); undecodable payloads fall back to a
+deterministic byte-statistics kernel so a mixed corpus runs in one
+pass. The Spark-side plumbing (binary columns, schema, Arrow batch
+iteration, partition sizing) is identical for both kernels.
 
 Scale notes: binary payloads dominate row size — set
 ``spark.sql.files.maxPartitionBytes`` so a partition holds O(100)
@@ -51,17 +54,87 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Decode an image payload to a pixel array.
+def _ppm_tokens(payload: bytes, n: int, start: int = 2) -> tuple[list[int], int]:
+    """Read ``n`` whitespace-separated ASCII integers from a PNM
+    header, honoring ``#`` comments; returns (values, offset just past
+    the single whitespace byte that terminates the last token)."""
+    vals: list[int] = []
+    i = start
+    while len(vals) < n:
+        if i >= len(payload):
+            raise ValueError("truncated PNM header")
+        c = payload[i : i + 1]
+        if c == b"#":  # comment runs to end of line
+            while i < len(payload) and payload[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and payload[j : j + 1].isdigit():
+                j += 1
+            if j == i:
+                raise ValueError(f"bad PNM header byte {c!r}")
+            vals.append(int(payload[i:j]))
+            i = j
+    return vals, i + 1  # exactly one whitespace byte after maxval
 
-    STUB: real decoding needs PIL/opencv, not present in this
-    container. The mapInPandas plumbing around it is real; swap this
-    one function when a decoder wheel is available.
-    """
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv — not in this container; "
-        "fake_features() is the deterministic stand-in used by the "
-        "query path"
+
+def decode_image(payload: bytes) -> "object":
+    """Decode an image payload to an (h, w, 3) uint8 numpy array.
+
+    Dependency-free decoders for the formats a header parse can
+    handle without a codec library (no PIL/opencv wheel in this
+    container): binary PPM (P6) / PGM (P5, expanded to 3 channels)
+    and uncompressed bottom-up 24/32-bit BI_RGB BMP (row padding to 4
+    bytes, BGR(A)→RGB). Anything else (JPEG/PNG/...) raises
+    ValueError — entropy-coded formats genuinely need a codec; swap
+    this kernel when one is available. The mapInPandas plumbing
+    around it is format-agnostic either way."""
+    import numpy as np
+
+    if payload[:2] in (b"P6", b"P5"):
+        gray = payload[:2] == b"P5"
+        n_dims = 2 if gray else 3
+        (w, h, maxval), off = _ppm_tokens(payload, 3)
+        if not (0 < maxval < 256):
+            raise ValueError(f"unsupported PNM maxval {maxval} (16-bit PNM)")
+        need = w * h * (1 if gray else 3)
+        raster = payload[off : off + need]
+        if len(raster) < need:
+            raise ValueError("truncated PNM raster")
+        px = np.frombuffer(raster, dtype=np.uint8)
+        if gray:
+            return np.repeat(px.reshape(h, w, 1), 3, axis=2)
+        return px.reshape(h, w, 3)
+
+    if payload[:2] == b"BM":
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        data_off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        if compression != 0 or bpp not in (24, 32):
+            raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+        top_down = h < 0
+        h = abs(h)
+        bytes_pp = bpp // 8
+        stride = (w * bytes_pp + 3) & ~3  # rows pad to 4 bytes
+        need = stride * h
+        raster = payload[data_off : data_off + need]
+        if len(raster) < need:
+            raise ValueError("truncated BMP raster")
+        rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+        px = rows[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+        if not top_down:
+            px = px[::-1]  # BMP stores bottom-up by default
+        return px[:, :, 2::-1]  # BGR(A) → RGB, alpha dropped
+
+    raise ValueError(
+        f"undecodable payload (magic {payload[:2]!r}): only PPM/PGM/BMP "
+        "decode without a codec library"
     )
 
 
@@ -79,13 +152,44 @@ def fake_features(payload: bytes) -> list[float]:
     ]
 
 
+def image_features(payload: bytes) -> list[float]:
+    """Real decode→features hop for decodable payloads: width,
+    height, per-channel means, luminance std — the fixed-width vector
+    a downstream dedup/similarity stage consumes. Same contract as
+    fake_features: bytes in, list[float] out, no partition state."""
+    import numpy as np
+
+    px = decode_image(payload).astype(np.float64)
+    lum = px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
+    return [
+        float(px.shape[1]),
+        float(px.shape[0]),
+        float(px[:, :, 0].mean()),
+        float(px[:, :, 1].mean()),
+        float(px[:, :, 2].mean()),
+        float(lum.std()),
+    ]
+
+
+def media_features(payload: bytes) -> list[float]:
+    """Kernel dispatch: decodable image magic → real pixel features;
+    anything else → byte-level stats. One total function so a mixed
+    corpus (images + text + undecodable blobs) runs in one pass."""
+    if payload and payload[:2] in (b"P6", b"P5", b"BM"):
+        try:
+            return image_features(payload)
+        except ValueError:
+            pass  # malformed/exotic variant: fall through to byte stats
+    return fake_features(payload)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     ``mapInPandas`` streams record batches; each batch maps payload
-    bytes → feature vectors without materializing the partition. This
-    is the decode/resize/frame-sample template: replace fake_features
-    with the real kernel."""
+    bytes → feature vectors without materializing the partition.
+    Decodable payloads (PPM/PGM/BMP) go through the real
+    bytes→pixels→features kernel; the rest get byte statistics."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -93,7 +197,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
-                    "features": pdf["payload"].map(fake_features),
+                    "features": pdf["payload"].map(media_features),
                 }
             )
 
@@ -146,7 +250,9 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("mm_feature_extract")  # rows-only: mapInPandas feature path
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6 — the decode/feature-extract hop as Arrow-batched
-    mapInPandas (deterministic fake kernel; see decode_image stub)."""
+    mapInPandas (media_features dispatch: real PPM/PGM/BMP decode,
+    byte-stats fallback for undecodable payloads like this fixture's
+    text)."""
     media = documents_as_media(spark, sf_dir)
     return extract_features(media)
 

@@ -208,6 +208,82 @@ def test_feature_extract_matches_python_kernel(spark, sf_dir):
         assert feats[mid]["features"] == fake_features(payload)
 
 
+def _encode_ppm(px):
+    """Minimal P6 encoder (test-side twin of decode_image)."""
+    h, w, _ = px.shape
+    return b"P6\n# test\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def _encode_bmp24(px):
+    """Minimal uncompressed bottom-up 24-bit BMP encoder."""
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for row in px[::-1]:  # bottom-up
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))  # BGR
+        line += b"\0" * (stride - len(line))
+        raster += line
+    header = (
+        b"BM"
+        + (54 + len(raster)).to_bytes(4, "little")
+        + b"\0\0\0\0"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + b"\0" * 16
+    )
+    return bytes(header) + bytes(raster)
+
+
+def test_decode_image_ppm_and_bmp_roundtrip():
+    import numpy as np
+
+    from osm_airflow_spark.llm.multimodal import decode_image
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, (5, 3, 3), dtype=np.uint8)
+    assert (decode_image(_encode_ppm(px)) == px).all()
+    assert (decode_image(_encode_bmp24(px)) == px).all()
+    # odd width exercises the 4-byte BMP row padding
+    px_odd = rng.randint(0, 256, (4, 5, 3), dtype=np.uint8)
+    assert (decode_image(_encode_bmp24(px_odd)) == px_odd).all()
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")  # codec formats refuse
+
+
+def test_feature_extract_decodes_real_images_through_map_in_pandas(spark):
+    """bytes→pixels→features for real: generated PPM + BMP payloads of
+    a KNOWN image flow through the Arrow-batched mapInPandas path and
+    come back with exact pixel statistics (not byte stats)."""
+    import numpy as np
+
+    from osm_airflow_spark.llm.multimodal import extract_features
+
+    px = np.zeros((4, 6, 3), dtype=np.uint8)
+    px[:, :, 0] = 200  # R plane constant
+    px[:, :, 1] = 100
+    px[:, :, 2] = 50
+    media = spark.createDataFrame(
+        [(1, bytearray(_encode_ppm(px))), (2, bytearray(_encode_bmp24(px))),
+         (3, bytearray(b"not an image"))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    for mid in (1, 2):
+        w, h, mr, mg, mb, lstd = out[mid]["features"]
+        assert (w, h) == (6.0, 4.0)
+        assert (mr, mg, mb) == (200.0, 100.0, 50.0)
+        assert lstd == 0.0  # constant image
+    assert out[3]["features"] == fake_features(b"not an image")
+
+
 def test_quality_score_bounds(spark, sf_dir):
     out = QUERIES["llm_quality_score"](spark, sf_dir)
     assert out.where((F.col("quality_score") < 0) | (F.col("quality_score") > 1)).count() == 0
