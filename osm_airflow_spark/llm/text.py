@@ -648,24 +648,43 @@ def llm_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: explode → groupBy(doc, word) for tf → groupBy(word) for
     df → join back → per-doc top-3 window (row_number <= k plans as
-    WindowGroupLimit: map-side k-capping, no full sort). N is one
-    control-plane scalar. At 100 TB the df table is vocabulary-sized
-    (millions, not billions) → broadcast the join-back; all shuffles
-    are ∝ (doc, word) pairs, never pairs of documents."""
+    WindowGroupLimit: map-side k-capping, no full sort). N rides as a
+    1-row in-plan aggregate broadcast-cross-joined into the scoring
+    (the ``trade_edges`` pattern) — no driver-side ``.count()``
+    action, and the count-only branch prunes to a zero-column scan
+    instead of a second full read of the corpus. At 100 TB the df
+    table is vocabulary-sized (millions, not billions) → broadcast
+    the join-back; all shuffles are ∝ (doc, word) pairs, never pairs
+    of documents.
+
+    Measured limitation: the tf subtree feeds both the scoring branch
+    and the df aggregation, and this Spark build never reuses the
+    shared exchange (ReusedExchange count = 0 even for a minimal
+    self-join-of-aggregate probe), so the text column is scanned
+    twice. The alternatives are worse at scale: a word-partitioned
+    window for df puts every (doc, 'the') pair in one task (unbounded
+    stop-word skew), and persisting tf inside a registered query
+    leaks cache into the driver's shared session. A production
+    pipeline would checkpoint tf; as a single declarative query, the
+    second skew-free columnar scan is the right trade."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()  # control-plane scalar, like win_ntile's cut points
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))  # 1 row
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df_tab = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df_tab), "word").select(
-        "doc_id",
-        "word",
-        (
-            F.col("tf")
-            * F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
-        ).alias("score"),
+    scored = (
+        tf.join(F.broadcast(df_tab), "word")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            (
+                F.col("tf")
+                * F.round(F.log(F.col("n_docs") / F.col("df")), 6)
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word").asc())
     top = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
