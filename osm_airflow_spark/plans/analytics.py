@@ -640,37 +640,41 @@ def pipeline_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly after that click — the product-analytics query shape
     (strict event ordering per user, not mere co-occurrence).
 
-    Shape: three keyed min-aggregations chained by equi-joins on
-    user_id — each stage's state is one timestamp per surviving
-    user, monotonically shrinking. No window functions, no
-    self-cross; shuffle ∝ events once, then ∝ users. The three final
-    counts are single-row aggregates combined by a 1×1×1 crossJoin
-    (control-plane, like win_ntile's cut points) and unpivoted with
-    ``stack`` — so the output is the 3-row funnel report."""
-    ev = load_table(spark, sf_dir, "events")
-    v = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    Shape (the r4 rewrite: 26 exchanges → 3): ONE shuffle of events
+    by user_id into a conditional aggregation that keeps first-view
+    plus the sorted click/purchase timestamps; the strict ordering
+    then runs as pure array expressions (t2 = min click after t1,
+    t3 = min purchase after t2 — null-propagating: filter over a
+    null bound yields an empty array, array_min of empty is null),
+    and the three funnel counts collapse into one global aggregate.
+    The earlier chained-joins version re-derived each stage's subtree
+    (this Spark build never reuses exchanges), scanning events four
+    times; this scans once. Per-user array state is bounded by that
+    user's click/purchase count — the same O(events-per-user) bound
+    every per-user sessionization op carries; a degenerate bot user
+    is capped by upstream hygiene, not this operator."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click", "purchase")
     )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("purchases"),
     )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+    staged = per_user.withColumn(
+        "t2", F.array_min(F.filter("clicks", lambda x: x > F.col("t1")))
+    ).withColumn(
+        "t3", F.array_min(F.filter("purchases", lambda x: x > F.col("t2")))
     )
-    n1 = v.agg(F.count(F.lit(1)).alias("n1"))
-    n2 = c.agg(F.count(F.lit(1)).alias("n2"))
-    n3 = p.agg(F.count(F.lit(1)).alias("n3"))
-    funnel = n1.crossJoin(n2).crossJoin(n3)
+    funnel = staged.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
     return funnel.selectExpr(
         """stack(3,
              1, 'view',     n1, CAST(NULL AS DOUBLE),
