@@ -191,4 +191,19 @@ def ingest_pbf(
         path = f"{out_dir}/{kind}/region={region}"
         df.write.mode("overwrite").parquet(path)
         paths[kind] = path
+    # The staging union roughly doubles ingest storage at planet scale
+    # — drop it once every typed write has landed. Hadoop FS delete so
+    # the same code works on HDFS/S3A paths, not just local; only THIS
+    # region's staging goes (a concurrent ingest of another region may
+    # still be mid-flight under the same _staged_elements root).
+    jvm = spark.sparkContext._jvm
+    staged_path = jvm.org.apache.hadoop.fs.Path(staged)
+    fs = staged_path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(staged_path, True)
+    root = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/_staged_elements")
+    try:
+        if fs.exists(root) and len(fs.listStatus(root)) == 0:
+            fs.delete(root, False)  # non-recursive: refuses if racing
+    except Exception:
+        pass  # another region's ingest owns the root right now
     return paths

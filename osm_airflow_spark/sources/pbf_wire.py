@@ -207,6 +207,14 @@ def _decode_blob(blob_bytes: bytes) -> dict:
             raise ValueError(
                 f"Blob raw_size={raw_size} but inflated to {len(data)} bytes"
             )
+        if not d.eof:
+            # Without this, a truncated stream in a raw_size-less blob
+            # returns PARTIAL data silently (decompressobj doesn't
+            # raise on truncation) and failure surfaces as a confusing
+            # downstream protobuf parse error instead of here.
+            raise ValueError(
+                "truncated zlib stream in Blob (no end-of-stream marker)"
+            )
     elif 1 in blob:
         data = blob[1][0]
         if len(data) > MAX_BLOB_RAW:

@@ -232,6 +232,14 @@ def test_pbf_decode_rejects_malformed_input(pbf_file):
     with _pytest.raises(ValueError, match="spec cap"):
         decode_blob(too_big)
 
+    # truncated zlib stream in a raw_size-LESS blob: decompressobj
+    # returns partial data without raising, so only the eof check
+    # stops it surfacing as a confusing downstream protobuf error
+    truncated_stream = zlib.compress(b"y" * 1000)[:-10]
+    no_raw_size = encode_field(3, 2, truncated_stream)
+    with _pytest.raises(ValueError, match="truncated zlib"):
+        decode_blob(no_raw_size)
+
 
 def test_pbf_scan_rejects_truncated_file(tmp_path, pbf_file):
     import pytest as _pytest
@@ -269,6 +277,10 @@ def test_pbf_spark_ingest_and_assembly(spark, pbf_file, tmp_path):
     out = ingest_pbf(spark, pbf_file, str(tmp_path / "elements"), region="test")
     back = spark.read.parquet(out["nodes"])
     assert back.count() == 4 and "tags" in back.columns
+    # staging union is an intermediate, not a deliverable: it must be
+    # cleaned up after the typed writes land (it doubles ingest
+    # storage at planet scale if left behind)
+    assert not (tmp_path / "elements" / "_staged_elements").exists()
 
 
 def test_clustered_write_tightens_row_group_stats(spark, sf_dir, tmp_path):
