@@ -302,8 +302,9 @@ def ring_is_simple(lons: Column, lats: Column) -> Column:
     column expression, no UDF. OSM rings are small (buildings:
     5–50 vertices), so the O(E²) pair scan is per-row constant work;
     degenerate collinear-overlap touches are not flagged (rare in
-    snapped OSM data; a full repair pass would be a geometry-library
-    job, out of scope per SCALE.md)."""
+    snapped OSM data). Rings this flags repair via
+    ``repair_rings`` (proper-crossing split) after
+    ``normalize_ring`` (dup/closure/winding)."""
     n = F.size(lons)
 
     def x(i):
@@ -413,9 +414,8 @@ def ring_area_km2(lons: Column, lats: Column) -> Column:
 
 def normalize_ring(lons: Column, lats: Column, outer: Column) -> Column:
     """Ring repair step 1 — normalization (the deterministic fixes
-    osm2pgsql applies before validity testing; full self-intersection
-    *resolution* needs polygon clipping and stays out of scope, per
-    SCALE.md):
+    osm2pgsql applies before validity testing; proper self-crossings
+    then resolve in step 2, ``repair_rings``):
 
     * drop consecutive duplicate vertices (zero-length edges — the
       most common invalidity in hand-edited rings);
@@ -454,3 +454,114 @@ def normalize_ring(lons: Column, lats: Column, outer: Column) -> Column:
     want_ccw = outer
     ok = (want_ccw & (signed > 0)) | (~want_ccw & (signed < 0)) | (signed == 0)
     return F.when(ok, closed).otherwise(F.reverse(closed))
+
+
+# ---------------------------------------------------------------------------
+# Ring repair step 2 — self-intersection resolution (bowtie split).
+# normalize_ring fixes the deterministic defects (dup vertices, open
+# rings, winding); this resolves PROPER crossings, the defect class
+# osm2pgsql's "assembles valid geometries" contract repairs by
+# splitting a figure-eight into its simple lobes. Pure-Python kernel
+# over one ring (rings are O(10-100) vertices: per-row constant
+# work), distributed over rings via mapInPandas — the ring count
+# scales out, the per-ring cost does not scale up.
+# ---------------------------------------------------------------------------
+
+def _cross(o, a, b) -> float:
+    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+
+def _proper_crossing(p1, p2, p3, p4):
+    """Intersection point of segments p1p2 / p3p4 iff they PROPERLY
+    cross (strict: endpoint touches don't count — those are valid in
+    OSM rings); else None."""
+    d1 = _cross(p3, p4, p1)
+    d2 = _cross(p3, p4, p2)
+    d3 = _cross(p1, p2, p3)
+    d4 = _cross(p1, p2, p4)
+    if not ((d1 > 0) != (d2 > 0) and (d3 > 0) != (d4 > 0)):
+        return None
+    denom = _cross(p1, p2, (p1[0] + p4[0] - p3[0], p1[1] + p4[1] - p3[1]))
+    if denom == 0:  # parallel — proper crossing already excluded it
+        return None
+    t = _cross(p1, p3, (p1[0] + p4[0] - p3[0], p1[1] + p4[1] - p3[1])) / denom
+    return (p1[0] + t * (p2[0] - p1[0]), p1[1] + t * (p2[1] - p1[1]))
+
+
+def _shoelace(pts) -> float:
+    """Signed planar area of a closed ring (first == last)."""
+    return (
+        sum(
+            (pts[i + 1][0] - pts[i][0]) * (pts[i][1] + pts[i + 1][1])
+            for i in range(len(pts) - 1)
+        )
+        / -2.0
+    )
+
+
+def split_ring_at_crossings(pts, _depth: int = 0):
+    """One closed ring (first == last) → list of SIMPLE closed rings.
+
+    Find the first properly-crossing non-adjacent edge pair, insert
+    the intersection point, split the vertex cycle there into two
+    sub-rings, recurse on each: a figure-eight becomes its two lobes,
+    an N-crossing ring peels one lobe per level. Degenerate fragments
+    (under 3 distinct vertices or zero area) drop. Depth-capped —
+    pathological rings return their best-effort decomposition rather
+    than recursing unboundedly."""
+    u = list(pts[:-1])  # open form
+    n = len(u)
+    if n < 3:
+        return []
+    if _depth < 12:
+        for i in range(n):
+            a1, a2 = u[i], u[(i + 1) % n]
+            # non-adjacent only: j = i+2 .. i+n-2 (mod n), forward half
+            for j in range(i + 2, n if i > 0 else n - 1):
+                p = _proper_crossing(a1, a2, u[j], u[(j + 1) % n])
+                if p is None:
+                    continue
+                lobe_a = [p] + u[i + 1 : j + 1] + [p]
+                lobe_b = [p] + u[j + 1 :] + u[: i + 1] + [p]
+                return split_ring_at_crossings(
+                    lobe_a, _depth + 1
+                ) + split_ring_at_crossings(lobe_b, _depth + 1)
+    if len(set(u)) < 3 or _shoelace(list(pts)) == 0:
+        return []
+    return [list(pts)]
+
+
+def repair_rings(rings: DataFrame, id_col: str = "way_id", line_col: str = "line") -> DataFrame:
+    """Self-intersection repair over a ring table: each closed ring
+    (array<struct<lon,lat>>, first == last) splits into its simple
+    parts. Output one row per part: (id, part_idx, lons, lats,
+    abs_area, was_split). Arrow-batched mapInPandas — no shuffle at
+    all (narrow map over whatever partitioning the input has); at
+    planet scale repair cost is ∝ rings scanned, embarrassingly
+    parallel, and only the rare invalid ring emits >1 row."""
+
+    def batches(it):
+        for pdf in it:
+            out = {
+                id_col: [], "part_idx": [], "lons": [], "lats": [],
+                "abs_area": [], "was_split": [],
+            }
+            for rid, line in zip(pdf[id_col], pdf[line_col]):
+                pts = [(p["lon"], p["lat"]) for p in line]
+                if len(pts) < 4 or pts[0] != pts[-1]:
+                    continue  # not a closed ring — line-layer input
+                parts = split_ring_at_crossings(pts)
+                for k, part in enumerate(parts):
+                    out[id_col].append(rid)
+                    out["part_idx"].append(k)
+                    out["lons"].append([q[0] for q in part])
+                    out["lats"].append([q[1] for q in part])
+                    out["abs_area"].append(abs(_shoelace(part)))
+                    out["was_split"].append(len(parts) > 1)
+            yield pd.DataFrame(out)
+
+    return rings.mapInPandas(
+        batches,
+        f"{id_col} long, part_idx int, lons array<double>, "
+        "lats array<double>, abs_area double, was_split boolean",
+    )

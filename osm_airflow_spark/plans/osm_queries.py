@@ -248,6 +248,41 @@ def osm_spatial_join_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("osm_ring_repair")  # rows-only: Python split kernel (mapInPandas)
+def osm_ring_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity repair over fixture-derived rings: each way's first
+    four distinct resolved nodes close into a quad ring — random
+    vertex order makes a healthy share of them figure-eights — and
+    ``repair_rings`` splits every proper self-crossing into simple
+    lobes (the osm2pgsql 'assembles VALID geometries' contract,
+    README.md:80-82, as a distributed kernel). Rows-only: the split
+    geometry is Python-side; invariants (every emitted part is
+    simple, bowties yield exactly two lobes, area is conserved) are
+    pinned by tests/test_osm_domain.py. No shuffle beyond assembly —
+    the repair itself is a narrow map."""
+    from osm_airflow_spark.plans.osm import repair_rings
+
+    nodes = _derived_nodes(spark, sf_dir)
+    ways = _derived_ways(spark, sf_dir)
+    quads = ways.select(
+        "way_id",
+        F.slice(F.array_distinct("node_refs"), 1, 4).alias("node_refs"),
+        "tags",
+    ).where(F.size("node_refs") == 4)
+    assembled = assemble_way_lines(quads, nodes).where(F.size("line") == 4)
+    rings = assembled.select(
+        "way_id", F.concat("line", F.slice("line", 1, 1)).alias("line")
+    )
+    out = repair_rings(rings)
+    return out.select(
+        "way_id",
+        "part_idx",
+        F.size("lons").alias("n_vertices"),
+        F.round("abs_area", 6).alias("abs_area"),
+        "was_split",
+    )
+
+
 @query(
     "osm_tile_rollup",
     oracle=f"""

@@ -358,6 +358,62 @@ def test_ring_area_km2_known_square(spark):
     assert abs(area - 12364) < 50
 
 
+def test_split_ring_at_crossings_bowtie_and_simple():
+    """Pure-kernel invariants: a figure-eight splits into exactly two
+    simple lobes whose areas conserve the unsigned total; an already
+    simple ring passes through unchanged; degenerate slivers drop."""
+    from osm_airflow_spark.plans.osm import (
+        _shoelace,
+        ring_is_simple,  # noqa: F401 (column twin of the invariant)
+        split_ring_at_crossings,
+    )
+
+    # classic bowtie: (0,0)->(1,1)->(1,0)->(0,1)->close, crossing at (.5,.5)
+    bowtie = [(0.0, 0.0), (1.0, 1.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]
+    parts = split_ring_at_crossings(bowtie)
+    assert len(parts) == 2
+    for p in parts:
+        assert p[0] == p[-1]
+        assert (0.5, 0.5) in p  # split happens AT the crossing point
+        assert split_ring_at_crossings(p) == [p]  # each lobe is simple
+    assert abs(sum(abs(_shoelace(p)) for p in parts) - 0.5) < 1e-12
+
+    square = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]
+    assert split_ring_at_crossings(square) == [square]
+
+    collinear = [(0.0, 0.0), (1.0, 0.0), (2.0, 0.0), (0.0, 0.0)]
+    assert split_ring_at_crossings(collinear) == []  # zero area drops
+
+
+def test_repair_rings_dataframe_path(spark):
+    """The distributed path: bowtie + simple ring through the
+    mapInPandas kernel; parts agree with the column-side simplicity
+    test (ring_is_simple over the emitted coordinate arrays)."""
+    from osm_airflow_spark.plans.osm import repair_rings, ring_is_simple
+
+    rows = [
+        (1, [(0.0, 0.0), (1.0, 1.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]),
+        (2, [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [{"lon": x, "lat": y} for x, y in line]) for i, line in rows],
+        "way_id long, line array<struct<lon double, lat double>>",
+    )
+    out = repair_rings(df)
+    got = out.collect()
+    by_way = {}
+    for r in got:
+        by_way.setdefault(r["way_id"], []).append(r)
+    assert len(by_way[1]) == 2 and all(r["was_split"] for r in by_way[1])
+    assert len(by_way[2]) == 1 and not by_way[2][0]["was_split"]
+    assert abs(sum(r["abs_area"] for r in by_way[1]) - 0.5) < 1e-12
+    assert abs(by_way[2][0]["abs_area"] - 1.0) < 1e-12
+    simple = out.select(
+        ring_is_simple(F.col("lons"), F.col("lats")).alias("s")
+    ).collect()
+    assert all(r["s"] for r in simple)
+
+
 def test_normalize_ring_repairs_dups_closure_and_winding(spark):
     """normalize_ring: consecutive duplicates dropped, ring re-closed,
     outer rings forced CCW / inner CW by reversal."""

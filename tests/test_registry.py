@@ -53,6 +53,7 @@ def test_rows_only_keys_are_the_documented_ones():
         "llm_fingerprint",
         "mm_feature_extract",
         "mm_frame_sample",
+        "osm_ring_repair",
     }
 
 
