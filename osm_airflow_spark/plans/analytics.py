@@ -1064,3 +1064,214 @@ def pipeline_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = scd2_merge(history, modifies.unionByName(deletes), "o_orderkey")
     return snapshot_as_of(merged, "2000-01-01").select("o_orderkey", "price")
+
+
+# ---------------------------------------------------------------------------
+# TPC Q2/Q11/Q15 silhouettes over a DERIVED partsupp. The fixtures
+# lack a partsupp table, so one derives deterministically from
+# lineitem (observed supplier×part supply: total quantity ever
+# shipped as availability, minimum unit price as supply cost) — the
+# same fixture-derivation trick the OSM queries use, giving the three
+# classic decorrelation shapes (min-per-group correlation, HAVING
+# against a global scalar, equality-with-MAX subquery) hash-checked
+# oracle entries.
+# ---------------------------------------------------------------------------
+
+_PS_SQL = """
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS ps_availqty,
+             CAST(MIN(CAST(l_extendedprice / l_quantity AS DECIMAL(18,6)))
+               AS DOUBLE) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp ← lineitem: availqty = exact decimal sum of shipped
+    quantity, supplycost = min unit price (per-row 6-dp decimal cast
+    before MIN so the IEEE division result compares identically in
+    both engines). One shuffle on (part, supp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        dsum("l_quantity").alias("ps_availqty"),
+        F.min(
+            (F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("ps_supplycost"),
+    )
+
+
+@query(
+    "pipeline_min_cost_supplier",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    eligible AS (
+      SELECT ps.*, s.s_name, s.s_acctbal, n.n_name
+      FROM ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      JOIN part p     ON ps.ps_partkey = p.p_partkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY' AND p.p_size < 25
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY ps_partkey
+                                   ORDER BY ps_supplycost, ps_suppkey) AS rn
+      FROM eligible
+    )
+    SELECT ps_partkey AS p_partkey, ps_suppkey AS s_suppkey, s_name,
+           n_name, ps_supplycost AS supplycost, s_acctbal
+    FROM ranked WHERE rn = 1
+    """,
+)
+def pipeline_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 silhouette — cheapest supplier per part within a region,
+    for a part-type/size slice. The classic correlated MIN subquery
+    decorrelates into a per-part window rank (row_number = 1 with a
+    (cost, suppkey) total order — float ties cannot make the answer
+    partition-dependent). All dims broadcast; the only shuffles are
+    the partsupp derivation and the per-part rank, both ∝ supplier×
+    part pairs. WindowGroupLimit caps the rank map-side."""
+    from pyspark.sql import Window
+
+    ps = _derived_partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
+    eligible = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+              n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(
+                p.where((F.col("p_type") == "ECONOMY") & (F.col("p_size") < 25))
+            ),
+            ps.ps_partkey == p.p_partkey,
+        )
+    )
+    w = Window.partitionBy("ps_partkey").orderBy("ps_supplycost", "ps_suppkey")
+    return (
+        eligible.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("ps_partkey").alias("p_partkey"),
+            F.col("ps_suppkey").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+            F.col("ps_supplycost").alias("supplycost"),
+            "s_acctbal",
+        )
+    )
+
+
+@query(
+    "pipeline_important_stock",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    national AS (
+      SELECT ps.ps_partkey,
+             CAST(ps.ps_supplycost * ps.ps_availqty AS DECIMAL(18,4)) AS v
+      FROM ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+    ),
+    total AS (SELECT SUM(v) AS tot, COUNT(DISTINCT ps_partkey) AS np
+              FROM national)
+    SELECT ps_partkey, CAST(SUM(v) AS DOUBLE) AS stock_value
+    FROM national CROSS JOIN total
+    GROUP BY ps_partkey, tot, np
+    HAVING CAST(SUM(v) AS DOUBLE) > CAST(tot AS DOUBLE) * 3.0 / np
+    """,
+)
+def pipeline_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 silhouette — parts whose national stock value exceeds 3×
+    the average per-part share (scale-relative, like trade_edges'
+    floor, so the result stays comparably selective at every SF
+    instead of emptying as part count grows). The HAVING-against-a-
+    global-scalar decorrelates into a broadcast-cross-joined 1-row
+    aggregate. Values sum in decimal (exact, order-free) per
+    CLAUDE.md; the threshold compare is one identical IEEE expression
+    on both engines over those exact sums."""
+    ps = _derived_partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    national = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.where(F.col("n_name") == "NATION_3")),
+            s.s_nationkey == n.n_nationkey,
+        )
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty"))
+            .cast("decimal(18,4)")
+            .alias("v"),
+        )
+    )
+    total = national.agg(
+        F.sum("v").alias("tot"), F.count_distinct("ps_partkey").alias("np")
+    )
+    return (
+        national.groupBy("ps_partkey")
+        .agg(F.sum("v").alias("sv"))
+        .join(F.broadcast(total))
+        .where(
+            F.col("sv").cast("double")
+            > F.col("tot").cast("double") * 3.0 / F.col("np")
+        )
+        .select("ps_partkey", F.col("sv").cast("double").alias("stock_value"))
+    )
+
+
+@query(
+    "pipeline_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def pipeline_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 silhouette — supplier(s) achieving the maximum quarterly
+    revenue. The equality-with-MAX-subquery decorrelates into a
+    broadcast-cross-joined 1-row MAX; equality is safe because both
+    sides are the same exact decimal sum (cast to double once), so
+    genuine revenue ties return every tied supplier in both engines —
+    the documented Q15 semantics. Date filter pushes to the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "total_revenue"
+            )
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best"))
+    return (
+        revenue.join(F.broadcast(best))
+        .where(F.col("total_revenue") == F.col("best"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
