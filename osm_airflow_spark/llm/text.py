@@ -731,10 +731,16 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     P(w2 | w1) = count(w1 w2) / count(w1 ·) — the n-gram LM
     estimation step (and the statistic behind perplexity-based
     quality filters). Integer counts and one IEEE division →
-    engine-exact. Shape: explode bigrams once, two keyed
-    aggregations, join back on the context word (vocabulary-sized →
-    broadcastable). Shuffle ∝ distinct bigrams, which the shared
-    vocabulary bounds at |V|²."""
+    engine-exact. Shape: explode bigrams once, one keyed aggregation,
+    then the context totals as a WINDOW over the aggregated bigram
+    table partitioned by w1 — NOT a groupBy + join-back, because this
+    Spark build never reuses the shared exchange (measured, see
+    llm_tfidf_topk) and the branch would re-scan and re-explode the
+    whole corpus. Window partition size = distinct successors of one
+    context word, bounded by |V|, never by corpus size. Shuffle ∝
+    distinct bigrams (≤ |V|²): once by bigram, once by w1."""
+    from pyspark.sql import Window
+
     from osm_airflow_spark.llm.dedup import shingle_array
 
     d = load_table(spark, sf_dir, "documents")
@@ -747,8 +753,8 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = bc.select(
         parts.getItem(0).alias("w1"), parts.getItem(1).alias("w2"), "n_bigram"
     )
-    cc = bc.groupBy("w1").agg(F.sum("n_bigram").alias("n_context"))
-    return bc.join(F.broadcast(cc), "w1").select(
+    n_context = F.sum("n_bigram").over(Window.partitionBy("w1"))
+    return bc.withColumn("n_context", n_context).select(
         "w1",
         "w2",
         "n_bigram",

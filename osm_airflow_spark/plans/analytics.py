@@ -716,15 +716,21 @@ def pipeline_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_offset is exact integer date arithmetic (no week-truncation,
     whose start-of-week convention differs across engines).
 
-    Shape: distinct (user, day) once → min-aggregate for cohorts →
-    join back on user (both sides user-partitioned) → count-distinct
-    per (cohort, offset) cell → tiny self-join for cohort sizes. At
-    100 TB the only wide shuffle carries distinct user-days; the
-    cell matrix is days² — control-plane sized."""
+    Shape (r4: windows, not branch-joins — this Spark build never
+    reuses a shared exchange, so groupBy-then-join-back re-derived
+    the whole upstream subtree each time, scanning events thrice):
+    distinct (user, day) once → per-user MIN window for the cohort
+    day (partition = one user's distinct days) → count-distinct per
+    (cohort, offset) cell → per-cohort window for cohort size
+    (partition = one cohort's offsets, ≤ day span). ONE scan; the
+    only wide shuffle carries distinct user-days; the cell matrix is
+    days² — control-plane sized."""
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
     days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
-    firsts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    activity = days.join(firsts, "user_id").select(
+    cohort = F.min("day").over(Window.partitionBy("user_id"))
+    activity = days.withColumn("cohort_day", cohort).select(
         "cohort_day",
         F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias("day_offset"),
         "user_id",
@@ -732,10 +738,12 @@ def pipeline_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = activity.groupBy("cohort_day", "day_offset").agg(
         F.countDistinct("user_id").alias("n_active")
     )
-    sizes = cells.where(F.col("day_offset") == 0).select(
-        "cohort_day", F.col("n_active").alias("cohort_size")
+    size_w = Window.partitionBy("cohort_day")
+    cells = cells.withColumn(
+        "cohort_size",
+        F.max(F.when(F.col("day_offset") == 0, F.col("n_active"))).over(size_w),
     )
-    return cells.join(sizes, "cohort_day").select(
+    return cells.select(
         # ISO string, not DATE: date cells stringify differently across
         # engines' canonicalizers (DATE vs midnight TIMESTAMP)
         F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
@@ -898,7 +906,10 @@ def pipeline_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     item_counts = li.groupBy("l_partkey").agg(
         F.countDistinct("l_orderkey").alias("n_orders")
     )
-    n_total = o.select("o_orderkey").distinct().count()  # control-plane scalar
+    # 1-row in-plan aggregate (trade_edges pattern), not a driver-side
+    # .count(): the basket total rides broadcast into the lift math
+    # and the count branch prunes to a key-only scan
+    n_total = o.agg(F.count_distinct("o_orderkey").alias("n_total"))
     ia = item_counts.select(
         F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("n_a")
     )
@@ -908,13 +919,14 @@ def pipeline_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pair_counts.join(F.broadcast(ia), "part_a")
         .join(F.broadcast(ib), "part_b")
+        .join(F.broadcast(n_total))
         .select(
             "part_a",
             "part_b",
             "support",
             (
                 F.col("support").cast("double")
-                * F.lit(n_total)
+                * F.col("n_total")
                 / (F.col("n_a") * F.col("n_b"))
             ).alias("lift"),
         )
