@@ -509,9 +509,9 @@ def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     training document's distinct 3-grams that appear in the held-out
     benchmark set (docs with ``doc_id % 17 = 0`` stand in for the
     eval suite). The screen every training corpus runs before
-    release. Shape: explode distinct grams once, equi-join against
-    the (much smaller, broadcastable) benchmark gram set, two keyed
-    aggregations — shuffle ∝ gram count, never pairs of documents."""
+    release. Shape: explode distinct grams once, LEFT broadcast join
+    against the (much smaller) benchmark gram set, one conditional
+    aggregation — shuffle ∝ gram count, never pairs of documents."""
     from osm_airflow_spark.llm.dedup import shingle_array
 
     d = load_table(spark, sf_dir, "documents")
@@ -523,22 +523,33 @@ def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bench = (
-        grams.where(F.col("doc_id") % 17 == 0).select("gram").distinct()
+        grams.where(F.col("doc_id") % 17 == 0)
+        .select("gram", F.lit(1).alias("_bench"))
+        .distinct()
     )
+    # LEFT broadcast against the bench set + ONE conditional
+    # aggregation — not separate hits/totals branches, which would
+    # re-explode the corpus (no exchange reuse in this build;
+    # SCALE.md round-4 ledger). The bench subtree is the one
+    # unavoidable second derivation: flagging grams via a per-gram
+    # window instead would put every doc sharing a ubiquitous gram
+    # in one task.
     train = grams.where(F.col("doc_id") % 17 != 0)
-    hits = (
-        train.join(F.broadcast(bench), "gram")
+    per_doc = (
+        train.join(F.broadcast(bench), "gram", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_bench").alias("n_contaminated"),
+        )
     )
-    totals = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    return totals.join(hits, "doc_id", "left").select(
+    return per_doc.select(
         "doc_id",
         "n_grams",
-        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-        (
-            F.coalesce("n_contaminated", F.lit(0)).cast("double") / F.col("n_grams")
-        ).alias("contamination_ratio"),
+        "n_contaminated",
+        (F.col("n_contaminated").cast("double") / F.col("n_grams")).alias(
+            "contamination_ratio"
+        ),
     )
 
 
@@ -580,7 +591,11 @@ def llm_boilerplate_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide intermediate — it is itself a candidate for a frequency
     floor (df >= 2 prunes the long unique tail, typically ~80% of
     grams) before the join-back; integer counts keep every engine
-    bit-identical."""
+    bit-identical. The join-back re-scans the corpus (no exchange
+    reuse in this build — SCALE.md round-4 ledger) and that is the
+    RIGHT trade here: a per-gram window would put every document
+    containing a ubiquitous boilerplate gram — the very thing this
+    screen hunts — into one task."""
     from osm_airflow_spark.llm.dedup import shingle_array
 
     d = load_table(spark, sf_dir, "documents")
@@ -885,18 +900,27 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage-proof split assignment → corpus report — as ONE Catalyst
     plan, proving the K-family operators compose the way the TPC-H
     pipelines prove the warehouse operators do. Stages: length
-    filter (>= 20 tokens, pushable predicate), md5-groupBy dedup with min-doc_id
-    survivor (one shuffle on the digest — llm_dedup_exact's shape),
+    filter (>= 20 tokens, pushable predicate), digest-windowed dedup
+    with min-doc_id survivor (one shuffle on the digest —
+    llm_dedup_exact's shape; a WINDOW, not groupBy + join-back,
+    which would scan the corpus twice since this build never reuses
+    exchanges — partition size = one duplicate group, small unless
+    the corpus holds a mega-duplicated doc, the known salting case),
     content-hash split (zero-shuffle column math, duplicates can't
     straddle splits BECAUSE dedup and split key on the same digest),
     then one partial-aggregated rollup. At 100 TB this whole chain
-    is two shuffles: the digest groupBy and the final tiny rollup."""
+    is two shuffles: the digest window and the final tiny rollup."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     ok = d.where(F.size(F.split("text", " ")) >= 20)
-    survivors = ok.groupBy(F.md5("text").alias("_h")).agg(
-        F.min("doc_id").alias("doc_id")
+    kept = (
+        ok.withColumn(
+            "_min_id", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        )
+        .where(F.col("doc_id") == F.col("_min_id"))
+        .drop("_min_id")
     )
-    kept = ok.join(survivors.select("doc_id"), "doc_id")
     prefix = F.substring(F.md5("text"), 1, 2)
     assigned = kept.select(
         "lang",
