@@ -39,7 +39,10 @@ def events_stream_schema(spark: SparkSession, dir_glob: str, glob: str | None) -
 
 
 def read_events_stream(
-    spark: SparkSession, dir_glob: str, glob: str | None = "events.parquet"
+    spark: SparkSession,
+    dir_glob: str,
+    glob: str | None = "events.parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-based streaming source over event parquet (the test rig;
     production swaps in Kafka with the same downstream plan).
@@ -47,7 +50,10 @@ def read_events_stream(
     The stream schema is probed from the files themselves and the ts
     column normalized by the SAME expression as the batch loader
     (io.normalize_events_ts) — one conversion contract, two execution
-    modes, so a fixture dtype flip cannot desynchronize them."""
+    modes, so a fixture dtype flip cannot desynchronize them.
+    ``max_files_per_trigger`` bounds each micro-batch to N files (in
+    modification-time order) — how the rig replays multi-batch
+    arrival sequences deterministically (late-data proofs)."""
     from osm_airflow_spark.io import normalize_events_ts
 
     raw = (
@@ -55,6 +61,8 @@ def read_events_stream(
     )
     if glob:
         raw = raw.option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
     # watermarks demand TIMESTAMP (ltz) — EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
     # on NTZ. Session TZ is pinned UTC by the registry wrapper, so the
     # ntz→ltz cast is value-preserving and batch/stream windows align.

@@ -50,6 +50,74 @@ def test_stream_batch_ts_canary(spark, sf_dir, stream_events):
     assert got["lo"].year >= 2000  # not 1970: conversion regime is right
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Watermark semantics proof: events arriving in a LATER
+    micro-batch, with event time older than the advanced watermark,
+    must not be counted — neither by merging into an already-emitted
+    window nor by opening a long-dead one. Live query, true
+    sequential arrival:
+
+      batch 1: 10:05 view (window 10:00) + 13:30 view → watermark
+               advances to 12:30 (1 h delay)
+      batch 2: 10:10 view (same window) + 05:00 view (own window) —
+               both below the watermark → dropped
+
+    Append mode emits only closed windows, so the sink must hold
+    exactly the 10:00 window with count 1 (a leaked same-window late
+    event would make it 2; a leaked far-late event would add an
+    05:00 row; broken eviction would emit nothing).
+
+    Deliberately a LIVE query with two processAllAvailable() rounds,
+    not Trigger.AvailableNow: measured on this build, an
+    AvailableNow replay applies NO late-row filtering between its
+    planned batches (both late events above get counted), so
+    late-data replay correctness requires a standing query — relied
+    on by merge_diff_stream and any recovery runbook."""
+    import datetime as dt
+    import glob as globmod
+    import shutil
+
+    watch = tmp_path / "late_events"
+    watch.mkdir()
+
+    def drop_file(rows, name):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = globmod.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, watch / name)
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    drop_file(
+        [(1, t("2024-05-01 10:05:00"), 7, "view"),
+         (2, t("2024-05-01 13:30:00"), 7, "view")],
+        "batch1.parquet",
+    )
+    stream = read_events_stream(spark, str(watch), glob=None)
+    q = (
+        tumbling_counts(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .start()
+    )
+    q.processAllAvailable()
+    drop_file(
+        [(3, t("2024-05-01 10:10:00"), 7, "view"),
+         (4, t("2024-05-01 05:00:00"), 7, "view")],
+        "batch2.parquet",
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM t_late").collect()
+    emitted = {
+        (r["window_start"].isoformat(), r["event_type"]): r["n_events"] for r in rows
+    }
+    assert emitted == {("2024-05-01T10:00:00", "view"): 1}, emitted
+
+
 def test_tumbling_parity(spark, sf_dir, stream_events):
     _run(tumbling_counts(stream_events), "t_tumble")
     streamed = {
