@@ -157,3 +157,31 @@ def test_scd2_intervals_never_invert_property(spark, changes):
         if r["valid_to"] is None:
             open_per_key[r["node_id"]] = open_per_key.get(r["node_id"], 0) + 1
     assert all(v == 1 for v in open_per_key.values()), open_per_key
+
+
+coords = st.floats(
+    min_value=-50.0, max_value=50.0, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(pts=st.lists(st.tuples(coords, coords), min_size=3, max_size=8, unique=True))
+def test_ring_split_parts_are_simple_and_conserve_area(pts):
+    """Pure-kernel property (no Spark: 200 examples stay cheap): for
+    ANY closed ring, split_ring_at_crossings returns parts that are
+    (a) closed, (b) individually simple (re-splitting is identity),
+    and (c) area-conserving-or-better: Σ|part| ≥ |signed total| (a
+    figure-eight's lobes cancel in the signed shoelace but add in the
+    decomposition). Degenerate inputs may drop to zero parts, never
+    crash."""
+    from osm_airflow_spark.plans.osm import _shoelace, split_ring_at_crossings
+
+    ring = list(pts) + [pts[0]]
+    parts = split_ring_at_crossings(ring)
+    for p in parts:
+        assert p[0] == p[-1]
+        assert split_ring_at_crossings(p) == [p]  # simple: idempotent
+        assert abs(_shoelace(p)) > 0
+    if parts:
+        total = sum(abs(_shoelace(p)) for p in parts)
+        assert total >= abs(_shoelace(ring)) - 1e-9
