@@ -147,16 +147,39 @@ def minhash_lsh_pairs(
         )
     banded = banded.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
 
-    left = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
+    # Pairs come from collecting each bucket and generating (i < j)
+    # combinations IN-ARRAY — not a self-equi-join, which would
+    # re-execute the whole shingle+minhash subtree for the second
+    # side (this build never reuses exchanges; SCALE.md round-4
+    # ledger). Safe to collect: the mega-bucket cap above bounds
+    # every array at max_bucket members, and it ran BEFORE this
+    # collect precisely so a degenerate bucket can never materialize.
+    # The groupBy reuses the bucket window's (band_idx, band_hash)
+    # partitioning — no additional exchange.
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("members"))
+        .where(F.size("members") >= 2)
     )
-    right = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "members",
+                lambda x, i: F.transform(
+                    F.slice(F.col("members"), i + 2, F.size("members")),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
     )
     candidates = (
-        left.join(right, ["band_idx", "band_hash"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        buckets.select(pair.alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.sig").alias("sig_a"),
+            F.col("p.b.sig").alias("sig_b"),
+        )
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
