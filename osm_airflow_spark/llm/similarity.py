@@ -263,7 +263,17 @@ def kmeans_centroids(
     to (cent, dim, val) → avg → ordered re-collect). Two shuffles per
     iteration, both proportional to corpus × dims — the standard
     scalable formulation. Init = first k vectors by id
-    (deterministic; k-means++ would sample-broadcast the same way)."""
+    (deterministic; k-means++ would sample-broadcast the same way).
+
+    The training input is localCheckpoint-ed once up front: every
+    Lloyd iteration references it, and without materialization each
+    iteration re-executes the input subtree from the scan (no
+    exchange reuse on this build — SCALE.md round-4 ledger). At
+    100 TB the standard move is stronger still: train the codebook on
+    a deterministic sample (id % s == 0) and only ASSIGN the full
+    corpus — Lloyd's result doesn't need every vector, and the
+    checkpoint then holds the sample, not the corpus."""
+    vectors = vectors.localCheckpoint(eager=True)
     init = (
         vectors.orderBy(id_col)
         .limit(k)
@@ -371,7 +381,9 @@ def llm_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("s"),
-    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.subvec").alias("subvec"))
+    ).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.subvec").alias("subvec")
+    ).localCheckpoint(eager=True)  # feeds 4 codebook trainings + encode + qtab
 
     # per-subspace codebooks (independent tiny k-means)
     books = []
