@@ -248,6 +248,104 @@ def osm_spatial_join_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "osm_polygon_areas",
+    oracle=f"""
+    WITH nodes AS (
+      SELECT p_partkey AS node_id,
+             (CAST((p_partkey * 7) % 180 AS DOUBLE) - 90.0) * 0.95 AS lat,
+             {_LON} AS lon
+      FROM part
+    ),
+    refs AS (
+      SELECT l_orderkey AS way_id, l_partkey AS node_id,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS pos
+      FROM lineitem
+    ),
+    firsts AS (
+      SELECT way_id, node_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY way_id, node_id ORDER BY pos) AS occ
+      FROM refs
+    ),
+    dedup AS (SELECT way_id, node_id, pos FROM firsts WHERE occ = 1),
+    pts4 AS (
+      SELECT way_id, node_id,
+             ROW_NUMBER() OVER (PARTITION BY way_id ORDER BY pos) AS rn
+      FROM dedup
+    ),
+    quad AS (SELECT * FROM pts4 WHERE rn <= 4),
+    sized AS (SELECT way_id FROM quad GROUP BY way_id HAVING COUNT(*) = 4),
+    pts AS (
+      SELECT q.way_id, q.rn, n.lon, n.lat
+      FROM quad q JOIN sized USING (way_id) JOIN nodes n USING (node_id)
+    ),
+    edges AS (
+      SELECT a.way_id,
+             round(((b.lon - a.lon) - 360 * round((b.lon - a.lon) / 360.0, 0))
+                   * (a.lat + b.lat), 6) AS term
+      FROM pts a JOIN pts b
+        ON a.way_id = b.way_id AND b.rn = (a.rn % 4) + 1
+    ),
+    areas AS (
+      SELECT way_id,
+             -- + 0 folds IEEE -0.0 (a clockwise sliver rounding to
+             -- zero) into +0.0: canonicalizers stringify them apart
+             round(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) / -2, 6)
+               + 0 AS ring_area
+      FROM edges GROUP BY way_id
+    )
+    SELECT way_id, ring_area, ring_area > 0 AS is_ccw FROM areas
+    """,
+)
+def osm_polygon_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked polygon geometry: signed planar shoelace area and
+    winding over fixture-derived quad rings (same derivation as
+    osm_ring_repair) — the area/orientation half of the osm2pgsql
+    polygon contract, previously proven only by unit tests. Each
+    shoelace term wraps its Δlon into [-180, 180] (antimeridian
+    safety, the ``_wrap_dlon`` twin) and rounds to 6 dp before a
+    decimal sum, so the fold is order-independent and the two
+    engines agree bit-for-bit; winding comes off the rounded area so
+    the boolean can't straddle a rounding boundary. One shuffle for
+    assembly, one for the per-way fold — no geometry library, no
+    UDF."""
+    nodes = _derived_nodes(spark, sf_dir)
+    ways = _derived_ways(spark, sf_dir)
+    quads = ways.select(
+        "way_id",
+        F.slice(F.array_distinct("node_refs"), 1, 4).alias("node_refs"),
+        "tags",
+    ).where(F.size("node_refs") == 4)
+    assembled = assemble_way_lines(quads, nodes).where(F.size("line") == 4)
+    lons = F.expr("transform(line, s -> s.lon)")
+    lats = F.expr("transform(line, s -> s.lat)")
+    c_lons = F.concat(lons, F.slice(lons, 1, 1))
+    c_lats = F.concat(lats, F.slice(lats, 1, 1))
+
+    def wrap(d):
+        return d - 360.0 * F.round(d / 360.0, 0)
+
+    terms = F.transform(
+        F.sequence(F.lit(1), F.lit(4)),
+        lambda i: F.round(
+            wrap(F.element_at(c_lons, i + 1) - F.element_at(c_lons, i))
+            * (F.element_at(c_lats, i) + F.element_at(c_lats, i + 1)),
+            6,
+        ).cast("decimal(18,6)"),
+    )
+    ssum = F.aggregate(
+        terms,
+        F.lit(0).cast("decimal(28,6)"),
+        lambda acc, v: (acc + v).cast("decimal(28,6)"),
+    )
+    # + 0.0 folds IEEE -0.0 into +0.0 (matches the oracle's + 0)
+    area = F.round(ssum.cast("double") / -2, 6) + F.lit(0.0)
+    return assembled.select(
+        "way_id", area.alias("ring_area")
+    ).withColumn("is_ccw", F.col("ring_area") > 0)
+
+
 @query("osm_ring_repair")  # rows-only: Python split kernel (mapInPandas)
 def osm_ring_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Validity repair over fixture-derived rings: each way's first
