@@ -118,6 +118,71 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert emitted == {("2024-05-01T10:00:00", "view"): 1}, emitted
 
 
+def test_checkpoint_recovery_resumes_state_exactly_once(spark, tmp_path):
+    """Restart-recovery proof against a durable (parquet) sink: a new
+    query started from the SAME checkpoint must restore aggregation
+    state and must not re-read consumed files. Window 10:00 collects
+    2 events before the stop (still open — watermark hasn't passed),
+    1 more plus a watermark-advancing event after the restart; the
+    recovered query closes the window at exactly 3. State lost
+    without replay → 1; consumed files double-read on top of kept
+    state → 5. (The memory sink refuses checkpoint recovery — this is
+    the production-shaped path.)"""
+    import datetime as dt
+    import glob as globmod
+    import shutil
+
+    watch = tmp_path / "rec_events"
+    watch.mkdir()
+    cp = str(tmp_path / "rec_ckpt")
+    out = str(tmp_path / "rec_out")
+
+    def drop_file(rows, name):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = globmod.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, watch / name)
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    drop_file(
+        [(1, t("2024-05-01 10:05:00"), 7, "view"),
+         (2, t("2024-05-01 10:20:00"), 8, "view")],
+        "batch1.parquet",
+    )
+
+    def start():
+        stream = read_events_stream(spark, str(watch), glob=None)
+        return (
+            tumbling_counts(stream, watermark="1 hour")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+
+    drop_file(
+        [(3, t("2024-05-01 10:40:00"), 9, "view"),
+         (4, t("2024-05-01 13:30:00"), 9, "view")],  # advances watermark
+        "batch2.parquet",
+    )
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    got = {
+        r["window_start"].isoformat(): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {"2024-05-01T10:00:00": 3}, got
+
+
 def test_tumbling_parity(spark, sf_dir, stream_events):
     _run(tumbling_counts(stream_events), "t_tumble")
     streamed = {
