@@ -346,6 +346,106 @@ def osm_polygon_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("is_ccw", F.col("ring_area") > 0)
 
 
+@query(
+    "osm_polygon_geodesic_areas",
+    oracle=f"""
+    WITH nodes AS (
+      SELECT p_partkey AS node_id,
+             (CAST((p_partkey * 7) % 180 AS DOUBLE) - 90.0) * 0.95 AS lat,
+             {_LON} AS lon
+      FROM part
+    ),
+    refs AS (
+      SELECT l_orderkey AS way_id, l_partkey AS node_id,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS pos
+      FROM lineitem
+    ),
+    firsts AS (
+      SELECT way_id, node_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY way_id, node_id ORDER BY pos) AS occ
+      FROM refs
+    ),
+    dedup AS (SELECT way_id, node_id, pos FROM firsts WHERE occ = 1),
+    pts4 AS (
+      SELECT way_id, node_id,
+             ROW_NUMBER() OVER (PARTITION BY way_id ORDER BY pos) AS rn
+      FROM dedup
+    ),
+    quad AS (SELECT * FROM pts4 WHERE rn <= 4),
+    sized AS (SELECT way_id FROM quad GROUP BY way_id HAVING COUNT(*) = 4),
+    pts AS (
+      SELECT q.way_id, q.rn, n.lon, n.lat
+      FROM quad q JOIN sized USING (way_id) JOIN nodes n USING (node_id)
+    ),
+    edges AS (
+      SELECT a.way_id,
+             round(radians((b.lon - a.lon)
+                           - 360 * round((b.lon - a.lon) / 360.0, 0))
+                   * (sin(radians(a.lat)) + sin(radians(b.lat))), 6) AS term
+      FROM pts a JOIN pts b
+        ON a.way_id = b.way_id AND b.rn = (a.rn % 4) + 1
+    )
+    SELECT way_id,
+           CAST(CAST(abs(SUM(CAST(term AS DECIMAL(18,6)))) AS DECIMAL(20,6))
+                * CAST(20294820.5 AS DECIMAL(10,1)) AS DOUBLE) AS area_km2
+    FROM edges GROUP BY way_id
+    """,
+)
+def osm_polygon_geodesic_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked GEODESIC polygon area (spherical-excess shoelace,
+    km²) over the same derived quad rings — real areas, not just the
+    winding sign. Transcendental terms (sin/radians) differ between
+    JVM libm and C libm in the last ulp, so each edge term rounds to
+    6 dp BEFORE the order-free decimal sum (the osm_way_lengths
+    recipe). The R²/2 scale (exactly 20294820.5) multiplies IN
+    DECIMAL and casts to double once at the end — a 6-dp round on the
+    ~1e8 result would sit below the double's own ulp and the two
+    engines' rounding paths diverge in the last digit (measured).
+    Same two-shuffle plan shape as osm_polygon_areas."""
+    nodes = _derived_nodes(spark, sf_dir)
+    ways = _derived_ways(spark, sf_dir)
+    quads = ways.select(
+        "way_id",
+        F.slice(F.array_distinct("node_refs"), 1, 4).alias("node_refs"),
+        "tags",
+    ).where(F.size("node_refs") == 4)
+    assembled = assemble_way_lines(quads, nodes).where(F.size("line") == 4)
+    lons = F.expr("transform(line, s -> s.lon)")
+    lats = F.expr("transform(line, s -> s.lat)")
+    c_lons = F.concat(lons, F.slice(lons, 1, 1))
+    c_lats = F.concat(lats, F.slice(lats, 1, 1))
+
+    def wrap(d):
+        return d - 360.0 * F.round(d / 360.0, 0)
+
+    terms = F.transform(
+        F.sequence(F.lit(1), F.lit(4)),
+        lambda i: F.round(
+            F.radians(wrap(F.element_at(c_lons, i + 1) - F.element_at(c_lons, i)))
+            * (
+                F.sin(F.radians(F.element_at(c_lats, i)))
+                + F.sin(F.radians(F.element_at(c_lats, i + 1)))
+            ),
+            6,
+        ).cast("decimal(18,6)"),
+    )
+    ssum = F.aggregate(
+        terms,
+        F.lit(0).cast("decimal(28,6)"),
+        lambda acc, v: (acc + v).cast("decimal(28,6)"),
+    )
+    # sum fits easily in (20,6); keeping the operand narrow keeps the
+    # decimal product under the 38-digit cap so it stays EXACT — a
+    # wider operand silently rounds the product (measured: trailing
+    # …999 drift vs the oracle)
+    area_km2 = (
+        F.abs(ssum).cast("decimal(20,6)")
+        * F.lit("20294820.5").cast("decimal(10,1)")
+    ).cast("double")
+    return assembled.select("way_id", area_km2.alias("area_km2"))
+
+
 @query("osm_ring_repair")  # rows-only: Python split kernel (mapInPandas)
 def osm_ring_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Validity repair over fixture-derived rings: each way's first
