@@ -1093,28 +1093,29 @@ _PS_SQL = """
       SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                AS ps_availqty,
-             CAST(MIN(CAST(l_extendedprice / l_quantity AS DECIMAL(18,6)))
-               AS DOUBLE) AS ps_supplycost
+             MIN(l_extendedprice) AS ps_supplycost
       FROM lineitem GROUP BY 1, 2
 """
 
 
 def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """partsupp ← lineitem: availqty = exact decimal sum of shipped
-    quantity, supplycost = min unit price (per-row 6-dp decimal cast
-    before MIN so the IEEE division result compares identically in
-    both engines). One shuffle on (part, supp)."""
+    quantity, supplycost = minimum observed line price. The cost is
+    deliberately comparison-only (no derived arithmetic): an earlier
+    min-UNIT-price variant rounded the IEEE division to 6 dp and the
+    two engines disagreed in the last digit on boundary values at
+    sf0.1 — Spark's double→decimal goes through the shortest-string
+    representation (BigDecimal.valueOf), DuckDB through the exact
+    binary value, and a quotient landing near x.xxxxxx5 splits them.
+    MIN over untouched stored doubles is bit-identical everywhere.
+    One shuffle on (part, supp)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
     ).agg(
         dsum("l_quantity").alias("ps_availqty"),
-        F.min(
-            (F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(18,6)")
-        )
-        .cast("double")
-        .alias("ps_supplycost"),
+        F.min("l_extendedprice").alias("ps_supplycost"),
     )
 
 
