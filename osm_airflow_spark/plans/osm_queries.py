@@ -446,6 +446,151 @@ def osm_polygon_geodesic_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assembled.select("way_id", area_km2.alias("area_km2"))
 
 
+@query(
+    "osm_multipolygon_net_area",
+    oracle=f"""
+    WITH nodes AS (
+      SELECT p_partkey AS node_id,
+             (CAST((p_partkey * 7) % 180 AS DOUBLE) - 90.0) * 0.95 AS lat,
+             {_LON} AS lon
+      FROM part
+    ),
+    refs AS (
+      SELECT l_orderkey AS way_id, l_partkey AS node_id,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS pos
+      FROM lineitem
+    ),
+    firsts AS (
+      SELECT way_id, node_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY way_id, node_id ORDER BY pos) AS occ
+      FROM refs
+    ),
+    dedup AS (SELECT way_id, node_id, pos FROM firsts WHERE occ = 1),
+    pts4 AS (
+      SELECT way_id, node_id,
+             ROW_NUMBER() OVER (PARTITION BY way_id ORDER BY pos) AS rn
+      FROM dedup
+    ),
+    quad AS (SELECT * FROM pts4 WHERE rn <= 4),
+    sized AS (SELECT way_id FROM quad GROUP BY way_id HAVING COUNT(*) = 4),
+    pts AS (
+      SELECT q.way_id, q.rn, n.lon, n.lat
+      FROM quad q JOIN sized USING (way_id) JOIN nodes n USING (node_id)
+    ),
+    edges AS (
+      SELECT a.way_id,
+             round(((b.lon - a.lon) - 360 * round((b.lon - a.lon) / 360.0, 0))
+                   * (a.lat + b.lat), 6) AS term
+      FROM pts a JOIN pts b
+        ON a.way_id = b.way_id AND b.rn = (a.rn % 4) + 1
+    ),
+    ring_a2 AS (
+      -- |2A| per ring, kept in EXACT decimal: no division yet
+      SELECT way_id, abs(SUM(CAST(term AS DECIMAL(18,6)))) AS a2
+      FROM edges GROUP BY way_id
+    ),
+    rels AS (SELECT DISTINCT l_orderkey AS rel_id FROM lineitem
+             WHERE l_orderkey % 4 = 0),
+    members AS (
+      SELECT rel_id, rel_id     AS ref, 'outer' AS role FROM rels
+      UNION ALL
+      SELECT rel_id, rel_id + 1 AS ref, 'inner' AS role FROM rels
+      UNION ALL
+      SELECT rel_id, rel_id + 2 AS ref, 'outer' AS role FROM rels
+    )
+    SELECT m.rel_id,
+           COUNT(CASE WHEN m.role = 'outer' THEN 1 END) AS n_outer,
+           COUNT(CASE WHEN m.role = 'inner' THEN 1 END) AS n_inner,
+           CAST(SUM(CASE WHEN m.role = 'outer' THEN r.a2 ELSE -r.a2 END)
+                AS DOUBLE) / 2 AS net_area
+    FROM members m JOIN ring_a2 r ON m.ref = r.way_id
+    GROUP BY m.rel_id
+    """,
+)
+def osm_multipolygon_net_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked multipolygon assembly: relations reference member
+    ways by role (outer shells / inner holes), members resolve
+    through the REAL two-hop operator (resolve_relation_members →
+    assemble_way_lines), unresolvable members drop, and net area =
+    Σ|outer| − Σ|inner| — the OSM multipolygon model osm2pgsql
+    builds (README.md:80-82). Relations derive from the fixture:
+    every way_id % 4 == 0 relation claims itself and +2 as outers
+    and +1 as an inner (orderkeys are dense, so most resolve; gaps
+    exercise the drop path).
+
+    Exactness recipe: per-ring |2A| stays in EXACT decimal (no
+    per-ring halving — halving's 7th-decimal can tie at the 6-dp
+    boundary and the engines' double→decimal paths disagree on
+    ties); the role-signed decimal sum casts to double once, and the
+    single final /2 is an exact IEEE exponent decrement. Zero
+    rounding boundaries anywhere after the per-term 6-dp round."""
+    from osm_airflow_spark.plans.osm import resolve_relation_members
+
+    nodes = _derived_nodes(spark, sf_dir)
+    ways = _derived_ways(spark, sf_dir)
+    quads = ways.select(
+        "way_id",
+        F.slice(F.array_distinct("node_refs"), 1, 4).alias("node_refs"),
+        "tags",
+    ).where(F.size("node_refs") == 4)
+    closed = quads.select(
+        "way_id",
+        F.concat("node_refs", F.slice("node_refs", 1, 1)).alias("node_refs"),
+        "tags",
+    )
+    member = lambda role, ref: F.struct(  # noqa: E731
+        F.lit("way").alias("mtype"), F.lit(role).alias("role"), ref.alias("ref")
+    )
+    rels = (
+        ways.select("way_id")
+        .where((F.col("way_id") % 4) == 0)
+        .select(
+            F.col("way_id").alias("rel_id"),
+            F.array(
+                member("outer", F.col("way_id")),
+                member("inner", F.col("way_id") + 1),
+                member("outer", F.col("way_id") + 2),
+            ).alias("members"),
+        )
+    )
+    resolved = resolve_relation_members(rels, closed, nodes).where(
+        F.col("mtype") == "way"
+    )
+    c_lons = F.expr("transform(way_line, s -> s.lon)")
+    c_lats = F.expr("transform(way_line, s -> s.lat)")
+
+    def wrap(d):
+        return d - 360.0 * F.round(d / 360.0, 0)
+
+    terms = F.transform(
+        F.sequence(F.lit(1), F.lit(4)),
+        lambda i: F.round(
+            wrap(F.element_at(c_lons, i + 1) - F.element_at(c_lons, i))
+            * (F.element_at(c_lats, i) + F.element_at(c_lats, i + 1)),
+            6,
+        ).cast("decimal(18,6)"),
+    )
+    a2 = F.abs(
+        F.aggregate(
+            terms,
+            F.lit(0).cast("decimal(28,6)"),
+            lambda acc, v: (acc + v).cast("decimal(28,6)"),
+        )
+    )
+    rings = resolved.select("rel_id", "role", a2.alias("a2"))
+    return rings.groupBy("rel_id").agg(
+        F.count(F.when(F.col("role") == "outer", 1)).alias("n_outer"),
+        F.count(F.when(F.col("role") == "inner", 1)).alias("n_inner"),
+        (
+            F.sum(
+                F.when(F.col("role") == "outer", F.col("a2")).otherwise(-F.col("a2"))
+            ).cast("double")
+            / 2
+        ).alias("net_area"),
+    )
+
+
 @query("osm_ring_repair")  # rows-only: Python split kernel (mapInPandas)
 def osm_ring_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Validity repair over fixture-derived rings: each way's first
