@@ -163,6 +163,65 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_quality_logit",
+    oracle=f"""
+    SELECT doc_id,
+           logit,
+           round(1.0 / (1.0 + exp(-logit)), 6) AS p_keep,
+           round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS kept
+    FROM (
+      SELECT doc_id,
+             -1.0 + 2.5 * (least(n_words, 200) / 200.0)
+                  + 1.5 * stop_ratio
+                  + 0.8 * (CASE WHEN mean_word_len BETWEEN 3 AND 8
+                                THEN 1.0 ELSE 0.0 END) AS logit
+      FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    w -> w IN ({_sql_list(_EN_STOP)}))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stop_ratio,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS mean_word_len
+        FROM documents
+      )
+    )
+    """,
+)
+def llm_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — learned-filter inference: a logistic classifier
+    over the quality features (length saturation, stopword ratio,
+    word-length band) with fixed weights — the shape of every
+    model-based quality filter (fastText/logreg over cheap features)
+    once training has happened elsewhere. The linear part is exact
+    IEEE arithmetic on identical inputs, so the logit is bit-equal
+    across engines unrounded; the sigmoid's exp() differs between
+    libms in the last ulp, so the probability rounds to 6 dp (the
+    osm_way_lengths transcendental recipe) and the keep decision
+    reads off the ROUNDED value so it cannot straddle an ulp. All
+    JVM column expressions — at 100 TB this is a free map over the
+    scan, no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("long")
+    stop_ratio = _stop_count(words, _EN_STOP).cast("double") / n_words
+    mean_word_len = F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    ).cast("double") / n_words
+    logit = (
+        F.lit(-1.0)
+        + 2.5 * (F.least(n_words, F.lit(200)) / 200.0)
+        + 1.5 * stop_ratio
+        + 0.8 * F.when(mean_word_len.between(3, 8), 1.0).otherwise(0.0)
+    )
+    base = d.select("doc_id", logit.alias("logit"))
+    p_keep = F.round(1.0 / (1.0 + F.exp(-F.col("logit"))), 6)
+    return base.select(
+        "doc_id", "logit", p_keep.alias("p_keep"), (p_keep >= 0.5).alias("kept")
+    )
+
+
+@query(
     "llm_token_count",
     oracle="""
     SELECT doc_id,
