@@ -252,7 +252,12 @@ def llm_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kmeans_centroids(
-    vectors: DataFrame, k: int = 8, iters: int = 3, id_col: str = "vec_id", vec_col: str = "embedding"
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over array<float> columns, pure
     DataFrame ops (returns (cent_id, cvec) with double elements).
@@ -269,10 +274,13 @@ def kmeans_centroids(
     Lloyd iteration references it, and without materialization each
     iteration re-executes the input subtree from the scan (no
     exchange reuse on this build — SCALE.md round-4 ledger). At
-    100 TB the standard move is stronger still: train the codebook on
-    a deterministic sample (id % s == 0) and only ASSIGN the full
-    corpus — Lloyd's result doesn't need every vector, and the
-    checkpoint then holds the sample, not the corpus."""
+    100 TB pass ``sample_mod``: training then runs on the
+    deterministic ``id % sample_mod == 0`` sample — Lloyd's result
+    doesn't need every vector (the PQ/IVF papers train on ~100k
+    samples), callers still assign the FULL corpus against the
+    returned centroids, and the checkpoint holds only the sample."""
+    if sample_mod:
+        vectors = vectors.where((F.col(id_col) % sample_mod) == 0)
     vectors = vectors.localCheckpoint(eager=True)
     init = (
         vectors.orderBy(id_col)

@@ -438,3 +438,40 @@ def test_pq_ann_invariants(spark, sf_dir):
     assert dists == sorted(dists)
     again = llm_sim_ann_pq(spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_kmeans_sampled_training_deterministic_and_usable(spark, sf_dir):
+    """sample_mod trains Lloyd on the deterministic id-modulo sample
+    (the 100 TB codebook move): result is deterministic across runs,
+    k centroids of the right width come back, and assigning the FULL
+    corpus against sampled centroids still covers every vector."""
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.llm.similarity import _as_double, kmeans_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = kmeans_centroids(e, k=4, iters=2, sample_mod=3).collect()
+    b = kmeans_centroids(e, k=4, iters=2, sample_mod=3).collect()
+    assert sorted(r["cent_id"] for r in a) == sorted(r["cent_id"] for r in b)
+    av = {r["cent_id"]: r["cvec"] for r in a}
+    bv = {r["cent_id"]: r["cvec"] for r in b}
+    assert av == bv  # bit-identical rerun
+    assert len(av) == 4
+    dim = len(e.select(_as_double("embedding").alias("v")).first()["v"])
+    assert all(len(v) == dim for v in av.values())
+
+    cents = kmeans_centroids(e, k=4, iters=2, sample_mod=3)
+    dist2 = F.aggregate(
+        F.zip_with(_as_double("embedding"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("d"), F.col("cent_id"))
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cent_id", dist2.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    assert assigned.count() == e.count()  # full corpus covered
