@@ -110,7 +110,10 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # re-checks of keys whose code paths changed this round (events-loader
 # consumers after the ns/µs normalization rework, llm_tfidf_topk after
 # the single-scan rewrite, mm_feature_extract after the real decoder)
-# and two stable anchors (flagship, scan_parquet).
+# and two stable anchors (flagship, scan_parquet). Round-4's late
+# additions (osm_ring_repair, osm_polygon_*, osm_multipolygon_*,
+# the partsupp trio, llm_quality_logit) registered after the window
+# filled; rotate them in next round (ROADMAP round-5 item 1).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
@@ -162,8 +165,8 @@ DRIVER_WINDOW: list[str] = [
     "win_dedup_time_window",
     "llm_tfidf_topk",
     "llm_corpus_curation",
-    "llm_dedup_exact",
-    "llm_pack_sequences",
+    "llm_bigram_lm",
+    "llm_contamination_check",
     "flagship_revenue_by_region",
     "scan_parquet",
 ]
