@@ -57,11 +57,18 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_signature(words_col: str, n_hashes: int = N_MINHASH) -> list[Column]:
+def _minhash_signature(hash_col: str, n_hashes: int = N_MINHASH) -> list[Column]:
     """One minhash per seeded hash family member, as plain column
-    aggregates (JVM-side xxhash64 — no Python)."""
+    aggregates (JVM-side xxhash64 — no Python). Takes an ALREADY
+    HASHED shingle (a long): the variable-length shingle string is
+    hashed exactly once per row upstream, and each family member
+    mixes that 8-byte value with its seed — 16 fixed-width hashes
+    instead of 16 passes over the string, which is the dominant
+    per-row cost of the whole near-dup pipeline at corpus scale.
+    Same min-wise family quality class; the recall-vs-exact-Jaccard
+    bound in tests/test_llm.py gates the family."""
     return [
-        F.min(F.xxhash64(F.lit(i), F.col(words_col))).alias(f"mh_{i}")
+        F.min(F.xxhash64(F.lit(i), F.col(hash_col))).alias(f"mh_{i}")
         for i in range(n_hashes)
     ]
 
@@ -120,8 +127,9 @@ def minhash_lsh_pairs(
             "doc_id",
             F.explode(F.array_distinct(shingle_array("words", shingle_n))).alias("shingle"),
         )
+        .select("doc_id", F.xxhash64("shingle").alias("sh_hash"))
     )
-    sigs = shingles.groupBy("doc_id").agg(*_minhash_signature("shingle", n_hashes))
+    sigs = shingles.groupBy("doc_id").agg(*_minhash_signature("sh_hash", n_hashes))
 
     rows_per_band = n_hashes // n_bands
     sig_array = F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)])
