@@ -591,6 +591,124 @@ def osm_multipolygon_net_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "osm_polygon_tile_rollup",
+    oracle=f"""
+    WITH nodes AS (
+      SELECT p_partkey AS node_id,
+             (CAST((p_partkey * 7) % 180 AS DOUBLE) - 90.0) * 0.95 AS lat,
+             {_LON} AS lon
+      FROM part
+    ),
+    refs AS (
+      SELECT l_orderkey AS way_id, l_partkey AS node_id,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS pos
+      FROM lineitem
+    ),
+    firsts AS (
+      SELECT way_id, node_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY way_id, node_id ORDER BY pos) AS occ
+      FROM refs
+    ),
+    dedup AS (SELECT way_id, node_id, pos FROM firsts WHERE occ = 1),
+    pts4 AS (
+      SELECT way_id, node_id,
+             ROW_NUMBER() OVER (PARTITION BY way_id ORDER BY pos) AS rn
+      FROM dedup
+    ),
+    quad AS (SELECT * FROM pts4 WHERE rn <= 4),
+    sized AS (SELECT way_id FROM quad GROUP BY way_id HAVING COUNT(*) = 4),
+    pts AS (
+      SELECT q.way_id, q.rn, n.lon, n.lat
+      FROM quad q JOIN sized USING (way_id) JOIN nodes n USING (node_id)
+    ),
+    edges AS (
+      SELECT a.way_id,
+             round(((b.lon - a.lon) - 360 * round((b.lon - a.lon) / 360.0, 0))
+                   * (a.lat + b.lat), 6) AS term
+      FROM pts a JOIN pts b
+        ON a.way_id = b.way_id AND b.rn = (a.rn % 4) + 1
+    ),
+    rings AS (
+      -- signed -2A in exact decimal; anchor = first ring vertex
+      SELECT e.way_id, SUM(CAST(e.term AS DECIMAL(18,6))) AS s2,
+             MAX(p.lon) AS lon, MAX(p.lat) AS lat
+      FROM edges e JOIN pts p ON e.way_id = p.way_id AND p.rn = 1
+      GROUP BY e.way_id
+    )
+    SELECT CAST(least(CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT), 63) * 64
+             + least(CAST(floor((lat + 90.0) / 180.0 * 64) AS BIGINT), 63) AS BIGINT)
+             AS tile,
+           COUNT(*) AS n_polygons,
+           CAST(SUM(CASE WHEN -s2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ccw,
+           CAST(SUM(abs(s2)) AS DOUBLE) / 2 AS total_abs_area
+    FROM rings
+    GROUP BY 1
+    """,
+)
+def osm_polygon_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed spatial-layer publish proof: raw fixture tables →
+    ring assembly → winding → geohash-tile rollup as ONE Catalyst
+    plan (the osm analog of llm_corpus_curation's composition claim —
+    operators compose, not just pass in isolation). Per tile: polygon
+    count, CCW count (sign read off the EXACT decimal shoelace sum,
+    no rounding boundary), and total unsigned area (decimal sum
+    halved once in IEEE). Tile id anchors at the ring's first vertex
+    — the same integer-exact cell formula as osm_tile_rollup, so a
+    bbox query prunes tiles before touching any geometry. Shuffles:
+    assembly groupBy, per-way fold, tile rollup — all keyed, no
+    quadratic anywhere."""
+    nodes = _derived_nodes(spark, sf_dir)
+    ways = _derived_ways(spark, sf_dir)
+    from osm_airflow_spark.plans.osm import geohash_cell
+
+    quads = ways.select(
+        "way_id",
+        F.slice(F.array_distinct("node_refs"), 1, 4).alias("node_refs"),
+        "tags",
+    ).where(F.size("node_refs") == 4)
+    assembled = assemble_way_lines(quads, nodes).where(F.size("line") == 4)
+    lons = F.expr("transform(line, s -> s.lon)")
+    lats = F.expr("transform(line, s -> s.lat)")
+    c_lons = F.concat(lons, F.slice(lons, 1, 1))
+    c_lats = F.concat(lats, F.slice(lats, 1, 1))
+
+    def wrap(d):
+        return d - 360.0 * F.round(d / 360.0, 0)
+
+    terms = F.transform(
+        F.sequence(F.lit(1), F.lit(4)),
+        lambda i: F.round(
+            wrap(F.element_at(c_lons, i + 1) - F.element_at(c_lons, i))
+            * (F.element_at(c_lats, i) + F.element_at(c_lats, i + 1)),
+            6,
+        ).cast("decimal(18,6)"),
+    )
+    s2 = F.aggregate(
+        terms,
+        F.lit(0).cast("decimal(28,6)"),
+        lambda acc, v: (acc + v).cast("decimal(28,6)"),
+    )
+    rings = assembled.select(
+        s2.alias("s2"),
+        F.element_at(lons, 1).alias("lon"),
+        F.element_at(lats, 1).alias("lat"),
+    )
+    return (
+        rings.select(
+            geohash_cell(F.col("lon"), F.col("lat")).cast("long").alias("tile"),
+            "s2",
+        )
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_polygons"),
+            F.sum(F.when(-F.col("s2") > 0, 1).otherwise(0)).cast("long").alias("n_ccw"),
+            (F.sum(F.abs("s2")).cast("double") / 2).alias("total_abs_area"),
+        )
+    )
+
+
 @query("osm_ring_repair")  # rows-only: Python split kernel (mapInPandas)
 def osm_ring_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Validity repair over fixture-derived rings: each way's first
