@@ -1288,3 +1288,57 @@ def pipeline_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@query(
+    "pipeline_event_paths",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS steps
+      FROM events GROUP BY user_id
+    ),
+    paths AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(steps) - 2),
+               i -> steps[i] || '>' || steps[i+1] || '>' || steps[i+2]
+             )) AS path
+      FROM seqs WHERE len(steps) >= 3
+    ),
+    counted AS (SELECT path, COUNT(*) AS n_paths FROM paths GROUP BY path)
+    SELECT path, n_paths FROM counted
+    ORDER BY n_paths DESC, path LIMIT 20
+    """,
+)
+def pipeline_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event pathing — the top 3-step journeys across all users (the
+    'what do people actually do' product-analytics query). Per user:
+    events in (ts, event_id) total order — the tie-break matters,
+    same-timestamp events otherwise make the path partition-dependent
+    — then sliding 3-grams of event types, counted corpus-wide.
+
+    Shape: ONE shuffle of events by user into an ordered collect
+    (state ∝ that user's events, the same bound as sessionization),
+    3-grams generated in-array (no self-join, no window), one
+    count-by-path aggregation, TakeOrderedAndProject for the top-20
+    with a (count desc, path asc) total order. At 100 TB the
+    path-count table is (event_type)³-bounded — tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    steps = F.expr("transform(evs, s -> s.event_type)")
+    grams = F.expr(
+        "transform(sequence(1, size(evs) - 2),"
+        " i -> concat_ws('>', evs[i-1].event_type, evs[i].event_type,"
+        " evs[i+1].event_type))"
+    )
+    return (
+        seqs.where(F.size("evs") >= 3)
+        .select(F.explode(grams).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), F.col("path"))
+        .limit(20)
+    )
