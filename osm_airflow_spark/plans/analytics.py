@@ -1342,3 +1342,133 @@ def pipeline_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_paths").desc(), F.col("path"))
         .limit(20)
     )
+
+
+@query(
+    "pipeline_funnel_windowed",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+             list(CASE WHEN event_type = 'purchase' THEN ts END
+                  ORDER BY ts, event_id) AS purchases
+      FROM events GROUP BY user_id
+    ),
+    staged AS (
+      SELECT user_id, t1,
+             (SELECT MIN(p) FROM unnest(purchases) AS u(p)
+              WHERE p > t1 AND p <= t1 + INTERVAL '24 hours') AS t2
+      FROM per_user
+    )
+    SELECT COUNT(t1) AS n_viewed,
+           COUNT(t2) AS n_converted,
+           CAST(COUNT(t2) AS DOUBLE) / COUNT(t1) AS conversion_24h
+    FROM staged
+    """,
+)
+def pipeline_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion — the production funnel variant: a
+    purchase only converts if it lands within 24 h of the user's
+    first view (unbounded funnels overcount forever-later
+    purchases). Same single-pass shape as pipeline_event_funnel: one
+    conditional aggregation per user, the window bound applied as a
+    null-propagating array filter, one global rollup. One events
+    scan, two exchanges."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("purchases"),
+    )
+    in_window = F.array_min(
+        F.filter(
+            "purchases",
+            lambda p: (p > F.col("t1"))
+            & (p <= F.col("t1") + F.expr("INTERVAL 24 HOURS")),
+        )
+    )
+    staged = per_user.withColumn("t2", in_window)
+    return staged.agg(
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_converted"),
+        (F.count("t2").cast("double") / F.count("t1")).alias("conversion_24h"),
+    )
+
+
+@query(
+    "pipeline_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    ),
+    scored AS (
+      SELECT c_custkey, last_order, frequency, monetary,
+             NTILE(4) OVER (ORDER BY last_order DESC, c_custkey) AS r_quartile,
+             NTILE(4) OVER (ORDER BY frequency DESC, c_custkey) AS f_quartile,
+             NTILE(4) OVER (ORDER BY monetary DESC, c_custkey) AS m_quartile
+      FROM base
+    )
+    SELECT r_quartile, f_quartile, m_quartile,
+           COUNT(*) AS n_customers,
+           CAST(CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DECIMAL(20,2))
+                AS DOUBLE) AS segment_value
+    FROM scored
+    GROUP BY 1, 2, 3
+    """,
+)
+def pipeline_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic marketing rollup: per customer
+    recency (last order date), frequency (order count), monetary
+    (exact decimal revenue), quartiled on each axis and rolled up to
+    segment sizes and value. Every NTILE orders by (metric desc,
+    custkey) — the explicit tie-break that keeps quartile boundaries
+    partition-independent (ties on frequency are pervasive).
+
+    Scale note: NTILE over an unpartitioned window is the known
+    single-task shape — acceptable here because the input is one row
+    PER CUSTOMER (not per order); at true 100 TB the distributed
+    exact-rank rewrite used by win_ntile (operators/windows.py)
+    swaps in unchanged."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+    )
+    scored = (
+        base.withColumn(
+            "r_quartile",
+            F.ntile(4).over(Window.orderBy(F.col("last_order").desc(), "c_custkey")),
+        )
+        .withColumn(
+            "f_quartile",
+            F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "c_custkey")),
+        )
+        .withColumn(
+            "m_quartile",
+            F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "c_custkey")),
+        )
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("monetary").cast("decimal(18,2)"))
+        .cast("decimal(20,2)")
+        .cast("double")
+        .alias("segment_value"),
+    )
