@@ -395,3 +395,32 @@ def test_zorder_write_tightens_both_dimensions(spark, sf_dir, tmp_path):
     assert z["l_orderkey"] * 2 < r["l_orderkey"], (z, r)
     assert z["l_partkey"] * 2 < r["l_partkey"], (z, r)
     assert spark.read.parquet(z_dir).count() == li.count()
+
+
+def test_pbf_python_datasource_matches_function_reader(spark, pbf_file):
+    """The osm_pbf Data Source (Spark 4 Python DataSource API) must
+    return exactly the rows the function-style reader returns: same
+    union schema, same elements, one partition per OSMData blob."""
+    from osm_airflow_spark.sources.pbf import read_pbf_elements
+    from osm_airflow_spark.sources.pbf_datasource import register_pbf_source
+
+    register_pbf_source(spark)
+    via_source = spark.read.format("osm_pbf").load(pbf_file)
+    via_fn = read_pbf_elements(spark, pbf_file)
+    assert via_source.schema == via_fn.schema
+
+    def canon(df):
+        return sorted(
+            (r["kind"], r["elem_id"], r["lat"], r["lon"],
+             tuple(r["node_refs"] or []),
+             tuple(map(tuple, r["members"] or [])),
+             tuple(sorted((r["tags"] or {}).items())))
+            for r in df.collect()
+        )
+
+    assert canon(via_source) == canon(via_fn)
+    counts = {
+        r["kind"]: r["n"]
+        for r in via_source.groupBy("kind").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {"node": 4, "way": 2, "relation": 1}
