@@ -172,6 +172,53 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def distributed_ntile(
+    df: DataFrame,
+    metric_col: Column,
+    id_col: str,
+    out_col: str,
+    k: int,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Exact NTILE(k) over (metric asc, id asc) with NO unpartitioned
+    window — the win_ntile pattern as a reusable helper (callers
+    wanting DESC pass a negated metric). approx-percentile cut points
+    make range-contiguous buckets; rank = per-bucket row_number +
+    collected bucket offsets (control-plane, B tiny rows); the tile
+    is pure arithmetic on the exact rank. Matches global-window NTILE
+    bit-for-bit because buckets are range-contiguous and (metric, id)
+    is a total order."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    work = df.withColumn("_m", metric_col.cast("double"))
+    cuts = work.agg(
+        F.percentile_approx("_m", probs, 10_000).alias("cuts")
+    ).head()[0]
+    bucket = F.lit(0)
+    for cut in cuts:
+        bucket = bucket + F.when(F.col("_m") > F.lit(cut), 1).otherwise(0)
+    bucketed = work.withColumn("_bkt", bucket.cast("int"))
+    counts = {
+        r["_bkt"]: r["n"]
+        for r in bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(counts.values())
+    offset_expr, running = F.lit(0), 0
+    for b in range(n_buckets):
+        if running and counts.get(b):
+            offset_expr = F.when(F.col("_bkt") == b, F.lit(running)).otherwise(
+                offset_expr
+            )
+        running += counts.get(b, 0)
+    w_local = Window.partitionBy("_bkt").orderBy("_m", id_col)
+    rank = (offset_expr + F.row_number().over(w_local)).cast("long")
+    q, r = divmod(n_total, k)
+    big = r * (q + 1)
+    tile = F.when(
+        F.lit(r > 0) & (rank <= F.lit(big)), F.ceil(rank / F.lit(q + 1))
+    ).otherwise(F.lit(r) + F.ceil((rank - F.lit(big)) / F.lit(max(q, 1))))
+    return bucketed.withColumn(out_col, tile.cast("long")).drop("_m", "_bkt")
+
+
 @query(
     "win_ntile",
     oracle="""

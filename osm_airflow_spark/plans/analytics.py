@@ -1433,12 +1433,14 @@ def pipeline_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     custkey) — the explicit tie-break that keeps quartile boundaries
     partition-independent (ties on frequency are pervasive).
 
-    Scale note: NTILE over an unpartitioned window is the known
-    single-task shape — acceptable here because the input is one row
-    PER CUSTOMER (not per order); at true 100 TB the distributed
-    exact-rank rewrite used by win_ntile (operators/windows.py)
-    swaps in unchanged."""
-    from pyspark.sql import Window
+    Every quartile runs through ``distributed_ntile`` (the win_ntile
+    exact-rank pattern as a helper) — NO unpartitioned window
+    anywhere, pinned by tests/test_plans.py's plan invariant. DESC
+    ordering = negated metric ascending; unix-µs timestamps stay
+    double-exact (< 2^53). The per-customer base materializes once
+    (localCheckpoint) so the helper's control-plane collects don't
+    re-run the orders join per axis."""
+    from osm_airflow_spark.operators.windows import distributed_ntile
 
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -1450,20 +1452,22 @@ def pipeline_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("frequency"),
             dsum("o_totalprice").alias("monetary"),
         )
+        .localCheckpoint(eager=True)
     )
-    scored = (
-        base.withColumn(
-            "r_quartile",
-            F.ntile(4).over(Window.orderBy(F.col("last_order").desc(), "c_custkey")),
-        )
-        .withColumn(
-            "f_quartile",
-            F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "c_custkey")),
-        )
-        .withColumn(
-            "m_quartile",
-            F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "c_custkey")),
-        )
+    scored = distributed_ntile(
+        # ntz → ltz cast is value-preserving (session TZ pinned UTC);
+        # unix_micros refuses NTZ directly
+        base,
+        F.unix_micros(F.col("last_order").cast("timestamp")) * -1,
+        "c_custkey",
+        "r_quartile",
+        4,
+    )
+    scored = distributed_ntile(
+        scored, F.col("frequency") * -1, "c_custkey", "f_quartile", 4
+    )
+    scored = distributed_ntile(
+        scored, F.col("monetary") * -1, "c_custkey", "m_quartile", 4
     )
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),
