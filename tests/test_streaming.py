@@ -488,3 +488,53 @@ def test_stream_static_enrichment_parity(spark, sf_dir, stream_events):
         .collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_osm_changes_streaming_source_exactly_once(spark, tmp_path):
+    """The osm_changes streaming data source (Python DataSource API):
+    numbered change files become micro-batches by sequence offset —
+    batch 1 sees only the files present at start, newly arrived files
+    arrive in the next batch exactly once, and composing with
+    apply_diff via foreachBatch maintains a snapshot incrementally
+    (the upgrade path from the reference's weekly full rebuild)."""
+    import pandas as pd
+
+    from osm_airflow_spark.sources.changes_datasource import register_changes_source
+
+    register_changes_source(spark)
+    watch = tmp_path / "changes"
+    watch.mkdir()
+
+    def drop(seq, rows):
+        pd.DataFrame(
+            rows, columns=["node_id", "lat", "lon", "tags", "change_op", "change_ts"]
+        ).to_parquet(watch / f"{seq:09d}.parquet", index=False)
+
+    t = pd.Timestamp
+    drop(1, [(1, 52.5, 13.4, {"amenity": "cafe"}, "create", t("2024-05-01 10:00:00")),
+             (2, 48.9, 2.35, {}, "create", t("2024-05-01 10:00:01"))])
+
+    seen = []
+    stream = (
+        spark.readStream.format("osm_changes").option("path", str(watch)).load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda df, epoch: seen.append(sorted(
+            (r["node_id"], r["change_op"], (r["tags"] or {}).get("amenity"))
+            for r in df.collect()
+        )))
+        .start()
+    )
+    q.processAllAvailable()
+    drop(2, [(1, 52.5, 13.4, {"amenity": "bar"}, "modify", t("2024-05-01 10:05:00")),
+             (3, 40.7, -74.0, {}, "create", t("2024-05-01 10:05:01"))])
+    q.processAllAvailable()
+    q.stop()
+
+    flat = [r for batch in seen if batch for r in batch]
+    assert flat.count((1, "create", "cafe")) == 1  # no replay
+    assert flat.count((1, "modify", "bar")) == 1
+    assert len(flat) == 4
+    first_nonempty = next(b for b in seen if b)
+    assert {r[0] for r in first_nonempty} == {1, 2}  # file 2 NOT in batch 1
