@@ -538,3 +538,61 @@ def test_osm_changes_streaming_source_exactly_once(spark, tmp_path):
     assert len(flat) == 4
     first_nonempty = next(b for b in seen if b)
     assert {r[0] for r in first_nonempty} == {1, 2}  # file 2 NOT in batch 1
+
+
+def test_changes_stream_maintains_snapshot_incrementally(spark, tmp_path):
+    """The full upgrade path from the reference's weekly rebuild:
+    osm_changes stream → foreachBatch(apply_diff) → persisted
+    snapshot. After two change batches the snapshot holds exactly the
+    type-1 merged state (create applied, modify applied once, delete
+    gone) — no full rebuild anywhere."""
+    import pandas as pd
+
+    from osm_airflow_spark.plans.merge import apply_diff
+    from osm_airflow_spark.sources.changes_datasource import register_changes_source
+
+    register_changes_source(spark)
+    watch = tmp_path / "feed"
+    watch.mkdir()
+    snap_dir = str(tmp_path / "snapshot")
+
+    spark.createDataFrame(
+        [(1, 52.5, 13.4, {"amenity": "cafe"}), (2, 48.9, 2.35, {})],
+        "node_id long, lat double, lon double, tags map<string,string>",
+    ).write.mode("overwrite").parquet(snap_dir)
+
+    def drop(seq, rows):
+        pd.DataFrame(
+            rows, columns=["node_id", "lat", "lon", "tags", "change_op", "change_ts"]
+        ).to_parquet(watch / f"{seq:09d}.parquet", index=False)
+
+    def apply_batch(batch_df, epoch_id):
+        if not batch_df.take(1):
+            return
+        snapshot = batch_df.sparkSession.read.parquet(snap_dir)
+        merged = apply_diff(snapshot, batch_df, "node_id")
+        # overwrite-in-place via a staged write (parquet can't read+
+        # overwrite the same path in one job)
+        staged = f"{snap_dir}_stage_{epoch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        import shutil
+
+        shutil.rmtree(snap_dir)
+        shutil.move(staged, snap_dir)
+
+    t = pd.Timestamp
+    stream = (
+        spark.readStream.format("osm_changes").option("path", str(watch)).load()
+    )
+    q = stream.writeStream.foreachBatch(apply_batch).start()
+    drop(1, [(3, 40.7, -74.0, {"amenity": "bank"}, "create", t("2024-05-01 10:00:00"))])
+    q.processAllAvailable()
+    drop(2, [(1, 52.5, 13.4, {"amenity": "bar"}, "modify", t("2024-05-01 10:05:00")),
+             (2, None, None, None, "delete", t("2024-05-01 10:05:01"))])
+    q.processAllAvailable()
+    q.stop()
+
+    final = {r["node_id"]: r for r in spark.read.parquet(snap_dir).collect()}
+    assert set(final) == {1, 3}  # node 2 deleted
+    assert final[1]["tags"] == {"amenity": "bar"}  # modify applied
+    assert final[3]["tags"] == {"amenity": "bank"}  # create applied
