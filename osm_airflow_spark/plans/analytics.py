@@ -1476,3 +1476,72 @@ def pipeline_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("segment_value"),
     )
+
+
+@query(
+    "pipeline_active_users",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    spine AS (SELECT DISTINCT day AS d FROM days),
+    joined AS (
+      SELECT s.d, a.user_id, a.day
+      FROM spine s JOIN days a
+        ON a.day <= s.d AND a.day >= s.d - INTERVAL '29 days'
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT CASE WHEN day = d THEN user_id END) AS dau,
+           COUNT(DISTINCT CASE WHEN day >= d - INTERVAL '6 days'
+                               THEN user_id END) AS wau,
+           COUNT(DISTINCT user_id) AS mau,
+           CAST(COUNT(DISTINCT CASE WHEN day = d THEN user_id END) AS DOUBLE)
+             / COUNT(DISTINCT user_id) AS stickiness
+    FROM joined GROUP BY d
+    """,
+)
+def pipeline_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU and stickiness (DAU/MAU) per day — the
+    engagement report every product team runs. Rolling DISTINCT
+    counts can't ride an ordinary window frame (distinct doesn't
+    decompose), so the standard shape is: distinct (user, day) once,
+    a date-spine range join pulling each day's trailing 30 days of
+    user-days, and ONE aggregation computing all three horizons as
+    conditional distincts.
+
+    Scale: the range join output is ≤ 30 × user-days — linear in
+    activity with a fixed factor, never user-pairs; the spine side is
+    tiny (one row per day) and broadcasts, so the user-days table
+    never reshuffles for the join. At 100 TB the exact-distinct
+    aggregation is the cost center; swapping approx_count_distinct
+    per horizon is the documented relaxation (agg_approx_distinct's
+    pattern) when ±2% is acceptable."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    spine = days.select(F.col("day").alias("d")).distinct()
+    joined = days.join(
+        F.broadcast(spine),
+        (F.col("day") <= F.col("d"))
+        & (F.col("day") >= F.date_sub(F.col("d"), 29)),
+    )
+    dau = F.count_distinct(F.when(F.col("day") == F.col("d"), F.col("user_id")))
+    wau = F.count_distinct(
+        F.when(F.col("day") >= F.date_sub(F.col("d"), 6), F.col("user_id"))
+    )
+    mau = F.count_distinct("user_id")
+    return (
+        joined.groupBy("d")
+        .agg(
+            dau.alias("dau"),
+            wau.alias("wau"),
+            mau.alias("mau"),
+            (dau.cast("double") / mau).alias("stickiness"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            "stickiness",
+        )
+    )
