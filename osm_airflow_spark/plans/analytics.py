@@ -1545,3 +1545,51 @@ def pipeline_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness",
         )
     )
+
+
+@query(
+    "pipeline_ship_latency_percentiles",
+    oracle="""
+    WITH lat AS (
+      SELECT o_orderpriority,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       CAST(l_shipdate AS DATE)) AS days
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= o_orderdate
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           quantile_cont(days, 0.5) AS p50_days,
+           quantile_cont(days, 0.9) AS p90_days,
+           quantile_cont(days, 0.99) AS p99_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+)
+def pipeline_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order→ship latency distribution per priority class —
+    the SLA report shape, and the EXACT percentile surface
+    (agg_approx_percentile covers the sketch path; this is
+    PERCENTILE_CONT with linear interpolation, hash-checked because
+    both engines define it as (1−d)·lower + d·upper and the inputs
+    are small integers, so every interpolation is exact in a
+    double). Exact percentiles hold the full sorted group — fine per
+    priority class (5 groups); at 100 TB per-high-cardinality-key
+    percentiles go through the approx sketch instead."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lat = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+                "days"
+            ),
+        )
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.percentile("days", F.lit(0.5)).alias("p50_days"),
+        F.percentile("days", F.lit(0.9)).alias("p90_days"),
+        F.percentile("days", F.lit(0.99)).alias("p99_days"),
+    )
