@@ -1229,13 +1229,20 @@ def pipeline_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v"),
         )
     )
-    total = national.agg(
-        F.sum("v").alias("tot"), F.count_distinct("ps_partkey").alias("np")
-    )
-    return (
+    # materialize the per-part aggregate once (part-count rows): the
+    # global total then derives from IT (Σ sv ≡ Σ v exactly — decimal
+    # addition is associative) instead of re-deriving the whole
+    # partsupp join for a second branch (measured: 6 scans → 3)
+    per_part = (
         national.groupBy("ps_partkey")
         .agg(F.sum("v").alias("sv"))
-        .join(F.broadcast(total))
+        .localCheckpoint(eager=True)
+    )
+    total = per_part.agg(
+        F.sum("sv").alias("tot"), F.count(F.lit(1)).alias("np")
+    )
+    return (
+        per_part.join(F.broadcast(total))
         .where(
             F.col("sv").cast("double")
             > F.col("tot").cast("double") * 3.0 / F.col("np")
@@ -1281,6 +1288,9 @@ def pipeline_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # supplier-count rows; materializing once keeps the MAX branch
+    # from re-scanning lineitem (no exchange reuse on this build)
+    revenue = revenue.localCheckpoint(eager=True)
     best = revenue.agg(F.max("total_revenue").alias("best"))
     return (
         revenue.join(F.broadcast(best))
