@@ -141,6 +141,30 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5b — multiset intersection: each customer appears
+    min(urgent-orders, normal-orders) times — the multiplicity-aware
+    twin of G5's INTERSECT (a customer with 3 urgent and 2 normal
+    orders shows twice). ``intersectAll`` plans as a count-compare
+    aggregation, one shuffle per side on the compared row."""
+    o = load_table(spark, sf_dir, "orders")
+    hot = o.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        "o_custkey"
+    )
+    cold = o.where(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        "o_custkey"
+    )
+    return hot.intersectAll(cold)
+
+
+@query(
     "set_drop_duplicates",
     oracle="""
     SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
