@@ -432,3 +432,48 @@ def er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("name_dist") <= 3)
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH months AS (
+      SELECT DISTINCT date_trunc('month', o_orderdate) AS m_start
+      FROM orders
+    )
+    SELECT strftime(m_start, '%Y-%m-%d') AS month_start,
+           COUNT(*) AS n_open_orders
+    FROM months JOIN orders
+      ON o_orderdate < m_start + INTERVAL '1 month'
+     AND m_start < o_orderdate + INTERVAL '5 days'
+    GROUP BY m_start
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext D8b — interval-OVERLAP join (a.start < b.end AND b.start <
+    a.end), the temporal-join shape point-in-range can't express:
+    how many order fulfillment windows ([orderdate, +5 days)) touch
+    each calendar month. One side is the derived month spine — tiny,
+    broadcast — so the non-equi condition runs as a broadcast
+    nested-loop over ≤ months-count rows per order, never a
+    corpus×corpus cross. For two LARGE interval sets the scale form
+    buckets both sides by overlapping coarse cells (the geohash
+    trick on the time axis) and equi-joins on the cell — the
+    composition SCALE.md documents; this key pins the semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    months = (
+        o.select(F.date_trunc("month", "o_orderdate").alias("m_start"))
+        .distinct()
+    )
+    cond = (
+        F.col("o_orderdate") < F.col("m_start") + F.expr("INTERVAL 1 MONTH")
+    ) & (F.col("m_start") < F.col("o_orderdate") + F.expr("INTERVAL 5 DAYS"))
+    return (
+        o.join(F.broadcast(months), cond)
+        .groupBy("m_start")
+        .agg(F.count(F.lit(1)).alias("n_open_orders"))
+        .select(
+            F.date_format("m_start", "yyyy-MM-dd").alias("month_start"),
+            "n_open_orders",
+        )
+    )
