@@ -171,11 +171,57 @@ def image_features(payload: bytes) -> list[float]:
     ]
 
 
+def looks_like_image(payload: bytes) -> bool:
+    """Strict structural sniff run BEFORE committing to the pixel
+    path. A 2-byte magic alone is not enough: arbitrary text starting
+    with ``BM``/``P5``/``P6`` can parse as small plausible dimensions
+    and silently yield garbage pixel features. So validate the whole
+    header against the payload length: PNM must have sane dims/maxval
+    and a raster that fills the remaining bytes (±8 slack for a
+    trailing newline); BMP must have planes==1, a known header size,
+    BI_RGB 24/32bpp, and a raster that fits inside the payload."""
+    if not payload or len(payload) < 12:
+        return False
+    magic = payload[:2]
+    if magic in (b"P6", b"P5"):
+        try:
+            (w, h, maxval), off = _ppm_tokens(payload, 3)
+        except ValueError:
+            return False
+        if not (0 < w and 0 < h and 0 < maxval < 256):
+            return False
+        need = w * h * (1 if magic == b"P5" else 3)
+        remaining = len(payload) - off
+        return need <= remaining <= need + 8
+    if magic == b"BM":
+        if len(payload) < 54:
+            return False
+        data_off = int.from_bytes(payload[10:14], "little")
+        hdr_size = int.from_bytes(payload[14:18], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = abs(int.from_bytes(payload[22:26], "little", signed=True))
+        planes = int.from_bytes(payload[26:28], "little")
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        if planes != 1 or compression != 0 or bpp not in (24, 32):
+            return False
+        if hdr_size not in (40, 52, 56, 108, 124) or data_off < 14 + hdr_size:
+            return False
+        if w <= 0 or h == 0:
+            return False
+        stride = (w * (bpp // 8) + 3) & ~3
+        return data_off + stride * h <= len(payload)
+    return False
+
+
 def media_features(payload: bytes) -> list[float]:
-    """Kernel dispatch: decodable image magic → real pixel features;
-    anything else → byte-level stats. One total function so a mixed
-    corpus (images + text + undecodable blobs) runs in one pass."""
-    if payload and payload[:2] in (b"P6", b"P5", b"BM"):
+    """Kernel dispatch: structurally-validated image payload → real
+    pixel features; anything else → byte-level stats. One total
+    function so a mixed corpus (images + text + undecodable blobs)
+    runs in one pass. The ``looks_like_image`` precondition (not just
+    the 2-byte magic) keeps text that happens to start with an image
+    magic on the byte-stats path."""
+    if payload and looks_like_image(payload):
         try:
             return image_features(payload)
         except ValueError:
@@ -252,9 +298,24 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6 — the decode/feature-extract hop as Arrow-batched
     mapInPandas (media_features dispatch: real PPM/PGM/BMP decode,
     byte-stats fallback for undecodable payloads like this fixture's
-    text)."""
+    text).
+
+    The query projects the feature vector to a canonicalization-safe
+    shape: the driver's rows-only harness sorts every column to hash
+    the result, and a raw ``array<double>`` column is unsortable
+    there (r4 failure: unhashable ndarray). Library callers keep the
+    array-typed ``extract_features``; the query emits ``n_features``
+    plus a deterministic JSON rendering of the 6-dp-rounded vector."""
     media = documents_as_media(spark, sf_dir)
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.size("features").alias("n_features"),
+        F.to_json(F.transform("features", lambda x: F.round(x, 6))).alias(
+            "features_json"
+        ),
+    )
 
 
 def frame_sample(media: DataFrame, chunk_bytes: int = 64, every_nth: int = 4) -> DataFrame:

@@ -284,6 +284,53 @@ def test_feature_extract_decodes_real_images_through_map_in_pandas(spark):
     assert out[3]["features"] == fake_features(b"not an image")
 
 
+def test_image_sniff_rejects_magic_only_lookalikes():
+    """A payload that merely STARTS with an image magic must stay on
+    the byte-stats path: the structural sniff validates the whole
+    header against the payload length (ADVICE r4)."""
+    import numpy as np
+
+    from osm_airflow_spark.llm.multimodal import (
+        fake_features,
+        looks_like_image,
+        media_features,
+    )
+
+    lookalikes = [
+        b"BMW dealers report 5 5 strong quarterly sales figures....",
+        b"P6 is the sixth sound in the sequence 2 2 255 " + b"x" * 400,
+        b"P5\n3 3\n255\n",  # header parses but raster missing
+        b"BM" + b"\x00" * 60,  # zero dims / zero planes
+    ]
+    for payload in lookalikes:
+        assert not looks_like_image(payload)
+        assert media_features(payload) == fake_features(payload)
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, (4, 5, 3), dtype=np.uint8)
+    assert looks_like_image(_encode_ppm(px))
+    assert looks_like_image(_encode_bmp24(px))
+
+
+def test_mm_feature_extract_query_is_canonicalization_safe(spark, sf_dir):
+    """The driver's rows-only harness sorts every column; the query
+    must therefore emit scalars/strings, not array<double> (the r4
+    driver failure)."""
+    out = QUERIES["mm_feature_extract"](spark, sf_dir)
+    kinds = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert kinds == {
+        "media_id": "bigint",
+        "n_bytes": "bigint",
+        "n_features": "int",
+        "features_json": "string",
+    }
+    row = out.orderBy("media_id").first()
+    assert row["n_features"] == 4  # text fixture → byte-stats kernel
+    import json as _json
+
+    assert len(_json.loads(row["features_json"])) == 4
+
+
 def test_quality_score_bounds(spark, sf_dir):
     out = QUERIES["llm_quality_score"](spark, sf_dir)
     assert out.where((F.col("quality_score") < 0) | (F.col("quality_score") > 1)).count() == 0
