@@ -1190,7 +1190,8 @@ def pipeline_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ps AS ({_PS_SQL}),
     national AS (
       SELECT ps.ps_partkey,
-             CAST(ps.ps_supplycost * ps.ps_availqty AS DECIMAL(18,4)) AS v
+             CAST(ps.ps_supplycost AS DECIMAL(18,2))
+               * CAST(ps.ps_availqty AS DECIMAL(18,2)) AS v
       FROM ps
       JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
       JOIN nation n   ON s.s_nationkey = n.n_nationkey
@@ -1224,9 +1225,17 @@ def pipeline_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "ps_partkey",
-            (F.col("ps_supplycost") * F.col("ps_availqty"))
-            .cast("decimal(18,4)")
-            .alias("v"),
+            # each factor is an exact 2-dp value (min of stored 2-dp
+            # prices; integer-valued quantity sum), so the per-factor
+            # decimal(18,2) casts are boundary-free on both engines and
+            # the product stays in exact decimal end-to-end — no
+            # double→decimal conversion ever sits on a rounding
+            # boundary (ADVICE r4; the drift class _derived_partsupp's
+            # docstring documents)
+            (
+                F.col("ps_supplycost").cast("decimal(18,2)")
+                * F.col("ps_availqty").cast("decimal(18,2)")
+            ).alias("v"),
         )
     )
     # materialize the per-part aggregate once (part-count rows): the
@@ -1416,12 +1425,13 @@ def pipeline_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(o_orderdate) AS last_order,
              COUNT(*) AS frequency,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS monetary
+               AS monetary,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_dec
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_custkey
     ),
     scored AS (
-      SELECT c_custkey, last_order, frequency, monetary,
+      SELECT c_custkey, last_order, frequency, monetary, monetary_dec,
              NTILE(4) OVER (ORDER BY last_order DESC, c_custkey) AS r_quartile,
              NTILE(4) OVER (ORDER BY frequency DESC, c_custkey) AS f_quartile,
              NTILE(4) OVER (ORDER BY monetary DESC, c_custkey) AS m_quartile
@@ -1429,8 +1439,7 @@ def pipeline_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r_quartile, f_quartile, m_quartile,
            COUNT(*) AS n_customers,
-           CAST(CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DECIMAL(20,2))
-                AS DOUBLE) AS segment_value
+           CAST(SUM(monetary_dec) AS DOUBLE) AS segment_value
     FROM scored
     GROUP BY 1, 2, 3
     """,
@@ -1461,6 +1470,12 @@ def pipeline_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).alias("frequency"),
             dsum("o_totalprice").alias("monetary"),
+            # exact decimal twin of monetary, carried through so
+            # segment_value never round-trips through double
+            # (ADVICE r4: no double→decimal cast on derived values)
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "monetary_dec"
+            ),
         )
         .localCheckpoint(eager=True)
     )
@@ -1481,10 +1496,7 @@ def pipeline_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.sum(F.col("monetary").cast("decimal(18,2)"))
-        .cast("decimal(20,2)")
-        .cast("double")
-        .alias("segment_value"),
+        F.sum("monetary_dec").cast("double").alias("segment_value"),
     )
 
 

@@ -499,43 +499,66 @@ def _shoelace(pts) -> float:
     )
 
 
-def split_ring_at_crossings(pts, _depth: int = 0):
-    """One closed ring (first == last) → list of SIMPLE closed rings.
+def split_ring_with_status(pts, _depth: int = 0):
+    """One closed ring (first == last) → ``(parts, incomplete)``:
+    a list of closed rings plus a flag that is True iff the depth cap
+    stopped recursion while a proper crossing remained, so a capped
+    (possibly still-self-crossing) part is never indistinguishable
+    from a simple one (ADVICE r4).
 
     Find the first properly-crossing non-adjacent edge pair, insert
     the intersection point, split the vertex cycle there into two
     sub-rings, recurse on each: a figure-eight becomes its two lobes,
     an N-crossing ring peels one lobe per level. Degenerate fragments
-    (under 3 distinct vertices or zero area) drop. Depth-capped —
-    pathological rings return their best-effort decomposition rather
-    than recursing unboundedly."""
+    (under 3 distinct vertices or zero area) drop."""
     u = list(pts[:-1])  # open form
     n = len(u)
     if n < 3:
-        return []
-    if _depth < 12:
-        for i in range(n):
-            a1, a2 = u[i], u[(i + 1) % n]
-            # non-adjacent only: j = i+2 .. i+n-2 (mod n), forward half
-            for j in range(i + 2, n if i > 0 else n - 1):
-                p = _proper_crossing(a1, a2, u[j], u[(j + 1) % n])
-                if p is None:
-                    continue
-                lobe_a = [p] + u[i + 1 : j + 1] + [p]
-                lobe_b = [p] + u[j + 1 :] + u[: i + 1] + [p]
-                return split_ring_at_crossings(
-                    lobe_a, _depth + 1
-                ) + split_ring_at_crossings(lobe_b, _depth + 1)
+        return [], False
+    crossing = None
+    for i in range(n):
+        a1, a2 = u[i], u[(i + 1) % n]
+        # non-adjacent only: j = i+2 .. i+n-2 (mod n), forward half
+        for j in range(i + 2, n if i > 0 else n - 1):
+            p = _proper_crossing(a1, a2, u[j], u[(j + 1) % n])
+            if p is not None:
+                crossing = (i, j, p)
+                break
+        if crossing is not None:
+            break
+    if crossing is not None:
+        if _depth >= 12:
+            # cap reached with a crossing still present: emit the
+            # best-effort part but FLAG it rather than passing it off
+            # as simple (unless it degenerates away entirely)
+            if len(set(u)) < 3 or _shoelace(list(pts)) == 0:
+                return [], True
+            return [list(pts)], True
+        i, j, p = crossing
+        lobe_a = [p] + u[i + 1 : j + 1] + [p]
+        lobe_b = [p] + u[j + 1 :] + u[: i + 1] + [p]
+        parts_a, inc_a = split_ring_with_status(lobe_a, _depth + 1)
+        parts_b, inc_b = split_ring_with_status(lobe_b, _depth + 1)
+        return parts_a + parts_b, inc_a or inc_b
     if len(set(u)) < 3 or _shoelace(list(pts)) == 0:
-        return []
-    return [list(pts)]
+        return [], False
+    return [list(pts)], False
+
+
+def split_ring_at_crossings(pts, _depth: int = 0):
+    """Parts-only view of ``split_ring_with_status`` (kept as the
+    simple kernel API; callers that must distinguish capped output use
+    the status variant)."""
+    return split_ring_with_status(pts, _depth)[0]
 
 
 def repair_rings(rings: DataFrame, id_col: str = "way_id", line_col: str = "line") -> DataFrame:
     """Self-intersection repair over a ring table: each closed ring
     (array<struct<lon,lat>>, first == last) splits into its simple
     parts. Output one row per part: (id, part_idx, lons, lats,
-    abs_area, was_split). Arrow-batched mapInPandas — no shuffle at
+    abs_area, was_split, repair_incomplete — True on the rare
+    depth-capped ring whose emitted part may still self-cross).
+    Arrow-batched mapInPandas — no shuffle at
     all (narrow map over whatever partitioning the input has); at
     planet scale repair cost is ∝ rings scanned, embarrassingly
     parallel, and only the rare invalid ring emits >1 row."""
@@ -544,13 +567,13 @@ def repair_rings(rings: DataFrame, id_col: str = "way_id", line_col: str = "line
         for pdf in it:
             out = {
                 id_col: [], "part_idx": [], "lons": [], "lats": [],
-                "abs_area": [], "was_split": [],
+                "abs_area": [], "was_split": [], "repair_incomplete": [],
             }
             for rid, line in zip(pdf[id_col], pdf[line_col]):
                 pts = [(p["lon"], p["lat"]) for p in line]
                 if len(pts) < 4 or pts[0] != pts[-1]:
                     continue  # not a closed ring — line-layer input
-                parts = split_ring_at_crossings(pts)
+                parts, incomplete = split_ring_with_status(pts)
                 for k, part in enumerate(parts):
                     out[id_col].append(rid)
                     out["part_idx"].append(k)
@@ -558,10 +581,12 @@ def repair_rings(rings: DataFrame, id_col: str = "way_id", line_col: str = "line
                     out["lats"].append([q[1] for q in part])
                     out["abs_area"].append(abs(_shoelace(part)))
                     out["was_split"].append(len(parts) > 1)
+                    out["repair_incomplete"].append(incomplete)
             yield pd.DataFrame(out)
 
     return rings.mapInPandas(
         batches,
         f"{id_col} long, part_idx int, lons array<double>, "
-        "lats array<double>, abs_area double, was_split boolean",
+        "lats array<double>, abs_area double, was_split boolean, "
+        "repair_incomplete boolean",
     )

@@ -741,6 +741,7 @@ def osm_ring_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("lons").alias("n_vertices"),
         F.round("abs_area", 6).alias("abs_area"),
         "was_split",
+        "repair_incomplete",
     )
 
 

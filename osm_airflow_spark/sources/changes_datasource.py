@@ -46,6 +46,29 @@ DEFAULT_SCHEMA_DDL = (
 )
 
 
+def _split_ddl_fields(ddl: str) -> list[str]:
+    """Split a DDL string into top-level field declarations without a
+    SparkSession (``StructType.fromDDL`` needs one, and the reader is
+    re-instantiated on workers where none exists). Commas inside
+    ``map<...>``/``struct<...>``/``decimal(...)`` don't split."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in ddl:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p for p in (p.strip() for p in parts) if p]
+
+
 class ChangeFilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -58,6 +81,14 @@ class OsmChangesStreamReader(DataSourceStreamReader):
             raise ValueError("osm_changes: .option('path', <watch dir>) is required")
         self.dir = path
         self.suffix = options.get("suffix", ".parquet")
+        # field names of the declared schema, in declared order — rows
+        # must be assembled by NAME, not file column position (a change
+        # file with reordered columns would otherwise silently misassign
+        # fields, e.g. lat/lon swapped — ADVICE r4)
+        ddl = options.get("schema_ddl", DEFAULT_SCHEMA_DDL)
+        self.field_names = [
+            part.strip().split(None, 1)[0] for part in _split_ddl_fields(ddl)
+        ]
 
     def _files(self) -> list[str]:
         try:
@@ -85,6 +116,15 @@ class OsmChangesStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.path)
+        missing = [n for n in self.field_names if n not in table.column_names]
+        if missing:
+            raise ValueError(
+                f"osm_changes: {partition.path} lacks declared columns {missing} "
+                f"(has {table.column_names})"
+            )
+        # select by declared-schema field name so file column order is
+        # irrelevant (and extra columns are ignored)
+        table = table.select(self.field_names)
         for batch in table.to_batches():
             yield from zip(*(col.to_pylist() for col in batch.columns))
 

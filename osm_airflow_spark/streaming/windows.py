@@ -26,16 +26,40 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Default stream schema when no file exists yet to probe: the fixture
+# generator's current native-µs shape. A standing query must be able to
+# start against an empty watch directory (the normal file-stream deploy
+# order: start the stream, then files arrive) — ADVICE r4.
+DEFAULT_EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
 def events_stream_schema(spark: SparkSession, dir_glob: str, glob: str | None) -> T.StructType:
     """Probe the static files' actual schema with a batch reader so
     the stream declares whatever physical type the fixture shipped
     (ns-as-long vs native µs — the fixture has flipped between rounds;
-    hardcoding one broke parity by 1000× in r3). Schema-only: no scan."""
+    hardcoding one broke parity by 1000× in r3). Schema-only: no scan.
+
+    When the watch directory is empty or absent there is nothing to
+    probe; fall back to ``DEFAULT_EVENTS_STREAM_SCHEMA`` so a standing
+    query can start before the first file arrives (ADVICE r4 — the
+    probe is an override for when files exist, not a startup gate)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.read
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    return reader.parquet(dir_glob).schema
+    try:
+        return reader.parquet(dir_glob).schema
+    except Exception:  # UNABLE_TO_INFER_SCHEMA / PATH_NOT_FOUND
+        return DEFAULT_EVENTS_STREAM_SCHEMA
 
 
 def read_events_stream(
@@ -43,6 +67,7 @@ def read_events_stream(
     dir_glob: str,
     glob: str | None = "events.parquet",
     max_files_per_trigger: int | None = None,
+    schema: T.StructType | None = None,
 ) -> DataFrame:
     """File-based streaming source over event parquet (the test rig;
     production swaps in Kafka with the same downstream plan).
@@ -56,8 +81,8 @@ def read_events_stream(
     arrival sequences deterministically (late-data proofs)."""
     from osm_airflow_spark.io import normalize_events_ts
 
-    raw = (
-        spark.readStream.schema(events_stream_schema(spark, dir_glob, glob))
+    raw = spark.readStream.schema(
+        schema if schema is not None else events_stream_schema(spark, dir_glob, glob)
     )
     if glob:
         raw = raw.option("pathGlobFilter", glob)

@@ -454,3 +454,32 @@ def test_normalize_ring_repairs_dups_closure_and_winding(spark):
             assert r["a"] > 0, "outer ring must be CCW"
         else:
             assert r["a"] < 0, "inner ring must be CW"
+
+
+def test_split_ring_depth_cap_flags_incomplete():
+    """A ring that still has a proper crossing when the depth cap is
+    reached must come back FLAGGED, never disguised as simple
+    (ADVICE r4). Entering at the cap simulates the pathological case
+    directly."""
+    from osm_airflow_spark.plans.osm import split_ring_with_status
+
+    # asymmetric crossing ring (lobe areas differ, so the net signed
+    # area is nonzero and the capped part survives as a flagged row)
+    crossed = [(0.0, 0.0), (2.0, 2.0), (2.0, 0.0), (0.0, 1.0), (0.0, 0.0)]
+    parts, incomplete = split_ring_with_status(crossed, _depth=12)
+    assert incomplete and parts == [crossed]  # best-effort, flagged
+
+    # the symmetric bowtie nets to zero signed area at the cap — it
+    # drops rather than masquerading as simple, still flagged
+    bowtie = [(0.0, 0.0), (1.0, 1.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]
+    parts, incomplete = split_ring_with_status(bowtie, _depth=12)
+    assert incomplete and parts == []
+
+    square = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]
+    parts, incomplete = split_ring_with_status(square, _depth=12)
+    assert not incomplete and parts == [square]
+
+    # normal entry: both crossing rings resolve fully, not flagged
+    for ring in (bowtie, crossed):
+        parts, incomplete = split_ring_with_status(ring)
+        assert not incomplete and len(parts) == 2

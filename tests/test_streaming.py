@@ -596,3 +596,107 @@ def test_changes_stream_maintains_snapshot_incrementally(spark, tmp_path):
     assert set(final) == {1, 3}  # node 2 deleted
     assert final[1]["tags"] == {"amenity": "bar"}  # modify applied
     assert final[3]["tags"] == {"amenity": "bank"}  # create applied
+
+
+def test_stream_starts_against_empty_watch_dir(spark, tmp_path):
+    """A standing query must start BEFORE the first file arrives (the
+    normal file-stream deployment order). The schema probe falls back
+    to the static default on an empty/absent dir instead of failing
+    with UNABLE_TO_INFER_SCHEMA (ADVICE r4); rows that arrive after
+    start flow through with correct types."""
+    import datetime as dt
+    import glob as globmod
+    import shutil
+
+    from osm_airflow_spark.streaming.windows import read_events_stream, tumbling_counts
+
+    watch = tmp_path / "empty_watch"
+    watch.mkdir()
+    stream = read_events_stream(spark, str(watch), glob=None)
+    q = (
+        tumbling_counts(stream, watermark="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_empty_start")
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.sql("SELECT * FROM t_empty_start").count() == 0
+
+    rows = [
+        (1, dt.datetime.fromisoformat("2024-05-01 10:05:00"), 7, "view", 1.0, "{}"),
+        (2, dt.datetime.fromisoformat("2024-05-01 10:20:00"), 8, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    stage = str(tmp_path / "stage_empty_start")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    shutil.copy(globmod.glob(f"{stage}/part-*.parquet")[0], watch / "b1.parquet")
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT event_type, n_events FROM t_empty_start").collect()
+    assert [(r["event_type"], r["n_events"]) for r in out] == [("view", 2)]
+
+
+def test_changes_source_maps_columns_by_name(spark, tmp_path):
+    """A change file whose physical column order differs from the
+    declared schema must still assign fields correctly (by name, not
+    position — ADVICE r4: positional zip silently swapped lat/lon)."""
+    import pandas as pd
+
+    from osm_airflow_spark.sources.changes_datasource import register_changes_source
+
+    register_changes_source(spark)
+    watch = tmp_path / "reordered_changes"
+    watch.mkdir()
+    t = pd.Timestamp
+    # deliberately scrambled column order + an extra column to ignore
+    pd.DataFrame(
+        {
+            "change_ts": [t("2024-05-01 10:00:00")],
+            "lon": [13.4],
+            "lat": [52.5],
+            "change_op": ["create"],
+            "extra": ["ignored"],
+            "node_id": [42],
+            "tags": [{"amenity": "cafe"}],
+        }
+    ).to_parquet(watch / "000000001.parquet", index=False)
+
+    seen = []
+    stream = spark.readStream.format("osm_changes").option("path", str(watch)).load()
+    q = stream.writeStream.foreachBatch(
+        lambda df, _e: seen.extend(df.collect())
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    assert len(seen) == 1
+    r = seen[0]
+    assert (r["node_id"], r["lat"], r["lon"], r["change_op"]) == (42, 52.5, 13.4, "create")
+    assert r["tags"] == {"amenity": "cafe"}
+
+
+def test_changes_source_missing_column_raises(spark, tmp_path):
+    """A change file lacking a declared column must error loudly, not
+    misassign (ADVICE r4)."""
+    import pandas as pd
+
+    from osm_airflow_spark.sources.changes_datasource import register_changes_source
+
+    register_changes_source(spark)
+    watch = tmp_path / "missing_col_changes"
+    watch.mkdir()
+    pd.DataFrame(
+        {"node_id": [1], "lat": [0.0], "lon": [0.0]}  # no change_op/ts/tags
+    ).to_parquet(watch / "000000001.parquet", index=False)
+
+    stream = spark.readStream.format("osm_changes").option("path", str(watch)).load()
+    q = stream.writeStream.format("noop").start()
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="lacks declared columns"):
+        q.processAllAvailable()
+    q.stop()
