@@ -103,72 +103,72 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ``tests/test_registry.py`` pins the exact list so adding a key can
 # never reshuffle the window unreviewed.
 #
-# Round-4 window: the 39 keys never driver-checked in r1–r3 (the
-# ANN/semantic-dedup family, the remaining win_* frames, the TPC-shape
-# pipeline_* suite, the osm_* composites, mm_* plumbing) — this
-# completes driver coverage of the whole registry (108→147) — plus 11
-# re-checks of keys whose code paths changed this round (events-loader
-# consumers after the ns/µs normalization rework, llm_tfidf_topk after
-# the single-scan rewrite, mm_feature_extract after the real decoder)
-# and two stable anchors (flagship, scan_parquet). Round-4's late
-# additions (osm_ring_repair, osm_polygon_*, osm_multipolygon_*,
-# the partsupp trio, llm_quality_logit) registered after the window
-# filled; rotate them in next round (ROADMAP round-5 item 1).
+# Round-5 window: the 16 keys registered after round 4's window filled
+# (never driver-checked — completes driver coverage of the whole
+# registry, 147→163), mm_feature_extract (the r4 FAIL, now returning a
+# canonicalization-safe shape), two stable anchors, and 31 staleness
+# re-checks: the 8 keys whose latest driver proof is still round 1
+# (the win_* core) plus the oldest round-2 agg/join/filter families.
+# New keys registered this round should displace staleness re-checks
+# (never-checked beats re-proof), keeping the list at exactly 50.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-checked before round 4 (39) --
-    "win_share_of_group",
-    "win_streak",
-    "win_range_frame",
-    "win_locf",
-    "llm_sim_ann_lsh",
-    "llm_sim_ann_ivf",
-    "llm_sim_ann_multiprobe",
-    "llm_sim_ann_ivf_kmeans",
-    "llm_sim_ann_pq",
-    "llm_dedup_simhash",
-    "llm_dedup_embed_lsh",
-    "llm_dedup_cluster_best",
-    "llm_semdedup",
+    # -- never driver-checked (registered after r4's window filled) (16) --
+    "join_interval_overlap",
+    "llm_quality_logit",
+    "set_intersect_all",
+    "osm_polygon_areas",
+    "osm_polygon_geodesic_areas",
+    "osm_multipolygon_net_area",
+    "osm_polygon_tile_rollup",
+    "osm_ring_repair",
+    "pipeline_min_cost_supplier",
+    "pipeline_important_stock",
+    "pipeline_top_supplier",
+    "pipeline_event_paths",
+    "pipeline_funnel_windowed",
+    "pipeline_active_users",
+    "pipeline_ship_latency_percentiles",
+    "pipeline_rfm_segments",
+    # -- re-check: r4's one FAIL, return shape fixed this round (1) --
     "mm_feature_extract",
-    "mm_frame_sample",
-    "llm_fingerprint",
-    "pipeline_pricing_summary",
-    "pipeline_top_returning_customers",
-    "pipeline_small_quantity_revenue",
-    "pipeline_nation_trade",
-    "pipeline_priority_fulfillment",
-    "pipeline_priority_class_share",
-    "pipeline_forecast_revenue",
-    "pipeline_branded_discounts",
-    "pipeline_market_share",
-    "pipeline_order_count_distribution",
-    "pipeline_large_volume_customers",
-    "pipeline_waiting_multi_supplier",
-    "pipeline_event_funnel",
-    "pipeline_retention_cohort",
-    "pipeline_snapshot_diff",
-    "pipeline_date_spine",
-    "pipeline_market_basket",
-    "pipeline_data_quality",
-    "pipeline_time_travel",
-    "osm_assemble_ways",
-    "osm_way_lengths",
-    "osm_spatial_join_bbox",
-    "osm_tile_rollup",
-    # -- re-checks: code paths touched in round 4 + anchors (11) --
-    "fn_datetime",
-    "win_time_tumbling",
-    "win_time_sliding",
-    "win_time_session",
-    "win_dedup_time_window",
-    "llm_tfidf_topk",
-    "llm_corpus_curation",
-    "llm_bigram_lm",
-    "llm_contamination_check",
+    # -- stable anchors (2) --
     "flagship_revenue_by_region",
     "scan_parquet",
+    # -- staleness re-checks: latest proof round 1 (8) --
+    "win_dedup_latest",
+    "win_rank",
+    "win_lag_lead",
+    "win_running_sum",
+    "win_moving_avg",
+    "win_topk_group",
+    "win_first_last",
+    "win_cume_dist",
+    # -- staleness re-checks: latest proof round 2 (23) --
+    "agg_groupby",
+    "agg_global",
+    "agg_collect_ordered",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_conditional",
+    "agg_pivot",
+    "join_inner",
+    "join_broadcast",
+    "join_left",
+    "join_multiway",
+    "join_semi",
+    "join_anti",
+    "join_theta",
+    "join_range",
+    "join_asof",
+    "join_cross",
+    "join_full_outer",
+    "filter_predicate",
+    "filter_compound",
+    "project_columns",
 ]
 
 
