@@ -56,6 +56,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for key, fn in queries.items():
+        # drain garbage accumulated by EARLIER queries so a major GC
+        # pause can't bill to whichever later query it lands in (the
+        # r4 tail-of-list drift on the llm_dedup_* keys; plans and
+        # isolated timings were unchanged — see SCALE.md r5 ledger)
+        spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         fn(spark, sf_dir).count()
         timings[key] = round(time.time() - t0, 3)
