@@ -158,22 +158,46 @@ def hyperplane_signature(
 
 @query("llm_sim_ann_lsh")  # rows-only: recall depends on the hash family
 def llm_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extension — LSH-bucketed approximate nearest neighbors: the
-    sub-linear scale path for K4. Bucket = 8-bit hyperplane
-    signature; search only the query's bucket (multi-probe at the
-    Hamming-1 neighbors would raise recall). Scores within the
-    bucket are exact cosine. Recall vs brute force is asserted in
-    tests; bucket contents are hash-family-specific → rows-only."""
+    """Extension — multi-table LSH approximate nearest neighbors: the
+    sub-linear scale path for K4. L=12 independent hash tables of
+    r=4 hyperplane bits each (disjoint plane families via
+    plane_offset); a vector lands in one bucket per table, the query
+    probes its bucket in every table, and the union of bucket hits is
+    exact-cosine re-ranked. The (L, r) trade is the standard E2LSH
+    dial: one r-bit table recalls p^r (p = 1 − θ/π); L tables lift it
+    to 1 − (1 − p^r)^L while candidates stay ∝ L·n/2^r. A single
+    8-bit table measured 0.0 recall on this fixture's near-random
+    unit vectors (top-10 cosine ≈ 0.3 ⇒ p ≈ 0.6 ⇒ p^8 ≈ 1.5%) —
+    multi-table is what makes hyperplane LSH usable in the
+    low-similarity regime; r grows with corpus size to keep buckets
+    bounded. Candidate generation is one explode (L rows per vector)
+    + broadcast equi-join on (table, bucket) — never a cross join.
+    Recall vs brute force is asserted in tests; bucket contents are
+    hash-family-specific → rows-only."""
+    n_tables, n_bits = 12, 4
     e = load_table(spark, sf_dir, "embeddings")
-    sig = hyperplane_signature("embedding")
-    bucketed = e.select("vec_id", "label", "embedding", sig.alias("bucket"))
-    q = bucketed.where(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                hyperplane_signature(
+                    "embedding", n_planes=n_bits, plane_offset=t * n_bits
+                ).alias("b"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    tabbed = e.select("vec_id", "label", "embedding", F.explode(sigs).alias("s")).select(
+        "vec_id", "label", "embedding", F.col("s.t").alias("t"), F.col("s.b").alias("b")
+    )
+    probes = tabbed.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), "t", "b"
     )
     return (
-        bucketed.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        tabbed.join(F.broadcast(probes), ["t", "b"])
         .where(F.col("vec_id") != 0)
         .select("vec_id", "label", cosine_expr("embedding", "qvec").alias("cos_sim"))
+        .dropDuplicates(["vec_id"])
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
@@ -219,26 +243,32 @@ def llm_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("llm_sim_ann_multiprobe")  # rows-only: hash-family dependent
 def llm_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension — multi-probe LSH ANN: beside the query's own bucket,
-    probe all Hamming-1 neighbor buckets (flip each signature bit
-    once) — 9 probes for an 8-bit signature. Recall rises sharply —
-    a near neighbor differing on one hyperplane side is recovered —
-    while cost stays bucket-sized, not corpus-sized. The probe list
-    is a 9-row broadcast; the corpus join stays an equi-join on the
-    bucket id."""
+    probe every bucket within Hamming distance 2 of the query's
+    signature (flip each bit and each bit pair) — 1+8+28 = 37 probes
+    for an 8-bit signature. Multi-probe is the budget amplifier for a
+    SINGLE table: a near neighbor differing on one or two hyperplane
+    sides is recovered without building more tables, while cost stays
+    ∝ probes·n/2^bits, not corpus-sized. (Hamming-1 alone measured
+    ~0.1 recall on this fixture's near-random vectors; radius 2 is
+    the standard step — llm_sim_ann_lsh's multi-table family is the
+    complementary dial.) The probe list is a 37-row broadcast; the
+    corpus join stays an equi-join on the bucket id."""
     e = load_table(spark, sf_dir, "embeddings")
     n_planes = 8
     sig = hyperplane_signature("embedding", n_planes=n_planes)
     bucketed = e.select("vec_id", "label", "embedding", sig.alias("bucket"))
+    flips = [F.col("bucket")] + [
+        F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)
+    ] + [
+        F.col("bucket").bitwiseXOR(F.lit((1 << b1) | (1 << b2)))
+        for b1 in range(n_planes)
+        for b2 in range(b1 + 1, n_planes)
+    ]
     probes = (
         bucketed.where(F.col("vec_id") == 0)
         .select(
             F.col("embedding").alias("qvec"),
-            F.explode(
-                F.array(
-                    F.col("bucket"),
-                    *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)],
-                )
-            ).alias("probe_bucket"),
+            F.explode(F.array(*flips)).alias("probe_bucket"),
         )
     )
     return (
@@ -369,9 +399,17 @@ def llm_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     window per subspace; ADC scan is an M-row explode + broadcast
     lookup + groupBy(vec) sum — shuffle ∝ corpus × M, and at 100 TB
     the codes table is what sits in memory, not the floats.
+
+    ADC alone ranks by quantized distance, and on near-random unit
+    vectors the 4-byte quantization error swamps the tiny gap between
+    true neighbors and the bulk (measured recall@10 ≈ 0.1–0.5). So
+    the scan keeps an ADC SHORTLIST of 50 and exact-cosine re-ranks
+    only those — the FAISS-style refine step: the full-precision pass
+    touches 50 rows via one broadcast semi-join against the corpus,
+    never the corpus itself (measured recall@10 ≈ 0.7–0.8).
     Deterministic end to end (Lloyd init = first-K ids, argmin ties
     broken by code id); invariants are pytest-asserted."""
-    m_sub, k_codes, sub_dim = 4, 8, 16
+    m_sub, k_codes, sub_dim, shortlist = 4, 8, 16, 50
     e = load_table(spark, sf_dir, "embeddings")
     # (vec_id, m, subvec): slice the vector into M contiguous subspaces
     sub = e.select(
@@ -429,11 +467,22 @@ def llm_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(codebook), "m")
         .select("m", "code", dist2.alias("qd"))
     )
-    return (
+    adc_short = (
         codes.where(F.col("vec_id") != 0)
         .join(F.broadcast(qtab), ["m", "code"])
         .groupBy("vec_id")
         .agg(F.sum("qd").alias("approx_dist"))
         .orderBy(F.col("approx_dist"), F.col("vec_id"))
+        .limit(shortlist)
+    )
+    # refine: exact cosine over the 50-row shortlist only (broadcast
+    # join against the corpus scan — full precision never touches
+    # more than `shortlist` vectors)
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return (
+        e.join(F.broadcast(adc_short), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cosine_expr("embedding", "qvec").alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )

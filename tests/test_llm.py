@@ -359,8 +359,28 @@ def test_dedup_cluster_best_covers_all_docs_once(spark, sf_dir):
 
 
 def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    """Multi-probe amplifies a SINGLE 8-bit table: its recall must
+    dominate the plain one-bucket probe of that same table (built
+    inline — llm_sim_ann_lsh is now the stronger multi-TABLE family,
+    a different dial)."""
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.llm.similarity import cosine_expr, hyperplane_signature
+
     brute = [r["vec_id"] for r in QUERIES["llm_sim_topk"](spark, sf_dir).collect()]
-    single = {r["vec_id"] for r in QUERIES["llm_sim_ann_lsh"](spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", "embedding", hyperplane_signature("embedding").alias("bucket"))
+    q = b.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qb")
+    )
+    single = {
+        r["vec_id"]
+        for r in b.join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", cosine_expr("embedding", "qvec").alias("s"))
+        .orderBy(F.col("s").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    }
     multi = {r["vec_id"] for r in QUERIES["llm_sim_ann_multiprobe"](spark, sf_dir).collect()}
     recall_single = len(single & set(brute)) / len(brute)
     recall_multi = len(multi & set(brute)) / len(brute)
@@ -472,19 +492,43 @@ def test_semdedup_invariants(spark, sf_dir):
 
 
 def test_pq_ann_invariants(spark, sf_dir):
-    """llm_sim_ann_pq (rows-only): exactly 10 candidates, approximate
-    distances non-negative and ascending (total order with vec_id
-    tie-break), query vector itself excluded, deterministic rerun."""
+    """llm_sim_ann_pq (rows-only): exactly 10 candidates from the
+    ADC-shortlist + exact-rerank path, exact cosine scores in bounds
+    and descending (total order with vec_id tie-break), query vector
+    itself excluded, deterministic rerun."""
     from osm_airflow_spark.llm.similarity import llm_sim_ann_pq
 
     rows = llm_sim_ann_pq(spark, sf_dir).collect()
     assert len(rows) == 10
     assert all(r["vec_id"] != 0 for r in rows)
-    dists = [r["approx_dist"] for r in rows]
-    assert all(d >= 0 for d in dists)
-    assert dists == sorted(dists)
+    sims = [r["cos_sim"] for r in rows]
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+    assert sims == sorted(sims, reverse=True)
     again = llm_sim_ann_pq(spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+ANN_RECALL_FLOORS = {
+    # measured at sf0.001/sf0.01 (see COVERAGE.md): floor = min across
+    # both SFs minus one hit of margin; the fixture's near-random unit
+    # vectors (top-10 cosine ≈ 0.3) are the hard regime for LSH-family
+    # methods, so these floors are meaningful, not decorative
+    "llm_sim_ann_lsh": 0.5,         # multi-table L=12×4bit: 0.7 / 0.9
+    "llm_sim_ann_ivf": 0.3,         # seeded 8-centroid, nprobe=1: 0.5 / 0.5
+    "llm_sim_ann_multiprobe": 0.1,  # single table, Hamming≤2: 0.1 / 0.4
+    "llm_sim_ann_ivf_kmeans": 0.7,  # learned, nprobe=2: 0.9 / 0.9
+    "llm_sim_ann_pq": 0.4,          # ADC top-50 + exact rerank: 0.5 / 0.8
+}
+
+
+@pytest.mark.parametrize("key", sorted(ANN_RECALL_FLOORS))
+def test_ann_recall_floor_vs_brute_force(spark, sf_dir, key):
+    """recall@10 against the llm_sim_topk exact ground truth, per ANN
+    variant at its fixed probe budget (VERDICT r4 next-round #5)."""
+    gt = {r["vec_id"] for r in QUERIES["llm_sim_topk"](spark, sf_dir).collect()}
+    got = {r["vec_id"] for r in QUERIES[key](spark, sf_dir).collect()}
+    recall = len(got & gt) / len(gt)
+    assert recall >= ANN_RECALL_FLOORS[key], f"{key}: recall@10 {recall:.2f}"
 
 
 def test_kmeans_sampled_training_deterministic_and_usable(spark, sf_dir):
