@@ -499,6 +499,91 @@ def _shoelace(pts) -> float:
     )
 
 
+def _dedup_consecutive(u):
+    """Collapse consecutive duplicate vertices (incl. the wrap pair)."""
+    out = []
+    for p in u:
+        if not out or p != out[-1]:
+            out.append(p)
+    while len(out) > 1 and out[0] == out[-1]:
+        out.pop()
+    return out
+
+
+def _remove_spikes(u):
+    """Drop zero-width excursions: a vertex where the ring doubles
+    straight back along its own path (adjacent edges collinear with
+    reversed direction — the A→B→A whisker). Iterates to fixpoint;
+    each removal strictly shrinks the ring, so it terminates."""
+    u = _dedup_consecutive(list(u))
+    changed = True
+    while changed and len(u) >= 3:
+        changed = False
+        for i in range(len(u)):
+            a, b, c = u[i - 1], u[i], u[(i + 1) % len(u)]
+            if (
+                _cross(a, b, c) == 0
+                and (b[0] - a[0]) * (c[0] - b[0]) + (b[1] - a[1]) * (c[1] - b[1]) < 0
+            ):
+                del u[i]
+                u = _dedup_consecutive(u)
+                changed = True
+                break
+    return u
+
+
+def _insert_overlap_vertices(u):
+    """Find the first pair of NON-adjacent collinear overlapping edges
+    (overlap longer than a point) and return a new vertex list with
+    each edge's endpoints that fall strictly inside the other edge
+    inserted as explicit vertices — after which the overlap manifests
+    as repeated vertices, which ``_pinch_split`` separates. Returns
+    None when no such pair exists."""
+    n = len(u)
+    for i in range(n):
+        a1, a2 = u[i], u[(i + 1) % n]
+        if a1 == a2:
+            continue
+        for j in range(i + 2, n if i > 0 else n - 1):
+            b1, b2 = u[j], u[(j + 1) % n]
+            if b1 == b2:
+                continue
+            if _cross(a1, a2, b1) != 0 or _cross(a1, a2, b2) != 0:
+                continue  # not on the same line
+            # 1-D overlap test along the carrier line
+            dx, dy = a2[0] - a1[0], a2[1] - a1[1]
+            t = lambda p: (p[0] - a1[0]) * dx + (p[1] - a1[1]) * dy  # noqa: E731
+            lo_a, hi_a = sorted((t(a1), t(a2)))
+            lo_b, hi_b = sorted((t(b1), t(b2)))
+            if min(hi_a, hi_b) <= max(lo_a, lo_b):
+                continue  # disjoint or point-touch only
+            inside_a = [p for p in (b1, b2) if lo_a < t(p) < hi_a and p not in (a1, a2)]
+            inside_b = [p for p in (a1, a2) if lo_b < t(p) < hi_b and p not in (b1, b2)]
+            if not inside_a and not inside_b:
+                return list(u)  # endpoints already shared → already repeated
+            out = []
+            for k in range(n):
+                out.append(u[k])
+                if k == i and inside_a:
+                    out.extend(sorted(inside_a, key=t) if t(a2) > t(a1) else sorted(inside_a, key=t, reverse=True))
+                if k == j and inside_b:
+                    out.extend(sorted(inside_b, key=t) if t(b2) > t(b1) else sorted(inside_b, key=t, reverse=True))
+            return out
+    return None
+
+
+def _pinch_split(u):
+    """Split an open ring at its first repeated vertex into two open
+    sub-rings; None if every vertex is distinct."""
+    seen: dict = {}
+    for idx, p in enumerate(u):
+        if p in seen:
+            i = seen[p]
+            return u[i:idx], u[idx:] + u[:i]
+        seen[p] = idx
+    return None
+
+
 def split_ring_with_status(pts, _depth: int = 0):
     """One closed ring (first == last) → ``(parts, incomplete)``:
     a list of closed rings plus a flag that is True iff the depth cap
@@ -510,11 +595,31 @@ def split_ring_with_status(pts, _depth: int = 0):
     the intersection point, split the vertex cycle there into two
     sub-rings, recurse on each: a figure-eight becomes its two lobes,
     an N-crossing ring peels one lobe per level. Degenerate fragments
-    (under 3 distinct vertices or zero area) drop."""
-    u = list(pts[:-1])  # open form
+    (under 3 distinct vertices or zero area) drop.
+
+    Collinear-overlap degeneracies (ROADMAP item 7 remainder) repair
+    before the crossing scan: zero-width whiskers (A→B→A) are spiked
+    off, and a ring that traverses the same carrier segment twice
+    (non-adjacent collinear overlapping edges) gets the overlap
+    endpoints inserted as explicit vertices and is pinch-split at the
+    resulting repeated vertices — the zero-area corridor then drops
+    via the shoelace check, leaving the genuine lobes."""
+    u = _remove_spikes(pts[:-1])  # open form, whiskers gone
     n = len(u)
     if n < 3:
         return [], False
+    overlapped = _insert_overlap_vertices(u)
+    if overlapped is not None:
+        if _depth >= 12:
+            if len(set(u)) < 3 or _shoelace(u + [u[0]]) == 0:
+                return [], True
+            return [u + [u[0]]], True
+        pieces = _pinch_split(overlapped)
+        if pieces is not None:
+            ra, rb = pieces
+            parts_a, inc_a = split_ring_with_status(ra + [ra[0]], _depth + 1)
+            parts_b, inc_b = split_ring_with_status(rb + [rb[0]], _depth + 1)
+            return parts_a + parts_b, inc_a or inc_b
     crossing = None
     for i in range(n):
         a1, a2 = u[i], u[(i + 1) % n]
@@ -531,18 +636,18 @@ def split_ring_with_status(pts, _depth: int = 0):
             # cap reached with a crossing still present: emit the
             # best-effort part but FLAG it rather than passing it off
             # as simple (unless it degenerates away entirely)
-            if len(set(u)) < 3 or _shoelace(list(pts)) == 0:
+            if len(set(u)) < 3 or _shoelace(u + [u[0]]) == 0:
                 return [], True
-            return [list(pts)], True
+            return [u + [u[0]]], True
         i, j, p = crossing
         lobe_a = [p] + u[i + 1 : j + 1] + [p]
         lobe_b = [p] + u[j + 1 :] + u[: i + 1] + [p]
         parts_a, inc_a = split_ring_with_status(lobe_a, _depth + 1)
         parts_b, inc_b = split_ring_with_status(lobe_b, _depth + 1)
         return parts_a + parts_b, inc_a or inc_b
-    if len(set(u)) < 3 or _shoelace(list(pts)) == 0:
+    if len(set(u)) < 3 or _shoelace(u + [u[0]]) == 0:
         return [], False
-    return [list(pts)], False
+    return [u + [u[0]]], False
 
 
 def split_ring_at_crossings(pts, _depth: int = 0):

@@ -483,3 +483,34 @@ def test_split_ring_depth_cap_flags_incomplete():
     for ring in (bowtie, crossed):
         parts, incomplete = split_ring_with_status(ring)
         assert not incomplete and len(parts) == 2
+
+
+def test_collinear_overlap_repair():
+    """ROADMAP item 7 remainder: zero-width whiskers spike off, and a
+    ring traversing the same carrier segment twice (full or partial
+    collinear overlap) decomposes into its genuine lobes with the
+    zero-area corridor dropped."""
+    from osm_airflow_spark.plans.osm import _shoelace, split_ring_with_status
+
+    whisker = [(0.0, 0.0), (2.0, 0.0), (3.0, 0.0), (2.0, 0.0),
+               (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]
+    parts, inc = split_ring_with_status(whisker)
+    assert not inc and parts == [
+        [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]
+    ]
+
+    # square reached via a zero-width corridor along y=0
+    corridor = [(0.0, 0.0), (1.0, 0.0), (1.0, -1.0), (2.0, -1.0),
+                (2.0, 0.0), (0.0, 0.0)]
+    parts, inc = split_ring_with_status(corridor)
+    assert not inc and len(parts) == 1
+    assert abs(abs(_shoelace(parts[0])) - 1.0) < 1e-12  # the real square
+    assert (0.0, 0.0) not in parts[0]  # corridor vertex gone
+
+    # PARTIAL overlap: two lobes joined by a shared collinear run [1,2]×{0}
+    partial = [(0.0, 0.0), (2.0, 0.0), (2.0, 1.0), (3.0, 1.0), (3.0, 0.0),
+               (1.0, 0.0), (1.0, 2.0), (0.0, 2.0), (0.0, 0.0)]
+    parts, inc = split_ring_with_status(partial)
+    assert not inc and len(parts) == 2
+    areas = sorted(abs(_shoelace(p)) for p in parts)
+    assert areas == [1.0, 2.0]
