@@ -1615,3 +1615,210 @@ def pipeline_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataF
         F.percentile("days", F.lit(0.9)).alias("p90_days"),
         F.percentile("days", F.lit(0.99)).alias("p99_days"),
     )
+
+
+@query(
+    "pipeline_product_profit",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT n.n_name AS supp_nation,
+           CAST(year(o_orderdate) AS INT) AS profit_year,
+           {sql_dsum('l_extendedprice * (1 - l_discount) - ps.ps_supplycost * l_quantity', 4)}
+             AS profit
+    FROM lineitem
+    JOIN ps ON l_partkey = ps.ps_partkey AND l_suppkey = ps.ps_suppkey
+    JOIN part p     ON l_partkey = p.p_partkey
+    JOIN orders o   ON l_orderkey = o.o_orderkey
+    JOIN supplier s ON l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, CAST(year(o_orderdate) AS INT)
+    """,
+)
+def pipeline_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 silhouette — product-type profit by supplier nation and
+    order year: profit = revenue − cost, where cost rides in from the
+    lineitem-derived partsupp. Every factor is an exact 2-dp stored
+    value, so both product terms are exact 4-dp and the difference
+    decimal-sums order-free (dsum scale 4). The partsupp join-back is
+    corpus-bounded (distinct part×supp pairs), so it stays a join
+    rather than a window (CLAUDE.md); part/supplier/nation dims
+    broadcast; the one big shuffle is lineitem⋈partsupp on the
+    composite key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = _derived_partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit_term = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").alias("profit_year"),
+        )
+        .agg(dsum(profit_term, 4).alias("profit"))
+    )
+
+
+@query(
+    "pipeline_part_supplier_counts",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM ps JOIN part p ON ps.ps_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def pipeline_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 silhouette — how many distinct suppliers can furnish parts
+    of each (brand, type, size) slice, with NOT-LIKE / <> / IN-list
+    exclusion filters. The part dim broadcasts with its filters
+    applied pre-join; COUNT(DISTINCT) shuffles on the grouping key
+    with the distinct folded into a two-phase aggregate."""
+    ps = _derived_partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25))
+    )
+    return (
+        ps.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "pipeline_excess_stock",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    recent AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_1995
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_1'
+      AND s.s_suppkey IN (
+        SELECT r.l_suppkey
+        FROM recent r
+        JOIN ps ON r.l_partkey = ps.ps_partkey AND r.l_suppkey = ps.ps_suppkey
+        JOIN part p ON r.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'small%'
+          AND r.qty_1995 > 0.5 * ps.ps_availqty
+      )
+    """,
+)
+def pipeline_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 silhouette — suppliers in one nation whose 1995 shipments
+    of 'small *' parts exceeded half that part-supplier's total
+    shipped quantity. The classic doubly-nested IN decorrelates into
+    two aggregates joined on the composite key, a broadcast part
+    filter, and a LEFT SEMI join up to supplier — no correlated
+    re-execution anywhere; the semi join keeps supplier rows unique
+    by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = _derived_partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    recent = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity").alias("qty_1995"))
+    )
+    excess = (
+        recent.join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(F.col("qty_1995") > 0.5 * F.col("ps_availqty"))
+        .select(F.col("l_suppkey").alias("x_suppkey"))
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("s_suppkey") == F.col("x_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
+    "pipeline_untapped_customers",
+    oracle="""
+    WITH pool AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal
+      FROM customer
+      WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING') AND c_acctbal > 0
+    ),
+    threshold AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM pool
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM pool CROSS JOIN threshold
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def pipeline_untapped_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 silhouette — well-funded customers in target segments with
+    no RECENT orders (every fixture customer has ordered at least
+    once, so 'lapsed since 1999' is the non-degenerate form of Q22's
+    never-ordered test): a global scalar threshold (average positive
+    balance over the segment pool) and a NOT EXISTS. The threshold
+    rides as a broadcast 1-row aggregate (never a driver .collect());
+    NOT EXISTS is a LEFT ANTI join on custkey with the date filter
+    pushed into the anti side's scan; the average divides the exact
+    decimal sum as one IEEE expression identical on both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    pool = c.where(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING") & (F.col("c_acctbal") > 0)
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+    threshold = pool.agg(
+        (dsum("c_acctbal") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        pool.crossJoin(F.broadcast(threshold))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )

@@ -114,6 +114,11 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
+    # -- never driver-checked: new in round 5 (4) --
+    "pipeline_product_profit",
+    "pipeline_part_supplier_counts",
+    "pipeline_excess_stock",
+    "pipeline_untapped_customers",
     # -- never driver-checked (registered after r4's window filled) (16) --
     "join_interval_overlap",
     "llm_quality_logit",
@@ -165,10 +170,6 @@ DRIVER_WINDOW: list[str] = [
     "join_range",
     "join_asof",
     "join_cross",
-    "join_full_outer",
-    "filter_predicate",
-    "filter_compound",
-    "project_columns",
 ]
 
 
