@@ -671,3 +671,57 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return members.withColumn(
         "kept", F.row_number().over(w) == F.lit(1)
     ).select("vec_id", "cent_id", "group_id", "dist_to_cent", "kept")
+
+
+@query(
+    "llm_dedup_incremental",
+    oracle="""
+    WITH base AS (
+      SELECT md5(text) AS h FROM documents WHERE doc_id % 10 < 8
+    ),
+    batch AS (
+      SELECT doc_id, lang, source, n_chars, md5(text) AS h
+      FROM documents WHERE doc_id % 10 >= 8
+    ),
+    batch_kept AS (
+      SELECT b.* FROM batch b
+      JOIN (SELECT h, MIN(doc_id) AS keep_id FROM batch GROUP BY h) k
+        ON b.doc_id = k.keep_id
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM batch_kept
+    WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.h = batch_kept.h)
+    """,
+)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — incremental (cross-snapshot) exact dedup: the
+    production shape for a continuously-ingested corpus. A new batch
+    (content-hash-derived 20% slice here) is deduplicated in two
+    steps: within-batch survivor selection (min doc_id per digest —
+    the K1 window pattern), then an ANTI join of surviving digests
+    against the existing corpus's digest index. New docs whose
+    content already exists anywhere in the base corpus are dropped
+    without ever comparing full text.
+
+    Scale: the base side reduces to a digest-only projection (16
+    bytes/doc at the scan, full text never read — column pruning
+    does this for free); at 100 TB the digest index is a bucketed
+    table on ``h`` so the anti join is a zero-exchange bucket-local
+    probe per ingest batch, and the batch side (small) broadcasts.
+    One shuffle on digest within the batch; nothing corpus-sized
+    moves."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.where(F.col("doc_id") % 10 < 8).select(F.md5("text").alias("h"))
+    batch = d.where(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", "lang", "source", "n_chars", F.md5("text").alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    batch_kept = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        batch_kept.join(base, "h", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )

@@ -354,3 +354,85 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled_frames"),
         F.sum(F.octet_length("frame_bytes")).alias("sampled_bytes"),
     )
+
+
+def resize_image(px: "object", out_w: int, out_h: int) -> "object":
+    """Nearest-neighbor resize of an (h, w, c) array to (out_h,
+    out_w, c) — pure index arithmetic (the standard pre-embedding
+    normalization hop; bilinear/bicubic belong to a codec library,
+    nearest needs none). Source pixel for output row r is
+    floor(r * h / out_h) — exact integer math, no float sampling
+    grid, so the result is bit-deterministic."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return px[rows][:, cols]
+
+
+def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Decode → resize over binary payloads as one Arrow-batched
+    mapInPandas pass: each decodable payload becomes one row of
+    resize provenance (source dims, output dims, integer pixel-sum
+    checksum of the resized raster); undecodable payloads pass
+    through flagged rather than erroring the batch — a mixed corpus
+    must never die on one bad blob."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [], "src_w": [], "src_h": [],
+                "out_w": [], "out_h": [], "decoded": [], "px_checksum": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                out["media_id"].append(mid)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                if looks_like_image(raw):
+                    try:
+                        px = decode_image(raw)
+                    except ValueError:
+                        px = None
+                else:
+                    px = None
+                if px is None:
+                    out["src_w"].append(0)
+                    out["src_h"].append(0)
+                    out["decoded"].append(False)
+                    out["px_checksum"].append(0)
+                else:
+                    small = resize_image(px, out_w, out_h)
+                    out["src_w"].append(px.shape[1])
+                    out["src_h"].append(px.shape[0])
+                    out["decoded"].append(True)
+                    out["px_checksum"].append(int(small.sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, src_w int, src_h int, out_w int, out_h int,"
+        " decoded boolean, px_checksum long",
+    )
+
+
+@query("mm_image_resize")  # rows-only: mapInPandas decode→resize path
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 — the decode→resize hop with REAL pixels end-to-end: the
+    fixture has no image files, so the plan first materializes a
+    valid 16x16 binary PGM per document IN-COLUMN (header + the first
+    256 text bytes as raster — concat on BinaryType, no Python), then
+    the mapInPandas kernel decodes it with the real PPM/PGM decoder
+    and nearest-neighbor-resizes to 8x8. Exercises the full
+    binary-in/binary-parse/array-out plumbing the resize stage needs
+    at 100 TB: payload synthesis is a narrow column map, the kernel
+    is Arrow-batched, output is fixed-width scalars (dims + integer
+    pixel checksum — canonicalization-safe by construction)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit(b"P5 16 16 255\n"),
+        F.substring(F.encode(F.rpad("text", 256, "x"), "utf-8"), 1, 256),
+    )
+    media = d.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    return resize_media(media, out_w=8, out_h=8)

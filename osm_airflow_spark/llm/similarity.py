@@ -486,3 +486,75 @@ def llm_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "llm_embed_quantize",
+    oracle="""
+    WITH scaled AS (
+      SELECT label, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               / 127.0 AS scale
+      FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(round(
+             list_aggregate(list_transform(embedding,
+               x -> (CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / scale) * scale)
+                  * (CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / scale) * scale)),
+               'sum'), 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_sq_err
+    FROM scaled
+    WHERE scale > 0
+    GROUP BY label
+    """,
+)
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — symmetric int8 embedding quantization with a
+    reconstruction-error audit: per vector, scale = max|x|/127, code
+    = round(x/scale), reconstruction = code*scale; the query reports
+    per-label vector counts and total squared reconstruction error —
+    the acceptance gate run before swapping a float32 ANN index for
+    its 4x-smaller int8 twin.
+
+    Exactness across engines: every element is cast float→double
+    (exact) before arithmetic; the per-vector squared-error fold is a
+    sequential double accumulation in BOTH engines (Spark
+    ``aggregate`` and DuckDB ``list_aggregate`` walk the array in
+    order, same IEEE operation sequence — and the error term is
+    written as y*y, never pow(y,2), because pow may differ in the
+    last ulp); the per-vector total rounds to 6 dp and the group
+    total is a decimal sum, so aggregation order can't shift it.
+
+    Scale: one narrow map over the corpus + one groupBy(label) whose
+    shuffle carries |labels| rows. The quantization itself is the
+    1/4-memory move for the 100 TB ANN path (llm_sim_ann_pq goes
+    64x further; this is the cheap first rung)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    scale = (
+        F.array_max(F.transform("embedding", lambda c: F.abs(c.cast("double"))))
+        / F.lit(127.0)
+    )
+    scaled = e.select("label", "embedding", scale.alias("scale")).where(
+        F.col("scale") > 0
+    )
+    err = F.transform(
+        "embedding",
+        lambda c: (
+            (c.cast("double") - F.round(c.cast("double") / F.col("scale")) * F.col("scale"))
+            * (c.cast("double") - F.round(c.cast("double") / F.col("scale")) * F.col("scale"))
+        ),
+    )
+    sq_err = F.round(
+        F.aggregate(err, F.lit(0.0), lambda acc, v: acc + v), 6
+    )
+    return (
+        scaled.select("label", sq_err.alias("sq_err"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("sq_err").cast("decimal(18,6)")).cast("double").alias(
+                "total_sq_err"
+            ),
+        )
+    )

@@ -15,7 +15,7 @@ only the winnowed set (bounded per doc), never the exploded grams.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from osm_airflow_spark.io import load_table
@@ -994,4 +994,104 @@ def llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("toks").alias("total_tokens"),
         F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "llm_domain_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    terms AS (
+      SELECT source, n_docs,
+             round(pow(CAST(n_docs AS DOUBLE)
+                       / CAST(SUM(n_docs) OVER () AS DOUBLE), 0.7), 6)
+               AS mix_term
+      FROM counts
+    )
+    SELECT source, n_docs, mix_term,
+           mix_term / CAST(SUM(CAST(mix_term AS DECIMAL(18,6))) OVER ()
+                           AS DOUBLE) AS mix_weight
+    FROM terms
+    """,
+)
+def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — temperature-scaled domain mixture: per-source
+    sampling weights w_i = p_i^alpha / sum_j p_j^alpha with
+    alpha = 0.7 (the multilingual/multi-domain rebalancing rule used
+    for training-corpus composition: upweights small domains without
+    letting them dominate). The statistic behind "domain mixing" in
+    any large-corpus training pipeline.
+
+    Exactness: p_i^0.7 is transcendental, so each term is rounded to
+    6 dp BEFORE the normalizing sum (the CLAUDE rule: never sum raw
+    transcendentals across engines); the denominator is a decimal sum
+    of those rounded terms, and the final weight is one double
+    division — identical in both engines.
+
+    Scale: one groupBy(source) — shuffle carries |domains| rows (tens
+    to thousands, never corpus-sized). Both global scalars (corpus N
+    and the normalizer) ride as unpartitioned WINDOW aggregates over
+    the already-aggregated |domains|-row table, NOT branch-joins —
+    this Spark build re-executes shared exchange subtrees, and the
+    window costs one exchange over a bounded table."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_all = Window.partitionBy()
+    term = F.round(
+        F.pow(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w_all).cast("double"),
+            F.lit(0.7),
+        ),
+        6,
+    )
+    with_term = counts.select("source", "n_docs", term.alias("mix_term"))
+    denom = F.sum(F.col("mix_term").cast("decimal(18,6)")).over(w_all).cast("double")
+    return with_term.select(
+        "source",
+        "n_docs",
+        "mix_term",
+        (F.col("mix_term") / denom).alias("mix_weight"),
+    )
+
+
+@query(
+    "llm_ngram_topk",
+    oracle="""
+    WITH g AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2])) AS gram
+      FROM documents
+    )
+    SELECT gram, COUNT(*) AS n_occurrences
+    FROM g GROUP BY gram
+    ORDER BY n_occurrences DESC, gram LIMIT 20
+    """,
+)
+def llm_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — corpus-wide top-k word 3-grams by occurrence count
+    (vocabulary/corpus statistics: the first step of tokenizer
+    training and the frequency table behind contamination and
+    boilerplate screens). Tie-break on the gram string makes top-k
+    total-ordered.
+
+    Scale: explode grams once (rows proportional to corpus tokens), one
+    groupBy(gram) with map-side partial counts, then a global top-20 —
+    Catalyst compiles the sort+limit to TakeOrderedAndProject (per-
+    partition heaps, 20 rows to the driver; never a global sort)."""
+    from osm_airflow_spark.llm.dedup import shingle_array
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.split("text", " ").alias("words"))
+        .select(F.explode(shingle_array("words", 3)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "gram")
+        .limit(20)
     )

@@ -1822,3 +1822,57 @@ def pipeline_untapped_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("total_bal"),
         )
     )
+
+
+@query(
+    "pipeline_promo_revenue",
+    oracle=f"""
+    SELECT 100 * (
+             CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                           THEN l_extendedprice * (1 - l_discount) END
+                           AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE)
+           ) AS promo_revenue_pct,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1998-09-01'
+      AND l_shipdate <  TIMESTAMP '1998-10-01'
+    """,
+)
+def pipeline_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 silhouette — promo revenue share for one month: a ratio of
+    conditional aggregate to total aggregate over a lineitem × part
+    join (the fixture's p_type carries a literal 'PROMO' class). The
+    last of the 22 TPC-H shapes — reference end state is a database
+    "amenable to efficient querying" (/root/reference/README.md:70).
+
+    Scale: the month filter pushes to the lineitem scan (one month ≈
+    1/80th of the fact table before the join even starts). part is
+    broadcast at fixture scale; at 100 TB part scales with SF, so the
+    real-cluster form is a shuffle join bucketed on the part key —
+    same plan family as pipeline_product_profit's join-back. Both the
+    numerator and denominator decimal-sum before a single double
+    division, and the ×100 applies after the division in both engines
+    (100*(a/b) != (100*a)/b in IEEE), so the percentage is bit-exact
+    under any partitioning."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = _rev()
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100)
+                * (
+                    F.sum(promo_rev.cast("decimal(18,4)")).cast("double")
+                    / F.sum(rev.cast("decimal(18,4)")).cast("double")
+                )
+            ).alias("promo_revenue_pct"),
+            dsum(rev, 4).alias("total_revenue"),
+        )
+    )

@@ -103,18 +103,27 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ``tests/test_registry.py`` pins the exact list so adding a key can
 # never reshuffle the window unreviewed.
 #
-# Round-5 window: the 16 keys registered after round 4's window filled
-# (never driver-checked — completes driver coverage of the whole
-# registry, 147→163), mm_feature_extract (the r4 FAIL, now returning a
-# canonicalization-safe shape), two stable anchors, and 31 staleness
-# re-checks: the 8 keys whose latest driver proof is still round 1
-# (the win_* core) plus the oldest round-2 agg/join/filter families.
-# New keys registered this round should displace staleness re-checks
-# (never-checked beats re-proof), keeping the list at exactly 50.
+# Round-5 window: the 11 keys registered THIS round (Q14/Q9/Q16/Q20/
+# Q22, domain mix, ngram top-k, incremental dedup, int8 quantize,
+# connected components, image resize), the 16 keys registered after
+# round 4's window filled (never driver-checked — completes driver
+# coverage of the whole registry), mm_feature_extract (the r4 FAIL,
+# now returning a canonicalization-safe shape), two stable anchors,
+# and staleness re-checks: the 8 keys whose latest driver proof is
+# still round 1 (the win_* core) plus the oldest round-2 agg/join
+# families. New keys displace staleness re-checks (never-checked
+# beats re-proof), keeping the list at exactly 50.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-checked: new in round 5 (4) --
+    # -- never driver-checked: new in round 5 (11) --
+    "pipeline_promo_revenue",
+    "llm_domain_mix",
+    "llm_ngram_topk",
+    "llm_dedup_incremental",
+    "llm_embed_quantize",
+    "graph_connected_components",
+    "mm_image_resize",
     "pipeline_product_profit",
     "pipeline_part_supplier_counts",
     "pipeline_excess_stock",
@@ -163,13 +172,6 @@ DRIVER_WINDOW: list[str] = [
     "join_inner",
     "join_broadcast",
     "join_left",
-    "join_multiway",
-    "join_semi",
-    "join_anti",
-    "join_theta",
-    "join_range",
-    "join_asof",
-    "join_cross",
 ]
 
 

@@ -566,3 +566,125 @@ def test_kmeans_sampled_training_deterministic_and_usable(spark, sf_dir):
         .where(F.col("rn") == 1)
     )
     assert assigned.count() == e.count()  # full corpus covered
+
+
+def test_resize_image_nearest_neighbor_exact():
+    """Nearest-neighbor resize is exact integer index selection:
+    downscale of a known gradient picks floor(r*h/H), floor(c*w/W);
+    upscale repeats pixels; identity size is a no-op copy."""
+    import numpy as np
+
+    from osm_airflow_spark.llm.multimodal import resize_image
+
+    px = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    small = resize_image(px, 4, 4)
+    assert small.shape == (4, 4, 3)
+    rows = (np.arange(4) * 16) // 4
+    cols = (np.arange(4) * 16) // 4
+    assert (small == px[rows][:, cols]).all()
+    assert (resize_image(px, 16, 16) == px).all()
+    up = resize_image(px[:2, :2], 4, 4)
+    assert up.shape == (4, 4, 3)
+    assert (up[:2, :2] == px[:2, :2].repeat(2, 0).repeat(2, 1)[:2, :2]).all()
+
+
+def test_mm_image_resize_decodes_every_synthesized_payload(spark, sf_dir):
+    """The in-column PGM synthesis must produce payloads the strict
+    sniff accepts — every row decodes, source dims are 16x16, and the
+    checksum is bounded by 255 * 8 * 8 * 3 (PGM expands to 3 chan)."""
+    from osm_airflow_spark.registry import QUERIES
+
+    rows = QUERIES["mm_image_resize"](spark, sf_dir).collect()
+    assert rows and all(r.decoded for r in rows)
+    assert all(r.src_w == 16 and r.src_h == 16 for r in rows)
+    assert all(0 <= r.px_checksum <= 255 * 8 * 8 * 3 for r in rows)
+
+
+def test_llm_domain_mix_weights_sum_to_one(spark, sf_dir):
+    """Mixture weights are a probability vector, and the 0.7
+    temperature strictly compresses the spread: the max/min weight
+    ratio is below the max/min count ratio."""
+    from osm_airflow_spark.registry import QUERIES
+
+    rows = QUERIES["llm_domain_mix"](spark, sf_dir).collect()
+    total = sum(r.mix_weight for r in rows)
+    assert abs(total - 1.0) < 1e-9
+    counts = [r.n_docs for r in rows]
+    weights = [r.mix_weight for r in rows]
+    if max(counts) > min(counts):
+        assert max(weights) / min(weights) < max(counts) / min(counts)
+
+
+def test_llm_dedup_incremental_never_reemits_base_content(spark, sf_dir):
+    """Every surviving batch doc's digest is absent from the base
+    slice, and batch-internal duplicates keep only the min doc_id."""
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.registry import QUERIES
+
+    surv = QUERIES["llm_dedup_incremental"](spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    base_h = {
+        r.h
+        for r in d.where(F.col("doc_id") % 10 < 8)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .collect()
+    }
+    surv_rows = (
+        surv.join(d.select("doc_id", F.md5("text").alias("h")), "doc_id")
+        .collect()
+    )
+    assert surv_rows
+    assert all(r.h not in base_h for r in surv_rows)
+    seen = {}
+    for r in sorted(surv_rows, key=lambda r: r.doc_id):
+        assert r.h not in seen  # one survivor per digest
+        seen[r.h] = r.doc_id
+
+
+def test_graph_connected_components_matches_bruteforce(spark, sf_dir):
+    """Component labels (min member), sizes, and key checksums agree
+    with a driver-side union-find over the same thresholded edges."""
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.registry import QUERIES
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = [
+        (r.pa, r.pb)
+        for r in a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comps = {}
+    for node in parent:
+        comps.setdefault(find(node), []).append(node)
+    expected = sorted(
+        (c, len(members), sum(members)) for c, members in comps.items()
+    )
+    got = sorted(
+        (r.comp, r.n_members, r.member_key_sum)
+        for r in QUERIES["graph_connected_components"](spark, sf_dir).collect()
+    )
+    assert got == expected

@@ -53,6 +53,7 @@ def test_rows_only_keys_are_the_documented_ones():
         "llm_fingerprint",
         "mm_feature_extract",
         "mm_frame_sample",
+        "mm_image_resize",
         "osm_ring_repair",
     }
 
