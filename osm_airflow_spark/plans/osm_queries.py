@@ -787,3 +787,142 @@ def osm_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.floor("lon")).alias("lon_floor_max"),
         )
     )
+
+
+@query(
+    "osm_point_in_polygon",
+    oracle=f"""
+    WITH nodes AS (
+      SELECT p_partkey AS node_id,
+             (CAST((p_partkey * 7) % 180 AS DOUBLE) - 90.0) * 0.95 AS lat,
+             {_LON} AS lon
+      FROM part
+    ),
+    refs AS (
+      SELECT l_orderkey AS way_id, l_partkey AS node_id,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS pos
+      FROM lineitem WHERE l_orderkey % 100 = 0
+    ),
+    firsts AS (
+      SELECT way_id, node_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY way_id, node_id ORDER BY pos) AS occ
+      FROM refs
+    ),
+    dedup AS (SELECT way_id, node_id, pos FROM firsts WHERE occ = 1),
+    pts4 AS (
+      SELECT way_id, node_id,
+             ROW_NUMBER() OVER (PARTITION BY way_id ORDER BY pos) AS rn
+      FROM dedup
+    ),
+    quad AS (SELECT * FROM pts4 WHERE rn <= 4),
+    sized AS (SELECT way_id FROM quad GROUP BY way_id HAVING COUNT(*) = 4),
+    pts AS (
+      SELECT q.way_id, q.rn, n.lon, n.lat
+      FROM quad q JOIN sized USING (way_id) JOIN nodes n USING (node_id)
+    ),
+    edges AS (
+      SELECT a.way_id, a.lon AS x1, a.lat AS y1, b.lon AS x2, b.lat AS y2
+      FROM pts a JOIN pts b
+        ON a.way_id = b.way_id AND b.rn = (a.rn % 4) + 1
+    ),
+    boxes AS (
+      SELECT way_id, MIN(x1) AS west, MIN(y1) AS south,
+             MAX(x1) AS east, MAX(y1) AS north
+      FROM edges GROUP BY way_id
+    ),
+    cand AS (
+      SELECT b.way_id, n.node_id, n.lon AS px, n.lat AS py
+      FROM boxes b JOIN nodes n
+        ON n.lon BETWEEN b.west AND b.east
+       AND n.lat BETWEEN b.south AND b.north
+    ),
+    crossings AS (
+      SELECT c.way_id, c.node_id,
+             SUM(CASE WHEN (e.y1 > c.py) <> (e.y2 > c.py)
+                       AND c.px < (e.x2 - e.x1) * (c.py - e.y1)
+                                  / (e.y2 - e.y1) + e.x1
+                 THEN 1 ELSE 0 END) AS k
+      FROM cand c JOIN edges e USING (way_id)
+      GROUP BY c.way_id, c.node_id
+    )
+    SELECT way_id, COUNT(*) AS n_inside
+    FROM crossings WHERE k % 2 = 1
+    GROUP BY way_id
+    """,
+)
+def osm_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact point-in-polygon containment join, hash-checked: count
+    the nodes strictly inside each sampled quad ring via the
+    crossing-number (ray-casting) test — the real ST_Contains
+    semantics behind the PostGIS queries the reference's end state
+    serves (README.md:70,82), one level past osm_spatial_join_bbox's
+    rectangle approximation.
+
+    Candidate generation is the bbox prefilter (broadcast ring boxes,
+    non-equi join); the exact edge-crossing test runs only on
+    candidates. Cross-engine exactness: all coordinates are the same
+    integer-derived doubles in both engines; the crossing predicate
+    uses one identically-parenthesized IEEE expression
+    ((x2-x1)*(py-y1)/(y2-y1)+x1, strict <), a horizontal edge makes
+    its left conjunct false so the NULL from its zero divisor (both
+    engines yield NULL for double/0) is ANDed away, and the
+    odd/even parity is integer — no rounding boundary anywhere.
+
+    Scale: rings ride broadcast (sampled here; the 100 TB form
+    equi-joins on geohash cell first — SCALE.md layout contract —
+    and runs this same predicate within cells); the crossing test is
+    a 4-term in-array fold per candidate, no per-edge explosion, no
+    UDF."""
+    nodes = _derived_nodes(spark, sf_dir).select("node_id", "lat", "lon")
+    ways = _derived_ways(spark, sf_dir).where(F.col("way_id") % 100 == 0)
+    quads = ways.select(
+        "way_id",
+        F.slice(F.array_distinct("node_refs"), 1, 4).alias("node_refs"),
+        "tags",
+    ).where(F.size("node_refs") == 4)
+    assembled = assemble_way_lines(quads, nodes.withColumn(
+        "tags", F.create_map().cast("map<string,string>")
+    )).where(F.size("line") == 4)
+    lons = F.expr("transform(line, s -> s.lon)")
+    lats = F.expr("transform(line, s -> s.lat)")
+    rings = assembled.select(
+        "way_id",
+        F.concat(lons, F.slice(lons, 1, 1)).alias("xs"),
+        F.concat(lats, F.slice(lats, 1, 1)).alias("ys"),
+        F.array_min(lons).alias("west"),
+        F.array_min(lats).alias("south"),
+        F.array_max(lons).alias("east"),
+        F.array_max(lats).alias("north"),
+    )
+    in_box = (
+        F.col("lon").between(F.col("west"), F.col("east"))
+        & F.col("lat").between(F.col("south"), F.col("north"))
+    )
+    cand = F.broadcast(rings).join(nodes, in_box)
+    xs, ys = F.col("xs"), F.col("ys")
+    px, py = F.col("lon"), F.col("lat")
+    crossings = F.aggregate(
+        F.sequence(F.lit(1), F.lit(4)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            (
+                (F.element_at(ys, i) > py) != (F.element_at(ys, (i + 1).cast("int")) > py)
+            )
+            & (
+                px
+                < (F.element_at(xs, (i + 1).cast("int")) - F.element_at(xs, i))
+                * (py - F.element_at(ys, i))
+                / (F.element_at(ys, (i + 1).cast("int")) - F.element_at(ys, i))
+                + F.element_at(xs, i)
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        cand.select("way_id", crossings.alias("k"))
+        .where(F.col("k") % 2 == 1)
+        .groupBy("way_id")
+        .agg(F.count(F.lit(1)).alias("n_inside"))
+    )

@@ -116,8 +116,9 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-checked: new in round 5 (11) --
+    # -- never driver-checked: new in round 5 (12) --
     "pipeline_promo_revenue",
+    "osm_point_in_polygon",
     "llm_domain_mix",
     "llm_ngram_topk",
     "llm_dedup_incremental",
@@ -171,7 +172,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_pivot",
     "join_inner",
     "join_broadcast",
-    "join_left",
 ]
 
 

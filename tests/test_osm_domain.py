@@ -514,3 +514,52 @@ def test_collinear_overlap_repair():
     assert not inc and len(parts) == 2
     areas = sorted(abs(_shoelace(p)) for p in parts)
     assert areas == [1.0, 2.0]
+
+
+def test_point_in_polygon_matches_python_ray_cast(spark, sf_dir):
+    """The in-plan crossing-number fold agrees with a driver-side
+    Python ray caster over the same derived rings and nodes."""
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.plans.osm import assemble_way_lines
+    from osm_airflow_spark.plans.osm_queries import (
+        _derived_nodes,
+        _derived_ways,
+    )
+    from osm_airflow_spark.registry import QUERIES
+
+    nodes = _derived_nodes(spark, sf_dir)
+    quads = (
+        _derived_ways(spark, sf_dir)
+        .where(F.col("way_id") % 100 == 0)
+        .select(
+            "way_id",
+            F.slice(F.array_distinct("node_refs"), 1, 4).alias("node_refs"),
+            "tags",
+        )
+        .where(F.size("node_refs") == 4)
+    )
+    assembled = assemble_way_lines(quads, nodes).where(F.size("line") == 4)
+    rings = {
+        r.way_id: [(s.lon, s.lat) for s in r.line] for r in assembled.collect()
+    }
+    pts = [(r.lon, r.lat) for r in nodes.select("lon", "lat").collect()]
+
+    def inside(ring, px, py):
+        k = 0
+        closed = ring + ring[:1]
+        for (x1, y1), (x2, y2) in zip(closed, closed[1:]):
+            if (y1 > py) != (y2 > py) and px < (x2 - x1) * (py - y1) / (y2 - y1) + x1:
+                k += 1
+        return k % 2 == 1
+
+    expected = {}
+    for wid, ring in rings.items():
+        n = sum(1 for px, py in pts if inside(ring, px, py))
+        if n:
+            expected[wid] = n
+    got = {
+        r.way_id: r.n_inside
+        for r in QUERIES["osm_point_in_polygon"](spark, sf_dir).collect()
+    }
+    assert got == expected
