@@ -926,3 +926,77 @@ def osm_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("way_id")
         .agg(F.count(F.lit(1)).alias("n_inside"))
     )
+
+
+@query(
+    "osm_nearest_node",
+    oracle=f"""
+    WITH nodes AS (
+      SELECT p_partkey AS node_id,
+             (CAST((p_partkey * 7) % 180 AS DOUBLE) - 90.0) * 0.95 AS lat,
+             {_LON} AS lon
+      FROM part
+    ),
+    qpts AS (
+      SELECT c_custkey AS q_id,
+             (CAST(c_custkey % 180 AS DOUBLE) - 90.0) * 0.9 AS qlat,
+             (CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0) * 0.9 AS qlon
+      FROM customer WHERE c_custkey % 100 = 0
+    ),
+    pairs AS (
+      SELECT q.q_id, n.node_id,
+             round(2 * 6371.0 * asin(sqrt(
+               sin(radians(n.lat - q.qlat) / 2) * sin(radians(n.lat - q.qlat) / 2)
+               + cos(radians(q.qlat)) * cos(radians(n.lat))
+                 * sin(radians(n.lon - q.qlon) / 2)
+                 * sin(radians(n.lon - q.qlon) / 2)
+             )), 6) AS dist_km
+      FROM qpts q CROSS JOIN nodes n
+    ),
+    ranked AS (
+      SELECT q_id, node_id, dist_km,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY dist_km, node_id) AS rn
+      FROM pairs
+    )
+    SELECT q_id, node_id AS nearest_node_id, dist_km FROM ranked WHERE rn = 1
+    """,
+)
+def osm_nearest_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial nearest-neighbor join, hash-checked: for each sampled
+    customer-derived query point, the closest part-derived node by
+    great-circle distance — the PostGIS ``ORDER BY geom <-> point
+    LIMIT 1`` query shape over the loaded layers (README.md:70,82).
+
+    The argmin is a map-side ``min(struct(dist, node_id))`` — one
+    partial aggregate per partition, shuffle carries |queries| rows,
+    never the |queries|x|nodes| pair table (the D9 as-of pattern in
+    space). Distances round to 6 dp BEFORE the argmin so a last-ulp
+    libm divergence between engines cannot flip the winner, and the
+    node_id tie-break resolves coordinate collisions from the modular
+    derivation identically everywhere (same discipline as
+    osm_way_lengths). At 100 TB queries ride broadcast exactly as
+    here, and a geohash-cell equi-join with ring-growing probes
+    replaces the full scan per query (SCALE.md layout contract)."""
+    from osm_airflow_spark.functions.geo import haversine_km
+
+    nodes = _derived_nodes(spark, sf_dir).select("node_id", "lat", "lon")
+    c = load_table(spark, sf_dir, "customer")
+    qpts = c.where(F.col("c_custkey") % 100 == 0).select(
+        F.col("c_custkey").alias("q_id"),
+        (((F.col("c_custkey") % 180).cast("double") - 90.0) * 0.9).alias("qlat"),
+        ((((F.col("c_custkey") * 7) % 360).cast("double") - 180.0) * 0.9).alias("qlon"),
+    )
+    dist = F.round(
+        haversine_km(F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon")), 6
+    )
+    best = (
+        nodes.crossJoin(F.broadcast(qpts))
+        .groupBy("q_id")
+        .agg(F.min(F.struct(dist.alias("d"), F.col("node_id").alias("n"))).alias("b"))
+    )
+    return best.select(
+        "q_id",
+        F.col("b.n").alias("nearest_node_id"),
+        F.col("b.d").alias("dist_km"),
+    )

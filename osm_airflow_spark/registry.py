@@ -116,9 +116,10 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-checked: new in round 5 (12) --
+    # -- never driver-checked: new in round 5 (13) --
     "pipeline_promo_revenue",
     "osm_point_in_polygon",
+    "osm_nearest_node",
     "llm_domain_mix",
     "llm_ngram_topk",
     "llm_dedup_incremental",
@@ -170,7 +171,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_grouping_sets",
     "agg_conditional",
     "agg_pivot",
-    "join_inner",
     "join_broadcast",
 ]
 

@@ -6,6 +6,13 @@ we target bit-identical results, not tolerances.
 Usage:
     python tools/check.py [key ...]      # default: all registered keys
     SF_DIR=/root/testdata/sf0.001 python tools/check.py
+    python tools/check.py --matrix [key ...]   # same keys at sf0.001,
+                                               # sf0.01 AND sf0.1 in one
+                                               # process — the standing
+                                               # boundary-value sweep
+                                               # (sf0.1 finds double→
+                                               # decimal rounding drift
+                                               # sf0.01 cannot)
 """
 
 from __future__ import annotations
@@ -68,7 +75,7 @@ def canon(pdf) -> tuple[list[str], list[tuple]]:
     return cols, rows
 
 
-def main(keys: list[str]) -> int:
+def main(keys: list[str], sf_dir: str = SF_DIR) -> int:
     queries = all_queries()
     oracles = all_oracles()
     targets = keys or sorted(queries)
@@ -76,7 +83,7 @@ def main(keys: list[str]) -> int:
     spark = get_spark("check")
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = []
     for key in targets:
@@ -86,7 +93,7 @@ def main(keys: list[str]) -> int:
             continue
         t0 = time.time()
         try:
-            sdf_spark = queries[key](spark, SF_DIR)
+            sdf_spark = queries[key](spark, sf_dir)
             if key in oracles:
                 hazard = complex_columns(sdf_spark)
                 if hazard:
@@ -130,5 +137,25 @@ def main(keys: list[str]) -> int:
     return 1 if failures else 0
 
 
+def matrix(keys: list[str]) -> int:
+    """One process, all three fixture SFs: the standing determinism
+    sweep (ROADMAP round-5 item 2). sf0.001 exercises empty/degenerate
+    groups, sf0.1 exercises rounding boundary values the mid fixture
+    never hits; one shared JVM keeps it ~3x the single-SF cost, not
+    3 JVM warmups."""
+    rc = 0
+    for sf_dir in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        print(f"=== {sf_dir} ===")
+        rc |= main(keys, sf_dir)
+    return rc
+
+
 if __name__ == "__main__":
-    raise SystemExit(main(sys.argv[1:]))
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--matrix":
+        raise SystemExit(matrix(argv[1:]))
+    raise SystemExit(main(argv))
