@@ -695,3 +695,80 @@ def repair_rings(rings: DataFrame, id_col: str = "way_id", line_col: str = "line
         "lats array<double>, abs_area double, was_split boolean, "
         "repair_incomplete boolean",
     )
+
+
+def _perp_dist(p, a, b) -> float:
+    """Perpendicular distance from point p to segment ab (planar
+    degrees — the Douglas–Peucker deviation metric; for web-map
+    generalization the planar approximation is the standard choice,
+    and determinism matters more than metric fidelity here)."""
+    (px, py), (ax, ay), (bx, by) = p, a, b
+    dx, dy = bx - ax, by - ay
+    if dx == 0.0 and dy == 0.0:
+        return ((px - ax) ** 2 + (py - ay) ** 2) ** 0.5
+    # distance to the infinite line through a-b: DP measures against
+    # the chord, not the clamped segment
+    return abs(dy * px - dx * py + bx * ay - by * ax) / (dx * dx + dy * dy) ** 0.5
+
+
+def simplify_line(pts: list, eps: float) -> list:
+    """Douglas–Peucker polyline simplification, iterative (explicit
+    stack — recursion depth would be line-length-bounded, and real
+    coastline ways run to 10⁵ vertices). Keeps both endpoints; drops
+    every interior vertex whose max deviation from the kept chord is
+    <= eps. Deterministic: the split vertex is the FIRST index
+    attaining the maximum deviation."""
+    n = len(pts)
+    if n <= 2:
+        return list(pts)
+    keep = [False] * n
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        best, best_k = 0.0, -1
+        for k in range(i + 1, j):
+            d = _perp_dist(pts[k], pts[i], pts[j])
+            if d > best:
+                best, best_k = d, k
+        if best > eps:
+            keep[best_k] = True
+            stack.append((i, best_k))
+            stack.append((best_k, j))
+    return [p for p, k in zip(pts, keep) if k]
+
+
+def simplify_lines(
+    lines: DataFrame, eps: float, id_col: str = "way_id", line_col: str = "line"
+) -> DataFrame:
+    """Douglas–Peucker over a line table (array<struct<lon,lat>>) as
+    one Arrow-batched mapInPandas pass — the map-generalization hop
+    every rendering pipeline runs after assembly (osm2pgsql exposes
+    it as the Lua ``simplify`` transform). Same scale shape as
+    ``repair_rings``: a narrow map, no shuffle, per-way cost bounded
+    by vertex count, way count scales out. Output keeps the
+    simplified geometry as coordinate arrays plus audit scalars."""
+
+    def batches(it):
+        for pdf in it:
+            out = {
+                id_col: [], "n_in": [], "n_out": [],
+                "lons": [], "lats": [],
+            }
+            for rid, line in zip(pdf[id_col], pdf[line_col]):
+                pts = [(p["lon"], p["lat"]) for p in line]
+                simp = simplify_line(pts, eps)
+                out[id_col].append(rid)
+                out["n_in"].append(len(pts))
+                out["n_out"].append(len(simp))
+                out["lons"].append([q[0] for q in simp])
+                out["lats"].append([q[1] for q in simp])
+            yield pd.DataFrame(out)
+
+    return lines.mapInPandas(
+        batches,
+        f"{id_col} long, n_in int, n_out int, "
+        "lons array<double>, lats array<double>",
+    )

@@ -1000,3 +1000,59 @@ def osm_nearest_node(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.n").alias("nearest_node_id"),
         F.col("b.d").alias("dist_km"),
     )
+
+
+@query("osm_line_simplify")  # rows-only: mapInPandas geometry kernel
+def osm_line_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas–Peucker map generalization, self-proving: each sampled
+    assembled way is first DENSIFIED in-column (one collinear-ish
+    midpoint inserted per segment — pure JVM array ops), then the
+    mapInPandas kernel simplifies at eps = 1e-6 degrees. eps sits six
+    orders above float midpoint noise and three below any genuine
+    deviation between distinct fixture vertices, so the kernel drops
+    the inserted midpoints (except one that is itself the first
+    max-deviation split of a higher-level chord — kept by DP
+    construction) and duplicate vertices from repeated node refs
+    (zero deviation). The paired pytest proves the distributed output
+    equals the same kernel run driver-side, row for row. Geometry returns as 6-dp coordinate strings
+    (canonicalization-safe), counts as ints.
+
+    Scale: densify and simplify are both narrow maps — no shuffle
+    after assembly; per-way cost is vertex-bounded (the kernel is an
+    explicit-stack DP, safe for 10^5-vertex coastline ways), way
+    count scales out."""
+    from osm_airflow_spark.plans.osm import simplify_lines
+
+    nodes = _derived_nodes(spark, sf_dir)
+    ways = _derived_ways(spark, sf_dir).where(F.col("way_id") % 20 == 0)
+    assembled = assemble_way_lines(ways, nodes).where(F.size("line") >= 2)
+    line = F.col("line")
+    n = F.size(line)
+    mids = F.transform(
+        F.slice(line, 1, n - 1),
+        lambda p, i: F.array(
+            p,
+            F.struct(
+                ((p.getField("lon") + F.element_at(line, (i + 2).cast("int")).getField("lon")) / 2).alias("lon"),
+                ((p.getField("lat") + F.element_at(line, (i + 2).cast("int")).getField("lat")) / 2).alias("lat"),
+            ),
+        ),
+    )
+    densified = assembled.select(
+        "way_id",
+        F.concat(F.flatten(mids), F.slice(line, n, 1)).alias("line"),
+    )
+    simplified = simplify_lines(densified, eps=1e-6)
+
+    def _coords(col: str):
+        return F.array_join(
+            F.transform(col, lambda v: v.cast("decimal(14,6)").cast("string")), ","
+        )
+
+    return simplified.select(
+        "way_id",
+        "n_in",
+        "n_out",
+        _coords("lons").alias("lons"),
+        _coords("lats").alias("lats"),
+    )

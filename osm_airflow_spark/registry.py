@@ -116,10 +116,11 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-checked: new in round 5 (13) --
+    # -- never driver-checked: new in round 5 (14) --
     "pipeline_promo_revenue",
     "osm_point_in_polygon",
     "osm_nearest_node",
+    "osm_line_simplify",
     "llm_domain_mix",
     "llm_ngram_topk",
     "llm_dedup_incremental",
@@ -171,7 +172,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_grouping_sets",
     "agg_conditional",
     "agg_pivot",
-    "join_broadcast",
 ]
 
 

@@ -563,3 +563,75 @@ def test_point_in_polygon_matches_python_ray_cast(spark, sf_dir):
         for r in QUERIES["osm_point_in_polygon"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_simplify_line_kernel_properties():
+    """DP invariants on hand-built lines: endpoints always kept; a
+    straight line collapses to its endpoints; a spike above eps is
+    kept; deviation bound holds for every dropped vertex."""
+    from osm_airflow_spark.plans.osm import _perp_dist, simplify_line
+
+    straight = [(float(i), 0.0) for i in range(10)]
+    assert simplify_line(straight, 0.01) == [(0.0, 0.0), (9.0, 0.0)]
+
+    spike = [(0.0, 0.0), (1.0, 0.0), (2.0, 5.0), (3.0, 0.0), (4.0, 0.0)]
+    simp = simplify_line(spike, 0.5)
+    assert (2.0, 5.0) in simp and simp[0] == spike[0] and simp[-1] == spike[-1]
+
+    import random
+
+    rng = random.Random(11)
+    line = [(rng.uniform(-10, 10), rng.uniform(-10, 10)) for _ in range(40)]
+    eps = 1.5
+    simp = simplify_line(line, eps)
+    assert simp[0] == line[0] and simp[-1] == line[-1]
+    # every dropped vertex lies within eps of the simplified chain's
+    # covering chord: re-run check segment-by-segment
+    kept_idx = [line.index(p) for p in simp]
+    for a, b in zip(kept_idx, kept_idx[1:]):
+        for k in range(a + 1, b):
+            assert _perp_dist(line[k], line[a], line[b]) <= eps + 1e-12
+
+
+def test_osm_line_simplify_matches_driver_side_kernel(spark, sf_dir):
+    """Distributed output == the same DP kernel run driver-side over
+    the same densified lines: proves the mapInPandas plumbing (Arrow
+    struct handling, batch iteration, column packing) preserves
+    kernel semantics exactly. Count invariants are deliberately NOT
+    asserted: repeated node refs make duplicate vertices (dropped at
+    zero deviation, correctly), and a midpoint that is the first
+    max-deviation split of a high-level chord is kept by
+    construction."""
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.plans.osm import assemble_way_lines, simplify_line
+    from osm_airflow_spark.plans.osm_queries import (
+        _derived_nodes,
+        _derived_ways,
+    )
+    from osm_airflow_spark.registry import all_queries
+
+    nodes = _derived_nodes(spark, sf_dir)
+    ways = _derived_ways(spark, sf_dir).where(F.col("way_id") % 20 == 0)
+    assembled = assemble_way_lines(ways, nodes).where(F.size("line") >= 2)
+    expected = {}
+    for r in assembled.collect():
+        pts = [(s.lon, s.lat) for s in r.line]
+        dens = []
+        for a, b in zip(pts, pts[1:]):
+            dens.append(a)
+            dens.append(((a[0] + b[0]) / 2, (a[1] + b[1]) / 2))
+        dens.append(pts[-1])
+        simp = simplify_line(dens, 1e-6)
+        expected[r.way_id] = (
+            len(dens),
+            len(simp),
+            ",".join(f"{x:.6f}" for x, _ in simp),
+            ",".join(f"{y:.6f}" for _, y in simp),
+        )
+    got = {
+        r.way_id: (r.n_in, r.n_out, r.lons, r.lats)
+        for r in all_queries()["osm_line_simplify"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert any(v[1] < v[0] for v in got.values())  # it does simplify

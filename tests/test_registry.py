@@ -55,6 +55,7 @@ def test_rows_only_keys_are_the_documented_ones():
         "mm_frame_sample",
         "mm_image_resize",
         "osm_ring_repair",
+        "osm_line_simplify",
     }
 
 
