@@ -772,3 +772,65 @@ def simplify_lines(
         f"{id_col} long, n_in int, n_out int, "
         "lons array<double>, lats array<double>",
     )
+
+
+def resolve_relations_transitive(
+    relations: DataFrame, max_depth: int = 8
+) -> DataFrame:
+    """Transitive member resolution for NESTED relations (real OSM
+    has super-relations: route masters holding routes, boundary
+    collections holding boundaries). Follows relation-type members
+    through the relation table until only leaf members (ways/nodes)
+    remain; returns one row per resolved leaf: (root_id, mtype, ref,
+    role, depth) where role is the LEAF's own role and depth counts
+    membership hops from the root.
+
+    Driver-side iteration is control flow only (OSM nesting is
+    shallow — wiki guidance keeps it under ~4); each round is one
+    equi-join of the shrinking unresolved frontier against the
+    member table, lineage cut per round exactly like
+    ``cluster_pairs``. A cycle (relation containing an ancestor —
+    invalid but present in real data) cannot loop forever: the
+    frontier dies at ``max_depth`` and the dropped rows are the
+    cycle's, mirroring osm2pgsql's bad-object handling."""
+    edges = relations.select(
+        "rel_id", F.explode("members").alias("m")
+    ).select(
+        "rel_id",
+        F.col("m.mtype").alias("mtype"),
+        F.col("m.ref").alias("ref"),
+        F.col("m.role").alias("role"),
+    ).localCheckpoint(eager=True)
+
+    frontier = edges.select(
+        F.col("rel_id").alias("root_id"), "mtype", "ref", "role",
+        F.lit(1).alias("depth"),
+    )
+    leaves = frontier.where(F.col("mtype") != "relation").localCheckpoint(eager=True)
+    pending = frontier.where(F.col("mtype") == "relation").localCheckpoint(eager=True)
+    child = edges.select(
+        F.col("rel_id").alias("_cr"),
+        F.col("mtype").alias("_cm"),
+        F.col("ref").alias("_cref"),
+        F.col("role").alias("_crole"),
+    )
+    for _ in range(max_depth - 1):
+        if not pending.take(1):
+            break
+        stepped = (
+            pending.join(child, F.col("ref") == F.col("_cr"))
+            .select(
+                "root_id",
+                F.col("_cm").alias("mtype"),
+                F.col("_cref").alias("ref"),
+                F.col("_crole").alias("role"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+        ).localCheckpoint(eager=True)
+        leaves = leaves.union(
+            stepped.where(F.col("mtype") != "relation")
+        ).localCheckpoint(eager=True)
+        pending = stepped.where(F.col("mtype") == "relation").localCheckpoint(
+            eager=True
+        )
+    return leaves

@@ -1056,3 +1056,120 @@ def osm_line_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
         _coords("lons").alias("lons"),
         _coords("lats").alias("lats"),
     )
+
+
+@query(
+    "osm_super_relation_rollup",
+    oracle="""
+    WITH ways AS (
+      SELECT l_orderkey AS way_id, COUNT(*) AS n_refs
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    rels AS (
+      SELECT DISTINCT l_orderkey AS rel_id FROM lineitem
+      WHERE l_orderkey % 4 = 0
+    ),
+    rel_members AS (
+      SELECT rel_id, rel_id     AS way_id, 'outer' AS role FROM rels
+      UNION ALL
+      SELECT rel_id, rel_id + 1 AS way_id, 'inner' AS role FROM rels
+      UNION ALL
+      SELECT rel_id, rel_id + 2 AS way_id, 'outer' AS role FROM rels
+    ),
+    supers AS (
+      SELECT rel_id + 1 AS super_id, rel_id AS base FROM rels
+      WHERE rel_id % 16 = 0
+    ),
+    super_members AS (
+      SELECT s.super_id, s.base + 4 * t.k AS child_rel
+      FROM supers s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) t
+    ),
+    resolved AS (
+      SELECT sm.super_id, rm.rel_id AS child_rel, rm.way_id, rm.role
+      FROM super_members sm JOIN rel_members rm ON rm.rel_id = sm.child_rel
+    )
+    SELECT r.super_id,
+           COUNT(DISTINCT r.child_rel) AS n_child_rels,
+           COUNT(*) AS n_way_members,
+           COUNT(CASE WHEN r.role = 'outer' THEN 1 END) AS n_outer,
+           SUM(w.n_refs) AS n_node_refs
+    FROM resolved r JOIN ways w USING (way_id)
+    GROUP BY r.super_id
+    """,
+)
+def osm_super_relation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked NESTED-relation resolution: super-relations (odd
+    synthetic ids so no self-cycle) hold four child relations each;
+    children hold ways by role (the multipolygon derivation). The
+    REAL transitive operator (resolve_relations_transitive — the
+    route-master/boundary-collection semantics osm2pgsql resolves
+    before geometry build) follows relation members to the way
+    leaves; the rollup counts child relations, resolved way members,
+    outer-role members, and total node references per super-relation
+    — all integers, trivially hash-exact. The oracle fixes depth at
+    the derivation's known 2 levels; the operator itself iterates to
+    any depth with a cycle cap (unit-tested on a 3-deep + cyclic
+    micro-fixture).
+
+    Scale: each resolution round is one equi-join of the shrinking
+    unresolved frontier (super-relations are a tiny fraction of the
+    relation table) against the member edge list — never a
+    self-cross; depth is control flow, not data movement."""
+    from osm_airflow_spark.plans.osm import resolve_relations_transitive
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ways = li.groupBy(F.col("l_orderkey").alias("way_id")).agg(
+        F.count(F.lit(1)).alias("n_refs")
+    )
+    rels = (
+        li.select(F.col("l_orderkey").alias("rel_id"))
+        .where(F.col("rel_id") % 4 == 0)
+        .distinct()
+    )
+
+    def member(ref, mtype, role):
+        return F.struct(
+            F.lit(mtype).alias("mtype"), ref.alias("ref"), F.lit(role).alias("role")
+        )
+
+    level1 = rels.select(
+        "rel_id",
+        F.array(
+            member(F.col("rel_id"), "way", "outer"),
+            member(F.col("rel_id") + 1, "way", "inner"),
+            member(F.col("rel_id") + 2, "way", "outer"),
+        ).alias("members"),
+    )
+    supers = rels.where(F.col("rel_id") % 16 == 0).select(
+        (F.col("rel_id") + 1).alias("rel_id"),
+        F.array(
+            *[member(F.col("rel_id") + 4 * k, "relation", "part") for k in range(4)]
+        ).alias("members"),
+    )
+    # note: inside supers, F.col("rel_id") in the member lambda refers
+    # to the PRE-projection base id (Catalyst resolves against the
+    # child plan), matching the oracle's base + 4k
+    all_rels = level1.unionByName(supers)
+    leaves = resolve_relations_transitive(all_rels)
+    super_leaves = leaves.where(F.col("root_id") % 2 == 1).select(
+        F.col("root_id").alias("super_id"),
+        F.col("ref").alias("way_id"),
+        "role",
+        "depth",
+    )
+    # child_rel identity from the resolved way ref: members are laid
+    # out as child..child+2, so the originating child relation is the
+    # way ref rounded down to its multiple-of-4 base
+    with_child = super_leaves.withColumn(
+        "child_rel", F.col("way_id") - (F.col("way_id") % 4)
+    )
+    return (
+        with_child.join(ways, "way_id")
+        .groupBy("super_id")
+        .agg(
+            F.countDistinct("child_rel").alias("n_child_rels"),
+            F.count(F.lit(1)).alias("n_way_members"),
+            F.count(F.when(F.col("role") == "outer", 1)).alias("n_outer"),
+            F.sum("n_refs").alias("n_node_refs"),
+        )
+    )

@@ -116,11 +116,12 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-checked: new in round 5 (14) --
+    # -- never driver-checked: new in round 5 (15) --
     "pipeline_promo_revenue",
     "osm_point_in_polygon",
     "osm_nearest_node",
     "osm_line_simplify",
+    "osm_super_relation_rollup",
     "llm_domain_mix",
     "llm_ngram_topk",
     "llm_dedup_incremental",
@@ -171,7 +172,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_cube",
     "agg_grouping_sets",
     "agg_conditional",
-    "agg_pivot",
 ]
 
 
