@@ -725,3 +725,58 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_kept.join(base, "h", "left_anti")
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+def dedup_ingest_stream(
+    docs_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming corpus-ingest dedup — the production deployment of
+    K1: documents arrive as a stream, each micro-batch is
+    deduplicated within itself (min id per digest, the K1 window
+    pattern) and then anti-joined against the PERSISTED digest index
+    of everything already accepted, so content ever seen before is
+    dropped no matter which batch carried it first. Survivors append
+    to the corpus; their digests append to the index, which is the
+    only state — 16 bytes per accepted doc, never the text.
+
+    foreachBatch because the dedup needs a batch-side read of the
+    index (stream-static join against a sink being appended by the
+    same query is not expressible as a pure streaming join). Restart
+    semantics: append + foreachBatch is at-least-once on a mid-batch
+    crash — a production deployment makes the append idempotent
+    (epoch-partitioned output, or MERGE into a transactional table);
+    the exactly-once test drives the happy path via availableNow.
+
+    At 100 TB the index is a bucketed table on the digest so each
+    ingest batch probes only its buckets (the llm_dedup_incremental
+    plan, streaming edition)."""
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hashed = batch_df.withColumn("h", F.md5(text_col))
+        w = Window.partitionBy("h").orderBy(id_col)
+        kept = (
+            hashed.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        try:
+            existing = spark.read.parquet(index_dir).select("h")
+            fresh = kept.join(existing, "h", "left_anti")
+        except Exception:  # first batch: no index yet
+            fresh = kept
+        # one deterministic pass: survivors then their digests
+        fresh = fresh.localCheckpoint(eager=True)
+        fresh.drop("h").write.mode("append").parquet(out_dir)
+        fresh.select("h").write.mode("append").parquet(index_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -700,3 +700,69 @@ def test_changes_source_missing_column_raises(spark, tmp_path):
     with _pytest.raises(Exception, match="lacks declared columns"):
         q.processAllAvailable()
     q.stop()
+
+
+def test_dedup_ingest_stream_equals_batch_exact_dedup(spark, sf_dir, tmp_path):
+    """Streamed corpus ingest (three chunks with planted cross-chunk
+    and within-chunk duplicates, one micro-batch per file) must land
+    the same corpus as the K1 batch dedup run over the full union —
+    first-arrival survivor equals min-doc_id survivor because chunks
+    arrive in doc_id order."""
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.llm.dedup import dedup_ingest_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # chunk 0: doc_id < 100; chunk 1: 100-299 plus DUPLICATED text of
+    # chunk 0 docs (new ids 10000+); chunk 2: the rest plus an exact
+    # within-chunk duplicate pair
+    c0 = docs.where(F.col("doc_id") < 100)
+    dup_of_c0 = c0.limit(5).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    c1 = docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 300)).unionByName(
+        dup_of_c0
+    )
+    within_dup = docs.where(F.col("doc_id") == 300).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    c2 = docs.where(F.col("doc_id") >= 300).unionByName(within_dup)
+    for i, c in enumerate((c0, c1, c2)):
+        c.coalesce(1).write.parquet(str(src / f"chunk{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*/*.parquet")
+    )
+    q = dedup_ingest_stream(
+        stream,
+        index_dir=str(tmp_path / "index"),
+        out_dir=str(tmp_path / "corpus"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination(120)
+
+    union_all = c0.unionByName(c1).unionByName(c2)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    expected = sorted(
+        r.doc_id
+        for r in union_all.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id")
+        .collect()
+    )
+    got = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "corpus")).select("doc_id").collect()
+    )
+    assert got == expected
+    # index holds exactly one digest per accepted doc
+    assert spark.read.parquet(str(tmp_path / "index")).distinct().count() == len(got)
