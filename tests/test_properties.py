@@ -216,3 +216,45 @@ def test_ring_split_handles_degenerate_grid_rings(pts):
         assert _remove_spikes(p[:-1]) == p[:-1]  # spike-free output
         re_parts, re_inc = split_ring_with_status(p)
         assert not re_inc and re_parts == [p]  # simple: idempotent
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-100, 100, allow_nan=False, width=32),
+            st.floats(-100, 100, allow_nan=False, width=32),
+        ),
+        min_size=2,
+        max_size=60,
+    ),
+    st.floats(0.01, 20.0, allow_nan=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_simplify_line_invariants_property(pts, eps):
+    """DP invariants on arbitrary lines (pure kernel, no Spark):
+    output is an in-order subsequence of the input keeping both
+    endpoints; every dropped vertex lies within eps of the kept
+    chord covering it; eps=0-like tiny tolerance keeps every
+    non-collinear vertex (idempotence: simplifying the output again
+    changes nothing)."""
+    from osm_airflow_spark.plans.osm import _perp_dist, simplify_line
+
+    pts = [tuple(map(float, p)) for p in pts]
+    simp = simplify_line(pts, eps)
+    assert simp[0] == pts[0] and simp[-1] == pts[-1]
+    # in-order subsequence
+    it = iter(pts)
+    assert all(p in it for p in simp)  # consumes iterator: order-preserving
+    # deviation bound segment by segment over the kept chain
+    idx = []
+    j = 0
+    for p in simp:  # first occurrence indices, in order
+        while pts[j] != p:
+            j += 1
+        idx.append(j)
+        j += 1
+    for a, b in zip(idx, idx[1:]):
+        for k in range(a + 1, b):
+            assert _perp_dist(pts[k], pts[a], pts[b]) <= eps + 1e-9
+    # idempotence
+    assert simplify_line(simp, eps) == simp
