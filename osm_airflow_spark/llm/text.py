@@ -15,7 +15,7 @@ only the winnowed set (bounded per doc), never the exploded grams.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from osm_airflow_spark.io import load_table
@@ -1031,29 +1031,39 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     division — identical in both engines.
 
     Scale: one groupBy(source) — shuffle carries |domains| rows (tens
-    to thousands, never corpus-sized). Both global scalars (corpus N
-    and the normalizer) ride as unpartitioned WINDOW aggregates over
-    the already-aggregated |domains|-row table, NOT branch-joins —
-    this Spark build re-executes shared exchange subtrees, and the
-    window costs one exchange over a bounded table."""
+    to thousands, never corpus-sized). The |domains|-row aggregate is
+    localCheckpoint-ed once (lineage cut: the corpus scan runs
+    exactly once even though two global scalars derive from it —
+    this Spark build re-executes shared exchange subtrees), and both
+    scalars (corpus N, the normalizer) ride as broadcast 1-row
+    aggregates over that checkpoint — never an unpartitioned window
+    (the engine-wide plan rule tests/test_plans.py enforces on every
+    key), never a driver-side .collect()."""
     d = load_table(spark, sf_dir, "documents")
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    w_all = Window.partitionBy()
+    counts = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=True)
+    )
+    total = counts.agg(F.sum("n_docs").alias("corpus_n"))
     term = F.round(
         F.pow(
-            F.col("n_docs").cast("double")
-            / F.sum("n_docs").over(w_all).cast("double"),
+            F.col("n_docs").cast("double") / F.col("corpus_n").cast("double"),
             F.lit(0.7),
         ),
         6,
     )
-    with_term = counts.select("source", "n_docs", term.alias("mix_term"))
-    denom = F.sum(F.col("mix_term").cast("decimal(18,6)")).over(w_all).cast("double")
-    return with_term.select(
+    with_term = counts.crossJoin(F.broadcast(total)).select(
+        "source", "n_docs", term.alias("mix_term")
+    )
+    denom = with_term.agg(
+        F.sum(F.col("mix_term").cast("decimal(18,6)")).cast("double").alias("mix_denom")
+    )
+    return with_term.crossJoin(F.broadcast(denom)).select(
         "source",
         "n_docs",
         "mix_term",
-        (F.col("mix_term") / denom).alias("mix_weight"),
+        (F.col("mix_term") / F.col("mix_denom")).alias("mix_weight"),
     )
 
 
