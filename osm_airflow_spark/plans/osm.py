@@ -834,3 +834,54 @@ def resolve_relations_transitive(
             eager=True
         )
     return leaves
+
+
+def cells_for_bbox(
+    west: float, south: float, east: float, north: float, bits: int = 12
+) -> list[int]:
+    """Every geohash_cell value whose cell rectangle intersects the
+    bbox — the driver-side twin of ``geohash_cell`` (same
+    quantization, same boundary clamp). Cell count is bounded by the
+    bbox area over the cell grid, never by data size: this is pure
+    arithmetic on the grid, no data touched."""
+    cells = 1 << (bits // 2)
+
+    def q_lon(lon: float) -> int:
+        return min(int((lon + 180.0) / 360.0 * cells), cells - 1)
+
+    def q_lat(lat: float) -> int:
+        return min(int((lat + 90.0) / 180.0 * cells), cells - 1)
+
+    return [
+        lx * cells + ly
+        for lx in range(q_lon(west), q_lon(east) + 1)
+        for ly in range(q_lat(south), q_lat(north) + 1)
+    ]
+
+
+def read_bbox(
+    spark,
+    path: str,
+    west: float,
+    south: float,
+    east: float,
+    north: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    bits: int = 12,
+) -> DataFrame:
+    """The spatial layout contract, executed: a bbox query against a
+    layer PARTITIONED BY its geohash cell first restricts to the
+    covering cells — a PartitionFilter, so directories outside the
+    bbox are never listed or read — then applies the exact bbox
+    predicate inside the surviving cells. At 100 TB this is the
+    difference between scanning the planet and scanning the city:
+    the partition filter does the big cut for free, the residual
+    predicate is sargable min/max pruning within cells."""
+    cells = cells_for_bbox(west, south, east, north, bits)
+    return (
+        spark.read.parquet(path)
+        .where(F.col("geohash").isin(cells))
+        .where(F.col(lon_col).between(west, east))
+        .where(F.col(lat_col).between(south, north))
+    )

@@ -674,3 +674,45 @@ def test_resolve_relations_transitive_depth_and_cycle(spark):
     # assert termination + no relation-type rows in the output
     cyc = leaves.where(F.col("root_id").isin(40, 41)).collect()
     assert all(r.mtype != "relation" for r in cyc)
+
+
+def test_bbox_read_prunes_geohash_partitions(spark, sf_dir, tmp_path):
+    """The spatial layout contract, measured: a bbox query against a
+    geohash-partitioned layer reads ONLY the covering cells'
+    directories (PartitionFilters in the scan, strictly fewer input
+    files than the layer holds) and returns exactly the brute-force
+    bbox rows."""
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.plans.osm import cells_for_bbox, geohash_cell, read_bbox
+    from osm_airflow_spark.plans.osm_queries import _derived_nodes
+
+    bits = 6  # 8x8 grid: enough partitions to measure pruning
+    nodes = _derived_nodes(spark, sf_dir).select("node_id", "lon", "lat")
+    layer = nodes.withColumn("geohash", geohash_cell(F.col("lon"), F.col("lat"), bits))
+    path = str(tmp_path / "layer")
+    layer.write.partitionBy("geohash").parquet(path)
+
+    bbox = (-30.0, -20.0, 60.0, 45.0)
+    got = read_bbox(spark, path, *bbox, bits=bits)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "geohash" in plan
+
+    expected = sorted(
+        r.node_id
+        for r in nodes.where(
+            F.col("lon").between(bbox[0], bbox[2])
+            & F.col("lat").between(bbox[1], bbox[3])
+        ).collect()
+    )
+    assert sorted(r.node_id for r in got.collect()) == expected
+
+    # files actually READ come from the scan node's runtime metric —
+    # DataFrame.inputFiles() reports the pre-pruning FileIndex and
+    # would show no pruning at all
+    scan = got._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    n_read = scan.metrics().apply("numFiles").value()
+    n_total = len(spark.read.parquet(path).inputFiles())
+    n_cells = len(cells_for_bbox(*bbox, bits=bits))
+    assert n_read < n_total  # pruning actually happened
+    assert n_read <= n_cells  # at most one file per covering cell here
