@@ -164,3 +164,42 @@ def win_dedup_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "win_time_weekly_aligned",
+    oracle="""
+    SELECT time_bucket(INTERVAL '7 days', ts, TIMESTAMP '2024-01-01')
+             AS week_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def win_time_weekly_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext I6 — weekly tumbling buckets aligned to MONDAY. The trap
+    this key exists to pin: ``F.window(ts, '7 days')`` aligns buckets
+    to the Unix epoch, and 1970-01-01 was a THURSDAY — every naive
+    weekly rollup is silently Thursday-to-Thursday. The fix is the
+    ``startTime`` offset (epoch + 4 days = the first Monday,
+    1970-01-05); the oracle states the same alignment as an explicit
+    time_bucket origin (2024-01-01, a Monday). Same one-shuffle
+    partial-aggregation plan as I1."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "7 days", "7 days", "4 days").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("week_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+    )

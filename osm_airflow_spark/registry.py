@@ -116,7 +116,8 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-checked: new in round 5 (15) --
+    # -- never driver-checked: new in round 5 (16) --
+    "win_time_weekly_aligned",
     "pipeline_promo_revenue",
     "osm_point_in_polygon",
     "osm_nearest_node",
@@ -171,7 +172,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
-    "agg_conditional",
 ]
 
 
