@@ -128,3 +128,56 @@ def point_in_polygon(px: Column, py: Column, poly_lons: Column, poly_lats: Colum
         F.transform(idx, crossing), F.lit(0), lambda acc, v: acc + v
     )
     return crossings % 2 == 1
+
+
+def bearing_deg(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Initial great-circle bearing from point 1 to point 2, degrees
+    in [0, 360) — the navigation/direction-of-travel companion to
+    haversine_km, as one column expression."""
+    dlon = F.radians(lon2 - lon1)
+    y = F.sin(dlon) * F.cos(F.radians(lat2))
+    x = F.cos(F.radians(lat1)) * F.sin(F.radians(lat2)) - F.sin(
+        F.radians(lat1)
+    ) * F.cos(F.radians(lat2)) * F.cos(dlon)
+    return (F.degrees(F.atan2(y, x)) + 360.0) % 360.0
+
+
+@query(
+    "fn_geo_bearing",
+    oracle=f"""
+    SELECT c_custkey,
+           round((degrees(atan2(
+               sin(radians(-0.1 - ({_LON}))) * cos(radians(51.5)),
+               cos(radians({_LAT})) * sin(radians(51.5))
+                 - sin(radians({_LAT})) * cos(radians(51.5))
+                   * cos(radians(-0.1 - ({_LON})))
+           )) + 360.0) % 360.0, 6) AS bearing_london_deg,
+           CAST(floor(((round((degrees(atan2(
+               sin(radians(-0.1 - ({_LON}))) * cos(radians(51.5)),
+               cos(radians({_LAT})) * sin(radians(51.5))
+                 - sin(radians({_LAT})) * cos(radians(51.5))
+                   * cos(radians(-0.1 - ({_LON})))
+           )) + 360.0) % 360.0, 6) + 22.5) % 360.0) / 45.0) AS INT)
+             AS compass_sector
+    FROM customer
+    """,
+)
+def fn_geo_bearing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext H17 — initial bearing toward a fixed point (London) plus
+    its 8-sector compass bucket (0=N, 1=NE, ..., 7=NW). The bearing
+    rounds to 6 dp before the sector binning so a last-ulp libm
+    divergence can neither shift the reported degree nor flip a
+    sector at a 22.5-degree boundary; the only exact-360 candidate is
+    a due-north atan2(0, +x) = 0, identical in both engines. Pure
+    column expressions — pipelines inside whole-stage codegen like
+    the rest of the H family."""
+    c = load_table(spark, sf_dir, "customer")
+    lat = ((F.col("c_custkey") % 180).cast("double") - 90.0) * 0.9
+    lon = (((F.col("c_custkey") * 7) % 360).cast("double") - 180.0) * 0.9
+    bearing = F.round(bearing_deg(lat, lon, F.lit(51.5), F.lit(-0.1)), 6)
+    sector = F.floor(((bearing + 22.5) % 360.0) / 45.0).cast("int")
+    return c.select(
+        "c_custkey",
+        bearing.alias("bearing_london_deg"),
+        sector.alias("compass_sector"),
+    )

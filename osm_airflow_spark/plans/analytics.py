@@ -1876,3 +1876,62 @@ def pipeline_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(rev, 4).alias("total_revenue"),
         )
     )
+
+
+@query(
+    "pipeline_median_order_gap",
+    oracle="""
+    WITH gaps AS (
+      SELECT c.c_mktsegment,
+             date_diff('day',
+                       LAG(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                                                ORDER BY o.o_orderdate,
+                                                         o.o_orderkey),
+                       o.o_orderdate) AS gap_days
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_mktsegment,
+           COUNT(gap_days) AS n_gaps,
+           PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY gap_days)
+             AS median_gap_days,
+           CAST(SUM(gap_days) AS DOUBLE) / COUNT(gap_days)
+             AS mean_gap_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY c_mktsegment
+    """,
+)
+def pipeline_median_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval analysis: per-customer day gaps between
+    consecutive orders (LAG over a total-ordered per-customer window),
+    rolled up to the median and mean gap per market segment — the
+    repeat-purchase cadence metric behind churn/LTV models, composing
+    the F3 lag pattern with E11 exact percentiles in one plan.
+
+    Exactness: gaps are integer days; PERCENTILE_CONT's linear
+    interpolation on integers yields .0/.5 values that are
+    double-exact in both engines (the agg_percentile discipline), and
+    the mean divides an exact integer sum once. Scale: one shuffle to
+    the per-customer window (bounded partitions — orders per
+    customer), one to the |segments|-row rollup."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_mktsegment",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    return gaps.groupBy("c_mktsegment").agg(
+        F.count("gap_days").alias("n_gaps"),
+        F.expr("percentile(gap_days, 0.5)").alias("median_gap_days"),
+        (F.sum("gap_days").cast("double") / F.count("gap_days")).alias(
+            "mean_gap_days"
+        ),
+    )

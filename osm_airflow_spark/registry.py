@@ -116,8 +116,10 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-checked: new in round 5 (16) --
+    # -- never driver-checked: new in round 5 (18) --
     "win_time_weekly_aligned",
+    "fn_geo_bearing",
+    "pipeline_median_order_gap",
     "pipeline_promo_revenue",
     "osm_point_in_polygon",
     "osm_nearest_node",
@@ -170,8 +172,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_collect_ordered",
     "agg_count_distinct",
     "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
 ]
 
 
