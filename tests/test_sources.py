@@ -424,3 +424,58 @@ def test_pbf_python_datasource_matches_function_reader(spark, pbf_file):
         for r in via_source.groupBy("kind").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert counts == {"node": 4, "way": 2, "relation": 1}
+
+
+def test_pbf_decoder_survives_fuzzed_corruption(pbf_file):
+    """Adversarial-robustness floor for the wire decoder (the
+    component a real geofabrik extract would hit first): random
+    single-byte corruptions and truncations of a valid file must
+    produce either a successful decode (mutation hit a don't-care
+    byte) or a clean Python exception — never a hang, a negative
+    allocation, or an interpreter-level crash. Deterministic seed so
+    failures reproduce."""
+    import random
+    import struct
+    import zlib
+
+    from osm_airflow_spark.sources.pbf_wire import (
+        decode_blob,
+        scan_blob_offsets,
+    )
+
+    raw = open(pbf_file, "rb").read()
+    rng = random.Random(1234)
+    acceptable = (ValueError, KeyError, IndexError, EOFError, struct.error, zlib.error)
+
+    def drive(buf: bytes) -> None:
+        import os
+        import tempfile
+
+        fd, path = tempfile.mkstemp(suffix=".osm.pbf")
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(buf)
+            for start, length, blob_type in scan_blob_offsets(path):
+                if blob_type == "OSMData":
+                    decode_blob(buf[start : start + length])
+        finally:
+            os.unlink(path)
+
+    survived = 0
+    for _ in range(150):
+        mutated = bytearray(raw)
+        mutated[rng.randrange(len(raw))] = rng.randrange(256)
+        try:
+            drive(bytes(mutated))
+            survived += 1
+        except acceptable:
+            pass
+    for cut in range(1, 40):
+        try:
+            drive(raw[: len(raw) - cut])
+            survived += 1
+        except acceptable:
+            pass
+    # some mutations must be harmless (string-table bytes etc.) —
+    # if EVERY mutation raised, the guard set is suspiciously strict
+    assert survived > 0
