@@ -1935,3 +1935,98 @@ def pipeline_median_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_gap_days"
         ),
     )
+
+
+@query(
+    "pipeline_pareto_abc",
+    oracle=f"""
+    WITH part_rev AS (
+      SELECT l_partkey,
+             {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, revenue,
+             CAST(SUM(CAST(revenue AS DECIMAL(18,4)))
+                    OVER (ORDER BY revenue DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST((SELECT SUM(CAST(revenue AS DECIMAL(18,4)))
+                       FROM part_rev) AS DOUBLE) AS cum_share
+      FROM part_rev
+    )
+    SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           COUNT(*) AS n_parts,
+           {sql_dsum('revenue', 4)} AS class_revenue
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def pipeline_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: parts ranked by revenue,
+    cumulative revenue share, classes at 80% / 95% — the 80/20
+    analysis every inventory and spend dashboard runs, and the shape
+    that tempts a GLOBAL cumulative window (the canonical 100x scale
+    killer). This plan refuses it: the win_ntile bucket-offset
+    pattern generalizes from ranks to PREFIX SUMS —
+
+    1. revenue per part (one keyed aggregation, decimal-exact);
+    2. approx-percentile cuts -> B range-contiguous buckets of
+       (-revenue), so bucket order == global (revenue DESC) order;
+    3. per-bucket DECIMAL revenue totals (B tiny rows, collected —
+       control plane) -> exact cumulative offsets per bucket,
+       Python-summed as Decimal so nothing rounds;
+    4. per-bucket decimal running sum (window partitioned by bucket —
+       B-way parallel) + the bucket's offset = the exact global
+       prefix; one double division against the exact total.
+
+    Every prefix is a decimal sum in some order of the same values —
+    order-independent, so the distributed prefix equals the oracle's
+    global-window prefix bit-for-bit."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part_rev = (
+        li.groupBy("l_partkey")
+        .agg(dsum(_rev(), 4).alias("revenue"))
+        .localCheckpoint(eager=True)  # feeds cuts + totals + ranking
+    )
+    n_buckets = 8
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    work = part_rev.withColumn("_m", -F.col("revenue"))
+    cuts = work.agg(F.percentile_approx("_m", probs, 10_000).alias("c")).head()[0]
+    bucket = F.lit(0)
+    for cut in cuts:
+        bucket = bucket + F.when(F.col("_m") > F.lit(cut), 1).otherwise(0)
+    bucketed = work.withColumn("_bkt", bucket.cast("int"))
+    # control plane: per-bucket exact decimal totals -> offsets
+    totals = {
+        r["_bkt"]: r["t"]
+        for r in bucketed.groupBy("_bkt")
+        .agg(F.sum(F.col("revenue").cast("decimal(18,4)")).alias("t"))
+        .collect()
+    }
+    grand = sum(totals.values(), Decimal(0))
+    offset_expr, running = F.lit(0).cast("decimal(28,4)"), Decimal(0)
+    for b in range(n_buckets):
+        if running and totals.get(b) is not None:
+            offset_expr = F.when(
+                F.col("_bkt") == b, F.lit(str(running)).cast("decimal(28,4)")
+            ).otherwise(offset_expr)
+        running += totals.get(b, Decimal(0))
+    w_local = Window.partitionBy("_bkt").orderBy("_m", "l_partkey")
+    prefix = offset_expr + F.sum(F.col("revenue").cast("decimal(18,4)")).over(w_local)
+    cum_share = prefix.cast("double") / F.lit(str(grand)).cast("decimal(28,4)").cast(
+        "double"
+    )
+    classed = bucketed.withColumn(
+        "abc_class",
+        F.when(cum_share <= 0.8, "A").when(cum_share <= 0.95, "B").otherwise("C"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        dsum("revenue", 4).alias("class_revenue"),
+    )

@@ -116,8 +116,9 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-checked: new in round 5 (18) --
+    # -- never driver-checked: new in round 5 (19) --
     "win_time_weekly_aligned",
+    "pipeline_pareto_abc",
     "fn_geo_bearing",
     "pipeline_median_order_gap",
     "pipeline_promo_revenue",
@@ -171,7 +172,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_global",
     "agg_collect_ordered",
     "agg_count_distinct",
-    "agg_rollup",
 ]
 
 
