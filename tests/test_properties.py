@@ -258,3 +258,49 @@ def test_simplify_line_invariants_property(pts, eps):
             assert _perp_dist(pts[k], pts[a], pts[b]) <= eps + 1e-9
     # idempotence
     assert simplify_line(simp, eps) == simp
+
+
+def test_string_length_semantics_match_duckdb_on_multibyte(spark, tmp_path):
+    """Determinism-contract guard for future oracle authors: Spark
+    ``length()`` and DuckDB ``length()`` both count CHARACTERS (not
+    bytes) on multibyte text, and ``string_split``/``split`` agree on
+    token counts — so the text-stats keys stay hash-safe the day the
+    corpus stops being ASCII. DuckDB's byte count is ``strlen``,
+    asserted different to document the trap."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "héllo wörld"),
+        (2, "日本語 テスト 文"),
+        (3, "mixed ascii héré 漢字"),
+        (4, "emoji 🙂 and 🚀 here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    path = str(tmp_path / "uni.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got_spark = {
+        r.id: (r.n_chars, r.n_tokens)
+        for r in df.select(
+            "id",
+            F.length("text").alias("n_chars"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    got_duck = {
+        i: (n, t)
+        for i, n, t in con.execute(
+            f"""SELECT id, length(text), len(string_split(text, ' '))
+                FROM read_parquet('{path}/*.parquet')"""
+        ).fetchall()
+    }
+    assert got_spark == got_duck
+    # and the documented trap: strlen is BYTES, not chars
+    byte_len = dict(
+        con.execute(
+            f"SELECT id, strlen(text) FROM read_parquet('{path}/*.parquet')"
+        ).fetchall()
+    )
+    assert byte_len[2] > got_duck[2][0]  # CJK: bytes > chars
