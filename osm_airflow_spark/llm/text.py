@@ -1105,3 +1105,76 @@ def llm_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "gram")
         .limit(20)
     )
+
+
+@query(
+    "llm_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS n FROM toks GROUP BY w
+        ORDER BY n DESC, w LIMIT 50
+      )
+    ),
+    per_doc AS (
+      SELECT t.doc_id, t.lang,
+             round(CAST(COUNT(CASE WHEN v.w IS NULL THEN 1 END) AS DOUBLE)
+                   / COUNT(*), 6) AS oov_rate
+      FROM toks t LEFT JOIN vocab v USING (w)
+      GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(oov_rate AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS mean_oov_rate
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — tokenizer-vocabulary coverage: build the corpus
+    top-50 vocabulary (frequency, tie-broken by the word itself),
+    then report each language's mean out-of-vocabulary token rate —
+    the acceptance metric run before freezing a tokenizer on a new
+    corpus mix (high OOV = the vocab was trained on the wrong
+    distribution).
+
+    Shape: explode tokens once per branch, one groupBy(word) for the
+    vocab (corpus-bounded — the documented case where a join-back
+    beats a window, CLAUDE rules), vocab rides broadcast into a LEFT
+    join, one groupBy(doc), one |langs|-row rollup. Per-doc rates
+    round to 6 dp before the decimal mean so cross-partition double
+    summation can't drift."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(50)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.count(F.when(F.col("in_vocab").isNull(), 1)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate")
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("oov_rate").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_oov_rate"),
+    )

@@ -2030,3 +2030,73 @@ def pipeline_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         dsum("revenue", 4).alias("class_revenue"),
     )
+
+
+@query(
+    "pipeline_last_touch_attribution",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN ts END IGNORE NULLS) OVER w AS touch_ts,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS) OVER w
+               AS touch_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CASE WHEN touch_ts IS NOT NULL
+                 AND touch_ts >= ts - INTERVAL 24 HOUR
+                THEN touch_type ELSE 'none' END AS attributed_to,
+           COUNT(*) AS n_purchases,
+           {sql_dsum('value')} AS attributed_value
+    FROM tagged
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def pipeline_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    most recent click/view by the same user within a 24-hour
+    lookback, else 'none' — the standard conversion-attribution
+    rollup, composed from the F13 LOCF pattern (two consistent
+    last-ignorenulls fills over one total-ordered per-user window)
+    plus integer-exact interval arithmetic on the pinned-µs
+    timestamps. One shuffle to the user window, one to the 3-row
+    rollup; the window partition is per-user and bounded."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w).alias(
+            "touch_ts"
+        ),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    attributed = F.when(
+        F.col("touch_ts").isNotNull()
+        & (F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 24 HOURS")),
+        F.col("touch_type"),
+    ).otherwise("none")
+    return (
+        tagged.where(F.col("event_type") == "purchase")
+        .groupBy(attributed.alias("attributed_to"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum("value").alias("attributed_value"),
+        )
+    )

@@ -116,9 +116,11 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-checked: new in round 5 (19) --
+    # -- never driver-checked: new in round 5 (21) --
     "win_time_weekly_aligned",
     "pipeline_pareto_abc",
+    "pipeline_last_touch_attribution",
+    "llm_vocab_coverage",
     "fn_geo_bearing",
     "pipeline_median_order_gap",
     "pipeline_promo_revenue",
@@ -170,8 +172,6 @@ DRIVER_WINDOW: list[str] = [
     # -- staleness re-checks: latest proof round 2 (23) --
     "agg_groupby",
     "agg_global",
-    "agg_collect_ordered",
-    "agg_count_distinct",
 ]
 
 
