@@ -182,3 +182,40 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "pipeline_pricing_summary",   # decimal-sum aggregates
+        "win_ntile",                  # distributed exact rank
+        "pipeline_pareto_abc",        # bucket-offset prefix sums
+        "agg_percentile",             # exact percentile
+        "agg_stats_moments",          # mergeable sufficient stats
+        "llm_dedup_exact",            # window survivor selection
+        "win_time_session",           # gaps-and-islands
+        "sort_topk",                  # TakeOrderedAndProject
+    ],
+)
+def test_partition_count_independence(spark, sf_dir, key, monkeypatch):
+    """Standing guard for the determinism contract: the same key at 7
+    and 32 shuffle partitions produces identical canonical values.
+    The registry wrapper re-pins spark.sql.shuffle.partitions from
+    session.DEFAULT_SHUFFLE_PARTITIONS on every call, so the override
+    goes through that module attribute — exactly the path the
+    SPARK_GRAFT_CPUS env var takes. Previously proven only by manual
+    full-gate runs; these eight keys cover the aggregation, window,
+    rank, prefix-sum, percentile, and top-k families in CI."""
+    import osm_airflow_spark.session as sess
+    from osm_airflow_spark.registry import QUERIES
+
+    def canon(df):
+        return sorted(
+            tuple(str(v) for v in row) for row in df.collect()
+        )
+
+    monkeypatch.setattr(sess, "DEFAULT_SHUFFLE_PARTITIONS", 32)
+    at32 = canon(QUERIES[key](spark, sf_dir))
+    monkeypatch.setattr(sess, "DEFAULT_SHUFFLE_PARTITIONS", 7)
+    at7 = canon(QUERIES[key](spark, sf_dir))
+    assert at32 == at7
