@@ -1178,3 +1178,54 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_oov_rate"),
     )
+
+
+@query(
+    "llm_sample_balanced",
+    oracle="""
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n) AS min_n FROM counts),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(text), doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_kept, SUM(doc_id) AS doc_id_sum
+    FROM ranked, m WHERE rn <= min_n
+    GROUP BY lang
+    """,
+)
+def llm_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — balanced per-group downsampling: every language
+    keeps exactly min-group-size documents, selected by content-hash
+    order (md5(text), doc_id) so the sample is deterministic,
+    leakage-proof (content decides membership, like llm_split_assign)
+    and unbiased by ingest order. The class-balancing step a
+    multilingual mixture runs before training when one language
+    dominates the crawl.
+
+    Shape: the per-language counts are a tiny checkpoint; min rides
+    broadcast; selection is one row_number window partitioned by
+    language (bounded partitions). Reported as per-language kept
+    count + doc_id checksum."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    )
+    min_n = counts.agg(F.min("n").alias("min_n"))
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    ranked = d.select("doc_id", "lang", F.md5("text").alias("h")).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(min_n))
+        .where(F.col("rn") <= F.col("min_n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("doc_id_sum"),
+        )
+    )

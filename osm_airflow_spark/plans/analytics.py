@@ -2100,3 +2100,55 @@ def pipeline_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFra
             dsum("value").alias("attributed_value"),
         )
     )
+
+
+@query(
+    "pipeline_mom_growth",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT c.c_mktsegment,
+             CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+             {sql_dsum('o.o_totalprice')} AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, month, revenue,
+           revenue - LAG(revenue) OVER w AS revenue_delta,
+           round(100 * (revenue / LAG(revenue) OVER w - 1), 6)
+             AS growth_pct
+    FROM monthly
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY month)
+    """,
+)
+def pipeline_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per market segment — the
+    period-over-period report every BI dashboard leads with, composed
+    as rollup-then-lag: one keyed monthly aggregation (decimal-exact
+    revenue), then LAG over a window partitioned by segment and
+    ordered by month. The window input is the |segments|x|months|
+    AGGREGATE (hundreds of rows), never the fact table — the
+    rollup-first ordering is what keeps the lag cheap at any scale.
+    Delta is an exact double subtraction of decimal-derived values;
+    the growth ratio is one division + one multiply rounded at 6 dp,
+    identical in both engines."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    monthly = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_mktsegment",
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "c_mktsegment",
+        "month",
+        "revenue",
+        (F.col("revenue") - prev).alias("revenue_delta"),
+        F.round(100 * (F.col("revenue") / prev - 1), 6).alias("growth_pct"),
+    )

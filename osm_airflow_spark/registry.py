@@ -110,13 +110,15 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # coverage of the whole registry), mm_feature_extract (the r4 FAIL,
 # now returning a canonicalization-safe shape), two stable anchors,
 # and staleness re-checks: the 8 keys whose latest driver proof is
-# still round 1 (the win_* core) plus the oldest round-2 agg/join
-# families. New keys displace staleness re-checks (never-checked
-# beats re-proof), keeping the list at exactly 50.
+# still round 1 (the win_* core). The round-2 agg/join re-checks were
+# fully displaced by this round's new keys (never-checked beats
+# re-proof), keeping the list at exactly 50.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-checked: new in round 5 (21) --
+    # -- never driver-checked: new in round 5 (23) --
+    "pipeline_mom_growth",
+    "llm_sample_balanced",
     "win_time_weekly_aligned",
     "pipeline_pareto_abc",
     "pipeline_last_touch_attribution",
@@ -169,9 +171,6 @@ DRIVER_WINDOW: list[str] = [
     "win_topk_group",
     "win_first_last",
     "win_cume_dist",
-    # -- staleness re-checks: latest proof round 2 (23) --
-    "agg_groupby",
-    "agg_global",
 ]
 
 
