@@ -219,3 +219,39 @@ def test_partition_count_independence(spark, sf_dir, key, monkeypatch):
     monkeypatch.setattr(sess, "DEFAULT_SHUFFLE_PARTITIONS", 7)
     at7 = canon(QUERIES[key](spark, sf_dir))
     assert at32 == at7
+
+
+def test_concurrent_queries_share_one_session_safely(spark, sf_dir):
+    """Shared-driver reality check: one SparkSession serving many
+    concurrent callers (threads) must produce the same results as
+    serial execution. Exercises the load_table plan memo under
+    contention — its WeakKeyDictionary.setdefault + dict writes are
+    GIL-atomic, and the worst race (two threads building the same
+    scan plan) just wastes one build; this test would catch either a
+    corrupted cache entry or cross-thread conf bleed."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from osm_airflow_spark.registry import QUERIES
+
+    keys = [
+        "agg_groupby",
+        "join_broadcast",
+        "win_rank",
+        "llm_text_stats",
+        "filter_predicate",
+        "set_union_all",
+        "fn_hash",
+        "agg_conditional",
+    ]
+
+    def run(key):
+        return key, sorted(
+            tuple(str(v) for v in row)
+            for row in QUERIES[key](spark, sf_dir).collect()
+        )
+
+    serial = dict(run(k) for k in keys)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for _ in range(2):  # two rounds: cold cache then warm cache
+            results = dict(pool.map(run, keys))
+            assert results == serial
