@@ -1,0 +1,124 @@
+"""Engine-wide physical-plan lint: build every registered key's plan
+and flag scale anti-patterns — the governance pass behind SCALE.md,
+generalizing explain_audit.py's describe-the-headliners into
+judge-every-key. Writes PLANLINT.md.
+
+Checks (optimized + executed plan text):
+  CART   CartesianProduct outside join_cross: both sides big and no
+         broadcast bound — the genuinely dangerous shape.
+         BroadcastNestedLoopJoin is deliberately NOT flagged: one
+         side is broadcast by definition, and the engine's global
+         scalars ride as broadcast 1-row crossJoins (so every
+         scalar-threshold key shows a BNLJ on a 1-row side)
+  PYUDF  row-at-a-time Python UDF (BatchEvalPython) outside the J1
+         surface-parity key
+  GLOBW  windowspecdefinition with no partition clause (also enforced
+         per-key by tests/test_plans.py — belt and suspenders)
+  XHIGH  > 14 exchanges (worst-offender report, not a failure)
+
+Iterative keys whose DataFrame CONSTRUCTION runs checkpoint jobs are
+excluded (same set explain_audit.py excludes, plus the kmeans/PQ ANN
+family and pagerank).
+
+Usage: python tools/plan_lint.py   # exit 1 on any CART/PYUDF/GLOBW
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from osm_airflow_spark.registry import all_queries  # noqa: E402
+from osm_airflow_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+
+# DataFrame construction triggers jobs (driver-loop iteration /
+# control-plane collects) — lint would *run* them; skip.
+ITERATIVE = {
+    "graph_connected_components",
+    "graph_pagerank",
+    "osm_super_relation_rollup",
+    "llm_sim_ann_ivf_kmeans",
+    "llm_sim_ann_pq",
+    "llm_semdedup",
+    "llm_dedup_cluster_best",
+    "win_ntile",
+    "pipeline_rfm_segments",
+    "pipeline_pareto_abc",
+    "llm_domain_mix",
+    "llm_sample_balanced",
+    "pipeline_important_stock",
+}
+
+# a deliberate unbounded cartesian (the D10 surface key)
+NONEQUI_OK = {"join_cross"}
+PYUDF_OK = {"udf_scalar"}  # J1 surface parity, deliberately row-at-a-time
+
+GLOBAL_WINDOW = re.compile(r"windowspecdefinition\(([^)]*)")
+
+
+def lint(key: str, df) -> tuple[list[str], int]:
+    qe = df._jdf.queryExecution()
+    text = qe.optimizedPlan().toString() + qe.executedPlan().toString()
+    flags = []
+    if "CartesianProduct" in text and key not in NONEQUI_OK:
+        flags.append("CART")
+    if "BatchEvalPython" in text and key not in PYUDF_OK:
+        flags.append("PYUDF")
+    for spec in GLOBAL_WINDOW.findall(text):
+        head = spec.split(",")[0]
+        if " ASC" in head or " DESC" in head or head.startswith("specifiedwindowframe"):
+            flags.append("GLOBW")
+            break
+    exchanges = qe.executedPlan().toString().count("Exchange")
+    if exchanges > 14:
+        flags.append("XHIGH")
+    return flags, exchanges
+
+
+def main() -> int:
+    spark = get_spark("plan-lint")
+    queries = all_queries()
+    rows, hard_fails = [], []
+    for key in sorted(queries):
+        if key in ITERATIVE:
+            continue
+        try:
+            flags, exchanges = lint(key, queries[key](spark, SF_DIR))
+        except Exception as e:  # noqa: BLE001
+            rows.append((key, ["ERROR"], -1))
+            hard_fails.append((key, str(e)[:100]))
+            continue
+        rows.append((key, flags, exchanges))
+        if set(flags) & {"CART", "PYUDF", "GLOBW"}:
+            hard_fails.append((key, ",".join(flags)))
+    out = [
+        "# PLANLINT — engine-wide plan governance",
+        "",
+        f"{len(rows)} keys linted at {SF_DIR} ({len(ITERATIVE)} iterative",
+        "keys excluded — building their DataFrames runs checkpoint jobs).",
+        "Checks: CART (CartesianProduct outside join_cross — both sides",
+        "big, no broadcast bound), PYUDF (row-at-a-time Python UDF",
+        "outside J1), GLOBW (unpartitioned window), XHIGH (>14",
+        "exchanges, report-only). BroadcastNestedLoopJoin is not",
+        "flagged: one side is broadcast by definition, and global",
+        "scalars deliberately ride as broadcast 1-row crossJoins.",
+        "",
+        "| key | exchanges | flags |",
+        "| --- | --- | --- |",
+    ]
+    for key, flags, exchanges in sorted(rows, key=lambda r: -r[2]):
+        out.append(f"| {key} | {exchanges} | {' '.join(flags) or '—'} |")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PLANLINT.md"), "w") as fh:
+        fh.write("\n".join(out) + "\n")
+    print(f"linted {len(rows)} keys; hard fails: {hard_fails or 'none'}")
+    return 1 if hard_fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
