@@ -1173,3 +1173,67 @@ def osm_super_relation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_refs").alias("n_node_refs"),
         )
     )
+
+
+@query(
+    "osm_tag_frequency",
+    oracle="""
+    WITH el AS (
+      SELECT p_partkey AS id, MAP(['brand', 'type'], [p_brand, p_type]) AS tags
+      FROM part
+    ),
+    kv AS (SELECT id, unnest(map_entries(tags)) AS e FROM el),
+    counts AS (
+      SELECT e.key AS tag_key, e.value AS tag_value, COUNT(*) AS n
+      FROM kv GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT tag_key, tag_value, n,
+             ROW_NUMBER() OVER (PARTITION BY tag_key
+                                ORDER BY n DESC, tag_value) AS rn
+      FROM counts
+    )
+    SELECT c.tag_key,
+           SUM(c.n) AS n_elements,
+           COUNT(*) AS n_values,
+           MAX(CASE WHEN r.rn = 1 THEN r.tag_value END) AS top_value,
+           MAX(CASE WHEN r.rn = 1 THEN r.n END) AS top_n
+    FROM counts c JOIN ranked r
+      ON c.tag_key = r.tag_key AND c.tag_value = r.tag_value
+    GROUP BY c.tag_key
+    """,
+)
+def osm_tag_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag statistics over MAP-typed element tags — the taginfo
+    report osm2pgsql users run to decide which keys deserve flex
+    promotion to typed columns (/root/reference/README.md:74,93's
+    styling decision, made data-driven): per tag key, element count,
+    distinct-value cardinality, and the modal value with a
+    total-order tie-break. Elements derive their tags map from part
+    attributes (the fixture contract); the plan exercises the real
+    map plumbing — map construction, map_entries explode, per-key
+    mode via the E18 window pattern (partitioned by tag key, always
+    bounded by |keys|).
+
+    Scale: explode is rows x |tags-per-element| (bounded, ~2-60 on
+    real OSM); one groupBy (key, value); the mode window runs over
+    the aggregated counts table, never the elements."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part")
+    el = p.select(
+        F.col("p_partkey").alias("id"),
+        F.create_map(
+            F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+        ).alias("tags"),
+    )
+    kv = el.select("id", F.explode("tags").alias("tag_key", "tag_value"))
+    counts = kv.groupBy("tag_key", "tag_value").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("tag_key").orderBy(F.col("n").desc(), "tag_value")
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("tag_key").agg(
+        F.sum("n").alias("n_elements"),
+        F.count(F.lit(1)).alias("n_values"),
+        F.max(F.when(F.col("rn") == 1, F.col("tag_value"))).alias("top_value"),
+        F.max(F.when(F.col("rn") == 1, F.col("n"))).alias("top_n"),
+    )

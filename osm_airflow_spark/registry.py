@@ -116,9 +116,10 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-checked: new in round 5 (23) --
+    # -- never driver-checked: new in round 5 (24) --
     "pipeline_mom_growth",
     "llm_sample_balanced",
+    "osm_tag_frequency",
     "win_time_weekly_aligned",
     "pipeline_pareto_abc",
     "pipeline_last_touch_attribution",
@@ -170,7 +171,6 @@ DRIVER_WINDOW: list[str] = [
     "win_moving_avg",
     "win_topk_group",
     "win_first_last",
-    "win_cume_dist",
 ]
 
 
