@@ -2152,3 +2152,81 @@ def pipeline_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("revenue") - prev).alias("revenue_delta"),
         F.round(100 * (F.col("revenue") / prev - 1), 6).alias("growth_pct"),
     )
+
+
+@query(
+    "pipeline_bom_rollup",
+    oracle="""
+    WITH RECURSIVE parent_of AS (
+      SELECT p_partkey AS id, p_partkey // 7 AS parent FROM part
+    ),
+    chase AS (
+      SELECT id, id AS cur FROM parent_of
+      UNION ALL
+      SELECT c.id, p.parent
+      FROM chase c JOIN parent_of p ON p.id = c.cur
+      WHERE p.parent >= 1
+    ),
+    roots AS (
+      SELECT c.id, c.cur AS root
+      FROM chase c JOIN parent_of p ON p.id = c.cur
+      WHERE p.parent = 0
+    )
+    SELECT r.root AS root_id,
+           COUNT(*) AS n_components,
+           SUM(p.p_size) AS total_weight,
+           MAX(p.p_retailprice) AS max_component_price
+    FROM roots r JOIN part p ON p.p_partkey = r.id
+    GROUP BY r.root
+    """,
+)
+def pipeline_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials rollup — the classic recursive-hierarchy
+    query (SURVEY notes the reference has NO recursive queries; this
+    extension shows the engine handles the shape): every part chains
+    to an assembly root through a parent edge table (parent = id//7,
+    a guaranteed-acyclic derivation since parent < child), and each
+    root aggregates its whole subtree's component count, weight, and
+    max component price.
+
+    Spark side is the production BOM plan: iterative pointer-chasing
+    JOINS against the parent table — each round advances every
+    non-root chain one hop (rounds = hierarchy depth, ~6 here;
+    pointer doubling would make it log-depth at the cost of
+    materializing the squared edge table), frontier localCheckpoint-ed
+    per round like every iterative operator in this engine. The
+    termination probe is a limit(1) existence check — control plane.
+    DuckDB proves it with a recursive CTE. Integer aggregates +
+    double max — hash-exact."""
+    p = load_table(spark, sf_dir, "part")
+    parent_of = (
+        p.select(
+            F.col("p_partkey").alias("pid"),
+            F.floor(F.col("p_partkey") / 7).cast("long").alias("parent"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = parent_of.select(F.col("pid").alias("id"), F.col("pid").alias("cur"))
+    for _ in range(16):  # depth cap: 7^16 >> any fixture key space
+        step = (
+            labels.join(parent_of, F.col("cur") == F.col("pid"))
+            .select(
+                "id",
+                F.when(F.col("parent") >= 1, F.col("parent"))
+                .otherwise(F.col("cur"))
+                .alias("cur"),
+                (F.col("parent") >= 1).alias("moved"),
+            )
+        ).localCheckpoint(eager=True)
+        labels = step.select("id", "cur")
+        if not step.where(F.col("moved")).take(1):
+            break
+    return (
+        labels.join(p, F.col("id") == F.col("p_partkey"))
+        .groupBy(F.col("cur").alias("root_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.sum("p_size").alias("total_weight"),
+            F.max("p_retailprice").alias("max_component_price"),
+        )
+    )

@@ -103,20 +103,23 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ``tests/test_registry.py`` pins the exact list so adding a key can
 # never reshuffle the window unreviewed.
 #
-# Round-5 window: the 11 keys registered THIS round (Q14/Q9/Q16/Q20/
-# Q22, domain mix, ngram top-k, incremental dedup, int8 quantize,
-# connected components, image resize), the 16 keys registered after
-# round 4's window filled (never driver-checked — completes driver
-# coverage of the whole registry), mm_feature_extract (the r4 FAIL,
-# now returning a canonicalization-safe shape), two stable anchors,
-# and staleness re-checks: the 8 keys whose latest driver proof is
-# still round 1 (the win_* core). The round-2 agg/join re-checks were
-# fully displaced by this round's new keys (never-checked beats
-# re-proof), keeping the list at exactly 50.
+# Round-5 window: the 25 keys registered THIS round (TPC silhouettes
+# Q14/Q9/Q16/Q20/Q22, the LLM domain-mix/ngram/incremental-dedup/
+# quantize/vocab/balanced-sample family, connected components, the
+# point-in-polygon/nearest-node/simplify/super-relation/tag-frequency
+# geometry suite, BOM/Pareto/attribution/cadence/MoM analytics,
+# Monday-aligned weeks, image resize), the 16 keys registered after
+# round 4's window filled, mm_feature_extract (the r4 FAIL, now
+# returning a canonicalization-safe shape), two stable anchors, and
+# 6 win_* staleness re-checks (latest driver proof still round 1).
+# New keys displaced the round-2 agg/join re-checks and two win_*
+# re-checks (never-checked beats re-proof), keeping the list at
+# exactly 50.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-checked: new in round 5 (24) --
+    # -- never driver-checked: new in round 5 (25) --
+    "pipeline_bom_rollup",
     "pipeline_mom_growth",
     "llm_sample_balanced",
     "osm_tag_frequency",
@@ -170,7 +173,6 @@ DRIVER_WINDOW: list[str] = [
     "win_running_sum",
     "win_moving_avg",
     "win_topk_group",
-    "win_first_last",
 ]
 
 
