@@ -273,3 +273,47 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    cluster_cols: tuple[str, ...] = (),
+) -> dict:
+    """Small-file compaction — the table-maintenance pass every
+    long-lived dataset needs: streaming ingests (foreachBatch appends
+    one file per micro-batch), dynamic-partition publishes, and
+    incremental dedup all accrete files until scan planning is
+    dominated by listing/open overhead (each file costs a metadata
+    round-trip against an object store, and tiny row groups defeat
+    min/max pruning).
+
+    Rewrites ``path`` to ``target_files`` files — coalesce when only
+    merging (no shuffle), repartitionByRange + sortWithinPartitions
+    when ``cluster_cols`` is given (restores the write_clustered
+    stats-tightness contract that appends erode). Staged write +
+    atomic-as-possible swap, same discipline as the incremental
+    snapshot maintenance in tests/test_streaming.py. Returns
+    {files_before, files_after, rows} for the maintenance log.
+
+    At 100 TB this runs per-partition (compact yesterday's
+    partition, never the whole table) — pass the partition directory
+    as ``path``."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    files_before = len(df.inputFiles())
+    rows = df.count()
+    if cluster_cols:
+        out = df.repartitionByRange(target_files, *cluster_cols).sortWithinPartitions(
+            *cluster_cols
+        )
+    else:
+        out = df.coalesce(target_files)
+    staged = f"{path}_compact_stage"
+    out.write.mode("overwrite").parquet(staged)
+    shutil.rmtree(path)
+    shutil.move(staged, path)
+    files_after = len(spark.read.parquet(path).inputFiles())
+    return {"files_before": files_before, "files_after": files_after, "rows": rows}

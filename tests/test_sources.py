@@ -479,3 +479,71 @@ def test_pbf_decoder_survives_fuzzed_corruption(pbf_file):
     # some mutations must be harmless (string-table bytes etc.) —
     # if EVERY mutation raised, the guard set is suspiciously strict
     assert survived > 0
+
+
+def test_compact_snapshot_merges_small_files_preserving_content(spark, sf_dir, tmp_path):
+    """32 tiny append files compact to 4 with identical content, and
+    a clustered compaction restores sorted row-group stats (every
+    output file covers a disjoint key range)."""
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.io import compact_snapshot, load_table
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    path = str(tmp_path / "accreted")
+    # simulate micro-batch appends: 8 writes x 4 files
+    for i in range(8):
+        c.where(F.col("c_custkey") % 8 == i).repartition(4).write.mode(
+            "append"
+        ).parquet(path)
+    before = sorted(r.c_custkey for r in spark.read.parquet(path).collect())
+
+    stats = compact_snapshot(spark, path, target_files=4)
+    assert stats["files_before"] >= 32
+    assert stats["files_after"] <= 4
+    after = sorted(r.c_custkey for r in spark.read.parquet(path).collect())
+    assert after == before
+
+    # clustered recompaction: per-file key ranges must be disjoint
+    compact_snapshot(spark, path, target_files=4, cluster_cols=("c_custkey",))
+    ranges = []
+    for f in spark.read.parquet(path).inputFiles():
+        r = spark.read.parquet(f.replace("file:", "")).agg(
+            F.min("c_custkey"), F.max("c_custkey")
+        ).collect()[0]
+        ranges.append((r[0], r[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint, stats-prunable
+
+
+def test_snapshot_schema_evolution_across_dates(spark, sf_dir, tmp_path):
+    """Layers evolve: a later snapshot adds a column (flex style
+    promotes a new tag). mergeSchema reads the union — old partitions
+    surface NULL for the new column, per-partition reads see their
+    own schema, and the dated-partition layout keeps both snapshots
+    independently consistent."""
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.io import load_table, read_snapshot, write_snapshot
+
+    base = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    path = str(tmp_path / "layer")
+    write_snapshot(base, path, "2024-01-01")
+    evolved = base.withColumn("population", F.col("n_nationkey") * 1000)
+    write_snapshot(evolved, path, "2024-01-08")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "population" in merged.columns
+    old = merged.where(F.col("pgosm_date") == "2024-01-01")
+    new = merged.where(F.col("pgosm_date") == "2024-01-08")
+    assert old.where(F.col("population").isNotNull()).count() == 0
+    assert new.where(F.col("population").isNull()).count() == 0
+    # dated reads still serve each snapshot's own shape
+    assert "population" not in read_snapshot(spark, path, "2024-01-01").columns or (
+        read_snapshot(spark, path, "2024-01-01")
+        .where(F.col("population").isNotNull())
+        .count()
+        == 0
+    )
+    assert read_snapshot(spark, path, "2024-01-08").count() == base.count()
