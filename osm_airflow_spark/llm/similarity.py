@@ -558,3 +558,77 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "llm_hard_negatives",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qvec, label AS q_label
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id, e.label,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qvec AS DOUBLE[])) AS cos_sim
+      FROM q JOIN embeddings e
+        ON e.vec_id <> q.q_id AND e.label <> q.q_label
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, label, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT q_id, vec_id AS negative_id, label AS negative_label, cos_sim
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — hard-negative mining: for each (sampled) anchor
+    vector, the 3 most-similar vectors with a DIFFERENT label — the
+    batch that makes contrastive embedding training work (easy random
+    negatives teach nothing; near-misses define the decision
+    boundary). Exactly the retrieval loop behind every dual-encoder
+    training pipeline.
+
+    Shape: anchors ride broadcast against one corpus scan; per-anchor
+    top-3 via WindowGroupLimit (map-side k-capping, partition =
+    anchor — bounded). The label filter runs BEFORE scoring. Scores
+    are the same double cosine fold as llm_sim_topk (oracle casts to
+    DOUBLE[] so DuckDB folds in double too — bit-equal, no rounding
+    needed). At 100 TB the corpus scan per anchor batch is amortized:
+    score all anchors in one pass (done here — one join, not one
+    scan per anchor), and the ANN index family replaces the exhaustive
+    scan the same way it does for llm_sim_topk."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(q),
+            (F.col("vec_id") != F.col("q_id")) & (F.col("label") != F.col("q_label")),
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            cosine_expr("embedding", "qvec").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            "cos_sim",
+        )
+    )

@@ -2230,3 +2230,49 @@ def pipeline_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p_retailprice").alias("max_component_price"),
         )
     )
+
+
+@query(
+    "pipeline_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP))
+               AS first_month
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+           COUNT(DISTINCT CASE WHEN CAST(date_trunc('month', o.o_orderdate)
+                                         AS TIMESTAMP) = f.first_month
+                          THEN o.o_custkey END) AS new_customers,
+           COUNT(DISTINCT CASE WHEN CAST(date_trunc('month', o.o_orderdate)
+                                         AS TIMESTAMP) <> f.first_month
+                          THEN o.o_custkey END) AS returning_customers
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY 1
+    """,
+)
+def pipeline_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning customer split per month — the growth-
+    accounting staple beside MoM revenue: a customer is NEW in their
+    first-ever order month and RETURNING in any later month they
+    order. First months come from one keyed MIN aggregate; the fact
+    side joins back on the customer key (big-big equi join, the Q13
+    family — bucketable on custkey) and two conditional distinct
+    counts land per month. Integer/timestamp only — hash-exact by
+    construction."""
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", "o_orderdate")
+    firsts = o.groupBy("o_custkey").agg(F.min(month).alias("first_month"))
+    return (
+        o.join(firsts, "o_custkey")
+        .groupBy(month.alias("month"))
+        .agg(
+            F.countDistinct(
+                F.when(month == F.col("first_month"), F.col("o_custkey"))
+            ).alias("new_customers"),
+            F.countDistinct(
+                F.when(month != F.col("first_month"), F.col("o_custkey"))
+            ).alias("returning_customers"),
+        )
+    )

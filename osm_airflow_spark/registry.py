@@ -103,22 +103,25 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ``tests/test_registry.py`` pins the exact list so adding a key can
 # never reshuffle the window unreviewed.
 #
-# Round-5 window: the 25 keys registered THIS round (TPC silhouettes
+# Round-5 window: the 27 keys registered THIS round (TPC silhouettes
 # Q14/Q9/Q16/Q20/Q22, the LLM domain-mix/ngram/incremental-dedup/
 # quantize/vocab/balanced-sample family, connected components, the
 # point-in-polygon/nearest-node/simplify/super-relation/tag-frequency
 # geometry suite, BOM/Pareto/attribution/cadence/MoM analytics,
-# Monday-aligned weeks, image resize), the 16 keys registered after
+# Monday-aligned weeks, image resize, hard negatives,
+# new-vs-returning), the 16 keys registered after
 # round 4's window filled, mm_feature_extract (the r4 FAIL, now
 # returning a canonicalization-safe shape), two stable anchors, and
-# 6 win_* staleness re-checks (latest driver proof still round 1).
-# New keys displaced the round-2 agg/join re-checks and two win_*
+# 4 win_* staleness re-checks (latest driver proof still round 1).
+# New keys displaced the round-2 agg/join re-checks and four win_*
 # re-checks (never-checked beats re-proof), keeping the list at
 # exactly 50.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-checked: new in round 5 (25) --
+    # -- never driver-checked: new in round 5 (27) --
+    "pipeline_new_vs_returning",
+    "llm_hard_negatives",
     "pipeline_bom_rollup",
     "pipeline_mom_growth",
     "llm_sample_balanced",
@@ -166,13 +169,11 @@ DRIVER_WINDOW: list[str] = [
     # -- stable anchors (2) --
     "flagship_revenue_by_region",
     "scan_parquet",
-    # -- staleness re-checks: latest proof round 1 (8) --
+    # -- staleness re-checks: latest proof round 1 (4) --
     "win_dedup_latest",
     "win_rank",
     "win_lag_lead",
     "win_running_sum",
-    "win_moving_avg",
-    "win_topk_group",
 ]
 
 
