@@ -52,6 +52,7 @@ ITERATIVE = {
     "llm_domain_mix",
     "llm_sample_balanced",
     "pipeline_important_stock",
+    "pipeline_bom_rollup",
 }
 
 # a deliberate unbounded cartesian (the D10 surface key)
