@@ -76,6 +76,15 @@ def test_query_runs_and_has_clean_schema(spark, sf_dir, key):
             if isinstance(f.dataType, (ArrayType, MapType, StructType, BinaryType))
         ]
         assert not hazards, f"{key}: complex top-level columns {hazards}"
+    # plan-lint hard rules, enforced per key (tools/plan_lint.py is
+    # the reportable sweep; this keeps regressions from landing
+    # between lint runs). BroadcastNestedLoopJoin is fine — one side
+    # is broadcast by definition (the 1-row-scalar pattern).
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    if key != "join_cross":
+        assert "CartesianProduct" not in physical, f"{key}: unbounded cartesian"
+    if key != "udf_scalar":
+        assert "BatchEvalPython" not in physical, f"{key}: row-at-a-time Python UDF"
     assert df.count() >= 0
 
 
