@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from functools import reduce
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -781,7 +782,11 @@ def dedup_ingest_stream(
         try:
             existing = spark.read.parquet(index_dir).select("h")
             fresh = kept.join(existing, "h", "left_anti")
-        except Exception:  # first batch: no index yet
+        except AnalysisException:
+            # First batch: index path doesn't exist yet. Only the
+            # missing-path analysis error means "no index"; any other
+            # failure (corrupt file, permissions, transient FS) must
+            # fail the batch, not silently admit duplicates.
             fresh = kept
         # one deterministic pass: survivors then their digests
         fresh = fresh.localCheckpoint(eager=True)

@@ -1099,6 +1099,11 @@ def llm_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select(F.split("text", " ").alias("words"))
+        # shingle_array's <3-word fallback emits the whole text as one
+        # gram (dedup semantics); this key's oracle generate_series
+        # emits NOTHING for such docs — guard so both engines agree on
+        # short documents (no fixture doc trips it today; latent drift).
+        .where(F.size("words") >= 3)
         .select(F.explode(shingle_array("words", 3)).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
@@ -1191,7 +1196,7 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY md5(text), doc_id) AS rn
       FROM documents
     )
-    SELECT lang, COUNT(*) AS n_kept, SUM(doc_id) AS doc_id_sum
+    SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
     FROM ranked, m WHERE rn <= min_n
     GROUP BY lang
     """,

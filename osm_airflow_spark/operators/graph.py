@@ -199,7 +199,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT u.b, w.root FROM walk w JOIN und u ON u.a = w.v
     ),
     cc AS (SELECT v, MIN(root) AS comp FROM walk GROUP BY v)
-    SELECT comp, COUNT(*) AS n_members, SUM(v) AS member_key_sum
+    SELECT comp, COUNT(*) AS n_members, CAST(SUM(v) AS BIGINT) AS member_key_sum
     FROM cc GROUP BY comp ORDER BY comp
     """,
 )

@@ -2174,7 +2174,7 @@ def pipeline_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r.root AS root_id,
            COUNT(*) AS n_components,
-           SUM(p.p_size) AS total_weight,
+           CAST(SUM(p.p_size) AS BIGINT) AS total_weight,
            MAX(p.p_retailprice) AS max_component_price
     FROM roots r JOIN part p ON p.p_partkey = r.id
     GROUP BY r.root

@@ -1092,7 +1092,7 @@ def osm_line_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT r.child_rel) AS n_child_rels,
            COUNT(*) AS n_way_members,
            COUNT(CASE WHEN r.role = 'outer' THEN 1 END) AS n_outer,
-           SUM(w.n_refs) AS n_node_refs
+           CAST(SUM(w.n_refs) AS BIGINT) AS n_node_refs
     FROM resolved r JOIN ways w USING (way_id)
     GROUP BY r.super_id
     """,
@@ -1194,7 +1194,7 @@ def osm_super_relation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM counts
     )
     SELECT c.tag_key,
-           SUM(c.n) AS n_elements,
+           CAST(SUM(c.n) AS BIGINT) AS n_elements,
            COUNT(*) AS n_values,
            MAX(CASE WHEN r.rn = 1 THEN r.tag_value END) AS top_value,
            MAX(CASE WHEN r.rn = 1 THEN r.n END) AS top_n

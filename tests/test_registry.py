@@ -52,8 +52,6 @@ def test_rows_only_keys_are_the_documented_ones():
         "graph_pagerank",
         "llm_fingerprint",
         "mm_feature_extract",
-        "mm_frame_sample",
-        "mm_image_resize",
         "osm_ring_repair",
         "osm_line_simplify",
     }

@@ -41,6 +41,12 @@ def _cell(v) -> str:
         f = float(v)
         if math.isnan(f):
             return "NaN"
+        if f.is_integer():
+            # Render 7.0 distinctly from int 7: the external driver's
+            # canonicalizer distinguishes them, and collapsing both to
+            # "7" is exactly how five HUGEINT-as-float64 oracle bugs
+            # shipped green in round 5 (VERDICT r5).
+            return f"{f:.1f}"
         return f"{f:.17g}"
     if isinstance(v, (np.integer,)):
         return str(int(v))
@@ -118,6 +124,25 @@ def main(keys: list[str], sf_dir: str = SF_DIR) -> int:
         ocols, orows = canon(odf)
         if scols != ocols:
             print(f"✗ {key}: SCHEMA spark={scols} oracle={ocols}")
+            failures.append(key)
+            continue
+        # Numeric-kind drift (int column on one side, float on the other)
+        # hash-fails at the external driver even when every value is
+        # integral — e.g. DuckDB SUM(int)→HUGEINT→float64. Catch it by
+        # dtype, not just by value rendering, so all-NULL columns and
+        # empty results can't hide it.
+        kind_drift = [
+            c
+            for c in scols
+            if {sdf[c].dtype.kind, odf[c].dtype.kind} == {"i", "f"}
+        ]
+        if kind_drift:
+            print(
+                f"✗ {key}: DTYPE int-vs-float drift on {kind_drift} "
+                f"(spark={[str(sdf[c].dtype) for c in kind_drift]}, "
+                f"oracle={[str(odf[c].dtype) for c in kind_drift]}) — "
+                f"CAST the oracle aggregate (AS BIGINT/DOUBLE) to match"
+            )
             failures.append(key)
             continue
         if len(srows) != len(orows):

@@ -26,7 +26,6 @@ Usage: python tools/plan_lint.py   # exit 1 on any CART/PYUDF/GLOBW
 from __future__ import annotations
 
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -59,7 +58,38 @@ ITERATIVE = {
 NONEQUI_OK = {"join_cross"}
 PYUDF_OK = {"udf_scalar"}  # J1 surface parity, deliberately row-at-a-time
 
-GLOBAL_WINDOW = re.compile(r"windowspecdefinition\(([^)]*)")
+def _window_specs(text: str) -> list[str]:
+    """Paren-aware extraction of every windowspecdefinition(...) argument
+    list. A [^)]* regex truncates at the first ')' inside a nested call
+    (windowspecdefinition(md5(x#5) ASC ...) would capture only 'md5(x#5')
+    and let an unpartitioned window escape the hard rule."""
+    out = []
+    needle = "windowspecdefinition("
+    i = text.find(needle)
+    while i != -1:
+        j = i + len(needle)
+        depth, k = 1, j
+        while k < len(text) and depth:
+            if text[k] == "(":
+                depth += 1
+            elif text[k] == ")":
+                depth -= 1
+            k += 1
+        out.append(text[j : k - 1])
+        i = text.find(needle, k)
+    return out
+
+
+def _first_arg(spec: str) -> str:
+    depth = 0
+    for idx, ch in enumerate(spec):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return spec[:idx]
+    return spec
 
 
 def lint(key: str, df) -> tuple[list[str], int]:
@@ -70,8 +100,8 @@ def lint(key: str, df) -> tuple[list[str], int]:
         flags.append("CART")
     if "BatchEvalPython" in text and key not in PYUDF_OK:
         flags.append("PYUDF")
-    for spec in GLOBAL_WINDOW.findall(text):
-        head = spec.split(",")[0]
+    for spec in _window_specs(text):
+        head = _first_arg(spec)
         if " ASC" in head or " DESC" in head or head.startswith("specifiedwindowframe"):
             flags.append("GLOBW")
             break
