@@ -2154,6 +2154,42 @@ def pipeline_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chase_to_roots(parent_of: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """Iterative pointer chase: advance every id's cursor one hop up
+    the (pid, parent) edge table per round until every cursor sits on
+    a root (parent < 1). Returns (id, cur=root). Each frontier is
+    localCheckpoint-ed so lineage stays O(1) across rounds; the
+    convergence probe is a take(1) existence check — control plane,
+    not a data collect.
+
+    Non-convergence within ``max_rounds`` RAISES instead of returning
+    part-way labels: a silently truncated chase would mislabel every
+    deeper node's root, and at 100 TB nobody eyeballs the output. A
+    deeper hierarchy is a config decision (raise max_rounds, or
+    switch to pointer-doubling for log-depth rounds), not a silent
+    data-quality regression."""
+    labels = parent_of.select(F.col("pid").alias("id"), F.col("pid").alias("cur"))
+    for _ in range(max_rounds):
+        step = (
+            labels.join(parent_of, F.col("cur") == F.col("pid"))
+            .select(
+                "id",
+                F.when(F.col("parent") >= 1, F.col("parent"))
+                .otherwise(F.col("cur"))
+                .alias("cur"),
+                (F.col("parent") >= 1).alias("moved"),
+            )
+        ).localCheckpoint(eager=True)
+        labels = step.select("id", "cur")
+        if not step.where(F.col("moved")).take(1):
+            return labels
+    raise RuntimeError(
+        f"hierarchy pointer chase did not converge in {max_rounds} rounds; "
+        "hierarchy is deeper than the cap — raise max_rounds or use "
+        "pointer doubling"
+    )
+
+
 @query(
     "pipeline_bom_rollup",
     oracle="""
@@ -2206,21 +2242,7 @@ def pipeline_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    labels = parent_of.select(F.col("pid").alias("id"), F.col("pid").alias("cur"))
-    for _ in range(16):  # depth cap: 7^16 >> any fixture key space
-        step = (
-            labels.join(parent_of, F.col("cur") == F.col("pid"))
-            .select(
-                "id",
-                F.when(F.col("parent") >= 1, F.col("parent"))
-                .otherwise(F.col("cur"))
-                .alias("cur"),
-                (F.col("parent") >= 1).alias("moved"),
-            )
-        ).localCheckpoint(eager=True)
-        labels = step.select("id", "cur")
-        if not step.where(F.col("moved")).take(1):
-            break
+    labels = chase_to_roots(parent_of)
     return (
         labels.join(p, F.col("id") == F.col("p_partkey"))
         .groupBy(F.col("cur").alias("root_id"))

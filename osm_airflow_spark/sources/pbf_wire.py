@@ -166,6 +166,12 @@ MAX_BLOB_RAW = 32 * 1024 * 1024
 MAX_HEADER_LEN = 64 * 1024
 
 
+def _signed64(v: int) -> int:
+    """Reinterpret an unsigned varint decode as two's-complement
+    int64 (protobuf int64 wire encoding for negatives)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _tags(keys: list[int], vals: list[int], strings: list[str]) -> dict[str, str]:
     return {strings[k]: strings[v] for k, v in zip(keys, vals)}
 
@@ -229,8 +235,15 @@ def _decode_blob(blob_bytes: bytes) -> dict:
         s.decode("utf-8") for s in parse_message(first(block, 1, b"")).get(1, [])
     ]
     granularity = first(block, 17, 100)
-    lat_offset = first(block, 19, 0)
-    lon_offset = first(block, 20, 0)
+    # lat/lon_offset are plain int64 (NOT sint64/zigzag) in
+    # osmformat.proto: a negative offset arrives as a 10-byte
+    # two's-complement varint, so the raw unsigned decode must be
+    # reinterpreted signed. Found by the independent golden fixture
+    # (tools/make_golden_pbf.py), whose block B uses lon_offset<0 —
+    # the repo's own encoder never emitted negative offsets, so the
+    # symmetric round-trip tests could not see this.
+    lat_offset = _signed64(first(block, 19, 0))
+    lon_offset = _signed64(first(block, 20, 0))
 
     def to_deg(offset: int, raw: int) -> float:
         return NANO * (offset + granularity * raw)

@@ -255,3 +255,23 @@ def test_concurrent_queries_share_one_session_safely(spark, sf_dir):
         for _ in range(2):  # two rounds: cold cache then warm cache
             results = dict(pool.map(run, keys))
             assert results == serial
+
+
+def test_chase_to_roots_raises_at_depth_cap(spark):
+    """VERDICT r5 item 8: a hierarchy deeper than the round cap must
+    fail LOUDLY — part-way labels would silently mislabel every deep
+    node's root. A 6-deep linear chain (1←2←...←6, root parent 0)
+    converges in 6 rounds and raises under a 3-round cap."""
+    from osm_airflow_spark.plans.analytics import chase_to_roots
+
+    chain = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 7)], "pid long, parent long"
+    ).localCheckpoint(eager=True)
+
+    labels = {
+        r["id"]: r["cur"] for r in chase_to_roots(chain, max_rounds=8).collect()
+    }
+    assert labels == {i: 1 for i in range(1, 7)}  # every node reaches root 1
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        chase_to_roots(chain, max_rounds=3)

@@ -1,5 +1,6 @@
 """Source/sink round-trips and the bucketed-join layout proof."""
 
+import os
 import tempfile
 
 import pytest
@@ -547,3 +548,130 @@ def test_snapshot_schema_evolution_across_dates(spark, sf_dir, tmp_path):
         == 0
     )
     assert read_snapshot(spark, path, "2024-01-08").count() == base.count()
+
+
+# --- independent golden fixture (VERDICT r5 item 7) -----------------
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
+GOLDEN_PBF = os.path.join(GOLDEN_DIR, "golden_1000.osm.pbf")
+GOLDEN_JSON = os.path.join(GOLDEN_DIR, "golden_1000.expected.json")
+
+
+def test_wire_known_answer_vectors_from_protobuf_spec():
+    """Anchor BOTH wire implementations (pbf_wire and the independent
+    golden generator) to the protobuf docs' published values, so a
+    symmetric encode/decode bug has nowhere to hide."""
+    import tools.make_golden_pbf as golden
+    from osm_airflow_spark.sources.pbf_wire import (
+        decode_varint,
+        encode_varint,
+        zigzag_decode,
+        zigzag_encode,
+    )
+
+    # varint worked examples from the protobuf encoding docs
+    for n, wire in [(1, b"\x01"), (150, b"\x96\x01"), (300, b"\xac\x02")]:
+        assert encode_varint(n) == wire
+        assert golden.uv(n) == wire
+        assert decode_varint(wire, 0)[0] == n
+    # zigzag table from the protobuf encoding docs
+    for orig, enc in [(0, 0), (-1, 1), (1, 2), (-2, 3),
+                      (2147483647, 4294967294), (-2147483648, 4294967295)]:
+        assert zigzag_encode(orig) == enc
+        assert golden.zz(orig) == enc
+        assert zigzag_decode(enc) == orig
+    # negative int64 varint is 10 bytes of two's complement
+    assert encode_varint(-1) == b"\xff" * 9 + b"\x01"
+    assert golden.uv(-1) == b"\xff" * 9 + b"\x01"
+
+
+def test_golden_fixture_is_reproducible():
+    """The checked-in golden bytes match a fresh run of the generator
+    — guards the fixture against silent drift/corruption."""
+    import tools.make_golden_pbf as golden
+
+    header_block = golden.ld(4, b"OsmSchema-V0.6") + golden.ld(4, b"DenseNodes")
+    a, _ = golden.block_a()
+    b, _ = golden.block_b()
+    c, _, _ = golden.block_c()
+    fresh = (
+        golden.fileblock("OSMHeader", header_block, compress=True)
+        + golden.fileblock("OSMData", a, compress=True)
+        + golden.fileblock("OSMData", b, compress=False)
+        + golden.fileblock("OSMData", c, compress=True)
+    )
+    with open(GOLDEN_PBF, "rb") as fh:
+        assert fh.read() == fresh
+
+
+def test_golden_fixture_decodes_exactly():
+    """The repo decoder run over bytes it did NOT produce must yield
+    exactly the independently-computed element list: 1000 elements,
+    coords/tags/refs/members bit-exact. Covers: raw + zlib blobs,
+    granularity=50, NEGATIVE lon_offset (int64, not zigzag — a real
+    decoder bug the symmetric round-trip tests could never catch),
+    date_granularity skip, plain + dense nodes, negative ref deltas,
+    all member types, UTF-8 tags, decoy string-table entries."""
+    import json as _json
+
+    from osm_airflow_spark.sources.pbf_wire import decode_blob, scan_blob_offsets
+
+    with open(GOLDEN_JSON) as fh:
+        expected = _json.load(fh)
+    offsets = scan_blob_offsets(GOLDEN_PBF)
+    assert [t for (_, _, t) in offsets] == [
+        "OSMHeader", "OSMData", "OSMData", "OSMData"
+    ]
+    got = {"nodes": [], "ways": [], "relations": []}
+    with open(GOLDEN_PBF, "rb") as fh:
+        for start, length, blob_type in offsets:
+            if blob_type != "OSMData":
+                continue
+            fh.seek(start)
+            decoded = decode_blob(fh.read(length))
+            for k in got:
+                got[k] += decoded[k]
+    assert len(got["nodes"]) == 900
+    assert len(got["ways"]) == 80
+    assert len(got["relations"]) == 20
+    assert got == expected  # exact: same float arithmetic both sides
+
+
+def test_golden_fixture_through_spark_reader(spark):
+    """The distributed ingest path (offsets scan → per-blob decode on
+    executors) over the independent golden file."""
+    from osm_airflow_spark.sources.pbf import read_pbf
+
+    tables = read_pbf(spark, GOLDEN_PBF)
+    assert tables["nodes"].count() == 900
+    assert tables["ways"].count() == 80
+    assert tables["relations"].count() == 20
+    # spot-check the negative-offset block landed at real coordinates
+    row = tables["nodes"].where(F.col("node_id") == 10300).collect()[0]
+    assert row["lat"] == 1e-9 * (1_000_000 + 50 * -90_000)
+    assert row["lon"] == 1e-9 * (-500_000 + 50 * 160_000)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_REAL_PBF"),
+    reason="set SPARK_GRAFT_REAL_PBF=/path/to/extract.osm.pbf to run "
+    "the real-extract validation (no network in this sandbox)",
+)
+def test_real_extract_hook(spark):
+    """Downloadable-fixture hook: point SPARK_GRAFT_REAL_PBF at any
+    real .osm.pbf (e.g. a Geofabrik extract) and the full reader runs
+    structural invariants over it."""
+    from osm_airflow_spark.sources.pbf import read_pbf
+
+    path = os.environ["SPARK_GRAFT_REAL_PBF"]
+    tables = read_pbf(spark, path)
+    nodes = tables["nodes"]
+    n = nodes.count()
+    assert n > 0
+    assert nodes.select("node_id").distinct().count() == n
+    bad = nodes.where(
+        (F.col("lat") < -90) | (F.col("lat") > 90)
+        | (F.col("lon") < -180) | (F.col("lon") > 180)
+    ).count()
+    assert bad == 0
+    assert tables["ways"].where(F.size("node_refs") < 1).count() == 0

@@ -1,15 +1,23 @@
 """Parameter sweep: measure how the headline plans respond to the
-two knobs that matter most on a real cluster — shuffle partition
-count and broadcast-join threshold — and write SWEEP.md.
+knobs that matter most on a real cluster and write SWEEP.md.
 
-All swept confs are runtime-settable, so one JVM serves the whole
-grid (restart noise would swamp sub-second differences). Each cell
+Three grids, all runtime-settable confs so one JVM serves everything
+(restart noise would swamp sub-second differences); each timed cell
 is the median of ``REPEAT`` runs of a representative query mix:
 
 * ``flagship_revenue_by_region`` — multi-dim broadcast join chain
 * ``join_multiway``              — fact × several dims
 * ``llm_dedup_near``             — shuffle-heavy LSH pipeline
 * ``win_time_session``           — window + session gap-and-island
+
+Grid 1: shuffle partitions × broadcast on/off (the coarse picture).
+Grid 2: autoBroadcastJoinThreshold knee — thresholds chosen to
+        straddle each fixture dim's on-disk size (region/nation 2-3 KB
+        → supplier 22 KB → part/customer 180-316 KB → orders 2.7 MB →
+        lineitem 10.8 MB), with the number of BroadcastHashJoins in
+        the two join-heavy plans recorded per cell so the flip points
+        are visible, not inferred.
+Grid 3: files.maxPartitionBytes — scan-split granularity.
 
 Usage:  python tools/sweep.py            # sf0.1, writes SWEEP.md
         SF_DIR=... python tools/sweep.py
@@ -36,6 +44,20 @@ QUERY_MIX = [
 ]
 SHUFFLE_PARTITIONS = [8, 32, 128, 512]
 BROADCAST = [("on", str(10 * 1024 * 1024)), ("off", "-1")]
+# Grid 2: each step admits the next-larger dim family (see module doc).
+BC_THRESHOLDS = [
+    ("-1 (off)", "-1"),
+    ("4 KB", "4096"),
+    ("64 KB", "65536"),
+    ("512 KB", "524288"),
+    ("10 MB (default)", "10485760"),
+    ("32 MB", "33554432"),
+]
+MAX_PARTITION_BYTES = [
+    ("4 MB", "4194304"),
+    ("16 MB", "16777216"),
+    ("128 MB (default)", "134217728"),
+]
 REPEAT = 3
 
 
@@ -46,11 +68,19 @@ def run_mix(spark, queries) -> float:
     return time.time() - t0
 
 
+def bhj_count(spark, queries, key: str) -> int:
+    df = queries[key](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString().count(
+        "BroadcastHashJoin"
+    )
+
+
 def main() -> int:
     spark = get_spark("sweep")
     queries = all_queries()
     run_mix(spark, queries)  # warm-up: JIT, file listing, page cache
 
+    # ---- grid 1: shuffle partitions × broadcast on/off -------------------
     rows = []
     for bc_label, bc_value in BROADCAST:
         for parts in SHUFFLE_PARTITIONS:
@@ -60,13 +90,38 @@ def main() -> int:
             med = statistics.median(times)
             rows.append((bc_label, parts, med))
             print(f"broadcast={bc_label} shuffle.partitions={parts}: {med:.2f}s")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    # ---- grid 2: broadcast-threshold knee --------------------------------
+    knee = []
+    for label, value in BC_THRESHOLDS:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", value)
+        n_flag = bhj_count(spark, queries, "flagship_revenue_by_region")
+        n_multi = bhj_count(spark, queries, "join_multiway")
+        times = [run_mix(spark, queries) for _ in range(REPEAT)]
+        med = statistics.median(times)
+        knee.append((label, n_flag, n_multi, med))
+        print(f"threshold={label}: bhj flagship={n_flag} multiway={n_multi} {med:.2f}s")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+
+    # ---- grid 3: scan-split granularity ----------------------------------
+    splits = []
+    for label, value in MAX_PARTITION_BYTES:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", value)
+        times = [run_mix(spark, queries) for _ in range(REPEAT)]
+        med = statistics.median(times)
+        splits.append((label, med))
+        print(f"maxPartitionBytes={label}: {med:.2f}s")
+    spark.conf.unset("spark.sql.files.maxPartitionBytes")
 
     base = next(t for b, p, t in rows if b == "on" and p == 32)
     lines = [
-        "# SWEEP — shuffle-partition / broadcast-threshold sweep",
+        "# SWEEP — shuffle / broadcast / scan-split parameter sweep",
         "",
         f"Query mix: {', '.join(QUERY_MIX)} at `{SF_DIR}`, median of "
         f"{REPEAT} runs per cell, one warm JVM (local[32]).",
+        "",
+        "## Grid 1: shuffle partitions × broadcast on/off",
         "",
         "| broadcast | shuffle.partitions | mix seconds | vs (on, 32) |",
         "| --- | --- | --- | --- |",
@@ -77,7 +132,31 @@ def main() -> int:
         )
     lines += [
         "",
-        "## Reading the grid",
+        "## Grid 2: autoBroadcastJoinThreshold knee",
+        "",
+        "Fixture dim sizes straddled by the thresholds: region 1.9 KB /",
+        "nation 2.7 KB / supplier 22 KB / part 180 KB / customer 316 KB /",
+        "orders 2.7 MB / lineitem 10.8 MB. `# BHJ` columns count",
+        "BroadcastHashJoins in the executed plan — the flip points are",
+        "measured, not inferred from documentation.",
+        "",
+        "| threshold | # BHJ flagship | # BHJ join_multiway | mix seconds |",
+        "| --- | --- | --- | --- |",
+    ]
+    for label, n_flag, n_multi, med in knee:
+        lines.append(f"| {label} | {n_flag} | {n_multi} | {med:.2f} |")
+    lines += [
+        "",
+        "## Grid 3: files.maxPartitionBytes",
+        "",
+        "| maxPartitionBytes | mix seconds |",
+        "| --- | --- |",
+    ]
+    for label, med in splits:
+        lines.append(f"| {label} | {med:.2f} |")
+    lines += [
+        "",
+        "## Reading the grids",
         "",
         "* **Broadcast off** forces every dim join through a shuffle "
         "(SortMergeJoin): the cost difference is the direct measure of "
@@ -92,7 +171,18 @@ def main() -> int:
         "a real cluster: err high and let "
         "`spark.sql.adaptive.coalescePartitions` shrink, sizing "
         "toward ~128–256 MB of shuffle data per partition.",
-        "* AQE stays ON throughout — it is why the grid is flat on "
+        "* **Threshold knee**: every BHJ lost below a dim's size costs a "
+        "fact-side shuffle; every BHJ gained above it costs executor "
+        "memory for the build side. The engine pins explicit "
+        "`broadcast()` hints on known dims precisely so this knee is a "
+        "non-event in production — the sweep documents what the "
+        "optimizer would do for UNHINTED joins at each setting.",
+        "* **Scan splits** are flat here (files are single-digit MB; one "
+        "row group each), which is itself the lesson: maxPartitionBytes "
+        "only matters once files exceed it. At 100 TB with ~1 GB files, "
+        "128 MB splits give ~8 tasks/file; raise it if the scheduler, "
+        "not IO, is the bottleneck.",
+        "* AQE stays ON throughout — it is why grid 1 is flat on "
         "the high side; with AQE off the 512 cell would pay ~16× "
         "task-scheduling overhead on these small inputs.",
         "",
