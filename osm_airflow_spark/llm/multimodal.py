@@ -380,6 +380,83 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_rms(media: DataFrame, window: int = 64) -> DataFrame:
+    """Windowed RMS over PCM16-LE mono payloads — the audio analog of
+    ``resize_media``: one Arrow-batched mapInPandas pass, binary in,
+    fixed-width scalars out (media_id, window_idx, n_samples, rms).
+    The kernel is a REAL int16 little-endian parser (numpy
+    ``<i2`` — sign handling pinned by a unit test with negative
+    samples); a trailing partial window is dropped, odd trailing
+    bytes ignored. RMS per window is sqrt(mean(sample²)): the integer
+    square-sum is exact, window=64 is a power of two so the mean
+    division is exact, and sqrt is one correctly-rounded IEEE op —
+    bit-identical across engines, no tolerance needed."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {"media_id": [], "window_idx": [], "n_samples": [], "rms": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                raw = raw[: len(raw) - (len(raw) % 2)]
+                samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                for wi in range(len(samples) // window):
+                    chunk = samples[wi * window : (wi + 1) * window]
+                    out["media_id"].append(mid)
+                    out["window_idx"].append(wi)
+                    out["n_samples"].append(window)
+                    out["rms"].append(
+                        float(np.round(np.sqrt(np.mean(chunk * chunk)), 6))
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches, "media_id long, window_idx int, n_samples int, rms double"
+    )
+
+
+@query(
+    "mm_audio_rms",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id AS media_id, rpad(text, 512, 'x') AS t FROM documents
+    ),
+    samp AS (
+      SELECT media_id, wi,
+             ascii(substr(t, (wi * 64 + j) * 2 + 1, 1))
+             + 256 * ascii(substr(t, (wi * 64 + j) * 2 + 2, 1)) AS sample
+      FROM s, generate_series(0, 3) AS gw(wi), generate_series(0, 63) AS gj(j)
+    ),
+    agg AS (
+      SELECT media_id, wi,
+             SUM(CAST(sample AS BIGINT) * sample) AS ss, COUNT(*) AS n
+      FROM samp GROUP BY 1, 2
+    )
+    SELECT media_id, CAST(wi AS INT) AS window_idx,
+           CAST(n AS INT) AS n_samples, ROUND(SQRT(ss / n), 6) AS rms
+    FROM agg
+    """,
+)
+def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 — the AUDIO modality hop, completing the image/video/audio
+    triple: synthesize a 512-byte PCM16-LE payload per document
+    IN-COLUMN (the first 512 text bytes, x-padded — same narrow
+    column map as mm_image_resize), then the Arrow-batched kernel
+    parses int16 samples and emits per-64-sample-window RMS — the
+    loudness profile an audio-curation pipeline computes for
+    silence/clipping screens before feature extraction. The fixture's
+    ASCII bytes make every sample positive; the kernel's int16 SIGN
+    path is pinned by a unit test with hand-packed negative samples
+    (tests/test_llm.py). DuckDB re-derives each sample from character
+    codes (low + 256·high) and proves all four windows' RMS exactly —
+    exact integer square-sums, power-of-two mean, one IEEE sqrt."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.substring(F.encode(F.rpad("text", 512, "x"), "utf-8"), 1, 512)
+    media = d.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    return audio_rms(media, window=64)
+
+
 def resize_image(px: "object", out_w: int, out_h: int) -> "object":
     """Nearest-neighbor resize of an (h, w, c) array to (out_h,
     out_w, c) — pure index arithmetic (the standard pre-embedding

@@ -1234,3 +1234,85 @@ def llm_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("doc_id_sum"),
         )
     )
+
+
+BPE_SEP = "␟"  # ␟ joins merged symbol names: unambiguous vs raw chars
+
+
+@query("llm_bpe_train")  # rows-only: iterative argmax loop, no SQL twin
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — byte-pair-encoding TOKENIZER TRAINING (8 merges)
+    over the corpus: the step that turns a curated text corpus into a
+    subword vocabulary, upstream of every token-count/packing key in
+    this module. Classic word-frequency BPE (Sennrich et al. 2016,
+    public): count adjacent symbol pairs weighted by word frequency,
+    merge the argmax pair everywhere, repeat. Returns the learned
+    merge table (rank, left, right, merged token, weighted count) —
+    the model artifact a tokenizer ships.
+
+    Scale shape — the textbook trick makes this corpus-size
+    INDEPENDENT after one pass: all rounds operate on the DISTINCT
+    word-form table (word → count, vocabulary-bounded, ~10^5-10^6
+    rows at any corpus size), never on documents. Per round: one
+    explode+groupBy over word forms for pair counts (map-side
+    partials), a take-ordered argmax of ONE row to the driver (the
+    merge rule is the model parameter — control plane, same pattern
+    as k-means centroids), and one higher-order-function fold
+    (F.aggregate — JVM codegen, no Python) applying the merge
+    greedily left-to-right inside each word form. Frontier
+    localCheckpoint-ed per round like every iterative operator here.
+    Rows-only by declared contract (iterative argmax has no SQL
+    twin); tests/test_llm.py proves the merge table EXACTLY equal to
+    a pure-Python reference BPE on the same corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    forms = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.split("word", "").alias("syms"), "cnt")
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for rank in range(1, 9):
+        pairs = (
+            forms.where(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.expr("slice(syms, 1, size(syms) - 1)").alias("ls"),
+                F.expr("slice(syms, 2, size(syms) - 1)").alias("rs"),
+            )
+            .select("cnt", F.explode(F.arrays_zip("ls", "rs")).alias("p"))
+            .groupBy(
+                F.col("p.ls").alias("left"), F.col("p.rs").alias("right")
+            )
+            .agg(F.sum("cnt").alias("n"))
+        )
+        best = pairs.orderBy(F.col("n").desc(), "left", "right").take(1)
+        if not best:
+            break
+        left, right, n = best[0]["left"], best[0]["right"], best[0]["n"]
+        merges.append((rank, left, right, int(n)))
+        merged = F.lit(left + BPE_SEP + right)
+        forms = forms.withColumn(
+            "syms",
+            F.aggregate(
+                "syms",
+                F.expr("cast(array() as array<string>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (x == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        [
+            (rank, left, right, (left + right).replace(BPE_SEP, ""), n)
+            for (rank, left, right, n) in merges
+        ],
+        "rank int, left string, right string, token string, n_occurrences long",
+    )

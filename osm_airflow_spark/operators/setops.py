@@ -165,6 +165,33 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6b — multiset difference, completing the bag-semantics trio
+    (UNION ALL / INTERSECT ALL / EXCEPT ALL): each customer appears
+    max(urgent-orders − normal-orders, 0) times. ``exceptAll`` plans
+    like ``intersectAll``: tag each side ±1, sum multiplicities per
+    row value, replicate the positive remainder — one shuffle per
+    side on the compared row, no join explosion; multiplicities ride
+    as counts, never materialized duplicates, so a hot key costs a
+    bigint not a row storm."""
+    o = load_table(spark, sf_dir, "orders")
+    hot = o.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        "o_custkey"
+    )
+    cold = o.where(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        "o_custkey"
+    )
+    return hot.exceptAll(cold)
+
+
+@query(
     "set_drop_duplicates",
     oracle="""
     SELECT DISTINCT c_nationkey, c_mktsegment FROM customer

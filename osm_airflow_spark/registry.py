@@ -103,77 +103,77 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ``tests/test_registry.py`` pins the exact list so adding a key can
 # never reshuffle the window unreviewed.
 #
-# Round-5 window: the 27 keys registered THIS round (TPC silhouettes
-# Q14/Q9/Q16/Q20/Q22, the LLM domain-mix/ngram/incremental-dedup/
-# quantize/vocab/balanced-sample family, connected components, the
-# point-in-polygon/nearest-node/simplify/super-relation/tag-frequency
-# geometry suite, BOM/Pareto/attribution/cadence/MoM analytics,
-# Monday-aligned weeks, image resize, hard negatives,
-# new-vs-returning), the 16 keys registered after
-# round 4's window filled, mm_feature_extract (the r4 FAIL, now
-# returning a canonicalization-safe shape), two stable anchors, and
-# 4 win_* staleness re-checks (latest driver proof still round 1).
-# New keys displaced the round-2 agg/join re-checks and four win_*
-# re-checks (never-checked beats re-proof), keeping the list at
-# exactly 50.
+# Round-6 window: the five r5 hash-FAILs lead (HUGEINT oracles now
+# CAST to BIGINT — the round's one defect class; driver re-proof is
+# the done-criterion), then the two multimodal keys whose CONTRACT
+# changed rows-only→SQL-oracled this round, llm_ngram_topk (source
+# changed: short-doc guard), the four keys registered this round
+# (audio RMS, BFS shortest path, EXCEPT ALL, BPE training), the four
+# r1-stale win_* keys, and 34 of the 46 r2-era keys (all joins, all
+# aggs, filters — the VERDICT r5 staleness rotation). The 12
+# remaining r2 keys (set ops, sorts, graph joins, er_blocked_match,
+# project_map_promote, project_computed) plus the r3 block are round
+# 7's rotation, meeting the "no proof older than r4 by round 7"
+# target.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-checked: new in round 5 (27) --
-    "pipeline_new_vs_returning",
-    "llm_hard_negatives",
+    # -- r5 hash-FAILs, oracles fixed this round (5) --
     "pipeline_bom_rollup",
-    "pipeline_mom_growth",
-    "llm_sample_balanced",
-    "osm_tag_frequency",
-    "win_time_weekly_aligned",
-    "pipeline_pareto_abc",
-    "pipeline_last_touch_attribution",
-    "llm_vocab_coverage",
-    "fn_geo_bearing",
-    "pipeline_median_order_gap",
-    "pipeline_promo_revenue",
-    "osm_point_in_polygon",
-    "osm_nearest_node",
-    "osm_line_simplify",
     "osm_super_relation_rollup",
-    "llm_domain_mix",
-    "llm_ngram_topk",
-    "llm_dedup_incremental",
-    "llm_embed_quantize",
+    "osm_tag_frequency",
     "graph_connected_components",
+    "llm_sample_balanced",
+    # -- contract changed rows-only → SQL-oracled this round (2) --
+    "mm_frame_sample",
     "mm_image_resize",
-    "pipeline_product_profit",
-    "pipeline_part_supplier_counts",
-    "pipeline_excess_stock",
-    "pipeline_untapped_customers",
-    # -- never driver-checked (registered after r4's window filled) (16) --
-    "join_interval_overlap",
-    "llm_quality_logit",
-    "set_intersect_all",
-    "osm_polygon_areas",
-    "osm_polygon_geodesic_areas",
-    "osm_multipolygon_net_area",
-    "osm_polygon_tile_rollup",
-    "osm_ring_repair",
-    "pipeline_min_cost_supplier",
-    "pipeline_important_stock",
-    "pipeline_top_supplier",
-    "pipeline_event_paths",
-    "pipeline_funnel_windowed",
-    "pipeline_active_users",
-    "pipeline_ship_latency_percentiles",
-    "pipeline_rfm_segments",
-    # -- re-check: r4's one FAIL, return shape fixed this round (1) --
-    "mm_feature_extract",
-    # -- stable anchors (2) --
-    "flagship_revenue_by_region",
-    "scan_parquet",
+    # -- source changed this round: short-doc guard (1) --
+    "llm_ngram_topk",
+    # -- never driver-checked: new in round 6 (4) --
+    "mm_audio_rms",
+    "graph_shortest_path",
+    "set_except_all",
+    "llm_bpe_train",
     # -- staleness re-checks: latest proof round 1 (4) --
-    "win_dedup_latest",
-    "win_rank",
-    "win_lag_lead",
-    "win_running_sum",
+    "win_cume_dist",
+    "win_first_last",
+    "win_moving_avg",
+    "win_topk_group",
+    # -- staleness re-checks: the r2-era join/agg block (34) --
+    "join_inner",
+    "join_broadcast",
+    "join_left",
+    "join_multiway",
+    "join_semi",
+    "join_anti",
+    "join_theta",
+    "join_range",
+    "join_asof",
+    "join_asof_tolerance",
+    "join_cross",
+    "join_full_outer",
+    "agg_groupby",
+    "agg_global",
+    "agg_collect_ordered",
+    "agg_collect_set",
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_conditional",
+    "agg_pivot",
+    "agg_unpivot",
+    "agg_mode",
+    "agg_percentile",
+    "agg_approx_percentile",
+    "agg_corr_exact",
+    "agg_stats_moments",
+    "agg_hll_partial_merge",
+    "agg_incremental_merge",
+    "filter_predicate",
+    "filter_compound",
+    "project_columns",
 ]
 
 

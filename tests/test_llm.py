@@ -688,3 +688,82 @@ def test_graph_connected_components_matches_bruteforce(spark, sf_dir):
         for r in QUERIES["graph_connected_components"](spark, sf_dir).collect()
     )
     assert got == expected
+
+
+def test_audio_rms_kernel_handles_negative_samples(spark):
+    """The fixture's ASCII payloads only produce positive PCM16
+    samples, so the int16 SIGN path of the audio kernel is pinned
+    here with hand-packed negatives: a window of alternating ±v has
+    rms == v exactly, and int16 extremes survive the parse."""
+    import math
+    import struct
+
+    from osm_airflow_spark.llm.multimodal import audio_rms
+
+    w1 = struct.pack("<4h", -3, 3, -3, 3)  # rms = 3 exactly
+    w2 = struct.pack("<4h", -32768, 32767, 0, -1)
+    payload = w1 + w2 + b"\x07"  # odd trailing byte must be ignored
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    rows = {
+        r["window_idx"]: r
+        for r in audio_rms(media, window=4).orderBy("window_idx").collect()
+    }
+    assert set(rows) == {0, 1}  # partial third window dropped
+    assert rows[0]["rms"] == 3.0
+    expect = round(
+        math.sqrt((32768**2 + 32767**2 + 0 + 1) / 4), 6
+    )
+    assert rows[1]["rms"] == expect
+    assert all(r["n_samples"] == 4 for r in rows.values())
+
+
+def test_bpe_train_matches_pure_python_reference(spark, sf_dir):
+    """llm_bpe_train is rows-only (iterative argmax has no SQL twin);
+    its correctness contract is EXACT equality of the learned merge
+    table with a from-scratch pure-Python BPE over the same corpus —
+    same pair counting (all adjacent positions, word-frequency
+    weighted), same argmax tie-break (count desc, then left, right
+    ascending), same greedy left-to-right merge application."""
+    from collections import Counter
+
+    from osm_airflow_spark.llm.text import BPE_SEP, llm_bpe_train
+
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    wc = Counter(w for t in texts for w in t.split(" ") if w != "")
+    forms = {w: tuple(w) for w in wc}
+    expected = []
+    for rank in range(1, 9):
+        pc: Counter = Counter()
+        for w, syms in forms.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        (left, right), n = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append(
+            (rank, left, right, (left + right).replace(BPE_SEP, ""), n)
+        )
+        for w, syms in forms.items():
+            out: list = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + BPE_SEP + right
+                else:
+                    out.append(x)
+            forms[w] = tuple(out)
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["token"], r["n_occurrences"])
+        for r in llm_bpe_train(spark, sf_dir).orderBy("rank").collect()
+    ]
+    assert got == expected
+    assert len(got) == 8  # fixture corpus never runs dry in 8 rounds

@@ -50,6 +50,7 @@ def test_rows_only_keys_are_the_documented_ones():
         "llm_sim_ann_pq",
         "llm_semdedup",
         "graph_pagerank",
+        "llm_bpe_train",
         "llm_fingerprint",
         "mm_feature_extract",
         "osm_ring_repair",

@@ -40,6 +40,7 @@ SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
 ITERATIVE = {
     "graph_connected_components",
     "graph_pagerank",
+    "graph_shortest_path",
     "osm_super_relation_rollup",
     "llm_sim_ann_ivf_kmeans",
     "llm_sim_ann_pq",
