@@ -1239,42 +1239,25 @@ def llm_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_SEP = "␟"  # ␟ joins merged symbol names: unambiguous vs raw chars
 
 
-@query("llm_bpe_train")  # rows-only: iterative argmax loop, no SQL twin
-def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extension — byte-pair-encoding TOKENIZER TRAINING (8 merges)
-    over the corpus: the step that turns a curated text corpus into a
-    subword vocabulary, upstream of every token-count/packing key in
-    this module. Classic word-frequency BPE (Sennrich et al. 2016,
-    public): count adjacent symbol pairs weighted by word frequency,
-    merge the argmax pair everywhere, repeat. Returns the learned
-    merge table (rank, left, right, merged token, weighted count) —
-    the model artifact a tokenizer ships.
-
-    Scale shape — the textbook trick makes this corpus-size
-    INDEPENDENT after one pass: all rounds operate on the DISTINCT
-    word-form table (word → count, vocabulary-bounded, ~10^5-10^6
-    rows at any corpus size), never on documents. Per round: one
-    explode+groupBy over word forms for pair counts (map-side
-    partials), a take-ordered argmax of ONE row to the driver (the
-    merge rule is the model parameter — control plane, same pattern
-    as k-means centroids), and one higher-order-function fold
-    (F.aggregate — JVM codegen, no Python) applying the merge
-    greedily left-to-right inside each word form. Frontier
-    localCheckpoint-ed per round like every iterative operator here.
-    Rows-only by declared contract (iterative argmax has no SQL
-    twin); tests/test_llm.py proves the merge table EXACTLY equal to
-    a pure-Python reference BPE on the same corpus."""
+def bpe_learn(
+    spark: SparkSession, sf_dir: str, rounds: int = 8
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Shared BPE training loop (see ``llm_bpe_train`` for the full
+    scale rationale). Returns (merge list, final word-form table) —
+    the final ``forms`` frame (word, syms, cnt) IS the trained
+    tokenizer applied to every vocabulary word, which is exactly what
+    ``llm_bpe_encode`` joins back onto the corpus."""
     d = load_table(spark, sf_dir, "documents")
     forms = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.split("word", "").alias("syms"), "cnt")
+        .select("word", F.split("word", "").alias("syms"), "cnt")
         .localCheckpoint(eager=True)
     )
-    merges = []
-    for rank in range(1, 9):
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, rounds + 1):
         pairs = (
             forms.where(F.size("syms") >= 2)
             .select(
@@ -1309,10 +1292,79 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.concat(acc, F.array(x))),
             ),
         ).localCheckpoint(eager=True)
+    return merges, forms
+
+
+@query("llm_bpe_train")  # rows-only: iterative argmax loop, no SQL twin
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — byte-pair-encoding TOKENIZER TRAINING (8 merges)
+    over the corpus: the step that turns a curated text corpus into a
+    subword vocabulary, upstream of every token-count/packing key in
+    this module. Classic word-frequency BPE (Sennrich et al. 2016,
+    public): count adjacent symbol pairs weighted by word frequency,
+    merge the argmax pair everywhere, repeat. Returns the learned
+    merge table (rank, left, right, merged token, weighted count) —
+    the model artifact a tokenizer ships.
+
+    Scale shape — the textbook trick makes this corpus-size
+    INDEPENDENT after one pass: all rounds operate on the DISTINCT
+    word-form table (word → count, vocabulary-bounded, ~10^5-10^6
+    rows at any corpus size), never on documents. Per round: one
+    explode+groupBy over word forms for pair counts (map-side
+    partials), a take-ordered argmax of ONE row to the driver (the
+    merge rule is the model parameter — control plane, same pattern
+    as k-means centroids), and one higher-order-function fold
+    (F.aggregate — JVM codegen, no Python) applying the merge
+    greedily left-to-right inside each word form. Frontier
+    localCheckpoint-ed per round like every iterative operator here.
+    Rows-only by declared contract (iterative argmax has no SQL
+    twin); tests/test_llm.py proves the merge table EXACTLY equal to
+    a pure-Python reference BPE on the same corpus."""
+    merges, _forms = bpe_learn(spark, sf_dir, rounds=8)
     return spark.createDataFrame(
         [
             (rank, left, right, (left + right).replace(BPE_SEP, ""), n)
             for (rank, left, right, n) in merges
         ],
         "rank int, left string, right string, token string, n_occurrences long",
+    )
+
+
+@query("llm_bpe_encode")  # rows-only: applies the data-learned merges
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — apply the trained BPE tokenizer to the corpus
+    (train→encode end-to-end): per language, total whitespace words,
+    total BPE subword tokens under the 8 learned merges, and the
+    compression ratio — the number a tokenizer team watches when
+    sizing a vocabulary (more merges → fewer tokens/word → cheaper
+    training).
+
+    Scale shape: training already left the final word-form table
+    (word → merged symbol array) as a vocabulary-bounded artifact;
+    encoding the corpus is then ONE explode of documents to words and
+    ONE join-back onto that table — the per-word join-back pattern
+    the SCALE ledger prescribes for corpus-bounded keys (a window
+    cannot express a vocabulary lookup). No per-document fold ever
+    runs over the corpus: subword counts ride on the form table.
+    Rows-only (the merges are data-dependent, so no static SQL twin);
+    tests/test_llm.py proves exact equality with the pure-Python
+    reference tokenizer end-to-end."""
+    merges, forms = bpe_learn(spark, sf_dir, rounds=8)
+    lookup = forms.select(
+        "word", F.size("syms").cast("long").alias("n_sub")
+    ).localCheckpoint(eager=True)
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        words.join(lookup, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+            F.round(
+                F.count(F.lit(1)) / F.sum("n_sub").cast("double"), 6
+            ).alias("compression_ratio"),
+        )
     )

@@ -767,3 +767,60 @@ def test_bpe_train_matches_pure_python_reference(spark, sf_dir):
     ]
     assert got == expected
     assert len(got) == 8  # fixture corpus never runs dry in 8 rounds
+
+
+def test_bpe_encode_matches_pure_python_reference(spark, sf_dir):
+    """llm_bpe_encode (rows-only): per-language word/subword totals
+    under the 8 learned merges must equal the pure-Python tokenizer
+    applied end-to-end (train on the corpus, encode the corpus)."""
+    from collections import Counter, defaultdict
+
+    from osm_airflow_spark.llm.text import BPE_SEP, llm_bpe_encode
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("lang", "text")
+        .collect()
+    )
+    wc = Counter(w for r in rows for w in r["text"].split(" ") if w != "")
+    forms = {w: tuple(w) for w in wc}
+    for _ in range(8):
+        pc: Counter = Counter()
+        for w, syms in forms.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        (left, right), _n = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w, syms in forms.items():
+            out: list = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + BPE_SEP + right
+                else:
+                    out.append(x)
+            forms[w] = tuple(out)
+
+    exp_words: dict = defaultdict(int)
+    exp_sub: dict = defaultdict(int)
+    for r in rows:
+        for w in r["text"].split(" "):
+            if w == "":
+                continue
+            exp_words[r["lang"]] += 1
+            exp_sub[r["lang"]] += len(forms[w])
+
+    got = {
+        r["lang"]: r for r in llm_bpe_encode(spark, sf_dir).collect()
+    }
+    assert set(got) == set(exp_words)
+    for lang in exp_words:
+        assert got[lang]["n_words"] == exp_words[lang]
+        assert got[lang]["n_bpe_tokens"] == exp_sub[lang]
+        assert got[lang]["compression_ratio"] == round(
+            exp_words[lang] / exp_sub[lang], 6
+        )
+        # every word is >= 1 subtoken, so the ratio is bounded by 1
+        assert 0 < got[lang]["compression_ratio"] <= 1.0

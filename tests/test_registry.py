@@ -51,6 +51,7 @@ def test_rows_only_keys_are_the_documented_ones():
         "llm_semdedup",
         "graph_pagerank",
         "llm_bpe_train",
+        "llm_bpe_encode",
         "llm_fingerprint",
         "mm_feature_extract",
         "osm_ring_repair",
