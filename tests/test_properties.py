@@ -304,3 +304,127 @@ def test_string_length_semantics_match_duckdb_on_multibyte(spark, tmp_path):
         ).fetchall()
     )
     assert byte_len[2] > got_duck[2][0]  # CJK: bytes > chars
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    payload=st.binary(min_size=0, max_size=600),
+    window=st.sampled_from([4, 16, 64]),
+)
+def test_audio_rms_matches_numpy_reference(spark, payload, window):
+    """The PCM16 RMS kernel equals a direct numpy computation for
+    arbitrary bytes — full int16 range, odd lengths, empty payloads,
+    partial trailing windows."""
+    import numpy as np
+
+    from osm_airflow_spark.llm.multimodal import audio_rms
+
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    got = {
+        r["window_idx"]: r["rms"]
+        for r in audio_rms(media, window=window).collect()
+    }
+    raw = payload[: len(payload) - (len(payload) % 2)]
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    n_windows = len(samples) // window
+    assert set(got) == set(range(n_windows))
+    for wi in range(n_windows):
+        chunk = samples[wi * window : (wi + 1) * window]
+        assert got[wi] == float(np.round(np.sqrt(np.mean(chunk * chunk)), 6))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    parents=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=30)
+)
+def test_chase_to_roots_matches_sequential_chase(spark, parents):
+    """Pointer chasing converges to the same root labels a sequential
+    walk computes, for arbitrary parent functions (parent < 1 = root,
+    parent ≥ 1 follows the edge; self-loops collapse to roots because
+    i//anything here is < i is NOT guaranteed — so clamp parent to
+    < pid, mirroring the acyclicity contract the operator documents)."""
+    from osm_airflow_spark.plans.analytics import chase_to_roots
+
+    rows = [
+        (i + 1, min(p, i))  # parent < pid: the documented acyclic contract
+        for i, p in enumerate(parents)
+    ]
+    edge = spark.createDataFrame(rows, "pid long, parent long").localCheckpoint(
+        eager=True
+    )
+    got = {
+        r["id"]: r["cur"] for r in chase_to_roots(edge, max_rounds=40).collect()
+    }
+    parent_of = dict(rows)
+    for pid, _ in rows:
+        cur = pid
+        while parent_of.get(cur, 0) >= 1:
+            cur = parent_of[cur]
+        assert got[pid] == cur
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_bfs_frontier_matches_sequential_bfs(spark, edges):
+    """The distributed frontier-expansion BFS inside
+    graph_shortest_path assigns the same hop counts as a sequential
+    BFS on arbitrary small graphs (seed = min labeled node)."""
+    from collections import deque
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    named = [(f"n{a:02d}", f"n{b:02d}") for a, b in edges if a != b]
+    if not named:
+        return
+    df = spark.createDataFrame(named, "a string, b string")
+    und = (
+        df.union(df.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed = min(min(a, b) for a, b in named)
+    labels = (
+        und.agg(F.min("a").alias("node"))
+        .select("node", F.lit(0).alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = labels
+    for depth in range(1, 15):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(labels, "node", "left_anti")
+            .select("node", F.lit(depth).alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        labels = labels.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    got = {r["node"]: r["hops"] for r in labels.collect()}
+
+    adj: dict = {}
+    for a, b in named:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {seed: 0}
+    dq = deque([seed])
+    while dq:
+        v = dq.popleft()
+        for u in sorted(adj.get(v, ())):
+            if u not in dist:
+                dist[u] = dist[v] + 1
+                dq.append(u)
+    assert got == dist
