@@ -59,11 +59,57 @@ def transform_region(region: str, subregion: str, snapshot_date: str, data_dir: 
     from osm_airflow_spark.plans.osm import build_highway_layer
     from osm_airflow_spark.session import get_spark
 
+    from pyspark.sql import functions as F
+
     spark = get_spark(f"osm-etl-{subregion}")
     nodes = spark.read.parquet(f"{data_dir}/{subregion}/nodes")
     ways = spark.read.parquet(f"{data_dir}/{subregion}/ways")
     layer = build_highway_layer(nodes, ways).drop("line")
-    write_snapshot(layer, f"{data_dir}/layers/highway", snapshot_date, ("geohash",))
+    # region MUST lead the partition spec: dynamic partition overwrite
+    # replaces every (pgosm_date, geohash) partition a write touches,
+    # so two regions sharing a geohash cell (any cell straddling a
+    # region border) would silently clobber each other's publish —
+    # and a per-region retry would wipe its neighbors. With region in
+    # the spec each task owns a disjoint partition set: fan-out is
+    # conflict-free and retries stay idempotent (the reason this DAG
+    # can run retries=2 where the reference pins 0).
+    write_snapshot(
+        layer.withColumn("region", F.lit(subregion)),
+        f"{data_dir}/layers/highway",
+        snapshot_date,
+        ("region", "geohash"),
+    )
+
+
+def run_local(
+    data_dir: str,
+    regions: list[dict] | None = None,
+    snapshot_date: str = SNAPSHOT_DATE,
+    max_workers: int = 4,
+) -> list[str]:
+    """Execute the DAG's task graph WITHOUT a scheduler: the same
+    callables under the same dependency structure — per-region
+    ingest→transform chains fan out concurrently (the dynamic-task-
+    mapping semantics), and the publish completeness gate barriers on
+    all of them. Airflow isn't installed in this environment, so this
+    is how the full graph (not just individual callables) is proven
+    end-to-end; under Airflow the @dag below runs the identical
+    shape. Returns the published subregions, in input order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    specs = REGIONS if regions is None else regions
+
+    def chain(spec: dict) -> str:
+        ingest_region(spec["region"], spec["subregion"], data_dir)
+        transform_region(spec["region"], spec["subregion"], snapshot_date, data_dir)
+        return spec["subregion"]
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        done = list(pool.map(chain, specs))
+    # the publish-task gate (osm_etl.py:88-91 analogue)
+    if len(done) != len(specs):
+        raise RuntimeError(f"publish gate: {len(done)}/{len(specs)} regions")
+    return done
 
 
 try:

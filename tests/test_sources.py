@@ -675,3 +675,54 @@ def test_real_extract_hook(spark):
     ).count()
     assert bad == 0
     assert tables["ways"].where(F.size("node_refs") < 1).count() == 0
+
+
+def test_dag_full_graph_runs_without_scheduler(spark, tmp_path):
+    """run_local executes the WHOLE task graph (4-region fan-out →
+    per-region chains in parallel threads → publish gate) with no
+    Airflow — upgrading DAG validation from callable-level to
+    graph-level. All four regions ingest the same golden fixture, so
+    every region produces IDENTICAL geohash cells: the exact
+    dynamic-partition-overwrite clobber scenario — without region in
+    the snapshot partition spec, the last region's publish silently
+    wipes the others' rows from every shared (date, geohash)
+    partition. Also proves per-region retry idempotence: re-running
+    one region's transform leaves the other regions' rows intact."""
+    import importlib.util
+    import pathlib
+    import shutil
+
+    path = pathlib.Path(__file__).parent.parent / "dags" / "osm_spark_dag.py"
+    spec = importlib.util.spec_from_file_location("osm_spark_dag_graph", path)
+    dag_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dag_mod)
+
+    regions = [
+        {"region": "north-america/us", "subregion": sub}
+        for sub in ("colorado", "oregon")
+    ] + [{"region": "europe", "subregion": "spain"}]
+    for r in regions:
+        shutil.copy(GOLDEN_PBF, f"{tmp_path}/{r['subregion']}.osm.pbf")
+
+    done = dag_mod.run_local(str(tmp_path), regions=regions)
+    assert done == ["colorado", "oregon", "spain"]
+
+    layer = spark.read.parquet(f"{tmp_path}/layers/highway")
+    per_region = {
+        r["region"]: r["n"]
+        for r in layer.groupBy("region").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # golden block C: 40 even-j ways carry highway=residential
+    assert per_region == {"colorado": 40, "oregon": 40, "spain": 40}
+
+    # retry one region's transform: its partitions overwrite in place,
+    # the other regions (sharing every geohash cell) must survive
+    dag_mod.transform_region(
+        "north-america/us", "oregon", dag_mod.SNAPSHOT_DATE, str(tmp_path)
+    )
+    layer2 = spark.read.parquet(f"{tmp_path}/layers/highway")
+    per_region2 = {
+        r["region"]: r["n"]
+        for r in layer2.groupBy("region").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_region2 == per_region
