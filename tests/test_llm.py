@@ -824,3 +824,75 @@ def test_bpe_encode_matches_pure_python_reference(spark, sf_dir):
         )
         # every word is >= 1 subtoken, so the ratio is bounded by 1
         assert 0 < got[lang]["compression_ratio"] <= 1.0
+
+
+def test_ivf_index_build_query_prune_and_recall(spark, sf_dir, tmp_path):
+    """Persistent IVF lifecycle: build → probe-query. The probe scan
+    must actually PRUNE (runtime numFiles < total postings files; the
+    inputFiles() trap is documented in SCALE.md) and the pruned
+    top-10 must hit the exact brute-force top-10 at or above the
+    llm_sim_ann_ivf_kmeans recall floor."""
+    from osm_airflow_spark.llm.similarity import (
+        build_ivf_index,
+        cosine_expr,
+        query_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(e, index_dir, k=8, iters=3)
+
+    assert (
+        spark.read.parquet(f"{index_dir}/postings").count() == e.count()
+    )  # every vector landed in exactly one inverted list
+
+    qvec = e.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    got = query_ivf_index(spark, index_dir, qvec, nprobe=2, topk=11)
+    plan_df = got
+    ids = [r["vec_id"] for r in got.collect() if r["vec_id"] != 0][:10]
+
+    scan = plan_df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    n_read = scan.metrics().apply("numFiles").value()
+    n_total = len(spark.read.parquet(f"{index_dir}/postings").inputFiles())
+    assert 0 < n_read < n_total  # partition pruning actually happened
+
+    qcol = F.array(*[F.lit(float(v)) for v in qvec])
+    exact = [
+        r["vec_id"]
+        for r in e.where(F.col("vec_id") != 0)
+        .select("vec_id", cosine_expr("embedding", qcol).alias("c"))
+        .orderBy(F.col("c").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    recall = len(set(ids) & set(exact)) / 10
+    assert recall >= 0.5  # conservative floor; kmeans-IVF measures 0.9
+
+
+def test_ivf_index_incremental_add(spark, sf_dir, tmp_path):
+    """Incremental ingest: build on 80% of vectors, add the rest
+    against the persisted centroids (no retrain). Postings must cover
+    the full corpus, and a query AT a newly added vector must return
+    that vector first (self-recall through the index)."""
+    from osm_airflow_spark.llm.similarity import (
+        add_to_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = e.where(F.col("vec_id") % 10 < 8)
+    delta = e.where(F.col("vec_id") % 10 >= 8)
+    index_dir = str(tmp_path / "ivf-inc")
+    build_ivf_index(base, index_dir, k=8, iters=3)
+    add_to_ivf_index(delta, index_dir)
+
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    assert postings.count() == e.count()
+    assert postings.select("vec_id").distinct().count() == e.count()
+
+    probe = delta.orderBy("vec_id").limit(1).collect()[0]
+    got = query_ivf_index(
+        spark, index_dir, probe["embedding"], nprobe=1, topk=1
+    ).collect()
+    assert got[0]["vec_id"] == probe["vec_id"]  # cos(v, v) = 1 tops the list
