@@ -1237,3 +1237,135 @@ def osm_tag_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == 1, F.col("tag_value"))).alias("top_value"),
         F.max(F.when(F.col("rn") == 1, F.col("n"))).alias("top_n"),
     )
+
+
+@query(
+    "osm_polygon_centroid",
+    oracle=f"""
+    WITH nodes AS (
+      SELECT p_partkey AS node_id,
+             (CAST((p_partkey * 7) % 180 AS DOUBLE) - 90.0) * 0.95 AS lat,
+             {_LON} AS lon
+      FROM part
+    ),
+    refs AS (
+      SELECT l_orderkey AS way_id, l_partkey AS node_id,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS pos
+      FROM lineitem
+    ),
+    firsts AS (
+      SELECT way_id, node_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY way_id, node_id ORDER BY pos) AS occ
+      FROM refs
+    ),
+    dedup AS (SELECT way_id, node_id, pos FROM firsts WHERE occ = 1),
+    pts4 AS (
+      SELECT way_id, node_id,
+             ROW_NUMBER() OVER (PARTITION BY way_id ORDER BY pos) AS rn
+      FROM dedup
+    ),
+    quad AS (SELECT * FROM pts4 WHERE rn <= 4),
+    sized AS (SELECT way_id FROM quad GROUP BY way_id HAVING COUNT(*) = 4),
+    pts AS (
+      SELECT q.way_id, q.rn, n.lon, n.lat
+      FROM quad q JOIN sized USING (way_id) JOIN nodes n USING (node_id)
+    ),
+    -- planar formula is meaningless across the antimeridian: keep
+    -- rings whose lon span stays under a hemisphere (engine twin)
+    narrow AS (
+      SELECT way_id FROM pts GROUP BY way_id
+      HAVING MAX(lon) - MIN(lon) < 180.0
+    ),
+    terms AS (
+      SELECT a.way_id,
+             round(a.lon * b.lat - b.lon * a.lat, 6) AS cr,
+             round((a.lon + b.lon) * round(a.lon * b.lat - b.lon * a.lat, 6), 6) AS tx,
+             round((a.lat + b.lat) * round(a.lon * b.lat - b.lon * a.lat, 6), 6) AS ty
+      FROM pts a JOIN pts b
+        ON a.way_id = b.way_id AND b.rn = (a.rn % 4) + 1
+      JOIN narrow ON narrow.way_id = a.way_id
+    ),
+    agg AS (
+      SELECT way_id,
+             CAST(SUM(CAST(cr AS DECIMAL(18,6))) AS DOUBLE) AS a2,
+             CAST(SUM(CAST(tx AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ty AS DECIMAL(18,6))) AS DOUBLE) AS sy
+      FROM terms GROUP BY way_id
+    )
+    SELECT way_id,
+           round(sx / (3 * a2), 6) + 0 AS centroid_lon,
+           round(sy / (3 * a2), 6) + 0 AS centroid_lat,
+           round(a2 / 2, 6) + 0 AS ring_area
+    FROM agg WHERE a2 <> 0
+    """,
+)
+def osm_polygon_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked polygon CENTROID — the label-placement/geocoding
+    anchor osm2pgsql emits per polygon (ST_Centroid semantics over
+    the same fixture quad rings as osm_polygon_areas): Cx = Σ(x_i +
+    x_{{i+1}})·cross_i / (6A), cross_i = x_i·y_{{i+1}} − x_{{i+1}}·y_i.
+    Planar and UNWRAPPED by design — rings spanning ≥ a hemisphere of
+    longitude are filtered identically in both engines (the wrap
+    trick that fixes areas does not transfer to first moments).
+
+    Determinism contract: every per-edge term (cross, x-moment,
+    y-moment) is rounded to 6 dp then decimal-summed, so partial-agg
+    order cannot move the result; the final centroid is ONE IEEE
+    division of two agreed doubles, rounded once, with -0.0 folded.
+    Degenerate (zero-signed-area) rings are dropped by both engines
+    via the same a2 <> 0 predicate — never a divide-by-zero NaN in
+    the output. Same shuffle shape as osm_polygon_areas: one
+    assembly, one fold."""
+    nodes = _derived_nodes(spark, sf_dir)
+    ways = _derived_ways(spark, sf_dir)
+    quads = ways.select(
+        "way_id",
+        F.slice(F.array_distinct("node_refs"), 1, 4).alias("node_refs"),
+        "tags",
+    ).where(F.size("node_refs") == 4)
+    assembled = assemble_way_lines(quads, nodes).where(F.size("line") == 4)
+    lons = F.expr("transform(line, s -> s.lon)")
+    lats = F.expr("transform(line, s -> s.lat)")
+    c_lons = F.concat(lons, F.slice(lons, 1, 1))
+    c_lats = F.concat(lats, F.slice(lats, 1, 1))
+
+    def edge(i, fn):
+        x0, x1 = F.element_at(c_lons, i), F.element_at(c_lons, i + 1)
+        y0, y1 = F.element_at(c_lats, i), F.element_at(c_lats, i + 1)
+        cr = F.round(x0 * y1 - x1 * y0, 6)
+        return fn(x0, x1, y0, y1, cr)
+
+    seq = F.sequence(F.lit(1), F.lit(4))
+    crs = F.transform(seq, lambda i: edge(i, lambda x0, x1, y0, y1, cr: cr))
+    txs = F.transform(
+        seq, lambda i: edge(i, lambda x0, x1, y0, y1, cr: F.round((x0 + x1) * cr, 6))
+    )
+    tys = F.transform(
+        seq, lambda i: edge(i, lambda x0, x1, y0, y1, cr: F.round((y0 + y1) * cr, 6))
+    )
+
+    def dec_sum(arr):
+        return F.aggregate(
+            F.transform(arr, lambda v: v.cast("decimal(18,6)")),
+            F.lit(0).cast("decimal(28,6)"),
+            lambda acc, v: (acc + v).cast("decimal(28,6)"),
+        ).cast("double")
+
+    span = F.array_max(lons) - F.array_min(lons)
+    out = assembled.where(span < 180.0).select(
+        "way_id",
+        dec_sum(crs).alias("a2"),
+        dec_sum(txs).alias("sx"),
+        dec_sum(tys).alias("sy"),
+    )
+    return out.where(F.col("a2") != 0).select(
+        "way_id",
+        (F.round(F.col("sx") / (3 * F.col("a2")), 6) + F.lit(0.0)).alias(
+            "centroid_lon"
+        ),
+        (F.round(F.col("sy") / (3 * F.col("a2")), 6) + F.lit(0.0)).alias(
+            "centroid_lat"
+        ),
+        (F.round(F.col("a2") / 2, 6) + F.lit(0.0)).alias("ring_area"),
+    )

@@ -107,13 +107,14 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # CAST to BIGINT — the round's one defect class; driver re-proof is
 # the done-criterion), then the two multimodal keys whose CONTRACT
 # changed rows-only→SQL-oracled this round, llm_ngram_topk (source
-# changed: short-doc guard), the five keys registered this round
-# (audio RMS, BFS shortest path, EXCEPT ALL, BPE train + encode),
-# the four r1-stale win_* keys, and 33 of the 46 r2-era keys (all
-# joins, all aggs, filters — the VERDICT r5 staleness rotation). The
-# 13 remaining r2 keys (set ops, sorts, graph joins,
-# er_blocked_match, projects) plus the r3 block are round 7's
-# rotation, meeting the "no proof older than r4 by round 7" target.
+# changed: short-doc guard), the six keys registered this round
+# (audio RMS, BFS shortest path, EXCEPT ALL, BPE train + encode,
+# polygon centroid), the four r1-stale win_* keys, and 32 of the 46
+# r2-era keys (joins, aggs, filters — the VERDICT r5 staleness
+# rotation). The 14 remaining r2 keys (set ops, sorts, graph joins,
+# er_blocked_match, projects, hll_partial_merge) plus the r3 block
+# are round 7's rotation, meeting the "no proof older than r4 by
+# round 7" target.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
@@ -128,18 +129,19 @@ DRIVER_WINDOW: list[str] = [
     "mm_image_resize",
     # -- source changed this round: short-doc guard (1) --
     "llm_ngram_topk",
-    # -- never driver-checked: new in round 6 (5) --
+    # -- never driver-checked: new in round 6 (6) --
     "mm_audio_rms",
     "graph_shortest_path",
     "set_except_all",
     "llm_bpe_train",
     "llm_bpe_encode",
+    "osm_polygon_centroid",
     # -- staleness re-checks: latest proof round 1 (4) --
     "win_cume_dist",
     "win_first_last",
     "win_moving_avg",
     "win_topk_group",
-    # -- staleness re-checks: the r2-era join/agg block (33) --
+    # -- staleness re-checks: the r2-era join/agg block (32) --
     "join_inner",
     "join_broadcast",
     "join_left",
@@ -169,7 +171,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_approx_percentile",
     "agg_corr_exact",
     "agg_stats_moments",
-    "agg_hll_partial_merge",
     "agg_incremental_merge",
     "filter_predicate",
     "filter_compound",

@@ -44,6 +44,8 @@ ITERATIVE = {
     "osm_super_relation_rollup",
     "llm_sim_ann_ivf_kmeans",
     "llm_sim_ann_pq",
+    "llm_bpe_train",
+    "llm_bpe_encode",
     "llm_semdedup",
     "llm_dedup_cluster_best",
     "win_ntile",
