@@ -1369,3 +1369,151 @@ def osm_polygon_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.round(F.col("a2") / 2, 6) + F.lit(0.0)).alias("ring_area"),
     )
+
+
+@query(
+    "osm_nearest_way_segment",
+    oracle=f"""
+    WITH nodes AS (
+      SELECT p_partkey AS node_id,
+             (CAST((p_partkey * 7) % 180 AS DOUBLE) - 90.0) * 0.95 AS lat,
+             {_LON} AS lon
+      FROM part
+    ),
+    refs AS (
+      SELECT l_orderkey AS way_id, l_partkey AS node_id,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS pos
+      FROM lineitem WHERE l_orderkey % 50 = 0
+    ),
+    pts AS (SELECT way_id, pos, lon, lat FROM refs JOIN nodes USING (node_id)),
+    segs AS (
+      SELECT way_id, pos AS seg_pos, lon AS ax, lat AS ay,
+             LEAD(lon) OVER (PARTITION BY way_id ORDER BY pos) AS bx,
+             LEAD(lat) OVER (PARTITION BY way_id ORDER BY pos) AS by
+      FROM pts
+    ),
+    seg2 AS (SELECT * FROM segs WHERE bx IS NOT NULL),
+    qpts AS (
+      SELECT c_custkey AS q_id,
+             (CAST(c_custkey % 180 AS DOUBLE) - 90.0) * 0.9 AS qy,
+             (CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0) * 0.9 AS qx
+      FROM customer WHERE c_custkey % 100 = 0
+    ),
+    proj AS (
+      SELECT q.q_id, s.way_id, s.seg_pos, q.qx, q.qy, s.ax, s.ay,
+             s.bx - s.ax AS dx, s.by - s.ay AS dy,
+             (s.bx - s.ax) * (s.bx - s.ax)
+             + (s.by - s.ay) * (s.by - s.ay) AS den
+      FROM qpts q CROSS JOIN seg2 s
+    ),
+    tt AS (
+      SELECT *, CASE WHEN den = 0 THEN 0.0
+                     ELSE LEAST(1.0, GREATEST(0.0,
+                          ((qx - ax) * dx + (qy - ay) * dy) / den)) END AS t
+      FROM proj
+    ),
+    dists AS (
+      SELECT q_id, way_id, seg_pos,
+             (qx - (ax + t * dx)) * (qx - (ax + t * dx))
+             + (qy - (ay + t * dy)) * (qy - (ay + t * dy)) AS d2
+      FROM tt
+    ),
+    ranked AS (
+      SELECT q_id, way_id, seg_pos, d2,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY d2, way_id, seg_pos) AS rn
+      FROM dists
+    )
+    SELECT q_id, way_id, seg_pos, round(sqrt(d2), 6) AS dist_deg
+    FROM ranked WHERE rn = 1
+    """,
+)
+def osm_nearest_way_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked nearest-WAY lookup — the map-matching/geocoding
+    primitive one level above osm_nearest_node: each query point
+    projects onto every candidate way SEGMENT (clamped point-to-
+    segment projection, the `t = clamp(((q−a)·(b−a))/|b−a|², 0, 1)`
+    formula), and the argmin segment wins with a (d², way, seg)
+    total-order tie-break. Degenerate zero-length segments take t=0
+    via the same CASE in both engines — no 0/0 NaN.
+
+    Determinism: both engines evaluate the IDENTICAL arithmetic
+    expression tree over the same doubles (products, one clamp, one
+    division guarded by den=0), so the unrounded d² ranking agrees
+    exactly; only the reported distance is rounded. Scale shape: the
+    candidate set here is a bounded brute-force cross (sampled ways ×
+    sampled query points — the oracle-able baseline); the 100 TB path
+    prefilters candidates by geohash cell exactly like read_bbox and
+    the IVF probe (bucket the segments by cell, probe the query
+    point's cell ring), turning the cross into a bucket equi-join.
+    One window per query point, bounded partitions."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    nodes = _derived_nodes(spark, sf_dir)
+    refs = (
+        li.where(F.col("l_orderkey") % 50 == 0)
+        .select(
+            F.col("l_orderkey").alias("way_id"),
+            F.col("l_partkey").alias("node_id"),
+            F.row_number().over(
+                Window.partitionBy("l_orderkey").orderBy(
+                    "l_linenumber", "l_partkey"
+                )
+            ).alias("pos"),
+        )
+    )
+    pts = refs.join(nodes.select("node_id", "lon", "lat"), "node_id")
+    w = Window.partitionBy("way_id").orderBy("pos")
+    segs = pts.select(
+        "way_id",
+        F.col("pos").alias("seg_pos"),
+        F.col("lon").alias("ax"),
+        F.col("lat").alias("ay"),
+        F.lead("lon").over(w).alias("bx"),
+        F.lead("lat").over(w).alias("by"),
+    ).where(F.col("bx").isNotNull())
+    qpts = c.where(F.col("c_custkey") % 100 == 0).select(
+        F.col("c_custkey").alias("q_id"),
+        (((F.col("c_custkey") * 7) % 360).cast("double") - 180.0).alias("_qx0"),
+        ((F.col("c_custkey") % 180).cast("double") - 90.0).alias("_qy0"),
+    ).select(
+        "q_id",
+        (F.col("_qx0") * 0.9).alias("qx"),
+        (F.col("_qy0") * 0.9).alias("qy"),
+    )
+    dx = F.col("bx") - F.col("ax")
+    dy = F.col("by") - F.col("ay")
+    den = dx * dx + dy * dy
+    proj = segs.crossJoin(F.broadcast(qpts)).select(
+        "q_id", "way_id", "seg_pos", "qx", "qy", "ax", "ay",
+        dx.alias("dx"), dy.alias("dy"), den.alias("den"),
+    )
+    t = F.when(F.col("den") == 0, F.lit(0.0)).otherwise(
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0),
+                (
+                    (F.col("qx") - F.col("ax")) * F.col("dx")
+                    + (F.col("qy") - F.col("ay")) * F.col("dy")
+                )
+                / F.col("den"),
+            ),
+        )
+    )
+    ex = F.col("qx") - (F.col("ax") + F.col("t") * F.col("dx"))
+    ey = F.col("qy") - (F.col("ay") + F.col("t") * F.col("dy"))
+    dists = proj.withColumn("t", t).select(
+        "q_id", "way_id", "seg_pos", (ex * ex + ey * ey).alias("d2")
+    )
+    best = Window.partitionBy("q_id").orderBy("d2", "way_id", "seg_pos")
+    return (
+        dists.withColumn("rn", F.row_number().over(best))
+        .where(F.col("rn") == 1)
+        .select(
+            "q_id", "way_id", "seg_pos", F.round(F.sqrt("d2"), 6).alias("dist_deg")
+        )
+    )
