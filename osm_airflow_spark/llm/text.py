@@ -1368,3 +1368,103 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression_ratio"),
         )
     )
+
+
+@query(
+    "llm_preference_pairs",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             round( least(n_words, 200) / 200.0 * 0.4
+                  + least(stop_ratio * 4, 1.0) * 0.3
+                  + CASE WHEN mean_word_len BETWEEN 3 AND 8
+                         THEN 0.3 ELSE 0.0 END, 6) AS q
+      FROM (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_words,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    w -> w IN ({_sql_list(_EN_STOP)}))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stop_ratio,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS mean_word_len
+        FROM documents
+      )
+    ),
+    ranked AS (
+      SELECT doc_id, lang, q,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY q DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM scored
+    )
+    SELECT a.lang,
+           a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+           round(a.q - b.q, 6) AS score_gap
+    FROM ranked a JOIN ranked b
+      ON a.lang = b.lang AND b.rn = a.n + 1 - a.rn
+    WHERE a.rn < b.rn AND round(a.q - b.q, 6) >= 0.05
+    """,
+)
+def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — PREFERENCE-PAIR construction for reward-model /
+    DPO training data: within each language, rank documents by the
+    Gopher-style quality score and pair rank i with rank n+1−i
+    (best↔worst, second-best↔second-worst …), keeping pairs whose
+    score gap clears a margin — the deterministic skeleton of
+    chosen/rejected mining once the scorer is a real model. Mirrors
+    the class-balancing and split-assignment keys: membership is
+    decided by content-derived scores and total-ordered ranks, never
+    ingest order.
+
+    Scale: one window per language (bounded partitions — the F-family
+    contract) and a self-join on (lang, mirrored rank) — equi-join,
+    shuffle ∝ corpus, no cross product. The score is the 6-dp-rounded
+    quality composite, so ranks and gaps are partition-order
+    independent; the gap filter compares the SAME rounded value in
+    both engines."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("long")
+    stop_ratio = _stop_count(words, _EN_STOP).cast("double") / n_words
+    mean_word_len = F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    ).cast("double") / n_words
+    q = F.round(
+        F.least(n_words, F.lit(200)) / 200.0 * 0.4
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.3
+        + F.when(mean_word_len.between(3, 8), 0.3).otherwise(0.0),
+        6,
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("q").desc(), "doc_id")
+    ranked = d.select("doc_id", "lang", q.alias("q")).select(
+        "doc_id",
+        "lang",
+        "q",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    a = ranked.select(
+        "lang",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("q").alias("qa"),
+        "rn",
+        "n",
+    )
+    b = ranked.select(
+        F.col("lang").alias("lang_b"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("q").alias("qb"),
+        F.col("rn").alias("rn_b"),
+    )
+    gap = F.round(F.col("qa") - F.col("qb"), 6)
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("rn_b") == F.col("n") + 1 - F.col("rn")),
+        )
+        .where((F.col("rn") < F.col("rn_b")) & (gap >= 0.05))
+        .select("lang", "chosen_id", "rejected_id", gap.alias("score_gap"))
+    )
