@@ -1438,13 +1438,17 @@ def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     w = Window.partitionBy("lang").orderBy(F.col("q").desc(), "doc_id")
+    # materialized once: the self-join below branches on this frame,
+    # and this Spark build never reuses shared exchange subtrees
+    # (SCALE.md round-4 ledger) — without the checkpoint the scan and
+    # both windows would execute twice.
     ranked = d.select("doc_id", "lang", q.alias("q")).select(
         "doc_id",
         "lang",
         "q",
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
-    )
+    ).localCheckpoint(eager=True)
     a = ranked.select(
         "lang",
         F.col("doc_id").alias("chosen_id"),
