@@ -2298,3 +2298,64 @@ def pipeline_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("returning_customers"),
         )
     )
+
+
+@query(
+    "pipeline_value_anomalies",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(24,6)))
+                  AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.sx / s.n)
+                 / sqrt((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1))),
+                 6) AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs(round((e.value - s.sx / s.n)
+              / sqrt((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1))),
+              6)) >= 3.0
+    """,
+)
+def pipeline_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — statistical OUTLIER DETECTION: flag events whose
+    value sits ≥ 3 sample standard deviations from its event-type
+    mean (the monitoring/data-quality z-score screen; the fraud and
+    sensor-fault staple). Per-type sufficient statistics (n, Σx, Σx²)
+    come from the agg_corr_exact decimal recipe, so they are exact
+    and partition-order independent; the z-score is then one shared
+    IEEE expression tree over those agreed doubles, rounded once, and
+    the ≥3 cut compares the ROUNDED value so the boundary decision is
+    identical in both engines.
+
+    Scale shape: event_type partitions grow with the corpus, so the
+    per-type stats ride as a tiny broadcast join-back (the
+    corpus-bounded rule from the SCALE ledger — a window over
+    event_type would put whole types in single partitions). One
+    full-scan aggregate + one broadcast equi-join; output ∝
+    anomalies, not events."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(F.round(F.col("value") * F.col("value"), 6).cast("decimal(24,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    z = F.round(
+        (F.col("value") - F.col("sx") / F.col("n"))
+        / F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            / (F.col("n") * (F.col("n") - 1))
+        ),
+        6,
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .where(F.abs(F.col("zscore")) >= 3.0)
+    )
