@@ -517,3 +517,79 @@ def win_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn(
         "reading_filled", F.last("reading", ignorenulls=True).over(w)
     )
+
+
+# finite-horizon EWMA weights (alpha = 0.3, horizon 8): alpha*(1-a)^j
+# for the 7 most recent lags, (1-a)^7 for the oldest — sums to 1.
+# With alpha = 3/10 every weight is an EXACT decimal (3·7^j / 10^(j+1),
+# tail 7^7/10^7), so the whole dot product can run in exact decimal
+# arithmetic: the only rounding anywhere is the per-row double→
+# DECIMAL(18,6) cast of value, which is unambiguous (a binary double
+# never ties at a half-ulp of a decimal — the dsum argument). The
+# naive float version of this key FAILED at sf0.1: the final
+# round(x, 6) of an inexact double landed on a near-midpoint and
+# Spark (HALF_UP) disagreed with DuckDB by exactly 1e-6.
+_EWMA_WEIGHT_STRS: list[str] = [
+    f"0.{3 * 7**j:0{j + 1}d}" for j in range(7)
+] + [f"0.{7**7:07d}"]
+
+_EWMA_SQL_TERMS = " + ".join(
+    f"CAST('{w}' AS DECIMAL(9,7)) * CAST(LAG(value, {j}) OVER w AS DECIMAL(18,6))"
+    for j, w in enumerate(_EWMA_WEIGHT_STRS)
+)
+
+
+@query(
+    "win_ewma",
+    oracle=f"""
+    SELECT event_id, user_id, ts, value,
+           CAST({_EWMA_SQL_TERMS} AS DOUBLE) AS ewma
+    FROM (
+      SELECT event_id, user_id, ts, value,
+             ROW_NUMBER() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    QUALIFY rn >= 8
+    """,
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — exponentially weighted moving average per user
+    (alpha = 0.3, finite 8-event horizon): the smoothing/forecasting
+    primitive next to F5's uniform moving average — recent events
+    dominate, the tail-lag carries the remaining mass so weights sum
+    to 1 exactly. Rows before the horizon fills (rn < 8) are dropped
+    by BOTH engines rather than emitting partially-weighted values.
+
+    Determinism: the recursive EWMA definition is order-dependent and
+    numerically divergent as a running recurrence; the finite-horizon
+    form is a fixed dot product of 8 lags — computed ENTIRELY in
+    exact decimal (weights are exact 7-digit decimals for alpha=0.3,
+    values cast once to DECIMAL(18,6) — an unambiguous cast), then
+    one deterministic decimal→double conversion. No round() of an
+    inexact float anywhere — the naive float version diverged from
+    the oracle by 1e-6 at sf0.1 on a rounding-midpoint (ledger
+    entry in SCALE.md). Window partitions are per-user — bounded,
+    the F-family contract; one shuffle, lags and row_number share
+    the single window spec."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ewma = None
+    for j, wt in enumerate(_EWMA_WEIGHT_STRS):
+        term = F.expr(f"CAST('{wt}' AS DECIMAL(9,7))") * F.lag("value", j).over(
+            w
+        ).cast("decimal(18,6)")
+        ewma = term if ewma is None else ewma + term
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            ewma.cast("double").alias("ewma"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") >= 8)
+        .drop("rn")
+    )

@@ -107,15 +107,15 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # CAST to BIGINT — the round's one defect class; driver re-proof is
 # the done-criterion), then the two multimodal keys whose CONTRACT
 # changed rows-only→SQL-oracled this round, llm_ngram_topk (source
-# changed: short-doc guard), the nine keys registered this round
+# changed: short-doc guard), the ten keys registered this round
 # (audio RMS, BFS shortest path, EXCEPT ALL, BPE train + encode,
 # polygon centroid, nearest way segment, preference pairs, value
-# anomalies), the four r1-stale win_* keys, and 29 of the 46 r2-era
-# keys (joins, aggs, filters — the VERDICT r5 staleness rotation).
-# The 17 remaining r2 keys (set ops, sorts, graph joins,
-# er_blocked_match, projects, unpivot, the approx/HLL rows-only
-# trio) plus the r3 block are round 7's rotation, meeting the "no
-# proof older than r4 by round 7" target.
+# anomalies, EWMA), the four r1-stale win_* keys, and 28 of the 46
+# r2-era keys (joins, aggs, filters — the VERDICT r5 staleness
+# rotation). The 18 remaining r2 keys (set ops, sorts, graph joins,
+# er_blocked_match, projects, unpivot, collect_set, the approx/HLL
+# rows-only trio) plus the r3 block are round 7's rotation, meeting
+# the "no proof older than r4 by round 7" target.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
@@ -130,7 +130,7 @@ DRIVER_WINDOW: list[str] = [
     "mm_image_resize",
     # -- source changed this round: short-doc guard (1) --
     "llm_ngram_topk",
-    # -- never driver-checked: new in round 6 (9) --
+    # -- never driver-checked: new in round 6 (10) --
     "mm_audio_rms",
     "graph_shortest_path",
     "set_except_all",
@@ -140,12 +140,13 @@ DRIVER_WINDOW: list[str] = [
     "osm_nearest_way_segment",
     "llm_preference_pairs",
     "pipeline_value_anomalies",
+    "win_ewma",
     # -- staleness re-checks: latest proof round 1 (4) --
     "win_cume_dist",
     "win_first_last",
     "win_moving_avg",
     "win_topk_group",
-    # -- staleness re-checks: the r2-era join/agg block (29) --
+    # -- staleness re-checks: the r2-era join/agg block (28) --
     "join_inner",
     "join_broadcast",
     "join_left",
@@ -161,7 +162,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_groupby",
     "agg_global",
     "agg_collect_ordered",
-    "agg_collect_set",
     "agg_count_distinct",
     "agg_rollup",
     "agg_cube",
