@@ -399,3 +399,44 @@ def fn_null_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
         bal_nonneg.alias("bal_nonneg"),
         F.coalesce(bal_nonneg, F.lit(0.0)).alias("bal_floor0"),
     )
+
+
+@query(
+    "fn_encoding",
+    oracle="""
+    SELECT doc_id,
+           base64(encode(text)) AS b64,
+           translate(base64(encode(text)), '+/', '-_') AS b64_urlsafe,
+           lower(hex(encode(text))) AS hex_bytes,
+           CAST(octet_length(from_base64(base64(encode(text)))) AS BIGINT)
+             AS rt_bytes
+    FROM documents
+    """,
+)
+def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — binary↔text encodings (base64 / URL-safe base64 /
+    hex) with a decode round-trip proof, the transport-encoding layer
+    every export/API surface needs.
+
+    Two measured cross-engine traps, handled explicitly: (1) Spark's
+    ``base64`` uses Java's MIME encoder and inserts ``\\r\\n`` every
+    76 chars on long payloads (measured: 410 vs 400 chars on a
+    300-byte input) while DuckDB emits RFC 4648 without line breaks —
+    the Spark side strips the CRLFs; (2) ``hex`` casing differs by
+    engine, so both sides lowercase. ``unbase64`` decodes the chunked
+    form fine (MIME decoder is lenient), so the round-trip byte count
+    proves decode correctness. Pure per-row expressions — narrow,
+    codegen'd, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    # Java MIME chunking: strip the \r\n line breaks Spark inserts
+    b64 = F.regexp_replace(F.base64(payload), "\r\n", "")
+    return d.select(
+        "doc_id",
+        b64.alias("b64"),
+        F.translate(b64, "+/", "-_").alias("b64_urlsafe"),
+        F.lower(F.hex(payload)).alias("hex_bytes"),
+        F.octet_length(F.unbase64(F.base64(payload)))
+        .cast("long")
+        .alias("rt_bytes"),
+    )
