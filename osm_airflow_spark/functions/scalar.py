@@ -440,3 +440,51 @@ def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rt_bytes"),
     )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '.example.org/docs/' || doc_id
+             || '?lang=' || lang || '&v=2' AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, 'https://([^/]+)', 1) AS host,
+           regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM urls
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — URL decomposition (host / path / query / named
+    query param), the first step of web-scrape curation: domain-level
+    dedup, per-site quotas, and robots policies all key on the parsed
+    host. URLs are synthesized in-column from fixture fields (no URL
+    column exists), then the SPARK side uses the BUILT-IN
+    ``parse_url`` (JVM java.net.URI-backed, codegen'd) while the
+    oracle re-derives each part with regexes — proving the builtin's
+    semantics against an independent specification rather than regex
+    vs regex. Per-row narrow expressions, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
