@@ -2359,3 +2359,93 @@ def pipeline_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", z.alias("zscore"))
         .where(F.abs(F.col("zscore")) >= 3.0)
     )
+
+
+@query(
+    "pipeline_gini",
+    oracle=f"""
+    WITH cust_rev AS (
+      SELECT o_custkey,
+             {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, revenue,
+             ROW_NUMBER() OVER (ORDER BY revenue, o_custkey) AS i
+      FROM cust_rev
+    )
+    SELECT COUNT(*) AS n_customers,
+           CAST(SUM(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_revenue,
+           (2 * CAST(SUM(i * CAST(revenue AS DECIMAL(18,4))) AS DOUBLE))
+             / (COUNT(*) * CAST(SUM(CAST(revenue AS DECIMAL(18,4)))
+                                AS DOUBLE))
+             - (COUNT(*) + 1.0) / COUNT(*) AS gini
+    FROM ranked
+    """,
+)
+def pipeline_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration GINI coefficient over customers — the
+    inequality metric beside Pareto/ABC: G = 2·Σ(i·xᵢ)/(n·Σx) −
+    (n+1)/n with x ascending. The rank i is GLOBAL — the shape that
+    tempts an unpartitioned window (the lint's hard GLOBW rule) — so
+    this plan reuses the pareto bucket-offset pattern for RANKS:
+    value-contiguous buckets from approx-percentile cuts, per-bucket
+    row_number (B-way parallel windows), plus exact per-bucket count
+    offsets collected as B control-plane rows. Σ(i·x) is exact:
+    bigint rank × DECIMAL(18,4) revenue (an unambiguous double→
+    decimal cast — revenue IS a 4-dp value by construction) summed in
+    decimal; the final G is one shared IEEE expression over agreed
+    doubles, emitted UNROUNDED (the win_ewma ledger rule: never
+    round() an inexact double sum for the oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cust_rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(dsum(_rev(), 4).alias("revenue"))
+        .localCheckpoint(eager=True)  # feeds cuts + counts + ranking
+    )
+    n_buckets = 8
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = cust_rev.agg(
+        F.percentile_approx("revenue", probs, 10_000).alias("c")
+    ).head()[0]
+    bucket = F.lit(0)
+    for cut in cuts:
+        bucket = bucket + F.when(F.col("revenue") > F.lit(cut), 1).otherwise(0)
+    bucketed = cust_rev.withColumn("_bkt", bucket.cast("int"))
+    # control plane: per-bucket row counts -> exact rank offsets
+    counts = {
+        r["_bkt"]: r["n"]
+        for r in bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offset_expr, running = F.lit(0), 0
+    for b in range(n_buckets):
+        if running and counts.get(b) is not None:
+            offset_expr = F.when(F.col("_bkt") == b, F.lit(running)).otherwise(
+                offset_expr
+            )
+        running += counts.get(b, 0)
+    from pyspark.sql import Window
+
+    w_local = Window.partitionBy("_bkt").orderBy("revenue", "o_custkey")
+    rank = (offset_expr + F.row_number().over(w_local)).cast("long")
+    rev_dec = F.col("revenue").cast("decimal(18,4)")
+    ranked = bucketed.select(rev_dec.alias("rd"), rank.alias("i"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rd").alias("sx"),
+        F.sum(F.col("i") * F.col("rd")).alias("six"),
+    )
+    n = F.col("n")
+    return agg.select(
+        n.alias("n_customers"),
+        F.col("sx").cast("double").alias("total_revenue"),
+        (
+            (F.lit(2) * F.col("six").cast("double"))
+            / (n * F.col("sx").cast("double"))
+            - (n + F.lit(1.0)) / n
+        ).alias("gini"),
+    )

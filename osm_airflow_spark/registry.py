@@ -107,16 +107,16 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # CAST to BIGINT — the round's one defect class; driver re-proof is
 # the done-criterion), then the two multimodal keys whose CONTRACT
 # changed rows-only→SQL-oracled this round, llm_ngram_topk (source
-# changed: short-doc guard), the twelve keys registered this round
+# changed: short-doc guard), the thirteen keys registered this round
 # (audio RMS, BFS shortest path, EXCEPT ALL, BPE train + encode,
 # polygon centroid, nearest way segment, preference pairs, value
-# anomalies, EWMA, encodings, URL parse), the four r1-stale win_*
-# keys, and 26 of the 46 r2-era keys (joins, aggs, filters — the
-# VERDICT r5 staleness rotation). The 20 remaining r2 keys (set ops,
-# sorts, graph joins, er_blocked_match, projects, unpivot,
-# collect_set, mode, join_cross, the approx/HLL rows-only trio) plus
-# the r3 block are round 7's rotation, meeting the "no proof older
-# than r4 by round 7" target.
+# anomalies, EWMA, encodings, URL parse, Gini), the four r1-stale
+# win_* keys, and 25 of the 46 r2-era keys (joins, aggs, filters —
+# the VERDICT r5 staleness rotation). The 21 remaining r2 keys (set
+# ops, sorts, graph joins, er_blocked_match, projects, unpivot,
+# collect_set, mode, join_cross, asof_tolerance, the approx/HLL
+# rows-only trio) plus the r3 block are round 7's rotation, meeting
+# the "no proof older than r4 by round 7" target.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
@@ -131,7 +131,7 @@ DRIVER_WINDOW: list[str] = [
     "mm_image_resize",
     # -- source changed this round: short-doc guard (1) --
     "llm_ngram_topk",
-    # -- never driver-checked: new in round 6 (12) --
+    # -- never driver-checked: new in round 6 (13) --
     "mm_audio_rms",
     "graph_shortest_path",
     "set_except_all",
@@ -144,12 +144,13 @@ DRIVER_WINDOW: list[str] = [
     "win_ewma",
     "fn_encoding",
     "fn_url_parse",
+    "pipeline_gini",
     # -- staleness re-checks: latest proof round 1 (4) --
     "win_cume_dist",
     "win_first_last",
     "win_moving_avg",
     "win_topk_group",
-    # -- staleness re-checks: the r2-era join/agg block (26) --
+    # -- staleness re-checks: the r2-era join/agg block (25) --
     "join_inner",
     "join_broadcast",
     "join_left",
@@ -159,7 +160,6 @@ DRIVER_WINDOW: list[str] = [
     "join_theta",
     "join_range",
     "join_asof",
-    "join_asof_tolerance",
     "join_full_outer",
     "agg_groupby",
     "agg_global",

@@ -51,6 +51,7 @@ ITERATIVE = {
     "win_ntile",
     "pipeline_rfm_segments",
     "pipeline_pareto_abc",
+    "pipeline_gini",
     "llm_domain_mix",
     "llm_sample_balanced",
     "pipeline_important_stock",
