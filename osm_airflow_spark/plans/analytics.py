@@ -2449,3 +2449,127 @@ def pipeline_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (n + F.lit(1.0)) / n
         ).alias("gini"),
     )
+
+
+@query(
+    "pipeline_cohort_ltv",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP))
+               AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    aged AS (
+      SELECT f.cohort_month,
+             date_diff('month', f.cohort_month,
+                       CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP))
+               AS age_months,
+             o.o_totalprice
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    ),
+    rev AS (
+      SELECT cohort_month, CAST(age_months AS INT) AS age_months,
+             {sql_dsum('o_totalprice')} AS revenue
+      FROM aged GROUP BY 1, 2
+    )
+    SELECT cohort_month, age_months, revenue,
+           CAST(SUM(CAST(revenue AS DECIMAL(18,2)))
+                  OVER (PARTITION BY cohort_month ORDER BY age_months
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_ltv
+    FROM rev
+    """,
+)
+def pipeline_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LIFETIME-VALUE curve — the revenue twin of the
+    retention cohort: customers cohort by first-order month, each
+    cohort's revenue lands at its month-age, and the running decimal
+    sum per cohort is the LTV curve a growth team reads payback
+    periods from. Cohort-month partitions are bounded (one row per
+    age month), so the cumulative sum is a legitimate window — the
+    F-family contract — and the decimal cumsum makes every prefix
+    order-independent. One join-back for first months (the
+    new-vs-returning shape, bucketable on custkey), one keyed
+    aggregate, one bounded window."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", "o_orderdate")
+    firsts = o.groupBy("o_custkey").agg(F.min(month).alias("cohort_month"))
+    aged = o.join(firsts, "o_custkey").select(
+        "cohort_month",
+        F.months_between(month, F.col("cohort_month")).cast("int").alias(
+            "age_months"
+        ),
+        "o_totalprice",
+    )
+    rev = aged.groupBy("cohort_month", "age_months").agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.select(
+        "cohort_month",
+        "age_months",
+        "revenue",
+        F.sum(F.col("revenue").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_ltv"),
+    )
+
+
+@query(
+    "pipeline_value_anomalies_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, m.med,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           0.6745 * (e.value - m.med) / m.mad AS robust_z
+    FROM events e JOIN mad m USING (event_type)
+    WHERE abs(0.6745 * (e.value - m.med) / m.mad) > 3.5
+    """,
+)
+def pipeline_value_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen — the MAD (median-absolute-deviation)
+    twin of the z-score key: modified z = 0.6745·(x − median)/MAD
+    with the Iglewicz–Hoaglin 3.5 cut. Means and standard deviations
+    are themselves dragged by the outliers they hunt; medians are
+    not — this is the screen that stays calibrated when a sensor
+    wedges at a huge constant. Two grouped exact medians (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, the agg_percentile-
+    proven pair), each joined back broadcast (per-type stats are
+    corpus-bounded — the SCALE ledger join-back rule), then one
+    shared IEEE expression per row with the cut on the RAW value —
+    nothing rounded, per the win_ewma ledger rule. Two full-scan
+    aggregates + two broadcast joins; output ∝ anomalies."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            )
+        )
+    )
+    rz = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .select("event_id", "event_type", "value", rz.alias("robust_z"))
+        .where(F.abs(F.col("robust_z")) > 3.5)
+    )

@@ -107,16 +107,17 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # CAST to BIGINT — the round's one defect class; driver re-proof is
 # the done-criterion), then the two multimodal keys whose CONTRACT
 # changed rows-only→SQL-oracled this round, llm_ngram_topk (source
-# changed: short-doc guard), the thirteen keys registered this round
+# changed: short-doc guard), the fifteen keys registered this round
 # (audio RMS, BFS shortest path, EXCEPT ALL, BPE train + encode,
-# polygon centroid, nearest way segment, preference pairs, value
-# anomalies, EWMA, encodings, URL parse, Gini), the four r1-stale
-# win_* keys, and 25 of the 46 r2-era keys (joins, aggs, filters —
-# the VERDICT r5 staleness rotation). The 21 remaining r2 keys (set
-# ops, sorts, graph joins, er_blocked_match, projects, unpivot,
-# collect_set, mode, join_cross, asof_tolerance, the approx/HLL
-# rows-only trio) plus the r3 block are round 7's rotation, meeting
-# the "no proof older than r4 by round 7" target.
+# polygon centroid, nearest way segment, preference pairs, z-score +
+# MAD anomalies, EWMA, encodings, URL parse, Gini, cohort LTV), the
+# four r1-stale win_* keys, and 23 of the 46 r2-era keys (joins,
+# aggs, filters — the VERDICT r5 staleness rotation). The 23
+# remaining r2 keys (set ops, sorts, graph joins, er_blocked_match,
+# projects, cube/grouping-sets/unpivot/collect_set/mode, join_cross,
+# asof_tolerance, the approx/HLL rows-only trio) plus the r3 block
+# are round 7's rotation, meeting the "no proof older than r4 by
+# round 7" target.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
@@ -131,7 +132,7 @@ DRIVER_WINDOW: list[str] = [
     "mm_image_resize",
     # -- source changed this round: short-doc guard (1) --
     "llm_ngram_topk",
-    # -- never driver-checked: new in round 6 (13) --
+    # -- never driver-checked: new in round 6 (15) --
     "mm_audio_rms",
     "graph_shortest_path",
     "set_except_all",
@@ -145,12 +146,14 @@ DRIVER_WINDOW: list[str] = [
     "fn_encoding",
     "fn_url_parse",
     "pipeline_gini",
+    "pipeline_cohort_ltv",
+    "pipeline_value_anomalies_mad",
     # -- staleness re-checks: latest proof round 1 (4) --
     "win_cume_dist",
     "win_first_last",
     "win_moving_avg",
     "win_topk_group",
-    # -- staleness re-checks: the r2-era join/agg block (25) --
+    # -- staleness re-checks: the r2-era join/agg block (23) --
     "join_inner",
     "join_broadcast",
     "join_left",
@@ -166,8 +169,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_collect_ordered",
     "agg_count_distinct",
     "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
     "agg_conditional",
     "agg_pivot",
     "agg_percentile",
