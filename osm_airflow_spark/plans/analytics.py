@@ -2573,3 +2573,168 @@ def pipeline_value_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", rz.alias("robust_z"))
         .where(F.abs(F.col("robust_z")) > 3.5)
     )
+
+
+@query(
+    "pipeline_revenue_trend_forecast",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT date_diff('month', TIMESTAMP '1992-01-01',
+                       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP))
+               AS mi,
+             {sql_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1
+    ),
+    fit AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(mi AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(mi * CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(mi * CAST(mi AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+             MAX(mi) AS last_mi
+      FROM monthly
+    ),
+    coefs AS (
+      SELECT n, last_mi,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS intercept
+      FROM fit
+    )
+    SELECT CAST(last_mi + h AS INT) AS month_index,
+           slope, intercept,
+           intercept + slope * (last_mi + h) AS projected_revenue
+    FROM coefs, generate_series(1, 3) AS g(h)
+    """,
+)
+def pipeline_revenue_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-trend revenue FORECAST — ordinary least squares over
+    the monthly revenue series, projected 3 months past the last
+    observed month: the baseline every real forecasting system is
+    benchmarked against (and the planning number a finance team asks
+    for first). Slope/intercept come from exact decimal sufficient
+    statistics (n, Σx, Σy, Σxy, Σx² — the agg_corr_exact recipe:
+    month indexes are exact integers, revenues exact 2-dp decimals),
+    so the normal-equation solution is one shared IEEE expression
+    over agreed doubles, emitted UNROUNDED per the win_ewma rule; the
+    3 projections are pure arithmetic on those coefficients. One
+    keyed aggregate + one 1-row global fold — the forecast itself is
+    control-plane sized."""
+    o = load_table(spark, sf_dir, "orders")
+    mi = F.months_between(
+        F.date_trunc("month", "o_orderdate"), F.lit("1992-01-01").cast("timestamp")
+    ).cast("long")
+    monthly = o.groupBy(mi.alias("mi")).agg(dsum("o_totalprice").alias("revenue"))
+    rev_d = F.col("revenue").cast("decimal(18,2)")
+    mi_d = F.col("mi").cast("decimal(18,0)")
+    fit = monthly.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(mi_d).cast("double").alias("sx"),
+        F.sum(rev_d).cast("double").alias("sy"),
+        F.sum(F.col("mi") * rev_d).cast("double").alias("sxy"),
+        F.sum(F.col("mi") * mi_d).cast("double").alias("sxx"),
+        F.max("mi").alias("last_mi"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    coefs = fit.select(
+        "last_mi", slope.alias("slope"), intercept.alias("intercept")
+    )
+    horizons = coefs.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("h")
+    )
+    return horizons.select(
+        (F.col("last_mi") + F.col("h")).cast("int").alias("month_index"),
+        "slope",
+        "intercept",
+        (
+            F.col("intercept") + F.col("slope") * (F.col("last_mi") + F.col("h"))
+        ).alias("projected_revenue"),
+    )
+
+
+@query(
+    "pipeline_ab_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    stats AS (
+      SELECT grp,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(24,6)))
+                  AS DOUBLE) AS sxx
+      FROM assigned GROUP BY grp
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN grp = 'A' THEN n END) AS na,
+             MAX(CASE WHEN grp = 'A' THEN sx END) AS sxa,
+             MAX(CASE WHEN grp = 'A' THEN sxx END) AS sxxa,
+             MAX(CASE WHEN grp = 'B' THEN n END) AS nb,
+             MAX(CASE WHEN grp = 'B' THEN sx END) AS sxb,
+             MAX(CASE WHEN grp = 'B' THEN sxx END) AS sxxb
+      FROM stats
+    )
+    SELECT na, nb,
+           sxa / na AS mean_a,
+           sxb / nb AS mean_b,
+           sxb / nb - sxa / na AS lift,
+           (sxb / nb - sxa / na)
+             / sqrt(((na * sxxa - sxa * sxa) / (na * (na - 1.0))) / na
+                    + ((nb * sxxb - sxb * sxb) / (nb * (nb - 1.0))) / nb)
+             AS t_stat,
+           abs((sxb / nb - sxa / na)
+               / sqrt(((na * sxxa - sxa * sxa) / (na * (na - 1.0))) / na
+                      + ((nb * sxxb - sxb * sxb) / (nb * (nb - 1.0))) / nb))
+             > 1.96 AS significant
+    FROM wide
+    """,
+)
+def pipeline_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-experiment readout — Welch's two-sample t statistic over
+    purchase values, arms assigned deterministically by user-id
+    parity (the hash-bucketing shape of every experimentation
+    platform; content-derived assignment, never ingest order): per-
+    arm exact decimal sufficient statistics (the z-score recipe),
+    then mean lift, t = Δmean/√(s²ᴬ/nᴬ + s²ᴮ/nᴮ), and a 1.96 cut
+    applied to the same unrounded double in both engines. One keyed
+    aggregate → a 2-row pivot → a 1-row readout: the entire
+    experiment analysis is control-plane sized after one corpus
+    pass."""
+    e = load_table(spark, sf_dir, "events")
+    assigned = e.where(F.col("event_type") == "purchase").select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp"),
+        "value",
+    )
+    stats = assigned.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(F.round(F.col("value") * F.col("value"), 6).cast("decimal(24,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    wide = stats.agg(
+        *[
+            F.max(F.when(F.col("grp") == g, F.col(c))).alias(f"{c}{g.lower()}")
+            for g in ("A", "B")
+            for c in ("n", "sx", "sxx")
+        ]
+    )
+    na, nb = F.col("na"), F.col("nb")
+    mean_a, mean_b = F.col("sxa") / na, F.col("sxb") / nb
+    var_a = (na * F.col("sxxa") - F.col("sxa") * F.col("sxa")) / (na * (na - F.lit(1.0)))
+    var_b = (nb * F.col("sxxb") - F.col("sxb") * F.col("sxb")) / (nb * (nb - F.lit(1.0)))
+    t = (mean_b - mean_a) / F.sqrt(var_a / na + var_b / nb)
+    return wide.select(
+        "na",
+        "nb",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        (mean_b - mean_a).alias("lift"),
+        t.alias("t_stat"),
+        (F.abs(t) > 1.96).alias("significant"),
+    )
