@@ -1025,8 +1025,8 @@ def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     any large-corpus training pipeline.
 
     Exactness: p_i^0.7 is transcendental, so each term is rounded to
-    6 dp BEFORE the normalizing sum (the CLAUDE rule: never sum raw
-    transcendentals across engines); the denominator is a decimal sum
+    6 dp BEFORE the normalizing sum (repo determinism rule: never sum
+    raw transcendentals across engines); the denominator is a decimal sum
     of those rounded terms, and the final weight is one double
     division — identical in both engines.
 
@@ -1150,7 +1150,7 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: explode tokens once per branch, one groupBy(word) for the
     vocab (corpus-bounded — the documented case where a join-back
-    beats a window, CLAUDE rules), vocab rides broadcast into a LEFT
+    beats a window, per the SCALE ledger), vocab rides broadcast into a LEFT
     join, one groupBy(doc), one |langs|-row rollup. Per-doc rates
     round to 6 dp before the decimal mean so cross-partition double
     summation can't drift."""
