@@ -104,11 +104,25 @@ def run_local(
         transform_region(spec["region"], spec["subregion"], snapshot_date, data_dir)
         return spec["subregion"]
 
+    # The publish-task gate (osm_etl.py:88-91 analogue) must OUTLIVE
+    # individual chain failures: pool.map would re-raise the first
+    # exception and never report which regions DID publish, so each
+    # future's outcome is collected and the gate raises with the full
+    # failed-region list while the per-region dated partitions that
+    # succeeded stay on disk (idempotent re-run completes them).
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        done = list(pool.map(chain, specs))
-    # the publish-task gate (osm_etl.py:88-91 analogue)
-    if len(done) != len(specs):
-        raise RuntimeError(f"publish gate: {len(done)}/{len(specs)} regions")
+        futures = [(spec["subregion"], pool.submit(chain, spec)) for spec in specs]
+        done, failed = [], []
+        for sub, fut in futures:
+            try:
+                done.append(fut.result())
+            except Exception as exc:  # noqa: BLE001 — gate reports, then raises
+                failed.append((sub, exc))
+    if failed:
+        raise RuntimeError(
+            f"publish gate: {len(failed)}/{len(specs)} regions failed: "
+            f"{[sub for sub, _ in failed]} (published: {done})"
+        ) from failed[0][1]
     return done
 
 

@@ -421,6 +421,7 @@ def audio_rms(media: DataFrame, window: int = 64) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT doc_id AS media_id, rpad(text, 512, 'x') AS t FROM documents
+      WHERE octet_length(encode(text)) = length(text)
     ),
     samp AS (
       SELECT media_id, wi,
@@ -453,7 +454,12 @@ def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer square-sums, power-of-two mean, one IEEE sqrt."""
     d = load_table(spark, sf_dir, "documents")
     payload = F.substring(F.encode(F.rpad("text", 512, "x"), "utf-8"), 1, 512)
-    media = d.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    media = (
+        # char-positions-vs-bytes contract: ASCII-only, both engines
+        # (same guard and rationale as mm_image_resize)
+        d.where(F.octet_length("text") == F.length("text"))
+        .select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    )
     return audio_rms(media, window=64)
 
 
@@ -523,6 +529,7 @@ def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT doc_id AS media_id, rpad(text, 256, 'x') AS t FROM documents
+      WHERE octet_length(encode(text)) = length(text)
     ),
     px AS (
       SELECT media_id,
@@ -554,5 +561,12 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(b"P5 16 16 255\n"),
         F.substring(F.encode(F.rpad("text", 256, "x"), "utf-8"), 1, 256),
     )
-    media = d.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    media = (
+        # The oracle rebuilds the raster from CHARACTER positions while
+        # this kernel consumes BYTES — identical only for single-byte
+        # text, so both engines filter to ASCII docs (every fixture doc
+        # today; the guard pins the contract instead of a docstring).
+        d.where(F.octet_length("text") == F.length("text"))
+        .select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    )
     return resize_media(media, out_w=8, out_h=8)

@@ -288,13 +288,24 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .localCheckpoint(eager=True)  # heavy multiway join runs ONCE
     )
-    labels = (
+    seed = (
         und.agg(F.min("a").alias("node"))
         .select("node", F.lit(0).alias("hops"))
         .localCheckpoint(eager=True)
     )
-    frontier = labels
-    for depth in range(1, 9):
+    return bfs_hops(und, seed)
+
+
+def bfs_hops(und: DataFrame, seed: DataFrame, max_rounds: int = 8) -> DataFrame:
+    """The frontier-expansion BFS kernel, extracted (like
+    ``chase_to_roots``) so tests exercise THIS loop, not a copy:
+    ``und`` is an (a, b) directed edge list (pass both directions for
+    undirected graphs), ``seed`` is (node, hops=0) labels. Per round:
+    frontier⋈edges, anti-join out labeled nodes, label survivors with
+    the round number; stops at frontier exhaustion or ``max_rounds``.
+    Returns (node, hops) = first-discovery depth per reachable node."""
+    labels, frontier = seed, seed
+    for depth in range(1, max_rounds + 1):
         nxt = (
             frontier.join(und, frontier["node"] == und["a"])
             .select(F.col("b").alias("node"))

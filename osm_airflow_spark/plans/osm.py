@@ -185,7 +185,14 @@ def build_highway_layer(
 ) -> DataFrame:
     """End-to-end thematic layer (the flex 'highway' table shape):
     route → promote → assemble → bbox columns, ready for
-    io.write_snapshot(partition_cols=('geohash',))."""
+    io.write_snapshot. When MULTIPLE regions publish the same dated
+    snapshot, partition_cols must LEAD with the writer's region
+    (('region', 'geohash'), adding the column first) — dynamic
+    partition overwrite replaces whole touched partitions, so
+    geohash-only partitioning lets regions sharing a border cell
+    clobber each other and per-region retries wipe neighbors
+    (proven by the golden-fixture fan-out test; see
+    dags/osm_spark_dag.py transform_region)."""
     routed = route_layer(ways, "highway")
     promoted = promote_tags(
         routed, promote or {"highway": "string", "name": "string", "maxspeed": "int"}

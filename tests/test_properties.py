@@ -377,12 +377,15 @@ def test_chase_to_roots_matches_sequential_chase(spark, parents):
     )
 )
 def test_bfs_frontier_matches_sequential_bfs(spark, edges):
-    """The distributed frontier-expansion BFS inside
-    graph_shortest_path assigns the same hop counts as a sequential
-    BFS on arbitrary small graphs (seed = min labeled node)."""
+    """The SHARED frontier-expansion kernel (bfs_hops — the same
+    function graph_shortest_path calls) assigns the same hop counts
+    as a sequential BFS on arbitrary small graphs (seed = min
+    labeled node)."""
     from collections import deque
 
     from pyspark.sql import functions as F  # noqa: F811
+
+    from osm_airflow_spark.operators.graph import bfs_hops
 
     named = [(f"n{a:02d}", f"n{b:02d}") for a, b in edges if a != b]
     if not named:
@@ -394,25 +397,12 @@ def test_bfs_frontier_matches_sequential_bfs(spark, edges):
         .localCheckpoint(eager=True)
     )
     seed = min(min(a, b) for a, b in named)
-    labels = (
+    seed_df = (
         und.agg(F.min("a").alias("node"))
         .select("node", F.lit(0).alias("hops"))
         .localCheckpoint(eager=True)
     )
-    frontier = labels
-    for depth in range(1, 15):
-        nxt = (
-            frontier.join(und, frontier["node"] == und["a"])
-            .select(F.col("b").alias("node"))
-            .distinct()
-            .join(labels, "node", "left_anti")
-            .select("node", F.lit(depth).alias("hops"))
-            .localCheckpoint(eager=True)
-        )
-        if not nxt.take(1):
-            break
-        labels = labels.union(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+    labels = bfs_hops(und, seed_df, max_rounds=14)
     got = {r["node"]: r["hops"] for r in labels.collect()}
 
     adj: dict = {}

@@ -678,7 +678,7 @@ def test_real_extract_hook(spark):
 
 
 def test_dag_full_graph_runs_without_scheduler(spark, tmp_path):
-    """run_local executes the WHOLE task graph (4-region fan-out →
+    """run_local executes the WHOLE task graph (3-region fan-out →
     per-region chains in parallel threads → publish gate) with no
     Airflow — upgrading DAG validation from callable-level to
     graph-level. All four regions ingest the same golden fixture, so
@@ -726,3 +726,35 @@ def test_dag_full_graph_runs_without_scheduler(spark, tmp_path):
         for r in layer2.groupBy("region").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert per_region2 == per_region
+
+
+def test_dag_publish_gate_reports_failed_regions(spark, tmp_path):
+    """The publish gate must survive individual chain failures and
+    report exactly which regions failed while successful regions'
+    dated partitions stay published (idempotent re-run completes
+    them) — pool.map semantics would re-raise the first error and
+    report nothing."""
+    import importlib.util
+    import pathlib
+    import shutil
+
+    path = pathlib.Path(__file__).parent.parent / "dags" / "osm_spark_dag.py"
+    spec = importlib.util.spec_from_file_location("osm_spark_dag_gate", path)
+    dag_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dag_mod)
+
+    regions = [
+        {"region": "north-america/us", "subregion": "colorado"},
+        {"region": "europe", "subregion": "spain"},
+    ]
+    # only colorado's extract exists; spain's chain must fail
+    shutil.copy(GOLDEN_PBF, f"{tmp_path}/colorado.osm.pbf")
+
+    with pytest.raises(RuntimeError) as exc:
+        dag_mod.run_local(str(tmp_path), regions=regions, max_workers=2)
+    assert "spain" in str(exc.value) and "colorado" not in str(exc.value).split(
+        "published"
+    )[0].replace("1/2", "")
+    # the successful region's publish survived the gate failure
+    layer = spark.read.parquet(f"{tmp_path}/layers/highway")
+    assert layer.where(F.col("region") == "colorado").count() == 40
