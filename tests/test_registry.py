@@ -98,3 +98,22 @@ def test_registry_import_idempotent():
     b = all_queries()
     assert a.keys() == b.keys()
     assert len(a) >= 99
+
+
+def test_no_precision_losing_float_literals_in_oracles():
+    """DuckDB parses float literals as DECIMAL first; at >= 16
+    significant digits the decimal->double conversion routes through
+    an integer mantissa beyond 2^53 and silently loses ulps (even an
+    explicit ::DOUBLE cast cannot repair the parse). A repr(float)
+    interpolated into oracle SQL is exactly that shape — it broke
+    win_ewma v1 by 1e-6 at a rounding boundary (SCALE.md round-6
+    addendum). Short literals (0.3, 6371.0, 1.96) are exact."""
+    import re
+
+    offenders = []
+    for key, sql in ORACLES.items():
+        for m in re.finditer(r"\d+\.\d+", sql):
+            digits = m.group(0).replace(".", "").lstrip("0")
+            if len(digits) >= 16:
+                offenders.append((key, m.group(0)))
+    assert not offenders, offenders
