@@ -2738,3 +2738,114 @@ def pipeline_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.alias("t_stat"),
         (F.abs(t) > 1.96).alias("significant"),
     )
+
+
+@query(
+    "pipeline_seasonal_index",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS y,
+             EXTRACT(month FROM o_orderdate) AS m,
+             {sql_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1, 2
+    ),
+    yearly AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS y,
+             {sql_dsum('o_totalprice')} / 12 AS mean_month
+      FROM orders GROUP BY 1
+    ),
+    ratios AS (
+      SELECT mo.m, round(mo.revenue / yr.mean_month, 6) AS r
+      FROM monthly mo JOIN yearly yr USING (y)
+    )
+    SELECT CAST(m AS INT) AS month_of_year,
+           COUNT(*) AS n_years,
+           CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS seasonal_index
+    FROM ratios GROUP BY m
+    """,
+)
+def pipeline_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical SEASONALITY indices — each calendar month's revenue
+    as a ratio to its year's monthly mean, averaged across years: the
+    multiplicative-decomposition factor a demand planner applies
+    before comparing months (and the sanity check behind 'is December
+    really up, or is it just December?'). Deliberately windowless:
+    the textbook centered-moving-average formulation needs a GLOBAL
+    ordered window (the lint's hard rule); the year-relative
+    formulation is two keyed aggregations + a broadcast join-back and
+    gives the same seasonal factors for complete years. Each ratio is
+    ONE division of two exactly-agreed doubles, rounded per-term at
+    6 dp (per-row values — the transcendental-term rule), then
+    decimal-averaged so the cross-year mean is order-independent."""
+    o = load_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    monthly = o.groupBy(
+        y.alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    yearly = o.groupBy(y.alias("y")).agg(
+        (dsum("o_totalprice") / 12).alias("mean_month")
+    )
+    ratios = monthly.join(F.broadcast(yearly), "y").select(
+        "m", F.round(F.col("revenue") / F.col("mean_month"), 6).alias("r")
+    )
+    return ratios.groupBy(F.col("m").cast("int").alias("month_of_year")).agg(
+        F.count(F.lit(1)).alias("n_years"),
+        (
+            F.sum(F.col("r").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("seasonal_index"),
+    )
+
+
+@query(
+    "pipeline_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    outdeg AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS total FROM trans GROUP BY 1
+    )
+    SELECT t.prev_type, t.next_type, t.n AS n_transitions,
+           CAST(t.n AS DOUBLE) / o.total AS p
+    FROM trans t JOIN outdeg o USING (prev_type)
+    """,
+)
+def pipeline_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order MARKOV transition matrix over per-user event
+    sequences — P(next event type | current) — the user-journey model
+    behind next-action prediction, funnel leak diagnosis, and
+    session simulation. One per-user LAG window (bounded partitions,
+    total-ordered by (ts, event_id)), one groupBy for transition
+    counts, out-degree totals as a tiny broadcast join-back (the
+    corpus-bounded rule), and each probability is integer/integer in
+    ONE IEEE division — engine-exact with no rounding at all. Row
+    probabilities per prev_type sum to 1 by construction."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    outdeg = trans.groupBy("prev_type").agg(
+        F.sum("n_transitions").alias("total")
+    )
+    return trans.join(F.broadcast(outdeg), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (F.col("n_transitions").cast("double") / F.col("total")).alias("p"),
+    )

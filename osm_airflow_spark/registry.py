@@ -107,16 +107,17 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # CAST to BIGINT — the round's one defect class; driver re-proof is
 # the done-criterion), then the two multimodal keys whose CONTRACT
 # changed rows-only→SQL-oracled this round, llm_ngram_topk (source
-# changed: short-doc guard), the seventeen keys registered this
+# changed: short-doc guard), the nineteen keys registered this
 # round (audio RMS, BFS shortest path, EXCEPT ALL, BPE train +
 # encode, polygon centroid, nearest way segment, preference pairs,
 # z-score + MAD anomalies, EWMA, encodings, URL parse, Gini, cohort
-# LTV, trend forecast, A/B test), the four r1-stale win_* keys, and
-# 21 of the 46 r2-era keys (never-checked beats re-proof — the r5
-# precedent). The 25 remaining r2 keys plus the 43-key r3 block are
-# rounds 7-8's rotation; with 50 slots/round the original "nothing
-# older than r4 by round 7" goal slips to round 8 for ~18 r3 keys —
-# the price of 17 new keys, accepted deliberately.
+# LTV, trend forecast, A/B test, seasonal index, Markov
+# transitions), the four r1-stale win_* keys, and 19 of the 46
+# r2-era keys (never-checked beats re-proof — the r5 precedent). The
+# 27 remaining r2 keys plus the 43-key r3 block are rounds 7-8's
+# rotation; with 50 slots/round the original "nothing older than r4
+# by round 7" goal slips to round 8 for ~20 r3 keys — the price of
+# 19 new keys, accepted deliberately.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
@@ -131,7 +132,7 @@ DRIVER_WINDOW: list[str] = [
     "mm_image_resize",
     # -- source changed this round: short-doc guard (1) --
     "llm_ngram_topk",
-    # -- never driver-checked: new in round 6 (17) --
+    # -- never driver-checked: new in round 6 (19) --
     "mm_audio_rms",
     "graph_shortest_path",
     "set_except_all",
@@ -149,19 +150,20 @@ DRIVER_WINDOW: list[str] = [
     "pipeline_value_anomalies_mad",
     "pipeline_revenue_trend_forecast",
     "pipeline_ab_test",
+    "pipeline_seasonal_index",
+    "pipeline_event_transitions",
     # -- staleness re-checks: latest proof round 1 (4) --
     "win_cume_dist",
     "win_first_last",
     "win_moving_avg",
     "win_topk_group",
-    # -- staleness re-checks: the r2-era join/agg block (21) --
+    # -- staleness re-checks: the r2-era join/agg block (19) --
     "join_inner",
     "join_broadcast",
     "join_left",
     "join_multiway",
     "join_semi",
     "join_anti",
-    "join_range",
     "join_asof",
     "join_full_outer",
     "agg_groupby",
@@ -174,7 +176,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_percentile",
     "agg_corr_exact",
     "agg_stats_moments",
-    "agg_incremental_merge",
     "filter_predicate",
 ]
 
