@@ -51,10 +51,29 @@ def ingest_region(region: str, subregion: str, data_dir: str) -> None:
     )
 
 
-def transform_region(region: str, subregion: str, snapshot_date: str, data_dir: str) -> None:
+def transform_region(
+    region: str,
+    subregion: str,
+    snapshot_date: str,
+    data_dir: str,
+    write_lock=None,
+) -> None:
     """One region's ETL as a Spark job: element tables → thematic
     layers → dated partitioned snapshot (replaces the reference's
-    docker-exec of pgosm_flex.py, osm_etl.py:17-18,71-72)."""
+    docker-exec of pgosm_flex.py, osm_etl.py:17-18,71-72).
+
+    Committer assumption: under a scheduler each mapped task is its
+    own PROCESS with its own committer, and concurrent tasks write
+    the same table root ``layers/highway``. Their partition sets are
+    disjoint (region leads the spec), but top-level commit artifacts
+    (_SUCCESS, staging-dir cleanup) are shared — safe on the default
+    parquet committer only because dynamic-partition overwrite stages
+    under per-job ``.spark-staging-<jobId>`` dirs; a production
+    deployment should use a table format (Iceberg/Delta) or a
+    zero-rename committer for true concurrent-commit safety. When
+    fan-out runs IN-PROCESS (run_local threads), pass ``write_lock``:
+    the layer is computed eagerly in parallel and only the commit is
+    serialized (r6 advice)."""
     from osm_airflow_spark.io import write_snapshot
     from osm_airflow_spark.plans.osm import build_highway_layer
     from osm_airflow_spark.session import get_spark
@@ -73,12 +92,26 @@ def transform_region(region: str, subregion: str, snapshot_date: str, data_dir: 
     # the spec each task owns a disjoint partition set: fan-out is
     # conflict-free and retries stay idempotent (the reason this DAG
     # can run retries=2 where the reference pins 0).
-    write_snapshot(
-        layer.withColumn("region", F.lit(subregion)),
-        f"{data_dir}/layers/highway",
-        snapshot_date,
-        ("region", "geohash"),
-    )
+    layer = layer.withColumn("region", F.lit(subregion))
+    if write_lock is not None:
+        # compute in parallel, COMMIT serially: the transform's full
+        # cost runs before the lock, so the barrier only covers the
+        # (cheap) staged write of already-materialized partitions.
+        layer = layer.localCheckpoint(eager=True)
+        with write_lock:
+            write_snapshot(
+                layer,
+                f"{data_dir}/layers/highway",
+                snapshot_date,
+                ("region", "geohash"),
+            )
+    else:
+        write_snapshot(
+            layer,
+            f"{data_dir}/layers/highway",
+            snapshot_date,
+            ("region", "geohash"),
+        )
 
 
 def run_local(
@@ -95,13 +128,22 @@ def run_local(
     is how the full graph (not just individual callables) is proven
     end-to-end; under Airflow the @dag below runs the identical
     shape. Returns the published subregions, in input order."""
+    import threading
     from concurrent.futures import ThreadPoolExecutor
 
     specs = REGIONS if regions is None else regions
+    # In-process fan-out: one lock serializes the publish COMMITS
+    # (concurrent committers to one table root share _SUCCESS/staging
+    # cleanup — see transform_region docstring); ingest + transform
+    # compute still run fully parallel.
+    write_lock = threading.Lock()
 
     def chain(spec: dict) -> str:
         ingest_region(spec["region"], spec["subregion"], data_dir)
-        transform_region(spec["region"], spec["subregion"], snapshot_date, data_dir)
+        transform_region(
+            spec["region"], spec["subregion"], snapshot_date, data_dir,
+            write_lock=write_lock,
+        )
         return spec["subregion"]
 
     # The publish-task gate (osm_etl.py:88-91 analogue) must OUTLIVE

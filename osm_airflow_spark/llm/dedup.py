@@ -741,6 +741,20 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _error_class(e: AnalysisException) -> str | None:
+    """Spark error-condition name (e.g. 'PATH_NOT_FOUND') across the
+    4.x rename: getCondition() is the 4.0+ API, getErrorClass() the
+    deprecated spelling; either may be absent on older builds."""
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(e, attr, None)
+        if fn is not None:
+            try:
+                return fn()
+            except Exception:  # pragma: no cover - defensive
+                continue
+    return None
+
+
 def dedup_ingest_stream(
     docs_stream: DataFrame,
     index_dir: str,
@@ -782,11 +796,16 @@ def dedup_ingest_stream(
         try:
             existing = spark.read.parquet(index_dir).select("h")
             fresh = kept.join(existing, "h", "left_anti")
-        except AnalysisException:
-            # First batch: index path doesn't exist yet. Only the
-            # missing-path analysis error means "no index"; any other
-            # failure (corrupt file, permissions, transient FS) must
-            # fail the batch, not silently admit duplicates.
+        except AnalysisException as e:
+            # First batch: index path doesn't exist yet. ONLY the
+            # missing-path error class means "no index" — an
+            # existing-but-damaged index dir (e.g. after a failed
+            # write) also raises AnalysisException ("unable to infer
+            # schema"), and treating that as first-batch would
+            # silently admit duplicates. Anything else must fail the
+            # batch (r6 advice).
+            if _error_class(e) != "PATH_NOT_FOUND":
+                raise
             fresh = kept
         # one deterministic pass: survivors then their digests
         fresh = fresh.localCheckpoint(eager=True)

@@ -2316,7 +2316,8 @@ def pipeline_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / sqrt((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1))),
                  6) AS zscore
     FROM events e JOIN stats s USING (event_type)
-    WHERE abs(round((e.value - s.sx / s.n)
+    WHERE s.n > 1 AND (s.n * s.sxx - s.sx * s.sx) > 0
+      AND abs(round((e.value - s.sx / s.n)
               / sqrt((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1))),
               6)) >= 3.0
     """,
@@ -2331,6 +2332,13 @@ def pipeline_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE expression tree over those agreed doubles, rounded once, and
     the ≥3 cut compares the ROUNDED value so the boundary decision is
     identical in both engines.
+
+    Degenerate-group guard (r6 advice): a single-row or zero-variance
+    event_type makes the denominator 0 — Spark IEEE division yields
+    NaN/Inf (and Spark sorts NaN above every double, so |z| >= 3
+    would PASS), while DuckDB returns NULL and drops the row. Both
+    engines filter n > 1 AND positive variance on the same agreed
+    doubles, so the degenerate rows are excluded identically.
 
     Scale shape: event_type partitions grow with the corpus, so the
     per-type stats ride as a tiny broadcast join-back (the
@@ -2354,8 +2362,10 @@ def pipeline_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
+    variance_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     return (
         e.join(F.broadcast(stats), "event_type")
+        .where((F.col("n") > 1) & (variance_num > 0))
         .select("event_id", "event_type", "value", z.alias("zscore"))
         .where(F.abs(F.col("zscore")) >= 3.0)
     )
@@ -2538,7 +2548,8 @@ def pipeline_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.event_type, e.value,
            0.6745 * (e.value - m.med) / m.mad AS robust_z
     FROM events e JOIN mad m USING (event_type)
-    WHERE abs(0.6745 * (e.value - m.med) / m.mad) > 3.5
+    WHERE m.mad <> 0
+      AND abs(0.6745 * (e.value - m.med) / m.mad) > 3.5
     """,
 )
 def pipeline_value_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2553,7 +2564,14 @@ def pipeline_value_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-bounded — the SCALE ledger join-back rule), then one
     shared IEEE expression per row with the cut on the RAW value —
     nothing rounded, per the win_ewma ledger rule. Two full-scan
-    aggregates + two broadcast joins; output ∝ anomalies."""
+    aggregates + two broadcast joins; output ∝ anomalies.
+
+    Degenerate-group guard (r6 advice): MAD = 0 whenever > 50% of a
+    type's values equal its median — then Spark's x/0 is NaN/Inf
+    (NaN sorts above every double, so the > 3.5 cut PASSES) while
+    DuckDB's is NULL (row dropped). Both engines exclude mad = 0
+    groups explicitly, mirroring osm_polygon_centroid's a2 <> 0
+    guard."""
     e = load_table(spark, sf_dir, "events")
     med = e.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
@@ -2570,6 +2588,7 @@ def pipeline_value_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     rz = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
     return (
         e.join(F.broadcast(mad), "event_type")
+        .where(F.col("mad") != 0.0)
         .select("event_id", "event_type", "value", rz.alias("robust_z"))
         .where(F.abs(F.col("robust_z")) > 3.5)
     )

@@ -103,80 +103,72 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ``tests/test_registry.py`` pins the exact list so adding a key can
 # never reshuffle the window unreviewed.
 #
-# Round-6 window: the five r5 hash-FAILs lead (HUGEINT oracles now
-# CAST to BIGINT — the round's one defect class; driver re-proof is
-# the done-criterion), then the two multimodal keys whose CONTRACT
-# changed rows-only→SQL-oracled this round, llm_ngram_topk (source
-# changed: short-doc guard), the nineteen keys registered this
-# round (audio RMS, BFS shortest path, EXCEPT ALL, BPE train +
-# encode, polygon centroid, nearest way segment, preference pairs,
-# z-score + MAD anomalies, EWMA, encodings, URL parse, Gini, cohort
-# LTV, trend forecast, A/B test, seasonal index, Markov
-# transitions), the four r1-stale win_* keys, and 19 of the 46
-# r2-era keys (never-checked beats re-proof — the r5 precedent). The
-# 27 remaining r2 keys plus the 43-key r3 block are rounds 7-8's
-# rotation; with 50 slots/round the original "nothing older than r4
-# by round 7" goal slips to round 8 for ~20 r3 keys — the price of
-# 19 new keys, accepted deliberately.
+# Round-7 window (r6 verdict item 1): the three keys whose CONTRACT
+# changes rows-only→SQL-oracled this round lead (digest oracles:
+# fingerprint / feature checksum / simplified-vertex checksum), then
+# ALL 27 keys whose newest driver proof is still round 2
+# (filter/project/join_theta-range-cross/agg extension/sort/set
+# blocks, triangle count, PageRank, tolerance as-of, blocked ER),
+# then the 20 oldest round-3 keys in registration order. Remaining
+# r3 keys (23) complete in round 8 — after round 7 no key's latest
+# proof predates r3. New keys registered this round displace r3-block
+# tail slots (never-checked beats re-proof — the r5/r6 precedent).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- r5 hash-FAILs, oracles fixed this round (5) --
-    "pipeline_bom_rollup",
-    "osm_super_relation_rollup",
-    "osm_tag_frequency",
-    "graph_connected_components",
-    "llm_sample_balanced",
-    # -- contract changed rows-only → SQL-oracled this round (2) --
-    "mm_frame_sample",
-    "mm_image_resize",
-    # -- source changed this round: short-doc guard (1) --
-    "llm_ngram_topk",
-    # -- never driver-checked: new in round 6 (19) --
-    "mm_audio_rms",
-    "graph_shortest_path",
-    "set_except_all",
-    "llm_bpe_train",
-    "llm_bpe_encode",
-    "osm_polygon_centroid",
-    "osm_nearest_way_segment",
-    "llm_preference_pairs",
-    "pipeline_value_anomalies",
-    "win_ewma",
-    "fn_encoding",
-    "fn_url_parse",
-    "pipeline_gini",
-    "pipeline_cohort_ltv",
-    "pipeline_value_anomalies_mad",
-    "pipeline_revenue_trend_forecast",
-    "pipeline_ab_test",
-    "pipeline_seasonal_index",
-    "pipeline_event_transitions",
-    # -- staleness re-checks: latest proof round 1 (4) --
-    "win_cume_dist",
-    "win_first_last",
-    "win_moving_avg",
-    "win_topk_group",
-    # -- staleness re-checks: the r2-era join/agg block (19) --
-    "join_inner",
-    "join_broadcast",
-    "join_left",
-    "join_multiway",
-    "join_semi",
-    "join_anti",
-    "join_asof",
-    "join_full_outer",
-    "agg_groupby",
-    "agg_global",
-    "agg_collect_ordered",
-    "agg_count_distinct",
-    "agg_rollup",
-    "agg_conditional",
-    "agg_pivot",
-    "agg_percentile",
-    "agg_corr_exact",
-    "agg_stats_moments",
-    "filter_predicate",
+    # -- contract changed rows-only → SQL-oracled this round (3) --
+    "llm_fingerprint",
+    "mm_feature_extract",
+    "osm_line_simplify",
+    # -- staleness re-checks: the full r2-era remainder (27) --
+    "filter_compound",
+    "project_columns",
+    "project_map_promote",
+    "project_computed",
+    "join_theta",
+    "join_range",
+    "join_cross",
+    "join_asof_tolerance",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_unpivot",
+    "agg_collect_set",
+    "agg_mode",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_incremental_merge",
+    "agg_hll_partial_merge",
+    "sort_global",
+    "sort_topk",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_drop_duplicates",
+    "graph_triangle_count",
+    "graph_pagerank",
+    "er_blocked_match",
+    # -- staleness re-checks: oldest r3 block, registration order (20) --
+    "win_ntile",
+    "fn_string",
+    "fn_regex",
+    "fn_math",
+    "fn_conditional",
+    "fn_map_json",
+    "fn_array_explode",
+    "fn_json",
+    "fn_hash",
+    "fn_edit_distance",
+    "fn_bitwise",
+    "fn_string_shape",
+    "fn_array_ops",
+    "fn_null_safety",
+    "fn_geo_distance",
+    "fn_geo_bbox",
+    "udf_scalar",
+    "udf_pandas",
+    "udf_grouped_map",
+    "udf_grouped_agg",
 ]
 
 

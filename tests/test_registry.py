@@ -107,13 +107,20 @@ def test_no_precision_losing_float_literals_in_oracles():
     explicit ::DOUBLE cast cannot repair the parse). A repr(float)
     interpolated into oracle SQL is exactly that shape — it broke
     win_ewma v1 by 1e-6 at a rounding boundary (SCALE.md round-6
-    addendum). Short literals (0.3, 6371.0, 1.96) are exact."""
+    addendum). Short literals (0.3, 6371.0, 1.96) are exact.
+
+    Significance = mantissa digits stripped of leading AND trailing
+    zeros (0.1000000000000000 is exactly 0.1 — fine), and exponent
+    notation counts too (1.1360000000000001e0 is the same defect as
+    its plain spelling; repr(float) emits e-notation for small
+    magnitudes)."""
     import re
 
     offenders = []
     for key, sql in ORACLES.items():
-        for m in re.finditer(r"\d+\.\d+", sql):
-            digits = m.group(0).replace(".", "").lstrip("0")
+        for m in re.finditer(r"\d+\.\d+(?:[eE][+-]?\d+)?", sql):
+            mantissa = m.group(0).split("e")[0].split("E")[0]
+            digits = mantissa.replace(".", "").lstrip("0").rstrip("0")
             if len(digits) >= 16:
                 offenders.append((key, m.group(0)))
     assert not offenders, offenders

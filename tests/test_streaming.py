@@ -766,3 +766,38 @@ def test_dedup_ingest_stream_equals_batch_exact_dedup(spark, sf_dir, tmp_path):
     assert got == expected
     # index holds exactly one digest per accepted doc
     assert spark.read.parquet(str(tmp_path / "index")).distinct().count() == len(got)
+
+
+def test_dedup_ingest_stream_damaged_index_fails_batch(spark, sf_dir, tmp_path):
+    """An index dir that EXISTS but is unreadable (e.g. left empty by
+    a failed write) must FAIL the batch, not be treated as
+    first-batch — that would silently admit duplicates (r6 advice:
+    only PATH_NOT_FOUND means 'no index yet')."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.llm.dedup import dedup_ingest_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    docs.where(F.col("doc_id") < 50).coalesce(1).write.parquet(
+        str(src / "chunk0.parquet")
+    )
+    index_dir = tmp_path / "index"
+    index_dir.mkdir()  # exists, but no parquet inside → unreadable
+
+    stream = spark.readStream.schema(docs.schema).parquet(str(src) + "/*/*.parquet")
+    q = dedup_ingest_stream(
+        stream,
+        index_dir=str(index_dir),
+        out_dir=str(tmp_path / "corpus"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).start()
+    with _pytest.raises(Exception, match="(?i)unable_to_infer_schema|unable to infer"):
+        q.processAllAvailable()
+    q.stop()
