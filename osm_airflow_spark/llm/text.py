@@ -118,9 +118,9 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_words,
            stop_ratio,
            mean_word_len,
-           round( least(n_words, 200) / 200.0 * 0.4
+           least(n_words, 200) / 200.0 * 0.4
                 + least(stop_ratio * 4, 1.0) * 0.3
-                + CASE WHEN mean_word_len BETWEEN 3 AND 8 THEN 0.3 ELSE 0.0 END, 6)
+                + CASE WHEN mean_word_len BETWEEN 3 AND 8 THEN 0.3 ELSE 0.0 END
              AS quality_score
     FROM (
       SELECT doc_id,
@@ -138,7 +138,11 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension — heuristic document quality: length saturation +
     stopword ratio + mean word length band (the Gopher-rules shape).
     Weights are explicit; every term is exact arithmetic on integer
-    counts, rounded once at the end."""
+    counts — one shared IEEE expression tree, so both engines produce
+    the bit-identical double and the score is emitted UNROUNDED (the
+    r7 round()-audit: rounding a derived double is the only point
+    where the engines' HALF_UP semantics could diverge at a midpoint
+    repr, and per-row output needs no rounding at all)."""
     d = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     n_words = F.size(words).cast("long")
@@ -158,7 +162,7 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("mean_word_len").between(3, 8), 0.3).otherwise(0.0)
     )
     return base.select(
-        "doc_id", "n_words", "stop_ratio", "mean_word_len", F.round(score, 6).alias("quality_score")
+        "doc_id", "n_words", "stop_ratio", "mean_word_len", score.alias("quality_score")
     )
 
 
@@ -1127,14 +1131,14 @@ def llm_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     per_doc AS (
       SELECT t.doc_id, t.lang,
-             round(CAST(COUNT(CASE WHEN v.w IS NULL THEN 1 END) AS DOUBLE)
-                   / COUNT(*), 6) AS oov_rate
+             (2 * COUNT(CASE WHEN v.w IS NULL THEN 1 END) * 1000000
+              + COUNT(*)) // (2 * COUNT(*)) AS oov_micro
       FROM toks t LEFT JOIN vocab v USING (w)
       GROUP BY t.doc_id, t.lang
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           CAST(SUM(CAST(oov_rate AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           CAST(SUM(oov_micro) AS DOUBLE) / (COUNT(*) * 1000000.0)
              AS mean_oov_rate
     FROM per_doc
     GROUP BY lang
@@ -1150,10 +1154,18 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: explode tokens once per branch, one groupBy(word) for the
     vocab (corpus-bounded — the documented case where a join-back
-    beats a window, per the SCALE ledger), vocab rides broadcast into a LEFT
-    join, one groupBy(doc), one |langs|-row rollup. Per-doc rates
-    round to 6 dp before the decimal mean so cross-partition double
-    summation can't drift."""
+    beats a window, per the SCALE ledger), vocab rides broadcast into
+    a LEFT join, one groupBy(doc), one |langs|-row rollup.
+
+    Determinism (r7 round()-audit): the per-doc rate is an integer
+    ratio, so its 6-dp HALF_UP value is computed EXACTLY in integer
+    arithmetic — micro-units (2·oov·10⁶ + n) div (2·n), the
+    floor((a/b)+½) identity — instead of round()ing the double
+    quotient, whose midpoint behavior is the one place Spark
+    (HALF_UP on the shortest decimal repr) and DuckDB (std::round on
+    x·10⁶ double arithmetic) can disagree. The cross-doc mean then
+    sums exact integers and divides once in double — bit-identical
+    in both engines with no double→decimal cast anywhere."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
@@ -1165,22 +1177,22 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("w", F.lit(True).alias("in_vocab"))
     )
+    oov = F.count(F.when(F.col("in_vocab").isNull(), 1))
+    n_toks = F.count(F.lit(1))
     per_doc = (
         toks.join(F.broadcast(vocab), "w", "left")
         .groupBy("doc_id", "lang")
         .agg(
-            F.round(
-                F.count(F.when(F.col("in_vocab").isNull(), 1)).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("oov_rate")
+            (F.lit(2) * oov * F.lit(1_000_000) + n_toks).alias("_num"),
+            (F.lit(2) * n_toks).alias("_den"),
         )
+        .select("doc_id", "lang", F.expr("_num div _den").alias("oov_micro"))
     )
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         (
-            F.sum(F.col("oov_rate").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1))
+            F.sum("oov_micro").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1_000_000.0))
         ).alias("mean_oov_rate"),
     )
 
@@ -1375,10 +1387,10 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, lang,
-             round( least(n_words, 200) / 200.0 * 0.4
+             least(n_words, 200) / 200.0 * 0.4
                   + least(stop_ratio * 4, 1.0) * 0.3
                   + CASE WHEN mean_word_len BETWEEN 3 AND 8
-                         THEN 0.3 ELSE 0.0 END, 6) AS q
+                         THEN 0.3 ELSE 0.0 END AS q
       FROM (
         SELECT doc_id, lang,
                len(string_split(text, ' ')) AS n_words,
@@ -1399,10 +1411,10 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.lang,
            a.doc_id AS chosen_id, b.doc_id AS rejected_id,
-           round(a.q - b.q, 6) AS score_gap
+           a.q - b.q AS score_gap
     FROM ranked a JOIN ranked b
       ON a.lang = b.lang AND b.rn = a.n + 1 - a.rn
-    WHERE a.rn < b.rn AND round(a.q - b.q, 6) >= 0.05
+    WHERE a.rn < b.rn AND a.q - b.q >= 0.05
     """,
 )
 def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1418,10 +1430,12 @@ def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one window per language (bounded partitions — the F-family
     contract) and a self-join on (lang, mirrored rank) — equi-join,
-    shuffle ∝ corpus, no cross product. The score is the 6-dp-rounded
-    quality composite, so ranks and gaps are partition-order
-    independent; the gap filter compares the SAME rounded value in
-    both engines."""
+    shuffle ∝ corpus, no cross product. The quality composite is one
+    shared IEEE expression tree over integer counts (bit-identical
+    across engines UNROUNDED — the r7 round()-audit), so ranks, gaps,
+    and the margin cut are partition-order independent with no
+    rounding anywhere: differences and compares of bit-identical
+    doubles are themselves bit-identical."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -1431,11 +1445,10 @@ def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_word_len = F.length(
         F.replace(F.col("text"), F.lit(" "), F.lit(""))
     ).cast("double") / n_words
-    q = F.round(
+    q = (
         F.least(n_words, F.lit(200)) / 200.0 * 0.4
         + F.least(stop_ratio * 4, F.lit(1.0)) * 0.3
-        + F.when(mean_word_len.between(3, 8), 0.3).otherwise(0.0),
-        6,
+        + F.when(mean_word_len.between(3, 8), 0.3).otherwise(0.0)
     )
     w = Window.partitionBy("lang").orderBy(F.col("q").desc(), "doc_id")
     # materialized once: the self-join below branches on this frame,
@@ -1462,7 +1475,7 @@ def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q").alias("qb"),
         F.col("rn").alias("rn_b"),
     )
-    gap = F.round(F.col("qa") - F.col("qb"), 6)
+    gap = F.col("qa") - F.col("qb")
     return (
         a.join(
             b,

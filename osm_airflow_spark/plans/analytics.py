@@ -2114,8 +2114,7 @@ def pipeline_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     )
     SELECT c_mktsegment, month, revenue,
            revenue - LAG(revenue) OVER w AS revenue_delta,
-           round(100 * (revenue / LAG(revenue) OVER w - 1), 6)
-             AS growth_pct
+           100 * (revenue / LAG(revenue) OVER w - 1) AS growth_pct
     FROM monthly
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY month)
     """,
@@ -2129,8 +2128,11 @@ def pipeline_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     AGGREGATE (hundreds of rows), never the fact table — the
     rollup-first ordering is what keeps the lag cheap at any scale.
     Delta is an exact double subtraction of decimal-derived values;
-    the growth ratio is one division + one multiply rounded at 6 dp,
-    identical in both engines."""
+    the growth ratio is one division + one multiply over those agreed
+    doubles — bit-identical in both engines, so it is emitted
+    UNROUNDED (the r7 round()-audit: rounding a derived double was
+    the only possible divergence point, and per-row output needs no
+    rounding)."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
@@ -2150,7 +2152,7 @@ def pipeline_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month",
         "revenue",
         (F.col("revenue") - prev).alias("revenue_delta"),
-        F.round(100 * (F.col("revenue") / prev - 1), 6).alias("growth_pct"),
+        (100 * (F.col("revenue") / prev - 1)).alias("growth_pct"),
     )
 
 

@@ -124,3 +124,65 @@ def test_no_precision_losing_float_literals_in_oracles():
             if len(digits) >= 16:
                 offenders.append((key, m.group(0)))
     assert not offenders, offenders
+
+
+# Keys whose oracle legitimately round()s a derived double, each with
+# the audited reason (r7 round()-of-derived-double audit). round() is
+# the ONE place the engines' semantics can diverge: Spark rounds the
+# SHORTEST DECIMAL REPR of the double (BigDecimal.valueOf + HALF_UP)
+# while DuckDB rounds x·10^s computed in double arithmetic — within an
+# ulp of a .5 midpoint they can disagree. Rounding is therefore only
+# allowed where it is load-bearing:
+#   libm   — absorbs last-ulp differences of non-correctly-rounded
+#            transcendentals (exp/ln/pow/trig); unrounded would
+#            hash-mismatch outright, so the midpoint risk is the
+#            price of comparability (matrix-proven on the fixtures).
+#   term   — the "round each term to 6 dp, then decimal-sum" rule:
+#            the pre-round makes the double→decimal cast exact and
+#            the sum order-independent (CLAUDE.md).
+#   fma    — DuckDB may contract a·b−c into a fused multiply-add;
+#            rounding hides the 1-ulp contraction difference.
+#   op     — round() IS the demonstrated operator surface.
+# Derived-double rounds with NONE of these purposes were migrated to
+# unrounded emission (bit-identical shared IEEE trees) or exact
+# integer HALF_UP (llm_vocab_coverage) in round 7.
+ROUND_AUDITED = {
+    "fn_math": "op",
+    "fn_geo_distance": "libm (asin/sin/cos)",
+    "fn_geo_bearing": "libm (atan2)",
+    "agg_corr_exact": "fma",
+    "llm_embed_quantize": "op (round IS the quantizer) + term",
+    "mm_audio_rms": "libm-analogue (kernel parity rounds both sides)",
+    "llm_quality_logit": "libm (exp)",
+    "llm_tfidf_topk": "libm (ln)",
+    "llm_perplexity_filter": "libm (ln) + term",
+    "llm_domain_mix": "libm (pow) + term",
+    "pipeline_value_anomalies": "term (x² pre-round) + libm (sqrt-adjacent rounded cut)",
+    "pipeline_ab_test": "term (x² pre-round)",
+    "pipeline_seasonal_index": "term (ratio pre-round feeds decimal mean)",
+    "osm_way_lengths": "libm (haversine) + term",
+    "osm_polygon_areas": "term (shoelace cross-products)",
+    "osm_polygon_geodesic_areas": "libm (trig) + term",
+    "osm_multipolygon_net_area": "libm (trig) + term",
+    "osm_polygon_tile_rollup": "term (shoelace cross-products)",
+    "osm_nearest_node": "libm (haversine)",
+    "osm_polygon_centroid": "term (cross-product pre-round)",
+    "osm_nearest_way_segment": "libm-analogue (sqrt distance, 6-dp contract)",
+}
+
+
+def test_round_of_derived_double_sites_are_audited():
+    """Every oracle that round()s must be on the audited allowlist
+    with a load-bearing reason; a NEW round( site fails here until it
+    is audited against the win_ewma midpoint rule (SCALE.md r6/r7).
+    Prefer unrounded emission for shared-IEEE-tree doubles and exact
+    integer HALF_UP for integer ratios."""
+    rounding = {
+        key
+        for key, sql in ORACLES.items()
+        if re.search(r"\bround\s*\(", sql, re.IGNORECASE)
+    }
+    unaudited = rounding - set(ROUND_AUDITED)
+    stale = set(ROUND_AUDITED) - rounding
+    assert not unaudited, f"unaudited round() oracle sites: {sorted(unaudited)}"
+    assert not stale, f"ROUND_AUDITED entries with no round(): {sorted(stale)}"
