@@ -744,7 +744,12 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _error_class(e: AnalysisException) -> str | None:
     """Spark error-condition name (e.g. 'PATH_NOT_FOUND') across the
     4.x rename: getCondition() is the 4.0+ API, getErrorClass() the
-    deprecated spelling; either may be absent on older builds."""
+    deprecated spelling; either may be absent on older builds. On a
+    build exposing NEITHER accessor, fall back to the bracketed
+    condition tag Spark embeds in the message — returning None there
+    would flip the first-batch path from fail-open to fail-closed
+    (r7 advice): a genuinely missing index dir must still read as
+    PATH_NOT_FOUND, not re-raise."""
     for attr in ("getCondition", "getErrorClass"):
         fn = getattr(e, attr, None)
         if fn is not None:
@@ -752,6 +757,8 @@ def _error_class(e: AnalysisException) -> str | None:
                 return fn()
             except Exception:  # pragma: no cover - defensive
                 continue
+    if "[PATH_NOT_FOUND]" in str(e):  # pragma: no cover - old builds
+        return "PATH_NOT_FOUND"
     return None
 
 

@@ -293,28 +293,61 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_feature_extract")  # rows-only: mapInPandas feature path
+@query(
+    "mm_feature_extract",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text, length(text) AS n,
+             list_sum(list_transform(string_split(text, ''),
+                                     c -> unicode(c))) AS s
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           4 AS n_features,
+           concat_ws(',',
+             CAST(n AS BIGINT) * 1048576,
+             CAST(floor((CAST(s AS DOUBLE) / n) * 1048576) AS BIGINT),
+             CAST(unicode(text[1:1]) AS BIGINT) * 1048576,
+             CAST(unicode(text[n:n]) AS BIGINT) * 1048576) AS features_q20
+    FROM b
+    """,
+)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6 — the decode/feature-extract hop as Arrow-batched
     mapInPandas (media_features dispatch: real PPM/PGM/BMP decode,
     byte-stats fallback for undecodable payloads like this fixture's
     text).
 
-    The query projects the feature vector to a canonicalization-safe
-    shape: the driver's rows-only harness sorts every column to hash
-    the result, and a raw ``array<double>`` column is unsortable
-    there (r4 failure: unhashable ndarray). Library callers keep the
-    array-typed ``extract_features``; the query emits ``n_features``
-    plus a deterministic JSON rendering of the 6-dp-rounded vector."""
+    SQL-oracled (round 8 — the contract change the r7 window
+    promised), via Q20 fixed-point emission: each feature leaves the
+    kernel as floor(f * 2^20). For the fixture's byte-stats path the
+    features are [len, sum/len, first, last] over payload bytes —
+    len/first/last are exact small ints, and the mean is ONE
+    correctly-rounded IEEE division of exact ints (identical double
+    in numpy-free Python and DuckDB), so multiplying by the power of
+    two 2^20 is exact and floor is bit-deterministic — no 6-dp
+    rounding-boundary exposure at all (the ROUND_AUDITED discipline:
+    exact emission beats round()-of-derived-double). DuckDB
+    re-derives the same bytes from the text column (ASCII fixture:
+    char code == payload byte). Library callers keep the array-typed
+    ``extract_features``; the query's digest projection exists
+    because the driver's harness sorts every column to hash the
+    result and a raw ``array<double>`` is unsortable there (r4
+    failure: unhashable ndarray)."""
     media = documents_as_media(spark, sf_dir)
     feats = extract_features(media)
     return feats.select(
         "media_id",
         "n_bytes",
         F.size("features").alias("n_features"),
-        F.to_json(F.transform("features", lambda x: F.round(x, 6))).alias(
-            "features_json"
-        ),
+        F.array_join(
+            F.transform(
+                "features",
+                lambda x: F.floor(x * 1048576).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("features_q20"),
     )
 
 

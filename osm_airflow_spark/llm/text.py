@@ -253,18 +253,73 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_fingerprint")  # rows-only: xxhash64 fingerprints
+@query(
+    "llm_fingerprint",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(length(text) - 7, 1) + 1),
+               i -> unicode(text[i:i])     * 107213535210701::BIGINT
+                  + unicode(text[i+1:i+1]) * 1061520150601::BIGINT
+                  + unicode(text[i+2:i+2]) * 10510100501::BIGINT
+                  + unicode(text[i+3:i+3]) * 104060401::BIGINT
+                  + unicode(text[i+4:i+4]) * 1030301::BIGINT
+                  + unicode(text[i+5:i+5]) * 10201::BIGINT
+                  + unicode(text[i+6:i+6]) * 101::BIGINT
+                  + unicode(text[i+7:i+7])
+             ) AS grams
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(grams) - 3, 1) + 1),
+               j -> list_min(grams[j:j+3])
+             )) AS fp
+      FROM g
+    )
+    SELECT doc_id,
+           len(fp) AS n_fingerprints,
+           list_min(fp) AS min_fp,
+           CAST(list_sum(list_transform(fp, x -> x % 1000000000))
+                % 1000000000 AS BIGINT) AS fp_checksum
+    FROM w
+    """,
+)
 def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension — winnowing document fingerprint: rolling char
     8-gram hashes, minimum per 4-gram window, distinct survivors.
     The standard plagiarism/near-dup fingerprint (Schleimer et al.,
     SIGMOD 2003), all in column expressions: sequence → transform →
-    sliding slice minima → array_distinct. Hash family is xxhash64 →
-    rows-only."""
+    sliding slice minima → array_distinct.
+
+    SQL-oracled (round 8 — the contract change the r7 window
+    promised): the hash family is a base-101 polynomial over char
+    codes, written as the same 8-term closed form in both engines.
+    Everything is exact BIGINT arithmetic — max gram value
+    121 * (101^8 - 1)/100 ~ 1.3e16 < 2^63, so no modulus is needed
+    inside the hash and the fingerprints are bit-identical by integer
+    determinism (documents are ASCII at every SF, min length 44 >> 8;
+    Spark ascii == DuckDB unicode per char). The digest row is
+    (count, min, order-independent checksum): the checksum folds
+    fp %% 1e9 per element BEFORE summing so the running total stays
+    < n_fp * 1e9 ~ 1e12, overflow-free at any SF, and order
+    independence survives array_distinct/list_distinct ordering
+    differences. Scale: a narrow map — per-doc cost O(len * 8), no
+    shuffle, no UDF; winnowing keeps ~1/window of grams, bounding
+    downstream index state (the Schleimer guarantee)."""
     d = load_table(spark, sf_dir, "documents")
     grams = F.expr(
-        "transform(sequence(1, greatest(length(text) - 7, 1)),"
-        " i -> xxhash64(substring(text, i, 8)))"
+        "transform(sequence(1, greatest(length(text) - 7, 1)), i ->"
+        "   ascii(substring(text, i,     1)) * 107213535210701L"
+        " + ascii(substring(text, i + 1, 1)) * 1061520150601L"
+        " + ascii(substring(text, i + 2, 1)) * 10510100501L"
+        " + ascii(substring(text, i + 3, 1)) * 104060401L"
+        " + ascii(substring(text, i + 4, 1)) * 1030301L"
+        " + ascii(substring(text, i + 5, 1)) * 10201L"
+        " + ascii(substring(text, i + 6, 1)) * 101L"
+        " + ascii(substring(text, i + 7, 1)))"
     )
     winnowed = F.array_distinct(
         F.expr(
@@ -277,8 +332,12 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", winnowed.alias("fp"))
         .select(
             "doc_id",
-            F.size("fp").alias("n_fingerprints"),
+            F.size("fp").cast("long").alias("n_fingerprints"),
             F.array_min("fp").alias("min_fp"),
+            (
+                F.expr("aggregate(fp, 0L, (a, x) -> a + x % 1000000000)")
+                % 1000000000
+            ).alias("fp_checksum"),
         )
     )
 

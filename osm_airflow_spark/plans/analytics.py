@@ -2305,20 +2305,28 @@ def pipeline_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pipeline_value_anomalies",
     oracle="""
-    WITH stats AS (
+    WITH stats0 AS (
       SELECT event_type,
              COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(25,6)) AS sxd,
              CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(24,6)))
-                  AS DOUBLE) AS sxx
+                  AS DECIMAL(25,6)) AS sxxd
       FROM events GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type, n,
+             CAST(sxd AS DOUBLE) AS sx, CAST(sxxd AS DOUBLE) AS sxx,
+             CAST(n AS HUGEINT) * CAST(sxxd * 1000000 AS HUGEINT) * 1000000
+               - CAST(sxd * 1000000 AS HUGEINT)
+                 * CAST(sxd * 1000000 AS HUGEINT) AS vnum_u
+      FROM stats0
     )
     SELECT e.event_id, e.event_type, e.value,
            round((e.value - s.sx / s.n)
                  / sqrt((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1))),
                  6) AS zscore
     FROM events e JOIN stats s USING (event_type)
-    WHERE s.n > 1 AND (s.n * s.sxx - s.sx * s.sx) > 0
+    WHERE s.n > 1 AND s.vnum_u > 0
       AND abs(round((e.value - s.sx / s.n)
               / sqrt((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1))),
               6)) >= 3.0
@@ -2338,9 +2346,18 @@ def pipeline_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degenerate-group guard (r6 advice): a single-row or zero-variance
     event_type makes the denominator 0 — Spark IEEE division yields
     NaN/Inf (and Spark sorts NaN above every double, so |z| >= 3
-    would PASS), while DuckDB returns NULL and drops the row. Both
-    engines filter n > 1 AND positive variance on the same agreed
-    doubles, so the degenerate rows are excluded identically.
+    would PASS), while DuckDB returns NULL and drops the row. The
+    guard's SIGN is decided in EXACT arithmetic (r7 advice): the
+    double form n*sxx - sx*sx is precisely the a*b - c*d shape DuckDB
+    may FMA-contract (the agg_corr_exact ledger note), so a group
+    whose true numerator sits within an ulp of zero could pass in one
+    engine and fail in the other. sx and sxx are exact 6-dp values by
+    construction, so both engines compare
+    n*(sxx*1e6)*1e6 - (sx*1e6)^2 > 0 in integer micro^2-units —
+    decimal(38,0) here, HUGEINT in DuckDB — which is exact up to
+    |term| < 1e38 (far beyond any tested SF) and identical by
+    integer-arithmetic determinism. The z-score itself keeps the
+    double tree over the agreed doubles.
 
     Scale shape: event_type partitions grow with the corpus, so the
     per-type stats ride as a tiny broadcast join-back (the
@@ -2349,12 +2366,23 @@ def pipeline_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-scan aggregate + one broadcast equi-join; output ∝
     anomalies, not events."""
     e = load_table(spark, sf_dir, "events")
-    stats = e.groupBy("event_type").agg(
+    stats0 = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(25,6)").alias("sxd"),
         F.sum(F.round(F.col("value") * F.col("value"), 6).cast("decimal(24,6)"))
-        .cast("double")
-        .alias("sxx"),
+        .cast("decimal(25,6)")
+        .alias("sxxd"),
+    )
+    sxu = (F.col("sxd") * 1000000).cast("decimal(20,0)")
+    sxxu = (F.col("sxxd") * 1000000).cast("decimal(20,0)")
+    stats = stats0.select(
+        "event_type",
+        "n",
+        F.col("sxd").cast("double").alias("sx"),
+        F.col("sxxd").cast("double").alias("sxx"),
+        (
+            F.col("n").cast("decimal(20,0)") * sxxu * 1000000 - sxu * sxu
+        ).alias("vnum_u"),
     )
     z = F.round(
         (F.col("value") - F.col("sx") / F.col("n"))
@@ -2364,10 +2392,9 @@ def pipeline_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    variance_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     return (
         e.join(F.broadcast(stats), "event_type")
-        .where((F.col("n") > 1) & (variance_num > 0))
+        .where((F.col("n") > 1) & (F.col("vnum_u") > 0))
         .select("event_id", "event_type", "value", z.alias("zscore"))
         .where(F.abs(F.col("zscore")) >= 3.0)
     )

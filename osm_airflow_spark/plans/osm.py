@@ -781,6 +781,95 @@ def simplify_lines(
     )
 
 
+def quantize_microdeg(v: float) -> int:
+    """floor(v*1e6 + 0.5): round-half-toward-+inf to integer
+    micro-degrees. Every step is a single IEEE double op (multiply
+    by the exactly-representable 1e6, add 0.5, floor), so any engine
+    evaluating the same formula on the same double produces the same
+    integer — the cross-engine contract ``simplify_line_q`` decisions
+    rest on."""
+    import math
+
+    return math.floor(v * 1000000.0 + 0.5)
+
+
+def simplify_line_q(pts: list) -> tuple[list[int], list[int]]:
+    """Douglas–Peucker at eps = 1 micro-degree (1e-6 deg) with EXACT
+    integer decisions — the oracle-provable twin of
+    ``simplify_line``. Coordinates are quantized to micro-degree
+    ints; the deviation metric per chord is |cross| (shared
+    denominator within a chord, so the argmax is unchanged) and the
+    split test compares cross^2 > |chord|^2 — equivalent to
+    perpendicular distance > eps with both sides exact integers
+    (Python bigint here, HUGEINT in the SQL mirror). This kills the
+    one float hazard the double kernel has: a symmetric configuration
+    where two adjacent vertices tie for max deviation and their
+    midpoint floats one ulp above/below the tie depending on FMA
+    contraction — in exact arithmetic the tie is decided by first
+    index, identically everywhere. Returns the kept vertices as
+    (micro-lon list, micro-lat list)."""
+    n = len(pts)
+    qx = [quantize_microdeg(x) for x, _ in pts]
+    qy = [quantize_microdeg(y) for _, y in pts]
+    if n <= 2:
+        return qx, qy
+    keep = [False] * n
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        ax, ay, bx, by = qx[i], qy[i], qx[j], qy[j]
+        dx, dy = bx - ax, by - ay
+        l2 = dx * dx + dy * dy
+        best, best_k = -1, -1
+        for k in range(i + 1, j):
+            if l2 == 0:
+                m = (qx[k] - ax) ** 2 + (qy[k] - ay) ** 2
+            else:
+                m = abs(dy * qx[k] - dx * qy[k] + bx * ay - by * ax)
+            if m > best:
+                best, best_k = m, k
+        split = (best > 1) if l2 == 0 else (best * best > l2)
+        if split:
+            keep[best_k] = True
+            stack.append((i, best_k))
+            stack.append((best_k, j))
+    return (
+        [q for q, kp in zip(qx, keep) if kp],
+        [q for q, kp in zip(qy, keep) if kp],
+    )
+
+
+def simplify_lines_q(
+    lines: DataFrame, id_col: str = "way_id", line_col: str = "line"
+) -> DataFrame:
+    """``simplify_line_q`` over a line table — same narrow-map scale
+    shape as ``simplify_lines`` (one Arrow-batched mapInPandas pass,
+    no shuffle, per-way cost vertex-bounded), but geometry leaves as
+    comma-joined micro-degree INTEGER strings so every emitted byte
+    is exact-arithmetic-derived and re-derivable in SQL."""
+
+    def batches(it):
+        for pdf in it:
+            out = {id_col: [], "n_in": [], "n_out": [], "lons": [], "lats": []}
+            for rid, line in zip(pdf[id_col], pdf[line_col]):
+                pts = [(p["lon"], p["lat"]) for p in line]
+                sx, sy = simplify_line_q(pts)
+                out[id_col].append(rid)
+                out["n_in"].append(len(pts))
+                out["n_out"].append(len(sx))
+                out["lons"].append(",".join(str(v) for v in sx))
+                out["lats"].append(",".join(str(v) for v in sy))
+            yield pd.DataFrame(out)
+
+    return lines.mapInPandas(
+        batches,
+        f"{id_col} long, n_in int, n_out int, lons string, lats string",
+    )
+
+
 def resolve_relations_transitive(
     relations: DataFrame, max_depth: int = 8
 ) -> DataFrame:

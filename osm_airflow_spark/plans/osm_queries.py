@@ -1002,26 +1002,126 @@ def osm_nearest_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("osm_line_simplify")  # rows-only: mapInPandas geometry kernel
+@query(
+    "osm_line_simplify",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+      SELECT p_partkey AS node_id,
+             (CAST((p_partkey * 7) % 180 AS DOUBLE) - 90.0) * 0.95 AS lat,
+             (CAST((p_partkey * 13) % 360 AS DOUBLE) - 180.0) * 0.95 AS lon
+      FROM part
+    ),
+    refs AS (
+      SELECT l_orderkey AS way_id, l_partkey AS node_id,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS pos
+      FROM lineitem
+      WHERE l_orderkey % 20 = 0
+    ),
+    lines AS (
+      SELECT way_id,
+             list(lon ORDER BY pos) AS lx,
+             list(lat ORDER BY pos) AS ly
+      FROM refs JOIN nodes USING (node_id)
+      GROUP BY way_id
+      HAVING COUNT(*) >= 2
+    ),
+    dens AS (
+      SELECT way_id,
+             list_transform(
+               flatten(list_transform(range(1, len(lx)),
+                 i -> [lx[i], (lx[i] + lx[i+1]) / 2])) || [lx[len(lx)]],
+               v -> CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS xs,
+             list_transform(
+               flatten(list_transform(range(1, len(ly)),
+                 i -> [ly[i], (ly[i] + ly[i+1]) / 2])) || [ly[len(ly)]],
+               v -> CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS ys
+      FROM lines
+    ),
+    segs AS (
+      SELECT way_id, xs, ys, 1::BIGINT AS lo, CAST(len(xs) AS BIGINT) AS hi
+      FROM dens
+      UNION ALL
+      SELECT t.way_id, t.xs, t.ys,
+             CASE s2.side WHEN 0 THEN t.lo ELSE t.bestk END AS lo,
+             CASE s2.side WHEN 0 THEN t.bestk ELSE t.hi END AS hi
+      FROM (
+        SELECT way_id, xs, ys, lo, hi, l2,
+               list_max(devs) AS best,
+               lo + list_position(devs, list_max(devs)) AS bestk
+        FROM (
+          SELECT way_id, xs, ys, lo, hi, l2,
+                 list_transform(range(lo + 1, hi), k ->
+                   CASE WHEN l2 = 0
+                        THEN (xs[k] - xs[lo]) * (xs[k] - xs[lo])
+                             + (ys[k] - ys[lo]) * (ys[k] - ys[lo])
+                        ELSE abs((ys[hi] - ys[lo]) * xs[k]
+                                 - (xs[hi] - xs[lo]) * ys[k]
+                                 + xs[hi] * ys[lo] - ys[hi] * xs[lo])
+                   END) AS devs
+          FROM (
+            SELECT way_id, xs, ys, lo, hi,
+                   (xs[hi] - xs[lo]) * (xs[hi] - xs[lo])
+                   + (ys[hi] - ys[lo]) * (ys[hi] - ys[lo]) AS l2
+            FROM segs
+            WHERE hi - lo >= 2
+          )
+        )
+      ) t
+      JOIN (VALUES (0), (1)) AS s2(side) ON TRUE
+      WHERE CASE WHEN t.l2 = 0 THEN t.best > 1
+                 ELSE CAST(t.best AS HUGEINT) * CAST(t.best AS HUGEINT)
+                      > CAST(t.l2 AS HUGEINT) END
+    ),
+    kept AS (
+      SELECT DISTINCT way_id, k FROM (
+        SELECT way_id, lo AS k FROM segs
+        UNION ALL
+        SELECT way_id, hi AS k FROM segs
+      )
+    )
+    SELECT d.way_id,
+           CAST(any_value(len(d.xs)) AS INT) AS n_in,
+           CAST(COUNT(*) AS INT) AS n_out,
+           array_to_string(list(CAST(d.xs[kk.k] AS VARCHAR)
+                                ORDER BY kk.k), ',') AS lons,
+           array_to_string(list(CAST(d.ys[kk.k] AS VARCHAR)
+                                ORDER BY kk.k), ',') AS lats
+    FROM dens d JOIN kept kk USING (way_id)
+    GROUP BY d.way_id
+    """,
+)
 def osm_line_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Douglas–Peucker map generalization, self-proving: each sampled
-    assembled way is first DENSIFIED in-column (one collinear-ish
-    midpoint inserted per segment — pure JVM array ops), then the
-    mapInPandas kernel simplifies at eps = 1e-6 degrees. eps sits six
-    orders above float midpoint noise and three below any genuine
-    deviation between distinct fixture vertices, so the kernel drops
-    the inserted midpoints (except one that is itself the first
-    max-deviation split of a higher-level chord — kept by DP
-    construction) and duplicate vertices from repeated node refs
-    (zero deviation). The paired pytest proves the distributed output
-    equals the same kernel run driver-side, row for row. Geometry returns as 6-dp coordinate strings
-    (canonicalization-safe), counts as ints.
+    """Douglas–Peucker map generalization, hash-checked end to end:
+    each sampled assembled way is first DENSIFIED in-column (one
+    collinear-ish midpoint inserted per segment — pure JVM array
+    ops), then the mapInPandas kernel simplifies at eps = 1 micro-degree
+    with EXACT integer decisions (``simplify_line_q``): coordinates
+    quantize to micro-degree ints via the single-rounding formula
+    floor(x*1e6 + 0.5), the per-chord argmax compares integer
+    |cross|, and the split test compares cross^2 > |chord|^2.
+
+    SQL-oracled (round 8 — the contract change the r7 window
+    promised): the DuckDB oracle re-runs the SAME DP as a recursive
+    CTE over the same quantized integers — Python bigint vs HUGEINT,
+    both exact — so the match is decided by integer determinism, not
+    float luck. The former double kernel could not be oracled
+    honestly: its argmax is FMA-sensitive exactly when two adjacent
+    vertices tie for max deviation and their float midpoint lands an
+    ulp above the tie (the agg_corr_exact a*b-c*d ledger shape);
+    integer decisions make that tie-break (first index) exact in both
+    engines. Note the ``kept`` CTE: under WITH RECURSIVE DuckDB gives
+    plain UNION anchor semantics (no dedup across the two branches),
+    so the dedup is an explicit DISTINCT. The paired pytest still
+    proves distributed == driver-side kernel row for row. Geometry
+    emits as comma-joined micro-degree INTEGER strings; counts as
+    ints.
 
     Scale: densify and simplify are both narrow maps — no shuffle
     after assembly; per-way cost is vertex-bounded (the kernel is an
     explicit-stack DP, safe for 10^5-vertex coastline ways), way
     count scales out."""
-    from osm_airflow_spark.plans.osm import simplify_lines
+    from osm_airflow_spark.plans.osm import simplify_lines_q
 
     nodes = _derived_nodes(spark, sf_dir)
     ways = _derived_ways(spark, sf_dir).where(F.col("way_id") % 20 == 0)
@@ -1042,20 +1142,8 @@ def osm_line_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "way_id",
         F.concat(F.flatten(mids), F.slice(line, n, 1)).alias("line"),
     )
-    simplified = simplify_lines(densified, eps=1e-6)
-
-    def _coords(col: str):
-        return F.array_join(
-            F.transform(col, lambda v: v.cast("decimal(14,6)").cast("string")), ","
-        )
-
-    return simplified.select(
-        "way_id",
-        "n_in",
-        "n_out",
-        _coords("lons").alias("lons"),
-        _coords("lats").alias("lats"),
-    )
+    simplified = simplify_lines_q(densified)
+    return simplified.select("way_id", "n_in", "n_out", "lons", "lats")
 
 
 @query(

@@ -103,72 +103,75 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ``tests/test_registry.py`` pins the exact list so adding a key can
 # never reshuffle the window unreviewed.
 #
-# Round-7 window (r6 verdict item 1): the three keys whose CONTRACT
-# changes rows-only→SQL-oracled this round lead (digest oracles:
-# fingerprint / feature checksum / simplified-vertex checksum), then
-# ALL 27 keys whose newest driver proof is still round 2
-# (filter/project/join_theta-range-cross/agg extension/sort/set
-# blocks, triangle count, PageRank, tolerance as-of, blocked ER),
-# then the 20 oldest round-3 keys in registration order. Remaining
-# r3 keys (23) complete in round 8 — after round 7 no key's latest
-# proof predates r3. New keys registered this round displace r3-block
-# tail slots (never-checked beats re-proof — the r5/r6 precedent).
+# Round-8 window. The r7 window comment promised the three digest
+# oracles (fingerprint / feature checksum / simplified-vertex
+# checksum) but they did NOT land in r7 — CORRECTNESS_r07 recorded
+# `no_oracle` for all three (r7 verdict "What's wrong"). They landed
+# in round 8 (llm/text.py, llm/multimodal.py, plans/osm_queries.py),
+# so those three keys lead THIS window to get their first hash-backed
+# driver proof. Then the full r3-era remainder (23 keys: the
+# llm/text+dedup+similarity block, mm_binary_meta, udf_map_in_arrow,
+# and the two r3 pipelines), then the 24 oldest r4-era keys in
+# registration order. After round 8 no key's newest driver proof
+# predates r4; the remaining 21 r4 keys rotate in round 9. New keys
+# registered this round displace r4-block tail slots (never-checked
+# beats re-proof — the r5/r6 precedent).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- contract changed rows-only → SQL-oracled this round (3) --
+    # -- contract changed rows-only → SQL-oracled in round 8 (3) --
     "llm_fingerprint",
     "mm_feature_extract",
     "osm_line_simplify",
-    # -- staleness re-checks: the full r2-era remainder (27) --
-    "filter_compound",
-    "project_columns",
-    "project_map_promote",
-    "project_computed",
-    "join_theta",
-    "join_range",
-    "join_cross",
-    "join_asof_tolerance",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_unpivot",
-    "agg_collect_set",
-    "agg_mode",
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    "agg_incremental_merge",
-    "agg_hll_partial_merge",
-    "sort_global",
-    "sort_topk",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_drop_duplicates",
-    "graph_triangle_count",
-    "graph_pagerank",
-    "er_blocked_match",
-    # -- staleness re-checks: oldest r3 block, registration order (20) --
-    "win_ntile",
-    "fn_string",
-    "fn_regex",
-    "fn_math",
-    "fn_conditional",
-    "fn_map_json",
-    "fn_array_explode",
-    "fn_json",
-    "fn_hash",
-    "fn_edit_distance",
-    "fn_bitwise",
-    "fn_string_shape",
-    "fn_array_ops",
-    "fn_null_safety",
-    "fn_geo_distance",
-    "fn_geo_bbox",
-    "udf_scalar",
-    "udf_pandas",
-    "udf_grouped_map",
-    "udf_grouped_agg",
+    # -- staleness re-checks: the full r3-era remainder (23) --
+    "llm_dedup_exact",
+    "llm_dedup_near",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_embed",
+    "llm_sim_pairwise",
+    "llm_sim_topk",
+    "llm_text_stats",
+    "llm_lang_id",
+    "llm_quality_score",
+    "llm_token_count",
+    "llm_chunk_documents",
+    "llm_split_assign",
+    "llm_pack_sequences",
+    "llm_pii_scrub",
+    "llm_repetition_ratio",
+    "llm_boilerplate_df",
+    "llm_perplexity_filter",
+    "llm_length_histogram",
+    "llm_sample_stratified",
+    "mm_binary_meta",
+    "udf_map_in_arrow",
+    "pipeline_shipping_priority",
+    "pipeline_local_supplier_volume",
+    # -- staleness re-checks: oldest r4 block, registration order (24) --
+    "win_time_tumbling",
+    "win_time_sliding",
+    "win_time_session",
+    "win_dedup_time_window",
+    "win_share_of_group",
+    "win_streak",
+    "win_range_frame",
+    "win_locf",
+    "fn_datetime",
+    "llm_sim_ann_lsh",
+    "llm_sim_ann_ivf",
+    "llm_sim_ann_multiprobe",
+    "llm_sim_ann_ivf_kmeans",
+    "llm_sim_ann_pq",
+    "llm_dedup_simhash",
+    "llm_dedup_embed_lsh",
+    "llm_dedup_cluster_best",
+    "llm_semdedup",
+    "llm_contamination_check",
+    "llm_tfidf_topk",
+    "llm_bigram_lm",
+    "llm_corpus_curation",
+    "pipeline_pricing_summary",
+    "pipeline_top_returning_customers",
 ]
 
 

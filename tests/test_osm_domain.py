@@ -604,7 +604,7 @@ def test_osm_line_simplify_matches_driver_side_kernel(spark, sf_dir):
     construction."""
     from pyspark.sql import functions as F
 
-    from osm_airflow_spark.plans.osm import assemble_way_lines, simplify_line
+    from osm_airflow_spark.plans.osm import assemble_way_lines, simplify_line_q
     from osm_airflow_spark.plans.osm_queries import (
         _derived_nodes,
         _derived_ways,
@@ -622,12 +622,12 @@ def test_osm_line_simplify_matches_driver_side_kernel(spark, sf_dir):
             dens.append(a)
             dens.append(((a[0] + b[0]) / 2, (a[1] + b[1]) / 2))
         dens.append(pts[-1])
-        simp = simplify_line(dens, 1e-6)
+        sx, sy = simplify_line_q(dens)
         expected[r.way_id] = (
             len(dens),
-            len(simp),
-            ",".join(f"{x:.6f}" for x, _ in simp),
-            ",".join(f"{y:.6f}" for _, y in simp),
+            len(sx),
+            ",".join(str(x) for x in sx),
+            ",".join(str(y) for y in sy),
         )
     got = {
         r.way_id: (r.n_in, r.n_out, r.lons, r.lats)

@@ -52,10 +52,7 @@ def test_rows_only_keys_are_the_documented_ones():
         "graph_pagerank",
         "llm_bpe_train",
         "llm_bpe_encode",
-        "llm_fingerprint",
-        "mm_feature_extract",
         "osm_ring_repair",
-        "osm_line_simplify",
     }
 
 
