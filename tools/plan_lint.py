@@ -16,9 +16,16 @@ Checks (optimized + executed plan text):
          per-key by tests/test_plans.py — belt and suspenders)
   XHIGH  > 14 exchanges (worst-offender report, not a failure)
 
-Iterative keys whose DataFrame CONSTRUCTION runs checkpoint jobs are
-excluded (same set explain_audit.py excludes, plus the kmeans/PQ ANN
-family and pagerank).
+Iterative keys whose DataFrame CONSTRUCTION runs checkpoint jobs
+cannot be screened statically (building the DataFrame already runs
+jobs), so they get the EXECUTED-plan pass instead (r7 verdict item
+3): run the key to completion against a noop sink and harvest every
+SQL execution it triggered — checkpoint materializations, convergence
+probes, the final plan — from the SQL status store
+(sharedState().statusStore(), the same data the Spark UI shows), then
+apply the identical CART/PYUDF/GLOBW screens to every captured plan.
+The noop sink matters: a count() action lets Catalyst prune window
+columns out of the plan and the screen would inspect a vacuum.
 
 Usage: python tools/plan_lint.py   # exit 1 on any CART/PYUDF/GLOBW
 """
@@ -96,9 +103,8 @@ def _first_arg(spec: str) -> str:
     return spec
 
 
-def lint(key: str, df) -> tuple[list[str], int]:
-    qe = df._jdf.queryExecution()
-    text = qe.optimizedPlan().toString() + qe.executedPlan().toString()
+def _screen(text: str, key: str) -> list[str]:
+    """The shared CART/PYUDF/GLOBW screens over any plan text."""
     flags = []
     if "CartesianProduct" in text and key not in NONEQUI_OK:
         flags.append("CART")
@@ -109,10 +115,56 @@ def lint(key: str, df) -> tuple[list[str], int]:
         if " ASC" in head or " DESC" in head or head.startswith("specifiedwindowframe"):
             flags.append("GLOBW")
             break
+    return flags
+
+
+def lint(key: str, df) -> tuple[list[str], int]:
+    qe = df._jdf.queryExecution()
+    text = qe.optimizedPlan().toString() + qe.executedPlan().toString()
+    flags = _screen(text, key)
     exchanges = qe.executedPlan().toString().count("Exchange")
     if exchanges > 14:
         flags.append("XHIGH")
     return flags, exchanges
+
+
+def _max_execution_id(store) -> int:
+    best = -1
+    it = store.executionsList().iterator()
+    while it.hasNext():
+        best = max(best, it.next().executionId())
+    return best
+
+
+def lint_executed(key: str, spark, fn) -> tuple[list[str], int, int]:
+    """Run the key end-to-end and screen EVERY SQL execution it
+    triggered. Returns (flags, max exchanges in any one execution's
+    final plan, execution count). Exchange counting restricts to the
+    Final Plan tree segment so AQE's Initial Plan echo and the detail
+    section don't double-count."""
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = _max_execution_id(store)
+    df = fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    bus = spark.sparkContext._jsc.sc().listenerBus()
+    try:
+        bus.waitUntilEmpty()
+    except Exception:  # older signature wants a timeout
+        bus.waitUntilEmpty(10000)
+    texts = []
+    it = store.executionsList().iterator()
+    while it.hasNext():
+        e = it.next()
+        if e.executionId() > before:
+            texts.append(e.physicalPlanDescription())
+    flags = _screen("\n".join(texts), key)
+    max_exchanges = 0
+    for t in texts:
+        tree = t.split("== Initial Plan ==")[0]
+        max_exchanges = max(max_exchanges, tree.count("+- Exchange"))
+    if max_exchanges > 14:
+        flags.append("XHIGH")
+    return flags, max_exchanges, len(texts)
 
 
 def main() -> int:
@@ -131,11 +183,25 @@ def main() -> int:
         rows.append((key, flags, exchanges))
         if set(flags) & {"CART", "PYUDF", "GLOBW"}:
             hard_fails.append((key, ",".join(flags)))
+    exec_rows = []
+    for key in sorted(ITERATIVE):
+        try:
+            flags, exchanges, n_execs = lint_executed(key, spark, queries[key])
+        except Exception as e:  # noqa: BLE001
+            exec_rows.append((key, ["ERROR"], -1, 0))
+            hard_fails.append((key, str(e)[:100]))
+            continue
+        exec_rows.append((key, flags, exchanges, n_execs))
+        if set(flags) & {"CART", "PYUDF", "GLOBW"}:
+            hard_fails.append((key, ",".join(flags)))
     out = [
         "# PLANLINT — engine-wide plan governance",
         "",
-        f"{len(rows)} keys linted at {SF_DIR} ({len(ITERATIVE)} iterative",
-        "keys excluded — building their DataFrames runs checkpoint jobs).",
+        f"{len(rows)} keys statically linted at {SF_DIR}, plus the",
+        f"{len(exec_rows)} iterative keys below screened via EXECUTED-plan",
+        "capture (every SQL execution each key triggers — checkpoint",
+        "materializations, convergence probes, final plan — harvested",
+        "from the SQL status store after a noop-sink run).",
         "Checks: CART (CartesianProduct outside join_cross — both sides",
         "big, no broadcast bound), PYUDF (row-at-a-time Python UDF",
         "outside J1), GLOBW (unpartitioned window), XHIGH (>14",
@@ -148,10 +214,29 @@ def main() -> int:
     ]
     for key, flags, exchanges in sorted(rows, key=lambda r: -r[2]):
         out.append(f"| {key} | {exchanges} | {' '.join(flags) or '—'} |")
+    out += [
+        "",
+        "## Iterative keys — executed-plan screen",
+        "",
+        "exchanges = max in any ONE execution's final AQE plan;",
+        "executions = SQL executions the full run triggered.",
+        "",
+        "| key | executions | max exchanges | flags |",
+        "| --- | --- | --- | --- |",
+    ]
+    for key, flags, exchanges, n_execs in sorted(
+        exec_rows, key=lambda r: -r[2]
+    ):
+        out.append(
+            f"| {key} | {n_execs} | {exchanges} | {' '.join(flags) or '—'} |"
+        )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "PLANLINT.md"), "w") as fh:
         fh.write("\n".join(out) + "\n")
-    print(f"linted {len(rows)} keys; hard fails: {hard_fails or 'none'}")
+    print(
+        f"linted {len(rows)} static + {len(exec_rows)} executed keys; "
+        f"hard fails: {hard_fails or 'none'}"
+    )
     return 1 if hard_fails else 0
 
 
