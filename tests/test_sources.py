@@ -652,6 +652,150 @@ def test_golden_fixture_through_spark_reader(spark):
     assert row["lon"] == 1e-9 * (-500_000 + 50 * 160_000)
 
 
+GOLDEN_DENSE_PBF = os.path.join(GOLDEN_DIR, "golden_dense_10k.osm.pbf")
+GOLDEN_DENSE_JSON = os.path.join(GOLDEN_DIR, "golden_dense_10k.expected.json")
+
+
+def test_golden_dense_fixture_is_reproducible():
+    """The checked-in 10k-node dense fixture matches a fresh run of
+    the independent generator."""
+    import tools.make_golden_pbf as golden
+
+    header_block = golden.ld(4, b"OsmSchema-V0.6") + golden.ld(4, b"DenseNodes")
+    d, _ = golden.block_d()
+    fresh = golden.fileblock(
+        "OSMHeader", header_block, compress=True
+    ) + golden.fileblock("OSMData", d, compress=True)
+    with open(GOLDEN_DENSE_PBF, "rb") as fh:
+        assert fh.read() == fresh
+
+
+def test_golden_dense_block_decodes_exactly():
+    """r7 verdict item 5: a >8k-node dense block crosses the
+    string-table / delta-coding edge cases golden_1000 (600-node max
+    block) never reaches — 300-entry string table (keys_vals indices
+    need 2-byte varints), PERMUTED node ids (6,660 of 9,999 id deltas
+    negative: the spec allows unsorted DenseNodes and an
+    ascending-id assumption only breaks here), hemisphere-sweeping
+    coordinates with sign-flipping zigzag deltas at granularity=25
+    with nonzero offsets. 10,000 nodes decoded bit-exact against the
+    independently-computed expectation."""
+    import json as _json
+
+    from osm_airflow_spark.sources.pbf_wire import decode_blob, scan_blob_offsets
+
+    with open(GOLDEN_DENSE_JSON) as fh:
+        expected = _json.load(fh)
+    offsets = scan_blob_offsets(GOLDEN_DENSE_PBF)
+    assert [t for (_, _, t) in offsets] == ["OSMHeader", "OSMData"]
+    got = []
+    with open(GOLDEN_DENSE_PBF, "rb") as fh:
+        for start, length, blob_type in offsets:
+            if blob_type != "OSMData":
+                continue
+            fh.seek(start)
+            got += decode_blob(fh.read(length))["nodes"]
+    assert len(got) == 10_000
+    assert got == expected["nodes"]  # exact: same float arithmetic
+
+
+def test_golden_pbf_composed_pipeline_snapshot_hash(spark, tmp_path):
+    """r7 verdict item 4: the reference's WHOLE pipeline composed
+    from wire format to published artifact — read_pbf(golden_1000) →
+    promote_tags → assemble_way_lines → write_snapshot →
+    read_snapshot — with the published snapshot's content pinned by
+    sha256. Decoder-level parity (the three tests above) proves each
+    stage; this proves the COMPOSITION: schema hand-offs between
+    stages, tag promotion running on decoded maps, geometry assembly
+    resolving decoded refs against decoded coords, and the dated
+    publish round-tripping all of it. Canonicalization: rows sorted,
+    doubles rendered at fixed decimal(16,9) scale (nano-degree
+    precision — exact for the golden arithmetic), residual tag maps
+    rendered as sorted k=v lists."""
+    import hashlib
+
+    from osm_airflow_spark.io import read_snapshot, write_snapshot
+    from osm_airflow_spark.plans.osm import assemble_way_lines, promote_tags
+    from osm_airflow_spark.sources.pbf import read_pbf
+
+    tables = read_pbf(spark, GOLDEN_PBF)
+    nodes = promote_tags(tables["nodes"], {"amenity": "string"})
+    ways = promote_tags(tables["ways"], {"highway": "string"})
+    assembled = assemble_way_lines(
+        tables["ways"].select("way_id", "tags", "node_refs"),
+        tables["nodes"],
+    )
+
+    def dec(col):
+        return F.col(col).cast("decimal(16,9)").cast("string")
+
+    def coords(field: str):
+        return F.array_join(
+            F.transform(
+                "line",
+                lambda s: s.getField(field).cast("decimal(16,9)").cast("string"),
+            ),
+            ",",
+        )
+
+    ways_pub = assembled.join(
+        ways.select("way_id", "highway"), "way_id"
+    ).select(
+        "way_id",
+        "highway",
+        F.size("line").alias("n_points"),
+        coords("lon").alias("lons"),
+        coords("lat").alias("lats"),
+        dec("bbox_west").alias("bw"),
+        dec("bbox_south").alias("bs"),
+        dec("bbox_east").alias("be"),
+        dec("bbox_north").alias("bn"),
+    )
+    residual = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries("residual_tags")),
+            lambda e: F.concat_ws("=", e.getField("key"), e.getField("value")),
+        ),
+        ";",
+    )
+    nodes_pub = nodes.select(
+        "node_id",
+        "amenity",
+        dec("lat").alias("lat"),
+        dec("lon").alias("lon"),
+        residual.alias("residual"),
+    )
+    out = str(tmp_path)
+    write_snapshot(ways_pub, os.path.join(out, "ways"), "2024-02-01")
+    write_snapshot(nodes_pub, os.path.join(out, "nodes"), "2024-02-01")
+
+    def digest(df, cols):
+        rows = sorted(
+            "|".join("" if r[c] is None else str(r[c]) for c in cols)
+            for r in df.collect()
+        )
+        return hashlib.sha256("\n".join(rows).encode("utf-8")).hexdigest()
+
+    ways_back = read_snapshot(spark, os.path.join(out, "ways"), "2024-02-01")
+    nodes_back = read_snapshot(spark, os.path.join(out, "nodes"), "2024-02-01")
+    assert ways_back.count() == 80 and nodes_back.count() == 900
+    ways_hash = digest(
+        ways_back,
+        ["way_id", "highway", "n_points", "lons", "lats", "bw", "bs", "be", "bn"],
+    )
+    nodes_hash = digest(
+        nodes_back, ["node_id", "amenity", "lat", "lon", "residual"]
+    )
+    assert ways_hash == WAYS_SNAPSHOT_SHA256, ways_hash
+    assert nodes_hash == NODES_SNAPSHOT_SHA256, nodes_hash
+
+
+# Pinned content hashes of the composed golden publish (the e2e
+# output contract — regenerate deliberately, never incidentally).
+WAYS_SNAPSHOT_SHA256 = "1989c3459e52d29b03f8836f1a6fe96ac9713dc176f58216f90553c1e93f15b1"
+NODES_SNAPSHOT_SHA256 = "5c5b8c759a5b95eef881b2d5cf0f6bbee9c561342e72209961f8f4dad135104c"
+
+
 @pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_REAL_PBF"),
     reason="set SPARK_GRAFT_REAL_PBF=/path/to/extract.osm.pbf to run "

@@ -254,6 +254,67 @@ def block_c() -> tuple[bytes, list[dict], list[dict]]:
     return block, exp_ways, exp_rels
 
 
+def block_d() -> tuple[bytes, list[dict]]:
+    """10,000 dense nodes in ONE group (r7 verdict item 5: the >8k
+    dense block golden_1000 tops out short of) — string-table and
+    delta-coding edge cases that only appear at size:
+
+    * 300-entry string table → keys_vals indices up to 299 need
+      2-byte varints (every index in golden_1000 fits in one byte);
+    * node ids emitted in a PERMUTED order (i XOR 0x155, a bijection
+      on [0, 16384)) so id deltas alternate sign throughout — the
+      spec allows unsorted DenseNodes ids and a decoder that assumes
+      ascending ids would only break here;
+    * coordinates sweep both hemispheres with granularity=25 and
+      nonzero offsets, so raw values cross zero (sign-flipping zigzag
+      deltas at size);
+    * every 7th node tagged, cycling through the high string indices.
+    """
+    strings = [""] + [f"k{j:03d}" for j in range(150)] + [
+        f"v{j:03d}" for j in range(149)
+    ]
+    assert len(strings) == 300
+    gran, lat_off, lon_off = 25, -750_000, 2_250_000
+    ids, lats, lons, kvs, expected = [], [], [], [], []
+    for i in range(10_000):
+        nid = 50_000 + (i ^ 0x155)
+        lat_raw = ((i * 1_234_567) % 7_000_000_000) - 3_500_000_000
+        lon_raw = ((i * 2_876_543) % 14_000_000_000) - 7_000_000_000
+        ids.append(nid)
+        lats.append(lat_raw)
+        lons.append(lon_raw)
+        if i % 7 == 0:
+            ki = 1 + (i // 7) % 150          # 1..150
+            vi_ = 151 + (i // 7) % 149       # 151..299
+            tags = {strings[ki]: strings[vi_]}
+            kvs += [ki, vi_]
+        else:
+            tags = {}
+        kvs.append(0)
+        expected.append(
+            {
+                "node_id": nid,
+                "lat": NANO * (lat_off + gran * lat_raw),
+                "lon": NANO * (lon_off + gran * lon_raw),
+                "tags": tags,
+            }
+        )
+    dense = (
+        packed(8, [zz(d) for d in deltas(lats)])  # coords first: order freedom
+        + packed(9, [zz(d) for d in deltas(lons)])
+        + packed(1, [zz(d) for d in deltas(ids)])
+        + packed(10, kvs)
+    )
+    block = (
+        ld(1, string_table(strings))
+        + vi(17, gran)
+        + vi(19, lat_off)  # int64, negative → 10-byte varint
+        + vi(20, lon_off)
+        + ld(2, ld(2, dense))
+    )
+    return block, expected
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     header_block = ld(4, b"OsmSchema-V0.6") + ld(4, b"DenseNodes")
@@ -275,6 +336,20 @@ def main() -> None:
         json.dump(expected, fh, ensure_ascii=False, separators=(",", ":"))
     print(f"wrote golden_1000.osm.pbf ({len(data)} bytes) + expected.json "
           f"({n} elements)")
+
+    d, exp_d = block_d()
+    dense_data = (
+        fileblock("OSMHeader", header_block, compress=True)
+        + fileblock("OSMData", d, compress=True)
+    )
+    assert len(exp_d) == 10_000
+    with open(os.path.join(OUT_DIR, "golden_dense_10k.osm.pbf"), "wb") as fh:
+        fh.write(dense_data)
+    with open(os.path.join(OUT_DIR, "golden_dense_10k.expected.json"), "w") as fh:
+        json.dump({"nodes": exp_d}, fh, ensure_ascii=False,
+                  separators=(",", ":"))
+    print(f"wrote golden_dense_10k.osm.pbf ({len(dense_data)} bytes) "
+          f"+ expected.json (10000 nodes)")
 
 
 if __name__ == "__main__":
