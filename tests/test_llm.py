@@ -313,22 +313,24 @@ def test_image_sniff_rejects_magic_only_lookalikes():
 
 
 def test_mm_feature_extract_query_is_canonicalization_safe(spark, sf_dir):
-    """The driver's rows-only harness sorts every column; the query
-    must therefore emit scalars/strings, not array<double> (the r4
-    driver failure)."""
+    """The driver's harness sorts every column; the query must
+    therefore emit scalars/strings, not array<double> (the r4 driver
+    failure). r8: the projection is now the Q20 fixed-point digest
+    (floor(f*2^20) comma-joined) — scalar-safe AND exactly
+    SQL-oracled."""
     out = QUERIES["mm_feature_extract"](spark, sf_dir)
     kinds = {f.name: f.dataType.simpleString() for f in out.schema.fields}
     assert kinds == {
         "media_id": "bigint",
         "n_bytes": "bigint",
         "n_features": "int",
-        "features_json": "string",
+        "features_q20": "string",
     }
     row = out.orderBy("media_id").first()
     assert row["n_features"] == 4  # text fixture → byte-stats kernel
-    import json as _json
-
-    assert len(_json.loads(row["features_json"])) == 4
+    vals = [int(v) for v in row["features_q20"].split(",")]
+    assert len(vals) == 4
+    assert vals[0] == row["n_bytes"] * 1048576  # f0 = payload length, exact
 
 
 def test_quality_score_bounds(spark, sf_dir):
