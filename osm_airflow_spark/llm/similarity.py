@@ -745,3 +745,189 @@ def query_ivf_index(
         .orderBy(F.col("cos_sim").desc(), id_col)
         .limit(topk)
     )
+
+
+from osm_airflow_spark.llm.text import BM25_SQL_CTE, bm25_scored  # noqa: E402
+
+
+@query(
+    "llm_hybrid_rrf",
+    oracle=f"""
+    WITH {BM25_SQL_CTE},
+    bm_top AS (
+      SELECT doc_id, bm25 FROM bm25_scored
+      ORDER BY bm25 DESC, doc_id LIMIT 100
+    ),
+    bm_ranked AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+               AS bm_rank
+      FROM bm_top
+    ),
+    cos_top AS (
+      SELECT b.vec_id AS doc_id,
+             list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])) AS cos_sim
+      FROM embeddings b,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE b.vec_id <> 0
+      ORDER BY cos_sim DESC, b.vec_id LIMIT 100
+    ),
+    cos_ranked AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS INT)
+               AS cos_rank
+      FROM cos_top
+    )
+    SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+           b.bm_rank, c.cos_rank,
+           COALESCE(1.0 / (60.0 + b.bm_rank), 0.0)
+             + COALESCE(1.0 / (60.0 + c.cos_rank), 0.0) AS rrf
+    FROM bm_ranked b FULL JOIN cos_ranked c USING (doc_id)
+    ORDER BY rrf DESC, doc_id
+    LIMIT 20
+    """,
+)
+def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r8) — HYBRID retrieval via reciprocal rank fusion:
+    the lexical arm (BM25 top-100, llm/text.bm25_scored) and the
+    dense arm (embedding-cosine top-100 against query vector 0,
+    vec_id ≡ doc_id in the fixture) each produce a ranked candidate
+    list; RRF fuses them as Σ 1/(60 + rank) (Cormack et al. 2009,
+    the k=60 standard) and the fused top-20 is the answer. This is
+    the retrieval stack RAG/data-curation pipelines actually run —
+    neither arm alone survives both paraphrase and keyword queries.
+
+    Determinism: both arms' scores are engine-bit-identical (BM25:
+    idf rounded at the transcendental; cosine: the shared
+    left-to-right double fold == DuckDB's list_cosine_similarity),
+    so the top-100 SETS and their internal rank orders match
+    exactly; RRF itself is exact-int division summed in literal
+    order — the fused doubles hash-compare raw, unrounded.
+
+    Scale: each arm is one corpus scan + TakeOrderedAndProject; the
+    ranks over the ALREADY-LIMITED 100-row candidate lists come from
+    a broadcast join-rank (1 + count of strictly-better rows —
+    100x100-bounded BNLJ), NOT a window: a partitionBy(lit) window
+    degenerates to the unpartitioned-window shape the engine-wide
+    GLOBW invariant forbids, and the join-rank keeps the no-global-
+    window rule unconditional. At 100 TB the arms swap in the
+    posting-stats table and the IVF index respectively; the fusion
+    stays byte-identical."""
+
+    def join_rank(top, score_col: str, rank_name: str):
+        a = top.select(
+            F.col("doc_id"), F.col(score_col).alias("_sa")
+        )
+        b = top.select(
+            F.col("doc_id").alias("_ob"), F.col(score_col).alias("_sb")
+        )
+        ahead = (F.col("_sb") > F.col("_sa")) | (
+            (F.col("_sb") == F.col("_sa")) & (F.col("_ob") < F.col("doc_id"))
+        )
+        return (
+            a.join(F.broadcast(b), ahead, "left")
+            .groupBy("doc_id")
+            .agg((F.count("_ob") + 1).cast("int").alias(rank_name))
+        )
+
+    bm_top = (
+        bm25_scored(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(100)
+        .localCheckpoint(eager=True)  # rank self-joins the 100-row list
+    )
+    bm_ranked = join_rank(bm_top, "bm25", "bm_rank")
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    cos_top = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_expr("embedding", "qvec").alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(100)
+        .localCheckpoint(eager=True)
+    )
+    cos_ranked = join_rank(cos_top, "cos_sim", "cos_rank")
+    rrf = F.coalesce(1.0 / (60.0 + F.col("bm_rank")), F.lit(0.0)) + F.coalesce(
+        1.0 / (60.0 + F.col("cos_rank")), F.lit(0.0)
+    )
+    return (
+        bm_ranked.join(cos_ranked, ["doc_id"], "full")
+        .select("doc_id", "bm_rank", "cos_rank", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def _rp_sign(j: int, i: int) -> float:
+    """Deterministic ±1 projection-matrix entry (Achlioptas signs):
+    md5 of the (projection, dim) coordinates — the hyperplane_signature
+    generator's discipline, no stored model, no rand()."""
+    import hashlib
+
+    h = int.from_bytes(hashlib.md5(f"rp:{j}:{i}".encode()).digest()[:4], "big")
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+_RP_K, _RP_DIM = 8, 64
+_RP_SIGNS = [[_rp_sign(j, i) for i in range(_RP_DIM)] for j in range(_RP_K)]
+
+
+def _rp_oracle_cols() -> str:
+    cols = []
+    for j in range(_RP_K):
+        chain = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {s:.1f}"
+            for i, s in enumerate(_RP_SIGNS[j])
+        )
+        cols.append(f"0.0 + {chain} AS p{j}")
+    return ",\n           ".join(cols)
+
+
+@query(
+    "llm_embed_project",
+    oracle=f"""
+    SELECT vec_id, label,
+           {_rp_oracle_cols()}
+    FROM embeddings
+    """,
+)
+def llm_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r8) — Johnson–Lindenstrauss random projection:
+    64-dim embeddings down to 8 dims with a deterministic ±1 sign
+    matrix (Achlioptas 2003 — database-friendly projections: ±1
+    entries preserve pairwise distances in expectation with 1/sqrt(k)
+    scaling left to the consumer). The dimensionality-reduction hop
+    before ANN indexing / clustering at 100 TB: 8x less memory per
+    vector and every downstream cosine gets 8x cheaper, with the JL
+    guarantee bounding the distortion.
+
+    Determinism: the sign matrix is md5-derived (the
+    hyperplane_signature generator family — no stored model, no
+    rand()), the Spark side computes each projection as the
+    left-to-right zip_with/aggregate fold, and the ORACLE spells the
+    SAME fold as an explicit left-associated literal chain (0.0 +
+    e1*s1 + e2*s2 + ... — SQL + is left-assoc, matching the fold's
+    0.0 seed), so all 8 projected doubles are bit-identical and emit
+    UNROUNDED. Scale: pure narrow map, zero shuffle, whole-stage
+    codegen."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cols = []
+    for j in range(_RP_K):
+        signs = F.array(*[F.lit(s) for s in _RP_SIGNS[j]])
+        cols.append(
+            F.aggregate(
+                F.zip_with(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    signs,
+                    lambda x, s: x * s,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias(f"p{j}")
+        )
+    return e.select("vec_id", "label", *cols)

@@ -438,6 +438,184 @@ def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 over documents for the fixed 3-term query, shared between the
+# llm_bm25_topk surface key and llm_hybrid_rrf's lexical arm — both
+# the SQL CTE text and the DataFrame builder.
+BM25_SQL_CTE = """
+    d AS (
+      SELECT doc_id, toks,
+             CAST(len(toks) AS DOUBLE) AS dl,
+             CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) AS tf0,
+             CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf1,
+             CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf2
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl,
+             CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      FROM d
+    ),
+    bm25_scored AS (
+      SELECT doc_id,
+             round(ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0), 6)
+               * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+             + round(ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0), 6)
+               * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+             + round(ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0), 6)
+               * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+               AS bm25
+      FROM d, g
+    )
+"""
+
+
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every document — the shared scoring plan
+    behind llm_bm25_topk and llm_hybrid_rrf; see llm_bm25_topk for
+    the determinism and scale notes."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def tf_of(t: str):
+        # one-arg lambda: a default-arg capture would make F.filter
+        # treat it as the (element, index) two-arg form
+        return F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
+
+    tf = {i: tf_of(t) for i, t in enumerate(("table", "spark", "merge"))}
+    docs = d.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("dl"),
+        *[tf[i].alias(f"tf{i}") for i in range(3)],
+    )
+    g = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (
+            F.sum(F.col("dl").cast("long")).cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(3)
+        ],
+    )
+
+    def term(i: int):
+        idf = F.round(
+            F.log(
+                (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+                + 1.0
+            ),
+            6,
+        )
+        return (
+            idf
+            * (F.col(f"tf{i}") * 2.2)
+            / (
+                F.col(f"tf{i}")
+                + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl")))
+            )
+        )
+
+    return docs.crossJoin(F.broadcast(g)).select(
+        "doc_id", (term(0) + term(1) + term(2)).alias("bm25")
+    )
+
+
+@query(
+    "llm_bm25_topk",
+    oracle=f"""
+    WITH {BM25_SQL_CTE}
+    SELECT doc_id, bm25 FROM bm25_scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r8) — BM25 keyword retrieval (the Lucene/Okapi
+    formula, k1=1.2, b=0.75) for a fixed 3-term query over the
+    corpus, top-20. The lexical half of the modern retrieval stack;
+    ``llm_hybrid_rrf`` fuses it with the embedding half.
+
+    Determinism: the ONLY libm call is ln — each idf is rounded to
+    6 dp at the transcendental (the llm_tfidf_topk recipe), then the
+    rest of the score is a shared IEEE tree over exact inputs (tf,
+    dl integers; avgdl = exact-int sum / exact count) with literal
+    parenthesization mirrored between engines — bit-identical, so
+    the score is emitted UNROUNDED (the ROUND_AUDITED rule: never
+    round a derived double at emission) and even the top-20 ORDER is
+    oracle-exact (ties by doc_id).
+
+    Scale: per-doc tf is an in-array filter (no explode, no
+    shuffle); N/avgdl/df ride as ONE 1-row aggregate
+    broadcast-cross-joined into the scoring (the trade_edges
+    pattern — corpus-bounded scalars never .collect()); top-20 is
+    TakeOrderedAndProject. One scan, no corpus shuffle — at 100 TB
+    the df vector for a real query vocabulary would come from a
+    pre-built posting-stats table (the llm_tfidf_topk shape)
+    instead of the inline aggregate, and everything else is
+    unchanged."""
+    return (
+        bm25_scored(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "llm_sample_weighted",
+    oracle="""
+    SELECT doc_id, weight,
+           round(ln((h + 0.5) / 4294967296.0) / weight, 6) AS es_key
+    FROM (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+             ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+      FROM documents
+    )
+    ORDER BY es_key DESC, doc_id
+    LIMIT 50
+    """,
+)
+def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r8) — weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each doc draws a deterministic
+    uniform u from its content (first 8 md5 hex chars → exact int →
+    (h+0.5)/2^32, identical doubles in both engines) and is ranked by
+    ln(u)/weight; the top-k by that key IS an exact weighted sample
+    without replacement (Efraimidis & Spirakis 2006). Weight here is
+    n_chars — the 'sample long documents proportionally more' shape
+    every data-mix pipeline needs; swap in a quality score at will.
+
+    Determinism contract: ln is libm (not correctly rounded), so the
+    key is rounded to 6 dp BEFORE the ordering and ties break by
+    doc_id — the engine-wide pre-argmax discipline (osm_nearest_node,
+    ROUND_AUDITED). Selection is reproducible under ANY partitioning:
+    u is content-derived, never rand().
+
+    Scale: narrow map + TakeOrderedAndProject (per-partition top-k,
+    merge k·partitions rows on the driver) — no shuffle of the
+    corpus, exactly the llm_sim_topk shape. At 100 TB the sample is
+    one scan; re-sampling with a different k reuses nothing but the
+    scan, so persist the es_key column if sampling repeatedly."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") + 0.5
+    ) / 4294967296.0
+    key = F.round(F.log(u) / F.col("n_chars").cast("double"), 6)
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("double").alias("weight"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(50)
+    )
+
+
 @query(
     "llm_pack_sequences",
     oracle="""

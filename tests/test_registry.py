@@ -152,6 +152,9 @@ ROUND_AUDITED = {
     "mm_audio_rms": "libm-analogue (kernel parity rounds both sides)",
     "llm_quality_logit": "libm (exp)",
     "llm_tfidf_topk": "libm (ln)",
+    "llm_bm25_topk": "libm (ln — idf rounded at the transcendental)",
+    "llm_hybrid_rrf": "libm (ln via the shared BM25 CTE)",
+    "llm_sample_weighted": "libm (ln of exact-int uniform, pre-rank)",
     "llm_perplexity_filter": "libm (ln) + term",
     "llm_domain_mix": "libm (pow) + term",
     "pipeline_value_anomalies": "term (x² pre-round) + libm (sqrt-adjacent rounded cut)",

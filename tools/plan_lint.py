@@ -63,6 +63,10 @@ ITERATIVE = {
     "llm_sample_balanced",
     "pipeline_important_stock",
     "pipeline_bom_rollup",
+    # r8: checkpoints its two 100-row candidate lists before the
+    # bounded join-rank (re-scoring the corpus twice costs more than
+    # a 100-row checkpoint under this build's no-exchange-reuse)
+    "llm_hybrid_rrf",
 }
 
 # a deliberate unbounded cartesian (the D10 surface key)
