@@ -603,3 +603,90 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
     )
     return resize_media(media, out_w=8, out_h=8)
+
+
+def keyframe_select(media: DataFrame, frame_bytes: int = 64) -> DataFrame:
+    """Decode-free keyframe selection over binary payloads — the
+    heuristic video pipelines run before the expensive decode hop:
+    slice the payload into fixed-size frames and pick the frame with
+    the highest byte-value spread as the representative. One
+    Arrow-batched mapInPandas pass (binary in, fixed-width scalars
+    out), the audio_rms scale shape.
+
+    The spread metric is the EXACT integer variance numerator
+    n*Sum(x^2) - (Sum(x))^2 over the frame's bytes (n = frame_bytes;
+    only FULL frames compete, so the metric is scale-comparable);
+    argmax ties break to the lowest frame index. Every decision is
+    integer arithmetic — bit-identical in any engine, which is what
+    makes the key SQL-oracled rather than rows-only. Media shorter
+    than one full frame produce no row (nothing to select)."""
+
+    def batches(it):
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "media_id": [], "n_frames": [],
+                "key_frame_idx": [], "key_metric": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                n_frames = len(raw) // frame_bytes
+                if n_frames == 0:
+                    continue
+                arr = np.frombuffer(
+                    raw[: n_frames * frame_bytes], dtype=np.uint8
+                ).astype(np.int64).reshape(n_frames, frame_bytes)
+                s = arr.sum(axis=1)
+                s2 = (arr * arr).sum(axis=1)
+                metric = frame_bytes * s2 - s * s
+                best = int(np.argmax(metric))  # first max: lowest idx
+                out["media_id"].append(mid)
+                out["n_frames"].append(n_frames)
+                out["key_frame_idx"].append(best)
+                out["key_metric"].append(int(metric[best]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, n_frames int, key_frame_idx int, key_metric long",
+    )
+
+
+@query(
+    "mm_keyframe_select",
+    oracle="""
+    WITH codes AS (
+      SELECT doc_id AS media_id,
+             list_transform(string_split(text, ''), c -> unicode(c)) AS cs,
+             length(text) // 64 AS n_frames
+      FROM documents
+      WHERE length(text) // 64 >= 1
+    ),
+    metrics AS (
+      SELECT media_id, n_frames,
+             list_transform(range(0, n_frames), f ->
+               64 * list_sum(list_transform(cs[f*64+1:f*64+64], x -> x * x))
+               - list_sum(cs[f*64+1:f*64+64])
+                 * list_sum(cs[f*64+1:f*64+64])) AS m
+      FROM codes
+    )
+    SELECT media_id,
+           CAST(n_frames AS INT) AS n_frames,
+           CAST(list_position(m, list_max(m)) - 1 AS INT) AS key_frame_idx,
+           CAST(list_max(m) AS BIGINT) AS key_metric
+    FROM metrics
+    """,
+)
+def mm_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 extension (r8) — keyframe selection, hash-checked: the
+    decode-free representative-frame heuristic over every media
+    payload with at least one full 64-byte frame. DuckDB re-derives
+    the byte matrix from the text column (ASCII fixture: char code ==
+    payload byte — the mm_binary_meta contract) and replays the same
+    integer argmax; the kernel's numpy path is int64-exact (max
+    metric 64 * 64 * 121^2 ~ 6e7, no overflow anywhere). Ties break
+    to the lowest frame index in both engines (np.argmax first-max ==
+    list_position first-occurrence)."""
+    media = documents_as_media(spark, sf_dir)
+    return keyframe_select(media)

@@ -46,6 +46,19 @@ def test_jsonl_roundtrip(spark, sample):
         assert sorted(back.collect()) == sorted(sample.collect())
 
 
+def test_orc_roundtrip(spark, sample):
+    """ORC is the one columnar alternative Spark ships natively —
+    round-trip exactness incl. nulls (schema carried by the format,
+    unlike CSV/JSONL)."""
+    from osm_airflow_spark.sources.files import read_orc, write_orc
+
+    with tempfile.TemporaryDirectory() as d:
+        write_orc(sample, f"{d}/out")
+        back = read_orc(spark, f"{d}/out")
+        assert back.schema == sample.schema
+        assert sorted(back.collect()) == sorted(sample.collect())
+
+
 def test_convert_to_parquet_partitions(spark, sample):
     with tempfile.TemporaryDirectory() as d:
         convert_to_parquet(sample.withColumn("part", F.col("k") % 2), f"{d}/pq", ("part",))
