@@ -435,7 +435,9 @@ def llm_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = []
     for m in range(m_sub):
         cb = kmeans_centroids(
-            sub.where(F.col("m") == m),
+            # cent_id must not ride into training: kmeans crossJoins
+            # its own (cent_id, cvec) centroids against the input
+            sub.where(F.col("m") == m).select("vec_id", "subvec"),
             k=k_codes,
             iters=2,
             id_col="vec_id",
@@ -931,3 +933,144 @@ def llm_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"p{j}")
         )
     return e.select("vec_id", "label", *cols)
+
+
+@query("llm_sim_ann_ivf_rq")  # rows-only: learned coarse + residual codebooks
+def llm_sim_ann_ivf_rq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r8) — IVF + RESIDUAL quantization (the IVFADC
+    composition of Jégou et al. 2011, completing the ANN family):
+    a learned 8-centroid coarse quantizer routes vectors into
+    inverted lists, and PQ codebooks are trained on the RESIDUALS
+    v − c(v) rather than the raw vectors — residuals concentrate
+    near zero, so the same 4×8 codebook budget spends its precision
+    where the data actually lives (the reason FAISS's IVFPQ encodes
+    residuals by default). Query: probe the nprobe=2 nearest coarse
+    lists; per probed list, build the ADC table from the QUERY's
+    residual against that list's centroid (the residual trick means
+    each probe gets its own table); approximate distance = sum of
+    code-table entries; exact-cosine re-rank an ADC shortlist of 50
+    (the refine step, one broadcast join — never the corpus).
+
+    Storage at 100 TB: 1 byte coarse id + 4 bytes PQ codes per
+    vector; the floats leave memory entirely. All stages are the
+    proven building blocks: kmeans_centroids (distributed Lloyd,
+    checkpointed input), argmin windows partitioned by vec_id,
+    broadcast codebooks, TakeOrderedAndProject shortlists.
+    Deterministic end to end (first-K init, id tie-breaks);
+    recall@10 floor asserted in tests like every ANN variant."""
+    m_sub, k_codes, sub_dim, nprobe, shortlist = 4, 8, 16, 2, 50
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(e, k=8, iters=2)
+
+    dist = F.aggregate(
+        F.zip_with(_as_double("embedding"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    best = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cent_id"))
+    ranked = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "label", "embedding", "cent_id", "cvec", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(best))
+    )
+    residual = F.zip_with(_as_double("embedding"), F.col("cvec"), lambda x, y: x - y)
+    res = (
+        ranked.where(F.col("rn") == 1)
+        .select("vec_id", "cent_id", residual.alias("rvec"))
+        .localCheckpoint(eager=True)  # feeds 4 trainings + encode
+    )
+    sub = res.select(
+        "vec_id",
+        "cent_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("rvec", m * sub_dim + 1, sub_dim).alias("subvec"),
+                    )
+                    for m in range(m_sub)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "vec_id", "cent_id", F.col("s.m").alias("m"), F.col("s.subvec").alias("subvec")
+    ).localCheckpoint(eager=True)
+
+    books = []
+    for m in range(m_sub):
+        cb = kmeans_centroids(
+            # cent_id must not ride into training: kmeans crossJoins
+            # its own (cent_id, cvec) centroids against the input
+            sub.where(F.col("m") == m).select("vec_id", "subvec"),
+            k=k_codes,
+            iters=2,
+            id_col="vec_id",
+            vec_col="subvec",
+        ).select(F.lit(m).alias("m"), F.col("cent_id").alias("code"), "cvec")
+        books.append(cb)
+    codebook = books[0]
+    for cb in books[1:]:
+        codebook = codebook.unionByName(cb)
+    codebook = codebook.localCheckpoint(eager=True)  # 4×8 rows
+
+    dist2 = F.aggregate(
+        F.zip_with(F.col("subvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    best_code = Window.partitionBy("vec_id", "m").orderBy(F.col("d"), F.col("code"))
+    codes = (
+        sub.join(F.broadcast(codebook), "m")
+        .select("vec_id", "cent_id", "m", "code", dist2.alias("d"))
+        .withColumn("rn", F.row_number().over(best_code))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cent_id", "m", "code")
+    )
+
+    # query residual PER PROBED LIST → one ADC table per probe
+    qres = ranked.where((F.col("vec_id") == 0) & (F.col("rn") <= nprobe)).select(
+        F.col("cent_id").alias("probe_cent"), residual.alias("qr")
+    )
+    qsub = qres.select(
+        "probe_cent",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("qr", m * sub_dim + 1, sub_dim).alias("subvec"),
+                    )
+                    for m in range(m_sub)
+                ]
+            )
+        ).alias("s"),
+    ).select("probe_cent", F.col("s.m").alias("m"), F.col("s.subvec").alias("subvec"))
+    qtab = qsub.join(F.broadcast(codebook), "m").select(
+        "probe_cent",
+        F.col("m").alias("qm"),
+        F.col("code").alias("qcode"),
+        dist2.alias("qd"),
+    )
+
+    adc_short = (
+        codes.where(F.col("vec_id") != 0)
+        .join(
+            F.broadcast(qtab),
+            (F.col("cent_id") == F.col("probe_cent"))
+            & (F.col("m") == F.col("qm"))
+            & (F.col("code") == F.col("qcode")),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("qd").alias("approx_dist"))
+        .orderBy(F.col("approx_dist"), F.col("vec_id"))
+        .limit(shortlist)
+    )
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return (
+        e.join(F.broadcast(adc_short.select("vec_id")), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cosine_expr("embedding", "qvec").alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )

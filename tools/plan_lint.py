@@ -51,6 +51,7 @@ ITERATIVE = {
     "osm_super_relation_rollup",
     "llm_sim_ann_ivf_kmeans",
     "llm_sim_ann_pq",
+    "llm_sim_ann_ivf_rq",
     "llm_bpe_train",
     "llm_bpe_encode",
     "llm_semdedup",
