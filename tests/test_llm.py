@@ -521,6 +521,7 @@ ANN_RECALL_FLOORS = {
     "llm_sim_ann_ivf_kmeans": 0.7,  # learned, nprobe=2: 0.9 / 0.9
     "llm_sim_ann_pq": 0.4,          # ADC top-50 + exact rerank: 0.5 / 0.8
     "llm_sim_ann_ivf_rq": 0.7,      # residual PQ + rerank: 0.8 / 0.8
+    "llm_sim_ann_graph": 0.3,       # NN-Descent + beam 12x4: 0.4 / 0.8
 }
 
 

@@ -52,6 +52,7 @@ ITERATIVE = {
     "llm_sim_ann_ivf_kmeans",
     "llm_sim_ann_pq",
     "llm_sim_ann_ivf_rq",
+    "llm_sim_ann_graph",
     "llm_bpe_train",
     "llm_bpe_encode",
     "llm_semdedup",
