@@ -1722,3 +1722,79 @@ def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("rn") < F.col("rn_b")) & (gap >= 0.05))
         .select("lang", "chosen_id", "rejected_id", gap.alias("score_gap"))
     )
+
+
+def posting_stats_ingest_stream(
+    docs_stream: DataFrame,
+    stats_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming maintenance of the BM25 posting statistics — the
+    state that makes ``llm_bm25_topk``'s "pre-built posting-stats
+    table" scale path concrete: as document batches arrive, each
+    micro-batch appends per-word PARTIALS (df, tf) and one corpus
+    partial (n_docs, sum_dl); readers merge partials by summation
+    (``read_posting_stats``). Per-batch work is O(batch), never
+    O(corpus) — the agg_incremental_merge contract, streaming
+    edition: df/tf/N/Σdl are all sums, so partials merge exactly.
+
+    EXACTLY-ONCE, not just at-least-once: partials are PARTITIONED BY
+    the foreachBatch epoch and written with dynamic partition
+    overwrite, so a replayed epoch (restart mid-batch) overwrites its
+    own partition instead of double-appending — the idempotent-append
+    production fix dedup_ingest_stream's docstring names, implemented.
+    Assumes upstream batches partition the corpus (each doc arrives
+    once — a dedup_ingest_stream stage upstream guarantees it).
+
+    At 100 TB the words table is bucketed by word, so the query-time
+    merge groupBy is bucket-local, and periodic compaction
+    (io.compact_snapshot) folds old epochs into one."""
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        toks = F.split(F.col(text_col), " ")
+        exploded = batch_df.select(
+            F.col(id_col), F.explode(toks).alias("word")
+        )
+        words = (
+            exploded.groupBy("word")
+            .agg(
+                F.countDistinct(id_col).alias("df"),
+                F.count(F.lit(1)).alias("tf"),
+            )
+            .withColumn("epoch", F.lit(int(epoch_id)))
+        )
+        corpus = batch_df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(toks)).cast("long").alias("sum_dl"),
+        ).withColumn("epoch", F.lit(int(epoch_id)))
+        for df, sub in ((words, "words"), (corpus, "corpus")):
+            (
+                df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(f"{stats_dir}/{sub}")
+            )
+
+    return (
+        docs_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def read_posting_stats(spark: SparkSession, stats_dir: str):
+    """Merge the appended partials: (word → df, tf) plus the corpus
+    scalars (n_docs, avgdl). Sums of exact longs — order-independent,
+    partial/final-safe by construction."""
+    words = (
+        spark.read.parquet(f"{stats_dir}/words")
+        .groupBy("word")
+        .agg(F.sum("df").alias("df"), F.sum("tf").alias("tf"))
+    )
+    corpus = spark.read.parquet(f"{stats_dir}/corpus").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("sum_dl").alias("sum_dl"),
+    )
+    return words, corpus

@@ -801,3 +801,72 @@ def test_dedup_ingest_stream_damaged_index_fails_batch(spark, sf_dir, tmp_path):
     with _pytest.raises(Exception, match="(?i)unable_to_infer_schema|unable to infer"):
         q.processAllAvailable()
     q.stop()
+
+
+def test_posting_stats_ingest_equals_batch_stats(spark, sf_dir, tmp_path):
+    """Three-chunk streamed ingest of the documents table must land
+    posting stats whose MERGE equals a direct batch computation:
+    per-word df/tf for the BM25 query vocabulary, and the corpus
+    scalars (N, avgdl) that llm_bm25_topk's inline aggregate
+    computes — the incremental path and the one-shot path agree
+    exactly (all-integer partials, summation merge)."""
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.llm.text import (
+        posting_stats_ingest_stream,
+        read_posting_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "incoming"
+    src.mkdir()
+    bounds = [(0, 100), (100, 300), (300, 10**9)]
+    for i, (lo, hi) in enumerate(bounds):
+        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.parquet(str(src / f"chunk{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*/*.parquet")
+    )
+    q = posting_stats_ingest_stream(
+        stream,
+        stats_dir=str(tmp_path / "stats"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination(120)
+
+    words, corpus = read_posting_stats(spark, str(tmp_path / "stats"))
+    got = {
+        r["word"]: (r["df"], r["tf"])
+        for r in words.where(
+            F.col("word").isin("table", "spark", "merge")
+        ).collect()
+    }
+    toks = F.split("text", " ")
+    expected = {
+        r["word"]: (r["df"], r["tf"])
+        for r in docs.select("doc_id", F.explode(toks).alias("word"))
+        .where(F.col("word").isin("table", "spark", "merge"))
+        .groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"), F.count(F.lit(1)).alias("tf"))
+        .collect()
+    }
+    assert got == expected
+    crow = corpus.first()
+    brow = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size(toks)).cast("long").alias("s")
+    ).first()
+    assert (crow["n_docs"], crow["sum_dl"]) == (brow["n"], brow["s"])
+    # three epochs landed as three partitions — the idempotence unit
+    import os as _os
+
+    epochs = [
+        d
+        for d in _os.listdir(str(tmp_path / "stats" / "words"))
+        if d.startswith("epoch=")
+    ]
+    assert len(epochs) == 3
