@@ -600,3 +600,108 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         9,
     )
     return grp.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+
+
+@query(
+    "agg_countmin_sketch",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    cells AS (
+      SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || word), 1, 8))
+                   ::BIGINT % 256 AS bucket,
+             COUNT(*) AS cnt
+      FROM words, (SELECT unnest([0, 1, 2, 3]) AS j) rows_
+      GROUP BY j, bucket
+    ),
+    probes AS (
+      SELECT unnest(['table', 'spark', 'merge', 'window', 'zz-absent'])
+               AS word
+    ),
+    probe_cells AS (
+      SELECT p.word, r.j,
+             ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || p.word), 1, 8))
+               ::BIGINT % 256 AS bucket
+      FROM probes p, (SELECT unnest([0, 1, 2, 3]) AS j) r
+    ),
+    est AS (
+      SELECT pc.word, MIN(COALESCE(c.cnt, 0)) AS cm_est
+      FROM probe_cells pc
+      LEFT JOIN cells c ON c.j = pc.j AND c.bucket = pc.bucket
+      GROUP BY pc.word
+    ),
+    truth AS (
+      SELECT p.word,
+             (SELECT COUNT(*) FROM words w WHERE w.word = p.word) AS true_cnt
+      FROM probes p
+    )
+    SELECT t.word, CAST(t.true_cnt AS BIGINT) AS true_cnt,
+           CAST(e.cm_est AS BIGINT) AS cm_est
+    FROM truth t JOIN est e USING (word)
+    """,
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext E20 (r8) — COUNT-MIN SKETCH (Cormode & Muthukrishnan
+    2005): the fixed-memory heavy-hitters/point-frequency sketch
+    beside HLL (distincts) and approx_percentile (quantiles). d=4
+    rows x w=256 buckets over the corpus word stream; a word's
+    estimate is the MIN of its d counters — always >= the true count
+    (one-sided error, pytest-asserted), within eN/w with probability
+    1-1/2^d.
+
+    Unlike HLL (agg_hll_partial_merge, rows-only — library sketch
+    internals have no SQL twin), count-min is FULLY SQL-oracled: the
+    hash family is md5-derived (the llm_sample_weighted recipe —
+    exact-int bucket in both engines), so every counter is a
+    deterministic exact integer and even the estimates hash-compare.
+    The query emits five probe words (the BM25 vocabulary, a midweight
+    word, and an absent word) with (true_cnt, cm_est).
+
+    Scale/merge shape: building the sketch is ONE groupBy over
+    (row, bucket) — 1024 cells regardless of corpus size (the whole
+    point); partial sketches from different partitions/batches merge
+    by cell-wise SUM (linearity), which is exactly what Spark's
+    partial aggregation already does under this groupBy — the
+    mergeability is the plan, not extra code. Probing is a broadcast
+    join of d.probe rows against the tiny cell table."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+
+    def bucket(word_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), word_col)),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 256
+        )
+
+    rows_ = F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j")
+    cells = (
+        words.select("word", rows_)
+        .select("j", bucket(F.col("word")).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probe_words = ["table", "spark", "merge", "window", "zz-absent"]
+    probes = spark.createDataFrame([(w,) for w in probe_words], "word string")
+    probe_cells = probes.select("word", rows_).select(
+        "word", "j", bucket(F.col("word")).alias("bucket")
+    )
+    est = (
+        probe_cells.join(cells, ["j", "bucket"], "left")
+        .groupBy("word")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est"))
+    )
+    truth = (
+        probes.join(words.groupBy("word").agg(F.count(F.lit(1)).alias("true_cnt")),
+                    "word", "left")
+        .select("word", F.coalesce(F.col("true_cnt"), F.lit(0)).alias("true_cnt"))
+    )
+    return truth.join(est, "word").select("word", "true_cnt", "cm_est")

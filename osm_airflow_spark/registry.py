@@ -111,13 +111,14 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # so those three keys lead THIS window to get their first hash-backed
 # driver proof. Then the full r3-era remainder (23 keys: the
 # llm/text+dedup+similarity block, mm_binary_meta, udf_map_in_arrow,
-# and the two r3 pipelines), then the 17 oldest r4-era keys in
-# registration order. The seven keys REGISTERED this round (weighted
+# and the two r3 pipelines), then the 16 oldest r4-era keys in
+# registration order. The eight keys REGISTERED this round (weighted
 # sampling / BM25 / RRF hybrid / JL projection / keyframe select /
-# residual-quantization ANN / NN-Descent graph ANN) are
+# residual-quantization ANN / NN-Descent graph ANN / count-min
+# sketch) are
 # never-checked and displace the r4-block tail (never-checked beats
 # re-proof — the r5/r6 precedent). After round 8 no key's newest
-# driver proof predates r4; the remaining 28 r4 keys rotate in
+# driver proof predates r4; the remaining 29 r4 keys rotate in
 # round 9.
 # ---------------------------------------------------------------------------
 
@@ -126,7 +127,7 @@ DRIVER_WINDOW: list[str] = [
     "llm_fingerprint",
     "mm_feature_extract",
     "osm_line_simplify",
-    # -- new keys this round, never driver-checked (7) --
+    # -- new keys this round, never driver-checked (8) --
     "llm_sample_weighted",
     "llm_bm25_topk",
     "llm_hybrid_rrf",
@@ -134,6 +135,7 @@ DRIVER_WINDOW: list[str] = [
     "mm_keyframe_select",
     "llm_sim_ann_ivf_rq",
     "llm_sim_ann_graph",
+    "agg_countmin_sketch",
     # -- staleness re-checks: the full r3-era remainder (23) --
     "llm_dedup_exact",
     "llm_dedup_near",
@@ -158,7 +160,7 @@ DRIVER_WINDOW: list[str] = [
     "udf_map_in_arrow",
     "pipeline_shipping_priority",
     "pipeline_local_supplier_volume",
-    # -- staleness re-checks: oldest r4 block, registration order (17) --
+    # -- staleness re-checks: oldest r4 block, registration order (16) --
     "win_time_tumbling",
     "win_time_sliding",
     "win_time_session",
@@ -175,7 +177,6 @@ DRIVER_WINDOW: list[str] = [
     "llm_sim_ann_pq",
     "llm_dedup_simhash",
     "llm_dedup_embed_lsh",
-    "llm_dedup_cluster_best",
 ]
 
 

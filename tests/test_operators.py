@@ -188,3 +188,54 @@ def test_hll_partial_merge_matches_direct_and_bounds_error(spark, sf_dir):
         assert r["merge_equals_direct"], r
         err = abs(r["est_users"] - r["exact_users"]) / max(r["exact_users"], 1)
         assert err < 0.05, r
+
+
+def test_countmin_estimates_one_sided_and_linear(spark, sf_dir):
+    """CM invariants: est >= true for every probe (one-sided error),
+    the absent word's true count is 0, and the sketch is LINEAR —
+    cell-wise sum of two half-corpus sketches equals the full-corpus
+    sketch (the mergeability the docstring claims)."""
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.registry import all_queries
+
+    rows = all_queries()["agg_countmin_sketch"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["cm_est"] >= r["true_cnt"], r
+    assert {r["true_cnt"] for r in rows if r["word"] == "zz-absent"} == {0}
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def sketch(df):
+        words = df.select(F.explode(F.split("text", " ")).alias("word"))
+        j = F.explode(F.array(*[F.lit(x) for x in range(4)])).alias("j")
+        b = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("word"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 256
+        )
+        return {
+            (r["j"], r["bucket"]): r["cnt"]
+            for r in words.select("word", j)
+            .select("j", b.alias("bucket"))
+            .groupBy("j", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    full = sketch(d)
+    lo = sketch(d.where(F.col("doc_id") % 2 == 0))
+    hi = sketch(d.where(F.col("doc_id") % 2 == 1))
+    merged = dict(lo)
+    for k, v in hi.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == full
