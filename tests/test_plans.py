@@ -195,6 +195,8 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
         "llm_dedup_exact",            # window survivor selection
         "win_time_session",           # gaps-and-islands
         "sort_topk",                  # TakeOrderedAndProject
+        "llm_sim_ann_ivf_rq",         # r8: learned quantizers + checkpoints
+        "llm_sim_ann_graph",          # r8: NN-Descent graph + beam loop
     ],
 )
 def test_partition_count_independence(spark, sf_dir, key, monkeypatch):
