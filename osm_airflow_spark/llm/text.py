@@ -1798,3 +1798,200 @@ def read_posting_stats(spark: SparkSession, stats_dir: str):
         F.sum("sum_dl").alias("sum_dl"),
     )
     return words, corpus
+
+
+@query(
+    "llm_eval_prf",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang,
+             CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                  WHEN de_hits >= fr_hits THEN 'de'
+                  ELSE 'fr' END AS predicted_lang
+      FROM (
+        SELECT lang,
+               len(list_filter(string_split(text, ' '),
+                               w -> w IN ({_sql_list(_EN_STOP)}))) AS en_hits,
+               len(list_filter(string_split(text, ' '),
+                               w -> w IN ({_sql_list(_DE_STOP)}))) AS de_hits,
+               len(list_filter(string_split(text, ' '),
+                               w -> w IN ({_sql_list(_FR_STOP)}))) AS fr_hits
+        FROM documents
+      )
+    ),
+    per AS (
+      SELECT c.cls,
+             SUM(CASE WHEN lang = c.cls AND predicted_lang = c.cls
+                      THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN predicted_lang = c.cls THEN 1 ELSE 0 END) AS pred_n,
+             SUM(CASE WHEN lang = c.cls THEN 1 ELSE 0 END) AS support
+      FROM pred, (SELECT unnest(['en', 'de', 'fr']) AS cls) c
+      GROUP BY c.cls
+    )
+    SELECT cls AS lang,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(pred_n AS BIGINT) AS predicted_n,
+           CAST(support AS BIGINT) AS support,
+           CASE WHEN pred_n > 0
+                THEN CAST(tp AS DOUBLE) / pred_n END AS prec,
+           CASE WHEN support > 0
+                THEN CAST(tp AS DOUBLE) / support END AS rec,
+           CASE WHEN pred_n > 0 AND support > 0
+                AND (CAST(tp AS DOUBLE) / pred_n
+                     + CAST(tp AS DOUBLE) / support) > 0
+                THEN 2.0 * (CAST(tp AS DOUBLE) / pred_n)
+                     * (CAST(tp AS DOUBLE) / support)
+                     / (CAST(tp AS DOUBLE) / pred_n
+                        + CAST(tp AS DOUBLE) / support) END AS f1
+    FROM per
+    """,
+)
+def llm_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r8) — classifier EVALUATION as a relational op:
+    per-class precision/recall/F1 of the stopword lang-ID heuristic
+    (llm_lang_id) against the fixture's ground-truth lang column —
+    the eval leg every curation pipeline needs beside its filters
+    (is the language gate actually right before it drops documents?).
+
+    Determinism: the confusion cells are exact integer sums;
+    precision/recall are single IEEE divisions of exact ints and F1
+    is one shared expression tree over those identical doubles —
+    everything emits unrounded, bit-exact. Degenerate classes
+    (nothing predicted / no support) yield NULL in BOTH engines via
+    explicit guards (Spark would otherwise produce NaN from 0/0
+    where DuckDB produces NULL — the pipeline_value_anomalies
+    lesson).
+
+    Scale: one corpus pass for the per-doc argmax, then the
+    confusion matrix is a (classes x classes)-bounded aggregate —
+    output is O(classes), never O(corpus)."""
+    pred = llm_lang_id(spark, sf_dir)
+    classes = ["en", "de", "fr"]
+    per = pred.select(
+        "lang",
+        "predicted_lang",
+        F.explode(F.array(*[F.lit(c) for c in classes])).alias("cls"),
+    ).groupBy("cls").agg(
+        F.sum(
+            F.when(
+                (F.col("lang") == F.col("cls"))
+                & (F.col("predicted_lang") == F.col("cls")),
+                1,
+            ).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when(F.col("predicted_lang") == F.col("cls"), 1).otherwise(0)
+        ).alias("pred_n"),
+        F.sum(F.when(F.col("lang") == F.col("cls"), 1).otherwise(0)).alias(
+            "support"
+        ),
+    )
+    prec = F.when(
+        F.col("pred_n") > 0, F.col("tp").cast("double") / F.col("pred_n")
+    )
+    rec = F.when(
+        F.col("support") > 0, F.col("tp").cast("double") / F.col("support")
+    )
+    f1 = F.when(
+        (F.col("pred_n") > 0) & (F.col("support") > 0) & ((prec + rec) > 0),
+        2.0 * prec * rec / (prec + rec),
+    )
+    return per.select(
+        F.col("cls").alias("lang"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("pred_n").cast("long").alias("predicted_n"),
+        F.col("support").cast("long").alias("support"),
+        prec.alias("prec"),
+        rec.alias("rec"),
+        f1.alias("f1"),
+    )
+
+
+@query(
+    "llm_eval_calibration",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(-1.0
+               + 2.5 * (least(n_words, 200) / 200.0)
+               + 1.5 * stop_ratio
+               + 0.8 * (CASE WHEN mean_word_len BETWEEN 3 AND 8
+                             THEN 1.0 ELSE 0.0 END)))), 6) AS p_keep
+      FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    w -> w IN ({_sql_list(_EN_STOP)}))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stop_ratio,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS mean_word_len
+        FROM documents
+      )
+    ),
+    ref AS (
+      SELECT doc_id,
+             (least(n_words, 200) / 200.0 * 0.4
+              + least(stop_ratio * 4, 1.0) * 0.3
+              + CASE WHEN mean_word_len BETWEEN 3 AND 8
+                     THEN 0.3 ELSE 0.0 END) >= 0.5 AS ref_keep
+      FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    w -> w IN ({_sql_list(_EN_STOP)}))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stop_ratio,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS mean_word_len
+        FROM documents
+      )
+    )
+    SELECT CAST(least(floor(p_keep * 10), 9) AS INT) AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(p_keep AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS mean_pred,
+           CAST(SUM(CASE WHEN ref_keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS obs_rate
+    FROM scored JOIN ref USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def llm_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r8) — calibration curve (reliability diagram data)
+    for the learned quality filter: bin documents by the logit
+    model's predicted keep-probability (deciles of the 6-dp-rounded
+    p_keep) and compare the bin's mean prediction against the
+    observed keep rate under the REFERENCE heuristic
+    (llm_quality_score >= 0.5) — the is-my-filter-overconfident
+    check run before trusting a model-based gate at corpus scale.
+
+    Determinism: p_keep is the already-6-dp value from the
+    llm_quality_logit recipe, so its decimal cast is EXACT and the
+    per-bin mean is an order-independent decimal sum; the bin id is
+    floor(p*10) on identical doubles; the observed rate is an exact
+    integer ratio. The reference keep decision compares the
+    unrounded shared-IEEE-tree quality score — identical in both
+    engines (the r7 unrounded-emission migration).
+
+    Scale: one corpus pass, output is O(bins)."""
+    scored = llm_quality_logit(spark, sf_dir).select("doc_id", "p_keep")
+    ref = llm_quality_score(spark, sf_dir).select(
+        "doc_id", (F.col("quality_score") >= 0.5).alias("ref_keep")
+    )
+    binned = scored.join(ref, "doc_id").select(
+        F.least(F.floor(F.col("p_keep") * 10), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+        "p_keep",
+        "ref_keep",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("p_keep").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_pred"),
+        (
+            F.sum(F.when(F.col("ref_keep"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("obs_rate"),
+    )
