@@ -1995,3 +1995,113 @@ def llm_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("obs_rate"),
     )
+
+
+@query(
+    "llm_char_entropy",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_exact,
+           round(ln(CAST(length(text) AS DOUBLE)), 6)
+             - CAST(list_sum(list_transform(
+                 list_distinct(string_split(text, '')),
+                 c -> CAST(len(list_filter(string_split(text, ''),
+                                           x -> x = c)) AS DECIMAL(10,0))
+                      * CAST(round(ln(CAST(len(list_filter(
+                              string_split(text, ''), x -> x = c))
+                            AS DOUBLE)), 6) AS DECIMAL(18,6))))
+               AS DOUBLE) / length(text) AS entropy
+    FROM documents
+    """,
+)
+def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r8) — per-document character-level Shannon entropy,
+    the classic boilerplate/garbage screen (repetitive or
+    low-alphabet text scores low; encrypted/binary-ish junk scores
+    near the alphabet ceiling). Uses the identity
+    H = ln n − (Σ c·ln c)/n over per-character counts so every
+    input to the transcendental is an exact INTEGER: each ln(count)
+    rounds to 6 dp (the libm-absorb rule), count·round is an exact
+    decimal, and the sum runs in DECIMAL — order-independent, which
+    matters because Spark's array_distinct and DuckDB's
+    list_distinct enumerate the alphabet in different orders. The
+    final H is one shared IEEE tree over agreed doubles, emitted
+    unrounded.
+
+    Scale: entirely in-column (distinct-alphabet × length work per
+    row, alphabet is small by nature) — no explode, no shuffle,
+    whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    cs = F.split("text", "")
+    n = F.length("text")
+    term = lambda cnt: (
+        cnt.cast("decimal(10,0)")
+        * F.round(F.log(cnt.cast("double")), 6).cast("decimal(18,6)")
+    ).cast("decimal(28,6)")
+    sum_clnc = F.aggregate(
+        F.transform(
+            F.array_distinct(cs),
+            lambda c: term(F.size(F.filter(cs, lambda x: x == c))),
+        ),
+        F.lit(0).cast("decimal(28,6)"),
+        lambda a, x: (a + x).cast("decimal(28,6)"),
+    )
+    entropy = (
+        F.round(F.log(n.cast("double")), 6)
+        - sum_clnc.cast("double") / n
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_chars_exact"),
+        entropy.alias("entropy"),
+    )
+
+
+@query(
+    "llm_distinct_ngrams",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) - 1 AS n_bigrams,
+             len(list_distinct(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' '
+                    || string_split(text, ' ')[i+1]))) AS d_bigrams
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(d_bigrams AS BIGINT) AS distinct_bigrams,
+           CASE WHEN n_bigrams > 0
+                THEN CAST(d_bigrams AS DOUBLE) / n_bigrams END
+             AS distinct_ratio
+    FROM g
+    """,
+)
+def llm_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r8) — distinct-n diversity (distinct-2 here): the
+    share of a document's word bigrams that are unique — the standard
+    repetitiveness/diversity statistic for generated-text QA and
+    template detection (low distinct-2 = the doc loops on itself;
+    llm_repetition_ratio measures the complementary top-gram mass).
+    Exact integer counts, one IEEE division, NULL-guarded for
+    single-word docs identically in both engines. Entirely
+    in-column — no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("words"))
+    bg = F.expr(
+        "transform(sequence(1, greatest(size(words) - 1, 0)),"
+        " i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"
+    )
+    out = w.select(
+        "doc_id",
+        (F.size("words") - 1).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bg)).cast("long").alias("distinct_bigrams"),
+    )
+    ratio = F.when(
+        F.col("n_bigrams") > 0,
+        F.col("distinct_bigrams").cast("double") / F.col("n_bigrams"),
+    )
+    return out.select(
+        "doc_id", "n_bigrams", "distinct_bigrams", ratio.alias("distinct_ratio")
+    )

@@ -418,3 +418,58 @@ def test_bfs_frontier_matches_sequential_bfs(spark, edges):
                 dist[u] = dist[v] + 1
                 dq.append(u)
     assert got == dist
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-170, 170, allow_nan=False, width=32),
+            st.floats(-85, 85, allow_nan=False, width=32),
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_simplify_line_q_invariants_property(pts):
+    """Integer-DP invariants on arbitrary lines (the r8 oracle-backed
+    kernel): quantized endpoints always survive; the output is an
+    in-order subsequence of the quantized input; every dropped vertex
+    sits within eps = 1 micro-degree of the kept chord covering it
+    (checked in the same exact integer arithmetic the kernel uses:
+    cross^2 <= |chord|^2, point-distance^2 <= 1 for degenerate
+    chords); and the result is idempotent under re-simplification."""
+    from osm_airflow_spark.plans.osm import quantize_microdeg, simplify_line_q
+
+    pts = [tuple(map(float, p)) for p in pts]
+    sx, sy = simplify_line_q(pts)
+    qx = [quantize_microdeg(x) for x, _ in pts]
+    qy = [quantize_microdeg(y) for _, y in pts]
+    assert (sx[0], sy[0]) == (qx[0], qy[0])
+    assert (sx[-1], sy[-1]) == (qx[-1], qy[-1])
+    kept = list(zip(sx, sy))
+    # in-order subsequence of the quantized input
+    it = iter(zip(qx, qy))
+    assert all(p in it for p in kept)
+    # exact-integer deviation bound over the kept chain
+    idx, j = [], 0
+    for p in kept:
+        while (qx[j], qy[j]) != p:
+            j += 1
+        idx.append(j)
+        j += 1
+    for a, b in zip(idx, idx[1:]):
+        ax, ay, bx, by = qx[a], qy[a], qx[b], qy[b]
+        dx, dy = bx - ax, by - ay
+        l2 = dx * dx + dy * dy
+        for k in range(a + 1, b):
+            if l2 == 0:
+                assert (qx[k] - ax) ** 2 + (qy[k] - ay) ** 2 <= 1
+            else:
+                cross = dy * qx[k] - dx * qy[k] + bx * ay - by * ax
+                assert cross * cross <= l2
+    # idempotence: re-simplifying the kept (micro-degree) points
+    # changes nothing — quantizing an already-quantized value is a
+    # no-op, so the decisions replay identically
+    again = simplify_line_q([(x / 1e6, y / 1e6) for x, y in kept])
+    assert list(zip(*again)) == kept if kept else True

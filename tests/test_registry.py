@@ -157,6 +157,8 @@ ROUND_AUDITED = {
     "llm_bm25_topk": "libm (ln — idf rounded at the transcendental)",
     "llm_hybrid_rrf": "libm (ln via the shared BM25 CTE)",
     "llm_sample_weighted": "libm (ln of exact-int uniform, pre-rank)",
+    "llm_char_entropy": "libm (ln of exact ints) + term (decimal-summed)",
+    "llm_eval_calibration": "libm (exp via the quality_logit sigmoid recipe)",
     "llm_perplexity_filter": "libm (ln) + term",
     "llm_domain_mix": "libm (pow) + term",
     "pipeline_value_anomalies": "term (x² pre-round) + libm (sqrt-adjacent rounded cut)",
