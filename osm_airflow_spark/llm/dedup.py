@@ -824,3 +824,58 @@ def dedup_ingest_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+@query(
+    "llm_dedup_containment",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+      FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.words, b.words)) AS BIGINT)
+             AS n_shared,
+           CAST(len(a.words) AS BIGINT) AS n_a,
+           CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+             / len(a.words) AS containment
+    FROM w a, w b
+    WHERE a.doc_id <> b.doc_id
+      AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+            / len(a.words) >= 0.8
+    """,
+)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r8) — DIRECTIONAL containment dedup:
+    |A∩B| / |A| ≥ 0.8 flags documents A that are essentially
+    contained in another document B — the quote-inclusion /
+    subset-duplication case symmetric Jaccard systematically misses
+    (a short doc embedded in a long one has tiny Jaccard but
+    containment ≈ 1; the Broder 1997 containment resemblance). Pairs
+    are DIRECTIONAL (a≠b, not a<b): A-in-B and B-in-A are different
+    findings and only the contained side is the dedup candidate.
+
+    Exact integer set sizes → exact division → SQL-oracled, on the
+    same keyed candidate sample as the Jaccard ground-truth key; at
+    scale candidates come from the MinHash/LSH banding (the SAME
+    signatures estimate containment: |A∩B|/|A| =
+    J(A,B)·(|A|+|B|)/(|A|·(1+J)) from the stored set sizes — no new
+    index needed, just the stored per-doc set size)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    w = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("words"))
+    a = w.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
+    inter = F.size(F.array_intersect("wa", "wb"))
+    cont = inter.cast("double") / F.size("wa")
+    return (
+        a.crossJoin(b)
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("n_shared"),
+            F.size("wa").cast("long").alias("n_a"),
+            cont.alias("containment"),
+        )
+        .where(F.col("containment") >= 0.8)
+    )

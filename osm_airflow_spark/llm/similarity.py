@@ -1214,3 +1214,53 @@ def llm_sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored_all.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(topk)
     )
+
+
+@query(
+    "agg_vector_centroid",
+    oracle="""
+    SELECT label, CAST(i AS INT) AS dim,
+           CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                         AS DECIMAL(18,6)))
+                AS DOUBLE) / COUNT(*) AS centroid_val
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY label, i
+    """,
+)
+def agg_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r8) — vector AGGREGATION as a relational op:
+    per-label element-wise centroid of the embedding column (the
+    class-prototype computation behind nearest-centroid classifiers,
+    SemDedup's cluster step, and embedding-drift monitoring). Shape:
+    posexplode to (label, dim, val) → one groupBy over (label, dim) —
+    shuffle rows = labels x dims per partition after partial
+    aggregation, never corpus x dims.
+
+    Determinism — two measured traps live here, resolved by the
+    round-term-then-decimal-sum rule: (1) casting the FLOAT straight
+    to decimal diverges because Spark rounds the float's shortest
+    repr ("0.1") while DuckDB rounds its exact binary value
+    (0.10000000149..., measured 4e-10 drift); (2) even via DOUBLE, a
+    float's exact value is dyadic and can terminate ON a
+    scale-9 decimal midpoint, where the engines' tie rules differ
+    (measured at sf0.1: ~10 elements flipped, 4.6e-12 mean drift).
+    Rounding each element to 6 dp FIRST makes the decimal cast exact
+    (the audited 'term' rationale), the decimal sum is
+    order-independent, and the mean is one IEEE division by an exact
+    count."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("val").cast("double"), 6).cast("decimal(18,6)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid_val")
+        )
+        .select("label", "dim", "centroid_val")
+    )

@@ -111,15 +111,16 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # so those three keys lead THIS window to get their first hash-backed
 # driver proof. Then the full r3-era remainder (23 keys: the
 # llm/text+dedup+similarity block, mm_binary_meta, udf_map_in_arrow,
-# and the two r3 pipelines), then the 12 oldest r4-era keys in
-# registration order. The twelve keys REGISTERED this round
+# and the two r3 pipelines), then the 10 oldest r4-era keys in
+# registration order. The fourteen keys REGISTERED this round
 # (weighted sampling / BM25 / RRF hybrid / JL projection / keyframe
 # select / residual-quantization ANN / NN-Descent graph ANN /
 # count-min sketch / lang-ID precision-recall-F1 / quality-filter
-# calibration / char entropy / distinct-n diversity) are
+# calibration / char entropy / distinct-n diversity / containment
+# dedup / vector centroid) are
 # never-checked and displace the r4-block tail (never-checked beats
 # re-proof — the r5/r6 precedent). After round 8 no key's newest
-# driver proof predates r4; the remaining 33 r4 keys rotate in
+# driver proof predates r4; the remaining 35 r4 keys rotate in
 # round 9.
 # ---------------------------------------------------------------------------
 
@@ -128,7 +129,7 @@ DRIVER_WINDOW: list[str] = [
     "llm_fingerprint",
     "mm_feature_extract",
     "osm_line_simplify",
-    # -- new keys this round, never driver-checked (12) --
+    # -- new keys this round, never driver-checked (14) --
     "llm_sample_weighted",
     "llm_bm25_topk",
     "llm_hybrid_rrf",
@@ -141,6 +142,8 @@ DRIVER_WINDOW: list[str] = [
     "llm_eval_calibration",
     "llm_char_entropy",
     "llm_distinct_ngrams",
+    "llm_dedup_containment",
+    "agg_vector_centroid",
     # -- staleness re-checks: the full r3-era remainder (23) --
     "llm_dedup_exact",
     "llm_dedup_near",
@@ -165,7 +168,7 @@ DRIVER_WINDOW: list[str] = [
     "udf_map_in_arrow",
     "pipeline_shipping_priority",
     "pipeline_local_supplier_volume",
-    # -- staleness re-checks: oldest r4 block, registration order (12) --
+    # -- staleness re-checks: oldest r4 block, registration order (10) --
     "win_time_tumbling",
     "win_time_sliding",
     "win_time_session",
@@ -176,8 +179,6 @@ DRIVER_WINDOW: list[str] = [
     "win_locf",
     "fn_datetime",
     "llm_sim_ann_lsh",
-    "llm_sim_ann_ivf",
-    "llm_sim_ann_multiprobe",
 ]
 
 

@@ -159,6 +159,7 @@ ROUND_AUDITED = {
     "llm_sample_weighted": "libm (ln of exact-int uniform, pre-rank)",
     "llm_char_entropy": "libm (ln of exact ints) + term (decimal-summed)",
     "llm_eval_calibration": "libm (exp via the quality_logit sigmoid recipe)",
+    "agg_vector_centroid": "term (float->decimal diverges both raw AND via double; measured)",
     "llm_perplexity_filter": "libm (ln) + term",
     "llm_domain_mix": "libm (pow) + term",
     "pipeline_value_anomalies": "term (x² pre-round) + libm (sqrt-adjacent rounded cut)",
