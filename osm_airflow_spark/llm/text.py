@@ -1972,17 +1972,37 @@ def llm_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrounded shared-IEEE-tree quality score — identical in both
     engines (the r7 unrounded-emission migration).
 
-    Scale: one corpus pass, output is O(bins)."""
-    scored = llm_quality_logit(spark, sf_dir).select("doc_id", "p_keep")
-    ref = llm_quality_score(spark, sf_dir).select(
-        "doc_id", (F.col("quality_score") >= 0.5).alias("ref_keep")
+    Scale: ONE corpus pass, literally — both scores derive from the
+    same three features (n_words, stop_ratio, mean_word_len), so
+    they are computed in one zero-shuffle projection instead of
+    running the two scoring keys separately and join-ing corpus-wide
+    on doc_id (this build never reuses shared exchange subtrees —
+    that shape would be two full scans plus a corpus shuffle for
+    per-row values derivable from the same row; r8 review finding).
+    Output is O(bins)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("long")
+    stop_ratio = _stop_count(words, _EN_STOP).cast("double") / n_words
+    mean_word_len = F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    ).cast("double") / n_words
+    logit = (
+        F.lit(-1.0)
+        + 2.5 * (F.least(n_words, F.lit(200)) / 200.0)
+        + 1.5 * stop_ratio
+        + 0.8 * F.when(mean_word_len.between(3, 8), 1.0).otherwise(0.0)
     )
-    binned = scored.join(ref, "doc_id").select(
-        F.least(F.floor(F.col("p_keep") * 10), F.lit(9))
-        .cast("int")
-        .alias("bin"),
-        "p_keep",
-        "ref_keep",
+    p_keep = F.round(1.0 / (1.0 + F.exp(-logit)), 6)
+    quality = (
+        F.least(n_words, F.lit(200)) / 200.0 * 0.4
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.3
+        + F.when(mean_word_len.between(3, 8), 0.3).otherwise(0.0)
+    )
+    binned = d.select(
+        F.least(F.floor(p_keep * 10), F.lit(9)).cast("int").alias("bin"),
+        p_keep.alias("p_keep"),
+        (quality >= 0.5).alias("ref_keep"),
     )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),

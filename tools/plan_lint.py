@@ -166,8 +166,12 @@ def lint_executed(key: str, spark, fn) -> tuple[list[str], int, int]:
     flags = _screen("\n".join(texts), key)
     max_exchanges = 0
     for t in texts:
+        # pre-Initial segment = the final AQE tree only (details and
+        # the Initial Plan echo follow it); count every Exchange node
+        # there — shuffle AND broadcast, any tree position — matching
+        # the static lint's substring convention
         tree = t.split("== Initial Plan ==")[0]
-        max_exchanges = max(max_exchanges, tree.count("+- Exchange"))
+        max_exchanges = max(max_exchanges, tree.count("Exchange"))
     if max_exchanges > 14:
         flags.append("XHIGH")
     return flags, max_exchanges, len(texts)

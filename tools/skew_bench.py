@@ -2,7 +2,7 @@
 (r7 verdict item 6).
 
 Plants a 20%-of-rows hot key into a lineitem-shaped big side at sf0.1
-scale (amplified 8x so task times dominate scheduling noise), joins
+scale (amplified 32x so task times dominate scheduling noise), joins
 it against an orders-shaped unique-key side under three policies, and
 records the per-task time distribution of the join stage from the
 Spark event log:
@@ -12,7 +12,7 @@ Spark event log:
   aqe     AQE skew-join splitting ON (the engine default,
           session.configure_runtime): the oversized partition is
           split at runtime into advisory-sized chunks.
-  salted  operators/skew.salted_join, 32 content-derived salts, AQE
+  salted  operators/skew.salted_join, 8 content-derived salts, AQE
           skew splitting off: the explicit fallback for joins whose
           skew AQE can't see (post-UDF shapes).
 
@@ -281,7 +281,7 @@ def main() -> None:
         "\n| variant | wall s | tasks | median s | p95 s | max s | "
         "max/median | median rows | max rows | row skew |"
     )
-    print("| --- | --- | --- | --- | --- | --- | --- | --- | --- |")
+    print("| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |")
     for name in ("naive", "aqe", "salted"):
         r = results[name]
         print(
