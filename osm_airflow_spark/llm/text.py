@@ -1753,35 +1753,48 @@ def posting_stats_ingest_stream(
     (io.compact_snapshot) folds old epochs into one."""
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        toks = F.split(F.col(text_col), " ")
-        exploded = batch_df.select(
-            F.col(id_col), F.explode(toks).alias("word")
-        )
-        words = (
-            exploded.groupBy("word")
-            .agg(
-                F.countDistinct(id_col).alias("df"),
-                F.count(F.lit(1)).alias("tf"),
-            )
-            .withColumn("epoch", F.lit(int(epoch_id)))
-        )
-        corpus = batch_df.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(toks)).cast("long").alias("sum_dl"),
-        ).withColumn("epoch", F.lit(int(epoch_id)))
-        for df, sub in ((words, "words"), (corpus, "corpus")):
-            (
-                df.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("epoch")
-                .parquet(f"{stats_dir}/{sub}")
-            )
+        ingest_posting_batch(batch_df, epoch_id, stats_dir, text_col, id_col)
 
     return (
         docs_stream.writeStream.foreachBatch(ingest)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def ingest_posting_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    stats_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One posting-stats micro-batch, module-level so the
+    exactly-once claim is TESTABLE: replaying the same (batch,
+    epoch) — what a restart after a half-finished foreachBatch does —
+    must leave the merged stats unchanged, because each epoch's
+    partials land in their own partition under dynamic overwrite."""
+    toks = F.split(F.col(text_col), " ")
+    exploded = batch_df.select(F.col(id_col), F.explode(toks).alias("word"))
+    words = (
+        exploded.groupBy("word")
+        .agg(
+            F.countDistinct(id_col).alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+        )
+        .withColumn("epoch", F.lit(int(epoch_id)))
+    )
+    corpus = batch_df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("sum_dl"),
+    ).withColumn("epoch", F.lit(int(epoch_id)))
+    for df, sub in ((words, "words"), (corpus, "corpus")):
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(f"{stats_dir}/{sub}")
+        )
 
 
 def read_posting_stats(spark: SparkSession, stats_dir: str):

@@ -870,3 +870,41 @@ def test_posting_stats_ingest_equals_batch_stats(spark, sf_dir, tmp_path):
         if d.startswith("epoch=")
     ]
     assert len(epochs) == 3
+
+
+def test_posting_stats_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """The exactly-once claim, exercised: replaying an epoch (the
+    restart-after-half-finished-foreachBatch path) overwrites its own
+    partition instead of double-appending, so the merged stats are
+    unchanged — and a replay that arrives with DIFFERENT content for
+    the same epoch (retry after partial upstream change) leaves the
+    LAST write, never a mixture."""
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.llm.text import (
+        ingest_posting_batch,
+        read_posting_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.where(F.col("doc_id") < 200)
+    b1 = docs.where(F.col("doc_id") >= 200)
+    stats = str(tmp_path / "stats")
+    ingest_posting_batch(b0, 0, stats)
+    ingest_posting_batch(b1, 1, stats)
+
+    def snapshot():
+        words, corpus = read_posting_stats(spark, stats)
+        w = sorted(tuple(r) for r in words.collect())
+        c = corpus.first()
+        return w, (c["n_docs"], c["sum_dl"])
+
+    before = snapshot()
+    ingest_posting_batch(b1, 1, stats)  # exact replay of epoch 1
+    assert snapshot() == before
+    # replay epoch 1 with a subset (simulated partial retry): the
+    # epoch partition is REPLACED, not mixed
+    ingest_posting_batch(b1.limit(50), 1, stats)
+    words, corpus = read_posting_stats(spark, stats)
+    assert corpus.first()["n_docs"] == b0.count() + 50
