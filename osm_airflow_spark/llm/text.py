@@ -1750,7 +1750,10 @@ def posting_stats_ingest_stream(
 
     At 100 TB the words table is bucketed by word, so the query-time
     merge groupBy is bucket-local, and periodic compaction
-    (io.compact_snapshot) folds old epochs into one."""
+    (``compact_posting_stats`` below — epoch-structure-aware, unlike
+    the generic io.compact_snapshot which would flatten the
+    partitioning out from under future dynamic-overwrite ingests)
+    folds old epochs into one."""
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
         ingest_posting_batch(batch_df, epoch_id, stats_dir, text_col, id_col)
@@ -2138,3 +2141,44 @@ def llm_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_bigrams", "distinct_bigrams", ratio.alias("distinct_ratio")
     )
+
+
+def compact_posting_stats(spark: SparkSession, stats_dir: str) -> dict:
+    """Fold all accreted posting-stat epochs into ONE merged epoch.
+
+    Partials are additive, so compaction = the same summation the
+    reader does, rewritten under the reserved epoch id -1 (a real
+    foreachBatch epoch is never negative, so a later replay of any
+    in-flight epoch can still dynamic-overwrite its own partition
+    without touching the compacted history — writing the merge under
+    a REAL epoch id would make that replay destroy history). The
+    generic io.compact_snapshot is wrong for this layout: it rewrites
+    the whole dir unpartitioned, so the next epoch-partitioned ingest
+    would land in a mixed layout. Staged write + swap per subdir;
+    returns {words_files_before, words_files_after}."""
+    import shutil
+
+    words = (
+        spark.read.parquet(f"{stats_dir}/words")
+        .groupBy("word")
+        .agg(F.sum("df").alias("df"), F.sum("tf").alias("tf"))
+        .withColumn("epoch", F.lit(-1))
+    )
+    corpus = (
+        spark.read.parquet(f"{stats_dir}/corpus")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_dl").alias("sum_dl"),
+        )
+        .withColumn("epoch", F.lit(-1))
+    )
+    out = {}
+    for df, sub in ((words, "words"), (corpus, "corpus")):
+        path = f"{stats_dir}/{sub}"
+        out[f"{sub}_files_before"] = len(spark.read.parquet(path).inputFiles())
+        staged = f"{path}_compact_stage"
+        df.coalesce(1).write.mode("overwrite").partitionBy("epoch").parquet(staged)
+        shutil.rmtree(path)
+        shutil.move(staged, path)
+        out[f"{sub}_files_after"] = len(spark.read.parquet(path).inputFiles())
+    return out

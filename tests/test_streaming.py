@@ -908,3 +908,50 @@ def test_posting_stats_replay_is_idempotent(spark, sf_dir, tmp_path):
     ingest_posting_batch(b1.limit(50), 1, stats)
     words, corpus = read_posting_stats(spark, stats)
     assert corpus.first()["n_docs"] == b0.count() + 50
+
+
+def test_posting_stats_compaction_preserves_merge_and_future_ingest(
+    spark, sf_dir, tmp_path
+):
+    """Epoch compaction folds the partial history into the reserved
+    epoch -1 without changing the merged stats, and a LATER epoch
+    still ingests cleanly into the compacted layout (the property
+    the generic io.compact_snapshot would break by flattening the
+    partitioning)."""
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.llm.text import (
+        compact_posting_stats,
+        ingest_posting_batch,
+        read_posting_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stats = str(tmp_path / "stats")
+    for e, (lo, hi) in enumerate([(0, 100), (100, 300), (300, 400)]):
+        ingest_posting_batch(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), e, stats
+        )
+
+    def snapshot():
+        words, corpus = read_posting_stats(spark, stats)
+        return (
+            sorted(tuple(r) for r in words.collect()),
+            tuple(corpus.first()),
+        )
+
+    before = snapshot()
+    report = compact_posting_stats(spark, stats)
+    assert snapshot() == before
+    assert report["words_files_after"] <= report["words_files_before"]
+    import os as _os
+
+    assert _os.listdir(f"{stats}/words").count("epoch=-1") == 1 or any(
+        d == "epoch=-1" for d in _os.listdir(f"{stats}/words")
+    )
+    # a later epoch lands cleanly in the compacted layout
+    late = docs.where(F.col("doc_id") >= 400)
+    ingest_posting_batch(late, 9, stats)
+    _, corpus = read_posting_stats(spark, stats)
+    assert corpus.first()["n_docs"] == docs.count()
