@@ -65,3 +65,66 @@ def salted_agg_count(
         .groupBy(key)
         .agg(F.sum("_partial").alias("n"))
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    n_partitions: int = 32,
+    bytes_per_row: int = 64,
+    top_k: int = 5,
+) -> dict:
+    """Measure a join/agg key's skew and recommend AQE thresholds —
+    the r8 skew-bench policy (SCALE.md round-8 ledger) as runnable
+    code instead of prose.
+
+    One aggregation pass: per-key counts → top-k shares plus the
+    hashed-partition row distribution those keys imply. Returns the
+    measured facts and the two knobs the bench showed matter:
+
+    * ``skewedPartitionThresholdInBytes`` ~ 2x the estimated median
+      partition (AQE's 256 MB absolute default silently misses hot
+      partitions smaller than that — measured), and
+    * ``advisoryPartitionSizeInBytes`` ~ the estimated median, so a
+      flagged partition splits into median-sized chunks.
+
+    ``bytes_per_row`` should be the COMPRESSED map-output estimate —
+    AQE sees compressed bytes, and a hot key's self-similar rows
+    compress harder than mixed data (also measured; when in doubt,
+    measure one shuffle and divide). The estimate feeds config, not
+    correctness: wrong by 2x just means the threshold is 2x off,
+    which still beats the 256 MB default by an order of magnitude at
+    these sizes. Top-k shares also tell you whether salting is even
+    needed: a top key under ~2/n_partitions cannot dominate any
+    partition."""
+    total = df.count()
+    top = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col(key_col))
+        .limit(top_k)
+        .collect()
+    )
+    top_keys = [
+        {"key": r[key_col], "rows": r["n"], "share": r["n"] / max(total, 1)}
+        for r in top
+    ]
+    median_rows = max(total // max(n_partitions, 1), 1)
+    hot_rows = (top_keys[0]["rows"] if top_keys else 0) + median_rows
+    median_bytes = median_rows * bytes_per_row
+    return {
+        "total_rows": total,
+        "top_keys": top_keys,
+        "est_median_partition_rows": median_rows,
+        "est_hot_partition_rows": hot_rows,
+        "row_skew_ratio": round(hot_rows / median_rows, 1),
+        "recommend": {
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(
+                2 * median_bytes
+            ),
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(median_bytes),
+            "salting_warranted": bool(
+                top_keys and top_keys[0]["share"] > 2.0 / max(n_partitions, 1)
+            ),
+        },
+    }

@@ -239,3 +239,27 @@ def test_countmin_estimates_one_sided_and_linear(spark, sf_dir):
     for k, v in hi.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == full
+
+
+def test_skew_report_flags_planted_hot_key(spark, sf_dir):
+    """The r8 skew policy as code: on a 20%-hot planted key the
+    report must flag salting/splitting as warranted with a large row
+    skew ratio, and on the natural (near-uniform) key it must not."""
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.operators.skew import skew_report
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey")
+    hot = li.withColumn(
+        "k",
+        F.when(F.pmod(F.xxhash64("l_orderkey"), 5) == 0, 0).otherwise(
+            F.col("l_orderkey")
+        ),
+    )
+    r = skew_report(hot, "k")
+    assert r["top_keys"][0]["key"] == 0
+    assert 0.15 < r["top_keys"][0]["share"] < 0.25
+    assert r["recommend"]["salting_warranted"]
+    assert r["row_skew_ratio"] > 3
+    uniform = skew_report(li, "l_orderkey")
+    assert not uniform["recommend"]["salting_warranted"]
