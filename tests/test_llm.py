@@ -1017,3 +1017,33 @@ def test_embed_project_distortion_is_jl_bounded(spark, sf_dir):
     assert all(0.2 < r < 3.0 for r in ratios), (ratios[0], ratios[-1])
     med = ratios[len(ratios) // 2]
     assert 0.85 < med < 1.15, med
+
+
+def test_keyframe_select_kernel_edges(spark):
+    """Kernel edges for the r8 keyframe pick: sub-frame payloads emit
+    no row; an exactly-one-frame payload picks frame 0; two frames
+    with IDENTICAL byte spread tie-break to the LOWER index (the
+    np.argmax-first == list_position-first contract the oracle
+    relies on); and the metric is the exact integer variance
+    numerator."""
+    from osm_airflow_spark.llm.multimodal import keyframe_select
+
+    frame_a = bytes(range(64))            # high spread
+    flat = bytes([7] * 64)                # zero spread
+    media = spark.createDataFrame(
+        [
+            (1, bytes([1] * 63)),          # < one frame -> no row
+            (2, flat),                     # one flat frame
+            (3, frame_a + frame_a),        # identical frames -> idx 0
+            (4, flat + frame_a),           # second frame wins
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in keyframe_select(media).collect()}
+    assert 1 not in rows
+    assert rows[2]["key_frame_idx"] == 0 and rows[2]["key_metric"] == 0
+    assert rows[3]["n_frames"] == 2 and rows[3]["key_frame_idx"] == 0
+    assert rows[4]["key_frame_idx"] == 1
+    s = sum(frame_a)
+    s2 = sum(b * b for b in frame_a)
+    assert rows[4]["key_metric"] == 64 * s2 - s * s
