@@ -440,14 +440,22 @@ def test_pbf_python_datasource_matches_function_reader(spark, pbf_file):
     assert counts == {"node": 4, "way": 2, "relation": 1}
 
 
-def test_pbf_decoder_survives_fuzzed_corruption(pbf_file):
+@pytest.mark.parametrize("which", ["roundtrip", "dense10k"])
+def test_pbf_decoder_survives_fuzzed_corruption(pbf_file, which):
     """Adversarial-robustness floor for the wire decoder (the
     component a real geofabrik extract would hit first): random
     single-byte corruptions and truncations of a valid file must
     produce either a successful decode (mutation hit a don't-care
     byte) or a clean Python exception — never a hang, a negative
     allocation, or an interpreter-level crash. Deterministic seed so
-    failures reproduce."""
+    failures reproduce. Parametrized over the self-encoded roundtrip
+    file AND the 10k-node independent dense fixture (r8) — the dense
+    block's 2-byte string indices and long delta chains corrupt into
+    shapes the small file cannot produce."""
+    if which == "dense10k":
+        pbf_file = os.path.join(
+            os.path.dirname(__file__), "fixtures", "golden_dense_10k.osm.pbf"
+        )
     import random
     import struct
     import zlib
