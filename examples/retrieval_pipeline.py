@@ -52,6 +52,28 @@ def main() -> None:
         for r in query_ivf_index(spark, d, qvec, nprobe=2, topk=5).collect():
             print(f"   vec {r['vec_id']:>6}  cos {r['cos_sim']:.4f}")
 
+    print("== incremental BM25 state: posting stats built batch-by-batch")
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.llm.text import (
+        ingest_posting_batch,
+        read_posting_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with tempfile.TemporaryDirectory() as d:
+        ingest_posting_batch(docs.where(F.col("doc_id") % 2 == 0), 0, d)
+        ingest_posting_batch(docs.where(F.col("doc_id") % 2 == 1), 1, d)
+        words, corpus = read_posting_stats(spark, d)
+        c = corpus.first()
+        print(f"   corpus: N={c['n_docs']} sum_dl={c['sum_dl']}")
+        for r in (
+            words.where(F.col("word").isin("table", "spark", "merge"))
+            .orderBy("word")
+            .collect()
+        ):
+            print(f"   word {r['word']:<6} df {r['df']:>5}  tf {r['tf']:>6}")
+
     print("== fusion: RRF top-10 (bm_rank | cos_rank | fused)")
     for r in q["llm_hybrid_rrf"](spark, sf_dir).limit(10).collect():
         bm = "-" if r["bm_rank"] is None else f"{r['bm_rank']:>3}"
