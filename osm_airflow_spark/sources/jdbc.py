@@ -6,9 +6,14 @@ database (/root/reference/README.md:70,76; osm_etl.py:88-91). The
 engine publishes the same way via Spark's JDBC writer (io.write_jdbc)
 and can *read* a serving table back for reconciliation.
 
-No JDBC driver jar ships in this container, so calls fail at
-``.load()``/``.save()`` with a clear message — the plumbing and the
-partitioned-read discipline are the deliverable here.
+Proven end-to-end (r8) against the EMBEDDED DERBY that Spark
+bundles for its metastore (derby-10.16.x in pyspark/jars — the
+"no driver jar in the sandbox" assumption of earlier rounds was
+wrong): tests/test_sources.py round-trips write_jdbc → read_jdbc
+including nulls, append mode, and the range-partitioned parallel
+read. A PostGIS target stays env-blocked (no server), but the JDBC
+path itself — type mapping, partitioned scan, bounded connections —
+is exercised for real.
 
 Scale notes: always read with (partitionColumn, lowerBound,
 upperBound, numPartitions) — an unpartitioned JDBC read is one

@@ -923,3 +923,44 @@ def test_dag_publish_gate_reports_failed_regions(spark, tmp_path):
     # the successful region's publish survived the gate failure
     layer = spark.read.parquet(f"{tmp_path}/layers/highway")
     assert layer.where(F.col("region") == "colorado").count() == 40
+
+
+def test_jdbc_roundtrip_against_embedded_derby(spark, sf_dir, tmp_path):
+    """B3 end-to-end, for real (r8): Spark bundles Derby for its
+    metastore, so the JDBC sink/source can be proven without any
+    external server — the 'no driver jar' env-block of earlier
+    rounds was a wrong assumption. Covers: overwrite publish with
+    nulls, append accumulation, and the range-partitioned parallel
+    read returning exactly the published rows (the discipline an
+    unpartitioned JDBC read would silently violate at scale)."""
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.io import write_jdbc
+    from osm_airflow_spark.sources.jdbc import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/servingdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    layer = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .where(F.col("c_custkey") <= 100)
+    )
+    write_jdbc(layer, url, "customers", mode="overwrite",
+               properties=props, num_partitions=1)
+    hi = layer.agg(F.max("c_custkey")).first()[0]
+    back = read_jdbc(
+        spark, url, "customers", "c_custkey", 0, int(hi) + 1,
+        num_partitions=4, properties=props,
+    )
+    assert back.rdd.getNumPartitions() == 4  # genuinely parallel scan
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, layer.collect())
+    )
+    # append mode accumulates (the weekly re-publish shape)
+    write_jdbc(layer.limit(10), url, "customers", mode="append",
+               properties=props, num_partitions=1)
+    n = read_jdbc(
+        spark, url, "customers", "c_custkey", 0, int(hi) + 1,
+        num_partitions=2, properties=props,
+    ).count()
+    assert n == layer.count() + 10
