@@ -258,8 +258,8 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (
       SELECT doc_id,
-             list_transform(
-               range(1, greatest(length(text) - 7, 1) + 1),
+             CASE WHEN length(text) >= 8 THEN list_transform(
+               range(1, length(text) - 7 + 1),
                i -> unicode(text[i:i])     * 107213535210701::BIGINT
                   + unicode(text[i+1:i+1]) * 1061520150601::BIGINT
                   + unicode(text[i+2:i+2]) * 10510100501::BIGINT
@@ -268,21 +268,22 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                   + unicode(text[i+5:i+5]) * 10201::BIGINT
                   + unicode(text[i+6:i+6]) * 101::BIGINT
                   + unicode(text[i+7:i+7])
-             ) AS grams
+             ) ELSE CAST([] AS BIGINT[]) END AS grams
       FROM documents
     ),
     w AS (
       SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(grams) - 3, 1) + 1),
-               j -> list_min(grams[j:j+3])
-             )) AS fp
+             CASE WHEN len(grams) >= 1 THEN
+               list_distinct(list_transform(
+                 range(1, greatest(len(grams) - 3, 1) + 1),
+                 j -> list_min(grams[j:j+3])
+               )) ELSE CAST([] AS BIGINT[]) END AS fp
       FROM g
     )
     SELECT doc_id,
            len(fp) AS n_fingerprints,
            list_min(fp) AS min_fp,
-           CAST(list_sum(list_transform(fp, x -> x % 1000000000))
+           CAST(coalesce(list_sum(list_transform(fp, x -> x % 1000000000)), 0)
                 % 1000000000 AS BIGINT) AS fp_checksum
     FROM w
     """,
@@ -300,8 +301,13 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is exact BIGINT arithmetic — max gram value
     121 * (101^8 - 1)/100 ~ 1.3e16 < 2^63, so no modulus is needed
     inside the hash and the fingerprints are bit-identical by integer
-    determinism (documents are ASCII at every SF, min length 44 >> 8;
-    Spark ascii == DuckDB unicode per char). The digest row is
+    determinism (documents are ASCII at every SF; Spark ascii ==
+    DuckDB unicode per char). Docs shorter than 8 chars emit an EMPTY
+    fingerprint (n=0, NULL min, checksum 0) in BOTH engines — the r8
+    ``greatest(length-7, 1)`` clamp manufactured one gram from
+    out-of-range reads, where Spark ``ascii('')`` is 0 but DuckDB
+    ``unicode('')`` is -1 (r9 ADVICE fix, pinned by
+    tests/test_llm.py::test_fingerprint_short_docs). The digest row is
     (count, min, order-independent checksum): the checksum folds
     fp %% 1e9 per element BEFORE summing so the running total stays
     < n_fp * 1e9 ~ 1e12, overflow-free at any SF, and order
@@ -311,7 +317,8 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream index state (the Schleimer guarantee)."""
     d = load_table(spark, sf_dir, "documents")
     grams = F.expr(
-        "transform(sequence(1, greatest(length(text) - 7, 1)), i ->"
+        "CASE WHEN length(text) >= 8 THEN"
+        " transform(sequence(1, length(text) - 7), i ->"
         "   ascii(substring(text, i,     1)) * 107213535210701L"
         " + ascii(substring(text, i + 1, 1)) * 1061520150601L"
         " + ascii(substring(text, i + 2, 1)) * 10510100501L"
@@ -320,12 +327,13 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + ascii(substring(text, i + 5, 1)) * 10201L"
         " + ascii(substring(text, i + 6, 1)) * 101L"
         " + ascii(substring(text, i + 7, 1)))"
+        " ELSE cast(array() as array<bigint>) END"
     )
-    winnowed = F.array_distinct(
-        F.expr(
-            "transform(sequence(1, greatest(size(grams) - 3, 1)),"
-            " j -> array_min(slice(grams, j, 4)))"
-        )
+    winnowed = F.expr(
+        "CASE WHEN size(grams) >= 1 THEN"
+        " array_distinct(transform(sequence(1, greatest(size(grams) - 3, 1)),"
+        "  j -> array_min(slice(grams, j, 4))))"
+        " ELSE cast(array() as array<bigint>) END"
     )
     return (
         d.select("doc_id", grams.alias("grams"))
@@ -2122,12 +2130,23 @@ def llm_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_repetition_ratio measures the complementary top-gram mass).
     Exact integer counts, one IEEE division, NULL-guarded for
     single-word docs identically in both engines. Entirely
-    in-column — no shuffle."""
+    in-column — no shuffle.
+
+    Short-doc guard (r9, ADVICE fix): ``sequence(1, 0)`` in Spark is
+    the DESCENDING array ``[1, 0]`` — the r8 form
+    ``sequence(1, greatest(size-1, 0))`` therefore CRASHED
+    (INVALID_ARRAY_INDEX_IN_ELEMENT_AT) on any single-word document
+    instead of returning 0 bigrams, latent only because fixtures have
+    no such docs. The bigram build is now gated on ``size >= 2`` with
+    a typed empty array, matching DuckDB's empty ``range(1, 1)``;
+    pinned by tests/test_llm.py::test_distinct_ngrams_single_word."""
     d = load_table(spark, sf_dir, "documents")
     w = d.select("doc_id", F.split("text", " ").alias("words"))
     bg = F.expr(
-        "transform(sequence(1, greatest(size(words) - 1, 0)),"
-        " i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"
+        "CASE WHEN size(words) >= 2 THEN"
+        " transform(sequence(1, size(words) - 1),"
+        "  i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"
+        " ELSE cast(array() as array<string>) END"
     )
     out = w.select(
         "doc_id",
@@ -2155,7 +2174,19 @@ def compact_posting_stats(spark: SparkSession, stats_dir: str) -> dict:
     generic io.compact_snapshot is wrong for this layout: it rewrites
     the whole dir unpartitioned, so the next epoch-partitioned ingest
     would land in a mixed layout. Staged write + swap per subdir;
-    returns {words_files_before, words_files_after}."""
+    returns {words_files_before, words_files_after}.
+
+    Swap order (r9 ADVICE fix): the r8 form rmtree'd the live dir
+    BEFORE moving the staged merge in, so a crash (or a concurrent
+    reader) in that window saw NO stats at all — a destructive hole
+    in a function advertising exactly-once maintenance. Now the live
+    dir is renamed ASIDE first (atomic same-fs rename), the staged
+    merge renamed into place, and only then is the old copy deleted:
+    a crash at any point leaves either the old or the new stats fully
+    readable, at worst plus one ``_compact_old`` leftover that the
+    next compaction sweeps. Pinned by
+    tests/test_streaming.py::test_compact_swap_is_crash_recoverable."""
+    import os
     import shutil
 
     words = (
@@ -2175,10 +2206,14 @@ def compact_posting_stats(spark: SparkSession, stats_dir: str) -> dict:
     out = {}
     for df, sub in ((words, "words"), (corpus, "corpus")):
         path = f"{stats_dir}/{sub}"
-        out[f"{sub}_files_before"] = len(spark.read.parquet(path).inputFiles())
+        old = f"{path}_compact_old"
         staged = f"{path}_compact_stage"
+        if os.path.exists(old):  # leftover from a prior crash
+            shutil.rmtree(old)
+        out[f"{sub}_files_before"] = len(spark.read.parquet(path).inputFiles())
         df.coalesce(1).write.mode("overwrite").partitionBy("epoch").parquet(staged)
-        shutil.rmtree(path)
-        shutil.move(staged, path)
+        os.rename(path, old)
+        os.rename(staged, path)
+        shutil.rmtree(old)
         out[f"{sub}_files_after"] = len(spark.read.parquet(path).inputFiles())
     return out

@@ -1047,3 +1047,71 @@ def test_keyframe_select_kernel_edges(spark):
     s = sum(frame_a)
     s2 = sum(b * b for b in frame_a)
     assert rows[4]["key_metric"] == 64 * s2 - s * s
+
+
+def _write_short_docs(spark, tmp_path):
+    """A documents fixture the real one deliberately lacks: empty,
+    single-word and sub-8-char docs (ADVICE r9 — the fixture min
+    length 44 masked both short-doc divergences)."""
+    rows = [
+        (1, ""),                       # empty: split -> [''], len 0
+        (2, "one"),                    # single word, < 8 chars
+        (3, "two words"),              # one bigram, >= 8 chars
+        (4, "seven77"),                # exactly 7 chars -> no gram
+        (5, "eight888"),               # exactly 8 chars -> one gram
+        (6, "a a a"),                  # repeated bigrams
+        (7, "a much longer document with enough words and characters"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    return str(tmp_path), con
+
+
+def test_distinct_ngrams_single_word(spark, tmp_path):
+    """r9 ADVICE fix: sequence(1, 0) in Spark is the DESCENDING array
+    [1, 0], so the r8 bigram build CRASHED on single-word docs while
+    the oracle returned n_bigrams=0. Both engines must now agree on
+    every short-doc shape."""
+    from osm_airflow_spark.registry import ORACLES, QUERIES
+
+    sf_dir, con = _write_short_docs(spark, tmp_path)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["distinct_bigrams"], r["distinct_ratio"])
+        for r in QUERIES["llm_distinct_ngrams"](spark, sf_dir).collect()
+    }
+    want = {
+        i: (n, d, rat)
+        for i, n, d, rat in con.execute(ORACLES["llm_distinct_ngrams"]).fetchall()
+    }
+    assert got == want
+    assert got[2] == (0, 0, None)       # the r8 crash shape
+    assert got[6] == (2, 1, 0.5)        # repeated bigram
+
+
+def test_fingerprint_short_docs(spark, tmp_path):
+    """r9 ADVICE fix: the r8 greatest(length-7, 1) clamp manufactured
+    one gram for docs < 8 chars from out-of-range reads, where Spark
+    ascii('') = 0 but DuckDB unicode('') = -1. Short docs must now
+    emit an EMPTY fingerprint identically in both engines."""
+    from osm_airflow_spark.registry import ORACLES, QUERIES
+
+    sf_dir, con = _write_short_docs(spark, tmp_path)
+    got = {
+        r["doc_id"]: (r["n_fingerprints"], r["min_fp"], r["fp_checksum"])
+        for r in QUERIES["llm_fingerprint"](spark, sf_dir).collect()
+    }
+    want = {
+        i: (n, m, c)
+        for i, n, m, c in con.execute(ORACLES["llm_fingerprint"]).fetchall()
+    }
+    assert got == want
+    for short_id in (1, 2, 4):          # < 8 chars: empty fingerprint
+        assert got[short_id] == (0, None, 0)
+    assert got[5][0] == 1               # exactly 8 chars: one gram

@@ -955,3 +955,61 @@ def test_posting_stats_compaction_preserves_merge_and_future_ingest(
     ingest_posting_batch(late, 9, stats)
     _, corpus = read_posting_stats(spark, stats)
     assert corpus.first()["n_docs"] == docs.count()
+
+
+def test_compact_swap_is_crash_recoverable(spark, sf_dir, tmp_path, monkeypatch):
+    """r9 ADVICE fix: the r8 compaction rmtree'd the live stats dir
+    BEFORE moving the staged merge in — a crash in that window lost
+    everything. The swap is now rename-aside -> rename-in -> delete:
+    simulate a crash at the final delete and assert the stats stay
+    fully readable and merged, then assert the next compaction sweeps
+    the leftover."""
+    import os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.llm.text import (
+        compact_posting_stats,
+        ingest_posting_batch,
+        read_posting_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stats = str(tmp_path / "stats")
+    ingest_posting_batch(docs.where(F.col("doc_id") < 200), 0, stats)
+    ingest_posting_batch(docs.where(F.col("doc_id") >= 200), 1, stats)
+
+    def snapshot():
+        words, corpus = read_posting_stats(spark, stats)
+        return (
+            sorted(tuple(r) for r in words.collect()),
+            tuple(corpus.first()),
+        )
+
+    before = snapshot()
+
+    real_rmtree = _shutil.rmtree
+    died = []
+
+    def dying_rmtree(path, *a, **kw):
+        if str(path).endswith("_compact_old") and not died:
+            died.append(path)
+            raise OSError("simulated crash before the old copy was deleted")
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(_shutil, "rmtree", dying_rmtree)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="simulated crash"):
+        compact_posting_stats(spark, stats)
+    # the live stats never vanished: still readable, still merged
+    assert snapshot() == before
+    assert os.path.exists(f"{stats}/words_compact_old")  # recoverable copy
+    monkeypatch.setattr(_shutil, "rmtree", real_rmtree)
+    report = compact_posting_stats(spark, stats)          # sweeps leftover
+    assert snapshot() == before
+    assert not os.path.exists(f"{stats}/words_compact_old")
+    assert not os.path.exists(f"{stats}/corpus_compact_old")
+    assert report["words_files_after"] <= report["words_files_before"]
