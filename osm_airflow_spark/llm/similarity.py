@@ -1158,6 +1158,124 @@ def nn_descent_graph(
     )
 
 
+def build_graph_index(
+    vectors: DataFrame,
+    index_dir: str,
+    k: int = 8,
+    rounds: int = 2,
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a graph-ANN index (r9 — the build-once/serve-many
+    lifecycle the in-query ``llm_sim_ann_graph`` key skips, mirroring
+    ``build_ivf_index``): ``edges/`` is the NN-Descent kNN graph
+    PARTITIONED BY ``bucket = src % n_buckets`` so a beam probe's
+    bucket filter becomes PartitionFilters at the scan; ``vectors/``
+    carries the raw vectors under the SAME bucketing for pruned
+    candidate scoring; ``meta/`` records (entry_id, n_buckets, k) —
+    the fixed deterministic entry point (lowest node id; a medoid
+    would also do, determinism is what matters).
+
+    At 100 TB this is the HNSW/DiskANN split: graph CONSTRUCTION is
+    the expensive distributed job (NN-Descent, k²-bounded candidate
+    shuffles), amortized over every query; SERVING touches only the
+    buckets the beam walks (~beam·k rows per hop), never the corpus.
+    Modulo bucketing (not hash) keeps probe-side bucket derivation a
+    one-line exact twin of the writer's."""
+    spark = vectors.sparkSession
+    bucket = F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int").alias("bucket")
+    edges = nn_descent_graph(
+        vectors, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col
+    )
+    edges.select(id_col, "nbr", "cos", bucket).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{index_dir}/edges")
+    vectors.select(
+        F.col(id_col), _as_double(vec_col).alias("vec"), bucket
+    ).write.mode("overwrite").partitionBy("bucket").parquet(f"{index_dir}/vectors")
+    entry = vectors.agg(F.min(id_col).alias("m")).first()["m"]
+    spark.createDataFrame(
+        [(int(entry), int(n_buckets), int(k))],
+        "entry_id long, n_buckets int, k int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
+
+
+def query_graph_index(
+    spark: SparkSession,
+    index_dir: str,
+    qvec: list[float],
+    beam_w: int = 12,
+    hops: int = 4,
+    topk: int = 10,
+    exclude_ids: tuple[int, ...] = (),
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy beam search against a PERSISTED graph index.
+
+    The driver is the serving coordinator — exactly the role the
+    query node plays in HNSW/DiskANN serving: it holds the beam
+    (≤ beam_w ids + scores, bounded control-plane state) and issues
+    one bucket-pruned probe per hop. Each probe reads ONLY the
+    ``bucket ∈ {id % n_buckets}`` partitions of the edge/vector
+    tables (PartitionFilters — numFiles-verified in
+    tests/test_llm.py::test_graph_index_build_query_prune_and_recall),
+    so a hop costs ~beam·k rows however big the corpus is. The
+    returned DataFrame re-scores the winning candidate set via one
+    final pruned scan, keeping the result a Spark plan rather than a
+    driver-materialized list. Deterministic: fixed entry from meta
+    (falling back to the lowest non-excluded id), ties broken
+    (cos desc, id asc), fixed hop budget."""
+    meta = spark.read.parquet(f"{index_dir}/meta").first()
+    n_buckets = meta["n_buckets"]
+    q = [float(x) for x in qvec]
+    qcol = F.array(*[F.lit(v) for v in q])
+    excl = set(int(i) for i in exclude_ids)
+
+    def pruned(path: str, ids: list[int]) -> DataFrame:
+        buckets = sorted({i % n_buckets for i in ids})
+        return (
+            spark.read.parquet(f"{index_dir}/{path}")
+            .where(F.col("bucket").isin(buckets))
+            .where(F.col(id_col).isin([int(i) for i in ids]))
+        )
+
+    def score(ids: list[int]) -> dict[int, float]:
+        rows = (
+            pruned("vectors", ids)
+            .select(id_col, cosine_expr("vec", qcol).alias("cos_sim"))
+            .collect()
+        )
+        return {r[id_col]: r["cos_sim"] for r in rows}
+
+    entry = int(meta["entry_id"])
+    if entry in excl:
+        entry = (
+            spark.read.parquet(f"{index_dir}/vectors")
+            .where(~F.col(id_col).isin(sorted(excl)))
+            .agg(F.min(id_col).alias("m"))
+            .first()["m"]
+        )
+    scored: dict[int, float] = score([entry])
+    beam = sorted(scored, key=lambda i: (-scored[i], i))[:beam_w]
+    for _ in range(hops):
+        nbrs = {
+            r["nbr"]
+            for r in pruned("edges", beam).select("nbr").distinct().collect()
+        }
+        new = sorted(n for n in nbrs if n not in scored and n not in excl)
+        if not new:
+            break
+        scored.update(score(new))
+        beam = sorted(scored, key=lambda i: (-scored[i], i))[:beam_w]
+    winners = sorted(scored, key=lambda i: (-scored[i], i))[:topk]
+    return (
+        pruned("vectors", winners)
+        .select(id_col, cosine_expr("vec", qcol).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), id_col)
+    )
+
+
 @query("llm_sim_ann_graph")  # rows-only: learned graph, no SQL twin
 def llm_sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (r8) — graph-based ANN: NN-Descent builds the
@@ -1174,7 +1292,13 @@ def llm_sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     a few hundred scored candidates on a 500-vector corpus,
     deliberately sub-linear. Deterministic throughout (md5 LSH seeds, id
     tie-breaks, fixed entry = lowest non-query id); recall@10 floor
-    asserted with the other ANN variants."""
+    asserted with the other ANN variants.
+
+    This key rebuilds the graph inline because a query key must be
+    self-contained; the production lifecycle — build once, serve many
+    — is ``build_graph_index`` / ``query_graph_index`` above (r9),
+    with the edge+vector tables persisted bucket-partitioned and
+    probes numFiles-verified to prune."""
     beam_w, hops, topk = 12, 4, 10
     e = load_table(spark, sf_dir, "embeddings")
     edges = nn_descent_graph(e).localCheckpoint(eager=True)
