@@ -52,10 +52,12 @@ def main() -> None:
         for r in query_ivf_index(spark, d, qvec, nprobe=2, topk=5).collect():
             print(f"   vec {r['vec_id']:>6}  cos {r['cos_sim']:.4f}")
 
-    print("== incremental BM25 state: posting stats built batch-by-batch")
+    print("== incremental BM25 state: posting stats built batch-by-batch,")
+    print("   then SCORED from the index (bit-identical to the inline key)")
     from pyspark.sql import functions as F
 
     from osm_airflow_spark.llm.text import (
+        bm25_from_index,
         ingest_posting_batch,
         read_posting_stats,
     )
@@ -73,6 +75,14 @@ def main() -> None:
             .collect()
         ):
             print(f"   word {r['word']:<6} df {r['df']:>5}  tf {r['tf']:>6}")
+        top = (
+            bm25_from_index(docs, d)
+            .orderBy(F.col("bm25").desc(), "doc_id")
+            .limit(5)
+            .collect()
+        )
+        for r in top:
+            print(f"   doc {r['doc_id']:>6}  bm25 {r['bm25']:.4f}  (from index)")
 
     print("== fusion: RRF top-10 (bm_rank | cos_rank | fused)")
     for r in q["llm_hybrid_rrf"](spark, sf_dir).limit(10).collect():

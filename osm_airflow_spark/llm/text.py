@@ -480,11 +480,12 @@ BM25_SQL_CTE = """
 """
 
 
-def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, bm25) for every document — the shared scoring plan
-    behind llm_bm25_topk and llm_hybrid_rrf; see llm_bm25_topk for
-    the determinism and scale notes."""
-    d = load_table(spark, sf_dir, "documents")
+_BM25_TERMS = ("table", "spark", "merge")
+
+
+def _bm25_doc_stats(d: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """(doc_id, dl, tf0..tfN): per-doc length and term frequencies as
+    in-array filters — no explode, no shuffle."""
     toks = F.split("text", " ")
 
     def tf_of(t: str):
@@ -492,24 +493,20 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         # treat it as the (element, index) two-arg form
         return F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
 
-    tf = {i: tf_of(t) for i, t in enumerate(("table", "spark", "merge"))}
-    docs = d.select(
+    return d.select(
         "doc_id",
         F.size(toks).cast("double").alias("dl"),
-        *[tf[i].alias(f"tf{i}") for i in range(3)],
+        *[tf_of(t).alias(f"tf{i}") for i, t in enumerate(terms)],
     )
-    g = docs.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        (
-            F.sum(F.col("dl").cast("long")).cast("double") / F.count(F.lit(1))
-        ).alias("avgdl"),
-        *[
-            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
-            .cast("double")
-            .alias(f"df{i}")
-            for i in range(3)
-        ],
-    )
+
+
+def _bm25_apply(docs: DataFrame, g: DataFrame, n_terms: int) -> DataFrame:
+    """Score per-doc stats against a ONE-ROW corpus-stats DataFrame
+    (n, avgdl, df0..dfN) broadcast-cross-joined in — the same IEEE
+    expression tree whether g came from the inline aggregate
+    (``bm25_scored``) or the persisted posting-stats index
+    (``bm25_from_index``), which is what makes the two paths
+    bit-identical and the parity test exact."""
 
     def term(i: int):
         idf = F.round(
@@ -528,9 +525,71 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return docs.crossJoin(F.broadcast(g)).select(
-        "doc_id", (term(0) + term(1) + term(2)).alias("bm25")
+    score = term(0)
+    for i in range(1, n_terms):
+        score = score + term(i)
+    return docs.crossJoin(F.broadcast(g)).select("doc_id", score.alias("bm25"))
+
+
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every document — the shared scoring plan
+    behind llm_bm25_topk and llm_hybrid_rrf; see llm_bm25_topk for
+    the determinism and scale notes."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = _bm25_doc_stats(d, _BM25_TERMS)
+    g = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (
+            F.sum(F.col("dl").cast("long")).cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
+    return _bm25_apply(docs, g, len(_BM25_TERMS))
+
+
+def bm25_from_index(
+    docs: DataFrame,
+    stats_dir: str,
+    terms: tuple[str, ...] = _BM25_TERMS,
+) -> DataFrame:
+    """(doc_id, bm25) scoring FROM the maintained posting-stats index
+    (r9 — the shape llm_bm25_topk's docstring promises at 100 TB):
+    N / avgdl / per-term df come from ``read_posting_stats`` — the
+    state ``posting_stats_ingest_stream`` maintains incrementally —
+    instead of an inline full-corpus aggregate, so scoring a query
+    costs one scan of the DOCUMENTS BEING SCORED plus a |terms|-row
+    lookup, never a corpus statistics pass.
+
+    Exact parity with the inline path (asserted bit-identical in
+    tests/test_streaming.py::test_bm25_from_index_matches_inline_key):
+    the index's df is countDistinct(doc) per word ≡ the inline
+    count of docs with tf>0; sum_dl/n_docs is the same exact-long
+    division as the inline avgdl; and the scoring itself is the
+    shared ``_bm25_apply`` tree. Terms absent from the index score
+    df=0, same as inline. Stats ride as ONE broadcast 1-row
+    aggregate — the words lookup is a |terms|-row filtered scan
+    folded into it, no driver collect."""
+    spark = docs.sparkSession
+    words, corpus = read_posting_stats(spark, stats_dir)
+    dfs = words.where(F.col("word").isin(list(terms))).agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("word") == t, F.col("df"))), F.lit(0))
+            .cast("double")
+            .alias(f"df{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    g = corpus.crossJoin(dfs).select(
+        F.col("n_docs").cast("double").alias("n"),
+        (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+        *[F.col(f"df{i}") for i in range(len(terms))],
+    )
+    return _bm25_apply(_bm25_doc_stats(docs, terms), g, len(terms))
 
 
 @query(
@@ -562,10 +621,11 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-cross-joined into the scoring (the trade_edges
     pattern — corpus-bounded scalars never .collect()); top-20 is
     TakeOrderedAndProject. One scan, no corpus shuffle — at 100 TB
-    the df vector for a real query vocabulary would come from a
-    pre-built posting-stats table (the llm_tfidf_topk shape)
-    instead of the inline aggregate, and everything else is
-    unchanged."""
+    the df vector for a real query vocabulary comes from the
+    pre-built posting-stats index instead of the inline aggregate:
+    that path is ``bm25_from_index`` (r9), proven bit-identical to
+    this key on the same corpus, fed by the incrementally-maintained
+    ``posting_stats_ingest_stream`` state."""
     return (
         bm25_scored(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), "doc_id")

@@ -1013,3 +1013,45 @@ def test_compact_swap_is_crash_recoverable(spark, sf_dir, tmp_path, monkeypatch)
     assert not os.path.exists(f"{stats}/words_compact_old")
     assert not os.path.exists(f"{stats}/corpus_compact_old")
     assert report["words_files_after"] <= report["words_files_before"]
+
+
+def test_bm25_from_index_matches_inline_key(spark, sf_dir, tmp_path):
+    """r9: BM25 scored FROM the incrementally-maintained posting-stats
+    index must be BIT-IDENTICAL to the inline llm_bm25_topk path on
+    the same corpus — the 100 TB serving shape the key's docstring
+    promises. Stats built across two epochs (so the merge is real),
+    compared unrounded per doc, plus the top-20 surface key."""
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.llm.text import (
+        bm25_from_index,
+        bm25_scored,
+        ingest_posting_batch,
+    )
+    from osm_airflow_spark.registry import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stats = str(tmp_path / "stats")
+    ingest_posting_batch(docs.where(F.col("doc_id") % 2 == 0), 0, stats)
+    ingest_posting_batch(docs.where(F.col("doc_id") % 2 == 1), 1, stats)
+
+    inline = {r["doc_id"]: r["bm25"] for r in bm25_scored(spark, sf_dir).collect()}
+    indexed = {
+        r["doc_id"]: r["bm25"] for r in bm25_from_index(docs, stats).collect()
+    }
+    assert indexed == inline  # exact doubles, every document
+
+    top_inline = [tuple(r) for r in QUERIES["llm_bm25_topk"](spark, sf_dir).collect()]
+    top_indexed = [
+        tuple(r)
+        for r in bm25_from_index(docs, stats)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+        .collect()
+    ]
+    assert top_indexed == top_inline
+
+    # a term absent from the index scores df=0, same as inline
+    absent = bm25_from_index(docs, stats, terms=("zzz_never_seen",)).collect()
+    assert all(r["bm25"] == 0.0 for r in absent)
