@@ -128,3 +128,54 @@ def skew_report(
             ),
         },
     }
+
+
+def apply_skew_policy(
+    spark,
+    df: DataFrame,
+    key_col: str,
+    n_partitions: int | None = None,
+    bytes_per_row: int = 64,
+) -> dict:
+    """Close the loop from measurement to config (r9 — the SCALE.md
+    round-8 ledger's policy as a one-call opt-in): run ``skew_report``
+    on the join/agg input and SET the recommended AQE thresholds on
+    the session, so skew-join splitting actually fires for this
+    workload's partition sizes instead of AQE's 256 MB absolute
+    default (which the planted-hot-key bench showed silently misses
+    every hot partition at these scales — SKEWBENCH.json: naive
+    40.6 s bimodal straggler vs 9.8 s once AQE can see the skew).
+
+    Both confs are runtime-settable, so this composes with any
+    externally-built session (same contract as configure_runtime).
+    Deliberately an OPT-IN per workload, not a get_spark default: the
+    right threshold is a function of THIS input's row width and key
+    distribution, and a global default would re-create the
+    one-size-fits-all miss it exists to fix. Returns the full report
+    (with ``applied: True`` and the conf values) for logging.
+
+    If the report says the top key cannot dominate a partition
+    (``salting_warranted`` False and skew ratio ~1), the thresholds
+    are still safe to apply — they only change WHEN AQE splits, never
+    results (equivalence pinned in
+    tests/test_operators.py::test_apply_skew_policy_sets_confs_and_preserves_results).
+    """
+    report = skew_report(
+        df,
+        key_col,
+        n_partitions=n_partitions
+        or int(spark.conf.get("spark.sql.shuffle.partitions")),
+        bytes_per_row=bytes_per_row,
+    )
+    rec = report["recommend"]
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        rec["spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"],
+    )
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        rec["spark.sql.adaptive.advisoryPartitionSizeInBytes"],
+    )
+    report["applied"] = True
+    return report

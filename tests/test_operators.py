@@ -263,3 +263,59 @@ def test_skew_report_flags_planted_hot_key(spark, sf_dir):
     assert r["row_skew_ratio"] > 3
     uniform = skew_report(li, "l_orderkey")
     assert not uniform["recommend"]["salting_warranted"]
+
+
+def test_apply_skew_policy_sets_confs_and_preserves_results(spark, sf_dir):
+    """r9: the measured skew policy closes the loop into session
+    config. apply_skew_policy must set the AQE thresholds to the
+    report's recommendation (far below the 256 MB default that the
+    r8 bench showed misses every hot partition at these scales), and
+    a join executed under the applied policy must equal the same join
+    under defaults — thresholds change WHEN AQE splits, never
+    results."""
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.operators.skew import apply_skew_policy
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    hot = li.withColumn(
+        "k",
+        F.when(F.pmod(F.xxhash64("l_orderkey"), 5) == 0, 0).otherwise(
+            F.col("l_orderkey")
+        ),
+    )
+    dim = hot.select("k").distinct().withColumn("tag", F.pmod(F.col("k"), 7))
+
+    def joined():
+        return sorted(
+            tuple(r)
+            for r in hot.join(dim, "k")
+            .groupBy("tag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+            )
+            .collect()
+        )
+
+    thr_key = "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+    adv_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    before_thr, before_adv = spark.conf.get(thr_key, None), spark.conf.get(
+        adv_key, None
+    )
+    baseline = joined()
+    try:
+        report = apply_skew_policy(spark, hot, "k", n_partitions=32)
+        assert report["applied"] and report["recommend"]["salting_warranted"]
+        assert spark.conf.get(thr_key) == report["recommend"][thr_key]
+        assert spark.conf.get(adv_key) == report["recommend"][adv_key]
+        assert int(spark.conf.get(thr_key)) < 256 * 1024 * 1024
+        assert joined() == baseline  # identical results under the policy
+    finally:
+        for k, v in ((thr_key, before_thr), (adv_key, before_adv)):
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
