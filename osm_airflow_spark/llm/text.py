@@ -2222,6 +2222,131 @@ def llm_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_zipf_fit",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    counts AS (
+      SELECT word, COUNT(*) AS freq FROM w GROUP BY word
+    ),
+    ranked AS (
+      SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS r
+      FROM counts
+    ),
+    pts AS (
+      SELECT CAST(round(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+             CAST(round(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+      FROM ranked
+    ),
+    fit AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_words,
+           -((n * sxy - sx * sy) / (n * sxx - sx * sx)) AS zipf_exponent,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r_squared
+    FROM fit
+    """,
+)
+def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — Zipf-exponent corpus fit: OLS of log-frequency
+    on log-rank over the word distribution. Natural corpora follow
+    f(r) ∝ r^(−s) with s ≈ 1; the fitted exponent (and its R²) is the
+    standard corpus-health diagnostic beside llm_char_entropy and
+    llm_distinct_ngrams — template-heavy or looping generated text
+    bends the tail visibly off the power law.
+
+    Determinism recipe (the bm25/char_entropy transcendental rule):
+    rank and frequency are exact integers, each ln() is rounded to
+    6 dp AT the transcendental, and the sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT decimal sums of those 6-dp
+    values and their exact 12-dp products — order-independent under
+    any partitioning. The normal-equation solution is then one shared
+    IEEE tree over agreed doubles, emitted UNROUNDED (the win_ewma
+    ledger rule).
+
+    Scale: word counts are one vocabulary-bounded groupBy with
+    map-side partials; the GLOBAL rank — the shape that tempts an
+    unpartitioned window (the lint's hard GLOBW rule) — reuses the
+    pipeline_gini/pareto bucket-offset pattern: value-contiguous
+    buckets from approx-percentile cuts on freq, per-bucket
+    row_number (B-way parallel windows; equal frequencies always
+    share a bucket, so bucket boundaries respect the total order),
+    exact per-bucket count offsets collected as ≤B control-plane
+    rows. The descending rank falls out as n_total − r_asc + 1 with
+    n_total from the same control-plane counts — no extra pass, no
+    global window, and the final fit is a 1-row aggregate."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)  # feeds cuts + counts + ranking
+    )
+    n_buckets = 8
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = counts.agg(
+        F.percentile_approx("freq", probs, 10_000).alias("c")
+    ).head()[0]
+    bucket = F.lit(0)
+    for cut in cuts:
+        bucket = bucket + F.when(F.col("freq") > F.lit(cut), 1).otherwise(0)
+    bucketed = counts.withColumn("_bkt", bucket.cast("int"))
+    per_bucket = {
+        r["_bkt"]: r["n"]
+        for r in bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(per_bucket.values())
+    offset_expr, running = F.lit(0), 0
+    for b in range(n_buckets):
+        if running and per_bucket.get(b) is not None:
+            offset_expr = F.when(F.col("_bkt") == b, F.lit(running)).otherwise(
+                offset_expr
+            )
+        running += per_bucket.get(b, 0)
+    # ascending local windows; the oracle's DESC rank = n - r_asc + 1
+    w_local = Window.partitionBy("_bkt").orderBy(
+        F.col("freq").asc(), F.col("word").desc()
+    )
+    r_asc = (offset_expr + F.row_number().over(w_local)).cast("long")
+    rank = F.lit(int(n_total)) - r_asc + F.lit(1)
+    x = F.round(F.log(rank.cast("double")), 6).cast("decimal(18,6)")
+    y = F.round(F.log(F.col("freq").cast("double")), 6).cast("decimal(18,6)")
+    pts = bucketed.select(x.alias("x"), y.alias("y"))
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return fit.select(
+        n.alias("n_words"),
+        (-slope).alias("zipf_exponent"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r_squared"),
+    )
+
+
 def compact_posting_stats(spark: SparkSession, stats_dir: str) -> dict:
     """Fold all accreted posting-stat epochs into ONE merged epoch.
 

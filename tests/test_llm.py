@@ -1167,3 +1167,35 @@ def test_graph_index_build_query_prune_and_recall(spark, sf_dir, tmp_path):
         spark, index_dir, qvec, beam_w=12, hops=4, topk=10, exclude_ids=(0,)
     ).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_zipf_fit_recovers_planted_power_law(spark, tmp_path):
+    """r9: on a corpus PLANTED with freq(r) = floor(2000/r) the fitted
+    exponent must recover s ~ 1 with high R^2 (the fixture corpus is
+    near-uniform, so the hash gate alone never exercises a true power
+    law), and Spark must equal the DuckDB oracle on this corpus too."""
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES
+
+    words = [f"w{i:02d}" for i in range(1, 26)]
+    toks = []
+    for r, w in enumerate(words, start=1):
+        toks.extend([w] * (2000 // r))
+    # spread deterministically over 10 docs
+    docs = [(i, " ".join(toks[i::10])) for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+
+    got = QUERIES["llm_zipf_fit"](spark, str(tmp_path)).collect()[0]
+    want = con.execute(ORACLES["llm_zipf_fit"]).fetchone()
+    assert (got["n_words"], got["zipf_exponent"], got["intercept"],
+            got["r_squared"]) == want
+    assert got["n_words"] == 25
+    assert 0.9 < got["zipf_exponent"] < 1.1, got["zipf_exponent"]
+    assert got["r_squared"] > 0.98

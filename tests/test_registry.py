@@ -158,6 +158,7 @@ ROUND_AUDITED = {
     "llm_hybrid_rrf": "libm (ln via the shared BM25 CTE)",
     "llm_sample_weighted": "libm (ln of exact-int uniform, pre-rank)",
     "llm_char_entropy": "libm (ln of exact ints) + term (decimal-summed)",
+    "llm_zipf_fit": "libm (ln of exact ints, rounded at the transcendental) + term",
     "llm_eval_calibration": "libm (exp via the quality_logit sigmoid recipe)",
     "agg_vector_centroid": "term (float->decimal diverges both raw AND via double; measured)",
     "llm_perplexity_filter": "libm (ln) + term",

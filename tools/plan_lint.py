@@ -61,6 +61,7 @@ ITERATIVE = {
     "pipeline_rfm_segments",
     "pipeline_pareto_abc",
     "pipeline_gini",
+    "llm_zipf_fit",  # r9: same bucket-offset control-plane collects as gini
     "llm_domain_mix",
     "llm_sample_balanced",
     "pipeline_important_stock",
