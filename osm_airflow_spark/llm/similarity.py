@@ -1388,3 +1388,173 @@ def agg_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("label", "dim", "centroid_val")
     )
+
+
+@query(
+    "llm_embed_covariance",
+    oracle="""
+    WITH pr AS (
+      SELECT ti.i AS i, tj.j AS j,
+             round(CAST(embedding[ti.i] AS DOUBLE)
+                   * CAST(embedding[tj.j] AS DOUBLE), 6) AS p
+      FROM embeddings, range(1, 65) ti(i), range(1, 65) tj(j)
+      WHERE tj.j >= ti.i
+    ),
+    ps AS (
+      SELECT i, j,
+             CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+             COUNT(*) AS n
+      FROM pr GROUP BY i, j
+    ),
+    ds AS (
+      SELECT i,
+             CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             COUNT(*) AS n
+      FROM embeddings, range(1, 65) t(i)
+      GROUP BY i
+    )
+    SELECT CAST(ps.i AS INT) AS dim_i, CAST(ps.j AS INT) AS dim_j,
+           ps.sxy / ps.n - (di.sx / di.n) * (dj.sx / dj.n) AS cov
+    FROM ps
+    JOIN ds di ON ps.i = di.i
+    JOIN ds dj ON ps.j = dj.i
+    """,
+)
+def llm_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — the exact embedding covariance matrix (upper
+    triangle, 64·65/2 = 2080 cells): the sufficient statistic behind
+    whitening, PCA, and OPQ rotation — the standard preprocessing
+    before product quantization (``llm_embed_pca`` consumes it).
+
+    Shape: ONE corpus pass builds, in-array per row, the upper-
+    triangle products PLUS a j=0 sentinel entry per dimension
+    carrying the raw value — so pair sums Σxᵢxⱼ and dim sums Σxᵢ
+    come out of a single explode + groupBy (map-side partials reduce
+    each partition to ≤2144 cells; shuffle is dims²-bounded, never
+    corpus-bounded). The two broadcast join-backs that assemble
+    cov = Σxy/n − (Σx/n)(Σy/n) run on the 2080/64-row AGGREGATES,
+    not the corpus (the CLAUDE.md join-back rule: corpus-bounded
+    branch-joins are fine; here they are dims-bounded).
+
+    Determinism (the agg_vector_centroid recipe): every summed term
+    — raw value or raw product — is a float-derived double rounded
+    to 6 dp BEFORE the exact decimal cast-and-sum, so aggregation
+    order cannot matter and the decimal cast is exact; the final
+    covariance is one shared IEEE tree over agreed doubles, emitted
+    UNROUNDED. At much larger d, swap the relational outer product
+    for a mapInPandas Gram-matrix partial (d×d numpy per partition,
+    summed); at d=64 the relational form IS the efficient plan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    terms = F.expr(
+        """
+        concat(
+          transform(sequence(1, size(embedding)), i ->
+            named_struct('i', i, 'j', 0,
+              'p', round(cast(element_at(embedding, i) as double), 6))),
+          flatten(transform(sequence(1, size(embedding)), i ->
+            transform(sequence(i, size(embedding)), j ->
+              named_struct('i', i, 'j', j,
+                'p', round(cast(element_at(embedding, i) as double)
+                           * cast(element_at(embedding, j) as double), 6))))))
+        """
+    )
+    sums = (
+        e.select(F.explode(terms).alias("t"))
+        .select("t.i", "t.j", "t.p")
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("p").cast("decimal(18,6)")).cast("double").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    singles = sums.where(F.col("j") == 0).select(
+        F.col("i").alias("k"),
+        (F.col("s") / F.col("n")).alias("mean"),
+    )
+    pairs = sums.where(F.col("j") != 0)
+    mi = F.broadcast(singles.select(F.col("k"), F.col("mean").alias("mean_i")))
+    mj = F.broadcast(
+        singles.select(F.col("k").alias("k2"), F.col("mean").alias("mean_j"))
+    )
+    return (
+        pairs.join(mi, pairs["i"] == mi["k"])
+        .join(mj, pairs["j"] == mj["k2"])
+        .select(
+            F.col("i").cast("int").alias("dim_i"),
+            F.col("j").cast("int").alias("dim_j"),
+            (
+                F.col("s") / F.col("n") - F.col("mean_i") * F.col("mean_j")
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_whitening_model(
+    spark: SparkSession, sf_dir: str, k: int = 8
+) -> tuple[list[list[float]], list[float]]:
+    """Fit a PCA-whitening model from the exact covariance key:
+    collect the 2080-cell upper triangle (dims²-bounded control
+    plane — the model IS driver state, exactly like the k-means
+    codebooks), mirror into the symmetric 64×64 matrix, numpy
+    ``eigh``, keep the top-k eigenpairs. Sign-canonicalized (the
+    largest-|loading| entry of each eigenvector is made positive,
+    first index on ties) so reruns are bit-identical even though
+    eigenvectors are only defined up to sign. Returns
+    (components[k][64] scaled by 1/√λ — the whitening rows, λ list).
+    """
+    import numpy as np
+
+    cells = llm_embed_covariance(spark, sf_dir).collect()
+    d = max(r["dim_j"] for r in cells)
+    cov = np.zeros((d, d))
+    for r in cells:
+        cov[r["dim_i"] - 1, r["dim_j"] - 1] = r["cov"]
+        cov[r["dim_j"] - 1, r["dim_i"] - 1] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps, lams = [], []
+    for idx in order:
+        v = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        lam = float(vals[idx])
+        comps.append([float(x) / (lam ** 0.5) for x in v])
+        lams.append(lam)
+    return comps, lams
+
+
+@query("llm_embed_pca")  # rows-only: eigendecomposition has no SQL twin
+def llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — PCA-whitening projection: project every
+    embedding onto the top-4 whitened principal components (scores
+    have ~unit variance and ~zero cross-covariance — the OPQ/
+    whitening preprocessing that makes product-quantization cells
+    isotropic, and the 2-D/4-D corpus-drift view every embedding
+    monitor plots).
+
+    Plan: the model (4×64 whitening matrix) is fit driver-side from
+    the exact dims²-bounded covariance key, then applied as LITERAL
+    coefficient arrays — the projection is k zip_with dot products
+    per row inside whole-stage codegen (the llm_embed_project
+    shape): one corpus scan, a broadcast-free narrow map, no UDF.
+    Rows-only: eigh is float-iterative with no SQL twin; invariants
+    (unit variance, zero cross-covariance, rerun determinism) are
+    pytest-pinned instead
+    (tests/test_llm.py::test_embed_pca_whitens)."""
+    comps, _ = pca_whitening_model(spark, sf_dir, k=4)
+    e = load_table(spark, sf_dir, "embeddings")
+    cols = []
+    for c, comp in enumerate(comps, start=1):
+        plane = F.array(*[F.lit(w) for w in comp])
+        cols.append(
+            F.aggregate(
+                F.zip_with(
+                    _as_double("embedding"), plane, lambda x, w: x * w
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias(f"pc{c}")
+        )
+    return e.select("vec_id", "label", *cols)

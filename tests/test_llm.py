@@ -1199,3 +1199,49 @@ def test_zipf_fit_recovers_planted_power_law(spark, tmp_path):
     assert got["n_words"] == 25
     assert 0.9 < got["zipf_exponent"] < 1.1, got["zipf_exponent"]
     assert got["r_squared"] > 0.98
+
+
+def test_embed_covariance_matches_numpy(spark, sf_dir):
+    """r9: the exact covariance key must agree with a direct numpy
+    covariance of the same embeddings (tolerance bounded by the 6-dp
+    term pre-round: |err| <= ~1e-6 per cell), with exactly the
+    dims*(dims+1)/2 upper-triangle cells."""
+    import numpy as np
+
+    from osm_airflow_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").collect()
+    x = np.array([r["embedding"] for r in e], dtype=np.float64)
+    ref = np.cov(x, rowvar=False, bias=True)  # population covariance
+
+    rows = QUERIES["llm_embed_covariance"](spark, sf_dir).collect()
+    d = x.shape[1]
+    assert len(rows) == d * (d + 1) // 2
+    worst = max(
+        abs(r["cov"] - ref[r["dim_i"] - 1, r["dim_j"] - 1]) for r in rows
+    )
+    assert worst < 5e-6, worst
+
+
+def test_embed_pca_whitens(spark, sf_dir):
+    """r9: the PCA-whitening projection's invariants — component
+    scores have ~unit variance and ~zero cross-covariance (the point
+    of whitening), the kept eigenvalues are descending, and the key
+    is deterministic across reruns (sign canonicalization makes eigh
+    reproducible)."""
+    import numpy as np
+
+    from osm_airflow_spark.llm.similarity import pca_whitening_model
+
+    _, lams = pca_whitening_model(spark, sf_dir, k=4)
+    assert lams == sorted(lams, reverse=True) and lams[-1] > 0
+
+    rows = QUERIES["llm_embed_pca"](spark, sf_dir).collect()
+    pcs = np.array([[r["pc1"], r["pc2"], r["pc3"], r["pc4"]] for r in rows])
+    cov = np.cov(pcs, rowvar=False, bias=True)
+    assert np.abs(np.diag(cov) - 1.0).max() < 1e-3, np.diag(cov)
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 1e-3, np.abs(off).max()
+
+    again = QUERIES["llm_embed_pca"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -50,6 +50,7 @@ def test_rows_only_keys_are_the_documented_ones():
         "llm_sim_ann_pq",
         "llm_sim_ann_ivf_rq",
         "llm_sim_ann_graph",
+        "llm_embed_pca",
         "llm_semdedup",
         "graph_pagerank",
         "llm_bpe_train",
@@ -159,6 +160,7 @@ ROUND_AUDITED = {
     "llm_sample_weighted": "libm (ln of exact-int uniform, pre-rank)",
     "llm_char_entropy": "libm (ln of exact ints) + term (decimal-summed)",
     "llm_zipf_fit": "libm (ln of exact ints, rounded at the transcendental) + term",
+    "llm_embed_covariance": "term (raw values and raw products pre-rounded to 6 dp)",
     "llm_eval_calibration": "libm (exp via the quality_logit sigmoid recipe)",
     "agg_vector_centroid": "term (float->decimal diverges both raw AND via double; measured)",
     "llm_perplexity_filter": "libm (ln) + term",
