@@ -690,3 +690,84 @@ def mm_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_position first-occurrence)."""
     media = documents_as_media(spark, sf_dir)
     return keyframe_select(media)
+
+
+def shot_boundaries(
+    media: DataFrame, frame_bytes: int = 64, threshold: int = 1900
+) -> DataFrame:
+    """Decode-free shot-boundary (scene-change) detection over binary
+    payloads — the other half of the video frame-sampling pair beside
+    ``keyframe_select``: slice the payload into fixed-size frames and
+    flag every adjacent-frame transition whose byte-level SAD (sum of
+    absolute differences — the classic shot-cut metric) reaches the
+    threshold. Real video pipelines run exactly this on decoded luma
+    planes before choosing which shots to sample frames from; here
+    the plumbing runs on the raw bytes so the whole path (schema,
+    batching, exact integer metric) is testable without codecs.
+
+    One Arrow-batched mapInPandas pass; the SAD is EXACT int64
+    (max 255 * frame_bytes per pair — no overflow), so boundaries are
+    bit-identical in any engine and the key is SQL-oracled. Emits one
+    row per boundary: the 0-based index of the frame that OPENS the
+    new shot (1..n_frames-1) and its SAD. Media with fewer than two
+    full frames emit nothing."""
+
+    def batches(it):
+        import numpy as np
+
+        for pdf in it:
+            out = {"media_id": [], "boundary_idx": [], "sad": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                n_frames = len(raw) // frame_bytes
+                if n_frames < 2:
+                    continue
+                arr = np.frombuffer(
+                    raw[: n_frames * frame_bytes], dtype=np.uint8
+                ).astype(np.int64).reshape(n_frames, frame_bytes)
+                sad = np.abs(arr[1:] - arr[:-1]).sum(axis=1)
+                for i in np.nonzero(sad >= threshold)[0]:
+                    out["media_id"].append(mid)
+                    out["boundary_idx"].append(int(i) + 1)
+                    out["sad"].append(int(sad[i]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches, "media_id long, boundary_idx int, sad long"
+    )
+
+
+@query(
+    "mm_shot_boundaries",
+    oracle="""
+    WITH codes AS (
+      SELECT doc_id AS media_id,
+             list_transform(string_split(text, ''), c -> unicode(c)) AS cs,
+             length(text) // 64 AS nf
+      FROM documents
+      WHERE length(text) // 64 >= 2
+    ),
+    sads AS (
+      SELECT media_id, f,
+             list_sum(list_transform(range(1, 65), i ->
+               abs(cs[(f-1)*64+i] - cs[f*64+i]))) AS sad
+      FROM codes, UNNEST(range(1, nf)) t(f)
+    )
+    SELECT media_id, CAST(f AS INT) AS boundary_idx, CAST(sad AS BIGINT) AS sad
+    FROM sads WHERE sad >= 1900
+    """,
+)
+def mm_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 extension (r9) — shot-boundary detection, hash-checked:
+    adjacent-frame SAD over every media payload with at least two
+    full 64-byte frames, boundaries at SAD >= 1900 (between the
+    fixture's median ~1810 and p90 ~2064, so the threshold genuinely
+    discriminates). DuckDB re-derives the byte matrix from the text
+    column (ASCII fixture: char code == payload byte — the
+    mm_binary_meta contract) and replays the identical integer SAD;
+    every decision is exact int64, so the boundary set hash-compares.
+    Completes the decode-free video pair: shot_boundaries says WHERE
+    the cuts are, keyframe_select says WHICH frame represents each
+    span."""
+    media = documents_as_media(spark, sf_dir)
+    return shot_boundaries(media)

@@ -2402,3 +2402,108 @@ def compact_posting_stats(spark: SparkSession, stats_dir: str) -> dict:
         shutil.rmtree(old)
         out[f"{sub}_files_after"] = len(spark.read.parquet(path).inputFiles())
     return out
+
+
+@query(
+    "llm_corpus_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    sw AS (
+      SELECT source, word, COUNT(*) AS n_sw FROM tok GROUP BY source, word
+    ),
+    wt AS (
+      SELECT word, CAST(SUM(n_sw) AS BIGINT) AS n_w FROM sw GROUP BY word
+    ),
+    st AS (
+      SELECT source, CAST(SUM(n_sw) AS BIGINT) AS t_s FROM sw GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_sw) AS BIGINT) AS t FROM sw),
+    grid AS (
+      SELECT st.source, st.t_s, wt.word, wt.n_w, tot.t,
+             coalesce(sw.n_sw, 0) AS n_sw
+      FROM st CROSS JOIN wt CROSS JOIN tot
+      LEFT JOIN sw ON sw.source = st.source AND sw.word = wt.word
+    ),
+    terms AS (
+      SELECT source, t_s,
+             CASE WHEN n_sw > 0 THEN
+               round((CAST(n_sw AS DOUBLE) / t_s)
+                     * round(ln((CAST(n_sw AS DOUBLE) / t_s)
+                                / ((CAST(n_sw AS DOUBLE) / t_s
+                                    + CAST(n_w AS DOUBLE) / t) / 2)), 6), 6)
+               ELSE 0.0 END AS kp,
+             round((CAST(n_w AS DOUBLE) / t)
+                   * round(ln((CAST(n_w AS DOUBLE) / t)
+                              / ((CAST(n_sw AS DOUBLE) / t_s
+                                  + CAST(n_w AS DOUBLE) / t) / 2)), 6), 6)
+               AS kq
+      FROM grid
+    )
+    SELECT source, CAST(t_s AS BIGINT) AS n_tokens,
+           0.5 * (CAST(SUM(CAST(kp AS DECIMAL(18,6))) AS DOUBLE)
+                  + CAST(SUM(CAST(kq AS DECIMAL(18,6))) AS DOUBLE))
+             AS js_divergence
+    FROM terms GROUP BY source, t_s
+    """,
+)
+def llm_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — per-source Jensen–Shannon divergence of the
+    unigram distribution against the corpus-wide distribution: the
+    standard distribution-shift monitor a curation pipeline runs per
+    crawl snapshot / per source (JS, unlike KL, is symmetric, finite
+    even when a source is missing words, and bounded by ln 2 — a
+    source scoring near 0 matches the corpus mix; near ln 2 is a
+    different language/domain entirely).
+
+    Determinism: one corpus pass builds the (source, word) count
+    table — vocab×sources-bounded, localCheckpointed because FOUR
+    branches (word totals, source totals, grand total, the grid)
+    derive from it and this build never reuses exchange subtrees —
+    and everything downstream is arithmetic over exact BIGINT counts:
+    p, q, m are shared IEEE expressions over agreed longs, each ln is
+    rounded at the transcendental, each additive term pre-rounded to
+    6 dp and decimal-summed (the bm25/ab_test recipe), and the final
+    0.5·(KLp + KLq) is one shared IEEE expression emitted UNROUNDED.
+
+    Scale: the corpus is touched ONCE (token explode → map-side
+    partial counts, shuffle = sources×vocab); the grid cross-join and
+    both KL folds run on checkpointed aggregates thousands of times
+    smaller than the input. At 100 TB the same plan holds — the only
+    corpus-proportional cost is the one tokenize pass."""
+    d = load_table(spark, sf_dir, "documents")
+    sw = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n_sw"))
+        .localCheckpoint(eager=True)  # feeds wt + st + tot + grid
+    )
+    wt = sw.groupBy("word").agg(F.sum("n_sw").alias("n_w"))
+    st = sw.groupBy("source").agg(F.sum("n_sw").alias("t_s"))
+    tot = sw.agg(F.sum("n_sw").alias("t"))
+    grid = (
+        st.crossJoin(F.broadcast(wt))
+        .crossJoin(F.broadcast(tot))
+        .join(sw, ["source", "word"], "left")
+        .withColumn("n_sw", F.coalesce(F.col("n_sw"), F.lit(0)))
+    )
+    p = F.col("n_sw").cast("double") / F.col("t_s")
+    q = F.col("n_w").cast("double") / F.col("t")
+    m = (p + q) / 2
+    kp = F.when(
+        F.col("n_sw") > 0, F.round(p * F.round(F.log(p / m), 6), 6)
+    ).otherwise(F.lit(0.0))
+    kq = F.round(q * F.round(F.log(q / m), 6), 6)
+    terms = grid.select("source", "t_s", kp.alias("kp"), kq.alias("kq"))
+    return terms.groupBy("source", "t_s").agg(
+        (
+            0.5
+            * (
+                F.sum(F.col("kp").cast("decimal(18,6)")).cast("double")
+                + F.sum(F.col("kq").cast("decimal(18,6)")).cast("double")
+            )
+        ).alias("js_divergence")
+    ).select(
+        "source", F.col("t_s").cast("long").alias("n_tokens"), "js_divergence"
+    )

@@ -1245,3 +1245,71 @@ def test_embed_pca_whitens(spark, sf_dir):
 
     again = QUERIES["llm_embed_pca"](spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_shot_boundaries_kernel_edges(spark):
+    """r9 kernel edges for the decode-free shot detector: sub-2-frame
+    payloads emit nothing; identical adjacent frames are never a
+    boundary (SAD 0); a planted hard cut is flagged at the index of
+    the frame that OPENS the new shot with the exact integer SAD."""
+    from osm_airflow_spark.llm.multimodal import shot_boundaries
+
+    flat = bytes([10] * 64)
+    bright = bytes([200] * 64)
+    media = spark.createDataFrame(
+        [
+            (1, bytes([1] * 100)),            # one full frame only
+            (2, flat + flat + flat),          # static scene
+            (3, flat + flat + bright),        # cut opens at frame 2
+        ],
+        "media_id long, payload binary",
+    )
+    rows = [tuple(r) for r in shot_boundaries(media).collect()]
+    assert all(r[0] != 1 for r in rows)
+    assert all(r[0] != 2 for r in rows)
+    assert rows == [(3, 2, 64 * 190)]
+
+
+def test_corpus_divergence_semantics_on_planted_sources(spark, tmp_path):
+    """r9: JS-divergence invariants the hash gate cannot see — on a
+    planted corpus where sources A and B share one word distribution
+    and source C is a disjoint vocabulary, A and B must sit near 0
+    (they ARE most of the corpus mix) and C far above them; all
+    values within [0, ln 2]; and Spark must equal the DuckDB oracle
+    on this corpus too."""
+    import math
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES
+
+    common = "alpha beta gamma delta " * 25
+    rows = (
+        [(i, "A", common) for i in range(10)]
+        + [(i + 10, "B", common) for i in range(10)]
+        + [(21, "C", "zeta eta theta iota " * 25)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+
+    got = {
+        r["source"]: (r["n_tokens"], r["js_divergence"])
+        for r in QUERIES["llm_corpus_divergence"](spark, str(tmp_path)).collect()
+    }
+    want = {
+        s: (n, js)
+        for s, n, js in con.execute(ORACLES["llm_corpus_divergence"]).fetchall()
+    }
+    assert got == want
+    ln2 = math.log(2)
+    assert all(0.0 <= js <= ln2 + 1e-9 for _, js in got.values())
+    # A and B share a distribution -> identical small divergence (only
+    # C's 1/21 share of the corpus mix separates them from 0)
+    assert got["A"][1] == got["B"][1] < 0.05
+    assert got["C"][1] > 0.5  # disjoint vocabulary: near ln 2
+    assert got["C"][1] > 10 * got["A"][1]

@@ -161,6 +161,7 @@ ROUND_AUDITED = {
     "llm_char_entropy": "libm (ln of exact ints) + term (decimal-summed)",
     "llm_zipf_fit": "libm (ln of exact ints, rounded at the transcendental) + term",
     "llm_embed_covariance": "term (raw values and raw products pre-rounded to 6 dp)",
+    "llm_corpus_divergence": "libm (ln of agreed rational doubles) + term",
     "llm_eval_calibration": "libm (exp via the quality_logit sigmoid recipe)",
     "agg_vector_centroid": "term (float->decimal diverges both raw AND via double; measured)",
     "llm_perplexity_filter": "libm (ln) + term",

@@ -63,6 +63,7 @@ ITERATIVE = {
     "pipeline_gini",
     "llm_zipf_fit",  # r9: same bucket-offset control-plane collects as gini
     "llm_embed_pca",  # r9: fits the whitening model (covariance collect) at build
+    "llm_corpus_divergence",  # r9: checkpoints the source-word counts (4 branches)
     "llm_domain_mix",
     "llm_sample_balanced",
     "pipeline_important_stock",
