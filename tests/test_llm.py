@@ -1313,3 +1313,66 @@ def test_corpus_divergence_semantics_on_planted_sources(spark, tmp_path):
     assert got["A"][1] == got["B"][1] < 0.05
     assert got["C"][1] > 0.5  # disjoint vocabulary: near ln 2
     assert got["C"][1] > 10 * got["A"][1]
+
+
+def test_dedup_fingerprint_candidates_are_true_near_dups(spark, sf_dir):
+    """r9: winnowing-overlap candidates are verified against the EXACT
+    quantity the fingerprints sample — shared char 8-grams (the
+    base-101 polynomial is injective on 8 ASCII chars: any digit
+    delta is bounded by 90 < 101, so a nonzero difference cannot
+    cancel — shared hash == shared gram). Every candidate pair must
+    truly share >= shared_fp distinct 8-grams, and the planted
+    strong near-dup pairs (word-shingle Jaccard >= 0.8) must be
+    recalled in full (df cap 25 = the measured recall knee). Also
+    pins the plan-shape fix: seconds, not the 17-minute
+    InferFiltersFromGenerate blowup (SCALE.md r9)."""
+    import time
+
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.llm.dedup import shingle_array
+
+    t0 = time.time()
+    got = {
+        (r["doc_a"], r["doc_b"]): r["shared_fp"]
+        for r in QUERIES["llm_dedup_fingerprint"](spark, sf_dir).collect()
+    }
+    assert time.time() - t0 < 120
+    assert got and all(s >= 5 for s in got.values())
+    assert all(a < b for a, b in got)
+
+    involved = {i for p_ in got for i in p_}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isin(sorted(involved)))
+        .collect()
+    }
+
+    def grams(t):
+        return {t[i : i + 8] for i in range(len(t) - 7)}
+
+    for (da, db), shared in got.items():
+        inter = len(grams(texts[da]) & grams(texts[db]))
+        assert inter >= shared, (da, db, shared, inter)
+
+    # recall on the planted strong pairs (word-shingle Jaccard >= 0.8)
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.split("text", " ").alias("words")).select(
+        "doc_id", F.array_distinct(shingle_array("words", 3)).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("da"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    strong = {
+        (r["da"], r["db"])
+        for r in a.crossJoin(b)
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db", jac.alias("j"))
+        .where(F.col("j") >= 0.8)
+        .collect()
+    }
+    assert strong
+    recall = len(strong & set(got)) / len(strong)
+    assert recall == 1.0, recall
