@@ -64,7 +64,7 @@ def main() -> None:
     next(iter(queries.values()))(spark, sf_dir).count()
 
     passes: list[dict[str, float]] = []
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     for _ in range(n_passes):
         timings: dict[str, float] = {}
         for key, fn in queries.items():
@@ -78,8 +78,12 @@ def main() -> None:
             timings[key] = round(time.time() - t0, 3)
         passes.append(timings)
 
+    import statistics
+
+    # statistics.median averages the middle two for even pass counts
+    # (the [n // 2] pick would report the upper one — biased high)
     median = {
-        k: sorted(p[k] for p in passes)[len(passes) // 2] for k in queries
+        k: round(statistics.median(p[k] for p in passes), 3) for k in queries
     }
     total = round(sum(median.values()), 3)
     one_shot = passes[0]

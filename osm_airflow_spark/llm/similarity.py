@@ -1250,12 +1250,22 @@ def query_graph_index(
 
     entry = int(meta["entry_id"])
     if entry in excl:
+        # one-time fallback scan: id column only (pruned to ~metadata
+        # by Parquet column pruning), not the beam-path hot loop —
+        # per-hop probes below stay bucket-pruned regardless
         entry = (
             spark.read.parquet(f"{index_dir}/vectors")
+            .select(id_col)
             .where(~F.col(id_col).isin(sorted(excl)))
             .agg(F.min(id_col).alias("m"))
             .first()["m"]
         )
+        if entry is None:  # every indexed id excluded (r9 review)
+            raise ValueError(
+                "query_graph_index: all indexed ids are excluded — "
+                "no valid entry point"
+            )
+        entry = int(entry)
     scored: dict[int, float] = score([entry])
     beam = sorted(scored, key=lambda i: (-scored[i], i))[:beam_w]
     for _ in range(hops):
@@ -1519,7 +1529,12 @@ def pca_whitening_model(
         pivot = int(np.argmax(np.abs(v)))
         if v[pivot] < 0:
             v = -v
-        lam = float(vals[idx])
+        # rank-deficient / degenerate corpora (duplicate embeddings,
+        # n_rows < k) put a top eigenvalue at ~0, and the 6-dp cell
+        # pre-round can push it slightly NEGATIVE — a bare lam**0.5
+        # then goes complex and F.lit() downstream crashes (r9 review
+        # finding). Floor it: the component's scores are ~0 anyway.
+        lam = max(float(vals[idx]), 1e-12)
         comps.append([float(x) / (lam ** 0.5) for x in v])
         lams.append(lam)
     return comps, lams

@@ -2379,11 +2379,24 @@ def compact_posting_stats(spark: SparkSession, stats_dir: str) -> dict:
     dir is renamed ASIDE first (atomic same-fs rename), the staged
     merge renamed into place, and only then is the old copy deleted:
     a crash at any point leaves either the old or the new stats fully
-    readable, at worst plus one ``_compact_old`` leftover that the
-    next compaction sweeps. Pinned by
-    tests/test_streaming.py::test_compact_swap_is_crash_recoverable."""
+    recoverable, at worst plus one ``_compact_old`` leftover that the
+    next compaction sweeps. Two crash windows exist and both are
+    handled on the NEXT call (r9 review finding): (a) after the final
+    rename but before the delete — live dir present, stale ``_old``
+    swept; (b) between the two renames — live dir MISSING with the
+    ``_old`` copy intact, restored by renaming it back before any
+    read. Pinned by
+    tests/test_streaming.py::test_compact_swap_is_crash_recoverable
+    (final-delete crash) and
+    test_compact_swap_recovers_mid_rename_crash (between-renames
+    crash)."""
     import os
     import shutil
+
+    for sub in ("words", "corpus"):
+        path, old = f"{stats_dir}/{sub}", f"{stats_dir}/{sub}_compact_old"
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)  # crash landed between the two renames
 
     words = (
         spark.read.parquet(f"{stats_dir}/words")
@@ -2570,12 +2583,20 @@ def llm_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the slice lambda per window position: O(len³) per document,
     interpreted. ``explode_outer`` is exempt from that rule, so the
     outer explode + a post-filter on the exploded scalar keeps the
-    plan at O(len²) with each project evaluated once per row."""
+    plan at O(len²) with each project evaluated once per row. The
+    exploded posting list is then localCheckpointed (r9 review
+    finding): FOUR branches consume it (the df aggregate, the keep
+    join, both sides of the pair self-join) and this build never
+    reuses exchange subtrees, so without the barrier the winnow
+    expression would re-run over the corpus four times — the
+    llm_corpus_divergence shared-aggregate rationale, applied to the
+    posting list itself (exactly what the 100 TB note persists)."""
     d = load_table(spark, sf_dir, "documents")
     e = (
         _fp_winnowed(d)
         .select("doc_id", F.explode_outer("fp").alias("fp"))
         .where(F.col("fp").isNotNull())
+        .localCheckpoint(eager=True)
     )
     keep = (
         e.groupBy("fp")

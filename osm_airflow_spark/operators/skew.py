@@ -160,11 +160,12 @@ def apply_skew_policy(
     results (equivalence pinned in
     tests/test_operators.py::test_apply_skew_policy_sets_confs_and_preserves_results).
     """
+    if n_partitions is None:  # explicit 0 is a caller bug, not a default
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     report = skew_report(
         df,
         key_col,
-        n_partitions=n_partitions
-        or int(spark.conf.get("spark.sql.shuffle.partitions")),
+        n_partitions=n_partitions,
         bytes_per_row=bytes_per_row,
     )
     rec = report["recommend"]

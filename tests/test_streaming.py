@@ -1055,3 +1055,42 @@ def test_bm25_from_index_matches_inline_key(spark, sf_dir, tmp_path):
     # a term absent from the index scores df=0, same as inline
     absent = bm25_from_index(docs, stats, terms=("zzz_never_seen",)).collect()
     assert all(r["bm25"] == 0.0 for r in absent)
+
+
+def test_compact_swap_recovers_mid_rename_crash(spark, sf_dir, tmp_path):
+    """r9 review finding: a crash BETWEEN the two renames (live dir
+    already moved aside, staged merge not yet moved in) left the
+    stats dir missing and every read — including compaction's own
+    first read — wedged. The compactor must now restore the aside
+    copy on entry and complete normally."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.llm.text import (
+        compact_posting_stats,
+        ingest_posting_batch,
+        read_posting_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stats = str(tmp_path / "stats")
+    ingest_posting_batch(docs.where(F.col("doc_id") < 200), 0, stats)
+    ingest_posting_batch(docs.where(F.col("doc_id") >= 200), 1, stats)
+
+    def snapshot():
+        words, corpus = read_posting_stats(spark, stats)
+        return (
+            sorted(tuple(r) for r in words.collect()),
+            tuple(corpus.first()),
+        )
+
+    before = snapshot()
+    # simulate the mid-rename crash state: live dir renamed aside,
+    # staged merge never moved in
+    os.rename(f"{stats}/words", f"{stats}/words_compact_old")
+    report = compact_posting_stats(spark, stats)  # must self-heal
+    assert snapshot() == before
+    assert not os.path.exists(f"{stats}/words_compact_old")
+    assert report["words_files_after"] <= report["words_files_before"]

@@ -64,6 +64,7 @@ ITERATIVE = {
     "llm_zipf_fit",  # r9: same bucket-offset control-plane collects as gini
     "llm_embed_pca",  # r9: fits the whitening model (covariance collect) at build
     "llm_corpus_divergence",  # r9: checkpoints the source-word counts (4 branches)
+    "llm_dedup_fingerprint",  # r9: checkpoints the winnowed posting list (4 branches)
     "llm_domain_mix",
     "llm_sample_balanced",
     "pipeline_important_stock",
