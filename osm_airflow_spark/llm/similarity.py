@@ -1573,3 +1573,82 @@ def llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"pc{c}")
         )
     return e.select("vec_id", "label", *cols)
+
+
+@query(
+    "llm_embed_outliers",
+    oracle="""
+    WITH cent AS (
+      SELECT label, i AS dim,
+             CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cval
+      FROM embeddings, range(1, 65) t(i)
+      GROUP BY label, i
+    ),
+    carr AS (SELECT label, list(cval ORDER BY dim) AS c FROM cent GROUP BY label),
+    d AS (
+      SELECT e.vec_id, e.label,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> CAST(round((CAST(e.embedding[i] AS DOUBLE) - c[i])
+                               * (CAST(e.embedding[i] AS DOUBLE) - c[i]), 6)
+                         AS DECIMAL(18,6)))) AS DOUBLE) AS dist2
+      FROM embeddings e JOIN carr USING (label)
+    )
+    SELECT vec_id, label, dist2, dist2 > 1.04 AS is_outlier FROM d
+    """,
+)
+def llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — embedding-space outlier screen: squared L2
+    distance of every vector to ITS LABEL'S centroid, flagged beyond
+    a fixed threshold. The standard mislabeled/noisy-sample detector
+    in training-data curation (a vector far from its class prototype
+    is either mislabeled, corrupted, or genuinely hard — all worth
+    surfacing), composing the agg_vector_centroid statistic into a
+    per-row quality signal. Threshold 1.04 ~ the fixture's measured
+    p95 (dist2 range 0.89–1.08 — near-random unit vectors), so the
+    flag genuinely discriminates the tail.
+
+    Determinism: centroids are the EXACT agg_vector_centroid recipe
+    (6-dp pre-round, decimal sum, one IEEE division); each squared
+    deviation is a shared IEEE expression over agreed doubles,
+    pre-rounded to 6 dp and summed IN-ARRAY with an exact decimal
+    accumulator (fixed order, order-independent by exactness — both
+    engines fold the same 64-element list); dist2 is emitted
+    unrounded and the flag compares it to a short exact literal.
+
+    Scale: one posexplode + labels×dims groupBy builds the centroid
+    table (map-side partials), collected per label into a BROADCAST
+    array (labels-bounded — the class-prototype table is model
+    state, like the k-means codebooks); the screen itself is then a
+    broadcast join + one narrow in-array map over the corpus — a
+    single scan, no corpus shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode(_as_double("embedding")).alias("pos", "val"))
+        .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            (
+                F.sum(F.round("val", 6).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cval")
+        )
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+            lambda s: s["cval"],
+        ).alias("c")
+    )
+    joined = e.join(F.broadcast(carr), "label")
+    dist2 = F.expr(
+        "cast(aggregate(zip_with(transform(embedding, x -> cast(x as double)), c,"
+        " (x, m) -> cast(round((x - m) * (x - m), 6) as decimal(18,6))),"
+        " cast(0 as decimal(32,6)),"
+        " (acc, t) -> cast(acc + t as decimal(32,6))) as double)"
+    )
+    return joined.select(
+        "vec_id",
+        "label",
+        dist2.alias("dist2"),
+        (dist2 > 1.04).alias("is_outlier"),
+    )

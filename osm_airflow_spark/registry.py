@@ -114,18 +114,19 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # and their fixes only change sub-8-char/single-word behavior the
 # fixtures never exercise — fixture outputs are bit-identical
 # (re-verified locally), so they do not displace staleness slots.
-# After round 9 the oldest proof generation is r5 (32 keys remain
+# After round 9 the oldest proof generation is r5 (33 keys remain
 # for the r10 window).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- new keys this round, never driver-checked (6) --
+    # -- new keys this round, never driver-checked (7) --
     "llm_zipf_fit",
     "llm_embed_covariance",
     "llm_embed_pca",
     "mm_shot_boundaries",
     "llm_corpus_divergence",
     "llm_dedup_fingerprint",
+    "llm_embed_outliers",
     # -- staleness re-checks: the full r4-era remainder (35) --
     "llm_bigram_lm",
     "llm_contamination_check",
@@ -162,7 +163,7 @@ DRIVER_WINDOW: list[str] = [
     "pipeline_time_travel",
     "pipeline_top_returning_customers",
     "pipeline_waiting_multi_supplier",
-    # -- staleness re-checks: oldest r5 block, registration order (9) --
+    # -- staleness re-checks: oldest r5 block, registration order (8) --
     "join_interval_overlap",
     "set_intersect_all",
     "win_time_weekly_aligned",
@@ -171,7 +172,6 @@ DRIVER_WINDOW: list[str] = [
     "win_lag_lead",
     "win_running_sum",
     "fn_geo_bearing",
-    "llm_embed_quantize",
 ]
 
 

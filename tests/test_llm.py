@@ -1376,3 +1376,37 @@ def test_dedup_fingerprint_candidates_are_true_near_dups(spark, sf_dir):
     assert strong
     recall = len(strong & set(got)) / len(strong)
     assert recall == 1.0, recall
+
+
+def test_embed_outliers_flags_planted_corruption(spark, sf_dir):
+    """r9: a PLANTED corrupted vector (one coordinate blown up — the
+    classic ingest-corruption shape) must be flagged by the outlier
+    screen, and on the clean fixture the flag rate must be the
+    calibrated tail (~5%), never the majority."""
+    from osm_airflow_spark.io import load_table
+    import osm_airflow_spark.llm.similarity as sim
+
+    rows = QUERIES["llm_embed_outliers"](spark, sf_dir).collect()
+    rate = sum(r["is_outlier"] for r in rows) / len(rows)
+    assert 0.0 < rate < 0.2, rate
+    assert all(r["dist2"] >= 0 for r in rows)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corrupt = e.where(F.col("vec_id") == 3).select(
+        F.lit(990001).alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding", lambda x: (x * 5.0).cast("float")
+        ).alias("embedding"),
+    )
+    union = e.unionByName(corrupt.select(*e.columns))
+    orig = sim.load_table
+    sim.load_table = lambda sp, sd, t: union if t == "embeddings" else orig(sp, sd, t)
+    try:
+        flagged = {
+            r["vec_id"]: r["is_outlier"]
+            for r in QUERIES["llm_embed_outliers"](spark, sf_dir).collect()
+        }
+    finally:
+        sim.load_table = orig
+    assert flagged[990001] is True

@@ -162,6 +162,7 @@ ROUND_AUDITED = {
     "llm_zipf_fit": "libm (ln of exact ints, rounded at the transcendental) + term",
     "llm_embed_covariance": "term (raw values and raw products pre-rounded to 6 dp)",
     "llm_corpus_divergence": "libm (ln of agreed rational doubles) + term",
+    "llm_embed_outliers": "term (squared deviations pre-rounded to 6 dp)",
     "llm_eval_calibration": "libm (exp via the quality_logit sigmoid recipe)",
     "agg_vector_centroid": "term (float->decimal diverges both raw AND via double; measured)",
     "llm_perplexity_filter": "libm (ln) + term",
