@@ -1652,3 +1652,97 @@ def llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist2.alias("dist2"),
         (dist2 > 1.04).alias("is_outlier"),
     )
+
+
+def add_to_graph_index(
+    vectors: DataFrame,
+    index_dir: str,
+    beam_w: int = 8,
+    hops: int = 3,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental insert into a persisted graph index (r9) — the
+    HNSW insert shape, BATCH-PARALLEL: every new vector runs a beam
+    search over the existing graph SIMULTANEOUSLY (one DataFrame of
+    (new_id, candidate) beams per hop, joined against the bucketed
+    edge table and scored against the broadcast new-vector batch), so
+    a batch of inserts costs hops joins, not batch-many sequential
+    searches. Each new node is then connected BIDIRECTIONALLY to its
+    top-k discovered neighbors — the reverse edges are what make the
+    new node reachable from the entry point for future queries (the
+    HNSW linking invariant); extra out-edges on existing nodes only
+    widen future beams, they never break the k-bound contract of
+    fresh builds (readers cap per-node fan-out at beam time).
+    Vectors and both edge directions APPEND into the bucketed layout
+    (conflict-free dynamic partitions, same as add_to_ivf_index);
+    meta (entry, bucketing) is unchanged — the stored entry stays
+    valid. No retraining, no corpus rebuild: cost ∝ batch · beam · k.
+    Self-recall and full coverage pinned by
+    tests/test_llm.py::test_graph_index_incremental_add."""
+    spark = vectors.sparkSession
+    meta = spark.read.parquet(f"{index_dir}/meta").first()
+    n_buckets = int(meta["n_buckets"])
+    newv = (
+        vectors.select(
+            F.col(id_col).alias("nid"), _as_double(vec_col).alias("nvec")
+        )
+        .localCheckpoint(eager=True)  # batch-bounded; feeds every hop
+    )
+    idx_vecs = spark.read.parquet(f"{index_dir}/vectors").select(
+        F.col(id_col).alias("cand"), F.col("vec").alias("cvec")
+    )
+    edges = spark.read.parquet(f"{index_dir}/edges").select(
+        F.col(id_col).alias("cand"), F.col("nbr")
+    )
+
+    def score(cands: DataFrame) -> DataFrame:
+        return (
+            cands.join(idx_vecs, "cand")
+            .join(F.broadcast(newv), "nid")
+            .select("nid", "cand", cosine_expr("nvec", "cvec").alias("cos"))
+        )
+
+    beam = newv.select("nid", F.lit(int(meta["entry_id"])).alias("cand"))
+    scored_all = score(beam).localCheckpoint(eager=True)
+    beam = scored_all
+    w = Window.partitionBy("nid").orderBy(F.col("cos").desc(), F.col("cand"))
+    for _ in range(hops):
+        nxt = (
+            beam.select("nid", "cand")
+            .join(edges, "cand")
+            .select("nid", F.col("nbr").alias("cand"))
+            .dropDuplicates(["nid", "cand"])
+            .join(scored_all.select("nid", "cand"), ["nid", "cand"], "left_anti")
+        )
+        new_scored = score(nxt).localCheckpoint(eager=True)
+        scored_all = scored_all.unionByName(new_scored).localCheckpoint(
+            eager=True
+        )
+        beam = (
+            scored_all.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= beam_w)
+            .drop("_rn")
+        )
+    links = (
+        scored_all.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+        .localCheckpoint(eager=True)
+    )
+    fwd = links.select(
+        F.col("nid").alias(id_col), F.col("cand").alias("nbr"), "cos"
+    )
+    rev = links.select(
+        F.col("cand").alias(id_col), F.col("nid").alias("nbr"), "cos"
+    )
+    bucket = F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int").alias("bucket")
+    fwd.unionByName(rev).select(id_col, "nbr", "cos", bucket).write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(f"{index_dir}/edges")
+    newv.select(
+        F.col("nid").alias(id_col), F.col("nvec").alias("vec")
+    ).select(id_col, "vec", bucket).write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(f"{index_dir}/vectors")

@@ -2614,3 +2614,77 @@ def llm_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fp"))
         .where(F.col("shared_fp") >= 5)
     )
+
+
+def divergence_from_index(
+    docs: DataFrame,
+    stats_dir: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen–Shannon divergence of ONE batch's unigram distribution
+    against the distribution maintained in the posting-stats index
+    (r9) — the production drift monitor: each incoming crawl batch is
+    scored against the historical corpus state
+    ``posting_stats_ingest_stream`` accretes, without ever rescanning
+    the corpus (the corpus side is the index's vocab-bounded word
+    table). A batch near 0 matches the historical mix; a spike says
+    the source changed domain/language before the batch is admitted.
+
+    Same determinism recipe as ``llm_corpus_divergence`` — exact
+    BIGINT counts, shared IEEE p/q/m, ln rounded at the
+    transcendental, terms pre-rounded and decimal-summed, one
+    unrounded emission — and proven BIT-IDENTICAL to that key when
+    the index holds exactly the corpus and the batch is one source
+    (tests/test_streaming.py::test_divergence_from_index_matches_batch_key).
+    Returns one row: (n_tokens, js_divergence).
+
+    Vocabulary union: words the batch has that the index lacks get
+    q=0 (KLq term 0, KLp term p·ln2-ish via m=p/2); index words the
+    batch lacks mirror. Both sides ride the vocab-bounded word
+    tables — the only batch-proportional cost is tokenizing the
+    batch itself."""
+    spark = docs.sparkSession
+    words, _ = read_posting_stats(spark, stats_dir)
+    bw = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_bw"))
+        .localCheckpoint(eager=True)  # feeds the total + the grid
+    )
+    iw = words.select("word", F.col("tf").alias("n_iw")).localCheckpoint(
+        eager=True
+    )
+    bt = bw.agg(F.sum("n_bw").alias("t_b"))
+    it = iw.agg(F.sum("n_iw").alias("t_i"))
+    grid = (
+        bw.join(iw, "word", "full_outer")
+        .select(
+            F.coalesce(F.col("n_bw"), F.lit(0)).alias("n_bw"),
+            F.coalesce(F.col("n_iw"), F.lit(0)).alias("n_iw"),
+        )
+        .crossJoin(F.broadcast(bt))
+        .crossJoin(F.broadcast(it))
+    )
+    p = F.col("n_bw").cast("double") / F.col("t_b")
+    q = F.col("n_iw").cast("double") / F.col("t_i")
+    m = (p + q) / 2
+    kp = F.when(
+        F.col("n_bw") > 0, F.round(p * F.round(F.log(p / m), 6), 6)
+    ).otherwise(F.lit(0.0))
+    kq = F.when(
+        F.col("n_iw") > 0, F.round(q * F.round(F.log(q / m), 6), 6)
+    ).otherwise(F.lit(0.0))
+    return (
+        grid.select("t_b", kp.alias("kp"), kq.alias("kq"))
+        .groupBy("t_b")
+        .agg(
+            (
+                0.5
+                * (
+                    F.sum(F.col("kp").cast("decimal(18,6)")).cast("double")
+                    + F.sum(F.col("kq").cast("decimal(18,6)")).cast("double")
+                )
+            ).alias("js_divergence")
+        )
+        .select(F.col("t_b").cast("long").alias("n_tokens"), "js_divergence")
+    )

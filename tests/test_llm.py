@@ -1410,3 +1410,48 @@ def test_embed_outliers_flags_planted_corruption(spark, sf_dir):
     finally:
         sim.load_table = orig
     assert flagged[990001] is True
+
+
+def test_graph_index_incremental_add(spark, sf_dir, tmp_path):
+    """r9: HNSW-shape incremental insert — build on 80% of vectors,
+    batch-add the rest. The vectors layout must cover the full
+    corpus, every added node must have bidirectional links (that is
+    what makes it reachable), a query AT an added vector must return
+    it first (self-recall through the augmented graph), and the
+    augmented index must still meet the graph recall floor."""
+    from osm_airflow_spark.llm.similarity import (
+        add_to_graph_index,
+        build_graph_index,
+        query_graph_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = e.where(F.col("vec_id") % 10 < 8)
+    delta = e.where(F.col("vec_id") % 10 >= 8)
+    index_dir = str(tmp_path / "graph-inc")
+    build_graph_index(base, index_dir, k=8, rounds=2, n_buckets=8)
+    add_to_graph_index(delta, index_dir, beam_w=8, hops=3, k=8)
+
+    vecs = spark.read.parquet(f"{index_dir}/vectors")
+    assert vecs.count() == e.count()
+    assert vecs.select("vec_id").distinct().count() == e.count()
+
+    edges = spark.read.parquet(f"{index_dir}/edges")
+    delta_ids = {r["vec_id"] for r in delta.select("vec_id").collect()}
+    out_srcs = {r["vec_id"] for r in edges.select("vec_id").distinct().collect()}
+    in_dsts = {r["nbr"] for r in edges.select("nbr").distinct().collect()}
+    assert delta_ids <= out_srcs and delta_ids <= in_dsts  # bidirectional
+
+    probe = delta.orderBy("vec_id").limit(1).collect()[0]
+    got = query_graph_index(
+        spark, index_dir, probe["embedding"], beam_w=12, hops=4, topk=1
+    ).collect()
+    assert got[0]["vec_id"] == probe["vec_id"]  # cos(v, v) = 1 tops the list
+
+    qvec = e.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    rows = query_graph_index(
+        spark, index_dir, qvec, beam_w=12, hops=4, topk=10, exclude_ids=(0,)
+    ).collect()
+    gt = {r["vec_id"] for r in QUERIES["llm_sim_topk"](spark, sf_dir).collect()}
+    recall = len({r["vec_id"] for r in rows} & gt) / len(gt)
+    assert recall >= ANN_RECALL_FLOORS["llm_sim_ann_graph"], recall

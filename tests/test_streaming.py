@@ -1094,3 +1094,46 @@ def test_compact_swap_recovers_mid_rename_crash(spark, sf_dir, tmp_path):
     assert snapshot() == before
     assert not os.path.exists(f"{stats}/words_compact_old")
     assert report["words_files_after"] <= report["words_files_before"]
+
+
+def test_divergence_from_index_matches_batch_key(spark, sf_dir, tmp_path):
+    """r9: the index-backed drift monitor is BIT-IDENTICAL to the
+    batch llm_corpus_divergence key in the case where they measure
+    the same quantity — index holding exactly the corpus, batch being
+    one source (then p, q, m and every rounded term coincide). Also:
+    a disjoint-vocabulary batch scores near ln 2, and a batch equal
+    to the whole corpus scores ~0."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.llm.text import (
+        divergence_from_index,
+        ingest_posting_batch,
+    )
+    from osm_airflow_spark.registry import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    stats = str(tmp_path / "stats")
+    ingest_posting_batch(docs.where(F.col("doc_id") % 2 == 0), 0, stats)
+    ingest_posting_batch(docs.where(F.col("doc_id") % 2 == 1), 1, stats)
+
+    batch_key = {
+        r["source"]: (r["n_tokens"], r["js_divergence"])
+        for r in QUERIES["llm_corpus_divergence"](spark, sf_dir).collect()
+    }
+    for source in list(batch_key)[:3]:
+        got = divergence_from_index(
+            docs.where(F.col("source") == source), stats
+        ).first()
+        assert (got["n_tokens"], got["js_divergence"]) == batch_key[source]
+
+    whole = divergence_from_index(docs, stats).first()
+    assert abs(whole["js_divergence"]) < 1e-9
+
+    alien = spark.createDataFrame(
+        [(1, "zzq yyx wwv " * 50)], "doc_id long, text string"
+    )
+    far = divergence_from_index(alien, stats).first()
+    assert far["js_divergence"] > 0.6  # near ln 2 = 0.693
