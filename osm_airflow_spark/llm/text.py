@@ -511,13 +511,21 @@ def _bm25_doc_stats(d: DataFrame, terms: tuple[str, ...]) -> DataFrame:
     )
 
 
-def _bm25_apply(docs: DataFrame, g: DataFrame, n_terms: int) -> DataFrame:
+def _bm25_apply(
+    docs: DataFrame,
+    g: DataFrame,
+    n_terms: int,
+    extra: tuple[Column, ...] = (),
+) -> DataFrame:
     """Score per-doc stats against a ONE-ROW corpus-stats DataFrame
     (n, avgdl, df0..dfN) broadcast-cross-joined in — the same IEEE
     expression tree whether g came from the inline aggregate
     (``bm25_scored``) or the persisted posting-stats index
     (``bm25_from_index``), which is what makes the two paths
-    bit-identical and the parity test exact."""
+    bit-identical and the parity test exact. ``extra`` columns (over
+    ``docs``'s per-doc stats) ride through the same projection —
+    llm_eval_rank_metrics uses this for the relevance grade without
+    a second scoring tree."""
 
     def term(i: int):
         idf = F.round(
@@ -539,7 +547,9 @@ def _bm25_apply(docs: DataFrame, g: DataFrame, n_terms: int) -> DataFrame:
     score = term(0)
     for i in range(1, n_terms):
         score = score + term(i)
-    return docs.crossJoin(F.broadcast(g)).select("doc_id", score.alias("bm25"))
+    return docs.crossJoin(F.broadcast(g)).select(
+        "doc_id", score.alias("bm25"), *extra
+    )
 
 
 def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2109,6 +2119,597 @@ def llm_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("ref_keep"), 1).otherwise(0)).cast("double")
             / F.count(F.lit(1))
         ).alias("obs_rate"),
+    )
+
+
+@query(
+    "llm_eval_auc",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w IN ({_sql_list(_EN_STOP)}))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_word_len
+      FROM documents
+    ),
+    labeled AS (
+      SELECT round(1.0 / (1.0 + exp(-(-1.0
+               + 2.5 * (least(n_words, 200) / 200.0)
+               + 1.5 * stop_ratio
+               + 0.8 * (CASE WHEN mean_word_len BETWEEN 3 AND 8
+                             THEN 1.0 ELSE 0.0 END)))), 6) AS s,
+             (least(n_words, 200) / 200.0 * 0.4
+              + least(stop_ratio * 4, 1.0) * 0.3
+              + CASE WHEN mean_word_len BETWEEN 3 AND 8
+                     THEN 0.3 ELSE 0.0 END) >= 0.5 AS y
+      FROM feats
+    ),
+    by_score AS (
+      SELECT s,
+             SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+             SUM(CASE WHEN y THEN 0 ELSE 1 END) AS neg
+      FROM labeled GROUP BY s
+    ),
+    cum AS (
+      SELECT s, pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_before
+      FROM by_score
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           CAST(COUNT(*) AS BIGINT) AS n_scores,
+           CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0
+                THEN CAST(SUM(pos * (2 * neg_before + neg)) AS DOUBLE)
+                     / (2.0 * CAST(SUM(pos) AS DOUBLE)
+                        * CAST(SUM(neg) AS DOUBLE)) END AS auc
+    FROM cum
+    """,
+)
+def llm_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — ROC-AUC of the learned quality filter
+    (llm_quality_logit's keep-probability) against the reference
+    heuristic label (llm_quality_score >= 0.5), completing the eval
+    triad beside llm_eval_prf (thresholded) and llm_eval_calibration
+    (probability quality). AUC is computed EXACTLY via the rank-sum
+    identity with midrank tie handling: group by distinct score,
+    then AUC = Σ_s pos_s·(neg_below_s + neg_s/2) / (P·N) — kept in
+    integers as Σ pos·(2·neg_below + neg) / (2·P·N), so the only
+    float op is the final division of exact longs (no transcendental
+    in the statistic at all; the score itself is the proven 6-dp
+    calibration recipe, identical doubles in both engines).
+
+    Scale: one corpus pass groups to DISTINCT scores — the 6-dp
+    score space is value-bounded (≤1e6+1 rows), so the cumulative-
+    negatives pass runs over a bounded table, never the corpus. The
+    cumulative itself uses the pipeline_gini/zipf bucket-offset
+    pattern (value-range buckets → per-bucket parallel windows +
+    ≤8 collected offset rows), keeping the no-global-window rule
+    unconditional even though the input is bounded. The integer
+    numerator fits a long up to ~2·10⁹ documents; past that, cast
+    the per-score product to decimal(38,0) before the sum (noted
+    rather than paid: the product stays JVM-side either way).
+    Output is ONE row."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("long")
+    stop_ratio = _stop_count(words, _EN_STOP).cast("double") / n_words
+    mean_word_len = F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    ).cast("double") / n_words
+    logit = (
+        F.lit(-1.0)
+        + 2.5 * (F.least(n_words, F.lit(200)) / 200.0)
+        + 1.5 * stop_ratio
+        + 0.8 * F.when(mean_word_len.between(3, 8), 1.0).otherwise(0.0)
+    )
+    s = F.round(1.0 / (1.0 + F.exp(-logit)), 6)
+    y = (
+        F.least(n_words, F.lit(200)) / 200.0 * 0.4
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.3
+        + F.when(mean_word_len.between(3, 8), 0.3).otherwise(0.0)
+    ) >= 0.5
+    by_score = (
+        d.select(s.alias("s"), y.alias("y"))
+        .groupBy("s")
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("pos"),
+            F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("neg"),
+        )
+        .localCheckpoint(eager=True)  # bounded (≤1e6 rows); 2 consumers
+    )
+    n_buckets = 8
+    bucketed = by_score.withColumn(
+        "_bkt",
+        F.least(F.floor(F.col("s") * n_buckets), F.lit(n_buckets - 1)).cast(
+            "int"
+        ),
+    )
+    per_bucket = {
+        r["_bkt"]: r["tneg"]
+        for r in bucketed.groupBy("_bkt")
+        .agg(F.sum("neg").alias("tneg"))
+        .collect()
+    }
+    offset_expr, running = F.lit(0).cast("long"), 0
+    for bkt in range(n_buckets):
+        if running and per_bucket.get(bkt) is not None:
+            offset_expr = F.when(
+                F.col("_bkt") == bkt, F.lit(running)
+            ).otherwise(offset_expr)
+        running += per_bucket.get(bkt, 0)
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    neg_before = offset_expr + F.sum("neg").over(w) - F.col("neg")
+    cum = bucketed.select(
+        "pos",
+        "neg",
+        neg_before.alias("neg_before"),
+    )
+    p_tot, n_tot = F.sum("pos"), F.sum("neg")
+    return cum.agg(
+        p_tot.cast("long").alias("n_pos"),
+        n_tot.cast("long").alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("n_scores"),
+        F.when(
+            (p_tot > 0) & (n_tot > 0),
+            F.sum(
+                F.col("pos") * (2 * F.col("neg_before") + F.col("neg"))
+            ).cast("double")
+            / (2.0 * p_tot.cast("double") * n_tot.cast("double")),
+        ).alias("auc"),
+    )
+
+
+def _bleu_grams_sql(arr: str, n: int) -> str:
+    """Prefixed n-gram list over a SQL array expression, EMPTY for
+    arrays shorter than n (the llm_distinct_ngrams descending-
+    sequence lesson: never let generate_series see stop < start)."""
+    if n == 1:
+        body = f"list_transform({arr}, x -> '1|' || x)"
+        return body
+    joined = " || ' ' || ".join(f"{arr}[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({arr}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({arr}) - {n - 1}), "
+        f"i -> '{n}|' || {joined.replace(f'{arr}[i + 0]', f'{arr}[i]')}) "
+        f"ELSE [] END"
+    )
+
+
+def _bleu_grams(col: Column, n: int) -> Column:
+    """Spark twin of :func:`_bleu_grams_sql` — same guard, same
+    1-based indexing, same 'n|' prefix."""
+    if n == 1:
+        return F.transform(col, lambda x: F.concat(F.lit("1|"), x))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(col) - (n - 1)),
+        lambda i: F.concat(
+            F.lit(f"{n}|"),
+            F.concat_ws(
+                " ", *[F.element_at(col, i + j) for j in range(n)]
+            ),
+        ),
+    )
+    return F.when(F.size(col) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+_BLEU_CAND_SQL = (
+    "list_transform(list_filter(generate_series(1, len(rw)), "
+    "i -> i % 7 <> 0), i -> rw[i])"
+)
+
+
+@query(
+    "llm_eval_bleu",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS rw FROM documents
+    ),
+    pair AS (
+      SELECT doc_id, rw, {_BLEU_CAND_SQL} AS cw FROM base
+    ),
+    lens AS (
+      SELECT COUNT(*) AS n_docs,
+             SUM(len(rw)) AS ref_len,
+             SUM(len(cw)) AS cand_len,
+             SUM(greatest(len(cw) - 0, 0)) AS t1,
+             SUM(greatest(len(cw) - 1, 0)) AS t2,
+             SUM(greatest(len(cw) - 2, 0)) AS t3,
+             SUM(greatest(len(cw) - 3, 0)) AS t4
+      FROM pair
+    ),
+    cg AS (
+      SELECT doc_id, gram, COUNT(*) AS c_cnt
+      FROM (
+        SELECT doc_id,
+               unnest({" || ".join(_bleu_grams_sql("cw", n) for n in (1, 2, 3, 4))})
+                 AS gram
+        FROM pair
+      ) GROUP BY doc_id, gram
+    ),
+    rg AS (
+      SELECT doc_id, gram, COUNT(*) AS r_cnt
+      FROM (
+        SELECT doc_id,
+               unnest({" || ".join(_bleu_grams_sql("rw", n) for n in (1, 2, 3, 4))})
+                 AS gram
+        FROM base
+      ) GROUP BY doc_id, gram
+    ),
+    m AS (
+      SELECT SUM(CASE WHEN substr(gram, 1, 1) = '1'
+                      THEN least(c_cnt, r_cnt) ELSE 0 END) AS m1,
+             SUM(CASE WHEN substr(gram, 1, 1) = '2'
+                      THEN least(c_cnt, r_cnt) ELSE 0 END) AS m2,
+             SUM(CASE WHEN substr(gram, 1, 1) = '3'
+                      THEN least(c_cnt, r_cnt) ELSE 0 END) AS m3,
+             SUM(CASE WHEN substr(gram, 1, 1) = '4'
+                      THEN least(c_cnt, r_cnt) ELSE 0 END) AS m4
+      FROM cg JOIN rg USING (doc_id, gram)
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(cand_len AS BIGINT) AS cand_tokens,
+           CAST(ref_len AS BIGINT) AS ref_tokens,
+           CAST(m1 AS DOUBLE) / t1 AS p1,
+           CAST(m2 + 1 AS DOUBLE) / (t2 + 1) AS p2,
+           CAST(m3 + 1 AS DOUBLE) / (t3 + 1) AS p3,
+           CAST(m4 + 1 AS DOUBLE) / (t4 + 1) AS p4,
+           CASE WHEN m1 > 0 AND t4 > 0 THEN
+             least(0.0, 1.0 - CAST(ref_len AS DOUBLE) / cand_len)
+             + (round(ln(CAST(m1 AS DOUBLE) / t1), 6)
+                + round(ln(CAST(m2 + 1 AS DOUBLE) / (t2 + 1)), 6)
+                + round(ln(CAST(m3 + 1 AS DOUBLE) / (t3 + 1)), 6)
+                + round(ln(CAST(m4 + 1 AS DOUBLE) / (t4 + 1)), 6)) / 4.0
+           END AS log_bleu,
+           CASE WHEN m1 > 0 AND t4 > 0 THEN
+             round(exp(
+               least(0.0, 1.0 - CAST(ref_len AS DOUBLE) / cand_len)
+               + (round(ln(CAST(m1 AS DOUBLE) / t1), 6)
+                  + round(ln(CAST(m2 + 1 AS DOUBLE) / (t2 + 1)), 6)
+                  + round(ln(CAST(m3 + 1 AS DOUBLE) / (t3 + 1)), 6)
+                  + round(ln(CAST(m4 + 1 AS DOUBLE) / (t4 + 1)), 6)) / 4.0
+             ), 6)
+           END AS bleu
+    FROM lens, m
+    """,
+)
+def llm_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — corpus BLEU-4 (Papineni et al. 2002) as a
+    relational op: candidate = each document with every 7th word
+    dropped (a deterministic stand-in for generated output — in a
+    real eval the candidate column comes from the model), reference
+    = the full text. Clipped n-gram precision for n=1..4 with
+    add-one smoothing on n≥2 (Lin & Och's smoothing-1 shape), a
+    brevity penalty in log space, and ONE final exp. The
+    generation-eval leg beside the retrieval (llm_eval_rank_metrics)
+    and classification (llm_eval_prf/auc) legs.
+
+    Determinism: every count is an exact integer (clipped matches =
+    Σ min(cand_count, ref_count) over per-doc gram multisets via
+    explode→groupBy→join, never a per-row O(len²) lambda); each
+    ln() of an exact-int ratio is rounded to 6 dp at the
+    transcendental; their mean plus the exact brevity-penalty term
+    is a shared IEEE tree emitted unrounded as log_bleu, and the
+    final exp() — libm, so never comparable raw across engines — is
+    rounded to 6 dp at emission (the llm_quality_logit sigmoid
+    precedent). Gram builders guard short arrays explicitly (the
+    llm_distinct_ngrams descending-sequence lesson); degenerate
+    corpora (no unigram match / no 4-gram slots) emit NULL BLEU in
+    both engines.
+
+    Scale: three corpus passes (length totals; candidate grams;
+    reference grams — separate scans because this build never reuses
+    exchange subtrees), then one (doc_id, gram)-keyed shuffle join
+    whose volume is ∝ corpus grams — the llm_contamination_check
+    shape, linear, never pairwise. The n marker rides IN the gram
+    string so all four orders share one explode and one join. Uses
+    explode_outer + null post-filter, NOT explode — Catalyst's
+    InferFiltersFromGenerate would otherwise inline the gram-build
+    lambda into an inferred pre-filter and cube the per-row cost
+    (the measured r9 trap, SCALE.md)."""
+    d = load_table(spark, sf_dir, "documents")
+    rw = F.split("text", " ")
+    cw = F.filter(rw, lambda x, i: ((i + F.lit(1)) % 7) != 0)
+    lens = d.select(
+        F.size(rw).alias("rl"), F.size(cw).alias("cl")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("rl").cast("long").alias("ref_len"),
+        F.sum("cl").cast("long").alias("cand_len"),
+        *[
+            F.sum(F.greatest(F.col("cl") - (n - 1), F.lit(0)))
+            .cast("long")
+            .alias(f"t{n}")
+            for n in (1, 2, 3, 4)
+        ],
+    )
+
+    def gram_counts(arr: Column, cnt_name: str) -> DataFrame:
+        allg = F.concat(*[_bleu_grams(arr, n) for n in (1, 2, 3, 4)])
+        return (
+            d.select("doc_id", F.explode_outer(allg).alias("gram"))
+            .where(F.col("gram").isNotNull())
+            .groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias(cnt_name))
+        )
+
+    cg = gram_counts(cw, "c_cnt")
+    rg = gram_counts(rw, "r_cnt")
+    clipped = F.least(F.col("c_cnt"), F.col("r_cnt"))
+    m = cg.join(rg, ["doc_id", "gram"]).agg(
+        *[
+            F.sum(
+                F.when(F.substring("gram", 1, 1) == str(n), clipped).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias(f"m{n}")
+            for n in (1, 2, 3, 4)
+        ]
+    )
+    p1 = F.col("m1").cast("double") / F.col("t1")
+    ps = {1: p1}
+    for n in (2, 3, 4):
+        ps[n] = (F.col(f"m{n}") + 1).cast("double") / (F.col(f"t{n}") + 1)
+    log_mean = (
+        F.round(F.log(ps[1]), 6)
+        + F.round(F.log(ps[2]), 6)
+        + F.round(F.log(ps[3]), 6)
+        + F.round(F.log(ps[4]), 6)
+    ) / 4.0
+    bp_log = F.least(
+        F.lit(0.0),
+        1.0 - F.col("ref_len").cast("double") / F.col("cand_len"),
+    )
+    ok = (F.col("m1") > 0) & (F.col("t4") > 0)
+    log_bleu = F.when(ok, bp_log + log_mean)
+    return lens.crossJoin(F.broadcast(m)).select(
+        "n_docs",
+        F.col("cand_len").alias("cand_tokens"),
+        F.col("ref_len").alias("ref_tokens"),
+        p1.alias("p1"),
+        ps[2].alias("p2"),
+        ps[3].alias("p3"),
+        ps[4].alias("p4"),
+        log_bleu.alias("log_bleu"),
+        F.when(ok, F.round(F.exp(bp_log + log_mean), 6)).alias("bleu"),
+    )
+
+
+# shared gain/discount term for DCG — identical shape in Spark and SQL:
+# exact-int gain (2^grade - 1 via CASE) divided by the 6-dp-rounded
+# transcendental log2(rank+1), the quotient re-rounded to 6 dp so the
+# per-position terms are decimal-summable order-independently.
+_NDCG_GAIN_SQL = (
+    "CASE {g} WHEN 3 THEN 7.0 WHEN 2 THEN 3.0 WHEN 1 THEN 1.0 ELSE 0.0 END"
+)
+
+
+def _dcg_term_sql(grade_expr: str, rank_expr: str) -> str:
+    gain = _NDCG_GAIN_SQL.format(g=grade_expr)
+    return (
+        f"CAST(round(({gain}) / round(log2(CAST({rank_expr} AS DOUBLE) + 1.0), 6), 6)"
+        " AS DECIMAL(18,6))"
+    )
+
+
+def _dcg_term(grade: Column, rank: Column) -> Column:
+    gain = (
+        F.when(grade == 3, 7.0)
+        .when(grade == 2, 3.0)
+        .when(grade == 1, 1.0)
+        .otherwise(0.0)
+    )
+    return F.round(
+        gain / F.round(F.log2(rank.cast("double") + 1.0), 6), 6
+    ).cast("decimal(18,6)")
+
+
+@query(
+    "llm_eval_rank_metrics",
+    oracle=f"""
+    WITH {BM25_SQL_CTE},
+    graded AS (
+      SELECT s.doc_id, s.bm25,
+             (CASE WHEN d.tf0 > 0 THEN 1 ELSE 0 END
+              + CASE WHEN d.tf1 > 0 THEN 1 ELSE 0 END
+              + CASE WHEN d.tf2 > 0 THEN 1 ELSE 0 END) AS grade
+      FROM bm25_scored s JOIN d USING (doc_id)
+    ),
+    corpus AS (
+      SELECT COUNT(*) AS n_docs,
+             SUM(CASE WHEN grade >= 2 THEN 1 ELSE 0 END) AS n_rel,
+             SUM(CASE WHEN grade = 3 THEN 1 ELSE 0 END) AS g3,
+             SUM(CASE WHEN grade = 2 THEN 1 ELSE 0 END) AS g2,
+             SUM(CASE WHEN grade = 1 THEN 1 ELSE 0 END) AS g1
+      FROM graded
+    ),
+    top AS (
+      SELECT doc_id, grade,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+               AS rnk
+      FROM graded ORDER BY bm25 DESC, doc_id LIMIT 20
+    ),
+    tstats AS (
+      SELECT COUNT(*) AS n_retrieved,
+             SUM(CASE WHEN grade >= 2 THEN 1 ELSE 0 END) AS n_rel_top,
+             MIN(CASE WHEN grade >= 2 THEN rnk END) AS first_rel,
+             SUM({_dcg_term_sql('grade', 'rnk')}) AS dcg_dec
+      FROM top
+    ),
+    ideal AS (
+      SELECT SUM({_dcg_term_sql('ig', 'r')}) AS idcg_dec
+      FROM (
+        SELECT r,
+               CASE WHEN r <= g3 THEN 3
+                    WHEN r <= g3 + g2 THEN 2
+                    WHEN r <= g3 + g2 + g1 THEN 1
+                    ELSE 0 END AS ig
+        FROM corpus,
+             unnest(generate_series(1, CAST(least(20, n_docs) AS INT))) AS t(r)
+      )
+    )
+    SELECT CAST(n_retrieved AS BIGINT) AS n_retrieved,
+           CAST(n_rel_top AS BIGINT) AS n_rel_top,
+           CAST(n_rel AS BIGINT) AS n_rel_corpus,
+           CAST(n_rel_top AS DOUBLE) / n_retrieved AS prec_at_k,
+           CASE WHEN n_rel > 0
+                THEN CAST(n_rel_top AS DOUBLE) / n_rel END AS rec_at_k,
+           COALESCE(1.0 / first_rel, 0.0) AS mrr,
+           CAST(dcg_dec AS DOUBLE) AS dcg_at_k,
+           CAST(idcg_dec AS DOUBLE) AS idcg_at_k,
+           CASE WHEN CAST(idcg_dec AS DOUBLE) > 0
+                THEN CAST(dcg_dec AS DOUBLE) / CAST(idcg_dec AS DOUBLE)
+                END AS ndcg_at_k
+    FROM tstats, corpus, ideal
+    """,
+)
+def llm_eval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — RETRIEVAL evaluation as a relational op:
+    nDCG@20, MRR, precision@20 and recall@20 of the BM25 ranking
+    (llm_bm25_topk's scoring tree) against a graded relevance label
+    derived from the query itself — grade = how many of the 3 query
+    terms the document contains (Järvelin & Kekäläinen's graded-gain
+    nDCG, gain 2^g − 1). The eval leg of the retrieval stack: before
+    trusting llm_hybrid_rrf's fusion at corpus scale you measure each
+    arm's ranking quality, and these four numbers are the standard
+    report.
+
+    Determinism: the ranking is the proven bit-identical BM25 tree
+    (ties by doc_id); ranks come from a 20×20 broadcast join-rank
+    (1 + count of strictly-better rows — the llm_hybrid_rrf pattern,
+    no global window); every DCG position term divides an EXACT gain
+    by the 6-dp-rounded log2 and re-rounds to 6 dp, so the per-rank
+    terms are identical decimals in both engines and their sum is
+    order-independent (the transcendental-sum recipe). IDCG needs no
+    global sort: the ideal ranking is fully determined by the corpus
+    grade COUNTS (g3/g2/g1 — a 1-row aggregate), unrolled over a
+    ≤20-position spine. prec/rec/mrr are single IEEE divisions of
+    exact ints with NULL/zero guards mirrored in both engines.
+
+    Scale: two corpus passes (the 1-row stats aggregate — checkpointed
+    because THREE consumers read it and this build never reuses
+    exchange subtrees — and the scoring scan), then everything
+    downstream is ≤20 rows of control plane. Output is ONE row —
+    at 100 TB swap the inline stats for the posting-stats index
+    exactly as bm25_from_index does and the eval still costs one
+    scoring scan."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = _bm25_doc_stats(d, _BM25_TERMS)
+    grade = (
+        sum(
+            F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
+            for i in range(len(_BM25_TERMS))
+        )
+    ).alias("grade")
+    g = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (
+            F.sum(F.col("dl").cast("long")).cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(
+                sum(
+                    F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
+                    for i in range(len(_BM25_TERMS))
+                )
+                >= 2,
+                1,
+            ).otherwise(0)
+        ).alias("n_rel"),
+        *[
+            F.sum(
+                F.when(
+                    sum(
+                        F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
+                        for i in range(len(_BM25_TERMS))
+                    )
+                    == gval,
+                    1,
+                ).otherwise(0)
+            ).alias(f"g{gval}")
+            for gval in (3, 2, 1)
+        ],
+    ).localCheckpoint(eager=True)  # 1 row; three consumers below
+    scored = _bm25_apply(docs, g, len(_BM25_TERMS), extra=(grade,))
+    top = (
+        scored.orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+        .localCheckpoint(eager=True)  # 20 rows; rank self-join + agg
+    )
+    b = top.select(F.col("doc_id").alias("_ob"), F.col("bm25").alias("_sb"))
+    ahead = (F.col("_sb") > F.col("bm25")) | (
+        (F.col("_sb") == F.col("bm25")) & (F.col("_ob") < F.col("doc_id"))
+    )
+    ranked = (
+        top.join(F.broadcast(b), ahead, "left")
+        .groupBy("doc_id", "grade")
+        .agg((F.count("_ob") + 1).cast("long").alias("rnk"))
+    )
+    tstats = ranked.agg(
+        F.count(F.lit(1)).alias("n_retrieved"),
+        F.sum(F.when(F.col("grade") >= 2, 1).otherwise(0)).alias("n_rel_top"),
+        F.min(F.when(F.col("grade") >= 2, F.col("rnk"))).alias("first_rel"),
+        F.sum(_dcg_term(F.col("grade"), F.col("rnk"))).alias("dcg_dec"),
+    )
+    spine = g.select(
+        "g3",
+        "g2",
+        "g1",
+        F.explode(
+            F.sequence(F.lit(1), F.least(F.lit(20), F.col("n_docs").cast("int")))
+        ).alias("r"),
+    )
+    ig = (
+        F.when(F.col("r") <= F.col("g3"), 3)
+        .when(F.col("r") <= F.col("g3") + F.col("g2"), 2)
+        .when(F.col("r") <= F.col("g3") + F.col("g2") + F.col("g1"), 1)
+        .otherwise(0)
+    )
+    ideal = spine.agg(F.sum(_dcg_term(ig, F.col("r"))).alias("idcg_dec"))
+    dcg_d = F.col("dcg_dec").cast("double")
+    idcg_d = F.col("idcg_dec").cast("double")
+    return (
+        tstats.crossJoin(F.broadcast(ideal))
+        .crossJoin(F.broadcast(g.select("n_rel")))
+        .select(
+            F.col("n_retrieved").cast("long").alias("n_retrieved"),
+            F.col("n_rel_top").cast("long").alias("n_rel_top"),
+            F.col("n_rel").cast("long").alias("n_rel_corpus"),
+            (
+                F.col("n_rel_top").cast("double") / F.col("n_retrieved")
+            ).alias("prec_at_k"),
+            F.when(
+                F.col("n_rel") > 0,
+                F.col("n_rel_top").cast("double") / F.col("n_rel"),
+            ).alias("rec_at_k"),
+            F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)).alias(
+                "mrr"
+            ),
+            dcg_d.alias("dcg_at_k"),
+            idcg_d.alias("idcg_at_k"),
+            F.when(idcg_d > 0, dcg_d / idcg_d).alias("ndcg_at_k"),
+        )
     )
 
 

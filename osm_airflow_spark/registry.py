@@ -119,7 +119,10 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- new keys this round, never driver-checked (7) --
+    # -- new keys this round, never driver-checked (10) --
+    "llm_eval_rank_metrics",
+    "llm_eval_auc",
+    "llm_eval_bleu",
     "llm_zipf_fit",
     "llm_embed_covariance",
     "llm_embed_pca",
@@ -163,15 +166,15 @@ DRIVER_WINDOW: list[str] = [
     "pipeline_time_travel",
     "pipeline_top_returning_customers",
     "pipeline_waiting_multi_supplier",
-    # -- staleness re-checks: oldest r5 block, registration order (8) --
+    # -- staleness re-checks: oldest r5 block, registration order (5;
+    # win_lag_lead / win_running_sum / fn_geo_bearing yield their
+    # slots to the late-r9 eval keys — never-checked beats re-proof —
+    # and rejoin the r10 rotation) --
     "join_interval_overlap",
     "set_intersect_all",
     "win_time_weekly_aligned",
     "win_dedup_latest",
     "win_rank",
-    "win_lag_lead",
-    "win_running_sum",
-    "fn_geo_bearing",
 ]
 
 

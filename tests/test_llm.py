@@ -1455,3 +1455,132 @@ def test_graph_index_incremental_add(spark, sf_dir, tmp_path):
     gt = {r["vec_id"] for r in QUERIES["llm_sim_topk"](spark, sf_dir).collect()}
     recall = len({r["vec_id"] for r in rows} & gt) / len(gt)
     assert recall >= ANN_RECALL_FLOORS["llm_sim_ann_graph"], recall
+
+
+def test_eval_rank_metrics_invariants_and_guards(spark, sf_dir, tmp_path):
+    """nDCG/MRR/P@k/R@k invariants on the real fixture, plus the
+    degenerate-corpus guards (no relevant docs at all) proven
+    engine-identical on the short-docs fixture — that corpus contains
+    none of the query terms, so every grade is 0 and the key must
+    emit NULL ndcg / 0.0 mrr in BOTH engines rather than divide by
+    zero."""
+    from osm_airflow_spark.registry import ORACLES, QUERIES
+
+    row = QUERIES["llm_eval_rank_metrics"](spark, sf_dir).collect()[0]
+    assert row["n_retrieved"] == 20
+    assert 0 <= row["n_rel_top"] <= row["n_retrieved"]
+    assert row["n_rel_top"] <= row["n_rel_corpus"]
+    assert row["prec_at_k"] == row["n_rel_top"] / row["n_retrieved"]
+    assert 0.0 <= row["mrr"] <= 1.0
+    assert row["dcg_at_k"] <= row["idcg_at_k"]
+    assert row["ndcg_at_k"] is None or 0.0 <= row["ndcg_at_k"] <= 1.0
+    # BM25 ranks relevant docs up: nDCG of the BM25 ordering should
+    # beat the expected nDCG of a random ordering by a wide margin.
+    assert row["ndcg_at_k"] is not None and row["ndcg_at_k"] > 0.5
+
+    short_dir, con = _write_short_docs(spark, tmp_path)
+    got = QUERIES["llm_eval_rank_metrics"](spark, short_dir).collect()[0]
+    want = con.execute(ORACLES["llm_eval_rank_metrics"]).fetchone()
+    assert tuple(got) == want
+    assert got["n_rel_corpus"] == 0 and got["mrr"] == 0.0
+    assert got["ndcg_at_k"] is None and got["rec_at_k"] is None
+
+
+def test_eval_auc_matches_pure_python_midrank_formula(spark, sf_dir):
+    """Independent recompute: collect (score, label) via DuckDB's CTE
+    (already proven equal to Spark's by the oracle gate) and compute
+    AUC with the classic sorted-midrank formula in pure Python —
+    guards against Spark and the SQL oracle sharing one algebraic
+    mistake in the rank-sum identity."""
+    import duckdb
+
+    from osm_airflow_spark.registry import QUERIES
+
+    row = QUERIES["llm_eval_auc"](spark, sf_dir).collect()[0]
+    import os
+
+    con = duckdb.connect()
+    p = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')"
+    )
+    from osm_airflow_spark.registry import ORACLES
+
+    sql = ORACLES["llm_eval_auc"]
+    labeled_sql = sql[: sql.index("by_score")].rstrip().rstrip(",")
+    pairs = con.execute(
+        labeled_sql + " SELECT s, y FROM labeled"
+    ).fetchall()
+    scores = sorted({s for s, _ in pairs})
+    pos = {s: 0 for s in scores}
+    neg = {s: 0 for s in scores}
+    for s, y in pairs:
+        (pos if y else neg)[s] += 1
+    p_tot = sum(pos.values())
+    n_tot = sum(neg.values())
+    num = 0.0
+    neg_below = 0
+    for s in scores:
+        num += pos[s] * (neg_below + neg[s] / 2.0)
+        neg_below += neg[s]
+    want = num / (p_tot * n_tot)
+    assert row["n_pos"] == p_tot and row["n_neg"] == n_tot
+    assert abs(row["auc"] - want) < 1e-12
+    assert 0.5 < row["auc"] <= 1.0  # the logit tracks the heuristic
+
+
+def test_eval_bleu_kernel_against_pure_python(spark, tmp_path):
+    """Third-implementation check on the short-docs fixture: clipped
+    n-gram precisions recomputed with collections.Counter from the
+    same candidate/reference definition must equal the key's p1..p4
+    exactly, and bleu must equal round(exp(log_bleu), 6)."""
+    import math
+    from collections import Counter
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES
+
+    short_dir, con = _write_short_docs(spark, tmp_path)
+    got = QUERIES["llm_eval_bleu"](spark, short_dir).collect()[0]
+    want = con.execute(ORACLES["llm_eval_bleu"]).fetchone()
+    assert tuple(got) == want
+
+    docs = [r[0] for r in con.execute("SELECT text FROM documents").fetchall()]
+    m = {n: 0 for n in (1, 2, 3, 4)}
+    t = {n: 0 for n in (1, 2, 3, 4)}
+    cand_len = ref_len = 0
+    for text in docs:
+        rw = text.split(" ")
+        cw = [w for i, w in enumerate(rw) if (i + 1) % 7 != 0]
+        ref_len += len(rw)
+        cand_len += len(cw)
+        for n in (1, 2, 3, 4):
+            cg = Counter(
+                " ".join(cw[i : i + n]) for i in range(len(cw) - n + 1)
+            )
+            rg = Counter(
+                " ".join(rw[i : i + n]) for i in range(len(rw) - n + 1)
+            )
+            m[n] += sum(min(c, rg[g]) for g, c in cg.items())
+            t[n] += max(len(cw) - n + 1, 0)
+    assert got["cand_tokens"] == cand_len and got["ref_tokens"] == ref_len
+    assert got["p1"] == m[1] / t[1]
+    for n in (2, 3, 4):
+        assert got[f"p{n}"] == (m[n] + 1) / (t[n] + 1)
+    if got["log_bleu"] is not None:
+        assert got["bleu"] == round(math.exp(got["log_bleu"]), 6)
+
+
+def test_eval_bleu_fixture_sanity(spark, sf_dir):
+    """On the real corpus the dropped-word candidate must sit strictly
+    inside (0, 1): shorter than the reference (negative brevity term)
+    yet with high unigram precision (every kept word appears in the
+    reference)."""
+    from osm_airflow_spark.registry import QUERIES
+
+    row = QUERIES["llm_eval_bleu"](spark, sf_dir).collect()[0]
+    assert row["cand_tokens"] < row["ref_tokens"]
+    assert row["p1"] == 1.0  # kept words are a sub-multiset of ref
+    assert 0.0 < row["bleu"] < 1.0
+    assert row["log_bleu"] < 0.0

@@ -164,6 +164,12 @@ ROUND_AUDITED = {
     "llm_corpus_divergence": "libm (ln of agreed rational doubles) + term",
     "llm_embed_outliers": "term (squared deviations pre-rounded to 6 dp)",
     "llm_eval_calibration": "libm (exp via the quality_logit sigmoid recipe)",
+    "llm_eval_auc": "libm (exp via the quality_logit sigmoid recipe; "
+    "the AUC statistic itself is exact-integer)",
+    "llm_eval_rank_metrics": "libm (ln via the shared BM25 CTE; log2 rounded "
+    "at the transcendental) + term (DCG position terms decimal-summed)",
+    "llm_eval_bleu": "libm (ln of exact-int ratios at the transcendental; "
+    "final exp rounded at emission) + term",
     "agg_vector_centroid": "term (float->decimal diverges both raw AND via double; measured)",
     "llm_perplexity_filter": "libm (ln) + term",
     "llm_domain_mix": "libm (pow) + term",
