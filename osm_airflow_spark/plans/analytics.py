@@ -2897,3 +2897,343 @@ def pipeline_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_transitions",
         (F.col("n_transitions").cast("double") / F.col("total")).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample hypothesis tests (r9). Both tests run on the same framing
+# as pipeline_ab_test: purchase values, arms by user-id parity. The
+# shared machinery is a per-distinct-value count table with EXACT
+# cumulative counts, built with the zipf/gini bucket-offset pattern
+# (value-contiguous buckets from approx-percentile cuts, per-bucket
+# parallel windows, <=B collected offset rows) — never a global
+# window.
+# ---------------------------------------------------------------------------
+
+_TWO_SAMPLE_SQL_CTE = """
+    assigned AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a, value
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    by_val AS (
+      SELECT value, SUM(is_a) AS c_a, SUM(1 - is_a) AS c_b
+      FROM assigned GROUP BY value
+    ),
+    tot AS (SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM by_val),
+    cum AS (
+      SELECT value, c_a, c_b, c_a + c_b AS c,
+             SUM(c_a) OVER (ORDER BY value) AS cum_a,
+             SUM(c_b) OVER (ORDER BY value) AS cum_b
+      FROM by_val
+    )
+"""
+
+
+def _two_sample_value_cum(spark: SparkSession, sf_dir: str):
+    """(cum_df, n_a, n_b): per-distinct-value counts for the two arms
+    with exact inclusive cumulative counts, plus the exact arm sizes
+    (control-plane ints from the same <=B offset rows the cumulative
+    needs anyway).
+
+    cum_df columns: value, c_a, c_b, c (=c_a+c_b), cum_a, cum_b —
+    everything an ECDF- or rank-based statistic needs. The distinct-
+    value table is localCheckpointed: cuts, offsets and the windowed
+    pass all read it, and this build never reuses exchange subtrees.
+    At 100 TB pre-quantize `value` to a fixed grid first (the table
+    is distinct-value-bounded, which for continuous measurements is
+    corpus-sized without quantization)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    assigned = e.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("is_a"),
+        "value",
+    )
+    by_val = (
+        assigned.groupBy("value")
+        .agg(
+            F.sum("is_a").alias("c_a"),
+            F.sum(1 - F.col("is_a")).alias("c_b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_buckets = 8
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = by_val.agg(
+        F.percentile_approx("value", probs, 10_000).alias("c")
+    ).head()[0]
+    bucket = F.lit(0)
+    for cut in cuts:
+        bucket = bucket + F.when(F.col("value") > F.lit(cut), 1).otherwise(0)
+    bucketed = by_val.withColumn("_bkt", bucket.cast("int"))
+    per_bucket = {
+        r["_bkt"]: (r["ta"], r["tb"])
+        for r in bucketed.groupBy("_bkt")
+        .agg(F.sum("c_a").alias("ta"), F.sum("c_b").alias("tb"))
+        .collect()
+    }
+    off_a, off_b = F.lit(0).cast("long"), F.lit(0).cast("long")
+    run_a = run_b = 0
+    for bkt in range(n_buckets):
+        if bkt in per_bucket:
+            if run_a:
+                off_a = F.when(F.col("_bkt") == bkt, F.lit(run_a)).otherwise(off_a)
+            if run_b:
+                off_b = F.when(F.col("_bkt") == bkt, F.lit(run_b)).otherwise(off_b)
+            run_a += per_bucket[bkt][0]
+            run_b += per_bucket[bkt][1]
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bucketed.select(
+        "value",
+        "c_a",
+        "c_b",
+        (F.col("c_a") + F.col("c_b")).alias("c"),
+        (off_a + F.sum("c_a").over(w)).alias("cum_a"),
+        (off_b + F.sum("c_b").over(w)).alias("cum_b"),
+    )
+    return cum, run_a, run_b
+
+
+@query(
+    "pipeline_ks_test",
+    oracle=f"""
+    WITH {_TWO_SAMPLE_SQL_CTE},
+    dmax AS (
+      SELECT MAX(ABS(cum_a * n_b - cum_b * n_a)) AS d_num
+      FROM cum, tot
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(d_num AS BIGINT) AS d_num,
+           CAST(d_num AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d_stat,
+           (sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)) + 0.12
+            + 0.11 / sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)))
+             * (CAST(d_num AS DOUBLE)
+                / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS lambda,
+           least(1.0, round(2.0 * exp(
+             -2.0 * ((sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)) + 0.12
+                      + 0.11 / sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)))
+                     * (CAST(d_num AS DOUBLE)
+                        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))))
+                  * ((sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)) + 0.12
+                      + 0.11 / sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)))
+                     * (CAST(d_num AS DOUBLE)
+                        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))))), 6))
+             AS p_approx
+    FROM dmax, tot
+    """,
+)
+def pipeline_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — two-sample Kolmogorov–Smirnov test on
+    purchase values between the parity-assigned experiment arms: the
+    distribution-shift companion to pipeline_ab_test's mean-shift t
+    (an A/B platform reports both — KS catches variance/shape moves a
+    t-test is blind to; the same statistic gates training-data drift
+    between corpus snapshots). D = max |ECDF_A − ECDF_B| is kept
+    EXACT as the integer max of |cum_a·n_b − cum_b·n_a| over distinct
+    values, divided once at the end; the supremum over a step
+    function is attained at a sample point, so scanning distinct
+    values IS the exact D. The p-value uses the standard asymptotic
+    Kolmogorov tail (first series term, with Stephens'
+    small-sample λ correction) — its exp() is rounded at emission
+    (the libm rule), everything upstream a shared IEEE tree over
+    exact ints and correctly-rounded sqrt.
+
+    Scale: one corpus pass to distinct-value counts, then the
+    cumulative runs on the BOUNDED distinct-value table via the
+    bucket-offset pattern (8-way parallel windows + collected
+    offsets, no global window). The long products cum·n overflow
+    past ~3·10⁹ rows per arm — switch to decimal(38,0) there (noted,
+    not paid: the comparison stays JVM-side either way)."""
+    cum, n_a, n_b = _two_sample_value_cum(spark, sf_dir)
+    d_num = F.max(
+        F.abs(F.col("cum_a") * F.lit(n_b) - F.col("cum_b") * F.lit(n_a))
+    )
+    stat = cum.agg(d_num.alias("d_num"))
+    na_d = F.lit(float(n_a))
+    nb_d = F.lit(float(n_b))
+    d_stat = F.col("d_num").cast("double") / (na_d * nb_d)
+    sqrt_ne = F.sqrt(na_d * F.lit(n_b) / F.lit(n_a + n_b))
+    lam = (sqrt_ne + 0.12 + 0.11 / sqrt_ne) * d_stat
+    return stat.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        F.col("d_num").cast("long").alias("d_num"),
+        d_stat.alias("d_stat"),
+        lam.alias("lambda"),
+        F.least(
+            F.lit(1.0), F.round(2.0 * F.exp(-2.0 * lam * lam), 6)
+        ).alias("p_approx"),
+    )
+
+
+@query(
+    "pipeline_mann_whitney",
+    oracle=f"""
+    WITH {_TWO_SAMPLE_SQL_CTE},
+    ranked AS (
+      SELECT SUM(c_a * (2 * (cum_a + cum_b - c) + c + 1)) AS two_r_a,
+             SUM(c * c * c - c) AS tie_term
+      FROM cum
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(two_r_a - n_a * (CAST(n_a AS BIGINT) + 1) AS DOUBLE) / 2.0
+             AS u_a,
+           CAST(n_a AS DOUBLE) * n_b
+             - CAST(two_r_a - n_a * (CAST(n_a AS BIGINT) + 1) AS DOUBLE) / 2.0
+             AS u_b,
+           CAST(tie_term AS BIGINT) AS tie_term,
+           (CAST(two_r_a - n_a * (CAST(n_a AS BIGINT) + 1) AS DOUBLE) / 2.0
+            - CAST(n_a AS DOUBLE) * n_b / 2.0)
+           / sqrt((CAST(n_a AS DOUBLE) * n_b / 12.0)
+                  * ((n_a + n_b + 1.0)
+                     - CAST(tie_term AS DOUBLE)
+                       / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1.0))))
+             AS z_score
+    FROM ranked, tot
+    """,
+)
+def pipeline_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — Mann–Whitney U (Wilcoxon rank-sum) on the
+    same two-arm framing: the nonparametric location test an A/B
+    readout falls back to when values are heavy-tailed enough that
+    pipeline_ab_test's t is untrustworthy (exactly the revenue-per-
+    user shape). Midrank tie handling is kept EXACT in integers:
+    for each distinct value, midrank = rank_before + (c+1)/2, so the
+    doubled rank-sum 2·R_A = Σ c_a·(2·cum_before + c + 1) is an
+    exact long and U_A = R_A − n_A(n_A+1)/2 only becomes a (dyadic,
+    exact) double at emission. The normal approximation's z uses the
+    standard tie-corrected variance — one sqrt over exact-int
+    ratios, a shared IEEE tree emitted unrounded (no transcendental
+    at all, so no rounding anywhere).
+
+    Scale: identical machinery (and cost) to pipeline_ks_test — the
+    two tests share _two_sample_value_cum's bounded distinct-value
+    cumulative. The c³ tie term overflows long past c ≈ 2·10⁶
+    duplicates of ONE value — pre-quantized grids at 100 TB need the
+    decimal(38,0) form (noted)."""
+    cum, n_a, n_b = _two_sample_value_cum(spark, sf_dir)
+    cum_before = F.col("cum_a") + F.col("cum_b") - F.col("c")
+    ranked = cum.agg(
+        F.sum(
+            F.col("c_a") * (2 * cum_before + F.col("c") + 1)
+        ).alias("two_r_a"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie_term"),
+    )
+    u_a = (
+        F.col("two_r_a") - F.lit(n_a) * F.lit(n_a + 1)
+    ).cast("double") / 2.0
+    mu = F.lit(float(n_a)) * F.lit(n_b) / 2.0
+    n = n_a + n_b
+    var = (F.lit(float(n_a)) * F.lit(n_b) / 12.0) * (
+        F.lit(float(n + 1))
+        - F.col("tie_term").cast("double")
+        / (F.lit(float(n)) * F.lit(n - 1.0))
+    )
+    return ranked.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        u_a.alias("u_a"),
+        (F.lit(float(n_a)) * F.lit(n_b) - u_a).alias("u_b"),
+        F.col("tie_term").cast("long").alias("tie_term"),
+        ((u_a - mu) / F.sqrt(var)).alias("z_score"),
+    )
+
+
+@query(
+    "pipeline_chi_square",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS p, o_orderstatus AS s, COUNT(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT p, SUM(o) AS r FROM cells GROUP BY p),
+    cols_ AS (SELECT s, SUM(o) AS c FROM cells GROUP BY s),
+    tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT p) AS nr,
+                   COUNT(DISTINCT s) AS nc
+            FROM cells),
+    terms AS (
+      SELECT round(
+               (CAST(o AS DOUBLE)
+                - CAST(r AS DOUBLE) * c / n)
+               * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+               / (CAST(r AS DOUBLE) * c / n), 6) AS t
+      FROM cells JOIN rows_ USING (p) JOIN cols_ USING (s), tot
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(nr AS BIGINT) AS n_rows,
+           CAST(nc AS BIGINT) AS n_cols,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
+           sqrt(CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE)
+                / (n * least(nr - 1, nc - 1))) AS cramers_v
+    FROM terms, tot
+    GROUP BY n, nr, nc
+    """,
+)
+def pipeline_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — chi-square test of independence between order
+    priority and order status (the categorical-association readout:
+    'does fulfilment status depend on priority?'), with Cramér's V
+    as the effect size. The contingency table is one keyed aggregate
+    (cells are (priorities × statuses)-bounded); row/column margins
+    re-aggregate the CHECKPOINTED 15-row cell table (broadcast
+    join-backs — this build never reuses exchange subtrees, so the
+    barrier stops the corpus scan re-running per margin). Each
+    (o−e)²/e term is a shared IEEE tree over exact counts, rounded
+    to 6 dp per the term rule and decimal-summed so the cell order
+    can't matter; Cramér's V is one sqrt over the agreed sum,
+    emitted unrounded. Output is ONE row; everything after the first
+    aggregate is control-plane sized."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("p"),
+            F.col("o_orderstatus").alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)  # 15 rows; margins + terms + totals
+    )
+    rows_ = cells.groupBy("p").agg(F.sum("o").alias("r"))
+    cols_ = cells.groupBy("s").agg(F.sum("o").alias("c"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("p").alias("nr"),
+        F.countDistinct("s").alias("nc"),
+    )
+    e = F.col("r").cast("double") * F.col("c") / F.col("n")
+    term = F.round(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e,
+        6,
+    )
+    terms = (
+        cells.join(F.broadcast(rows_), "p")
+        .join(F.broadcast(cols_), "s")
+        .crossJoin(F.broadcast(tot))
+        .select(term.alias("t"), "n", "nr", "nc")
+    )
+    chi2 = F.sum(F.col("t").cast("decimal(18,6)")).cast("double")
+    return (
+        terms.groupBy("n", "nr", "nc")
+        .agg(chi2.alias("chi2"))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("nr").cast("long").alias("n_rows"),
+            F.col("nc").cast("long").alias("n_cols"),
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+            F.col("chi2"),
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            ).alias("cramers_v"),
+        )
+    )

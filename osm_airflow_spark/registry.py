@@ -119,10 +119,13 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- new keys this round, never driver-checked (10) --
+    # -- new keys this round, never driver-checked (13) --
     "llm_eval_rank_metrics",
     "llm_eval_auc",
     "llm_eval_bleu",
+    "pipeline_ks_test",
+    "pipeline_mann_whitney",
+    "pipeline_chi_square",
     "llm_zipf_fit",
     "llm_embed_covariance",
     "llm_embed_pca",
@@ -166,15 +169,13 @@ DRIVER_WINDOW: list[str] = [
     "pipeline_time_travel",
     "pipeline_top_returning_customers",
     "pipeline_waiting_multi_supplier",
-    # -- staleness re-checks: oldest r5 block, registration order (5;
+    # -- staleness re-checks: oldest r5 block, registration order (2;
+    # win_time_weekly_aligned / win_dedup_latest / win_rank /
     # win_lag_lead / win_running_sum / fn_geo_bearing yield their
-    # slots to the late-r9 eval keys — never-checked beats re-proof —
-    # and rejoin the r10 rotation) --
+    # slots to the late-r9 eval + hypothesis-test keys — never-checked
+    # beats re-proof — and rejoin the r10 rotation) --
     "join_interval_overlap",
     "set_intersect_all",
-    "win_time_weekly_aligned",
-    "win_dedup_latest",
-    "win_rank",
 ]
 
 

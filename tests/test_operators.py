@@ -319,3 +319,115 @@ def test_apply_skew_policy_sets_confs_and_preserves_results(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _planted_two_arm_events(spark, tmp_path):
+    """Events fixture with a KNOWN distribution shift between arms:
+    arm A (even user_id) draws values 1..100, arm B (odd) 51..150 —
+    ECDFs separate by exactly 0.5 at value 100, with 50 tied values
+    (51..100) exercising the midrank path."""
+    rows = []
+    eid = 0
+    for v in range(1, 101):
+        rows.append((eid, 2, "purchase", float(v)))
+        eid += 1
+    for v in range(51, 151):
+        rows.append((eid, 3, "purchase", float(v)))
+        eid += 1
+    rows.append((eid, 2, "view", 999.0))  # non-purchase noise
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.lit(1_600_000_000_000_000)).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+    return str(tmp_path)
+
+
+def test_ks_test_planted_shift_exact(spark, tmp_path):
+    """D must be exactly 0.5 on the planted half-shifted arms, and
+    the tiny-p tail must mark the shift significant."""
+    sf = _planted_two_arm_events(spark, tmp_path)
+    row = QUERIES["pipeline_ks_test"](spark, sf).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (100, 100)
+    assert row["d_num"] == 5000  # 0.5 * 100 * 100
+    assert row["d_stat"] == 0.5
+    assert row["p_approx"] < 0.001
+
+
+def test_mann_whitney_matches_pure_python_midranks(spark, tmp_path):
+    """Third implementation: rank-sum with midranks computed the
+    textbook way (sort, assign average ranks, sum over arm A) must
+    reproduce u_a / z_score exactly."""
+    sf = _planted_two_arm_events(spark, tmp_path)
+    row = QUERIES["pipeline_mann_whitney"](spark, sf).collect()[0]
+
+    a = [float(v) for v in range(1, 101)]
+    b = [float(v) for v in range(51, 151)]
+    pooled = sorted([(v, "a") for v in a] + [(v, "b") for v in b])
+    ranks, i = {}, 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        ranks[pooled[i][0]] = mid
+        i = j
+    r_a = sum(ranks[v] for v in a)
+    u_a = r_a - len(a) * (len(a) + 1) / 2.0
+    assert row["u_a"] == u_a
+    assert row["u_b"] == len(a) * len(b) - u_a
+    from collections import Counter
+
+    c = Counter(a + b)
+    tie = sum(k**3 - k for k in c.values())
+    assert row["tie_term"] == tie
+    n = len(a) + len(b)
+    import math
+
+    var = (len(a) * len(b) / 12.0) * ((n + 1) - tie / (n * (n - 1.0)))
+    want_z = (u_a - len(a) * len(b) / 2.0) / math.sqrt(var)
+    assert abs(row["z_score"] - want_z) < 1e-12
+    # B is stochastically larger -> U_A below its mean -> negative z
+    assert row["z_score"] < -3
+
+
+def test_chi_square_matches_pure_python(spark, sf_dir):
+    """Recompute chi2 / Cramér's V from the collected contingency
+    table with the textbook formula (per-term 6-dp rounding applied
+    the same way)."""
+    from osm_airflow_spark.io import load_table
+
+    row = QUERIES["pipeline_chi_square"](spark, sf_dir).collect()[0]
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+
+    rtot, ctot = defaultdict(int), defaultdict(int)
+    n = 0
+    for r in cells:
+        rtot[r["o_orderpriority"]] += r["count"]
+        ctot[r["o_orderstatus"]] += r["count"]
+        n += r["count"]
+    chi2 = 0.0
+    for r in cells:
+        e = rtot[r["o_orderpriority"]] * ctot[r["o_orderstatus"]] / n
+        chi2 += round((r["count"] - e) ** 2 / e, 6)
+    assert row["n"] == n
+    assert (row["n_rows"], row["n_cols"]) == (len(rtot), len(ctot))
+    assert row["dof"] == (len(rtot) - 1) * (len(ctot) - 1)
+    assert abs(row["chi2"] - chi2) < 1e-9
+    import math
+
+    want_v = math.sqrt(chi2 / (n * min(len(rtot) - 1, len(ctot) - 1)))
+    assert abs(row["cramers_v"] - want_v) < 1e-12

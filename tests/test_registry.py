@@ -175,6 +175,9 @@ ROUND_AUDITED = {
     "llm_domain_mix": "libm (pow) + term",
     "pipeline_value_anomalies": "term (x² pre-round) + libm (sqrt-adjacent rounded cut)",
     "pipeline_ab_test": "term (x² pre-round)",
+    "pipeline_ks_test": "libm (exp — the asymptotic Kolmogorov tail, "
+    "rounded at emission; D itself is exact-integer)",
+    "pipeline_chi_square": "term ((o-e)²/e pre-round, decimal-summed)",
     "pipeline_seasonal_index": "term (ratio pre-round feeds decimal mean)",
     "osm_way_lengths": "libm (haversine) + term",
     "osm_polygon_areas": "term (shoelace cross-products)",
