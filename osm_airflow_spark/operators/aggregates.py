@@ -705,3 +705,273 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", F.coalesce(F.col("true_cnt"), F.lit(0)).alias("true_cnt"))
     )
     return truth.join(est, "word").select("word", "true_cnt", "cm_est")
+
+
+# ---------------------------------------------------------------------------
+# r9 sketches: KMV-style distinct estimation and a Bloom membership
+# filter, both with md5-derived hash families so every number is an
+# exact integer (or a shared IEEE tree over exact integers) in BOTH
+# engines — fully SQL-oracled, unlike the library HLL.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 16
+_KMV_SCALE = "CAST(1152921504606846976 AS DOUBLE)"  # 2^60, exact int literal
+
+
+def _kmv_oracle() -> str:
+    mins = ",\n             ".join(
+        f"MIN(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':{i}'), 1, 15))"
+        f"::BIGINT) AS m{i}"
+        for i in range(_KMV_K)
+    )
+    usum = "\n                 + ".join(
+        f"(CAST(m{i} AS DOUBLE) + 0.5) / {_KMV_SCALE}" for i in range(_KMV_K)
+    )
+    return f"""
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) AS n_rows,
+             COUNT(DISTINCT user_id) AS exact_distinct,
+             {mins}
+      FROM events
+      GROUP BY ROLLUP (event_type)
+    ),
+    est AS (
+      SELECT event_type, n_rows, exact_distinct,
+             ({_KMV_K - 1}.0 / ({usum})) - 1.0 AS kmv
+      FROM g
+    )
+    SELECT event_type,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           kmv AS kmv_estimate,
+           (kmv - exact_distinct) / exact_distinct AS rel_err
+    FROM est
+    """
+
+
+@query("agg_kmv_distinct", oracle=_kmv_oracle())
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext E21 (r9) — distinct-count SKETCH via k independent minimum
+    hashes (the MinCount / k×minwise estimator, Lumbroso 2010; the
+    deterministic cousin of agg_approx_distinct's HLL): each of k=16
+    md5-derived 60-bit hashes maps users into (0,1), the per-group
+    MIN of each behaves as Beta(1,n)≈Exp(n), and S = Σ mins is
+    ≈Gamma(k, 1/(n+1)), so n̂ = (k−1)/S − 1 (the unbiased inverse of
+    a Gamma scale). Relative error ~1/√(k−2) ≈ 27% at k=16 — the
+    test pins a 3-sigma band, and the key emits the EXACT distinct
+    beside the estimate so the error is visible, not trusted.
+
+    Mergeability IS the demonstration: the sketch state is 16 MIN
+    aggregates, so Spark's map-side partial aggregation merges
+    partial sketches cell-wise for free, and the ROLLUP total row is
+    literally the UNION sketch of the per-type sketches — merged by
+    the same MINs, no extra pass, no special code. That is the whole
+    KMV contract at 100 TB: per-partition/per-day sketches union by
+    element-wise min.
+
+    Determinism: hash values are exact 60-bit ints (15 md5 hex chars
+    — the llm_sample_weighted/countmin recipe); (min+0.5)/2^60 and
+    the k-term literal-order sum are a shared IEEE tree; the
+    estimator and rel_err are emitted unrounded. COUNT(DISTINCT) per
+    group is exact in both engines."""
+    e = load_table(spark, sf_dir, "events")
+
+    def h(i: int):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("user_id").cast("string"), F.lit(f":{i}"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    g = e.rollup("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+        *[F.min(h(i)).alias(f"m{i}") for i in range(_KMV_K)],
+    )
+    scale = F.lit(2**60).cast("double")
+    usum = (F.col("m0").cast("double") + 0.5) / scale
+    for i in range(1, _KMV_K):
+        usum = usum + (F.col(f"m{i}").cast("double") + 0.5) / scale
+    kmv = (F.lit(float(_KMV_K - 1)) / usum) - 1.0
+    return g.select(
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        kmv.alias("kmv_estimate"),
+        ((kmv - F.col("exact_distinct")) / F.col("exact_distinct")).alias(
+            "rel_err"
+        ),
+    )
+
+
+_BLOOM_M = 4096
+_BLOOM_J = 3
+
+
+def _bloom_pos_sql(uid: str, j: str) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({uid} AS VARCHAR) || '#' || {j}), 1, 8))"
+        f"::BIGINT % {_BLOOM_M}"
+    )
+
+
+@query(
+    "agg_bloom_probe",
+    oracle=f"""
+    WITH members AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    bits AS (
+      SELECT DISTINCT {_bloom_pos_sql('user_id', 'j')} AS pos
+      FROM members, (SELECT unnest([0, 1, 2]) AS j) r
+    ),
+    users AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS is_member
+      FROM events GROUP BY user_id
+    ),
+    probe_pos AS (
+      SELECT u.user_id, u.is_member,
+             {_bloom_pos_sql('u.user_id', 'r.j')} AS pos
+      FROM users u, (SELECT unnest([0, 1, 2]) AS j) r
+    ),
+    probe AS (
+      SELECT p.user_id, p.is_member,
+             SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS matched
+      FROM probe_pos p LEFT JOIN bits b ON b.pos = p.pos
+      GROUP BY p.user_id, p.is_member
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_probed,
+             SUM(is_member) AS n_members,
+             SUM(CASE WHEN matched = {_BLOOM_J} THEN 1 ELSE 0 END) AS n_hits,
+             SUM(CASE WHEN matched = {_BLOOM_J} AND is_member = 0
+                      THEN 1 ELSE 0 END) AS n_false_pos
+      FROM probe
+    ),
+    nb AS (SELECT COUNT(*) AS n_set_bits FROM bits)
+    SELECT {_BLOOM_M} AS m_bits,
+           {_BLOOM_J} AS k_hashes,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_set_bits AS BIGINT) AS n_set_bits,
+           CAST(n_probed AS BIGINT) AS n_probed,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_false_pos AS BIGINT) AS n_false_pos,
+           CASE WHEN n_probed > n_members
+                THEN CAST(n_false_pos AS DOUBLE) / (n_probed - n_members)
+                END AS fp_rate,
+           (CAST(n_set_bits AS DOUBLE) / {_BLOOM_M})
+             * (CAST(n_set_bits AS DOUBLE) / {_BLOOM_M})
+             * (CAST(n_set_bits AS DOUBLE) / {_BLOOM_M}) AS predicted_fp
+    FROM stats, nb
+    """,
+)
+def agg_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext E22 (r9) — BLOOM FILTER build + probe as a relational op
+    (Bloom 1970; the shape behind Spark's own runtime bloom-filter
+    join pruning, here made inspectable): the 'purchase' users set a
+    m=4096-bit filter through j=3 md5-derived positions; EVERY user
+    is then probed, and the key reports hits, false positives, the
+    measured false-positive rate, and the textbook prediction
+    (n_set_bits/m)^j to compare against. No false negatives by
+    construction — the test asserts every member hits.
+
+    Relational form: the 'bitmap' is just the DISTINCT position set
+    (≤m rows — bounded by the filter size, not the data), so the
+    probe is a broadcast LEFT join of probe-positions against it and
+    a matched==j count per user. Build state is m-bounded and
+    positions are set-union mergeable (DISTINCT of a union — partial
+    aggregation does it), which is the 100 TB contract: per-batch
+    filters OR together. Probing N users costs one N×j-row broadcast
+    join, no shuffle of the events corpus beyond the two
+    aggregates.
+
+    Determinism: positions are exact ints from md5 hex (the countmin
+    recipe); every reported number is an exact integer except the
+    two rates — one exact-int division and one shared three-factor
+    product, both emitted unrounded."""
+    e = load_table(spark, sf_dir, "events")
+
+    def pos(uid_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            uid_col.cast("string"),
+                            F.lit("#"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_M
+        )
+
+    js = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_J)])).alias("j")
+    bits = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .select("user_id", js)
+        .select(pos(F.col("user_id")).alias("pos"))
+        .distinct()
+        .localCheckpoint(eager=True)  # ≤ m rows; joined AND counted
+    )
+    users = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("is_member")
+    )
+    probe = (
+        users.select("user_id", "is_member", js)
+        .select(
+            "user_id", "is_member", pos(F.col("user_id")).alias("pos")
+        )
+        .join(
+            F.broadcast(bits.withColumn("_hit", F.lit(1))), "pos", "left"
+        )
+        .groupBy("user_id", "is_member")
+        .agg(F.count("_hit").alias("matched"))
+    )
+    stats = probe.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum("is_member").alias("n_members"),
+        F.sum(
+            F.when(F.col("matched") == _BLOOM_J, 1).otherwise(0)
+        ).alias("n_hits"),
+        F.sum(
+            F.when(
+                (F.col("matched") == _BLOOM_J) & (F.col("is_member") == 0), 1
+            ).otherwise(0)
+        ).alias("n_false_pos"),
+    )
+    nb = bits.agg(F.count(F.lit(1)).alias("n_set_bits"))
+    q = F.col("n_set_bits").cast("double") / _BLOOM_M
+    return stats.crossJoin(F.broadcast(nb)).select(
+        F.lit(_BLOOM_M).cast("int").alias("m_bits"),
+        F.lit(_BLOOM_J).cast("int").alias("k_hashes"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("n_set_bits").cast("long").alias("n_set_bits"),
+        F.col("n_probed").cast("long").alias("n_probed"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("n_false_pos").cast("long").alias("n_false_pos"),
+        F.when(
+            F.col("n_probed") > F.col("n_members"),
+            F.col("n_false_pos").cast("double")
+            / (F.col("n_probed") - F.col("n_members")),
+        ).alias("fp_rate"),
+        (q * q * q).alias("predicted_fp"),
+    )

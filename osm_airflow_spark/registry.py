@@ -119,7 +119,9 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- new keys this round, never driver-checked (13) --
+    # -- new keys this round, never driver-checked (15) --
+    "agg_kmv_distinct",
+    "agg_bloom_probe",
     "llm_eval_rank_metrics",
     "llm_eval_auc",
     "llm_eval_bleu",
@@ -169,13 +171,9 @@ DRIVER_WINDOW: list[str] = [
     "pipeline_time_travel",
     "pipeline_top_returning_customers",
     "pipeline_waiting_multi_supplier",
-    # -- staleness re-checks: oldest r5 block, registration order (2;
-    # win_time_weekly_aligned / win_dedup_latest / win_rank /
-    # win_lag_lead / win_running_sum / fn_geo_bearing yield their
-    # slots to the late-r9 eval + hypothesis-test keys — never-checked
-    # beats re-proof — and rejoin the r10 rotation) --
-    "join_interval_overlap",
-    "set_intersect_all",
+    # -- staleness re-checks: the r5 block fully yields its slots to
+    # the late-r9 keys (never-checked beats re-proof — the r5/r6
+    # precedent) and rejoins the r10 rotation --
 ]
 
 

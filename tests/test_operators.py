@@ -431,3 +431,39 @@ def test_chi_square_matches_pure_python(spark, sf_dir):
 
     want_v = math.sqrt(chi2 / (n * min(len(rtot) - 1, len(ctot) - 1)))
     assert abs(row["cramers_v"] - want_v) < 1e-12
+
+
+def test_kmv_distinct_estimate_and_union_semantics(spark, sf_dir):
+    """The estimator must land within a 3-sigma band of the exact
+    distinct (sigma ~ 1/sqrt(k-2) ~ 0.27 at k=16), and the ROLLUP
+    total row must be the true union (exact distinct over all types,
+    >= every per-type exact)."""
+    rows = QUERIES["agg_kmv_distinct"](spark, sf_dir).collect()
+    per_type = [r for r in rows if r["event_type"] is not None]
+    union = [r for r in rows if r["event_type"] is None]
+    assert len(union) == 1 and per_type
+    for r in rows:
+        assert r["exact_distinct"] > 0
+        assert r["kmv_estimate"] > 0
+        assert abs(r["rel_err"]) < 0.8, (r["event_type"], r["rel_err"])
+        assert r["rel_err"] == (
+            r["kmv_estimate"] - r["exact_distinct"]
+        ) / r["exact_distinct"]
+    u = union[0]
+    assert u["exact_distinct"] >= max(r["exact_distinct"] for r in per_type)
+    assert u["n_rows"] == sum(r["n_rows"] for r in per_type)
+
+
+def test_bloom_probe_invariants(spark, sf_dir):
+    """No false negatives (hits = members + false positives exactly),
+    bit count bounded by both m and j*members, and the measured FP
+    rate in the same regime as the (n_set_bits/m)^j prediction."""
+    r = QUERIES["agg_bloom_probe"](spark, sf_dir).collect()[0]
+    assert r["n_hits"] - r["n_false_pos"] == r["n_members"]
+    assert 0 < r["n_set_bits"] <= min(r["m_bits"], r["k_hashes"] * r["n_members"])
+    assert r["n_probed"] >= r["n_members"]
+    assert 0.0 < r["predicted_fp"] <= 1.0
+    if r["fp_rate"] is not None:
+        assert 0.0 <= r["fp_rate"] <= 1.0
+        # loose concentration: measured within 5x + 5pp of predicted
+        assert r["fp_rate"] <= 5 * r["predicted_fp"] + 0.05
