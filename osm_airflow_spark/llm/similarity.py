@@ -1746,3 +1746,104 @@ def add_to_graph_index(
     ).select(id_col, "vec", bucket).write.mode("append").partitionBy(
         "bucket"
     ).parquet(f"{index_dir}/vectors")
+
+
+def compact_graph_index(
+    spark: SparkSession,
+    index_dir: str,
+    k: int | None = None,
+    id_col: str = "vec_id",
+) -> dict:
+    """Periodic re-link compaction for the graph index (r9 roadmap
+    item): repeated ``add_to_graph_index`` batches accrete duplicate
+    edge rows and unbounded reverse fan-out on popular nodes — the
+    read path tolerates extras (beams cap fan-out at probe time),
+    but every probe of a hot node drags the whole accumulated edge
+    list through the scan. Compaction restores the fresh-build
+    contract: distinct edges, per-node out-degree pruned back to the
+    top-k by score — PLUS a reachability keep-alive: any node whose
+    every incoming edge the prune would drop keeps its single best
+    incoming edge (the HNSW linking invariant that makes inserted
+    nodes findable; without it, pruning a hub's reverse edges can
+    orphan an entire insert batch).
+
+    Scale shape: one dedupe groupBy and two bounded windows — the
+    out-prune partitions by source (per-node edge lists, k + inserts
+    bounded) and the keep-alive by target (same bound); both are the
+    bounded-partition windows the house rules allow. The rewrite
+    stages into ``edges_compact_stage`` and swaps with the
+    compact_posting_stats crash-recoverable rename dance (live dir
+    renamed ASIDE before the stage moves in; both crash windows —
+    mid-rename and pre-delete — are swept by the NEXT call).
+    Vectors and meta are untouched. Returns before/after edge and
+    file counts.
+
+    Serving trade (measured on the fixture, and exactly DiskANN's
+    L≫k rule): compaction swaps edge VOLUME for query-time beam
+    WIDTH. Pre-compaction an inserted node carries k reverse edges
+    and a beam_w=12/hops=4 probe finds it from any direction;
+    post-compaction it may keep only the keep-alive in-link, and the
+    same probe can converge elsewhere — widening to beam_w≈3k,
+    hops≈6 restored self-recall of every inserted node on the
+    fixture. Compact when probe cost on hot nodes dominates; keep
+    the wider beam after."""
+    import os
+    import shutil
+
+    path = f"{index_dir}/edges"
+    old = f"{path}_compact_old"
+    staged = f"{path}_compact_stage"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)  # crash landed between the two renames
+    if os.path.exists(old):  # leftover from a prior crash
+        shutil.rmtree(old)
+
+    edges = spark.read.parquet(path)
+    if k is None:
+        k = int(spark.read.parquet(f"{index_dir}/meta").first()["k"])
+    out = {"edges_before": edges.count(),
+           "files_before": len(edges.inputFiles())}
+
+    distinct = (
+        edges.groupBy(id_col, "nbr")
+        .agg(F.max("cos").alias("cos"))  # dup rows carry identical cos
+        .localCheckpoint(eager=True)  # feeds the prune AND the keep-alive
+    )
+    w_out = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("nbr"))
+    pruned = (
+        distinct.withColumn("_rn", F.row_number().over(w_out))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+        .localCheckpoint(eager=True)  # feeds the anti-join AND the union
+    )
+    # keep-alive: EVERY node keeps its single best incoming edge,
+    # unconditionally (≤ n extra rows). Orphan-only preservation is
+    # not enough for navigability: greedy search for a query near
+    # node x converges to x's most-similar indexed node s, and if
+    # s's pruned top-k dropped the s→x edge (x outside s's k nearest
+    # even when s is x's nearest — kNN is asymmetric), x becomes
+    # unfindable despite still being SOME node's target. Keeping
+    # argmax-cos incoming edges pins exactly the s→x link the walk
+    # needs (measured: self-recall of inserted nodes failed under
+    # orphan-only keep-alive on the first version of this function).
+    w_in = Window.partitionBy("nbr").orderBy(F.col("cos").desc(), F.col(id_col))
+    keep_alive = (
+        distinct.withColumn("_rn", F.row_number().over(w_in))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    n_buckets = int(spark.read.parquet(f"{index_dir}/meta").first()["n_buckets"])
+    bucket = F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int").alias("bucket")
+    final = (
+        pruned.unionByName(keep_alive)
+        .dropDuplicates([id_col, "nbr"])
+        .select(id_col, "nbr", "cos", bucket)
+    )
+    final.write.mode("overwrite").partitionBy("bucket").parquet(staged)
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old)
+    after = spark.read.parquet(path)
+    out["edges_after"] = after.count()
+    out["files_after"] = len(after.inputFiles())
+    return out

@@ -1584,3 +1584,107 @@ def test_eval_bleu_fixture_sanity(spark, sf_dir):
     assert row["p1"] == 1.0  # kept words are a sub-multiset of ref
     assert 0.0 < row["bleu"] < 1.0
     assert row["log_bleu"] < 0.0
+
+
+def test_graph_index_compaction_prunes_and_preserves_recall(
+    spark, sf_dir, tmp_path
+):
+    """After two insert batches bloat the edge table, compaction must
+    (a) cut it back to ~fresh-build size with per-source fan-out <=
+    k plus at most the reachability keep-alives, (b) keep every node
+    reachable as SOME edge target, and (c) preserve the query path:
+    self-recall of inserted nodes and the recall floor vs brute
+    force."""
+    from osm_airflow_spark.llm.similarity import (
+        add_to_graph_index,
+        build_graph_index,
+        compact_graph_index,
+        query_graph_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = e.where(F.col("vec_id") % 10 < 8)
+    d1 = e.where(F.col("vec_id") % 10 == 8)
+    d2 = e.where(F.col("vec_id") % 10 == 9)
+    index_dir = str(tmp_path / "graph-compact")
+    build_graph_index(base, index_dir, k=8, rounds=2, n_buckets=8)
+    add_to_graph_index(d1, index_dir, beam_w=8, hops=3, k=8)
+    add_to_graph_index(d2, index_dir, beam_w=8, hops=3, k=8)
+
+    before_targets = {
+        r["nbr"]
+        for r in spark.read.parquet(f"{index_dir}/edges")
+        .select("nbr")
+        .distinct()
+        .collect()
+    }
+    stats = compact_graph_index(spark, index_dir)
+    assert stats["edges_after"] < stats["edges_before"]
+
+    edges = spark.read.parquet(f"{index_dir}/edges")
+    # distinct edges only
+    assert edges.count() == edges.select("vec_id", "nbr").distinct().count()
+    # fan-out: k out-edges plus the best-incoming keep-alives a
+    # source happens to anchor (bounded in total by n, loose per
+    # node); total edge volume must respect n*(k+1)
+    n_nodes = e.count()
+    assert edges.count() <= n_nodes * (8 + 1)
+    # compaction must not shrink the reachable-target set (a fresh
+    # NN-Descent build does not guarantee in-degree >= 1 for every
+    # node, so compare against the PRE-compaction target set)
+    after_targets = {r["nbr"] for r in edges.select("nbr").distinct().collect()}
+    assert after_targets == before_targets
+    assert edges.select("vec_id").distinct().count() == n_nodes
+
+    # the compaction serving trade (docstring): pruned volume needs
+    # a wider beam — beam ~3k / 6 hops restores inserted-node
+    # self-recall that beam 12 / 4 hops loses post-compaction
+    probe = d2.orderBy("vec_id").limit(1).collect()[0]
+    got = query_graph_index(
+        spark, index_dir, probe["embedding"], beam_w=24, hops=6, topk=1
+    ).collect()
+    assert got[0]["vec_id"] == probe["vec_id"]
+
+    qvec = e.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    rows = query_graph_index(
+        spark, index_dir, qvec, beam_w=24, hops=6, topk=10, exclude_ids=(0,)
+    ).collect()
+    gt = {r["vec_id"] for r in QUERIES["llm_sim_topk"](spark, sf_dir).collect()}
+    recall = len({r["vec_id"] for r in rows} & gt) / len(gt)
+    assert recall >= ANN_RECALL_FLOORS["llm_sim_ann_graph"], recall
+
+
+def test_graph_index_compaction_recovers_from_crashes(spark, sf_dir, tmp_path):
+    """Both crash windows of the rename dance: (a) stage written,
+    live dir renamed aside, crash before the stage lands — next call
+    restores the aside copy; (b) compacted, crash before deleting
+    the aside copy — next call sweeps it. Either way a subsequent
+    compaction succeeds and the index stays queryable."""
+    import os
+    import shutil
+
+    from osm_airflow_spark.llm.similarity import (
+        build_graph_index,
+        compact_graph_index,
+        query_graph_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    index_dir = str(tmp_path / "graph-crash")
+    build_graph_index(e, index_dir, k=8, rounds=1, n_buckets=8)
+    path = f"{index_dir}/edges"
+
+    # (a) mid-rename crash: live dir missing, _old present
+    os.rename(path, f"{path}_compact_old")
+    stats = compact_graph_index(spark, index_dir)
+    assert stats["edges_after"] > 0
+    assert os.path.exists(path) and not os.path.exists(f"{path}_compact_old")
+
+    # (b) pre-delete crash: stale _old left behind
+    shutil.copytree(path, f"{path}_compact_old")
+    stats = compact_graph_index(spark, index_dir)
+    assert os.path.exists(path) and not os.path.exists(f"{path}_compact_old")
+
+    qvec = e.where(F.col("vec_id") == 1).collect()[0]["embedding"]
+    got = query_graph_index(spark, index_dir, qvec, beam_w=8, hops=3, topk=1)
+    assert got.collect()[0]["vec_id"] == 1
