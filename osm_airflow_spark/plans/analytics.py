@@ -3237,3 +3237,333 @@ def pipeline_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+@query(
+    "pipeline_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS x
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             COUNT(*) AS n_days,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6)
+                           AS DECIMAL(30,6))) AS DOUBLE) AS sxx
+      FROM daily GROUP BY event_type
+    ),
+    params AS (
+      SELECT event_type, n_days,
+             sx / n_days AS mu,
+             sqrt((n_days * sxx - sx * sx)
+                  / (n_days * (n_days - 1.0))) AS sigma
+      FROM stats
+    ),
+    walk AS (
+      SELECT d.event_type, d.day, p.n_days, p.mu, p.sigma,
+             CAST(SUM(d.x) OVER w AS DOUBLE)
+               - (ROW_NUMBER() OVER w) * (p.mu + 0.5 * p.sigma) AS pref
+      FROM daily d JOIN params p USING (event_type)
+      WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    cusum AS (
+      SELECT event_type, day, n_days, mu, sigma,
+             pref - MIN(pref) OVER (PARTITION BY event_type ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS c_plus
+      FROM walk
+    ),
+    best AS (
+      SELECT event_type, day, n_days, mu, sigma, c_plus,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY c_plus DESC, day) AS rn
+      FROM cusum
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           mu, sigma,
+           c_plus AS max_cusum,
+           strftime(day, '%Y-%m-%d') AS peak_day,
+           c_plus > 4.0 * sigma AS breached
+    FROM best WHERE rn = 1
+    """,
+)
+def pipeline_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — CUSUM drift detection over the daily value
+    series of each event type (Page 1954): the sequential
+    change-point statistic every metrics platform runs on KPIs, and
+    the standard alternative to pipeline_value_anomalies' pointwise
+    z-cut for SUSTAINED small shifts. The textbook recursion
+    C⁺_t = max(0, C⁺_{t-1} + x_t − μ − kσ) looks stateful, but has
+    the closed form C⁺_t = P_t − min_{i≤t} P_i over the drift-
+    corrected prefix sum P — so it is two ordered windows (a
+    cumulative and a running min), no applyInPandas, no recursion.
+    Allowance k=0.5σ, decision threshold h=4σ (the classic ARL
+    tuning); the key reports each type's peak statistic, its day,
+    and whether the threshold was breached.
+
+    Determinism: daily totals are EXACT decimals; the cumulative is
+    a decimal window sum (the win_running_sum rule — frame
+    evaluation order cannot matter) cast once to double; the
+    per-row subtraction of rn·(μ+kσ) is a shared IEEE tree over
+    that cast and the agreed μ/σ (exact sufficient stats, sqrt
+    correctly rounded); the running MIN is selection, not
+    arithmetic — order-independent on agreed doubles. Peak
+    selection breaks ties by earliest day.
+
+    Scale: one corpus pass to (type × day) dailies; all windows
+    partition by event_type over DAYS — calendar-bounded partitions
+    (the house bounded-window rule), ~10⁴ rows per type after
+    decades. Stats ride back as a types-bounded broadcast join."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("x"))
+        .localCheckpoint(eager=True)  # stats + walk both read it
+    )
+    xd = F.col("x").cast("double")
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.round(xd * xd, 6).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    n, sx, sxx = F.col("n_days"), F.col("sx"), F.col("sxx")
+    params = stats.select(
+        "event_type",
+        "n_days",
+        (sx / n).alias("mu"),
+        F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0)))).alias("sigma"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = daily.join(F.broadcast(params), "event_type")
+    pref = F.sum("x").over(w).cast("double") - F.row_number().over(
+        Window.partitionBy("event_type").orderBy("day")
+    ) * (F.col("mu") + 0.5 * F.col("sigma"))
+    walk = joined.select(
+        "event_type", "day", "n_days", "mu", "sigma", pref.alias("pref")
+    )
+    c_plus = F.col("pref") - F.min("pref").over(w)
+    cusum = walk.select(
+        "event_type", "day", "n_days", "mu", "sigma", c_plus.alias("c_plus")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.col("c_plus").desc(), F.col("day")
+        )
+    )
+    return (
+        cusum.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            "mu",
+            "sigma",
+            F.col("c_plus").alias("max_cusum"),
+            F.date_format("day", "yyyy-MM-dd").alias("peak_day"),
+            (F.col("c_plus") > 4.0 * F.col("sigma")).alias("breached"),
+        )
+    )
+
+
+@query(
+    "pipeline_survival_km",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn,
+             MAX(CAST(o_orderdate AS DATE))
+               OVER (PARTITION BY o_custkey) AS cmax
+      FROM orders
+    ),
+    per_cust AS (
+      SELECT o_custkey,
+             MIN(CASE WHEN rn = 1 THEN od END) AS t1,
+             MIN(CASE WHEN rn = 2 THEN od END) AS t2,
+             MAX(cmax) AS cmax
+      FROM ranked WHERE rn <= 2 GROUP BY o_custkey
+    ),
+    g AS (SELECT MAX(cmax) AS gmax, COUNT(*) AS total FROM per_cust),
+    spells AS (
+      SELECT CASE WHEN t2 IS NOT NULL THEN date_diff('day', t1, t2)
+                  ELSE date_diff('day', t1, gmax) END AS t,
+             CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per_cust, g
+    ),
+    by_time AS (
+      SELECT t, SUM(ev) AS d, SUM(1 - ev) AS c FROM spells GROUP BY t
+    ),
+    cum AS (
+      SELECT t, d, c, total,
+             COALESCE(SUM(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM by_time, g
+    ),
+    terms AS (
+      SELECT t, d, c, total - before AS n_risk,
+             CASE
+               WHEN d > 0 AND d < total - before THEN
+                 CAST(round(round(ln(1.0 - CAST(d AS DOUBLE)
+                                        / (total - before)), 6)
+                            * 1000000, 0) AS BIGINT)
+               WHEN d > 0 THEN -99000000000
+               ELSE 0 END AS micro
+      FROM cum
+    ),
+    surv AS (
+      SELECT t, d, c, n_risk,
+             SUM(micro) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumm
+      FROM terms
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(c AS BIGINT) AS n_censored,
+           round(exp(CAST(cumm AS DOUBLE) / 1000000), 6) AS survival
+    FROM surv
+    """,
+)
+def pipeline_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — Kaplan–Meier survival over time-to-reorder:
+    each customer's spell runs from their first order to their second
+    (event) or to the end of observation (right-censored at the
+    corpus max date) — the churn/repeat-purchase curve every
+    lifecycle team reads, and the estimator that handles censoring
+    correctly where a naive mean-gap (pipeline_median_order_gap)
+    silently drops one-order customers. S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ)
+    with nᵢ = at-risk (Kaplan & Meier 1958).
+
+    Determinism: the product runs in LOG space as a running sum of
+    per-time terms, each ln(1 − d/n) of an exact-int ratio rounded
+    to 6 dp at the transcendental and SCALED TO INTEGER MICROS — so
+    the running sum is exact long addition (order-independent, no
+    decimal plumbing), and the final exp(Σ/1e6) is rounded at
+    emission (the libm rule). A time where everyone at risk fails
+    (d = n) gets the −9.9e10-micro sentinel: exp underflows to an
+    EXACT double 0.0 identically in both engines. n_risk derives
+    from the same exact cumulative.
+
+    Scale: the per-customer spell extraction is a bounded window
+    (orders per customer); distinct spell lengths are
+    calendar-bounded (~10³ rows after years), and BOTH running
+    passes over them (the at-risk cumulative, then the log-micro
+    sum, which depends on the first) use the bucket-offset pattern —
+    two ≤B control-plane collects, no global window. The corpus max
+    date and cohort size ride as one broadcast row."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wmax = Window.partitionBy("o_custkey")
+    ranked = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.row_number().over(wc).alias("rn"),
+        F.max(F.col("o_orderdate").cast("date")).over(wmax).alias("cmax"),
+    ).where(F.col("rn") <= 2)
+    per_cust = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("od"))).alias("t1"),
+        F.min(F.when(F.col("rn") == 2, F.col("od"))).alias("t2"),
+        F.max("cmax").alias("cmax"),
+    ).localCheckpoint(eager=True)  # feeds the 1-row globals AND spells
+    g = per_cust.agg(
+        F.max("cmax").alias("gmax"), F.count(F.lit(1)).alias("total")
+    )
+    spells = per_cust.crossJoin(F.broadcast(g)).select(
+        F.when(
+            F.col("t2").isNotNull(), F.datediff("t2", "t1")
+        ).otherwise(F.datediff("gmax", "t1")).alias("t"),
+        F.when(F.col("t2").isNotNull(), 1).otherwise(0).alias("ev"),
+        "total",
+    )
+    by_time = (
+        spells.groupBy("t", "total")
+        .agg(F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c"))
+        .localCheckpoint(eager=True)  # cuts + offsets + windowed pass
+    )
+    n_buckets = 8
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = by_time.agg(F.percentile_approx("t", probs, 10_000).alias("c")).head()[0]
+    bucket = F.lit(0)
+    for cut in cuts:
+        bucket = bucket + F.when(F.col("t") > F.lit(cut), 1).otherwise(0)
+    bucketed = by_time.withColumn("_bkt", bucket.cast("int"))
+    per_bucket = {
+        r["_bkt"]: r["s"]
+        for r in bucketed.groupBy("_bkt")
+        .agg(F.sum(F.col("d") + F.col("c")).alias("s"))
+        .collect()
+    }
+    off, running = F.lit(0).cast("long"), 0
+    for bkt in range(n_buckets):
+        if running and bkt in per_bucket:
+            off = F.when(F.col("_bkt") == bkt, F.lit(running)).otherwise(off)
+        running += per_bucket.get(bkt, 0)
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = off + F.sum(F.col("d") + F.col("c")).over(w) - (
+        F.col("d") + F.col("c")
+    )
+    n_risk = F.col("total") - F.col("before")
+    ratio = F.lit(1.0) - F.col("d").cast("double") / n_risk
+    micro = (
+        F.when(
+            (F.col("d") > 0) & (F.col("d") < n_risk),
+            F.round(F.round(F.log(ratio), 6) * 1_000_000, 0).cast("long"),
+        )
+        .when(F.col("d") > 0, F.lit(-99_000_000_000))
+        .otherwise(F.lit(0))
+    )
+    terms = (
+        bucketed.withColumn("before", before)
+        .select(
+            "t",
+            "d",
+            "c",
+            "_bkt",
+            n_risk.alias("n_risk"),
+            micro.alias("micro"),
+        )
+        .localCheckpoint(eager=True)  # second offset collect + window
+    )
+    per_bucket2 = {
+        r["_bkt"]: r["s"]
+        for r in terms.groupBy("_bkt").agg(F.sum("micro").alias("s")).collect()
+    }
+    off2, running2 = F.lit(0).cast("long"), 0
+    for bkt in range(n_buckets):
+        if running2 and bkt in per_bucket2:
+            off2 = F.when(F.col("_bkt") == bkt, F.lit(running2)).otherwise(off2)
+        running2 += per_bucket2.get(bkt, 0)
+    cumm = off2 + F.sum("micro").over(w)
+    return terms.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.round(F.exp(cumm.cast("double") / 1_000_000), 6).alias("survival"),
+    )

@@ -467,3 +467,64 @@ def test_bloom_probe_invariants(spark, sf_dir):
         assert 0.0 <= r["fp_rate"] <= 1.0
         # loose concentration: measured within 5x + 5pp of predicted
         assert r["fp_rate"] <= 5 * r["predicted_fp"] + 0.05
+
+
+def test_cusum_planted_level_shift(spark, tmp_path):
+    """A flat series with a late sustained level shift must breach
+    the 4-sigma decision bound with the peak at the series end (the
+    drift keeps accumulating through the shifted regime)."""
+    rows = []
+    for i in range(40):
+        val = 10.0 if i < 30 else 100.0
+        rows.append((i, 1, "purchase", val, 1_600_000_000_000_000 + i * 86_400_000_000))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, us long"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    row = QUERIES["pipeline_cusum_changepoint"](spark, str(tmp_path)).collect()[0]
+    assert row["n_days"] == 40
+    assert bool(row["breached"]) is True
+    # drift accumulates through the shifted regime: peak on the last
+    # day (epoch 1.6e9 s = 2020-09-13; day 39 = 2020-10-22)
+    assert row["peak_day"] == "2020-10-22"
+    assert row["max_cusum"] > 4.0 * row["sigma"]
+
+
+def test_survival_km_matches_pure_python(spark, sf_dir):
+    """Third implementation: recompute the KM curve from collected
+    per-customer spells with the textbook product-limit formula
+    (same 6-dp log rounding), and pin monotonicity + at-risk
+    bookkeeping."""
+    import math
+    from collections import Counter
+
+    rows = QUERIES["pipeline_survival_km"](spark, sf_dir).collect()
+    rows = sorted(rows, key=lambda r: r["t_days"])
+    total = rows[0]["n_risk"]
+    # n_risk bookkeeping: decreasing by d+c each step
+    seen = 0
+    surv = 1.0
+    cum_micro = 0
+    for r in rows:
+        assert r["n_risk"] == total - seen
+        seen += r["n_events"] + r["n_censored"]
+        if r["n_events"] > 0:
+            if r["n_events"] < r["n_risk"]:
+                cum_micro += round(
+                    round(math.log(1.0 - r["n_events"] / r["n_risk"]), 6)
+                    * 1_000_000
+                )
+            else:
+                cum_micro += -99_000_000_000
+        want = round(math.exp(cum_micro / 1_000_000), 6)
+        assert r["survival"] == want, (r["t_days"], r["survival"], want)
+        assert r["survival"] <= surv + 1e-12  # non-increasing
+        surv = r["survival"]
+    assert 0.0 <= rows[-1]["survival"] <= 1.0

@@ -178,6 +178,9 @@ ROUND_AUDITED = {
     "pipeline_ks_test": "libm (exp — the asymptotic Kolmogorov tail, "
     "rounded at emission; D itself is exact-integer)",
     "pipeline_chi_square": "term ((o-e)²/e pre-round, decimal-summed)",
+    "pipeline_cusum_changepoint": "term (x² pre-round for the sigma stats)",
+    "pipeline_survival_km": "libm (ln per KM factor, scaled to exact integer "
+    "micros; final exp rounded at emission)",
     "pipeline_seasonal_index": "term (ratio pre-round feeds decimal mean)",
     "osm_way_lengths": "libm (haversine) + term",
     "osm_polygon_areas": "term (shoelace cross-products)",
