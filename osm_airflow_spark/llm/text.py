@@ -3289,3 +3289,93 @@ def divergence_from_index(
         )
         .select(F.col("t_b").cast("long").alias("n_tokens"), "js_divergence")
     )
+
+
+@query(
+    "llm_source_profile",
+    oracle=f"""
+    WITH feats AS (
+      SELECT source, text,
+             len(string_split(text, ' ')) AS n_words,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w IN ({_sql_list(_EN_STOP)}))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_word_len
+      FROM documents
+    ),
+    scored AS (
+      SELECT source, text, n_words,
+             round(least(n_words, 200) / 200.0 * 0.4
+                   + least(stop_ratio * 4, 1.0) * 0.3
+                   + CASE WHEN mean_word_len BETWEEN 3 AND 8
+                          THEN 0.3 ELSE 0.0 END, 6) AS q
+      FROM feats
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_words) AS DOUBLE) / COUNT(*) AS mean_doc_len,
+           CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS mean_quality,
+           CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
+             AS distinct_ratio
+    FROM scored
+    GROUP BY source
+    """,
+)
+def llm_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — per-SOURCE corpus health profile: document
+    count, token volume, mean document length, mean quality score
+    (the llm_quality_score heuristic, 6-dp-rounded per doc then
+    decimal-averaged), and the within-source exact-duplicate ratio
+    (distinct md5 / docs). This is the drill-down table a curation
+    run reads NEXT TO llm_corpus_divergence's distribution-shift
+    number: divergence says WHICH source moved, this says what its
+    documents look like — the per-source slice of the corpus_health
+    report (examples/corpus_health.py).
+
+    Determinism: counts and token sums are exact longs; mean length
+    is one division of exact ints; quality is the calibration-key
+    recipe (per-row round to 6 dp → the decimal cast is exact → the
+    mean is order-independent); the dup ratio divides exact distinct
+    counts. Scale: ONE corpus pass, output is O(sources); the
+    distinct-md5 count partial-aggregates per source (at 100 TB
+    swap COUNT(DISTINCT) for the agg_kmv_distinct sketch — same
+    groupBy shape, fixed-width state)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("long")
+    stop_ratio = _stop_count(words, _EN_STOP).cast("double") / n_words
+    mean_word_len = F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    ).cast("double") / n_words
+    q = F.round(
+        F.least(n_words, F.lit(200)) / 200.0 * 0.4
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.3
+        + F.when(mean_word_len.between(3, 8), 0.3).otherwise(0.0),
+        6,
+    )
+    return (
+        d.select(
+            "source",
+            n_words.alias("n_words"),
+            q.alias("q"),
+            F.md5("text").alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_tokens"),
+            (
+                F.sum("n_words").cast("double") / F.count(F.lit(1))
+            ).alias("mean_doc_len"),
+            (
+                F.sum(F.col("q").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_quality"),
+            (
+                F.countDistinct("h").cast("double") / F.count(F.lit(1))
+            ).alias("distinct_ratio"),
+        )
+    )

@@ -1688,3 +1688,32 @@ def test_graph_index_compaction_recovers_from_crashes(spark, sf_dir, tmp_path):
     qvec = e.where(F.col("vec_id") == 1).collect()[0]["embedding"]
     got = query_graph_index(spark, index_dir, qvec, beam_w=8, hops=3, topk=1)
     assert got.collect()[0]["vec_id"] == 1
+
+
+def test_source_profile_planted_duplicates(spark, tmp_path):
+    """A source stuffed with copy-pasted docs must show the low
+    distinct ratio; the clean source stays at 1.0; token accounting
+    is exact."""
+    from osm_airflow_spark.registry import QUERIES
+
+    rows = [
+        (1, "the same doc again and again", "en", "dupsrc", 28),
+        (2, "the same doc again and again", "en", "dupsrc", 28),
+        (3, "the same doc again and again", "en", "dupsrc", 28),
+        (4, "a different document entirely", "en", "dupsrc", 29),
+        (5, "first clean document here", "en", "cleansrc", 25),
+        (6, "second clean document there", "en", "cleansrc", 27),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["source"]: r
+        for r in QUERIES["llm_source_profile"](spark, str(tmp_path)).collect()
+    }
+    assert got["dupsrc"]["n_docs"] == 4
+    assert got["dupsrc"]["distinct_ratio"] == 2 / 4
+    assert got["cleansrc"]["distinct_ratio"] == 1.0
+    assert got["dupsrc"]["total_tokens"] == 6 * 3 + 4
+    assert got["cleansrc"]["mean_doc_len"] == 4.0

@@ -178,6 +178,7 @@ ROUND_AUDITED = {
     "pipeline_ks_test": "libm (exp — the asymptotic Kolmogorov tail, "
     "rounded at emission; D itself is exact-integer)",
     "pipeline_chi_square": "term ((o-e)²/e pre-round, decimal-summed)",
+    "llm_source_profile": "term (quality score pre-round feeds the decimal mean)",
     "pipeline_cusum_changepoint": "term (x² pre-round for the sigma stats)",
     "pipeline_survival_km": "libm (ln per KM factor, scaled to exact integer "
     "micros; final exp rounded at emission)",
