@@ -528,3 +528,38 @@ def test_survival_km_matches_pure_python(spark, sf_dir):
         assert r["survival"] <= surv + 1e-12  # non-increasing
         surv = r["survival"]
     assert 0.0 <= rows[-1]["survival"] <= 1.0
+
+
+def test_kcore_matches_pure_python_peeling(spark, sf_dir):
+    """Exact oracle for the rows-only key: textbook peeling on the
+    collected trade-edge list must reproduce every coreness."""
+    from osm_airflow_spark.operators.graph import trade_edges
+
+    got = {
+        r["node"]: r["coreness"]
+        for r in QUERIES["graph_kcore"](spark, sf_dir).collect()
+    }
+    pairs = [(r["a"], r["b"]) for r in trade_edges(spark, sf_dir).collect()]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    k = 1
+    live = {n: set(nb) for n, nb in adj.items()}
+    while live:
+        while True:
+            low = [n for n, nb in live.items() if len(nb) < k]
+            if not low:
+                break
+            for n in low:
+                for m in live.get(n, ()):
+                    live[m].discard(n)
+                live.pop(n, None)
+        for n in live:
+            want[n] = k
+        k += 1
+        if k > 64:
+            break
+    assert got == want
+    assert max(got.values()) >= 2  # the trade graph has a dense core

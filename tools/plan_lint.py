@@ -73,6 +73,17 @@ ITERATIVE = {
     # bounded join-rank (re-scoring the corpus twice costs more than
     # a 100-row checkpoint under this build's no-exchange-reuse)
     "llm_hybrid_rrf",
+    # late r9: checkpoint barriers (multi-consumer 1-row/bounded
+    # aggregates) and/or bucket-offset control-plane collects
+    "llm_eval_rank_metrics",
+    "llm_eval_auc",
+    "pipeline_ks_test",
+    "pipeline_mann_whitney",
+    "pipeline_chi_square",
+    "pipeline_cusum_changepoint",
+    "pipeline_survival_km",
+    "agg_bloom_probe",
+    "graph_kcore",  # driver-controlled peeling loop
 }
 
 # a deliberate unbounded cartesian (the D10 surface key)
