@@ -53,6 +53,18 @@ def main() -> None:
     ).first()
     print(f"== char entropy range: {stats['lo']:.3f} .. {stats['hi']:.3f}")
 
+    print("== per-source profile (worst mean quality first, top 5):")
+    for r in (
+        q["llm_source_profile"](spark, sf_dir)
+        .orderBy("mean_quality", "source")
+        .limit(5)
+        .collect()
+    ):
+        print(f"   {r['source']:<8} docs {r['n_docs']:>5}  "
+              f"quality {r['mean_quality']:.3f}  "
+              f"dup-free {r['distinct_ratio']:.3f}  "
+              f"mean len {r['mean_doc_len']:.1f}")
+
     print("== per-source drift (JS divergence vs corpus mix, top 5):")
     for r in (
         q["llm_corpus_divergence"](spark, sf_dir)
