@@ -3567,3 +3567,192 @@ def pipeline_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("long").alias("n_censored"),
         F.round(F.exp(cumm.cast("double") / 1_000_000), 6).alias("survival"),
     )
+
+
+def _exact_median_1row(df: DataFrame, col: str):
+    """Exact median of a BOUNDED value column as a 1-row DataFrame
+    (column ``med``), via the bucket-offset rank pattern — no global
+    window. Median = mean of the rank-⌈n/2⌉ and rank-⌈(n+1)/2⌉
+    values (equal when n is odd); computed as Σ value·hits / Σ hits
+    where hits counts how many of the two target ranks fall inside
+    each distinct value's rank span — bit-identical to the SQL
+    two-rank formulation because two-term IEEE addition is
+    commutative and the division is shared. Returns (df_1row, n)."""
+    from pyspark.sql import Window
+
+    vals = (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    n_buckets = 8
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = vals.agg(F.percentile_approx(col, probs, 10_000).alias("c")).head()[0]
+    bucket = F.lit(0)
+    for cut in cuts:
+        bucket = bucket + F.when(F.col(col) > F.lit(cut), 1).otherwise(0)
+    bucketed = vals.withColumn("_bkt", bucket.cast("int"))
+    per_bucket = {
+        r["_bkt"]: r["s"]
+        for r in bucketed.groupBy("_bkt").agg(F.sum("_c").alias("s")).collect()
+    }
+    off, running = F.lit(0).cast("long"), 0
+    for bkt in range(n_buckets):
+        if running and bkt in per_bucket:
+            off = F.when(F.col("_bkt") == bkt, F.lit(running)).otherwise(off)
+        running += per_bucket.get(bkt, 0)
+    n = running
+    k1, k2 = (n + 1) // 2, (n + 2) // 2
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = off + F.sum("_c").over(w)
+    lo = cum - F.col("_c") + 1
+    hits = F.when((lo <= k1) & (cum >= k1), 1).otherwise(0) + F.when(
+        (lo <= k2) & (cum >= k2), 1
+    ).otherwise(0)
+    med = bucketed.select(F.col(col).alias("_v"), hits.alias("_h")).agg(
+        (
+            F.sum(F.col("_v") * F.col("_h")).cast("double") / F.sum("_h")
+        ).alias("med")
+    )
+    return med, n
+
+
+@query(
+    "pipeline_theil_sen",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS mi,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rdec
+      FROM orders GROUP BY 1
+    ),
+    base AS (
+      SELECT mi - (SELECT MIN(mi) FROM monthly) AS m,
+             CAST(rdec AS DOUBLE) AS r, rdec
+      FROM monthly
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(m) AS BIGINT) AS sx,
+             CAST(SUM(m * m) AS BIGINT) AS sxx,
+             CAST(SUM(rdec) AS DOUBLE) AS sy,
+             CAST(SUM(m * rdec) AS DOUBLE) AS sxy
+      FROM base
+    ),
+    pairs AS (
+      SELECT (b.r - a.r) / (b.m - a.m) AS slope
+      FROM base a JOIN base b ON b.m > a.m
+    ),
+    ranked AS (
+      SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+             COUNT(*) OVER () AS np FROM pairs
+    ),
+    med AS (
+      SELECT CAST(SUM(CASE WHEN rn IN ((np + 1) // 2, (np + 2) // 2)
+                           THEN slope END) AS DOUBLE)
+             / COUNT(CASE WHEN rn IN ((np + 1) // 2, (np + 2) // 2)
+                          THEN 1 END) AS ts_slope,
+             MAX(np) AS n_pairs
+      FROM ranked
+    ),
+    resid AS (
+      SELECT base.r - med.ts_slope * base.m AS e FROM base, med
+    ),
+    rranked AS (
+      SELECT e, ROW_NUMBER() OVER (ORDER BY e) AS rn,
+             COUNT(*) OVER () AS np FROM resid
+    ),
+    rmed AS (
+      SELECT CAST(SUM(CASE WHEN rn IN ((np + 1) // 2, (np + 2) // 2)
+                           THEN e END) AS DOUBLE)
+             / COUNT(CASE WHEN rn IN ((np + 1) // 2, (np + 2) // 2)
+                          THEN 1 END) AS ts_intercept
+      FROM rranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           ts_slope,
+           ts_intercept,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS ols_slope
+    FROM stats, med, rmed
+    """,
+)
+def pipeline_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — Theil–Sen ROBUST trend of monthly revenue:
+    the median of all pairwise month-to-month slopes (Theil 1950,
+    Sen 1968; 29% breakdown point), with the median-residual
+    intercept and the OLS slope beside it for comparison — the
+    trend line a forecast pipeline trusts when a demo spike or a
+    refund month would drag least squares (the heavy-tail reality
+    pipeline_mann_whitney exists for, applied to trend).
+
+    Determinism: monthly revenue stays an EXACT decimal through the
+    sufficient sums (Σy, Σxy are decimal-exact; month indices are
+    ints) and becomes a double once; each pairwise slope is one
+    shared division of agreed doubles; both medians use the exact
+    two-rank formulation (Σ value·hits / Σ hits ≡ the SQL two-rank
+    mean — two-term IEEE addition is commutative, so bucket order
+    cannot matter) over the bucket-offset rank machinery — no global
+    window anywhere. OLS emits from the same agreed tree.
+
+    Scale: months are calendar-bounded (~10² after a decade), so the
+    pair table is months²-bounded (~10⁴) — the quadratic lives in
+    control-plane-sized data, never the corpus; the one corpus pass
+    is the monthly aggregate. Both medians are
+    distinct-value-bounded bucket-offset passes (≤B collects)."""
+    o = load_table(spark, sf_dir, "orders")
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("long")
+    monthly = (
+        o.groupBy(mi.alias("mi"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rdec"))
+        .localCheckpoint(eager=True)  # min(mi) + base both read it
+    )
+    m0 = monthly.agg(F.min("mi").alias("m0"))
+    base = (
+        monthly.crossJoin(F.broadcast(m0))
+        .select(
+            (F.col("mi") - F.col("m0")).alias("m"),
+            F.col("rdec").cast("double").alias("r"),
+            "rdec",
+        )
+        .localCheckpoint(eager=True)  # stats + both pair sides + resid
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").alias("sx"),
+        F.sum(F.col("m") * F.col("m")).alias("sxx"),
+        F.sum("rdec").cast("double").alias("sy"),
+        F.sum(F.col("m") * F.col("rdec")).cast("double").alias("sxy"),
+    )
+    a = base.select(F.col("m").alias("ma"), F.col("r").alias("ra"))
+    b = base.select(F.col("m").alias("mb"), F.col("r").alias("rb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("mb") > F.col("ma"))
+        .select(
+            ((F.col("rb") - F.col("ra")) / (F.col("mb") - F.col("ma"))).alias(
+                "slope"
+            )
+        )
+    )
+    med, n_pairs = _exact_median_1row(pairs, "slope")
+    resid = base.crossJoin(F.broadcast(med)).select(
+        (F.col("r") - F.col("med") * F.col("m")).alias("e")
+    )
+    rmed, _ = _exact_median_1row(resid, "e")
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, sxy = F.col("sy"), F.col("sxy")
+    return (
+        stats.crossJoin(F.broadcast(med.select(F.col("med").alias("ts_slope"))))
+        .crossJoin(F.broadcast(rmed.select(F.col("med").alias("ts_intercept"))))
+        .select(
+            n.cast("long").alias("n_months"),
+            F.lit(n_pairs).cast("long").alias("n_pairs"),
+            "ts_slope",
+            "ts_intercept",
+            ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("ols_slope"),
+        )
+    )

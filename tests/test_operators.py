@@ -563,3 +563,37 @@ def test_kcore_matches_pure_python_peeling(spark, sf_dir):
             break
     assert got == want
     assert max(got.values()) >= 2  # the trade graph has a dense core
+
+
+def test_theil_sen_robust_to_planted_outlier(spark, tmp_path):
+    """12 months of exactly-linear revenue (slope 10/month) with ONE
+    corrupted month: the pairwise-slope median must stay exactly 10
+    while OLS is dragged far off; pair count is n(n-1)/2."""
+    rows = []
+    ok = 0
+    for mo in range(12):
+        rev = 1000.0 + 10.0 * mo
+        if mo == 6:
+            rev += 100000.0  # the spike month
+        rows.append((ok, 1, "O", rev, f"2024-{mo+1:02d}-15", "1-URGENT"))
+        ok += 1
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, d string, o_orderpriority string",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("d").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    r = QUERIES["pipeline_theil_sen"](spark, str(tmp_path)).collect()[0]
+    assert r["n_months"] == 12
+    assert r["n_pairs"] == 12 * 11 // 2
+    assert r["ts_slope"] == 10.0
+    assert abs(r["ols_slope"] - 10.0) > 100  # dragged by the spike
+    # intercept: median residual of the uncorrupted line is 1000
+    assert abs(r["ts_intercept"] - 1000.0) < 1e-9

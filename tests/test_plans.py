@@ -197,6 +197,11 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
         "sort_topk",                  # TakeOrderedAndProject
         "llm_sim_ann_ivf_rq",         # r8: learned quantizers + checkpoints
         "llm_sim_ann_graph",          # r8: NN-Descent graph + beam loop
+        "llm_eval_auc",               # r9: bucket-offset cumulative + 1-row stats
+        "pipeline_mann_whitney",      # r9: exact midrank integers via cumulative
+        "pipeline_survival_km",       # r9: two chained bucket-offset passes
+        "pipeline_theil_sen",         # r9: two exact bucket-offset medians
+        "agg_kmv_distinct",           # r9: min-hash sketch under rollup
     ],
 )
 def test_partition_count_independence(spark, sf_dir, key, monkeypatch):

@@ -84,6 +84,7 @@ ITERATIVE = {
     "pipeline_survival_km",
     "agg_bloom_probe",
     "graph_kcore",  # driver-controlled peeling loop
+    "pipeline_theil_sen",  # two bucket-offset medians (control-plane collects)
 }
 
 # a deliberate unbounded cartesian (the D10 surface key)
