@@ -3756,3 +3756,151 @@ def pipeline_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("ols_slope"),
         )
     )
+
+
+@query(
+    "pipeline_position_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id AS p_id, ts AS p_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, event_id AS t_id, ts AS t_ts, event_type AS t_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    joined AS (
+      SELECT p.p_id, p.value, t.t_type, t.t_ts, t.t_id,
+             ROW_NUMBER() OVER (PARTITION BY p.p_id
+                                ORDER BY t.t_ts, t.t_id) AS pos,
+             COUNT(*) OVER (PARTITION BY p.p_id) AS k
+      FROM purchases p
+      JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.t_ts <= p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL 24 HOUR
+    ),
+    credited AS (
+      SELECT t_type, value,
+             CASE WHEN k = 1 THEN 1.0
+                  WHEN k = 2 THEN 0.5
+                  WHEN pos = 1 OR pos = k THEN 0.4
+                  ELSE 0.2 / (k - 2) END AS credit
+      FROM joined
+    ),
+    touched AS (
+      SELECT t_type AS attributed_to,
+             CAST(SUM(CAST(round(credit, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               AS credited_conversions,
+             CAST(SUM(CAST(round(value * credit, 6) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS credited_value
+      FROM credited GROUP BY t_type
+    ),
+    untouched AS (
+      SELECT 'none' AS attributed_to,
+             CAST(COUNT(*) AS DOUBLE) AS credited_conversions,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               AS credited_value
+      FROM purchases p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM touches t
+        WHERE t.user_id = p.user_id
+          AND t.t_ts <= p.p_ts
+          AND t.t_ts >= p.p_ts - INTERVAL 24 HOUR
+      )
+    )
+    SELECT * FROM touched UNION ALL SELECT * FROM untouched
+    """,
+)
+def pipeline_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — POSITION-BASED (U-shaped) multi-touch
+    attribution, completing the attribution pair with
+    pipeline_last_touch_attribution: every click/view in the 24 h
+    before a purchase shares the credit — 40% first touch, 40% last,
+    the middle 20% split evenly (1 touch → 100%, 2 → 50/50), the
+    industry-standard position model. Purchases with no touch in
+    window report under 'none' with full credit, so Σ credited
+    conversions over all rows equals the purchase count exactly
+    (pytest-pinned).
+
+    Determinism: touch order is total (ts, event_id); credit is a
+    CASE over exact ints and one exact-int division, an agreed
+    double; both credited sums follow the term rule (round each
+    value·credit to 6 dp → exact decimal cast → order-independent
+    sum). The no-touch leg is an anti-join, NULL-free by
+    construction.
+
+    Scale: the touch↔purchase pairing is a per-user range join —
+    shuffle on user_id, per-conversion windows bounded by the 24 h
+    lookback; the same derived pairs table feeds the credit pass
+    (checkpointed — two consumers, no exchange reuse in this build).
+    At 100 TB bucket events by user_id and the pairing is
+    zero-Exchange (the write_bucketed layout)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("t_type"),
+    )
+    in_window = (F.col("t_ts") <= F.col("p_ts")) & (
+        F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")
+    )
+    joined = purchases.join(touches, "user_id").where(in_window)
+    wp = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    wk = Window.partitionBy("p_id")
+    pos, k = F.row_number().over(wp), F.count(F.lit(1)).over(wk)
+    credit = (
+        F.when(k == 1, 1.0)
+        .when(k == 2, 0.5)
+        .when((pos == 1) | (pos == k), 0.4)
+        .otherwise(F.lit(0.2) / (k - 2))
+    )
+    credited = joined.select(
+        "t_type", "value", credit.alias("credit")
+    )
+    touched = credited.groupBy(F.col("t_type").alias("attributed_to")).agg(
+        F.sum(F.round(F.col("credit"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("credited_conversions"),
+        F.sum(
+            F.round(F.col("value") * F.col("credit"), 6).cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("credited_value"),
+    )
+    # left_anti with RENAMED right columns: both frames derive from
+    # `ev`, and same-name attribute equality in a self-join can
+    # resolve both sides to the left (Spark's trivially-true-predicate
+    # warning) — renaming makes the condition unambiguous.
+    touches_r = touches.select(
+        F.col("user_id").alias("t_user"), "t_ts"
+    )
+    anti_cond = (
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+    )
+    untouched = (
+        purchases.join(touches_r, anti_cond, "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("credited_conversions"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("credited_value"),
+        )
+        .select(
+            F.lit("none").alias("attributed_to"),
+            "credited_conversions",
+            "credited_value",
+        )
+    )
+    return touched.unionByName(untouched)

@@ -597,3 +597,61 @@ def test_theil_sen_robust_to_planted_outlier(spark, tmp_path):
     assert abs(r["ols_slope"] - 10.0) > 100  # dragged by the spike
     # intercept: median residual of the uncorrupted line is 1000
     assert abs(r["ts_intercept"] - 1000.0) < 1e-9
+
+
+def test_position_attribution_conserves_conversions_and_credit(spark, sf_dir):
+    """Credit conservation: summed credited_conversions over ALL rows
+    (incl. 'none') must equal the exact purchase count to within the
+    6-dp per-touch rounding; the hand-checkable credit split is
+    pinned on a planted three-touch conversion."""
+    from osm_airflow_spark.io import load_table
+
+    rows = QUERIES["pipeline_position_attribution"](spark, sf_dir).collect()
+    total_credit = sum(r["credited_conversions"] for r in rows)
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    # each touched conversion's credits sum to 1 up to k*5e-7 rounding
+    assert abs(total_credit - n_purchases) < 0.01 * n_purchases
+    assert {r["attributed_to"] for r in rows} <= {"click", "view", "none"}
+
+
+def test_position_attribution_u_shape_on_planted_journey(spark, tmp_path):
+    """view -> click -> view -> purchase within 24h: credits must be
+    exactly 0.4 (first view) + 0.2 (middle click) + 0.4 (last view);
+    a second user's touchless purchase lands on 'none' with full
+    credit."""
+    base = 1_600_000_000_000_000
+    hour = 3_600_000_000
+    rows = [
+        (1, 1, "view", 0.0, base),
+        (2, 1, "click", 0.0, base + hour),
+        (3, 1, "view", 0.0, base + 2 * hour),
+        (4, 1, "purchase", 100.0, base + 3 * hour),
+        (5, 2, "purchase", 50.0, base),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, us long"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["attributed_to"]: r
+        for r in QUERIES["pipeline_position_attribution"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["view"]["credited_conversions"] == 0.8
+    assert got["click"]["credited_conversions"] == 0.2
+    assert got["view"]["credited_value"] == 80.0
+    assert got["click"]["credited_value"] == 20.0
+    assert got["none"]["credited_conversions"] == 1.0
+    assert got["none"]["credited_value"] == 50.0
