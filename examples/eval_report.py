@@ -33,10 +33,14 @@ def main() -> None:
     spark = get_spark("eval-report")
     q = all_queries()
 
+    def fmt(v, spec=".4f"):
+        return format(v, spec) if v is not None else "n/a"
+
     r = q["llm_eval_rank_metrics"](spark, sf_dir).first()
     print("== retrieval (BM25, graded relevance):")
-    print(f"   nDCG@20 {r['ndcg_at_k']:.4f}  MRR {r['mrr']:.4f}  "
-          f"P@20 {r['prec_at_k']:.3f}  R@20 {r['rec_at_k']:.3f}  "
+    print(f"   nDCG@20 {fmt(r['ndcg_at_k'])}  MRR {fmt(r['mrr'])}  "
+          f"P@20 {fmt(r['prec_at_k'], '.3f')}  "
+          f"R@20 {fmt(r['rec_at_k'], '.3f')}  "
           f"({r['n_rel_corpus']} relevant in corpus)")
 
     print("== lang-ID gate (per class):")
@@ -48,7 +52,7 @@ def main() -> None:
               f"F1 {f1}  (support {row['support']})")
 
     a = q["llm_eval_auc"](spark, sf_dir).first()
-    print(f"== quality filter: AUC {a['auc']:.4f} "
+    print(f"== quality filter: AUC {fmt(a['auc'])} "
           f"({a['n_pos']} pos / {a['n_neg']} neg, "
           f"{a['n_scores']} distinct scores)")
     print("   calibration (bin: predicted vs observed):")
@@ -57,8 +61,9 @@ def main() -> None:
               f"obs {row['obs_rate']:.3f}  (n={row['n']})")
 
     b = q["llm_eval_bleu"](spark, sf_dir).first()
-    print(f"== generation: BLEU-4 {b['bleu']:.4f} "
-          f"(p1..p4 {b['p1']:.3f}/{b['p2']:.3f}/{b['p3']:.3f}/{b['p4']:.3f}, "
+    print(f"== generation: BLEU-4 {fmt(b['bleu'])} "
+          f"(p1..p4 {fmt(b['p1'], '.3f')}/{fmt(b['p2'], '.3f')}"
+          f"/{fmt(b['p3'], '.3f')}/{fmt(b['p4'], '.3f')}, "
           f"cand/ref tokens {b['cand_tokens']}/{b['ref_tokens']})")
     print("== done")
 

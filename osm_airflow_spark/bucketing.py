@@ -1,0 +1,93 @@
+"""Bucket-offset running aggregation — THE engine-wide pattern for
+exact cumulatives/ranks over a bounded value space without a global
+window (the hard GLOBW lint rule).
+
+Shape (first built for pipeline_gini/pareto, then zipf, then the r9
+statistics family): split the ordered domain into value-contiguous
+buckets from approx-percentile cuts (equal values always share a
+bucket, so bucket boundaries respect the total order), run B-way
+PARALLEL partitioned windows inside buckets, and lift them to global
+running totals by adding per-bucket offsets collected as ≤B
+control-plane rows. ``percentile_approx`` is only used to PLACE the
+cuts — bucket placement can shift with partitioning, but the running
+totals are offset-corrected exactly, so results are bit-stable under
+any partitioning (pinned by test_partition_count_independence).
+
+This module centralizes the five formerly copy-pasted
+implementations (r9 self-review finding): one fix — e.g. the
+documented decimal(38,0) upgrade for >2·10⁹-row sums — now lands in
+one place. The zipf/gini originals predate it and stay untouched
+(driver-proven keys are not churned for style).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bucketed_running(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: list[str],
+    n_buckets: int = 8,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Exact INCLUSIVE running sums of ``sum_cols`` (integer-typed)
+    over ``df`` ordered by ``order_col``, without a global window.
+
+    Returns ``(out, totals)`` where ``out`` is ``df`` plus a
+    ``run_<col>`` column per requested sum (global inclusive running
+    total in ``order_col`` order) and an ``_bkt`` int column (the
+    value-contiguous bucket id — callers chaining a SECOND running
+    pass over derived columns reuse it), and ``totals`` maps each
+    sum col to its exact grand total (a by-product of the offset
+    collect — no extra pass).
+
+    ``df`` must have DISTINCT ``order_col`` values (group first);
+    sums must be integer-typed so offset arithmetic is exact — for
+    decimal running sums scale to integer micros first (the
+    pipeline_survival_km recipe). Cost: one ≤B-row collect plus one
+    B-way parallel window pass; input is expected to be bounded
+    (distinct values of a value space, never a raw corpus)."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(
+        F.percentile_approx(order_col, probs, 10_000).alias("c")
+    ).head()[0]
+    bucket: Column = F.lit(0)
+    for cut in cuts:
+        bucket = bucket + F.when(F.col(order_col) > F.lit(cut), 1).otherwise(0)
+    bucketed = df.withColumn("_bkt", bucket.cast("int"))
+    per_bucket = {
+        r["_bkt"]: tuple(r[f"_s_{c}"] for c in sum_cols)
+        for r in bucketed.groupBy("_bkt")
+        .agg(*[F.sum(c).alias(f"_s_{c}") for c in sum_cols])
+        .collect()
+    }
+    offsets: list[Column] = [F.lit(0).cast("long") for _ in sum_cols]
+    running = [0 for _ in sum_cols]
+    for bkt in range(n_buckets):
+        if bkt not in per_bucket:
+            continue
+        for i in range(len(sum_cols)):
+            if running[i] != 0:
+                offsets[i] = F.when(
+                    F.col("_bkt") == bkt, F.lit(running[i])
+                ).otherwise(offsets[i])
+            running[i] += per_bucket[bkt][i] or 0
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = bucketed.select(
+        "*",
+        *[
+            (offsets[i] + F.sum(sum_cols[i]).over(w)).alias(
+                f"run_{sum_cols[i]}"
+            )
+            for i in range(len(sum_cols))
+        ],
+    )
+    return out, {c: running[i] for i, c in enumerate(sum_cols)}

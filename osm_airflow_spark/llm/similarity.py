@@ -1799,8 +1799,9 @@ def compact_graph_index(
         shutil.rmtree(old)
 
     edges = spark.read.parquet(path)
+    meta = spark.read.parquet(f"{index_dir}/meta").first()  # one read
     if k is None:
-        k = int(spark.read.parquet(f"{index_dir}/meta").first()["k"])
+        k = int(meta["k"])
     out = {"edges_before": edges.count(),
            "files_before": len(edges.inputFiles())}
 
@@ -1832,7 +1833,7 @@ def compact_graph_index(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    n_buckets = int(spark.read.parquet(f"{index_dir}/meta").first()["n_buckets"])
+    n_buckets = int(meta["n_buckets"])
     bucket = F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int").alias("bucket")
     final = (
         pruned.unionByName(keep_alive)

@@ -2194,7 +2194,6 @@ def llm_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-score product to decimal(38,0) before the sum (noted
     rather than paid: the product stays JVM-side either way).
     Output is ONE row."""
-    from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
@@ -2224,36 +2223,13 @@ def llm_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # bounded (≤1e6 rows); 2 consumers
     )
-    n_buckets = 8
-    bucketed = by_score.withColumn(
-        "_bkt",
-        F.least(F.floor(F.col("s") * n_buckets), F.lit(n_buckets - 1)).cast(
-            "int"
-        ),
-    )
-    per_bucket = {
-        r["_bkt"]: r["tneg"]
-        for r in bucketed.groupBy("_bkt")
-        .agg(F.sum("neg").alias("tneg"))
-        .collect()
-    }
-    offset_expr, running = F.lit(0).cast("long"), 0
-    for bkt in range(n_buckets):
-        if running and per_bucket.get(bkt) is not None:
-            offset_expr = F.when(
-                F.col("_bkt") == bkt, F.lit(running)
-            ).otherwise(offset_expr)
-        running += per_bucket.get(bkt, 0)
-    w = (
-        Window.partitionBy("_bkt")
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    neg_before = offset_expr + F.sum("neg").over(w) - F.col("neg")
-    cum = bucketed.select(
+    from osm_airflow_spark.bucketing import bucketed_running
+
+    out, _ = bucketed_running(by_score, "s", ["neg"])
+    cum = out.select(
         "pos",
         "neg",
-        neg_before.alias("neg_before"),
+        (F.col("run_neg") - F.col("neg")).alias("neg_before"),
     )
     p_tot, n_tot = F.sum("pos"), F.sum("neg")
     return cum.agg(
@@ -2672,12 +2648,21 @@ def llm_eval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("grade") >= 2, F.col("rnk"))).alias("first_rel"),
         F.sum(_dcg_term(F.col("grade"), F.col("rnk"))).alias("dcg_dec"),
     )
+    # guard the spine for n_docs = 0: Spark's sequence(1, 0) is the
+    # DESCENDING [1, 0] (the llm_distinct_ngrams lesson) while the
+    # oracle's generate_series(1, 0) is empty — explode an empty
+    # array instead so both engines emit NULL IDCG on an empty corpus
     spine = g.select(
         "g3",
         "g2",
         "g1",
         F.explode(
-            F.sequence(F.lit(1), F.least(F.lit(20), F.col("n_docs").cast("int")))
+            F.when(
+                F.col("n_docs") >= 1,
+                F.sequence(
+                    F.lit(1), F.least(F.lit(20), F.col("n_docs").cast("int"))
+                ),
+            ).otherwise(F.array().cast("array<int>"))
         ).alias("r"),
     )
     ig = (

@@ -2941,7 +2941,7 @@ def _two_sample_value_cum(spark: SparkSession, sf_dir: str):
     At 100 TB pre-quantize `value` to a fixed grid first (the table
     is distinct-value-bounded, which for continuous measurements is
     corpus-sized without quantization)."""
-    from pyspark.sql import Window
+    from osm_airflow_spark.bucketing import bucketed_running
 
     e = load_table(spark, sf_dir, "events")
     assigned = e.where(
@@ -2958,45 +2958,16 @@ def _two_sample_value_cum(spark: SparkSession, sf_dir: str):
         )
         .localCheckpoint(eager=True)
     )
-    n_buckets = 8
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = by_val.agg(
-        F.percentile_approx("value", probs, 10_000).alias("c")
-    ).head()[0]
-    bucket = F.lit(0)
-    for cut in cuts:
-        bucket = bucket + F.when(F.col("value") > F.lit(cut), 1).otherwise(0)
-    bucketed = by_val.withColumn("_bkt", bucket.cast("int"))
-    per_bucket = {
-        r["_bkt"]: (r["ta"], r["tb"])
-        for r in bucketed.groupBy("_bkt")
-        .agg(F.sum("c_a").alias("ta"), F.sum("c_b").alias("tb"))
-        .collect()
-    }
-    off_a, off_b = F.lit(0).cast("long"), F.lit(0).cast("long")
-    run_a = run_b = 0
-    for bkt in range(n_buckets):
-        if bkt in per_bucket:
-            if run_a:
-                off_a = F.when(F.col("_bkt") == bkt, F.lit(run_a)).otherwise(off_a)
-            if run_b:
-                off_b = F.when(F.col("_bkt") == bkt, F.lit(run_b)).otherwise(off_b)
-            run_a += per_bucket[bkt][0]
-            run_b += per_bucket[bkt][1]
-    w = (
-        Window.partitionBy("_bkt")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = bucketed.select(
+    out, totals = bucketed_running(by_val, "value", ["c_a", "c_b"])
+    cum = out.select(
         "value",
         "c_a",
         "c_b",
         (F.col("c_a") + F.col("c_b")).alias("c"),
-        (off_a + F.sum("c_a").over(w)).alias("cum_a"),
-        (off_b + F.sum("c_b").over(w)).alias("cum_b"),
+        F.col("run_c_a").alias("cum_a"),
+        F.col("run_c_b").alias("cum_b"),
     )
-    return cum, run_a, run_b
+    return cum, totals["c_a"], totals["c_b"]
 
 
 @query(
@@ -3129,8 +3100,12 @@ def pipeline_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c") * F.col("c") * F.col("c") - F.col("c")
         ).alias("tie_term"),
     )
+    # the product is computed in PYTHON: two IntegerType literals
+    # multiplied column-side overflow int32 at n_a >= 46341 and ANSI
+    # (on in this build) turns that into ARITHMETIC_OVERFLOW at
+    # constant folding (r9 self-review, reproduced)
     u_a = (
-        F.col("two_r_a") - F.lit(n_a) * F.lit(n_a + 1)
+        F.col("two_r_a") - F.lit(n_a * (n_a + 1))
     ).cast("double") / 2.0
     mu = F.lit(float(n_a)) * F.lit(n_b) / 2.0
     n = n_a + n_b
@@ -3274,9 +3249,10 @@ def pipeline_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cusum AS (
       SELECT event_type, day, n_days, mu, sigma,
-             pref - MIN(pref) OVER (PARTITION BY event_type ORDER BY day
+             pref - least(0.0, MIN(pref) OVER (PARTITION BY event_type
+                                    ORDER BY day
                                     ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW) AS c_plus
+                                    AND CURRENT ROW)) AS c_plus
       FROM walk
     ),
     best AS (
@@ -3301,9 +3277,12 @@ def pipeline_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard alternative to pipeline_value_anomalies' pointwise
     z-cut for SUSTAINED small shifts. The textbook recursion
     C⁺_t = max(0, C⁺_{t-1} + x_t − μ − kσ) looks stateful, but has
-    the closed form C⁺_t = P_t − min_{i≤t} P_i over the drift-
-    corrected prefix sum P — so it is two ordered windows (a
-    cumulative and a running min), no applyInPandas, no recursion.
+    the closed form C⁺_t = P_t − min_{0≤i≤t} P_i over the drift-
+    corrected prefix sum P with P_0 = 0 — so it is two ordered
+    windows (a cumulative and a running min folded with 0), no
+    applyInPandas, no recursion. The P_0 term matters: dropping it
+    understates C⁺ whenever the prefix starts positive and silently
+    missed a first-day spike (r9 self-review, test-pinned).
     Allowance k=0.5σ, decision threshold h=4σ (the classic ARL
     tuning); the key reports each type's peak statistic, its day,
     and whether the threshold was breached.
@@ -3360,7 +3339,11 @@ def pipeline_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     walk = joined.select(
         "event_type", "day", "n_days", "mu", "sigma", pref.alias("pref")
     )
-    c_plus = F.col("pref") - F.min("pref").over(w)
+    # the running min includes the EMPTY prefix P_0 = 0 (least with
+    # 0): without it C+ is understated whenever the drift-corrected
+    # prefix starts positive — a first-day spike was silently missed
+    # (r9 self-review finding, pinned by the first-day-spike test)
+    c_plus = F.col("pref") - F.least(F.lit(0.0), F.min("pref").over(w))
     cusum = walk.select(
         "event_type", "day", "n_days", "mu", "sigma", c_plus.alias("c_plus")
     )
@@ -3473,6 +3456,8 @@ def pipeline_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     date and cohort size ride as one broadcast row."""
     from pyspark.sql import Window
 
+    from osm_airflow_spark.bucketing import bucketed_running
+
     o = load_table(spark, sf_dir, "orders")
     wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     wmax = Window.partitionBy("o_custkey")
@@ -3500,34 +3485,11 @@ def pipeline_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_time = (
         spells.groupBy("t", "total")
         .agg(F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c"))
+        .withColumn("dc", F.col("d") + F.col("c"))
         .localCheckpoint(eager=True)  # cuts + offsets + windowed pass
     )
-    n_buckets = 8
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = by_time.agg(F.percentile_approx("t", probs, 10_000).alias("c")).head()[0]
-    bucket = F.lit(0)
-    for cut in cuts:
-        bucket = bucket + F.when(F.col("t") > F.lit(cut), 1).otherwise(0)
-    bucketed = by_time.withColumn("_bkt", bucket.cast("int"))
-    per_bucket = {
-        r["_bkt"]: r["s"]
-        for r in bucketed.groupBy("_bkt")
-        .agg(F.sum(F.col("d") + F.col("c")).alias("s"))
-        .collect()
-    }
-    off, running = F.lit(0).cast("long"), 0
-    for bkt in range(n_buckets):
-        if running and bkt in per_bucket:
-            off = F.when(F.col("_bkt") == bkt, F.lit(running)).otherwise(off)
-        running += per_bucket.get(bkt, 0)
-    w = (
-        Window.partitionBy("_bkt")
-        .orderBy("t")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    before = off + F.sum(F.col("d") + F.col("c")).over(w) - (
-        F.col("d") + F.col("c")
-    )
+    out1, _ = bucketed_running(by_time, "t", ["dc"])
+    before = F.col("run_dc") - F.col("dc")
     n_risk = F.col("total") - F.col("before")
     ratio = F.lit(1.0) - F.col("d").cast("double") / n_risk
     micro = (
@@ -3539,28 +3501,19 @@ def pipeline_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
     )
     terms = (
-        bucketed.withColumn("before", before)
+        out1.withColumn("before", before)
         .select(
             "t",
             "d",
             "c",
-            "_bkt",
             n_risk.alias("n_risk"),
             micro.alias("micro"),
         )
         .localCheckpoint(eager=True)  # second offset collect + window
     )
-    per_bucket2 = {
-        r["_bkt"]: r["s"]
-        for r in terms.groupBy("_bkt").agg(F.sum("micro").alias("s")).collect()
-    }
-    off2, running2 = F.lit(0).cast("long"), 0
-    for bkt in range(n_buckets):
-        if running2 and bkt in per_bucket2:
-            off2 = F.when(F.col("_bkt") == bkt, F.lit(running2)).otherwise(off2)
-        running2 += per_bucket2.get(bkt, 0)
-    cumm = off2 + F.sum("micro").over(w)
-    return terms.select(
+    out2, _ = bucketed_running(terms, "t", ["micro"])
+    cumm = F.col("run_micro")
+    return out2.select(
         F.col("t").cast("long").alias("t_days"),
         F.col("n_risk").cast("long").alias("n_risk"),
         F.col("d").cast("long").alias("n_events"),
@@ -3578,42 +3531,22 @@ def _exact_median_1row(df: DataFrame, col: str):
     each distinct value's rank span — bit-identical to the SQL
     two-rank formulation because two-term IEEE addition is
     commutative and the division is shared. Returns (df_1row, n)."""
-    from pyspark.sql import Window
+    from osm_airflow_spark.bucketing import bucketed_running
 
     vals = (
         df.groupBy(col)
         .agg(F.count(F.lit(1)).alias("_c"))
         .localCheckpoint(eager=True)
     )
-    n_buckets = 8
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = vals.agg(F.percentile_approx(col, probs, 10_000).alias("c")).head()[0]
-    bucket = F.lit(0)
-    for cut in cuts:
-        bucket = bucket + F.when(F.col(col) > F.lit(cut), 1).otherwise(0)
-    bucketed = vals.withColumn("_bkt", bucket.cast("int"))
-    per_bucket = {
-        r["_bkt"]: r["s"]
-        for r in bucketed.groupBy("_bkt").agg(F.sum("_c").alias("s")).collect()
-    }
-    off, running = F.lit(0).cast("long"), 0
-    for bkt in range(n_buckets):
-        if running and bkt in per_bucket:
-            off = F.when(F.col("_bkt") == bkt, F.lit(running)).otherwise(off)
-        running += per_bucket.get(bkt, 0)
-    n = running
+    out, totals = bucketed_running(vals, col, ["_c"])
+    n = totals["_c"]
     k1, k2 = (n + 1) // 2, (n + 2) // 2
-    w = (
-        Window.partitionBy("_bkt")
-        .orderBy(col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = off + F.sum("_c").over(w)
+    cum = F.col("run__c")
     lo = cum - F.col("_c") + 1
     hits = F.when((lo <= k1) & (cum >= k1), 1).otherwise(0) + F.when(
         (lo <= k2) & (cum >= k2), 1
     ).otherwise(0)
-    med = bucketed.select(F.col(col).alias("_v"), hits.alias("_h")).agg(
+    med = out.select(F.col(col).alias("_v"), hits.alias("_h")).agg(
         (
             F.sum(F.col("_v") * F.col("_h")).cast("double") / F.sum("_h")
         ).alias("med")
@@ -3832,10 +3765,14 @@ def pipeline_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale: the touch↔purchase pairing is a per-user range join —
     shuffle on user_id, per-conversion windows bounded by the 24 h
-    lookback; the same derived pairs table feeds the credit pass
-    (checkpointed — two consumers, no exchange reuse in this build).
-    At 100 TB bucket events by user_id and the pairing is
-    zero-Exchange (the write_bucketed layout)."""
+    lookback. The derived purchases and touches frames each feed TWO
+    consumers (the credit join and the no-touch anti-join), so both
+    are checkpointed — this build never reuses exchange subtrees,
+    and without the barrier events would be scanned four times
+    instead of two (r9 self-review: the first version claimed the
+    checkpoint in prose but didn't place it). At 100 TB bucket
+    events by user_id and the pairing is zero-Exchange (the
+    write_bucketed layout)."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -3844,13 +3781,13 @@ def pipeline_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("event_id").alias("p_id"),
         F.col("ts").alias("p_ts"),
         "value",
-    )
+    ).localCheckpoint(eager=True)  # credit join + anti-join
     touches = ev.where(F.col("event_type").isin("click", "view")).select(
         "user_id",
         F.col("event_id").alias("t_id"),
         F.col("ts").alias("t_ts"),
         F.col("event_type").alias("t_type"),
-    )
+    ).localCheckpoint(eager=True)  # credit join + anti-join
     in_window = (F.col("t_ts") <= F.col("p_ts")) & (
         F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")
     )

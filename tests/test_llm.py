@@ -1717,3 +1717,25 @@ def test_source_profile_planted_duplicates(spark, tmp_path):
     assert got["cleansrc"]["distinct_ratio"] == 1.0
     assert got["dupsrc"]["total_tokens"] == 6 * 3 + 4
     assert got["cleansrc"]["mean_doc_len"] == 4.0
+
+
+def test_eval_rank_metrics_empty_corpus_matches_oracle(spark, tmp_path):
+    """r9 self-review: the IDCG spine must not feed Spark's
+    descending sequence(1, 0) on an empty corpus — both engines must
+    agree row-for-row (NULL metrics, zero counts)."""
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    got = QUERIES["llm_eval_rank_metrics"](spark, str(tmp_path)).collect()
+    want = con.execute(ORACLES["llm_eval_rank_metrics"]).fetchall()
+    assert len(got) == len(want) == 1
+    assert tuple(got[0]) == want[0]
+    assert got[0]["n_retrieved"] == 0 and got[0]["ndcg_at_k"] is None

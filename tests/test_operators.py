@@ -655,3 +655,32 @@ def test_position_attribution_u_shape_on_planted_journey(spark, tmp_path):
     assert got["click"]["credited_value"] == 20.0
     assert got["none"]["credited_conversions"] == 1.0
     assert got["none"]["credited_value"] == 50.0
+
+
+def test_cusum_first_day_spike_breaches(spark, tmp_path):
+    """The r9 self-review bug: without the P_0 = 0 prefix candidate,
+    a spike on the FIRST day leaves the drift-corrected prefix
+    positive, the running min equals P_1, and C+ collapses to 0 —
+    the true change-point is silently missed. The fixed closed form
+    (pref - least(0, min pref)) must flag it on day one."""
+    rows = []
+    for i in range(40):
+        val = 2000.0 if i == 0 else 10.0
+        rows.append(
+            (i, 1, "purchase", val, 1_600_000_000_000_000 + i * 86_400_000_000)
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, us long"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    row = QUERIES["pipeline_cusum_changepoint"](spark, str(tmp_path)).collect()[0]
+    assert bool(row["breached"]) is True
+    assert row["peak_day"] == "2020-09-13"  # the spike day itself
+    assert row["max_cusum"] > 4.0 * row["sigma"]
