@@ -65,6 +65,10 @@ def main() -> None:
           f"(p1..p4 {fmt(b['p1'], '.3f')}/{fmt(b['p2'], '.3f')}"
           f"/{fmt(b['p3'], '.3f')}/{fmt(b['p4'], '.3f')}, "
           f"cand/ref tokens {b['cand_tokens']}/{b['ref_tokens']})")
+    ro = q["llm_eval_rouge"](spark, sf_dir).first()
+    print(f"== summary eval: ROUGE-1 F {fmt(ro['rouge1_f'])}  "
+          f"ROUGE-2 F {fmt(ro['rouge2_f'])}  "
+          f"(R1 P/R {fmt(ro['rouge1_p'], '.3f')}/{fmt(ro['rouge1_r'], '.3f')})")
     print("== done")
 
 

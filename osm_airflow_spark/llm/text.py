@@ -3364,3 +3364,145 @@ def llm_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("distinct_ratio"),
         )
     )
+
+
+@query(
+    "llm_eval_rouge",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS rw FROM documents
+    ),
+    pair AS (
+      SELECT doc_id, rw, {_BLEU_CAND_SQL} AS cw FROM base
+    ),
+    lens AS (
+      SELECT SUM(greatest(len(cw) - 0, 0)) AS t1,
+             SUM(greatest(len(cw) - 1, 0)) AS t2,
+             SUM(greatest(len(rw) - 0, 0)) AS r1,
+             SUM(greatest(len(rw) - 1, 0)) AS r2
+      FROM pair
+    ),
+    cg AS (
+      SELECT doc_id, gram, COUNT(*) AS c_cnt
+      FROM (
+        SELECT doc_id,
+               unnest({" || ".join(_bleu_grams_sql("cw", n) for n in (1, 2))})
+                 AS gram
+        FROM pair
+      ) GROUP BY doc_id, gram
+    ),
+    rg AS (
+      SELECT doc_id, gram, COUNT(*) AS r_cnt
+      FROM (
+        SELECT doc_id,
+               unnest({" || ".join(_bleu_grams_sql("rw", n) for n in (1, 2))})
+                 AS gram
+        FROM base
+      ) GROUP BY doc_id, gram
+    ),
+    m AS (
+      SELECT SUM(CASE WHEN substr(gram, 1, 1) = '1'
+                      THEN least(c_cnt, r_cnt) ELSE 0 END) AS m1,
+             SUM(CASE WHEN substr(gram, 1, 1) = '2'
+                      THEN least(c_cnt, r_cnt) ELSE 0 END) AS m2
+      FROM cg JOIN rg USING (doc_id, gram)
+    )
+    SELECT CAST(m1 AS BIGINT) AS m1,
+           CAST(m2 AS BIGINT) AS m2,
+           CASE WHEN t1 > 0 THEN CAST(m1 AS DOUBLE) / t1 END AS rouge1_p,
+           CASE WHEN r1 > 0 THEN CAST(m1 AS DOUBLE) / r1 END AS rouge1_r,
+           CASE WHEN m1 > 0 THEN
+             2.0 * (CAST(m1 AS DOUBLE) / t1) * (CAST(m1 AS DOUBLE) / r1)
+             / ((CAST(m1 AS DOUBLE) / t1) + (CAST(m1 AS DOUBLE) / r1))
+           END AS rouge1_f,
+           CASE WHEN t2 > 0 THEN CAST(m2 AS DOUBLE) / t2 END AS rouge2_p,
+           CASE WHEN r2 > 0 THEN CAST(m2 AS DOUBLE) / r2 END AS rouge2_r,
+           CASE WHEN m2 > 0 THEN
+             2.0 * (CAST(m2 AS DOUBLE) / t2) * (CAST(m2 AS DOUBLE) / r2)
+             / ((CAST(m2 AS DOUBLE) / t2) + (CAST(m2 AS DOUBLE) / r2))
+           END AS rouge2_f
+    FROM lens, m
+    """,
+)
+def llm_eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — corpus ROUGE-1/ROUGE-2 (Lin 2004), the
+    recall-oriented companion to llm_eval_bleu over the SAME
+    candidate/reference pairing (every-7th-word-dropped candidate vs
+    full reference; swap in real summaries): clipped n-gram matches
+    divided by the CANDIDATE total (precision) and the REFERENCE
+    total (recall), plus their F-measure — the summary-evaluation
+    triple. ROUGE-L is deliberately absent: LCS is a per-pair
+    quadratic DP with no bounded relational form; the n-gram
+    variants are what scales.
+
+    Determinism: every count is an exact integer from the shared
+    explode→groupBy→join clipped-count shape (the llm_eval_bleu
+    kernel, n=1,2 only); each emitted metric is one or two exact-int
+    divisions and a shared three-node F1 tree over them — no
+    transcendental, no rounding, NULL guards mirrored. Scale: same
+    as BLEU — one (doc_id, gram) shuffle ∝ corpus grams, totals from
+    a lengths pass; output ONE row."""
+    d = load_table(spark, sf_dir, "documents")
+    rw = F.split("text", " ")
+    cw = F.filter(rw, lambda x, i: ((i + F.lit(1)) % 7) != 0)
+    lens = d.select(
+        F.size(rw).alias("rl"), F.size(cw).alias("cl")
+    ).agg(
+        *[
+            F.sum(F.greatest(F.col("cl") - (n - 1), F.lit(0)))
+            .cast("long")
+            .alias(f"t{n}")
+            for n in (1, 2)
+        ],
+        *[
+            F.sum(F.greatest(F.col("rl") - (n - 1), F.lit(0)))
+            .cast("long")
+            .alias(f"r{n}")
+            for n in (1, 2)
+        ],
+    )
+
+    def gram_counts(arr: Column, cnt_name: str) -> DataFrame:
+        allg = F.concat(*[_bleu_grams(arr, n) for n in (1, 2)])
+        return (
+            d.select("doc_id", F.explode_outer(allg).alias("gram"))
+            .where(F.col("gram").isNotNull())
+            .groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias(cnt_name))
+        )
+
+    clipped = F.least(F.col("c_cnt"), F.col("r_cnt"))
+    m = gram_counts(cw, "c_cnt").join(
+        gram_counts(rw, "r_cnt"), ["doc_id", "gram"]
+    ).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring("gram", 1, 1) == str(n), clipped
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"m{n}")
+            for n in (1, 2)
+        ]
+    )
+
+    def triple(n: int):
+        mn = F.col(f"m{n}").cast("double")
+        p = F.when(F.col(f"t{n}") > 0, mn / F.col(f"t{n}"))
+        r = F.when(F.col(f"r{n}") > 0, mn / F.col(f"r{n}"))
+        f = F.when(F.col(f"m{n}") > 0, 2.0 * p * r / (p + r))
+        return p, r, f
+
+    p1, r1, f1 = triple(1)
+    p2, r2, f2 = triple(2)
+    return lens.crossJoin(F.broadcast(m)).select(
+        "m1",
+        "m2",
+        p1.alias("rouge1_p"),
+        r1.alias("rouge1_r"),
+        f1.alias("rouge1_f"),
+        p2.alias("rouge2_p"),
+        r2.alias("rouge2_r"),
+        f2.alias("rouge2_f"),
+    )

@@ -1739,3 +1739,38 @@ def test_eval_rank_metrics_empty_corpus_matches_oracle(spark, tmp_path):
     assert len(got) == len(want) == 1
     assert tuple(got[0]) == want[0]
     assert got[0]["n_retrieved"] == 0 and got[0]["ndcg_at_k"] is None
+
+
+def test_eval_rouge_matches_pure_python(spark, tmp_path):
+    """Counter recompute of ROUGE-1/2 P/R/F on the short-docs
+    fixture, plus the precision identity with BLEU's p1 on the same
+    pairing (same clipped unigram counts over the same candidates)."""
+    from collections import Counter
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES
+
+    short_dir, con = _write_short_docs(spark, tmp_path)
+    got = QUERIES["llm_eval_rouge"](spark, short_dir).collect()[0]
+    want = con.execute(ORACLES["llm_eval_rouge"]).fetchone()
+    assert tuple(got) == want
+
+    docs = [r[0] for r in con.execute("SELECT text FROM documents").fetchall()]
+    m = {1: 0, 2: 0}
+    t = {1: 0, 2: 0}
+    rr = {1: 0, 2: 0}
+    for text in docs:
+        rw = text.split(" ")
+        cw = [w for i, w in enumerate(rw) if (i + 1) % 7 != 0]
+        for n in (1, 2):
+            cg = Counter(" ".join(cw[i:i + n]) for i in range(len(cw) - n + 1))
+            rg = Counter(" ".join(rw[i:i + n]) for i in range(len(rw) - n + 1))
+            m[n] += sum(min(c, rg[g]) for g, c in cg.items())
+            t[n] += max(len(cw) - n + 1, 0)
+            rr[n] += max(len(rw) - n + 1, 0)
+    assert got["m1"] == m[1] and got["m2"] == m[2]
+    assert got["rouge1_p"] == m[1] / t[1]
+    assert got["rouge1_r"] == m[1] / rr[1]
+    assert got["rouge2_r"] == (m[2] / rr[2] if rr[2] else None)
+
+    bleu = QUERIES["llm_eval_bleu"](spark, short_dir).collect()[0]
+    assert got["rouge1_p"] == bleu["p1"]  # identical clipped unigrams
