@@ -593,3 +593,86 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") >= 8)
         .drop("rn")
     )
+
+
+@query(
+    "win_hampel_outliers",
+    oracle="""
+    WITH framed AS (
+      SELECT user_id, event_id, ts, value,
+             list_sort(list(value) OVER w) AS lst,
+             COUNT(*) OVER w AS n_frame
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    scored AS (
+      SELECT user_id, event_id, ts, value,
+             lst[4] AS med,
+             list_sort(list_transform(lst, x -> abs(x - lst[4])))[4] AS mad
+      FROM framed WHERE n_frame = 7
+    )
+    SELECT user_id, event_id, value, med, mad,
+           abs(value - med) > 3.0 * 1.4826 * mad AS is_outlier
+    FROM scored
+    """,
+)
+def win_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext F15 (r9) — HAMPEL FILTER despiking: each event's value is
+    compared against the rolling MEDIAN of its ±3-neighbour frame,
+    with the scale estimated by the frame's MAD (median absolute
+    deviation, ×1.4826 for Gaussian consistency); |x − med| >
+    3·1.4826·MAD flags a spike. The robust cousin of
+    pipeline_value_anomalies' mean/σ z-cut — one wild value
+    contaminates a 7-point mean AND its σ, but not the median/MAD,
+    which is why sensor/metrics despiking uses Hampel (Pearson
+    2002).
+
+    Only FULL 7-point frames emit (edge rows are skipped): a 7-value
+    median is pure SELECTION — sort, take element 4 — identical in
+    both engines, whereas even-count frames would interpolate and
+    Spark's (a+b)/2 need not bit-match DuckDB's quantile_cont
+    a+(b−a)·0.5. With selection only, the sole arithmetic is
+    |x − med| and one shared threshold product — no rounding
+    anywhere, hash-exact raw doubles.
+
+    Scale: one bounded per-user window carrying a 7-element frame
+    list (collect_list over a ROWS frame — constant-size state per
+    row, unlike an unbounded collect); no shuffle beyond the user
+    partition. At 100 TB this is the despiking pass that runs INSIDE
+    the ingest partition before aggregates see the data."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    framed = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.sort_array(F.collect_list("value").over(w)).alias("lst"),
+        F.count(F.lit(1)).over(w).alias("n_frame"),
+    ).where(F.col("n_frame") == 7)
+    med = F.element_at("lst", 4)
+    mad = F.element_at(
+        F.sort_array(F.transform("lst", lambda x: F.abs(x - med))), 4
+    )
+    scored = framed.select(
+        "user_id",
+        "event_id",
+        "value",
+        med.alias("med"),
+        mad.alias("mad"),
+    )
+    return scored.select(
+        "user_id",
+        "event_id",
+        "value",
+        "med",
+        "mad",
+        (F.abs(F.col("value") - F.col("med")) > 3.0 * 1.4826 * F.col("mad")).alias(
+            "is_outlier"
+        ),
+    )

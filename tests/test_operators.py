@@ -684,3 +684,34 @@ def test_cusum_first_day_spike_breaches(spark, tmp_path):
     assert bool(row["breached"]) is True
     assert row["peak_day"] == "2020-09-13"  # the spike day itself
     assert row["max_cusum"] > 4.0 * row["sigma"]
+
+
+def test_hampel_flags_planted_spike_not_neighbors(spark, tmp_path):
+    """A single 100x spike inside a flat series must be the ONLY
+    flagged row; its neighbors' frames contain the spike but their
+    median/MAD stay robust (the whole point vs a mean/sigma cut)."""
+    rows = []
+    for i in range(15):
+        val = 1000.0 if i == 7 else 10.0 + (i % 3)  # mild wiggle
+        rows.append((i, 1, "purchase", val, 1_600_000_000_000_000 + i * 60_000_000))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, us long"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_id"]: r
+        for r in QUERIES["win_hampel_outliers"](spark, str(tmp_path)).collect()
+    }
+    # edge rows (0-2, 12-14) are skipped: full frames only
+    assert set(got) == set(range(3, 12))
+    assert bool(got[7]["is_outlier"]) is True
+    for eid in set(got) - {7}:
+        assert bool(got[eid]["is_outlier"]) is False, eid
+    assert got[7]["med"] <= 12.0  # median robust to its own spike
