@@ -3841,3 +3841,102 @@ def pipeline_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return touched.unionByName(untouched)
+
+
+@query(
+    "pipeline_seasonal_decompose",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS mi,
+             CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rdec
+      FROM orders GROUP BY 1, 2
+    ),
+    trend AS (
+      SELECT a.mi, a.mo, a.rdec,
+             SUM(CASE WHEN abs(b.mi - a.mi) = 6 THEN b.rdec
+                      ELSE 2 * b.rdec END) AS t24,
+             COUNT(*) AS n_frame
+      FROM monthly a JOIN monthly b ON b.mi BETWEEN a.mi - 6 AND a.mi + 6
+      GROUP BY a.mi, a.mo, a.rdec
+    ),
+    detr AS (
+      SELECT mi, mo, rdec, t24, 24 * rdec - t24 AS d24
+      FROM trend WHERE n_frame = 13
+    ),
+    seas AS (
+      SELECT mo, SUM(d24) AS s24_sum, COUNT(*) AS n_years
+      FROM detr GROUP BY mo
+    )
+    SELECT d.mi AS month_index,
+           CAST(d.rdec AS DOUBLE) AS revenue,
+           CAST(d.t24 AS DOUBLE) / 24.0 AS trend,
+           CAST(s.s24_sum AS DOUBLE) / s.n_years / 24.0 AS seasonal,
+           CAST(d.d24 AS DOUBLE) / 24.0
+             - CAST(s.s24_sum AS DOUBLE) / s.n_years / 24.0 AS residual
+    FROM detr d JOIN seas s USING (mo)
+    """,
+)
+def pipeline_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — classical ADDITIVE seasonal decomposition of
+    monthly revenue (the moving-average method behind STL's
+    initialization and every textbook decompose()): trend = centered
+    2×12 moving average, seasonal = per-calendar-month mean of the
+    detrended series, residual = the rest. Completes the time-series
+    toolkit beside pipeline_seasonal_index (year-relative ratios),
+    pipeline_cusum_changepoint (drift) and win_hampel_outliers
+    (despiking).
+
+    Windowless by construction: the centered ±6 frame is a BOUNDED
+    self-join of the months spine (months² ≤ ~10⁴ after a decade —
+    control-plane sized, broadcast), sidestepping both the global-
+    window lint rule AND the bucket-offset machinery (offsets fix
+    running sums, not sliding frames — a bucketed centered MA would
+    break at bucket boundaries). Only full 13-month frames emit.
+
+    Determinism: everything stays EXACT decimal, SCALED — the 2×12
+    MA is Σ w·r with integer weights (1 at ±6, 2 elsewhere), so
+    trend×24, detrended×24 and the seasonal sums are exact decimal
+    arithmetic with no division until emission, where each output is
+    one shared double tree (cast, divide by 24.0 / n_years). No
+    rounding, no transcendental — raw doubles hash-exact.
+
+    Scale: one corpus pass to the monthly aggregate; all downstream
+    joins are months- or 12-bounded broadcasts."""
+    o = load_table(spark, sf_dir, "orders")
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("long")
+    monthly = (
+        o.groupBy(
+            mi.alias("mi"), F.month("o_orderdate").cast("int").alias("mo")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rdec"))
+        .localCheckpoint(eager=True)  # both self-join sides + seasonal
+    )
+    b = monthly.select(F.col("mi").alias("bmi"), F.col("rdec").alias("brdec"))
+    w24 = F.when(F.abs(F.col("bmi") - F.col("mi")) == 6, F.col("brdec")).otherwise(
+        2 * F.col("brdec")
+    )
+    trend = (
+        monthly.join(
+            F.broadcast(b),
+            F.col("bmi").between(F.col("mi") - 6, F.col("mi") + 6),
+        )
+        .groupBy("mi", "mo", "rdec")
+        .agg(F.sum(w24).alias("t24"), F.count(F.lit(1)).alias("n_frame"))
+        .where(F.col("n_frame") == 13)
+    )
+    detr = trend.select(
+        "mi", "mo", "rdec", "t24", (24 * F.col("rdec") - F.col("t24")).alias("d24")
+    ).localCheckpoint(eager=True)  # seasonal agg + final join
+    seas = detr.groupBy("mo").agg(
+        F.sum("d24").alias("s24_sum"), F.count(F.lit(1)).alias("n_years")
+    )
+    seasonal = F.col("s24_sum").cast("double") / F.col("n_years") / 24.0
+    return detr.join(F.broadcast(seas), "mo").select(
+        F.col("mi").alias("month_index"),
+        F.col("rdec").cast("double").alias("revenue"),
+        (F.col("t24").cast("double") / 24.0).alias("trend"),
+        seasonal.alias("seasonal"),
+        (F.col("d24").cast("double") / 24.0 - seasonal).alias("residual"),
+    )

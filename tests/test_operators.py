@@ -715,3 +715,36 @@ def test_hampel_flags_planted_spike_not_neighbors(spark, tmp_path):
     for eid in set(got) - {7}:
         assert bool(got[eid]["is_outlier"]) is False, eid
     assert got[7]["med"] <= 12.0  # median robust to its own spike
+
+
+def test_seasonal_decompose_identity_and_planted_cycle(spark, tmp_path):
+    """Planted series: linear trend + exact 12-month square-wave
+    seasonality, no noise. The decomposition must (a) satisfy
+    revenue == trend + seasonal + residual exactly as emitted, and
+    (b) recover the alternating seasonal sign pattern."""
+    rows = []
+    ok = 0
+    for m in range(36):
+        rev = 10000.0 + 100.0 * m + (500.0 if m % 12 < 6 else -500.0)
+        y, mo = 2020 + m // 12, m % 12 + 1
+        rows.append((ok, 1, "O", rev, f"{y}-{mo:02d}-15", "1-URGENT"))
+        ok += 1
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, d string, o_orderpriority string",
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("d").cast("timestamp").alias("o_orderdate"), "o_orderpriority",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    rows_out = QUERIES["pipeline_seasonal_decompose"](spark, str(tmp_path)).collect()
+    assert len(rows_out) == 36 - 12  # edges without a full 13-frame drop
+    for r in rows_out:
+        assert abs(r["revenue"] - (r["trend"] + r["seasonal"] + r["residual"])) < 1e-6
+    # square wave: first-half months positive seasonal, second half negative
+    by_mo = {}
+    for r in rows_out:
+        by_mo.setdefault(r["month_index"] % 12, r["seasonal"])
+    assert all(by_mo[m] > 100 for m in range(0, 6) if m in by_mo)
+    assert all(by_mo[m] < -100 for m in range(6, 12) if m in by_mo)

@@ -85,6 +85,8 @@ ITERATIVE = {
     "agg_bloom_probe",
     "graph_kcore",  # driver-controlled peeling loop
     "pipeline_theil_sen",  # two bucket-offset medians (control-plane collects)
+    "pipeline_seasonal_decompose",  # checkpointed months spine (3 consumers)
+    "pipeline_position_attribution",  # checkpointed purchases/touches frames
 }
 
 # a deliberate unbounded cartesian (the D10 surface key)
