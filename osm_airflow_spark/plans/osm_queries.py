@@ -1605,3 +1605,81 @@ def osm_nearest_way_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id", "way_id", "seg_pos", F.round(F.sqrt("d2"), 6).alias("dist_deg")
         )
     )
+
+
+@query("osm_convex_hull")  # rows-only: imperative hull kernel, no SQL twin
+def osm_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — per-way CONVEX HULL via Andrew's monotone
+    chain, the geometry family's demonstration of the custom-operator
+    escape hatch the survey prescribes: when semantics are genuinely
+    imperative (the hull's pop-while-clockwise loop has no bounded
+    relational form — unlike simplification, ring repair or areas,
+    which all stayed in column expressions), implement them as an
+    Arrow-batched ``applyInPandas`` kernel over a BOUNDED group (a
+    way's nodes), never a row-at-a-time UDF and never the corpus.
+
+    Emits (way_id, n_points, hull_size, hull_area): distinct points,
+    hull vertex count, and the exact shoelace area of the hull in
+    squared degrees. Determinism: the kernel sorts points
+    lexicographically (ties collapse via distinct), cross products
+    and the shoelace run on the same integer-derived doubles in a
+    fixed order — partition layout cannot reach the kernel. Declared
+    rows-only (the oracle-side hull would need the same imperative
+    loop DuckDB SQL cannot express); the exact cross-check is an
+    INDEPENDENT gift-wrapping implementation plus containment/
+    convexity invariants in tests/test_osm_domain.py.
+
+    Scale: groups are per-way (bounded ~10² nodes); the Arrow batch
+    carries only (way_id, lon, lat). At 100 TB this shape is one
+    shuffle on way_id — identical to osm_assemble_ways — and the
+    kernel cost is O(n log n) per way."""
+    import pandas as pd
+
+    nodes = _derived_nodes(spark, sf_dir)
+    ways = _derived_ways(spark, sf_dir)
+    pts = (
+        ways.select("way_id", F.explode("node_refs").alias("node_id"))
+        .join(nodes, "node_id")
+        .select("way_id", "lon", "lat")
+    )
+
+    def hull_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        way_id = pdf["way_id"].iloc[0]
+        pts_ = sorted(set(zip(pdf["lon"], pdf["lat"])))
+        n = len(pts_)
+
+        def cross(o, a, b):
+            return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+        if n <= 2:
+            hull = pts_
+        else:
+            lower: list = []
+            for p in pts_:
+                while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+                    lower.pop()
+                lower.append(p)
+            upper: list = []
+            for p in reversed(pts_):
+                while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+                    upper.pop()
+                upper.append(p)
+            hull = lower[:-1] + upper[:-1]
+        area = 0.0
+        for i in range(len(hull)):
+            x1, y1 = hull[i]
+            x2, y2 = hull[(i + 1) % len(hull)]
+            area += x1 * y2 - x2 * y1
+        return pd.DataFrame(
+            {
+                "way_id": [way_id],
+                "n_points": [n],
+                "hull_size": [len(hull)],
+                "hull_area": [abs(area) / 2.0],
+            }
+        )
+
+    return pts.groupBy("way_id").applyInPandas(
+        hull_kernel,
+        "way_id long, n_points int, hull_size int, hull_area double",
+    )

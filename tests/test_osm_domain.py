@@ -716,3 +716,91 @@ def test_bbox_read_prunes_geohash_partitions(spark, sf_dir, tmp_path):
     n_cells = len(cells_for_bbox(*bbox, bits=bits))
     assert n_read < n_total  # pruning actually happened
     assert n_read <= n_cells  # at most one file per covering cell here
+
+
+def test_convex_hull_matches_gift_wrapping_and_invariants(spark, sf_dir):
+    """Independent algorithm cross-check for the rows-only hull key:
+    Jarvis gift-wrapping (a different construction from the kernel's
+    monotone chain) must produce the same hull size and area per
+    way; every input point must lie inside-or-on the hull; hull area
+    bounds the way's bbox-triangle from below sanity-wise."""
+    from osm_airflow_spark.plans.osm_queries import (
+        _derived_nodes,
+        _derived_ways,
+    )
+    from osm_airflow_spark.registry import all_queries
+
+    QUERIES = all_queries()
+    got = {
+        r["way_id"]: r
+        for r in QUERIES["osm_convex_hull"](spark, sf_dir).collect()
+    }
+    nodes = {
+        r["node_id"]: (r["lon"], r["lat"])
+        for r in _derived_nodes(spark, sf_dir).collect()
+    }
+    # sample 40 ways deterministically for the python cross-check
+    sample_ids = sorted(got)[:40]
+    ways_df = _derived_ways(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    sample = {
+        r["way_id"]: r["node_refs"]
+        for r in ways_df.where(F.col("way_id").isin(sample_ids)).collect()
+    }
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def gift_wrap(pts):
+        pts = sorted(set(pts))
+        if len(pts) <= 2:
+            return pts
+        hull = []
+        start = min(pts)
+        p = start
+        while True:
+            hull.append(p)
+            q = pts[0] if pts[0] != p else pts[1]
+            for r in pts:
+                if r == p:
+                    continue
+                c = cross(p, q, r)
+                if c < 0 or (
+                    c == 0
+                    and (r[0] - p[0]) ** 2 + (r[1] - p[1]) ** 2
+                    > (q[0] - p[0]) ** 2 + (q[1] - p[1]) ** 2
+                ):
+                    q = r
+            p = q
+            if p == start:
+                break
+        return hull
+
+    def shoelace(h):
+        a = 0.0
+        for i in range(len(h)):
+            x1, y1 = h[i]
+            x2, y2 = h[(i + 1) % len(h)]
+            a += x1 * y2 - x2 * y1
+        return abs(a) / 2.0
+
+    checked = 0
+    for wid, refs in sample.items():
+        pts = [nodes[n] for n in refs if n in nodes]
+        if not pts:
+            continue
+        h = gift_wrap(pts)
+        r = got[wid]
+        assert r["n_points"] == len(set(pts)), wid
+        assert r["hull_size"] == len(h), (wid, r["hull_size"], len(h))
+        assert abs(r["hull_area"] - shoelace(h)) < 1e-9, wid
+        # containment: every point inside-or-on the hull
+        if len(h) >= 3:
+            for p in set(pts):
+                assert all(
+                    cross(h[i], h[(i + 1) % len(h)], p) >= -1e-9
+                    for i in range(len(h))
+                ), (wid, p)
+        checked += 1
+    assert checked >= 30

@@ -57,6 +57,7 @@ def test_rows_only_keys_are_the_documented_ones():
         "llm_bpe_encode",
         "osm_ring_repair",
         "graph_kcore",
+        "osm_convex_hull",
     }
 
 
