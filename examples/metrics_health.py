@@ -1,0 +1,87 @@
+"""Experiment & metrics health report, end to end on one page.
+
+The statistics layer chained over the bundled fixtures — the readout
+an experimentation/metrics platform produces per review:
+
+  experiment     Welch t (pipeline_ab_test) beside the nonparametric
+                 Mann-Whitney U and the distribution-shape KS test —
+                 mean shift, location shift, and shape shift are
+                 different questions
+  drift          CUSUM change-point per event type
+                 (pipeline_cusum_changepoint)
+  despiking      Hampel rolling-median outliers (win_hampel_outliers)
+  lifecycle      Kaplan-Meier reorder survival (pipeline_survival_km)
+  trend          Theil-Sen robust slope vs OLS (pipeline_theil_sen)
+                 and the additive seasonal decomposition
+                 (pipeline_seasonal_decompose)
+
+    python examples/metrics_health.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from osm_airflow_spark.registry import all_queries
+from osm_airflow_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("metrics-health")
+    q = all_queries()
+
+    t = q["pipeline_ab_test"](spark, sf_dir).first()
+    mw = q["pipeline_mann_whitney"](spark, sf_dir).first()
+    ks = q["pipeline_ks_test"](spark, sf_dir).first()
+    print("== experiment (purchase value, arms by user parity):")
+    print(f"   Welch t {t['t_stat']:+.3f} (significant: {t['significant']})  "
+          f"lift {t['lift']:+.2f}")
+    print(f"   Mann-Whitney z {mw['z_score']:+.3f} "
+          f"(U_a {mw['u_a']:.1f}, ties {mw['tie_term']})")
+    print(f"   KS D {ks['d_stat']:.4f}  p~{ks['p_approx']:.4f}")
+
+    print("== drift (CUSUM, 4-sigma bound):")
+    for r in q["pipeline_cusum_changepoint"](spark, sf_dir).orderBy(
+        "event_type"
+    ).collect():
+        flag = "BREACH" if r["breached"] else "ok"
+        print(f"   {r['event_type']:<10} peak {r['max_cusum']:>12.2f} "
+              f"on {r['peak_day']}  [{flag}]")
+
+    ham = q["win_hampel_outliers"](spark, sf_dir)
+    n_out = ham.where(F.col("is_outlier")).count()
+    print(f"== despiking: {n_out} Hampel outliers / {ham.count()} framed events")
+
+    km = q["pipeline_survival_km"](spark, sf_dir)
+    half = (
+        km.where(F.col("survival") <= 0.5)
+        .orderBy("t_days")
+        .limit(1)
+        .collect()
+    )
+    if half:
+        print(f"== lifecycle: median time-to-reorder ~ {half[0]['t_days']} days "
+              f"(n_risk {half[0]['n_risk']})")
+    else:
+        print("== lifecycle: survival never crosses 0.5 in-window")
+
+    ts = q["pipeline_theil_sen"](spark, sf_dir).first()
+    print(f"== trend: Theil-Sen {ts['ts_slope']:+.2f}/month "
+          f"vs OLS {ts['ols_slope']:+.2f}/month over {ts['n_months']} months")
+    dec = q["pipeline_seasonal_decompose"](spark, sf_dir)
+    amp = dec.agg(
+        F.max("seasonal").alias("hi"), F.min("seasonal").alias("lo")
+    ).first()
+    print(f"== seasonality: amplitude [{amp['lo']:.0f}, {amp['hi']:.0f}] "
+          f"around the centered-MA trend")
+    print("== done")
+
+
+if __name__ == "__main__":
+    main()
