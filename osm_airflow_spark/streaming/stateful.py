@@ -134,3 +134,95 @@ try:
 except ImportError:  # pre-4.0 PySpark — old API only
     StatefulProcessor = StatefulProcessorHandle = None  # type: ignore[assignment]
     user_profiles_tws = None  # type: ignore[assignment]
+
+
+# --- streaming CUSUM monitor ----------------------------------------
+
+CUSUM_STATE = T.StructType(
+    [
+        T.StructField("pref", T.DoubleType()),      # drift-corrected prefix sum
+        T.StructField("min_pref", T.DoubleType()),  # min over 0..t incl. P_0=0
+        T.StructField("max_cplus", T.DoubleType()),
+        T.StructField("peak_day", T.StringType()),
+        T.StructField("n_days", T.LongType()),
+    ]
+)
+
+CUSUM_OUTPUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_days", T.LongType()),
+        T.StructField("max_cusum", T.DoubleType()),
+        T.StructField("peak_day", T.StringType()),
+        T.StructField("breached", T.BooleanType()),
+    ]
+)
+
+
+def cusum_monitor_stream(
+    events: DataFrame, params: dict[str, tuple[float, float, float]]
+) -> DataFrame:
+    """Streaming CUSUM change-point monitor (r9): the batch key
+    pipeline_cusum_changepoint re-derives the whole statistic per
+    run; this operator maintains it INCREMENTALLY per event type via
+    ``applyInPandasWithState`` — per-key state is exactly the closed
+    form's two accumulators (the drift-corrected prefix sum P_t and
+    min_{0≤i≤t} P_i, P_0 = 0 included per the late-r9 fix) plus the
+    running peak, so each micro-batch costs one shuffle on
+    event_type and O(types) state, however long the stream runs.
+
+    ``params`` maps event_type → (mu, allowance, threshold): in the
+    batch key μ and σ are estimated from the full series, which a
+    causal monitor cannot do — production CUSUM fixes them from a
+    reference window (Page's original formulation), so they are
+    inputs here. Alignment contract: input rows must be DAILY
+    aggregates (day string, x double) and a day must not straddle
+    micro-batches — CUSUM increments per day, and a split day would
+    enter as two half-increments (the parity test feeds whole-day
+    files; production uses the daily-rollup stream upstream).
+
+    Emits the running (n_days, max_cusum, peak_day, breached) per
+    type each batch — the live dashboard row. Parity with the batch
+    closed form is pytest-pinned to float tolerance (the stream
+    accumulates sequential doubles where the batch uses exact
+    decimal cumulatives; the ordering is identical, so they agree to
+    ulps, not bits — tolerance 1e-9 relative)."""
+
+    def update(
+        key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        mu, allow, threshold = params.get(etype, (0.0, 0.0, float("inf")))
+        if state.exists:
+            pref, min_pref, max_c, peak, n = state.get
+        else:
+            pref, min_pref, max_c, peak, n = 0.0, 0.0, 0.0, "", 0
+        rows = pd.concat(list(batches), ignore_index=True)
+        rows = rows.sort_values("day")
+        for _, r in rows.iterrows():
+            pref += float(r["x"]) - (mu + allow)
+            min_pref = min(min_pref, pref)  # includes P_0 = 0 start
+            c_plus = pref - min_pref
+            n += 1
+            if c_plus > max_c:
+                max_c, peak = c_plus, str(r["day"])
+        state.update((pref, min_pref, max_c, peak, n))
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": etype,
+                    "n_days": n,
+                    "max_cusum": max_c,
+                    "peak_day": peak,
+                    "breached": bool(max_c > threshold),
+                }
+            ]
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_OUTPUT,
+        stateStructType=CUSUM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

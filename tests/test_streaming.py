@@ -1137,3 +1137,84 @@ def test_divergence_from_index_matches_batch_key(spark, sf_dir, tmp_path):
     )
     far = divergence_from_index(alien, stats).first()
     assert far["js_divergence"] > 0.6  # near ln 2 = 0.693
+
+
+def test_cusum_monitor_stream_parity_with_batch_closed_form(spark, tmp_path):
+    """Streaming CUSUM (per-key recursion state) vs the batch key's
+    prefix-sum/running-min closed form on the SAME planted 40-day
+    level-shift series, mu/sigma fed from the batch stats: the final
+    streamed max_cusum/peak/breach must agree to float tolerance
+    (the stream sums sequential doubles where the batch uses decimal
+    cumulatives; identical order, so ulps not bits). Days arrive in
+    four whole-day micro-batch files to honor the alignment
+    contract, with a restart-free single pass per file order."""
+    import json
+
+    from osm_airflow_spark.registry import all_queries
+    from osm_airflow_spark.streaming.stateful import cusum_monitor_stream
+
+    # planted series: 30 flat days then a sustained 10-day shift
+    days = [
+        (f"2024-01-{d+1:02d}" if d < 31 else f"2024-02-{d-30:02d}",
+         10.0 if d < 30 else 100.0)
+        for d in range(40)
+    ]
+    # events fixture for the batch key (one event per day)
+    ev_rows = [
+        (i, 1, "purchase", x, 1_704_067_200_000_000 + i * 86_400_000_000)
+        for i, (_, x) in enumerate(days)
+    ]
+    from pyspark.sql import functions as F
+
+    spark.createDataFrame(
+        ev_rows,
+        "event_id long, user_id long, event_type string, value double, us long",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    batch = all_queries()["pipeline_cusum_changepoint"](
+        spark, str(tmp_path)
+    ).collect()[0]
+
+    # daily-aggregate stream: 4 files x 10 whole days
+    src = tmp_path / "daily"
+    src.mkdir()
+    for i in range(4):
+        with open(src / f"chunk{i}.json", "w") as f:
+            for day, x in days[i * 10 : (i + 1) * 10]:
+                f.write(json.dumps(
+                    {"event_type": "purchase", "day": day, "x": x}) + "\n")
+    stream = (
+        spark.readStream.schema("event_type string, day string, x double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    params = {
+        "purchase": (
+            batch["mu"], 0.5 * batch["sigma"], 4.0 * batch["sigma"]
+        )
+    }
+    q = (
+        cusum_monitor_stream(stream, params)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_cusum")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = spark.sql(
+        "SELECT * FROM t_cusum ORDER BY n_days DESC LIMIT 1"
+    ).collect()[0]
+    assert final["n_days"] == 40
+    assert abs(final["max_cusum"] - batch["max_cusum"]) <= 1e-9 * max(
+        1.0, abs(batch["max_cusum"])
+    )
+    assert final["peak_day"] == batch["peak_day"]
+    assert bool(final["breached"]) is bool(batch["breached"]) is True
