@@ -3940,3 +3940,103 @@ def pipeline_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         seasonal.alias("seasonal"),
         (F.col("d24").cast("double") / 24.0 - seasonal).alias("residual"),
     )
+
+
+@query(
+    "pipeline_psi_drift",
+    oracle="""
+    WITH span AS (
+      SELECT MIN(o_orderdate) AS d0, MAX(o_orderdate) AS d1 FROM orders
+    ),
+    tagged AS (
+      SELECT CASE WHEN o_orderdate < d0 + (d1 - d0) / 2
+                  THEN 0 ELSE 1 END AS half,
+             CAST(least(floor(o_totalprice / 60000.0), 9) AS INT) AS bin
+      FROM orders, span
+    ),
+    cells AS (
+      SELECT bin,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS b
+      FROM tagged GROUP BY bin
+    ),
+    tot AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM cells),
+    terms AS (
+      SELECT bin, a, b,
+             greatest(CAST(a AS DOUBLE), 0.5) / na AS p,
+             greatest(CAST(b AS DOUBLE), 0.5) / nb AS q
+      FROM cells, tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(MAX(na) AS BIGINT) AS n_ref,
+           CAST(MAX(nb) AS BIGINT) AS n_cur,
+           CAST(SUM(CAST(round((p - q) * round(ln(p / q), 6), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS psi,
+           CAST(SUM(CAST(round((p - q) * round(ln(p / q), 6), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE) > 0.2 AS drifted
+    FROM terms, tot
+    GROUP BY na, nb
+    """,
+)
+def pipeline_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — POPULATION STABILITY INDEX between the early
+    and late halves of the order history, binned on o_totalprice:
+    PSI = Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ), the de-facto ML-monitoring drift
+    score (>0.2 = investigate, the banking-scorecard convention),
+    completing the drift toolkit beside llm_corpus_divergence (JS on
+    token distributions) and pipeline_ks_test (exact two-sample
+    shape test — KS answers 'is it different', PSI answers 'by how
+    much per bin' with an auditable per-bin decomposition).
+
+    Determinism: the half split is exact timestamp interval
+    arithmetic on the corpus span (a 1-row broadcast); bins are
+    fixed-width (literal 60k) so binning is a shared floor over
+    agreed doubles; empty bins take the standard 0.5-count smoothing
+    (exact rational, both engines); each term rounds ln at the
+    transcendental and the product to 6 dp before the decimal sum
+    (the term rule). Scale: one corpus pass to ≤10 cells; everything
+    after is control-plane."""
+    o = load_table(spark, sf_dir, "orders")
+    span = o.agg(
+        F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1")
+    )
+    half = F.when(
+        F.col("o_orderdate")
+        < F.col("d0") + (F.col("d1") - F.col("d0")) / 2,
+        0,
+    ).otherwise(1)
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 60000.0), F.lit(9)).cast(
+        "int"
+    )
+    cells = (
+        o.crossJoin(F.broadcast(span))
+        .select(half.alias("half"), bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("b"),
+        )
+        .localCheckpoint(eager=True)  # totals + terms
+    )
+    tot = cells.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    p = F.greatest(F.col("a").cast("double"), F.lit(0.5)) / F.col("na")
+    q = F.greatest(F.col("b").cast("double"), F.lit(0.5)) / F.col("nb")
+    term = F.round((p - q) * F.round(F.log(p / q), 6), 6).cast(
+        "decimal(18,6)"
+    )
+    psi = F.sum(term).cast("double")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            psi.alias("psi"),
+        )
+        .select(
+            "n_bins",
+            F.col("na").cast("long").alias("n_ref"),
+            F.col("nb").cast("long").alias("n_cur"),
+            "psi",
+            (F.col("psi") > 0.2).alias("drifted"),
+        )
+    )

@@ -748,3 +748,38 @@ def test_seasonal_decompose_identity_and_planted_cycle(spark, tmp_path):
         by_mo.setdefault(r["month_index"] % 12, r["seasonal"])
     assert all(by_mo[m] > 100 for m in range(0, 6) if m in by_mo)
     assert all(by_mo[m] < -100 for m in range(6, 12) if m in by_mo)
+
+
+def _psi_orders(spark, tmp_path, shift):
+    rows = []
+    ok = 0
+    for d in range(20):
+        for v in (50000.0, 150000.0, 250000.0):
+            val = v + (shift if d >= 10 else 0.0)
+            rows.append((ok, 1, "O", val, f"2024-01-{d+1:02d}", "1-URGENT"))
+            ok += 1
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, d string, o_orderpriority string",
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("d").cast("timestamp").alias("o_orderdate"), "o_orderpriority",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    return QUERIES["pipeline_psi_drift"](spark, str(tmp_path)).collect()[0]
+
+
+def test_psi_zero_on_identical_halves(spark, tmp_path):
+    """Identical early/late distributions: every bin has p == q, so
+    ln(p/q) = 0 and PSI is exactly 0.0 — no drift flag."""
+    r = _psi_orders(spark, tmp_path / "same", shift=0.0)
+    assert r["psi"] == 0.0 and bool(r["drifted"]) is False
+    assert r["n_ref"] == r["n_cur"] == 30
+
+
+def test_psi_flags_planted_distribution_shift(spark, tmp_path):
+    """Second half shifted two bins up: mass moves between bins and
+    PSI must clear the 0.2 investigate threshold."""
+    r = _psi_orders(spark, tmp_path / "shift", shift=120000.0)
+    assert r["psi"] > 0.2 and bool(r["drifted"]) is True

@@ -182,6 +182,7 @@ ROUND_AUDITED = {
     "pipeline_chi_square": "term ((o-e)²/e pre-round, decimal-summed)",
     "llm_source_profile": "term (quality score pre-round feeds the decimal mean)",
     "pipeline_position_attribution": "term (credit and value*credit pre-round, decimal-summed)",
+    "pipeline_psi_drift": "libm (ln of agreed smoothed ratios) + term",
     "pipeline_cusum_changepoint": "term (x² pre-round for the sigma stats)",
     "pipeline_survival_km": "libm (ln per KM factor, scaled to exact integer "
     "micros; final exp rounded at emission)",

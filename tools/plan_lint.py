@@ -86,6 +86,7 @@ ITERATIVE = {
     "graph_kcore",  # driver-controlled peeling loop
     "pipeline_theil_sen",  # two bucket-offset medians (control-plane collects)
     "pipeline_seasonal_decompose",  # checkpointed months spine (3 consumers)
+    "pipeline_psi_drift",  # checkpointed 10-cell table (2 consumers)
     "pipeline_position_attribution",  # checkpointed purchases/touches frames
 }
 
