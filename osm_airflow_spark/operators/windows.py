@@ -676,3 +676,98 @@ def win_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+@query(
+    "win_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS x
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    dd AS (
+      SELECT event_type, day,
+             CAST(MAX(x) OVER w - x AS DOUBLE) AS drawdown,
+             CAST(MAX(x) OVER w AS DOUBLE) AS peak,
+             CAST(x AS DOUBLE) AS x
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    best AS (
+      SELECT event_type, day, drawdown, peak, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY drawdown DESC, day) AS rn
+      FROM dd
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS trough_day,
+           x AS trough_value,
+           peak AS peak_value,
+           drawdown AS max_drawdown,
+           CASE WHEN peak > 0 THEN drawdown / peak END AS drawdown_frac
+    FROM best WHERE rn = 1
+    """,
+)
+def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext F16 (r9) — MAXIMUM DRAWDOWN of each event type's daily
+    value series: the largest drop from a running peak, with the
+    trough day and the fractional drop — the risk statistic every
+    revenue/throughput dashboard carries beside the CUSUM drift flag
+    (pipeline_cusum_changepoint is its mirror: running MIN of a
+    drift-corrected prefix; drawdown is the running MAX of the raw
+    level — the same closed-form family, no recursion).
+
+    Determinism: daily totals are exact decimals; the running MAX is
+    SELECTION over decimals (order-independent); drawdown = one
+    exact decimal subtraction cast once to double; trough selection
+    breaks ties by earliest day; the fraction is one agreed
+    division, NULL-guarded for non-positive peaks identically in
+    both engines. No rounding, no transcendental.
+
+    Scale: one corpus pass to (type × day); the window partitions by
+    event_type over DAYS — calendar-bounded (the house rule). Output
+    is O(types)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = daily.select(
+        "event_type",
+        "day",
+        (F.max("x").over(w) - F.col("x")).cast("double").alias("drawdown"),
+        F.max("x").over(w).cast("double").alias("peak"),
+        F.col("x").cast("double").alias("x"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.col("drawdown").desc(), F.col("day")
+        )
+    )
+    return (
+        dd.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("trough_day"),
+            F.col("x").alias("trough_value"),
+            F.col("peak").alias("peak_value"),
+            F.col("drawdown").alias("max_drawdown"),
+            F.when(
+                F.col("peak") > 0, F.col("drawdown") / F.col("peak")
+            ).alias("drawdown_frac"),
+        )
+    )

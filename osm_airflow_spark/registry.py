@@ -119,7 +119,8 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- new keys this round, never driver-checked (26) --
+    # -- new keys this round, never driver-checked (27) --
+    "win_max_drawdown",
     "pipeline_psi_drift",
     "osm_convex_hull",
     "pipeline_seasonal_decompose",
@@ -146,7 +147,7 @@ DRIVER_WINDOW: list[str] = [
     "llm_corpus_divergence",
     "llm_dedup_fingerprint",
     "llm_embed_outliers",
-    # -- staleness re-checks: the r4-era remainder (24; pipeline_order_count_distribution,
+    # -- staleness re-checks: the r4-era remainder (23; pipeline_market_share, pipeline_order_count_distribution,
     # pipeline_nation_trade, pipeline_pricing_summary and the last eight —
     # pipeline_priority_class_share / pipeline_priority_fulfillment /
     # pipeline_retention_cohort / pipeline_small_quantity_revenue /
@@ -176,7 +177,6 @@ DRIVER_WINDOW: list[str] = [
     "pipeline_forecast_revenue",
     "pipeline_large_volume_customers",
     "pipeline_market_basket",
-    "pipeline_market_share",
     # -- staleness re-checks: the r5 block fully yields its slots to
     # the late-r9 keys (never-checked beats re-proof — the r5/r6
     # precedent) and rejoins the r10 rotation --

@@ -783,3 +783,30 @@ def test_psi_flags_planted_distribution_shift(spark, tmp_path):
     PSI must clear the 0.2 investigate threshold."""
     r = _psi_orders(spark, tmp_path / "shift", shift=120000.0)
     assert r["psi"] > 0.2 and bool(r["drifted"]) is True
+
+
+def test_max_drawdown_planted_peak_and_trough(spark, tmp_path):
+    """Series 10 -> 100 -> 30 -> 80 -> 20: the max drawdown is
+    100-20=80 at the LAST day (peak stays 100), fraction 0.8."""
+    vals = [10.0, 100.0, 30.0, 80.0, 20.0]
+    rows = [
+        (i, 1, "purchase", v, 1_600_000_000_000_000 + i * 86_400_000_000)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, us long"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    r = QUERIES["win_max_drawdown"](spark, str(tmp_path)).collect()[0]
+    assert r["peak_value"] == 100.0
+    assert r["trough_value"] == 20.0
+    assert r["max_drawdown"] == 80.0
+    assert r["drawdown_frac"] == 0.8
+    assert r["trough_day"] == "2020-09-17"
