@@ -4040,3 +4040,319 @@ def pipeline_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("psi") > 0.2).alias("drifted"),
         )
     )
+
+
+@query(
+    "pipeline_acf",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n, CAST(SUM(x) AS DECIMAL(18,2)) AS s,
+             MIN(day) AS d0
+      FROM daily
+    ),
+    dev AS (
+      SELECT datediff('day', d0, day) AS t,
+             CAST(x * CAST(n AS DECIMAL(6,0)) - s AS DECIMAL(18,2)) AS d
+      FROM daily, tot
+    ),
+    den AS (
+      -- one operand widened to DECIMAL(19,2): DuckDB executes an
+      -- 18x18 multiply in INT64 and overflows at runtime; width 19
+      -- forces INT128 arithmetic (Spark's decimal(37,4) product is
+      -- exact either way)
+      SELECT SUM(CAST(d AS DECIMAL(19,2)) * d) AS den FROM dev
+    ),
+    pairs AS (
+      SELECT k.lag AS lag, a.d AS da, b.d AS db
+      FROM (SELECT UNNEST(generate_series(1, 8)) AS lag) k
+      JOIN dev b ON TRUE
+      JOIN dev a ON a.t = b.t + k.lag
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           COUNT(*) AS n_pairs,
+           -- the num/den decimals exceed 2^53 unscaled, so the two
+           -- engines' decimal->double casts can differ by 1 ulp
+           -- (DuckDB: int128->double then /10^4, two roundings;
+           -- Spark: one correctly-rounded BigDecimal cast) -- the
+           -- ratio is emitted at 9 dp, 11 sig digits, where both
+           -- agree
+           round(CAST(SUM(CAST(da AS DECIMAL(19,2)) * db) AS DOUBLE)
+                 / CAST(MAX(den) AS DOUBLE), 9) AS acf
+    FROM pairs, den
+    GROUP BY lag
+    ORDER BY lag
+    """,
+)
+def pipeline_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — AUTOCORRELATION FUNCTION of the daily revenue
+    series at lags 1–8: the diagnostic that decides whether
+    pipeline_revenue_trend_forecast's OLS residuals are white, what
+    window pipeline_seasonal_decompose's MA should span, and whether
+    pipeline_cusum_changepoint will false-alarm (CUSUM assumes
+    independent increments). Standard biased estimator
+    r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)², computed EXACTLY: with
+    n·(x_t−x̄) = n·x_t − S both numerator and denominator scale by
+    n², so r_k is a ratio of two exact decimal sums of products of
+    the integer-scaled deviations d_t = n·x_t − S — no mean division
+    ever happens. The num/den decimals exceed 2^53 unscaled, where
+    DuckDB's two-rounding decimal→double cast can sit 1 ulp off
+    Spark's correctly-rounded one, so the emitted ratio is rounded
+    to 9 dp (11 significant digits — both engines agree there). Lag pairing joins on calendar
+    datediff (t = days since min), so date gaps drop pairs instead of
+    silently mis-aligning — identical semantics in the oracle.
+
+    Scale: one corpus pass to the dates-bounded daily table (~2.4 k
+    rows at any SF — checkpointed: totals, deviations, the den
+    aggregate and both join sides reuse it, and this build never
+    reuses exchange subtrees). The lag expansion is 8× that bounded
+    table, broadcast-joined; everything after the first aggregate is
+    control-plane sized. Decimal headroom: d ≤ n·max|x−x̄| keeps
+    (18,2) exact through sf ~10; the d·d sum rides decimal(38,4)
+    (capacity 1e34 ≫ the 1e25 at sf 0.1)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("x")
+        )
+        .localCheckpoint(eager=True)  # dates-bounded; totals + dev read it
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(18,2)").alias("s"),
+        F.min("day").alias("d0"),
+    )
+    dev = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            F.datediff(F.col("day"), F.col("d0")).alias("t"),
+            (F.col("x") * F.col("n").cast("decimal(6,0)") - F.col("s"))
+            .cast("decimal(18,2)")
+            .alias("d"),
+        )
+        .localCheckpoint(eager=True)  # den + both lag-join sides
+    )
+    den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("den"))
+    lagged = (
+        dev.select(
+            F.explode(F.sequence(F.lit(1), F.lit(8))).alias("lag"),
+            F.col("t").alias("bt"),
+            F.col("d").alias("db"),
+        )
+        .select("lag", (F.col("bt") + F.col("lag")).alias("t_target"), "db")
+    )
+    return (
+        dev.join(F.broadcast(lagged), dev.t == lagged.t_target)
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("d") * F.col("db")).alias("num"),
+        )
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 9
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# Fixed weekday order for pipeline_anova's wide pivot: the cross-group
+# reductions must be a FIXED-ORDER IEEE tree (Python's left-assoc `+`
+# mirrors SQL's), so group stats are pivoted into columns instead of
+# summed by an order-free aggregate.
+_ANOVA_DAYS = list(range(7))
+
+
+@query(
+    "pipeline_anova",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT (EXTRACT(isodow FROM ts) - 1) AS g, value
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    stats AS (
+      SELECT g,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(24,6)))
+                  AS DOUBLE) AS sxx
+      FROM assigned GROUP BY g
+    ),
+    wide AS (
+      SELECT
+        {', '.join(f"MAX(CASE WHEN g = {d} THEN n END) AS n{d}, "
+                   f"MAX(CASE WHEN g = {d} THEN sx END) AS s{d}, "
+                   f"MAX(CASE WHEN g = {d} THEN sxx END) AS q{d}"
+                   for d in _ANOVA_DAYS)}
+      FROM stats
+    )
+    SELECT CAST({' + '.join(f'n{d}' for d in _ANOVA_DAYS)} AS BIGINT) AS n,
+           CAST(7 AS BIGINT) AS k,
+           ({' + '.join(f's{d} * s{d} / n{d}' for d in _ANOVA_DAYS)})
+             - ({' + '.join(f's{d}' for d in _ANOVA_DAYS)})
+               * ({' + '.join(f's{d}' for d in _ANOVA_DAYS)})
+               / ({' + '.join(f'n{d}' for d in _ANOVA_DAYS)}) AS ss_between,
+           ({' + '.join(f'q{d}' for d in _ANOVA_DAYS)})
+             - ({' + '.join(f's{d} * s{d} / n{d}' for d in _ANOVA_DAYS)})
+             AS ss_within,
+           ((({' + '.join(f's{d} * s{d} / n{d}' for d in _ANOVA_DAYS)})
+             - ({' + '.join(f's{d}' for d in _ANOVA_DAYS)})
+               * ({' + '.join(f's{d}' for d in _ANOVA_DAYS)})
+               / ({' + '.join(f'n{d}' for d in _ANOVA_DAYS)})) / 6.0)
+           / ((({' + '.join(f'q{d}' for d in _ANOVA_DAYS)})
+               - ({' + '.join(f's{d} * s{d} / n{d}' for d in _ANOVA_DAYS)}))
+              / (({' + '.join(f'n{d}' for d in _ANOVA_DAYS)}) - 7.0))
+             AS f_stat,
+           (({' + '.join(f's{d} * s{d} / n{d}' for d in _ANOVA_DAYS)})
+             - ({' + '.join(f's{d}' for d in _ANOVA_DAYS)})
+               * ({' + '.join(f's{d}' for d in _ANOVA_DAYS)})
+               / ({' + '.join(f'n{d}' for d in _ANOVA_DAYS)}))
+           / (({' + '.join(f'q{d}' for d in _ANOVA_DAYS)})
+              - ({' + '.join(f's{d}' for d in _ANOVA_DAYS)})
+                * ({' + '.join(f's{d}' for d in _ANOVA_DAYS)})
+                / ({' + '.join(f'n{d}' for d in _ANOVA_DAYS)})) AS eta_sq
+    FROM wide
+    """,
+)
+def pipeline_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — one-way ANOVA of purchase value across the
+    seven weekdays (Mon=0 … Sun=6 via ISO day-of-week): the k-group
+    generalization of pipeline_ab_test's two-arm t — 'does revenue
+    per purchase depend on the day of week?' with F = (SSB/(k−1)) /
+    (SSW/(N−k)) and η² = SSB/SST as the effect size. Per-group
+    sufficient statistics follow the ab_test recipe exactly (exact
+    decimal Σx, term-rounded Σx²); the cross-group reductions then
+    run over a 7-group WIDE PIVOT so every multi-term double sum is
+    a fixed-order left-associated IEEE tree — identical expression
+    shape in both engines, no order-free double aggregation
+    anywhere (the 5-term agg trap the chi-square key dodges with
+    per-term rounding is dodged here structurally).
+
+    Scale: one corpus pass to 7 groups of 3 sufficient statistics;
+    the pivot and the F readout are a single control-plane row.
+    Weekday extraction: Spark weekday() ≡ DuckDB isodow−1 (the
+    1=Sunday dayofweek trap is avoided on both sides)."""
+    e = load_table(spark, sf_dir, "events")
+    assigned = e.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(F.weekday("ts").alias("g"), "value")
+    stats = assigned.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(
+            F.round(F.col("value") * F.col("value"), 6).cast("decimal(24,6)")
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+    wide = stats.agg(
+        *[
+            F.max(F.when(F.col("g") == d, F.col(c))).alias(f"{a}{d}")
+            for d in _ANOVA_DAYS
+            for c, a in (("n", "n"), ("sx", "s"), ("sxx", "q"))
+        ]
+    )
+
+    def _chain(make):
+        out = make(0)
+        for d in _ANOVA_DAYS[1:]:
+            out = out + make(d)
+        return out
+
+    n_tot = _chain(lambda d: F.col(f"n{d}"))
+    s_tot = _chain(lambda d: F.col(f"s{d}"))
+    t_tot = _chain(lambda d: F.col(f"q{d}"))
+    q_tot = _chain(lambda d: F.col(f"s{d}") * F.col(f"s{d}") / F.col(f"n{d}"))
+    ssb = q_tot - s_tot * s_tot / n_tot
+    ssw = t_tot - q_tot
+    return wide.select(
+        n_tot.cast("long").alias("n"),
+        F.lit(7).cast("long").alias("k"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        ((ssb / F.lit(6.0)) / (ssw / (n_tot - F.lit(7.0)))).alias("f_stat"),
+        (ssb / (t_tot - s_tot * s_tot / n_tot)).alias("eta_sq"),
+    )
+
+
+@query(
+    "pipeline_benford",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
+    tot AS (SELECT SUM(n) AS total FROM counts)
+    SELECT CAST(digit AS INT) AS digit,
+           CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / total AS obs_share,
+           round(log10(1.0 + 1.0 / digit), 6) AS exp_share,
+           abs(CAST(n AS DOUBLE) / total
+               - round(log10(1.0 + 1.0 / digit), 6)) AS abs_dev
+    FROM counts, tot
+    ORDER BY digit
+    """,
+)
+def pipeline_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — BENFORD'S-LAW first-digit screen on order
+    totals: observed first-significant-digit shares against the
+    log10(1+1/d) law, the standard forensic-accounting / synthetic-
+    data smell test (fabricated or uniformly-generated amounts flunk
+    it; TPC-H-style uniform prices do too, visibly — the point is
+    the per-digit deviation column, not a verdict). First digit is
+    extracted WITHOUT transcendentals: FLOOR(x) is exact on both
+    engines (CAST-to-BIGINT truncation vs rounding is the known
+    trap), and the leading char of the integer's decimal string is
+    engine-stable — no log10-of-x digit math whose boundary cases
+    (x exactly a power of 10 after FP log) could disagree. The law's
+    expected share rounds its log10 at the transcendental (term
+    rule); obs_share and abs_dev are shared IEEE trees over exact
+    counts.
+
+    Scale: one corpus pass to ≤9 cells; everything after is
+    control-plane. The x ≥ 1 guard drops sub-unit amounts where the
+    integer-string trick has no leading digit (none in the fixture:
+    min price ~1013)."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = (
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    counts = (
+        o.where(F.col("o_totalprice") >= 1)
+        .select(digit)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # totals + shares
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    exp_share = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6)
+    obs = F.col("n").cast("double") / F.col("total")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("digit").cast("int").alias("digit"),
+            F.col("n").cast("long").alias("n"),
+            obs.alias("obs_share"),
+            exp_share.alias("exp_share"),
+            F.abs(obs - exp_share).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )

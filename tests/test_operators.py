@@ -810,3 +810,106 @@ def test_max_drawdown_planted_peak_and_trough(spark, tmp_path):
     assert r["max_drawdown"] == 80.0
     assert r["drawdown_frac"] == 0.8
     assert r["trough_day"] == "2020-09-17"
+
+
+def test_acf_planted_alternating_series(spark, tmp_path):
+    """A strictly alternating daily series (50, 150, 50, ...) over
+    100 consecutive days has the closed-form biased ACF
+    r_k = (-1)^k (n-k)/n — exact because deviations are +-const.
+    Also pins the n^2-scaled deviation algebra: num/den are exact
+    decimals, so the 9-dp emission is bit-stable."""
+    rows = [
+        (i, 1, "O", 150.0 if i % 2 else 50.0, "1-URGENT")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderpriority string",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        (
+            F.timestamp_micros(
+                F.lit(1_577_836_800_000_000)
+                + F.col("o_orderkey") * 86_400_000_000
+            )
+        ).alias("o_orderdate"),
+        "o_orderpriority",
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    rows = {r["lag"]: r for r in QUERIES["pipeline_acf"](spark, str(tmp_path)).collect()}
+    assert sorted(rows) == list(range(1, 9))
+    for k in range(1, 9):
+        want = round(((-1) ** k) * (100 - k) / 100.0, 9)
+        assert rows[k]["acf"] == want, (k, rows[k]["acf"], want)
+        assert rows[k]["n_pairs"] == 100 - k
+
+
+def test_anova_planted_weekday_shift_and_identities(spark, tmp_path):
+    """One hot weekday (Monday ~ value 100, all others 10) must give
+    a large F and eta^2 near 1; the emitted columns must satisfy the
+    exact F and eta^2 identities recomputed from ss_between /
+    ss_within (same IEEE subtrees)."""
+    rows = []
+    # 2020-01-06 (Mon) epoch-days base; 98 events over 14 weeks
+    base_us = 1_578_268_800_000_000
+    for i in range(98):
+        day = i % 7  # Mon..Sun
+        v = 100.0 + i * 0.01 if day == 0 else 10.0 + i * 0.01
+        rows.append((i, i, "purchase", v, base_us + i * 86_400_000_000))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, us long"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    r = QUERIES["pipeline_anova"](spark, str(tmp_path)).collect()[0]
+    assert r["n"] == 98 and r["k"] == 7
+    assert r["ss_between"] > 0 and r["ss_within"] > 0
+    assert r["f_stat"] > 1000  # planted 90-point Monday shift
+    assert 0.9 < r["eta_sq"] < 1.0
+    assert r["f_stat"] == (r["ss_between"] / 6.0) / (
+        r["ss_within"] / (r["n"] - 7.0)
+    )
+    assert r["eta_sq"] == r["ss_between"] / (r["ss_between"] + r["ss_within"])
+
+
+def test_benford_matches_pure_python_digits(spark, sf_dir):
+    """Third implementation: first digits recomputed driver-side from
+    the raw totals (int(floor(x)) string head) must reproduce every
+    count; shares and deviations follow from the emitted columns."""
+    import math
+
+    from osm_airflow_spark.io import load_table
+
+    rows = QUERIES["pipeline_benford"](spark, sf_dir).collect()
+    vals = [
+        r["o_totalprice"]
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_totalprice")
+        .collect()
+    ]
+    from collections import Counter
+
+    want = Counter(int(str(int(math.floor(v)))[0]) for v in vals if v >= 1)
+    got = {r["digit"]: r["n"] for r in rows}
+    assert got == dict(want)
+    total = sum(want.values())
+    for r in rows:
+        assert r["obs_share"] == r["n"] / total
+        assert abs(r["exp_share"] - math.log10(1 + 1 / r["digit"])) <= 5e-7
+        assert r["abs_dev"] == abs(r["obs_share"] - r["exp_share"])
+    # uniform-ish TPC-H totals are NOT Benford: some digit deviates
+    # visibly (digit 4's top decade alone is ~20% of the range)
+    assert max(r["abs_dev"] for r in rows) > 0.05
