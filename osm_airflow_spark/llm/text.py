@@ -3506,3 +3506,107 @@ def llm_eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2.alias("rouge2_r"),
         f2.alias("rouge2_f"),
     )
+
+
+@query(
+    "llm_ngram_novelty",
+    oracle=f"""
+    WITH base AS (
+      SELECT substr(md5(text), 1, 2) AS pfx,
+             string_split(text, ' ') AS w
+      FROM documents
+    ),
+    inst AS (
+      SELECT pfx, unnest({_bleu_grams_sql('w', 2)}) AS g FROM base
+    ),
+    train AS (SELECT DISTINCT g FROM inst WHERE pfx >= '1a'),
+    marked AS (
+      SELECT v.g, t.g IS NOT NULL AS seen
+      FROM (SELECT g FROM inst WHERE pfx >= '0a' AND pfx < '1a') v
+      LEFT JOIN train t ON v.g = t.g
+    )
+    SELECT CAST(tn.n_train_distinct AS BIGINT) AS n_train_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_val_instances,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_val_distinct,
+           CAST(SUM(CASE WHEN NOT seen THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unseen_instances,
+           CAST(COUNT(DISTINCT CASE WHEN NOT seen THEN g END) AS BIGINT)
+             AS n_unseen_distinct,
+           CAST(SUM(CASE WHEN NOT seen THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS novelty_mass,
+           CAST(COUNT(DISTINCT CASE WHEN NOT seen THEN g END) AS DOUBLE)
+             / COUNT(DISTINCT g) AS novelty_distinct
+    FROM marked,
+         (SELECT COUNT(*) AS n_train_distinct FROM train) tn
+    GROUP BY tn.n_train_distinct
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — N-GRAM NOVELTY of the validation split
+    against the train split: what fraction of val bigram instances
+    (and distinct bigrams) never appear in train. The memorization /
+    generalization screen a data curator reads next to the
+    contamination check — near-zero novelty means the val split
+    can't measure generalization (leaked or templated corpus);
+    near-one means the splits are distribution-mismatched. Splits
+    are the content-hash ranges of llm_split_assign (leakage-proof
+    by construction), bigrams the empty-safe _bleu_grams build
+    shared with BLEU/ROUGE.
+
+    Scale: one documents pass explodes to gram instances; the train
+    side collapses to a DISTINCT gram table (corpus-bounded — the
+    per-gram join-back the house keeps as a join, never a window);
+    val instances LEFT-join it once, with every count taken in that
+    single marked pass. The train-distinct count rides along as a
+    broadcast 1-row aggregate. At 100 TB the gram join is the same
+    banded equi-join shape as the dedup family — bucketable on the
+    gram hash."""
+    d = load_table(spark, sf_dir, "documents")
+    pfx = F.substring(F.md5("text"), 1, 2)
+    inst = d.select(
+        pfx.alias("pfx"),
+        F.explode(_bleu_grams(F.split("text", " "), 2)).alias("g"),
+    )
+    train_g = (
+        inst.where(F.col("pfx") >= "1a")
+        .select("g")
+        .distinct()
+        .localCheckpoint(eager=True)  # join probe + the 1-row count
+    )
+    tn = train_g.agg(F.count(F.lit(1)).alias("n_train_distinct"))
+    val = inst.where((F.col("pfx") >= "0a") & (F.col("pfx") < "1a")).select(
+        "g"
+    )
+    marked = val.join(
+        train_g.select("g", F.lit(1).alias("seen")), "g", "left"
+    )
+    unseen = F.col("seen").isNull()
+    return (
+        marked.crossJoin(F.broadcast(tn))
+        .groupBy("n_train_distinct")
+        .agg(
+            F.count(F.lit(1)).alias("n_val_instances"),
+            F.countDistinct("g").alias("n_val_distinct"),
+            F.sum(F.when(unseen, 1).otherwise(0)).alias("n_unseen_instances"),
+            F.countDistinct(F.when(unseen, F.col("g"))).alias(
+                "n_unseen_distinct"
+            ),
+        )
+        .select(
+            F.col("n_train_distinct").cast("long").alias("n_train_distinct"),
+            F.col("n_val_instances").cast("long").alias("n_val_instances"),
+            F.col("n_val_distinct").cast("long").alias("n_val_distinct"),
+            F.col("n_unseen_instances").cast("long").alias(
+                "n_unseen_instances"
+            ),
+            F.col("n_unseen_distinct").cast("long").alias("n_unseen_distinct"),
+            (
+                F.col("n_unseen_instances").cast("double")
+                / F.col("n_val_instances")
+            ).alias("novelty_mass"),
+            (
+                F.col("n_unseen_distinct").cast("double")
+                / F.col("n_val_distinct")
+            ).alias("novelty_distinct"),
+        )
+    )

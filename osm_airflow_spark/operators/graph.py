@@ -383,3 +383,76 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         k += 1
     return core.select("node", F.col("coreness").cast("int").alias("coreness"))
+
+
+@query(
+    "graph_adamic_adar",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    deg AS (SELECT o, COUNT(*) AS n_items FROM op GROUP BY o),
+    pairs AS (
+      SELECT a.p AS p1, b.p AS p2,
+             CAST(round(1.0 / ln(d.n_items), 6) AS DECIMAL(18,6)) AS w
+      FROM op a
+      JOIN op b ON a.o = b.o AND a.p < b.p
+      JOIN deg d ON d.o = a.o
+    )
+    SELECT p1, p2, COUNT(*) AS n_common_orders,
+           CAST(SUM(w) AS DOUBLE) AS aa_score
+    FROM pairs GROUP BY p1, p2
+    ORDER BY aa_score DESC, p1, p2 LIMIT 20
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — ADAMIC–ADAR link prediction over the
+    order–part bipartite graph: two parts are 'likely related' when
+    they share baskets, weighted by 1/ln(basket size) so tiny
+    focused orders count more than catalog-wide ones — the standard
+    common-neighbor score behind co-purchase recommenders (and, on
+    user–document graphs, dedup-adjacent affinity mining). Weights
+    round the ln at the transcendental (term rule) and sum in exact
+    decimal, so the top-20 cut (score DESC, then p1, p2) is a total
+    order both engines agree on.
+
+    Scale: pair generation is IN-ARRAY — one groupBy to per-order
+    sorted part arrays (baskets are naturally bounded: ≤13 items in
+    the fixture, so ≤78 pairs/order), then an explode of the
+    combination list: shuffle is one pass over lineitem plus the
+    pair list, LINEAR in orders — never the all-pairs part×part
+    matrix. The oracle's relational self-join states the same
+    semantics declaratively. Unbounded baskets (crawl sessions,
+    power users) would cap the array with a slice() before pairing —
+    the MinHash-LSH bucket-cap policy. Top-k is
+    TakeOrderedAndProject (no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .where(F.size("ps") >= 2)
+    )
+    w = F.round(
+        F.lit(1.0) / F.log(F.size("ps").cast("double")), 6
+    ).cast("decimal(18,6)")
+    pairs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size("ps")),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    return (
+        per_order.select(F.explode(pairs).alias("pr"), w.alias("w"))
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common_orders"),
+            F.sum("w").cast("double").alias("aa_score"),
+        )
+        .orderBy(F.desc("aa_score"), "p1", "p2")
+        .limit(20)
+    )

@@ -771,3 +771,53 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drawdown_frac"),
         )
     )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(is_new) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_types_so_far
+    FROM (
+      SELECT user_id, event_id, ts,
+             CASE WHEN row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) = 1 THEN 1 ELSE 0 END AS is_new
+      FROM events
+    )
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 (extension) — RUNNING DISTINCT COUNT: per user, how many
+    distinct event types they have touched up to each event (the
+    feature-adoption / breadth-of-engagement curve; the same shape
+    counts distinct SKUs per customer or distinct hosts per crawler).
+    COUNT(DISTINCT) has no performant running form, so the standard
+    rewrite: flag each row that is the FIRST occurrence of its
+    (user, type) — one row_number over the finer partition — then a
+    running SUM of the flag over the coarser per-user window. Both
+    windows are user-bounded partitions with a (ts, event_id) total
+    order; no global window, one shuffle (the finer partition key is
+    a superset of the coarser, so AQE keeps them co-located)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_new = F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+    return (
+        ev.select("user_id", "event_id", "ts", is_new.alias("is_new"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.sum("is_new").over(w_run).alias("distinct_types_so_far"),
+        )
+    )

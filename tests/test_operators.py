@@ -913,3 +913,94 @@ def test_benford_matches_pure_python_digits(spark, sf_dir):
     # uniform-ish TPC-H totals are NOT Benford: some digit deviates
     # visibly (digit 4's top decade alone is ~20% of the range)
     assert max(r["abs_dev"] for r in rows) > 0.05
+
+
+def test_running_distinct_planted_sequence(spark, tmp_path):
+    """One user touching types A,B,A,C,B,D in time order must read
+    1,2,2,3,3,4 — repeats never increment, order decided by (ts,
+    event_id)."""
+    seq = ["A", "B", "A", "C", "B", "D"]
+    rows = [
+        (i, 7, t, 1.0, 1_600_000_000_000_000 + i * 1_000_000)
+        for i, t in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, us long"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = [
+        r["distinct_types_so_far"]
+        for r in QUERIES["win_running_distinct"](spark, str(tmp_path))
+        .orderBy("event_id")
+        .collect()
+    ]
+    assert got == [1, 2, 2, 3, 3, 4]
+
+
+def test_adamic_adar_planted_baskets(spark, tmp_path):
+    """Two overlapping baskets: {1,2,3} and {1,2} (the second with a
+    planted duplicate lineitem to pin the DISTINCT). Pair (1,2)
+    scores round(1/ln3,6) + round(1/ln2,6) over two common orders;
+    (1,3) and (2,3) score only the ln3 term."""
+    import math
+
+    rows = [(100, 1), (100, 2), (100, 3), (200, 1), (200, 2), (200, 2)]
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        (r["p1"], r["p2"]): (r["n_common_orders"], r["aa_score"])
+        for r in QUERIES["graph_adamic_adar"](spark, str(tmp_path)).collect()
+    }
+    from decimal import Decimal
+
+    w3 = round(1 / math.log(3), 6)
+    w2 = round(1 / math.log(2), 6)
+    # scores sum in exact decimal, not float (w3 + w2 as floats
+    # carries a 4e-16 artifact the engine correctly does not)
+    both = float(Decimal(str(w3)) + Decimal(str(w2)))
+    assert got == {
+        (1, 2): (2, both),
+        (1, 3): (1, w3),
+        (2, 3): (1, w3),
+    }
+
+
+def test_ngram_novelty_matches_pure_python(spark, sf_dir):
+    """Third implementation: recompute every count driver-side with
+    hashlib md5 split assignment and plain python bigram sets."""
+    import hashlib
+
+    from osm_airflow_spark.io import load_table
+
+    r = QUERIES["llm_ngram_novelty"](spark, sf_dir).collect()[0]
+    docs = [
+        row["text"]
+        for row in load_table(spark, sf_dir, "documents")
+        .select("text")
+        .collect()
+    ]
+    train, val_inst = set(), []
+    for t in docs:
+        pfx = hashlib.md5(t.encode()).hexdigest()[:2]
+        w = t.split(" ")
+        grams = [f"2|{w[i]} {w[i + 1]}" for i in range(len(w) - 1)]
+        if pfx >= "1a":
+            train.update(grams)
+        elif pfx >= "0a":
+            val_inst.extend(grams)
+    unseen = [g for g in val_inst if g not in train]
+    assert r["n_train_distinct"] == len(train)
+    assert r["n_val_instances"] == len(val_inst)
+    assert r["n_val_distinct"] == len(set(val_inst))
+    assert r["n_unseen_instances"] == len(unseen)
+    assert r["n_unseen_distinct"] == len(set(unseen))
+    assert r["novelty_mass"] == len(unseen) / len(val_inst)
+    assert r["novelty_distinct"] == len(set(unseen)) / len(set(val_inst))
