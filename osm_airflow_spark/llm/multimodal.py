@@ -771,3 +771,162 @@ def mm_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     span."""
     media = documents_as_media(spark, sf_dir)
     return shot_boundaries(media)
+
+
+def ahash_media(media: DataFrame, side: int = 8) -> DataFrame:
+    """Decode → resize → AVERAGE HASH over binary payloads as one
+    Arrow-batched mapInPandas pass: each decodable image becomes a
+    64-bit perceptual fingerprint (bit r·8+c = 1 iff the resized
+    gray pixel is ≥ the image mean), emitted as a '0'/'1' string so
+    no engine ever wrestles a sign bit. The threshold compare is
+    kept in integers (64·px ≥ Σpx — no mean division), so the hash
+    is bit-deterministic. Undecodable payloads pass through flagged,
+    never erroring the batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = side * side
+        for pdf in it:
+            out = {"media_id": [], "decoded": [], "ahash": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                out["media_id"].append(mid)
+                if looks_like_image(raw):
+                    try:
+                        px = decode_image(raw)
+                    except ValueError:
+                        px = None
+                else:
+                    px = None
+                if px is None:
+                    out["decoded"].append(False)
+                    out["ahash"].append("")
+                    continue
+                gray = resize_image(px, side, side)[:, :, 0]
+                flat = [int(g) for g in gray.reshape(-1)]
+                total = sum(flat)
+                out["decoded"].append(True)
+                out["ahash"].append(
+                    "".join("1" if n * g >= total else "0" for g in flat)
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches, "media_id long, decoded boolean, ahash string"
+    )
+
+
+@query(
+    "mm_image_ahash",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, rpad(text, 256, 'x') AS t FROM documents
+      WHERE octet_length(encode(text)) = length(text)
+    ),
+    px AS (
+      SELECT doc_id, r * 8 + c AS bit_idx,
+             ascii(substr(t, r * 32 + c * 2 + 1, 1)) AS g
+      FROM s, generate_series(0, 7) AS gr(r), generate_series(0, 7) AS gc(c)
+    ),
+    tot AS (SELECT doc_id, SUM(g) AS sg FROM px GROUP BY doc_id),
+    hashes AS (
+      SELECT px.doc_id,
+             string_agg(CASE WHEN 64 * g >= sg THEN '1' ELSE '0' END,
+                        '' ORDER BY bit_idx) AS h
+      FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+             a.h AS h1, b.h AS h2
+      FROM hashes a, hashes b, generate_series(0, 3) AS gb(band)
+      WHERE a.doc_id < b.doc_id
+        AND substr(a.h, band * 16 + 1, 16) = substr(b.h, band * 16 + 1, 16)
+    )
+    SELECT d1 AS media_id_1, d2 AS media_id_2,
+           CAST(SUM(CASE WHEN substr(h1, i, 1) <> substr(h2, i, 1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+    FROM cand, generate_series(1, 64) AS gi(i)
+    GROUP BY d1, d2
+    HAVING SUM(CASE WHEN substr(h1, i, 1) <> substr(h2, i, 1)
+               THEN 1 ELSE 0 END) <= 3
+    """,
+)
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — PERCEPTUAL NEAR-DUP over images: aHash
+    (average hash) fingerprints from the real decode→resize path,
+    then Hamming-≤3 pairs found BANDED, never all-pairs — the image
+    twin of the MinHash/SimHash text dedup family (near-identical
+    thumbnails, re-encoded logos, padded crops collapse to hashes a
+    few bits apart). Same synthesized 16×16 PGM payloads as
+    mm_image_resize (real bytes through the real decoder; the ASCII
+    guard pins the byte-vs-char contract with the oracle).
+
+    Scale: the 64-bit hash splits into 4×16-bit bands; by pigeonhole
+    any pair within Hamming 3 shares an intact band, so candidates
+    come from 4 band equi-joins (bucketable on the band value — the
+    LSH shape) and only candidates pay the exact 64-position
+    Hamming. Band buckets of exact-duplicate images are the one skew
+    source — the same bucket-cap policy as the MinHash key applies
+    when corpus dup groups are unbounded. The hash table is
+    checkpointed: both join sides read it, and this build never
+    reuses exchange subtrees."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit(b"P5 16 16 255\n"),
+        F.substring(F.encode(F.rpad("text", 256, "x"), "utf-8"), 1, 256),
+    )
+    media = d.where(F.octet_length("text") == F.length("text")).select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    hashes = (
+        ahash_media(media)
+        .where(F.col("decoded"))
+        .select("media_id", "ahash")
+        .localCheckpoint(eager=True)  # both band-join sides
+    )
+
+    def banded(side: str) -> DataFrame:
+        # (band, band-value) are the JOIN KEYS — the shuffle hashes
+        # on the 16-bit band content, so candidates co-locate and
+        # non-colliding docs never pair (joining on band alone would
+        # be a per-band self-cross)
+        return (
+            hashes.select(
+                F.col("media_id").alias(f"id_{side}"),
+                F.col("ahash").alias(f"h_{side}"),
+                F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+            )
+            .select(
+                f"id_{side}",
+                f"h_{side}",
+                "band",
+                F.expr(f"substring(h_{side}, band * 16 + 1, 16)").alias("bv"),
+            )
+        )
+
+    cand = (
+        banded("a")
+        .join(banded("b"), ["band", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("id_a").alias("media_id_1"),
+            F.col("id_b").alias("media_id_2"),
+            F.col("h_a").alias("h1"),
+            F.col("h_b").alias("h2"),
+        )
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.sequence(F.lit(1), F.lit(64)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            F.col("h1").substr(i, F.lit(1)) != F.col("h2").substr(i, F.lit(1)),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        cand.select(
+            "media_id_1", "media_id_2", ham.cast("long").alias("hamming")
+        )
+        .where(F.col("hamming") <= 3)
+    )

@@ -1774,3 +1774,31 @@ def test_eval_rouge_matches_pure_python(spark, tmp_path):
 
     bleu = QUERIES["llm_eval_bleu"](spark, short_dir).collect()[0]
     assert got["rouge1_p"] == bleu["p1"]  # identical clipped unigrams
+
+
+def test_mm_image_ahash_planted_near_dups(spark, tmp_path):
+    """Hand-built hash algebra: a uniform raster hashes to all-ones
+    (64g >= sum ties -> 1); one darkened sampled pixel flips exactly
+    its own bit (the mean drop keeps every other bit at 1); an
+    half-split raster band-collides but fails the Hamming cut.
+    Non-ASCII docs are fenced out by the byte-vs-char guard."""
+    from osm_airflow_spark.registry import QUERIES
+
+    rows = [
+        (1, "m" * 300),           # all bits 1
+        (2, "m" * 300),           # exact dup -> hamming 0
+        (3, "a" + "m" * 299),     # one sampled pixel darker -> hamming 1
+        # half-dark/half-bright raster: its all-ones bottom band DOES
+        # collide with the uniform docs (candidate generated), but
+        # Hamming 40 >> 3, so the exact filter must drop it
+        (4, "a" * 150 + "z" * 150),
+        (5, "mé" + "m" * 298),    # non-ASCII: excluded by the guard
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["media_id_1"], r["media_id_2"]): r["hamming"]
+        for r in QUERIES["mm_image_ahash"](spark, str(tmp_path)).collect()
+    }
+    assert got == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
