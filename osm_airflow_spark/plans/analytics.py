@@ -4356,3 +4356,246 @@ def pipeline_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "pipeline_xcorr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                           THEN CAST(value AS DECIMAL(18,6)) END)
+                  AS DECIMAL(18,6)) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(18,6)) END)
+                  AS DECIMAL(18,6)) AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1
+    ),
+    both_ AS (
+      SELECT day, x, y FROM daily WHERE x IS NOT NULL AND y IS NOT NULL
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DECIMAL(18,6)) AS sx,
+             CAST(SUM(y) AS DECIMAL(18,6)) AS sy,
+             MIN(day) AS d0
+      FROM both_
+    ),
+    dev AS (
+      SELECT datediff('day', d0, day) AS t,
+             CAST(x * CAST(n AS DECIMAL(6,0)) - sx AS DECIMAL(18,6)) AS dx,
+             CAST(y * CAST(n AS DECIMAL(6,0)) - sy AS DECIMAL(18,6)) AS dy
+      FROM both_, tot
+    ),
+    den AS (
+      SELECT SUM(CAST(dx AS DECIMAL(19,6)) * dx) AS dxx,
+             SUM(CAST(dy AS DECIMAL(19,6)) * dy) AS dyy
+      FROM dev
+    ),
+    pairs AS (
+      -- dx at t pairs with dy at t + lag, so a POSITIVE-lag peak
+      -- means x leads y by that many days
+      SELECT k.lag AS lag, a.dx AS dxa, b.dy AS dyb
+      FROM (SELECT UNNEST(generate_series(-7, 7)) AS lag) k
+      JOIN dev b ON TRUE
+      JOIN dev a ON a.t = b.t - k.lag
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           COUNT(*) AS n_pairs,
+           round(CAST(SUM(CAST(dxa AS DECIMAL(19,6)) * dyb) AS DOUBLE)
+                 / sqrt(CAST(MAX(dxx) AS DOUBLE) * CAST(MAX(dyy) AS DOUBLE)),
+                 9) AS xcorr
+    FROM pairs, den
+    GROUP BY lag
+    ORDER BY lag
+    """,
+)
+def pipeline_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — lagged CROSS-CORRELATION between the daily
+    click and purchase value series at lags −7…+7: 'does click
+    activity lead purchase activity, and by how many days?' — the
+    lead–lag diagnostic behind attribution windows and forecast
+    feature selection (positive-lag peak ⇒ x leads y). Same exact
+    algebra as pipeline_acf: deviations are n-scaled integers
+    (dx = n·x_t − Sx), so numerator and both denominator sums are
+    exact decimals; r_xy(k) = Σ dx_t·dy_{t−k} / √(Σdx²·Σdy²) takes
+    one sqrt over the agreed double casts and is emitted at 9 dp
+    (the >2^53 decimal→double ulp dodge, as in ACF). Days missing
+    either series drop out before centering, so both engines center
+    over the identical support.
+
+    Scale: one events pass to the dates-bounded daily two-series
+    table (conditional aggregation — one scan for both series, not
+    two); the ±7 lag expansion is 15× that bounded table, broadcast-
+    joined; one control-plane row per lag out."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.col("value").cast("decimal(18,6)"),
+                )
+            )
+            .cast("decimal(18,6)")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,6)"),
+                )
+            )
+            .cast("decimal(18,6)")
+            .alias("y"),
+        )
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .localCheckpoint(eager=True)  # dates-bounded; totals + dev
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(18,6)").alias("sx"),
+        F.sum("y").cast("decimal(18,6)").alias("sy"),
+        F.min("day").alias("d0"),
+    )
+    n_dec = F.col("n").cast("decimal(6,0)")
+    dev = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            F.datediff(F.col("day"), F.col("d0")).alias("t"),
+            (F.col("x") * n_dec - F.col("sx"))
+            .cast("decimal(18,6)")
+            .alias("dx"),
+            (F.col("y") * n_dec - F.col("sy"))
+            .cast("decimal(18,6)")
+            .alias("dy"),
+        )
+        .localCheckpoint(eager=True)  # den + both lag-join sides
+    )
+    den = dev.agg(
+        F.sum(F.col("dx") * F.col("dx")).alias("dxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("dyy"),
+    )
+    lagged = dev.select(
+        F.explode(F.sequence(F.lit(-7), F.lit(7))).alias("lag"),
+        F.col("t").alias("bt"),
+        F.col("dy").alias("dyb"),
+    ).select("lag", (F.col("bt") - F.col("lag")).alias("t_target"), "dyb")
+    return (
+        dev.join(F.broadcast(lagged), dev.t == lagged.t_target)
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("dx") * F.col("dyb")).alias("num"),
+        )
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.round(
+                F.col("num").cast("double")
+                / F.sqrt(
+                    F.col("dxx").cast("double") * F.col("dyy").cast("double")
+                ),
+                9,
+            ).alias("xcorr"),
+        )
+        .orderBy("lag")
+    )
+
+
+@query(
+    "pipeline_mutual_info",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS p, o_orderstatus AS s, COUNT(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT p, SUM(o) AS r FROM cells GROUP BY p),
+    cols_ AS (SELECT s, SUM(o) AS c FROM cells GROUP BY s),
+    tot AS (SELECT SUM(o) AS n FROM cells),
+    terms AS (
+      SELECT round((CAST(o AS DOUBLE) / n)
+                   * round(ln(CAST(o AS DOUBLE) * n
+                              / (CAST(r AS DOUBLE) * c)), 6), 9) AS mi_t,
+             round(-(CAST(o AS DOUBLE) / n)
+                   * round(ln(CAST(o AS DOUBLE) / n), 6), 9) AS h_t
+      FROM cells JOIN rows_ USING (p) JOIN cols_ USING (s), tot
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           COUNT(*) AS n_cells,
+           CAST(SUM(CAST(mi_t AS DECIMAL(18,9))) AS DOUBLE) AS mutual_info,
+           CAST(SUM(CAST(h_t AS DECIMAL(18,9))) AS DOUBLE) AS joint_entropy,
+           CAST(SUM(CAST(mi_t AS DECIMAL(18,9))) AS DOUBLE)
+             / CAST(SUM(CAST(h_t AS DECIMAL(18,9))) AS DOUBLE)
+             AS iqr_ratio
+    FROM terms, tot
+    GROUP BY n
+    """,
+)
+def pipeline_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — MUTUAL INFORMATION (in nats) between order
+    priority and status on the same contingency table as
+    pipeline_chi_square: I(P;S) = Σ p_ij·ln(p_ij/(p_i·p_j)), with
+    the joint entropy H(P,S) and their ratio (the information
+    quality ratio) as the normalized readout — the information-
+    theoretic association measure that, unlike chi², is comparable
+    across table sizes and is the feature-selection score used for
+    categorical columns in training pipelines. Each term rounds its
+    ln at the transcendental and the product at 9 dp (terms are
+    ≤ ln(cells) ≈ small magnitude — well inside the shortest-repr
+    safe zone), then decimal-sums so cell order can't matter.
+
+    Scale: identical cost shape to the chi-square key — one corpus
+    pass to a (priorities × statuses)-bounded checkpointed cell
+    table; margins re-aggregate the 15 rows via broadcast
+    join-backs; a single control-plane row out."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("p"),
+            F.col("o_orderstatus").alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)  # margins + totals + terms
+    )
+    rows_ = cells.groupBy("p").agg(F.sum("o").alias("r"))
+    cols_ = cells.groupBy("s").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    od = F.col("o").cast("double")
+    mi_t = F.round(
+        (od / F.col("n"))
+        * F.round(
+            F.log(od * F.col("n") / (F.col("r").cast("double") * F.col("c"))),
+            6,
+        ),
+        9,
+    )
+    h_t = F.round(-(od / F.col("n")) * F.round(F.log(od / F.col("n")), 6), 9)
+    terms = (
+        cells.join(F.broadcast(rows_), "p")
+        .join(F.broadcast(cols_), "s")
+        .crossJoin(F.broadcast(tot))
+        .select(mi_t.alias("mi_t"), h_t.alias("h_t"), "n")
+    )
+    mi = F.sum(F.col("mi_t").cast("decimal(18,9)")).cast("double")
+    h = F.sum(F.col("h_t").cast("decimal(18,9)")).cast("double")
+    return (
+        terms.groupBy("n")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            mi.alias("mutual_info"),
+            h.alias("joint_entropy"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n"),
+            "n_cells",
+            "mutual_info",
+            "joint_entropy",
+            (F.col("mutual_info") / F.col("joint_entropy")).alias(
+                "iqr_ratio"
+            ),
+        )
+    )

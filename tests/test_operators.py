@@ -1004,3 +1004,80 @@ def test_ngram_novelty_matches_pure_python(spark, sf_dir):
     assert r["n_unseen_distinct"] == len(set(unseen))
     assert r["novelty_mass"] == len(unseen) / len(val_inst)
     assert r["novelty_distinct"] == len(set(unseen)) / len(set(val_inst))
+
+
+def test_xcorr_planted_lead_lag(spark, tmp_path):
+    """Purchases exactly replay clicks two days later: the
+    cross-correlation must peak at lag +2 (x leads y), with the
+    peak near 1 and every other lag visibly below it."""
+    rows = []
+    eid = 0
+    vals = [10.0, 25.0, 5.0, 40.0, 15.0, 30.0, 8.0, 22.0] * 8  # 64 days
+    for day, v in enumerate(vals):
+        us = 1_600_000_000_000_000 + day * 86_400_000_000
+        rows.append((eid, 1, "click", v, us))
+        eid += 1
+        if day >= 2:
+            rows.append((eid, 2, "purchase", vals[day - 2], us))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, us long"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["lag"]: r["xcorr"]
+        for r in QUERIES["pipeline_xcorr"](spark, str(tmp_path)).collect()
+    }
+    assert sorted(got) == list(range(-7, 8))
+    peak = max(got, key=lambda k: got[k])
+    assert peak == 2, got
+    assert got[2] > 0.9
+    # the planted period-8 pattern echoes at lag 2-8=-6, but the true
+    # alignment must dominate every other lag
+    assert all(got[k] < got[2] for k in got if k != 2)
+
+
+def test_mutual_info_matches_pure_python(spark, sf_dir):
+    """Third implementation: MI and joint entropy recomputed from the
+    collected contingency table with the same term-rounding recipe."""
+    import math
+
+    from osm_airflow_spark.io import load_table
+
+    r = QUERIES["pipeline_mutual_info"](spark, sf_dir).collect()[0]
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+    from decimal import Decimal
+
+    rtot, ctot, n = defaultdict(int), defaultdict(int), 0
+    for c in cells:
+        rtot[c["o_orderpriority"]] += c["count"]
+        ctot[c["o_orderstatus"]] += c["count"]
+        n += c["count"]
+    mi = Decimal(0)
+    h = Decimal(0)
+    for c in cells:
+        o = c["count"]
+        pr = rtot[c["o_orderpriority"]]
+        pc = ctot[c["o_orderstatus"]]
+        mi += Decimal(
+            str(round((o / n) * round(math.log(o * n / (pr * pc)), 6), 9))
+        )
+        h += Decimal(str(round(-(o / n) * round(math.log(o / n), 6), 9)))
+    assert r["n"] == n and r["n_cells"] == len(cells)
+    assert abs(r["mutual_info"] - float(mi)) < 1e-12
+    assert abs(r["joint_entropy"] - float(h)) < 1e-12
+    assert r["iqr_ratio"] == r["mutual_info"] / r["joint_entropy"]
+    assert 0 <= r["iqr_ratio"] < 1
