@@ -119,7 +119,17 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- new keys this round, never driver-checked (27) --
+    # -- new keys this round, never driver-checked (36; the third-
+    # session statistics/graph/mm batch leads) --
+    "pipeline_acf",
+    "pipeline_anova",
+    "pipeline_benford",
+    "pipeline_xcorr",
+    "pipeline_mutual_info",
+    "win_running_distinct",
+    "graph_adamic_adar",
+    "llm_ngram_novelty",
+    "mm_image_ahash",
     "win_max_drawdown",
     "pipeline_psi_drift",
     "osm_convex_hull",
@@ -147,13 +157,19 @@ DRIVER_WINDOW: list[str] = [
     "llm_corpus_divergence",
     "llm_dedup_fingerprint",
     "llm_embed_outliers",
-    # -- staleness re-checks: the r4-era remainder (23; pipeline_market_share, pipeline_order_count_distribution,
-    # pipeline_nation_trade, pipeline_pricing_summary and the last eight —
+    # -- staleness re-checks: the r4-era remainder (14; the third
+    # r9 session's 9 new keys displace osm_way_lengths,
+    # pipeline_branded_discounts, pipeline_data_quality,
+    # pipeline_date_spine, pipeline_event_funnel,
+    # pipeline_forecast_revenue, pipeline_large_volume_customers,
+    # pipeline_market_basket, osm_tile_rollup, which join
+    # pipeline_market_share / pipeline_order_count_distribution /
+    # pipeline_nation_trade / pipeline_pricing_summary /
     # pipeline_priority_class_share / pipeline_priority_fulfillment /
     # pipeline_retention_cohort / pipeline_small_quantity_revenue /
     # pipeline_top_returning_customers / pipeline_waiting_multi_supplier /
-    # pipeline_snapshot_diff / pipeline_time_travel — yield to late-r9
-    # keys and lead the r10 rotation) --
+    # pipeline_snapshot_diff / pipeline_time_travel at the head of
+    # the r10 rotation — never-checked beats re-proof) --
     "llm_bigram_lm",
     "llm_contamination_check",
     "llm_corpus_curation",
@@ -168,15 +184,6 @@ DRIVER_WINDOW: list[str] = [
     "llm_tfidf_topk",
     "osm_assemble_ways",
     "osm_spatial_join_bbox",
-    "osm_tile_rollup",
-    "osm_way_lengths",
-    "pipeline_branded_discounts",
-    "pipeline_data_quality",
-    "pipeline_date_spine",
-    "pipeline_event_funnel",
-    "pipeline_forecast_revenue",
-    "pipeline_large_volume_customers",
-    "pipeline_market_basket",
     # -- staleness re-checks: the r5 block fully yields its slots to
     # the late-r9 keys (never-checked beats re-proof — the r5/r6
     # precedent) and rejoins the r10 rotation --
