@@ -821,3 +821,107 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_new").over(w_run).alias("distinct_types_so_far"),
         )
     )
+
+
+@query(
+    "win_bollinger",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS x
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    framed AS (
+      SELECT event_type, day, x,
+             SUM(x) OVER w AS s7,
+             SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6)
+                      AS DECIMAL(24,6))) OVER w AS q7,
+             COUNT(*) OVER w AS k
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(x AS DOUBLE) AS daily_value,
+           CAST(s7 AS DOUBLE) / 7 AS mean7,
+           CAST(s7 AS DOUBLE) / 7
+             + 2 * sqrt((7 * CAST(q7 AS DOUBLE)
+                         - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE)) / 42)
+             AS upper_band,
+           CAST(s7 AS DOUBLE) / 7
+             - 2 * sqrt((7 * CAST(q7 AS DOUBLE)
+                         - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE)) / 42)
+             AS lower_band,
+           (CAST(x AS DOUBLE) > CAST(s7 AS DOUBLE) / 7
+              + 2 * sqrt((7 * CAST(q7 AS DOUBLE)
+                          - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE)) / 42)
+            OR CAST(x AS DOUBLE) < CAST(s7 AS DOUBLE) / 7
+              - 2 * sqrt((7 * CAST(q7 AS DOUBLE)
+                          - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE)) / 42))
+             AS breakout
+    FROM framed WHERE k = 7
+    """,
+)
+def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 (extension) — BOLLINGER BANDS over the per-type daily value
+    series: 7-day rolling mean ± 2 rolling sample std, with a
+    breakout flag when the day's value escapes the band — the
+    parametric twin of win_hampel_outliers (z-score band vs robust
+    median/MAD band; a monitoring stack runs both). The rolling
+    sufficient statistics are DECIMAL window sums (exact, so frame
+    evaluation order is moot): Σx from the exact daily decimal
+    totals, Σx² with the per-term 6-dp round (term rule — the
+    squares are ~1e7, 15 significant digits, inside the shortest-
+    repr safe zone). Everything after the two sums is a shared IEEE
+    tree over agreed doubles, emitted unrounded; the band compare
+    applies to the same unrounded values in both engines. Full
+    7-frames only (k = 7), the hampel precedent — partial leading
+    frames would make band width incomparable.
+
+    Scale: one events pass to the dates×types-bounded daily table,
+    then type-partitioned windows (bounded partitions, no global
+    window), one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("x")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    xd = F.col("x").cast("double")
+    framed = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.sum("x").over(w).alias("s7"),
+        F.sum(F.round(xd * xd, 6).cast("decimal(24,6)")).over(w).alias("q7"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    ).where(F.col("k") == 7)
+    s7d = F.col("s7").cast("double")
+    q7d = F.col("q7").cast("double")
+    mean7 = s7d / 7
+    band = 2 * F.sqrt((7 * q7d - s7d * s7d) / 42)
+    return framed.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("x").cast("double").alias("daily_value"),
+        mean7.alias("mean7"),
+        (mean7 + band).alias("upper_band"),
+        (mean7 - band).alias("lower_band"),
+        (
+            (F.col("x").cast("double") > mean7 + band)
+            | (F.col("x").cast("double") < mean7 - band)
+        ).alias("breakout"),
+    )

@@ -4599,3 +4599,147 @@ def pipeline_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "pipeline_did",
+    oracle="""
+    WITH span AS (
+      SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    assigned AS (
+      -- midpoint in integer epoch-us: DuckDB divides INTERVALs
+      -- field-wise (29 days / 2 = 14 days, the half-day DROPPED)
+      -- while Spark divides total microseconds -- epoch integer
+      -- arithmetic is identical in both engines
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+             CASE WHEN epoch_us(ts) * 2 < epoch_us(t0) + epoch_us(t1)
+                  THEN 'pre' ELSE 'post' END AS period,
+             value
+      FROM events, span
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    stats AS (
+      SELECT arm, period,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(24,6)))
+                  AS DOUBLE) AS sxx
+      FROM assigned GROUP BY arm, period
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 'a' AND period = 'pre' THEN n END) AS n_a0,
+        MAX(CASE WHEN arm = 'a' AND period = 'pre' THEN sx END) AS s_a0,
+        MAX(CASE WHEN arm = 'a' AND period = 'pre' THEN sxx END) AS q_a0,
+        MAX(CASE WHEN arm = 'a' AND period = 'post' THEN n END) AS n_a1,
+        MAX(CASE WHEN arm = 'a' AND period = 'post' THEN sx END) AS s_a1,
+        MAX(CASE WHEN arm = 'a' AND period = 'post' THEN sxx END) AS q_a1,
+        MAX(CASE WHEN arm = 'b' AND period = 'pre' THEN n END) AS n_b0,
+        MAX(CASE WHEN arm = 'b' AND period = 'pre' THEN sx END) AS s_b0,
+        MAX(CASE WHEN arm = 'b' AND period = 'pre' THEN sxx END) AS q_b0,
+        MAX(CASE WHEN arm = 'b' AND period = 'post' THEN n END) AS n_b1,
+        MAX(CASE WHEN arm = 'b' AND period = 'post' THEN sx END) AS s_b1,
+        MAX(CASE WHEN arm = 'b' AND period = 'post' THEN sxx END) AS q_b1
+      FROM stats
+    )
+    SELECT CAST(n_a0 + n_a1 + n_b0 + n_b1 AS BIGINT) AS n,
+           s_b1 / n_b1 - s_b0 / n_b0 AS delta_treat,
+           s_a1 / n_a1 - s_a0 / n_a0 AS delta_control,
+           (s_b1 / n_b1 - s_b0 / n_b0) - (s_a1 / n_a1 - s_a0 / n_a0)
+             AS did_estimate,
+           sqrt(((n_a0 * q_a0 - s_a0 * s_a0) / (n_a0 * (n_a0 - 1.0))) / n_a0
+                + ((n_a1 * q_a1 - s_a1 * s_a1) / (n_a1 * (n_a1 - 1.0))) / n_a1
+                + ((n_b0 * q_b0 - s_b0 * s_b0) / (n_b0 * (n_b0 - 1.0))) / n_b0
+                + ((n_b1 * q_b1 - s_b1 * s_b1) / (n_b1 * (n_b1 - 1.0))) / n_b1)
+             AS std_err,
+           ((s_b1 / n_b1 - s_b0 / n_b0) - (s_a1 / n_a1 - s_a0 / n_a0))
+           / sqrt(((n_a0 * q_a0 - s_a0 * s_a0) / (n_a0 * (n_a0 - 1.0))) / n_a0
+                  + ((n_a1 * q_a1 - s_a1 * s_a1) / (n_a1 * (n_a1 - 1.0))) / n_a1
+                  + ((n_b0 * q_b0 - s_b0 * s_b0) / (n_b0 * (n_b0 - 1.0))) / n_b0
+                  + ((n_b1 * q_b1 - s_b1 * s_b1) / (n_b1 * (n_b1 - 1.0))) / n_b1)
+             AS t_stat
+    FROM wide
+    """,
+)
+def pipeline_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — DIFFERENCE-IN-DIFFERENCES on purchase values:
+    arms by user-id parity (the ab_test assignment), periods by the
+    exact midpoint of the corpus span (the psi_drift split) — the
+    quasi-experimental readout when treatment rolls out at a point
+    in time and the control arm carries the seasonal trend:
+    DiD = (B̄post − B̄pre) − (Āpost − Āpre), with the four-variance
+    standard error and t. Per-cell sufficient statistics follow the
+    ab_test recipe (exact decimal Σx, term-rounded Σx²); everything
+    cross-cell is computed off a 2×2 WIDE PIVOT so each reduction is
+    a fixed-order IEEE tree (the anova discipline).
+
+    Scale: one corpus pass to 4 cells × 3 statistics (the span ride
+    is a broadcast 1-row aggregate); the readout is one
+    control-plane row."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    span = purchases.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    # integer epoch-us midpoint compare: ts*2 < t0+t1 (see oracle note
+    # on DuckDB's field-wise interval division)
+    def us(c):
+        # ts is TIMESTAMP_NTZ; the session TZ is pinned UTC, so the
+        # cast to TIMESTAMP makes unix_micros the naive-UTC epoch --
+        # exactly DuckDB's epoch_us on a naive timestamp
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    is_pre = us("ts") * 2 < us("t0") + us("t1")
+    assigned = purchases.crossJoin(F.broadcast(span)).select(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("arm"),
+        F.when(is_pre, "pre").otherwise("post").alias("period"),
+        "value",
+    )
+    stats = assigned.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(
+            F.round(F.col("value") * F.col("value"), 6).cast("decimal(24,6)")
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+    cells = [("a", "pre", "a0"), ("a", "post", "a1"), ("b", "pre", "b0"), ("b", "post", "b1")]
+    wide = stats.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("arm") == arm) & (F.col("period") == per), F.col(c)
+                )
+            ).alias(f"{a}_{tag}")
+            for arm, per, tag in cells
+            for c, a in (("n", "n"), ("sx", "s"), ("sxx", "q"))
+        ]
+    )
+
+    def mean(tag):
+        return F.col(f"s_{tag}") / F.col(f"n_{tag}")
+
+    def sem2(tag):
+        n = F.col(f"n_{tag}")
+        s = F.col(f"s_{tag}")
+        q = F.col(f"q_{tag}")
+        return ((n * q - s * s) / (n * (n - F.lit(1.0)))) / n
+
+    delta_t = mean("b1") - mean("b0")
+    delta_c = mean("a1") - mean("a0")
+    did = delta_t - delta_c
+    se = F.sqrt(sem2("a0") + sem2("a1") + sem2("b0") + sem2("b1"))
+    n_tot = (
+        F.col("n_a0") + F.col("n_a1") + F.col("n_b0") + F.col("n_b1")
+    ).cast("long")
+    return wide.select(
+        n_tot.alias("n"),
+        delta_t.alias("delta_treat"),
+        delta_c.alias("delta_control"),
+        did.alias("did_estimate"),
+        se.alias("std_err"),
+        (did / se).alias("t_stat"),
+    )

@@ -119,8 +119,10 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- new keys this round, never driver-checked (36; the third-
+    # -- new keys this round, never driver-checked (38; the third-
     # session statistics/graph/mm batch leads) --
+    "pipeline_did",
+    "win_bollinger",
     "pipeline_acf",
     "pipeline_anova",
     "pipeline_benford",
@@ -157,8 +159,9 @@ DRIVER_WINDOW: list[str] = [
     "llm_corpus_divergence",
     "llm_dedup_fingerprint",
     "llm_embed_outliers",
-    # -- staleness re-checks: the r4-era remainder (14; the third
-    # r9 session's 9 new keys displace osm_way_lengths,
+    # -- staleness re-checks: the r4-era remainder (12; the third
+    # r9 session's 11 new keys displace osm_assemble_ways,
+    # osm_spatial_join_bbox, osm_way_lengths,
     # pipeline_branded_discounts, pipeline_data_quality,
     # pipeline_date_spine, pipeline_event_funnel,
     # pipeline_forecast_revenue, pipeline_large_volume_customers,
@@ -182,8 +185,6 @@ DRIVER_WINDOW: list[str] = [
     "llm_sim_ann_multiprobe",
     "llm_sim_ann_pq",
     "llm_tfidf_topk",
-    "osm_assemble_ways",
-    "osm_spatial_join_bbox",
     # -- staleness re-checks: the r5 block fully yields its slots to
     # the late-r9 keys (never-checked beats re-proof — the r5/r6
     # precedent) and rejoins the r10 rotation --

@@ -1081,3 +1081,76 @@ def test_mutual_info_matches_pure_python(spark, sf_dir):
     assert abs(r["joint_entropy"] - float(h)) < 1e-12
     assert r["iqr_ratio"] == r["mutual_info"] / r["joint_entropy"]
     assert 0 <= r["iqr_ratio"] < 1
+
+
+def test_did_planted_treatment_effect(spark, tmp_path):
+    """Parallel trends +10 in both arms, +15 extra in the treated
+    arm post-period: DiD must isolate exactly 15.0 (cell means are
+    dyadic-exact), with a positive t."""
+    rows = []
+    eid = 0
+
+    def cell(user, day_lo, v):
+        nonlocal eid
+        for i in range(50):
+            us = 1_600_000_000_000_000 + (day_lo + i % 10) * 86_400_000_000 + i
+            rows.append((eid, user, "purchase", v + 2.0 * (i % 2), us))
+            eid += 1
+
+    cell(2, 0, 9.0)    # A pre  -> mean 10
+    cell(2, 20, 19.0)  # A post -> mean 20
+    cell(3, 0, 9.0)    # B pre  -> mean 10
+    cell(3, 20, 34.0)  # B post -> mean 35
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, us long"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    r = QUERIES["pipeline_did"](spark, str(tmp_path)).collect()[0]
+    assert r["n"] == 200
+    assert r["delta_control"] == 10.0
+    assert r["delta_treat"] == 25.0
+    assert r["did_estimate"] == 15.0
+    assert r["std_err"] > 0 and r["t_stat"] > 10
+
+
+def test_bollinger_planted_spike(spark, tmp_path):
+    """Seven flat days give a zero-width band (no breakout: the
+    compare is strict); the day-8 spike escapes upward. Only full
+    7-frames emit."""
+    rows = []
+    for day in range(8):
+        v = 200.0 if day == 7 else 100.0
+        rows.append(
+            (day, 1, "view", v, 1_600_000_000_000_000 + day * 86_400_000_000)
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, us long"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["day"]: r
+        for r in QUERIES["win_bollinger"](spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 2  # days 0-5 have partial frames
+    flat = got["2020-09-19"]  # day 6
+    assert flat["mean7"] == 100.0
+    assert flat["upper_band"] == 100.0 == flat["lower_band"]
+    assert not flat["breakout"]
+    spike = got["2020-09-20"]  # day 7
+    assert spike["daily_value"] == 200.0
+    assert spike["breakout"]
+    assert spike["upper_band"] < 200.0
