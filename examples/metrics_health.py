@@ -14,6 +14,14 @@ an experimentation/metrics platform produces per review:
   trend          Theil-Sen robust slope vs OLS (pipeline_theil_sen)
                  and the additive seasonal decomposition
                  (pipeline_seasonal_decompose)
+  causal         difference-in-differences with the control arm
+                 carrying the trend (pipeline_did)
+  dependence     daily-revenue autocorrelation (pipeline_acf),
+                 click->purchase lead-lag (pipeline_xcorr), weekday
+                 ANOVA (pipeline_anova), priority-status mutual
+                 information (pipeline_mutual_info)
+  integrity      Benford first-digit screen (pipeline_benford) and
+                 Bollinger breakout days (win_bollinger)
 
     python examples/metrics_health.py [sf_dir]
 """
@@ -80,6 +88,29 @@ def main() -> None:
     ).first()
     print(f"== seasonality: amplitude [{amp['lo']:.0f}, {amp['hi']:.0f}] "
           f"around the centered-MA trend")
+
+    did = q["pipeline_did"](spark, sf_dir).first()
+    print(f"== causal: DiD {did['did_estimate']:+.2f} "
+          f"(treat {did['delta_treat']:+.2f} vs control "
+          f"{did['delta_control']:+.2f}, t {did['t_stat']:+.2f})")
+
+    acf = {r["lag"]: r["acf"] for r in q["pipeline_acf"](spark, sf_dir).collect()}
+    xc = q["pipeline_xcorr"](spark, sf_dir).collect()
+    peak = max(xc, key=lambda r: r["xcorr"])
+    an = q["pipeline_anova"](spark, sf_dir).first()
+    mi = q["pipeline_mutual_info"](spark, sf_dir).first()
+    print(f"== dependence: acf(1) {acf[1]:+.3f} acf(7) {acf[7]:+.3f}  "
+          f"xcorr peak {peak['xcorr']:+.3f} @ lag {peak['lag']:+d}")
+    print(f"   weekday ANOVA F {an['f_stat']:.2f} (eta2 {an['eta_sq']:.4f})  "
+          f"MI {mi['mutual_info']:.5f} nats (IQR {mi['iqr_ratio']:.4f})")
+
+    bf = q["pipeline_benford"](spark, sf_dir).collect()
+    worst = max(bf, key=lambda r: r["abs_dev"])
+    bb = q["win_bollinger"](spark, sf_dir)
+    n_break = bb.where(F.col("breakout")).count()
+    print(f"== integrity: Benford max deviation {worst['abs_dev']:.3f} "
+          f"at digit {worst['digit']}  |  {n_break} Bollinger breakout "
+          f"day-cells / {bb.count()}")
     print("== done")
 
 
