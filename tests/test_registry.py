@@ -149,6 +149,19 @@ def test_no_precision_losing_float_literals_in_oracles():
 # unrounded emission (bit-identical shared IEEE trees) or exact
 # integer HALF_UP (llm_vocab_coverage) in round 7.
 ROUND_AUDITED = {
+    "pipeline_acf": "ulp (>2^53-unscaled decimal ratio emitted at 9 dp — "
+    "SCALE r9: DuckDB's two-rounding decimal->double cast)",
+    "pipeline_xcorr": "ulp (same >2^53 decimal-ratio emission as ACF)",
+    "pipeline_anova": "term (value^2 pre-rounded to 6 dp, the ab_test recipe)",
+    "pipeline_did": "term (value^2 pre-rounded to 6 dp, the ab_test recipe)",
+    "pipeline_benford": "libm (log10 of exact-int rationals, rounded at the "
+    "transcendental)",
+    "pipeline_mutual_info": "libm (ln of agreed rational doubles) + term "
+    "(9-dp products decimal-summed)",
+    "graph_adamic_adar": "libm (1/ln(basket size), rounded at the "
+    "transcendental, decimal-summed)",
+    "win_bollinger": "term (daily-total^2 pre-rounded to 6 dp inside the "
+    "decimal window sum)",
     "fn_math": "op",
     "fn_geo_distance": "libm (asin/sin/cos)",
     "fn_geo_bearing": "libm (atan2)",
