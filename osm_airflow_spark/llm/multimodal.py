@@ -828,26 +828,38 @@ def ahash_media(media: DataFrame, side: int = 8) -> DataFrame:
       FROM s, generate_series(0, 7) AS gr(r), generate_series(0, 7) AS gc(c)
     ),
     tot AS (SELECT doc_id, SUM(g) AS sg FROM px GROUP BY doc_id),
-    hashes AS (
-      SELECT px.doc_id,
-             string_agg(CASE WHEN 64 * g >= sg THEN '1' ELSE '0' END,
-                        '' ORDER BY bit_idx) AS h
-      FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id
+    bands AS (
+      SELECT px.doc_id, bit_idx // 16 AS band,
+             SUM(CASE WHEN 64 * g >= sg THEN 1 ELSE 0 END
+                 * (1 << (15 - (bit_idx % 16)))) AS bv
+      FROM px JOIN tot USING (doc_id)
+      GROUP BY px.doc_id, bit_idx // 16
+    ),
+    wide AS (
+      SELECT doc_id,
+             MAX(CASE WHEN band = 0 THEN bv END) AS b0,
+             MAX(CASE WHEN band = 1 THEN bv END) AS b1,
+             MAX(CASE WHEN band = 2 THEN bv END) AS b2,
+             MAX(CASE WHEN band = 3 THEN bv END) AS b3
+      FROM bands GROUP BY doc_id
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
-             a.h AS h1, b.h AS h2
-      FROM hashes a, hashes b, generate_series(0, 3) AS gb(band)
-      WHERE a.doc_id < b.doc_id
-        AND substr(a.h, band * 16 + 1, 16) = substr(b.h, band * 16 + 1, 16)
+             a.b0 AS ab0, a.b1 AS ab1, a.b2 AS ab2, a.b3 AS ab3,
+             b.b0 AS bb0, b.b1 AS bb1, b.b2 AS bb2, b.b3 AS bb3
+      FROM bands ba
+      JOIN bands bb ON ba.band = bb.band AND ba.bv = bb.bv
+                    AND ba.doc_id < bb.doc_id
+      JOIN wide a ON a.doc_id = ba.doc_id
+      JOIN wide b ON b.doc_id = bb.doc_id
     )
     SELECT d1 AS media_id_1, d2 AS media_id_2,
-           CAST(SUM(CASE WHEN substr(h1, i, 1) <> substr(h2, i, 1)
-                         THEN 1 ELSE 0 END) AS BIGINT) AS hamming
-    FROM cand, generate_series(1, 64) AS gi(i)
-    GROUP BY d1, d2
-    HAVING SUM(CASE WHEN substr(h1, i, 1) <> substr(h2, i, 1)
-               THEN 1 ELSE 0 END) <= 3
+           CAST(bit_count(xor(ab0, bb0)) + bit_count(xor(ab1, bb1))
+                + bit_count(xor(ab2, bb2)) + bit_count(xor(ab3, bb3))
+                AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ab0, bb0)) + bit_count(xor(ab1, bb1))
+          + bit_count(xor(ab2, bb2)) + bit_count(xor(ab3, bb3)) <= 3
     """,
 )
 def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -880,7 +892,15 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = (
         ahash_media(media)
         .where(F.col("decoded"))
-        .select("media_id", "ahash")
+        .select(
+            "media_id",
+            *[
+                F.conv(F.substring("ahash", i * 16 + 1, 16), 2, 10)
+                .cast("long")
+                .alias(f"b{i}")
+                for i in range(4)
+            ],
+        )
         .localCheckpoint(eager=True)  # both band-join sides
     )
 
@@ -888,19 +908,26 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (band, band-value) are the JOIN KEYS — the shuffle hashes
         # on the 16-bit band content, so candidates co-locate and
         # non-colliding docs never pair (joining on band alone would
-        # be a per-band self-cross)
-        return (
-            hashes.select(
-                F.col("media_id").alias(f"id_{side}"),
-                F.col("ahash").alias(f"h_{side}"),
-                F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
-            )
-            .select(
-                f"id_{side}",
-                f"h_{side}",
-                "band",
-                F.expr(f"substring(h_{side}, band * 16 + 1, 16)").alias("bv"),
-            )
+        # be a per-band self-cross). The full 4-int hash rides along
+        # so the Hamming needs no second lookup; distance is 4 int
+        # XOR+popcounts, not 128 substrings (measured: the substring
+        # form spent 80 s on sf0.1's 1.5 M candidate rows — text
+        # images skew bright, so the all-ones band bucket alone held
+        # 1.5 k docs; the integer form runs the same candidates in
+        # seconds).
+        return hashes.select(
+            F.col("media_id").alias(f"id_{side}"),
+            *[F.col(f"b{i}").alias(f"b{i}_{side}") for i in range(4)],
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+        ).select(
+            f"id_{side}",
+            *[f"b{i}_{side}" for i in range(4)],
+            "band",
+            F.when(F.col("band") == 0, F.col(f"b0_{side}"))
+            .when(F.col("band") == 1, F.col(f"b1_{side}"))
+            .when(F.col("band") == 2, F.col(f"b2_{side}"))
+            .otherwise(F.col(f"b3_{side}"))
+            .alias("bv"),
         )
 
     cand = (
@@ -910,19 +937,14 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("id_a").alias("media_id_1"),
             F.col("id_b").alias("media_id_2"),
-            F.col("h_a").alias("h1"),
-            F.col("h_b").alias("h2"),
+            *[F.col(f"b{i}_a") for i in range(4)],
+            *[F.col(f"b{i}_b") for i in range(4)],
         )
         .distinct()
     )
-    ham = F.aggregate(
-        F.sequence(F.lit(1), F.lit(64)),
-        F.lit(0),
-        lambda acc, i: acc
-        + F.when(
-            F.col("h1").substr(i, F.lit(1)) != F.col("h2").substr(i, F.lit(1)),
-            1,
-        ).otherwise(0),
+    ham = sum(
+        F.bit_count(F.col(f"b{i}_a").bitwiseXOR(F.col(f"b{i}_b")))
+        for i in range(4)
     )
     return (
         cand.select(
