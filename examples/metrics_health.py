@@ -106,11 +106,17 @@ def main() -> None:
 
     bf = q["pipeline_benford"](spark, sf_dir).collect()
     worst = max(bf, key=lambda r: r["abs_dev"])
-    bb = q["win_bollinger"](spark, sf_dir)
-    n_break = bb.where(F.col("breakout")).count()
+    bb = (
+        q["win_bollinger"](spark, sf_dir)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("breakout").cast("int")).alias("n_break"),
+        )
+        .first()
+    )
     print(f"== integrity: Benford max deviation {worst['abs_dev']:.3f} "
-          f"at digit {worst['digit']}  |  {n_break} Bollinger breakout "
-          f"day-cells / {bb.count()}")
+          f"at digit {worst['digit']}  |  {bb['n_break']} Bollinger breakout "
+          f"day-cells / {bb['n']}")
     print("== done")
 
 

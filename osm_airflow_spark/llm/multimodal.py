@@ -511,6 +511,22 @@ def resize_image(px: "object", out_w: int, out_h: int) -> "object":
     return px[rows][:, cols]
 
 
+
+def _decode_or_none(raw: bytes) -> "object":
+    """Shared guard-then-decode for mapInPandas kernels: returns the
+    pixel array, or None for anything that doesn't look like / parse
+    as an image — a mixed corpus must never die on one bad blob. One
+    definition so the guard/decode contract can't drift between
+    kernels (r9 self-review: resize and ahash carried verbatim
+    copies)."""
+    if not looks_like_image(raw):
+        return None
+    try:
+        return decode_image(raw)
+    except ValueError:
+        return None
+
+
 def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     """Decode → resize over binary payloads as one Arrow-batched
     mapInPandas pass: each decodable payload becomes one row of
@@ -530,13 +546,7 @@ def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
                 out["media_id"].append(mid)
                 out["out_w"].append(out_w)
                 out["out_h"].append(out_h)
-                if looks_like_image(raw):
-                    try:
-                        px = decode_image(raw)
-                    except ValueError:
-                        px = None
-                else:
-                    px = None
+                px = _decode_or_none(raw)
                 if px is None:
                     out["src_w"].append(0)
                     out["src_h"].append(0)
@@ -790,13 +800,7 @@ def ahash_media(media: DataFrame, side: int = 8) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload or b"")
                 out["media_id"].append(mid)
-                if looks_like_image(raw):
-                    try:
-                        px = decode_image(raw)
-                    except ValueError:
-                        px = None
-                else:
-                    px = None
+                px = _decode_or_none(raw)
                 if px is None:
                     out["decoded"].append(False)
                     out["ahash"].append("")

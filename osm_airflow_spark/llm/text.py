@@ -3553,7 +3553,8 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction), bigrams the empty-safe _bleu_grams build
     shared with BLEU/ROUGE.
 
-    Scale: one documents pass explodes to gram instances; the train
+    Scale: one documents pass explodes to gram instances
+    (checkpointed — both split filters read it); the train
     side collapses to a DISTINCT gram table (corpus-bounded — the
     per-gram join-back the house keeps as a join, never a window);
     val instances LEFT-join it once, with every count taken in that
@@ -3566,7 +3567,11 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     inst = d.select(
         pfx.alias("pfx"),
         F.explode(_bleu_grams(F.split("text", " "), 2)).alias("g"),
-    )
+    ).localCheckpoint(eager=True)  # train filter + val filter both read
+    # it, and this build never reuses exchange subtrees — without the
+    # barrier the documents scan + md5 + gram explode runs TWICE (r9
+    # self-review). At 100 TB the same one-pass guarantee comes from
+    # staging the gram table to storage instead of executor memory.
     train_g = (
         inst.where(F.col("pfx") >= "1a")
         .select("g")

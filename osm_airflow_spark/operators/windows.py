@@ -800,8 +800,11 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, type) — one row_number over the finer partition — then a
     running SUM of the flag over the coarser per-user window. Both
     windows are user-bounded partitions with a (ts, event_id) total
-    order; no global window, one shuffle (the finer partition key is
-    a superset of the coarser, so AQE keeps them co-located)."""
+    order; no global window. Two exchanges (verified in the executed
+    plan): hash(user, type) does NOT satisfy the per-user
+    distribution — one user's rows spread across partitions by type —
+    so the coarser window re-shuffles; the alternative (join-back of
+    per-(user,type) minima) pays the same two."""
     ev = load_table(spark, sf_dir, "events")
     w_first = Window.partitionBy("user_id", "event_type").orderBy(
         "ts", "event_id"
@@ -846,19 +849,16 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(x AS DOUBLE) AS daily_value,
            CAST(s7 AS DOUBLE) / 7 AS mean7,
            CAST(s7 AS DOUBLE) / 7
-             + 2 * sqrt((7 * CAST(q7 AS DOUBLE)
-                         - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE)) / 42)
+             + 2 * sqrt(greatest(0, (7 * CAST(q7 AS DOUBLE)
+                         - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE)) / 42))
              AS upper_band,
            CAST(s7 AS DOUBLE) / 7
-             - 2 * sqrt((7 * CAST(q7 AS DOUBLE)
-                         - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE)) / 42)
+             - 2 * sqrt(greatest(0, (7 * CAST(q7 AS DOUBLE)
+                         - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE)) / 42))
              AS lower_band,
-           (CAST(x AS DOUBLE) > CAST(s7 AS DOUBLE) / 7
-              + 2 * sqrt((7 * CAST(q7 AS DOUBLE)
-                          - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE)) / 42)
-            OR CAST(x AS DOUBLE) < CAST(s7 AS DOUBLE) / 7
-              - 2 * sqrt((7 * CAST(q7 AS DOUBLE)
-                          - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE)) / 42))
+           abs(CAST(7 * x - s7 AS DOUBLE))
+             > 14 * sqrt(greatest(0, (7 * CAST(q7 AS DOUBLE)
+                         - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE)) / 42))
              AS breakout
     FROM framed WHERE k = 7
     """,
@@ -912,7 +912,18 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     s7d = F.col("s7").cast("double")
     q7d = F.col("q7").cast("double")
     mean7 = s7d / 7
-    band = 2 * F.sqrt((7 * q7d - s7d * s7d) / 42)
+    # greatest(0, ·): the 6-dp term rounding of the squares can push
+    # the variance expression a few 1e-7 NEGATIVE on a flat week
+    # (round(x·x, 6) < x² whenever the square rounds down), and
+    # sqrt(-ε) = NaN compares greater than everything — a zero-
+    # variance week would flag breakout=true with NaN bands in BOTH
+    # engines (r9 self-review, confirmed numerically)
+    band = 2 * F.sqrt(F.greatest(F.lit(0.0), (7 * q7d - s7d * s7d) / 42))
+    # the breakout decision is |x − mean| > 2σ SCALED BY 7:
+    # |7x − s7| > 7·band, with the left side an EXACT decimal — the
+    # reconstructed mean s7/7 sits 1 ulp off x on a perfectly flat
+    # week and the naive strict compare flagged it (r9 self-review)
+    resid = F.abs((7 * F.col("x") - F.col("s7")).cast("double"))
     return framed.select(
         "event_type",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
@@ -920,8 +931,5 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean7.alias("mean7"),
         (mean7 + band).alias("upper_band"),
         (mean7 - band).alias("lower_band"),
-        (
-            (F.col("x").cast("double") > mean7 + band)
-            | (F.col("x").cast("double") < mean7 - band)
-        ).alias("breakout"),
+        (resid > 7 * band).alias("breakout"),
     )

@@ -1154,3 +1154,33 @@ def test_bollinger_planted_spike(spark, tmp_path):
     assert spike["daily_value"] == 200.0
     assert spike["breakout"]
     assert spike["upper_band"] < 200.0
+
+
+def test_bollinger_flat_week_rounding_never_nan(spark, tmp_path):
+    """Regression (r9 self-review): a flat week of 1.414214 makes
+    round(x*x, 6) < x*x, so the un-clamped variance was -2.8e-7 and
+    sqrt gave NaN bands that compared as breakout=true. The clamp
+    must yield exact zero-width bands and no breakout."""
+    import math
+
+    rows = [
+        (day, 1, "view", 1.414214, 1_600_000_000_000_000 + day * 86_400_000_000)
+        for day in range(7)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, us long"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    rows = QUERIES["win_bollinger"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert not math.isnan(r["upper_band"]) and not math.isnan(r["lower_band"])
+    assert r["upper_band"] == r["mean7"] == r["lower_band"]
+    assert not r["breakout"]
