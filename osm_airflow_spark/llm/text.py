@@ -3615,3 +3615,82 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_distinct"),
         )
     )
+
+
+@query(
+    "llm_mixture_plan",
+    oracle="""
+    WITH avail AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ),
+    parts AS (
+      SELECT source, toks,
+             CAST(round(sqrt(toks), 6) AS DECIMAL(18,6)) AS part
+      FROM avail
+    ),
+    tot AS (
+      SELECT SUM(toks) AS total, SUM(part) AS part_sum FROM parts
+    )
+    SELECT source,
+           toks AS tokens_available,
+           CAST(toks AS DOUBLE) / total AS raw_share,
+           CAST(part AS DOUBLE) / CAST(part_sum AS DOUBLE) AS target_share,
+           (CAST(part AS DOUBLE) / CAST(part_sum AS DOUBLE))
+             * (0.5 * total) / toks AS sampling_rate,
+           (CAST(part AS DOUBLE) / CAST(part_sum AS DOUBLE))
+             * (0.5 * total) / toks > 1.0 AS oversampled
+    FROM parts, tot
+    ORDER BY source
+    """,
+)
+def llm_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — TEMPERATURE-RESAMPLED MIXTURE PLAN (T = 2)
+    over sources: target_share ∝ √tokens_available, the standard
+    up-weighting of small sources against head domination (the
+    mT5/XLM-R temperature-sampling recipe; T→1 is proportional, T→∞
+    uniform), then the per-source sampling rate that realizes the
+    plan inside a half-corpus token budget — with the oversampled
+    flag marking sources the budget would need to repeat (rate > 1 ⇒
+    multiple epochs of that source, the signal to lower T or shrink
+    the budget). The deterministic downstream sampler is
+    llm_sample_stratified's hash-range machinery; this key computes
+    the rates it would be fed.
+
+    Determinism: token counts are exact integers; √toks rounds at
+    the irrational (term rule) and the share denominator sums those
+    6-dp decimals exactly, so shares and rates are shared IEEE trees
+    over agreed inputs in both engines. Scale: one documents pass to
+    a sources-bounded table; the totals ride as a broadcast 1-row
+    aggregate; everything after is control-plane sized."""
+    d = load_table(spark, sf_dir, "documents")
+    avail = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("toks")
+    )
+    parts = avail.select(
+        "source",
+        "toks",
+        F.round(F.sqrt(F.col("toks").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("part"),
+    ).localCheckpoint(eager=True)  # totals + the per-source readout
+    tot = parts.agg(
+        F.sum("toks").alias("total"), F.sum("part").alias("part_sum")
+    )
+    share = F.col("part").cast("double") / F.col("part_sum").cast("double")
+    rate = share * (0.5 * F.col("total")) / F.col("toks")
+    return (
+        parts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("toks").alias("tokens_available"),
+            (F.col("toks").cast("double") / F.col("total")).alias(
+                "raw_share"
+            ),
+            share.alias("target_share"),
+            rate.alias("sampling_rate"),
+            (rate > 1.0).alias("oversampled"),
+        )
+        .orderBy("source")
+    )

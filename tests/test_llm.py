@@ -1802,3 +1802,38 @@ def test_mm_image_ahash_planted_near_dups(spark, tmp_path):
         for r in QUERIES["mm_image_ahash"](spark, str(tmp_path)).collect()
     }
     assert got == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
+
+
+def test_mixture_plan_temperature_properties(spark, tmp_path):
+    """Planted skewed sources (head 6400 tokens, tail 100): sqrt
+    temperature must LIFT the tail's share above proportional and
+    CUT the head's below, shares must sum to 1, and budgeted rates
+    must conserve the half-corpus token budget."""
+    from osm_airflow_spark.registry import QUERIES
+
+    rows = []
+    did = 0
+    for i in range(64):  # head: 64 docs x 100 tokens
+        rows.append((did, " ".join(["w"] * 100), "head"))
+        did += 1
+    rows.append((did, " ".join(["w"] * 100), "tail"))  # tail: 1 doc
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["source"]: r
+        for r in QUERIES["llm_mixture_plan"](spark, str(tmp_path)).collect()
+    }
+    head, tail = got["head"], got["tail"]
+    assert head["tokens_available"] == 6400 and tail["tokens_available"] == 100
+    # sqrt temperature: 80 vs 10 -> shares 8/9 and 1/9
+    assert abs(head["target_share"] - 8 / 9) < 1e-12
+    assert abs(tail["target_share"] - 1 / 9) < 1e-12
+    assert head["target_share"] < head["raw_share"]
+    assert tail["target_share"] > tail["raw_share"]
+    # budget conservation: sum(rate * avail) == 0.5 * total
+    spent = sum(r["sampling_rate"] * r["tokens_available"] for r in got.values())
+    assert abs(spent - 0.5 * 6500) < 1e-9
+    # the tiny tail must be oversampled under this plan
+    assert tail["oversampled"] and tail["sampling_rate"] > 1
+    assert not head["oversampled"]
