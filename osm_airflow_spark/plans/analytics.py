@@ -3949,7 +3949,13 @@ def pipeline_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT MIN(o_orderdate) AS d0, MAX(o_orderdate) AS d1 FROM orders
     ),
     tagged AS (
-      SELECT CASE WHEN o_orderdate < d0 + (d1 - d0) / 2
+      -- integer epoch-us midpoint: DuckDB divides INTERVALs
+      -- field-wise (SCALE r9), which on an ODD-day span lands 12 h
+      -- earlier than Spark's exact micros division — the fixture
+      -- span happens to be even, but the exact form owes nothing
+      -- to luck
+      SELECT CASE WHEN epoch_us(o_orderdate) * 2
+                       < epoch_us(d0) + epoch_us(d1)
                   THEN 0 ELSE 1 END AS half,
              CAST(least(floor(o_totalprice / 60000.0), 9) AS INT) AS bin
       FROM orders, span
@@ -4000,11 +4006,10 @@ def pipeline_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     span = o.agg(
         F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1")
     )
-    half = F.when(
-        F.col("o_orderdate")
-        < F.col("d0") + (F.col("d1") - F.col("d0")) / 2,
-        0,
-    ).otherwise(1)
+    def us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    half = F.when(us("o_orderdate") * 2 < us("d0") + us("d1"), 0).otherwise(1)
     bin_ = F.least(F.floor(F.col("o_totalprice") / 60000.0), F.lit(9)).cast(
         "int"
     )

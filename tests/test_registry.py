@@ -128,6 +128,31 @@ def test_no_precision_losing_float_literals_in_oracles():
     assert not offenders, offenders
 
 
+def test_no_interval_division_in_oracles():
+    """DuckDB divides INTERVALs FIELD-WISE — (t1 - t0) / 2 on a
+    29-day-23h span truncates the day component to 14 days and
+    silently drops twelve hours, while Spark divides the interval's
+    total microseconds exactly (SCALE.md r9 ledger; it moved the
+    pipeline_did split by ~30 rows). Timestamp midpoints and interval
+    fractions must be computed in integer epoch micros
+    (epoch_us(a) + epoch_us(b) style) on both sides. This lint
+    rejects arithmetic on a timestamp difference: a subtraction of
+    two timestamp-typed columns followed by * or /.
+
+    No exemptions: psi_drift's day-aligned split only escaped the
+    truncation because the fixture span happens to be an EVEN number
+    of days — it was migrated to epoch micros with everything
+    else."""
+    import re
+
+    pat = re.compile(r"\(\s*\w*t1\w*\s*-\s*\w*t0\w*\s*\)\s*[*/]|"
+                     r"\(\s*d1\s*-\s*d0\s*\)\s*[*/]", re.IGNORECASE)
+    offenders = [
+        key for key, sql in ORACLES.items() if pat.search(sql)
+    ]
+    assert not offenders, f"interval arithmetic in oracles: {offenders}"
+
+
 # Keys whose oracle legitimately round()s a derived double, each with
 # the audited reason (r7 round()-of-derived-double audit). round() is
 # the ONE place the engines' semantics can diverge: Spark rounds the
