@@ -27,7 +27,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -819,10 +819,11 @@ def ahash_media(media: DataFrame, side: int = 8) -> DataFrame:
     )
 
 
-@query(
-    "mm_image_ahash",
-    oracle="""
-    WITH s AS (
+# aHash candidate-pair derivation, shared between the mm_image_ahash
+# surface key and mm_dedup_cluster's component build — one CTE text so
+# the two oracles can never drift from each other.
+AHASH_PAIRS_SQL_CTE = """
+    s AS (
       SELECT doc_id, rpad(text, 256, 'x') AS t FROM documents
       WHERE octet_length(encode(text)) = length(text)
     ),
@@ -856,17 +857,29 @@ def ahash_media(media: DataFrame, side: int = 8) -> DataFrame:
                     AND ba.doc_id < bb.doc_id
       JOIN wide a ON a.doc_id = ba.doc_id
       JOIN wide b ON b.doc_id = bb.doc_id
+    ),
+    apairs AS (
+      SELECT d1, d2,
+             bit_count(xor(ab0, bb0)) + bit_count(xor(ab1, bb1))
+               + bit_count(xor(ab2, bb2)) + bit_count(xor(ab3, bb3))
+               AS hamming
+      FROM cand
+      WHERE bit_count(xor(ab0, bb0)) + bit_count(xor(ab1, bb1))
+            + bit_count(xor(ab2, bb2)) + bit_count(xor(ab3, bb3)) <= 3
     )
+"""
+
+
+@query(
+    "mm_image_ahash",
+    oracle=f"""
+    WITH {AHASH_PAIRS_SQL_CTE}
     SELECT d1 AS media_id_1, d2 AS media_id_2,
-           CAST(bit_count(xor(ab0, bb0)) + bit_count(xor(ab1, bb1))
-                + bit_count(xor(ab2, bb2)) + bit_count(xor(ab3, bb3))
-                AS BIGINT) AS hamming
-    FROM cand
-    WHERE bit_count(xor(ab0, bb0)) + bit_count(xor(ab1, bb1))
-          + bit_count(xor(ab2, bb2)) + bit_count(xor(ab3, bb3)) <= 3
+           CAST(hamming AS BIGINT) AS hamming
+    FROM apairs
     """,
 )
-def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (r9) — PERCEPTUAL NEAR-DUP over images: aHash
     (average hash) fingerprints from the real decode→resize path,
     then Hamming-≤3 pairs found BANDED, never all-pairs — the image
@@ -956,3 +969,86 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("hamming") <= 3)
     )
+
+
+@query(
+    "mm_dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE {AHASH_PAIRS_SQL_CTE},
+    und AS (
+      SELECT d1 AS a, d2 AS b FROM apairs
+      UNION SELECT d2, d1 FROM apairs
+    ),
+    nodes AS (SELECT DISTINCT a AS v FROM und),
+    walk AS (
+      SELECT v, v AS root FROM nodes
+      UNION
+      SELECT u.b, w.root FROM walk w JOIN und u ON u.a = w.v
+    ),
+    cc AS (SELECT v, MIN(root) AS comp FROM walk GROUP BY v),
+    members AS (
+      SELECT d.doc_id, cc.comp, d.n_chars
+      FROM documents d JOIN cc ON cc.v = d.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, comp, n_chars,
+             row_number() OVER (PARTITION BY comp
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM members
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(comp AS BIGINT) AS cluster_id,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT),
+           CAST(n_chars AS BIGINT)
+    FROM documents WHERE doc_id NOT IN (SELECT v FROM cc)
+    """,
+)
+def mm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — the multimodal dedup pipeline END-TO-END:
+    aHash Hamming-≤3 pairs (ahash_pairs) → connected components →
+    one BEST representative per near-dup image cluster (largest
+    n_chars, then lowest id — the quality-ranked survivor rule of
+    llm_dedup_cluster_best), singletons passing through as their own
+    clusters. Unlike the MinHash cluster key (rows-only — LSH
+    candidates defy a SQL twin), the aHash pair set is itself
+    oracle-exact, so the WHOLE pipeline is hash-checked: DuckDB
+    replays the components as a recursive-CTE reachability closure
+    (the graph_connected_components precedent) and the survivor pick
+    as a window.
+
+    Scale: pairs are banded (never all-pairs); label propagation
+    with pointer doubling shuffles the shrinking edge list only;
+    survivor selection is one window over cluster-bounded
+    partitions; undecodable / non-ASCII docs never enter the graph
+    and exit as singletons. The pair set is checkpointed — edge
+    building reads it twice (src∪dst) and this build never reuses
+    exchange subtrees."""
+    from osm_airflow_spark.llm.dedup import cluster_pairs
+
+    pairs = ahash_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    clusters = cluster_pairs(pairs, "media_id_1", "media_id_2")
+    d = load_table(spark, sf_dir, "documents")
+    members = d.join(clusters, "doc_id").select(
+        "doc_id", "cluster_id", "n_chars"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    survivors = (
+        members.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    singles = d.join(clusters, "doc_id", "left_anti").select(
+        F.col("doc_id").alias("media_id"),
+        F.col("doc_id").alias("cluster_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return survivors.unionByName(singles)

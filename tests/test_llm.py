@@ -1837,3 +1837,28 @@ def test_mixture_plan_temperature_properties(spark, tmp_path):
     # the tiny tail must be oversampled under this plan
     assert tail["oversampled"] and tail["sampling_rate"] > 1
     assert not head["oversampled"]
+
+
+def test_mm_dedup_cluster_planted_chain(spark, tmp_path):
+    """Planted transitive chain: docs 1,2 identical, doc 3 one sampled
+    pixel off both -> one cluster {1,2,3}; the longest-text member
+    must survive (doc 3 padded longer), others drop; an unrelated doc
+    and a non-ASCII doc pass through as singletons."""
+    from osm_airflow_spark.registry import QUERIES
+
+    rows = [
+        (1, "m" * 300),
+        (2, "m" * 300),
+        (3, "a" + "m" * 305),     # hamming 1 to both, longer text
+        (4, "a" * 150 + "z" * 150),  # band collision, hamming 40: no pair
+        (5, "mé" + "m" * 298),    # non-ASCII: never hashed
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", "text", F.length("text").cast("long").alias("n_chars")
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["media_id"]: (r["cluster_id"], r["n_chars"])
+        for r in QUERIES["mm_dedup_cluster"](spark, str(tmp_path)).collect()
+    }
+    # cluster {1,2,3} -> survivor 3 (306 chars) under label 1
+    assert got == {3: (1, 306), 4: (4, 300), 5: (5, 300)}

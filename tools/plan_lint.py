@@ -88,6 +88,15 @@ ITERATIVE = {
     "pipeline_seasonal_decompose",  # checkpointed months spine (3 consumers)
     "pipeline_psi_drift",  # checkpointed 10-cell table (2 consumers)
     "pipeline_position_attribution",  # checkpointed purchases/touches frames
+    # third r9 session: checkpoint barriers / iterative loops
+    "pipeline_acf",  # checkpointed daily + deviation tables (3 consumers)
+    "pipeline_xcorr",  # same shape as ACF, two series
+    "pipeline_benford",  # checkpointed 9-cell digit counts
+    "pipeline_mutual_info",  # checkpointed 15-cell contingency (4 consumers)
+    "llm_ngram_novelty",  # checkpointed gram instances + train-distinct
+    "llm_mixture_plan",  # checkpointed sources-bounded parts table
+    "mm_image_ahash",  # checkpointed hash table (both band-join sides)
+    "mm_dedup_cluster",  # label-propagation loop over ahash pairs
 }
 
 # a deliberate unbounded cartesian (the D10 surface key)
