@@ -110,7 +110,7 @@ def main() -> None:
         q["win_bollinger"](spark, sf_dir)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("breakout").cast("int")).alias("n_break"),
+            F.coalesce(F.sum(F.col("breakout").cast("int")), F.lit(0)).alias("n_break"),
         )
         .first()
     )

@@ -141,12 +141,22 @@ def test_no_interval_division_in_oracles():
 
     No exemptions: psi_drift's day-aligned split only escaped the
     truncation because the fixture span happens to be an EVEN number
-    of days — it was migrated to epoch micros with everything
-    else."""
+    of days — it was migrated to epoch micros with everything else.
+
+    The check is NAME-CONVENTION based (regex over SQL text, not a
+    type checker): it rejects `(x - y)` followed by * or / whenever
+    either operand is a timestamp-looking identifier — t0/t1/d0/d1
+    (the house span-aggregate aliases), ts, or *_ts/ts_* names —
+    with word boundaries so integer deltas like (cnt1 - cnt0) pass.
+    Keep span aggregates on those names; a renamed span column is
+    the reviewer's job, not this lint's."""
     import re
 
-    pat = re.compile(r"\(\s*\w*t1\w*\s*-\s*\w*t0\w*\s*\)\s*[*/]|"
-                     r"\(\s*d1\s*-\s*d0\s*\)\s*[*/]", re.IGNORECASE)
+    ts_ident = r"(?:t0|t1|d0|d1|ts|\w+_ts|ts_\w+)"
+    pat = re.compile(
+        rf"\(\s*{ts_ident}\b\s*-\s*\b{ts_ident}\s*\)\s*[*/]",
+        re.IGNORECASE,
+    )
     offenders = [
         key for key, sql in ORACLES.items() if pat.search(sql)
     ]
@@ -187,6 +197,8 @@ ROUND_AUDITED = {
     "transcendental, decimal-summed)",
     "win_bollinger": "term (daily-total^2 pre-rounded to 6 dp inside the "
     "decimal window sum)",
+    "llm_mixture_plan": "term (sqrt(toks) rounded at the irrational to 6 dp, "
+    "decimal-summed share denominator)",
     "fn_math": "op",
     "fn_geo_distance": "libm (asin/sin/cos)",
     "fn_geo_bearing": "libm (atan2)",
