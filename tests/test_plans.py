@@ -202,6 +202,8 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
         "pipeline_survival_km",       # r9: two chained bucket-offset passes
         "pipeline_theil_sen",         # r9: two exact bucket-offset medians
         "agg_kmv_distinct",           # r9: min-hash sketch under rollup
+        "pipeline_acf",               # r9: n-scaled exact-deviation ratios
+        "mm_dedup_cluster",           # r9: ahash bands -> label propagation
     ],
 )
 def test_partition_count_independence(spark, sf_dir, key, monkeypatch):
