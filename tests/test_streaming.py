@@ -1184,11 +1184,17 @@ def test_cusum_monitor_stream_parity_with_batch_closed_form(spark, tmp_path):
     # daily-aggregate stream: 4 files x 10 whole days
     src = tmp_path / "daily"
     src.mkdir()
+    import os
+
     for i in range(4):
-        with open(src / f"chunk{i}.json", "w") as f:
+        path = src / f"chunk{i}.json"
+        with open(path, "w") as f:
             for day, x in days[i * 10 : (i + 1) * 10]:
                 f.write(json.dumps(
                     {"event_type": "purchase", "day": day, "x": x}) + "\n")
+        # same-mtime files can be picked out of order (measured on the
+        # running-distinct twin); arrival order is the contract
+        os.utime(path, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
     stream = (
         spark.readStream.schema("event_type string, day string, x double")
         .option("maxFilesPerTrigger", 1)
@@ -1218,3 +1224,97 @@ def test_cusum_monitor_stream_parity_with_batch_closed_form(spark, tmp_path):
     )
     assert final["peak_day"] == batch["peak_day"]
     assert bool(final["breached"]) is bool(batch["breached"]) is True
+
+
+def test_running_distinct_stream_parity_with_batch_window(spark, tmp_path):
+    """Streaming running-distinct (per-user seen-type-set state) vs
+    the batch window key on the SAME multi-user event history, fed as
+    three time-chunked micro-batch files: every (user, event) row
+    must carry the IDENTICAL integer count — exact parity, no
+    tolerance. Cross-batch dedup is the point: a type seen in
+    chunk 0 must not increment again in chunk 2."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.registry import all_queries
+    from osm_airflow_spark.streaming.stateful import running_distinct_stream
+
+    seqs = {
+        1: ["A", "B", "A", "C", "B", "D", "A", "E", "C", "F"],
+        2: ["X", "X", "X", "Y", "X", "Y", "Z", "X", "Y", "Z"],
+    }
+    rows = []
+    eid = 0
+    for step in range(10):
+        for user, seq in seqs.items():
+            rows.append(
+                (eid, user, seq[step], 1.0,
+                 1_704_067_200_000_000 + step * 3_600_000_000)
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double, us long",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    batch = {
+        (r["user_id"], r["event_id"]): r["distinct_types_so_far"]
+        for r in all_queries()["win_running_distinct"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    # three whole-time-step chunks: steps 0-3, 4-6, 7-9. The file
+    # source orders same-mtime files arbitrarily (observed: chunk2
+    # before chunk1), so pin strictly increasing mtimes — arrival
+    # order IS the contract under test.
+    import os
+
+    bounds = [(0, 4), (4, 7), (7, 10)]
+    for i, (lo, hi) in enumerate(bounds):
+        path = src / f"chunk{i}.json"
+        with open(path, "w") as f:
+            for eid_, user, etype, _, us in rows:
+                step = (us - 1_704_067_200_000_000) // 3_600_000_000
+                if lo <= step < hi:
+                    f.write(json.dumps(
+                        {"event_id": eid_, "user_id": user,
+                         "event_type": etype, "ts_us": us}) + "\n")
+        os.utime(path, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts_us long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select(
+            "event_id", "user_id", "event_type",
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        )
+    )
+    q = (
+        running_distinct_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_rdist")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        (r["user_id"], r["event_id"]): r["distinct_types_so_far"]
+        for r in spark.sql("SELECT * FROM t_rdist").collect()
+    }
+    assert streamed == batch
+    assert streamed[(1, rows[-2][0])] == 6  # user 1 ends at 6 types
+    assert streamed[(2, rows[-1][0])] == 3  # user 2 ends at 3 types
