@@ -4748,3 +4748,133 @@ def pipeline_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         se.alias("std_err"),
         (did / se).alias("t_stat"),
     )
+
+
+@query(
+    "pipeline_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS x
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    diffs AS (
+      SELECT event_type, day,
+             CASE WHEN x > LAG(x) OVER w THEN 1
+                  WHEN x < LAG(x) OVER w THEN -1 END AS s
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    signs AS (
+      SELECT event_type, s,
+             CASE WHEN s <> LAG(s) OVER (PARTITION BY event_type
+                                         ORDER BY day) THEN 1 ELSE 0 END
+               AS is_break
+      FROM diffs WHERE s IS NOT NULL
+    ),
+    counts AS (
+      SELECT event_type,
+             SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n_plus,
+             SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS n_minus,
+             SUM(is_break) + 1 AS n_runs
+      FROM signs GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_plus AS BIGINT) AS n_plus,
+           CAST(n_minus AS BIGINT) AS n_minus,
+           CAST(n_runs AS BIGINT) AS n_runs,
+           CASE WHEN n_plus = 0 OR n_minus = 0 THEN NULL ELSE
+           (CAST(n_runs AS DOUBLE)
+            - (2.0 * n_plus * n_minus / (n_plus + n_minus) + 1.0))
+           / sqrt(2.0 * n_plus * n_minus
+                  * (2.0 * n_plus * n_minus - n_plus - n_minus)
+                  / (CAST(n_plus + n_minus AS DOUBLE)
+                     * (n_plus + n_minus)
+                     * (n_plus + n_minus - 1.0))) END AS z_score,
+           CASE WHEN n_plus = 0 OR n_minus = 0 THEN NULL ELSE
+           abs((CAST(n_runs AS DOUBLE)
+                - (2.0 * n_plus * n_minus / (n_plus + n_minus) + 1.0))
+               / sqrt(2.0 * n_plus * n_minus
+                      * (2.0 * n_plus * n_minus - n_plus - n_minus)
+                      / (CAST(n_plus + n_minus AS DOUBLE)
+                         * (n_plus + n_minus)
+                         * (n_plus + n_minus - 1.0)))) <= 1.96
+           END AS random_at_05
+    FROM counts
+    ORDER BY event_type
+    """,
+)
+def pipeline_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — WALD–WOLFOWITZ RUNS TEST per event type: are
+    the daily up/down moves of the value series RANDOM, or do they
+    streak (momentum/trend) or alternate (mean-reversion,
+    over-smoothing)? The classic randomness check a metrics platform
+    runs before trusting i.i.d.-assuming monitors (CUSUM, Bollinger)
+    on a series — too FEW runs ⇒ regimes (z < 0), too MANY ⇒
+    oscillation (z > 0). Tie days (zero diff) drop per the standard
+    formulation. Everything until the final z is exact integers:
+    signs from exact-decimal daily totals, runs as sign-break counts
+    + 1; μ_R = 2ab/n + 1 and σ²_R = 2ab(2ab−n)/(n²(n−1)) form one
+    shared IEEE tree over those ints, emitted unrounded with the
+    1.96 cut applied to the same double in both engines. A
+    one-direction series (a·b = 0) has σ_R = 0 and the statistic is
+    undefined — NULL, never NaN (whose comparisons diverge).
+
+    Scale: one corpus pass to the dates×types-bounded daily table;
+    both lag windows are type-partitioned (bounded, no global
+    window); one row per type out."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("x")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("x").over(w)
+    s = F.when(F.col("x") > prev, 1).when(F.col("x") < prev, -1)
+    signs = (
+        daily.select("event_type", "day", s.alias("s"))
+        .where(F.col("s").isNotNull())
+        .select(
+            "event_type",
+            "s",
+            F.when(F.col("s") != F.lag("s").over(w), 1)
+            .otherwise(0)
+            .alias("is_break"),
+        )
+    )
+    counts = signs.groupBy("event_type").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("n_plus"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).alias("n_minus"),
+        (F.sum("is_break") + 1).alias("n_runs"),
+    )
+    a = F.col("n_plus").cast("double")
+    b = F.col("n_minus").cast("double")
+    n = a + b
+    mu = 2.0 * a * b / n + 1.0
+    var = 2.0 * a * b * (2.0 * a * b - n) / (n * n * (n - 1.0))
+    degenerate = (F.col("n_plus") == 0) | (F.col("n_minus") == 0)
+    # a one-direction series has sigma_R = 0: 0/0 is NaN, and NaN
+    # compares engine-dependently — the test is undefined there, so
+    # emit NULL in both engines
+    z = F.when(
+        ~degenerate, (F.col("n_runs").cast("double") - mu) / F.sqrt(var)
+    )
+    return counts.select(
+        "event_type",
+        F.col("n_plus").cast("long").alias("n_plus"),
+        F.col("n_minus").cast("long").alias("n_minus"),
+        F.col("n_runs").cast("long").alias("n_runs"),
+        z.alias("z_score"),
+        F.when(~degenerate, F.abs(z) <= 1.96).alias("random_at_05"),
+    ).orderBy("event_type")

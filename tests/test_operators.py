@@ -1184,3 +1184,40 @@ def test_bollinger_flat_week_rounding_never_nan(spark, tmp_path):
     assert not math.isnan(r["upper_band"]) and not math.isnan(r["lower_band"])
     assert r["upper_band"] == r["mean7"] == r["lower_band"]
     assert not r["breakout"]
+
+
+def test_runs_test_planted_regimes(spark, tmp_path):
+    """Three planted types: strict alternation (max runs, z > 0),
+    two long regimes (minimal runs, z < 0 and non-random), and a
+    monotone ramp (one-direction: statistic undefined -> NULL)."""
+    rows = []
+    eid = 0
+    for day in range(40):
+        us = 1_600_000_000_000_000 + day * 86_400_000_000
+        rows.append((eid, 1, "alt", 10.0 if day % 2 else 20.0, us)); eid += 1
+        rows.append((eid, 1, "regime", 10.0 + day if day < 20 else 200.0 - day, us)); eid += 1
+        rows.append((eid, 1, "ramp", float(day), us)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, us long"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["pipeline_runs_test"](spark, str(tmp_path)).collect()
+    }
+    alt = got["alt"]  # signs strictly alternate: runs == n
+    assert alt["n_runs"] == alt["n_plus"] + alt["n_minus"]
+    assert alt["z_score"] > 1.96 and alt["random_at_05"] is False
+    reg = got["regime"]  # one up-regime then one down-regime: 2 runs
+    assert reg["n_runs"] == 2
+    assert reg["z_score"] < -1.96 and reg["random_at_05"] is False
+    ramp = got["ramp"]  # all ups: undefined
+    assert ramp["n_minus"] == 0
+    assert ramp["z_score"] is None and ramp["random_at_05"] is None
