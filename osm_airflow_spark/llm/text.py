@@ -3694,3 +3694,113 @@ def llm_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "llm_split_leakage",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(text), 1, 2) < '0a' THEN 'test'
+                  WHEN substr(md5(text), 1, 2) < '1a' THEN 'val'
+                  ELSE 'train' END AS split,
+             string_split(text, ' ') AS w
+      FROM documents
+    ),
+    gd AS (
+      SELECT DISTINCT doc_id,
+             unnest({_bleu_grams_sql('w', 2)}) AS g
+      FROM base
+    ),
+    rare AS (
+      SELECT g FROM gd GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 5
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM gd a JOIN rare USING (g) JOIN gd b USING (g)
+      WHERE a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b, x.split AS split_a, y.split AS split_b,
+             CAST(len(list_intersect(list_distinct(x.w),
+                                     list_distinct(y.w))) AS DOUBLE)
+               / len(list_distinct(x.w || y.w)) AS jaccard
+      FROM cand c
+      JOIN base x ON x.doc_id = c.doc_a
+      JOIN base y ON y.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, split_a, split_b, jaccard
+    FROM scored
+    WHERE split_a <> split_b AND jaccard >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r9) — SPLIT-LEAKAGE AUDIT: near-duplicate pairs
+    that STRADDLE the content-hash train/val/test splits. Exact
+    duplicates can never straddle (same text ⇒ same hash ⇒ same
+    split — the llm_split_assign guarantee), but near-duplicates
+    hash independently and land wherever — exactly the leakage that
+    inflates eval scores. Candidates come from RARE-GRAM BLOCKING
+    (bigrams with document frequency 2–5): a shared rare gram is the
+    cheap high-precision signal, the df cap bounds each posting list
+    so candidate volume is Σ df² ≤ 5·Σ df (the winnowing key's
+    df-cap policy), and only candidates pay the exact word-set
+    Jaccard (integer set sizes, exact division — fully SQL-oracled,
+    unlike the MinHash path). Cross-split filter last, so the same
+    machinery audits within-split dups by flipping the predicate.
+
+    Scale: gram explode → df groupBy → bounded posting self-join →
+    two corpus-bounded join-backs for the word arrays — every stage
+    keyed, nothing quadratic in the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5("text"), 1, 2)
+    base = d.select(
+        "doc_id",
+        F.when(prefix < "0a", "test")
+        .when(prefix < "1a", "val")
+        .otherwise("train")
+        .alias("split"),
+        F.split("text", " ").alias("w"),
+    ).localCheckpoint(eager=True)  # gram build + two scoring join-backs
+    gd = (
+        base.select(
+            "doc_id", F.explode(_bleu_grams(F.col("w"), 2)).alias("g")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # df groupBy + both join sides
+    )
+    rare = (
+        gd.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= 5))
+        .select("g")
+    )
+    cand = (
+        gd.join(rare, "g")
+        .select("g", F.col("doc_id").alias("doc_a"))
+        .join(gd.select("g", F.col("doc_id").alias("doc_b")), "g")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = base.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("split").alias("split_a"),
+        F.array_distinct("w").alias("wa"),
+    )
+    y = base.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("split").alias("split_b"),
+        F.array_distinct("w").alias("wb"),
+    )
+    jac = F.size(F.array_intersect("wa", "wb")).cast("double") / F.size(
+        F.array_union("wa", "wb")
+    )
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", "split_a", "split_b", jac.alias("jaccard"))
+        .where((F.col("split_a") != F.col("split_b")) & (F.col("jaccard") >= 0.5))
+        .orderBy("doc_a", "doc_b")
+    )

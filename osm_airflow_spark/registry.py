@@ -119,13 +119,14 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- new keys this round, never driver-checked (41; the third-
+    # -- new keys this round, never driver-checked (42; the third-
     # session statistics/graph/mm batch leads) --
     "pipeline_did",
     "win_bollinger",
     "llm_mixture_plan",
     "mm_dedup_cluster",
     "pipeline_runs_test",
+    "llm_split_leakage",
     "pipeline_acf",
     "pipeline_anova",
     "pipeline_benford",
@@ -162,9 +163,10 @@ DRIVER_WINDOW: list[str] = [
     "llm_corpus_divergence",
     "llm_dedup_fingerprint",
     "llm_embed_outliers",
-    # -- staleness re-checks: the r4-era remainder (9; the third
-    # r9 session's 14 new keys displace llm_bigram_lm,
-    # llm_contamination_check, llm_corpus_curation, osm_assemble_ways,
+    # -- staleness re-checks: the r4-era remainder (8; the third
+    # r9 session's 15 new keys displace llm_bigram_lm,
+    # llm_contamination_check, llm_corpus_curation,
+    # llm_dedup_cluster_best, osm_assemble_ways,
     # osm_spatial_join_bbox, osm_way_lengths,
     # pipeline_branded_discounts, pipeline_data_quality,
     # pipeline_date_spine, pipeline_event_funnel,
@@ -177,7 +179,6 @@ DRIVER_WINDOW: list[str] = [
     # pipeline_top_returning_customers / pipeline_waiting_multi_supplier /
     # pipeline_snapshot_diff / pipeline_time_travel at the head of
     # the r10 rotation — never-checked beats re-proof) --
-    "llm_dedup_cluster_best",
     "llm_dedup_embed_lsh",
     "llm_dedup_simhash",
     "llm_semdedup",

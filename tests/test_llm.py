@@ -1862,3 +1862,51 @@ def test_mm_dedup_cluster_planted_chain(spark, tmp_path):
     }
     # cluster {1,2,3} -> survivor 3 (306 chars) under label 1
     assert got == {3: (1, 306), 4: (4, 300), 5: (5, 300)}
+
+
+def test_split_leakage_planted_cross_split_near_dup(spark, tmp_path):
+    """Engineer a near-dup pair straddling splits: brute-force one
+    word variant until the md5 prefixes land train vs val; the pair
+    must surface with high Jaccard. An exact duplicate of the train
+    doc must NOT surface (same hash, same split — the content-hash
+    guarantee)."""
+    import hashlib
+
+    from osm_airflow_spark.registry import QUERIES
+
+    words = [f"tok{i}" for i in range(30)]
+    base = " ".join(words)
+
+    def pfx(t):
+        return hashlib.md5(t.encode()).hexdigest()[:2]
+
+    # base variant in train
+    i = 0
+    while not pfx(base) >= "1a":
+        i += 1
+        base = " ".join(words[:-1] + [f"tok29v{i}"])
+    # near-dup (one word changed) in val
+    j = 0
+    near = None
+    while near is None:
+        j += 1
+        cand = base.replace("tok5", f"alt{j}")
+        if "0a" <= pfx(cand) < "1a":
+            near = cand
+    rows = [
+        (1, base),
+        (2, near),
+        (3, base),  # exact dup of 1: same split, never a leak
+        (4, " ".join(f"other{i}" for i in range(30))),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in QUERIES["llm_split_leakage"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {(1, 2), (2, 3)}  # doc 3 == doc 1, so both leak vs 2
+    r = got[(1, 2)]
+    assert {r["split_a"], r["split_b"]} == {"train", "val"}
+    assert r["jaccard"] == 29 / 31

@@ -97,6 +97,7 @@ ITERATIVE = {
     "llm_mixture_plan",  # checkpointed sources-bounded parts table
     "mm_image_ahash",  # checkpointed hash table (both band-join sides)
     "mm_dedup_cluster",  # label-propagation loop over ahash pairs
+    "llm_split_leakage",  # checkpointed base + gram posting tables
 }
 
 # a deliberate unbounded cartesian (the D10 surface key)
