@@ -83,6 +83,13 @@ def main() -> None:
         print(f"   docs {r['doc_a']:>5} ~ {r['doc_b']:>5}  "
               f"shared fingerprints {r['shared_fp']}")
 
+    leaks = q["llm_split_leakage"](spark, sf_dir).collect()
+    print(f"== split leakage (cross-split near-dups, jaccard >= 0.5): "
+          f"{len(leaks)} pairs")
+    for r in leaks[:3]:
+        print(f"   doc {r['doc_a']} ({r['split_a']}) ~ doc {r['doc_b']} "
+              f"({r['split_b']})  jaccard {r['jaccard']:.3f}")
+
     pcs = q["llm_embed_pca"](spark, sf_dir)
     spread = pcs.agg(
         F.min("pc1").alias("lo1"), F.max("pc1").alias("hi1"),
