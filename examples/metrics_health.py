@@ -20,7 +20,8 @@ an experimentation/metrics platform produces per review:
                  click->purchase lead-lag (pipeline_xcorr), weekday
                  ANOVA (pipeline_anova), priority-status mutual
                  information (pipeline_mutual_info)
-  integrity      Benford first-digit screen (pipeline_benford) and
+  integrity      Wald-Wolfowitz runs test (pipeline_runs_test),
+                 Benford first-digit screen (pipeline_benford) and
                  Bollinger breakout days (win_bollinger)
 
     python examples/metrics_health.py [sf_dir]
@@ -103,6 +104,17 @@ def main() -> None:
           f"xcorr peak {peak['xcorr']:+.3f} @ lag {peak['lag']:+d}")
     print(f"   weekday ANOVA F {an['f_stat']:.2f} (eta2 {an['eta_sq']:.4f})  "
           f"MI {mi['mutual_info']:.5f} nats (IQR {mi['iqr_ratio']:.4f})")
+
+    rt = {
+        r["event_type"]: r
+        for r in q["pipeline_runs_test"](spark, sf_dir).collect()
+    }
+    verdicts = ", ".join(
+        f"{t}: {'random' if r['random_at_05'] else 'patterned'}"
+        if r["random_at_05"] is not None else f"{t}: undefined"
+        for t, r in sorted(rt.items())
+    )
+    print(f"== randomness (runs test on daily moves): {verdicts}")
 
     bf = q["pipeline_benford"](spark, sf_dir).collect()
     worst = max(bf, key=lambda r: r["abs_dev"])
