@@ -17,6 +17,27 @@ round-over-round deltas meaningless — the median inside one process
 is stable to a few percent (BENCH_WARM.md). The first pass is kept
 verbatim in ``one_shot`` / ``one_shot_total`` for continuity with
 BENCH_r01–r08, which were single-pass.
+
+Environment self-diagnosis (r10): the r9 driver bench inflated ~1.5x
+uniformly — including queries whose code did not change — while the
+same round's warm bench was the fastest ever recorded; the only
+plausible cause was box-level contention, but the harness recorded
+nothing that could prove it. Now every run embeds:
+
+* ``loadavg``      — os.getloadavg() before and after the run. On a
+  32-cpu box a 1-minute load far above the ~33 this process itself
+  generates means other processes were competing for cores.
+* ``calib_s``      — a fixed-work single-task calibration: xxhash64
+  over spark.range(2e7) in ONE partition (single JVM thread, zero
+  shuffle, zero Python). Median of 3. This measures per-core
+  throughput under whatever contention exists; its clean-box value
+  is recorded in SCALE.md (r10 ledger), so a contaminated run
+  self-identifies as calib_s >> clean value.
+* ``calib_py_s``   — the same idea CPU-side in pure Python (fixed
+  sha256 loop), distinguishing "JVM/GC issue" from "whole box slow".
+
+Readers should divide ``value`` by (calib_s / clean_calib_s) before
+comparing across rounds if calib_s is inflated.
 """
 
 from __future__ import annotations
@@ -52,9 +73,46 @@ HEADLINE = [
 ]
 
 
+def _calibrate_jvm(spark, rows: int = 20_000_000, reps: int = 3) -> float:
+    """Fixed-work single-task JVM calibration (seconds, median of reps).
+
+    One partition -> one task -> one JVM thread; xxhash64 + sum keeps
+    the whole loop inside whole-stage codegen with zero shuffle and
+    zero Python, so the timing is a pure per-core-throughput probe.
+    """
+    from pyspark.sql import functions as F
+
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        (
+            spark.range(0, rows, 1, 1)
+            # % bounds the summand so the ANSI-mode long sum can't
+            # overflow (raw xxhash64 values overflow at ~1e10 rows)
+            .select((F.xxhash64("id") % 1024).alias("h"))
+            .agg(F.sum("h"))
+            .collect()
+        )
+        times.append(time.time() - t0)
+    times.sort()
+    return round(times[len(times) // 2], 3)
+
+
+def _calibrate_py(reps: int = 200_000) -> float:
+    """Fixed-work pure-Python calibration (seconds): sha256 chain."""
+    import hashlib
+
+    t0 = time.time()
+    buf = b"\x00" * 64
+    for _ in range(reps):
+        buf = hashlib.sha256(buf).digest()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    load_before = os.getloadavg()
     spark = get_spark("bench")
     registry = all_queries()
     queries = {k: registry[k] for k in HEADLINE if k in registry}
@@ -62,6 +120,9 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query numbers measure
     # the plan, not first-touch overheads
     next(iter(queries.values()))(spark, sf_dir).count()
+
+    calib_s = _calibrate_jvm(spark)
+    calib_py_s = _calibrate_py()
 
     passes: list[dict[str, float]] = []
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
@@ -98,6 +159,12 @@ def main() -> None:
                 "passes": n_passes,
                 "one_shot": one_shot,
                 "one_shot_total": round(sum(one_shot.values()), 3),
+                "loadavg": {
+                    "before": [round(x, 2) for x in load_before],
+                    "after": [round(x, 2) for x in os.getloadavg()],
+                },
+                "calib_s": calib_s,
+                "calib_py_s": calib_py_s,
             }
         )
     )

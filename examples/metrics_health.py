@@ -95,13 +95,23 @@ def main() -> None:
           f"(treat {did['delta_treat']:+.2f} vs control "
           f"{did['delta_control']:+.2f}, t {did['t_stat']:+.2f})")
 
+    # acf/xcorr emit a row per lag only when at least one day-pair
+    # exists at that lag: a short-span sf_dir (<8 days of orders) is a
+    # partial report, not a crash — guard the lookups and the peak.
     acf = {r["lag"]: r["acf"] for r in q["pipeline_acf"](spark, sf_dir).collect()}
     xc = q["pipeline_xcorr"](spark, sf_dir).collect()
-    peak = max(xc, key=lambda r: r["xcorr"])
+    peak = max(xc, key=lambda r: r["xcorr"]) if xc else None
     an = q["pipeline_anova"](spark, sf_dir).first()
     mi = q["pipeline_mutual_info"](spark, sf_dir).first()
-    print(f"== dependence: acf(1) {acf[1]:+.3f} acf(7) {acf[7]:+.3f}  "
-          f"xcorr peak {peak['xcorr']:+.3f} @ lag {peak['lag']:+d}")
+
+    def _fmt(v, spec="+.3f"):
+        return format(v, spec) if v is not None else "n/a"
+
+    peak_txt = (
+        f"{peak['xcorr']:+.3f} @ lag {peak['lag']:+d}" if peak else "n/a"
+    )
+    print(f"== dependence: acf(1) {_fmt(acf.get(1))} "
+          f"acf(7) {_fmt(acf.get(7))}  xcorr peak {peak_txt}")
     print(f"   weekday ANOVA F {an['f_stat']:.2f} (eta2 {an['eta_sq']:.4f})  "
           f"MI {mi['mutual_info']:.5f} nats (IQR {mi['iqr_ratio']:.4f})")
 

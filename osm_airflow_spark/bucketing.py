@@ -53,6 +53,21 @@ def bucketed_running(
     cuts = df.agg(
         F.percentile_approx(order_col, probs, 10_000).alias("c")
     ).head()[0]
+    if cuts is None:
+        # percentile_approx over an EMPTY frame returns NULL: emit the
+        # degenerate-but-well-typed result (zero rows -> zero-offset
+        # run columns, zero totals) instead of iterating None. A
+        # single-value frame returns real (equal) cuts, so only the
+        # truly-empty case lands here.
+        out = df.select(
+            "*",
+            F.lit(0).cast("int").alias("_bkt"),
+            *[
+                F.lit(0).cast("long").alias(f"run_{c}")
+                for c in sum_cols
+            ],
+        )
+        return out, {c: 0 for c in sum_cols}
     bucket: Column = F.lit(0)
     for cut in cuts:
         bucket = bucket + F.when(F.col(order_col) > F.lit(cut), 1).otherwise(0)

@@ -349,6 +349,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_operators.py::test_kcore_matches_pure_python_peeling.
     """
     edges = trade_edges(spark, sf_dir)
+    return kcore_peel(edges)
+
+
+def kcore_peel(edges: DataFrame, max_k: int = 64) -> DataFrame:
+    """The peeling loop, extracted so tests can drive it with a
+    synthetic edge list (and a small ``max_k``) directly: ``edges``
+    is an (a, b) directed list, symmetrized here. Raises ValueError
+    if the graph's degeneracy exceeds ``max_k`` (silently labeling
+    survivors max_k would be WRONG with no signal — ADVICE r9)."""
     und = (
         edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .localCheckpoint(eager=True)
@@ -358,7 +367,6 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     remaining = und
     k = 1
-    max_k = 64  # degeneracy cap: fixture degeneracy ~3; a hard stop
     while k <= max_k:
         # peel to the k-core fixpoint
         while True:
@@ -382,6 +390,30 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         k += 1
+    if k > max_k:
+        # the loop exited at the CAP, not at an empty core: probe one
+        # more peel at max_k+1 — if anything survives, its true
+        # coreness is > max_k and labeling it max_k would be silently
+        # wrong, so fail loudly (fixture degeneracy ~3; the guard is
+        # for user-supplied graphs — raise the cap for denser ones).
+        probe = remaining
+        while True:
+            deg = probe.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+            low = deg.where(F.col("d") < k).select("a").localCheckpoint(
+                eager=True
+            )
+            if not low.take(1):
+                break
+            probe = (
+                probe.join(low, "a", "left_anti")
+                .join(low.select(F.col("a").alias("b")), "b", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+        if probe.take(1):
+            raise ValueError(
+                f"graph_kcore: graph degeneracy exceeds max_k={max_k}; "
+                "survivors remain beyond the final peel - raise max_k"
+            )
     return core.select("node", F.col("coreness").cast("int").alias("coreness"))
 
 

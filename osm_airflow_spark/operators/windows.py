@@ -602,7 +602,7 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, ts, value,
              list_sort(list(value) OVER w) AS lst,
              COUNT(*) OVER w AS n_frame
-      FROM events
+      FROM events WHERE value IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
     ),
@@ -641,7 +641,13 @@ def win_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     row, unlike an unbounded collect); no shuffle beyond the user
     partition. At 100 TB this is the despiking pass that runs INSIDE
     the ingest partition before aggregates see the data."""
-    e = load_table(spark, sf_dir, "events")
+    # NULL values must be dropped BEFORE framing: Spark's collect_list
+    # silently skips NULLs while n_frame counts rows, so a 7-row frame
+    # with >=4 NULL values would index element_at(lst, 4) past the end
+    # (INVALID_ARRAY_INDEX under ANSI) and 1-3 NULLs would diverge from
+    # DuckDB's NULLS-LAST list_sort in the MAD transform. The oracle
+    # carries the matching WHERE value IS NOT NULL.
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -1221,3 +1221,72 @@ def test_runs_test_planted_regimes(spark, tmp_path):
     ramp = got["ramp"]  # all ups: undefined
     assert ramp["n_minus"] == 0
     assert ramp["z_score"] is None and ramp["random_at_05"] is None
+
+
+def test_hampel_null_values_dropped(spark, tmp_path):
+    """r9 ADVICE: a 7-row frame with >=4 NULL values used to index
+    element_at(lst, 4) past the end of collect_list's NULL-skipping
+    array (INVALID_ARRAY_INDEX under ANSI). NULL rows must be dropped
+    BEFORE framing — they neither emit nor appear in neighbor frames."""
+    rows = []
+    for i in range(20):
+        # events 5-9 are NULL: pre-fix, event 7's frame held 7 rows
+        # but only 3 non-null values -> element_at(lst, 4) crash
+        val = None if 5 <= i <= 9 else 10.0 + (i % 3)
+        rows.append((i, 1, "purchase", val, 1_600_000_000_000_000 + i * 60_000_000))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, us long"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_id"]: r
+        for r in QUERIES["win_hampel_outliers"](spark, str(tmp_path)).collect()
+    }
+    # 15 non-null rows -> 15 - 6 edge rows = 9 full frames; NULL rows
+    # are invisible (frames span the gap as if 5-9 never existed)
+    assert len(got) == 9
+    assert not any(5 <= eid <= 9 for eid in got)
+    assert all(not bool(r["is_outlier"]) for r in got.values())
+
+
+def test_bucketed_running_empty_input(spark):
+    """r9 ADVICE: percentile_approx over an empty frame returns NULL;
+    bucketed_running must emit a typed empty result + zero totals, not
+    TypeError on iterating None cuts."""
+    from osm_airflow_spark.bucketing import bucketed_running
+
+    empty = spark.createDataFrame([], "v long, n long")
+    out, totals = bucketed_running(empty, "v", ["n"])
+    assert out.count() == 0
+    assert "run_n" in out.columns and "_bkt" in out.columns
+    assert totals == {"n": 0}
+    # single-row input still takes the real path (cuts are non-NULL)
+    one = spark.createDataFrame([(5, 2)], "v long, n long")
+    out1, totals1 = bucketed_running(one, "v", ["n"])
+    assert [(r["v"], r["run_n"]) for r in out1.collect()] == [(5, 2)]
+    assert totals1 == {"n": 2}
+
+
+def test_kcore_peel_cap_raises_not_mislabels(spark):
+    """r9 ADVICE: a graph with degeneracy > max_k must raise, not
+    silently label survivors max_k. A (k+2)-clique has degeneracy
+    k+1, so max_k=3 on a 5-clique must raise; max_k=4 labels it 4."""
+    import pytest as _pytest
+
+    from osm_airflow_spark.operators.graph import kcore_peel
+
+    clique = [
+        (f"n{i}", f"n{j}") for i in range(5) for j in range(i + 1, 5)
+    ]
+    edges = spark.createDataFrame(clique, "a string, b string")
+    with _pytest.raises(ValueError, match="degeneracy exceeds"):
+        kcore_peel(edges, max_k=3)
+    got = {r["node"]: r["coreness"] for r in kcore_peel(edges, max_k=4).collect()}
+    assert got == {f"n{i}": 4 for i in range(5)}
