@@ -3,6 +3,7 @@ LSH agrees with brute force, multimodal plumbing produces the right
 bytes/features."""
 
 import pytest
+from pyspark.sql import Window as PWindow
 from pyspark.sql import functions as F
 
 from osm_airflow_spark.llm.dedup import minhash_lsh_pairs, simhash_expr
@@ -510,29 +511,98 @@ def test_pq_ann_invariants(spark, sf_dir):
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
 
 
+# Per-SF floors (VERDICT r9 #4: flat min-across-SF floors made the
+# weakest keys near-decorative). Everything here is DETERMINISTIC —
+# content-derived planes/centroids, no rand() — so "measured" values
+# are exactly reproducible; the floor sits one hit (0.1) under the
+# measured recall at THAT SF, and every sf0.01 floor is >= 0.5. The
+# fixture's near-random unit vectors (top-10 cosine ~= 0.3, expected
+# query-neighbor Hamming ~3.2 of 8 bits) are the hard regime for
+# LSH-family methods, so these floors are meaningful, not decorative.
 ANN_RECALL_FLOORS = {
-    # measured at sf0.001/sf0.01 (see COVERAGE.md): floor = min across
-    # both SFs minus one hit of margin; the fixture's near-random unit
-    # vectors (top-10 cosine ≈ 0.3) are the hard regime for LSH-family
-    # methods, so these floors are meaningful, not decorative
-    "llm_sim_ann_lsh": 0.5,         # multi-table L=12×4bit: 0.7 / 0.9
-    "llm_sim_ann_ivf": 0.3,         # seeded 8-centroid, nprobe=1: 0.5 / 0.5
-    "llm_sim_ann_multiprobe": 0.1,  # single table, Hamming≤2: 0.1 / 0.4
-    "llm_sim_ann_ivf_kmeans": 0.7,  # learned, nprobe=2: 0.9 / 0.9
-    "llm_sim_ann_pq": 0.4,          # ADC top-50 + exact rerank: 0.5 / 0.8
-    "llm_sim_ann_ivf_rq": 0.7,      # residual PQ + rerank: 0.8 / 0.8
-    "llm_sim_ann_graph": 0.3,       # NN-Descent + beam 12x4: 0.4 / 0.8
+    # key: {sf: floor}; measured values in COVERAGE.md
+    "llm_sim_ann_lsh": {"0.001": 0.6, "0.01": 0.8},  # 0.7 / 0.9
+    "llm_sim_ann_ivf": {"0.001": 0.6, "0.01": 0.5},  # nprobe=2: 0.7 / 0.6
+    "llm_sim_ann_multiprobe": {"0.001": 0.3, "0.01": 0.5},  # directed 93: 0.4 / 0.6
+    "llm_sim_ann_ivf_kmeans": {"0.001": 0.8, "0.01": 0.8},  # 0.9 / 0.9
+    "llm_sim_ann_pq": {"0.001": 0.4, "0.01": 0.7},  # 0.5 / 0.8
+    "llm_sim_ann_ivf_rq": {"0.001": 0.7, "0.01": 0.7},  # 0.8 / 0.8
+    "llm_sim_ann_graph": {"0.001": 0.3, "0.01": 0.7},  # 0.4 / 0.8
 }
+
+
+def _sf_of(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
 
 @pytest.mark.parametrize("key", sorted(ANN_RECALL_FLOORS))
 def test_ann_recall_floor_vs_brute_force(spark, sf_dir, key):
     """recall@10 against the llm_sim_topk exact ground truth, per ANN
-    variant at its fixed probe budget (VERDICT r4 next-round #5)."""
+    variant at its fixed probe budget (VERDICT r4 next-round #5; r9
+    #4 raised the weak floors and made them per-SF)."""
+    floors = ANN_RECALL_FLOORS[key]
+    floor = floors.get(_sf_of(sf_dir))
+    if floor is None:
+        pytest.skip(f"no measured floor for sf_dir={sf_dir}")
     gt = {r["vec_id"] for r in QUERIES["llm_sim_topk"](spark, sf_dir).collect()}
     got = {r["vec_id"] for r in QUERIES[key](spark, sf_dir).collect()}
     recall = len(got & gt) / len(gt)
-    assert recall >= ANN_RECALL_FLOORS[key], f"{key}: recall@10 {recall:.2f}"
+    assert recall >= floor, f"{key}: recall@10 {recall:.2f} < {floor}"
+
+
+def test_sim_topk_batch_recall_and_shape(spark, sf_dir):
+    """llm_sim_topk_batch (rows-only, VERDICT r9 #3): one-plan batch
+    ANN serving. Mean recall@10 across the 16 held-out queries vs the
+    per-query exact ground truth (computed here as ONE brute-force
+    plan) must clear the per-SF floor; output is total-ordered,
+    exactly 10 per query, never the query itself, deterministic."""
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.llm.similarity import cosine_expr
+
+    floors = {"0.001": 0.55, "0.01": 0.55}  # measured 0.631 / 0.644
+    floor = floors.get(_sf_of(sf_dir))
+    if floor is None:
+        pytest.skip(f"no measured floor for sf_dir={sf_dir}")
+    rows = QUERIES["llm_sim_topk_batch"](spark, sf_dir).collect()
+    got: dict[int, list] = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(r)
+    assert set(got) == set(range(16))
+    for q, rs in got.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == list(
+            range(1, 11)
+        )
+        sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["vec_id"] >= 16 for r in rs)  # corpus only
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = e.where(F.col("vec_id") >= 16)
+    wk = PWindow.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    exact = (
+        corpus.crossJoin(F.broadcast(queries))
+        .select(
+            "query_id", "vec_id", cosine_expr("embedding", "qvec").alias("cos_sim")
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= 10)
+    )
+    gt: dict[int, set] = {}
+    for r in exact.collect():
+        gt.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len({x["vec_id"] for x in got[q]} & gt[q]) / len(gt[q]) for q in gt
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= floor, f"mean recall@10 {mean_recall:.3f} < {floor}"
+
+    again = QUERIES["llm_sim_topk_batch"](spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
 
 
 def test_kmeans_sampled_training_deterministic_and_usable(spark, sf_dir):
@@ -1161,7 +1231,7 @@ def test_graph_index_build_query_prune_and_recall(spark, sf_dir, tmp_path):
 
     gt = {r["vec_id"] for r in QUERIES["llm_sim_topk"](spark, sf_dir).collect()}
     recall = len({r["vec_id"] for r in rows} & gt) / len(gt)
-    assert recall >= ANN_RECALL_FLOORS["llm_sim_ann_graph"], recall
+    assert recall >= ANN_RECALL_FLOORS["llm_sim_ann_graph"][_sf_of(sf_dir)], recall
 
     again = query_graph_index(
         spark, index_dir, qvec, beam_w=12, hops=4, topk=10, exclude_ids=(0,)
@@ -1454,7 +1524,7 @@ def test_graph_index_incremental_add(spark, sf_dir, tmp_path):
     ).collect()
     gt = {r["vec_id"] for r in QUERIES["llm_sim_topk"](spark, sf_dir).collect()}
     recall = len({r["vec_id"] for r in rows} & gt) / len(gt)
-    assert recall >= ANN_RECALL_FLOORS["llm_sim_ann_graph"], recall
+    assert recall >= ANN_RECALL_FLOORS["llm_sim_ann_graph"][_sf_of(sf_dir)], recall
 
 
 def test_eval_rank_metrics_invariants_and_guards(spark, sf_dir, tmp_path):
@@ -1651,7 +1721,7 @@ def test_graph_index_compaction_prunes_and_preserves_recall(
     ).collect()
     gt = {r["vec_id"] for r in QUERIES["llm_sim_topk"](spark, sf_dir).collect()}
     recall = len({r["vec_id"] for r in rows} & gt) / len(gt)
-    assert recall >= ANN_RECALL_FLOORS["llm_sim_ann_graph"], recall
+    assert recall >= ANN_RECALL_FLOORS["llm_sim_ann_graph"][_sf_of(sf_dir)], recall
 
 
 def test_graph_index_compaction_recovers_from_crashes(spark, sf_dir, tmp_path):

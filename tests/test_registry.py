@@ -50,6 +50,7 @@ def test_rows_only_keys_are_the_documented_ones():
         "llm_sim_ann_pq",
         "llm_sim_ann_ivf_rq",
         "llm_sim_ann_graph",
+        "llm_sim_topk_batch",
         "llm_embed_pca",
         "llm_semdedup",
         "graph_pagerank",
