@@ -104,6 +104,56 @@ def shingle_array(words_col: str = "words", n: int = 3) -> Column:
     )
 
 
+def banded_signature_rows(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, sig, band_idx, band_hash) rows — the shingle →
+    minhash → band leg of the near-dup pipeline, extracted (r10) so
+    the STREAMING ingest (near_dedup_ingest_stream) persists exactly
+    the rows the batch key joins on. No exchange: signatures fold
+    in-array inside the input partition; posexplode multiplies rows
+    by n_bands only."""
+    hashed = (
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.array_distinct(shingle_array("words", shingle_n)),
+                lambda sh: F.xxhash64(sh),
+            ).alias("hs"),
+        )
+    )
+    sigs = hashed.select("doc_id", *_minhash_signature_cols("hs", n_hashes))
+
+    rows_per_band = n_hashes // n_bands
+    sig_array = F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)])
+    bands = F.array(
+        *[
+            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(
+        "doc_id", sig_array.alias("sig"), F.posexplode(bands).alias("band_idx", "band_hash")
+    )
+
+
+def est_jaccard_expr(sig_a, sig_b, n_hashes: int = N_MINHASH) -> Column:
+    """MinHash Jaccard estimate: fraction of matching signature
+    slots (shared by the batch key and the streaming ingest)."""
+    return (
+        F.aggregate(
+            F.zip_with(sig_a, sig_b, lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.lit(n_hashes)
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n_hashes: int = N_MINHASH,
@@ -133,29 +183,7 @@ def minhash_lsh_pairs(
     5. estimate Jaccard as the fraction of matching signature slots;
        keep pairs ≥ threshold.
     """
-    hashed = (
-        docs.select("doc_id", F.split("text", " ").alias("words"))
-        .select(
-            "doc_id",
-            F.transform(
-                F.array_distinct(shingle_array("words", shingle_n)),
-                lambda sh: F.xxhash64(sh),
-            ).alias("hs"),
-        )
-    )
-    sigs = hashed.select("doc_id", *_minhash_signature_cols("hs", n_hashes))
-
-    rows_per_band = n_hashes // n_bands
-    sig_array = F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)])
-    bands = F.array(
-        *[
-            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
-            for b in range(n_bands)
-        ]
-    )
-    banded = sigs.select(
-        "doc_id", sig_array.alias("sig"), F.posexplode(bands).alias("band_idx", "band_hash")
-    )
+    banded = banded_signature_rows(docs, n_hashes, n_bands, shingle_n)
     bucket_w = Window.partitionBy("band_idx", "band_hash")
     banded = banded.withColumn("bucket_n", F.count(F.lit(1)).over(bucket_w))
     if observation is not None:
@@ -205,14 +233,7 @@ def minhash_lsh_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
-    est = (
-        F.aggregate(
-            F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        ).cast("double")
-        / F.lit(N_MINHASH if n_hashes is None else n_hashes)
-    )
+    est = est_jaccard_expr("sig_a", "sig_b", N_MINHASH if n_hashes is None else n_hashes)
     return (
         candidates.select("doc_a", "doc_b", est.alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
@@ -818,6 +839,108 @@ def dedup_ingest_stream(
         fresh = fresh.localCheckpoint(eager=True)
         fresh.drop("h").write.mode("append").parquet(out_dir)
         fresh.select("h").write.mode("append").parquet(index_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def near_dedup_ingest_stream(
+    docs_stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+):
+    """Streaming NEAR-duplicate ingest — the K2 twin of
+    dedup_ingest_stream (VERDICT r9 next-round #5): documents arrive
+    as a stream; each micro-batch computes MinHash signatures, finds
+    near-dup pairs (est-Jaccard ≥ threshold) BOTH within the batch
+    and against everything previously accepted, then appends its
+    banded signature rows to the persisted band index. The union of
+    per-batch pair outputs over an ingest equals the batch
+    ``llm_dedup_near`` pairs over the same corpus (parity-tested over
+    a 3-chunk ingest with planted cross-batch near-dups): a pair's
+    later-arriving doc discovers it exactly once — new×new pairs in
+    its own batch, new×seen pairs via the index join.
+
+    State = the band index: (doc_id, sig, band_idx, band_hash) rows
+    PARTITIONED BY band_idx — n_bands × (8 + 8·n_hashes) bytes per
+    accepted doc, never the text. The new-vs-seen candidate join is
+    an equi-join on (band_idx, band_hash): at 100 TB bucket the
+    index by band_hash within each band_idx partition so each ingest
+    batch probes only its buckets; the batch side (small)
+    broadcasts. Within-batch pairs reuse the batch key's in-array
+    bucket combination path (minhash_lsh_pairs), so the mega-bucket
+    cap applies there; the cross join-leg caps its per-batch bucket
+    contribution at ``max_bucket`` seen rows per (band, hash) —
+    boilerplate buckets never go quadratic across epochs either.
+
+    foreachBatch for the same reason as dedup_ingest_stream (the
+    index is read batch-side); availableNow-driven, at-least-once on
+    a mid-batch crash — production makes the two appends idempotent
+    via epoch-partitioned output (the posting_stats_ingest_stream
+    recipe)."""
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        banded = banded_signature_rows(
+            batch_df, n_hashes, n_bands, shingle_n
+        ).localCheckpoint(eager=True)
+
+        within = minhash_lsh_pairs(
+            batch_df,
+            n_hashes=n_hashes,
+            n_bands=n_bands,
+            threshold=threshold,
+            shingle_n=shingle_n,
+            max_bucket=max_bucket,
+        )
+
+        try:
+            seen = spark.read.parquet(index_dir)
+        except AnalysisException as e:
+            if _error_class(e) != "PATH_NOT_FOUND":
+                raise
+            seen = None
+        if seen is not None:
+            # cap the seen side per bucket BEFORE the join (same
+            # boilerplate guard as the batch path; deterministic
+            # doc_id order decides which rows a capped bucket keeps)
+            cap_w = Window.partitionBy("band_idx", "band_hash").orderBy("doc_id")
+            seen_capped = (
+                seen.withColumn("rn", F.row_number().over(cap_w))
+                .where(F.col("rn") <= max_bucket)
+                .select(
+                    "band_idx",
+                    "band_hash",
+                    F.col("doc_id").alias("seen_id"),
+                    F.col("sig").alias("seen_sig"),
+                )
+            )
+            est = est_jaccard_expr("sig", "seen_sig", n_hashes)
+            cross = (
+                banded.join(seen_capped, ["band_idx", "band_hash"])
+                .where(F.col("doc_id") != F.col("seen_id"))
+                .select(
+                    F.least("doc_id", "seen_id").alias("doc_a"),
+                    F.greatest("doc_id", "seen_id").alias("doc_b"),
+                    est.alias("est_jaccard"),
+                )
+                .where(F.col("est_jaccard") >= threshold)
+                .dropDuplicates(["doc_a", "doc_b"])
+            )
+            pairs = within.unionByName(cross).dropDuplicates(["doc_a", "doc_b"])
+        else:
+            pairs = within
+        pairs.localCheckpoint(eager=True).write.mode("append").parquet(pairs_dir)
+        banded.write.mode("append").partitionBy("band_idx").parquet(index_dir)
 
     return (
         docs_stream.writeStream.foreachBatch(ingest)
