@@ -192,7 +192,10 @@ def decode_blob(blob_bytes: bytes) -> dict:
         raise ValueError(f"truncated or corrupt PBF blob: {e!r}") from e
 
 
-def _decode_blob(blob_bytes: bytes) -> dict:
+def inflate_blob(blob_bytes: bytes) -> bytes:
+    """Blob envelope → uncompressed payload bytes, with the
+    untrusted-input bounds (raw_size cap, bomb guard, truncation
+    check). Shared by OSMData decode and OSMHeader decode."""
     blob = parse_message(blob_bytes)
     raw_size = first(blob, 2)
     if raw_size is not None and raw_size > MAX_BLOB_RAW:
@@ -229,7 +232,47 @@ def _decode_blob(blob_bytes: bytes) -> dict:
             )
     else:
         raise ValueError("Blob carries neither raw (1) nor zlib_data (3)")
+    return data
 
+
+# HeaderBlock features this decoder implements (osmformat.proto:
+# required_features is the file's declaration of what a reader MUST
+# understand to interpret it correctly — e.g. "HistoricalInformation"
+# marks full-history files whose deleted elements would silently read
+# as live here).
+SUPPORTED_FEATURES = {"OsmSchema-V0.6", "DenseNodes"}
+
+
+def decode_header(blob_bytes: bytes) -> dict:
+    """One OSMHeader Blob → {"required_features": [...],
+    "optional_features": [...], "writingprogram": str|None,
+    "source": str|None}. Raises ValueError if the file declares a
+    required feature this decoder does not implement — the spec's
+    contract is that a reader MUST reject such files rather than
+    misread them (first-contact readiness: geofabrik extracts declare
+    OsmSchema-V0.6 + DenseNodes; full-history planet dumps add
+    HistoricalInformation and must be refused here)."""
+    block = parse_message(inflate_blob(blob_bytes))
+    required = [b.decode("utf-8") for b in block.get(4, [])]
+    optional = [b.decode("utf-8") for b in block.get(5, [])]
+    unsupported = [f for f in required if f not in SUPPORTED_FEATURES]
+    if unsupported:
+        raise ValueError(
+            f"PBF file requires unsupported features {unsupported} "
+            f"(this decoder implements {sorted(SUPPORTED_FEATURES)})"
+        )
+    wp = first(block, 16)
+    src = first(block, 17)
+    return {
+        "required_features": required,
+        "optional_features": optional,
+        "writingprogram": wp.decode("utf-8") if wp is not None else None,
+        "source": src.decode("utf-8") if src is not None else None,
+    }
+
+
+def _decode_blob(blob_bytes: bytes) -> dict:
+    data = inflate_blob(blob_bytes)
     block = parse_message(data)
     strings = [
         s.decode("utf-8") for s in parse_message(first(block, 1, b"")).get(1, [])

@@ -964,3 +964,85 @@ def test_jdbc_roundtrip_against_embedded_derby(spark, sf_dir, tmp_path):
         num_partitions=2, properties=props,
     ).count()
     assert n == layer.count() + 10
+
+
+def test_adversarial_pbf_every_real_world_variant(spark, tmp_path):
+    """VERDICT r9 #2 — the maximal-adversarial fixture: one file
+    exercising every encoding variant real planet extracts use that
+    the golden fixtures don't (full HeaderBlock with 2-byte field
+    keys, DenseInfo, per-element Info, LocationsOnWays, changesets
+    group, unknown fields of all four wire types, mixed group kinds,
+    an empty group, coordinate corners, 2^40 ref deltas, a zero-member
+    relation, a >16 MB blob with 3-byte string indices, and a zlib
+    blob without raw_size). Decoded through the full Spark read_pbf
+    path; counts and every element pinned against the independent
+    generator's expectations."""
+    import tools.make_adversarial_pbf as adv
+
+    from osm_airflow_spark.sources.pbf import read_pbf
+
+    path = str(tmp_path / "adversarial.osm.pbf")
+    expected = adv.build(path)
+
+    tables = read_pbf(spark, path)
+    nodes = sorted(
+        (
+            {"node_id": r["node_id"], "lat": r["lat"], "lon": r["lon"],
+             "tags": dict(r["tags"] or {})}
+            for r in tables["nodes"].collect()
+        ),
+        key=lambda r: r["node_id"],
+    )
+    want_nodes = sorted(expected["nodes"], key=lambda r: r["node_id"])
+    assert len(nodes) == len(want_nodes) == 2057
+    assert nodes == want_nodes  # exact floats: decoder association
+
+    ways = {r["way_id"]: r for r in tables["ways"].collect()}
+    assert set(ways) == {50_001, 50_002}
+    # the 2^40 delta accumulated exactly; LocationsOnWays NOT
+    # mistaken for refs
+    assert list(ways[50_001]["node_refs"]) == [
+        1, 1 + (1 << 40), 1 + (1 << 40) - (1 << 39), 2
+    ]
+    assert list(ways[50_002]["node_refs"]) == [40_001, 40_002, 40_003]
+
+    rels = {r["rel_id"]: r for r in tables["relations"].collect()}
+    assert set(rels) == {60_001, 60_002}
+    assert [
+        (m["mtype"], m["ref"], m["role"]) for m in rels[60_001]["members"]
+    ] == [("node", 40_001, "outer"), ("way", 50_001, "")]
+    assert list(rels[60_002]["members"]) == []
+
+    # the big blob really is past the 16 MB SHOULD bound
+    big, _ = adv.block_16mb()
+    assert len(big) > 16 * 1024 * 1024
+
+
+def test_pbf_header_required_features_validated(spark, tmp_path):
+    """A file declaring a required feature this decoder does not
+    implement (HistoricalInformation: deleted elements would silently
+    read as live) must be REFUSED at the header, before any fan-out;
+    supported headers decode to their declared metadata."""
+    import pytest as _pytest
+
+    import tools.make_adversarial_pbf as adv
+
+    from osm_airflow_spark.sources import pbf_wire
+    from osm_airflow_spark.sources.pbf import read_pbf
+
+    hist = str(tmp_path / "history.osm.pbf")
+    adv.build_history_file(hist)
+    with _pytest.raises(ValueError, match="HistoricalInformation"):
+        read_pbf(spark, hist)["nodes"].count()
+
+    ok = str(tmp_path / "ok.osm.pbf")
+    adv.build(ok)
+    offsets = pbf_wire.scan_blob_offsets(ok)
+    start, length, blob_type = offsets[0]
+    assert blob_type == "OSMHeader"
+    with open(ok, "rb") as fh:
+        fh.seek(start)
+        hdr = pbf_wire.decode_header(fh.read(length))
+    assert hdr["required_features"] == ["OsmSchema-V0.6", "DenseNodes"]
+    assert hdr["optional_features"] == ["Sort.Type_then_ID"]
+    assert hdr["writingprogram"] == "adversarial-generator"
