@@ -1046,3 +1046,75 @@ def test_pbf_header_required_features_validated(spark, tmp_path):
     assert hdr["required_features"] == ["OsmSchema-V0.6", "DenseNodes"]
     assert hdr["optional_features"] == ["Sort.Type_then_ID"]
     assert hdr["writingprogram"] == "adversarial-generator"
+
+
+def test_postgres_ddl_type_mapping(spark):
+    """VERDICT r9 #6 — the Postgres dialect layer, no server needed:
+    DDL comes from Spark's OWN PostgresDialect (the mapping the JDBC
+    writer consults at connect time), with jsonb/geometry overrides
+    for what Spark can't express. Pins the full scalar mapping
+    including timestamptz (Spark timestamps are instants) and the
+    publish-prep serialization of map columns."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from osm_airflow_spark.sources.jdbc import (
+        postgres_ddl,
+        postgres_type,
+        prepare_for_postgres,
+    )
+
+    assert postgres_type(spark, "bigint") == "BIGINT"
+    assert postgres_type(spark, "int") == "INTEGER"
+    assert postgres_type(spark, "double") == "FLOAT8"
+    assert postgres_type(spark, "float") == "FLOAT4"
+    assert postgres_type(spark, "string") == "TEXT"
+    assert postgres_type(spark, "boolean") == "BOOLEAN"
+    assert postgres_type(spark, "timestamp") == "TIMESTAMP WITH TIME ZONE"
+    assert postgres_type(spark, "date") == "DATE"
+    assert postgres_type(spark, "binary") == "BYTEA"
+    assert postgres_type(spark, "decimal(18,6)") == "NUMERIC(18,6)"
+    assert postgres_type(spark, "array<string>") == "TEXT[]"
+    assert postgres_type(spark, "array<double>") == "FLOAT8[]"
+    with pytest.raises(ValueError, match="override"):
+        postgres_type(spark, "map<string,string>")
+
+    schema = T.StructType(
+        [
+            T.StructField("node_id", T.LongType(), False),
+            T.StructField("lat", T.DoubleType(), True),
+            T.StructField("tags", T.MapType(T.StringType(), T.StringType()), True),
+            T.StructField("geom", T.BinaryType(), True),
+            T.StructField("updated", T.TimestampType(), True),
+        ]
+    )
+    df = spark.createDataFrame([], schema)
+    ddl = postgres_ddl(
+        df,
+        "osm.nodes",
+        overrides={"tags": "JSONB", "geom": "geometry(Point,4326)"},
+        primary_key="node_id",
+    )
+    assert ddl == (
+        "CREATE TABLE osm.nodes (\n"
+        '  "node_id" BIGINT NOT NULL,\n'
+        '  "lat" FLOAT8,\n'
+        '  "tags" JSONB,\n'
+        '  "geom" geometry(Point,4326),\n'
+        '  "updated" TIMESTAMP WITH TIME ZONE,\n'
+        '  PRIMARY KEY ("node_id")\n'
+        ")"
+    )
+
+    rows = spark.createDataFrame(
+        [(1, 2.5, {"amenity": "cafe"}, bytearray(b"\x01\x02"), None)], schema
+    )
+    prepped = prepare_for_postgres(rows, geometry_cols=("geom",))
+    assert dict(prepped.dtypes)["tags"] == "string"
+    got = prepped.first()
+    assert got["tags"] == '{"amenity":"cafe"}'
+    assert bytes(got["geom"]) == b"\x01\x02"
+    # non-WKB geometry column is refused
+    with pytest.raises(ValueError, match="WKB"):
+        prepare_for_postgres(rows.withColumn("geom", F.lit("notbytes")),
+                             geometry_cols=("geom",))
