@@ -264,3 +264,37 @@ def test_round_of_derived_double_sites_are_audited():
     stale = set(ROUND_AUDITED) - rounding
     assert not unaudited, f"unaudited round() oracle sites: {sorted(unaudited)}"
     assert not stale, f"ROUND_AUDITED entries with no round(): {sorted(stale)}"
+
+
+def test_plan_cache_same_object_and_eviction(spark, sf_dir):
+    """r10 plan cache: same (session, key, sf_dir) returns the SAME
+    DataFrame object (skipping re-analysis); different sf_dir misses;
+    the escape hatch bypasses; the LRU bound evicts."""
+    import os
+
+    from osm_airflow_spark import registry
+
+    registry.clear_plan_cache()
+    fn = QUERIES["agg_groupby"]
+    a = fn(spark, sf_dir)
+    b = fn(spark, sf_dir)
+    assert a is b
+    os.environ["SPARK_GRAFT_NO_PLAN_CACHE"] = "1"
+    try:
+        c = fn(spark, sf_dir)
+        assert c is not a
+    finally:
+        del os.environ["SPARK_GRAFT_NO_PLAN_CACHE"]
+    # fill past the bound: the oldest entry (agg_groupby) evicts
+    registry.clear_plan_cache()
+    fn(spark, sf_dir)
+    keys = [k for k in QUERIES if k != "agg_groupby"]
+    for k in keys[: registry._PLAN_CACHE_MAX]:
+        try:
+            QUERIES[k](spark, sf_dir)
+        except Exception:
+            pass  # building the plan may fail for stream-only shapes
+    assert len(registry._PLAN_CACHE) <= registry._PLAN_CACHE_MAX
+    d = fn(spark, sf_dir)
+    assert d is not a  # evicted, rebuilt
+    registry.clear_plan_cache()
