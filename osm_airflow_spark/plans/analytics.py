@@ -4048,6 +4048,120 @@ def pipeline_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_spearman",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS x,
+             COUNT(*) AS y
+      FROM orders GROUP BY 1
+    ),
+    rx AS (
+      SELECT x AS v, 2 * (SUM(c) OVER (ORDER BY x) - c) + c + 1 AS two_r
+      FROM (SELECT x, COUNT(*) AS c FROM daily GROUP BY x)
+    ),
+    ry AS (
+      SELECT y AS v, 2 * (SUM(c) OVER (ORDER BY y) - c) + c + 1 AS two_r
+      FROM (SELECT y, COUNT(*) AS c FROM daily GROUP BY y)
+    ),
+    j AS (
+      SELECT CAST(rx.two_r AS BIGINT) AS u, CAST(ry.two_r AS BIGINT) AS w
+      FROM daily d JOIN rx ON rx.v = d.x JOIN ry ON ry.v = d.y
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(u) AS BIGINT) AS su, CAST(SUM(w) AS BIGINT) AS sw,
+             CAST(SUM(u * w) AS BIGINT) AS suw,
+             CAST(SUM(u * u) AS BIGINT) AS suu,
+             CAST(SUM(w * w) AS BIGINT) AS sww
+      FROM j
+    )
+    SELECT n AS n_days,
+           CASE WHEN (n * suu - su * su) > 0 AND (n * sww - sw * sw) > 0
+                THEN CAST(n * suw - su * sw AS DOUBLE)
+                     / sqrt(CAST(n * suu - su * su AS DOUBLE)
+                            * CAST(n * sww - sw * sw AS DOUBLE))
+           END AS rho
+    FROM s
+    """,
+)
+def pipeline_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r10) — SPEARMAN rank correlation between daily
+    revenue and daily order count: the robust (monotone, outlier-
+    immune) dependence measure beside pipeline_xcorr's Pearson —
+    a revenue spike from one whale order drags Pearson but moves
+    ranks by one slot. Spearman-with-ties = Pearson on MIDRANKS,
+    computed exactly: 2x-scaled midranks are integers
+    (2R(v) = 2·cum_before(v) + c(v) + 1 over the distinct-value
+    cumulative — the Mann–Whitney machinery), so every sum in
+    r = (nΣuw − ΣuΣw) / √((nΣu²−(Σu)²)(nΣw²−(Σw)²)) is an exact
+    int64. The day count is CALENDAR-bounded (~2.4k for the 7-year
+    TPC-H span at every SF), so all magnitudes stay < 2^47 ≪ 2^53:
+    the long→double casts are EXACT in both engines and rho is
+    emitted unrounded — no decimal→double 1-ulp exposure anywhere
+    (contrast pipeline_acf, whose decimal sums exceed 2^53 and emit
+    at 9 dp). Revenue ranks on exact integer CENTS (decimal(18,2)·100
+    → bigint, order-isomorphic); tie guard emits NULL for a
+    degenerate constant series in both engines.
+
+    Scale: one corpus pass to the calendar-bounded daily table; each
+    rank leg is a distinct-value groupBy + the bucket-offset running
+    pattern (B-way parallel windows + ≤8-row offset collect, no
+    global window) + a value-bounded join-back (per-distinct-value —
+    the corpus-bounded join-back case of the house rule). Everything
+    after the first aggregate is control-plane sized."""
+    from osm_airflow_spark.bucketing import bucketed_running
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+        )
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                * F.lit(100)
+            )
+            .cast("long")
+            .alias("x"),
+            F.count(F.lit(1)).alias("y"),
+        )
+        .localCheckpoint(eager=True)  # calendar-bounded; read 3x below
+    )
+
+    def midranks2(col: str) -> DataFrame:
+        counts = daily.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        run, _tot = bucketed_running(counts, col, ["c"])
+        return run.select(
+            F.col(col).alias("v"),
+            (2 * (F.col("run_c") - F.col("c")) + F.col("c") + 1).alias("two_r"),
+        )
+
+    rx = midranks2("x").select(F.col("v").alias("vx"), F.col("two_r").alias("u"))
+    ry = midranks2("y").select(F.col("v").alias("vy"), F.col("two_r").alias("w"))
+    j = daily.join(rx, daily.x == rx.vx).join(ry, daily.y == ry.vy)
+    st = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("u").alias("su"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("u") * F.col("w")).alias("suw"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+    )
+    dx = F.col("n") * F.col("suu") - F.col("su") * F.col("su")
+    dy = F.col("n") * F.col("sww") - F.col("sw") * F.col("sw")
+    num = F.col("n") * F.col("suw") - F.col("su") * F.col("sw")
+    return st.select(
+        F.col("n").alias("n_days"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            num.cast("double") / F.sqrt(dx.cast("double") * dy.cast("double")),
+        ).alias("rho"),
+    )
+
+
+@query(
     "pipeline_acf",
     oracle="""
     WITH daily AS (

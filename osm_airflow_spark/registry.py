@@ -145,93 +145,72 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ``tests/test_registry.py`` pins the exact list so adding a key can
 # never reshuffle the window unreviewed.
 #
-# Round-9 window: the rotation the r8 manifest promised. New keys
-# registered this round lead (never-checked beats re-proof — the
-# r5/r6 precedent), then ALL 35 remaining r4-era keys (after r8, no
-# key's newest driver proof predates r4; this block retires the r4
-# generation entirely), then the oldest r5-era keys in registration
-# order to fill the 50. The three keys whose latent short-doc /
-# crash defects were FIXED this round on ADVICE review
-# (llm_distinct_ngrams, llm_fingerprint) were driver-proven in r8
-# and their fixes only change sub-8-char/single-word behavior the
-# fixtures never exercise — fixture outputs are bit-identical
-# (re-verified locally), so they do not displace staleness slots.
-# After round 9 the oldest proof generation is r5 (33 keys remain
-# for the r10 window).
+# Round-10 window: the new key leads (never-checked beats re-proof),
+# then the three keys whose BEHAVIOR changed this round (multiprobe
+# rewritten query-directed, ivf raised to nprobe=2, hampel's NULL
+# pre-filter — changed-contract beats staleness), then ALL 27
+# remaining r4-era keys (this block retires the r4 proof generation
+# entirely — after r10 no key's newest driver proof predates r5),
+# then the oldest r5-era keys in registration order to fill the 50.
+# Remaining r5 block (pipeline_rfm_segments onward, ~30 keys)
+# rotates to r11. Staleness computed from CORRECTNESS_r01-r09
+# (newest proof round per key).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- new keys this round, never driver-checked (42; the third-
-    # session statistics/graph/mm batch leads) --
-    "pipeline_did",
-    "win_bollinger",
-    "llm_mixture_plan",
-    "mm_dedup_cluster",
-    "pipeline_runs_test",
-    "llm_split_leakage",
-    "pipeline_acf",
-    "pipeline_anova",
-    "pipeline_benford",
-    "pipeline_xcorr",
-    "pipeline_mutual_info",
-    "win_running_distinct",
-    "graph_adamic_adar",
-    "llm_ngram_novelty",
-    "mm_image_ahash",
-    "win_max_drawdown",
-    "pipeline_psi_drift",
-    "osm_convex_hull",
-    "pipeline_seasonal_decompose",
-    "win_hampel_outliers",
-    "llm_eval_rouge",
-    "pipeline_position_attribution",
-    "pipeline_theil_sen",
-    "graph_kcore",
-    "llm_source_profile",
-    "pipeline_cusum_changepoint",
-    "pipeline_survival_km",
-    "agg_kmv_distinct",
-    "agg_bloom_probe",
-    "llm_eval_rank_metrics",
-    "llm_eval_auc",
-    "llm_eval_bleu",
-    "pipeline_ks_test",
-    "pipeline_mann_whitney",
-    "pipeline_chi_square",
-    "llm_zipf_fit",
-    "llm_embed_covariance",
-    "llm_embed_pca",
-    "mm_shot_boundaries",
-    "llm_corpus_divergence",
-    "llm_dedup_fingerprint",
-    "llm_embed_outliers",
-    # -- staleness re-checks: the r4-era remainder (8; the third
-    # r9 session's 15 new keys displace llm_bigram_lm,
-    # llm_contamination_check, llm_corpus_curation,
-    # llm_dedup_cluster_best, osm_assemble_ways,
-    # osm_spatial_join_bbox, osm_way_lengths,
-    # pipeline_branded_discounts, pipeline_data_quality,
-    # pipeline_date_spine, pipeline_event_funnel,
-    # pipeline_forecast_revenue, pipeline_large_volume_customers,
-    # pipeline_market_basket, osm_tile_rollup, which join
-    # pipeline_market_share / pipeline_order_count_distribution /
-    # pipeline_nation_trade / pipeline_pricing_summary /
-    # pipeline_priority_class_share / pipeline_priority_fulfillment /
-    # pipeline_retention_cohort / pipeline_small_quantity_revenue /
-    # pipeline_top_returning_customers / pipeline_waiting_multi_supplier /
-    # pipeline_snapshot_diff / pipeline_time_travel at the head of
-    # the r10 rotation — never-checked beats re-proof) --
-    "llm_dedup_embed_lsh",
-    "llm_dedup_simhash",
-    "llm_semdedup",
-    "llm_sim_ann_ivf",
-    "llm_sim_ann_ivf_kmeans",
+    # -- new/changed this round, never checked or contract-changed --
+    "llm_sim_topk_batch",
     "llm_sim_ann_multiprobe",
-    "llm_sim_ann_pq",
-    "llm_tfidf_topk",
-    # -- staleness re-checks: the r5 block fully yields its slots to
-    # the late-r9 keys (never-checked beats re-proof — the r5/r6
-    # precedent) and rejoins the r10 rotation --
+    "llm_sim_ann_ivf",
+    "win_hampel_outliers",
+    # -- staleness re-checks: the ENTIRE r4-era remainder (27) --
+    "llm_contamination_check",
+    "llm_bigram_lm",
+    "llm_corpus_curation",
+    "llm_dedup_cluster_best",
+    "pipeline_pricing_summary",
+    "pipeline_top_returning_customers",
+    "pipeline_small_quantity_revenue",
+    "pipeline_nation_trade",
+    "pipeline_priority_fulfillment",
+    "pipeline_priority_class_share",
+    "pipeline_forecast_revenue",
+    "pipeline_branded_discounts",
+    "pipeline_market_share",
+    "pipeline_order_count_distribution",
+    "pipeline_large_volume_customers",
+    "pipeline_waiting_multi_supplier",
+    "pipeline_event_funnel",
+    "pipeline_retention_cohort",
+    "pipeline_snapshot_diff",
+    "pipeline_date_spine",
+    "pipeline_market_basket",
+    "pipeline_data_quality",
+    "pipeline_time_travel",
+    "osm_assemble_ways",
+    "osm_way_lengths",
+    "osm_spatial_join_bbox",
+    "osm_tile_rollup",
+    # -- staleness re-checks: the oldest r5-era keys (19) --
+    "join_interval_overlap",
+    "set_intersect_all",
+    "win_time_weekly_aligned",
+    "win_dedup_latest",
+    "win_rank",
+    "win_lag_lead",
+    "win_running_sum",
+    "fn_geo_bearing",
+    "llm_embed_quantize",
+    "llm_hard_negatives",
+    "llm_quality_logit",
+    "llm_domain_mix",
+    "llm_vocab_coverage",
+    "llm_dedup_incremental",
+    "scan_parquet",
+    "pipeline_min_cost_supplier",
+    "pipeline_important_stock",
+    "pipeline_top_supplier",
+    "pipeline_event_paths",
 ]
 
 

@@ -1290,3 +1290,89 @@ def test_kcore_peel_cap_raises_not_mislabels(spark):
         kcore_peel(edges, max_k=3)
     got = {r["node"]: r["coreness"] for r in kcore_peel(edges, max_k=4).collect()}
     assert got == {f"n{i}": 4 for i in range(5)}
+
+
+def test_spearman_planted_monotone_with_outlier(spark, tmp_path):
+    """r10: a strictly monotone relation with a massive whale-order
+    outlier on the last day must give Spearman rho == 1.0 EXACTLY
+    (ranks don't move), plus a pure-Python midrank recompute on a
+    tied series and the NULL guard for a constant series."""
+    # day i: 1 + (i % 3) orders (ties in y!), revenue grows with the
+    # order count monotonically; last day is a 1000x revenue whale
+    # with the highest order count -> still monotone in ranks
+    rows = []
+    key = 0
+    for i in range(30):
+        n_orders = 4 if i == 29 else 1 + (i % 3)
+        price = 1_000_000.0 if i == 29 else 10.0 + 5.0 * n_orders + 0.01 * i
+        for _ in range(n_orders):
+            rows.append((key, 1, "O", price / n_orders, i))
+            key += 1
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, day int",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.timestamp_micros(
+            F.lit(1_577_836_800_000_000) + F.col("day") * 86_400_000_000
+        ).alias("o_orderdate"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    got = QUERIES["pipeline_spearman"](spark, str(tmp_path)).first()
+    assert got["n_days"] == 30
+
+    # independent pure-Python Spearman on the same daily series
+    import collections
+
+    daily = collections.defaultdict(lambda: [0, 0.0])
+    for k, c, s, price, day in rows:
+        daily[day][0] += 1
+        daily[day][1] += price
+    days = sorted(daily)
+    ys = [daily[d][0] for d in days]
+    xs = [round(daily[d][1], 2) for d in days]
+
+    def midranks(vals):
+        order = sorted(vals)
+        first = {}
+        for idx, v in enumerate(order):
+            first.setdefault(v, idx + 1)
+        cnt = collections.Counter(order)
+        return [first[v] + (cnt[v] - 1) / 2.0 for v in vals]
+
+    ru, rw = midranks(xs), midranks(ys)
+    n = len(ru)
+    su, sw = sum(ru), sum(rw)
+    suw = sum(a * b for a, b in zip(ru, rw))
+    suu = sum(a * a for a in ru)
+    sww = sum(b * b for b in rw)
+    import math
+
+    want = (n * suw - su * sw) / math.sqrt(
+        (n * suu - su * su) * (n * sww - sw * sw)
+    )
+    assert abs(got["rho"] - want) < 1e-12, (got["rho"], want)
+    # monotone in ranks despite the whale: high rho; and Pearson on
+    # raw values WOULD be dragged (sanity: rho is near the top)
+    assert got["rho"] > 0.8
+
+    # constant y series -> NULL rho (tie guard), not a crash
+    const = spark.createDataFrame(
+        [(i, 1, "O", 10.0 + i, i // 1) for i in range(5)],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, day int",
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.timestamp_micros(
+            F.lit(1_577_836_800_000_000) + F.col("day") * 86_400_000_000
+        ).alias("o_orderdate"),
+    )
+    d2 = tmp_path / "const"
+    d2.mkdir()
+    const.coalesce(1).write.parquet(str(d2 / "orders.parquet"))
+    got2 = QUERIES["pipeline_spearman"](spark, str(d2)).first()
+    assert got2["rho"] is None  # y constant (1 order/day): degenerate
