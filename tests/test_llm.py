@@ -1980,3 +1980,75 @@ def test_split_leakage_planted_cross_split_near_dup(spark, tmp_path):
     r = got[(1, 2)]
     assert {r["split_a"], r["split_b"]} == {"train", "val"}
     assert r["jaccard"] == 29 / 31
+
+
+def test_graph_index_batch_query_parity_and_recall(spark, sf_dir, tmp_path):
+    """r10 — batched graph serving (the VERDICT r9 weak spot): N
+    queries beam-search the persisted graph in hops-many joins, no
+    per-query jobs. For a single query the batch path's beam dynamics
+    are IDENTICAL to query_graph_index (same entry/beam/tie-break/hop
+    budget) -> exact row parity; across 8 held-out-as-self queries
+    the mean recall@10 vs brute force clears the graph floor."""
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.llm.similarity import (
+        build_graph_index,
+        cosine_expr,
+        query_graph_index,
+        query_graph_index_batch,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    index_dir = str(tmp_path / "graph")
+    build_graph_index(e, index_dir, k=8, rounds=2, n_buckets=8)
+
+    # single-query parity: same beam parameters -> same rows
+    qvec = e.where(F.col("vec_id") == 0).first()["embedding"]
+    single = query_graph_index(
+        spark, index_dir, qvec, beam_w=12, hops=4, topk=10, exclude_ids=(0,)
+    ).collect()
+    one = e.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch_one = query_graph_index_batch(
+        spark, index_dir, one, beam_w=12, hops=4, topk=10, exclude_self=True
+    ).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in single] == [
+        (r["vec_id"], r["cos_sim"]) for r in batch_one
+    ]
+
+    # batch recall: 8 indexed vectors as queries (self excluded)
+    qs = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got_rows = query_graph_index_batch(
+        spark, index_dir, qs, beam_w=12, hops=4, topk=10, exclude_self=True
+    ).collect()
+    got: dict[int, set] = {}
+    for r in got_rows:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(got) == set(range(8))
+    assert all(len(v) == 10 and q not in v for q, v in got.items())
+
+    wk = PWindow.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    exact = (
+        e.crossJoin(
+            F.broadcast(
+                qs.select("query_id", F.col("embedding").alias("qvec"))
+            )
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", cosine_expr("embedding", "qvec").alias("cos_sim")
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= 10)
+    )
+    gt: dict[int, set] = {}
+    for r in exact.collect():
+        gt.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(got[q] & gt[q]) / len(gt[q]) for q in gt]
+    mean_recall = sum(recalls) / len(recalls)
+    floor = ANN_RECALL_FLOORS["llm_sim_ann_graph"][_sf_of(sf_dir)]
+    assert mean_recall >= floor, f"mean recall@10 {mean_recall:.3f} < {floor}"
