@@ -1254,6 +1254,145 @@ def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_eval_perplexity",
+    oracle="""
+    WITH base AS (
+      SELECT substr(md5(text), 1, 2) AS pfx,
+             string_split(text, ' ') AS w
+      FROM documents
+    ),
+    tw AS (SELECT unnest(w) AS word FROM base WHERE pfx >= '1a'),
+    vocab AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v FROM tw),
+    tg AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1])) AS bg
+      FROM base WHERE pfx >= '1a'
+    ),
+    bc AS (SELECT bg, COUNT(*) AS n_bigram FROM tg GROUP BY bg),
+    cc AS (
+      SELECT string_split(bg, ' ')[1] AS w1,
+             CAST(SUM(n_bigram) AS BIGINT) AS n_context
+      FROM bc GROUP BY 1
+    ),
+    vg AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1])) AS bg
+      FROM base WHERE pfx >= '0a' AND pfx < '1a'
+    ),
+    scored AS (
+      SELECT round(-ln(
+               (CAST(COALESCE(bc.n_bigram, 0) + 1 AS DOUBLE))
+               / (COALESCE(cc.n_context, 0) + vocab.v)), 6) AS nll,
+             bc.bg IS NULL AS unseen
+      FROM vg
+      LEFT JOIN bc USING (bg)
+      LEFT JOIN cc ON cc.w1 = string_split(vg.bg, ' ')[1]
+      CROSS JOIN vocab
+    )
+    SELECT (SELECT v FROM vocab) AS vocab_size,
+           CAST(COUNT(*) AS BIGINT) AS n_val_instances,
+           CAST(SUM(CASE WHEN unseen THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unseen,
+           CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS avg_nll,
+           round(exp(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*)), 6) AS perplexity
+    FROM scored
+    """,
+)
+def llm_eval_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r10) — HELD-OUT corpus perplexity: the intrinsic LM
+    eval metric (the one every data-mixture/curation paper reports)
+    beside the extrinsic eval suite (AUC, nDCG/MRR, BLEU/ROUGE). A
+    bigram LM is trained on the TRAIN content-hash split and scores
+    the VAL split with add-one (Laplace) smoothing over the train
+    vocabulary — the smoothing is what distinguishes this from
+    llm_perplexity_filter, which scores the corpus under its OWN LM
+    and never meets an unseen bigram; held-out eval meets them
+    constantly and an unsmoothed model would emit −ln(0). Splits are
+    the llm_split_assign content-hash ranges (leakage-proof by
+    construction; llm_ngram_novelty measures exactly the unseen mass
+    this smoothing pays for).
+
+    Determinism: each instance's −ln((c+1)/(ctx+V)) rounds at 6 dp
+    (the transcendental term rule), sums in exact decimal, one IEEE
+    division for avg_nll (emitted unrounded); perplexity =
+    exp(avg_nll) re-rounds at 6 dp at emission (the libm rule —
+    ks_test precedent).
+
+    Scale: one documents pass explodes val+train grams (split
+    filters on the checkpointed instance table — no double scan);
+    train collapses to bigram counts with the window-over-bc context
+    totals (the llm_bigram_lm shape: never a corpus join-back); V
+    rides as a broadcast 1-row aggregate; val instances LEFT-join
+    the LM (vocab²-bounded, broadcastable — at 100 TB train the LM
+    on a sample and broadcast, same plan)."""
+    from pyspark.sql import Window
+
+    from osm_airflow_spark.llm.dedup import shingle_array
+
+    d = load_table(spark, sf_dir, "documents")
+    pfx = F.substring(F.md5("text"), 1, 2)
+    base = d.select(pfx.alias("pfx"), F.split("text", " ").alias("w"))
+    grams = base.select(
+        "pfx", F.explode(_bleu_grams(F.col("w"), 2)).alias("bg")
+    ).localCheckpoint(eager=True)  # train + val filters both read it
+    words = base.where(F.col("pfx") >= "1a").select(
+        F.explode("w").alias("word")
+    )
+    vocab = words.agg(F.countDistinct("word").alias("v"))
+
+    bc = (
+        grams.where(F.col("pfx") >= "1a")
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n_bigram"))
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+    )
+    n_context = F.sum("n_bigram").over(Window.partitionBy("w1"))
+    lm = bc.withColumn("n_context", n_context).select(
+        "bg", "n_bigram", F.col("w1").alias("lm_w1"), "n_context"
+    )
+    cc = lm.groupBy("lm_w1").agg(F.max("n_context").alias("ctx"))
+
+    val = grams.where((F.col("pfx") >= "0a") & (F.col("pfx") < "1a")).select(
+        "bg", F.split("bg", " ").getItem(0).alias("w1")
+    )
+    scored = (
+        val.join(F.broadcast(lm.select("bg", "n_bigram")), "bg", "left")
+        .join(F.broadcast(cc), val.w1 == cc.lm_w1, "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.round(
+                -F.log(
+                    (F.coalesce("n_bigram", F.lit(0)) + 1).cast("double")
+                    / (F.coalesce("ctx", F.lit(0)) + F.col("v"))
+                ),
+                6,
+            ).alias("nll"),
+            F.col("n_bigram").isNull().alias("unseen"),
+            "v",
+        )
+    )
+    avg = F.sum(F.col("nll").cast("decimal(18,6)")).cast("double") / F.count(
+        F.lit(1)
+    )
+    return scored.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n_val_instances"),
+        F.sum(F.when(F.col("unseen"), 1).otherwise(0)).alias("n_unseen"),
+        avg.alias("avg_nll"),
+        F.round(F.exp(avg), 6).alias("perplexity"),
+    ).select(
+        F.col("v").alias("vocab_size"),
+        "n_val_instances",
+        "n_unseen",
+        "avg_nll",
+        "perplexity",
+    )
+
+
+@query(
     "llm_corpus_curation",
     oracle="""
     WITH ok AS (

@@ -2052,3 +2052,56 @@ def test_graph_index_batch_query_parity_and_recall(spark, sf_dir, tmp_path):
     mean_recall = sum(recalls) / len(recalls)
     floor = ANN_RECALL_FLOORS["llm_sim_ann_graph"][_sf_of(sf_dir)]
     assert mean_recall >= floor, f"mean recall@10 {mean_recall:.3f} < {floor}"
+
+
+def test_eval_perplexity_matches_pure_python(spark, sf_dir, tmp_path):
+    """llm_eval_perplexity: a third implementation (pure-Python
+    Counter add-one bigram LM over the same content-hash splits)
+    must reproduce vocab size, unseen count and avg_nll; smoothing
+    sanity on a planted corpus where val bigrams are all unseen."""
+    import collections
+    import hashlib
+    import math
+
+    from osm_airflow_spark.io import load_table
+
+    d = [
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    train_bg: collections.Counter = collections.Counter()
+    ctx: collections.Counter = collections.Counter()
+    vocab: set = set()
+    val_bgs = []
+    for _, text in d:
+        pfx = hashlib.md5(text.encode()).hexdigest()[:2]
+        w = text.split(" ")
+        bgs = [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)]
+        if pfx >= "1a":
+            vocab.update(w)
+            for bg in bgs:
+                train_bg[bg] += 1
+                ctx[bg.split(" ")[0]] += 1
+        elif pfx >= "0a":
+            val_bgs.extend(bgs)
+    v = len(vocab)
+    nlls = []
+    unseen = 0
+    for bg in val_bgs:
+        c = train_bg.get(bg, 0)
+        if c == 0:
+            unseen += 1
+        nlls.append(round(-math.log((c + 1) / (ctx.get(bg.split(" ")[0], 0) + v)), 6))
+    # decimal-sum twin: 6dp terms sum exactly in float? no — use int micros
+    total = sum(int(round(x * 1e6)) for x in nlls)
+    want_avg = (total / 1e6) / len(val_bgs)
+
+    got = QUERIES["llm_eval_perplexity"](spark, sf_dir).first()
+    assert got["vocab_size"] == v
+    assert got["n_val_instances"] == len(val_bgs)
+    assert got["n_unseen"] == unseen
+    assert abs(got["avg_nll"] - want_avg) < 1e-9
+    assert got["perplexity"] == round(math.exp(got["avg_nll"]), 6)
+    assert got["n_unseen"] > 0  # held-out eval genuinely meets unseen mass
