@@ -113,6 +113,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     load_before = os.getloadavg()
+    # The r10 registry plan cache would make passes 2..n re-execute
+    # CACHED DataFrames (30-40% faster than rebuilt plans), silently
+    # changing what "value" measures vs BENCH_r01-r09. Bypass it for
+    # the comparable passes; the cached path is measured separately
+    # below and reported as cached_total.
+    os.environ["SPARK_GRAFT_NO_PLAN_CACHE"] = "1"
     spark = get_spark("bench")
     registry = all_queries()
     queries = {k: registry[k] for k in HEADLINE if k in registry}
@@ -148,6 +154,21 @@ def main() -> None:
     }
     total = round(sum(median.values()), 3)
     one_shot = passes[0]
+
+    # the r10 cached-plan path, measured separately: same DataFrame
+    # object re-executed (what a repeated registry call costs now)
+    del os.environ["SPARK_GRAFT_NO_PLAN_CACHE"]
+    from osm_airflow_spark.registry import clear_plan_cache
+
+    clear_plan_cache()
+    cached: dict[str, float] = {}
+    for key, fn in queries.items():
+        fn(spark, sf_dir).count()  # populate
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        cached[key] = round(time.time() - t0, 3)
+    cached_total = round(sum(cached.values()), 3)
     print(
         json.dumps(
             {
@@ -165,6 +186,8 @@ def main() -> None:
                 },
                 "calib_s": calib_s,
                 "calib_py_s": calib_py_s,
+                "cached_total": cached_total,
+                "cached": cached,
             }
         )
     )

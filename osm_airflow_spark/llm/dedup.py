@@ -863,12 +863,20 @@ def near_dedup_ingest_stream(
     as a stream; each micro-batch computes MinHash signatures, finds
     near-dup pairs (est-Jaccard ≥ threshold) BOTH within the batch
     and against everything previously accepted, then appends its
-    banded signature rows to the persisted band index. The union of
-    per-batch pair outputs over an ingest equals the batch
-    ``llm_dedup_near`` pairs over the same corpus (parity-tested over
-    a 3-chunk ingest with planted cross-batch near-dups): a pair's
-    later-arriving doc discovers it exactly once — new×new pairs in
-    its own batch, new×seen pairs via the index join.
+    banded signature rows to the persisted band index. While no band
+    bucket crosses ``max_bucket``, the union of per-batch pair
+    outputs over an ingest equals the batch ``llm_dedup_near`` pairs
+    over the same corpus (parity-tested over a 3-chunk ingest with
+    planted cross-batch near-dups): a pair's later-arriving doc
+    discovers it exactly once — new×new pairs in its own batch,
+    new×seen pairs via the index join. WHERE THE CAP BITES the two
+    paths legitimately diverge: the batch path sees a boilerplate
+    bucket's full corpus count and drops it whole, while the stream
+    caps per batch-visible bucket (within-batch count ≤ cap, seen
+    side pruned to the cap's lowest doc_ids) — a bucket split across
+    batches can emit pairs batch mode would skip. Both are correct
+    recall/cost trades; the streaming one errs toward MORE pairs,
+    never fewer than batch.
 
     State = the band index: (doc_id, sig, band_idx, band_hash) rows
     PARTITIONED BY band_idx — n_bands × (8 + 8·n_hashes) bytes per

@@ -1322,20 +1322,22 @@ def llm_eval_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     exp(avg_nll) re-rounds at 6 dp at emission (the libm rule —
     ks_test precedent).
 
-    Scale: one documents pass explodes val+train grams (split
-    filters on the checkpointed instance table — no double scan);
-    train collapses to bigram counts with the window-over-bc context
-    totals (the llm_bigram_lm shape: never a corpus join-back); V
-    rides as a broadcast 1-row aggregate; val instances LEFT-join
-    the LM (vocab²-bounded, broadcastable — at 100 TB train the LM
-    on a sample and broadcast, same plan)."""
-    from pyspark.sql import Window
-
-    from osm_airflow_spark.llm.dedup import shingle_array
-
+    Scale: ONE documents pass to the checkpointed (pfx, words) base
+    — grams and the vocabulary count both read it, and the split
+    filters read the checkpointed gram table (no double scan; this
+    build never reuses exchange subtrees); train collapses to bigram
+    counts once, context totals are a direct groupBy-sum over that
+    bounded table (never a corpus join-back); V rides as a broadcast
+    1-row aggregate; val instances LEFT-join the LM (vocab²-bounded,
+    broadcastable — at 100 TB train the LM on a sample and
+    broadcast, same plan)."""
     d = load_table(spark, sf_dir, "documents")
     pfx = F.substring(F.md5("text"), 1, 2)
+    # ONE corpus pass: the checkpointed base feeds grams AND the
+    # vocab count (this build never reuses exchange subtrees — a
+    # non-checkpointed base would re-scan + re-split for each)
     base = d.select(pfx.alias("pfx"), F.split("text", " ").alias("w"))
+    base = base.localCheckpoint(eager=True)
     grams = base.select(
         "pfx", F.explode(_bleu_grams(F.col("w"), 2)).alias("bg")
     ).localCheckpoint(eager=True)  # train + val filters both read it
@@ -1349,18 +1351,18 @@ def llm_eval_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("n_bigram"))
         .withColumn("w1", F.split("bg", " ").getItem(0))
+        .localCheckpoint(eager=True)  # lm probe + context totals
     )
-    n_context = F.sum("n_bigram").over(Window.partitionBy("w1"))
-    lm = bc.withColumn("n_context", n_context).select(
-        "bg", "n_bigram", F.col("w1").alias("lm_w1"), "n_context"
+    lm = bc.select("bg", "n_bigram")
+    cc = bc.groupBy(F.col("w1").alias("lm_w1")).agg(
+        F.sum("n_bigram").alias("ctx")
     )
-    cc = lm.groupBy("lm_w1").agg(F.max("n_context").alias("ctx"))
 
     val = grams.where((F.col("pfx") >= "0a") & (F.col("pfx") < "1a")).select(
         "bg", F.split("bg", " ").getItem(0).alias("w1")
     )
     scored = (
-        val.join(F.broadcast(lm.select("bg", "n_bigram")), "bg", "left")
+        val.join(F.broadcast(lm), "bg", "left")
         .join(F.broadcast(cc), val.w1 == cc.lm_w1, "left")
         .crossJoin(F.broadcast(vocab))
         .select(

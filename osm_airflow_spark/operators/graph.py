@@ -367,20 +367,25 @@ def kcore_peel(edges: DataFrame, max_k: int = 64) -> DataFrame:
     ).localCheckpoint(eager=True)
     remaining = und
     k = 1
-    while k <= max_k:
-        # peel to the k-core fixpoint
+
+    def peel_to_fixpoint(edges_df: DataFrame, kk: int) -> DataFrame:
+        # shared by the main loop AND the over-cap probe (r10 review:
+        # two verbatim copies would silently diverge on a future fix)
         while True:
-            deg = remaining.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
-            low = deg.where(F.col("d") < k).select("a").localCheckpoint(
+            deg = edges_df.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+            low = deg.where(F.col("d") < kk).select("a").localCheckpoint(
                 eager=True
             )
             if not low.take(1):
-                break
-            remaining = (
-                remaining.join(low, "a", "left_anti")
+                return edges_df
+            edges_df = (
+                edges_df.join(low, "a", "left_anti")
                 .join(low.select(F.col("a").alias("b")), "b", "left_anti")
                 .localCheckpoint(eager=True)
             )
+
+    while k <= max_k:
+        remaining = peel_to_fixpoint(remaining, k)
         survivors = remaining.select(F.col("a").alias("node")).distinct()
         if not survivors.take(1):
             break
@@ -396,20 +401,7 @@ def kcore_peel(edges: DataFrame, max_k: int = 64) -> DataFrame:
         # coreness is > max_k and labeling it max_k would be silently
         # wrong, so fail loudly (fixture degeneracy ~3; the guard is
         # for user-supplied graphs — raise the cap for denser ones).
-        probe = remaining
-        while True:
-            deg = probe.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
-            low = deg.where(F.col("d") < k).select("a").localCheckpoint(
-                eager=True
-            )
-            if not low.take(1):
-                break
-            probe = (
-                probe.join(low, "a", "left_anti")
-                .join(low.select(F.col("a").alias("b")), "b", "left_anti")
-                .localCheckpoint(eager=True)
-            )
-        if probe.take(1):
+        if peel_to_fixpoint(remaining, k).take(1):
             raise ValueError(
                 f"graph_kcore: graph degeneracy exceeds max_k={max_k}; "
                 "survivors remain beyond the final peel - raise max_k"

@@ -96,22 +96,15 @@ def decode_blob(blob_bytes: bytes) -> dict:
 
 
 def _offsets_df(spark: SparkSession, pbf_path: str) -> DataFrame:
-    all_offsets = pbf_wire.scan_blob_offsets(pbf_path)
-    # Validate the OSMHeader's required_features BEFORE fanning out
-    # (r10): a file this decoder can't interpret correctly — e.g. a
-    # full-history dump declaring HistoricalInformation, whose deleted
-    # elements would silently read as live — must be rejected here,
-    # not half-ingested. Header blobs are tiny; this is one
-    # driver-side read per file.
-    with open(pbf_path, "rb") as fh:
-        for start, length, blob_type in all_offsets:
-            if blob_type == "OSMHeader":
-                fh.seek(start)
-                pbf_wire.decode_header(fh.read(length))
+    # validated_data_offsets checks every OSMHeader's
+    # required_features BEFORE fanning out (r10): a file this decoder
+    # can't interpret correctly — e.g. a full-history dump declaring
+    # HistoricalInformation, whose deleted elements would silently
+    # read as live — is rejected here, not half-ingested. Shared with
+    # the osm_pbf Data Source so both entry points enforce it.
     offsets = [
         (pbf_path, start, length)
-        for (start, length, blob_type) in all_offsets
-        if blob_type == "OSMData"
+        for (start, length) in pbf_wire.validated_data_offsets(pbf_path)
     ]
     n_part = max(1, min(len(offsets), spark.sparkContext.defaultParallelism))
     return spark.createDataFrame(

@@ -47,10 +47,12 @@ class OsmPbfReader(DataSourceReader):
         self.path = path
 
     def partitions(self):
+        # validated_data_offsets also checks OSMHeader
+        # required_features — the Data Source must refuse
+        # unsupported files exactly like read_pbf (r10 review)
         return [
             PbfBlobPartition(self.path, start, length)
-            for (start, length, blob_type) in pbf_wire.scan_blob_offsets(self.path)
-            if blob_type == "OSMData"
+            for (start, length) in pbf_wire.validated_data_offsets(self.path)
         ]
 
     def read(self, partition: PbfBlobPartition):

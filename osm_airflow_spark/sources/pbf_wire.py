@@ -423,6 +423,22 @@ def scan_blob_offsets(pbf_path: str) -> list[tuple[int, int, str]]:
     return offsets
 
 
+def validated_data_offsets(pbf_path: str) -> list[tuple[int, int]]:
+    """scan_blob_offsets + OSMHeader validation in one shared planning
+    step (r10 review: the validation lived only in read_pbf's path and
+    the registered osm_pbf Data Source skipped it — both entry points
+    now call THIS). Every OSMHeader blob's required_features are
+    checked (decode_header raises on unsupported ones) and the
+    OSMData (start, length) list is returned."""
+    offsets = scan_blob_offsets(pbf_path)
+    with open(pbf_path, "rb") as fh:
+        for start, length, blob_type in offsets:
+            if blob_type == "OSMHeader":
+                fh.seek(start)
+                decode_header(fh.read(length))
+    return [(s, l) for (s, l, t) in offsets if t == "OSMData"]
+
+
 # --- OSM PBF encode (sink + test fixtures) --------------------------
 
 

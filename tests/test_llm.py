@@ -124,14 +124,18 @@ def test_embed_lsh_planted_duplicate_recall(spark, sf_dir):
     union.createOrReplaceTempView("_embed_lsh_planted")
 
     import osm_airflow_spark.llm.dedup as dd
+    from osm_airflow_spark.registry import clear_plan_cache
 
     orig = dd.load_table
     dd.load_table = lambda sp, sd, t: union if t == "embeddings" else orig(sp, sd, t)
+    clear_plan_cache()  # the registry plan cache would serve the
+    # unpatched plan — and cache the patched one for later tests
     try:
         got = llm_dedup_embed_lsh(spark, sf_dir)
         pairs = {(r["vec_a"], r["vec_b"]): r["cos_sim"] for r in got.collect()}
     finally:
         dd.load_table = orig
+        clear_plan_cache()
 
     for vid in planted_ids:
         assert (vid, vid + n * 10) in pairs, f"planted dup {vid} not recalled"
@@ -535,15 +539,20 @@ def _sf_of(sf_dir: str) -> str:
     return sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
 
+def _floor_for(floors: dict, sf_dir: str) -> float:
+    """Measured per-SF floor, falling back to the CONSERVATIVE
+    minimum across measured SFs at any other SF (r10 review: a skip
+    at sf0.1 would drop the recall guard exactly where CLAUDE.md's
+    pre-close drift sweep runs)."""
+    return floors.get(_sf_of(sf_dir), min(floors.values()))
+
+
 @pytest.mark.parametrize("key", sorted(ANN_RECALL_FLOORS))
 def test_ann_recall_floor_vs_brute_force(spark, sf_dir, key):
     """recall@10 against the llm_sim_topk exact ground truth, per ANN
     variant at its fixed probe budget (VERDICT r4 next-round #5; r9
     #4 raised the weak floors and made them per-SF)."""
-    floors = ANN_RECALL_FLOORS[key]
-    floor = floors.get(_sf_of(sf_dir))
-    if floor is None:
-        pytest.skip(f"no measured floor for sf_dir={sf_dir}")
+    floor = _floor_for(ANN_RECALL_FLOORS[key], sf_dir)
     gt = {r["vec_id"] for r in QUERIES["llm_sim_topk"](spark, sf_dir).collect()}
     got = {r["vec_id"] for r in QUERIES[key](spark, sf_dir).collect()}
     recall = len(got & gt) / len(gt)
@@ -559,10 +568,7 @@ def test_sim_topk_batch_recall_and_shape(spark, sf_dir):
     from osm_airflow_spark.io import load_table
     from osm_airflow_spark.llm.similarity import cosine_expr
 
-    floors = {"0.001": 0.55, "0.01": 0.55}  # measured 0.631 / 0.644
-    floor = floors.get(_sf_of(sf_dir))
-    if floor is None:
-        pytest.skip(f"no measured floor for sf_dir={sf_dir}")
+    floor = _floor_for({"0.001": 0.55, "0.01": 0.55}, sf_dir)  # 0.631/0.644
     rows = QUERIES["llm_sim_topk_batch"](spark, sf_dir).collect()
     got: dict[int, list] = {}
     for r in rows:
@@ -1231,7 +1237,7 @@ def test_graph_index_build_query_prune_and_recall(spark, sf_dir, tmp_path):
 
     gt = {r["vec_id"] for r in QUERIES["llm_sim_topk"](spark, sf_dir).collect()}
     recall = len({r["vec_id"] for r in rows} & gt) / len(gt)
-    assert recall >= ANN_RECALL_FLOORS["llm_sim_ann_graph"][_sf_of(sf_dir)], recall
+    assert recall >= _floor_for(ANN_RECALL_FLOORS["llm_sim_ann_graph"], sf_dir), recall
 
     again = query_graph_index(
         spark, index_dir, qvec, beam_w=12, hops=4, topk=10, exclude_ids=(0,)
@@ -1470,8 +1476,13 @@ def test_embed_outliers_flags_planted_corruption(spark, sf_dir):
         ).alias("embedding"),
     )
     union = e.unionByName(corrupt.select(*e.columns))
+    from osm_airflow_spark.registry import clear_plan_cache
+
     orig = sim.load_table
     sim.load_table = lambda sp, sd, t: union if t == "embeddings" else orig(sp, sd, t)
+    clear_plan_cache()  # the plan cache would serve the unpatched
+    # plan (r10: this test caught exactly that) — and must not keep
+    # the patched one afterwards
     try:
         flagged = {
             r["vec_id"]: r["is_outlier"]
@@ -1479,6 +1490,7 @@ def test_embed_outliers_flags_planted_corruption(spark, sf_dir):
         }
     finally:
         sim.load_table = orig
+        clear_plan_cache()
     assert flagged[990001] is True
 
 
@@ -1524,7 +1536,7 @@ def test_graph_index_incremental_add(spark, sf_dir, tmp_path):
     ).collect()
     gt = {r["vec_id"] for r in QUERIES["llm_sim_topk"](spark, sf_dir).collect()}
     recall = len({r["vec_id"] for r in rows} & gt) / len(gt)
-    assert recall >= ANN_RECALL_FLOORS["llm_sim_ann_graph"][_sf_of(sf_dir)], recall
+    assert recall >= _floor_for(ANN_RECALL_FLOORS["llm_sim_ann_graph"], sf_dir), recall
 
 
 def test_eval_rank_metrics_invariants_and_guards(spark, sf_dir, tmp_path):
@@ -1721,7 +1733,7 @@ def test_graph_index_compaction_prunes_and_preserves_recall(
     ).collect()
     gt = {r["vec_id"] for r in QUERIES["llm_sim_topk"](spark, sf_dir).collect()}
     recall = len({r["vec_id"] for r in rows} & gt) / len(gt)
-    assert recall >= ANN_RECALL_FLOORS["llm_sim_ann_graph"][_sf_of(sf_dir)], recall
+    assert recall >= _floor_for(ANN_RECALL_FLOORS["llm_sim_ann_graph"], sf_dir), recall
 
 
 def test_graph_index_compaction_recovers_from_crashes(spark, sf_dir, tmp_path):
@@ -2050,7 +2062,7 @@ def test_graph_index_batch_query_parity_and_recall(spark, sf_dir, tmp_path):
         gt.setdefault(r["query_id"], set()).add(r["vec_id"])
     recalls = [len(got[q] & gt[q]) / len(gt[q]) for q in gt]
     mean_recall = sum(recalls) / len(recalls)
-    floor = ANN_RECALL_FLOORS["llm_sim_ann_graph"][_sf_of(sf_dir)]
+    floor = _floor_for(ANN_RECALL_FLOORS["llm_sim_ann_graph"], sf_dir)
     assert mean_recall >= floor, f"mean recall@10 {mean_recall:.3f} < {floor}"
 
 

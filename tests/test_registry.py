@@ -285,15 +285,22 @@ def test_plan_cache_same_object_and_eviction(spark, sf_dir):
         assert c is not a
     finally:
         del os.environ["SPARK_GRAFT_NO_PLAN_CACHE"]
-    # fill past the bound: the oldest entry (agg_groupby) evicts
+    # fill past the bound: the oldest entry (agg_groupby) evicts.
+    # Count SUCCESSFUL inserts — a key whose plan build fails must
+    # not silently leave the cache under-filled and the final
+    # eviction assert vacuous (r10 review).
     registry.clear_plan_cache()
     fn(spark, sf_dir)
-    keys = [k for k in QUERIES if k != "agg_groupby"]
-    for k in keys[: registry._PLAN_CACHE_MAX]:
+    inserted = 0
+    for k in (k for k in QUERIES if k != "agg_groupby"):
+        if inserted >= registry._PLAN_CACHE_MAX:
+            break
         try:
             QUERIES[k](spark, sf_dir)
+            inserted += 1
         except Exception:
-            pass  # building the plan may fail for stream-only shapes
+            continue  # plan build failed: nothing was cached
+    assert inserted == registry._PLAN_CACHE_MAX
     assert len(registry._PLAN_CACHE) <= registry._PLAN_CACHE_MAX
     d = fn(spark, sf_dir)
     assert d is not a  # evicted, rebuilt
