@@ -4721,6 +4721,107 @@ def pipeline_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_cem_matching",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             AS DECIMAL(18,2)) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    cust AS (
+      SELECT c_custkey,
+             c_mktsegment = 'AUTOMOBILE' AS treated,
+             CAST(floor(c_acctbal / 250.0) AS BIGINT) AS stratum,
+             COALESCE(spend.s, CAST(0 AS DECIMAL(18,2))) AS outcome
+      FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+    ),
+    strata AS (
+      SELECT stratum,
+             CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_treated,
+             CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_control,
+             CAST(SUM(CASE WHEN treated THEN outcome END) AS DECIMAL(18,2))
+               AS sum_t,
+             CAST(SUM(CASE WHEN NOT treated THEN outcome END)
+                  AS DECIMAL(18,2)) AS sum_c
+      FROM cust GROUP BY stratum
+    )
+    SELECT stratum, n_treated, n_control,
+           CAST(sum_t AS DOUBLE) / n_treated AS mean_treated,
+           CAST(sum_c AS DOUBLE) / n_control AS mean_control,
+           CAST(sum_t AS DOUBLE) / n_treated
+             - CAST(sum_c AS DOUBLE) / n_control AS diff
+    FROM strata
+    WHERE n_treated > 0 AND n_control > 0
+    ORDER BY stratum
+    """,
+)
+def pipeline_cem_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r10) — COARSENED EXACT MATCHING (Iacus, King &
+    Porro 2012): the observational-causal estimator beside the
+    experimental pair (pipeline_ab_test, pipeline_did). Treatment =
+    AUTOMOBILE segment membership, outcome = customer lifetime
+    spend, confounder = account balance coarsened into width-250
+    strata; within each stratum that holds BOTH groups, treated and
+    control are exchangeable-by-construction on the coarsened
+    confounder, so mean_treated − mean_control is that stratum's
+    effect estimate. Per-stratum rows emit (the weighted ATT
+    reduction is one more line driver-side); strata with no
+    counterfactual are pruned — exactly CEM's "discard unmatched"
+    step, the property that distinguishes matching from regression.
+
+    Determinism without any rounding: each mean is ONE IEEE division
+    of an exact-decimal sum cast to double (stratum spend sums stay
+    < 2^53 unscaled through sf 1, so the casts are exact in both
+    engines), diff subtracts two agreed doubles, and there is NO
+    cross-stratum double reduction to order — per-stratum grain
+    sidesteps the order-free-double-agg hazard entirely.
+
+    Scale: one orders pass to per-customer spend (shuffle on
+    custkey), one broadcast-sized strata groupBy (≤ 44 strata at any
+    SF — the output is control-plane sized); the customer⋈spend join
+    shuffles on the same custkey both sides. At 100 TB nothing here
+    grows beyond the customer table's natural key partitioning."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("s")
+    )
+    cust = c.join(spend, c.c_custkey == F.col("k"), "left").select(
+        (F.col("c_mktsegment") == "AUTOMOBILE").alias("treated"),
+        F.floor(F.col("c_acctbal") / 250.0).cast("long").alias("stratum"),
+        F.coalesce(F.col("s"), F.lit(0).cast("decimal(18,2)")).alias("outcome"),
+    )
+    strata = cust.groupBy("stratum").agg(
+        F.sum(F.when(F.col("treated"), 1).otherwise(0)).alias("n_treated"),
+        F.sum(F.when(~F.col("treated"), 1).otherwise(0)).alias("n_control"),
+        F.sum(F.when(F.col("treated"), F.col("outcome")))
+        .cast("decimal(18,2)")
+        .alias("sum_t"),
+        F.sum(F.when(~F.col("treated"), F.col("outcome")))
+        .cast("decimal(18,2)")
+        .alias("sum_c"),
+    )
+    mean_t = F.col("sum_t").cast("double") / F.col("n_treated")
+    mean_c = F.col("sum_c").cast("double") / F.col("n_control")
+    return (
+        strata.where((F.col("n_treated") > 0) & (F.col("n_control") > 0))
+        .select(
+            "stratum",
+            "n_treated",
+            "n_control",
+            mean_t.alias("mean_treated"),
+            mean_c.alias("mean_control"),
+            (mean_t - mean_c).alias("diff"),
+        )
+        .orderBy("stratum")
+    )
+
+
+@query(
     "pipeline_did",
     oracle="""
     WITH span AS (

@@ -284,3 +284,49 @@ def test_chase_to_roots_raises_at_depth_cap(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         chase_to_roots(chain, max_rounds=3)
+
+
+def test_cem_matching_recovers_planted_effect(spark, tmp_path):
+    """r10 CEM: plant a CONSTANT +1000 treatment effect on customer
+    spend with a confounded treatment (treated customers have higher
+    balances, hence richer strata): the naive treated-vs-control mean
+    gap is inflated, but within every matched stratum diff == 1000
+    exactly, and unmatched strata (treated-only tail) are pruned."""
+    import pyspark.sql.functions as F
+
+    cust_rows = []
+    order_rows = []
+    okey = 0
+    for i in range(400):
+        treated = i % 4 == 0  # 25% treated...
+        bal = 2000.0 + (i % 10) * 250.0 + (1500.0 if treated else 0.0)
+        base_spend = 100.0 * (bal // 250)  # spend confounded with bal
+        spend = base_spend + (1000.0 if treated else 0.0)
+        seg = "AUTOMOBILE" if treated else "BUILDING"
+        cust_rows.append((i, f"c{i}", 1, bal, seg))
+        order_rows.append((okey, i, "O", spend))
+        okey += 1
+    spark.createDataFrame(
+        cust_rows,
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        order_rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+
+    rows = QUERIES["pipeline_cem_matching"](spark, str(tmp_path)).collect()
+    assert rows, "no matched strata"
+    for r in rows:
+        assert r["n_treated"] > 0 and r["n_control"] > 0
+        assert abs(r["diff"] - 1000.0) < 1e-9, (r["stratum"], r["diff"])
+    # the confound is real: the UNMATCHED naive gap (raw population,
+    # what you'd report without matching) is inflated beyond the true
+    # +1000 because treated customers also carry +1500 balance and
+    # spend scales with balance
+    t_spend = [s for (_, c, _, s) in order_rows if c % 4 == 0]
+    c_spend = [s for (_, c, _, s) in order_rows if c % 4 != 0]
+    naive_gap = sum(t_spend) / len(t_spend) - sum(c_spend) / len(c_spend)
+    assert naive_gap > 1000.0 + 100.0, naive_gap
