@@ -596,6 +596,95 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_rsi",
+    oracle="""
+    WITH diffs AS (
+      SELECT user_id, event_id, ts,
+             CAST(value AS DECIMAL(18,6))
+               - LAG(CAST(value AS DECIMAL(18,6))) OVER w AS d,
+             ROW_NUMBER() OVER w AS rn
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sums AS (
+      SELECT user_id, event_id, rn,
+             CAST(SUM(CASE WHEN d > 0 THEN d
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) OVER f
+                  AS DECIMAL(24,6)) AS g,
+             CAST(SUM(CASE WHEN d < 0 THEN -d
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) OVER f
+                  AS DECIMAL(24,6)) AS l
+      FROM diffs WHERE d IS NOT NULL
+      WINDOW f AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CAST(g AS DOUBLE) AS sum_gain,
+           CAST(l AS DOUBLE) AS sum_loss,
+           CASE WHEN g + l > 0
+                THEN 100.0 * CAST(g AS DOUBLE) / (CAST(g AS DOUBLE)
+                                                  + CAST(l AS DOUBLE))
+           END AS rsi
+    FROM sums WHERE rn >= 15
+    """,
+)
+def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext F17 (r10) — RELATIVE STRENGTH INDEX (Cutler's variant:
+    simple 14-period means instead of Wilder's recursive smoothing,
+    whose infinite-horizon recurrence has the same cross-engine
+    divergence problem win_ewma's ledger documents) per user:
+    RSI = 100·ΣG/(ΣG+ΣL) over the trailing 14 value changes —
+    the bounded-oscillator momentum screen beside win_bollinger's
+    σ-bands and win_max_drawdown. Only full 14-diff frames emit
+    (rn ≥ 15 — the 15th value owns the 14th diff).
+
+    Determinism: values cast ONCE to DECIMAL(18,6) (the fixture-safe
+    drawdown/anomalies precedent), so diffs, the gain/loss splits
+    and both frame sums are EXACT decimal — order-free by exactness;
+    the only floating-point ops are two final < 2^53-exact casts and
+    one shared IEEE division (flat-frame G+L=0 emits NULL in both
+    engines). Bounded per-user windows, one shuffle, diff and frame
+    sums share the partition — the F-family contract."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dv = F.col("value").cast("decimal(18,6)")
+    diffs = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (dv - F.lag(dv).over(w)).alias("d"),
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("d").isNotNull())
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    g = F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(zero)).over(f).cast(
+        "decimal(24,6)"
+    )
+    l = F.sum(F.when(F.col("d") < 0, -F.col("d")).otherwise(zero)).over(f).cast(
+        "decimal(24,6)"
+    )
+    sums = diffs.select("user_id", "event_id", "rn", g.alias("g"), l.alias("l"))
+    gd = F.col("g").cast("double")
+    ld = F.col("l").cast("double")
+    return (
+        sums.where(F.col("rn") >= 15)
+        .select(
+            "user_id",
+            "event_id",
+            gd.alias("sum_gain"),
+            ld.alias("sum_loss"),
+            F.when(
+                F.col("g") + F.col("l") > 0, 100.0 * gd / (gd + ld)
+            ).alias("rsi"),
+        )
+    )
+
+
+@query(
     "win_hampel_outliers",
     oracle="""
     WITH framed AS (

@@ -1376,3 +1376,39 @@ def test_spearman_planted_monotone_with_outlier(spark, tmp_path):
     const.coalesce(1).write.parquet(str(d2 / "orders.parquet"))
     got2 = QUERIES["pipeline_spearman"](spark, str(d2)).first()
     assert got2["rho"] is None  # y constant (1 order/day): degenerate
+
+
+def test_rsi_planted_regimes(spark, tmp_path):
+    """r10 win_rsi: a strictly rising series pins RSI == 100.0
+    exactly, strictly falling pins 0.0, perfect alternation of equal
+    up/down steps pins 50.0, and a flat series emits NULL (the
+    G+L == 0 guard) — all closed-form because gains/losses are exact
+    decimals."""
+    rows = []
+    eid = 0
+    for i in range(30):
+        us = 1_600_000_000_000_000 + i * 60_000_000
+        rows.append((eid, 1, "up", 10.0 + i, us)); eid += 1
+        rows.append((eid, 2, "down", 100.0 - i, us)); eid += 1
+        rows.append((eid, 3, "alt", 10.0 + (i % 2), us)); eid += 1
+        rows.append((eid, 4, "flat", 7.0, us)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, us long"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {}
+    for r in QUERIES["win_rsi"](spark, str(tmp_path)).collect():
+        got.setdefault(r["user_id"], []).append(r)
+    assert set(got) == {1, 2, 3, 4}
+    for u, want in ((1, 100.0), (2, 0.0), (3, 50.0)):
+        assert len(got[u]) == 30 - 15 + 1
+        assert all(r["rsi"] == want for r in got[u]), (u, got[u][0]["rsi"])
+    assert all(r["rsi"] is None for r in got[4])
+    assert all(r["sum_gain"] == 0.0 and r["sum_loss"] == 0.0 for r in got[4])
