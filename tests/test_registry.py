@@ -185,6 +185,9 @@ def test_no_interval_division_in_oracles():
 # unrounded emission (bit-identical shared IEEE trees) or exact
 # integer HALF_UP (llm_vocab_coverage) in round 7.
 ROUND_AUDITED = {
+    "llm_eval_perplexity": "libm (per-instance -ln of an agreed exact "
+    "rational rounds at 6 dp — the term rule; exp(avg_nll) re-rounds at "
+    "emission, the ks_test precedent)",
     "pipeline_acf": "ulp (>2^53-unscaled decimal ratio emitted at 9 dp — "
     "SCALE r9: DuckDB's two-rounding decimal->double cast)",
     "pipeline_xcorr": "ulp (same >2^53 decimal-ratio emission as ACF)",
