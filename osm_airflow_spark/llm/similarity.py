@@ -896,6 +896,65 @@ def query_ivf_index(
     )
 
 
+def query_ivf_index_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    nprobe: int = 3,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BATCH probe against a persisted IVF index (r10 — completing
+    the batch-serving triple: in-query llm_sim_topk_batch, this, and
+    query_graph_index_batch): every query in ``queries``
+    (query_id, qvec) ranks the stored centroids in one N × k
+    broadcast product, keeps its nprobe nearest lists via a
+    per-query window, and ONE equi-join against the cent_id-
+    partitioned postings scores exact cosine on the candidates —
+    per-query window top-k out. Job count is constant in N (contrast
+    query_ivf_index: one driver-side centroid take + one pruned scan
+    PER query). Partition pruning note: a single probe's isin filter
+    prunes to nprobe partitions; a batch's probe UNION usually
+    touches most partitions, so the win here is plan/job
+    amortization, not scan reduction — at 100 TB both matter and the
+    single-probe path remains the low-latency server."""
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    qv = queries.select(
+        F.col(queries.columns[0]).alias("query_id"),
+        _as_double(queries.columns[1]).alias("qvec"),
+    )
+    qdist = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("qd"), F.col("cent_id"))
+    probes = (
+        qv.crossJoin(F.broadcast(cents))
+        .select("query_id", "qvec", "cent_id", qdist.alias("qd"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", "cent_id")
+    )
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        postings.join(F.broadcast(probes), "cent_id")
+        .select(
+            "query_id",
+            id_col,
+            cosine_expr(vec_col, "qvec").alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "rank", id_col, "cos_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
 from osm_airflow_spark.llm.text import BM25_SQL_CTE, bm25_scored  # noqa: E402
 
 

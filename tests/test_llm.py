@@ -2117,3 +2117,65 @@ def test_eval_perplexity_matches_pure_python(spark, sf_dir, tmp_path):
     assert abs(got["avg_nll"] - want_avg) < 1e-9
     assert got["perplexity"] == round(math.exp(got["avg_nll"]), 6)
     assert got["n_unseen"] > 0  # held-out eval genuinely meets unseen mass
+
+
+def test_ivf_index_batch_query_consistency_and_recall(spark, sf_dir, tmp_path):
+    """r10 — query_ivf_index_batch: N queries probe the persisted IVF
+    in ONE plan. For each query the batch result must equal the
+    single-probe query_ivf_index result at the same nprobe (same
+    centroids, same tie-breaks), and the batch mean recall@10 vs
+    brute force must clear the conservative floor."""
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.llm.similarity import (
+        build_ivf_index,
+        cosine_expr,
+        query_ivf_index,
+        query_ivf_index_batch,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(e, index_dir, k=8, iters=3)
+
+    qs = e.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = {}
+    for r in query_ivf_index_batch(spark, index_dir, qs, nprobe=3).collect():
+        batch.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cos_sim"]))
+    assert set(batch) == set(range(6))
+
+    # single-probe parity per query (same nprobe): identical rows
+    for r in qs.collect():
+        single = [
+            (i + 1, row["vec_id"], row["cos_sim"])
+            for i, row in enumerate(
+                query_ivf_index(
+                    spark, index_dir, r["embedding"], nprobe=3, topk=10
+                ).collect()
+            )
+        ]
+        assert sorted(batch[r["query_id"]]) == single, r["query_id"]
+
+    # recall floor vs brute force (queries are indexed vectors, so
+    # the self-match is expected at rank 1 — exclude it both sides)
+    wk = PWindow.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    exact = (
+        e.crossJoin(
+            F.broadcast(qs.select("query_id", F.col("embedding").alias("qv")))
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine_expr("embedding", "qv").alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= 10)
+    )
+    gt: dict[int, set] = {}
+    for r in exact.collect():
+        gt.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len({v for (_, v, _) in batch[q] if v != q} & gt[q]) / len(gt[q])
+        for q in gt
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
