@@ -4721,6 +4721,96 @@ def pipeline_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_grouped_ols",
+    oracle="""
+    WITH demand AS (
+      SELECT p.p_brand AS brand,
+             CAST(p.p_retailprice AS DECIMAL(18,2)) AS x,
+             CAST(COALESCE(SUM(CAST(l.l_quantity AS BIGINT)), 0) AS BIGINT)
+               AS y
+      FROM part p LEFT JOIN lineitem l ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, p.p_partkey, p.p_retailprice
+    ),
+    stats AS (
+      SELECT brand,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS DECIMAL(28,2)) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS DECIMAL(28,2)) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(19,2)) * x) AS DECIMAL(28,4)) AS sxx
+      FROM demand GROUP BY brand
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n_parts,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - round(CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE), 9)
+                    * CAST(sx AS DOUBLE)) / n, 9) AS intercept
+    FROM stats
+    ORDER BY brand
+    """,
+)
+def pipeline_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r10) — GROUPED OLS: one regression PER BRAND in a
+    single pass (demand curve: total quantity sold per part vs its
+    retail price, 25 independent fits here, millions on a real
+    catalog) — the many-small-models shape that distinguishes a
+    distributed engine from a stats library looping over groups.
+    pipeline_revenue_trend_forecast fits ONE global line;
+    pipeline_theil_sen fits ONE robust line; this fits every group's
+    line in the same two aggregations any one of them costs.
+
+    Exactness: x = retail price as DECIMAL(18,2) (fixture-safe cast),
+    y = integer quantity sum, so every sufficient statistic
+    (n, Σx, Σy, Σxy, Σx²) is exact; slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²)
+    is a ratio of exact decimals whose unscaled magnitudes pass 2^53
+    at sf ≥ ~0.5 — emitted at 9 dp (the pipeline_acf decimal-ratio
+    recipe); the intercept reuses the ROUNDED slope so both engines
+    derive it from bit-identical inputs. Parts that never sold enter
+    with y = 0 (LEFT join): a demand curve estimated only on sold
+    parts would survivorship-bias the slope toward zero.
+
+    Scale: one lineitem shuffle on partkey (the per-part demand
+    aggregate), one brand-bounded groupBy (25 rows out). Nothing
+    else moves; at 100 TB the demand aggregate is the only
+    corpus-sized exchange and it map-side-combines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    sold = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("q")
+    )
+    demand = pt.join(sold, pt.p_partkey == F.col("k"), "left").select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_retailprice").cast("decimal(18,2)").alias("x"),
+        F.coalesce(F.col("q"), F.lit(0)).cast("long").alias("y"),
+    )
+    st = demand.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(28,2)").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(28,2)").alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,2)") * F.col("x"))
+        .cast("decimal(28,4)")
+        .alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.round(num.cast("double") / den.cast("double"), 9)
+    intercept = F.round(
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n"),
+        9,
+    )
+    return st.select(
+        "brand",
+        F.col("n").cast("long").alias("n_parts"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    ).orderBy("brand")
+
+
+@query(
     "pipeline_cem_matching",
     oracle="""
     WITH spend AS (

@@ -330,3 +330,43 @@ def test_cem_matching_recovers_planted_effect(spark, tmp_path):
     c_spend = [s for (_, c, _, s) in order_rows if c % 4 != 0]
     naive_gap = sum(t_spend) / len(t_spend) - sum(c_spend) / len(c_spend)
     assert naive_gap > 1000.0 + 100.0, naive_gap
+
+
+def test_grouped_ols_planted_linear_demand(spark, tmp_path):
+    """r10 grouped OLS: plant per-brand exact linear demand
+    y = a_b + m_b·x with distinct slopes per brand — each recovered
+    to the emitted 9 dp; a brand whose parts never sold regresses on
+    all-zero y (slope 0, intercept 0) instead of being dropped."""
+    parts, lines = [], []
+    lk = 0
+    slopes = {"B1": -3.0, "B2": 2.5, "B3": 0.0}
+    for b, m in slopes.items():
+        for j in range(8):
+            pk = len(parts)
+            price = 100.0 + 10.0 * j
+            parts.append((pk, f"p{pk}", b, "t", 1, price))
+            qty = int(1000 + m * price)
+            for _ in range(2):  # quantity split across two lineitems
+                lines.append((lk, pk, qty // 2 + (qty % 2 if _ == 0 else 0)))
+                lk += 1
+    for j in range(4):  # B4: never sold
+        pk = len(parts)
+        parts.append((pk, f"p{pk}", "B4", "t", 1, 100.0 + 10.0 * j))
+    spark.createDataFrame(
+        parts,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).coalesce(1).write.parquet(str(tmp_path / "part.parquet"))
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_partkey long, l_quantity long"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = {
+        r["brand"]: r
+        for r in QUERIES["pipeline_grouped_ols"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {"B1", "B2", "B3", "B4"}
+    for b, m in slopes.items():
+        assert got[b]["slope"] == round(m, 9), (b, got[b]["slope"])
+        assert got[b]["intercept"] == round(1000.0, 9), (b, got[b]["intercept"])
+    assert got["B4"]["slope"] == 0.0 and got["B4"]["intercept"] == 0.0

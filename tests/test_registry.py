@@ -185,6 +185,9 @@ def test_no_interval_division_in_oracles():
 # unrounded emission (bit-identical shared IEEE trees) or exact
 # integer HALF_UP (llm_vocab_coverage) in round 7.
 ROUND_AUDITED = {
+    "pipeline_grouped_ols": "ulp (slope is a ratio of exact decimals "
+    "whose unscaled magnitudes pass 2^53 at sf>=~0.5 — the acf 9 dp "
+    "decimal-ratio emission; intercept derives from the rounded slope)",
     "llm_eval_perplexity": "libm (per-instance -ln of an agreed exact "
     "rational rounds at 6 dp — the term rule; exp(avg_nll) re-rounds at "
     "emission, the ks_test precedent)",
