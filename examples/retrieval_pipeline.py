@@ -84,23 +84,21 @@ def main() -> None:
         for r in top:
             print(f"   doc {r['doc_id']:>6}  bm25 {r['bm25']:.4f}  (from index)")
 
-    print("== batch serving (r10): every held-out query gets its top-3")
+    print("== batch serving (r10): every held-out query gets its top-1")
     print("   in ONE plan — IVF route (llm_sim_topk_batch):")
     batch = {r["query_id"]: r for r in q["llm_sim_topk_batch"](spark, sf_dir)
-             .where(F.col("rank") <= 3).collect() if r["rank"] == 1}
+             .where(F.col("rank") == 1).collect()}
     for qid in sorted(batch)[:4]:
         r = batch[qid]
         print(f"   query {qid:>3}  top1 vec {r['vec_id']:>5}  cos {r['cos_sim']:.4f}")
     print("   graph route (query_graph_index_batch vs persisted graph index):")
-    import tempfile as _tf
-
     from osm_airflow_spark.llm.similarity import (
         build_graph_index,
         query_graph_index_batch,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    with _tf.TemporaryDirectory() as gd:
+    with tempfile.TemporaryDirectory() as gd:
         build_graph_index(e, gd, k=8, rounds=2, n_buckets=8)
         qs = e.where(F.col("vec_id") < 4).select(
             F.col("vec_id").alias("query_id"), "embedding"

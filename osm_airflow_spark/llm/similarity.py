@@ -52,6 +52,19 @@ def cosine_expr(a, b) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def l2sq_expr(a, b) -> Column:
+    """Squared L2 distance between two array columns, strict
+    left-to-right fold (r10 review: nine inline copies collapsed).
+    Callers pass columns EXACTLY as before (pre-cast via _as_double
+    where they did) so every expression tree is bit-identical to the
+    inline original — driver-proven keys unaffected."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 @query(
     "llm_sim_pairwise",
     oracle="""
@@ -397,11 +410,7 @@ def kmeans_centroids(
     )
     centroids = init
     for _ in range(iters):
-        dist = F.aggregate(
-            F.zip_with(_as_double(vec_col), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        dist = l2sq_expr(_as_double(vec_col), F.col("cvec"))
         best = Window.partitionBy(id_col).orderBy(F.col("dist"), F.col("cent_id"))
         assigned = (
             vectors.crossJoin(F.broadcast(centroids))
@@ -434,11 +443,7 @@ def llm_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(e, k=8, iters=3)
 
-    dist = F.aggregate(
-        F.zip_with(_as_double("embedding"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    dist = l2sq_expr(_as_double("embedding"), F.col("cvec"))
     best = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cent_id"))
     ranked = (
         e.crossJoin(F.broadcast(cents))
@@ -498,11 +503,7 @@ def llm_sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = kmeans_centroids(corpus, k=8, iters=3)
     assigned = assign_to_centroids(corpus, cents)
 
-    qdist = F.aggregate(
-        F.zip_with(_as_double("qvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    qdist = l2sq_expr(_as_double("qvec"), F.col("cvec"))
     wq = Window.partitionBy("query_id").orderBy(F.col("qd"), F.col("cent_id"))
     probes = (
         queries.crossJoin(F.broadcast(cents))
@@ -596,11 +597,7 @@ def llm_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebook = codebook.unionByName(cb)
     codebook = codebook.localCheckpoint(eager=True)  # 4×8 rows, reused twice
 
-    dist2 = F.aggregate(
-        F.zip_with(F.col("subvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    dist2 = l2sq_expr(F.col("subvec"), F.col("cvec"))
     best = Window.partitionBy("vec_id", "m").orderBy(F.col("d"), F.col("code"))
     codes = (
         sub.join(F.broadcast(codebook), "m")
@@ -795,11 +792,7 @@ def assign_to_centroids(
     """Nearest-centroid assignment (broadcast centroids, argmin L2,
     cent_id tie-break) — the ingest-time hop of a persisted IVF
     index, shared by build and incremental add."""
-    dist = F.aggregate(
-        F.zip_with(_as_double(vec_col), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    dist = l2sq_expr(_as_double(vec_col), F.col("cvec"))
     best = Window.partitionBy(id_col).orderBy(F.col("dist"), F.col("cent_id"))
     return (
         vectors.crossJoin(F.broadcast(centroids))
@@ -873,11 +866,7 @@ def query_ivf_index(
     q = [float(x) for x in qvec]
     qcol = F.array(*[F.lit(v) for v in q])
     cents = spark.read.parquet(f"{index_dir}/centroids")
-    cdist = F.aggregate(
-        F.zip_with(F.col("cvec"), qcol, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    cdist = l2sq_expr(F.col("cvec"), qcol)
     probes = [
         r["cent_id"]
         for r in cents.select("cent_id", cdist.alias("d"))
@@ -924,11 +913,7 @@ def query_ivf_index_batch(
         F.col(queries.columns[0]).alias("query_id"),
         _as_double(queries.columns[1]).alias("qvec"),
     )
-    qdist = F.aggregate(
-        F.zip_with(F.col("qvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    qdist = l2sq_expr(F.col("qvec"), F.col("cvec"))
     wq = Window.partitionBy("query_id").orderBy(F.col("qd"), F.col("cent_id"))
     probes = (
         qv.crossJoin(F.broadcast(cents))
@@ -1168,11 +1153,7 @@ def llm_sim_ann_ivf_rq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(e, k=8, iters=2)
 
-    dist = F.aggregate(
-        F.zip_with(_as_double("embedding"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    dist = l2sq_expr(_as_double("embedding"), F.col("cvec"))
     best = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cent_id"))
     ranked = (
         e.crossJoin(F.broadcast(cents))
@@ -1220,11 +1201,7 @@ def llm_sim_ann_ivf_rq(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebook = codebook.unionByName(cb)
     codebook = codebook.localCheckpoint(eager=True)  # 4×8 rows
 
-    dist2 = F.aggregate(
-        F.zip_with(F.col("subvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    dist2 = l2sq_expr(F.col("subvec"), F.col("cvec"))
     best_code = Window.partitionBy("vec_id", "m").orderBy(F.col("d"), F.col("code"))
     codes = (
         sub.join(F.broadcast(codebook), "m")
