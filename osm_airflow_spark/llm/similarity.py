@@ -65,6 +65,27 @@ def l2sq_expr(a, b) -> Column:
     )
 
 
+def probe_selection(qv: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
+    """(query_id, qvec) × (cent_id, cvec) → each query's nprobe
+    nearest centroids: the probe-ranking block both batch ANN routes
+    share (llm_sim_topk_batch, query_ivf_index_batch — r10 review:
+    a tie-break or pruning fix must not be able to drift between
+    them). One N×k broadcast product, one per-query window."""
+    wq = Window.partitionBy("query_id").orderBy(F.col("qd"), F.col("cent_id"))
+    return (
+        qv.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qvec",
+            "cent_id",
+            l2sq_expr(_as_double("qvec"), F.col("cvec")).alias("qd"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", "cent_id")
+    )
+
+
 @query(
     "llm_sim_pairwise",
     oracle="""
@@ -503,15 +524,7 @@ def llm_sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = kmeans_centroids(corpus, k=8, iters=3)
     assigned = assign_to_centroids(corpus, cents)
 
-    qdist = l2sq_expr(_as_double("qvec"), F.col("cvec"))
-    wq = Window.partitionBy("query_id").orderBy(F.col("qd"), F.col("cent_id"))
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .select("query_id", "qvec", "cent_id", qdist.alias("qd"))
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select("query_id", "qvec", "cent_id")
-    )
+    probes = probe_selection(queries, cents, nprobe)
     wk = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id")
     )
@@ -913,15 +926,7 @@ def query_ivf_index_batch(
         F.col(queries.columns[0]).alias("query_id"),
         _as_double(queries.columns[1]).alias("qvec"),
     )
-    qdist = l2sq_expr(F.col("qvec"), F.col("cvec"))
-    wq = Window.partitionBy("query_id").orderBy(F.col("qd"), F.col("cent_id"))
-    probes = (
-        qv.crossJoin(F.broadcast(cents))
-        .select("query_id", "qvec", "cent_id", qdist.alias("qd"))
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select("query_id", "qvec", "cent_id")
-    )
+    probes = probe_selection(qv, cents, nprobe)
     postings = spark.read.parquet(f"{index_dir}/postings")
     wk = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col(id_col)
