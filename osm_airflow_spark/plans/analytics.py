@@ -4721,6 +4721,120 @@ def pipeline_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_uplift_by_decile",
+    oracle="""
+    WITH resp AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    scored AS (
+      SELECT c_custkey,
+             NTILE(10) OVER (ORDER BY -c_acctbal, c_custkey) AS decile,
+             CASE WHEN resp.k IS NOT NULL THEN 1 ELSE 0 END AS responded
+      FROM customer LEFT JOIN resp ON c_custkey = resp.k
+    ),
+    d AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(responded) AS BIGINT) AS r
+      FROM scored GROUP BY decile
+    ),
+    c AS (
+      SELECT a.decile,
+             CAST(MAX(a.n) AS BIGINT) AS n, CAST(MAX(a.r) AS BIGINT) AS r,
+             CAST(SUM(b.n) AS BIGINT) AS cum_n,
+             CAST(SUM(b.r) AS BIGINT) AS cum_r
+      FROM d a JOIN d b ON b.decile <= a.decile
+      GROUP BY a.decile
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(r) AS BIGINT) AS rt
+            FROM d)
+    SELECT decile, n AS n_customers, r AS n_responders,
+           CAST(r AS DOUBLE) / n AS response_rate,
+           cum_r AS cum_responders,
+           CAST(cum_r * nt AS DOUBLE) / CAST(cum_n * rt AS DOUBLE)
+             AS cum_lift,
+           CAST(cum_r AS DOUBLE) / rt AS gain
+    FROM c, tot
+    ORDER BY decile
+    """,
+)
+def pipeline_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r10) — GAINS/LIFT TABLE: customers ranked by a
+    score (account balance as the stand-in model score, best first),
+    cut into exact deciles, each reporting response rate (placed an
+    urgent order), cumulative gain (share of all responders captured
+    so far) and cumulative lift vs the base rate — the
+    targeting-model evaluation every campaign/ranking report leads
+    with, completing the eval leg beside llm_eval_auc (threshold-free
+    rank quality) and llm_eval_calibration (probability quality):
+    lift is what the score is WORTH at a given outreach budget.
+
+    Exactness: deciles come from distributed_ntile (range-contiguous
+    buckets + offset ranks — bit-equal to global NTILE, no
+    unpartitioned window); counts are exact ints; the cumulative leg
+    is a bounded 10×10 self-join (decile ≤ decile — no window at
+    all); every emitted ratio divides two exact < 2^53 integer
+    products once in IEEE double. Scale: one orders pass to the
+    responder set (DISTINCT custkey), one customer⋈responder join,
+    the ntile machinery's bounded collects — nothing else moves."""
+    from osm_airflow_spark.operators.windows import distributed_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    resp = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    scored = (
+        c.join(resp, c.c_custkey == F.col("k"), "left")
+        .select(
+            "c_custkey",
+            (-F.col("c_acctbal")).alias("neg_score"),
+            F.when(F.col("k").isNotNull(), 1).otherwise(0).alias("responded"),
+        )
+    )
+    tiled = distributed_ntile(
+        scored, F.col("neg_score"), "c_custkey", "decile", 10
+    )
+    d = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("responded").alias("r")
+    ).localCheckpoint(eager=True)  # 10 rows; both self-join legs + totals
+    tot = d.agg(
+        F.sum("n").alias("nt"), F.sum("r").alias("rt")
+    )
+    b = d.select(
+        F.col("decile").alias("d2"), F.col("n").alias("n2"), F.col("r").alias("r2")
+    )
+    cum = (
+        d.join(F.broadcast(b), F.col("d2") <= F.col("decile"))
+        .groupBy("decile")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("r").alias("r"),
+            F.sum("n2").alias("cum_n"),
+            F.sum("r2").alias("cum_r"),
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.col("n").alias("n_customers"),
+            F.col("r").alias("n_responders"),
+            (F.col("r").cast("double") / F.col("n")).alias("response_rate"),
+            F.col("cum_r").alias("cum_responders"),
+            (
+                (F.col("cum_r") * F.col("nt")).cast("double")
+                / (F.col("cum_n") * F.col("rt")).cast("double")
+            ).alias("cum_lift"),
+            (F.col("cum_r").cast("double") / F.col("rt")).alias("gain"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
     "pipeline_grouped_ols",
     oracle="""
     WITH demand AS (

@@ -370,3 +370,48 @@ def test_grouped_ols_planted_linear_demand(spark, tmp_path):
         assert got[b]["slope"] == round(m, 9), (b, got[b]["slope"])
         assert got[b]["intercept"] == round(1000.0, 9), (b, got[b]["intercept"])
     assert got["B4"]["slope"] == 0.0 and got["B4"]["intercept"] == 0.0
+
+
+def test_uplift_deciles_invariants_and_planted_signal(spark, tmp_path):
+    """r10 gains/lift: plant a perfectly score-aligned response (top
+    30% of scores respond, nobody else) — decile 1-3 response rate
+    1.0, deciles 4-10 rate 0.0, gain reaches 1.0 at decile 3 and the
+    top-decile lift is 1/base_rate; conservation invariants hold."""
+    cust = [
+        (i, f"c{i}", 1, 10_000.0 - i, "BUILDING") for i in range(100)
+    ]
+    orders = []
+    for i in range(30):  # top 30 scores respond
+        orders.append((i, i, "O", 1.0, "1-URGENT"))
+    for i in range(60, 70):  # some non-urgent noise orders
+        orders.append((1000 + i, i, "O", 1.0, "3-MEDIUM"))
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderpriority string",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+
+    rows = {
+        r["decile"]: r
+        for r in QUERIES["pipeline_uplift_by_decile"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert sorted(rows) == list(range(1, 11))
+    assert sum(r["n_customers"] for r in rows.values()) == 100
+    assert sum(r["n_responders"] for r in rows.values()) == 30
+    for d in (1, 2, 3):
+        assert rows[d]["response_rate"] == 1.0, d
+    for d in range(4, 11):
+        assert rows[d]["response_rate"] == 0.0, d
+    assert rows[3]["gain"] == 1.0 and rows[10]["gain"] == 1.0
+    assert rows[1]["cum_lift"] == 100 / 30  # 1 / base rate
+    assert rows[10]["cum_lift"] == 1.0  # whole population: no lift
+    # gain is monotone non-decreasing
+    gains = [rows[d]["gain"] for d in range(1, 11)]
+    assert gains == sorted(gains)
