@@ -4721,6 +4721,156 @@ def pipeline_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_abc_xyz",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS rc
+      FROM lineitem GROUP BY l_partkey
+    ),
+    vals AS (
+      SELECT rc, CAST(rc * COUNT(*) AS BIGINT) AS vt
+      FROM rev GROUP BY rc
+    ),
+    run AS (
+      SELECT rc, CAST(SUM(vt) OVER (ORDER BY rc DESC) AS BIGINT) AS cum,
+             CAST((SELECT SUM(vt) FROM vals) AS BIGINT) AS total
+      FROM vals
+    ),
+    abc AS (
+      SELECT rev.pk,
+             CASE WHEN run.cum * 5 <= run.total * 4 THEN 'A'
+                  WHEN run.cum * 20 <= run.total * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev.rc
+      FROM rev JOIN run ON rev.rc = run.rc
+    ),
+    monthly AS (
+      SELECT l_partkey AS pk, date_trunc('month', l_shipdate) AS m,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    xyz AS (
+      SELECT pk,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS sq,
+             CAST(SUM(q * q) AS BIGINT) AS sqq
+      FROM monthly GROUP BY pk
+    ),
+    classed AS (
+      SELECT abc.abc_class,
+             CASE WHEN (xyz.n * xyz.sqq - xyz.sq * xyz.sq) * 4
+                       < xyz.sq * xyz.sq THEN 'X'
+                  WHEN (xyz.n * xyz.sqq - xyz.sq * xyz.sq)
+                       <= xyz.sq * xyz.sq THEN 'Y'
+                  ELSE 'Z' END AS xyz_class,
+             abc.rc
+      FROM abc JOIN xyz ON abc.pk = xyz.pk
+    )
+    SELECT abc_class, xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rc) AS DOUBLE)
+             / (SELECT CAST(SUM(rc) AS DOUBLE) FROM rev) AS revenue_share
+    FROM classed
+    GROUP BY abc_class, xyz_class
+    ORDER BY abc_class, xyz_class
+    """,
+)
+def pipeline_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r10) — ABC/XYZ INVENTORY SEGMENTATION: every sold
+    part classed on two axes — cumulative revenue contribution
+    (A ≤ 80% cum share, B ≤ 95%, C tail: the pipeline_pareto_abc cut,
+    here value-grained so equal-revenue parts always share a class)
+    × demand variability (coefficient of variation of monthly
+    demand: X = CV < 0.5, Y ≤ 1.0, Z erratic) — the 9-cell planning
+    matrix (AX = forecast + automate, CZ = stock-to-order) every
+    supply-chain curriculum teaches, and the same two-axis screen a
+    training-data curator runs on sources (volume × volatility).
+
+    The entire classification is INTEGER arithmetic: revenue in
+    exact cents, the cumulative cut via scaled comparisons
+    (cum·5 ≤ total·4), and the CV thresholds CROSS-MULTIPLIED so no
+    sqrt, division or float ever participates — CV < 0.5 ⟺
+    4·(nΣq²−(Σq)²) < (Σq)² on exact int64 (population variance
+    identity, n²-scaled on both sides). Only the final reporting
+    ratio (revenue_share) touches doubles: one division of exact
+    < 2^53 cents sums. Running revenue uses the bucket-offset
+    pattern over DISTINCT part-revenue values (no global window,
+    value-contiguous ⇒ tie-safe).
+
+    Scale: two lineitem aggregations (per-part revenue, per-part×
+    month demand — both map-side combine on the partkey shuffle),
+    a distinct-value running pass (bounded by distinct revenue
+    values), one value-bounded join-back, one parts-bounded join.
+    Nothing corpus-sized after the first shuffles."""
+    from osm_airflow_spark.bucketing import bucketed_running
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("rc")
+        )
+        .localCheckpoint(eager=True)  # vals + abc join-back + share total
+    )
+    vals = rev.groupBy("rc").agg(
+        (F.col("rc") * F.count(F.lit(1))).cast("long").alias("vt")
+    ).select((-F.col("rc")).alias("neg_rc"), "rc", "vt")
+    run, totals = bucketed_running(vals, "neg_rc", ["vt"])
+    total = int(totals["vt"])
+    # explicit long literal: a small fixture total would land an
+    # int32 lit and total*19 overflows under ANSI (caught by the
+    # planted test; the sf fixtures' cent totals auto-promote to long)
+    total_l = F.lit(total).cast("long")
+    classed_vals = run.select(
+        "rc",
+        F.when(F.col("run_vt") * 5 <= total_l * 4, "A")
+        .when(F.col("run_vt") * 20 <= total_l * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    abc = rev.join(classed_vals, "rc")
+
+    monthly = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.date_trunc("month", F.col("l_shipdate")).alias("m"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    xyz = monthly.groupBy("pk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    var_n2 = F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")
+    mean_n2 = F.col("sq") * F.col("sq")
+    xyz_class = (
+        F.when(var_n2 * 4 < mean_n2, "X")
+        .when(var_n2 <= mean_n2, "Y")
+        .otherwise("Z")
+    )
+    classed = abc.join(xyz.select("pk", xyz_class.alias("xyz_class")), "pk")
+    total_rev = rev.agg(F.sum("rc").alias("tr"))
+    return (
+        classed.groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rc").alias("cell_rc"),
+        )
+        .crossJoin(F.broadcast(total_rev))
+        .select(
+            "abc_class",
+            "xyz_class",
+            "n_parts",
+            (F.col("cell_rc").cast("double") / F.col("tr").cast("double"))
+            .alias("revenue_share"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )
+
+
+@query(
     "pipeline_uplift_by_decile",
     oracle="""
     WITH resp AS (

@@ -415,3 +415,48 @@ def test_uplift_deciles_invariants_and_planted_signal(spark, tmp_path):
     # gain is monotone non-decreasing
     gains = [rows[d]["gain"] for d in range(1, 11)]
     assert gains == sorted(gains)
+
+
+def test_abc_xyz_planted_classes(spark, tmp_path):
+    """r10 ABC/XYZ: planted four-tier catalog — two EQUAL-revenue
+    heads (39% each, cum 78% -> both A via the value-grain tie rule),
+    one mid part (cum 93% -> B), ten tiny spiky tail parts (-> C);
+    XYZ axes: constant demand -> X, exact-CV-0.5 alternation -> Y
+    (strict < excludes the boundary), an 11x1+1x100 monthly spike ->
+    CV ~3 -> Z. Classes land exactly; revenue shares sum to 1."""
+    lines = []
+    lk = 0
+
+    def add(pk, month, qty, price):
+        nonlocal lk
+        lines.append((lk, pk, float(qty), float(price),
+                      f"2024-{month:02d}-15 00:00:00"))
+        lk += 1
+
+    for m in range(1, 13):
+        add(0, m, 10, 39_000.0)          # head 1: steady -> X, A
+        add(1, m, 5 if m % 2 else 15, 39_000.0)  # head 2: CV=0.5 -> Y, A
+        add(2, m, 7, 15_000.0)           # mid: steady -> X, B
+    for pk in range(3, 13):              # tail: spiky -> Z, C
+        for m in range(1, 12):
+            add(pk, m, 1, 700.0)
+        add(pk, 12, 100, 700.0)
+    df = spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_quantity double,"
+        " l_extendedprice double, ship string",
+    ).select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        F.to_timestamp("ship").alias("l_shipdate"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    rows = {
+        (r["abc_class"], r["xyz_class"]): r
+        for r in QUERIES["pipeline_abc_xyz"](spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {("A", "X"), ("A", "Y"), ("B", "X"), ("C", "Z")}
+    assert rows[("A", "X")]["n_parts"] == 1
+    assert rows[("A", "Y")]["n_parts"] == 1
+    assert rows[("B", "X")]["n_parts"] == 1
+    assert rows[("C", "Z")]["n_parts"] == 10
+    assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-12
