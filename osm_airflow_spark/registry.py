@@ -152,13 +152,23 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # remaining r4-era keys (this block retires the r4 proof generation
 # entirely — after r10 no key's newest driver proof predates r5),
 # then the oldest r5-era keys in registration order to fill the 50.
-# Remaining r5 block (pipeline_rfm_segments onward, ~30 keys)
+# Remaining r5 block (llm_vocab_coverage onward, ~37 keys)
 # rotates to r11. Staleness computed from CORRECTNESS_r01-r09
 # (newest proof round per key).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- new/changed this round, never checked or contract-changed --
+    # -- new/changed this round, never checked or contract-changed
+    # (the late-r10 batch: spearman/perplexity/cem/rsi/grouped-ols/
+    # uplift/abc-xyz registered after the first rotation and lead
+    # per the never-checked-beats-re-proof rule) --
+    "pipeline_spearman",
+    "llm_eval_perplexity",
+    "pipeline_cem_matching",
+    "win_rsi",
+    "pipeline_grouped_ols",
+    "pipeline_uplift_by_decile",
+    "pipeline_abc_xyz",
     "llm_sim_topk_batch",
     "llm_sim_ann_multiprobe",
     "llm_sim_ann_ivf",
@@ -191,7 +201,7 @@ DRIVER_WINDOW: list[str] = [
     "osm_way_lengths",
     "osm_spatial_join_bbox",
     "osm_tile_rollup",
-    # -- staleness re-checks: the oldest r5-era keys (19) --
+    # -- staleness re-checks: the oldest r5-era keys (12) --
     "join_interval_overlap",
     "set_intersect_all",
     "win_time_weekly_aligned",
@@ -204,13 +214,6 @@ DRIVER_WINDOW: list[str] = [
     "llm_hard_negatives",
     "llm_quality_logit",
     "llm_domain_mix",
-    "llm_vocab_coverage",
-    "llm_dedup_incremental",
-    "scan_parquet",
-    "pipeline_min_cost_supplier",
-    "pipeline_important_stock",
-    "pipeline_top_supplier",
-    "pipeline_event_paths",
 ]
 
 
