@@ -1395,6 +1395,117 @@ def llm_eval_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_template_detect",
+    oracle="""
+    WITH inst AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ws)),
+                                   i -> {'ord': i, 'w': ws[i]})) AS p
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    words AS (SELECT doc_id, p.w AS w, p.ord AS ord FROM inst),
+    df AS (
+      SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY w
+    ),
+    skel AS (
+      SELECT doc_id,
+             md5(string_agg(CASE WHEN df.df >= 3 THEN words.w ELSE '#' END,
+                            ' ' ORDER BY ord)) AS skeleton
+      FROM words JOIN df USING (w)
+      GROUP BY doc_id
+      -- scaffold guard: a template must KEEP at least half its words
+      -- (an all-masked skeleton is degenerate — any two same-length
+      -- all-rare docs would collide)
+      HAVING SUM(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) * 2 >= COUNT(*)
+    ),
+    texts AS (
+      SELECT s.skeleton, s.doc_id, md5(d.text) AS th
+      FROM skel s JOIN documents d USING (doc_id)
+    )
+    SELECT skeleton,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT th) AS BIGINT) AS n_distinct_texts,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc
+    FROM texts
+    GROUP BY skeleton
+    HAVING COUNT(*) >= 2 AND COUNT(DISTINCT th) >= 2
+    ORDER BY n_docs DESC, skeleton
+    """,
+)
+def llm_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r10) — STRUCTURAL TEMPLATE detection: documents
+    sharing a skeleton (rare words masked — df < 3 corpus-wide — so
+    only the COMMON scaffolding remains, and ≥ half the words must
+    survive masking — an all-rare doc has no scaffold to share) with
+    at least two distinct texts form a template cluster — machine-generated boilerplate,
+    form letters, scraped web templates: the curation stage between
+    exact dedup (identical text — excluded here by requiring ≥ 2
+    distinct texts) and near-dedup (high shingle overlap — a template
+    family can share almost no content words and still be one
+    template). CCNet/RefinedWeb-style pipelines drop or downweight
+    these clusters.
+
+    Determinism: the skeleton is md5 of the position-ordered masked
+    words (DuckDB string_agg ORDER BY ordinality ≡ Spark's
+    array_sort(collect_list(struct(pos, w))) reassembly — the
+    collections rule); df thresholds are exact integer counts.
+
+    Scale: one explode to (doc, word, pos); df is a word-bounded
+    groupBy whose join-back is the corpus-bounded per-word join the
+    house rules keep as a JOIN (vocabulary ≪ corpus, broadcastable);
+    skeleton reassembly is one per-doc groupBy (bounded by doc
+    length); the cluster groupBy shuffles one md5 per doc. Nothing
+    quadratic — templates are found without comparing any two
+    documents."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).localCheckpoint(eager=True)  # df + reassembly both read it
+    df_tab = words.groupBy("w").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    masked = words.join(F.broadcast(df_tab), "w").select(
+        "doc_id",
+        "pos",
+        F.when(F.col("df") >= 3, F.col("w")).otherwise(F.lit("#")).alias("mw"),
+    )
+    skel = (
+        masked.groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "mw"))),
+                        lambda s: s["mw"],
+                    ),
+                )
+            ).alias("skeleton"),
+            F.sum(F.when(F.col("mw") != "#", 1).otherwise(0)).alias("_kept"),
+            F.count(F.lit(1)).alias("_len"),
+        )
+        # scaffold guard: a template must KEEP >= half its words — an
+        # all-masked skeleton is degenerate (any two same-length
+        # all-rare docs collide on '# # ... #')
+        .where(F.col("_kept") * 2 >= F.col("_len"))
+        .drop("_kept", "_len")
+    )
+    texts = skel.join(
+        d.select("doc_id", F.md5("text").alias("th")), "doc_id"
+    )
+    return (
+        texts.groupBy("skeleton")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("th").alias("n_distinct_texts"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .where((F.col("n_docs") >= 2) & (F.col("n_distinct_texts") >= 2))
+        .orderBy(F.col("n_docs").desc(), "skeleton")
+    )
+
+
+@query(
     "llm_corpus_curation",
     oracle="""
     WITH ok AS (

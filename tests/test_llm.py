@@ -2179,3 +2179,53 @@ def test_ivf_index_batch_query_consistency_and_recall(spark, sf_dir, tmp_path):
         for q in gt
     ]
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_template_detect_planted_clusters_vs_oracle(spark, tmp_path):
+    """llm_template_detect returns ZERO rows on the fixtures (their
+    31-word shared vocabulary has min df 25 — no rare slots exist),
+    so the driver's hash check is trivially green there. This test
+    supplies the non-trivial evidence: a planted corpus with two
+    template families (shared scaffold, distinct rare fill-ins),
+    exact-dup copies (must NOT count as a template), and unique docs
+    — Spark's result must match BOTH the closed-form expectation AND
+    DuckDB running the registered oracle SQL on the same parquet."""
+    import duckdb
+
+    from osm_airflow_spark.registry import all_oracles
+
+    docs = []
+    # template family A: 6 docs, scaffold shared, one rare word each
+    for i in range(6):
+        docs.append((i, f"dear customer your order uniqA{i} has shipped today"))
+    # template family B: 3 docs
+    for i in range(3):
+        docs.append((10 + i, f"invoice total due uniqB{i} please pay promptly now"))
+    # exact dups: same text twice -> one distinct text -> NOT a template
+    docs.append((20, "identical boilerplate notice applies here always ok fine"))
+    docs.append((21, "identical boilerplate notice applies here always ok fine"))
+    # unique one-off docs (no shared scaffold)
+    docs.append((30, "completely different content with various words inside it"))
+    docs.append((31, "another unrelated document that shares nothing structural"))
+    df = spark.createDataFrame(docs, "doc_id long, text string").select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"), F.length("text").alias("n_chars"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    rows = QUERIES["llm_template_detect"](spark, str(tmp_path)).collect()
+    assert len(rows) == 2
+    assert rows[0]["n_docs"] == 6 and rows[0]["n_distinct_texts"] == 6
+    assert rows[0]["example_doc"] == 0
+    assert rows[1]["n_docs"] == 3 and rows[1]["n_distinct_texts"] == 3
+    assert rows[1]["example_doc"] == 10
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = con.execute(all_oracles()["llm_template_detect"]).fetchall()
+    got = [(r["skeleton"], r["n_docs"], r["n_distinct_texts"], r["example_doc"])
+           for r in rows]
+    assert got == [tuple(w) for w in want]
