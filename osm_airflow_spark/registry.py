@@ -152,7 +152,7 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # remaining r4-era keys (this block retires the r4 proof generation
 # entirely — after r10 no key's newest driver proof predates r5),
 # then the oldest r5-era keys in registration order to fill the 50.
-# Remaining r5 block (llm_vocab_coverage onward, ~37 keys)
+# Remaining r5 block (llm_domain_mix onward, ~38 keys)
 # rotates to r11. Staleness computed from CORRECTNESS_r01-r09
 # (newest proof round per key).
 # ---------------------------------------------------------------------------
@@ -169,6 +169,7 @@ DRIVER_WINDOW: list[str] = [
     "pipeline_grouped_ols",
     "pipeline_uplift_by_decile",
     "pipeline_abc_xyz",
+    "llm_template_detect",
     "llm_sim_topk_batch",
     "llm_sim_ann_multiprobe",
     "llm_sim_ann_ivf",
@@ -201,7 +202,7 @@ DRIVER_WINDOW: list[str] = [
     "osm_way_lengths",
     "osm_spatial_join_bbox",
     "osm_tile_rollup",
-    # -- staleness re-checks: the oldest r5-era keys (12) --
+    # -- staleness re-checks: the oldest r5-era keys (11) --
     "join_interval_overlap",
     "set_intersect_all",
     "win_time_weekly_aligned",
@@ -213,7 +214,6 @@ DRIVER_WINDOW: list[str] = [
     "llm_embed_quantize",
     "llm_hard_negatives",
     "llm_quality_logit",
-    "llm_domain_mix",
 ]
 
 
