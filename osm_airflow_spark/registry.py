@@ -14,6 +14,7 @@ decimal and casting back — see ``dsum``.
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Callable
 from typing import Any
 
@@ -46,9 +47,16 @@ _PLAN_CACHE_MAX = 64
 
 
 def _plan_cache_key(spark: SparkSession, key: str, sf_dir: str) -> tuple:
-    # id(spark) alone could collide after an old session is GC'd;
-    # applicationId pins the JVM context generation.
-    return (id(spark), spark.sparkContext.applicationId, key, sf_dir)
+    # NOT id(spark): newSession() clones share one applicationId, and
+    # after an old session object is GC'd a new one can reuse the same
+    # id(), serving a DataFrame bound to the dead session (ADVICE r10).
+    # A uuid token stamped on the session object is unique per live
+    # Python session object and dies with it.
+    tok = getattr(spark, "_graft_plan_token", None)
+    if tok is None:
+        tok = uuid.uuid4().hex
+        spark._graft_plan_token = tok
+    return (tok, key, sf_dir)
 
 
 def clear_plan_cache() -> None:

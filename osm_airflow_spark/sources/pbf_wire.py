@@ -431,6 +431,16 @@ def validated_data_offsets(pbf_path: str) -> list[tuple[int, int]]:
     checked (decode_header raises on unsupported ones) and the
     OSMData (start, length) list is returned."""
     offsets = scan_blob_offsets(pbf_path)
+    # The spec requires the FIRST fileblock to be an OSMHeader; a file
+    # with none at all (or data before it) would otherwise skip
+    # required_features validation entirely and be silently ingested
+    # (ADVICE r10) — refuse it like any unsupported file.
+    if not offsets or offsets[0][2] != "OSMHeader":
+        got = repr(offsets[0][2]) if offsets else "no blocks"
+        raise ValueError(
+            f"{pbf_path}: first fileblock must be an OSMHeader "
+            f"(got {got}) — refusing unvalidated input"
+        )
     with open(pbf_path, "rb") as fh:
         for start, length, blob_type in offsets:
             if blob_type == "OSMHeader":

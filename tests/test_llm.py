@@ -2229,3 +2229,29 @@ def test_template_detect_planted_clusters_vs_oracle(spark, tmp_path):
     got = [(r["skeleton"], r["n_docs"], r["n_distinct_texts"], r["example_doc"])
            for r in rows]
     assert got == [tuple(w) for w in want]
+
+
+def test_graph_index_batch_single_vector_exclude_self_raises(spark, tmp_path):
+    """r10 ADVICE: an index holding ONLY the entry vector has no
+    candidate to seed the excluded-entry query from — that must be a
+    loud ValueError, not a NULL seed silently returning zero rows."""
+    from osm_airflow_spark.llm.similarity import query_graph_index_batch
+
+    index_dir = str(tmp_path / "solo")
+    spark.createDataFrame(
+        [(7, [1.0, 0.0], 7 % 8)], "vec_id long, vec array<double>, bucket int"
+    ).write.partitionBy("bucket").parquet(f"{index_dir}/vectors")
+    # one self-loop edge: an all-empty parquet dir has no footer to
+    # infer schema from; the guard must fire before any beam hop
+    spark.createDataFrame(
+        [(7, 7, 1.0, 7 % 8)], "vec_id long, nbr long, cos double, bucket int"
+    ).write.partitionBy("bucket").parquet(f"{index_dir}/edges")
+    spark.createDataFrame(
+        [(7, 8, 8)], "entry_id long, n_buckets int, k int"
+    ).coalesce(1).write.parquet(f"{index_dir}/meta")
+
+    qs = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="non-entry vector"):
+        query_graph_index_batch(spark, index_dir, qs, exclude_self=True)

@@ -1272,6 +1272,16 @@ def test_bucketed_running_empty_input(spark):
     out1, totals1 = bucketed_running(one, "v", ["n"])
     assert [(r["v"], r["run_n"]) for r in out1.collect()] == [(5, 2)]
     assert totals1 == {"n": 2}
+    # r10 ADVICE: the empty path types run_<col> from the SUM-result
+    # type (not a hardcoded long), so a non-long sum column keeps the
+    # same degenerate schema a future non-empty path would produce
+    dec = spark.createDataFrame([], "v long, amt decimal(12,2)")
+    outd, totd = bucketed_running(dec, "v", ["amt"])
+    assert (
+        outd.schema["run_amt"].dataType
+        == dec.select(F.sum("amt")).schema[0].dataType
+    )
+    assert totd == {"amt": 0}
 
 
 def test_kcore_peel_cap_raises_not_mislabels(spark):

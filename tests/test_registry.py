@@ -311,3 +311,28 @@ def test_plan_cache_same_object_and_eviction(spark, sf_dir):
     d = fn(spark, sf_dir)
     assert d is not a  # evicted, rebuilt
     registry.clear_plan_cache()
+
+
+def test_plan_cache_token_is_per_session_object(spark, sf_dir):
+    """r10 ADVICE: newSession() clones share one applicationId, so the
+    old (id(spark), applicationId) cache key could collide across
+    sessions (and across GC'd-then-reused id()s). The uuid token is
+    stamped per session OBJECT: distinct sessions never share cache
+    entries."""
+    from osm_airflow_spark import registry
+
+    registry.clear_plan_cache()
+    try:
+        s2 = spark.newSession()
+        assert registry._plan_cache_key(spark, "k", "d") != \
+            registry._plan_cache_key(s2, "k", "d")
+        # token is sticky: repeated calls on the same session hit
+        assert registry._plan_cache_key(spark, "k", "d") == \
+            registry._plan_cache_key(spark, "k", "d")
+        fn = QUERIES["agg_global"]
+        a = fn(spark, sf_dir)
+        b = fn(s2, sf_dir)
+        assert a is not b  # s2's plan is bound to s2, never served to spark
+        assert fn(spark, sf_dir) is a
+    finally:
+        registry.clear_plan_cache()

@@ -1118,3 +1118,35 @@ def test_postgres_ddl_type_mapping(spark):
     with pytest.raises(ValueError, match="WKB"):
         prepare_for_postgres(rows.withColumn("geom", F.lit("notbytes")),
                              geometry_cols=("geom",))
+
+
+def test_pbf_missing_osmheader_refused(tmp_path):
+    """r10 ADVICE: a crafted file with NO OSMHeader blob (the spec
+    requires the first fileblock to be one) must be refused at
+    planning time — otherwise required_features validation is
+    silently skipped and the file ingested unvalidated."""
+    from osm_airflow_spark.sources import pbf_wire
+
+    block = pbf_wire.encode_primitive_block(
+        nodes=[{"node_id": 1, "lat": 1.0, "lon": 2.0, "tags": {}}]
+    )
+    headerless = str(tmp_path / "headerless.osm.pbf")
+    with open(headerless, "wb") as fh:
+        fh.write(pbf_wire.encode_fileblock(block, "OSMData"))
+    with pytest.raises(ValueError, match="OSMHeader"):
+        pbf_wire.validated_data_offsets(headerless)
+
+    # zero fileblocks at all: equally refused, not [] silently
+    empty = str(tmp_path / "empty.osm.pbf")
+    open(empty, "wb").close()
+    with pytest.raises(ValueError, match="OSMHeader"):
+        pbf_wire.validated_data_offsets(empty)
+
+    # data-before-header also violates the first-block rule
+    swapped = str(tmp_path / "swapped.osm.pbf")
+    with open(swapped, "wb") as fh:
+        fh.write(pbf_wire.encode_fileblock(block, "OSMData"))
+        fh.write(pbf_wire.encode_fileblock(
+            pbf_wire.encode_primitive_block(), "OSMHeader"))
+    with pytest.raises(ValueError, match="OSMHeader"):
+        pbf_wire.validated_data_offsets(swapped)

@@ -1377,7 +1377,9 @@ def test_near_dedup_ingest_stream_parity_with_batch(spark, sf_dir, tmp_path):
         pairs_dir=str(tmp_path / "pairs"),
         checkpoint_dir=str(tmp_path / "ckpt"),
     ).start()
-    q.awaitTermination(180)
+    # availableNow terminates on its own; on a slow box a timeout must
+    # fail HERE, not as a confusing set-diff over a partial pairs dir.
+    assert q.awaitTermination(180), "ingest stream did not finish in 180s"
 
     got = {
         (r["doc_a"], r["doc_b"]): round(r["est_jaccard"], 9)
