@@ -153,75 +153,70 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ``tests/test_registry.py`` pins the exact list so adding a key can
 # never reshuffle the window unreviewed.
 #
-# Round-10 window: the new key leads (never-checked beats re-proof),
-# then the three keys whose BEHAVIOR changed this round (multiprobe
-# rewritten query-directed, ivf raised to nprobe=2, hampel's NULL
-# pre-filter — changed-contract beats staleness), then ALL 27
-# remaining r4-era keys (this block retires the r4 proof generation
-# entirely — after r10 no key's newest driver proof predates r5),
-# then the oldest r5-era keys in registration order to fill the 50.
-# Remaining r5 block (llm_domain_mix onward, ~38 keys)
-# rotates to r11. Staleness computed from CORRECTNESS_r01-r09
-# (newest proof round per key).
+# Round-11 window (VERDICT r10 next-round #4: no new keys pending, so
+# the whole 50-slot window goes to the oldest-checked cohort): the
+# ENTIRE remaining r5-proof-era block (30 keys — this retires the r5
+# proof generation; after r11 no key's newest driver proof predates
+# r6), then the oldest r6-era keys in registration order to fill the
+# 50. Remaining r6 block (~30 keys) rotates to r12. Staleness
+# computed from CORRECTNESS_r01-r10 (newest proof round per key);
+# keys whose behavior changed this round but stayed bit-identical
+# (graph_pagerank's broadcast count) don't jump the queue.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- new/changed this round, never checked or contract-changed
-    # (the late-r10 batch: spearman/perplexity/cem/rsi/grouped-ols/
-    # uplift/abc-xyz registered after the first rotation and lead
-    # per the never-checked-beats-re-proof rule) --
-    "pipeline_spearman",
-    "llm_eval_perplexity",
-    "pipeline_cem_matching",
-    "win_rsi",
-    "pipeline_grouped_ols",
-    "pipeline_uplift_by_decile",
-    "pipeline_abc_xyz",
-    "llm_template_detect",
-    "llm_sim_topk_batch",
-    "llm_sim_ann_multiprobe",
-    "llm_sim_ann_ivf",
-    "win_hampel_outliers",
-    # -- staleness re-checks: the ENTIRE r4-era remainder (27) --
-    "llm_contamination_check",
-    "llm_bigram_lm",
-    "llm_corpus_curation",
-    "llm_dedup_cluster_best",
-    "pipeline_pricing_summary",
-    "pipeline_top_returning_customers",
-    "pipeline_small_quantity_revenue",
-    "pipeline_nation_trade",
-    "pipeline_priority_fulfillment",
-    "pipeline_priority_class_share",
-    "pipeline_forecast_revenue",
-    "pipeline_branded_discounts",
-    "pipeline_market_share",
-    "pipeline_order_count_distribution",
-    "pipeline_large_volume_customers",
-    "pipeline_waiting_multi_supplier",
-    "pipeline_event_funnel",
-    "pipeline_retention_cohort",
-    "pipeline_snapshot_diff",
-    "pipeline_date_spine",
-    "pipeline_market_basket",
-    "pipeline_data_quality",
-    "pipeline_time_travel",
-    "osm_assemble_ways",
-    "osm_way_lengths",
-    "osm_spatial_join_bbox",
-    "osm_tile_rollup",
-    # -- staleness re-checks: the oldest r5-era keys (11) --
-    "join_interval_overlap",
-    "set_intersect_all",
-    "win_time_weekly_aligned",
-    "win_dedup_latest",
-    "win_rank",
-    "win_lag_lead",
-    "win_running_sum",
-    "fn_geo_bearing",
-    "llm_embed_quantize",
-    "llm_hard_negatives",
-    "llm_quality_logit",
+    # -- staleness re-checks: the ENTIRE r5-era remainder (30) --
+    "llm_domain_mix",
+    "llm_vocab_coverage",
+    "llm_dedup_incremental",
+    "scan_parquet",
+    "pipeline_min_cost_supplier",
+    "pipeline_important_stock",
+    "pipeline_top_supplier",
+    "pipeline_event_paths",
+    "pipeline_funnel_windowed",
+    "pipeline_rfm_segments",
+    "pipeline_active_users",
+    "pipeline_ship_latency_percentiles",
+    "pipeline_product_profit",
+    "pipeline_part_supplier_counts",
+    "pipeline_excess_stock",
+    "pipeline_untapped_customers",
+    "pipeline_promo_revenue",
+    "pipeline_median_order_gap",
+    "pipeline_pareto_abc",
+    "pipeline_last_touch_attribution",
+    "pipeline_mom_growth",
+    "pipeline_new_vs_returning",
+    "flagship_revenue_by_region",
+    "osm_polygon_areas",
+    "osm_polygon_geodesic_areas",
+    "osm_multipolygon_net_area",
+    "osm_polygon_tile_rollup",
+    "osm_ring_repair",
+    "osm_point_in_polygon",
+    "osm_nearest_node",
+    # -- staleness re-checks: the oldest r6-era keys (20) --
+    "agg_groupby",
+    "agg_global",
+    "agg_collect_ordered",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_conditional",
+    "agg_pivot",
+    "agg_percentile",
+    "agg_stats_moments",
+    "agg_corr_exact",
+    "graph_connected_components",
+    "graph_shortest_path",
+    "join_inner",
+    "join_broadcast",
+    "join_left",
+    "join_multiway",
+    "join_semi",
+    "join_anti",
+    "join_asof",
+    "join_full_outer",
 ]
 
 
