@@ -1168,6 +1168,109 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_kneser_ney",
+    oracle="""
+    WITH g AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1])) AS bg
+      FROM documents
+    ),
+    bc AS (SELECT bg, COUNT(*) AS n_bigram FROM g GROUP BY bg),
+    sp AS (
+      SELECT string_split(bg, ' ')[1] AS w1,
+             string_split(bg, ' ')[2] AS w2, n_bigram
+      FROM bc
+    ),
+    ww AS (
+      SELECT w1, w2, n_bigram,
+             CAST(SUM(n_bigram) OVER (PARTITION BY w1) AS BIGINT)
+               AS n_context,
+             COUNT(*) OVER (PARTITION BY w1) AS n_succ,
+             COUNT(*) OVER (PARTITION BY w2) AS n_pred,
+             COUNT(*) OVER () AS n_types
+      FROM sp
+    )
+    SELECT w1, w2, n_bigram, n_context, n_succ, n_pred,
+           greatest(CAST(n_bigram AS DOUBLE) - 0.75, 0.0) / n_context
+             + (0.75 * n_succ / n_context)
+               * (CAST(n_pred AS DOUBLE) / n_types) AS kn_prob
+    FROM ww
+    """,
+)
+def llm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r11) — interpolated KNESER-NEY smoothed bigram
+    probabilities (Kneser & Ney 1995; Chen & Goodman 1999's
+    benchmark winner), the production-grade upgrade of
+    ``llm_bigram_lm``'s raw MLE that perplexity-based quality
+    filters actually run: P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·) +
+    D·N1+(w1,·)/c(w1·) · Pcont(w2), with absolute discount D = 0.75
+    and the continuation probability Pcont(w2) = N1+(·,w2)/|bigram
+    types| — a word's probability mass in NOVEL contexts, the fix
+    for "Francisco is frequent but only ever follows San".
+
+    Determinism: every ingredient is an integer count (bigram count,
+    context total, distinct successors/predecessors, total types);
+    all counts ≪ 2^53 so the long→double casts are exact and the
+    probability is a fixed tree of shared IEEE ops — no
+    transcendentals, emitted unrounded and hash-exact.
+
+    Shape: explode bigrams ONCE, one keyed aggregation to the
+    distinct-bigram table, then localCheckpoint it (vocab²-bounded,
+    NOT corpus-bounded — the BPE distinct-word-form precedent) so
+    its three consumers (two windows + the 1-row type-count
+    broadcast) don't each re-explode the corpus under this build's
+    no-exchange-reuse. Both windows partition on a word (bounded by
+    a word's distinct neighbors); the global type count rides as a
+    broadcast 1-row aggregate per the house rule."""
+    from pyspark.sql import Window
+
+    from osm_airflow_spark.llm.dedup import shingle_array
+
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = (
+        d.select(F.split("text", " ").alias("words"))
+        .select(F.explode(shingle_array("words", 2)).alias("bg"))
+    )
+    bc = (
+        bigrams.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n_bigram"))
+        .localCheckpoint(eager=True)  # vocab²-bounded; 3 consumers
+    )
+    parts = F.split("bg", " ")
+    sp = bc.select(
+        parts.getItem(0).alias("w1"), parts.getItem(1).alias("w2"), "n_bigram"
+    )
+    w1w = Window.partitionBy("w1")
+    w2w = Window.partitionBy("w2")
+    ww = sp.select(
+        "w1",
+        "w2",
+        "n_bigram",
+        F.sum("n_bigram").over(w1w).cast("long").alias("n_context"),
+        F.count(F.lit(1)).over(w1w).alias("n_succ"),
+        F.count(F.lit(1)).over(w2w).alias("n_pred"),
+    )
+    types = sp.agg(F.count(F.lit(1)).alias("n_types"))
+    kn = (
+        F.greatest(F.col("n_bigram").cast("double") - 0.75, F.lit(0.0))
+        / F.col("n_context")
+        + (F.lit(0.75) * F.col("n_succ") / F.col("n_context"))
+        * (F.col("n_pred").cast("double") / F.col("n_types"))
+    )
+    return ww.crossJoin(F.broadcast(types)).select(
+        "w1",
+        "w2",
+        "n_bigram",
+        "n_context",
+        "n_succ",
+        "n_pred",
+        kn.alias("kn_prob"),
+    )
+
+
+@query(
     "llm_perplexity_filter",
     oracle="""
     WITH g AS (

@@ -4162,6 +4162,261 @@ def pipeline_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_kendall_tau",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS x,
+             COUNT(*) AS y
+      FROM orders GROUP BY 1
+    ),
+    p AS (
+      SELECT sign(b.x - a.x) * sign(b.y - a.y) AS s,
+             CASE WHEN b.x = a.x THEN 1 ELSE 0 END AS tx,
+             CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS ty
+      FROM daily a JOIN daily b ON b.day > a.day
+    ),
+    s AS (
+      SELECT COUNT(*) AS n0,
+             CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(SUM(tx) AS BIGINT) AS n1,
+             CAST(SUM(ty) AS BIGINT) AS n2
+      FROM p
+    ),
+    nd AS (SELECT COUNT(*) AS n_days FROM daily)
+    SELECT nd.n_days, s.n0 AS n_pairs, s.c AS n_concordant,
+           s.d AS n_discordant,
+           CASE WHEN (s.n0 - s.n1) > 0 AND (s.n0 - s.n2) > 0
+                THEN CAST(s.c - s.d AS DOUBLE)
+                     / sqrt(CAST(s.n0 - s.n1 AS DOUBLE)
+                            * CAST(s.n0 - s.n2 AS DOUBLE))
+           END AS tau_b
+    FROM s, nd
+    """,
+)
+def pipeline_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r11) — KENDALL τ-b between daily revenue and daily
+    order count: the concordance twin of pipeline_spearman's
+    midrank correlation (same daily table, same tie-aware contract:
+    τ-b = (C − D) / √((n₀−n₁)(n₀−n₂)) with n₁/n₂ the x-/y-tied pair
+    counts — Kendall 1945). Spearman answers "how monotone is the
+    map", τ answers "what fraction of pairs order the same way" —
+    the pair-level effect size reviewers ask for next to ρ.
+
+    Determinism: every pair statistic is an integer (sign products
+    and tie indicators summed as int64), so C, D, n₀, n₁, n₂ are
+    exact; magnitudes are pair-bounded (~2.4k² / 2 < 2^23 ≪ 2^53),
+    the long→double casts are exact, and τ-b is one shared IEEE
+    sqrt + division — emitted unrounded like spearman's rho.
+
+    Scale: ONE corpus pass to the CALENDAR-bounded daily table
+    (~2.4k rows at every SF for the 7-year TPC-H span); the O(n²)
+    pair enumeration is a broadcast non-equi self-join over that
+    control-plane-sized table (the pipeline_theil_sen precedent —
+    BroadcastNestedLoopJoin on a bounded side, never a corpus
+    cartesian), and everything after it is a 1-row aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+        )
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                * F.lit(100)
+            )
+            .cast("long")
+            .alias("x"),
+            F.count(F.lit(1)).alias("y"),
+        )
+        .localCheckpoint(eager=True)  # calendar-bounded; read 3x below
+    )
+    a = daily.select(
+        F.col("day").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("day").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    s = F.signum((F.col("xb") - F.col("xa")).cast("double")) * F.signum(
+        (F.col("yb") - F.col("ya")).cast("double")
+    )
+    pairs = a.join(F.broadcast(b), F.col("db") > F.col("da")).select(
+        s.alias("s"),
+        F.when(F.col("xb") == F.col("xa"), 1).otherwise(0).alias("tx"),
+        F.when(F.col("yb") == F.col("ya"), 1).otherwise(0).alias("ty"),
+    )
+    st = pairs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(F.col("s") < 0, 1).otherwise(0)).alias("d"),
+        F.sum("tx").alias("n1"),
+        F.sum("ty").alias("n2"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    dx = F.col("n0") - F.col("n1")
+    dy = F.col("n0") - F.col("n2")
+    return st.crossJoin(F.broadcast(nd)).select(
+        "n_days",
+        F.col("n0").alias("n_pairs"),
+        F.col("c").alias("n_concordant"),
+        F.col("d").alias("n_discordant"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            (F.col("c") - F.col("d")).cast("double")
+            / F.sqrt(dx.cast("double") * dy.cast("double")),
+        ).alias("tau_b"),
+    )
+
+
+@query(
+    "pipeline_bh_fdr",
+    oracle="""
+    WITH base AS (
+      SELECT n.n_name AS nation, c.c_nationkey AS nk,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_orders) AS BIGINT) AS nn,
+             CAST(SUM(n_urgent) AS BIGINT) AS kk,
+             COUNT(*) AS m
+      FROM base
+    ),
+    pv AS (
+      SELECT nation, nk, n_orders, n_urgent, m,
+             (CAST(n_urgent AS DOUBLE) / n_orders
+              - CAST(kk AS DOUBLE) / nn)
+             / sqrt((CAST(kk AS DOUBLE) / nn)
+                    * (1.0 - CAST(kk AS DOUBLE) / nn) / n_orders) AS z,
+             round(2.0 / (1.0 + exp(1.702 * abs(
+               (CAST(n_urgent AS DOUBLE) / n_orders
+                - CAST(kk AS DOUBLE) / nn)
+               / sqrt((CAST(kk AS DOUBLE) / nn)
+                      * (1.0 - CAST(kk AS DOUBLE) / nn) / n_orders)))), 6)
+               AS p_value
+      FROM base, tot
+    ),
+    rk AS (
+      SELECT a.nation, a.n_orders, a.n_urgent, a.m, a.z, a.p_value,
+             CAST(COUNT(*) AS BIGINT) AS bh_rank
+      FROM pv a JOIN pv b
+        ON (b.p_value < a.p_value)
+           OR (b.p_value = a.p_value AND b.nk <= a.nk)
+      GROUP BY 1, 2, 3, 4, 5, 6
+    ),
+    kstar AS (
+      SELECT CAST(MAX(CASE WHEN p_value <= bh_rank * 0.05 / m
+                           THEN bh_rank ELSE 0 END) AS BIGINT) AS k
+      FROM rk
+    )
+    SELECT nation, n_orders, n_urgent, z, p_value, bh_rank,
+           bh_rank <= k AS rejected
+    FROM rk, kstar
+    """,
+)
+def pipeline_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r11) — BENJAMINI-HOCHBERG false-discovery-rate
+    control (Benjamini & Hochberg 1995) over a 25-way hypothesis
+    family: per nation, a two-proportion z-test of "this nation's
+    urgent-order share differs from global", then the BH step-up —
+    sort p-values ascending, find the largest rank k with
+    p(k) ≤ k/m·α (α = 0.05), reject ranks ≤ k. The multiple-testing
+    correction every per-segment screen (pipeline_ab_test,
+    pipeline_chi_square run one test) needs once it fans out over
+    segments — without it, 25 tests at α=0.05 expect a false
+    positive by chance alone.
+
+    Determinism: z is exact-IEEE on integer counts (all < 2^53, so
+    every cast is exact and both engines evaluate the identical op
+    tree). The two-sided p uses the LOGISTIC approximation to the
+    normal CDF, p = 2/(1 + exp(1.702·|z|)) (the classic 1.702
+    probit-logit scaling constant) — exp() differs between libms in
+    the last ulp, so p rounds to 6 dp and EVERY downstream decision
+    (ranking, BH threshold, rejection) reads the ROUNDED value (the
+    llm_quality_logit recipe). Ranks come from a tie-broken
+    (p, nationkey) pair count, total-ordered in both engines.
+
+    Shape: one corpus pass (orders ⋈ customer, the standard big-side
+    shuffle with nation broadcast) to a NATION-bounded 25-row table,
+    localCheckpoint'ed (3 consumers under no-exchange-reuse); global
+    counts ride as a broadcast 1-row aggregate; the rank self-join
+    is 25×25 broadcast control-plane work; k* is another broadcast
+    1-row aggregate. Nothing after the first aggregate touches the
+    corpus."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    urgent = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(urgent).cast("long").alias("n_urgent"),
+        )
+        .localCheckpoint(eager=True)  # 25 rows; 3 consumers below
+    )
+    tot = base.agg(
+        F.sum("n_orders").cast("long").alias("nn"),
+        F.sum("n_urgent").cast("long").alias("kk"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    pg = F.col("kk").cast("double") / F.col("nn")
+    z = (F.col("n_urgent").cast("double") / F.col("n_orders") - pg) / F.sqrt(
+        pg * (F.lit(1.0) - pg) / F.col("n_orders")
+    )
+    pv = base.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "nk",
+        "n_orders",
+        "n_urgent",
+        "m",
+        z.alias("z"),
+        F.round(
+            2.0 / (1.0 + F.exp(F.lit(1.702) * F.abs(z))), 6
+        ).alias("p_value"),
+    )
+    pvb = pv.select(F.col("nk").alias("nk_b"), F.col("p_value").alias("p_b"))
+    rk = (
+        pv.join(
+            F.broadcast(pvb),
+            (F.col("p_b") < F.col("p_value"))
+            | ((F.col("p_b") == F.col("p_value")) & (F.col("nk_b") <= F.col("nk"))),
+        )
+        .groupBy("nation", "n_orders", "n_urgent", "m", "z", "p_value")
+        .agg(F.count(F.lit(1)).alias("bh_rank"))
+    )
+    kstar = rk.agg(
+        F.max(
+            F.when(
+                F.col("p_value") <= F.col("bh_rank") * 0.05 / F.col("m"),
+                F.col("bh_rank"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("k")
+    )
+    return rk.crossJoin(F.broadcast(kstar)).select(
+        "nation",
+        "n_orders",
+        "n_urgent",
+        "z",
+        "p_value",
+        "bh_rank",
+        (F.col("bh_rank") <= F.col("k")).alias("rejected"),
+    )
+
+
+@query(
     "pipeline_acf",
     oracle="""
     WITH daily AS (

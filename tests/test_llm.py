@@ -2255,3 +2255,62 @@ def test_graph_index_batch_single_vector_exclude_self_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="non-entry vector"):
         query_graph_index_batch(spark, index_dir, qs, exclude_self=True)
+
+
+def test_kneser_ney_matches_pure_python_and_continuation_effect(spark, tmp_path):
+    """r11 — plant a corpus with the canonical 'Francisco' shape:
+    'francisco' is frequent but only ever follows 'san', while 'the'
+    follows many distinct words. Replicate interpolated KN (D=0.75)
+    exactly in pure python, assert per-bigram equality, the per-
+    context mass bound, and the continuation effect (for a fresh
+    context with equal raw counts, 'the' outranks 'francisco')."""
+    from collections import Counter
+
+    texts = (
+        ["san francisco"] * 4
+        + ["in the", "on the", "at the"]
+        + ["zq the zq francisco"]
+    )
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    rows = QUERIES["llm_kneser_ney"](spark, str(tmp_path)).collect()
+    got = {(r["w1"], r["w2"]): r for r in rows}
+
+    bc: Counter = Counter()
+    for t in texts:
+        ws = t.split(" ")
+        for i in range(len(ws) - 1):
+            bc[(ws[i], ws[i + 1])] += 1
+    c1: Counter = Counter()
+    succ: Counter = Counter()
+    pred: Counter = Counter()
+    for (a, b), c in bc.items():
+        c1[a] += c
+        succ[a] += 1
+        pred[b] += 1
+    n_types = len(bc)
+
+    def kn(a: str, b: str) -> float:
+        return max(bc[(a, b)] - 0.75, 0.0) / c1[a] + (
+            0.75 * succ[a] / c1[a]
+        ) * (pred[b] / n_types)
+
+    assert set(got) == set(bc)
+    for (a, b), r in got.items():
+        assert r["n_bigram"] == bc[(a, b)]
+        assert r["n_context"] == c1[a]
+        assert (r["n_succ"], r["n_pred"]) == (succ[a], pred[b])
+        assert abs(r["kn_prob"] - kn(a, b)) < 1e-12
+        assert 0.0 < r["kn_prob"] < 1.0
+    # observed-successor mass never exceeds 1 (the unseen-w2 reserve)
+    per_ctx: Counter = Counter()
+    for (a, _b), r in got.items():
+        per_ctx[a] += r["kn_prob"]
+    assert all(s < 1.0 + 1e-9 for s in per_ctx.values())
+    # continuation effect: same context, same raw count (zq->the and
+    # zq->francisco both occur once), but 'the' follows 4 distinct
+    # words vs francisco's 2 -> KN ranks it higher; raw MLE ties
+    assert got[("zq", "the")]["n_bigram"] == got[("zq", "francisco")]["n_bigram"]
+    assert got[("zq", "the")]["kn_prob"] > got[("zq", "francisco")]["kn_prob"]

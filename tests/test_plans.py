@@ -460,3 +460,121 @@ def test_abc_xyz_planted_classes(spark, tmp_path):
     assert rows[("B", "X")]["n_parts"] == 1
     assert rows[("C", "Z")]["n_parts"] == 10
     assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-12
+
+
+def test_kendall_tau_matches_pure_python(spark, tmp_path):
+    """r11 — plant a 5-day series with ties in BOTH coordinates and
+    compare tau-b against an exact pure-python pair count (the
+    textbook O(n²) definition)."""
+    import datetime
+    import math
+
+    import pyspark.sql.functions as F
+
+    revenue = [10.0, 20.0, 20.0, 5.0, 30.0]  # x tie: days 2,3
+    counts = [1, 2, 2, 3, 4]  # y tie: days 2,3
+    rows = []
+    okey = 0
+    for i, (r, k) in enumerate(zip(revenue, counts)):
+        each = round(r / k, 2)
+        amounts = [each] * (k - 1) + [round(r - each * (k - 1), 2)]
+        for a in amounts:
+            rows.append(
+                (okey, datetime.datetime(1995, 1, i + 1, 12, 0, 0), a)
+            )
+            okey += 1
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = QUERIES["pipeline_kendall_tau"](spark, str(tmp_path)).first()
+
+    xs = [int(r * 100) for r in revenue]
+    ys = counts
+    C = D = n1 = n2 = 0
+    n = len(xs)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = (xs[j] > xs[i]) - (xs[j] < xs[i])
+            dy = (ys[j] > ys[i]) - (ys[j] < ys[i])
+            if dx * dy > 0:
+                C += 1
+            elif dx * dy < 0:
+                D += 1
+            if dx == 0:
+                n1 += 1
+            if dy == 0:
+                n2 += 1
+    n0 = n * (n - 1) // 2
+    want = (C - D) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert got["n_days"] == 5 and got["n_pairs"] == n0
+    assert got["n_concordant"] == C and got["n_discordant"] == D
+    assert abs(got["tau_b"] - want) < 1e-12
+
+    # degenerate constant-x series: tie guard emits NULL, no crash
+    flat = [(i, datetime.datetime(1995, 2, i + 1, 12), 10.0) for i in range(4)]
+    spark.createDataFrame(
+        flat, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    ).coalesce(1).write.parquet(str(tmp_path / "flat" / "orders.parquet"))
+    g2 = QUERIES["pipeline_kendall_tau"](spark, str(tmp_path / "flat")).first()
+    assert g2["tau_b"] is None  # x all tied -> n0 - n1 = 0
+
+
+def test_bh_fdr_matches_pure_python_stepup(spark, tmp_path):
+    """r11 — plant 4 nations with distinct urgent-order shares and
+    replicate the ENTIRE pipeline (exact z on counts, logistic p
+    rounded to 6 dp, (p, nationkey) tie-broken ranks, BH step-up)
+    in pure python; assert per-nation equality and the step-up
+    property (the rejected set is a rank prefix)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    plan = {0: (50, 45), 1: (50, 20), 2: (50, 21), 3: (50, 18)}
+    spark.createDataFrame(
+        [(k, f"NATION{k}") for k in plan], "n_nationkey long, n_name string"
+    ).coalesce(1).write.parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [(k, k) for k in plan], "c_custkey long, c_nationkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+    orows = []
+    okey = 0
+    for nk, (n, k) in plan.items():
+        for i in range(n):
+            pri = "1-URGENT" if i < k else "5-LOW"
+            orows.append((okey, nk, pri))
+            okey += 1
+    spark.createDataFrame(
+        orows, "o_orderkey long, o_custkey long, o_orderpriority string"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r["nation"]: r
+        for r in QUERIES["pipeline_bh_fdr"](spark, str(tmp_path)).collect()
+    }
+
+    nn = sum(n for n, _ in plan.values())
+    kk = sum(k for _, k in plan.values())
+    pg = kk / nn
+    m = len(plan)
+    pv = {}
+    for nk, (n, k) in plan.items():
+        z = (k / n - pg) / math.sqrt(pg * (1.0 - pg) / n)
+        pv[nk] = (round(2.0 / (1.0 + math.exp(1.702 * abs(z))), 6), z)
+    order = sorted(plan, key=lambda nk: (pv[nk][0], nk))
+    rank = {nk: i + 1 for i, nk in enumerate(order)}
+    kstar = max(
+        (rank[nk] for nk in plan if pv[nk][0] <= rank[nk] * 0.05 / m),
+        default=0,
+    )
+    assert len(got) == m
+    for nk, (n, k) in plan.items():
+        r = got[f"NATION{nk}"]
+        assert (r["n_orders"], r["n_urgent"]) == (n, k)
+        assert abs(r["z"] - pv[nk][1]) < 1e-12
+        assert r["p_value"] == pv[nk][0]
+        assert r["bh_rank"] == rank[nk]
+        assert bool(r["rejected"]) == (rank[nk] <= kstar)
+    # step-up property: rejections form a prefix of the rank order
+    rejected_ranks = sorted(r["bh_rank"] for r in got.values() if r["rejected"])
+    assert rejected_ranks == list(range(1, len(rejected_ranks) + 1))

@@ -213,6 +213,9 @@ ROUND_AUDITED = {
     "llm_embed_quantize": "op (round IS the quantizer) + term",
     "mm_audio_rms": "libm-analogue (kernel parity rounds both sides)",
     "llm_quality_logit": "libm (exp)",
+    "pipeline_bh_fdr": "libm (exp via the quality_logit sigmoid recipe; "
+    "z itself is exact-IEEE on integer counts, and ranking/threshold/"
+    "rejection all read the 6-dp-rounded p)",
     "llm_tfidf_topk": "libm (ln)",
     "llm_bm25_topk": "libm (ln — idf rounded at the transcendental)",
     "llm_hybrid_rrf": "libm (ln via the shared BM25 CTE)",
