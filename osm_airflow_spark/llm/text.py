@@ -1168,6 +1168,145 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_eval_agreement",
+    oracle=f"""
+    WITH f AS (
+      SELECT len(string_split(text, ' ')) AS nw,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ({{stops}}))) AS sh,
+             length(replace(text, ' ', '')) AS nc,
+             n_chars
+      FROM documents
+    ),
+    r AS (
+      SELECT (nw >= 5 AND sh * 10 >= nw) AS ka,
+             (3 * nw <= nc AND nc <= 8 * nw AND n_chars >= 20) AS kb
+      FROM f
+    ),
+    ct AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT)
+               AS b,
+             CAST(SUM(CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END) AS BIGINT)
+               AS c,
+             CAST(SUM(CASE WHEN NOT ka AND NOT kb THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM r
+    ),
+    k AS (
+      SELECT n, a, b, c, d,
+             CAST(n AS DECIMAL(19,0)) * CAST(a + d AS DECIMAL(19,0))
+               - (CAST(a + b AS DECIMAL(19,0)) * CAST(a + c AS DECIMAL(19,0))
+                  + CAST(c + d AS DECIMAL(19,0))
+                    * CAST(b + d AS DECIMAL(19,0))) AS knum,
+             CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+               - (CAST(a + b AS DECIMAL(19,0)) * CAST(a + c AS DECIMAL(19,0))
+                  + CAST(c + d AS DECIMAL(19,0))
+                    * CAST(b + d AS DECIMAL(19,0))) AS kden,
+             CAST(b - c AS DECIMAL(19,0)) * CAST(b - c AS DECIMAL(19,0))
+               AS msq
+      FROM ct
+    )
+    SELECT n AS n_docs, a AS both_keep, b AS only_a, c AS only_b,
+           d AS both_drop,
+           CASE WHEN kden <> 0
+                THEN round(CAST(knum AS DOUBLE) / CAST(kden AS DOUBLE), 9)
+           END AS kappa,
+           CASE WHEN b + c > 0
+                THEN round(CAST(msq AS DOUBLE) / (b + c), 9)
+           END AS mcnemar_stat,
+           CASE WHEN b + c > 0
+                THEN round(CAST(msq AS DOUBLE) / (b + c), 9) > 3.841
+           END AS mcnemar_significant
+    FROM k
+    """.replace("{stops}", _sql_list(_EN_STOP)),
+)
+def llm_eval_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r11) — INTER-RATER AGREEMENT between two independent
+    rule-based quality screens over the same corpus: Cohen's κ
+    (Cohen 1960 — observed agreement corrected for the agreement two
+    raters with these marginals would reach by chance) plus
+    McNemar's paired test (McNemar 1947 — are the two screens'
+    DISAGREEMENTS symmetric, i.e. is one systematically stricter?).
+    The filter-governance eval: before swapping quality filter A for
+    B in a data pipeline, κ says how interchangeable they are and
+    McNemar says whether the swap shifts the kept set directionally.
+    Rater A is a coverage screen (≥5 words, stopword ratio ≥ 0.1 as
+    the integer cross-multiplication sh·10 ≥ nw); rater B is a shape
+    screen (mean word length in [3, 8] as 3·nw ≤ chars ≤ 8·nw, ≥20
+    chars) — deliberately rational-arithmetic-only raters, so the
+    whole 2×2 table is exact integers.
+
+    Determinism: κ = (n·(a+d) − Σ marginal products) / (n² − Σ
+    marginal products) with every product computed in DECIMAL(19,0)²
+    → exact at any corpus size (n² passes 2^53 at ~10⁸ docs, so
+    longs would silently lose ulps at scale); the final ratio emits
+    at 9 dp per the house >2^53-decimal-ratio recipe. McNemar's
+    (b−c)²/(b+c) likewise squares in decimal; significance reads the
+    ROUNDED statistic against the χ²₁ critical value 3.841 (a short
+    exact literal). Degenerate guards: κ is NULL when chance
+    agreement is total (kden = 0), McNemar NULL when b + c = 0.
+
+    Shape: one corpus pass, all-JVM column expressions into a 1-row
+    aggregate — free at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    nw = F.size(words).cast("long")
+    sh = _stop_count(words, _EN_STOP).cast("long")
+    nc = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long")
+    ka = (nw >= 5) & (sh * 10 >= nw)
+    kb = (3 * nw <= nc) & (nc <= 8 * nw) & (F.col("n_chars") >= 20)
+    ct = d.select(ka.alias("ka"), kb.alias("kb")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("ka") & F.col("kb"), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("ka") & ~F.col("kb"), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(~F.col("ka") & F.col("kb"), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(~F.col("ka") & ~F.col("kb"), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+
+    def dec(col) -> Column:
+        return col.cast("decimal(19,0)")
+
+    chance = dec(F.col("a") + F.col("b")) * dec(F.col("a") + F.col("c")) + dec(
+        F.col("c") + F.col("d")
+    ) * dec(F.col("b") + F.col("d"))
+    knum = dec(F.col("n")) * dec(F.col("a") + F.col("d")) - chance
+    kden = dec(F.col("n")) * dec(F.col("n")) - chance
+    msq = dec(F.col("b") - F.col("c")) * dec(F.col("b") - F.col("c"))
+    k = ct.select(
+        "n", "a", "b", "c", "d",
+        knum.alias("knum"), kden.alias("kden"), msq.alias("msq"),
+    )
+    mc = F.round(F.col("msq").cast("double") / (F.col("b") + F.col("c")), 9)
+    return k.select(
+        F.col("n").alias("n_docs"),
+        F.col("a").alias("both_keep"),
+        F.col("b").alias("only_a"),
+        F.col("c").alias("only_b"),
+        F.col("d").alias("both_drop"),
+        F.when(
+            F.col("kden") != 0,
+            F.round(
+                F.col("knum").cast("double") / F.col("kden").cast("double"), 9
+            ),
+        ).alias("kappa"),
+        F.when(F.col("b") + F.col("c") > 0, mc).alias("mcnemar_stat"),
+        F.when(F.col("b") + F.col("c") > 0, mc > 3.841).alias(
+            "mcnemar_significant"
+        ),
+    )
+
+
+@query(
     "llm_kneser_ney",
     oracle="""
     WITH g AS (

@@ -4271,6 +4271,101 @@ def pipeline_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_hhi",
+    oracle="""
+    WITH fs AS (
+      SELECT n.n_name AS nation, l.l_suppkey AS supp,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS frev
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT nation, frev,
+             CAST(SUM(frev) OVER (PARTITION BY nation) AS DECIMAL(38,4))
+               AS trev
+      FROM fs
+    ),
+    t AS (
+      SELECT nation, trev,
+             CAST(frev AS DOUBLE) / CAST(trev AS DOUBLE) AS share,
+             round(10000.0 * (CAST(frev AS DOUBLE) / CAST(trev AS DOUBLE))
+                           * (CAST(frev AS DOUBLE) / CAST(trev AS DOUBLE)),
+                   6) AS term
+      FROM w
+    )
+    SELECT nation, COUNT(*) AS n_suppliers,
+           CAST(MAX(trev) AS DOUBLE) AS total_revenue,
+           CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS hhi,
+           MAX(share) AS top_share
+    FROM t GROUP BY nation
+    """,
+)
+def pipeline_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r11) — HERFINDAHL-HIRSCHMAN concentration index per
+    nation-market: HHI = Σ (100·share)² over each nation's suppliers'
+    discounted-revenue shares (0 → atomistic, 10 000 → monopoly; the
+    DOJ's 1 500/2 500 merger screens live on this scale), with the
+    top supplier's share beside it. The concentration measure next to
+    pipeline_gini's inequality curve and pipeline_market_share's
+    single-share ratio — the standard "is this market captured?"
+    screen over any grouped revenue table.
+
+    Determinism: per-supplier and per-nation revenues are exact
+    decimal sums (the dsum contract); the share is one agreed double
+    division (both decimals < 2^53 unscaled at bench SFs, so the
+    casts are exact); each squared term pre-rounds to 6 dp and
+    decimal-sums (the house TERM rule — Σ of doubles is the one
+    order-sensitive op, so it never happens in raw doubles);
+    top_share is a MAX of agreed doubles (order-free).
+
+    Shape: one corpus pass to the (nation, supplier)-bounded
+    aggregate; the nation total is a WINDOW over that aggregate
+    (partition = suppliers-per-nation, bounded), NOT a groupBy +
+    join-back, per the measured no-exchange-reuse rule; the final
+    collapse is a 25-row groupBy. At 100 TB the only corpus-sized
+    work is the first aggregation's shuffle."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    fs = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("l_suppkey").alias("supp"))
+        .agg(
+            F.sum(rev.cast("decimal(18,4)"))
+            .cast("decimal(28,4)")
+            .alias("frev")
+        )
+    )
+    w = fs.select(
+        "nation",
+        "frev",
+        F.sum("frev")
+        .over(Window.partitionBy("nation"))
+        .cast("decimal(38,4)")
+        .alias("trev"),
+    )
+    share = F.col("frev").cast("double") / F.col("trev").cast("double")
+    t = w.select(
+        "nation",
+        "trev",
+        share.alias("share"),
+        F.round(F.lit(10000.0) * share * share, 6).alias("term"),
+    )
+    return t.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.max("trev").cast("double").alias("total_revenue"),
+        F.sum(F.col("term").cast("decimal(18,6)")).cast("double").alias("hhi"),
+        F.max("share").alias("top_share"),
+    )
+
+
+@query(
     "pipeline_bh_fdr",
     oracle="""
     WITH base AS (

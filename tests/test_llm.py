@@ -2314,3 +2314,51 @@ def test_kneser_ney_matches_pure_python_and_continuation_effect(spark, tmp_path)
     # words vs francisco's 2 -> KN ranks it higher; raw MLE ties
     assert got[("zq", "the")]["n_bigram"] == got[("zq", "francisco")]["n_bigram"]
     assert got[("zq", "the")]["kn_prob"] > got[("zq", "francisco")]["kn_prob"]
+
+
+def test_eval_agreement_matches_pure_python_2x2(spark, tmp_path):
+    """r11 — plant documents hitting all four cells of the 2x2 rater
+    table with asymmetric disagreements, replicate both raters and
+    kappa/McNemar exactly in pure python, and compare."""
+    STOPS = ("the", "a", "of", "and", "in", "to", "is")
+    cell_texts = {
+        "a": "the horses gallop across the meadow",  # both keep
+        "b": "the a of and in to is the a of",       # A only
+        "c": "horses gallop across green meadows quickly",  # B only
+        "d": "zz qq",                                 # both drop
+    }
+    reps = {"a": 10, "b": 7, "c": 2, "d": 5}
+
+    def rate(text):
+        ws = text.split(" ")
+        nw, sh = len(ws), sum(w in STOPS for w in ws)
+        nc = len(text.replace(" ", ""))
+        ka = nw >= 5 and sh * 10 >= nw
+        kb = 3 * nw <= nc <= 8 * nw and len(text) >= 20
+        return ka, kb
+
+    want_cell = {"a": (True, True), "b": (True, False),
+                 "c": (False, True), "d": (False, False)}
+    for cell, t in cell_texts.items():
+        assert rate(t) == want_cell[cell], (cell, rate(t))
+
+    rows, did = [], 0
+    for cell, t in cell_texts.items():
+        for _ in range(reps[cell]):
+            rows.append((did, t, len(t)))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = QUERIES["llm_eval_agreement"](spark, str(tmp_path)).first()
+    a, b, c, d = reps["a"], reps["b"], reps["c"], reps["d"]
+    n = a + b + c + d
+    assert (got["n_docs"], got["both_keep"], got["only_a"],
+            got["only_b"], got["both_drop"]) == (n, a, b, c, d)
+    chance = (a + b) * (a + c) + (c + d) * (b + d)
+    kappa = (n * (a + d) - chance) / (n * n - chance)
+    mcnemar = (b - c) ** 2 / (b + c)
+    assert abs(got["kappa"] - kappa) < 1e-9
+    assert abs(got["mcnemar_stat"] - mcnemar) < 1e-9
+    assert bool(got["mcnemar_significant"]) == (mcnemar > 3.841)

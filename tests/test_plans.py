@@ -578,3 +578,32 @@ def test_bh_fdr_matches_pure_python_stepup(spark, tmp_path):
     # step-up property: rejections form a prefix of the rank order
     rejected_ranks = sorted(r["bh_rank"] for r in got.values() if r["rejected"])
     assert rejected_ranks == list(range(1, len(rejected_ranks) + 1))
+
+
+def test_hhi_monopoly_and_symmetric_market(spark, tmp_path):
+    """r11 — plant a monopoly nation (one supplier -> HHI 10000) and a
+    4-way symmetric nation (equal shares -> HHI exactly 2500, each
+    term 10000*0.25^2 = 625 is dyadic-exact)."""
+    import pyspark.sql.functions as F
+
+    spark.createDataFrame(
+        [(0, "MONO"), (1, "QUAD")], "n_nationkey long, n_name string"
+    ).coalesce(1).write.parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [(10, 0), (20, 1), (21, 1), (22, 1), (23, 1)],
+        "s_suppkey long, s_nationkey long",
+    ).coalesce(1).write.parquet(str(tmp_path / "supplier.parquet"))
+    li = [(10, 500.0, 0.0)] + [(sk, 100.0, 0.0) for sk in (20, 21, 22, 23)]
+    spark.createDataFrame(
+        li, "l_suppkey long, l_extendedprice double, l_discount double"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = {
+        r["nation"]: r
+        for r in QUERIES["pipeline_hhi"](spark, str(tmp_path)).collect()
+    }
+    assert got["MONO"]["n_suppliers"] == 1
+    assert got["MONO"]["hhi"] == 10000.0 and got["MONO"]["top_share"] == 1.0
+    assert got["QUAD"]["n_suppliers"] == 4
+    assert got["QUAD"]["hhi"] == 2500.0 and got["QUAD"]["top_share"] == 0.25
+    assert got["QUAD"]["total_revenue"] == 400.0

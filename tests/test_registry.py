@@ -216,6 +216,12 @@ ROUND_AUDITED = {
     "pipeline_bh_fdr": "libm (exp via the quality_logit sigmoid recipe; "
     "z itself is exact-IEEE on integer counts, and ranking/threshold/"
     "rejection all read the 6-dp-rounded p)",
+    "pipeline_hhi": "term (squared share pre-rounded to 6 dp, "
+    "decimal-summed; share itself is an agreed exact-decimal ratio)",
+    "llm_eval_agreement": "ulp (kappa/mcnemar are ratios of exact "
+    "DECIMAL(19,0)² products whose magnitudes pass 2^53 at ~1e8 docs — "
+    "the 9 dp decimal-ratio emission; significance reads the rounded "
+    "statistic)",
     "llm_tfidf_topk": "libm (ln)",
     "llm_bm25_topk": "libm (ln — idf rounded at the transcendental)",
     "llm_hybrid_rrf": "libm (ln via the shared BM25 CTE)",
