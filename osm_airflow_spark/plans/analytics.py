@@ -4271,6 +4271,139 @@ def pipeline_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_forecast_backtest",
+    oracle="""
+    WITH monthly AS (
+      SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS mi,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(28,2)) AS y
+      FROM orders GROUP BY 1
+    ),
+    ev AS (
+      SELECT m.y AS y, l1.y AS f1, l12.y AS f12
+      FROM monthly m JOIN monthly l1 ON m.mi = l1.mi + 1
+           JOIN monthly l12 ON m.mi = l12.mi + 12
+    ),
+    terms AS (
+      SELECT abs(y - f1) AS ae1, abs(y - f12) AS ae12,
+             round(CAST(2 * abs(y - f1) AS DOUBLE)
+                   / CAST(y + f1 AS DOUBLE), 6) AS sm1,
+             round(CAST(2 * abs(y - f12) AS DOUBLE)
+                   / CAST(y + f12 AS DOUBLE), 6) AS sm12
+      FROM ev
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(ae1) AS DECIMAL(38,2)) AS s1,
+             CAST(SUM(ae12) AS DECIMAL(38,2)) AS s12,
+             CAST(SUM(CAST(sm1 AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS t1,
+             CAST(SUM(CAST(sm12 AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS t12
+      FROM terms
+    )
+    SELECT 'naive' AS model, n AS n_evals,
+           CAST(s1 AS DOUBLE) / n AS mae,
+           100.0 * (CAST(t1 AS DOUBLE) / n) AS smape_pct,
+           CAST(s1 AS DOUBLE) / CAST(s1 AS DOUBLE) AS mase
+    FROM agg
+    UNION ALL
+    SELECT 'seasonal_naive', n,
+           CAST(s12 AS DOUBLE) / n,
+           100.0 * (CAST(t12 AS DOUBLE) / n),
+           CAST(s12 AS DOUBLE) / CAST(s1 AS DOUBLE)
+    FROM agg
+    """,
+)
+def pipeline_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r11) — rolling-origin FORECAST BACKTEST: evaluate
+    the two standard benchmark forecasters (naive ŷ_t = y_{t−1},
+    seasonal-naive ŷ_t = y_{t−12}) over monthly revenue with the
+    three standard error measures — MAE, sMAPE, and MASE
+    (Hyndman & Koehler 2006; MASE here = Σ|e_model|/Σ|e_naive| on
+    the SAME eval months, so naive's MASE ≡ 1.0 and seasonal-naive's
+    says whether seasonality beats persistence). The evaluation side
+    of pipeline_forecast_revenue / pipeline_revenue_trend_forecast:
+    a forecast key without a backtest is a claim without a score.
+
+    Determinism: monthly revenue, the lagged forecasts and every
+    absolute error are EXACT decimals (sums of decimal(18,2) casts);
+    the per-month sMAPE ratio is the only raw-double op, pre-rounded
+    to 6 dp then decimal-summed (the TERM rule); MAE and sMAPE each
+    take ONE final decimal→double cast and division (< 2^53 unscaled
+    at bench SFs), and MASE is a ratio of two exact decimal sums —
+    the n cancels, and the engines agree because both divide the
+    identical pair of doubles.
+
+    Shape: one corpus pass to the CALENDAR-bounded monthly table
+    (~84 rows), localCheckpoint'ed because its three consumers (eval
+    rows + two lag sides) would each re-aggregate the corpus under
+    no-exchange-reuse; the lags are broadcast self-equi-joins on the
+    month index (no window, no global sort); the two model rows come
+    from ONE 1-row aggregate via stack."""
+    o = load_table(spark, sf_dir, "orders")
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("long")
+    monthly = (
+        o.groupBy(mi.alias("mi"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("y")
+        )
+        .localCheckpoint(eager=True)  # calendar-bounded; 3 consumers
+    )
+    l1 = monthly.select((F.col("mi") + 1).alias("mi"), F.col("y").alias("f1"))
+    l12 = monthly.select(
+        (F.col("mi") + 12).alias("mi"), F.col("y").alias("f12")
+    )
+    ev = monthly.join(F.broadcast(l1), "mi").join(F.broadcast(l12), "mi")
+    sm1 = F.round(
+        (F.lit(2) * F.abs(F.col("y") - F.col("f1"))).cast("double")
+        / (F.col("y") + F.col("f1")).cast("double"),
+        6,
+    )
+    sm12 = F.round(
+        (F.lit(2) * F.abs(F.col("y") - F.col("f12"))).cast("double")
+        / (F.col("y") + F.col("f12")).cast("double"),
+        6,
+    )
+    terms = ev.select(
+        F.abs(F.col("y") - F.col("f1")).alias("ae1"),
+        F.abs(F.col("y") - F.col("f12")).alias("ae12"),
+        sm1.alias("sm1"),
+        sm12.alias("sm12"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ae1").cast("decimal(38,2)").alias("s1"),
+        F.sum("ae12").cast("decimal(38,2)").alias("s12"),
+        F.sum(F.col("sm1").cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("t1"),
+        F.sum(F.col("sm12").cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("t12"),
+    )
+    two = agg.select(
+        "n",
+        F.col("s1").alias("sbase"),
+        F.expr(
+            "stack(2, 'naive', s1, t1, 'seasonal_naive', s12, t12) "
+            "as (model, sae, st)"
+        ),
+    )
+    return two.select(
+        "model",
+        F.col("n").alias("n_evals"),
+        (F.col("sae").cast("double") / F.col("n")).alias("mae"),
+        (
+            F.lit(100.0) * (F.col("st").cast("double") / F.col("n"))
+        ).alias("smape_pct"),
+        (F.col("sae").cast("double") / F.col("sbase").cast("double")).alias(
+            "mase"
+        ),
+    )
+
+
+@query(
     "pipeline_hhi",
     oracle="""
     WITH fs AS (

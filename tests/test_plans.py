@@ -607,3 +607,48 @@ def test_hhi_monopoly_and_symmetric_market(spark, tmp_path):
     assert got["QUAD"]["n_suppliers"] == 4
     assert got["QUAD"]["hhi"] == 2500.0 and got["QUAD"]["top_share"] == 0.25
     assert got["QUAD"]["total_revenue"] == 400.0
+
+
+def test_forecast_backtest_matches_pure_python(spark, tmp_path):
+    """r11 — plant 26 contiguous months of exact 2-dp revenue with a
+    known 12-month seasonal pattern plus noise; replicate both
+    benchmark forecasters and all three error measures in pure
+    python. Seasonal-naive must beat naive (MASE < 1) because the
+    seasonal signal dominates."""
+    import datetime
+
+    season = [100.0, 220.0, 130.0, 250.0, 140.0, 260.0,
+              150.0, 270.0, 160.0, 280.0, 170.0, 290.0]
+    ys = []
+    for t in range(26):
+        ys.append(round(season[t % 12] + t * 1.25, 2))
+    rows = []
+    for t, y in enumerate(ys):
+        yy, mm = 1995 + t // 12, t % 12 + 1
+        rows.append((t, datetime.datetime(yy, mm, 15, 12), y))
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r["model"]: r
+        for r in QUERIES["pipeline_forecast_backtest"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    evals = range(12, 26)  # months with both t-1 and t-12 available
+    ae1 = [abs(ys[t] - ys[t - 1]) for t in evals]
+    ae12 = [abs(ys[t] - ys[t - 12]) for t in evals]
+    n = len(ae1)
+    for model, ae in (("naive", ae1), ("seasonal_naive", ae12)):
+        r = got[model]
+        assert r["n_evals"] == n
+        assert abs(r["mae"] - sum(ae) / n) < 1e-9
+        assert abs(r["mase"] - sum(ae) / sum(ae1)) < 1e-12
+    sm = lambda t, f: 2 * abs(ys[t] - f) / (ys[t] + f)  # noqa: E731
+    smape1 = 100.0 * sum(round(sm(t, ys[t - 1]), 6) for t in evals) / n
+    smape12 = 100.0 * sum(round(sm(t, ys[t - 12]), 6) for t in evals) / n
+    assert abs(got["naive"]["smape_pct"] - smape1) < 1e-6
+    assert abs(got["seasonal_naive"]["smape_pct"] - smape12) < 1e-6
+    assert got["naive"]["mase"] == 1.0
+    assert got["seasonal_naive"]["mase"] < 1.0  # seasonality dominates

@@ -218,6 +218,9 @@ ROUND_AUDITED = {
     "rejection all read the 6-dp-rounded p)",
     "pipeline_hhi": "term (squared share pre-rounded to 6 dp, "
     "decimal-summed; share itself is an agreed exact-decimal ratio)",
+    "pipeline_forecast_backtest": "term (per-month sMAPE ratio "
+    "pre-rounded to 6 dp, decimal-summed; MAE/MASE stay exact-decimal "
+    "until one final cast)",
     "llm_eval_agreement": "ulp (kappa/mcnemar are ratios of exact "
     "DECIMAL(19,0)² products whose magnitudes pass 2^53 at ~1e8 docs — "
     "the 9 dp decimal-ratio emission; significance reads the rounded "
