@@ -166,3 +166,55 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "embedding").mapInArrow(
         _l2_norm_arrow, "vec_id long, l2_norm double"
     )
+
+
+@F.udtf(returnType="pos int, gram string")
+class _NgramUDTF:
+    """Python UDTF: one input row -> (position, n-gram) rows. The
+    TABLE-function shape of the flex hook: a user transform whose
+    output cardinality the engine cannot know in advance."""
+
+    def eval(self, text: str, n: int):
+        if not text:
+            return
+        ws = text.split(" ")
+        for i in range(len(ws) - n + 1):
+            yield i, " ".join(ws[i : i + n])
+
+
+@query(
+    "udf_table",
+    oracle="""
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS pos,
+           string_split(text, ' ')[i] || ' '
+             || string_split(text, ' ')[i+1] || ' '
+             || string_split(text, ' ')[i+2] AS gram
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(1,
+                    len(string_split(text, ' ')) - 2)) AS i
+      FROM documents
+    )
+    """,
+)
+def udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 (extension) — Python UDTF via DataFrame ``lateralJoin``
+    (Spark 4): the table-function rung of the UDF ladder, completing
+    the module's J surface (scalar → pandas → grouped → Arrow →
+    TABLE-valued). One document row fans out to its positioned
+    trigrams; the outer column reference (``col("text").outer()``)
+    is the LATERAL correlation, so the planner runs the generator
+    per row with no join key and no shuffle.
+
+    Like J1 this is a deliberate API-surface key: the plan carries a
+    BatchEvalPythonUDTF (pickle-per-batch, Python-side row
+    generation — whitelisted in tools/plan_lint.py beside J1's
+    BatchEvalPython), and the PRODUCTION form of this exact
+    transform is the JVM-side shingle explode the dedup/LM stack
+    uses (llm/dedup.shingle_array + explode — whole-stage codegen,
+    no Python). String slicing only, so the oracle is exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.lateralJoin(
+        _NgramUDTF(F.col("text").outer(), F.lit(3))
+    ).select("doc_id", "pos", "gram")

@@ -153,13 +153,13 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ``tests/test_registry.py`` pins the exact list so adding a key can
 # never reshuffle the window unreviewed.
 #
-# Round-11 window: the six NEW keys lead (never-checked beats
+# Round-11 window: the seven NEW keys lead (never-checked beats
 # re-proof), then — per VERDICT r10 next-round #4 — the rest of the
 # 50 slots go to the oldest-checked cohort: the ENTIRE remaining
 # r5-proof-era block (30 keys — this retires the r5 proof
 # generation; after r11 no key's newest driver proof predates r6),
 # then the oldest r6-era keys in registration order to fill the 50.
-# Remaining r6 block (~36 keys) rotates to r12. Staleness computed
+# Remaining r6 block (~37 keys) rotates to r12. Staleness computed
 # from CORRECTNESS_r01-r10 (newest proof round per key); keys whose
 # behavior changed this round but stayed bit-identical
 # (graph_pagerank's broadcast count) don't jump the queue.
@@ -173,6 +173,7 @@ DRIVER_WINDOW: list[str] = [
     "pipeline_hhi",
     "llm_eval_agreement",
     "pipeline_forecast_backtest",
+    "udf_table",
     # -- staleness re-checks: the ENTIRE r5-era remainder (30) --
     "llm_domain_mix",
     "llm_vocab_coverage",
@@ -204,7 +205,7 @@ DRIVER_WINDOW: list[str] = [
     "osm_ring_repair",
     "osm_point_in_polygon",
     "osm_nearest_node",
-    # -- staleness re-checks: the oldest r6-era keys (14) --
+    # -- staleness re-checks: the oldest r6-era keys (13) --
     "agg_groupby",
     "agg_global",
     "agg_collect_ordered",
@@ -218,7 +219,6 @@ DRIVER_WINDOW: list[str] = [
     "graph_connected_components",
     "graph_shortest_path",
     "join_inner",
-    "join_broadcast",
 ]
 
 

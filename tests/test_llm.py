@@ -2362,3 +2362,38 @@ def test_eval_agreement_matches_pure_python_2x2(spark, tmp_path):
     assert abs(got["kappa"] - kappa) < 1e-9
     assert abs(got["mcnemar_stat"] - mcnemar) < 1e-9
     assert bool(got["mcnemar_significant"]) == (mcnemar > 3.841)
+
+
+def test_udf_table_matches_jvm_shingle_explode(spark, sf_dir, tmp_path):
+    """r11 — the J6 UDTF surface key must agree row-for-row with the
+    production JVM-side shingle explode on the real fixture, and a
+    sub-n-word document must produce zero rows (not crash)."""
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.llm.dedup import shingle_array
+
+    got = {
+        (r["doc_id"], r["pos"], r["gram"])
+        for r in QUERIES["udf_table"](spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    # shingle_array's short-doc fallback emits the whole doc as one
+    # shingle; the UDTF emits nothing below n words — compare on the
+    # >= 3-word docs where the two contracts coincide
+    jvm = d.where(F.size("words") >= 3).select(
+        "doc_id",
+        F.posexplode(shingle_array("words", 3)).alias("pos", "gram"),
+    )
+    want = {(r["doc_id"], r["pos"], r["gram"]) for r in jvm.collect()}
+    assert got == want and got
+
+    spark.createDataFrame(
+        [(1, "only two"), (2, "one two three four")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    short = QUERIES["udf_table"](spark, str(tmp_path)).collect()
+    assert {r["doc_id"] for r in short} == {2}  # 2-word doc emits nothing
+    assert [(r["pos"], r["gram"]) for r in sorted(short, key=lambda r: r["pos"])] == [
+        (0, "one two three"), (1, "two three four")
+    ]

@@ -102,7 +102,9 @@ ITERATIVE = {
 
 # a deliberate unbounded cartesian (the D10 surface key)
 NONEQUI_OK = {"join_cross"}
-PYUDF_OK = {"udf_scalar"}  # J1 surface parity, deliberately row-at-a-time
+# J1 surface parity (row-at-a-time) and the J6 UDTF surface key
+# (BatchEvalPythonUDTF matches the same substring) — both deliberate
+PYUDF_OK = {"udf_scalar", "udf_table"}
 
 def _window_specs(text: str) -> list[str]:
     """Paren-aware extraction of every windowspecdefinition(...) argument
