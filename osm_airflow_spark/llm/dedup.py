@@ -1010,3 +1010,91 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("containment") >= 0.8)
     )
+
+
+SUBSTR_K = 40  # minimum duplicated span, in characters (~8 words here)
+
+
+@query(
+    "llm_dedup_substring",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, p AS pos, substring(text, p + 1, {SUBSTR_K}) AS gram
+      FROM documents, LATERAL unnest(generate_series(0, length(text) - {SUBSTR_K})) AS t(p)
+      WHERE length(text) >= {SUBSTR_K}
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    marked AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM g WHERE gram IN (SELECT gram FROM dup)
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) - MIN(pos) + {SUBSTR_K} AS BIGINT) AS span_len
+    FROM marked
+    GROUP BY doc_id, island
+    """,
+)
+def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r11) — EXACT-SUBSTRING dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): emit every maximal character span of length >=
+    SUBSTR_K that occurs at two or more sites in the corpus
+    (cross-document or self-repetition — both count, as in the
+    paper). Training pipelines CUT these spans rather than dropping
+    whole documents, which is exactly what MinHash/Jaccard document-
+    level dedup (llm_dedup_near / llm_dedup_ngram_jaccard) cannot
+    express.
+
+    The paper builds one giant suffix array — inherently sequential
+    and memory-resident. The Spark-first equivalent: every length-K
+    gram is an ANCHOR keyed by its content; a groupBy over anchors
+    finds every gram with >= 2 occurrence sites (one shuffle, fully
+    parallel, no suffix array); a left-semi join marks the anchored
+    positions; and per-document island detection (pos -
+    row_number(), the gaps-and-islands idiom) merges runs of
+    consecutive duplicated anchors back into MAXIMAL spans — the
+    same run-merge the suffix-array walk performs. A span of length
+    L >= K duplicated elsewhere produces L-K+1 consecutive duplicated
+    anchors, so islands reconstruct [start, start+L) exactly.
+
+    Scale shape: the only shuffle wider than the corpus is the
+    anchor groupBy; at 100 TB group on a 128-bit content digest
+    (xxhash64 pair) of the gram instead of the 40-char string to cut
+    shuffle bytes (collision probability ~n²/2¹²⁸ — negligible), and
+    count DISTINCT sites map-side. The island window partitions by
+    doc_id — bounded by document length, never global. Everything
+    here is integer positions and exact string equality → SQL-oracled
+    (47 planted duplicated spans at sf0.01).
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") >= SUBSTR_K)
+    g = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), F.length("text") - SUBSTR_K)).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("text").substr(F.col("pos") + 1, F.lit(SUBSTR_K)).alias("gram"),
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_sites"))
+        .where(F.col("n_sites") >= 2)
+        .select("gram")
+    )
+    marked = g.join(dup, "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = marked.select(
+        "doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("island")
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("mn"), F.max("pos").alias("mx"))
+        .select(
+            "doc_id",
+            F.col("mn").cast("long").alias("span_start"),
+            (F.col("mx") - F.col("mn") + SUBSTR_K).cast("long").alias("span_len"),
+        )
+    )

@@ -5930,3 +5930,317 @@ def pipeline_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_score"),
         F.when(~degenerate, F.abs(z) <= 1.96).alias("random_at_05"),
     ).orderBy("event_type")
+
+
+@query(
+    "pipeline_item_cf",
+    oracle="""
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n AS (SELECT pk, COUNT(*) AS n_orders FROM bi GROUP BY pk),
+    cooc AS (
+      SELECT a.pk AS item_a, b.pk AS item_b, COUNT(*) AS cooc
+      FROM bi a JOIN bi b ON a.ok = b.ok AND a.pk <> b.pk
+      GROUP BY a.pk, b.pk
+      HAVING COUNT(*) >= 2
+    ),
+    scored AS (
+      SELECT c.item_a, c.item_b, c.cooc,
+             CAST(c.cooc AS DOUBLE)
+               / sqrt(CAST(na.n_orders * nb.n_orders AS DOUBLE)) AS cos_sim
+      FROM cooc c
+      JOIN n na ON na.pk = c.item_a
+      JOIN n nb ON nb.pk = c.item_b
+    )
+    SELECT item_a, item_b, CAST(cooc AS BIGINT) AS cooc, cos_sim,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY item_a
+                                   ORDER BY cos_sim DESC, item_b) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def pipeline_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering — top-5 "customers who bought
+    X also bought Y" neighbors per part, by co-occurrence cosine
+    cnt(A,B) / sqrt(cnt(A)·cnt(B)) over order baskets (Sarwar et al.
+    2001). The many-small-models sibling of pipeline_market_basket
+    (which emits support/confidence/lift rules; this emits the
+    normalized neighbor LISTS a recommender serves).
+
+    Scale shape: the pair generation is a self-join on the BASKET
+    key, so cost is Σ basket_size² — bounded by the biggest order
+    (7 lines here), never n². The HAVING cooc >= 2 prune drops the
+    singleton-pair long tail BEFORE the norm join, and the top-k
+    window partitions by item (WindowGroupLimit caps it map-side).
+    At 100 TB the exact form's hot spots are mega-popular items
+    (skewed neighbor lists); the published fix is DIMSUM sampling
+    (Zadeh & Goel 2013 — sample each basket pair w.p.
+    ~1/sqrt(cnt(A)·cnt(B)), the MLlib RowMatrix.columnSimilarities
+    path) or a hard basket-size cap, both of which keep this exact
+    plan shape. Integer counts, one exact sqrt+division per pair →
+    bit-identical in both engines → SQL-oracled."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bi = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    n = bi.groupBy("pk").agg(F.count(F.lit(1)).alias("n_orders"))
+    a = bi.select("ok", F.col("pk").alias("item_a"))
+    b = bi.select("ok", F.col("pk").alias("item_b"))
+    cooc = (
+        a.join(b, "ok")
+        .where(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("cooc"))
+        .where(F.col("cooc") >= 2)
+    )
+    na = n.select(F.col("pk").alias("item_a"), F.col("n_orders").alias("n_a"))
+    nb = n.select(F.col("pk").alias("item_b"), F.col("n_orders").alias("n_b"))
+    cos = F.col("cooc").cast("double") / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+    scored = (
+        cooc.join(na, "item_a")
+        .join(nb, "item_b")
+        .select("item_a", "item_b", "cooc", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("item_a").orderBy(F.col("cos_sim").desc(), F.col("item_b"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
+
+
+@query(
+    "pipeline_conformal",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS prio, o_orderkey % 5 AS fold,
+             o_orderkey, CAST(o_totalprice AS DOUBLE) AS y
+      FROM orders
+    ),
+    model AS (
+      SELECT prio,
+             CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS pred
+      FROM base WHERE fold <= 2 GROUP BY prio
+    ),
+    calib AS (
+      SELECT b.prio, abs(b.y - m.pred) AS resid
+      FROM base b JOIN model m USING (prio) WHERE b.fold = 3
+    ),
+    qhat AS (
+      SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_cal,
+             list_sort(list(resid))[(9 * (COUNT(*) + 1) + 9) // 10] AS q_resid
+      FROM calib GROUP BY prio
+    ),
+    cov AS (
+      SELECT b.prio, CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN abs(b.y - m.pred) <= q.q_resid
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM base b
+      JOIN model m USING (prio)
+      JOIN qhat q USING (prio)
+      WHERE b.fold = 4
+      GROUP BY b.prio
+    )
+    SELECT m.prio, m.pred, q.n_cal, q.q_resid,
+           m.pred - q.q_resid AS lo, m.pred + q.q_resid AS hi,
+           c.n_test, c.n_covered,
+           CAST(c.n_covered AS DOUBLE) / c.n_test AS coverage
+    FROM model m
+    JOIN qhat q USING (prio)
+    JOIN cov c ON c.prio = m.prio
+    """,
+)
+def pipeline_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL prediction intervals (Vovk et al.;
+    Papadopoulos et al. 2002; Angelopoulos & Bates 2023 tutorial) —
+    the distribution-free UQ wrapper every model-eval pipeline wants:
+    fit on a train split, take the ceil((n+1)(1-alpha))-th smallest
+    absolute residual on a held-out calibration split, and pred ± q
+    then covers a fresh point with probability >= 1-alpha, for ANY
+    model. alpha = 0.1; the model here is the simplest honest one
+    (per-priority train mean), because the guarantee — and this
+    plan — is model-agnostic.
+
+    Splits are content-derived (o_orderkey % 5: 0-2 train, 3
+    calibration, 4 test — the llm_split_assign discipline, no
+    rand()). The conformal rank k = ceil(0.9·(n+1)) is computed in
+    INTEGER arithmetic ((9(n+1)+9) div 10) and the k-th order
+    statistic comes from array_sort(collect_list(resid))[k] — the
+    blessed agg_collect_ordered shape: an exact per-group order
+    statistic with NO global window; memory is one calibration
+    group (fine at 5 priority classes; at 100 TB with big groups,
+    swap in a fixed-width residual histogram and take the k-th via
+    cumulative counts — the guarantee only needs a conservative
+    upper rank). Coverage on the test fold is reported beside the
+    interval; every quantity is exact decimal/integer arithmetic or
+    a deterministic double op → SQL-oracled."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_orderkey") % 5).alias("fold"),
+        F.col("o_totalprice").cast("double").alias("y"),
+    )
+    model = (
+        base.where(F.col("fold") <= 2)
+        .groupBy("prio")
+        .agg(
+            (F.sum(F.col("y").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("pred")
+        )
+    )
+    calib = (
+        base.where(F.col("fold") == 3)
+        .join(model, "prio")
+        .select("prio", F.abs(F.col("y") - F.col("pred")).alias("resid"))
+    )
+    k = F.expr("(9 * (count(1) + 1) + 9) div 10")
+    qhat = calib.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n_cal"),
+        F.element_at(F.array_sort(F.collect_list("resid")), k.cast("int")).alias("q_resid"),
+    )
+    cov = (
+        base.where(F.col("fold") == 4)
+        .join(model, "prio")
+        .join(qhat.select("prio", "q_resid"), "prio")
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.abs(F.col("y") - F.col("pred")) <= F.col("q_resid"), 1).otherwise(0)
+            ).alias("n_covered"),
+        )
+    )
+    return (
+        model.join(qhat, "prio")
+        .join(cov, "prio")
+        .select(
+            "prio",
+            "pred",
+            "n_cal",
+            "q_resid",
+            (F.col("pred") - F.col("q_resid")).alias("lo"),
+            (F.col("pred") + F.col("q_resid")).alias("hi"),
+            "n_test",
+            "n_covered",
+            (F.col("n_covered").cast("double") / F.col("n_test")).alias("coverage"),
+        )
+    )
+
+
+# Cumulative Poisson(1) CDF at k = 0..4, as 15-significant-digit
+# literals: both engines parse <= 15-digit literals to the same
+# double (the house literal rule), so the thresholds ARE the spec.
+# u >= all five -> weight 5 (truncation mass ~6e-4, deterministic).
+_POIS1_CDF = (
+    "0.367879441171442",
+    "0.735758882342885",
+    "0.919698602928606",
+    "0.981011843123846",
+    "0.996340153172656",
+)
+_BOOT_B = 200  # replicas; 2.5% tails -> order statistics 5 and 196
+
+
+@query(
+    "pipeline_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT b, c_acctbal,
+             {" + ".join(
+                 f"(CASE WHEN ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#' || CAST(b AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 >= {t} THEN 1 ELSE 0 END)"
+                 for t in _POIS1_CDF
+             )} AS w
+      FROM customer, (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b)
+    ),
+    means AS (
+      SELECT b,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * w) AS DOUBLE)
+               / SUM(w) AS rep_mean
+      FROM reps GROUP BY b
+    ),
+    summ AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_replicas,
+             list_sort(list(rep_mean))[5] AS ci_lo,
+             list_sort(list(rep_mean))[196] AS ci_hi
+      FROM means
+    ),
+    point AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS est_mean
+      FROM customer
+    )
+    SELECT p.n_rows, p.est_mean, s.n_replicas, s.ci_lo, s.ci_hi
+    FROM point p, summ s
+    """,
+)
+def pipeline_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval (Chamandy, Muralidharan,
+    Najmi & Naidu 2012, "Estimating Uncertainty for Massive Data
+    Streams" — Google's scale-out bootstrap; Hanley & MacGibbon 2006)
+    for the mean customer account balance, with B = 200 replicas.
+
+    The classical bootstrap resamples n rows WITH replacement — at
+    100 TB that needs the global n and a shuffle per replica. The
+    Poisson bootstrap replaces each row's multinomial count with an
+    independent Poisson(1) weight, so EVERY (row, replica) weight is
+    computed locally from the row itself: one narrow explode of B
+    replica ids per row, one groupBy(replica) — fully map-parallel,
+    mergeable, and streaming-friendly (the paper's point). Weights
+    are content-derived (the house no-rand() rule): u = md5(custkey #
+    replica) first-8-hex / 2^32 — an exact dyadic double in both
+    engines — inverted through the Poisson(1) CDF as five
+    15-digit-literal threshold comparisons (truncated at weight 5;
+    tail mass 6e-4; deterministic). Replica means are decimal-exact
+    weighted sums cast to double once; the 95% CI is the exact
+    5th/196th order statistic of the 200 replica means via the
+    blessed array_sort(collect_list(...)) shape — 200 elements, a
+    bounded collect by construction. Everything deterministic →
+    SQL-oracled (the rare thing for a bootstrap)."""
+    c = load_table(spark, sf_dir, "customer")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("c_custkey").cast("string"),
+                        F.lit("#"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w_col = None
+    for t in _POIS1_CDF:
+        ind = F.when(u >= float(t), 1).otherwise(0)
+        w_col = ind if w_col is None else (w_col + ind)
+    reps = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).select("b", "c_acctbal", w_col.alias("w"))
+    means = reps.groupBy("b").agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)") * F.col("w")).cast("double")
+            / F.sum("w")
+        ).alias("rep_mean")
+    )
+    summ = means.agg(
+        F.count(F.lit(1)).alias("n_replicas"),
+        F.element_at(F.array_sort(F.collect_list("rep_mean")), 5).alias("ci_lo"),
+        F.element_at(F.array_sort(F.collect_list("rep_mean")), 196).alias("ci_hi"),
+    )
+    point = c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("est_mean"),
+    )
+    return point.crossJoin(F.broadcast(summ)).select(
+        "n_rows", "est_mean", "n_replicas", "ci_lo", "ci_hi"
+    )

@@ -2397,3 +2397,47 @@ def test_udf_table_matches_jvm_shingle_explode(spark, sf_dir, tmp_path):
     assert [(r["pos"], r["gram"]) for r in sorted(short, key=lambda r: r["pos"])] == [
         (0, "one two three"), (1, "two three four")
     ]
+
+
+def test_dedup_substring_planted_maximal_spans(spark, tmp_path):
+    """r11 exact-substring dedup: a 60-char passage shared by two
+    docs is recovered as one MAXIMAL span at the exact offsets in
+    each (not 21 fragment grams); a 45-char self-repetition inside
+    one doc yields both sites; unique docs and sub-K docs emit
+    nothing. Fillers are sha256 streams, so no accidental 40-gram
+    ever repeats."""
+    import hashlib
+
+    def filler(seed: str, n: int) -> str:
+        out = []
+        i = 0
+        while sum(len(s) for s in out) < n:
+            out.append(hashlib.sha256(f"{seed}:{i}".encode()).hexdigest())
+            i += 1
+        return "".join(out)[:n]
+
+    shared = filler("shared-passage", 60)
+    rep = filler("self-repeat", 45)
+    doc_a = filler("a", 100) + shared + filler("a2", 80)
+    doc_b = filler("b", 37) + shared + filler("b2", 20)
+    doc_c = filler("c", 150)  # unique -> no spans
+    doc_d = filler("d", 50) + rep + filler("d2", 60) + rep + filler("d3", 30)
+    doc_e = filler("e", 30)  # shorter than K=40 -> skipped
+    rows = [
+        (0, doc_a), (1, doc_b), (2, doc_c), (3, doc_d), (4, doc_e),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in QUERIES["llm_dedup_substring"](spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (0, 100, 60),
+        (1, 37, 60),
+        (3, 50, 45),
+        (3, 50 + 45 + 60, 45),
+    }

@@ -652,3 +652,93 @@ def test_forecast_backtest_matches_pure_python(spark, tmp_path):
     assert abs(got["seasonal_naive"]["smape_pct"] - smape12) < 1e-6
     assert got["naive"]["mase"] == 1.0
     assert got["seasonal_naive"]["mase"] < 1.0  # seasonality dominates
+
+
+def test_item_cf_planted_neighbors(spark, tmp_path):
+    """r11 item-CF: plant baskets where parts 1+2 co-occur in all 10
+    orders, part 3 joins 5 of them, and part 4 touches part 1 only
+    once (below the cooc >= 2 support prune). Expect cosine(1,2) = 1.0
+    exactly and first-ranked both directions, cosine(1,3) =
+    5/sqrt(10*5), and no pair involving part 4."""
+    import math
+
+    lines = []
+    ln = 0
+    for ok in range(10):
+        basket = [1, 2] + ([3] if ok < 5 else [])
+        if ok == 0:
+            basket.append(4)
+        for pk in basket:
+            lines.append((ok, pk, 1, ln))
+            ln += 1
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    rows = QUERIES["pipeline_item_cf"](spark, str(tmp_path)).collect()
+    by_pair = {(r["item_a"], r["item_b"]): r for r in rows}
+    assert by_pair[(1, 2)]["cos_sim"] == 1.0
+    assert by_pair[(1, 2)]["rk"] == 1 and by_pair[(2, 1)]["rk"] == 1
+    expect_13 = 5.0 / math.sqrt(10.0 * 5.0)
+    assert abs(by_pair[(1, 3)]["cos_sim"] - expect_13) < 1e-15
+    assert by_pair[(1, 3)]["cooc"] == 5
+    assert not any(4 in p for p in by_pair), "support-1 pair must be pruned"
+
+
+def test_conformal_planted_quantile_and_coverage(spark, tmp_path):
+    """r11 split conformal: constant train target -> pred = 1000
+    exactly; calibration residuals planted 1..39 -> k =
+    ceil(0.9*40) = 36 -> q_resid = 36; test residuals {30, 36, 37}
+    -> boundary residual 36 covered, 37 not -> coverage = 2/3."""
+    rows = []
+    ok = 0
+
+    def next_key(fold):
+        nonlocal ok
+        while ok % 5 != fold:
+            ok += 1
+        k = ok
+        ok += 1
+        return k
+
+    for _ in range(40):  # train folds 0-2 cycle as keys allocate
+        rows.append((next_key(0), 1, "O", 1000.0, None, "1-URGENT"))
+    for r in range(1, 40):  # calibration: residuals 1..39
+        rows.append((next_key(3), 1, "O", 1000.0 + r, None, "1-URGENT"))
+    for r in (30.0, -36.0, 37.0):  # test: straddle q = 36
+        rows.append((next_key(4), 1, "O", 1000.0 + r, None, "1-URGENT"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+
+    out = QUERIES["pipeline_conformal"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["pred"] == 1000.0
+    assert r["n_cal"] == 39
+    assert r["q_resid"] == 36.0
+    assert (r["lo"], r["hi"]) == (964.0, 1036.0)
+    assert r["n_test"] == 3 and r["n_covered"] == 2
+    assert abs(r["coverage"] - 2.0 / 3.0) < 1e-15
+
+
+def test_bootstrap_ci_constant_corpus_collapses(spark, tmp_path):
+    """r11 Poisson bootstrap: on a constant-balance corpus every
+    replica's weighted mean is exactly the constant (decimal product
+    / integer weight-sum cancels), so the CI collapses to the point
+    estimate; 200 replicas always materialize."""
+    rows = [(i, f"c{i}", 1, 100.25, "SEG") for i in range(60)]
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+
+    out = QUERIES["pipeline_bootstrap_ci"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_rows"] == 60 and r["n_replicas"] == 200
+    assert r["est_mean"] == 100.25
+    assert r["ci_lo"] == 100.25 and r["ci_hi"] == 100.25

@@ -86,7 +86,10 @@ def test_query_runs_and_has_clean_schema(spark, sf_dir, key):
     physical = df._jdf.queryExecution().executedPlan().toString()
     if key != "join_cross":
         assert "CartesianProduct" not in physical, f"{key}: unbounded cartesian"
-    if key != "udf_scalar":
+    # udf_scalar is the deliberate J1 row-UDF surface; udf_table's
+    # BatchEvalPythonUDTF node matches the same substring (the
+    # deliberate UDTF surface) — same whitelist as plan_lint.PYUDF_OK.
+    if key not in ("udf_scalar", "udf_table"):
         assert "BatchEvalPython" not in physical, f"{key}: row-at-a-time Python UDF"
     assert df.count() >= 0
 
