@@ -6244,3 +6244,242 @@ def pipeline_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point.crossJoin(F.broadcast(summ)).select(
         "n_rows", "est_mean", "n_replicas", "ci_lo", "ci_hi"
     )
+
+
+@query(
+    "pipeline_cuped",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             COUNT(*) FILTER (o_orderdate < TIMESTAMP '1997-01-01') AS x,
+             SUM(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                      THEN CAST(o_totalprice AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS y_dec
+      FROM orders GROUP BY o_custkey
+    ),
+    units AS (
+      SELECT c.c_custkey % 2 AS arm,
+             COALESCE(p.x, 0) AS x,
+             CAST(COALESCE(p.y_dec, 0) AS DOUBLE) AS y,
+             COALESCE(p.y_dec, CAST(0 AS DECIMAL(18,2))) AS y_dec
+      FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(x AS BIGINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y_dec) AS DOUBLE) AS sy,
+             CAST(SUM(x * y_dec) AS DOUBLE) AS sxy,
+             CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS DOUBLE) AS sx_t,
+             CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS DOUBLE) AS sx_c,
+             CAST(SUM(CASE WHEN arm = 1 THEN y_dec
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sy_t,
+             CAST(SUM(CASE WHEN arm = 0 THEN y_dec
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sy_c
+      FROM units
+    )
+    SELECT n, n_t, n_c,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS theta,
+           round(sy_t / n_t - sy_c / n_c, 9) AS delta_raw,
+           round((sy_t / n_t - sy_c / n_c)
+                 - round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+                   * (sx_t / n_t - sx_c / n_c), 9) AS delta_cuped
+    FROM stats
+    """,
+)
+def pipeline_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED — Controlled-experiment Using Pre-Experiment Data (Deng,
+    Xu, Kohavi & Walker, WSDM 2013): the industry-standard variance
+    reduction for A/B tests. Each unit's post-period metric y is
+    adjusted by its PRE-period covariate x (here: 1995-96 order
+    count, an integer, vs 1997+ spend): y' = y - θ(x - x̄) with
+    θ = cov(x,y)/var(x); the treatment contrast of y' has variance
+    (1-ρ²)·var(Δ_raw) and is unbiased for any θ because assignment
+    (c_custkey % 2, content-derived) is independent of x.
+
+    One pass builds per-unit (x, y) — a conditional aggregate over
+    orders, LEFT-joined so no-order customers enter as (0, 0) — and a
+    second single-row aggregate folds ALL sufficient statistics
+    (n, Σx, Σx², Σy, Σxy + per-arm sums) map-side: the whole
+    estimator is two shuffles of sufficient statistics, never a
+    per-unit residual materialization — the agg_corr_exact /
+    pipeline_grouped_ols discipline. The integer covariate keeps
+    every cross-moment's decimal unscaled value < 2^53 (Σxy <=
+    15k·12·5.5e6·100 ≈ 1e14 at sf0.1), so each cast to double is
+    exact and θ is ONE deterministic double expression, rounded 9 dp
+    (FMA-contraction guard); delta_cuped reads the ROUNDED θ — every
+    downstream decision off the rounded value, the bh_fdr rule.
+    Variance-reduction itself needs Σy² (unscaled > 2^53 here), so
+    the ρ² claim is pinned by the planted pytest, not emitted."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    split = F.lit("1997-01-01").cast("timestamp")
+    zero2 = F.lit(0).cast("decimal(18,2)")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("o_orderdate") < split, 1).otherwise(0)).alias("x"),
+        F.sum(
+            F.when(
+                F.col("o_orderdate") >= split,
+                F.col("o_totalprice").cast("decimal(18,2)"),
+            ).otherwise(zero2)
+        ).alias("y_dec"),
+    )
+    units = c.join(per_cust, c["c_custkey"] == per_cust["o_custkey"], "left").select(
+        (F.col("c_custkey") % 2).alias("arm"),
+        F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        F.coalesce(F.col("y_dec"), zero2).alias("y_dec"),
+    )
+    arm_t = F.col("arm") == 1
+    stats = units.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(arm_t, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(~arm_t, 1).otherwise(0)).alias("n_c"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x").cast("long") * F.col("x")).cast("double").alias("sxx"),
+        F.sum("y_dec").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y_dec")).cast("double").alias("sxy"),
+        F.sum(F.when(arm_t, F.col("x")).otherwise(0)).cast("double").alias("sx_t"),
+        F.sum(F.when(~arm_t, F.col("x")).otherwise(0)).cast("double").alias("sx_c"),
+        F.sum(F.when(arm_t, F.col("y_dec")).otherwise(zero2)).cast("double").alias("sy_t"),
+        F.sum(F.when(~arm_t, F.col("y_dec")).otherwise(zero2)).cast("double").alias("sy_c"),
+    )
+    n = F.col("n")
+    theta = F.round(
+        (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (n * F.col("sxx") - F.col("sx") * F.col("sx")),
+        9,
+    )
+    mean_gap_y = F.col("sy_t") / F.col("n_t") - F.col("sy_c") / F.col("n_c")
+    mean_gap_x = F.col("sx_t") / F.col("n_t") - F.col("sx_c") / F.col("n_c")
+    return stats.select(
+        "n",
+        "n_t",
+        "n_c",
+        theta.alias("theta"),
+        F.round(mean_gap_y, 9).alias("delta_raw"),
+        F.round(mean_gap_y - theta * mean_gap_x, 9).alias("delta_cuped"),
+    )
+
+
+# Wald SPRT constants, scaled to exact integers (millionths):
+# H0 p=0.5 vs H1 p=0.6; ln(1.2)=0.182322, ln(0.8)=-0.223144 (6 dp);
+# alpha=beta=0.05 -> bounds +-ln(19)=+-2.944439 -> +-2944439.
+_SPRT_C1 = 182322
+_SPRT_C0 = 223144
+_SPRT_A = 2944439
+
+
+@query(
+    "pipeline_sprt",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CASE WHEN value > 10.0 THEN 1 ELSE 0 END) AS s,
+             SUM(CASE WHEN value > 10.0 THEN 0 ELSE 1 END) AS f
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    walk AS (
+      SELECT event_type, day,
+             SUM(s) OVER w AS n1, SUM(f) OVER w AS n0
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    scored AS (
+      SELECT event_type, day, n1, n0,
+             n1 * {_SPRT_C1} - n0 * {_SPRT_C0} AS llr_m
+      FROM walk
+    ),
+    first_cross AS (
+      SELECT event_type, MIN(day) AS dday
+      FROM scored WHERE llr_m >= {_SPRT_A} OR llr_m <= -{_SPRT_A}
+      GROUP BY event_type
+    ),
+    last_day AS (
+      SELECT event_type, MAX(day) AS lday FROM scored GROUP BY event_type
+    ),
+    decided AS (
+      SELECT l.event_type, COALESCE(fc.dday, l.lday) AS day,
+             fc.dday IS NOT NULL AS crossed
+      FROM last_day l LEFT JOIN first_cross fc USING (event_type)
+    )
+    SELECT d.event_type,
+           CASE WHEN NOT d.crossed THEN 'continue'
+                WHEN s.llr_m >= {_SPRT_A} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           strftime(d.day, '%Y-%m-%d') AS day_decided,
+           CAST(s.n1 + s.n0 AS BIGINT) AS n_seen,
+           CAST(s.n1 AS BIGINT) AS n_success,
+           CAST(s.llr_m AS DOUBLE) / 1000000.0 AS llr
+    FROM decided d
+    JOIN scored s ON s.event_type = d.event_type AND s.day = d.day
+    """,
+)
+def pipeline_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SEQUENTIAL PROBABILITY RATIO TEST (Wald 1945) — the
+    always-valid sequential monitor: per event type, walk the stream
+    in time order accumulating the Bernoulli log-likelihood ratio for
+    H1 p=0.6 vs H0 p=0.5 (success = value > 10), and stop at the
+    FIRST crossing of +-ln(19) (alpha = beta = 0.05) — 'peeking' is
+    the design, not a sin, unlike the fixed-horizon pipeline_ab_test.
+    The open-ended drift sibling of pipeline_cusum_changepoint.
+
+    Scale discipline (the runs-test precedent): the sequential walk
+    runs over the CALENDAR-BOUNDED daily table — one groupBy
+    compresses the stream to (type, day) counts, the running sums
+    are integer windows over days, and the group-sequential decision
+    is taken at day granularity (Wald's bounds stay conservative
+    under batching). The LLR is EXACT INTEGER arithmetic end to end:
+    6-dp log-ratio constants scaled to millionths (n1*182322 -
+    n0*223144 vs +-2944439), so no double accumulation, no FMA
+    contraction at the decision boundary, nothing to round — the
+    crossing day is hash-exact. First-crossing row rides a min(day)
+    join-back; never-crossing types report 'continue' at the last
+    day. Streaming twin: the same integer state in an
+    applyInPandasWithState fold (streaming/stateful.py cusum shape)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = (
+        e.select(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.when(F.col("value") > 10.0, 1).otherwise(0).alias("s_"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("s_").alias("s"),
+            F.sum(1 - F.col("s_")).alias("f"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = daily.select(
+        "event_type",
+        "day",
+        F.sum("s").over(w).alias("n1"),
+        F.sum("f").over(w).alias("n0"),
+    ).withColumn("llr_m", F.col("n1") * _SPRT_C1 - F.col("n0") * _SPRT_C0)
+    first_cross = (
+        scored.where((F.col("llr_m") >= _SPRT_A) | (F.col("llr_m") <= -_SPRT_A))
+        .groupBy("event_type")
+        .agg(F.min("day").alias("dday"))
+    )
+    last_day = scored.groupBy("event_type").agg(F.max("day").alias("lday"))
+    decided = last_day.join(first_cross, "event_type", "left").select(
+        "event_type",
+        F.coalesce(F.col("dday"), F.col("lday")).alias("day"),
+        F.col("dday").isNotNull().alias("crossed"),
+    )
+    return decided.join(scored, ["event_type", "day"]).select(
+        "event_type",
+        F.when(~F.col("crossed"), F.lit("continue"))
+        .when(F.col("llr_m") >= _SPRT_A, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+        F.date_format("day", "yyyy-MM-dd").alias("day_decided"),
+        (F.col("n1") + F.col("n0")).cast("long").alias("n_seen"),
+        F.col("n1").cast("long").alias("n_success"),
+        (F.col("llr_m").cast("double") / 1000000.0).alias("llr"),
+    )

@@ -742,3 +742,115 @@ def test_bootstrap_ci_constant_corpus_collapses(spark, tmp_path):
     assert r["n_rows"] == 60 and r["n_replicas"] == 200
     assert r["est_mean"] == 100.25
     assert r["ci_lo"] == 100.25 and r["ci_hi"] == 100.25
+
+
+def test_cuped_replica_and_debias(spark, tmp_path):
+    """r11 CUPED: plant y = 500 + 300*x + noise + 1000*treated with
+    treatment (custkey parity) deliberately CORRELATED with the
+    pre-period covariate x (treated units get +2 pre-orders), so the
+    raw contrast is inflated by ~600; the CUPED contrast lands far
+    closer to the true +1000. Exact numbers pinned against a pure-
+    python sufficient-statistics replica of the same formulas."""
+    import datetime
+
+    pre_date = datetime.datetime(1996, 6, 1)
+    post_date = datetime.datetime(1998, 6, 1)
+    cust_rows, order_rows = [], []
+    ok = 0
+    units = []
+    for i in range(100):
+        treated = i % 2 == 1
+        x = (i % 7) + (2 if treated else 0)
+        y = 500.0 + 300.0 * x + 10.0 * (i % 11) + (1000.0 if treated else 0.0)
+        units.append((treated, x, y))
+        cust_rows.append((i, f"c{i}", 1, 0.0, "SEG"))
+        for _ in range(x):
+            order_rows.append((ok, i, "O", 77.0, pre_date, "1-URGENT"))
+            ok += 1
+        order_rows.append((ok, i, "O", y, post_date, "1-URGENT"))
+        ok += 1
+    spark.createDataFrame(
+        cust_rows,
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        order_rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+
+    out = QUERIES["pipeline_cuped"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    # pure-python replica of the registered formulas
+    n = len(units)
+    sx = sum(x for _, x, _ in units)
+    sxx = sum(x * x for _, x, _ in units)
+    sy = sum(y for _, _, y in units)
+    sxy = sum(x * y for _, x, y in units)
+    t = [(x, y) for tr, x, y in units if tr]
+    c = [(x, y) for tr, x, y in units if not tr]
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    d_raw = sum(y for _, y in t) / len(t) - sum(y for _, y in c) / len(c)
+    d_x = sum(x for x, _ in t) / len(t) - sum(x for x, _ in c) / len(c)
+    d_cuped = d_raw - theta * d_x
+    assert r["n"] == 100 and r["n_t"] == 50 and r["n_c"] == 50
+    assert abs(r["theta"] - theta) < 1e-8
+    assert abs(r["delta_raw"] - d_raw) < 1e-8
+    assert abs(r["delta_cuped"] - d_cuped) < 1e-8
+    # the point of CUPED: the adjusted contrast is far less biased
+    assert abs(d_raw - 1000.0) > 500.0
+    # (not /3: the deliberate assignment-covariate correlation also
+    # contaminates pooled theta — 399.8 vs the structural 300 — so
+    # residual bias is ~200 of d_raw's ~605)
+    assert abs(r["delta_cuped"] - 1000.0) < abs(r["delta_raw"] - 1000.0) / 2
+
+
+def test_sprt_planted_crossings(spark, tmp_path):
+    """r11 SPRT: plant four regimes — all-success crosses +ln19 on
+    day one, all-failure crosses -ln19 on day one, a slow failure
+    drift crosses H0 on the integer-exact day 15, and a near-balanced
+    stream never crosses (continue at the last day). Expected days
+    derive from the same scaled-integer constants the key uses."""
+    import datetime
+
+    from osm_airflow_spark.plans.analytics import _SPRT_A, _SPRT_C0, _SPRT_C1
+
+    # drift: 5 success + 5 failure per day -> per-day llr step
+    step = 5 * _SPRT_C1 - 5 * _SPRT_C0
+    assert step < 0
+    cross_day = -(-_SPRT_A // -step)  # ceil(A / |step|)
+    rows = []
+    eid = 0
+    for d in range(20):
+        ts = datetime.datetime(2024, 3, 1) + datetime.timedelta(days=d)
+        day_events = (
+            [("hot", 99.0)] * 20
+            + [("cold", 1.0)] * 20
+            + [("drift", 99.0)] * 5
+            + [("drift", 1.0)] * 5
+            + [("flat", 99.0)] * 11
+            + [("flat", 1.0)] * 9
+        )
+        for typ, val in day_events:
+            rows.append((eid, ts, 1, typ, val, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    out = {r["event_type"]: r for r in QUERIES["pipeline_sprt"](spark, str(tmp_path)).collect()}
+    assert out["hot"]["decision"] == "accept_h1"
+    assert out["hot"]["day_decided"] == "2024-03-01"
+    assert out["cold"]["decision"] == "accept_h0"
+    assert out["cold"]["day_decided"] == "2024-03-01"
+    assert out["drift"]["decision"] == "accept_h0"
+    expect = datetime.date(2024, 3, 1) + datetime.timedelta(days=int(cross_day) - 1)
+    assert out["drift"]["day_decided"] == expect.isoformat()
+    assert out["flat"]["decision"] == "continue"
+    assert out["flat"]["day_decided"] == "2024-03-20"
+    assert out["flat"]["n_seen"] == 400
