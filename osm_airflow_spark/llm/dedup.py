@@ -1066,8 +1066,41 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     count DISTINCT sites map-side. The island window partitions by
     doc_id — bounded by document length, never global. Everything
     here is integer positions and exact string equality → SQL-oracled
-    (47 planted duplicated spans at sf0.01).
+    (47 planted duplicated spans at sf0.01). Detection leg shared
+    with the cleaning key ``llm_dedup_substring_cut`` via
+    ``_duplicated_spans``.
     """
+    return _duplicated_spans(spark, sf_dir).select(
+        "doc_id",
+        F.col("s").cast("long").alias("span_start"),
+        (F.col("e") - F.col("s")).cast("long").alias("span_len"),
+    )
+
+
+_SUBSTR_DETECT_SQL = f"""
+    g AS (
+      SELECT doc_id, p AS pos, substring(text, p + 1, {SUBSTR_K}) AS gram
+      FROM documents, LATERAL unnest(generate_series(0, length(text) - {SUBSTR_K})) AS t(p)
+      WHERE length(text) >= {SUBSTR_K}
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    marked AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM g WHERE gram IN (SELECT gram FROM dup)
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + {SUBSTR_K} AS e
+      FROM marked GROUP BY doc_id, island
+    )
+"""
+
+
+def _duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared detection leg of llm_dedup_substring / _cut: (doc_id,
+    s, e) half-open char spans of >=2-site duplicated length-K grams,
+    already maximal per anchor island (but possibly overlapping
+    ACROSS islands when anchor runs are < K chars apart)."""
     d = load_table(spark, sf_dir, "documents").where(F.length("text") >= SUBSTR_K)
     g = d.select(
         "doc_id",
@@ -1089,12 +1122,155 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands = marked.select(
         "doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("island")
     )
-    return (
-        islands.groupBy("doc_id", "island")
-        .agg(F.min("pos").alias("mn"), F.max("pos").alias("mx"))
-        .select(
-            "doc_id",
-            F.col("mn").cast("long").alias("span_start"),
-            (F.col("mx") - F.col("mn") + SUBSTR_K).cast("long").alias("span_len"),
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + SUBSTR_K).alias("e")
+    )
+
+
+@query(
+    "llm_dedup_substring_cut",
+    oracle=f"""
+    WITH {_SUBSTR_DETECT_SQL},
+    flagged AS (
+      SELECT doc_id, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_e
+      FROM spans
+    ),
+    grouped AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s) AS grp
+      FROM flagged
+    ),
+    merged AS (
+      SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+      FROM grouped GROUP BY doc_id, grp
+    ),
+    bounds AS (
+      SELECT m.doc_id, m.s, m.e,
+             COALESCE(LAG(m.e) OVER (PARTITION BY m.doc_id ORDER BY m.s), 0)
+               AS prev_e,
+             length(d.text) AS len, d.text
+      FROM merged m JOIN documents d USING (doc_id)
+    ),
+    segments AS (
+      SELECT doc_id, prev_e AS seg_s, s AS seg_e, text FROM bounds
+      UNION ALL
+      SELECT doc_id, MAX(e), ANY_VALUE(len), ANY_VALUE(text)
+      FROM bounds GROUP BY doc_id
+    ),
+    cleaned AS (
+      SELECT doc_id,
+             COALESCE(string_agg(
+               CASE WHEN seg_e > seg_s
+                    THEN substring(text, seg_s + 1, seg_e - seg_s) END,
+               '' ORDER BY seg_s), '') AS cleaned_text
+      FROM segments GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(c.cleaned_text, d.text) AS cleaned_text,
+           CAST(length(d.text)
+                - length(COALESCE(c.cleaned_text, d.text)) AS BIGINT)
+             AS n_cut
+    FROM documents d LEFT JOIN cleaned c USING (doc_id)
+    """,
+)
+def llm_dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r11) — the CLEANING step of exact-substring dedup
+    (Lee et al. 2022 ExactSubstr): emit the corpus with EVERY
+    duplicated span (llm_dedup_substring's detection leg, shared
+    helper) removed from every document. Cutting all occurrences —
+    rather than electing a canonical keeper — is order-free and
+    needs no cross-document coordination, which is what makes it
+    embarrassingly parallel at 100 TB (a keeper election would be a
+    connected-components pass over span-sharing docs; cluster_pairs
+    exists if that policy is ever wanted).
+
+    Pipeline: detection spans may overlap across anchor islands, so
+    a per-doc interval MERGE (running-max gaps-and-islands — the
+    same idiom as detection, one bounded window) unions them; the
+    complement segments (prev_end..start gaps plus the tail) are
+    substring'd and reassembled in seg-start order with the blessed
+    array_sort(collect_list(struct)) shape. Documents with no spans
+    pass through unchanged via LEFT join; a fully-duplicated doc
+    collapses to '' (COALESCE over the no-segment group). Everything
+    is integer positions and exact substrings → SQL-oracled; the
+    planted test pins byte-exact cleaned texts, incl. the
+    overlapping-span and total-cut edge cases."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = _duplicated_spans(spark, sf_dir)
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.select(
+        "doc_id", "s", "e", F.max("e").over(w_prev).alias("prev_e")
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("s")
+    grouped = flagged.select(
+        "doc_id",
+        "s",
+        "e",
+        F.sum(
+            F.when(F.col("prev_e").isNull() | (F.col("s") > F.col("prev_e")), 1)
+            .otherwise(0)
         )
+        .over(w_run)
+        .alias("grp"),
+    )
+    merged = grouped.groupBy("doc_id", "grp").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    bounds = merged.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "s",
+        "e",
+        F.coalesce(
+            F.lag("e").over(Window.partitionBy("doc_id").orderBy("s")), F.lit(0)
+        ).alias("prev_e"),
+        F.length("text").alias("len"),
+        "text",
+    )
+    head_gaps = bounds.select(
+        "doc_id", F.col("prev_e").alias("seg_s"), F.col("s").alias("seg_e"), "text"
+    )
+    tails = bounds.groupBy("doc_id").agg(
+        F.max("e").alias("seg_s"),
+        F.any_value("len").alias("seg_e"),
+        F.any_value("text").alias("text"),
+    )
+    segments = head_gaps.unionByName(tails.select("doc_id", "seg_s", "seg_e", "text"))
+    piece = F.when(
+        F.col("seg_e") > F.col("seg_s"),
+        F.col("text").substr(F.col("seg_s") + 1, F.col("seg_e") - F.col("seg_s")),
+    )
+    cleaned = (
+        segments.select("doc_id", F.col("seg_s"), piece.alias("piece"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("piece").isNotNull(),
+                                F.struct(F.col("seg_s"), F.col("piece")),
+                            )
+                        )
+                    ),
+                    lambda x: x["piece"],
+                ),
+                "",
+            ).alias("cleaned_text")
+        )
+    )
+    return docs.join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cleaned_text"), F.col("text")).alias("cleaned_text"),
+        (F.length("text") - F.length(F.coalesce(F.col("cleaned_text"), F.col("text"))))
+        .cast("long")
+        .alias("n_cut"),
     )

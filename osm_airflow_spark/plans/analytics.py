@@ -6195,7 +6195,16 @@ def pipeline_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     blessed array_sort(collect_list(...)) shape — 200 elements, a
     bounded collect by construction. Everything deterministic →
     SQL-oracled (the rare thing for a bootstrap)."""
-    c = load_table(spark, sf_dir, "customer")
+    # The B-fold explode multiplies work 200x BEFORE the first
+    # shuffle, so it inherits the scan's partitioning — a small
+    # single-file dimension would hash 200n rows in ONE task.
+    # Spreading the tiny input first costs a negligible shuffle and
+    # unlocks full map parallelism (measured 5.6 s -> 0.14 s warm at
+    # sf0.1 on local[32]); at 100 TB inputs are many-file already and
+    # this is a no-op-sized safety net.
+    c = load_table(spark, sf_dir, "customer").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     u = (
         F.conv(
             F.substring(
@@ -6482,4 +6491,80 @@ def pipeline_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n1") + F.col("n0")).cast("long").alias("n_seen"),
         F.col("n1").cast("long").alias("n_success"),
         (F.col("llr_m").cast("double") / 1000000.0).alias("llr"),
+    )
+
+
+@query(
+    "pipeline_power_analysis",
+    oracle="""
+    WITH stats AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4)))
+                  AS DOUBLE) AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    derived AS (
+      SELECT l_returnflag, n,
+             sx / n AS mean_x,
+             (n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1)) AS var_x
+      FROM stats
+    )
+    SELECT l_returnflag, n,
+           round(mean_x, 9) AS mean_qty,
+           round(var_x, 9) AS var_qty,
+           round(2.801585 * sqrt(2.0 * var_x / n), 9) AS mde_abs,
+           round(2.801585 * sqrt(2.0 * var_x / n) / mean_x, 9) AS mde_rel,
+           CAST(ceil(round(
+             2.0 * var_x * 2.801585 * 2.801585
+               / ((0.02 * mean_x) * (0.02 * mean_x)), 6)) AS BIGINT)
+             AS n_req_per_arm
+    FROM derived
+    """,
+)
+def pipeline_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test POWER ANALYSIS — the pre-experiment sizing report
+    that belongs beside pipeline_ab_test / pipeline_cuped /
+    pipeline_sprt: per return-flag stratum, the metric's mean and
+    variance from exact decimal sufficient statistics (n, Σx, Σx² —
+    the agg_stats_moments recipe, every unscaled value < 2^53 here
+    so casts are exact), then the two standard design numbers for a
+    two-sample z-test at alpha = 0.05 (two-sided), power = 0.80
+    (z_sum = 1.959964 + 0.841621 = 2.801585, one 15-digit-safe
+    literal):
+
+      MDE at current n      = z_sum * sqrt(2 var / n)
+      n per arm for 2% lift = ceil(2 var z_sum^2 / (0.02 mean)^2)
+
+    All emissions are single deterministic double expressions over
+    the exact statistics, rounded 9 dp (FMA guard); the ceil for
+    n_req reads a 6-dp-ROUNDED quotient so the integer decision
+    cannot sit on a contraction-dependent ulp (the bh_fdr
+    rounded-decision rule). One groupBy, sufficient statistics only —
+    nothing about this plan changes at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(24,4)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    n = F.col("n")
+    mean_x = F.col("sx") / n
+    var_x = (n * F.col("sxx") - F.col("sx") * F.col("sx")) / (n.cast("double") * (n - 1))
+    zsum = F.lit(2.801585)
+    mde_abs = zsum * F.sqrt(2.0 * var_x / n)
+    n_req = F.ceil(
+        F.round(2.0 * var_x * zsum * zsum / ((0.02 * mean_x) * (0.02 * mean_x)), 6)
+    )
+    return stats.select(
+        "l_returnflag",
+        "n",
+        F.round(mean_x, 9).alias("mean_qty"),
+        F.round(var_x, 9).alias("var_qty"),
+        F.round(mde_abs, 9).alias("mde_abs"),
+        F.round(mde_abs / mean_x, 9).alias("mde_rel"),
+        n_req.cast("long").alias("n_req_per_arm"),
     )

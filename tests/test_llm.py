@@ -2441,3 +2441,62 @@ def test_dedup_substring_planted_maximal_spans(spark, tmp_path):
         (3, 50, 45),
         (3, 50 + 45 + 60, 45),
     }
+
+
+def test_dedup_substring_cut_planted(spark, tmp_path):
+    """r11 span-cut: byte-exact cleaned texts — shared passage cut
+    from BOTH docs, untouched docs pass through, two disjoint anchor
+    islands whose spans overlap are interval-merged before cutting,
+    and a doc that is entirely one duplicated span collapses to ''."""
+    import hashlib
+
+    def filler(seed: str, n: int) -> str:
+        out = []
+        i = 0
+        while sum(len(s) for s in out) < n:
+            out.append(hashlib.sha256(f"{seed}:{i}".encode()).hexdigest())
+            i += 1
+        return "".join(out)[:n]
+
+    shared = filler("shared", 60)
+    a1, a2 = filler("a", 100), filler("a2", 80)
+    b1, b2 = filler("b", 37), filler("b2", 20)
+    c0 = filler("c", 150)
+    # overlap case: Y[0:40] shared with G, Y[20:60] shared with H ->
+    # two non-adjacent anchors in F (100 and 120), two islands, two
+    # overlapping spans [100,140) + [120,160) -> merged [100,160)
+    y = filler("y", 60)
+    f1 = filler("f", 100)
+    g1, g2 = filler("g", 30), filler("g2", 30)
+    h1, h2 = filler("h", 10), filler("h2", 10)
+    z = filler("z", 45)
+    u1, u2 = filler("u", 25), filler("u2", 25)
+    docs = {
+        0: a1 + shared + a2,
+        1: b1 + shared + b2,
+        2: c0,
+        3: f1 + y,
+        4: g1 + y[0:40] + g2,
+        5: h1 + y[20:60] + h2,
+        6: z,
+        7: u1 + z + u2,
+        8: filler("short", 30),
+    }
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_cut"])
+        for r in QUERIES["llm_dedup_substring_cut"](spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (a1 + a2, 60)
+    assert got[1] == (b1 + b2, 60)
+    assert got[2] == (c0, 0)
+    assert got[3] == (f1, 60)  # merged overlapping spans cut all of y
+    assert got[4] == (g1 + g2, 40)
+    assert got[5] == (h1 + h2, 40)
+    assert got[6] == ("", 45)  # total cut
+    assert got[7] == (u1 + u2, 45)
+    assert got[8] == (docs[8], 0)  # sub-K doc untouched

@@ -854,3 +854,36 @@ def test_sprt_planted_crossings(spark, tmp_path):
     assert out["flat"]["decision"] == "continue"
     assert out["flat"]["day_decided"] == "2024-03-20"
     assert out["flat"]["n_seen"] == 400
+
+
+def test_power_analysis_replica(spark, tmp_path):
+    """r11 power analysis: tiny planted stratum with hand-computable
+    moments — mean 15, var 400/12 — checked against a pure-python
+    replica of the registered z-test sizing formulas."""
+    import math
+
+    qs = [10.0, 10.0, 20.0, 20.0]
+    rows = [(i, 1, 1, i, q, 100.0, 0.0, 0.0, "X", "O", None) for i, q in enumerate(qs)]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    out = QUERIES["pipeline_power_analysis"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    n, sx, sxx = 4, 60.0, 1000.0
+    mean = sx / n
+    var = (n * sxx - sx * sx) / (n * (n - 1.0))
+    zsum = 2.801585
+    mde = zsum * math.sqrt(2.0 * var / n)
+    n_req = math.ceil(round(2.0 * var * zsum * zsum / ((0.02 * mean) ** 2), 6))
+    assert r["n"] == 4
+    assert abs(r["mean_qty"] - mean) < 1e-9
+    assert abs(r["var_qty"] - var) < 1e-8
+    assert abs(r["mde_abs"] - mde) < 1e-8
+    assert abs(r["mde_rel"] - mde / mean) < 1e-8
+    assert r["n_req_per_arm"] == n_req
