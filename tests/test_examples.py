@@ -19,6 +19,7 @@ EXAMPLES = [
     "corpus_health",
     "eval_report",
     "metrics_health",
+    "experiment_design",
 ]
 
 

@@ -204,6 +204,9 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
         "agg_kmv_distinct",           # r9: min-hash sketch under rollup
         "pipeline_acf",               # r9: n-scaled exact-deviation ratios
         "mm_dedup_cluster",           # r9: ahash bands -> label propagation
+        "llm_dedup_substring",        # r11: gram anchors -> islands window
+        "pipeline_sprt",              # r11: running integer LLR + join-back
+        "pipeline_bootstrap_ci",      # r11: hash weights -> order statistics
     ],
 )
 def test_partition_count_independence(spark, sf_dir, key, monkeypatch):
