@@ -6027,7 +6027,9 @@ def pipeline_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     qhat AS (
       SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_cal,
-             list_sort(list(resid))[(9 * (COUNT(*) + 1) + 9) // 10] AS q_resid
+             CASE WHEN (9 * (COUNT(*) + 1) + 9) // 10 <= COUNT(*)
+                  THEN list_sort(list(resid))[(9 * (COUNT(*) + 1) + 9) // 10]
+                  END AS q_resid
       FROM calib GROUP BY prio
     ),
     cov AS (
@@ -6094,7 +6096,15 @@ def pipeline_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.expr("(9 * (count(1) + 1) + 9) div 10")
     qhat = calib.groupBy("prio").agg(
         F.count(F.lit(1)).alias("n_cal"),
-        F.element_at(F.array_sort(F.collect_list("resid")), k.cast("int")).alias("q_resid"),
+        # conformal rank k = ceil(0.9(n+1)) exceeds n whenever n < 18:
+        # the guarantee then needs the INFINITE interval — emit NULL
+        # (DuckDB's out-of-range list index is NULL; Spark's under
+        # ANSI is a runtime error, so the guard is correctness AND
+        # crash-safety — the win_hampel_outliers lesson)
+        F.when(
+            k <= F.count(F.lit(1)),
+            F.element_at(F.array_sort(F.collect_list("resid")), k.cast("int")),
+        ).alias("q_resid"),
     )
     cov = (
         base.where(F.col("fold") == 4)
@@ -6158,8 +6168,10 @@ _BOOT_B = 200  # replicas; 2.5% tails -> order statistics 5 and 196
     ),
     summ AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_replicas,
-             list_sort(list(rep_mean))[5] AS ci_lo,
-             list_sort(list(rep_mean))[196] AS ci_hi
+             CASE WHEN COUNT(*) >= 196
+                  THEN list_sort(list(rep_mean))[5] END AS ci_lo,
+             CASE WHEN COUNT(*) >= 196
+                  THEN list_sort(list(rep_mean))[196] END AS ci_hi
       FROM means
     ),
     point AS (
@@ -6238,10 +6250,18 @@ def pipeline_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("w")
         ).alias("rep_mean")
     )
+    # empty-corpus guard: zero replicas -> element_at on an empty
+    # array is an ANSI runtime error in Spark (NULL in DuckDB) —
+    # emit NULL bounds instead of crashing
+    has_b = F.count(F.lit(1)) >= 196
     summ = means.agg(
         F.count(F.lit(1)).alias("n_replicas"),
-        F.element_at(F.array_sort(F.collect_list("rep_mean")), 5).alias("ci_lo"),
-        F.element_at(F.array_sort(F.collect_list("rep_mean")), 196).alias("ci_hi"),
+        F.when(
+            has_b, F.element_at(F.array_sort(F.collect_list("rep_mean")), 5)
+        ).alias("ci_lo"),
+        F.when(
+            has_b, F.element_at(F.array_sort(F.collect_list("rep_mean")), 196)
+        ).alias("ci_hi"),
     )
     point = c.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -6290,11 +6310,14 @@ def pipeline_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM units
     )
     SELECT n, n_t, n_c,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS theta,
-           round(sy_t / n_t - sy_c / n_c, 9) AS delta_raw,
-           round((sy_t / n_t - sy_c / n_c)
-                 - round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
-                   * (sx_t / n_t - sx_c / n_c), 9) AS delta_cuped
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) END AS theta,
+           CASE WHEN n_t > 0 AND n_c > 0 THEN
+             round(sy_t / n_t - sy_c / n_c, 9) END AS delta_raw,
+           CASE WHEN n_t > 0 AND n_c > 0 AND n * sxx - sx * sx <> 0 THEN
+             round((sy_t / n_t - sy_c / n_c)
+                   - round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+                     * (sx_t / n_t - sx_c / n_c), 9) END AS delta_cuped
     FROM stats
     """,
 )
@@ -6362,13 +6385,21 @@ def pipeline_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean_gap_y = F.col("sy_t") / F.col("n_t") - F.col("sy_c") / F.col("n_c")
     mean_gap_x = F.col("sx_t") / F.col("n_t") - F.col("sx_c") / F.col("n_c")
+    # degenerate-input guards (NULL, never Inf/NaN — NaN compares
+    # engine-dependently, the runs_test rule): a constant covariate
+    # has var(x) = 0 (theta undefined), a single-arm corpus has no
+    # contrast
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    both_arms = (F.col("n_t") > 0) & (F.col("n_c") > 0)
     return stats.select(
         "n",
         "n_t",
         "n_c",
-        theta.alias("theta"),
-        F.round(mean_gap_y, 9).alias("delta_raw"),
-        F.round(mean_gap_y - theta * mean_gap_x, 9).alias("delta_cuped"),
+        F.when(den != 0, theta).alias("theta"),
+        F.when(both_arms, F.round(mean_gap_y, 9)).alias("delta_raw"),
+        F.when(both_arms & (den != 0), F.round(mean_gap_y - theta * mean_gap_x, 9)).alias(
+            "delta_cuped"
+        ),
     )
 
 
@@ -6387,7 +6418,7 @@ _SPRT_A = 2944439
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
              SUM(CASE WHEN value > 10.0 THEN 1 ELSE 0 END) AS s,
              SUM(CASE WHEN value > 10.0 THEN 0 ELSE 1 END) AS f
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
       GROUP BY 1, 2
     ),
     walk AS (
@@ -6450,7 +6481,12 @@ def pipeline_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState fold (streaming/stateful.py cusum shape)."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # ts null guard: a NULL day would sort NULLS FIRST in Spark's
+    # window but NULLS LAST in DuckDB's — exclude it from the walk in
+    # both engines
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     daily = (
         e.select(
             "event_type",
@@ -6513,12 +6549,15 @@ def pipeline_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, n,
            round(mean_x, 9) AS mean_qty,
-           round(var_x, 9) AS var_qty,
-           round(2.801585 * sqrt(2.0 * var_x / n), 9) AS mde_abs,
-           round(2.801585 * sqrt(2.0 * var_x / n) / mean_x, 9) AS mde_rel,
-           CAST(ceil(round(
-             2.0 * var_x * 2.801585 * 2.801585
-               / ((0.02 * mean_x) * (0.02 * mean_x)), 6)) AS BIGINT)
+           CASE WHEN n >= 2 THEN round(var_x, 9) END AS var_qty,
+           CASE WHEN n >= 2 THEN
+             round(2.801585 * sqrt(2.0 * var_x / n), 9) END AS mde_abs,
+           CASE WHEN n >= 2 AND mean_x <> 0 THEN
+             round(2.801585 * sqrt(2.0 * var_x / n) / mean_x, 9) END AS mde_rel,
+           CASE WHEN n >= 2 AND mean_x <> 0 THEN
+             CAST(ceil(round(
+               2.0 * var_x * 2.801585 * 2.801585
+                 / ((0.02 * mean_x) * (0.02 * mean_x)), 6)) AS BIGINT) END
              AS n_req_per_arm
     FROM derived
     """,
@@ -6559,12 +6598,16 @@ def pipeline_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_req = F.ceil(
         F.round(2.0 * var_x * zsum * zsum / ((0.02 * mean_x) * (0.02 * mean_x)), 6)
     )
+    # degenerate guards (NULL, never Inf/NaN): variance needs n >= 2,
+    # the relative numbers need a nonzero mean
+    has_var = n >= 2
+    has_mean = has_var & (mean_x != 0)
     return stats.select(
         "l_returnflag",
         "n",
         F.round(mean_x, 9).alias("mean_qty"),
-        F.round(var_x, 9).alias("var_qty"),
-        F.round(mde_abs, 9).alias("mde_abs"),
-        F.round(mde_abs / mean_x, 9).alias("mde_rel"),
-        n_req.cast("long").alias("n_req_per_arm"),
+        F.when(has_var, F.round(var_x, 9)).alias("var_qty"),
+        F.when(has_var, F.round(mde_abs, 9)).alias("mde_abs"),
+        F.when(has_mean, F.round(mde_abs / mean_x, 9)).alias("mde_rel"),
+        F.when(has_mean, n_req.cast("long")).alias("n_req_per_arm"),
     )
