@@ -288,3 +288,92 @@ def running_distinct_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming SPRT monitor -----------------------------------------
+
+SPRT_STATE = T.StructType(
+    [
+        T.StructField("n1", T.LongType()),        # running successes
+        T.StructField("n0", T.LongType()),        # running failures
+        T.StructField("decision", T.StringType()),
+        T.StructField("day_decided", T.StringType()),
+    ]
+)
+
+SPRT_OUTPUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("decision", T.StringType()),
+        T.StructField("day_decided", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("n_success", T.LongType()),
+        T.StructField("llr", T.DoubleType()),
+    ]
+)
+
+
+def sprt_monitor_stream(daily: DataFrame) -> DataFrame:
+    """Streaming Wald SPRT (r11): the batch key ``pipeline_sprt``
+    re-walks the whole daily table per run; this operator maintains
+    the sequential test INCREMENTALLY per event type via
+    ``applyInPandasWithState``. Per-key state is exactly the test's
+    sufficient statistic — the two running counts (n1, n0) — plus the
+    frozen decision: a sequential test STOPS at its first boundary
+    crossing, so once decided the counts freeze and every later batch
+    just re-emits the verdict (the always-valid dashboard row).
+
+    The LLR uses the SAME scaled-integer constants as the batch key
+    (imported — one source of truth), so stream/batch parity is
+    EXACT, not tolerance-based: integer counts x integer constants
+    have no accumulation error to diverge on. Alignment contract as
+    cusum_monitor_stream: input rows are DAILY aggregates
+    (event_type, day string, s long, f long) and a day must not
+    straddle micro-batches.
+
+    Scale: one shuffle per micro-batch on event_type, O(types) state,
+    unbounded stream length — the 100 TB-stream form of the batch
+    key's calendar-bounded window walk."""
+    from osm_airflow_spark.plans.analytics import _SPRT_A, _SPRT_C0, _SPRT_C1
+
+    def update(
+        key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        if state.exists:
+            n1, n0, decision, dday = state.get
+        else:
+            n1, n0, decision, dday = 0, 0, "continue", ""
+        rows = pd.concat(list(batches), ignore_index=True).sort_values("day")
+        for _, r in rows.iterrows():
+            if decision != "continue":
+                break  # sequential test stopped: counts freeze
+            n1 += int(r["s"])
+            n0 += int(r["f"])
+            llr_m = n1 * _SPRT_C1 - n0 * _SPRT_C0
+            if llr_m >= _SPRT_A:
+                decision, dday = "accept_h1", str(r["day"])
+            elif llr_m <= -_SPRT_A:
+                decision, dday = "accept_h0", str(r["day"])
+        state.update((n1, n0, decision, dday))
+        llr_m = n1 * _SPRT_C1 - n0 * _SPRT_C0
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": etype,
+                    "decision": decision,
+                    "day_decided": dday if decision != "continue" else str(rows["day"].max()),
+                    "n_seen": n1 + n0,
+                    "n_success": n1,
+                    "llr": float(llr_m) / 1000000.0,
+                }
+            ]
+        )
+
+    return daily.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=SPRT_OUTPUT,
+        stateStructType=SPRT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

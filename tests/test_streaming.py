@@ -1395,3 +1395,84 @@ def test_near_dedup_ingest_stream_parity_with_batch(spark, sf_dir, tmp_path):
     assert any(b >= 10000 and w < 1.0 for (a, b), w in want.items()), want
     # and the exact cross-batch copy was found too
     assert any(b == 20007 for (a, b) in want), sorted(want)
+
+
+def test_sprt_monitor_stream_exact_parity_with_batch(spark, tmp_path):
+    """Streaming SPRT (frozen-decision state) vs the batch key on the
+    SAME planted four-regime series, fed as four whole-day micro-batch
+    files: decision, decision day, counts and LLR must match EXACTLY —
+    the scaled-integer LLR has no accumulation error to hide behind.
+    Also pins the stop-rule: a decided type's counts freeze even
+    though later chunks keep arriving."""
+    import datetime
+    import json
+    import os
+
+    from osm_airflow_spark.registry import all_queries
+    from osm_airflow_spark.streaming.stateful import sprt_monitor_stream
+    from pyspark.sql import functions as F
+
+    rows = []
+    eid = 0
+    daily = []
+    for d in range(20):
+        ts = datetime.datetime(2024, 3, 1) + datetime.timedelta(days=d)
+        day = ts.date().isoformat()
+        mix = [("hot", 20, 0), ("cold", 0, 20), ("drift", 5, 5), ("flat", 11, 9)]
+        for typ, s, f in mix:
+            daily.append({"event_type": typ, "day": day, "s": s, "f": f})
+            for _ in range(s):
+                rows.append((eid, ts, 1, typ, 99.0, "{}"))
+                eid += 1
+            for _ in range(f):
+                rows.append((eid, ts, 1, typ, 1.0, "{}"))
+                eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    batch = {
+        r["event_type"]: r
+        for r in all_queries()["pipeline_sprt"](spark, str(tmp_path)).collect()
+    }
+
+    src = tmp_path / "daily"
+    src.mkdir()
+    per_chunk = 4 * 5  # 5 days x 4 types per file
+    for i in range(4):
+        path = src / f"chunk{i}.json"
+        with open(path, "w") as f:
+            for row in daily[i * per_chunk : (i + 1) * per_chunk]:
+                f.write(json.dumps(row) + "\n")
+        os.utime(path, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema("event_type string, day string, s long, f long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        sprt_monitor_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_sprt")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {
+        r["event_type"]: r
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY event_type"
+            " ORDER BY n_seen DESC) rk FROM t_sprt) WHERE rk = 1"
+        ).collect()
+    }
+    assert set(final) == set(batch)
+    for typ, b in batch.items():
+        s = final[typ]
+        assert s["decision"] == b["decision"], typ
+        assert s["day_decided"] == b["day_decided"], typ
+        assert s["n_seen"] == b["n_seen"], typ
+        assert s["n_success"] == b["n_success"], typ
+        assert s["llr"] == b["llr"], typ  # exact — integer LLR
