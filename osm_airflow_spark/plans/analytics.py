@@ -6611,3 +6611,61 @@ def pipeline_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(has_mean, F.round(mde_abs / mean_x, 9)).alias("mde_rel"),
         F.when(has_mean, n_req.cast("long")).alias("n_req_per_arm"),
     )
+
+
+def conformal_qhat_histogram(
+    calib: DataFrame,
+    group_col: str = "prio",
+    resid_col: str = "resid",
+    bin_width: float = 1000.0,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """The 100 TB path pipeline_conformal's docstring promises: a
+    FIXED-WIDTH-HISTOGRAM conformal quantile that never materializes
+    a per-group sorted residual list.
+
+    Exact split conformal needs the k-th smallest calibration
+    residual (k = ceil((1-alpha)(n+1))); the sorted-collect form
+    holds one group in memory. This form buckets residuals into
+    fixed-width bins (one groupBy on (group, bin) — mergeable,
+    bounded state) and returns the UPPER EDGE of the first bin whose
+    cumulative count reaches k. Because the upper edge >= the true
+    k-th order statistic, intervals built from it are CONSERVATIVE:
+    coverage >= 1 - alpha still holds (Angelopoulos & Bates 2023 §2
+    remark on conservative scores), at a width cost of at most one
+    bin. The cumulative walk is a window over BINS per group —
+    bounded by range/bin_width, never by n.
+
+    alpha is passed as a rational (num/den) so k stays integer
+    arithmetic. Returns (group, n_cal, q_hist)."""
+    from pyspark.sql import Window
+
+    b = F.floor(F.col(resid_col) / bin_width).cast("long").alias("bin")
+    bins = (
+        calib.select(F.col(group_col).alias("grp"), b)
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("grp").orderBy("bin")
+    n_w = Window.partitionBy("grp")
+    cum = bins.select(
+        "grp",
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(n_w).alias("n_cal"),
+    )
+    # k = ceil((1-alpha)(n+1)) with alpha = num/den, in integers
+    k = F.expr(
+        f"(({alpha_den} - {alpha_num}) * (n_cal + 1) + {alpha_den} - 1)"
+        f" div {alpha_den}"
+    )
+    hits = cum.where(F.col("cum") >= k)
+    return (
+        hits.groupBy("grp")
+        .agg(
+            F.any_value("n_cal").alias("n_cal"),
+            ((F.min("bin") + 1) * bin_width).alias("q_hist"),
+        )
+        .select(F.col("grp").alias(group_col), "n_cal", "q_hist")
+    )

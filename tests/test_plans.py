@@ -964,3 +964,56 @@ def test_experiment_keys_degenerate_inputs(spark, tmp_path):
     assert out["S"]["var_qty"] is None and out["S"]["n_req_per_arm"] is None
     assert out["Z"]["var_qty"] == 0.0
     assert out["Z"]["mde_rel"] is None and out["Z"]["n_req_per_arm"] is None
+
+
+def test_conformal_histogram_is_conservative(spark, tmp_path):
+    """r11: the histogram conformal path must dominate the exact
+    order statistic (q_hist >= q_exact, within one bin) so coverage
+    stays >= 1 - alpha — checked against the exact key on the same
+    planted calibration residuals."""
+    from osm_airflow_spark.plans.analytics import conformal_qhat_histogram
+
+    rows = []
+    ok = 0
+
+    def next_key(fold):
+        nonlocal ok
+        while ok % 5 != fold:
+            ok += 1
+        k = ok
+        ok += 1
+        return k
+
+    for _ in range(40):
+        rows.append((next_key(0), 1, "O", 1000.0, None, "1-URGENT"))
+    for r in range(1, 40):
+        rows.append((next_key(3), 1, "O", 1000.0 + r * 100.0, None, "1-URGENT"))
+    for r in (30.0, -36.0, 37.0):
+        rows.append((next_key(4), 1, "O", 1000.0 + r, None, "1-URGENT"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+
+    exact = QUERIES["pipeline_conformal"](spark, str(tmp_path)).collect()[0]
+
+    from osm_airflow_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, str(tmp_path), "orders")
+    base_df = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_orderkey") % 5).alias("fold"),
+        F.col("o_totalprice").cast("double").alias("y"),
+    )
+    pred = 1000.0  # constant train target
+    calib = base_df.where(F.col("fold") == 3).select(
+        "prio", F.abs(F.col("y") - F.lit(pred)).alias("resid")
+    )
+    hist = conformal_qhat_histogram(calib, bin_width=250.0).collect()[0]
+    assert hist["n_cal"] == exact["n_cal"] == 39
+    # exact q = 36th smallest = 3600; histogram bin 250 -> upper edge
+    assert exact["q_resid"] == 3600.0
+    assert hist["q_hist"] >= exact["q_resid"]
+    assert hist["q_hist"] - exact["q_resid"] <= 250.0  # within one bin
