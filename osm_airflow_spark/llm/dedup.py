@@ -1096,11 +1096,22 @@ _SUBSTR_DETECT_SQL = f"""
 """
 
 
-def _duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _duplicated_spans(
+    spark: SparkSession, sf_dir: str, use_digest: bool = False
+) -> DataFrame:
     """Shared detection leg of llm_dedup_substring / _cut: (doc_id,
     s, e) half-open char spans of >=2-site duplicated length-K grams,
     already maximal per anchor island (but possibly overlapping
-    ACROSS islands when anchor runs are < K chars apart)."""
+    ACROSS islands when anchor runs are < K chars apart).
+
+    ``use_digest=True`` is the 100 TB form the key docstrings cite:
+    the anchor groupBy/join keys on a 128-bit content digest (two
+    independently-seeded xxhash64 halves) instead of the K-char gram
+    string, cutting shuffle bytes ~2.5x at K=40 and more at larger K;
+    collision probability ~n²/2¹²⁸ is negligible at any corpus size.
+    Equivalence with the exact-string form is pytest-pinned; the
+    oracled keys default to the exact form so the oracle contract
+    stays string-equality."""
     d = load_table(spark, sf_dir, "documents").where(F.length("text") >= SUBSTR_K)
     g = d.select(
         "doc_id",
@@ -1111,13 +1122,23 @@ def _duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.col("text").substr(F.col("pos") + 1, F.lit(SUBSTR_K)).alias("gram"),
     )
+    if use_digest:
+        g = g.select(
+            "doc_id",
+            "pos",
+            F.xxhash64(F.lit(0), F.col("gram")).alias("h1"),
+            F.xxhash64(F.lit(1), F.col("gram")).alias("h2"),
+        )
+        anchor_cols = ["h1", "h2"]
+    else:
+        anchor_cols = ["gram"]
     dup = (
-        g.groupBy("gram")
+        g.groupBy(*anchor_cols)
         .agg(F.count(F.lit(1)).alias("n_sites"))
         .where(F.col("n_sites") >= 2)
-        .select("gram")
+        .select(*anchor_cols)
     )
-    marked = g.join(dup, "gram", "left_semi")
+    marked = g.join(dup, anchor_cols, "left_semi")
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = marked.select(
         "doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("island")

@@ -2500,3 +2500,21 @@ def test_dedup_substring_cut_planted(spark, tmp_path):
     assert got[6] == ("", 45)  # total cut
     assert got[7] == (u1 + u2, 45)
     assert got[8] == (docs[8], 0)  # sub-K doc untouched
+
+
+def test_dedup_substring_digest_form_equivalent(spark, sf_dir):
+    """r11: the 128-bit-digest anchor form (the 100 TB shuffle-bytes
+    variant) finds the IDENTICAL span set as the exact-string form on
+    the bundled fixture — the documented-collision-negligible claim,
+    demonstrated rather than asserted."""
+    from osm_airflow_spark.llm.dedup import _duplicated_spans
+
+    exact = {
+        (r["doc_id"], r["s"], r["e"])
+        for r in _duplicated_spans(spark, sf_dir).collect()
+    }
+    digest = {
+        (r["doc_id"], r["s"], r["e"])
+        for r in _duplicated_spans(spark, sf_dir, use_digest=True).collect()
+    }
+    assert exact and digest == exact
