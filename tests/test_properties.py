@@ -473,3 +473,34 @@ def test_simplify_line_q_invariants_property(pts):
     # no-op, so the decisions replay identically
     again = simplify_line_q([(x / 1e6, y / 1e6) for x, y in kept])
     assert list(zip(*again)) == kept if kept else True
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    resids=st.lists(
+        st.floats(min_value=0.0, max_value=1e6, allow_nan=False, width=32),
+        min_size=20,
+        max_size=120,
+    ),
+    width=st.sampled_from([10.0, 250.0, 1000.0, 37.5]),
+)
+def test_conformal_histogram_dominates_exact(spark, resids, width):
+    """Property: for ANY calibration residual set and bin width, the
+    histogram conformal quantile is >= the exact k-th order statistic
+    (coverage-conservative) and exceeds it by at most one bin."""
+
+
+    from osm_airflow_spark.plans.analytics import conformal_qhat_histogram
+
+    df = spark.createDataFrame(
+        [("g", float(r)) for r in resids], "prio string, resid double"
+    )
+    row = conformal_qhat_histogram(df, bin_width=width).collect()[0]
+    n = len(resids)
+    k = (9 * (n + 1) + 9) // 10  # same integer ceil as the engine
+    if k > n:
+        return  # exact form undefined (infinite interval)
+    exact = sorted(resids)[k - 1]
+    assert row["n_cal"] == n
+    assert row["q_hist"] >= exact
+    assert row["q_hist"] - exact <= width + 1e-9
