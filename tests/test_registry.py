@@ -188,6 +188,14 @@ def test_no_interval_division_in_oracles():
 # unrounded emission (bit-identical shared IEEE trees) or exact
 # integer HALF_UP (llm_vocab_coverage) in round 7.
 ROUND_AUDITED = {
+    "pipeline_cuped": "fma (theta and both contrasts are single double "
+    "expressions over exact-cast sufficient statistics; DuckDB may "
+    "contract a*b-c — the corr_exact 9 dp guard; delta_cuped reads the "
+    "ROUNDED theta so the adjustment itself cannot diverge)",
+    "pipeline_power_analysis": "fma (same corr_exact guard on the "
+    "mean/var/MDE doubles) + decision (n_req's ceil reads a 6-dp-rounded "
+    "quotient — the bh_fdr rounded-decision rule, so the integer emission "
+    "can't sit on a contraction ulp)",
     "pipeline_grouped_ols": "ulp (slope is a ratio of exact decimals "
     "whose unscaled magnitudes pass 2^53 at sf>=~0.5 — the acf 9 dp "
     "decimal-ratio emission; intercept derives from the rounded slope)",
