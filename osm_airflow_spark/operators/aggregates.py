@@ -975,3 +975,77 @@ def agg_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp_rate"),
         (q * q * q).alias("predicted_fp"),
     )
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             COUNT(*) // 20 AS k,
+             list_sort(list(CAST(l_extendedprice AS DECIMAL(18,2)))) AS arr,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS k,
+           total / n AS raw_mean,
+           CAST(list_sum(arr[k + 1 : n - k]) AS DOUBLE) / (n - 2 * k)
+             AS trimmed_mean,
+           CAST(list_sum(arr[k + 1 : n - k])
+                + k * (arr[k + 1] + arr[n - k]) AS DOUBLE) / n AS winsor_mean
+    FROM g
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext E22 (r11) — ROBUST location per group: the 5% two-sided
+    TRIMMED mean (drop the k = n div 20 smallest and largest) and the
+    WINSORIZED mean (clamp them to the k+1-th / n-k-th values)
+    beside the raw mean — the outlier-resistant aggregates a metrics
+    platform reports when means move on whale activity (Tukey; the
+    despike sibling of win_hampel_outliers, which edits points —
+    these edit the AGGREGATE).
+
+    Exactness: the sorted group is a DECIMAL array, the trimmed sum
+    is an in-array decimal fold (exact at any order), the winsorized
+    correction k·(lo+hi) is integer×decimal, and each mean is ONE
+    double cast + division — hash-exact, where any float prefix sum
+    would not be. k = n div 20 in integer arithmetic; k = 0
+    degenerates all three means to equal, n = 1 keeps the slice
+    non-empty (n-2k >= 0.9n).
+
+    Scale: like agg_percentile this materializes one GROUP in memory
+    (fine at bounded group count; 3 return flags here). For
+    high-cardinality groups or 100 TB groups, trim via two
+    approx_percentile cut values + conditional aggregation — the
+    sketch path, conservative at the trim boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    grp = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_sort(
+            F.collect_list(F.col("l_extendedprice").cast("decimal(18,2)"))
+        ).alias("arr"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+    return grp.selectExpr(
+        "l_returnflag",
+        "n",
+        "n div 20 AS k",
+        "total / n AS raw_mean",
+        """CAST(aggregate(slice(arr, CAST(n div 20 + 1 AS INT),
+                                CAST(n - 2 * (n div 20) AS INT)),
+                          CAST(0 AS DECIMAL(38,2)),
+                          (acc, x) -> acc + CAST(x AS DECIMAL(38,2)))
+                AS DOUBLE) / (n - 2 * (n div 20)) AS trimmed_mean""",
+        """CAST(aggregate(slice(arr, CAST(n div 20 + 1 AS INT),
+                                CAST(n - 2 * (n div 20) AS INT)),
+                          CAST(0 AS DECIMAL(38,2)),
+                          (acc, x) -> acc + CAST(x AS DECIMAL(38,2)))
+                + (n div 20) * (element_at(arr, CAST(n div 20 + 1 AS INT))
+                                + element_at(arr, CAST(n - n div 20 AS INT)))
+                AS DOUBLE) / n AS winsor_mean""",
+    )

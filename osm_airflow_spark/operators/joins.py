@@ -477,3 +477,60 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_open_orders",
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    SELECT event_id, ts, user_id,
+           o_orderkey AS nearest_orderkey, o_orderdate AS nearest_orderdate,
+           gap_us
+    FROM (
+      SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate,
+             abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) AS gap_us,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)),
+                        o.o_orderdate, o.o_orderkey) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext D9c — NEAREST-match as-of join: the closest order in
+    EITHER time direction, completing the as-of family (D9 backward,
+    D9b backward+tolerance, D9c nearest — pandas merge_asof's three
+    ``direction`` modes). Distance is |Δt| in INTEGER epoch
+    MICROSECONDS (the house timestamp-arithmetic rule — never
+    interval division), ties prefer the EARLIER order then the
+    smaller key, so the order is total.
+
+    Same scale shape as D9: the candidate join is an equi-join on
+    the user key and the winner is a map-side MIN(struct) — the
+    shuffle carries one row per event regardless of history depth.
+    Nearest (unlike backward) cannot prune candidates with a time
+    predicate; at 100 TB band the join by coarse time bucket
+    (join on bucket and bucket±1 — the join_interval_overlap
+    pattern) so each event only meets its neighborhood."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    # ntz -> timestamp is identity under the session's pinned UTC
+    gap = F.abs(
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    )
+    best = F.min(F.struct(gap.alias("gap_us"), "o_orderdate", "o_orderkey")).alias("best")
+    return (
+        e.join(o, F.col("o_custkey") == F.col("user_id"))
+        .groupBy("event_id", "ts", "user_id")
+        .agg(best)
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            F.col("best.o_orderkey").alias("nearest_orderkey"),
+            F.col("best.o_orderdate").alias("nearest_orderdate"),
+            F.col("best.gap_us").alias("gap_us"),
+        )
+    )

@@ -1422,3 +1422,71 @@ def test_rsi_planted_regimes(spark, tmp_path):
         assert all(r["rsi"] == want for r in got[u]), (u, got[u][0]["rsi"])
     assert all(r["rsi"] is None for r in got[4])
     assert all(r["sum_gain"] == 0.0 and r["sum_loss"] == 0.0 for r in got[4])
+
+
+def test_join_asof_nearest_direction_and_ties(spark, tmp_path):
+    """r11 D9c: nearest picks the closer order in EITHER direction
+    (backward asof would ignore the later one); an exact |delta| tie
+    prefers the EARLIER order; users with no orders drop (inner
+    semantics, same as D9)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+    def dt(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    spark.createDataFrame(
+        [
+            (1, t0, 10, "click", 1.0, "{}"),   # orders at -10s and +5s
+            (2, t0, 20, "click", 1.0, "{}"),   # tie: -7s and +7s
+            (3, t0, 30, "click", 1.0, "{}"),   # user 30 has no orders
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    spark.createDataFrame(
+        [
+            (100, 10, "O", 1.0, dt(-10), "1-URGENT"),
+            (101, 10, "O", 1.0, dt(5), "1-URGENT"),
+            (200, 20, "O", 1.0, dt(-7), "1-URGENT"),
+            (201, 20, "O", 1.0, dt(7), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+
+    rows = {
+        r["event_id"]: r
+        for r in QUERIES["join_asof_nearest"](spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[1]["nearest_orderkey"] == 101 and rows[1]["gap_us"] == 5_000_000
+    assert rows[2]["nearest_orderkey"] == 200 and rows[2]["gap_us"] == 7_000_000
+
+
+def test_trimmed_mean_planted_outliers(spark, tmp_path):
+    """r11 E22: n=20 with planted +-1000 whales -> k=1 trims exactly
+    them; trimmed and winsorized means hit the closed forms while the
+    raw mean is dragged; a tiny n<20 group has k=0 and all three
+    means coincide."""
+    vals = list(range(1, 19)) + [1000.0, -1000.0]  # n=20, k=1
+    rows = [(i, 1, 1, i, 1.0, float(v), 0.0, 0.0, "T", "O", None) for i, v in enumerate(vals)]
+    rows += [(100 + i, 1, 1, i, 1.0, float(v), 0.0, 0.0, "S", "O", None) for i, v in enumerate([5.0, 7.0])]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    out = {r["l_returnflag"]: r for r in QUERIES["agg_trimmed_mean"](spark, str(tmp_path)).collect()}
+    t = out["T"]
+    assert (t["n"], t["k"]) == (20, 1)
+    assert t["raw_mean"] == sum(range(1, 19)) / 20.0
+    assert t["trimmed_mean"] == sum(range(1, 19)) / 18.0  # whales gone
+    assert t["winsor_mean"] == (sum(range(1, 19)) + 1.0 + 18.0) / 20.0
+    s = out["S"]
+    assert s["k"] == 0
+    assert s["raw_mean"] == s["trimmed_mean"] == s["winsor_mean"] == 6.0
