@@ -2518,3 +2518,24 @@ def test_dedup_substring_digest_form_equivalent(spark, sf_dir):
         for r in _duplicated_spans(spark, sf_dir, use_digest=True).collect()
     }
     assert exact and digest == exact
+
+
+def test_dedup_substring_degenerate_identical_corpus(spark, tmp_path):
+    """r11 skew probe: 200 IDENTICAL documents — every anchor gram is
+    duplicated 200x (maximally hot groupBy keys, the boilerplate-gram
+    skew case). The plan must complete promptly (partial aggregation
+    absorbs hot counts map-side; AQE splits the skewed semi-join) and
+    the semantics collapse cleanly: one full-document span per doc,
+    and the cut key reduces every doc to ''."""
+    text = ("the quick brown fox jumps over the lazy dog " * 7)[:300]
+    spark.createDataFrame(
+        [(i, text, "en", "src", len(text)) for i in range(200)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    spans = QUERIES["llm_dedup_substring"](spark, str(tmp_path)).collect()
+    assert len(spans) == 200
+    assert all((r["span_start"], r["span_len"]) == (0, 300) for r in spans)
+    cut = QUERIES["llm_dedup_substring_cut"](spark, str(tmp_path)).collect()
+    assert len(cut) == 200
+    assert all(r["cleaned_text"] == "" and r["n_cut"] == 300 for r in cut)
