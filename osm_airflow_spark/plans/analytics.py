@@ -6669,3 +6669,248 @@ def conformal_qhat_histogram(
         )
         .select(F.col("grp").alias(group_col), "n_cal", "q_hist")
     )
+
+
+@query(
+    "pipeline_pettitt",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT a.event_type, a.day,
+             1 + CAST(SUM(CASE WHEN b.x < a.x THEN 1 ELSE 0 END) AS BIGINT)
+               + CAST(SUM(CASE WHEN b.x <= a.x THEN 1 ELSE 0 END) AS BIGINT)
+               AS r2
+      FROM daily a JOIN daily b ON a.event_type = b.event_type
+      GROUP BY a.event_type, a.day
+    ),
+    walk AS (
+      SELECT event_type, day,
+             SUM(r2) OVER w AS s2,
+             ROW_NUMBER() OVER w AS t,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM ranked
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    u AS (
+      SELECT event_type, day, n, abs(s2 - t * (n + 1)) AS au
+      FROM walk WHERE t < n
+    ),
+    k AS (
+      SELECT event_type, CAST(ANY_VALUE(n) AS BIGINT) AS n_days,
+             CAST(MAX(au) AS BIGINT) AS k_stat
+      FROM u GROUP BY event_type
+    ),
+    at AS (
+      SELECT u.event_type, MIN(u.day) AS cday
+      FROM u JOIN k ON k.event_type = u.event_type AND u.au = k.k_stat
+      GROUP BY u.event_type
+    )
+    SELECT k.event_type, k.n_days, k.k_stat,
+           strftime(at.cday, '%Y-%m-%d') AS change_day,
+           round(2.0 * exp(-6.0 * (CAST(k.k_stat AS DOUBLE) * k.k_stat)
+                           / (CAST(k.n_days AS DOUBLE) * k.n_days * k.n_days
+                              + CAST(k.n_days AS DOUBLE) * k.n_days)), 6)
+             AS p_approx,
+           round(2.0 * exp(-6.0 * (CAST(k.k_stat AS DOUBLE) * k.k_stat)
+                           / (CAST(k.n_days AS DOUBLE) * k.n_days * k.n_days
+                              + CAST(k.n_days AS DOUBLE) * k.n_days)), 6)
+             < 0.05 AS significant
+    FROM k JOIN at ON at.event_type = k.event_type
+    """,
+)
+def pipeline_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PETTITT change-point test (Pettitt 1979) — the nonparametric
+    sibling of pipeline_cusum_changepoint: locates a single shift in
+    a daily series with NO distributional assumption, via the
+    rank-based Mann-Whitney walk U_t = 2 Σ_{i<=t} r_i − t(n+1); the
+    change point is argmax|U_t| and K = max|U_t| has the classic
+    approximation p ≈ 2·exp(−6K²/(n³+n²)).
+
+    Exactness discipline: the daily values are 6-dp exact-integer
+    scalings (the spearman recipe), MIDRANKS are kept integer by the
+    DOUBLED-rank trick (2r = 1 + cnt_less + cnt_leq — no halves),
+    so S2_t and U_t are exact integers; K and the argmax day are
+    hash-exact with zero float content. The ONLY float is the final
+    p: K² and n³ in exact-double arithmetic (K < 2^26 here, so K·K
+    is exact; the ratio is one IEEE division), exp rounded at the
+    transcendental to 6 dp with the significance decision reading
+    the ROUNDED value (the bh_fdr rule).
+
+    Scale shape: the rank leg is a per-type self-join over the
+    CALENDAR-BOUNDED daily table (the kendall_tau/theil_sen
+    precedent — pair count bounded by days², control-plane at any
+    corpus size), and the U-walk is one integer window over days."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = (
+        e.select(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg((F.sum("v") * 1000000).cast("long").alias("x"))
+    )
+    a = daily.select("event_type", "day", F.col("x").alias("xa"))
+    b = daily.select(F.col("event_type").alias("et_b"), F.col("x").alias("xb"))
+    ranked = (
+        a.join(b, F.col("event_type") == F.col("et_b"))
+        .groupBy("event_type", "day")
+        .agg(
+            (
+                1
+                + F.sum(F.when(F.col("xb") < F.col("xa"), 1).otherwise(0))
+                + F.sum(F.when(F.col("xb") <= F.col("xa"), 1).otherwise(0))
+            ).alias("r2")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    nw = Window.partitionBy("event_type")
+    walk = ranked.select(
+        "event_type",
+        "day",
+        F.sum("r2").over(w).alias("s2"),
+        F.row_number().over(w).alias("t"),
+        F.count(F.lit(1)).over(nw).alias("n"),
+    )
+    u = walk.where(F.col("t") < F.col("n")).select(
+        "event_type",
+        "day",
+        "n",
+        F.abs(F.col("s2") - F.col("t").cast("long") * (F.col("n") + 1)).alias("au"),
+    )
+    k = u.groupBy("event_type").agg(
+        F.any_value("n").cast("long").alias("n_days"),
+        F.max("au").cast("long").alias("k_stat"),
+    )
+    at = (
+        u.join(
+            k.select("event_type", F.col("k_stat").alias("kk")), "event_type"
+        )
+        .where(F.col("au") == F.col("kk"))
+        .groupBy("event_type")
+        .agg(F.min("day").alias("cday"))
+    )
+    nd = F.col("n_days").cast("double")
+    p = F.round(
+        2.0
+        * F.exp(
+            -6.0
+            * (F.col("k_stat").cast("double") * F.col("k_stat"))
+            / (nd * F.col("n_days") * F.col("n_days") + nd * F.col("n_days"))
+        ),
+        6,
+    )
+    return (
+        k.join(at, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "k_stat",
+            F.date_format("cday", "yyyy-MM-dd").alias("change_day"),
+            p.alias("p_approx"),
+            (p < 0.05).alias("significant"),
+        )
+    )
+
+
+@query(
+    "pipeline_open_orders_per_day",
+    oracle="""
+    WITH iv AS (
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS s,
+             -- the fixture has ship dates BEFORE order dates (the
+             -- ship_latency filter precedent): an order is open at
+             -- least on its order day
+             GREATEST(MAX(CAST(l.l_shipdate AS DATE)),
+                      CAST(o.o_orderdate AS DATE)) AS e,
+             ANY_VALUE(CAST(o.o_totalprice AS DECIMAL(18,2))) AS val
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    ),
+    bounds AS (SELECT MIN(s) AS d0, MAX(e) AS d1 FROM iv),
+    spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ),
+    sp AS (SELECT day, date_trunc('month', day)::DATE AS m FROM spine),
+    ivm AS (
+      SELECT iv.s, iv.e, iv.val,
+             unnest(generate_series(date_trunc('month', iv.s),
+                                    date_trunc('month', iv.e),
+                                    INTERVAL 1 MONTH))::DATE AS m
+      FROM iv
+    )
+    SELECT strftime(sp.day, '%Y-%m-%d') AS day,
+           CAST(COUNT(ivm.val) AS BIGINT) AS n_open,
+           CAST(COALESCE(SUM(ivm.val), CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+             AS open_value
+    FROM sp LEFT JOIN ivm
+      ON ivm.m = sp.m AND sp.day >= ivm.s AND sp.day <= ivm.e
+    GROUP BY sp.day
+    """,
+)
+def pipeline_open_orders_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal OCCUPANCY — how many orders are open (placed, not yet
+    fully shipped) on each calendar day, with the open dollar value:
+    the WIP/backlog report, and the interval-overlap COUNTING shape
+    (join_interval_overlap emits the pairs; this aggregates
+    concurrency over a spine).
+
+    Scale shape: the naive form is spine x intervals — a
+    broadcast-nested-loop over every (day, order) pair. Bucketing
+    both sides by MONTH turns it into an EQUI-join (each order
+    explodes into the handful of months it spans; each spine day
+    carries its month), so cost is Σ per-month overlap — the
+    join_interval_overlap coarse-cell rule. Zero-open days survive
+    via the LEFT join from the spine (the date_spine densification
+    discipline). The sweep-line alternative (+1/−1 running sum) needs
+    a global cumulative window — rejected by the no-global-window
+    rule; at 100 TB the month bucket IS the partition key. Exact:
+    integer dates, decimal value sums, one final double cast."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("s"))
+        .agg(
+            # fixture quirk: ship dates can precede order dates — an
+            # order is open at least on its order day
+            F.greatest(F.max(F.to_date("l_shipdate")), F.to_date(F.first("o_orderdate"))).alias("e"),
+            F.any_value(F.col("o_totalprice").cast("decimal(18,2)")).alias("val"),
+        )
+    )
+    bounds = iv.agg(F.min("s").alias("d0"), F.max("e").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    ).select("day", F.trunc("day", "month").alias("m"))
+    ivm = iv.select(
+        "s",
+        "e",
+        "val",
+        F.explode(
+            F.sequence(
+                F.trunc("s", "month"), F.trunc("e", "month"), F.expr("INTERVAL 1 MONTH")
+            )
+        ).alias("m"),
+    )
+    hits = spine.join(
+        ivm,
+        (spine["m"] == ivm["m"]) & (F.col("day") >= F.col("s")) & (F.col("day") <= F.col("e")),
+        "left",
+    )
+    zero2 = F.lit(0).cast("decimal(18,2)")
+    return hits.groupBy("day").agg(
+        F.count("val").cast("long").alias("n_open"),
+        F.coalesce(F.sum("val"), zero2).cast("double").alias("open_value"),
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "n_open", "open_value"
+    )

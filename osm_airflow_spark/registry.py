@@ -153,13 +153,13 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ``tests/test_registry.py`` pins the exact list so adding a key can
 # never reshuffle the window unreviewed.
 #
-# Round-11 window: the seventeen NEW keys lead (never-checked beats
+# Round-11 window: the nineteen NEW keys lead (never-checked beats
 # re-proof), then — per VERDICT r10 next-round #4 — the rest of the
 # 50 slots go to the oldest-checked cohort: the ENTIRE remaining
 # r5-proof-era block (30 keys — this retires the r5 proof
 # generation; after r11 no key's newest driver proof predates r6),
 # then the oldest r6-era keys in registration order to fill the 50.
-# Remaining r6 block (~47 keys incl. the ten displaced by the
+# Remaining r6 block (~49 keys incl. the twelve displaced by the
 # late-r11 additions) rotates to r12. Staleness computed from
 # CORRECTNESS_r01-r10 (newest proof round per key); keys whose
 # behavior changed this round but stayed bit-identical
@@ -168,6 +168,8 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 
 DRIVER_WINDOW: list[str] = [
     # -- new this round, never driver-checked --
+    "pipeline_pettitt",
+    "pipeline_open_orders_per_day",
     "join_asof_nearest",
     "agg_trimmed_mean",
     "pipeline_power_analysis",
@@ -216,10 +218,8 @@ DRIVER_WINDOW: list[str] = [
     "osm_ring_repair",
     "osm_point_in_polygon",
     "osm_nearest_node",
-    # -- staleness re-checks: the oldest r6-era keys (3) --
+    # -- staleness re-checks: the oldest r6-era key (1) --
     "agg_groupby",
-    "agg_global",
-    "agg_collect_ordered",
 ]
 
 

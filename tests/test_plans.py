@@ -1017,3 +1017,79 @@ def test_conformal_histogram_is_conservative(spark, tmp_path):
     assert exact["q_resid"] == 3600.0
     assert hist["q_hist"] >= exact["q_resid"]
     assert hist["q_hist"] - exact["q_resid"] <= 250.0  # within one bin
+
+
+def test_pettitt_planted_shift(spark, tmp_path):
+    """r11 Pettitt: 10 low days then 10 high days with strictly
+    increasing values -> U_t = t^2 - 20t, so K = 100 at the 10th day
+    exactly; p matches the closed-form approximation to 6 dp."""
+    import datetime
+    import math
+
+    rows = []
+    for d in range(20):
+        ts = datetime.datetime(2024, 5, 1) + datetime.timedelta(days=d)
+        v = float(d + 1) if d < 10 else float(d + 101)
+        rows.append((d, ts, 1, "shifted", v, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    r = QUERIES["pipeline_pettitt"](spark, str(tmp_path)).collect()[0]
+    assert r["n_days"] == 20
+    assert r["k_stat"] == 100  # max_t t(20-t)
+    assert r["change_day"] == "2024-05-10"
+    n = 20
+    p = round(2.0 * math.exp(-6.0 * 100 * 100 / (n**3 + n**2)), 6)
+    assert r["p_approx"] == p
+    assert bool(r["significant"]) is (p < 0.05)
+
+
+def test_open_orders_per_day_planted_intervals(spark, tmp_path):
+    """r11 occupancy: intervals spanning a month boundary, an
+    overlap, a gap day with ZERO open orders (spine LEFT join keeps
+    it), and a ship-before-order clamp (open at least on order day)."""
+    import datetime
+
+    def d(s):
+        return datetime.datetime.fromisoformat(s)
+
+    orders = [
+        (1, 1, "O", 100.0, d("2024-01-30"), "1-URGENT"),  # spans into Feb
+        (2, 1, "O", 10.0, d("2024-02-02"), "1-URGENT"),   # overlaps order 1
+        (3, 1, "O", 1.0, d("2024-02-06"), "1-URGENT"),    # ships before order
+    ]
+    lines = [
+        (1, 1, 1, 0, 1.0, 1.0, 0.0, 0.0, "N", "O", d("2024-02-03")),
+        (2, 1, 1, 0, 1.0, 1.0, 0.0, 0.0, "N", "O", d("2024-02-03")),
+        (3, 1, 1, 0, 1.0, 1.0, 0.0, 0.0, "N", "O", d("2024-02-01")),  # < order date
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = {
+        r["day"]: (r["n_open"], r["open_value"])
+        for r in QUERIES["pipeline_open_orders_per_day"](spark, str(tmp_path)).collect()
+    }
+    # order 1 open 01-30..02-03; order 2 open 02-02..02-03; order 3
+    # clamped to its order day 02-06; 02-04 and 02-05 are zero-open
+    assert got["2024-01-31"] == (1, 100.0)
+    assert got["2024-02-01"] == (1, 100.0)  # month boundary crossed
+    assert got["2024-02-02"] == (2, 110.0)
+    assert got["2024-02-03"] == (2, 110.0)
+    assert got["2024-02-04"] == (0, 0.0)
+    assert got["2024-02-05"] == (0, 0.0)
+    assert got["2024-02-06"] == (1, 1.0)
+    assert len(got) == 8  # 01-30 .. 02-06

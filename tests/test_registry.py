@@ -188,6 +188,10 @@ def test_no_interval_division_in_oracles():
 # unrounded emission (bit-identical shared IEEE trees) or exact
 # integer HALF_UP (llm_vocab_coverage) in round 7.
 ROUND_AUDITED = {
+    "pipeline_pettitt": "libm (exp of an exact-int-derived double ratio, "
+    "rounded at the transcendental to 6 dp — the benford/bh_fdr rule; the "
+    "significance decision reads the ROUNDED p; K and the change day are "
+    "pure integers, no float content)",
     "pipeline_cuped": "fma (theta and both contrasts are single double "
     "expressions over exact-cast sufficient statistics; DuckDB may "
     "contract a*b-c — the corr_exact 9 dp guard; delta_cuped reads the "
