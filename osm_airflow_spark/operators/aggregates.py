@@ -1000,7 +1000,7 @@ def agg_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ext E22 (r11) — ROBUST location per group: the 5% two-sided
+    """ext E23 (r11) — ROBUST location per group: the 5% two-sided
     TRIMMED mean (drop the k = n div 20 smallest and largest) and the
     WINSORIZED mean (clamp them to the k+1-th / n-k-th values)
     beside the raw mean — the outlier-resistant aggregates a metrics
