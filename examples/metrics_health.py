@@ -62,6 +62,11 @@ def main() -> None:
         flag = "BREACH" if r["breached"] else "ok"
         print(f"   {r['event_type']:<10} peak {r['max_cusum']:>12.2f} "
               f"on {r['peak_day']}  [{flag}]")
+    print("== drift, nonparametric second opinion (Pettitt):")
+    for r in q["pipeline_pettitt"](spark, sf_dir).orderBy("event_type").collect():
+        flag = "SHIFT" if r["significant"] else "ok"
+        print(f"   {r['event_type']:<10} K {r['k_stat']:>8} "
+              f"at {r['change_day']}  p~{r['p_approx']:.4f}  [{flag}]")
 
     ham = q["win_hampel_outliers"](spark, sf_dir)
     n_out = ham.where(F.col("is_outlier")).count()
