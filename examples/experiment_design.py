@@ -35,14 +35,21 @@ def main() -> None:
     spark = get_spark("experiment-design")
     q = all_queries()
 
+    def _fmt(v, spec):
+        # degenerate inputs legitimately yield NULL fields (tiny
+        # calibration sets, zero-variance covariates, sub-196-replica
+        # corpora) — report them, don't crash the report
+        return format(v, spec) if v is not None else "n/a"
+
     print("== size (two-sample z, alpha .05 / power .80):")
     for r in q["pipeline_power_analysis"](spark, sf_dir).orderBy(
         "l_returnflag"
     ).collect():
+        mde = _fmt(r["mde_rel"] * 100 if r["mde_rel"] is not None else None, ".2f")
+        need = _fmt(r["n_req_per_arm"], ",")
         print(
             f"   flag {r['l_returnflag']}: n {r['n']:>6}  mean {r['mean_qty']:.2f}"
-            f"  MDE now {r['mde_rel'] * 100:.2f}%"
-            f"  need {r['n_req_per_arm']:,}/arm for 2%"
+            f"  MDE now {mde}%  need {need}/arm for 2%"
         )
 
     t = q["pipeline_ab_test"](spark, sf_dir).first()
@@ -53,8 +60,9 @@ def main() -> None:
         f" (significant: {t['significant']})"
     )
     print(
-        f"   CUPED theta {cu['theta']:+.4f}: raw delta {cu['delta_raw']:+.2f}"
-        f" -> adjusted {cu['delta_cuped']:+.2f}"
+        f"   CUPED theta {_fmt(cu['theta'], '+.4f')}:"
+        f" raw delta {_fmt(cu['delta_raw'], '+.2f')}"
+        f" -> adjusted {_fmt(cu['delta_cuped'], '+.2f')}"
         f" (n {cu['n_t']}/{cu['n_c']})"
     )
 
@@ -68,15 +76,17 @@ def main() -> None:
 
     b = q["pipeline_bootstrap_ci"](spark, sf_dir).first()
     print(
-        f"== bound: mean balance {b['est_mean']:.2f}, 95% Poisson-bootstrap"
-        f" CI [{b['ci_lo']:.2f}, {b['ci_hi']:.2f}]"
+        f"== bound: mean balance {_fmt(b['est_mean'], '.2f')},"
+        f" 95% Poisson-bootstrap"
+        f" CI [{_fmt(b['ci_lo'], '.2f')}, {_fmt(b['ci_hi'], '.2f')}]"
         f" ({b['n_replicas']} replicas over {b['n_rows']} units)"
     )
     for r in q["pipeline_conformal"](spark, sf_dir).orderBy("prio").collect():
+        cov = _fmt(r["coverage"] * 100 if r["coverage"] is not None else None, ".1f")
         print(
             f"   conformal {r['prio']:<15} pred {r['pred']:>10.2f}"
-            f" +- {r['q_resid']:>10.2f}  test coverage"
-            f" {r['coverage'] * 100:.1f}% (n_cal {r['n_cal']})"
+            f" +- {_fmt(r['q_resid'], '>10.2f')}  test coverage"
+            f" {cov}% (n_cal {r['n_cal']})"
         )
     print("== done")
 

@@ -6161,10 +6161,17 @@ _BOOT_B = 200  # replicas; 2.5% tails -> order statistics 5 and 196
       FROM customer, (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b)
     ),
     means AS (
+      -- a replica whose weights all drew 0 has no resample: drop it
+      -- in BOTH engines (unguarded, Spark's ANSI division crashes
+      -- and DuckDB emits NULL rep_means that poison the order
+      -- statistics asymmetrically). P(degenerate) = e^-n per
+      -- replica, so real corpora lose none; tiny ones lose a few
+      -- and the n_replicas >= 196 CI guard reports NULL bounds.
       SELECT b,
              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * w) AS DOUBLE)
                / SUM(w) AS rep_mean
       FROM reps GROUP BY b
+      HAVING SUM(w) > 0
     ),
     summ AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_replicas,
@@ -6244,11 +6251,18 @@ def pipeline_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
     ).select("b", "c_acctbal", w_col.alias("w"))
-    means = reps.groupBy("b").agg(
-        (
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)") * F.col("w")).cast("double")
-            / F.sum("w")
-        ).alias("rep_mean")
+    # drop all-zero-weight replicas BEFORE dividing: Spark's ANSI
+    # division would crash and DuckDB's NULL means would poison the
+    # sorted order statistics (code-review find, reproduced on a
+    # 3-customer corpus — 8/200 degenerate replicas at n = 3)
+    means = (
+        reps.groupBy("b")
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)") * F.col("w")).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+        .select((F.col("swx").cast("double") / F.col("sw")).alias("rep_mean"))
     )
     # empty-corpus guard: zero replicas -> element_at on an empty
     # array is an ANSI runtime error in Spark (NULL in DuckDB) —
@@ -6289,7 +6303,6 @@ def pipeline_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     units AS (
       SELECT c.c_custkey % 2 AS arm,
              COALESCE(p.x, 0) AS x,
-             CAST(COALESCE(p.y_dec, 0) AS DOUBLE) AS y,
              COALESCE(p.y_dec, CAST(0 AS DECIMAL(18,2))) AS y_dec
       FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
     ),

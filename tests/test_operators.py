@@ -1466,7 +1466,7 @@ def test_join_asof_nearest_direction_and_ties(spark, tmp_path):
 
 
 def test_trimmed_mean_planted_outliers(spark, tmp_path):
-    """r11 E22: n=20 with planted +-1000 whales -> k=1 trims exactly
+    """r11 E23: n=20 with planted +-1000 whales -> k=1 trims exactly
     them; trimmed and winsorized means hit the closed forms while the
     raw mean is dragged; a tiny n<20 group has k=0 and all three
     means coincide."""

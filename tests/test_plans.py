@@ -929,6 +929,22 @@ def test_experiment_keys_degenerate_inputs(spark, tmp_path):
     assert r["n_rows"] == 0 and r["n_replicas"] == 0
     assert r["ci_lo"] is None and r["ci_hi"] is None
 
+    # code-review repro: at n=3 customers, ~e^-3 of the 200 replicas
+    # draw all-zero Poisson weights — those replicas must be DROPPED
+    # (not crash ANSI division, not poison the order statistics);
+    # with < 196 surviving replicas the CI reports NULL bounds
+    tiny3 = tmp_path / "tiny3"
+    tiny3.mkdir()
+    spark.createDataFrame(
+        [(i, f"c{i}", 1, 100.0 + i, "SEG") for i in range(3)],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(str(tiny3 / "customer.parquet"))
+    r = QUERIES["pipeline_bootstrap_ci"](spark, str(tiny3)).collect()[0]
+    assert r["n_rows"] == 3
+    assert 0 < r["n_replicas"] < 200  # some replicas degenerate at n=3
+    assert r["ci_lo"] is None and r["ci_hi"] is None  # < 196 guard
+
     const = tmp_path / "constcov"
     const.mkdir()
     spark.createDataFrame(
