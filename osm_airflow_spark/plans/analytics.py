@@ -6214,22 +6214,39 @@ def pipeline_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     blessed array_sort(collect_list(...)) shape — 200 elements, a
     bounded collect by construction. Everything deterministic →
     SQL-oracled (the rare thing for a bootstrap)."""
-    # The B-fold explode multiplies work 200x BEFORE the first
+    c = load_table(spark, sf_dir, "customer")
+    return poisson_bootstrap_ci(c, spark, unit_col="c_custkey", value_col="c_acctbal")
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    spark: SparkSession,
+    unit_col: str,
+    value_col: str,
+    b: int = _BOOT_B,
+    lo_rank: int = 5,
+    hi_rank: int = 196,
+) -> DataFrame:
+    """Generic deterministic Poisson-bootstrap CI for the mean of
+    ``value_col`` over units keyed by ``unit_col`` — the reusable
+    estimator behind the ``pipeline_bootstrap_ci`` key (same
+    md5-derived weights, same guards; the key pins it to the oracle).
+    Returns one row: (n_rows, est_mean, n_replicas, ci_lo, ci_hi).
+    Ranks default to the 95% two-sided interval at b = 200."""
+    # The b-fold explode multiplies work b-times BEFORE the first
     # shuffle, so it inherits the scan's partitioning — a small
-    # single-file dimension would hash 200n rows in ONE task.
-    # Spreading the tiny input first costs a negligible shuffle and
-    # unlocks full map parallelism (measured 5.6 s -> 0.14 s warm at
-    # sf0.1 on local[32]); at 100 TB inputs are many-file already and
-    # this is a no-op-sized safety net.
-    c = load_table(spark, sf_dir, "customer").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # single-file input would hash b*n rows in ONE task. Spreading
+    # the tiny input first costs a negligible shuffle and unlocks
+    # full map parallelism (measured 5.6 s -> 0.14 s warm at sf0.1
+    # on local[32]); at 100 TB inputs are many-file already and this
+    # is a no-op-sized safety net.
+    c = df.repartition(spark.sparkContext.defaultParallelism)
     u = (
         F.conv(
             F.substring(
                 F.md5(
                     F.concat(
-                        F.col("c_custkey").cast("string"),
+                        F.col(unit_col).cast("string"),
                         F.lit("#"),
                         F.col("b").cast("string"),
                     )
@@ -6247,10 +6264,10 @@ def pipeline_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ind = F.when(u >= float(t), 1).otherwise(0)
         w_col = ind if w_col is None else (w_col + ind)
     reps = c.select(
-        "c_custkey",
-        "c_acctbal",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
-    ).select("b", "c_acctbal", w_col.alias("w"))
+        unit_col,
+        value_col,
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("b"),
+    ).select("b", value_col, w_col.alias("w"))
     # drop all-zero-weight replicas BEFORE dividing: Spark's ANSI
     # division would crash and DuckDB's NULL means would poison the
     # sorted order statistics (code-review find, reproduced on a
@@ -6258,7 +6275,7 @@ def pipeline_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     means = (
         reps.groupBy("b")
         .agg(
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)") * F.col("w")).alias("swx"),
+            F.sum(F.col(value_col).cast("decimal(18,2)") * F.col("w")).alias("swx"),
             F.sum("w").alias("sw"),
         )
         .where(F.col("sw") > 0)
@@ -6267,20 +6284,20 @@ def pipeline_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty-corpus guard: zero replicas -> element_at on an empty
     # array is an ANSI runtime error in Spark (NULL in DuckDB) —
     # emit NULL bounds instead of crashing
-    has_b = F.count(F.lit(1)) >= 196
+    has_b = F.count(F.lit(1)) >= hi_rank
     summ = means.agg(
         F.count(F.lit(1)).alias("n_replicas"),
         F.when(
-            has_b, F.element_at(F.array_sort(F.collect_list("rep_mean")), 5)
+            has_b, F.element_at(F.array_sort(F.collect_list("rep_mean")), lo_rank)
         ).alias("ci_lo"),
         F.when(
-            has_b, F.element_at(F.array_sort(F.collect_list("rep_mean")), 196)
+            has_b, F.element_at(F.array_sort(F.collect_list("rep_mean")), hi_rank)
         ).alias("ci_hi"),
     )
     point = c.agg(
         F.count(F.lit(1)).alias("n_rows"),
         (
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
             / F.count(F.lit(1))
         ).alias("est_mean"),
     )

@@ -1109,3 +1109,20 @@ def test_open_orders_per_day_planted_intervals(spark, tmp_path):
     assert got["2024-02-05"] == (0, 0.0)
     assert got["2024-02-06"] == (1, 1.0)
     assert len(got) == 8  # 01-30 .. 02-06
+
+
+def test_poisson_bootstrap_generic_brackets_mean(spark, sf_dir):
+    """r11: the generic estimator behind the bootstrap key works on a
+    DIFFERENT table/column (order totals) — point estimate inside the
+    CI, full replica survival at fixture n, deterministic across two
+    invocations (content-derived weights, no rand())."""
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.plans.analytics import poisson_bootstrap_ci
+
+    o = load_table(spark, sf_dir, "orders")
+    r1 = poisson_bootstrap_ci(o, spark, "o_orderkey", "o_totalprice").collect()[0]
+    r2 = poisson_bootstrap_ci(o, spark, "o_orderkey", "o_totalprice").collect()[0]
+    assert r1 == r2  # bit-deterministic
+    assert r1["n_replicas"] == 200
+    assert r1["ci_lo"] < r1["est_mean"] < r1["ci_hi"]
+    assert r1["ci_lo"] > 0
