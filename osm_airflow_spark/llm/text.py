@@ -1150,6 +1150,10 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     bigrams = (
         d.select(F.split("text", " ").alias("words"))
+        # 0/1-word docs: shingle_array's short-doc fallback would emit
+        # the whole doc as one pseudo-bigram (NULL w2 after the split)
+        # while the oracle's generate_series(1, n-1) emits nothing.
+        .filter(F.size("words") >= 2)
         .select(F.explode(shingle_array("words", 2)).alias("bg"))
     )
     bc = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("n_bigram"))
@@ -1370,6 +1374,11 @@ def llm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     bigrams = (
         d.select(F.split("text", " ").alias("words"))
+        # 0/1-word docs: the shingle fallback would emit a whole-doc
+        # pseudo-bigram whose split has no second element (ANSI
+        # out-of-bounds or a NULL-w2 row inflating n_types/n_pred);
+        # the oracle emits no row for such docs.
+        .filter(F.size("words") >= 2)
         .select(F.explode(shingle_array("words", 2)).alias("bg"))
     )
     bc = (
@@ -1463,6 +1472,9 @@ def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     grams = (
         d.select("doc_id", F.split("text", " ").alias("words"))
+        # 0/1-word docs score no bigrams in the oracle; drop them
+        # before the shingle fallback can invent a pseudo-bigram.
+        .filter(F.size("words") >= 2)
         .select("doc_id", F.explode(shingle_array("words", 2)).alias("bg"))
     )
     bc = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("n_bigram"))

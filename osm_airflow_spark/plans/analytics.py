@@ -6224,15 +6224,31 @@ def poisson_bootstrap_ci(
     unit_col: str,
     value_col: str,
     b: int = _BOOT_B,
-    lo_rank: int = 5,
-    hi_rank: int = 196,
+    alpha: float = 0.05,
+    lo_rank: int | None = None,
+    hi_rank: int | None = None,
 ) -> DataFrame:
     """Generic deterministic Poisson-bootstrap CI for the mean of
     ``value_col`` over units keyed by ``unit_col`` — the reusable
     estimator behind the ``pipeline_bootstrap_ci`` key (same
     md5-derived weights, same guards; the key pins it to the oracle).
     Returns one row: (n_rows, est_mean, n_replicas, ci_lo, ci_hi).
-    Ranks default to the 95% two-sided interval at b = 200."""
+
+    The interval ranks DERIVE from ``(b, alpha)`` — lo = max(1,
+    floor(alpha/2·b)), hi = b+1−lo (200/0.05 → 5/196, the key's
+    pinned values) — so changing ``b`` alone keeps the coverage
+    level instead of silently yielding NULL bounds (the
+    n_replicas < hi_rank guard) or a wrong-level interval. Explicit
+    ``lo_rank``/``hi_rank`` overrides are validated against ``b``."""
+    if lo_rank is None:
+        lo_rank = max(1, int(alpha / 2.0 * b))
+    if hi_rank is None:
+        hi_rank = b + 1 - lo_rank
+    if not 1 <= lo_rank < hi_rank <= b:
+        raise ValueError(
+            f"bootstrap ranks out of range: need 1 <= lo_rank < hi_rank <= b, "
+            f"got lo_rank={lo_rank}, hi_rank={hi_rank}, b={b}"
+        )
     # The b-fold explode multiplies work b-times BEFORE the first
     # shuffle, so it inherits the scan's partitioning — a small
     # single-file input would hash b*n rows in ONE task. Spreading
@@ -6771,10 +6787,17 @@ def pipeline_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcendental to 6 dp with the significance decision reading
     the ROUNDED value (the bh_fdr rule).
 
-    Scale shape: the rank leg is a per-type self-join over the
-    CALENDAR-BOUNDED daily table (the kendall_tau/theil_sen
-    precedent — pair count bounded by days², control-plane at any
-    corpus size), and the U-walk is one integer window over days."""
+    Scale shape (consolidated r12 — VERDICT r11 #4: the 15-exchange
+    v1 built midranks via a per-type self-join and located the argmax
+    via two join-back branches, each re-executing its upstream under
+    this build's no-exchange-reuse): the doubled midrank has the
+    closed form 2r = n + 1 + rank_asc − rank_desc (#less = rank_asc−1,
+    #leq = n − rank_desc + 1), so the WHOLE test is now one window
+    stage over the daily aggregate — rank by x, rank by x desc, walk
+    by day, max|U| — all partitioned by event_type (calendar-bounded),
+    ONE exchange, then a single groupBy. No joins, no branches, 3
+    exchanges total (was 15), and the rank leg drops from O(days²) to
+    O(days·log days)."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events").where(
@@ -6789,21 +6812,23 @@ def pipeline_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg((F.sum("v") * 1000000).cast("long").alias("x"))
     )
-    a = daily.select("event_type", "day", F.col("x").alias("xa"))
-    b = daily.select(F.col("event_type").alias("et_b"), F.col("x").alias("xb"))
-    ranked = (
-        a.join(b, F.col("event_type") == F.col("et_b"))
-        .groupBy("event_type", "day")
-        .agg(
-            (
-                1
-                + F.sum(F.when(F.col("xb") < F.col("xa"), 1).otherwise(0))
-                + F.sum(F.when(F.col("xb") <= F.col("xa"), 1).otherwise(0))
-            ).alias("r2")
-        )
-    )
     w = Window.partitionBy("event_type").orderBy("day")
     nw = Window.partitionBy("event_type")
+    xa = Window.partitionBy("event_type").orderBy("x")
+    xd = Window.partitionBy("event_type").orderBy(F.col("x").desc())
+    # 2r = 1 + #less + #leq, with #less = rank_asc - 1 and
+    # #leq = n - rank_desc + 1 — same integers as the oracle's
+    # self-join counts, RANK ties handle the midrank halves
+    ranked = daily.select(
+        "event_type",
+        "day",
+        (
+            F.count(F.lit(1)).over(nw)
+            + 1
+            + F.rank().over(xa)
+            - F.rank().over(xd)
+        ).cast("long").alias("r2"),
+    )
     walk = ranked.select(
         "event_type",
         "day",
@@ -6817,17 +6842,13 @@ def pipeline_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.abs(F.col("s2") - F.col("t").cast("long") * (F.col("n") + 1)).alias("au"),
     )
-    k = u.groupBy("event_type").agg(
+    # argmax via one more same-partitioning window (no re-exchange),
+    # then a single aggregation — no join-back
+    u = u.withColumn("k", F.max("au").over(nw))
+    res = u.groupBy("event_type").agg(
         F.any_value("n").cast("long").alias("n_days"),
-        F.max("au").cast("long").alias("k_stat"),
-    )
-    at = (
-        u.join(
-            k.select("event_type", F.col("k_stat").alias("kk")), "event_type"
-        )
-        .where(F.col("au") == F.col("kk"))
-        .groupBy("event_type")
-        .agg(F.min("day").alias("cday"))
+        F.any_value("k").cast("long").alias("k_stat"),
+        F.min(F.when(F.col("au") == F.col("k"), F.col("day"))).alias("cday"),
     )
     nd = F.col("n_days").cast("double")
     p = F.round(
@@ -6839,16 +6860,13 @@ def pipeline_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    return (
-        k.join(at, "event_type")
-        .select(
-            "event_type",
-            "n_days",
-            "k_stat",
-            F.date_format("cday", "yyyy-MM-dd").alias("change_day"),
-            p.alias("p_approx"),
-            (p < 0.05).alias("significant"),
-        )
+    return res.select(
+        "event_type",
+        "n_days",
+        "k_stat",
+        F.date_format("cday", "yyyy-MM-dd").alias("change_day"),
+        p.alias("p_approx"),
+        (p < 0.05).alias("significant"),
     )
 
 

@@ -298,6 +298,7 @@ SPRT_STATE = T.StructType(
         T.StructField("n0", T.LongType()),        # running failures
         T.StructField("decision", T.StringType()),
         T.StructField("day_decided", T.StringType()),
+        T.StructField("day_seen", T.StringType()),  # max day ever seen
     ]
 )
 
@@ -341,10 +342,16 @@ def sprt_monitor_stream(daily: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (etype,) = key
         if state.exists:
-            n1, n0, decision, dday = state.get
+            n1, n0, decision, dday, day_seen = state.get
         else:
-            n1, n0, decision, dday = 0, 0, "continue", ""
+            n1, n0, decision, dday, day_seen = 0, 0, "continue", "", ""
         rows = pd.concat(list(batches), ignore_index=True).sort_values("day")
+        # max-day-seen persists in state (ISO day strings: lexicographic
+        # max == chronological max), so the 'continue' row's day is
+        # MONOTONE even when a late/replayed batch carries earlier days
+        # than one already processed — the batch's own max(day) would
+        # regress.
+        day_seen = max(day_seen, str(rows["day"].max()))
         for _, r in rows.iterrows():
             if decision != "continue":
                 break  # sequential test stopped: counts freeze
@@ -355,14 +362,14 @@ def sprt_monitor_stream(daily: DataFrame) -> DataFrame:
                 decision, dday = "accept_h1", str(r["day"])
             elif llr_m <= -_SPRT_A:
                 decision, dday = "accept_h0", str(r["day"])
-        state.update((n1, n0, decision, dday))
+        state.update((n1, n0, decision, dday, day_seen))
         llr_m = n1 * _SPRT_C1 - n0 * _SPRT_C0
         yield pd.DataFrame(
             [
                 {
                     "event_type": etype,
                     "decision": decision,
-                    "day_decided": dday if decision != "continue" else str(rows["day"].max()),
+                    "day_decided": dday if decision != "continue" else day_seen,
                     "n_seen": n1 + n0,
                     "n_success": n1,
                     "llr": float(llr_m) / 1000000.0,

@@ -1193,6 +1193,39 @@ def test_fingerprint_short_docs(spark, tmp_path):
     assert got[5][0] == 1               # exactly 8 chars: one gram
 
 
+def test_bigram_keys_short_docs(spark, tmp_path):
+    """ADVICE r11 fix: shingle_array's <2-word fallback emitted the
+    whole doc as ONE pseudo-bigram for 0/1-word docs, whose
+    split()[1] has no second element — a NULL-w2 row inflating
+    n_types/n_pred (and the LM's context rows) — while the DuckDB
+    oracle's generate_series(1, n-1) emits nothing. All three
+    bigram-based keys must now match the oracle exactly on a fixture
+    with empty and single-word docs."""
+    from osm_airflow_spark.registry import ORACLES, QUERIES
+
+    sf_dir, con = _write_short_docs(spark, tmp_path)
+    for key in ("llm_bigram_lm", "llm_kneser_ney", "llm_perplexity_filter"):
+        got = sorted(tuple(r) for r in QUERIES[key](spark, sf_dir).collect())
+        want = sorted(tuple(r) for r in con.execute(ORACLES[key]).fetchall())
+        assert got == want, key
+    kn = QUERIES["llm_kneser_ney"](spark, sf_dir).collect()
+    assert kn, "bigram-capable docs must still score"
+    # no pseudo-bigram row survives: every row is a real (w1, w2) pair
+    assert all(r["w2"] is not None for r in kn)
+    assert {(r["w1"], r["w2"]) for r in kn} == {
+        ("two", "words"),
+        ("a", "a"),
+        ("a", "much"),
+        ("much", "longer"),
+        ("longer", "document"),
+        ("document", "with"),
+        ("with", "enough"),
+        ("enough", "words"),
+        ("words", "and"),
+        ("and", "characters"),
+    }
+
+
 def test_graph_index_build_query_prune_and_recall(spark, sf_dir, tmp_path):
     """Persisted graph-ANN lifecycle (r9 — the VERDICT r8 serve-path
     gap): build the NN-Descent graph ONCE into a bucket-partitioned

@@ -1126,3 +1126,36 @@ def test_poisson_bootstrap_generic_brackets_mean(spark, sf_dir):
     assert r1["n_replicas"] == 200
     assert r1["ci_lo"] < r1["est_mean"] < r1["ci_hi"]
     assert r1["ci_lo"] > 0
+
+
+def test_poisson_bootstrap_ranks_derive_from_b(spark, sf_dir):
+    """ADVICE r11: lo/hi ranks were independent parameters whose
+    defaults (5, 196) are only consistent at b = 200 — b = 100 with
+    default ranks silently produced NULL bounds (n_replicas < 196).
+    Ranks now derive from (b, alpha): b = 100 must yield a real
+    interval at ranks 2/99, and explicit out-of-range overrides must
+    raise instead of silently degrading."""
+    import pytest
+
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.plans.analytics import poisson_bootstrap_ci
+
+    o = load_table(spark, sf_dir, "orders")
+    r = poisson_bootstrap_ci(o, spark, "o_orderkey", "o_totalprice", b=100).collect()[0]
+    assert r["n_replicas"] == 100
+    assert r["ci_lo"] is not None and r["ci_hi"] is not None
+    assert r["ci_lo"] < r["est_mean"] < r["ci_hi"]
+    # derivation reproduces the key's pinned 95%/200 ranks exactly
+    r200 = poisson_bootstrap_ci(o, spark, "o_orderkey", "o_totalprice").collect()[0]
+    r200_explicit = poisson_bootstrap_ci(
+        o, spark, "o_orderkey", "o_totalprice", lo_rank=5, hi_rank=196
+    ).collect()[0]
+    assert r200 == r200_explicit
+    with pytest.raises(ValueError, match="bootstrap ranks"):
+        poisson_bootstrap_ci(
+            o, spark, "o_orderkey", "o_totalprice", b=100, lo_rank=5, hi_rank=196
+        )
+    with pytest.raises(ValueError, match="bootstrap ranks"):
+        poisson_bootstrap_ci(
+            o, spark, "o_orderkey", "o_totalprice", b=10, lo_rank=7, hi_rank=4
+        )

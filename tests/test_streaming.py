@@ -1476,3 +1476,50 @@ def test_sprt_monitor_stream_exact_parity_with_batch(spark, tmp_path):
         assert s["n_seen"] == b["n_seen"], typ
         assert s["n_success"] == b["n_success"], typ
         assert s["llr"] == b["llr"], typ  # exact — integer LLR
+
+
+def test_sprt_monitor_stream_day_monotone_on_replayed_earlier_batch(spark, tmp_path):
+    """ADVICE r11 fix: for an undecided type the 'continue' row used to
+    report the CURRENT micro-batch's max(day), so a late/replayed batch
+    carrying only earlier days made the dashboard day REGRESS. The
+    max-day-seen now persists in state: feed days 10–14 first, then a
+    replayed chunk of days 5–9 — every emitted row must report day 14
+    while the counts keep accumulating."""
+    import json
+    import os
+
+    from osm_airflow_spark.streaming.stateful import sprt_monitor_stream
+
+    src = tmp_path / "daily"
+    src.mkdir()
+    chunks = [
+        [{"event_type": "drift", "day": f"2024-03-{d:02d}", "s": 5, "f": 5} for d in range(10, 15)],
+        [{"event_type": "drift", "day": f"2024-03-{d:02d}", "s": 5, "f": 5} for d in range(5, 10)],
+    ]
+    for i, chunk in enumerate(chunks):
+        path = src / f"chunk{i}.json"
+        with open(path, "w") as f:
+            for row in chunk:
+                f.write(json.dumps(row) + "\n")
+        os.utime(path, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema("event_type string, day string, s long, f long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        sprt_monitor_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_sprt_replay")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM t_sprt_replay ORDER BY n_seen").collect()
+    assert len(rows) == 2  # one 'continue' row per micro-batch
+    assert [r["n_seen"] for r in rows] == [50, 100]
+    assert all(r["decision"] == "continue" for r in rows)
+    # the replayed-earlier-days batch must NOT regress the day
+    assert [r["day_decided"] for r in rows] == ["2024-03-14", "2024-03-14"]
