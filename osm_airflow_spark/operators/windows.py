@@ -869,6 +869,112 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_rolling_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    td AS (
+      SELECT event_type, day,
+             CAST(datediff('day', DATE '2024-01-01', day) AS BIGINT) AS t, y
+      FROM daily
+    ),
+    fr AS (
+      SELECT event_type, day,
+             COUNT(*) OVER w AS n_f,
+             CAST(SUM(t) OVER w AS DECIMAL(10,0)) AS st,
+             CAST(SUM(t * t) OVER w AS DECIMAL(14,0)) AS stt,
+             CAST(SUM(CAST(t AS DECIMAL(10,0)) * y) OVER w
+                  AS DECIMAL(26,0)) AS sty,
+             CAST(SUM(CAST(y AS DECIMAL(19,0))) OVER w AS DECIMAL(22,0)) AS sy
+      FROM td
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           round(CAST(7 * sty - st * sy AS DOUBLE)
+                 / CAST(7 * stt - st * st AS DOUBLE) / 1000000, 9) AS slope
+    FROM fr WHERE n_f = 7
+    """,
+)
+def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext F18 (r12) — ROLLING OLS SLOPE: the 7-day trailing
+    least-squares trend of each event type's daily value series (the
+    many-small-models ROLLING sibling of pipeline_grouped_ols, and
+    the local-trend feature beside win_bollinger's band and
+    win_max_drawdown's risk stat). slope = (nΣty − ΣtΣy)/(nΣt² −
+    (Σt)²) over each full 7-day frame; only full frames emit.
+
+    Determinism: y is the 6-dp exact-integer daily scaling (the
+    pettitt recipe) and t an integer day offset from a fixed epoch,
+    so every frame sum is an EXACT integer (decimal-typed against
+    DuckDB's INT64 window-product overflow, the mann_whitney
+    lesson); numerator and denominator are exact decimal integer
+    expressions. The cancelled numerator can exceed 2^53 unscaled in
+    adversarial frames, where the engines' decimal→double casts
+    differ by 1 ulp (the acf ledger), so the slope — two shared IEEE
+    divisions, the 1e6 de-scaling exact — emits at 9 dp.
+
+    Scale: one corpus pass to the (type × day) table; both windows
+    partition by event_type over DAYS — calendar-bounded. A gap in
+    the calendar shrinks nothing silently: t is the REAL day offset,
+    so a frame spanning a gap fits the true time axis rather than
+    row indices."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+            .cast("long")
+            .alias("y")
+        )
+    )
+    td = daily.select(
+        "event_type",
+        "day",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+        "y",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    fr = td.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(w).alias("n_f"),
+        F.sum("t").over(w).cast("decimal(10,0)").alias("st"),
+        F.sum(F.col("t") * F.col("t")).over(w).cast("decimal(14,0)").alias("stt"),
+        F.sum(F.col("t").cast("decimal(10,0)") * F.col("y"))
+        .over(w)
+        .cast("decimal(26,0)")
+        .alias("sty"),
+        F.sum(F.col("y").cast("decimal(19,0)")).over(w).cast("decimal(22,0)").alias("sy"),
+    )
+    num = (7 * F.col("sty") - F.col("st") * F.col("sy")).cast("double")
+    den = (7 * F.col("stt") - F.col("st") * F.col("st")).cast("double")
+    return (
+        fr.where(F.col("n_f") == 7)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(num / den / 1000000, 9).alias("slope"),
+        )
+    )
+
+
+@query(
     "win_running_distinct",
     oracle="""
     SELECT user_id, event_id, ts,

@@ -4644,9 +4644,7 @@ def pipeline_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pipeline_acf",
-    oracle="""
+_ACF_ORACLE = """
     WITH daily AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
@@ -4689,7 +4687,12 @@ def pipeline_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs, den
     GROUP BY lag
     ORDER BY lag
-    """,
+    """
+
+
+@query(
+    "pipeline_acf",
+    oracle=_ACF_ORACLE,
 )
 def pipeline_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (r9) — AUTOCORRELATION FUNCTION of the daily revenue
@@ -4769,6 +4772,88 @@ def pipeline_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acf"),
         )
         .orderBy("lag")
+    )
+
+
+_LB_TERMS = " + ".join(f"t{k}" for k in range(1, 9))
+
+
+@query(
+    "pipeline_ljung_box",
+    oracle=f"""
+    WITH acf_t AS ({_ACF_ORACLE}),
+    pv AS (
+      SELECT MAX(CASE WHEN lag = 1 THEN n_pairs + 1 END) AS n,
+             {", ".join(
+                 f"MAX(CASE WHEN lag = {k} THEN acf * acf / n_pairs END) AS t{k}"
+                 for k in range(1, 9)
+             )}
+      FROM acf_t
+    ),
+    qs AS (
+      SELECT CAST(n AS BIGINT) AS n_days,
+             CAST(n AS DOUBLE) * (n + 2) * ({_LB_TERMS}) AS q_stat
+      FROM pv
+    )
+    SELECT n_days, q_stat,
+           round(exp(-(q_stat / 2))
+                 * (1 + (q_stat / 2)
+                      + ((q_stat / 2) * (q_stat / 2)) / 2
+                      + (((q_stat / 2) * (q_stat / 2)) * (q_stat / 2)) / 6), 6)
+             AS p_approx,
+           round(exp(-(q_stat / 2))
+                 * (1 + (q_stat / 2)
+                      + ((q_stat / 2) * (q_stat / 2)) / 2
+                      + (((q_stat / 2) * (q_stat / 2)) * (q_stat / 2)) / 6), 6)
+             < 0.05 AS significant
+    FROM qs
+    """,
+)
+def pipeline_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LJUNG-BOX portmanteau test (Ljung & Box 1978) on the daily
+    revenue series — Q = n(n+2) Σ_{k=1..8} r_k²/(n−k), the standard
+    "are these residuals white?" test that consumes ``pipeline_acf``'s
+    r_k directly (n−k is exactly that key's n_pairs, and n rides out
+    of the lag-1 row as n_pairs+1 — no second scan of anything).
+
+    Determinism: each r_k is the ACF's 9-dp-rounded ratio, identical
+    doubles in both engines, so r_k²/(n−k) is a shared exact IEEE
+    tree; the 8 terms are summed by a FIXED-ORDER conditional pivot
+    (the pipeline_anova wide-pivot rule — an 8-row SUM would be an
+    order-free double reduction), making Q bit-identical unrounded.
+    The only transcendental is the chi²₈ survival function, which at
+    even dof has the closed form exp(−Q/2)·Σ_{i=0..3}(Q/2)^i/i! —
+    rounded at 6 dp with the significance decision reading the
+    ROUNDED value (the bh_fdr rule).
+
+    Scale: everything downstream of the ACF is a 8-row pivot — pure
+    control plane; the ACF itself is dates-bounded (see its entry)."""
+    acf_t = pipeline_acf(spark, sf_dir)
+    term = F.col("acf") * F.col("acf") / F.col("n_pairs")
+    pv = acf_t.agg(
+        F.max(F.when(F.col("lag") == 1, F.col("n_pairs") + 1)).alias("n"),
+        *[
+            F.max(F.when(F.col("lag") == k, term)).alias(f"t{k}")
+            for k in range(1, 9)
+        ],
+    )
+    tsum = F.col("t1")
+    for k in range(2, 9):
+        tsum = tsum + F.col(f"t{k}")
+    qs = pv.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        (F.col("n").cast("double") * (F.col("n") + 2) * tsum).alias("q_stat"),
+    )
+    h = F.col("q_stat") / 2
+    p = F.round(
+        F.exp(-h) * (1 + h + (h * h) / 2 + ((h * h) * h) / 6),
+        6,
+    )
+    return qs.select(
+        "n_days",
+        "q_stat",
+        p.alias("p_approx"),
+        (p < 0.05).alias("significant"),
     )
 
 
@@ -6008,6 +6093,117 @@ def pipeline_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
 
 
+def _item_cf_capped_baskets(baskets: DataFrame, basket_cap: int | None) -> DataFrame:
+    """Apply the hard per-basket item cap: oversized baskets keep the
+    ``basket_cap`` items with the smallest ``xxhash64(ok, pk)`` — a
+    deterministic content-derived uniform item sample per basket."""
+    from pyspark.sql import Window
+
+    if basket_cap is None:
+        return baskets
+    bw = Window.partitionBy("ok").orderBy(
+        F.xxhash64("ok", "pk"), "pk"  # pk breaks xxhash64 ties: total order
+    )
+    return (
+        baskets.withColumn("_cap_rn", F.row_number().over(bw))
+        .where(F.col("_cap_rn") <= basket_cap)
+        .drop("_cap_rn")
+    )
+
+
+def item_cf_pair_stream(
+    baskets: DataFrame,
+    basket_cap: int | None = None,
+    dimsum_gamma: float | None = None,
+) -> DataFrame:
+    """The weighted (item_a, item_b, w) pair stream behind
+    ``item_cf_capped`` — exposed separately so the skew probe
+    (tools/itemcf_skew_probe.py) can measure the emitted pair VOLUME
+    each guard actually produces, not just the final top-k."""
+    bi = _item_cf_capped_baskets(baskets, basket_cap)
+    a = bi.select("ok", F.col("pk").alias("item_a"))
+    b = bi.select("ok", F.col("pk").alias("item_b"))
+    pairs = a.join(b, "ok").where(F.col("item_a") != F.col("item_b"))
+    if dimsum_gamma is None:
+        return pairs.select("item_a", "item_b", F.lit(1.0).alias("w"))
+    n = bi.groupBy("pk").agg(F.count(F.lit(1)).alias("n_orders"))
+    na = n.select(F.col("pk").alias("item_a"), F.col("n_orders").alias("n_a"))
+    nb = n.select(F.col("pk").alias("item_b"), F.col("n_orders").alias("n_b"))
+    pairs = pairs.join(F.broadcast(na), "item_a").join(F.broadcast(nb), "item_b")
+    p = F.least(
+        F.lit(1.0),
+        F.lit(float(dimsum_gamma))
+        / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double")),
+    )
+    # content-derived uniform in [0, 1): 32 high-entropy bits of
+    # xxhash64 over (basket, pair) — exact dyadic double
+    u = (
+        F.pmod(F.xxhash64("ok", "item_a", "item_b"), F.lit(2**32)).cast("double")
+        / F.lit(float(2**32))
+    )
+    return pairs.where(u < p).select("item_a", "item_b", (F.lit(1.0) / p).alias("w"))
+
+
+def item_cf_capped(
+    baskets: DataFrame,
+    k: int = 5,
+    min_cooc: int = 2,
+    basket_cap: int | None = None,
+    dimsum_gamma: float | None = None,
+) -> DataFrame:
+    """The SCALE guard for ``pipeline_item_cf`` (VERDICT r11 #3 — the
+    one documented-but-unbuilt hazard in the hot set): item-item
+    cosine top-k over ``baskets`` (columns ``ok``, ``pk``; distinct
+    pairs) with the two published mega-popular-item mitigations, both
+    plan-shape-preserving:
+
+    * ``basket_cap`` — hard per-basket item cap (the common-practice
+      guard): baskets larger than the cap keep the ``basket_cap``
+      items with the smallest ``xxhash64(ok, pk)`` — a deterministic,
+      content-derived (house no-rand() rule) uniform item sample per
+      basket. Everything downstream runs the EXACT algorithm on the
+      capped table (self-consistent norms), so per-basket pair work
+      is bounded by cap² regardless of how many lines one order —
+      or one bot session — accumulates. ``cap >= max basket size``
+      reproduces the exact result bit-for-bit (equivalence-tested).
+
+    * ``dimsum_gamma`` — DIMSUM pair sampling (Zadeh & Goel 2013,
+      the MLlib RowMatrix.columnSimilarities path): a basket's pair
+      (a, b) is emitted with probability p = min(1, γ/√(n_a·n_b)),
+      each emission Horvitz–Thompson-weighted 1/p, so E[Σw] = cooc
+      and the cosine estimate is unbiased while a hot item's pair
+      volume drops from n_hot·basket to ~γ·√basket. The coin is
+      content-derived (xxhash64(ok, a, b) → exact dyadic uniform);
+      γ ≥ √(max n_a·n_b) forces p = 1 everywhere and reproduces the
+      exact result bit-for-bit. Item frequencies are an items-bounded
+      dim table, BROADCAST onto the pair stream — no extra shuffle.
+
+    Returns (item_a, item_b, cooc DOUBLE — the HT estimate, exact
+    integers when no sampling triggers — cos_sim, rk <= k). The
+    min_cooc prune applies to the estimated cooc, matching the exact
+    HAVING when p = 1."""
+    from pyspark.sql import Window
+
+    bi = _item_cf_capped_baskets(baskets, basket_cap)
+    n = bi.groupBy("pk").agg(F.count(F.lit(1)).alias("n_orders"))
+    na = n.select(F.col("pk").alias("item_a"), F.col("n_orders").alias("n_a"))
+    nb = n.select(F.col("pk").alias("item_b"), F.col("n_orders").alias("n_b"))
+    weighted = item_cf_pair_stream(baskets, basket_cap, dimsum_gamma)
+    cooc = (
+        weighted.groupBy("item_a", "item_b")
+        .agg(F.sum("w").alias("cooc"))
+        .where(F.col("cooc") >= float(min_cooc))
+    )
+    cos = F.col("cooc") / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+    scored = (
+        cooc.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .select("item_a", "item_b", "cooc", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("item_a").orderBy(F.col("cos_sim").desc(), F.col("item_b"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
 @query(
     "pipeline_conformal",
     oracle="""
@@ -6093,19 +6289,7 @@ def pipeline_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(model, "prio")
         .select("prio", F.abs(F.col("y") - F.col("pred")).alias("resid"))
     )
-    k = F.expr("(9 * (count(1) + 1) + 9) div 10")
-    qhat = calib.groupBy("prio").agg(
-        F.count(F.lit(1)).alias("n_cal"),
-        # conformal rank k = ceil(0.9(n+1)) exceeds n whenever n < 18:
-        # the guarantee then needs the INFINITE interval — emit NULL
-        # (DuckDB's out-of-range list index is NULL; Spark's under
-        # ANSI is a runtime error, so the guard is correctness AND
-        # crash-safety — the win_hampel_outliers lesson)
-        F.when(
-            k <= F.count(F.lit(1)),
-            F.element_at(F.array_sort(F.collect_list("resid")), k.cast("int")),
-        ).alias("q_resid"),
-    )
+    qhat = split_conformal_qhat(calib, "prio", "resid")
     cov = (
         base.where(F.col("fold") == 4)
         .join(model, "prio")
@@ -6132,6 +6316,51 @@ def pipeline_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_covered",
             (F.col("n_covered").cast("double") / F.col("n_test")).alias("coverage"),
         )
+    )
+
+
+def split_conformal_qhat(
+    calib: DataFrame,
+    group_col: str,
+    resid_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """Generic per-group SPLIT-CONFORMAL quantile — the reusable
+    estimator behind ``pipeline_conformal`` (the
+    ``poisson_bootstrap_ci`` extraction pattern, ROADMAP r12 #4):
+    given a calibration frame of nonconformity scores, returns one
+    row per group with (n_cal, q_resid) where q_resid is the
+    k = ceil((1-alpha)(n+1))-th smallest score. ``pred ± q_resid``
+    then covers a fresh point with probability >= 1-alpha for ANY
+    model (Papadopoulos et al. 2002; Angelopoulos & Bates 2023).
+
+    alpha arrives as the RATIONAL alpha_num/alpha_den so the rank is
+    EXACT integer arithmetic: k = ((den-num)(n+1) + den - 1) div den.
+    A float alpha would put ceil() one ulp from a cliff — e.g.
+    (1-0.1)*(n+1) evaluates to 9.000000000000002 at n = 9, and
+    ceil() silently demands an 11th residual from 9. At the default
+    1/10 this reproduces the key's pinned (9(n+1)+9) div 10.
+
+    k > n_cal means the guarantee needs the INFINITE interval: emit
+    NULL (DuckDB's out-of-range list index is NULL; Spark's under
+    ANSI is a runtime error, so the guard is correctness AND
+    crash-safety — the win_hampel_outliers lesson). Memory bound is
+    one calibration group (the agg_collect_ordered contract); for
+    corpus-sized groups use ``conformal_qhat_histogram``, the
+    bounded-memory conservative variant."""
+    if not 0 < alpha_num < alpha_den:
+        raise ValueError(
+            f"alpha must be a proper fraction: got {alpha_num}/{alpha_den}"
+        )
+    keep = alpha_den - alpha_num
+    k = F.expr(f"({keep} * (count(1) + 1) + {alpha_den} - 1) div {alpha_den}")
+    return calib.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_cal"),
+        F.when(
+            k <= F.count(F.lit(1)),
+            F.element_at(F.array_sort(F.collect_list(resid_col)), k.cast("int")),
+        ).alias("q_resid"),
     )
 
 

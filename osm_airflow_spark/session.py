@@ -18,7 +18,24 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# SWEEP.md grid 1 (VERDICT r11 #7 — wire the sweep's choice in): the
+# warm query mix is fastest at 4x cores (128 partitions on local[32],
+# 0.87x the cores=partitions cell) and FLAT above, because AQE
+# coalesces oversized shuffle outputs at runtime — while
+# UNDER-partitioning (8) measurably starves the cores. The r12 A/B/A
+# re-measurement (SCALE.md round-12 ledger) is honest about the
+# limit: in the FRESH-JVM bench at sf0.1 the 128 cell is ~1.5%
+# slower than 32 (scheduling overhead at tiny SF), inside noise.
+# The default still errs high because the asymmetry is what matters:
+# AQE repairs over-partitioning at runtime, nothing repairs an
+# under-partitioned 10 TB shuffle. Override per-workload via
+# SPARK_GRAFT_SHUFFLE_PARTITIONS.
+DEFAULT_SHUFFLE_PARTITIONS = int(
+    os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        str(4 * int(os.environ.get("SPARK_GRAFT_CPUS", "32"))),
+    )
+)
 
 
 def get_spark(

@@ -524,14 +524,22 @@ def test_pq_ann_invariants(spark, sf_dir):
 # query-neighbor Hamming ~3.2 of 8 bits) are the hard regime for
 # LSH-family methods, so these floors are meaningful, not decorative.
 ANN_RECALL_FLOORS = {
-    # key: {sf: floor}; measured values in COVERAGE.md
-    "llm_sim_ann_lsh": {"0.001": 0.6, "0.01": 0.8},  # 0.7 / 0.9
-    "llm_sim_ann_ivf": {"0.001": 0.6, "0.01": 0.5},  # nprobe=2: 0.7 / 0.6
-    "llm_sim_ann_multiprobe": {"0.001": 0.3, "0.01": 0.5},  # directed 93: 0.4 / 0.6
-    "llm_sim_ann_ivf_kmeans": {"0.001": 0.8, "0.01": 0.8},  # 0.9 / 0.9
-    "llm_sim_ann_pq": {"0.001": 0.4, "0.01": 0.7},  # 0.5 / 0.8
-    "llm_sim_ann_ivf_rq": {"0.001": 0.7, "0.01": 0.7},  # 0.8 / 0.8
-    "llm_sim_ann_graph": {"0.001": 0.3, "0.01": 0.7},  # 0.4 / 0.8
+    # key: {sf: floor}; comments = measured recall@10 at each SF.
+    # r12 added MEASURED sf0.1 floors everywhere (the fallback-min was
+    # the one place the gate could silently weaken) — and the sweep
+    # that produced them caught two real fixed-budget decays: seeded
+    # IVF at nprobe=2 and graph at beam 12/hops 4 both measured 0.2
+    # at sf0.1 (a fixed probe/exploration budget explores a fixed
+    # fraction/count while the true top-10 tightens with corpus
+    # growth). Budgets raised to nprobe=3 and beam 24/hops 6; floors
+    # below are one hit (0.1) under the re-measured values.
+    "llm_sim_ann_lsh": {"0.001": 0.6, "0.01": 0.8, "0.1": 0.7},  # .7/.9/.8
+    "llm_sim_ann_ivf": {"0.001": 0.6, "0.01": 0.5, "0.1": 0.4},  # nprobe=3: .7/.6/.5
+    "llm_sim_ann_multiprobe": {"0.001": 0.3, "0.01": 0.5, "0.1": 0.6},  # .4/.6/.7
+    "llm_sim_ann_ivf_kmeans": {"0.001": 0.8, "0.01": 0.8, "0.1": 0.9},  # .9/.9/1.0
+    "llm_sim_ann_pq": {"0.001": 0.4, "0.01": 0.7, "0.1": 0.6},  # .5/.8/.7
+    "llm_sim_ann_ivf_rq": {"0.001": 0.7, "0.01": 0.7, "0.1": 0.7},  # .8/.8/.8
+    "llm_sim_ann_graph": {"0.001": 0.7, "0.01": 0.8, "0.1": 0.5},  # beam24/h6: .8/.9/.6
 }
 
 
@@ -1249,7 +1257,7 @@ def test_graph_index_build_query_prune_and_recall(spark, sf_dir, tmp_path):
 
     qvec = e.where(F.col("vec_id") == 0).collect()[0]["embedding"]
     got = query_graph_index(
-        spark, index_dir, qvec, beam_w=12, hops=4, topk=10, exclude_ids=(0,)
+        spark, index_dir, qvec, beam_w=24, hops=6, topk=10, exclude_ids=(0,)
     )
     rows = got.collect()
     assert len(rows) == 10 and all(r["vec_id"] != 0 for r in rows)
@@ -1273,7 +1281,7 @@ def test_graph_index_build_query_prune_and_recall(spark, sf_dir, tmp_path):
     assert recall >= _floor_for(ANN_RECALL_FLOORS["llm_sim_ann_graph"], sf_dir), recall
 
     again = query_graph_index(
-        spark, index_dir, qvec, beam_w=12, hops=4, topk=10, exclude_ids=(0,)
+        spark, index_dir, qvec, beam_w=24, hops=6, topk=10, exclude_ids=(0,)
     ).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
 
@@ -1559,13 +1567,13 @@ def test_graph_index_incremental_add(spark, sf_dir, tmp_path):
 
     probe = delta.orderBy("vec_id").limit(1).collect()[0]
     got = query_graph_index(
-        spark, index_dir, probe["embedding"], beam_w=12, hops=4, topk=1
+        spark, index_dir, probe["embedding"], beam_w=24, hops=6, topk=1
     ).collect()
     assert got[0]["vec_id"] == probe["vec_id"]  # cos(v, v) = 1 tops the list
 
     qvec = e.where(F.col("vec_id") == 0).collect()[0]["embedding"]
     rows = query_graph_index(
-        spark, index_dir, qvec, beam_w=12, hops=4, topk=10, exclude_ids=(0,)
+        spark, index_dir, qvec, beam_w=24, hops=6, topk=10, exclude_ids=(0,)
     ).collect()
     gt = {r["vec_id"] for r in QUERIES["llm_sim_topk"](spark, sf_dir).collect()}
     recall = len({r["vec_id"] for r in rows} & gt) / len(gt)
@@ -2049,13 +2057,13 @@ def test_graph_index_batch_query_parity_and_recall(spark, sf_dir, tmp_path):
     # single-query parity: same beam parameters -> same rows
     qvec = e.where(F.col("vec_id") == 0).first()["embedding"]
     single = query_graph_index(
-        spark, index_dir, qvec, beam_w=12, hops=4, topk=10, exclude_ids=(0,)
+        spark, index_dir, qvec, beam_w=24, hops=6, topk=10, exclude_ids=(0,)
     ).collect()
     one = e.where(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     batch_one = query_graph_index_batch(
-        spark, index_dir, one, beam_w=12, hops=4, topk=10, exclude_self=True
+        spark, index_dir, one, beam_w=24, hops=6, topk=10, exclude_self=True
     ).collect()
     assert [(r["vec_id"], r["cos_sim"]) for r in single] == [
         (r["vec_id"], r["cos_sim"]) for r in batch_one
@@ -2066,7 +2074,7 @@ def test_graph_index_batch_query_parity_and_recall(spark, sf_dir, tmp_path):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     got_rows = query_graph_index_batch(
-        spark, index_dir, qs, beam_w=12, hops=4, topk=10, exclude_self=True
+        spark, index_dir, qs, beam_w=24, hops=6, topk=10, exclude_self=True
     ).collect()
     got: dict[int, set] = {}
     for r in got_rows:

@@ -1159,3 +1159,155 @@ def test_poisson_bootstrap_ranks_derive_from_b(spark, sf_dir):
         poisson_bootstrap_ci(
             o, spark, "o_orderkey", "o_totalprice", b=10, lo_rank=7, hi_rank=4
         )
+
+
+def test_split_conformal_qhat_generic(spark, sf_dir):
+    """r12 (ROADMAP #4): the extracted split-conformal estimator on a
+    DIFFERENT frame and alpha (1/5), against a pure-Python third
+    implementation. The rational-alpha rank is the point: a float
+    alpha puts ceil() one ulp from a cliff ((1-0.1)*(n+1) evaluates
+    to 9.000000000000002 at n = 9)."""
+    import collections
+
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.plans.analytics import split_conformal_qhat
+
+    o = load_table(spark, sf_dir, "orders")
+    calib = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.abs(F.col("o_totalprice").cast("double") - 150000.0).alias("r"),
+    )
+    got = {
+        r["g"]: (r["n_cal"], r["q_resid"])
+        for r in split_conformal_qhat(
+            calib, "g", "r", alpha_num=1, alpha_den=5
+        ).collect()
+    }
+    by = collections.defaultdict(list)
+    for r in calib.collect():
+        by[r["g"]].append(r["r"])
+    for g, vals in by.items():
+        n = len(vals)
+        k = (4 * (n + 1) + 4) // 5  # ceil(0.8(n+1)) exactly
+        want = sorted(vals)[k - 1] if k <= n else None
+        assert got[g] == (n, want), g
+    with pytest.raises(ValueError, match="proper fraction"):
+        split_conformal_qhat(calib, "g", "r", alpha_num=0, alpha_den=5)
+    with pytest.raises(ValueError, match="proper fraction"):
+        split_conformal_qhat(calib, "g", "r", alpha_num=5, alpha_den=5)
+
+
+def _itemcf_baskets(spark, sf_dir):
+    from osm_airflow_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+
+
+def test_item_cf_capped_disabled_thresholds_reproduce_exact(spark, sf_dir):
+    """VERDICT r11 #3: the DIMSUM/basket-cap guard must be
+    plan-shape-preserving — with cap >= max basket size, and with
+    gamma >= max item frequency (p = 1 everywhere), item_cf_capped
+    must reproduce pipeline_item_cf BIT-FOR-BIT (cooc arrives as the
+    1.0-weighted double of the exact integer)."""
+    from osm_airflow_spark.plans.analytics import item_cf_capped
+
+    bi = _itemcf_baskets(spark, sf_dir)
+    exact = {
+        (r["item_a"], r["item_b"]): (float(r["cooc"]), r["cos_sim"], r["rk"])
+        for r in all_queries()["pipeline_item_cf"](spark, sf_dir).collect()
+    }
+    assert exact
+    max_basket = (
+        bi.groupBy("ok").count().agg(F.max("count")).collect()[0][0]
+    )
+    got_cap = {
+        (r["item_a"], r["item_b"]): (r["cooc"], r["cos_sim"], r["rk"])
+        for r in item_cf_capped(bi, basket_cap=int(max_basket)).collect()
+    }
+    assert got_cap == exact
+    n_max = bi.groupBy("pk").count().agg(F.max("count")).collect()[0][0]
+    got_dim = {
+        (r["item_a"], r["item_b"]): (r["cooc"], r["cos_sim"], r["rk"])
+        for r in item_cf_capped(bi, dimsum_gamma=float(n_max)).collect()
+    }
+    assert got_dim == exact
+
+
+def test_item_cf_capped_hot_item_guard(spark, sf_dir):
+    """One mega-popular item planted into EVERY basket — the 100 TB
+    hazard SCALE.md names. The basket cap must bound pair-generation
+    work at cap^2 per basket (measured on the planted table), and
+    DIMSUM sampling must keep the hot item's cooc estimates unbiased
+    (mean est/true near 1 on well-supported pairs) while emitting
+    only ~gamma/sqrt(n_hot*n_x) of its pair stream."""
+    from osm_airflow_spark.plans.analytics import item_cf_capped
+
+    HOT = -999
+    bi = _itemcf_baskets(spark, sf_dir)
+    hot = bi.select("ok").distinct().withColumn("pk", F.lit(HOT))
+    bih = bi.unionByName(hot)
+
+    # exact pair volume vs capped pair volume (sum over baskets of
+    # size*(size-1)) — the work the guard exists to bound
+    CAP = 4
+    sizes = bih.groupBy("ok").count()
+    exact_pairs = sizes.agg(
+        F.sum(F.col("count") * (F.col("count") - 1)).alias("p")
+    ).collect()[0]["p"]
+    capped_sizes = sizes.select(F.least(F.col("count"), F.lit(CAP)).alias("c"))
+    capped_pairs = capped_sizes.agg(
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("p")
+    ).collect()[0]["p"]
+    assert capped_pairs < exact_pairs
+    n_baskets = sizes.count()
+    assert capped_pairs <= CAP * (CAP - 1) * n_baskets  # the bound itself
+
+    # capped variant runs the exact algorithm on the capped table:
+    # every emitted neighbor list is size <= 5 with a total-order rank
+    got = item_cf_capped(bih, basket_cap=CAP).collect()
+    assert got
+    per_item = {}
+    for r in got:
+        per_item.setdefault(r["item_a"], []).append(r["rk"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_item.values())
+    assert all(len(v) <= 5 for v in per_item.values())
+
+    # DIMSUM at moderate gamma: the Horvitz-Thompson estimate of the
+    # hot item's TOTAL co-occurrence mass stays near truth (comparing
+    # totals, not per-pair conditionals — a pair with zero emissions
+    # contributes 0, which is what keeps the estimator unbiased),
+    # while the hot pair stream is heavily thinned. Content-derived
+    # coin -> these are fixed numbers, not flaky statistics.
+    BIG_K = 10**6  # disable the top-k cut: compare full tables
+    true_hot = {
+        (r["item_a"], r["item_b"]): r["cooc"]
+        for r in item_cf_capped(bih, k=BIG_K, min_cooc=1).collect()
+        if r["item_a"] == HOT
+    }
+    est_hot = {
+        (r["item_a"], r["item_b"]): r["cooc"]
+        for r in item_cf_capped(bih, k=BIG_K, min_cooc=1, dimsum_gamma=8.0).collect()
+        if r["item_a"] == HOT
+    }
+    assert true_hot, "hot item must co-occur with everything"
+    # thinning = EMISSION volume, not distinct pairs (at this fixture
+    # most pairs still land >= 1 emission): emissions per pair =
+    # est * p, reconstructed from the known sampling rate
+    import math
+
+    n_by_item = {
+        r["pk"]: r["cnt"]
+        for r in bih.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n_hot = n_by_item[HOT]
+    emissions = sum(
+        est * min(1.0, 8.0 / math.sqrt(n_hot * n_by_item[pair[1]]))
+        for pair, est in est_hot.items()
+    )
+    true_total = sum(true_hot.values())
+    assert emissions < true_total / 5, (emissions, true_total)
+    total_ratio = sum(est_hot.values()) / true_total
+    assert 0.8 < total_ratio < 1.2, total_ratio
