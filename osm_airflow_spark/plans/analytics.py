@@ -2789,6 +2789,141 @@ def pipeline_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_two_proportion_z",
+    oracle="""
+    WITH units AS (
+      SELECT user_id % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_t,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_c,
+             CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+               AS c_t,
+             CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+               AS c_c
+      FROM units
+    ),
+    z AS (
+      SELECT n_t, n_c, c_t, c_c,
+             CAST(c_t AS DOUBLE) / n_t AS rate_t,
+             CAST(c_c AS DOUBLE) / n_c AS rate_c,
+             CAST(c_t + c_c AS DOUBLE) / (n_t + n_c) AS pooled
+      FROM arms
+    ),
+    zz AS (
+      SELECT n_t, n_c, c_t, c_c, rate_t, rate_c,
+             CASE WHEN pooled > 0 AND pooled < 1
+                  THEN (rate_t - rate_c)
+                       / sqrt(pooled * (1 - pooled)
+                              * (1.0 / n_t + 1.0 / n_c))
+             END AS z_score
+      FROM z
+    )
+    SELECT n_t, n_c, c_t, c_c, rate_t, rate_c, z_score,
+           round(2.0 / (1 + exp(1.702 * abs(z_score))), 6) AS p_approx,
+           round(2.0 / (1 + exp(1.702 * abs(z_score))), 6) < 0.05
+             AS significant
+    FROM zz
+    """,
+)
+def pipeline_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PROPORTION z-test on CONVERSION (did the user ever make a
+    HIGH-VALUE purchase, > 150?) between the parity experiment arms —
+    the missing third leg of the A/B readout triple: pipeline_ab_test
+    tests the MEAN, pipeline_ks_test the DISTRIBUTION, this the RATE
+    (the metric most experiments actually ship on). Unit of analysis
+    is the USER (one converted flag per user — per-event counting
+    would double-count multi-purchase users and break the binomial
+    model). The value threshold exists because EVERY fixture user
+    purchases *something* (measured: bare purchase-conversion is 1.0
+    in both arms → zero pooled variance → all-NULL output); > 150
+    lands the rates near 0.45 at every SF with real arm variance.
+
+    z = (p̂_t − p̂_c)/√(p̂(1−p̂)(1/n_t+1/n_c)) with the pooled p̂ —
+    every ingredient an exact integer, so z is one shared IEEE tree,
+    emitted UNROUNDED. Degenerate pooled rates (0 or 1: zero
+    variance) emit NULL z/p in both engines, never a division crash.
+    The two-sided p uses the logistic CDF approximation of Φ
+    (|error| < 0.01 — the bh_fdr precedent), rounded at its
+    transcendental to 6 dp with the decision reading the rounded
+    value.
+
+    Scale: one groupBy(user) pass (partial-agg friendly), then a
+    1-row fold — sufficient statistics all the way down."""
+    e = load_table(spark, sf_dir, "events")
+    units = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    arm = F.col("user_id") % 2
+    arms = units.agg(
+        F.sum(F.when(arm == 1, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(arm == 0, 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(arm == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c_t"),
+        F.sum(F.when(arm == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("c_c"),
+    )
+    rate_t = F.col("c_t").cast("double") / F.col("n_t")
+    rate_c = F.col("c_c").cast("double") / F.col("n_c")
+    pooled = (F.col("c_t") + F.col("c_c")).cast("double") / (
+        F.col("n_t") + F.col("n_c")
+    )
+    z = arms.select(
+        "n_t",
+        "n_c",
+        "c_t",
+        "c_c",
+        rate_t.alias("rate_t"),
+        rate_c.alias("rate_c"),
+        pooled.alias("pooled"),
+    )
+    zz = z.select(
+        "n_t",
+        "n_c",
+        "c_t",
+        "c_c",
+        "rate_t",
+        "rate_c",
+        F.when(
+            (F.col("pooled") > 0) & (F.col("pooled") < 1),
+            (F.col("rate_t") - F.col("rate_c"))
+            / F.sqrt(
+                F.col("pooled")
+                * (1 - F.col("pooled"))
+                * (
+                    F.lit(1.0) / F.col("n_t")
+                    + F.lit(1.0) / F.col("n_c")
+                )
+            ),
+        ).alias("z_score"),
+    )
+    p = F.round(2.0 / (1 + F.exp(1.702 * F.abs(F.col("z_score")))), 6)
+    return zz.select(
+        "n_t",
+        "n_c",
+        "c_t",
+        "c_c",
+        "rate_t",
+        "rate_c",
+        "z_score",
+        p.alias("p_approx"),
+        (p < 0.05).alias("significant"),
+    )
+
+
+@query(
     "pipeline_seasonal_index",
     oracle=f"""
     WITH monthly AS (
@@ -3121,6 +3256,174 @@ def pipeline_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(float(n_a)) * F.lit(n_b) - u_a).alias("u_b"),
         F.col("tie_term").cast("long").alias("tie_term"),
         ((u_a - mu) / F.sqrt(var)).alias("z_score"),
+    )
+
+
+_KW_TR = ", ".join(
+    f"SUM(c{k} * (2 * (run_c - c) + c + 1)) AS tr{k}" for k in range(7)
+)
+_KW_N = ", ".join(f"SUM(c{k}) AS n{k}" for k in range(7))
+_KW_SU = " + ".join(
+    f"(CASE WHEN n{k} > 0 THEN CAST(tr{k} AS DOUBLE) * tr{k} / n{k} "
+    f"ELSE 0.0 END)"
+    for k in range(7)
+)
+
+
+@query(
+    "pipeline_kruskal_wallis",
+    oracle=f"""
+    WITH pur AS (
+      SELECT (EXTRACT(isodow FROM ts) - 1) AS g, value
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+        AND ts IS NOT NULL
+    ),
+    by_val AS (
+      SELECT value,
+             {", ".join(
+                 f"SUM(CASE WHEN g = {k} THEN 1 ELSE 0 END) AS c{k}"
+                 for k in range(7)
+             )},
+             COUNT(*) AS c
+      FROM pur GROUP BY value
+    ),
+    cum AS (
+      SELECT *, SUM(c) OVER (ORDER BY value) AS run_c FROM by_val
+    ),
+    agg AS (
+      SELECT {_KW_TR}, {_KW_N},
+             SUM(c * c * c - c) AS tie_term,
+             SUM(c) AS n
+      FROM cum
+    ),
+    hs AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(tie_term AS BIGINT) AS tie_term,
+             3.0 * ({_KW_SU}) / (CAST(n AS DOUBLE) * (n + 1))
+               - 3.0 * (n + 1) AS h_stat,
+             1.0 - CAST(tie_term AS DOUBLE)
+                   / CAST(n * n * n - n AS DOUBLE) AS tie_c
+      FROM agg
+    ),
+    hc AS (
+      SELECT n, tie_term, h_stat,
+             CASE WHEN tie_c > 0 THEN h_stat / tie_c END AS h_corrected
+      FROM hs
+    )
+    SELECT n, tie_term, h_stat, h_corrected,
+           round(exp(-(h_corrected / 2))
+                 * (1 + (h_corrected / 2)
+                      + ((h_corrected / 2) * (h_corrected / 2)) / 2), 6)
+             AS p_approx,
+           round(exp(-(h_corrected / 2))
+                 * (1 + (h_corrected / 2)
+                      + ((h_corrected / 2) * (h_corrected / 2)) / 2), 6)
+             < 0.05 AS significant
+    FROM hc
+    """,
+)
+def pipeline_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL–WALLIS H test (Kruskal & Wallis 1952) of purchase
+    value across the seven weekdays — the RANK-based sibling of
+    pipeline_anova's F (the k-group generalization of
+    pipeline_mann_whitney exactly as anova generalizes ab_test):
+    the weekday-effect readout that survives the heavy-tailed
+    revenue-per-event shape a variance-based F is fragile on.
+    H = 12/(n(n+1)) Σ_g R_g²/n_g − 3(n+1), tie-corrected by
+    C = 1 − Σ(t³−t)/(n³−n).
+
+    Exactness discipline — three house patterns composed: (1) the
+    mann_whitney DOUBLED midrank identity per distinct value
+    (2R_g = Σ c_g(2·cum_before + c + 1)) keeps every rank sum an
+    exact integer with no halves; (2) the pooled cumulative runs on
+    the BOUNDED distinct-value table via the bucket-offset pattern
+    (no global window — lint-clean); (3) the 7 per-group terms
+    reduce through a WIDE PIVOT (the anova rule) so Σ tr_g²/n_g is a
+    fixed-order IEEE tree over exact-int casts — with doubled ranks,
+    Σ R²/n = ¼ Σ (2R)²/n, so the 12/(n(n+1)) coefficient becomes 3.
+    H and the tie correction are therefore bit-identical unrounded;
+    the chi²₆ survival (even dof: exp(−H/2)(1 + h + h²/2)) is the
+    only transcendental, rounded 6 dp with the decision reading the
+    rounded value (the bh_fdr rule). Degenerate all-ties input
+    (C = 0) emits NULL H_corr/p in both engines, never a crash.
+
+    Scale: one corpus pass to distinct-value group counts; everything
+    after is distinct-value-bounded (pre-quantize continuous values
+    at 100 TB — the _two_sample_value_cum note); weekday extraction
+    is Spark weekday() ≡ DuckDB isodow−1 (the 1=Sunday trap dodged,
+    the anova precedent)."""
+    from osm_airflow_spark.bucketing import bucketed_running
+
+    e = load_table(spark, sf_dir, "events")
+    pur = e.where(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select(F.weekday("ts").alias("g"), "value")
+    by_val = (
+        pur.groupBy("value")
+        .agg(
+            *[
+                F.sum(F.when(F.col("g") == k, 1).otherwise(0)).alias(f"c{k}")
+                for k in range(7)
+            ],
+            F.count(F.lit(1)).alias("c"),
+        )
+        .localCheckpoint(eager=True)  # distinct-value-bounded
+    )
+    out, _totals = bucketed_running(by_val, "value", ["c"])
+    cum_before = F.col("run_c") - F.col("c")
+    agg = out.agg(
+        *[
+            F.sum(
+                F.col(f"c{k}") * (2 * cum_before + F.col("c") + 1)
+            ).alias(f"tr{k}")
+            for k in range(7)
+        ],
+        *[F.sum(f"c{k}").alias(f"n{k}") for k in range(7)],
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias(
+            "tie_term"
+        ),
+        F.sum("c").alias("n"),
+    )
+    su = None
+    for k in range(7):
+        trd = F.col(f"tr{k}").cast("double")
+        term = F.when(
+            F.col(f"n{k}") > 0, trd * trd / F.col(f"n{k}")
+        ).otherwise(F.lit(0.0))
+        su = term if su is None else su + term
+    nd = F.col("n").cast("double")
+    h_stat = F.lit(3.0) * su / (nd * (F.col("n") + 1)) - F.lit(3.0) * (
+        F.col("n") + 1
+    )
+    tie_c = F.lit(1.0) - F.col("tie_term").cast("double") / (
+        F.col("n") * F.col("n") * F.col("n") - F.col("n")
+    ).cast("double")
+    hs = agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("tie_term").cast("long").alias("tie_term"),
+        h_stat.alias("h_stat"),
+        tie_c.alias("tie_c"),
+    )
+    hc = hs.select(
+        "n",
+        "tie_term",
+        "h_stat",
+        F.when(F.col("tie_c") > 0, F.col("h_stat") / F.col("tie_c")).alias(
+            "h_corrected"
+        ),
+    )
+    half = F.col("h_corrected") / 2
+    p = F.round(F.exp(-half) * (1 + half + (half * half) / 2), 6)
+    return hc.select(
+        "n",
+        "tie_term",
+        "h_stat",
+        "h_corrected",
+        p.alias("p_approx"),
+        (p < 0.05).alias("significant"),
     )
 
 
@@ -5639,6 +5942,93 @@ def pipeline_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_parts"),
         slope.alias("slope"),
         intercept.alias("intercept"),
+    ).orderBy("brand")
+
+
+@query(
+    "pipeline_price_elasticity",
+    oracle="""
+    WITH obs AS (
+      SELECT p.p_brand AS brand,
+             round(ln(CAST(l.l_extendedprice AS DOUBLE)
+                      / CAST(l.l_quantity AS DOUBLE)), 6) AS x,
+             round(ln(CAST(l.l_quantity AS DOUBLE)), 6) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity > 0
+    ),
+    s AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               AS sxy,
+             CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               AS sxx
+      FROM obs GROUP BY brand
+    )
+    SELECT brand, n_obs,
+           CASE WHEN n_obs * sxx - sx * sx <> 0
+                THEN (n_obs * sxy - sx * sy) / (n_obs * sxx - sx * sx)
+           END AS elasticity
+    FROM s
+    ORDER BY brand
+    """,
+)
+def pipeline_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE ELASTICITY of demand per brand — the LOG-LOG regression
+    d ln(qty)/d ln(unit price) over line items (the pricing-analytics
+    staple; pipeline_grouped_ols is its linear sibling — this key
+    adds the transcendental-regressor discipline a log-log model
+    forces).
+
+    Determinism recipe (three house rules composed): both logs are
+    rounded AT the transcendental to 6 dp (engines' ln differ by
+    ulps); every product term x·y, x·x is ALSO rounded to 6 dp before
+    the decimal cast (the anova Σx² term rule — the raw 12-dp product
+    scale would push the sums past the 2^53 cast-exactness line), so
+    all five sufficient statistics are exact decimal sums with exact
+    double casts; the slope is then a fixed-order shared IEEE tree —
+    emitted UNROUNDED, bit-identical by construction. Zero-variance
+    brands (all lines at one log-price) emit NULL, never a division
+    crash.
+
+    Scale: one fact-table pass with a broadcast part-dim join; per-
+    brand sufficient statistics shuffle 5 decimals × brands — the
+    many-small-models shape; nothing downstream exceeds the brand
+    count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = F.round(
+        F.log(
+            F.col("l_extendedprice").cast("double")
+            / F.col("l_quantity").cast("double")
+        ),
+        6,
+    )
+    y = F.round(F.log(F.col("l_quantity").cast("double")), 6)
+    obs = (
+        li.where(F.col("l_quantity") > 0)
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(F.col("p_brand").alias("brand"), x.alias("x"), y.alias("y"))
+    )
+    d6 = "decimal(18,6)"
+    s = obs.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col("x").cast(d6)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(d6)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast(d6))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast(d6))
+        .cast("double")
+        .alias("sxx"),
+    )
+    num = F.col("n_obs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_obs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "brand",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.when(den != 0, num / den).alias("elasticity"),
     ).orderBy("brand")
 
 

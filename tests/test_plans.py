@@ -1161,6 +1161,84 @@ def test_poisson_bootstrap_ranks_derive_from_b(spark, sf_dir):
         )
 
 
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_kruskal_wallis_planted_weekday_shift(spark, tmp_path):
+    """r12: KW on a planted corpus — Wednesdays shifted +100 over 4
+    weeks of purchases. A pure-Python midrank replica (independent
+    third implementation) must agree to 1e-9 on H and the tie
+    correction, and the shift must be flagged significant."""
+    import datetime
+    import math
+
+    rows = []
+    eid = 0
+    for d in range(28):
+        ts = datetime.datetime(2024, 3, 4) + datetime.timedelta(days=d)
+        shift = 100.0 if ts.weekday() == 2 else 0.0
+        for i in range(5):
+            rows.append((eid, ts, 1, "purchase", 100.0 + i + shift, "{}"))
+            eid += 1
+    sf_dir = _write_events(spark, tmp_path, rows)
+    row = all_queries()["pipeline_kruskal_wallis"](spark, sf_dir).collect()[0]
+
+    # pure-python replica: pooled midranks, per-weekday rank sums
+    groups: dict[int, list[float]] = {}
+    vals = []
+    for d in range(28):
+        ts = datetime.datetime(2024, 3, 4) + datetime.timedelta(days=d)
+        shift = 100.0 if ts.weekday() == 2 else 0.0
+        for i in range(5):
+            groups.setdefault(ts.weekday(), []).append(100.0 + i + shift)
+            vals.append(100.0 + i + shift)
+    vals.sort()
+    first = {}
+    for idx, v in enumerate(vals):
+        first.setdefault(v, idx)
+    midrank = {
+        v: first[v] + 1 + (vals.count(v) - 1) / 2.0 for v in set(vals)
+    }
+    n = len(vals)
+    ssum = sum(
+        (sum(midrank[v] for v in g) ** 2) / len(g) for g in groups.values()
+    )
+    h = 12.0 / (n * (n + 1)) * ssum - 3 * (n + 1)
+    tie = sum(
+        vals.count(v) ** 3 - vals.count(v) for v in set(vals)
+    )
+    c = 1.0 - tie / (n**3 - n)
+    assert row["n"] == n and row["tie_term"] == tie
+    assert math.isclose(row["h_stat"], h, rel_tol=1e-9)
+    assert math.isclose(row["h_corrected"], h / c, rel_tol=1e-9)
+    assert row["significant"] is True
+    assert row["p_approx"] < 0.05
+
+
+def test_kruskal_wallis_degenerate_all_ties(spark, tmp_path):
+    """All purchase values identical: the tie correction is exactly 0
+    and H/C would divide by zero — both engines must emit NULL
+    h_corrected/p (never crash, never NaN)."""
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 3, 4) + datetime.timedelta(days=i % 14),
+         1, "purchase", 50.0, "{}")
+        for i in range(70)
+    ]
+    sf_dir = _write_events(spark, tmp_path, rows)
+    row = all_queries()["pipeline_kruskal_wallis"](spark, sf_dir).collect()[0]
+    assert row["tie_term"] == 70**3 - 70
+    assert row["h_corrected"] is None
+    assert row["p_approx"] is None and row["significant"] is None
+
+
 def test_split_conformal_qhat_generic(spark, sf_dir):
     """r12 (ROADMAP #4): the extracted split-conformal estimator on a
     DIFFERENT frame and alpha (1/5), against a pure-Python third
