@@ -487,3 +487,90 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_score"), "p1", "p2")
         .limit(20)
     )
+
+
+@query(
+    "graph_jaccard",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    deg AS (SELECT p, COUNT(*) AS n_orders FROM op GROUP BY p),
+    co AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS n_common
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+    )
+    SELECT c.p1, c.p2, c.n_common,
+           da.n_orders AS n_a, db.n_orders AS n_b,
+           CAST(c.n_common AS DOUBLE)
+             / (da.n_orders + db.n_orders - c.n_common) AS jaccard
+    FROM co c
+    JOIN deg da ON da.p = c.p1
+    JOIN deg db ON db.p = c.p2
+    ORDER BY jaccard DESC, p1, p2 LIMIT 20
+    """,
+)
+def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension -- NEIGHBORHOOD JACCARD link prediction over the
+    order-part bipartite graph: |N(a) n N(b)| / |N(a) u N(b)| on
+    basket sets, the normalized sibling of graph_adamic_adar (AA
+    rewards sharing rare neighbors; Jaccard penalizes popular parts
+    whose co-occurrence is expected) -- on user-document graphs this
+    is exactly minhash-LSH's target similarity computed exactly on
+    candidate pairs.
+
+    Exactness: every ingredient is an exact integer count; jaccard
+    is one shared double division of longs (< 2^53 always -- counts),
+    so the top-20 cut (jaccard DESC, p1, p2) is a total order both
+    engines agree on.
+
+    Scale: the co-count pair generation is IN-ARRAY per basket (the
+    adamic_adar shape -- linear in orders, never part x part); the
+    per-part degree join-back is CORPUS-BOUNDED (per-part), the
+    documented case where a join-back beats a window (CLAUDE.md
+    exchange-reuse doctrine), and at 100 TB it shuffles on p which
+    AQE can broadcast when the part dim fits. Top-k is
+    TakeOrderedAndProject (no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    deg = op.groupBy("p").agg(F.count(F.lit(1)).alias("n_orders"))
+    per_order = (
+        op.groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .where(F.size("ps") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size("ps")),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    co = (
+        per_order.select(F.explode(pairs).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("p").alias("p1"), F.col("n_orders").alias("n_a"))
+    db = deg.select(F.col("p").alias("p2"), F.col("n_orders").alias("n_b"))
+    out = (
+        co.join(da, "p1")
+        .join(db, "p2")
+        .select(
+            "p1",
+            "p2",
+            "n_common",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.orderBy(F.desc("jaccard"), "p1", "p2").limit(20)

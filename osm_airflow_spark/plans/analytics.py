@@ -7581,3 +7581,687 @@ def pipeline_open_orders_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.date_format("day", "yyyy-MM-dd").alias("day"), "n_open", "open_value"
     )
+
+
+@query(
+    "pipeline_nelson_aalen",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn,
+             MAX(CAST(o_orderdate AS DATE))
+               OVER (PARTITION BY o_custkey) AS cmax
+      FROM orders
+    ),
+    per_cust AS (
+      SELECT o_custkey,
+             MIN(CASE WHEN rn = 1 THEN od END) AS t1,
+             MIN(CASE WHEN rn = 2 THEN od END) AS t2,
+             MAX(cmax) AS cmax
+      FROM ranked WHERE rn <= 2 GROUP BY o_custkey
+    ),
+    g AS (SELECT MAX(cmax) AS gmax, COUNT(*) AS total FROM per_cust),
+    spells AS (
+      SELECT CASE WHEN t2 IS NOT NULL THEN date_diff('day', t1, t2)
+                  ELSE date_diff('day', t1, gmax) END AS t,
+             CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per_cust, g
+    ),
+    by_time AS (
+      SELECT t, SUM(ev) AS d, SUM(1 - ev) AS c FROM spells GROUP BY t
+    ),
+    cum AS (
+      SELECT t, d, c, total,
+             total - COALESCE(SUM(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM by_time, g
+    ),
+    terms AS (
+      SELECT t, d, c, n_risk,
+             CASE WHEN d > 0 THEN
+               CAST(round(round(CAST(d AS DOUBLE) / n_risk, 6)
+                          * 1000000, 0) AS BIGINT)
+             ELSE 0 END AS hm,
+             CASE WHEN d > 0 THEN
+               CAST(round(round((CAST(d AS DOUBLE) / n_risk) / n_risk, 9)
+                          * 1000000000, 0) AS BIGINT)
+             ELSE 0 END AS vn
+      FROM cum
+    ),
+    runs AS (
+      SELECT t, d, c, n_risk,
+             SUM(hm) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumh,
+             SUM(vn) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv
+      FROM terms
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(c AS BIGINT) AS n_censored,
+           CAST(cumh AS DOUBLE) / 1000000 AS cum_hazard,
+           CAST(cumv AS DOUBLE) / 1000000000 AS var_hazard,
+           round(exp(-(CAST(cumh AS DOUBLE) / 1000000)), 6) AS s_fh
+    FROM runs
+    """,
+)
+def pipeline_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON-AALEN cumulative hazard over the same time-to-reorder
+    spells as pipeline_survival_km: H(t) = Sigma_{t_i<=t} d_i/n_i
+    (Nelson 1972, Aalen 1978) with the simple variance estimate
+    Sigma d_i/n_i^2, plus the Fleming-Harrington survival translation
+    S_FH = exp(-H) (the estimator of choice when at-risk counts get
+    small, where KM's product form loses precision). Completes the
+    survival trio: KM estimates S directly, this estimates the
+    HAZARD, pipeline_logrank compares arms.
+
+    Determinism is the KM recipe verbatim: each per-time term is a
+    ratio of exact integers rounded at 6 dp (hazard) / 9 dp
+    (variance -- d/n^2 at fixture n would vanish at 6 dp), scaled to
+    integer micros/nanos so both running sums are exact long
+    addition; the only transcendental (exp) is rounded at emission.
+    d = n_risk needs no sentinel here (the term is exactly 1.0, not
+    a log singularity) -- the hazard just steps by 1.
+
+    Scale: identical machinery and cost to pipeline_survival_km --
+    bounded per-customer window, calendar-bounded distinct spell
+    table, two bucket-offset running passes (the second carries BOTH
+    cumulative columns in one pass), globals ride a broadcast row.
+    Cites reference README.md:70 ("amenable to efficient querying")
+    -- lifecycle/churn readouts are that end state."""
+    from pyspark.sql import Window
+
+    from osm_airflow_spark.bucketing import bucketed_running
+
+    o = load_table(spark, sf_dir, "orders")
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wmax = Window.partitionBy("o_custkey")
+    ranked = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.row_number().over(wc).alias("rn"),
+        F.max(F.col("o_orderdate").cast("date")).over(wmax).alias("cmax"),
+    ).where(F.col("rn") <= 2)
+    per_cust = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("od"))).alias("t1"),
+        F.min(F.when(F.col("rn") == 2, F.col("od"))).alias("t2"),
+        F.max("cmax").alias("cmax"),
+    ).localCheckpoint(eager=True)  # feeds the 1-row globals AND spells
+    g = per_cust.agg(
+        F.max("cmax").alias("gmax"), F.count(F.lit(1)).alias("total")
+    )
+    spells = per_cust.crossJoin(F.broadcast(g)).select(
+        F.when(
+            F.col("t2").isNotNull(), F.datediff("t2", "t1")
+        ).otherwise(F.datediff("gmax", "t1")).alias("t"),
+        F.when(F.col("t2").isNotNull(), 1).otherwise(0).alias("ev"),
+        "total",
+    )
+    by_time = (
+        spells.groupBy("t", "total")
+        .agg(F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c"))
+        .withColumn("dc", F.col("d") + F.col("c"))
+        .localCheckpoint(eager=True)  # cuts + offsets + windowed pass
+    )
+    out1, _ = bucketed_running(by_time, "t", ["dc"])
+    n_risk = F.col("total") - (F.col("run_dc") - F.col("dc"))
+    dd = F.col("d").cast("double")
+    hm = F.when(
+        F.col("d") > 0,
+        F.round(F.round(dd / F.col("n_risk"), 6) * 1_000_000, 0).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    vn = F.when(
+        F.col("d") > 0,
+        F.round(
+            F.round((dd / F.col("n_risk")) / F.col("n_risk"), 9)
+            * 1_000_000_000,
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    terms = (
+        out1.withColumn("n_risk", n_risk)
+        .select("t", "d", "c", "n_risk", hm.alias("hm"), vn.alias("vn"))
+        .localCheckpoint(eager=True)  # second offset collect + window
+    )
+    out2, _ = bucketed_running(terms, "t", ["hm", "vn"])
+    cumh = F.col("run_hm").cast("double") / 1_000_000
+    cumv = F.col("run_vn").cast("double") / 1_000_000_000
+    return out2.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("c").cast("long").alias("n_censored"),
+        cumh.alias("cum_hazard"),
+        cumv.alias("var_hazard"),
+        F.round(F.exp(-cumh), 6).alias("s_fh"),
+    )
+
+
+@query(
+    "pipeline_logrank",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn,
+             MAX(CAST(o_orderdate AS DATE))
+               OVER (PARTITION BY o_custkey) AS cmax
+      FROM orders
+    ),
+    per_cust AS (
+      SELECT o_custkey, CAST(o_custkey % 2 AS BIGINT) AS arm,
+             MIN(CASE WHEN rn = 1 THEN od END) AS t1,
+             MIN(CASE WHEN rn = 2 THEN od END) AS t2,
+             MAX(cmax) AS cmax
+      FROM ranked WHERE rn <= 2 GROUP BY o_custkey
+    ),
+    g AS (SELECT MAX(cmax) AS gmax,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS total1,
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS total0
+          FROM per_cust),
+    spells AS (
+      SELECT CASE WHEN t2 IS NOT NULL THEN date_diff('day', t1, t2)
+                  ELSE date_diff('day', t1, gmax) END AS t,
+             CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS ev,
+             arm, total1, total0
+      FROM per_cust, g
+    ),
+    by_time AS (
+      SELECT t, total1, total0,
+             CAST(SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT)
+               AS d1,
+             CAST(SUM(CASE WHEN arm = 0 THEN ev ELSE 0 END) AS BIGINT)
+               AS d0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dc1,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dc0
+      FROM spells GROUP BY t, total1, total0
+    ),
+    cum AS (
+      SELECT *,
+        total1 - COALESCE(SUM(dc1) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+        total0 - COALESCE(SUM(dc0) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0
+      FROM by_time
+    ),
+    terms AS (
+      SELECT d1, d0,
+        CASE WHEN d1 + d0 > 0 THEN
+          CAST(round(CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0), 6)
+               AS DECIMAL(18,6))
+        ELSE CAST(0 AS DECIMAL(18,6)) END AS e1t,
+        CASE WHEN d1 + d0 > 0 AND n1 + n0 > 1 THEN
+          CAST(round(
+            ((CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0))
+             * (CAST(n0 AS DOUBLE) / (n1 + n0)))
+            * ((CAST(n1 + n0 AS DOUBLE) - (d1 + d0)) / (n1 + n0 - 1)),
+            6) AS DECIMAL(18,6))
+        ELSE CAST(0 AS DECIMAL(18,6)) END AS vt
+      FROM cum
+    ),
+    s AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             CAST(SUM(d0) AS BIGINT) AS o0,
+             SUM(e1t) AS e1s, SUM(vt) AS vs
+      FROM terms
+    ),
+    z AS (
+      SELECT total1 AS n_arm1, total0 AS n_arm0, o1, o0,
+             CAST(e1s AS DOUBLE) AS e1_expected,
+             CAST(vs AS DOUBLE) AS variance,
+             CASE WHEN CAST(vs AS DOUBLE) > 0 THEN
+               (CAST(o1 AS DOUBLE) - CAST(e1s AS DOUBLE))
+               / sqrt(CAST(vs AS DOUBLE))
+             END AS z_score
+      FROM s, g
+    )
+    SELECT n_arm1, n_arm0, o1, o0, e1_expected, variance, z_score,
+           z_score * z_score AS chi_square,
+           round(2.0 / (1 + exp(1.702 * abs(z_score))), 6) AS p_approx,
+           round(2.0 / (1 + exp(1.702 * abs(z_score))), 6) < 0.05
+             AS significant
+    FROM z
+    """,
+)
+def pipeline_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK test (Mantel 1966) comparing time-to-reorder between
+    the parity experiment arms (o_custkey % 2) -- the censoring-aware
+    arm comparison pipeline_ab_test cannot do (a t-test on observed
+    gaps silently drops every one-order customer; KM curves per arm
+    show the difference but don't test it). At each distinct event
+    time: O1 accumulates arm-1 events, E1 the hypergeometric
+    expectation d*n1/n, V the hypergeometric variance
+    d*(n1/n)*(n0/n)*(n-d)/(n-1); z = (O1-E1)/sqrt(V).
+
+    Determinism: O1 is an exact long. Each E1/V term is a ratio of
+    exact integers evaluated in ONE fixed-shape IEEE tree (written
+    identically here and in the oracle), rounded at 6 dp and summed
+    in decimal -- the house rational-term recipe -- so both sums are
+    order-free exact; z/chi2 are a shared tree over their double
+    casts (unscaled sums < 2^53 at any plausible corpus: E1 is
+    bounded by the event count). The logistic-CDF p is rounded at
+    its transcendental (bh_fdr precedent), decision reads the
+    rounded value. Times with n = 1 contribute no variance (the
+    standard convention); zero total variance emits NULL z/p, never
+    a division crash.
+
+    Scale: the same bounded machinery as pipeline_survival_km --
+    per-customer window, calendar-bounded distinct-time table, ONE
+    bucket-offset running pass carrying both arms' at-risk
+    cumulatives, per-arm totals riding the broadcast globals row.
+    Nothing scales past the distinct-spell-length table."""
+    from pyspark.sql import Window
+
+    from osm_airflow_spark.bucketing import bucketed_running
+
+    o = load_table(spark, sf_dir, "orders")
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wmax = Window.partitionBy("o_custkey")
+    ranked = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.row_number().over(wc).alias("rn"),
+        F.max(F.col("o_orderdate").cast("date")).over(wmax).alias("cmax"),
+    ).where(F.col("rn") <= 2)
+    per_cust = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("od"))).alias("t1"),
+        F.min(F.when(F.col("rn") == 2, F.col("od"))).alias("t2"),
+        F.max("cmax").alias("cmax"),
+    ).withColumn(
+        "arm", (F.col("o_custkey") % 2).cast("long")
+    ).localCheckpoint(eager=True)  # feeds the 1-row globals AND spells
+    g = per_cust.agg(
+        F.max("cmax").alias("gmax"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("total1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("total0"),
+    )
+    spells = per_cust.crossJoin(F.broadcast(g)).select(
+        F.when(
+            F.col("t2").isNotNull(), F.datediff("t2", "t1")
+        ).otherwise(F.datediff("gmax", "t1")).alias("t"),
+        F.when(F.col("t2").isNotNull(), 1).otherwise(0).alias("ev"),
+        "arm",
+        "total1",
+        "total0",
+    )
+    by_time = (
+        spells.groupBy("t", "total1", "total0")
+        .agg(
+            F.sum(F.when(F.col("arm") == 1, F.col("ev")).otherwise(0))
+            .cast("long")
+            .alias("d1"),
+            F.sum(F.when(F.col("arm") == 0, F.col("ev")).otherwise(0))
+            .cast("long")
+            .alias("d0"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("dc1"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("dc0"),
+        )
+        .localCheckpoint(eager=True)  # cuts + offsets + windowed pass
+    )
+    out1, _ = bucketed_running(by_time, "t", ["dc1", "dc0"])
+    n1 = F.col("total1") - (F.col("run_dc1") - F.col("dc1"))
+    n0 = F.col("total0") - (F.col("run_dc0") - F.col("dc0"))
+    cum = out1.select("d1", "d0", n1.alias("n1"), n0.alias("n0"))
+    d = F.col("d1") + F.col("d0")
+    n = F.col("n1") + F.col("n0")
+    dd = d.cast("double")
+    zero6 = F.lit(0).cast("decimal(18,6)")
+    e1t = F.when(
+        d > 0, F.round(dd * F.col("n1") / n, 6).cast("decimal(18,6)")
+    ).otherwise(zero6)
+    vt = F.when(
+        (d > 0) & (n > 1),
+        F.round(
+            ((dd * F.col("n1") / n) * (F.col("n0").cast("double") / n))
+            * ((n.cast("double") - d) / (n - 1)),
+            6,
+        ).cast("decimal(18,6)"),
+    ).otherwise(zero6)
+    s = cum.select(
+        "d1", "d0", e1t.alias("e1t"), vt.alias("vt")
+    ).agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("d0").cast("long").alias("o0"),
+        F.sum("e1t").alias("e1s"),
+        F.sum("vt").alias("vs"),
+    )
+    zrow = s.crossJoin(F.broadcast(g))
+    e1d = F.col("e1s").cast("double")
+    vd = F.col("vs").cast("double")
+    z = F.when(vd > 0, (F.col("o1").cast("double") - e1d) / F.sqrt(vd))
+    p = F.round(2.0 / (1 + F.exp(1.702 * F.abs(z))), 6)
+    return zrow.select(
+        F.col("total1").alias("n_arm1"),
+        F.col("total0").alias("n_arm0"),
+        "o1",
+        "o0",
+        e1d.alias("e1_expected"),
+        vd.alias("variance"),
+        z.alias("z_score"),
+        (z * z).alias("chi_square"),
+        p.alias("p_approx"),
+        (p < 0.05).alias("significant"),
+    )
+
+
+@query(
+    "pipeline_wilcoxon_signed_rank",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1995
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS s95,
+             SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS s96
+      FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+      GROUP BY o_custkey
+    ),
+    d AS (
+      SELECT s96 - s95 AS diff FROM per
+      WHERE s95 IS NOT NULL AND s96 IS NOT NULL AND s96 <> s95
+    ),
+    by_val AS (
+      SELECT CAST(abs(diff) * 100 AS BIGINT) AS cents,
+             CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_pos,
+             COUNT(*) AS c
+      FROM d GROUP BY 1
+    ),
+    cum AS (SELECT *, SUM(c) OVER (ORDER BY cents) AS run_c FROM by_val),
+    agg AS (
+      SELECT CAST(SUM(c_pos * (2 * (run_c - c) + c + 1)) AS BIGINT)
+               AS two_w,
+             CAST(SUM(c * c * c - c) AS BIGINT) AS tie_term,
+             CAST(SUM(c) AS BIGINT) AS n
+      FROM cum
+    ),
+    z AS (
+      SELECT n, two_w, tie_term,
+             CAST(two_w AS DOUBLE) / 2 AS w_pos,
+             CASE WHEN n > 0
+                   AND 2 * n * (n + 1) * (2 * n + 1) - tie_term > 0 THEN
+               CAST(2 * two_w - n * (n + 1) AS DOUBLE)
+               / sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - tie_term
+                           AS DOUBLE) / 3.0)
+             END AS z_score
+      FROM agg
+    )
+    SELECT n, two_w AS two_w_pos, w_pos, tie_term, z_score,
+           round(2.0 / (1 + exp(1.702 * abs(z_score))), 6) AS p_approx,
+           round(2.0 / (1 + exp(1.702 * abs(z_score))), 6) < 0.05
+             AS significant
+    FROM z
+    """,
+)
+def pipeline_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILCOXON SIGNED-RANK test (Wilcoxon 1945) on PAIRED
+    per-customer spend: 1995 total vs 1996 total for customers active
+    in both years -- the within-subject before/after readout the
+    two-sample keys can't express (mann_whitney compares two
+    independent arms; this pairs each customer with themselves, so
+    between-customer variance cancels). Zero diffs drop (the standard
+    exclusion treatment); W+ sums the |diff| midranks of positive
+    diffs.
+
+    Exactness: spend totals are exact DECIMAL(18,2) sums, so diff and
+    |diff| are exact and rank order is exact integer CENTS (the 2-dp
+    scale makes x100 integral -- no float keys). The mann_whitney
+    DOUBLED-midrank identity keeps 2W+ = Sigma c_pos(2 cum_before +
+    c + 1) an exact long over the distinct-|diff| cumulative; the
+    tie-corrected normal approximation reduces (x4 both sides) to
+    z = (2*2W+ - n(n+1)) / sqrt((2n(n+1)(2n+1) - tie)/3) -- one
+    shared IEEE tree over exact-int casts, emitted unrounded. The
+    logistic-CDF p rounds at its transcendental. Degenerate inputs
+    (no pairs, zero variance) emit NULL, never a crash. The inner
+    int 2n(n+1)(2n+1) stays exact-in-double below n ~ 1e5 pairs;
+    past that, emit z at 9 dp (the big-decimal-ratio rule, noted).
+
+    Scale: one groupBy(customer) pass (partial-agg friendly), then
+    everything is bounded by distinct |diff| values (2-dp cents --
+    pre-quantized by construction); the cumulative is the
+    bucket-offset pattern, no global window."""
+    from osm_airflow_spark.bucketing import bucketed_running
+
+    o = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    per = (
+        o.where(yr.isin(1995, 1996))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(yr == 1995, dec)).alias("s95"),
+            F.sum(F.when(yr == 1996, dec)).alias("s96"),
+        )
+    )
+    d = per.where(
+        F.col("s95").isNotNull()
+        & F.col("s96").isNotNull()
+        & (F.col("s96") != F.col("s95"))
+    ).select((F.col("s96") - F.col("s95")).alias("diff"))
+    by_val = (
+        d.groupBy((F.abs("diff") * 100).cast("long").alias("cents"))
+        .agg(
+            F.sum(F.when(F.col("diff") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c_pos"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .localCheckpoint(eager=True)  # distinct-|diff|-bounded
+    )
+    out, _ = bucketed_running(by_val, "cents", ["c"])
+    cum_before = F.col("run_c") - F.col("c")
+    agg = out.agg(
+        F.sum(F.col("c_pos") * (2 * cum_before + F.col("c") + 1))
+        .cast("long")
+        .alias("two_w"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie_term"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    n = F.col("n")
+    inner = 2 * n * (n + 1) * (2 * n + 1) - F.col("tie_term")
+    z = F.when(
+        (n > 0) & (inner > 0),
+        (2 * F.col("two_w") - n * (n + 1)).cast("double")
+        / F.sqrt(inner.cast("double") / 3.0),
+    )
+    p = F.round(2.0 / (1 + F.exp(1.702 * F.abs(z))), 6)
+    return agg.select(
+        "n",
+        F.col("two_w").alias("two_w_pos"),
+        (F.col("two_w").cast("double") / 2).alias("w_pos"),
+        "tie_term",
+        z.alias("z_score"),
+        p.alias("p_approx"),
+        (p < 0.05).alias("significant"),
+    )
+
+
+_FR_TW = ", ".join(
+    f"CAST(SUM(CASE WHEN wd = {k} THEN two_r ELSE 0 END) AS BIGINT)"
+    f" AS tw{k}"
+    for k in range(7)
+)
+_FR_SR2 = " + ".join(f"tw{k} * tw{k}" for k in range(7))
+
+
+@query(
+    "pipeline_friedman",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM span
+    ),
+    filled AS (
+      SELECT s.day, COALESCE(a.rev, CAST(0 AS DECIMAL(38,2))) AS rev
+      FROM spine s LEFT JOIN daily a ON a.day = s.day
+    ),
+    cells AS (
+      SELECT CAST(FLOOR(date_diff('day', DATE '1970-01-05', day) / 7)
+                  AS BIGINT) AS blk,
+             (EXTRACT(isodow FROM day) - 1) AS wd, rev
+      FROM filled
+    ),
+    complete AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY blk) AS n_in_blk FROM cells
+      ) WHERE n_in_blk = 7
+    ),
+    rk AS (
+      SELECT blk, wd,
+             2 * RANK() OVER (PARTITION BY blk ORDER BY rev)
+               + COUNT(*) OVER (PARTITION BY blk, rev) - 1 AS two_r
+      FROM complete
+    ),
+    agg AS (
+      SELECT {_FR_TW},
+             CAST(SUM(two_r * two_r) AS BIGINT) AS den_all,
+             CAST(COUNT(*) / 7 AS BIGINT) AS b
+      FROM rk
+    ),
+    chi AS (
+      SELECT b AS n_weeks, {", ".join(f"tw{k}" for k in range(7))},
+             CASE WHEN den_all - 448 * b > 0 THEN
+               CAST(6 * (({_FR_SR2}) - 448 * b * b) AS DOUBLE)
+               / (den_all - 448 * b)
+             END AS chi_square
+      FROM agg
+    )
+    SELECT n_weeks, {", ".join(f"tw{k}" for k in range(7))}, chi_square,
+           round(exp(-(chi_square / 2))
+                 * (1 + (chi_square / 2)
+                      + ((chi_square / 2) * (chi_square / 2)) / 2), 6)
+             AS p_approx,
+           round(exp(-(chi_square / 2))
+                 * (1 + (chi_square / 2)
+                      + ((chi_square / 2) * (chi_square / 2)) / 2), 6)
+             < 0.05 AS significant
+    FROM chi
+    """,
+)
+def pipeline_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRIEDMAN test (Friedman 1937) for a weekday effect on daily
+    revenue, treating each complete Monday-aligned WEEK as a block --
+    the within-block rank design that removes week-to-week level
+    shifts (seasonality, growth) which pollute pipeline_kruskal_wallis'
+    pooled ranks: each week ranks its own 7 days, so only the
+    weekday PATTERN accumulates. Tie-adjusted form
+    chi2 = (k-1)(Sigma R_j^2 - b^2 k(k+1)^2/4)/(Sigma r_ij^2 -
+    bk(k+1)^2/4), dof k-1 = 6.
+
+    Exactness: daily revenue is an exact decimal sum; within-block
+    DOUBLED midranks 2r = 2*RANK + peers - 1 are exact ints from two
+    BOUNDED windows (7 rows per block -- lint-clean); with ranks
+    doubled, BOTH the numerator and denominator quarter-factors
+    cancel, so chi2 is a ratio of exact LONGS (k(k+1)^2 = 448) --
+    one double division, emitted unrounded, NO wide-pivot IEEE
+    ordering to manage at all (integer addition is order-free). The
+    chi2_6 survival (even dof: exp(-h)(1+h+h^2/2)) rounds at the
+    transcendental, decision reads the rounded value (the kruskal
+    rule). All-tied weeks (den = 448b) emit NULL, never a crash.
+    Monday alignment dodges the epoch-is-a-Thursday trap (r5 ledger)
+    via the 1970-01-05 Monday anchor; incomplete edge weeks drop.
+    Days with no orders are ZERO-FILLED from a date spine (the
+    date_spine idiom) -- a quiet calendar day is real zero revenue,
+    not a missing cell, and without the fill sparse small-SF corpora
+    have no complete weeks at all (measured at sf0.001).
+
+    Scale: one groupBy(day) pass (partial-agg friendly), then
+    everything is calendar-bounded (days); the 7 rank sums ride one
+    global aggregate row."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+        .localCheckpoint(eager=True)  # feeds span AND the fill join
+    )
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        )
+    )
+    filled = spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce(F.col("rev"), F.lit(0).cast("decimal(28,2)")).alias("rev"),
+    )
+    monday0 = F.to_date(F.lit("1970-01-05"))
+    cells = filled.select(
+        F.floor(F.datediff("day", monday0) / 7).alias("blk"),
+        F.weekday("day").alias("wd"),
+        "rev",
+    )
+    wblk = Window.partitionBy("blk")
+    complete = cells.withColumn(
+        "n_in_blk", F.count(F.lit(1)).over(wblk)
+    ).where(F.col("n_in_blk") == 7)
+    wrank = Window.partitionBy("blk").orderBy("rev")
+    wpeer = Window.partitionBy("blk", "rev")
+    rk = complete.select(
+        "blk",
+        "wd",
+        (
+            2 * F.rank().over(wrank) + F.count(F.lit(1)).over(wpeer) - 1
+        ).alias("two_r"),
+    )
+    agg = rk.agg(
+        *[
+            F.sum(F.when(F.col("wd") == k, F.col("two_r")).otherwise(0))
+            .cast("long")
+            .alias(f"tw{k}")
+            for k in range(7)
+        ],
+        F.sum(F.col("two_r") * F.col("two_r")).cast("long").alias("den_all"),
+        (F.count(F.lit(1)) / 7).cast("long").alias("b"),
+    )
+    sr2 = None
+    for k in range(7):
+        t = F.col(f"tw{k}") * F.col(f"tw{k}")
+        sr2 = t if sr2 is None else sr2 + t
+    b = F.col("b")
+    chi2 = F.when(
+        F.col("den_all") - 448 * b > 0,
+        (6 * (sr2 - 448 * b * b)).cast("double")
+        / (F.col("den_all") - 448 * b),
+    )
+    chi = agg.select(
+        b.alias("n_weeks"),
+        *[F.col(f"tw{k}") for k in range(7)],
+        chi2.alias("chi_square"),
+    )
+    half = F.col("chi_square") / 2
+    p = F.round(F.exp(-half) * (1 + half + (half * half) / 2), 6)
+    return chi.select(
+        "n_weeks",
+        *[F.col(f"tw{k}") for k in range(7)],
+        "chi_square",
+        p.alias("p_approx"),
+        (p < 0.05).alias("significant"),
+    )

@@ -2580,3 +2580,35 @@ def test_dedup_substring_degenerate_identical_corpus(spark, tmp_path):
     cut = QUERIES["llm_dedup_substring_cut"](spark, str(tmp_path)).collect()
     assert len(cut) == 200
     assert all(r["cleaned_text"] == "" and r["n_cut"] == 300 for r in cut)
+
+
+def test_readability_known_texts(spark, tmp_path):
+    """r12: hand-counted Flesch ingredients — vowel-group syllables
+    with the 1-per-word floor, [.!?] sentence count with floor 1,
+    and the exact score tree."""
+    docs = [
+        (1, "the cat sat"),              # 3 words, 1 sent, 3 syllables
+        (2, "tsk tsk hmm"),              # vowel-less: floor -> 3 syllables
+        (3, "go now. stop! why?"),       # 4 words, 3 sentences
+        (4, "realization obviously"),    # vowel groups: 4 + 3
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["llm_readability"](spark, str(tmp_path)).collect()
+    }
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (3, 1, 3)
+    assert abs(r1["flesch"] - (206.835 - 1.015 * 3 - 84.6 * 1)) < 1e-12
+    assert r1["readability_band"] == "easy"
+    assert got[2]["n_syllables"] == 3  # floor applies per word
+    r3 = got[3]
+    assert (r3["n_words"], r3["n_sentences"]) == (4, 3)
+    r4 = got[4]
+    assert r4["n_words"] == 2 and r4["n_sentences"] == 1
+    # realization -> ea,i,a,io (4 groups); obviously -> o,iou,y (3)
+    assert r4["n_syllables"] == 7
+    # more syllables per word pushes the score DOWN
+    assert r4["flesch"] < r1["flesch"]

@@ -1490,3 +1490,22 @@ def test_trimmed_mean_planted_outliers(spark, tmp_path):
     s = out["S"]
     assert s["k"] == 0
     assert s["raw_mean"] == s["trimmed_mean"] == s["winsor_mean"] == 6.0
+
+
+def test_graph_jaccard_planted_baskets(spark, tmp_path):
+    """Baskets {1,2,3}, {1,2}, {1,2} (one with a duplicate lineitem
+    to pin the DISTINCT): jaccard(1,2) = 3/3 = 1.0 exactly, the
+    other pairs 1/3; ordering is (jaccard DESC, p1, p2)."""
+    rows = [
+        (100, 1), (100, 2), (100, 3),
+        (200, 1), (200, 2), (200, 2),
+        (300, 1), (300, 2),
+    ]
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = QUERIES["graph_jaccard"](spark, str(tmp_path)).collect()
+    assert [(r["p1"], r["p2"]) for r in out] == [(1, 2), (1, 3), (2, 3)]
+    assert out[0]["jaccard"] == 1.0
+    assert out[0]["n_common"] == 3 and out[0]["n_a"] == 3
+    assert out[1]["jaccard"] == 1 / 3 and out[2]["jaccard"] == 1 / 3

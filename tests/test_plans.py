@@ -1389,3 +1389,200 @@ def test_item_cf_capped_hot_item_guard(spark, sf_dir):
     assert emissions < true_total / 5, (emissions, true_total)
     total_ratio = sum(est_hot.values()) / true_total
     assert 0.8 < total_ratio < 1.2, total_ratio
+
+
+def _write_orders_min(spark, tmp_path, rows):
+    """orders fixture with just the columns the survival/paired keys
+    read (o_orderkey, o_custkey, o_orderdate [, o_totalprice])."""
+    schema = "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    if rows and len(rows[0]) == 4:
+        schema += ", o_totalprice double"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_logrank_planted_arm_effect(spark, tmp_path):
+    """r12: planted survival arms — odd customers (arm 1) reorder at
+    day 10, even customers at day 60 or censored. A pure-Python
+    log-rank replica (same per-term 6-dp rounding) must agree on
+    O/E/V/z to 1e-9, and the fast arm must be flagged significant
+    with z > 0 (more arm-1 events than expected at early times)."""
+    import datetime
+    import math
+
+    d0 = datetime.datetime(2020, 1, 1)
+    rows = []
+    ok = 0
+    spells = []  # (t, ev, arm) replica input
+    for ck in range(1, 21):
+        arm = ck % 2
+        rows.append((ok, ck, d0))
+        ok += 1
+        if arm == 1:
+            t2 = 10 + (ck % 3)  # 10/11/12-day reorders
+            rows.append((ok, ck, d0 + datetime.timedelta(days=t2)))
+            ok += 1
+            spells.append((t2, 1, 1))
+        elif ck % 4 == 0:
+            t2 = 60 + ck  # slow reorders
+            rows.append((ok, ck, d0 + datetime.timedelta(days=t2)))
+            ok += 1
+            spells.append((t2, 1, 0))
+        else:
+            spells.append((None, 0, 0))  # censored at gmax
+    gmax = max(t for t, ev, _ in spells if ev == 1)
+    spells = [
+        (t if ev == 1 else gmax, ev, arm) for (t, ev, arm) in spells
+    ]
+    sf_dir = _write_orders_min(spark, tmp_path, rows)
+    row = all_queries()["pipeline_logrank"](spark, sf_dir).collect()[0]
+
+    # replica: hypergeometric terms with the engine's 6-dp rounding
+    times = sorted({t for t, _, _ in spells})
+    n1 = sum(1 for _, _, a in spells if a == 1)
+    n0 = len(spells) - n1
+    assert row["n_arm1"] == n1 and row["n_arm0"] == n0
+    o1 = e1 = v = 0.0
+    at1, at0 = n1, n0
+    for t in times:
+        d1 = sum(1 for tt, ev, a in spells if tt == t and ev and a == 1)
+        dd0 = sum(1 for tt, ev, a in spells if tt == t and ev and a == 0)
+        d = d1 + dd0
+        n = at1 + at0
+        if d > 0:
+            o1 += d1
+            e1 += round(d * at1 / n, 6)
+            if n > 1:
+                v += round(
+                    ((d * at1 / n) * (at0 / n)) * ((n - d) / (n - 1)), 6
+                )
+        at1 -= sum(1 for tt, _, a in spells if tt == t and a == 1)
+        at0 -= sum(1 for tt, _, a in spells if tt == t and a == 0)
+    z = (o1 - e1) / math.sqrt(v)
+    assert row["o1"] == o1
+    assert math.isclose(row["e1_expected"], e1, rel_tol=0, abs_tol=1e-9)
+    assert math.isclose(row["variance"], v, rel_tol=0, abs_tol=1e-9)
+    assert math.isclose(row["z_score"], z, rel_tol=1e-9)
+    assert row["z_score"] > 0 and row["significant"] is True
+
+
+def test_nelson_aalen_consistent_with_km(spark, sf_dir):
+    """The NA and KM keys share the same spells, so (t, n_risk, d, c)
+    must match row-for-row; exp(-H) >= S_KM pointwise (since
+    -ln(1-x) >= x); both cumulatives are nondecreasing."""
+    q = all_queries()
+    na = {
+        r["t_days"]: r
+        for r in q["pipeline_nelson_aalen"](spark, sf_dir).collect()
+    }
+    km = {
+        r["t_days"]: r
+        for r in q["pipeline_survival_km"](spark, sf_dir).collect()
+    }
+    assert set(na) == set(km) and len(na) > 10
+    for t, r in na.items():
+        k = km[t]
+        assert (r["n_risk"], r["n_events"], r["n_censored"]) == (
+            k["n_risk"], k["n_events"], k["n_censored"]
+        )
+        assert r["s_fh"] >= k["survival"] - 1e-9
+    seq = sorted(na.values(), key=lambda r: r["t_days"])
+    for a, b in zip(seq, seq[1:]):
+        assert b["cum_hazard"] >= a["cum_hazard"] - 1e-12
+        assert b["var_hazard"] >= a["var_hazard"] - 1e-12
+
+
+def test_wilcoxon_planted_paired_shift(spark, tmp_path):
+    """r12: planted pairs — 9 customers spend MORE in 1996 (distinct
+    deltas), 2 spend less, 1 exactly ties (must DROP). A pure-Python
+    signed-rank replica pins n / 2W+ / tie_term exactly and z to
+    1e-9; the positive shift must be significant."""
+    import datetime
+    import math
+
+    rows = []
+    ok = 0
+    diffs = []
+    for ck in range(1, 13):
+        a = 1000.0 + ck
+        if ck <= 9:
+            b = a + 10.0 * ck  # distinct positive deltas
+        elif ck <= 11:
+            b = a - 7.5 * (ck - 9)  # two negative deltas
+        else:
+            b = a  # zero diff — excluded by the standard treatment
+        rows.append((ok, ck, datetime.datetime(1995, 3, 1), a))
+        ok += 1
+        rows.append((ok, ck, datetime.datetime(1996, 3, 1), b))
+        ok += 1
+        if b != a:
+            diffs.append(round(b - a, 2))
+    sf_dir = _write_orders_min(spark, tmp_path, rows)
+    row = all_queries()["pipeline_wilcoxon_signed_rank"](
+        spark, sf_dir
+    ).collect()[0]
+
+    srt = sorted(abs(d) for d in diffs)
+    two_w = 0
+    for d in diffs:
+        if d > 0:
+            lo = srt.index(abs(d)) + 1
+            hi = lo + srt.count(abs(d)) - 1
+            two_w += lo + hi  # doubled midrank
+    n = len(diffs)
+    tie = 0
+    for v in set(srt):
+        c = srt.count(v)
+        tie += c * c * c - c
+    z = (2 * two_w - n * (n + 1)) / math.sqrt(
+        (2 * n * (n + 1) * (2 * n + 1) - tie) / 3.0
+    )
+    assert row["n"] == n == 11
+    assert row["two_w_pos"] == two_w
+    assert row["tie_term"] == tie
+    assert math.isclose(row["w_pos"], two_w / 2, rel_tol=0)
+    assert math.isclose(row["z_score"], z, rel_tol=1e-12)
+    assert row["z_score"] > 0 and row["significant"] is True
+
+
+def test_friedman_planted_weekday_pattern(spark, tmp_path):
+    """r12: 8 complete Monday-aligned weeks where revenue strictly
+    increases with weekday (Mon lowest .. Sun highest) plus a
+    week-level trend that within-block ranking must cancel. No ties:
+    chi2 has the closed form 6b (= 48 at b = 8), reached EXACTLY
+    because the statistic is a ratio of exact longs."""
+    import datetime
+
+    d0 = datetime.datetime(2024, 3, 4)  # a Monday
+    rows = []
+    for i in range(56):
+        day = d0 + datetime.timedelta(days=i)
+        rev = 100.0 + day.weekday() * 10 + (i // 7) * 1000  # trend
+        rows.append((i, 1, day, rev))
+    sf_dir = _write_orders_min(spark, tmp_path, rows)
+    row = all_queries()["pipeline_friedman"](spark, sf_dir).collect()[0]
+    assert row["n_weeks"] == 8
+    # doubled rank sums: weekday j ranks j+1 in every week
+    for j in range(7):
+        assert row[f"tw{j}"] == 2 * 8 * (j + 1)
+    assert row["chi_square"] == 48.0
+    assert row["significant"] is True
+
+
+def test_friedman_incomplete_weeks_drop(spark, tmp_path):
+    """Edge weeks outside full Mon..Sun spans must not contribute:
+    shifting the 56-day span to start on a Thursday keeps only 7
+    complete weeks (the leading 4 and trailing 3 days drop)."""
+    import datetime
+
+    d0 = datetime.datetime(2024, 3, 7)  # a Thursday
+    rows = []
+    for i in range(56):
+        day = d0 + datetime.timedelta(days=i)
+        rows.append((i, 1, day, 100.0 + day.weekday() * 10))
+    sf_dir = _write_orders_min(spark, tmp_path, rows)
+    row = all_queries()["pipeline_friedman"](spark, sf_dir).collect()[0]
+    assert row["n_weeks"] == 7
+    assert row["chi_square"] == 42.0  # 6b, no ties

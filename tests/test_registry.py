@@ -279,6 +279,27 @@ ROUND_AUDITED = {
     "osm_nearest_node": "libm (haversine)",
     "osm_polygon_centroid": "term (cross-product pre-round)",
     "osm_nearest_way_segment": "libm-analogue (sqrt distance, 6-dp contract)",
+    "pipeline_kruskal_wallis": "libm (chi2_6 even-dof survival exp, rounded "
+    "at the transcendental; H/tie exact ints, decision reads the rounded p)",
+    "pipeline_two_proportion_z": "libm (logistic-Phi exp via the bh_fdr "
+    "recipe; z exact-IEEE on integer counts, decision reads the rounded p)",
+    "pipeline_price_elasticity": "term (both logs at the transcendental AND "
+    "both 12-dp-scale products pre-rounded to 6 dp before decimal sums; "
+    "slope a shared IEEE tree emitted unrounded)",
+    "pipeline_ljung_box": "libm (chi2_8 even-dof survival exp; Q consumes "
+    "the ACF 9-dp r_k in a fixed-order pivot, unrounded)",
+    "win_rolling_slope": "ulp (slope is a >2^53-unscaled exact-decimal "
+    "ratio at corpus scale — the acf 9 dp decimal-ratio emission)",
+    "pipeline_nelson_aalen": "term (d/n at 6 dp and d/n^2 at 9 dp, scaled "
+    "to exact integer micros/nanos — the survival_km recipe) + libm (final "
+    "exp rounded at emission)",
+    "pipeline_logrank": "term (hypergeometric E/V rational terms, one "
+    "fixed-shape IEEE tree rounded 6 dp then decimal-summed) + libm "
+    "(logistic-Phi p via the bh_fdr recipe, decision reads the rounded p)",
+    "pipeline_wilcoxon_signed_rank": "libm (logistic-Phi p only; 2W+/tie/n "
+    "all exact ints, z a shared IEEE tree emitted unrounded)",
+    "pipeline_friedman": "libm (chi2_6 even-dof survival exp; chi2 itself "
+    "is a ratio of exact longs — zero IEEE content upstream)",
 }
 
 
