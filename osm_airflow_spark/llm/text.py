@@ -4398,3 +4398,204 @@ def llm_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("hard")
         .alias("readability_band"),
     )
+
+
+def _chrf_grams_sql(s: str, n: int) -> str:
+    """Prefixed char n-gram list over a SQL string expression, EMPTY
+    for strings shorter than n (the descending-sequence guard, the
+    _bleu_grams_sql precedent)."""
+    return (
+        f"CASE WHEN length({s}) >= {n} THEN "
+        f"list_transform(generate_series(1, length({s}) - {n - 1}), "
+        f"i -> '{n}|' || substr({s}, i, {n})) ELSE [] END"
+    )
+
+
+def _chrf_grams(col: Column, n: int) -> Column:
+    """Spark twin of :func:`_chrf_grams_sql` — same guard, same
+    1-based indexing, same 'n|' prefix."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(col) - (n - 1)),
+        lambda i: F.concat(F.lit(f"{n}|"), col.substr(i, F.lit(n))),
+    )
+    return F.when(F.length(col) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+_CHRF_CAND_CHARS_SQL = (
+    "array_to_string(list_transform(list_filter(generate_series(1, "
+    "len(string_split(text, ' '))), i -> i % 7 <> 0), "
+    "i -> string_split(text, ' ')[i]), '')"
+)
+_CHRF_NS = (1, 2, 3, 4, 5, 6)
+_CHRF_P_SQL = " + ".join(
+    f"(CAST(m{n} AS DOUBLE) / ct{n})" for n in _CHRF_NS
+)
+_CHRF_R_SQL = " + ".join(
+    f"(CAST(m{n} AS DOUBLE) / rt{n})" for n in _CHRF_NS
+)
+
+
+@query(
+    "llm_eval_chrf",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, replace(text, ' ', '') AS rs,
+             {_CHRF_CAND_CHARS_SQL} AS cs
+      FROM documents
+    ),
+    lens AS (
+      SELECT COUNT(*) AS n_docs,
+             SUM(length(rs)) AS ref_chars,
+             SUM(length(cs)) AS cand_chars,
+             {", ".join(
+                 f"SUM(greatest(length(cs) - {n - 1}, 0)) AS ct{n}, "
+                 f"SUM(greatest(length(rs) - {n - 1}, 0)) AS rt{n}"
+                 for n in _CHRF_NS
+             )}
+      FROM base
+    ),
+    cg AS (
+      SELECT doc_id, gram, COUNT(*) AS c_cnt
+      FROM (
+        SELECT doc_id,
+               unnest({" || ".join(_chrf_grams_sql("cs", n) for n in _CHRF_NS)})
+                 AS gram
+        FROM base
+      ) GROUP BY doc_id, gram
+    ),
+    rg AS (
+      SELECT doc_id, gram, COUNT(*) AS r_cnt
+      FROM (
+        SELECT doc_id,
+               unnest({" || ".join(_chrf_grams_sql("rs", n) for n in _CHRF_NS)})
+                 AS gram
+        FROM base
+      ) GROUP BY doc_id, gram
+    ),
+    m AS (
+      SELECT {", ".join(
+          f"SUM(CASE WHEN substr(gram, 1, 1) = '{n}' "
+          f"THEN least(c_cnt, r_cnt) ELSE 0 END) AS m{n}"
+          for n in _CHRF_NS
+      )}
+      FROM cg JOIN rg USING (doc_id, gram)
+    ),
+    f AS (
+      SELECT CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(cand_chars AS BIGINT) AS cand_chars,
+             CAST(ref_chars AS BIGINT) AS ref_chars,
+             CASE WHEN ct6 > 0 THEN ({_CHRF_P_SQL}) / 6.0 END AS macro_p,
+             CASE WHEN rt6 > 0 THEN ({_CHRF_R_SQL}) / 6.0 END AS macro_r
+      FROM lens, m
+    )
+    SELECT n_docs, cand_chars, ref_chars, macro_p, macro_r,
+           CASE WHEN 4.0 * macro_p + macro_r > 0 THEN
+             (5.0 * macro_p * macro_r) / (4.0 * macro_p + macro_r)
+           END AS chrf2
+    FROM f
+    """,
+)
+def llm_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — corpus chrF2 (Popović 2015): character n-gram
+    F-score with β = 2 (recall-weighted), n = 1..6,
+    whitespace-stripped — the generation-eval metric that is robust
+    to tokenization and morphology where word BLEU is brittle; sits
+    beside llm_eval_bleu (same candidate framing: every 7th word
+    dropped, reference = full text) and llm_eval_rouge. Macro:
+    P = mean_n(m_n/cand_n), R = mean_n(m_n/ref_n),
+    chrF2 = 5PR/(4P + R).
+
+    Determinism: every count is an exact integer (clipped matches
+    per order via the BLEU explode→groupBy→join shape — the n marker
+    rides IN the gram string so all six orders share one explode and
+    one join); each P_n/R_n is an exact-int ratio, the two macro
+    means are FIXED-ORDER six-term chains over agreed doubles, and
+    chrF2 is one shared IEEE tree — no transcendental anywhere, so
+    everything emits unrounded. Gram builders guard short strings
+    (the descending-sequence lesson); degenerate corpora (no 6-gram
+    slots / P = R = 0) emit NULL. Uses explode_outer + null
+    post-filter (the InferFiltersFromGenerate r9 trap).
+
+    Scale: three corpus passes (lengths; candidate grams; reference
+    grams — separate scans under no-exchange-reuse), then one
+    (doc_id, gram)-keyed shuffle join linear in corpus chars ×6.
+    Char 6-grams are ~6× the text volume — the documented cost of
+    the metric itself, not a plan artifact."""
+    d = load_table(spark, sf_dir, "documents")
+    rw = F.split("text", " ")
+    cw = F.filter(rw, lambda x, i: ((i + F.lit(1)) % 7) != 0)
+    base = d.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" "), F.lit("")).alias("rs"),
+        F.array_join(cw, "").alias("cs"),
+    )
+    lens = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("rs")).cast("long").alias("ref_chars"),
+        F.sum(F.length("cs")).cast("long").alias("cand_chars"),
+        *[
+            a
+            for n in _CHRF_NS
+            for a in (
+                F.sum(F.greatest(F.length("cs") - (n - 1), F.lit(0)))
+                .cast("long")
+                .alias(f"ct{n}"),
+                F.sum(F.greatest(F.length("rs") - (n - 1), F.lit(0)))
+                .cast("long")
+                .alias(f"rt{n}"),
+            )
+        ],
+    )
+
+    def gram_counts(src_col: str, cnt_name: str) -> DataFrame:
+        allg = F.concat(*[_chrf_grams(F.col(src_col), n) for n in _CHRF_NS])
+        return (
+            base.select("doc_id", F.explode_outer(allg).alias("gram"))
+            .where(F.col("gram").isNotNull())
+            .groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias(cnt_name))
+        )
+
+    cg = gram_counts("cs", "c_cnt")
+    rg = gram_counts("rs", "r_cnt")
+    clipped = F.least(F.col("c_cnt"), F.col("r_cnt"))
+    m = cg.join(rg, ["doc_id", "gram"]).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring("gram", 1, 1) == str(n), clipped
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"m{n}")
+            for n in _CHRF_NS
+        ]
+    )
+    p_chain = None
+    r_chain = None
+    for n in _CHRF_NS:
+        pt = F.col(f"m{n}").cast("double") / F.col(f"ct{n}")
+        rt = F.col(f"m{n}").cast("double") / F.col(f"rt{n}")
+        p_chain = pt if p_chain is None else p_chain + pt
+        r_chain = rt if r_chain is None else r_chain + rt
+    f_ = lens.crossJoin(F.broadcast(m)).select(
+        "n_docs",
+        "cand_chars",
+        "ref_chars",
+        F.when(F.col("ct6") > 0, p_chain / 6.0).alias("macro_p"),
+        F.when(F.col("rt6") > 0, r_chain / 6.0).alias("macro_r"),
+    )
+    p = F.col("macro_p")
+    r = F.col("macro_r")
+    return f_.select(
+        "n_docs",
+        "cand_chars",
+        "ref_chars",
+        "macro_p",
+        "macro_r",
+        F.when(
+            4.0 * p + r > 0, (5.0 * p * r) / (4.0 * p + r)
+        ).alias("chrf2"),
+    )

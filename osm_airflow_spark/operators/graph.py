@@ -574,3 +574,132 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("jaccard"), "p1", "p2").limit(20)
+
+
+@query(
+    "graph_assortativity",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    und AS (
+      SELECT DISTINCT a.p AS p1, b.p AS p2
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ),
+    dir AS (
+      SELECT p1 AS src, p2 AS dst FROM und
+      UNION ALL
+      SELECT p2 AS src, p1 AS dst FROM und
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM dir GROUP BY src),
+    joined AS (
+      SELECT da.d AS x, db.d AS y
+      FROM dir e JOIN deg da ON da.node = e.src
+                 JOIN deg db ON db.node = e.dst
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS m,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(CAST(x AS BIGINT) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(x AS BIGINT) * y) AS DECIMAL(38,0)) AS sxy
+      FROM joined
+    ),
+    r AS (
+      SELECT CAST(m AS BIGINT) / 2 AS n_edges,
+             (SELECT COUNT(*) FROM deg) AS n_nodes,
+             CAST(sx AS DOUBLE) / CAST(m AS DOUBLE) AS mean_degree,
+             CASE WHEN m * sxx - sx * sx > 0 THEN
+               round(CAST(m * sxy - sx * sx AS DOUBLE)
+                     / CAST(m * sxx - sx * sx AS DOUBLE), 9)
+             END AS assortativity
+      FROM s
+    )
+    SELECT CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           mean_degree, assortativity
+    FROM r
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension -- DEGREE ASSORTATIVITY (Newman 2002) of the
+    co-purchase part graph: the Pearson correlation of endpoint
+    degrees over directed edge stubs. Positive = hubs link to hubs
+    (social-network shape), negative = hubs link to leaves
+    (dependency/star shape) -- the one-number structural summary
+    that decides whether degree-targeted mitigations (hub capping in
+    LSH buckets, celebrity salting) will pay off; completes the
+    graph-metrics family beside triangle_count / kcore / pagerank.
+
+    Exactness: with BOTH stub directions included Sx = Sy and
+    Sxx = Syy, so Newman's r collapses to
+    (M*Sxy - Sx^2)/(M*Sxx - Sx^2) -- every ingredient an exact
+    integer; the centered products pass 2^53 unscaled at corpus
+    scale, so they are formed in exact DECIMAL(38,0) and the ratio
+    is emitted at 9 dp (the acf big-decimal-ratio rule).
+    mean_degree = Sx/M is a shared exact division. A regular graph
+    (zero degree variance) emits NULL, never a crash.
+
+    Scale: edge generation is the in-array basket-pair shape (linear
+    in orders); the undirected DISTINCT and the per-node degree
+    groupBy shuffle on node keys; the degree join-back is the
+    corpus-bounded per-part case. The stub table is checkpointed --
+    deg AND the stat join both read it, and this build never reuses
+    exchange subtrees."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    per_order = (
+        op.groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .where(F.size("ps") >= 2)
+    )
+    prs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size("ps")),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    und = (
+        per_order.select(F.explode(prs).alias("pr"))
+        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .distinct()
+    )
+    dir_ = und.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionAll(
+        und.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    ).localCheckpoint(eager=True)  # deg AND the stat join read it
+    deg = dir_.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    ).localCheckpoint(eager=True)  # two join probes + n_nodes
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("x"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))
+    joined = dir_.join(da, "src").join(db, "dst")
+    dec0 = "decimal(38,0)"
+    s = joined.agg(
+        F.count(F.lit(1)).cast(dec0).alias("m"),
+        F.sum("x").cast(dec0).alias("sx"),
+        F.sum(F.col("x").cast("long") * F.col("x")).cast(dec0).alias("sxx"),
+        F.sum(F.col("x").cast("long") * F.col("y")).cast(dec0).alias("sxy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.crossJoin(F.broadcast(n_nodes))
+        .select(
+            (F.col("m").cast("long") / 2).cast("long").alias("n_edges"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            (F.col("sx").cast("double") / F.col("m").cast("double")).alias(
+                "mean_degree"
+            ),
+            F.when(
+                den > 0,
+                F.round(num.cast("double") / den.cast("double"), 9),
+            ).alias("assortativity"),
+        )
+    )

@@ -8265,3 +8265,543 @@ def pipeline_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("p_approx"),
         (p < 0.05).alias("significant"),
     )
+
+
+@query(
+    "pipeline_holm",
+    oracle="""
+    WITH base AS (
+      SELECT n.n_name AS nation, c.c_nationkey AS nk,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_orders) AS BIGINT) AS nn,
+             CAST(SUM(n_urgent) AS BIGINT) AS kk,
+             COUNT(*) AS m
+      FROM base
+    ),
+    pv AS (
+      SELECT nation, nk, n_orders, n_urgent, m,
+             (CAST(n_urgent AS DOUBLE) / n_orders
+              - CAST(kk AS DOUBLE) / nn)
+             / sqrt((CAST(kk AS DOUBLE) / nn)
+                    * (1.0 - CAST(kk AS DOUBLE) / nn) / n_orders) AS z,
+             round(2.0 / (1.0 + exp(1.702 * abs(
+               (CAST(n_urgent AS DOUBLE) / n_orders
+                - CAST(kk AS DOUBLE) / nn)
+               / sqrt((CAST(kk AS DOUBLE) / nn)
+                      * (1.0 - CAST(kk AS DOUBLE) / nn) / n_orders)))), 6)
+               AS p_value
+      FROM base, tot
+    ),
+    rk AS (
+      SELECT a.nation, a.n_orders, a.n_urgent, a.m, a.z, a.p_value,
+             CAST(COUNT(*) AS BIGINT) AS hrank
+      FROM pv a JOIN pv b
+        ON (b.p_value < a.p_value)
+           OR (b.p_value = a.p_value AND b.nk <= a.nk)
+      GROUP BY 1, 2, 3, 4, 5, 6
+    ),
+    fstar AS (
+      SELECT CAST(COALESCE(MIN(CASE WHEN p_value > 0.05 / (m - hrank + 1)
+                                    THEN hrank END), MAX(m) + 1) AS BIGINT)
+               AS ff
+      FROM rk
+    )
+    SELECT nation, n_orders, n_urgent, z, p_value, hrank,
+           0.05 / (m - hrank + 1) AS holm_alpha,
+           hrank < ff AS rejected,
+           p_value <= 0.05 / m AS bonf_rejected
+    FROM rk, fstar
+    """,
+)
+def pipeline_holm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension -- HOLM step-DOWN multiple-testing control (Holm
+    1979) over the same 25-nation urgent-share z-test family as
+    pipeline_bh_fdr, completing the correction pair: BH steps UP
+    controlling FDR (find the LARGEST passing rank, reject below),
+    Holm steps DOWN controlling FWER (walk the sorted p-values from
+    the smallest, reject while p_(i) <= alpha/(m-i+1), STOP at the
+    first failure -- later ranks stay accepted even if they
+    individually pass). Plain Bonferroni rides as a third column;
+    by construction bonferroni rejects subset holm rejects subset
+    bh (pinned in tests).
+
+    Determinism is the bh_fdr recipe verbatim: exact-IEEE z on
+    integer counts, logistic-Phi p rounded 6 dp with EVERY decision
+    reading the rounded value, tie-broken (p, nationkey) ranks from
+    the 25x25 broadcast pair count. The step-down stopping point is
+    MIN(rank where p > alpha/(m-rank+1)) -- a broadcast 1-row
+    aggregate (the kstar shape), so 'reject' is rank < first_fail
+    with no running window at all.
+
+    Shape: identical cost to bh_fdr -- one corpus pass to the
+    nation-bounded 25-row family, everything after is broadcast
+    control-plane. Cites operators: pipeline_bh_fdr
+    (plans/analytics.py) for the shared family design."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    urgent = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("c_nationkey").alias("nk")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(urgent).cast("long").alias("n_urgent"),
+        )
+        .localCheckpoint(eager=True)  # 25 rows; 3 consumers below
+    )
+    tot = base.agg(
+        F.sum("n_orders").cast("long").alias("nn"),
+        F.sum("n_urgent").cast("long").alias("kk"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    pg = F.col("kk").cast("double") / F.col("nn")
+    z = (F.col("n_urgent").cast("double") / F.col("n_orders") - pg) / F.sqrt(
+        pg * (F.lit(1.0) - pg) / F.col("n_orders")
+    )
+    pv = base.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "nk",
+        "n_orders",
+        "n_urgent",
+        "m",
+        z.alias("z"),
+        F.round(
+            2.0 / (1.0 + F.exp(F.lit(1.702) * F.abs(z))), 6
+        ).alias("p_value"),
+    )
+    pvb = pv.select(F.col("nk").alias("nk_b"), F.col("p_value").alias("p_b"))
+    rk = (
+        pv.join(
+            F.broadcast(pvb),
+            (F.col("p_b") < F.col("p_value"))
+            | (
+                (F.col("p_b") == F.col("p_value"))
+                & (F.col("nk_b") <= F.col("nk"))
+            ),
+        )
+        .groupBy("nation", "n_orders", "n_urgent", "m", "z", "p_value")
+        .agg(F.count(F.lit(1)).alias("hrank"))
+    )
+    thr = F.lit(0.05) / (F.col("m") - F.col("hrank") + 1)
+    fstar = rk.agg(
+        F.coalesce(
+            F.min(F.when(F.col("p_value") > thr, F.col("hrank"))),
+            F.max("m") + 1,
+        )
+        .cast("long")
+        .alias("ff")
+    )
+    return rk.crossJoin(F.broadcast(fstar)).select(
+        "nation",
+        "n_orders",
+        "n_urgent",
+        "z",
+        "p_value",
+        "hrank",
+        thr.alias("holm_alpha"),
+        (F.col("hrank") < F.col("ff")).alias("rejected"),
+        (F.col("p_value") <= F.lit(0.05) / F.col("m")).alias("bonf_rejected"),
+    )
+
+
+@query(
+    "pipeline_page_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM span
+    ),
+    filled AS (
+      SELECT s.day, COALESCE(a.rev, CAST(0 AS DECIMAL(38,2))) AS rev
+      FROM spine s LEFT JOIN daily a ON a.day = s.day
+    ),
+    cells AS (
+      SELECT CAST(FLOOR(date_diff('day', DATE '1970-01-05', day) / 7)
+                  AS BIGINT) AS blk,
+             (EXTRACT(isodow FROM day) - 1) AS wd, rev
+      FROM filled
+    ),
+    complete AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY blk) AS n_in_blk FROM cells
+      ) WHERE n_in_blk = 7
+    ),
+    rk AS (
+      SELECT blk, wd,
+             2 * RANK() OVER (PARTITION BY blk ORDER BY rev)
+               + COUNT(*) OVER (PARTITION BY blk, rev) - 1 AS two_r
+      FROM complete
+    ),
+    agg AS (
+      SELECT CAST(SUM((wd + 1) * two_r) AS BIGINT) AS two_l,
+             CAST(COUNT(*) / 7 AS BIGINT) AS b
+      FROM rk
+    ),
+    zz AS (
+      SELECT b AS n_weeks, two_l,
+             CAST(two_l AS DOUBLE) / 2 AS l_stat,
+             CASE WHEN b > 0 THEN
+               CAST(6 * two_l - 1344 * b AS DOUBLE) / sqrt(18816.0 * b)
+             END AS z_score
+      FROM agg
+    )
+    SELECT n_weeks, two_l, l_stat, z_score,
+           round(1.0 / (1 + exp(1.702 * z_score)), 6) AS p_one_sided,
+           round(1.0 / (1 + exp(1.702 * z_score)), 6) < 0.05 AS significant
+    FROM zz
+    """,
+)
+def pipeline_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE'S L trend test (Page 1963) on the same within-week
+    weekday ranks as pipeline_friedman -- the ORDERED-alternative
+    version: Friedman asks "do weekdays differ at all?", Page asks
+    "does revenue INCREASE through the week (Mon < Tue < ... < Sun)?"
+    and buys the usual power win when the ordering is the real
+    hypothesis. L = Sigma_j c_j R_j with c_j = 1..7 in weekday order.
+
+    Exactness: identical block machinery to pipeline_friedman
+    (spine-zero-filled days, Monday-anchored complete weeks, exact
+    doubled midranks from two bounded windows). With doubled ranks
+    2L = Sigma (wd+1) 2r is an exact long, and scaling the normal
+    approximation by 12 clears every fraction: z = (12L - 3bk(k+1)^2)
+    / sqrt(b k^2 (k+1)^2 (k-1)) = (6*2L - 1344b)/sqrt(18816b) -- one
+    shared IEEE tree over exact longs, emitted unrounded. The
+    one-sided p (positive z = ascending trend) uses the logistic-Phi
+    recipe rounded at the transcendental; the variance is the
+    standard no-ties form (midrank ties make it conservative --
+    documented, the textbook treatment). b = 0 emits NULL.
+
+    Scale: one groupBy(day) pass, then calendar-bounded; the L sum
+    rides one global aggregate row."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+        .localCheckpoint(eager=True)  # feeds span AND the fill join
+    )
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        )
+    )
+    filled = spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce(F.col("rev"), F.lit(0).cast("decimal(28,2)")).alias("rev"),
+    )
+    monday0 = F.to_date(F.lit("1970-01-05"))
+    cells = filled.select(
+        F.floor(F.datediff("day", monday0) / 7).alias("blk"),
+        F.weekday("day").alias("wd"),
+        "rev",
+    )
+    wblk = Window.partitionBy("blk")
+    complete = cells.withColumn(
+        "n_in_blk", F.count(F.lit(1)).over(wblk)
+    ).where(F.col("n_in_blk") == 7)
+    wrank = Window.partitionBy("blk").orderBy("rev")
+    wpeer = Window.partitionBy("blk", "rev")
+    rk = complete.select(
+        "wd",
+        (
+            2 * F.rank().over(wrank) + F.count(F.lit(1)).over(wpeer) - 1
+        ).alias("two_r"),
+    )
+    agg = rk.agg(
+        F.sum((F.col("wd") + 1) * F.col("two_r")).cast("long").alias("two_l"),
+        (F.count(F.lit(1)) / 7).cast("long").alias("b"),
+    )
+    b = F.col("b")
+    z = F.when(
+        b > 0,
+        (6 * F.col("two_l") - 1344 * b).cast("double")
+        / F.sqrt(F.lit(18816.0) * b),
+    )
+    p = F.round(1.0 / (1 + F.exp(1.702 * z)), 6)
+    return agg.select(
+        b.alias("n_weeks"),
+        "two_l",
+        (F.col("two_l").cast("double") / 2).alias("l_stat"),
+        z.alias("z_score"),
+        p.alias("p_one_sided"),
+        (p < 0.05).alias("significant"),
+    )
+
+
+@query(
+    "pipeline_dickey_fuller",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS mi,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rdec
+      FROM orders GROUP BY 1
+    ),
+    base AS (
+      SELECT mi, CAST(FLOOR(CAST(rdec AS DOUBLE) / 1000) AS BIGINT) AS z
+      FROM monthly
+    ),
+    pairs AS (
+      SELECT a.z AS zl, b.z - a.z AS dy
+      FROM base a JOIN base b ON b.mi = a.mi + 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(zl) AS BIGINT) AS sz,
+             CAST(SUM(dy) AS BIGINT) AS sy,
+             CAST(SUM(zl * zl) AS BIGINT) AS szz,
+             CAST(SUM(zl * dy) AS BIGINT) AS szy,
+             CAST(SUM(dy * dy) AS BIGINT) AS syy
+      FROM pairs
+    ),
+    abc AS (
+      SELECT n,
+             n * szz - sz * sz AS a,
+             n * szy - sz * sy AS b,
+             n * syy - sy * sy AS c
+      FROM s
+    ),
+    t AS (
+      SELECT n,
+             CASE WHEN a > 0 THEN CAST(b AS DOUBLE) / a END AS rho,
+             CASE WHEN a > 0
+                   AND CAST(a AS DOUBLE) * CAST(c AS DOUBLE)
+                       - CAST(b AS DOUBLE) * CAST(b AS DOUBLE) > 0 THEN
+               CAST(b AS DOUBLE) * sqrt(CAST(n - 2 AS DOUBLE))
+               / sqrt(CAST(a AS DOUBLE) * CAST(c AS DOUBLE)
+                      - CAST(b AS DOUBLE) * CAST(b AS DOUBLE))
+             END AS t_stat
+      FROM abc
+    )
+    SELECT n AS n_diffs, rho, t_stat,
+           t_stat < -2.89 AS stationary
+    FROM t
+    """,
+)
+def pipeline_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DICKEY-FULLER unit-root test (Dickey & Fuller 1979, the
+    constant-only non-augmented form) on the monthly revenue series:
+    regress delta_x_t on x_{t-1}; rho near 0 (t above the critical
+    value) means the series behaves like a random walk and every
+    trend readout on LEVELS (pipeline_revenue_trend_forecast,
+    pipeline_theil_sen) is spurious-regression-prone -- the
+    stationarity gate a forecasting stack runs first. Decision at
+    the 5% constant-case critical value -2.89 (n ~ 80 months).
+
+    Exactness: the series is quantized to integer REVENUE THOUSANDS
+    (floor of an exact-cast double -- monthly totals stay exact in
+    double far past sf 10, and floor has no midpoint hazard), so all
+    six sufficient sums and the centered A/B/C are exact longs
+    (< 2^53 through sf ~0.3; at larger corpora re-quantize to
+    millions -- the documented rescale knob, same plan). A*C and B^2
+    then exceed int range, so t = B*sqrt(n-2)/sqrt(A*C - B^2) is ONE
+    shared IEEE tree over exact-long casts (the A^2 cancellation
+    removes the standalone se), emitted unrounded; rho = B/A is a
+    shared exact-long division. Degenerate variance (A = 0 or
+    AC <= B^2) emits NULL, never a crash.
+
+    Scale: one groupBy(month) pass, then the months-bounded lag-1
+    self-join (~80 rows, broadcast); sufficient statistics all the
+    way down."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).cast("long").alias("mi")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rdec"))
+    base = monthly.select(
+        "mi",
+        F.floor(F.col("rdec").cast("double") / 1000).cast("long").alias("z"),
+    ).localCheckpoint(eager=True)  # months-bounded; both join sides
+    a_side = base.select(F.col("mi").alias("am"), F.col("z").alias("zl"))
+    b_side = base.select(F.col("mi").alias("bm"), F.col("z").alias("zb"))
+    pairs = a_side.join(
+        F.broadcast(b_side), F.col("bm") == F.col("am") + 1
+    ).select("zl", (F.col("zb") - F.col("zl")).alias("dy"))
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("zl").cast("long").alias("sz"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("zl") * F.col("zl")).cast("long").alias("szz"),
+        F.sum(F.col("zl") * F.col("dy")).cast("long").alias("szy"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    abc = s.select(
+        "n",
+        (F.col("n") * F.col("szz") - F.col("sz") * F.col("sz")).alias("a"),
+        (F.col("n") * F.col("szy") - F.col("sz") * F.col("sy")).alias("b"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("c"),
+    )
+    ad = F.col("a").cast("double")
+    bd = F.col("b").cast("double")
+    cd = F.col("c").cast("double")
+    disc = ad * cd - bd * bd
+    rho = F.when(F.col("a") > 0, bd / F.col("a"))
+    t = F.when(
+        (F.col("a") > 0) & (disc > 0),
+        bd * F.sqrt((F.col("n") - 2).cast("double")) / F.sqrt(disc),
+    )
+    return abc.select(
+        F.col("n").alias("n_diffs"),
+        rho.alias("rho"),
+        t.alias("t_stat"),
+        (t < -2.89).alias("stationary"),
+    )
+
+
+_RDD_SIDE_SQL = """
+      CAST(SUM(CASE WHEN {side} THEN 1 ELSE 0 END) AS BIGINT) AS n_{tag},
+      CAST(SUM(CASE WHEN {side} THEN x ELSE 0 END) AS BIGINT) AS sx_{tag},
+      CAST(SUM(CASE WHEN {side} THEN x * x ELSE 0 END) AS BIGINT)
+        AS sxx_{tag},
+      CAST(SUM(CASE WHEN {side} THEN y END) AS DECIMAL(18,2)) AS sy_{tag},
+      CAST(SUM(CASE WHEN {side} THEN x * y END) AS DECIMAL(18,2))
+        AS sxy_{tag}"""
+
+
+@query(
+    "pipeline_rdd",
+    oracle=f"""
+    WITH band AS (
+      SELECT CAST(l_quantity AS BIGINT) - 25 AS x,
+             CAST(l_discount AS DECIMAL(18,2)) AS y
+      FROM lineitem
+      WHERE l_quantity >= 15 AND l_quantity < 35
+    ),
+    s AS (
+      SELECT
+      {_RDD_SIDE_SQL.format(side="x < 0", tag="l")},
+      {_RDD_SIDE_SQL.format(side="x >= 0", tag="r")}
+      FROM band
+    ),
+    fit AS (
+      SELECT n_l, n_r,
+        n_l * sxx_l - sx_l * sx_l AS den_l,
+        n_r * sxx_r - sx_r * sx_r AS den_r,
+        sy_l * sxx_l - sx_l * sxy_l AS anum_l,
+        sy_r * sxx_r - sx_r * sxy_r AS anum_r,
+        n_l * sxy_l - sx_l * sy_l AS bnum_l,
+        n_r * sxy_r - sx_r * sy_r AS bnum_r
+      FROM s
+    ),
+    est AS (
+      SELECT n_l, n_r,
+        CASE WHEN den_l > 0
+             THEN round(CAST(anum_l AS DOUBLE) / den_l, 9) END AS alpha_l,
+        CASE WHEN den_r > 0
+             THEN round(CAST(anum_r AS DOUBLE) / den_r, 9) END AS alpha_r,
+        CASE WHEN den_l > 0
+             THEN round(CAST(bnum_l AS DOUBLE) / den_l, 9) END AS slope_l,
+        CASE WHEN den_r > 0
+             THEN round(CAST(bnum_r AS DOUBLE) / den_r, 9) END AS slope_r
+      FROM fit
+    )
+    SELECT n_l AS n_left, n_r AS n_right,
+           alpha_l AS alpha_left, alpha_r AS alpha_right,
+           slope_l AS slope_left, slope_r AS slope_right,
+           alpha_r - alpha_l AS tau_rdd
+    FROM est
+    """,
+)
+def pipeline_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGRESSION DISCONTINUITY estimate (sharp RDD, local-linear
+    with a rectangular kernel) of the discount jump at the
+    quantity-25 cutoff: fit y on (quantity - 25) separately inside
+    the bandwidth on each side, tau = the difference of the two
+    intercepts AT the cutoff -- the observational-causal design for
+    threshold rules (bulk-discount policies, score cutoffs, quota
+    effects) beside pipeline_did (time discontinuity) and
+    pipeline_cem_matching (covariate matching). The fixture has no
+    real policy at 25, so tau is a null-effect readout; the planted
+    test carries the recovery semantics.
+
+    Exactness: x is an exact integer offset, y an exact
+    DECIMAL(18,2); all ten side-pivoted sufficient sums are exact
+    (longs / decimals) in ONE corpus pass (the anova wide-pivot
+    rule), and each intercept/slope is a ratio of an exact decimal
+    numerator over an exact long denominator -- numerators pass 2^53
+    unscaled past sf ~3, so each ratio is emitted at 9 dp (the
+    grouped_ols/acf discipline) and tau subtracts the two ROUNDED
+    intercepts (exact on agreed doubles). Degenerate sides
+    (den <= 0) emit NULL.
+
+    Scale: predicate-pushed band scan, one aggregate, zero shuffles
+    beyond the partial-agg combine; sufficient statistics all the
+    way down. Bandwidth/cutoff are compile-time constants here; a
+    production variant parameterizes them (same plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    band = li.where(
+        (F.col("l_quantity") >= 15) & (F.col("l_quantity") < 35)
+    ).select(
+        (F.col("l_quantity").cast("long") - 25).alias("x"),
+        F.col("l_discount").cast("decimal(18,2)").alias("y"),
+    )
+    sides = {"l": F.col("x") < 0, "r": F.col("x") >= 0}
+    aggs = []
+    for tag, cond in sides.items():
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n_{tag}"),
+            F.sum(F.when(cond, F.col("x")).otherwise(0))
+            .cast("long")
+            .alias(f"sx_{tag}"),
+            F.sum(F.when(cond, F.col("x") * F.col("x")).otherwise(0))
+            .cast("long")
+            .alias(f"sxx_{tag}"),
+            F.sum(F.when(cond, F.col("y")))
+            .cast("decimal(18,2)")
+            .alias(f"sy_{tag}"),
+            F.sum(F.when(cond, F.col("x") * F.col("y")))
+            .cast("decimal(18,2)")
+            .alias(f"sxy_{tag}"),
+        ]
+    s = band.agg(*aggs)
+    cols = {"n_left": F.col("n_l"), "n_right": F.col("n_r")}
+    ests = {}
+    for tag in ("l", "r"):
+        den = F.col(f"n_{tag}") * F.col(f"sxx_{tag}") - F.col(
+            f"sx_{tag}"
+        ) * F.col(f"sx_{tag}")
+        anum = F.col(f"sy_{tag}") * F.col(f"sxx_{tag}") - F.col(
+            f"sx_{tag}"
+        ) * F.col(f"sxy_{tag}")
+        bnum = F.col(f"n_{tag}") * F.col(f"sxy_{tag}") - F.col(
+            f"sx_{tag}"
+        ) * F.col(f"sy_{tag}")
+        ests[f"alpha_{tag}"] = F.when(
+            den > 0, F.round(anum.cast("double") / den, 9)
+        )
+        ests[f"slope_{tag}"] = F.when(
+            den > 0, F.round(bnum.cast("double") / den, 9)
+        )
+    return s.select(
+        cols["n_left"].alias("n_left"),
+        cols["n_right"].alias("n_right"),
+        ests["alpha_l"].alias("alpha_left"),
+        ests["alpha_r"].alias("alpha_right"),
+        ests["slope_l"].alias("slope_left"),
+        ests["slope_r"].alias("slope_right"),
+        (ests["alpha_r"] - ests["alpha_l"]).alias("tau_rdd"),
+    )

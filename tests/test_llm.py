@@ -2612,3 +2612,44 @@ def test_readability_known_texts(spark, tmp_path):
     assert r4["n_syllables"] == 7
     # more syllables per word pushes the score DOWN
     assert r4["flesch"] < r1["flesch"]
+
+
+def test_chrf_matches_pure_python(spark, tmp_path):
+    """Third implementation: recompute corpus chrF2 driver-side with
+    Counter char n-grams and the same every-7th-word candidate rule;
+    agree to 1e-12 (no transcendental anywhere in the metric)."""
+    from collections import Counter
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again today"),
+        (2, "pack my box with five dozen liquor jugs for the trip"),
+        (3, "sphinx of black quartz judge my vow and more words here"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    row = QUERIES["llm_eval_chrf"](spark, str(tmp_path)).collect()[0]
+
+    def grams(s, n):
+        return Counter(s[i : i + n] for i in range(len(s) - n + 1))
+
+    mtot = {n: 0 for n in range(1, 7)}
+    ct = {n: 0 for n in range(1, 7)}
+    rt = {n: 0 for n in range(1, 7)}
+    for _, text in docs:
+        w = text.split(" ")
+        cand = "".join(x for i, x in enumerate(w) if (i + 1) % 7 != 0)
+        ref = text.replace(" ", "")
+        for n in range(1, 7):
+            cg, rg = grams(cand, n), grams(ref, n)
+            mtot[n] += sum(min(c, rg[g]) for g, c in cg.items())
+            ct[n] += max(len(cand) - n + 1, 0)
+            rt[n] += max(len(ref) - n + 1, 0)
+    p = sum(mtot[n] / ct[n] for n in range(1, 7)) / 6.0
+    r = sum(mtot[n] / rt[n] for n in range(1, 7)) / 6.0
+    chrf = 5.0 * p * r / (4.0 * p + r)
+    assert row["n_docs"] == 3
+    assert abs(row["macro_p"] - p) < 1e-12
+    assert abs(row["macro_r"] - r) < 1e-12
+    assert abs(row["chrf2"] - chrf) < 1e-12
+    assert 0.0 < row["chrf2"] < 1.0

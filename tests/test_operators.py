@@ -1509,3 +1509,17 @@ def test_graph_jaccard_planted_baskets(spark, tmp_path):
     assert out[0]["jaccard"] == 1.0
     assert out[0]["n_common"] == 3 and out[0]["n_a"] == 3
     assert out[1]["jaccard"] == 1 / 3 and out[2]["jaccard"] == 1 / 3
+
+
+def test_assortativity_planted_star(spark, tmp_path):
+    """Star co-purchase graph (part 1 in three two-part baskets):
+    K_{1,3} has assortativity exactly -1 (hubs only touch leaves);
+    mean stub degree = 12/6 = 2."""
+    rows = [(100, 1), (100, 2), (200, 1), (200, 3), (300, 1), (300, 4)]
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    r = QUERIES["graph_assortativity"](spark, str(tmp_path)).collect()[0]
+    assert r["n_edges"] == 3 and r["n_nodes"] == 4
+    assert r["mean_degree"] == 2.0
+    assert r["assortativity"] == -1.0

@@ -1586,3 +1586,126 @@ def test_friedman_incomplete_weeks_drop(spark, tmp_path):
     row = all_queries()["pipeline_friedman"](spark, sf_dir).collect()[0]
     assert row["n_weeks"] == 7
     assert row["chi_square"] == 42.0  # 6b, no ties
+
+
+def test_holm_stepdown_nesting(spark, sf_dir):
+    """Bonferroni rejects ⊆ Holm rejects ⊆ BH rejects (the textbook
+    dominance chain), and Holm's step-down property: every rank below
+    a rejected rank is also rejected (no gaps)."""
+    q = all_queries()
+    holm = q["pipeline_holm"](spark, sf_dir).collect()
+    bh = {
+        r["nation"]: r["rejected"]
+        for r in q["pipeline_bh_fdr"](spark, sf_dir).collect()
+    }
+    h_rej = {r["nation"] for r in holm if r["rejected"]}
+    b_rej = {r["nation"] for r in holm if r["bonf_rejected"]}
+    bh_rej = {n for n, rej in bh.items() if rej}
+    assert b_rej <= h_rej <= bh_rej
+    ranks_rej = sorted(r["hrank"] for r in holm if r["rejected"])
+    assert ranks_rej == list(range(1, len(ranks_rej) + 1))
+    for r in holm:
+        assert abs(r["holm_alpha"] - 0.05 / (len(holm) - r["hrank"] + 1)) < 1e-15
+
+
+def test_page_trend_planted_directions(spark, tmp_path):
+    """Perfectly ascending Mon..Sun revenue over 8 complete weeks:
+    2L = 2b·Σ(j+1)² = 280b exactly, z = 2688/sqrt(150528) and the
+    ascending trend is significant; reversing the pattern flips to
+    the minimum 2L = 2b·Σ(j+1)(8-j-1)... i.e. descending is NOT
+    significant one-sided."""
+    import datetime
+    import math
+
+    d0 = datetime.datetime(2024, 3, 4)  # a Monday
+
+    def write(rows_dir, ascending):
+        rows = []
+        for i in range(56):
+            day = d0 + datetime.timedelta(days=i)
+            wd = day.weekday()
+            lvl = wd if ascending else 6 - wd
+            rows.append((i, 1, day, 100.0 + lvl * 10))
+        return _write_orders_min(spark, rows_dir, rows)
+
+    up = write(tmp_path / "up", True)
+    (tmp_path / "down").mkdir()
+    down = write(tmp_path / "down", False)
+    q = all_queries()
+    r_up = q["pipeline_page_trend"](spark, up).collect()[0]
+    assert r_up["n_weeks"] == 8
+    assert r_up["two_l"] == 280 * 8
+    z = (6 * 2240 - 1344 * 8) / math.sqrt(18816 * 8)
+    assert math.isclose(r_up["z_score"], z, rel_tol=1e-12)
+    assert r_up["significant"] is True
+    r_dn = q["pipeline_page_trend"](spark, down).collect()[0]
+    assert r_dn["z_score"] < 0 and r_dn["significant"] is False
+
+
+def test_dickey_fuller_planted_regimes(spark, tmp_path):
+    """Mean-reverting alternation (100k/200k plus deterministic
+    jitter so the fit is not residual-free) must test strongly
+    stationary (rho near -2, t << -2.89), agreeing with a pure-Python
+    replica; a PERFECT linear trend has constant diffs, so B = 0,
+    C = 0 and the zero-residual guard emits rho = 0 with NULL t
+    (cannot decide) rather than a fake rejection."""
+    import datetime
+    import math
+
+    def write(rows_dir, vals):
+        rows = [
+            (i, 1, datetime.datetime(2000 + m // 12, m % 12 + 1, 15), v)
+            for i, (m, v) in enumerate(vals)
+        ]
+        return _write_orders_min(spark, rows_dir, rows)
+
+    alt_vals = [
+        (m, (100000.0 if m % 2 == 0 else 200000.0) + 1000.0 * (m % 5))
+        for m in range(40)
+    ]
+    (tmp_path / "alt").mkdir()
+    alt = write(tmp_path / "alt", alt_vals)
+    (tmp_path / "trend").mkdir()
+    trend = write(
+        tmp_path / "trend", [(m, 100000.0 + 5000.0 * m) for m in range(40)]
+    )
+    q = all_queries()
+    r_alt = q["pipeline_dickey_fuller"](spark, alt).collect()[0]
+    assert r_alt["n_diffs"] == 39
+
+    z = [math.floor(v / 1000) for _, v in alt_vals]
+    zl = z[:-1]
+    dy = [b - a for a, b in zip(z, z[1:])]
+    n = len(zl)
+    a = n * sum(x * x for x in zl) - sum(zl) ** 2
+    b = n * sum(x * y for x, y in zip(zl, dy)) - sum(zl) * sum(dy)
+    c = n * sum(y * y for y in dy) - sum(dy) ** 2
+    t = b * math.sqrt(n - 2) / math.sqrt(a * c - b * b)
+    assert math.isclose(r_alt["rho"], b / a, rel_tol=1e-12)
+    assert math.isclose(r_alt["t_stat"], t, rel_tol=1e-9)
+    assert r_alt["rho"] < -1.5 and r_alt["t_stat"] < -2.89
+    assert r_alt["stationary"] is True
+    r_tr = q["pipeline_dickey_fuller"](spark, trend).collect()[0]
+    assert r_tr["rho"] == 0.0
+    assert r_tr["t_stat"] is None and r_tr["stationary"] is None
+
+
+def test_rdd_planted_jump(spark, tmp_path):
+    """Perfect local-linear data with a 0.20 jump at quantity 25:
+    alpha_left = 0.30, alpha_right = 0.50, both slopes 0.01, tau =
+    0.20 — all recovered EXACTLY (perfect fit, exact-int/decimal
+    sufficient statistics)."""
+    rows = []
+    for q_ in range(15, 35):
+        x = q_ - 25
+        disc = (0.30 if x < 0 else 0.50) + 0.01 * x
+        for rep in range(3):
+            rows.append((float(q_), round(disc, 2)))
+    spark.createDataFrame(
+        rows, "l_quantity double, l_discount double"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    r = all_queries()["pipeline_rdd"](spark, str(tmp_path)).collect()[0]
+    assert r["n_left"] == 30 and r["n_right"] == 30
+    assert r["alpha_left"] == 0.3 and r["alpha_right"] == 0.5
+    assert r["slope_left"] == 0.01 and r["slope_right"] == 0.01
+    assert abs(r["tau_rdd"] - 0.2) < 1e-12

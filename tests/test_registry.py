@@ -300,6 +300,15 @@ ROUND_AUDITED = {
     "all exact ints, z a shared IEEE tree emitted unrounded)",
     "pipeline_friedman": "libm (chi2_6 even-dof survival exp; chi2 itself "
     "is a ratio of exact longs — zero IEEE content upstream)",
+    "pipeline_page_trend": "libm (logistic-Phi one-sided p; 2L exact long, "
+    "z a shared IEEE tree over exact longs after the x12 scaling)",
+    "pipeline_holm": "libm (logistic-Phi p via the bh_fdr recipe; every "
+    "decision — rank, step-down stop, Bonferroni — reads the rounded p)",
+    "pipeline_rdd": "ulp (each intercept/slope is an exact-decimal/exact-"
+    "long ratio passing 2^53 unscaled past sf ~3 — the grouped_ols 9 dp "
+    "emission; tau subtracts the two ROUNDED intercepts)",
+    "graph_assortativity": "ulp (r is a ratio of exact DECIMAL(38,0) "
+    "centered products passing 2^53 unscaled — the acf 9 dp emission)",
 }
 
 
