@@ -8805,3 +8805,195 @@ def pipeline_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ests["slope_r"].alias("slope_right"),
         (ests["alpha_r"] - ests["alpha_l"]).alias("tau_rdd"),
     )
+
+
+_GRANGER_F_SQL = """
+      CASE WHEN n >= 4 AND a_uu > 0
+            AND CAST(a_uu AS DOUBLE) * a_vv
+                - CAST(a_uv AS DOUBLE) * a_uv > 0
+            AND CAST(a_ww AS DOUBLE)
+                - ((CAST(a_uw AS DOUBLE) * a_uw * a_vv
+                    + CAST(a_vw AS DOUBLE) * a_vw * a_uu)
+                   - 2.0 * (CAST(a_uw AS DOUBLE) * a_vw * a_uv))
+                  / (CAST(a_uu AS DOUBLE) * a_vv
+                     - CAST(a_uv AS DOUBLE) * a_uv) > 0 THEN
+        ((CAST(a_ww AS DOUBLE) - CAST(a_uw AS DOUBLE) * a_uw / a_uu)
+         - (CAST(a_ww AS DOUBLE)
+            - ((CAST(a_uw AS DOUBLE) * a_uw * a_vv
+                + CAST(a_vw AS DOUBLE) * a_vw * a_uu)
+               - 2.0 * (CAST(a_uw AS DOUBLE) * a_vw * a_uv))
+              / (CAST(a_uu AS DOUBLE) * a_vv
+                 - CAST(a_uv AS DOUBLE) * a_uv)))
+        * (n - 3)
+        / (CAST(a_ww AS DOUBLE)
+           - ((CAST(a_uw AS DOUBLE) * a_uw * a_vv
+               + CAST(a_vw AS DOUBLE) * a_vw * a_uu)
+              - 2.0 * (CAST(a_uw AS DOUBLE) * a_vw * a_uv))
+             / (CAST(a_uu AS DOUBLE) * a_vv
+                - CAST(a_uv AS DOUBLE) * a_uv))
+      END"""
+
+
+@query(
+    "pipeline_granger",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1
+    ),
+    t0 AS (SELECT MIN(day) AS d0 FROM daily),
+    idx AS (
+      SELECT date_diff('day', d0, day) AS t, x, y FROM daily, t0
+    ),
+    pairs AS (
+      SELECT b.y AS w, b.x AS w2, a.y AS u, a.x AS v
+      FROM idx a JOIN idx b ON b.t = a.t + 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(u) AS BIGINT) AS su, CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM(w) AS BIGINT) AS sw, CAST(SUM(w2) AS BIGINT) AS sw2,
+             CAST(SUM(u * u) AS BIGINT) AS suu,
+             CAST(SUM(v * v) AS BIGINT) AS svv,
+             CAST(SUM(u * v) AS BIGINT) AS suv,
+             CAST(SUM(u * w) AS BIGINT) AS suw,
+             CAST(SUM(v * w) AS BIGINT) AS svw,
+             CAST(SUM(w * w) AS BIGINT) AS sww,
+             CAST(SUM(u * w2) AS BIGINT) AS suw2,
+             CAST(SUM(v * w2) AS BIGINT) AS svw2,
+             CAST(SUM(w2 * w2) AS BIGINT) AS sw2w2
+      FROM pairs
+    ),
+    fwd AS (
+      SELECT n,
+             n * suu - su * su AS a_uu, n * svv - sv * sv AS a_vv,
+             n * suv - su * sv AS a_uv, n * suw - su * sw AS a_uw,
+             n * svw - sv * sw AS a_vw, n * sww - sw * sw AS a_ww
+      FROM s
+    ),
+    rev AS (
+      SELECT n,
+             n * svv - sv * sv AS a_uu, n * suu - su * su AS a_vv,
+             n * suv - su * sv AS a_uv, n * svw2 - sv * sw2 AS a_uw,
+             n * suw2 - su * sw2 AS a_vw, n * sw2w2 - sw2 * sw2 AS a_ww
+      FROM s
+    ),
+    f1 AS (SELECT n, {_GRANGER_F_SQL} AS f_xy FROM fwd),
+    f2 AS (SELECT {_GRANGER_F_SQL} AS f_yx FROM rev)
+    SELECT n AS n_pairs, f_xy, f_yx,
+           f_xy > 4.0 AS x_causes_y,
+           f_yx > 4.0 AS y_causes_x
+    FROM f1, f2
+    """,
+)
+def pipeline_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRANGER CAUSALITY (Granger 1969, lag-1) between daily click
+    and purchase counts, BOTH directions: does adding lagged clicks
+    improve the purchase autoregression (f_xy), and vice versa
+    (f_yx) — the directed sequel to pipeline_xcorr's symmetric
+    lead-lag. F = (SSE_restricted − SSE_unrestricted)(n−3)/SSE_u
+    with the two-regressor OLS solved in CLOSED FORM from centered
+    sufficient sums: in n-scaled form A_pq = nΣpq − ΣpΣq the /n
+    cancels out of F entirely, and the reverse direction reuses the
+    SAME 14 sums with roles swapped — one corpus pass, both tests.
+    Decision at the F(1, 26) 5% critical value 4.0 (26 dof at the
+    fixture's 30-day span; the conventional 3.84 asymptote is noted
+    for long spans).
+
+    Exactness: daily counts are exact ints, every A_pq an exact
+    long (< 2^53 through sf ~10 at the fixture's count scale —
+    re-quantize beyond, the dickey_fuller knob); F is ONE fixed-shape
+    IEEE tree over their double casts (written token-identically in
+    both engines), emitted unrounded. Degenerate inputs (n < 4,
+    singular design D <= 0, zero residual) emit NULL, never a
+    crash or a fake rejection.
+
+    Scale: one events pass to the dates-bounded daily table, a
+    30-row lag self-join, then sufficient statistics all the way
+    down — the whole test after the first aggregate is a 1-row
+    broadcast computation."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.where(F.col("ts").isNotNull()).groupBy(
+        F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    t0 = daily.agg(F.min("day").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(t0)).select(
+        F.datediff("day", "d0").alias("t"), "x", "y"
+    ).localCheckpoint(eager=True)  # dates-bounded; both join sides
+    a = idx.select(
+        F.col("t").alias("at"), F.col("y").alias("u"), F.col("x").alias("v")
+    )
+    b = idx.select(
+        F.col("t").alias("bt"), F.col("y").alias("w"), F.col("x").alias("w2")
+    )
+    pairs = a.join(F.broadcast(b), F.col("bt") == F.col("at") + 1).select(
+        "u", "v", "w", "w2"
+    )
+    sums = {
+        "su": F.sum("u"), "sv": F.sum("v"),
+        "sw": F.sum("w"), "sw2": F.sum("w2"),
+        "suu": F.sum(F.col("u") * F.col("u")),
+        "svv": F.sum(F.col("v") * F.col("v")),
+        "suv": F.sum(F.col("u") * F.col("v")),
+        "suw": F.sum(F.col("u") * F.col("w")),
+        "svw": F.sum(F.col("v") * F.col("w")),
+        "sww": F.sum(F.col("w") * F.col("w")),
+        "suw2": F.sum(F.col("u") * F.col("w2")),
+        "svw2": F.sum(F.col("v") * F.col("w2")),
+        "sw2w2": F.sum(F.col("w2") * F.col("w2")),
+    }
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[c.cast("long").alias(k) for k, c in sums.items()],
+    )
+
+    def f_stat(a_uu, a_vv, a_uv, a_uw, a_vw, a_ww, n):
+        # token-identical tree to _GRANGER_F_SQL
+        d = a_uu.cast("double") * a_vv - a_uv.cast("double") * a_uv
+        expl = (
+            (
+                a_uw.cast("double") * a_uw * a_vv
+                + a_vw.cast("double") * a_vw * a_uu
+            )
+            - 2.0 * (a_uw.cast("double") * a_vw * a_uv)
+        ) / d
+        sse_u = a_ww.cast("double") - expl
+        sse_r = a_ww.cast("double") - a_uw.cast("double") * a_uw / a_uu
+        return F.when(
+            (n >= 4) & (a_uu > 0) & (d > 0) & (sse_u > 0),
+            (sse_r - sse_u) * (n - 3) / sse_u,
+        )
+
+    def cent(p, q):
+        return F.col("n") * F.col(f"s{p}{q}") - F.col(f"s{p}") * F.col(
+            f"s{q}"
+        )
+
+    n = F.col("n")
+    f_xy = f_stat(
+        cent("u", "u"), cent("v", "v"), cent("u", "v"),
+        cent("u", "w"), cent("v", "w"), cent("w", "w"), n,
+    )
+    f_yx = f_stat(
+        cent("v", "v"), cent("u", "u"), cent("u", "v"),
+        cent("v", "w2"), cent("u", "w2"), cent("w2", "w2"), n,
+    )
+    return s.select(
+        n.alias("n_pairs"),
+        f_xy.alias("f_xy"),
+        f_yx.alias("f_yx"),
+        (f_xy > 4.0).alias("x_causes_y"),
+        (f_yx > 4.0).alias("y_causes_x"),
+    )

@@ -1709,3 +1709,50 @@ def test_rdd_planted_jump(spark, tmp_path):
     assert r["alpha_left"] == 0.3 and r["alpha_right"] == 0.5
     assert r["slope_left"] == 0.01 and r["slope_right"] == 0.01
     assert abs(r["tau_rdd"] - 0.2) < 1e-12
+
+
+def test_granger_planted_direction(spark, tmp_path):
+    """Planted lag-1 causality: purchases_t = clicks_{t-1} + jitter
+    while clicks are an independent deterministic pattern. A
+    pure-Python replica of the closed-form two-regressor F must
+    agree to 1e-9 in both directions, and the planted direction must
+    dominate (f_xy >> f_yx, x_causes_y True)."""
+    import datetime
+    import math
+
+    days = 30
+    clicks = [(t * 7) % 11 + 2 for t in range(days)]
+    purch = [3] + [clicks[t - 1] + (t % 2) for t in range(1, days)]
+    rows = []
+    eid = 0
+    for t in range(days):
+        ts = datetime.datetime(2024, 5, 1) + datetime.timedelta(days=t)
+        for _ in range(clicks[t]):
+            rows.append((eid, ts, 1, "click", 1.0, "{}"))
+            eid += 1
+        for _ in range(purch[t]):
+            rows.append((eid, ts, 1, "purchase", 1.0, "{}"))
+            eid += 1
+    sf_dir = _write_events(spark, tmp_path, rows)
+    row = all_queries()["pipeline_granger"](spark, sf_dir).collect()[0]
+    assert row["n_pairs"] == days - 1
+
+    def fstat(w, u, v):
+        n = len(w)
+        A = lambda p, q: n * sum(a * b for a, b in zip(p, q)) - sum(p) * sum(q)
+        auu, avv, auv = A(u, u), A(v, v), A(u, v)
+        auw, avw, aww = A(u, w), A(v, w), A(w, w)
+        d = auu * avv - auv * auv
+        sse_u = aww - (auw * auw * avv + avw * avw * auu - 2 * auw * avw * auv) / d
+        sse_r = aww - auw * auw / auu
+        return (sse_r - sse_u) * (n - 3) / sse_u
+
+    u = purch[:-1]   # lagged y
+    v = clicks[:-1]  # lagged x
+    f_xy = fstat(purch[1:], u, v)
+    f_yx = fstat(clicks[1:], v, u)
+    assert math.isclose(row["f_xy"], f_xy, rel_tol=1e-9)
+    assert math.isclose(row["f_yx"], f_yx, rel_tol=1e-9)
+    assert row["f_xy"] > row["f_yx"]
+    assert row["x_causes_y"] is True
+    assert row["y_causes_x"] is (f_yx > 4.0)
