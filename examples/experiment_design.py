@@ -15,6 +15,9 @@ after an A/B test:
             CI for the mean balance (Chamandy et al. 2012), and
             pipeline_conformal — distribution-free prediction
             intervals with test-fold coverage
+  correct   pipeline_bh_fdr (step-up, FDR) beside pipeline_holm
+            (step-down, FWER + Bonferroni) on the 25-segment family
+            — what happens when the readout fans out over segments
 
     python examples/experiment_design.py [sf_dir]
 """
@@ -88,6 +91,18 @@ def main() -> None:
             f" +- {_fmt(r['q_resid'], '>10.2f')}  test coverage"
             f" {cov}% (n_cal {r['n_cal']})"
         )
+
+    bh = q["pipeline_bh_fdr"](spark, sf_dir).collect()
+    hm = q["pipeline_holm"](spark, sf_dir).collect()
+    n_bh = sum(1 for r in bh if r["rejected"])
+    n_hm = sum(1 for r in hm if r["rejected"])
+    n_bf = sum(1 for r in hm if r["bonf_rejected"])
+    print(
+        f"== correct ({len(hm)}-segment family): BH(FDR) rejects {n_bh},"
+        f" Holm(FWER) {n_hm}, Bonferroni {n_bf}"
+        f"  (nesting Bonf <= Holm <= BH holds: "
+        f"{n_bf <= n_hm <= n_bh})"
+    )
     print("== done")
 
 

@@ -10,10 +10,14 @@ an experimentation/metrics platform produces per review:
   drift          CUSUM change-point per event type
                  (pipeline_cusum_changepoint)
   despiking      Hampel rolling-median outliers (win_hampel_outliers)
-  lifecycle      Kaplan-Meier reorder survival (pipeline_survival_km)
-  trend          Theil-Sen robust slope vs OLS (pipeline_theil_sen)
-                 and the additive seasonal decomposition
-                 (pipeline_seasonal_decompose)
+  lifecycle      Kaplan-Meier reorder survival (pipeline_survival_km),
+                 the Nelson-Aalen hazard beside it, and the log-rank
+                 arm comparison (pipeline_logrank)
+  trend          Theil-Sen robust slope vs OLS (pipeline_theil_sen),
+                 the additive seasonal decomposition
+                 (pipeline_seasonal_decompose), the Dickey-Fuller
+                 unit-root gate (is the level series even
+                 trend-testable?), and Page's L ordered weekday trend
   causal         difference-in-differences with the control arm
                  carrying the trend (pipeline_did)
   dependence     daily-revenue autocorrelation (pipeline_acf),
@@ -84,10 +88,35 @@ def main() -> None:
               f"(n_risk {half[0]['n_risk']})")
     else:
         print("== lifecycle: survival never crosses 0.5 in-window")
+    na_last = (
+        q["pipeline_nelson_aalen"](spark, sf_dir)
+        .orderBy(F.desc("t_days"))
+        .limit(1)
+        .collect()
+    )
+    if na_last:
+        r = na_last[0]
+        print(f"   Nelson-Aalen H({r['t_days']}d) = {r['cum_hazard']:.3f} "
+              f"(var {r['var_hazard']:.5f}, S_FH {r['s_fh']:.3f})")
+    lr = q["pipeline_logrank"](spark, sf_dir).first()
+    if lr["z_score"] is not None:
+        flag = "DIFFER" if lr["significant"] else "ok"
+        print(f"   log-rank arms: O1 {lr['o1']} vs E1 {lr['e1_expected']:.1f}"
+              f"  z {lr['z_score']:+.2f}  p~{lr['p_approx']:.4f}  [{flag}]")
 
     ts = q["pipeline_theil_sen"](spark, sf_dir).first()
     print(f"== trend: Theil-Sen {ts['ts_slope']:+.2f}/month "
           f"vs OLS {ts['ols_slope']:+.2f}/month over {ts['n_months']} months")
+    df_ = q["pipeline_dickey_fuller"](spark, sf_dir).first()
+    if df_["t_stat"] is not None:
+        verdict = "stationary" if df_["stationary"] else "unit-root-like"
+        print(f"   Dickey-Fuller rho {df_['rho']:+.3f} t {df_['t_stat']:+.2f}"
+              f" -> {verdict} ({df_['n_diffs']} monthly diffs)")
+    pg = q["pipeline_page_trend"](spark, sf_dir).first()
+    if pg["z_score"] is not None:
+        flag = "ASCENDING" if pg["significant"] else "no ordered trend"
+        print(f"   Page's L weekday trend z {pg['z_score']:+.2f}"
+              f" p~{pg['p_one_sided']:.4f} over {pg['n_weeks']} weeks [{flag}]")
     dec = q["pipeline_seasonal_decompose"](spark, sf_dir)
     amp = dec.agg(
         F.max("seasonal").alias("hi"), F.min("seasonal").alias("lo")
