@@ -8997,3 +8997,279 @@ def pipeline_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
         (f_xy > 4.0).alias("x_causes_y"),
         (f_yx > 4.0).alias("y_causes_x"),
     )
+
+
+@query(
+    "pipeline_page_hinkley",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) * 1000000
+                  AS BIGINT) AS xm
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, day, xm,
+             ROW_NUMBER() OVER w AS t,
+             SUM(xm) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    dev AS (
+      SELECT event_type, day, t,
+             xm - CAST(round(s / t) AS BIGINT) AS d
+      FROM seq
+    ),
+    walk AS (
+      SELECT event_type, day, t,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+      FROM dev
+    ),
+    ph AS (
+      SELECT event_type, day, t, m,
+             m - MIN(m) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM walk
+    ),
+    ranked AS (
+      SELECT event_type, day, p,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY p DESC, day) AS rn
+      FROM ph
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(p AS DOUBLE) / 1000000 AS ph_max,
+           strftime(day, '%Y-%m-%d') AS peak_day
+    FROM ranked WHERE rn = 1
+    """,
+)
+def pipeline_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE-HINKLEY drift statistic (Page 1954; the streaming-native
+    upward-shift detector) per event type over the daily value
+    series: m_t = Sigma_{i<=t}(x_i - mean_i), PH_t = m_t - min_{i<=t}
+    m_i, reported at its peak (max PH, earliest day on ties). Unlike
+    pipeline_cusum_changepoint (which needs the GLOBAL mu/sigma of
+    the whole series), PH's running mean makes every step depend only
+    on the PAST -- which is exactly what lets page_hinkley_stream
+    maintain it incrementally with bit-identical results. delta = 0
+    (pure level-shift sensitivity); thresholding is left to the
+    caller since lambda is scale-dependent (the stat and its peak
+    day ARE the readout, the cusum convention without its global
+    sigma).
+
+    Determinism: daily totals are exact decimal -> INTEGER MICROS
+    (the x1e6 decimal shift is exact -- no rounding at all); the only
+    rational is mean_i = s_i/i, rounded to integer micros with
+    half-away-from-zero (both engines' round(double) semantics --
+    the dyadic .5 midpoint IS reachable here and both agree); every
+    cumulative and the running min are exact long arithmetic. The
+    sequential recursion and the stream twin share this arithmetic
+    token-for-token, so stream/batch parity is exact.
+
+    Scale: one events pass to the dates x types daily table, then
+    type-partitioned calendar-bounded windows (four passes sharing
+    ONE sort -- Spark collapses same-spec window frames); no global
+    window, one shuffle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(
+            (
+                F.sum(F.round("value", 6).cast("decimal(18,6)")) * 1_000_000
+            ).cast("long").alias("xm")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = daily.select(
+        "event_type",
+        "day",
+        "xm",
+        F.row_number().over(w).alias("t"),
+        F.sum("xm").over(wrun).alias("s"),
+    )
+    dev = seq.select(
+        "event_type",
+        "day",
+        "t",
+        (
+            F.col("xm")
+            - F.round(F.col("s") / F.col("t"), 0).cast("long")
+        ).alias("d"),
+    )
+    walk = dev.select(
+        "event_type", "day", "t", F.sum("d").over(wrun).alias("m")
+    )
+    ph = walk.select(
+        "event_type",
+        "day",
+        "t",
+        (F.col("m") - F.min("m").over(wrun)).alias("p"),
+    )
+    wtype = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy(F.desc("p"), "day")
+    ranked = ph.select(
+        "event_type",
+        "day",
+        "p",
+        F.count(F.lit(1)).over(wtype).alias("n_days"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        (F.col("p").cast("double") / 1_000_000).alias("ph_max"),
+        F.date_format("day", "yyyy-MM-dd").alias("peak_day"),
+    )
+
+
+@query(
+    "pipeline_weibull_fit",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    per_cust AS (
+      SELECT o_custkey,
+             MIN(CASE WHEN rn = 1 THEN od END) AS t1,
+             MIN(CASE WHEN rn = 2 THEN od END) AS t2
+      FROM ranked WHERE rn <= 2 GROUP BY o_custkey
+    ),
+    spells AS (
+      SELECT date_diff('day', t1, t2) AS t
+      FROM per_cust
+      WHERE t2 IS NOT NULL AND date_diff('day', t1, t2) >= 1
+    ),
+    g AS (SELECT COUNT(*) AS n FROM spells),
+    by_val AS (SELECT t, COUNT(*) AS c FROM spells GROUP BY t),
+    cum AS (
+      SELECT t, SUM(c) OVER (ORDER BY t) AS r, n FROM by_val, g
+    ),
+    pts AS (
+      SELECT round(ln(CAST(t AS DOUBLE)), 6) AS x,
+             round(ln(-ln(1.0 - (CAST(r AS DOUBLE) - 0.3)
+                                / (CAST(n AS DOUBLE) + 0.4))), 6) AS y
+      FROM cum
+    ),
+    dsums AS (
+      SELECT COUNT(*) AS k,
+             SUM(CAST(x AS DECIMAL(18,6))) AS sx,
+             SUM(CAST(y AS DECIMAL(18,6))) AS sy,
+             SUM(CAST(round(x * x, 6) AS DECIMAL(18,6))) AS sxx,
+             SUM(CAST(round(x * y, 6) AS DECIMAL(18,6))) AS sxy
+      FROM pts
+    ),
+    fit AS (
+      SELECT CAST((SELECT n FROM g) AS BIGINT) AS n_spells,
+             CAST(k AS BIGINT) AS n_points,
+             CASE WHEN k >= 2 AND k * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+               (k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * CAST(sy AS DOUBLE))
+               / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE))
+             END AS beta,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd, k AS kk
+      FROM dsums
+    )
+    SELECT n_spells, n_points, beta AS shape_beta,
+           CASE WHEN beta > 0 THEN
+             round(exp(-(((syd - beta * sxd) / kk) / beta)), 6)
+           END AS scale_eta_days
+    FROM fit
+    """,
+)
+def pipeline_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIBULL FIT of time-to-reorder by median-rank regression (the
+    classic Weibull-plot estimator): linearize 1-F = exp(-(t/eta)^b)
+    to ln(-ln(1-F)) = b ln t - b ln eta, estimate F at each distinct
+    spell length with Bernard's approximation (r-0.3)/(n+0.4), and
+    OLS the transformed points -- the PARAMETRIC member of the
+    survival family (KM estimates S nonparametrically, Nelson-Aalen
+    the hazard, log-rank compares arms; the Weibull shape b answers
+    'is churn risk rising or falling with tenure': b < 1 = early
+    churn, b > 1 = wear-out). Simple-variant contract: UNCENSORED
+    spells only, same-day reorders (t = 0) excluded -- the quick
+    engineering fit; censoring-aware inference stays with KM.
+
+    Determinism: one point per distinct spell length; both logs are
+    rounded 6 dp at the transcendental and the two products
+    pre-rounded 6 dp before exact decimal sums (the price_elasticity
+    transcendental-regressor discipline); beta is a shared IEEE tree
+    over the decimal-cast sums (unscaled magnitudes are
+    log-of-calendar-bounded -- nowhere near 2^53), emitted unrounded;
+    eta re-rounds at its exp (the libm rule). Degenerate inputs
+    (fewer than two distinct t -- a one-point 'line' whose 6-dp
+    product residue would otherwise sneak past the variance guard --
+    or beta <= 0) emit NULL.
+
+    Scale: per-customer bounded window, then everything is bounded
+    by distinct spell lengths (calendar); the cumulative rank uses
+    the bucket-offset pattern, no global window."""
+    from pyspark.sql import Window
+
+    from osm_airflow_spark.bucketing import bucketed_running
+
+    o = load_table(spark, sf_dir, "orders")
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.row_number().over(wc).alias("rn"),
+    ).where(F.col("rn") <= 2)
+    per_cust = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("od"))).alias("t1"),
+        F.min(F.when(F.col("rn") == 2, F.col("od"))).alias("t2"),
+    )
+    spells = per_cust.where(
+        F.col("t2").isNotNull() & (F.datediff("t2", "t1") >= 1)
+    ).select(F.datediff("t2", "t1").alias("t"))
+    by_val = (
+        spells.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # distinct-spell-bounded
+    )
+    out, totals = bucketed_running(by_val, "t", ["c"])
+    n = totals["c"]
+    x = F.round(F.log(F.col("t").cast("double")), 6)
+    fhat = (F.col("run_c") - 0.3) / F.lit(float(n) + 0.4)
+    y = F.round(F.log(-F.log(1.0 - fhat)), 6)
+    pts = out.select(x.alias("x"), y.alias("y"))
+    dec6 = "decimal(18,6)"
+    dsums = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("x").cast(dec6)).alias("sx"),
+        F.sum(F.col("y").cast(dec6)).alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast(dec6)).alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast(dec6)).alias("sxy"),
+    )
+    k = F.col("k")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    den = k * F.col("sxx").cast("double") - sxd * sxd
+    beta = F.when(
+        (k >= 2) & (den > 0),
+        (k * F.col("sxy").cast("double") - sxd * syd) / den,
+    )
+    eta = F.when(
+        beta > 0, F.round(F.exp(-(((syd - beta * sxd) / k) / beta)), 6)
+    )
+    return dsums.select(
+        F.lit(n).cast("long").alias("n_spells"),
+        k.cast("long").alias("n_points"),
+        beta.alias("shape_beta"),
+        eta.alias("scale_eta_days"),
+    )

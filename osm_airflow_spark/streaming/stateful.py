@@ -384,3 +384,96 @@ def sprt_monitor_stream(daily: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PH_STATE = T.StructType(
+    [
+        T.StructField("t", T.LongType()),
+        T.StructField("s", T.LongType()),
+        T.StructField("m", T.LongType()),
+        T.StructField("rmin", T.LongType()),
+        T.StructField("ph_max", T.LongType()),
+        T.StructField("peak_day", T.StringType()),
+        T.StructField("day_seen", T.StringType()),
+    ]
+)
+
+PH_OUTPUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_days", T.LongType()),
+        T.StructField("ph_max", T.DoubleType()),
+        T.StructField("peak_day", T.StringType()),
+    ]
+)
+
+
+def page_hinkley_stream(daily: DataFrame) -> DataFrame:
+    """Streaming Page-Hinkley drift monitor: the batch key
+    ``pipeline_page_hinkley`` re-walks the whole daily table per run;
+    this operator maintains the identical recursion INCREMENTALLY per
+    event type via ``applyInPandasWithState``. PH is the
+    streaming-NATIVE drift statistic — unlike CUSUM it needs no
+    global mu/sigma, so per-key state is just the walk's sufficient
+    statistic: (t, s, m, running min, peak, peak day).
+
+    Arithmetic is token-identical to the batch key: exact integer
+    micros, the one rational mean_i = s/i evaluated as the SAME IEEE
+    double division then rounded half-away-from-zero to integer
+    micros — so stream/batch parity is exact, not tolerance-based.
+    Alignment contract as sprt_monitor_stream: rows are DAILY
+    aggregates (event_type, day string, xm long micros), a day must
+    not straddle micro-batches, and days must arrive ascending —
+    rows at or before the persisted max-day are SKIPPED (replay
+    idempotence; a drift walk is order-defined, so a late earlier
+    day cannot be retrofitted — that is the batch key's job).
+
+    Scale: one shuffle per micro-batch on event_type, O(types)
+    state, unbounded stream length."""
+    import math
+
+    def update(
+        key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        if state.exists:
+            t, s, m, rmin, ph_max, peak_day, day_seen = state.get
+        else:
+            t, s, m, rmin, ph_max, peak_day, day_seen = (
+                0, 0, 0, 0, -1, "", ""
+            )
+        rows = pd.concat(list(batches), ignore_index=True).sort_values("day")
+        for _, r in rows.iterrows():
+            day = str(r["day"])
+            if day_seen and day <= day_seen:
+                continue  # replayed/late day: the walk is order-defined
+            day_seen = day
+            t += 1
+            s += int(r["xm"])
+            q = s / t  # the engines' double division, exactly
+            mean = math.floor(q + 0.5) if q >= 0 else math.ceil(q - 0.5)
+            m += int(r["xm"]) - mean
+            rmin = m if t == 1 else min(rmin, m)
+            ph = m - rmin
+            if ph > ph_max:
+                ph_max, peak_day = ph, day
+        state.update((t, s, m, rmin, ph_max, peak_day, day_seen))
+        if t > 0:
+            yield pd.DataFrame(
+                [
+                    {
+                        "event_type": etype,
+                        "n_days": t,
+                        "ph_max": float(ph_max) / 1000000.0,
+                        "peak_day": peak_day,
+                    }
+                ]
+            )
+
+    return daily.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=PH_OUTPUT,
+        stateStructType=PH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1756,3 +1756,90 @@ def test_granger_planted_direction(spark, tmp_path):
     assert row["f_xy"] > row["f_yx"]
     assert row["x_causes_y"] is True
     assert row["y_causes_x"] is (f_yx > 4.0)
+
+
+def test_page_hinkley_planted_shift(spark, tmp_path):
+    """A +100 level shift after day 20 must drive the PH walk up for
+    the shifted type (peak at the last day, replica-exact), while a
+    constant type has zero deviations end to end (ph_max = 0, peak
+    pinned to the first day by the earliest-tie rule)."""
+    import datetime
+    import math
+
+    rows = []
+    eid = 0
+    series = {"shifted": [100.0] * 20 + [200.0] * 10, "flat": [100.0] * 30}
+    for typ, vals in series.items():
+        for d, v in enumerate(vals):
+            ts = datetime.datetime(2024, 6, 1) + datetime.timedelta(days=d)
+            rows.append((eid, ts, 1, typ, v, "{}"))
+            eid += 1
+    sf_dir = _write_events(spark, tmp_path, rows)
+    got = {
+        r["event_type"]: r
+        for r in all_queries()["pipeline_page_hinkley"](
+            spark, sf_dir
+        ).collect()
+    }
+
+    def replica(vals):
+        t = s = m = 0
+        rmin = None
+        ph_max, peak = -1, None
+        for i, v in enumerate(vals):
+            t += 1
+            s += int(round(v, 6) * 1_000_000)
+            q = s / t
+            mean = math.floor(q + 0.5) if q >= 0 else math.ceil(q - 0.5)
+            m += int(round(v, 6) * 1_000_000) - mean
+            rmin = m if rmin is None else min(rmin, m)
+            ph = m - rmin
+            if ph > ph_max:
+                ph_max, peak = ph, i
+        return ph_max / 1_000_000, peak
+
+    ph_s, peak_s = replica(series["shifted"])
+    assert got["shifted"]["ph_max"] == ph_s
+    assert got["shifted"]["peak_day"] == (
+        datetime.date(2024, 6, 1) + datetime.timedelta(days=peak_s)
+    ).isoformat()
+    assert got["shifted"]["ph_max"] > 0
+    assert got["flat"]["ph_max"] == 0.0
+    assert got["flat"]["peak_day"] == "2024-06-01"
+    assert got["shifted"]["n_days"] == got["flat"]["n_days"] == 30
+
+
+def test_weibull_planted_shape_recovery(spark, tmp_path):
+    """Spells drawn as exact Weibull(beta=2, eta=50) quantiles: the
+    median-rank regression must recover the shape near 2 and the
+    scale near 50 days; a single-distinct-spell corpus degenerates
+    to NULL (zero regression variance), never a crash."""
+    import datetime
+    import math
+
+    d0 = datetime.datetime(2019, 1, 1)
+    rows = []
+    ok = 0
+    n = 60
+    for i in range(1, n + 1):
+        p = (i - 0.5) / n
+        t = max(1, round(50.0 * (-math.log(1.0 - p)) ** 0.5))
+        rows.append((ok, i, d0))
+        ok += 1
+        rows.append((ok, i, d0 + datetime.timedelta(days=t)))
+        ok += 1
+    sf_dir = _write_orders_min(spark, tmp_path, rows)
+    r = all_queries()["pipeline_weibull_fit"](spark, sf_dir).collect()[0]
+    assert r["n_spells"] == n
+    assert 1.7 < r["shape_beta"] < 2.3
+    assert 42 < r["scale_eta_days"] < 58
+
+    (tmp_path / "deg").mkdir()
+    rows2 = []
+    for i in range(1, 6):
+        rows2.append((100 + 2 * i, 1000 + i, d0))
+        rows2.append((101 + 2 * i, 1000 + i, d0 + datetime.timedelta(days=7)))
+    deg = _write_orders_min(spark, tmp_path / "deg", rows2)
+    r2 = all_queries()["pipeline_weibull_fit"](spark, deg).collect()[0]
+    assert r2["n_points"] == 1
+    assert r2["shape_beta"] is None and r2["scale_eta_days"] is None

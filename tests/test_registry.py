@@ -309,6 +309,13 @@ ROUND_AUDITED = {
     "emission; tau subtracts the two ROUNDED intercepts)",
     "graph_assortativity": "ulp (r is a ratio of exact DECIMAL(38,0) "
     "centered products passing 2^53 unscaled — the acf 9 dp emission)",
+    "pipeline_page_hinkley": "op (round(s/t) IS the estimator's integer-"
+    "micro running mean — half-away on the shared double quotient, the "
+    "reachable .5 midpoint is dyadic and both engines round away; "
+    "everything else is exact long arithmetic)",
+    "pipeline_weibull_fit": "libm (both logs rounded 6 dp at the "
+    "transcendental; eta re-rounds at its exp) + term (x², xy pre-rounded "
+    "6 dp before decimal sums — the price_elasticity discipline)",
 }
 
 

@@ -1523,3 +1523,135 @@ def test_sprt_monitor_stream_day_monotone_on_replayed_earlier_batch(spark, tmp_p
     assert all(r["decision"] == "continue" for r in rows)
     # the replayed-earlier-days batch must NOT regress the day
     assert [r["day_decided"] for r in rows] == ["2024-03-14", "2024-03-14"]
+
+
+def test_page_hinkley_stream_exact_parity_with_batch(spark, tmp_path):
+    """Streaming Page-Hinkley vs the batch key on the sf0.001 events
+    fixture, fed as three day-ordered micro-batch files: n_days,
+    ph_max and peak_day must match EXACTLY per event type — the walk
+    is integer micros end to end and the one rational (the running
+    mean) uses the same IEEE division + half-away round."""
+    import json
+    import os
+
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.registry import all_queries
+    from osm_airflow_spark.streaming.stateful import page_hinkley_stream
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = {
+        r["event_type"]: r
+        for r in all_queries()["pipeline_page_hinkley"](
+            spark, sf_dir
+        ).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_format(
+                F.date_trunc("day", F.col("ts")).cast("date"), "yyyy-MM-dd"
+            ).alias("day"),
+        )
+        .agg(
+            (
+                F.sum(F.round("value", 6).cast("decimal(18,6)")) * 1_000_000
+            ).cast("long").alias("xm")
+        )
+        .orderBy("day", "event_type")
+        .collect()
+    )
+    days = sorted({r["day"] for r in daily})
+    cuts = [days[: len(days) // 3], days[len(days) // 3 : 2 * len(days) // 3],
+            days[2 * len(days) // 3 :]]
+    src = tmp_path / "daily"
+    src.mkdir()
+    for i, chunk_days in enumerate(cuts):
+        path = src / f"chunk{i}.json"
+        with open(path, "w") as f:
+            for r in daily:
+                if r["day"] in chunk_days:
+                    f.write(json.dumps(
+                        {"event_type": r["event_type"], "day": r["day"],
+                         "xm": r["xm"]}) + "\n")
+        os.utime(path, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema("event_type string, day string, xm long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        page_hinkley_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_ph")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = {
+        r["event_type"]: r
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY"
+            " event_type ORDER BY n_days DESC) rk FROM t_ph) WHERE rk = 1"
+        ).collect()
+    }
+    assert set(final) == set(batch)
+    for typ, b in batch.items():
+        s = final[typ]
+        assert s["n_days"] == b["n_days"], typ
+        assert s["ph_max"] == b["ph_max"], typ  # exact — integer micros
+        assert s["peak_day"] == b["peak_day"], typ
+
+
+def test_page_hinkley_stream_skips_replayed_earlier_day(spark, tmp_path):
+    """The walk is order-defined: a micro-batch carrying a day at or
+    before the persisted max-day is SKIPPED (replay idempotence), so
+    n_days and the statistic are unchanged."""
+    import json
+    import os
+
+    from osm_airflow_spark.streaming.stateful import page_hinkley_stream
+
+    src = tmp_path / "daily"
+    src.mkdir()
+    chunks = [
+        [{"event_type": "a", "day": "2024-01-01", "xm": 1_000_000},
+         {"event_type": "a", "day": "2024-01-02", "xm": 9_000_000}],
+        [{"event_type": "a", "day": "2024-01-02", "xm": 9_000_000},
+         {"event_type": "a", "day": "2024-01-01", "xm": 1_000_000}],
+        [{"event_type": "a", "day": "2024-01-03", "xm": 2_000_000}],
+    ]
+    for i, chunk in enumerate(chunks):
+        path = src / f"chunk{i}.json"
+        with open(path, "w") as f:
+            for row in chunk:
+                f.write(json.dumps(row) + "\n")
+        os.utime(path, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema("event_type string, day string, xm long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        page_hinkley_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_ph_replay")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT * FROM t_ph_replay ORDER BY n_days DESC LIMIT 1"
+    ).collect()
+    assert rows[0]["n_days"] == 3  # the replayed chunk added nothing
+    # walk: means 1, 5, 4 -> devs 0, +4, -2 -> m 0, 4, 2; rmin 0;
+    # ph 0, 4, 2 -> peak 4.0 on day 2
+    assert rows[0]["ph_max"] == 4.0
+    assert rows[0]["peak_day"] == "2024-01-02"
