@@ -9273,3 +9273,84 @@ def pipeline_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         beta.alias("shape_beta"),
         eta.alias("scale_eta_days"),
     )
+
+
+@query(
+    "pipeline_srm",
+    oracle="""
+    WITH units AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_t,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_c
+      FROM units
+    ),
+    z AS (
+      SELECT n_t, n_c,
+             CAST(n_t AS DOUBLE) / (n_t + n_c) AS ratio_t,
+             CASE WHEN n_t + n_c > 0 THEN
+               CAST(n_t - n_c AS DOUBLE) / sqrt(CAST(n_t + n_c AS DOUBLE))
+             END AS z_score
+      FROM s
+    )
+    SELECT n_t, n_c, ratio_t, z_score,
+           z_score * z_score AS chi_square,
+           round(2.0 / (1 + exp(1.702 * abs(z_score))), 6) AS p_approx,
+           round(2.0 / (1 + exp(1.702 * abs(z_score))), 6) < 0.001
+             AS srm_detected
+    FROM z
+    """,
+)
+def pipeline_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO MISMATCH check (the standard experiment health
+    gate, run BEFORE reading any metric): do the parity arms actually
+    hold the intended 50/50 unit split? A mismatched ratio means the
+    assignment or logging pipeline is broken and every downstream
+    readout (pipeline_ab_test, cuped, two_proportion_z on the same
+    arms) is invalid — the industry convention alarms at p < 0.001,
+    NOT 0.05, because the null is expected to hold to high precision
+    (Fabijan et al. 2019). chi2(1) = (n_t − n_c)²/n via
+    z = (n_t − n_c)/√n.
+
+    Exactness: unit counts are exact longs from one
+    groupBy(user) pass; z and chi² are one shared IEEE tree over
+    their double casts, emitted unrounded; the logistic-Φ p rounds
+    at its transcendental with the decision reading the rounded
+    value (the bh_fdr rule). Empty input emits NULL, never a
+    division crash.
+
+    Scale: one partial-agg-friendly distinct-units pass, then a
+    1-row fold — nothing scales past the unit count."""
+    e = load_table(spark, sf_dir, "events")
+    units = (
+        e.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.first((F.col("user_id") % 2).cast("long")).alias("arm"))
+    )
+    s = units.agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_t"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_c"),
+    )
+    n = F.col("n_t") + F.col("n_c")
+    z = F.when(
+        n > 0, (F.col("n_t") - F.col("n_c")).cast("double") / F.sqrt(n.cast("double"))
+    )
+    p = F.round(2.0 / (1 + F.exp(1.702 * F.abs(z))), 6)
+    return s.select(
+        "n_t",
+        "n_c",
+        (F.col("n_t").cast("double") / n).alias("ratio_t"),
+        z.alias("z_score"),
+        (z * z).alias("chi_square"),
+        p.alias("p_approx"),
+        (p < 0.001).alias("srm_detected"),
+    )

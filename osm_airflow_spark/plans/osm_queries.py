@@ -1683,3 +1683,132 @@ def osm_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
         hull_kernel,
         "way_id long, n_points int, hull_size int, hull_area double",
     )
+
+
+_ROSE_BEARING = """round((degrees(atan2(
+      sin(radians(lon - plon)) * cos(radians(lat)),
+      cos(radians(plat)) * sin(radians(lat))
+        - sin(radians(plat)) * cos(radians(lat))
+          * cos(radians(lon - plon))
+    )) + 360.0) % 360.0, 6)"""
+
+
+@query(
+    "osm_bearing_rose",
+    oracle=f"""
+    WITH nodes AS (
+      SELECT p_partkey AS node_id,
+             {_LAT} AS lat,
+             {_LON} AS lon
+      FROM part
+    ),
+    refs AS (
+      SELECT l_orderkey AS way_id, l_partkey AS node_id,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS pos
+      FROM lineitem
+    ),
+    pts AS (SELECT way_id, pos, lon, lat FROM refs JOIN nodes USING (node_id)),
+    edges AS (
+      SELECT way_id, lon, lat,
+             LAG(lon) OVER (PARTITION BY way_id ORDER BY pos) AS plon,
+             LAG(lat) OVER (PARTITION BY way_id ORDER BY pos) AS plat
+      FROM pts
+    ),
+    segs AS (
+      SELECT CAST(floor((({_ROSE_BEARING} + 11.25) % 360.0) / 22.5) AS INT)
+               AS bin_idx,
+             CAST(round(
+               2 * 6371.0 * asin(sqrt(
+                 sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)
+                 + cos(radians(plat)) * cos(radians(lat))
+                   * sin(radians(lon - plon) / 2)
+                   * sin(radians(lon - plon) / 2)
+               )), 6) AS DECIMAL(18,6)) AS seg_km
+      FROM edges WHERE plon IS NOT NULL
+    ),
+    bins AS (
+      SELECT bin_idx, COUNT(*) AS n_segments, SUM(seg_km) AS km
+      FROM segs GROUP BY bin_idx
+    ),
+    tot AS (SELECT SUM(km) AS total_km FROM bins)
+    SELECT bin_idx,
+           CAST(n_segments AS BIGINT) AS n_segments,
+           CAST(km AS DOUBLE) AS length_km,
+           CAST(km AS DOUBLE) / CAST(total_km AS DOUBLE) AS km_share
+    FROM bins, tot
+    ORDER BY bin_idx
+    """,
+)
+def osm_bearing_rose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROAD-ORIENTATION ROSE — the classic OSM network analysis
+    (Boeing 2019's city street-orientation plots): every way segment's
+    initial great-circle bearing, binned into 16 compass sectors of
+    22.5° centered on N/NNE/..., weighted by segment length. The
+    readout a renderer or routing team uses to sanity-check imported
+    geometry against the known street grid (cites reference
+    README.md:70 — the loaded layers exist to be queried like this).
+
+    Determinism: bearing rounds to 6 dp BEFORE the +11.25 shift and
+    the sector floor (the fn_geo_bearing boundary rule — a last-ulp
+    atan2 divergence can't flip a bin); segment lengths take the
+    osm_way_lengths recipe (haversine rounded 6 dp, exact decimal
+    sums). length_km / km_share cast exact-in-double at tested SFs
+    (per-bin decimal sums pass 2^53 unscaled around sf ~1 — the
+    re-quantize note); the share ratio is a shared tree over those
+    agreed doubles. Zero-length segments (repeated node refs) bin
+    at atan2(0,0) = 0 = due N with 0 km weight, identically in both
+    engines.
+
+    Scale: the way_lengths plan plus one 16-row aggregate — bounded
+    per-way windows, one shuffle; the totals row derives from the CHECKPOINTED
+    16-row bin table (never a second corpus pass) and broadcasts."""
+    from pyspark.sql import Window
+
+    from osm_airflow_spark.functions.geo import bearing_deg, haversine_km
+
+    nodes = _derived_nodes(spark, sf_dir)
+    ways = _derived_ways(spark, sf_dir)
+    pts = (
+        ways.select("way_id", F.posexplode("node_refs").alias("pos", "node_id"))
+        .join(nodes.select("node_id", "lat", "lon"), "node_id")
+    )
+    w = Window.partitionBy("way_id").orderBy("pos")
+    edges = pts.select(
+        "way_id",
+        "lon",
+        "lat",
+        F.lag("lon").over(w).alias("plon"),
+        F.lag("lat").over(w).alias("plat"),
+    ).where(F.col("plon").isNotNull())
+    bearing6 = F.round(
+        bearing_deg(F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon")),
+        6,
+    )
+    seg_km = F.round(
+        haversine_km(F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon")),
+        6,
+    ).cast("decimal(18,6)")
+    segs = edges.select(
+        F.floor(((bearing6 + 11.25) % 360.0) / 22.5)
+        .cast("int")
+        .alias("bin_idx"),
+        seg_km.alias("seg_km"),
+    )
+    bins = segs.groupBy("bin_idx").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("seg_km").alias("km"),
+    ).localCheckpoint(eager=True)  # <=16 rows; the totals row re-reads it
+    tot = bins.agg(F.sum("km").alias("total_km"))
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            "bin_idx",
+            F.col("n_segments").cast("long").alias("n_segments"),
+            F.col("km").cast("double").alias("length_km"),
+            (
+                F.col("km").cast("double") / F.col("total_km").cast("double")
+            ).alias("km_share"),
+        )
+        .orderBy("bin_idx")
+    )

@@ -804,3 +804,66 @@ def test_convex_hull_matches_gift_wrapping_and_invariants(spark, sf_dir):
                 ), (wid, p)
         checked += 1
     assert checked >= 30
+
+
+def test_bearing_rose_planted_replica(spark, tmp_path):
+    """Two planted ways over the derived-coordinate node space: an
+    equator west-to-east pair (node 90 at (0,-85.5), node 270 at
+    (0, 85.5) -> initial bearing exactly 90 deg, bin 4 = E) and a
+    zero-length repeated-ref segment (atan2(0,0) = 0 -> bin 0 with
+    0 km). A pure-Python replica of bearing/haversine/binning
+    confirms every emitted bin."""
+    import math
+
+    from osm_airflow_spark.registry import all_queries
+
+    spark.createDataFrame(
+        [(90,), (270,)], "p_partkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "part.parquet"))
+    li = [(1, 1, 90), (1, 2, 270), (2, 1, 90), (2, 2, 90)]
+    spark.createDataFrame(
+        li, "l_orderkey long, l_linenumber int, l_partkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    rows = {
+        r["bin_idx"]: r
+        for r in all_queries()["osm_bearing_rose"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    def coords(pk):
+        return (
+            ((pk * 7) % 180 - 90.0) * 0.95,
+            ((pk * 13) % 360 - 180.0) * 0.95,
+        )
+
+    lat1, lon1 = coords(90)
+    lat2, lon2 = coords(270)
+    assert (lat1, lat2) == (0.0, 0.0)
+    dlon = math.radians(lon2 - lon1)
+    y = math.sin(dlon) * math.cos(math.radians(lat2))
+    x = math.cos(math.radians(lat1)) * math.sin(math.radians(lat2)) - (
+        math.sin(math.radians(lat1))
+        * math.cos(math.radians(lat2))
+        * math.cos(dlon)
+    )
+    bearing = round((math.degrees(math.atan2(y, x)) + 360.0) % 360.0, 6)
+    assert bearing == 90.0
+    km = round(
+        2
+        * 6371.0
+        * math.asin(
+            math.sqrt(
+                math.sin(math.radians(lat2 - lat1) / 2) ** 2
+                + math.cos(math.radians(lat1))
+                * math.cos(math.radians(lat2))
+                * math.sin(math.radians(lon2 - lon1) / 2) ** 2
+            )
+        ),
+        6,
+    )
+    assert set(rows) == {0, 4}
+    assert rows[4]["n_segments"] == 1
+    assert rows[4]["length_km"] == km
+    assert rows[0]["n_segments"] == 1 and rows[0]["length_km"] == 0.0
+    assert rows[4]["km_share"] == 1.0 and rows[0]["km_share"] == 0.0

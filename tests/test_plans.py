@@ -1843,3 +1843,32 @@ def test_weibull_planted_shape_recovery(spark, tmp_path):
     r2 = all_queries()["pipeline_weibull_fit"](spark, deg).collect()[0]
     assert r2["n_points"] == 1
     assert r2["shape_beta"] is None and r2["scale_eta_days"] is None
+
+
+def test_srm_planted_balance_and_mismatch(spark, tmp_path):
+    """Balanced parity arms give z = 0 exactly (no SRM); a 3:1
+    imbalance must alarm at the p < 0.001 industry threshold."""
+    import datetime
+
+    def write(rows_dir, user_ids):
+        rows = [
+            (i, datetime.datetime(2024, 1, 1 + i % 28), uid, "click", 1.0, "{}")
+            for i, uid in enumerate(user_ids)
+        ]
+        return _write_events(spark, rows_dir, rows)
+
+    (tmp_path / "ok").mkdir()
+    ok = write(tmp_path / "ok", list(range(1, 401)))  # 200 odd / 200 even
+    (tmp_path / "bad").mkdir()
+    bad = write(
+        tmp_path / "bad",
+        [2 * i for i in range(1, 301)] + [2 * i + 1 for i in range(50)],
+    )
+    q = all_queries()
+    r_ok = q["pipeline_srm"](spark, ok).collect()[0]
+    assert r_ok["n_t"] == r_ok["n_c"] == 200
+    assert r_ok["z_score"] == 0.0 and r_ok["chi_square"] == 0.0
+    assert r_ok["srm_detected"] is False
+    r_bad = q["pipeline_srm"](spark, bad).collect()[0]
+    assert (r_bad["n_t"], r_bad["n_c"]) == (50, 300)
+    assert r_bad["p_approx"] < 0.001 and r_bad["srm_detected"] is True

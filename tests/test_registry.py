@@ -316,6 +316,11 @@ ROUND_AUDITED = {
     "pipeline_weibull_fit": "libm (both logs rounded 6 dp at the "
     "transcendental; eta re-rounds at its exp) + term (x², xy pre-rounded "
     "6 dp before decimal sums — the price_elasticity discipline)",
+    "pipeline_srm": "libm (logistic-Phi p via the bh_fdr recipe; z/chi2 "
+    "exact-IEEE on integer counts, decision reads the rounded p)",
+    "osm_bearing_rose": "libm (bearing atan2 rounded 6 dp BEFORE the "
+    "sector floor — the fn_geo_bearing boundary rule; haversine 6 dp "
+    "terms into decimal sums — the way_lengths recipe)",
 }
 
 
