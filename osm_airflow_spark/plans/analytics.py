@@ -9354,3 +9354,136 @@ def pipeline_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("p_approx"),
         (p < 0.001).alias("srm_detected"),
     )
+
+
+@query(
+    "pipeline_jarque_bera",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                  AS DECIMAL(25,6)) AS DOUBLE) AS sx
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    ),
+    devs AS (
+      SELECT e.event_type, s.n,
+             CAST(round((e.value - s.sx / s.n) * (e.value - s.sx / s.n), 6)
+                  AS DECIMAL(24,6)) AS d2,
+             CAST(round((e.value - s.sx / s.n) * (e.value - s.sx / s.n)
+                        * (e.value - s.sx / s.n), 6)
+                  AS DECIMAL(30,6)) AS d3,
+             CAST(round(((e.value - s.sx / s.n) * (e.value - s.sx / s.n))
+                        * ((e.value - s.sx / s.n) * (e.value - s.sx / s.n)),
+                        6) AS DECIMAL(30,6)) AS d4
+      FROM events e JOIN stats s USING (event_type)
+      WHERE e.value IS NOT NULL
+    ),
+    moms AS (
+      SELECT event_type, MAX(n) AS n,
+             SUM(d2) AS s2, SUM(d3) AS s3, SUM(d4) AS s4
+      FROM devs GROUP BY event_type
+    ),
+    sk AS (
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+             CASE WHEN s2 > 0 THEN
+               round((CAST(s3 AS DOUBLE) / n)
+                     / pow(CAST(s2 AS DOUBLE) / n, 1.5), 9) END AS skewness,
+             CASE WHEN s2 > 0 THEN
+               round((CAST(s4 AS DOUBLE) / n)
+                     / ((CAST(s2 AS DOUBLE) / n)
+                        * (CAST(s2 AS DOUBLE) / n)) - 3.0, 9)
+             END AS ex_kurtosis
+      FROM moms
+    ),
+    jb AS (
+      SELECT event_type, n, skewness, ex_kurtosis,
+             (n / 6.0) * (skewness * skewness
+                          + (ex_kurtosis * ex_kurtosis) / 4.0) AS jb_stat
+      FROM sk
+    )
+    SELECT event_type, n, skewness, ex_kurtosis, jb_stat,
+           round(exp(-(jb_stat / 2)), 6) AS p_approx,
+           round(exp(-(jb_stat / 2)), 6) < 0.05 AS normal_rejected
+    FROM jb
+    """,
+)
+def pipeline_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JARQUE-BERA normality test per event type (Jarque & Bera
+    1980): JB = n/6 (S² + K²/4) from the sample skewness and excess
+    kurtosis — the screen that decides whether pipeline_ab_test's t
+    is trustworthy or the readout should fall back to
+    pipeline_mann_whitney (heavy tails show up here first). chi²(2)
+    survival has the EXACT closed form exp(−JB/2) (even dof, m = 1).
+
+    Determinism recipe (three house patterns composed): the mean
+    comes from the exact decimal Σx (the value_anomalies sufficient-
+    stat pass); each centered power d², d³, d⁴ is a fixed-shape
+    double tree rounded 6 dp at the term then decimal-summed
+    (order-free — the chi_square rule); the two moment RATIOS pass
+    2^53 unscaled at corpus scale, so skewness/kurtosis emit at 9 dp
+    (the acf rule) and JB is computed FROM THE ROUNDED values — the
+    decision chain reads only agreed numbers. Zero-variance types
+    emit NULL, never a division crash.
+
+    Scale: two corpus passes (sufficient stats; centered powers —
+    separate scans under no-exchange-reuse) with the 5-row stats
+    broadcast back (the corpus-bounded join-back rule); everything
+    after is a 5-row fold."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.where(F.col("value").isNotNull())
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(25,6)")
+        .cast("double")
+        .alias("sx"),
+    )
+    d = F.col("value") - F.col("sx") / F.col("n")
+    devs = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "n",
+        F.round(d * d, 6).cast("decimal(24,6)").alias("d2"),
+        F.round(d * d * d, 6).cast("decimal(30,6)").alias("d3"),
+        F.round((d * d) * (d * d), 6).cast("decimal(30,6)").alias("d4"),
+    )
+    moms = devs.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum("d2").alias("s2"),
+        F.sum("d3").alias("s3"),
+        F.sum("d4").alias("s4"),
+    )
+    m2 = F.col("s2").cast("double") / F.col("n")
+    skew = F.when(
+        F.col("s2") > 0,
+        F.round(
+            (F.col("s3").cast("double") / F.col("n")) / F.pow(m2, 1.5), 9
+        ),
+    )
+    kurt = F.when(
+        F.col("s2") > 0,
+        F.round(
+            (F.col("s4").cast("double") / F.col("n")) / (m2 * m2) - 3.0, 9
+        ),
+    )
+    sk = moms.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        skew.alias("skewness"),
+        kurt.alias("ex_kurtosis"),
+    )
+    jb = (F.col("n") / 6.0) * (
+        F.col("skewness") * F.col("skewness")
+        + (F.col("ex_kurtosis") * F.col("ex_kurtosis")) / 4.0
+    )
+    out = sk.withColumn("jb_stat", jb)
+    p = F.round(F.exp(-(F.col("jb_stat") / 2)), 6)
+    return out.select(
+        "event_type",
+        "n",
+        "skewness",
+        "ex_kurtosis",
+        "jb_stat",
+        p.alias("p_approx"),
+        (p < 0.05).alias("normal_rejected"),
+    )

@@ -1872,3 +1872,52 @@ def test_srm_planted_balance_and_mismatch(spark, tmp_path):
     r_bad = q["pipeline_srm"](spark, bad).collect()[0]
     assert (r_bad["n_t"], r_bad["n_c"]) == (50, 300)
     assert r_bad["p_approx"] < 0.001 and r_bad["srm_detected"] is True
+
+
+def test_jarque_bera_planted_replica(spark, tmp_path):
+    """Symmetric 9-point uniform: skewness is EXACTLY 0 (the rounded
+    d³ terms cancel in pairs), excess kurtosis matches the discrete-
+    uniform replica, and the flat shape rejects normality at large n
+    (platykurtic); a zero-variance type emits NULL."""
+    import datetime
+    import math
+
+    rows = []
+    eid = 0
+    for rep in range(40):
+        for v in range(1, 10):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1 + eid % 28), 1,
+                 "uniform", float(v), "{}")
+            )
+            eid += 1
+    for i in range(50):
+        rows.append(
+            (eid, datetime.datetime(2024, 1, 1 + i % 28), 1,
+             "constant", 42.0, "{}")
+        )
+        eid += 1
+    sf_dir = _write_events(spark, tmp_path, rows)
+    got = {
+        r["event_type"]: r
+        for r in all_queries()["pipeline_jarque_bera"](
+            spark, sf_dir
+        ).collect()
+    }
+    u = got["uniform"]
+    n = 360
+    vals = [float(v) for v in range(1, 10)] * 40
+    mean = sum(vals) / n
+    s2 = sum(round((v - mean) ** 2, 6) for v in vals)
+    s3 = sum(round((v - mean) ** 3, 6) for v in vals)
+    s4 = sum(round(((v - mean) ** 2) * ((v - mean) ** 2), 6) for v in vals)
+    skew = round((s3 / n) / (s2 / n) ** 1.5, 9)
+    kurt = round((s4 / n) / ((s2 / n) * (s2 / n)) - 3.0, 9)
+    jb = (n / 6.0) * (skew * skew + (kurt * kurt) / 4.0)
+    assert u["n"] == n
+    assert u["skewness"] == 0.0 == skew
+    assert math.isclose(u["ex_kurtosis"], kurt, rel_tol=0, abs_tol=1e-12)
+    assert math.isclose(u["jb_stat"], jb, rel_tol=1e-12)
+    assert u["normal_rejected"] is True  # flat tails, n = 360
+    c = got["constant"]
+    assert c["skewness"] is None and c["jb_stat"] is None

@@ -321,6 +321,10 @@ ROUND_AUDITED = {
     "osm_bearing_rose": "libm (bearing atan2 rounded 6 dp BEFORE the "
     "sector floor — the fn_geo_bearing boundary rule; haversine 6 dp "
     "terms into decimal sums — the way_lengths recipe)",
+    "pipeline_jarque_bera": "term (centered powers d²/d³/d⁴ rounded 6 dp "
+    "into decimal sums — the chi_square rule) + ulp (the two moment "
+    "ratios pass 2^53 unscaled — 9 dp emission, JB computed FROM the "
+    "rounded values) + libm (exp(−JB/2), the exact chi²(2) survival)",
 }
 
 
