@@ -9487,3 +9487,175 @@ def pipeline_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("p_approx"),
         (p < 0.05).alias("normal_rejected"),
     )
+
+
+@query(
+    "pipeline_cointegration",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1
+    ),
+    t0 AS (SELECT MIN(day) AS d0 FROM daily),
+    idx AS (SELECT date_diff('day', d0, day) AS t, x, y FROM daily, t0),
+    s1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM idx
+    ),
+    fit AS (
+      SELECT n, sx, sy,
+             CASE WHEN n * sxx - sx * sx > 0 THEN
+               CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
+             END AS b
+      FROM s1
+    ),
+    fit2 AS (
+      SELECT n, b,
+             (CAST(sy AS DOUBLE) - b * sx) / n AS a
+      FROM fit
+    ),
+    resid AS (
+      SELECT i.t,
+             CAST(round((i.y - f.a - f.b * i.x) * 1000, 0) AS BIGINT) AS u
+      FROM idx i, fit2 f
+      WHERE f.b IS NOT NULL
+    ),
+    pairs AS (
+      SELECT a.u AS ul, b.u - a.u AS du
+      FROM resid a JOIN resid b ON b.t = a.t + 1
+    ),
+    s2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(ul * ul) AS BIGINT) AS auu,
+             CAST(SUM(ul * du) AS BIGINT) AS bud,
+             CAST(SUM(du * du) AS BIGINT) AS cdd
+      FROM pairs
+    ),
+    eg AS (
+      SELECT (SELECT n FROM fit2) AS n_days,
+             (SELECT b FROM fit2) AS beta,
+             (SELECT a FROM fit2) AS alpha,
+             CASE WHEN auu > 0 THEN CAST(bud AS DOUBLE) / auu END
+               AS rho_resid,
+             CASE WHEN auu > 0 AND m >= 2
+                   AND CAST(auu AS DOUBLE) * cdd
+                       - CAST(bud AS DOUBLE) * bud > 0 THEN
+               CAST(bud AS DOUBLE) * sqrt(CAST(m - 1 AS DOUBLE))
+               / sqrt(CAST(auu AS DOUBLE) * cdd
+                      - CAST(bud AS DOUBLE) * bud)
+             END AS t_stat
+      FROM s2
+    )
+    SELECT n_days, beta, alpha, rho_resid, t_stat,
+           t_stat < -3.37 AS cointegrated
+    FROM eg
+    """,
+)
+def pipeline_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGLE-GRANGER cointegration test (Engle & Granger 1987)
+    between the daily click and purchase count series: step 1 fits
+    the levels regression y = a + b x, step 2 runs a no-constant
+    Dickey-Fuller on its residuals — a stationary residual means the
+    two series share a long-run equilibrium (so modeling the SPREAD
+    is valid even though each level is a random walk). Completes the
+    time-series causality block: xcorr (symmetric lead-lag), granger
+    (short-run direction), this (long-run equilibrium). Decision at
+    the EG 2-variable 5% critical value -3.37.
+
+    Exactness: counts are exact longs, so the step-1 sufficient
+    sums and b = B/A, a are shared IEEE trees over exact-long casts;
+    residuals quantize to INTEGER MILLIS in one round (count-scale
+    residuals need no finer grain, and millis keep Sigma u^2 under
+    2^53 far past the fixture scale — the dickey_fuller quantization
+    knob); the step-2 A/B/C are then exact longs and the no-constant
+    DF t = B sqrt(m-1)/sqrt(AC - B^2) is one shared tree, emitted
+    unrounded. Degenerate inputs (zero x-variance, zero residual
+    variance, m < 2) emit NULL.
+
+    Scale: one events pass to the 30-row daily table
+    (localCheckpoint'ed: the fit, the residual pass and both lag-join
+    sides read it); everything after is control-plane."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.where(F.col("ts").isNotNull()).groupBy(
+        F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    t0 = daily.agg(F.min("day").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(t0)).select(
+        F.datediff("day", "d0").alias("t"), "x", "y"
+    ).localCheckpoint(eager=True)  # fit + residual pass + lag join
+    s1 = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    den1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    b = F.when(
+        den1 > 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        )
+        / den1,
+    )
+    fit = s1.select("n", "sx", "sy", b.alias("b")).select(
+        "n",
+        "b",
+        ((F.col("sy").cast("double") - F.col("b") * F.col("sx")) / F.col("n"))
+        .alias("a"),
+    )
+    resid = (
+        idx.crossJoin(F.broadcast(fit))
+        .where(F.col("b").isNotNull())
+        .select(
+            "t",
+            F.round(
+                (F.col("y") - F.col("a") - F.col("b") * F.col("x")) * 1000, 0
+            )
+            .cast("long")
+            .alias("u"),
+        )
+        .localCheckpoint(eager=True)  # both lag-join sides
+    )
+    ra = resid.select(F.col("t").alias("at"), F.col("u").alias("ul"))
+    rb = resid.select(F.col("t").alias("bt"), F.col("u").alias("ub"))
+    pairs = ra.join(F.broadcast(rb), F.col("bt") == F.col("at") + 1).select(
+        "ul", (F.col("ub") - F.col("ul")).alias("du")
+    )
+    s2 = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("ul") * F.col("ul")).cast("long").alias("auu"),
+        F.sum(F.col("ul") * F.col("du")).cast("long").alias("bud"),
+        F.sum(F.col("du") * F.col("du")).cast("long").alias("cdd"),
+    )
+    auu_d = F.col("auu").cast("double")
+    bud_d = F.col("bud").cast("double")
+    disc = auu_d * F.col("cdd") - bud_d * F.col("bud")
+    rho = F.when(F.col("auu") > 0, bud_d / F.col("auu"))
+    t_stat = F.when(
+        (F.col("auu") > 0) & (F.col("m") >= 2) & (disc > 0),
+        bud_d * F.sqrt((F.col("m") - 1).cast("double")) / F.sqrt(disc),
+    )
+    return s2.crossJoin(F.broadcast(fit)).select(
+        F.col("n").alias("n_days"),
+        F.col("b").alias("beta"),
+        F.col("a").alias("alpha"),
+        rho.alias("rho_resid"),
+        t_stat.alias("t_stat"),
+        (t_stat < -3.37).alias("cointegrated"),
+    )

@@ -1921,3 +1921,53 @@ def test_jarque_bera_planted_replica(spark, tmp_path):
     assert u["normal_rejected"] is True  # flat tails, n = 360
     c = got["constant"]
     assert c["skewness"] is None and c["jb_stat"] is None
+
+
+def test_cointegration_planted_pair(spark, tmp_path):
+    """Planted cointegrated pair: x random-walks deterministically,
+    y = 2x + alternating stationary noise — the levels regression
+    must recover beta near 2 and the residual DF must reject the
+    unit root hard (strongly negative t, cointegrated True). A full
+    pure-Python replica (both steps, same integer-milli residual
+    quantization) agrees to 1e-9."""
+    import datetime
+    import math
+
+    days = 30
+    x = []
+    lvl = 50
+    for t in range(days):
+        lvl += 7 if (t * 5) % 3 == 0 else -4  # deterministic walk
+        x.append(lvl)
+    y = [2 * x[t] + (3 if t % 2 == 0 else -3) for t in range(days)]
+    rows = []
+    eid = 0
+    for t in range(days):
+        ts = datetime.datetime(2024, 7, 1) + datetime.timedelta(days=t)
+        for _ in range(x[t]):
+            rows.append((eid, ts, 1, "click", 1.0, "{}"))
+            eid += 1
+        for _ in range(y[t]):
+            rows.append((eid, ts, 1, "purchase", 1.0, "{}"))
+            eid += 1
+    sf_dir = _write_events(spark, tmp_path, rows)
+    r = all_queries()["pipeline_cointegration"](spark, sf_dir).collect()[0]
+
+    n = days
+    sx, sy = sum(x), sum(y)
+    sxx = sum(v * v for v in x)
+    sxy = sum(a * b for a, b in zip(x, y))
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    u = [int(round((y[t] - a - b * x[t]) * 1000, 0)) for t in range(days)]
+    ul = u[:-1]
+    du = [q - p for p, q in zip(u, u[1:])]
+    auu = sum(v * v for v in ul)
+    bud = sum(p * q for p, q in zip(ul, du))
+    cdd = sum(v * v for v in du)
+    t_stat = bud * math.sqrt(len(ul) - 1) / math.sqrt(auu * cdd - bud * bud)
+    assert r["n_days"] == days
+    assert math.isclose(r["beta"], b, rel_tol=1e-12)
+    assert 1.9 < r["beta"] < 2.1
+    assert math.isclose(r["t_stat"], t_stat, rel_tol=1e-9)
+    assert r["t_stat"] < -3.37 and r["cointegrated"] is True

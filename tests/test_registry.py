@@ -325,6 +325,9 @@ ROUND_AUDITED = {
     "into decimal sums — the chi_square rule) + ulp (the two moment "
     "ratios pass 2^53 unscaled — 9 dp emission, JB computed FROM the "
     "rounded values) + libm (exp(−JB/2), the exact chi²(2) survival)",
+    "pipeline_cointegration": "op (round(u*1000) IS the residual "
+    "quantizer — one half-away round to integer millis on the shared "
+    "double tree; step-2 statistics are exact longs from there)",
 }
 
 
