@@ -3352,7 +3352,10 @@ def pipeline_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     after is distinct-value-bounded (pre-quantize continuous values
     at 100 TB — the _two_sample_value_cum note); weekday extraction
     is Spark weekday() ≡ DuckDB isodow−1 (the 1=Sunday trap dodged,
-    the anova precedent)."""
+    the anova precedent). Integer headroom: the tie-correction's
+    n³−n runs in Spark LONG vs DuckDB HUGEINT, so past n ≈ 2×10⁶
+    pooled events the Spark side needs the decimal(38,0) upgrade
+    (the wilcoxon 2n(n+1)(2n+1) note — same cliff, same knob)."""
     from osm_airflow_spark.bucketing import bucketed_running
 
     e = load_table(spark, sf_dir, "events")
@@ -6857,10 +6860,18 @@ def poisson_bootstrap_ci(
     floor(alpha/2·b)), hi = b+1−lo (200/0.05 → 5/196, the key's
     pinned values) — so changing ``b`` alone keeps the coverage
     level instead of silently yielding NULL bounds (the
-    n_replicas < hi_rank guard) or a wrong-level interval. Explicit
+    n_replicas < hi_rank guard) or a wrong-level interval. The floor
+    runs in EXACT RATIONALS (Fraction.limit_denominator recovers the
+    intended decimal alpha from its double) — ``int(alpha/2.0*b)``
+    would truncate one ulp below the true product (alpha=0.3, b=20:
+    0.15*20 = 2.9999999999999996 → 2, not 3 — the split_conformal
+    float-rank cliff, r12 review finding). Explicit
     ``lo_rank``/``hi_rank`` overrides are validated against ``b``."""
     if lo_rank is None:
-        lo_rank = max(1, int(alpha / 2.0 * b))
+        from fractions import Fraction
+
+        fa = Fraction(alpha).limit_denominator(1_000_000)
+        lo_rank = max(1, int(fa * b / 2))
     if hi_rank is None:
         hi_rank = b + 1 - lo_rank
     if not 1 <= lo_rank < hi_rank <= b:
@@ -7583,10 +7594,7 @@ def pipeline_open_orders_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pipeline_nelson_aalen",
-    oracle="""
-    WITH ranked AS (
+_SPELL_CTE = """ranked AS (
       SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
                                 ORDER BY o_orderdate, o_orderkey) AS rn,
@@ -7595,12 +7603,48 @@ def pipeline_open_orders_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     ),
     per_cust AS (
-      SELECT o_custkey,
+      SELECT o_custkey, CAST(o_custkey % 2 AS BIGINT) AS arm,
              MIN(CASE WHEN rn = 1 THEN od END) AS t1,
              MIN(CASE WHEN rn = 2 THEN od END) AS t2,
              MAX(cmax) AS cmax
       FROM ranked WHERE rn <= 2 GROUP BY o_custkey
-    ),
+    )"""
+
+
+def _reorder_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer time-to-reorder spell ingredients — first order
+    date t1, second order date t2 (NULL = censored), the customer's
+    own max order date cmax, and the parity arm — the shared
+    extraction behind pipeline_nelson_aalen / pipeline_logrank /
+    pipeline_weibull_fit (SQL twin: _SPELL_CTE; pipeline_survival_km
+    predates it and stays inline — driver-proven keys are not
+    churned). Checkpointed: every consumer feeds both a 1-row
+    globals aggregate and the spell pass (r12 review
+    consolidation)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wmax = Window.partitionBy("o_custkey")
+    ranked = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.row_number().over(wc).alias("rn"),
+        F.max(F.col("o_orderdate").cast("date")).over(wmax).alias("cmax"),
+    ).where(F.col("rn") <= 2)
+    return ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("od"))).alias("t1"),
+        F.min(F.when(F.col("rn") == 2, F.col("od"))).alias("t2"),
+        F.max("cmax").alias("cmax"),
+    ).withColumn(
+        "arm", (F.col("o_custkey") % 2).cast("long")
+    ).localCheckpoint(eager=True)
+
+
+@query(
+    "pipeline_nelson_aalen",
+    oracle=f"""
+    WITH {_SPELL_CTE},
     g AS (SELECT MAX(cmax) AS gmax, COUNT(*) AS total FROM per_cust),
     spells AS (
       SELECT CASE WHEN t2 IS NOT NULL THEN date_diff('day', t1, t2)
@@ -7672,24 +7716,9 @@ def pipeline_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative columns in one pass), globals ride a broadcast row.
     Cites reference README.md:70 ("amenable to efficient querying")
     -- lifecycle/churn readouts are that end state."""
-    from pyspark.sql import Window
-
     from osm_airflow_spark.bucketing import bucketed_running
 
-    o = load_table(spark, sf_dir, "orders")
-    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    wmax = Window.partitionBy("o_custkey")
-    ranked = o.select(
-        "o_custkey",
-        F.col("o_orderdate").cast("date").alias("od"),
-        F.row_number().over(wc).alias("rn"),
-        F.max(F.col("o_orderdate").cast("date")).over(wmax).alias("cmax"),
-    ).where(F.col("rn") <= 2)
-    per_cust = ranked.groupBy("o_custkey").agg(
-        F.min(F.when(F.col("rn") == 1, F.col("od"))).alias("t1"),
-        F.min(F.when(F.col("rn") == 2, F.col("od"))).alias("t2"),
-        F.max("cmax").alias("cmax"),
-    ).localCheckpoint(eager=True)  # feeds the 1-row globals AND spells
+    per_cust = _reorder_per_cust(spark, sf_dir)
     g = per_cust.agg(
         F.max("cmax").alias("gmax"), F.count(F.lit(1)).alias("total")
     )
@@ -7742,22 +7771,8 @@ def pipeline_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_logrank",
-    oracle="""
-    WITH ranked AS (
-      SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
-             ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                ORDER BY o_orderdate, o_orderkey) AS rn,
-             MAX(CAST(o_orderdate AS DATE))
-               OVER (PARTITION BY o_custkey) AS cmax
-      FROM orders
-    ),
-    per_cust AS (
-      SELECT o_custkey, CAST(o_custkey % 2 AS BIGINT) AS arm,
-             MIN(CASE WHEN rn = 1 THEN od END) AS t1,
-             MIN(CASE WHEN rn = 2 THEN od END) AS t2,
-             MAX(cmax) AS cmax
-      FROM ranked WHERE rn <= 2 GROUP BY o_custkey
-    ),
+    oracle=f"""
+    WITH {_SPELL_CTE},
     g AS (SELECT MAX(cmax) AS gmax,
                  CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
                    AS total1,
@@ -7857,26 +7872,9 @@ def pipeline_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-offset running pass carrying both arms' at-risk
     cumulatives, per-arm totals riding the broadcast globals row.
     Nothing scales past the distinct-spell-length table."""
-    from pyspark.sql import Window
-
     from osm_airflow_spark.bucketing import bucketed_running
 
-    o = load_table(spark, sf_dir, "orders")
-    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    wmax = Window.partitionBy("o_custkey")
-    ranked = o.select(
-        "o_custkey",
-        F.col("o_orderdate").cast("date").alias("od"),
-        F.row_number().over(wc).alias("rn"),
-        F.max(F.col("o_orderdate").cast("date")).over(wmax).alias("cmax"),
-    ).where(F.col("rn") <= 2)
-    per_cust = ranked.groupBy("o_custkey").agg(
-        F.min(F.when(F.col("rn") == 1, F.col("od"))).alias("t1"),
-        F.min(F.when(F.col("rn") == 2, F.col("od"))).alias("t2"),
-        F.max("cmax").alias("cmax"),
-    ).withColumn(
-        "arm", (F.col("o_custkey") % 2).cast("long")
-    ).localCheckpoint(eager=True)  # feeds the 1-row globals AND spells
+    per_cust = _reorder_per_cust(spark, sf_dir)
     g = per_cust.agg(
         F.max("cmax").alias("gmax"),
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
@@ -8094,18 +8092,7 @@ def pipeline_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-_FR_TW = ", ".join(
-    f"CAST(SUM(CASE WHEN wd = {k} THEN two_r ELSE 0 END) AS BIGINT)"
-    f" AS tw{k}"
-    for k in range(7)
-)
-_FR_SR2 = " + ".join(f"tw{k} * tw{k}" for k in range(7))
-
-
-@query(
-    "pipeline_friedman",
-    oracle=f"""
-    WITH daily AS (
+_WEEKDAY_BLOCK_CTE = """daily AS (
       SELECT CAST(o_orderdate AS DATE) AS day,
              SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
       FROM orders GROUP BY 1
@@ -8135,7 +8122,69 @@ _FR_SR2 = " + ".join(f"tw{k} * tw{k}" for k in range(7))
              2 * RANK() OVER (PARTITION BY blk ORDER BY rev)
                + COUNT(*) OVER (PARTITION BY blk, rev) - 1 AS two_r
       FROM complete
-    ),
+    )"""
+
+
+def _weekday_block_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubled within-week weekday midranks of daily revenue over
+    complete Monday-aligned weeks, zero-filled from a date spine —
+    the shared block machinery behind pipeline_friedman and
+    pipeline_page_trend (SQL twin: _WEEKDAY_BLOCK_CTE). Returns
+    (blk, wd, two_r); ranks are exact ints from two bounded
+    7-row-partition windows (r12 review consolidation)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+        .localCheckpoint(eager=True)  # feeds span AND the fill join
+    )
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        )
+    )
+    filled = spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce(F.col("rev"), F.lit(0).cast("decimal(28,2)")).alias("rev"),
+    )
+    monday0 = F.to_date(F.lit("1970-01-05"))
+    cells = filled.select(
+        F.floor(F.datediff("day", monday0) / 7).alias("blk"),
+        F.weekday("day").alias("wd"),
+        "rev",
+    )
+    wblk = Window.partitionBy("blk")
+    complete = cells.withColumn(
+        "n_in_blk", F.count(F.lit(1)).over(wblk)
+    ).where(F.col("n_in_blk") == 7)
+    wrank = Window.partitionBy("blk").orderBy("rev")
+    wpeer = Window.partitionBy("blk", "rev")
+    return complete.select(
+        "blk",
+        "wd",
+        (
+            2 * F.rank().over(wrank) + F.count(F.lit(1)).over(wpeer) - 1
+        ).alias("two_r"),
+    )
+
+
+_FR_TW = ", ".join(
+    f"CAST(SUM(CASE WHEN wd = {k} THEN two_r ELSE 0 END) AS BIGINT)"
+    f" AS tw{k}"
+    for k in range(7)
+)
+_FR_SR2 = " + ".join(f"tw{k} * tw{k}" for k in range(7))
+
+
+@query(
+    "pipeline_friedman",
+    oracle=f"""
+    WITH {_WEEKDAY_BLOCK_CTE},
     agg AS (
       SELECT {_FR_TW},
              CAST(SUM(two_r * two_r) AS BIGINT) AS den_all,
@@ -8192,45 +8241,7 @@ def pipeline_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one groupBy(day) pass (partial-agg friendly), then
     everything is calendar-bounded (days); the 7 rank sums ride one
     global aggregate row."""
-    from pyspark.sql import Window
-
-    o = load_table(spark, sf_dir, "orders")
-    daily = (
-        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
-        .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
-        )
-        .localCheckpoint(eager=True)  # feeds span AND the fill join
-    )
-    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    spine = span.select(
-        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(
-            "day"
-        )
-    )
-    filled = spine.join(daily, "day", "left").select(
-        "day",
-        F.coalesce(F.col("rev"), F.lit(0).cast("decimal(28,2)")).alias("rev"),
-    )
-    monday0 = F.to_date(F.lit("1970-01-05"))
-    cells = filled.select(
-        F.floor(F.datediff("day", monday0) / 7).alias("blk"),
-        F.weekday("day").alias("wd"),
-        "rev",
-    )
-    wblk = Window.partitionBy("blk")
-    complete = cells.withColumn(
-        "n_in_blk", F.count(F.lit(1)).over(wblk)
-    ).where(F.col("n_in_blk") == 7)
-    wrank = Window.partitionBy("blk").orderBy("rev")
-    wpeer = Window.partitionBy("blk", "rev")
-    rk = complete.select(
-        "blk",
-        "wd",
-        (
-            2 * F.rank().over(wrank) + F.count(F.lit(1)).over(wpeer) - 1
-        ).alias("two_r"),
-    )
+    rk = _weekday_block_ranks(spark, sf_dir)
     agg = rk.agg(
         *[
             F.sum(F.when(F.col("wd") == k, F.col("two_r")).otherwise(0))
@@ -8419,38 +8430,8 @@ def pipeline_holm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_page_trend",
-    oracle="""
-    WITH daily AS (
-      SELECT CAST(o_orderdate AS DATE) AS day,
-             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
-      FROM orders GROUP BY 1
-    ),
-    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
-    spine AS (
-      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
-      FROM span
-    ),
-    filled AS (
-      SELECT s.day, COALESCE(a.rev, CAST(0 AS DECIMAL(38,2))) AS rev
-      FROM spine s LEFT JOIN daily a ON a.day = s.day
-    ),
-    cells AS (
-      SELECT CAST(FLOOR(date_diff('day', DATE '1970-01-05', day) / 7)
-                  AS BIGINT) AS blk,
-             (EXTRACT(isodow FROM day) - 1) AS wd, rev
-      FROM filled
-    ),
-    complete AS (
-      SELECT * FROM (
-        SELECT *, COUNT(*) OVER (PARTITION BY blk) AS n_in_blk FROM cells
-      ) WHERE n_in_blk = 7
-    ),
-    rk AS (
-      SELECT blk, wd,
-             2 * RANK() OVER (PARTITION BY blk ORDER BY rev)
-               + COUNT(*) OVER (PARTITION BY blk, rev) - 1 AS two_r
-      FROM complete
-    ),
+    oracle=f"""
+    WITH {_WEEKDAY_BLOCK_CTE},
     agg AS (
       SELECT CAST(SUM((wd + 1) * two_r) AS BIGINT) AS two_l,
              CAST(COUNT(*) / 7 AS BIGINT) AS b
@@ -8492,44 +8473,7 @@ def pipeline_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one groupBy(day) pass, then calendar-bounded; the L sum
     rides one global aggregate row."""
-    from pyspark.sql import Window
-
-    o = load_table(spark, sf_dir, "orders")
-    daily = (
-        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
-        .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
-        )
-        .localCheckpoint(eager=True)  # feeds span AND the fill join
-    )
-    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    spine = span.select(
-        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(
-            "day"
-        )
-    )
-    filled = spine.join(daily, "day", "left").select(
-        "day",
-        F.coalesce(F.col("rev"), F.lit(0).cast("decimal(28,2)")).alias("rev"),
-    )
-    monday0 = F.to_date(F.lit("1970-01-05"))
-    cells = filled.select(
-        F.floor(F.datediff("day", monday0) / 7).alias("blk"),
-        F.weekday("day").alias("wd"),
-        "rev",
-    )
-    wblk = Window.partitionBy("blk")
-    complete = cells.withColumn(
-        "n_in_blk", F.count(F.lit(1)).over(wblk)
-    ).where(F.col("n_in_blk") == 7)
-    wrank = Window.partitionBy("blk").orderBy("rev")
-    wpeer = Window.partitionBy("blk", "rev")
-    rk = complete.select(
-        "wd",
-        (
-            2 * F.rank().over(wrank) + F.count(F.lit(1)).over(wpeer) - 1
-        ).alias("two_r"),
-    )
+    rk = _weekday_block_ranks(spark, sf_dir)
     agg = rk.agg(
         F.sum((F.col("wd") + 1) * F.col("two_r")).cast("long").alias("two_l"),
         (F.count(F.lit(1)) / 7).cast("long").alias("b"),
@@ -8807,6 +8751,44 @@ def pipeline_rdd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DAILY_XY_CTE = """daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1
+    ),
+    t0 AS (SELECT MIN(day) AS d0 FROM daily),
+    idx AS (
+      SELECT date_diff('day', d0, day) AS t, x, y FROM daily, t0
+    )"""
+
+
+def _daily_xy_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily click/purchase counts with a gap-aware integer day index
+    (t = days since min) — the shared series behind pipeline_granger
+    and pipeline_cointegration (SQL twin: _DAILY_XY_CTE). Checkpointed:
+    in both consumers multiple legs read it and this build never
+    reuses exchange subtrees."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.where(F.col("ts").isNotNull()).groupBy(
+        F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    t0 = daily.agg(F.min("day").alias("d0"))
+    return daily.crossJoin(F.broadcast(t0)).select(
+        F.datediff("day", "d0").alias("t"), "x", "y"
+    ).localCheckpoint(eager=True)
+
+
 _GRANGER_F_SQL = """
       CASE WHEN n >= 4 AND a_uu > 0
             AND CAST(a_uu AS DOUBLE) * a_vv
@@ -8837,19 +8819,7 @@ _GRANGER_F_SQL = """
 @query(
     "pipeline_granger",
     oracle=f"""
-    WITH daily AS (
-      SELECT CAST(ts AS DATE) AS day,
-             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS x,
-             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS y
-      FROM events WHERE ts IS NOT NULL
-      GROUP BY 1
-    ),
-    t0 AS (SELECT MIN(day) AS d0 FROM daily),
-    idx AS (
-      SELECT date_diff('day', d0, day) AS t, x, y FROM daily, t0
-    ),
+    WITH {_DAILY_XY_CTE},
     pairs AS (
       SELECT b.y AS w, b.x AS w2, a.y AS u, a.x AS v
       FROM idx a JOIN idx b ON b.t = a.t + 1
@@ -8917,21 +8887,7 @@ def pipeline_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     30-row lag self-join, then sufficient statistics all the way
     down — the whole test after the first aggregate is a 1-row
     broadcast computation."""
-    e = load_table(spark, sf_dir, "events")
-    daily = e.where(F.col("ts").isNotNull()).groupBy(
-        F.col("ts").cast("date").alias("day")
-    ).agg(
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
-        .cast("long")
-        .alias("x"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-        .cast("long")
-        .alias("y"),
-    )
-    t0 = daily.agg(F.min("day").alias("d0"))
-    idx = daily.crossJoin(F.broadcast(t0)).select(
-        F.datediff("day", "d0").alias("t"), "x", "y"
-    ).localCheckpoint(eager=True)  # dates-bounded; both join sides
+    idx = _daily_xy_idx(spark, sf_dir)  # dates-bounded; both join sides
     a = idx.select(
         F.col("t").alias("at"), F.col("y").alias("u"), F.col("x").alias("v")
     )
@@ -9135,19 +9091,8 @@ def pipeline_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_weibull_fit",
-    oracle="""
-    WITH ranked AS (
-      SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
-             ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                ORDER BY o_orderdate, o_orderkey) AS rn
-      FROM orders
-    ),
-    per_cust AS (
-      SELECT o_custkey,
-             MIN(CASE WHEN rn = 1 THEN od END) AS t1,
-             MIN(CASE WHEN rn = 2 THEN od END) AS t2
-      FROM ranked WHERE rn <= 2 GROUP BY o_custkey
-    ),
+    oracle=f"""
+    WITH {_SPELL_CTE},
     spells AS (
       SELECT date_diff('day', t1, t2) AS t
       FROM per_cust
@@ -9219,21 +9164,9 @@ def pipeline_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-customer bounded window, then everything is bounded
     by distinct spell lengths (calendar); the cumulative rank uses
     the bucket-offset pattern, no global window."""
-    from pyspark.sql import Window
-
     from osm_airflow_spark.bucketing import bucketed_running
 
-    o = load_table(spark, sf_dir, "orders")
-    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    ranked = o.select(
-        "o_custkey",
-        F.col("o_orderdate").cast("date").alias("od"),
-        F.row_number().over(wc).alias("rn"),
-    ).where(F.col("rn") <= 2)
-    per_cust = ranked.groupBy("o_custkey").agg(
-        F.min(F.when(F.col("rn") == 1, F.col("od"))).alias("t1"),
-        F.min(F.when(F.col("rn") == 2, F.col("od"))).alias("t2"),
-    )
+    per_cust = _reorder_per_cust(spark, sf_dir)
     spells = per_cust.where(
         F.col("t2").isNotNull() & (F.datediff("t2", "t1") >= 1)
     ).select(F.datediff("t2", "t1").alias("t"))
@@ -9491,18 +9424,8 @@ def pipeline_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_cointegration",
-    oracle="""
-    WITH daily AS (
-      SELECT CAST(ts AS DATE) AS day,
-             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS x,
-             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS y
-      FROM events WHERE ts IS NOT NULL
-      GROUP BY 1
-    ),
-    t0 AS (SELECT MIN(day) AS d0 FROM daily),
-    idx AS (SELECT date_diff('day', d0, day) AS t, x, y FROM daily, t0),
+    oracle=f"""
+    WITH {_DAILY_XY_CTE},
     s1 AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
@@ -9583,21 +9506,7 @@ def pipeline_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one events pass to the 30-row daily table
     (localCheckpoint'ed: the fit, the residual pass and both lag-join
     sides read it); everything after is control-plane."""
-    e = load_table(spark, sf_dir, "events")
-    daily = e.where(F.col("ts").isNotNull()).groupBy(
-        F.col("ts").cast("date").alias("day")
-    ).agg(
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
-        .cast("long")
-        .alias("x"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-        .cast("long")
-        .alias("y"),
-    )
-    t0 = daily.agg(F.min("day").alias("d0"))
-    idx = daily.crossJoin(F.broadcast(t0)).select(
-        F.datediff("day", "d0").alias("t"), "x", "y"
-    ).localCheckpoint(eager=True)  # fit + residual pass + lag join
+    idx = _daily_xy_idx(spark, sf_dir)  # fit + residual pass + lag join
     s1 = idx.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),

@@ -332,6 +332,11 @@ def sprt_monitor_stream(daily: DataFrame) -> DataFrame:
     (event_type, day string, s long, f long) and a day must not
     straddle micro-batches.
 
+    State-schema note: the r12 day_seen field makes SPRT_STATE v2 —
+    a query restarted against a pre-r12 checkpoint fails Spark's
+    state-store schema validation; restart from a fresh checkpoint
+    (the standard applyInPandasWithState migration contract).
+
     Scale: one shuffle per micro-batch on event_type, O(types) state,
     unbounded stream length — the 100 TB-stream form of the batch
     key's calendar-bounded window walk."""
@@ -419,8 +424,13 @@ def page_hinkley_stream(daily: DataFrame) -> DataFrame:
 
     Arithmetic is token-identical to the batch key: exact integer
     micros, the one rational mean_i = s/i evaluated as the SAME IEEE
-    double division then rounded half-away-from-zero to integer
-    micros — so stream/batch parity is exact, not tolerance-based.
+    double division then rounded with Spark's exact F.round
+    semantics — HALF_UP on the SHORTEST DECIMAL REPR of the quotient
+    (Decimal(repr(q)); a floor(q+0.5) shortcut is NOT equivalent:
+    q = 0.49999999999999994 floors to 1 because q+0.5 rounds up
+    across the binade, while both batch engines emit 0 — the classic
+    Math.round defect, r12 review finding) — so stream/batch parity
+    is exact, not tolerance-based.
     Alignment contract as sprt_monitor_stream: rows are DAILY
     aggregates (event_type, day string, xm long micros), a day must
     not straddle micro-batches, and days must arrive ascending —
@@ -428,9 +438,23 @@ def page_hinkley_stream(daily: DataFrame) -> DataFrame:
     idempotence; a drift walk is order-defined, so a late earlier
     day cannot be retrofitted — that is the batch key's job).
 
+    State-schema note: PH_STATE is v1; as with any
+    applyInPandasWithState operator, changing the state struct
+    requires a fresh checkpoint (Spark's state store validates the
+    schema on restart).
+
     Scale: one shuffle per micro-batch on event_type, O(types)
     state, unbounded stream length."""
-    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round_like_spark(q: float) -> int:
+        # Spark F.round(double, 0) = BigDecimal.valueOf(q) (shortest
+        # decimal repr) + HALF_UP; decimal.ROUND_HALF_UP is half-away
+        # for negatives too, matching Spark/DuckDB on every quotient
+        # the batch key can produce.
+        return int(
+            Decimal(repr(q)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
 
     def update(
         key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
@@ -451,7 +475,7 @@ def page_hinkley_stream(daily: DataFrame) -> DataFrame:
             t += 1
             s += int(r["xm"])
             q = s / t  # the engines' double division, exactly
-            mean = math.floor(q + 0.5) if q >= 0 else math.ceil(q - 0.5)
+            mean = _round_like_spark(q)
             m += int(r["xm"]) - mean
             rmin = m if t == 1 else min(rmin, m)
             ph = m - rmin

@@ -1783,6 +1783,8 @@ def test_page_hinkley_planted_shift(spark, tmp_path):
     }
 
     def replica(vals):
+        from decimal import ROUND_HALF_UP, Decimal
+
         t = s = m = 0
         rmin = None
         ph_max, peak = -1, None
@@ -1790,7 +1792,13 @@ def test_page_hinkley_planted_shift(spark, tmp_path):
             t += 1
             s += int(round(v, 6) * 1_000_000)
             q = s / t
-            mean = math.floor(q + 0.5) if q >= 0 else math.ceil(q - 0.5)
+            # Spark's F.round semantics (shortest-repr HALF_UP), NOT
+            # floor(q+0.5) — the r12 review's Math.round-defect case
+            mean = int(
+                Decimal(repr(q)).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_UP
+                )
+            )
             m += int(round(v, 6) * 1_000_000) - mean
             rmin = m if rmin is None else min(rmin, m)
             ph = m - rmin
