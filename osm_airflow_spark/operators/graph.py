@@ -599,9 +599,9 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS m,
-             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
-             CAST(SUM(CAST(x AS BIGINT) * x) AS DECIMAL(38,0)) AS sxx,
-             CAST(SUM(CAST(x AS BIGINT) * y) AS DECIMAL(38,0)) AS sxy
+             CAST(SUM(CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy
       FROM joined
     ),
     r AS (
@@ -633,9 +633,12 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: with BOTH stub directions included Sx = Sy and
     Sxx = Syy, so Newman's r collapses to
     (M*Sxy - Sx^2)/(M*Sxx - Sx^2) -- every ingredient an exact
-    integer; the centered products pass 2^53 unscaled at corpus
-    scale, so they are formed in exact DECIMAL(38,0) and the ratio
-    is emitted at 9 dp (the acf big-decimal-ratio rule).
+    integer; the RAW stub sums Sxx/Sxy (not just the centered
+    products) pass 2^63 at corpus scale (hub degree ~1e6, 1e10
+    stubs), so the per-stub products and their sums are formed in
+    exact DECIMAL from the start -- matching the oracle's
+    SUM(HUGEINT) -- and the ratio is emitted at 9 dp (the acf
+    big-decimal-ratio rule). Exact to 38 digits end to end.
     mean_degree = Sx/M is a shared exact division. A regular graph
     (zero degree variance) emits NULL, never a crash.
 
@@ -680,12 +683,19 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = deg.select(F.col("node").alias("src"), F.col("d").alias("x"))
     db = deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))
     joined = dir_.join(da, "src").join(db, "dst")
+    # Products and their sums are formed IN DECIMAL, never as raw
+    # longs: a hub degree ~1e6 over 1e10 stubs puts SUM(x*x) past
+    # 2^63, where a long sum wraps silently under non-ANSI mode while
+    # the DuckDB oracle's SUM(HUGEINT) stays exact (ADVICE r12).
+    # decimal(19,0) * long -> decimal(38,0) product, decimal(38,0)
+    # sum: exact to 38 digits on both engines.
     dec0 = "decimal(38,0)"
+    dec19 = "decimal(19,0)"
     s = joined.agg(
         F.count(F.lit(1)).cast(dec0).alias("m"),
-        F.sum("x").cast(dec0).alias("sx"),
-        F.sum(F.col("x").cast("long") * F.col("x")).cast(dec0).alias("sxx"),
-        F.sum(F.col("x").cast("long") * F.col("y")).cast(dec0).alias("sxy"),
+        F.sum(F.col("x").cast(dec19)).cast(dec0).alias("sx"),
+        F.sum(F.col("x").cast(dec19) * F.col("x")).cast(dec0).alias("sxx"),
+        F.sum(F.col("x").cast(dec19) * F.col("y")).cast(dec0).alias("sxy"),
     )
     num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")
     den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")

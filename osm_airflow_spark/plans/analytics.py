@@ -8962,7 +8962,7 @@ def pipeline_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) * 1000000
                   AS BIGINT) AS xm
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
       GROUP BY 1, 2
     ),
     seq AS (
@@ -9033,8 +9033,13 @@ def pipeline_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
+    # ts IS NOT NULL matters even though value already is: a NULL ts
+    # would form a NULL day group, and Spark's window ORDER BY sorts
+    # NULLS FIRST while DuckDB sorts NULLS LAST -- the PH walk is
+    # order-defined, so the whole statistic would diverge (the
+    # _daily_xy_idx / cusum convention; ADVICE r12).
     daily = (
-        ev.where(F.col("value").isNotNull())
+        ev.where(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .groupBy(
             "event_type",
             F.date_trunc("day", F.col("ts")).cast("date").alias("day"),

@@ -153,72 +153,73 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ``tests/test_registry.py`` pins the exact list so adding a key can
 # never reshuffle the window unreviewed.
 #
-# Round-12 window: per VERDICT r11 next-round #1 ("rotate the driver
-# window onto the ~37 r6-era relational-core keys ... the highest-
-# leverage item"), the ENTIRE remaining r6-proof-era cohort (49 keys,
-# registration order — this retires the r6 proof generation; after
-# r12 no key's newest driver proof predates r7), plus the oldest
-# SQL-oracled r7-era key (agg_cube) to fill the 50. This round the
-# judge's explicit ask outranks the usual "never-checked beats
-# re-proof" doctrine: keys ADDED in round 12 take the r13 window's
-# head instead, and are proven locally by tools/check.py --matrix in
-# the meantime. Staleness computed from CORRECTNESS_r01-r11 (newest
+# Round-13 window: per VERDICT r12 next-round #1 and #3. Head: ALL 24
+# keys with no driver-side evidence in any CORRECTNESS_r* (the r12
+# statistics/graph/eval/osm additions). Tail: 26 of the 31 SURVEY §2
+# keys whose newest driver proof is r7 (the 5-round-stale cohort).
+# Five §2-r7 keys do not fit the 50-slot window and are scheduled to
+# LEAD the r14 window instead: agg_approx_distinct and udf_grouped_map
+# (both rows-only — a driver re-check repeats the weaker rows>0 check
+# the r7 record already holds, lowest incremental evidence), plus
+# project_columns / project_map_promote / project_computed (narrowest
+# plans of the cohort; covered by the local --matrix triple-SF gate in
+# the meantime). Staleness computed from CORRECTNESS_r01-r12 (newest
 # proof round per key).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- staleness re-checks: the ENTIRE r6-proof-era cohort (49) --
-    "agg_global",
-    "agg_collect_ordered",
-    "agg_count_distinct",
-    "agg_rollup",
-    "agg_conditional",
-    "agg_pivot",
-    "agg_percentile",
-    "agg_stats_moments",
-    "agg_corr_exact",
-    "graph_connected_components",
-    "graph_shortest_path",
-    "join_inner",
-    "join_broadcast",
-    "join_left",
-    "join_multiway",
-    "join_semi",
-    "join_anti",
-    "join_asof",
-    "join_full_outer",
-    "filter_predicate",
-    "set_except_all",
-    "win_moving_avg",
-    "win_topk_group",
-    "win_first_last",
-    "win_cume_dist",
-    "win_ewma",
-    "fn_encoding",
-    "fn_url_parse",
-    "llm_ngram_topk",
-    "llm_sample_balanced",
-    "llm_bpe_train",
-    "llm_bpe_encode",
-    "llm_preference_pairs",
-    "mm_frame_sample",
-    "mm_audio_rms",
-    "mm_image_resize",
-    "pipeline_bom_rollup",
-    "pipeline_value_anomalies",
-    "pipeline_gini",
-    "pipeline_cohort_ltv",
-    "pipeline_value_anomalies_mad",
-    "pipeline_revenue_trend_forecast",
-    "pipeline_ab_test",
-    "pipeline_seasonal_index",
-    "pipeline_event_transitions",
-    "osm_super_relation_rollup",
-    "osm_tag_frequency",
-    "osm_polygon_centroid",
-    "osm_nearest_way_segment",
-    # -- staleness re-checks: the oldest SQL-oracled r7-era key (1) --
-    "agg_cube",
+    # -- never driver-checked: the 24 r12 additions --
+    "graph_jaccard",
+    "graph_assortativity",
+    "win_rolling_slope",
+    "llm_readability",
+    "llm_eval_chrf",
+    "pipeline_two_proportion_z",
+    "pipeline_kruskal_wallis",
+    "pipeline_ljung_box",
+    "pipeline_price_elasticity",
+    "pipeline_nelson_aalen",
+    "pipeline_logrank",
+    "pipeline_wilcoxon_signed_rank",
+    "pipeline_friedman",
+    "pipeline_holm",
+    "pipeline_page_trend",
+    "pipeline_dickey_fuller",
+    "pipeline_rdd",
+    "pipeline_granger",
+    "pipeline_page_hinkley",
+    "pipeline_weibull_fit",
+    "pipeline_srm",
+    "pipeline_jarque_bera",
+    "pipeline_cointegration",
+    "osm_bearing_rose",
+    # -- staleness re-checks: 26 of the 31 §2 keys last proved r7 --
+    "filter_compound",
+    "join_theta",
+    "join_range",
+    "join_cross",
+    "agg_grouping_sets",
+    "win_ntile",
+    "sort_global",
+    "sort_topk",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_drop_duplicates",
+    "fn_string",
+    "fn_regex",
+    "fn_math",
+    "fn_conditional",
+    "fn_map_json",
+    "fn_array_explode",
+    "fn_json",
+    "fn_hash",
+    "fn_geo_distance",
+    "fn_geo_bbox",
+    "udf_scalar",
+    "udf_pandas",
+    "udf_grouped_agg",
 ]
 
 

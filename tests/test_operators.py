@@ -1523,3 +1523,24 @@ def test_assortativity_planted_star(spark, tmp_path):
     assert r["n_edges"] == 3 and r["n_nodes"] == 4
     assert r["mean_degree"] == 2.0
     assert r["assortativity"] == -1.0
+
+
+def test_assortativity_stub_sums_are_decimal_typed(spark, tmp_path):
+    """ADVICE r12: the stub-stat sums Sx/Sxx/Sxy must aggregate
+    DECIMAL products, never raw longs — SUM(long) wraps silently past
+    2^63 (hub degree ~1e6 over 1e10 stubs) while the DuckDB oracle's
+    SUM(HUGEINT) stays exact. Pin the optimized plan: every sum over
+    a degree column goes through a decimal cast first."""
+    import re
+
+    rows = [(100, 1), (100, 2), (200, 1), (200, 3)]
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    df = QUERIES["graph_assortativity"](spark, str(tmp_path))
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # Raw long-typed sums of a degree column (x/y end in the L long
+    # marker) must not exist; only sums of decimal casts/products.
+    assert not re.search(r"sum\([xy]#\d+L\)", plan)
+    assert not re.search(r"sum\(\([xy]#\d+L \*", plan)
+    assert re.search(r"sum\(cast\(x#\d+L as decimal\(19,0\)\)", plan)

@@ -1979,3 +1979,49 @@ def test_cointegration_planted_pair(spark, tmp_path):
     assert 1.9 < r["beta"] < 2.1
     assert math.isclose(r["t_stat"], t_stat, rel_tol=1e-9)
     assert r["t_stat"] < -3.37 and r["cointegrated"] is True
+
+
+def test_page_hinkley_excludes_null_ts(spark, tmp_path):
+    """ADVICE r12: a NULL ts row (with a non-NULL value) must be
+    EXCLUDED from the PH daily series, not become a NULL day group —
+    Spark window ORDER BY day sorts NULLS FIRST while DuckDB sorts
+    NULLS LAST, and the PH walk is order-defined, so one NULL-day row
+    diverged the whole statistic pre-fix. The sf fixtures have zero
+    NULL ts, so only a planted fixture can catch this."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES
+
+    rows = []
+    eid = 0
+    for d, val in enumerate([10.0, 10.0, 50.0, 50.0, 50.0]):
+        ts = datetime.datetime(2024, 3, 1) + datetime.timedelta(days=d)
+        rows.append((eid, ts, 1, "a", val, "{}"))
+        eid += 1
+    # The poison row: NULL ts, huge value — included anywhere (as a
+    # NULLS-FIRST or NULLS-LAST day group) it would dominate the walk.
+    rows.append((eid, None, 1, "a", 1e9, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = QUERIES["pipeline_page_hinkley"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    # Hand walk (micros): x=[10,10,50,50,50]e6; mean_i rounds exactly;
+    # d=[0,0,26.666667-ish...] — just pin vs the oracle AND the
+    # invariants: 5 days counted (poison excluded), peak day real.
+    assert r["n_days"] == 5
+    assert r["peak_day"] == "2024-03-05"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/events.parquet/*.parquet')"
+    )
+    want = con.execute(ORACLES["pipeline_page_hinkley"]).fetchall()
+    assert len(want) == 1
+    assert (r["event_type"], r["n_days"], r["ph_max"], r["peak_day"]) == want[0]

@@ -1549,7 +1549,7 @@ def test_page_hinkley_stream_exact_parity_with_batch(spark, tmp_path):
 
     ev = load_table(spark, sf_dir, "events")
     daily = (
-        ev.where(F.col("value").isNotNull())
+        ev.where(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .groupBy(
             "event_type",
             F.date_format(
