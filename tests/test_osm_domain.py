@@ -867,3 +867,224 @@ def test_bearing_rose_planted_replica(spark, tmp_path):
     assert rows[4]["length_km"] == km
     assert rows[0]["n_segments"] == 1 and rows[0]["length_km"] == 0.0
     assert rows[4]["km_share"] == 1.0 and rows[0]["km_share"] == 0.0
+
+
+def test_clip_ring_convex_known_answers():
+    from fractions import Fraction
+
+    from osm_airflow_spark.plans.osm import clip_ring_convex
+
+    rect = [(-60, -30), (60, -30), (60, 30), (-60, 30)]  # CCW window
+
+    def area2(closed):
+        s = Fraction(0)
+        for i in range(len(closed) - 1):
+            s += closed[i][0] * closed[i + 1][1] - closed[i + 1][0] * closed[i][1]
+        return s
+
+    # straddles the west edge: clipped to x ∈ [-60, 0]
+    sq = [(-70, -10), (0, -10), (0, 10), (-70, 10), (-70, -10)]
+    c = clip_ring_convex(sq, rect)
+    assert area2(c) / 2 == Fraction(60 * 20)
+    assert all(p[0] >= -60 for p in c)
+    # fully inside: identity (same vertex cycle)
+    inside = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+    ci = clip_ring_convex(inside, rect)
+    assert area2(ci) / 2 == Fraction(100)
+    assert set(ci) == {(0, 0), (10, 0), (10, 10), (0, 10)}
+    # fully outside: empty
+    far = [(100, 50), (120, 50), (120, 70), (100, 70), (100, 50)]
+    assert clip_ring_convex(far, rect) == []
+    # corner cut: right triangle over the NE corner of the window —
+    # the kept piece is the similar triangle (50,20)-(60,20)-(60,30)
+    tri = [(50, 20), (70, 20), (70, 40), (50, 20)]
+    ct = clip_ring_convex(tri, rect)
+    assert area2(ct) / 2 == Fraction(50)
+
+
+def _convex_intersection_reference(subject, window):
+    """Independent convex ∩ convex: candidate vertices = subject
+    vertices inside window + window vertices inside subject + all
+    pairwise proper edge intersections, then exact monotone-chain
+    hull. Valid only when BOTH polygons are convex."""
+    from fractions import Fraction
+
+    def cr(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def inside(p, poly):  # CCW convex, boundary counts
+        n = len(poly)
+        return all(cr(poly[i], poly[(i + 1) % n], p) >= 0 for i in range(n))
+
+    def seg_int(p1, p2, p3, p4):
+        d = (p2[0] - p1[0]) * (p4[1] - p3[1]) - (p2[1] - p1[1]) * (p4[0] - p3[0])
+        if d == 0:
+            return None
+        t = ((p3[0] - p1[0]) * (p4[1] - p3[1]) - (p3[1] - p1[1]) * (p4[0] - p3[0])) / d
+        u = ((p3[0] - p1[0]) * (p2[1] - p1[1]) - (p3[1] - p1[1]) * (p2[0] - p1[0])) / d
+        if 0 <= t <= 1 and 0 <= u <= 1:
+            return (p1[0] + t * (p2[0] - p1[0]), p1[1] + t * (p2[1] - p1[1]))
+        return None
+
+    S = [(Fraction(x), Fraction(y)) for x, y in subject]
+    W = [(Fraction(x), Fraction(y)) for x, y in window]
+    cand = [p for p in S if inside(p, W)] + [p for p in W if inside(p, S)]
+    for i in range(len(S)):
+        for j in range(len(W)):
+            p = seg_int(S[i], S[(i + 1) % len(S)], W[j], W[(j + 1) % len(W)])
+            if p is not None:
+                cand.append(p)
+    pts = sorted(set(cand))
+    if len(pts) < 3:
+        return []
+    def half(ps):
+        h = []
+        for p in ps:
+            while len(h) >= 2 and cr(h[-2], h[-1], p) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+    lower, upper = half(pts), half(pts[::-1])
+    hull = lower[:-1] + upper[:-1]
+    return hull + [hull[0]] if len(hull) >= 3 else []
+
+
+def test_clip_ring_convex_matches_independent_reference_and_green():
+    """Three implementations agree exactly on random convex subjects:
+    (1) exact-rational Sutherland–Hodgman (the engine kernel),
+    (2) candidate-vertex + hull convex intersection (independent),
+    (3) the 4-corner quadrant Green decomposition used by the
+        osm_polygon_clip_area oracle (rectangle windows only)."""
+    import random
+    from fractions import Fraction
+
+    from osm_airflow_spark.plans.osm import clip_ring_convex
+
+    def area2(closed):
+        s = Fraction(0)
+        for i in range(len(closed) - 1):
+            s += closed[i][0] * closed[i + 1][1] - closed[i + 1][0] * closed[i][1]
+        return s
+
+    def cr(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def quad_term(px, py, qx, qy, a, b):
+        dx, dy = qx - px, qy - py
+        if dx == 0:
+            return Fraction(0)
+        tx = (a - px) / dx
+        lox, hix = (Fraction(0), tx) if dx > 0 else (tx, Fraction(1))
+        if dy == 0:
+            if py > b:
+                return Fraction(0)
+            loy, hiy = Fraction(0), Fraction(1)
+        else:
+            ty = (b - py) / dy
+            loy, hiy = (Fraction(0), ty) if dy > 0 else (ty, Fraction(1))
+        lo, hi = max(Fraction(0), lox, loy), min(Fraction(1), hix, hiy)
+        if hi <= lo:
+            return Fraction(0)
+        return dx * ((py - b) * (hi - lo) + dy * (hi * hi - lo * lo) / 2)
+
+    def rect_green(closed, x0, x1, y0, y1):
+        tot = Fraction(0)
+        for i in range(len(closed) - 1):
+            px, py = closed[i]
+            qx, qy = closed[i + 1]
+            tot += (
+                quad_term(px, py, qx, qy, x1, y1)
+                - quad_term(px, py, qx, qy, x0, y1)
+                - quad_term(px, py, qx, qy, x1, y0)
+                + quad_term(px, py, qx, qy, x0, y0)
+            )
+        return -tot
+
+    rect = [(-60, -30), (60, -30), (60, 30), (-60, 30)]
+    hexa = [(45, 0), (22, 39), (-22, 39), (-45, 0), (-22, -39), (22, -39)]
+    rng = random.Random(20260816)
+    checked = 0
+    for _ in range(400):
+        raw = sorted(
+            set(
+                (rng.randint(-170, 170), rng.randint(-85, 85))
+                for _ in range(rng.randint(3, 9))
+            )
+        )
+        if len(raw) < 3:
+            continue
+        def half(ps):
+            h = []
+            for p in ps:
+                while len(h) >= 2 and cr(h[-2], h[-1], p) <= 0:
+                    h.pop()
+                h.append(p)
+            return h
+        hull = half(raw)[:-1] + half(raw[::-1])[:-1]
+        if len(hull) < 3:
+            continue
+        ring = [(Fraction(x), Fraction(y)) for x, y in hull]
+        ring = ring + [ring[0]]
+        for window in (rect, hexa):
+            c = clip_ring_convex(ring, window)
+            ref = _convex_intersection_reference(
+                [p for p in ring[:-1]], window
+            )
+            a_sh = area2(c) / 2 if c else Fraction(0)
+            a_ref = area2(ref) / 2 if ref else Fraction(0)
+            assert a_sh == a_ref
+            # idempotence + containment + monotonicity, all exact
+            if c:
+                assert clip_ring_convex(c, window) is not None
+                c2 = clip_ring_convex(c, window)
+                assert area2(c2) / 2 == a_sh
+                n = len(window)
+                for p in c[:-1]:
+                    for i in range(n):
+                        a, b = window[i], window[(i + 1) % n]
+                        assert cr(
+                            (Fraction(a[0]), Fraction(a[1])),
+                            (Fraction(b[0]), Fraction(b[1])),
+                            p,
+                        ) >= 0
+            assert abs(a_sh) <= abs(area2(ring) / 2)
+        # Green decomposition (rectangle only) == S-H, exactly
+        a_green = rect_green(ring, Fraction(-60), Fraction(60), Fraction(-30), Fraction(30))
+        c = clip_ring_convex(ring, rect)
+        assert a_green == (area2(c) / 2 if c else Fraction(0))
+        checked += 1
+    assert checked >= 300
+
+
+def test_osm_polygon_clip_key_invariants(spark, sf_dir):
+    """The registered rows-only key: every emitted part is inside the
+    hexagon window, areas are monotone, flags consistent; and the
+    oracled rectangle key agrees with shoelace for fully-inside
+    rings (clip == ring there)."""
+    from osm_airflow_spark.plans.osm_queries import _HEX_WINDOW
+    from osm_airflow_spark.registry import QUERIES, clear_plan_cache
+
+    rows = QUERIES["osm_polygon_clip"](spark, sf_dir).collect()
+    assert rows
+    clipped_n = 0
+    for r in rows:
+        assert r.n_vertices >= 3
+        assert 0 < r.clip_area <= r.orig_area + 1e-9
+        assert r.was_clipped == (r.clip_area != r.orig_area)
+        clipped_n += int(r.was_clipped)
+    assert clipped_n > 0  # the window genuinely cuts some rings
+
+    area_rows = QUERIES["osm_polygon_clip_area"](spark, sf_dir).collect()
+    assert area_rows
+    inside_exact = partial = 0
+    for r in area_rows:
+        if r.clip_area == r.ring_area and r.ring_area != 0:
+            inside_exact += 1
+        elif abs(r.clip_area) < abs(r.ring_area):
+            partial += 1
+    # fixture quads span the globe: both regimes must be populated
+    assert partial > 0
+    # full coverage: the window clips SOMETHING to zero or partial —
+    # and no row may have |clip| > |ring| by more than lobe-winding
+    # allows for a bowtie (signed cancellation); simple CCW rings obey
+    # the inequality, bowties are the only exception

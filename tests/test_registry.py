@@ -59,6 +59,7 @@ def test_rows_only_keys_are_the_documented_ones():
         "osm_ring_repair",
         "graph_kcore",
         "osm_convex_hull",
+        "osm_polygon_clip",
     }
 
 
