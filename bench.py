@@ -109,6 +109,94 @@ def _calibrate_py(reps: int = 200_000) -> float:
     return round(time.time() - t0, 3)
 
 
+def _partitioned_pass(spark, sf_dir: str) -> dict:
+    """Partition-pruning rehearsal on a REAL multi-file layout
+    (VERDICT r12 #5): every fixture is a single parquet file, so
+    until now partition pruning was proven by plan text only. Write
+    a dated-partitioned copy of lineitem (ship month) and events
+    (event date) once per run, then time a date-predicate aggregate
+    over each and record how many files the scan actually READ
+    (runtime ``numFiles`` metric — ``inputFiles()`` reports the
+    pre-pruning FileIndex and would show nothing). The skip ratio is
+    the number that transfers to a 100 TB dated lake: a 3-month
+    query over 83 ship months must touch ~3/83 of the files."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.io import load_table
+
+    base = tempfile.mkdtemp(prefix="bench_partitioned_")
+    out: dict = {}
+    try:
+        t0 = time.time()
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM"))
+            .write.partitionBy("ship_month")
+            .mode("overwrite")
+            .parquet(base + "/lineitem")
+        )
+        (
+            load_table(spark, sf_dir, "events")
+            .withColumn("event_date", F.to_date("ts"))
+            .write.partitionBy("event_date")
+            .mode("overwrite")
+            .parquet(base + "/events")
+        )
+        out["write_sec"] = round(time.time() - t0, 3)
+
+        cases = {
+            "lineitem_3mo": (
+                base + "/lineitem",
+                F.col("ship_month").between("1996-01", "1996-03"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+            ),
+            "events_7d": (
+                base + "/events",
+                F.col("event_date").between("2024-01-08", "2024-01-14"),
+                F.count(F.lit(1)),
+            ),
+        }
+        for name, (path, pred, agg) in cases.items():
+            reps = []
+            for _ in range(3):
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.time()
+                spark.read.parquet(path).where(pred).agg(agg.alias("v")).collect()
+                reps.append(round(time.time() - t0, 3))
+            # numFiles comes off a plain filtered scan: under AQE the
+            # agg plan's leaves are query stages, not the file scan
+            # .collect() on the probe itself: .count() would build a
+            # separate agg execution and leave the probe's own metrics
+            # at zero (measured: numFiles == 0)
+            probe = spark.read.parquet(path).where(pred).select(F.lit(1))
+            probe.collect()
+            scan = (
+                probe._jdf.queryExecution()
+                .executedPlan()
+                .collectLeaves()
+                .apply(0)
+            )
+            files_read = int(scan.metrics().apply("numFiles").value())
+            files_total = len(spark.read.parquet(path).inputFiles())
+            reps.sort()
+            out[name] = {
+                "sec": reps[len(reps) // 2],
+                "files_read": files_read,
+                "files_total": files_total,
+                "skip_ratio": round(1 - files_read / files_total, 3),
+            }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -169,6 +257,7 @@ def main() -> None:
         fn(spark, sf_dir).count()
         cached[key] = round(time.time() - t0, 3)
     cached_total = round(sum(cached.values()), 3)
+    partitioned = _partitioned_pass(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -188,6 +277,7 @@ def main() -> None:
                 "calib_py_s": calib_py_s,
                 "cached_total": cached_total,
                 "cached": cached,
+                "partitioned": partitioned,
             }
         )
     )
