@@ -232,6 +232,16 @@ RUNNING_DISTINCT_STATE = T.StructType(
     [T.StructField("seen_types", T.ArrayType(T.StringType()))]
 )
 
+# the late_delay_seconds variant: + per-user high-water mark (µs).
+# A DIFFERENT state schema ⇒ a different checkpoint lineage — turning
+# the guard on is a new query, not a restart (the v2 restart contract)
+RUNNING_DISTINCT_STATE_GUARDED = T.StructType(
+    [
+        T.StructField("seen_types", T.ArrayType(T.StringType())),
+        T.StructField("hi_us", T.LongType()),
+    ]
+)
+
 RUNNING_DISTINCT_OUTPUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
@@ -241,7 +251,9 @@ RUNNING_DISTINCT_OUTPUT = T.StructType(
 )
 
 
-def running_distinct_stream(events: DataFrame) -> DataFrame:
+def running_distinct_stream(
+    events: DataFrame, late_delay_seconds: int | None = None
+) -> DataFrame:
     """Streaming twin of the batch key ``win_running_distinct`` (r9):
     per-user running count of distinct event types, maintained
     INCREMENTALLY via ``applyInPandasWithState`` — the batch key
@@ -257,22 +269,44 @@ def running_distinct_stream(events: DataFrame) -> DataFrame:
     micro-batch are ordered by (ts, event_id) before updating, so
     parity with the batch window is EXACT (integer counts, no
     floats) as long as a user's events do not arrive out of order
-    ACROSS micro-batches — the parity test feeds time-chunked files;
-    production puts the watermarked sort upstream."""
+    ACROSS micro-batches — the parity test feeds time-chunked files.
+
+    ``late_delay_seconds`` is the INLINE late-row guard (r13): the
+    engine never filters late input into applyInPandasWithState (an
+    upstream withWatermark is inert here — measured, pinned in
+    tests/test_streaming.py) and Spark forbids chaining a second
+    stateful operator like ``late_row_filter`` in the same query, so
+    eviction has to live inside the update function. When set, state
+    gains a per-user high-water mark (max event time of PREVIOUS
+    batches — the engine watermark's batch-delayed semantics) and
+    rows more than the delay behind it are dropped before they can
+    touch the seen-set. Default None keeps the r9 state schema
+    byte-identical (existing checkpoints restart cleanly)."""
+    guarded = late_delay_seconds is not None
 
     def update(
         key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        seen = set(state.get[0]) if state.exists else set()
+        if state.exists:
+            seen = set(state.get[0])
+            hi_us = state.get[1] if guarded else None
+        else:
+            seen, hi_us = set(), None
         rows = pd.concat(list(batches), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"])
+        ts_us = rows["ts"].astype("int64") // 1000  # ns → µs
+        if guarded:
+            if hi_us is not None:
+                rows = rows[ts_us >= hi_us - late_delay_seconds * 1_000_000]
+            new_hi = int(ts_us.max())
+            hi_us = new_hi if hi_us is None else max(hi_us, new_hi)
         out_ids, out_counts = [], []
         for _, r in rows.iterrows():
             seen.add(str(r["event_type"]))
             out_ids.append(int(r["event_id"]))
             out_counts.append(len(seen))
-        state.update((sorted(seen),))
+        state.update((sorted(seen), hi_us) if guarded else (sorted(seen),))
         yield pd.DataFrame(
             {
                 "user_id": [int(user_id)] * len(out_ids),
@@ -284,7 +318,72 @@ def running_distinct_stream(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=RUNNING_DISTINCT_OUTPUT,
-        stateStructType=RUNNING_DISTINCT_STATE,
+        stateStructType=(
+            RUNNING_DISTINCT_STATE_GUARDED if guarded else RUNNING_DISTINCT_STATE
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- operator-side late-row eviction ---------------------------------
+
+def late_row_filter(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    delay_seconds: int = 3600,
+) -> DataFrame:
+    """Watermark-style late-row eviction for CUSTOM stateful pipelines.
+
+    Measured (r13, pinned in tests/test_streaming.py): this Spark
+    build never filters late input to ``applyInPandasWithState`` —
+    an upstream ``withWatermark`` plus either NoTimeout or
+    EventTimeTimeout still delivers rows older than the advanced
+    watermark to the state function. That matches Spark's documented
+    contract (automatic late filtering covers aggregations / dedup /
+    stream-stream joins; arbitrary stateful ops must guard
+    themselves), so the engine provides the guard as an OPERATOR:
+    per-key state is one high-water mark (max event time seen in
+    PREVIOUS micro-batches — the same batch-delayed semantics the
+    engine watermark has), and a row is dropped iff its event time is
+    more than ``delay_seconds`` behind that mark. Within-batch
+    disorder is tolerated (the mark advances only between batches).
+
+    Scale: the mark is per KEY, not global — stricter than an engine
+    watermark (one slow key cannot hold back eviction for the rest)
+    and coordination-free: one shuffle on the key, O(keys) state.
+
+    Composition limit (also measured, r13): Spark rejects TWO
+    applyInPandasWithState operators in one streaming query
+    ("Multiple applyInPandasWithStates are not supported"), so this
+    op guards ingest-edge queries whose downstream is a sink /
+    foreachBatch / windowed agg; a downstream CUSTOM stateful op must
+    inline the same guard instead — ``running_distinct_stream``'s
+    ``late_delay_seconds`` parameter is that inline form, and the
+    SPRT/Page-Hinkley monitors carry their own day-monotone guards."""
+    out_schema = events.schema
+    state_schema = "hi_us long"
+    names = [f.name for f in out_schema.fields]
+
+    def update(
+        key_vals: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        hi_us = state.get[0] if state.exists else None
+        rows = pd.concat(list(batches), ignore_index=True)
+        ts_us = rows[ts_col].astype("int64") // 1000  # ns → µs
+        if hi_us is not None:
+            keep = rows[ts_us >= hi_us - delay_seconds * 1_000_000]
+        else:
+            keep = rows
+        new_hi = int(ts_us.max())
+        state.update((new_hi if hi_us is None else max(hi_us, new_hi),))
+        yield keep[names]
+
+    return events.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

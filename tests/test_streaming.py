@@ -1655,3 +1655,149 @@ def test_page_hinkley_stream_skips_replayed_earlier_day(spark, tmp_path):
     # ph 0, 4, 2 -> peak 4.0 on day 2
     assert rows[0]["ph_max"] == 4.0
     assert rows[0]["peak_day"] == "2024-01-02"
+
+
+def _late_event_fixture(tmp_path):
+    """Two strictly-mtime-ordered micro-batch files with one planted
+    LATE row: batch 0 reaches 20:00 (watermark 19:00 at 1 h delay);
+    batch 1 carries a 15:00 row with a never-seen event type Z plus an
+    on-time 21:00 row."""
+    import json
+    import os
+
+    def us(h):
+        return 1_704_067_200_000_000 + h * 3_600_000_000
+
+    chunks = [
+        [
+            {"event_id": 0, "user_id": 1, "event_type": "A", "ts_us": us(10)},
+            {"event_id": 1, "user_id": 1, "event_type": "B", "ts_us": us(12)},
+            {"event_id": 2, "user_id": 1, "event_type": "C", "ts_us": us(20)},
+        ],
+        [
+            {"event_id": 3, "user_id": 1, "event_type": "Z", "ts_us": us(15)},
+            {"event_id": 4, "user_id": 1, "event_type": "D", "ts_us": us(21)},
+        ],
+    ]
+    src = tmp_path / "stream"
+    src.mkdir()
+    for i, chunk in enumerate(chunks):
+        path = src / f"chunk{i}.json"
+        with open(path, "w") as f:
+            for row in chunk:
+                f.write(json.dumps(row) + "\n")
+        os.utime(path, (1_700_000_000 + i * 10,) * 2)
+    return str(src)
+
+
+def _late_fixture_stream(spark, src):
+    return (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts_us long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .select(
+            "event_id", "user_id", "event_type",
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        )
+        .withWatermark("ts", "1 hour")
+    )
+
+
+def _run_distinct_stream(spark, src, ckpt, name, guard):
+    from osm_airflow_spark.streaming.stateful import running_distinct_stream
+
+    stream = _late_fixture_stream(spark, src)
+    q = (
+        running_distinct_stream(
+            stream, late_delay_seconds=3600 if guard else None
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return {
+        r["event_id"]: r["distinct_types_so_far"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+
+def test_watermark_does_not_filter_stateful_op_input_measured(spark, tmp_path):
+    """MEASURED platform semantics (r13, the SCALE ledger entry): an
+    upstream withWatermark does NOT filter late rows into
+    applyInPandasWithState — the 15:00 row arrives after the
+    watermark advanced to 19:00 and still reaches the state function
+    (true for NoTimeout AND EventTimeTimeout; Spark's automatic late
+    filtering covers aggregations/dedup/joins only, and the windowed
+    -agg eviction IS proven by test_watermark_drops_late_events).
+    Pinned so nobody designs a stateful operator assuming the engine
+    guards it."""
+    src = _late_event_fixture(tmp_path)
+    got = _run_distinct_stream(
+        spark, src, str(tmp_path / "ckpt"), "t_wm_unguarded", guard=False
+    )
+    # the late Z row WAS processed: D lands as the 5th distinct type
+    assert got == {0: 1, 1: 2, 2: 3, 3: 4, 4: 5}
+
+
+def test_inline_late_guard_evicts_late_rows_in_stateful_op(spark, tmp_path):
+    """VERDICT r12 #6 — the documented late-data design for custom
+    stateful operators, executed: running_distinct_stream's inline
+    late guard (per-key high-water mark, batch-delayed exactly like
+    an engine watermark) drops the planted 15:00 row — no output row
+    for it, no state poisoning (D is the 4th distinct type, not the
+    5th) — while the on-time 21:00 row passes. The guard must be
+    INLINE because Spark rejects chaining a second
+    applyInPandasWithState (late_row_filter) in the same query —
+    measured, see the standalone test below."""
+    src = _late_event_fixture(tmp_path)
+    got = _run_distinct_stream(
+        spark, src, str(tmp_path / "ckpt2"), "t_wm_guarded", guard=True
+    )
+    assert got == {0: 1, 1: 2, 2: 3, 4: 4}
+
+
+def test_late_row_filter_standalone_evicts_and_chaining_is_rejected(
+    spark, tmp_path
+):
+    """late_row_filter as an ingest-edge operator in its OWN query:
+    the planted late row is evicted before the sink while everything
+    on time passes untouched; and the platform constraint that forced
+    the inline-guard design is pinned — composing late_row_filter
+    with a second stateful operator in one query must raise
+    'Multiple applyInPandasWithStates are not supported'."""
+    from pyspark.sql.utils import AnalysisException
+
+    from osm_airflow_spark.streaming.stateful import (
+        late_row_filter,
+        running_distinct_stream,
+    )
+
+    src = _late_event_fixture(tmp_path)
+    stream = _late_fixture_stream(spark, src)
+    q = (
+        late_row_filter(stream, key="user_id", delay_seconds=3600)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late_filter")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    kept = sorted(
+        r["event_id"] for r in spark.sql("SELECT * FROM t_late_filter").collect()
+    )
+    assert kept == [0, 1, 2, 4]  # the 15:00 row (id 3) evicted
+
+    with pytest.raises(AnalysisException, match="[Mm]ultiple.*[Ss]tate"):
+        running_distinct_stream(
+            late_row_filter(stream, key="user_id", delay_seconds=3600)
+        ).writeStream.format("memory").queryName("t_chain").option(
+            "checkpointLocation", str(tmp_path / "ckpt4")
+        ).start()
