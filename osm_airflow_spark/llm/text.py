@@ -4599,3 +4599,176 @@ def llm_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             4.0 * p + r > 0, (5.0 * p * r) / (4.0 * p + r)
         ).alias("chrf2"),
     )
+
+
+def _brier_bin_folds() -> tuple[str, str]:
+    """(reliability, resolution) SQL over the 30 pivoted per-bin
+    integer columns n_0..9 / y_0..9 / s6_0..9 — fixed textual
+    addition order bin 0→9 so both engines walk one IEEE tree.
+    Per-bin terms: rel_k = ((s6_k − 10⁶·y_k)/10⁶)² / n_k,
+    res_k = (y_k·N − n_k·Y)² / n_k; empty bins contribute 0.0."""
+    rel_terms = [
+        f"(CASE WHEN n_{k} > 0 THEN "
+        f"((CAST(s6_{k} - 1000000 * y_{k} AS DOUBLE) / 1000000.0) "
+        f"* (CAST(s6_{k} - 1000000 * y_{k} AS DOUBLE) / 1000000.0)) "
+        f"/ CAST(n_{k} AS DOUBLE) ELSE 0.0 END)"
+        for k in range(10)
+    ]
+    res_terms = [
+        f"(CASE WHEN n_{k} > 0 THEN "
+        f"(CAST(y_{k} * nn - n_{k} * yy AS DOUBLE) "
+        f"* CAST(y_{k} * nn - n_{k} * yy AS DOUBLE)) "
+        f"/ CAST(n_{k} AS DOUBLE) ELSE 0.0 END)"
+        for k in range(10)
+    ]
+
+    def fold(terms):
+        out = terms[0]
+        for t in terms[1:]:
+            out = f"({out}) + ({t})"
+        return out
+
+    return fold(rel_terms), fold(res_terms)
+
+
+_BRIER_REL, _BRIER_RES = _brier_bin_folds()
+
+
+@query(
+    "llm_eval_brier",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w IN ({_sql_list(_EN_STOP)}))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_word_len
+      FROM documents
+    ),
+    scored AS (
+      SELECT round(1.0 / (1.0 + exp(-(-1.0
+               + 2.5 * (least(n_words, 200) / 200.0)
+               + 1.5 * stop_ratio
+               + 0.8 * (CASE WHEN mean_word_len BETWEEN 3 AND 8
+                             THEN 1.0 ELSE 0.0 END)))), 6) AS p,
+             CASE WHEN (least(n_words, 200) / 200.0 * 0.4
+                        + least(stop_ratio * 4, 1.0) * 0.3
+                        + CASE WHEN mean_word_len BETWEEN 3 AND 8
+                               THEN 0.3 ELSE 0.0 END) >= 0.5
+                  THEN 1 ELSE 0 END AS y
+      FROM feats
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(SUM(y) AS BIGINT) AS yy,
+             CAST(SUM((CAST(p AS DECIMAL(18,6)) - y)
+                      * (CAST(p AS DECIMAL(18,6)) - y)) AS DECIMAL(38,12))
+               AS sq_sum,
+             {", ".join(
+                 f"CAST(SUM(CASE WHEN least(floor(p * 10), 9) = {k} "
+                 f"THEN 1 ELSE 0 END) AS BIGINT) AS n_{k}, "
+                 f"CAST(SUM(CASE WHEN least(floor(p * 10), 9) = {k} "
+                 f"THEN y ELSE 0 END) AS BIGINT) AS y_{k}, "
+                 f"CAST(SUM(CASE WHEN least(floor(p * 10), 9) = {k} "
+                 f"THEN CAST(CAST(p AS DECIMAL(18,6)) * 1000000 AS BIGINT) "
+                 f"ELSE 0 END) AS BIGINT) AS s6_{k}"
+                 for k in range(10)
+             )}
+      FROM scored
+    )
+    SELECT nn AS n_docs,
+           round(CAST(sq_sum AS DOUBLE) / nn, 9) + 0.0 AS brier,
+           ({_BRIER_REL}) / CAST(nn AS DOUBLE) AS reliability,
+           ({_BRIER_RES})
+             / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+             AS resolution,
+           CAST(yy * (nn - yy) AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+             AS uncertainty
+    FROM g
+    """,
+)
+def llm_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r13) — BRIER SCORE + Murphy decomposition of the
+    learned quality filter against the reference heuristic: the
+    proper-scoring-rule summary that llm_eval_calibration's
+    reliability diagram eyeballs. reliability (calibration error,
+    lower better) and resolution (how much the filter separates keep
+    from drop, higher better) use the same decile bins as the
+    calibration key; uncertainty = ȳ(1−ȳ) is the no-skill floor.
+
+    Determinism: p is the 6-dp logit score, so (p−y)² is an EXACT
+    12-dp decimal and the Brier numerator an exact decimal sum; the
+    final mean is the house big-decimal-ratio recipe (one double
+    division, 9-dp emission — the unscaled sum passes 2^53 where the
+    engines' decimal→double casts can split one ulp). Per-bin
+    ingredients (n_k, y_k, Σp·10⁶) are exact BIGINTs via conditional
+    aggregation; rel/res fold the ten per-bin terms in a FIXED
+    textual order (one shared IEEE tree, emitted unrounded) — no
+    rounding of quotient-derived doubles anywhere (the r13 midpoint
+    mechanism). Scale: ONE corpus pass, one global conditional
+    aggregate, output is one row — no join, no second scan (the
+    no-exchange-reuse doctrine)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("long")
+    stop_ratio = _stop_count(words, _EN_STOP).cast("double") / n_words
+    mean_word_len = F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    ).cast("double") / n_words
+    logit = (
+        F.lit(-1.0)
+        + 2.5 * (F.least(n_words, F.lit(200)) / 200.0)
+        + 1.5 * stop_ratio
+        + 0.8 * F.when(mean_word_len.between(3, 8), 1.0).otherwise(0.0)
+    )
+    p = F.round(1.0 / (1.0 + F.exp(-logit)), 6)
+    quality = (
+        F.least(n_words, F.lit(200)) / 200.0 * 0.4
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.3
+        + F.when(mean_word_len.between(3, 8), 0.3).otherwise(0.0)
+    )
+    scored = d.select(
+        p.alias("p"), F.when(quality >= 0.5, 1).otherwise(0).alias("y")
+    )
+    pdec = F.col("p").cast("decimal(18,6)")
+    bin_col = F.least(F.floor(F.col("p") * 10), F.lit(9))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("y").cast("long").alias("yy"),
+        F.sum((pdec - F.col("y")) * (pdec - F.col("y")))
+        .cast("decimal(38,12)")
+        .alias("sq_sum"),
+    ]
+    for k in range(10):
+        in_bin = bin_col == k
+        aggs.append(
+            F.sum(F.when(in_bin, 1).otherwise(0)).cast("long").alias(f"n_{k}")
+        )
+        aggs.append(
+            F.sum(F.when(in_bin, F.col("y")).otherwise(0))
+            .cast("long")
+            .alias(f"y_{k}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(in_bin, (pdec * 1000000).cast("long")).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"s6_{k}")
+        )
+    g = scored.agg(*aggs)
+    nn_d = F.col("nn").cast("double")
+    return g.select(
+        F.col("nn").alias("n_docs"),
+        (
+            F.round(F.col("sq_sum").cast("double") / F.col("nn"), 9) + F.lit(0.0)
+        ).alias("brier"),
+        (F.expr(_BRIER_REL) / nn_d).alias("reliability"),
+        (F.expr(_BRIER_RES) / (nn_d * nn_d * nn_d)).alias("resolution"),
+        (
+            (F.col("yy") * (F.col("nn") - F.col("yy"))).cast("double")
+            / (nn_d * nn_d)
+        ).alias("uncertainty"),
+    )

@@ -9573,3 +9573,135 @@ def pipeline_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_stat.alias("t_stat"),
         (t_stat < -3.37).alias("cointegrated"),
     )
+
+
+@query(
+    "pipeline_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    p AS (
+      SELECT CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS s
+      FROM daily a JOIN daily b ON b.day > a.day
+    ),
+    sstat AS (SELECT CAST(SUM(s) AS BIGINT) AS s_stat FROM p),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    ties AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY x
+      HAVING COUNT(*) > 1
+    ),
+    tiesum AS (
+      SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0) AS tt
+      FROM ties
+    ),
+    v AS (
+      SELECT nd.n, sstat.s_stat,
+             nd.n * (nd.n - 1) * (2 * nd.n + 5) - tiesum.tt AS var_s18
+      FROM nd, sstat, tiesum
+    ),
+    z AS (
+      SELECT n, s_stat, var_s18,
+             CASE WHEN var_s18 > 0 AND s_stat <> 0 THEN
+               CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+                         ELSE s_stat + 1 END AS DOUBLE)
+               / sqrt(CAST(var_s18 AS DOUBLE) / 18.0)
+             WHEN var_s18 > 0 THEN 0.0 END AS z_stat
+      FROM v
+    )
+    SELECT n AS n_days, s_stat, var_s18, z_stat,
+           CASE WHEN z_stat > 1.96 THEN 'increasing'
+                WHEN z_stat < -1.96 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM z
+    """,
+)
+def pipeline_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r13) — MANN–KENDALL trend test on daily revenue:
+    the nonparametric 'is this series drifting' gate (Mann 1945,
+    Kendall 1975) that pairs with pipeline_theil_sen exactly the way
+    the literature uses them — MK decides IF a monotone trend exists,
+    Sen's slope says how steep. S = Σ_{i<j} sign(x_j − x_i); the
+    tie-corrected variance 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
+    stays an exact BIGINT (n ≈ 2.4k days → ~3·10¹⁰ ≪ 2^53), and the
+    continuity-corrected z = (S ∓ 1)/√(Var) is one shared IEEE
+    sqrt+division, emitted unrounded; the trend label cuts at the
+    short literal 1.96 on the agreed double.
+
+    Scale: the kendall_tau shape — one corpus pass to the
+    calendar-bounded daily table, the O(n²) pair sum as a broadcast
+    non-equi self-join over that control-plane-sized side, then
+    1-row aggregates; revenue quantizes to exact integer cents so
+    every pair sign is integer-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * F.lit(100))
+            .cast("long")
+            .alias("x")
+        )
+        .localCheckpoint(eager=True)  # calendar-bounded; read 3x below
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    s = (
+        F.when(F.col("xb") > F.col("xa"), 1)
+        .when(F.col("xb") < F.col("xa"), -1)
+        .otherwise(0)
+    )
+    sstat = (
+        a.join(F.broadcast(b), F.col("db") > F.col("da"))
+        .agg(F.sum(s).cast("long").alias("s_stat"))
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .where(F.col("t") > 1)
+    )
+    tiesum = ties.agg(
+        F.coalesce(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("tt")
+    )
+    v = (
+        nd.crossJoin(F.broadcast(sstat))
+        .crossJoin(F.broadcast(tiesum))
+        .select(
+            "n",
+            "s_stat",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tt")
+            ).alias("var_s18"),
+        )
+    )
+    zcol = (
+        F.when(
+            (F.col("var_s18") > 0) & (F.col("s_stat") != 0),
+            F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+            .otherwise(F.col("s_stat") + 1)
+            .cast("double")
+            / F.sqrt(F.col("var_s18").cast("double") / 18.0),
+        )
+        .when(F.col("var_s18") > 0, F.lit(0.0))
+    )
+    return v.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        "var_s18",
+        zcol.alias("z_stat"),
+        F.when(zcol > 1.96, "increasing")
+        .when(zcol < -1.96, "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+    )

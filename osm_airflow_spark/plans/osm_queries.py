@@ -1849,10 +1849,20 @@ def _quad_term(a: str, b: str, px: str, py: str, qx: str, qy: str) -> str:
     )
 
 
-def _clip_edge_combo(px: str, py: str, qx: str, qy: str) -> str:
-    """One edge's 4-corner alternating-sign combination for the admin
-    rectangle lon ∈ [−60, 60], lat ∈ [−30, 30] (short exact
-    literals). UNROUNDED by design: rounding a float-derived double
+def _clip_edge_combo(
+    px: str,
+    py: str,
+    qx: str,
+    qy: str,
+    x0: str = "-60.0",
+    x1: str = "60.0",
+    y0: str = "-30.0",
+    y1: str = "30.0",
+) -> str:
+    """One edge's 4-corner alternating-sign combination for the clip
+    rectangle [x0,x1]×[y0,y1] (defaults: the admin window's short
+    exact literals; callers may pass COLUMN refs — the tile-overlay
+    join does). UNROUNDED by design: rounding a float-derived double
     is exactly the measured engine-divergence site (DuckDB rounds
     x·10⁶ — the product can land ON the midpoint — while Spark
     rounds the shortest decimal repr; way 9420 at sf0.01 sat one ulp
@@ -1862,12 +1872,12 @@ def _clip_edge_combo(px: str, py: str, qx: str, qy: str) -> str:
         return _quad_term(a, b, px, py, qx, qy)
 
     return (
-        f"-(((({q('60.0', '30.0')}) - ({q('-60.0', '30.0')})) "
-        f"- ({q('60.0', '-30.0')})) + ({q('-60.0', '-30.0')}))"
+        f"-(((({q(x1, y1)}) - ({q(x0, y1)})) "
+        f"- ({q(x1, y0)})) + ({q(x0, y0)}))"
     )
 
 
-def _clip_combo_sum(coord) -> str:
+def _clip_combo_sum(coord, **bounds) -> str:
     """Fixed-order sum of the four per-edge clip combos,
     ``(((t1 + t2) + t3) + t4)``, with per-edge coordinate accessor
     strings produced by ``coord(i, axis)`` (1-based vertex index on
@@ -1877,7 +1887,8 @@ def _clip_combo_sum(coord) -> str:
     results could diverge — is pinned by construction."""
     combos = [
         _clip_edge_combo(
-            coord(i, "x"), coord(i, "y"), coord(i + 1, "x"), coord(i + 1, "y")
+            coord(i, "x"), coord(i, "y"), coord(i + 1, "x"), coord(i + 1, "y"),
+            **bounds,
         )
         for i in range(1, 5)
     ]
@@ -2058,3 +2069,202 @@ def osm_polygon_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orig_area",
         "was_clipped",
     )
+
+
+_TILE_BOUNDS = {"x0": "tx0", "x1": "tx1", "y0": "ty0", "y1": "ty1"}
+
+
+def _quad_term_col(a, b, px, py, qx, qy):
+    """Column twin of ``_quad_term`` — the same IEEE tree built from
+    Column ops (when/greatest/least mirror CASE/greatest/least
+    value-for-value), so it can live inside a higher-order-function
+    lambda where F.expr text can't reach the lambda variable. Needed
+    because inlining the textual combo 16× into a join stage blew
+    whole-stage codegen's 64 KB method limit (measured,
+    osm_tile_overlay first draft); a transform/aggregate fold emits
+    the combo ONCE and evaluates it per edge."""
+    dx, dy = qx - px, qy - py
+    zero, one = F.lit(0.0), F.lit(1.0)
+    lox = F.when(dx > 0, zero).otherwise((a - px) / dx)
+    hix = F.when(dx > 0, (a - px) / dx).otherwise(one)
+    loy = (
+        F.when(dy == 0, F.when(py <= b, zero).otherwise(one))
+        .when(dy > 0, zero)
+        .otherwise((b - py) / dy)
+    )
+    hiy = (
+        F.when(dy == 0, F.when(py <= b, one).otherwise(zero))
+        .when(dy > 0, (b - py) / dy)
+        .otherwise(one)
+    )
+    lo = F.greatest(zero, lox, loy)
+    hi = F.least(one, hix, hiy)
+    return (
+        F.when(dx == 0, zero)
+        .when(hi > lo, dx * ((py - b) * (hi - lo) + dy * ((hi * hi - lo * lo) / 2)))
+        .otherwise(zero)
+    )
+
+
+def _clip_edge_combo_col(px, py, qx, qy, x0, x1, y0, y1):
+    """Column twin of ``_clip_edge_combo`` (fixed alternating-sign
+    corner order, unrounded)."""
+    def q(a, b):
+        return _quad_term_col(a, b, px, py, qx, qy)
+
+    return -((q(x1, y1) - q(x0, y1)) - q(x1, y0) + q(x0, y0))
+
+
+@query(
+    "osm_tile_overlay",
+    oracle=f"""
+    WITH nodes AS (
+      SELECT p_partkey AS node_id,
+             (CAST((p_partkey * 7) % 180 AS DOUBLE) - 90.0) * 0.95 AS lat,
+             {_LON} AS lon
+      FROM part
+    ),
+    refs AS (
+      SELECT l_orderkey AS way_id, l_partkey AS node_id,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS pos
+      FROM lineitem
+    ),
+    firsts AS (
+      SELECT way_id, node_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY way_id, node_id ORDER BY pos) AS occ
+      FROM refs
+    ),
+    dedup AS (SELECT way_id, node_id, pos FROM firsts WHERE occ = 1),
+    pts4 AS (
+      SELECT way_id, node_id,
+             ROW_NUMBER() OVER (PARTITION BY way_id ORDER BY pos) AS rn
+      FROM dedup
+    ),
+    quad AS (SELECT * FROM pts4 WHERE rn <= 4),
+    sized AS (SELECT way_id FROM quad GROUP BY way_id HAVING COUNT(*) = 4),
+    pts AS (
+      SELECT q.way_id, q.rn, n.lon, n.lat
+      FROM quad q JOIN sized USING (way_id) JOIN nodes n USING (node_id)
+    ),
+    narrow AS (
+      SELECT way_id FROM pts GROUP BY way_id
+      HAVING MAX(lon) - MIN(lon) < 180.0
+    ),
+    wide AS (
+      SELECT p.way_id,
+             MAX(CASE WHEN rn = 1 THEN lon END) AS x1,
+             MAX(CASE WHEN rn = 1 THEN lat END) AS y1,
+             MAX(CASE WHEN rn = 2 THEN lon END) AS x2,
+             MAX(CASE WHEN rn = 2 THEN lat END) AS y2,
+             MAX(CASE WHEN rn = 3 THEN lon END) AS x3,
+             MAX(CASE WHEN rn = 3 THEN lat END) AS y3,
+             MAX(CASE WHEN rn = 4 THEN lon END) AS x4,
+             MAX(CASE WHEN rn = 4 THEN lat END) AS y4,
+             MIN(lon) AS bw, MAX(lon) AS be,
+             MIN(lat) AS bs, MAX(lat) AS bn
+      FROM pts p JOIN narrow USING (way_id)
+      GROUP BY p.way_id
+    ),
+    tiles AS (
+      SELECT gx.i AS tile_x, gy.i AS tile_y,
+             -90.0 + gx.i * 90.0 AS tx0, gx.i * 90.0 AS tx1,
+             -90.0 + gy.i * 90.0 AS ty0, gy.i * 90.0 AS ty1
+      FROM generate_series(-1, 2) AS gx(i), generate_series(0, 1) AS gy(i)
+    ),
+    pairs AS (
+      SELECT w.*, t.tile_x, t.tile_y, t.tx0, t.tx1, t.ty0, t.ty1
+      FROM wide w JOIN tiles t
+        ON w.bw < t.tx1 AND w.be > t.tx0 AND w.bs < t.ty1 AND w.bn > t.ty0
+    ),
+    clipped AS (
+      SELECT way_id, tile_x, tile_y,
+             ({_clip_combo_sum(_sql_coord, **_TILE_BOUNDS)}) + 0.0 AS clip_area
+      FROM pairs
+    )
+    SELECT way_id, CAST(tile_x AS INT) AS tile_x, CAST(tile_y AS INT) AS tile_y,
+           clip_area
+    FROM clipped WHERE clip_area <> 0.0
+    """,
+)
+def osm_tile_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked polygon-coverage OVERLAY JOIN — each ring's signed
+    intersection area with every 90° map tile it touches: the
+    materialization a tile-rollup pipeline produces before any
+    per-tile aggregation (the per-tile sums/counts are then one
+    order-free dsum away). Generalizes osm_polygon_clip_area's Green
+    decomposition from a literal window to JOIN-side bounds: the SAME
+    shared-tree builder emits both engines' SQL with tile-bound
+    COLUMN references, so every double — including across the
+    bbox-candidate join — is bit-identical and emitted UNROUNDED
+    (clip quotients have short decimal content here, which makes
+    6-dp rounding genuinely dangerous: the measured r13 midpoint
+    mechanism, SCALE.md). Zero-area pairs drop via an exact
+    comparison of agreed doubles.
+
+    Scale: the tile table is literal and broadcast (8 tiles here;
+    a z-level-12 planet grid would be a broadcast range join on the
+    same predicate); rings arrive with their bbox, so each ring meets
+    only its candidate tiles — the join is linear in output pairs,
+    never rings × tiles. Signed = winding-weighted, matching the
+    shoelace convention of the sibling keys."""
+    nodes = _derived_nodes(spark, sf_dir)
+    ways = _derived_ways(spark, sf_dir)
+    quads = ways.select(
+        "way_id",
+        F.slice(F.array_distinct("node_refs"), 1, 4).alias("node_refs"),
+        "tags",
+    ).where(F.size("node_refs") == 4)
+    assembled = assemble_way_lines(quads, nodes).where(F.size("line") == 4)
+    lons = F.expr("transform(line, s -> s.lon)")
+    lats = F.expr("transform(line, s -> s.lat)")
+    span = F.array_max(lons) - F.array_min(lons)
+    rings = assembled.where(span < 180.0).select(
+        "way_id",
+        F.concat(lons, F.slice(lons, 1, 1)).alias("cx"),
+        F.concat(lats, F.slice(lats, 1, 1)).alias("cy"),
+        F.array_min(lons).alias("bw"),
+        F.array_max(lons).alias("be"),
+        F.array_min(lats).alias("bs"),
+        F.array_max(lats).alias("bn"),
+    )
+    spark_tiles = spark.createDataFrame(
+        [
+            (gx, gy, -90.0 + gx * 90.0, gx * 90.0, -90.0 + gy * 90.0, gy * 90.0)
+            for gx in range(-1, 3)
+            for gy in range(0, 2)
+        ],
+        "tile_x int, tile_y int, tx0 double, tx1 double, ty0 double, ty1 double",
+    )
+    pairs = rings.join(
+        F.broadcast(spark_tiles),
+        (F.col("bw") < F.col("tx1"))
+        & (F.col("be") > F.col("tx0"))
+        & (F.col("bs") < F.col("ty1"))
+        & (F.col("bn") > F.col("ty0")),
+    )
+    edges = F.transform(
+        F.sequence(F.lit(1), F.lit(4)),
+        lambda i: F.struct(
+            F.element_at("cx", i).alias("px"),
+            F.element_at("cy", i).alias("py"),
+            F.element_at("cx", i + 1).alias("qx"),
+            F.element_at("cy", i + 1).alias("qy"),
+        ),
+    )
+    terms = F.transform(
+        edges,
+        lambda e: _clip_edge_combo_col(
+            e.getField("px"), e.getField("py"),
+            e.getField("qx"), e.getField("qy"),
+            F.col("tx0"), F.col("tx1"), F.col("ty0"), F.col("ty1"),
+        ),
+    )
+    # left fold (((0+t1)+t2)+t3)+t4 equals the oracle's ((t1+t2)+t3)+t4
+    # for every double except an all-(-0.0) chain, which the +0.0 fold
+    # normalizes identically in both engines
+    area = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v) + F.lit(0.0)
+    clipped = pairs.select(
+        "way_id", "tile_x", "tile_y", area.alias("clip_area")
+    )
+    return clipped.where(F.col("clip_area") != 0.0)

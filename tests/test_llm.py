@@ -2653,3 +2653,69 @@ def test_chrf_matches_pure_python(spark, tmp_path):
     assert abs(row["macro_r"] - r) < 1e-12
     assert abs(row["chrf2"] - chrf) < 1e-12
     assert 0.0 < row["chrf2"] < 1.0
+
+
+def test_eval_brier_matches_pure_python_replica(spark, sf_dir):
+    """Third implementation (the llm_eval_auc/bleu convention): a
+    pure-Python walk over the documents fixture reproduces the Brier
+    score and all three Murphy components; and the decomposition's
+    internal identities hold (0 ≤ reliability; 0 ≤ resolution ≤
+    uncertainty ≤ 0.25)."""
+    import math
+
+    import duckdb
+
+    from osm_airflow_spark.llm.text import _EN_STOP
+    from osm_airflow_spark.registry import all_queries
+
+    row = all_queries()["llm_eval_brier"](spark, sf_dir).collect()[0]
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    stops = set(_EN_STOP)
+    ps, ys = [], []
+    for _, text in docs:
+        words = text.split(" ")
+        n_words = len(words)
+        stop_ratio = sum(1 for w in words if w in stops) / n_words
+        mean_word_len = len(text.replace(" ", "")) / n_words
+        logit = (
+            -1.0
+            + 2.5 * (min(n_words, 200) / 200.0)
+            + 1.5 * stop_ratio
+            + 0.8 * (1.0 if 3 <= mean_word_len <= 8 else 0.0)
+        )
+        ps.append(round(1.0 / (1.0 + math.exp(-logit)), 6))
+        quality = (
+            min(n_words, 200) / 200.0 * 0.4
+            + min(stop_ratio * 4, 1.0) * 0.3
+            + (0.3 if 3 <= mean_word_len <= 8 else 0.0)
+        )
+        ys.append(1 if quality >= 0.5 else 0)
+
+    n = len(ps)
+    brier = sum((p - y) ** 2 for p, y in zip(ps, ys)) / n
+    ybar = sum(ys) / n
+    unc = ybar * (1 - ybar)
+    bins: dict[int, list[int]] = {}
+    for i, p in enumerate(ps):
+        bins.setdefault(min(int(p * 10), 9), []).append(i)
+    rel = sum(
+        len(ix) * (sum(ps[i] for i in ix) / len(ix)
+                   - sum(ys[i] for i in ix) / len(ix)) ** 2
+        for ix in bins.values()
+    ) / n
+    res = sum(
+        len(ix) * (sum(ys[i] for i in ix) / len(ix) - ybar) ** 2
+        for ix in bins.values()
+    ) / n
+
+    assert row["n_docs"] == n
+    assert abs(row["brier"] - brier) < 1e-8
+    assert abs(row["reliability"] - rel) < 1e-9
+    assert abs(row["resolution"] - res) < 1e-9
+    assert abs(row["uncertainty"] - unc) < 1e-9
+    assert 0 <= row["resolution"] <= row["uncertainty"] <= 0.25
+    assert row["reliability"] >= 0

@@ -1088,3 +1088,37 @@ def test_osm_polygon_clip_key_invariants(spark, sf_dir):
     # and no row may have |clip| > |ring| by more than lobe-winding
     # allows for a bowtie (signed cancellation); simple CCW rings obey
     # the inequality, bowties are the only exception
+
+
+def test_tile_overlay_conserves_ring_area(spark, sf_dir):
+    """The 8 tiles exactly partition [-180,180]×[-90,90], so each
+    ring's signed tile-clip areas must sum to its full signed
+    shoelace area (osm_polygon_clip_area's ring_area column) — the
+    conservation law that caught the r13 draft whose latitude bands
+    covered [-180,0] and silently dropped the northern hemisphere
+    (both engines shared the bug, so the oracle alone couldn't see
+    it). Tolerance 1e-9: the per-tile doubles are exact shared trees
+    but the cross-tile sum here is a test-side float fold."""
+    from collections import defaultdict
+
+    from osm_airflow_spark.registry import all_queries
+
+    q = all_queries()
+    per_tile = defaultdict(float)
+    tiles_hit = set()
+    for r in q["osm_tile_overlay"](spark, sf_dir).collect():
+        per_tile[r.way_id] += r.clip_area
+        tiles_hit.add((r.tile_x, r.tile_y))
+    ring = {
+        r.way_id: r.ring_area
+        for r in q["osm_polygon_clip_area"](spark, sf_dir).collect()
+    }
+    assert per_tile  # overlay produced rows
+    # every (gx, gy) cell of the 4×2 grid sees at least one ring at
+    # this SF — the northern-hemisphere regression would empty half
+    assert tiles_hit == {(gx, gy) for gx in range(-1, 3) for gy in range(0, 2)}
+    checked = 0
+    for wid, total in per_tile.items():
+        assert abs(total - ring[wid]) < 1e-9, (wid, total, ring[wid])
+        checked += 1
+    assert checked > 50

@@ -2069,3 +2069,56 @@ def test_dated_partition_layout_prunes_files(spark, sf_dir, tmp_path):
         .count()
     )
     assert len(rows) == full
+
+
+def test_mann_kendall_planted_trend_and_ties(spark, tmp_path):
+    """Hand-checkable Mann–Kendall fixtures: (a) 10 strictly
+    increasing days → S = 45 = C(10,2), var_s18 = 10·9·25 = 2250,
+    z = 44/√125 ≈ 3.936 → 'increasing'; (b) a constant series is all
+    ties → var_s18 = 0, z NULL, 'no_trend'. Both also replayed
+    against the DuckDB oracle end to end."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    runs = iter(("a", "b"))
+
+    def run(prices):
+        # a FRESH dir per fixture: io.load_table memoizes resolved
+        # scans per (session, dir, table) — overwriting in place would
+        # serve the first run's file listing (CLAUDE.md rule)
+        base = tmp_path / next(runs)
+        base.mkdir()
+        out = base / "orders.parquet"
+        rows = [
+            (i, datetime.date(2024, 3, 1 + i), float(p))
+            for i, p in enumerate(prices)
+        ]
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+        ).coalesce(1).write.parquet(str(out))
+        clear_plan_cache()
+        got = QUERIES["pipeline_mann_kendall"](spark, str(base)).collect()
+        clear_plan_cache()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM read_parquet("
+            f"'{out}/*.parquet')"
+        )
+        want = con.execute(ORACLES["pipeline_mann_kendall"]).fetchall()
+        assert len(got) == len(want) == 1
+        assert tuple(got[0]) == want[0]
+        return got[0]
+
+    r = run([100 + 10 * i for i in range(10)])
+    assert (r["n_days"], r["s_stat"], r["var_s18"]) == (10, 45, 2250)
+    assert r["z_stat"] == 44.0 / (2250.0 / 18.0) ** 0.5
+    assert r["trend"] == "increasing"
+
+    r = run([500.0] * 8)
+    # all pairs tied: S = 0 and the tie correction wipes the variance
+    assert (r["s_stat"], r["var_s18"], r["z_stat"], r["trend"]) == (
+        0, 0, None, "no_trend",
+    )
