@@ -1052,3 +1052,97 @@ def mm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("n_chars"),
     )
     return survivors.unionByName(singles)
+
+
+def audio_mcr(media: DataFrame, window: int = 64) -> DataFrame:
+    """Windowed MEAN-CROSSING rate over PCM16-LE mono payloads — the
+    periodicity/noisiness screen beside ``audio_rms``'s loudness
+    (classic ZCR, but against the window mean rather than zero: the
+    fixture-synthesized samples are all-positive, and real pipelines
+    de-bias against DC offset anyway). Same kernel shape as
+    audio_rms: Arrow-batched mapInPandas, binary in, scalars out.
+    All-integer decision rule: sample s_j crosses iff
+    (w·s_j − S)·(w·s_{j+1} − S) < 0 with S the window sum — exact
+    int64 (|w·s| ≤ 64·32767 ≈ 2·10⁶, products ≤ 4·10¹² ≪ 2^63), so
+    the count and the one-division rate are bit-deterministic."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {"media_id": [], "window_idx": [], "n_crossings": [], "mcr": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                raw = raw[: len(raw) - (len(raw) % 2)]
+                samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                for wi in range(len(samples) // window):
+                    chunk = samples[wi * window : (wi + 1) * window]
+                    d = window * chunk - int(chunk.sum())
+                    n_cross = int(np.count_nonzero(d[:-1] * d[1:] < 0))
+                    out["media_id"].append(mid)
+                    out["window_idx"].append(wi)
+                    out["n_crossings"].append(n_cross)
+                    out["mcr"].append(n_cross / (window - 1))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches, "media_id long, window_idx int, n_crossings int, mcr double"
+    )
+
+
+@query(
+    "mm_audio_zcr",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id AS media_id, rpad(text, 512, 'x') AS t FROM documents
+      WHERE octet_length(encode(text)) = length(text)
+    ),
+    samp AS (
+      SELECT media_id, wi, j,
+             ascii(substr(t, (wi * 64 + j) * 2 + 1, 1))
+             + 256 * ascii(substr(t, (wi * 64 + j) * 2 + 2, 1)) AS sample
+      FROM s, generate_series(0, 3) AS gw(wi), generate_series(0, 63) AS gj(j)
+    ),
+    win AS (
+      SELECT media_id, wi, CAST(SUM(sample) AS BIGINT) AS ssum
+      FROM samp GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT a.media_id, a.wi, a.j,
+             64 * CAST(a.sample AS BIGINT) - w.ssum AS da,
+             64 * CAST(b.sample AS BIGINT) - w.ssum AS db
+      FROM samp a
+      JOIN samp b ON b.media_id = a.media_id AND b.wi = a.wi AND b.j = a.j + 1
+      JOIN win w ON w.media_id = a.media_id AND w.wi = a.wi
+    ),
+    c AS (
+      SELECT media_id, wi,
+             CAST(SUM(CASE WHEN da * db < 0 THEN 1 ELSE 0 END) AS INT)
+               AS n_crossings
+      FROM d GROUP BY 1, 2
+    )
+    SELECT media_id, CAST(wi AS INT) AS window_idx, n_crossings,
+           CAST(n_crossings AS DOUBLE) / 63 AS mcr
+    FROM c
+    """,
+)
+def mm_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 — audio MEAN-CROSSING rate per 64-sample window: the second
+    audio-curation statistic beside mm_audio_rms (loudness says
+    "silence or clipping", crossing rate says "tone or noise").
+    Same in-column PCM16-LE synthesis and ASCII guard as the RMS key;
+    DuckDB re-derives each sample from character codes and replays the
+    all-integer crossing rule (64·s_j − S sign products — exact
+    BIGINTs), so counts match exactly and the rate is one agreed
+    division. ZCR proper would be degenerate here (fixture samples
+    are all positive); crossing the WINDOW MEAN is both non-trivial
+    on the fixture and the de-biased form real pipelines use. Scale:
+    narrow map end to end — the kernel is mapInPandas over whatever
+    partitioning the corpus has, output O(windows)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.substring(F.encode(F.rpad("text", 512, "x"), "utf-8"), 1, 512)
+    media = (
+        d.where(F.octet_length("text") == F.length("text"))
+        .select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    )
+    return audio_mcr(media, window=64)

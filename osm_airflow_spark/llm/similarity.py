@@ -2158,3 +2158,165 @@ def compact_graph_index(
     out["edges_after"] = after.count()
     out["files_after"] = len(after.inputFiles())
     return out
+
+
+@query(
+    "llm_cluster_silhouette",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS sid, v AS svec FROM e WHERE vec_id < 8),
+    da AS (
+      SELECT e.vec_id, e.v, s.sid,
+             list_aggregate(list_transform(list_zip(e.v, s.svec),
+                            p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS d2
+      FROM e, seeds s
+    ),
+    asg AS (
+      SELECT vec_id, v, sid AS cluster
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, sid) AS rn
+            FROM da)
+      WHERE rn = 1
+    ),
+    comp AS (
+      SELECT cluster, g.d AS d, round(v[g.d + 1], 6) AS x
+      FROM asg, generate_series(0, 63) AS g(d)
+    ),
+    cent AS (
+      SELECT cluster, d,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
+      FROM comp GROUP BY 1, 2
+    ),
+    cvecs AS (
+      SELECT cluster AS cid, list(c ORDER BY d) AS cvec FROM cent GROUP BY 1
+    ),
+    dists AS (
+      SELECT a.vec_id, a.cluster, cv.cid,
+             sqrt(list_aggregate(list_transform(list_zip(a.v, cv.cvec),
+                  p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')) AS dist
+      FROM asg a, cvecs cv
+    ),
+    ab AS (
+      SELECT vec_id, cluster,
+             MAX(CASE WHEN cid = cluster THEN dist END) AS a,
+             MIN(CASE WHEN cid <> cluster THEN dist END) AS b
+      FROM dists GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT cluster,
+             CASE WHEN greatest(a, b) > 0
+                  THEN (b - a) / greatest(a, b) ELSE 0.0 END AS sil
+      FROM ab
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CAST(round(sil, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) AS silhouette
+    FROM s GROUP BY 1
+    """,
+)
+def llm_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r13) — centroid-form SILHOUETTE per cluster: the
+    is-this-clustering-any-good score for the engine's vector
+    quantizers (the IVF/SemDedup coarse clusters are exactly this
+    shape). Assignment is content-derived and SQL-expressible —
+    nearest of the eight seed vectors vec_id < 8, (distance, sid)
+    tie-break — so the whole key is oracled end to end, unlike the
+    rows-only learned-kmeans keys whose quality this measures by
+    proxy. Per vector: a = ‖x − own centroid‖, b = min other-centroid
+    distance, s = (b − a)/max(a, b); emitted as per-cluster means.
+
+    Determinism: components pre-round to 6 dp before the per-dim
+    decimal centroid mean (the agg_vector_centroid recipe — float32
+    granularity keeps 6-dp rounds far from midpoints, unlike scale-9
+    casts); every distance is the strict left-to-right l2sq fold
+    (bit-identical to DuckDB's list_aggregate); per-vector s rounds
+    to 6 dp (sqrt-quotient digits are effectively random — the safe
+    class) into an order-free decimal mean.
+
+    Scale: assignment is an in-row fold over a BROADCAST 1-row seed
+    array (no shuffle); centroids are one explode + (cluster, dim)
+    aggregate; the scoring join-back broadcasts k centroid vectors —
+    the documented corpus-bounded join-back shape (k ≪ corpus; the
+    no-exchange-reuse quirk re-runs the scan, which is the cheaper
+    trade here)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        e.where(F.col("vec_id") < 8)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").alias("sid"),
+                        _as_double("embedding").alias("svec"),
+                    )
+                )
+            ).alias("seeds")
+        )
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("seeds"),
+            lambda s: F.struct(
+                l2sq_expr(_as_double("embedding"), s.getField("svec")).alias("d2"),
+                s.getField("sid").alias("sid"),
+            ),
+        )
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            _as_double("embedding").alias("v"),
+            best.getField("sid").alias("cluster"),
+        )
+    )
+    comp = assigned.select(
+        "cluster", F.posexplode("v").alias("d", "x")
+    ).select("cluster", "d", F.round("x", 6).alias("x"))
+    cent = comp.groupBy("cluster", "d").agg(
+        (
+            F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    cvecs = (
+        cent.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("pairs"))
+        .select(
+            F.col("cluster").alias("cid"),
+            F.expr("transform(pairs, p -> p.c)").alias("cvec"),
+        )
+    )
+    cents_row = cvecs.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("cents")
+    )
+    dists = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.sqrt(l2sq_expr(F.col("v"), c.getField("cvec"))).alias("dist"),
+            c.getField("cid").alias("cid"),
+        ),
+    )
+    a_dist = F.element_at(
+        F.filter(dists, lambda x: x.getField("cid") == F.col("cluster")), 1
+    ).getField("dist")
+    b_dist = F.array_min(
+        F.filter(dists, lambda x: x.getField("cid") != F.col("cluster"))
+    ).getField("dist")
+    sil = F.when(
+        F.greatest(a_dist, b_dist) > 0,
+        (b_dist - a_dist) / F.greatest(a_dist, b_dist),
+    ).otherwise(F.lit(0.0))
+    scored = assigned.crossJoin(F.broadcast(cents_row)).select(
+        "cluster", F.round(sil, 6).alias("sil")
+    )
+    return scored.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (
+            F.sum(F.col("sil").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("silhouette"),
+    )

