@@ -4772,3 +4772,134 @@ def llm_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (nn_d * nn_d)
         ).alias("uncertainty"),
     )
+
+
+def _ece_sql() -> tuple[str, str]:
+    """(ece, mce) SQL over the pivoted per-bin integers. ECE reduces
+    to EXACT integers: Σ_k n_k·|p̄_k − ȳ_k| = Σ_k |Σp·10⁶ − 10⁶·y_k|
+    / 10⁶, so the sum is one BIGINT and the final value two fixed
+    divisions of exact operands — no rounding anywhere. MCE is the
+    max over the ten per-bin gap quotients, folded via greatest()."""
+    ece_terms = " + ".join(f"abs(s6_{k} - 1000000 * y_{k})" for k in range(10))
+    mce_terms = ", ".join(
+        f"(CASE WHEN n_{k} > 0 THEN "
+        f"CAST(abs(s6_{k} - 1000000 * y_{k}) AS DOUBLE) "
+        f"/ (1000000.0 * CAST(n_{k} AS DOUBLE)) ELSE 0.0 END)"
+        for k in range(10)
+    )
+    return (
+        f"CAST({ece_terms} AS DOUBLE) / 1000000.0 / CAST(nn AS DOUBLE)",
+        f"greatest({mce_terms})",
+    )
+
+
+_ECE_EXPR, _MCE_EXPR = _ece_sql()
+
+
+@query(
+    "llm_eval_ece",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w IN ({_sql_list(_EN_STOP)}))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_word_len
+      FROM documents
+    ),
+    scored AS (
+      SELECT round(1.0 / (1.0 + exp(-(-1.0
+               + 2.5 * (least(n_words, 200) / 200.0)
+               + 1.5 * stop_ratio
+               + 0.8 * (CASE WHEN mean_word_len BETWEEN 3 AND 8
+                             THEN 1.0 ELSE 0.0 END)))), 6) AS p,
+             CASE WHEN (least(n_words, 200) / 200.0 * 0.4
+                        + least(stop_ratio * 4, 1.0) * 0.3
+                        + CASE WHEN mean_word_len BETWEEN 3 AND 8
+                               THEN 0.3 ELSE 0.0 END) >= 0.5
+                  THEN 1 ELSE 0 END AS y
+      FROM feats
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+             {", ".join(
+                 f"CAST(SUM(CASE WHEN least(floor(p * 10), 9) = {k} "
+                 f"THEN 1 ELSE 0 END) AS BIGINT) AS n_{k}, "
+                 f"CAST(SUM(CASE WHEN least(floor(p * 10), 9) = {k} "
+                 f"THEN y ELSE 0 END) AS BIGINT) AS y_{k}, "
+                 f"CAST(SUM(CASE WHEN least(floor(p * 10), 9) = {k} "
+                 f"THEN CAST(CAST(p AS DECIMAL(18,6)) * 1000000 AS BIGINT) "
+                 f"ELSE 0 END) AS BIGINT) AS s6_{k}"
+                 for k in range(10)
+             )}
+      FROM scored
+    )
+    SELECT nn AS n_docs,
+           {_ECE_EXPR} AS ece,
+           {_MCE_EXPR} AS mce
+    FROM g
+    """,
+)
+def llm_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r13) — EXPECTED CALIBRATION ERROR (+ max-bin MCE)
+    of the learned quality filter: the single calibration number
+    practitioners quote from the reliability diagram the calibration
+    key tabulates and llm_eval_brier decomposes. Same decile bins.
+
+    Determinism: ECE collapses to exact INTEGERS — Σ_k n_k·|p̄_k−ȳ_k|
+    = Σ_k |10⁶·Σp − 10⁶·y_k| / 10⁶ with 10⁶·Σp an exact BIGINT from
+    the 6-dp score — so the emitted value is two fixed IEEE divisions
+    of exact operands, no rounding and no midpoint exposure at all;
+    MCE folds the ten per-bin quotients through greatest() on one
+    shared tree. Scale: ONE corpus pass, one global conditional
+    aggregate, one output row."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("long")
+    stop_ratio = _stop_count(words, _EN_STOP).cast("double") / n_words
+    mean_word_len = F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    ).cast("double") / n_words
+    logit = (
+        F.lit(-1.0)
+        + 2.5 * (F.least(n_words, F.lit(200)) / 200.0)
+        + 1.5 * stop_ratio
+        + 0.8 * F.when(mean_word_len.between(3, 8), 1.0).otherwise(0.0)
+    )
+    p = F.round(1.0 / (1.0 + F.exp(-logit)), 6)
+    quality = (
+        F.least(n_words, F.lit(200)) / 200.0 * 0.4
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.3
+        + F.when(mean_word_len.between(3, 8), 0.3).otherwise(0.0)
+    )
+    scored = d.select(
+        p.alias("p"), F.when(quality >= 0.5, 1).otherwise(0).alias("y")
+    )
+    pdec = F.col("p").cast("decimal(18,6)")
+    bin_col = F.least(F.floor(F.col("p") * 10), F.lit(9))
+    aggs = [F.count(F.lit(1)).cast("long").alias("nn")]
+    for k in range(10):
+        in_bin = bin_col == k
+        aggs.append(
+            F.sum(F.when(in_bin, 1).otherwise(0)).cast("long").alias(f"n_{k}")
+        )
+        aggs.append(
+            F.sum(F.when(in_bin, F.col("y")).otherwise(0))
+            .cast("long")
+            .alias(f"y_{k}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(in_bin, (pdec * 1000000).cast("long")).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"s6_{k}")
+        )
+    g = scored.agg(*aggs)
+    return g.select(
+        F.col("nn").alias("n_docs"),
+        F.expr(_ECE_EXPR).alias("ece"),
+        F.expr(_MCE_EXPR).alias("mce"),
+    )

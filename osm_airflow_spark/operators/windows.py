@@ -1134,3 +1134,102 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mean7 - band).alias("lower_band"),
         (resid > 7 * band).alias("breakout"),
     )
+
+
+@query(
+    "win_atr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS hi,
+             CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS lo,
+             CAST(max_by(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+                  AS DECIMAL(18,2)) AS cl
+      FROM orders GROUP BY 1
+    ),
+    tr AS (
+      SELECT day, hi, lo, cl,
+             LAG(cl) OVER w AS pc,
+             ROW_NUMBER() OVER w AS rn
+      FROM daily
+      WINDOW w AS (ORDER BY day)
+    ),
+    trval AS (
+      SELECT day, rn,
+             greatest(hi - lo, abs(hi - pc), abs(lo - pc)) AS trng
+      FROM tr WHERE pc IS NOT NULL
+    ),
+    atr AS (
+      SELECT day, rn, trng,
+             CAST(SUM(CAST(trng AS DECIMAL(24,2))) OVER
+                  (ORDER BY rn ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(24,2)) AS s14
+      FROM trval
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(trng AS DOUBLE) AS true_range,
+           CAST(s14 AS DOUBLE) / 14.0 AS atr_14
+    FROM atr WHERE rn >= 15
+    """,
+)
+def win_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r13) — AVERAGE TRUE RANGE over the daily revenue series:
+    the volatility width beside win_bollinger's σ-bands and win_rsi's
+    momentum (Cutler-style 14-day SIMPLE mean of the true range —
+    Wilder's recursive smoothing has the win_ewma infinite-horizon
+    divergence problem, same reasoning as RSI). Daily OHLC proxies:
+    hi/lo = max/min order price, close = max_by(price, o_orderkey)
+    (unique-key tie-break); TR = max(hi−lo, |hi−prev_close|,
+    |lo−prev_close|). Only full 14-TR frames emit (rn ≥ 15).
+
+    Determinism: prices cast once to DECIMAL(18,2), so hi/lo/close,
+    the lag, every TR candidate, and the 14-row frame sum are EXACT
+    decimals (order-free by exactness); emission is one exact <2^53
+    cast and one IEEE division by the short literal 14.0. The
+    max_by/arg_max tie-break is on the unique order key, never on a
+    price. Scale: one corpus pass to the calendar-bounded daily
+    table; the global-ORDER window runs on ~2.4k rows (control
+    plane), not the corpus."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(
+        F.max(price).alias("hi"),
+        F.min(price).alias("lo"),
+        F.expr(
+            "max_by(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)"
+        ).alias("cl"),
+    )
+    w = Window.orderBy("day")
+    tr = (
+        daily.select(
+            "day", "hi", "lo",
+            F.lag("cl").over(w).alias("pc"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("pc").isNotNull())
+        .select(
+            "day", "rn",
+            F.greatest(
+                F.col("hi") - F.col("lo"),
+                F.abs(F.col("hi") - F.col("pc")),
+                F.abs(F.col("lo") - F.col("pc")),
+            ).alias("trng"),
+        )
+    )
+    f = Window.orderBy("rn").rowsBetween(-13, 0)
+    atr = tr.select(
+        "day", "rn", "trng",
+        F.sum(F.col("trng").cast("decimal(24,2)"))
+        .over(f)
+        .cast("decimal(24,2)")
+        .alias("s14"),
+    )
+    return atr.where(F.col("rn") >= 15).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("trng").cast("double").alias("true_range"),
+        (F.col("s14").cast("double") / 14.0).alias("atr_14"),
+    )

@@ -2784,3 +2784,61 @@ def test_cluster_silhouette_separated_vs_mixed(spark, tmp_path):
     # every cluster's mean silhouette is high: tight blobs, far seeds
     for r in got:
         assert r["silhouette"] > 0.8, (r["cluster"], r["silhouette"])
+
+
+def test_eval_ece_matches_pure_python_replica(spark, sf_dir):
+    """ECE/MCE third implementation, same replica walk as the Brier
+    test; plus the bound ECE ≤ MCE (a weighted mean of per-bin gaps
+    can't exceed the max gap)."""
+    import math
+
+    import duckdb
+
+    from osm_airflow_spark.llm.text import _EN_STOP
+    from osm_airflow_spark.registry import all_queries
+
+    row = all_queries()["llm_eval_ece"](spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    stops = set(_EN_STOP)
+    bins: dict[int, list[tuple[float, int]]] = {}
+    for (text,) in docs:
+        words = text.split(" ")
+        n_words = len(words)
+        stop_ratio = sum(1 for w in words if w in stops) / n_words
+        mean_word_len = len(text.replace(" ", "")) / n_words
+        logit = (
+            -1.0
+            + 2.5 * (min(n_words, 200) / 200.0)
+            + 1.5 * stop_ratio
+            + 0.8 * (1.0 if 3 <= mean_word_len <= 8 else 0.0)
+        )
+        p = round(1.0 / (1.0 + math.exp(-logit)), 6)
+        quality = (
+            min(n_words, 200) / 200.0 * 0.4
+            + min(stop_ratio * 4, 1.0) * 0.3
+            + (0.3 if 3 <= mean_word_len <= 8 else 0.0)
+        )
+        bins.setdefault(min(int(p * 10), 9), []).append(
+            (p, 1 if quality >= 0.5 else 0)
+        )
+    n = sum(len(v) for v in bins.values())
+    ece = (
+        sum(
+            abs(sum(round(p * 1e6) for p, _ in v) - 1_000_000 * sum(y for _, y in v))
+            for v in bins.values()
+        )
+        / 1e6
+        / n
+    )
+    mce = max(
+        abs(sum(round(p * 1e6) for p, _ in v) - 1_000_000 * sum(y for _, y in v))
+        / (1e6 * len(v))
+        for v in bins.values()
+    )
+    assert row["n_docs"] == n
+    assert abs(row["ece"] - ece) < 1e-12
+    assert abs(row["mce"] - mce) < 1e-12
+    assert row["ece"] <= row["mce"] + 1e-12

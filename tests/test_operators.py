@@ -1544,3 +1544,40 @@ def test_assortativity_stub_sums_are_decimal_typed(spark, tmp_path):
     assert not re.search(r"sum\([xy]#\d+L\)", plan)
     assert not re.search(r"sum\(\([xy]#\d+L \*", plan)
     assert re.search(r"sum\(cast\(x#\d+L as decimal\(19,0\)\)", plan)
+
+
+def test_win_atr_hand_fixture(spark, tmp_path):
+    """Hand-walkable ATR: one order per day with prices chosen so
+    hi = lo = close; TR_t = |close_t − close_{t−1}|. 16 days of
+    +10 steps → every TR = 10, ATR_14 = 10 exactly, first emission
+    on day 16 (15th TR owner); then replay vs the DuckDB oracle."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    rows = [
+        (i, datetime.date(2024, 1, 1 + i), 1000.0 + 10.0 * i)
+        for i in range(16)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    clear_plan_cache()
+    got = QUERIES["win_atr"](spark, str(tmp_path)).collect()
+    clear_plan_cache()
+    # rn numbers DAYS (day 1 drops with its NULL prev-close), so TR
+    # rows carry rn 2..16 and day 15 (rn 15) already owns TRs 2..15 —
+    # a full 14-TR frame: days 15 and 16 emit
+    assert [(r["day"], r["true_range"], r["atr_14"]) for r in got] == [
+        ("2024-01-15", 10.0, 10.0),
+        ("2024-01-16", 10.0, 10.0),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/orders.parquet/*.parquet')"
+    )
+    want = con.execute(ORACLES["win_atr"]).fetchall()
+    assert [tuple(r) for r in got] == want
