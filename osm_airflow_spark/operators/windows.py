@@ -1185,13 +1185,21 @@ def win_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
     |lo−prev_close|). Only full 14-TR frames emit (rn ≥ 15).
 
     Determinism: prices cast once to DECIMAL(18,2), so hi/lo/close,
-    the lag, every TR candidate, and the 14-row frame sum are EXACT
-    decimals (order-free by exactness); emission is one exact <2^53
-    cast and one IEEE division by the short literal 14.0. The
-    max_by/arg_max tie-break is on the unique order key, never on a
-    price. Scale: one corpus pass to the calendar-bounded daily
-    table; the global-ORDER window runs on ~2.4k rows (control
-    plane), not the corpus."""
+    the lag, every TR candidate, and the frame sum are EXACT
+    (Spark carries TR as integer CENTS through the bucket-offset
+    prefix pass); the oracle's DECIMAL(24,2)→double cast equals
+    Spark's long→double /100.0 bit-for-bit (both are the correctly
+    rounded k/100, k ≪ 2^53), and /14.0 is one shared IEEE division.
+    The max_by/arg_max tie-break is on the unique order key, never on
+    a price. Scale + lint: no global window anywhere — the day rank
+    and the trailing-14 sum both ride ``bucketed_running`` (B-way
+    parallel windows + exact offsets; the engine-wide GLOBW rule
+    applies to bounded inputs too), the sliding frame is
+    prefix(rn) − prefix(rn−14) via two control-plane self-joins, and
+    the DuckDB oracle keeps its plain window form — only values must
+    match."""
+    from osm_airflow_spark.bucketing import bucketed_running
+
     o = load_table(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast("decimal(18,2)")
     daily = o.groupBy(
@@ -1203,33 +1211,50 @@ def win_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_by(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)"
         ).alias("cl"),
     )
-    w = Window.orderBy("day")
-    tr = (
-        daily.select(
-            "day", "hi", "lo",
-            F.lag("cl").over(w).alias("pc"),
-            F.row_number().over(w).alias("rn"),
-        )
-        .where(F.col("pc").isNotNull())
+    # GLOBW-free global order: bucket-offset running count = the day's
+    # 1-based rank (the oracle's window form is values-equivalent; the
+    # lint bans global windows engine-wide, bounded input or not)
+    daily = daily.select(
+        "*", F.datediff("day", F.lit("1970-01-01")).alias("day_i"),
+        F.lit(1).alias("one"),
+    )
+    ranked, _ = bucketed_running(daily, "day_i", ["one"])
+    d1 = ranked.select(
+        "day", "hi", "lo", "cl", F.col("run_one").cast("long").alias("rn")
+    )
+    prev = d1.select(
+        (F.col("rn") + 1).alias("rn"), F.col("cl").alias("pc")
+    )
+    tr = d1.join(prev, "rn").select(
+        "rn", "day",
+        F.greatest(
+            F.col("hi") - F.col("lo"),
+            F.abs(F.col("hi") - F.col("pc")),
+            F.abs(F.col("lo") - F.col("pc")),
+        ).alias("trng"),
+    )
+    # exact-integer cents so the second bucket-offset pass sums longs
+    tr = tr.select(
+        "rn", "day", "trng",
+        (F.col("trng") * 100).cast("long").alias("trc"),
+    )
+    pre, _ = bucketed_running(tr, "rn", ["trc"])
+    base = pre.select("rn", "day", "trng", "run_trc")
+    back = pre.select(
+        (F.col("rn") + 14).alias("rn"), F.col("run_trc").alias("run_back")
+    )
+    frame = (
+        base.join(back, "rn", "left")
+        .where(F.col("rn") >= 15)
         .select(
-            "day", "rn",
-            F.greatest(
-                F.col("hi") - F.col("lo"),
-                F.abs(F.col("hi") - F.col("pc")),
-                F.abs(F.col("lo") - F.col("pc")),
-            ).alias("trng"),
+            "day", "trng",
+            (
+                F.col("run_trc") - F.coalesce(F.col("run_back"), F.lit(0))
+            ).alias("frame_cents"),
         )
     )
-    f = Window.orderBy("rn").rowsBetween(-13, 0)
-    atr = tr.select(
-        "day", "rn", "trng",
-        F.sum(F.col("trng").cast("decimal(24,2)"))
-        .over(f)
-        .cast("decimal(24,2)")
-        .alias("s14"),
-    )
-    return atr.where(F.col("rn") >= 15).select(
+    return frame.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.col("trng").cast("double").alias("true_range"),
-        (F.col("s14").cast("double") / 14.0).alias("atr_14"),
+        (F.col("frame_cents").cast("double") / 100.0 / 14.0).alias("atr_14"),
     )
