@@ -60,6 +60,12 @@ def main() -> None:
         print(f"   bin {row['bin']}: pred {row['mean_pred']:.3f} "
               f"obs {row['obs_rate']:.3f}  (n={row['n']})")
 
+    br = q["llm_eval_brier"](spark, sf_dir).first()
+    ec = q["llm_eval_ece"](spark, sf_dir).first()
+    print(f"   Brier {br['brier']:.4f} = unc {br['uncertainty']:.4f} "
+          f"- res {br['resolution']:.4f} + rel {br['reliability']:.4f} "
+          f"(+ within-bin); ECE {ec['ece']:.4f}  MCE {ec['mce']:.4f}")
+
     b = q["llm_eval_bleu"](spark, sf_dir).first()
     print(f"== generation: BLEU-4 {fmt(b['bleu'])} "
           f"(p1..p4 {fmt(b['p1'], '.3f')}/{fmt(b['p2'], '.3f')}"

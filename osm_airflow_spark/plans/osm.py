@@ -770,12 +770,24 @@ def clip_polygons(
     are |shoelace| computed on the EXACT rational vertices and
     emitted rounded to 9 dp; coordinates quantize to 9 dp strings.
     Arrow-batched mapInPandas, narrow map — composes with
-    repair_rings at zero extra shuffles; at planet scale the clip
-    cost is ∝ rings scanned per window, and a bbox pre-filter on the
-    ring's lon/lat extremes prunes rings that cannot intersect."""
+    repair_rings at zero extra shuffles; and the bbox pre-filter is
+    REAL, not aspirational: rings whose lon/lat extremes cannot reach
+    the window's bounding box are dropped by a JVM-side columnar
+    filter BEFORE any row crosses the Arrow boundary (semantics-
+    preserving — a ring outside the window bbox clips to nothing —
+    and at planet scale it is the difference between running the
+    Python kernel on every ring and on the window's candidates)."""
     from fractions import Fraction
 
     win = [(Fraction(x), Fraction(y)) for x, y in window]
+    wx0, wx1 = min(float(p[0]) for p in win), max(float(p[0]) for p in win)
+    wy0, wy1 = min(float(p[1]) for p in win), max(float(p[1]) for p in win)
+    rings = rings.where(
+        (F.array_min("lons") <= F.lit(wx1))
+        & (F.array_max("lons") >= F.lit(wx0))
+        & (F.array_min("lats") <= F.lit(wy1))
+        & (F.array_max("lats") >= F.lit(wy0))
+    )
 
     def _area2(closed):
         s = Fraction(0)
