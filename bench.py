@@ -171,12 +171,15 @@ def _partitioned_pass(spark, sf_dir: str) -> dict:
                 spark.read.parquet(path).where(pred).agg(agg.alias("v")).collect()
                 reps.append(round(time.time() - t0, 3))
             # numFiles comes off a plain filtered scan: under AQE the
-            # agg plan's leaves are query stages, not the file scan
-            # .collect() on the probe itself: .count() would build a
-            # separate agg execution and leave the probe's own metrics
-            # at zero (measured: numFiles == 0)
+            # agg plan's leaves are query stages, not the file scan.
+            # Execute the probe's OWN queryExecution (.count() builds
+            # a separate agg execution and leaves these metrics at
+            # zero — measured) WITHOUT shipping rows to the driver:
+            # toRdd().count() runs the identical plan, transfers
+            # nothing (r13 self-review: .collect() hauled ~10⁵ rows
+            # of lit(1) just to read a counter)
             probe = spark.read.parquet(path).where(pred).select(F.lit(1))
-            probe.collect()
+            probe._jdf.queryExecution().toRdd().count()
             scan = (
                 probe._jdf.queryExecution()
                 .executedPlan()

@@ -4601,6 +4601,98 @@ def llm_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared by llm_eval_brier / llm_eval_ece (r13 self-review: the logit
+# model + reference heuristic must not fork across the calibration
+# family — one definition, two consumers; llm_eval_calibration / auc
+# predate it and keep their inline copies, driver-proven keys are not
+# churned)
+_SCORED_CTE = f"""WITH feats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w IN ({_sql_list(_EN_STOP)}))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_word_len
+      FROM documents
+    ),
+    scored AS (
+      SELECT round(1.0 / (1.0 + exp(-(-1.0
+               + 2.5 * (least(n_words, 200) / 200.0)
+               + 1.5 * stop_ratio
+               + 0.8 * (CASE WHEN mean_word_len BETWEEN 3 AND 8
+                             THEN 1.0 ELSE 0.0 END)))), 6) AS p,
+             CASE WHEN (least(n_words, 200) / 200.0 * 0.4
+                        + least(stop_ratio * 4, 1.0) * 0.3
+                        + CASE WHEN mean_word_len BETWEEN 3 AND 8
+                               THEN 0.3 ELSE 0.0 END) >= 0.5
+                  THEN 1 ELSE 0 END AS y
+      FROM feats
+    ),"""
+
+_BIN_PIVOT_SQL = ", ".join(
+    f"CAST(SUM(CASE WHEN least(floor(p * 10), 9) = {k} "
+    f"THEN 1 ELSE 0 END) AS BIGINT) AS n_{k}, "
+    f"CAST(SUM(CASE WHEN least(floor(p * 10), 9) = {k} "
+    f"THEN y ELSE 0 END) AS BIGINT) AS y_{k}, "
+    f"CAST(SUM(CASE WHEN least(floor(p * 10), 9) = {k} "
+    f"THEN CAST(CAST(p AS DECIMAL(18,6)) * 1000000 AS BIGINT) "
+    f"ELSE 0 END) AS BIGINT) AS s6_{k}"
+    for k in range(10)
+)
+
+
+def _quality_scored(d: DataFrame) -> DataFrame:
+    """(p, y) for the calibration family: p = 6-dp logit keep-score,
+    y = reference-heuristic keep decision — the Spark twin of
+    ``_SCORED_CTE``."""
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("long")
+    stop_ratio = _stop_count(words, _EN_STOP).cast("double") / n_words
+    mean_word_len = F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    ).cast("double") / n_words
+    logit = (
+        F.lit(-1.0)
+        + 2.5 * (F.least(n_words, F.lit(200)) / 200.0)
+        + 1.5 * stop_ratio
+        + 0.8 * F.when(mean_word_len.between(3, 8), 1.0).otherwise(0.0)
+    )
+    p = F.round(1.0 / (1.0 + F.exp(-logit)), 6)
+    quality = (
+        F.least(n_words, F.lit(200)) / 200.0 * 0.4
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.3
+        + F.when(mean_word_len.between(3, 8), 0.3).otherwise(0.0)
+    )
+    return d.select(
+        p.alias("p"), F.when(quality >= 0.5, 1).otherwise(0).alias("y")
+    )
+
+
+def _bin_pivot_cols() -> list:
+    """The 30 per-decile conditional-agg Columns (n_k, y_k, s6_k) —
+    Spark twin of ``_BIN_PIVOT_SQL``."""
+    pdec = F.col("p").cast("decimal(18,6)")
+    bin_col = F.least(F.floor(F.col("p") * 10), F.lit(9))
+    cols = []
+    for k in range(10):
+        in_bin = bin_col == k
+        cols.append(
+            F.sum(F.when(in_bin, 1).otherwise(0)).cast("long").alias(f"n_{k}")
+        )
+        cols.append(
+            F.sum(F.when(in_bin, F.col("y")).otherwise(0))
+            .cast("long")
+            .alias(f"y_{k}")
+        )
+        cols.append(
+            F.sum(F.when(in_bin, (pdec * 1000000).cast("long")).otherwise(0))
+            .cast("long")
+            .alias(f"s6_{k}")
+        )
+    return cols
+
+
 def _brier_bin_folds() -> tuple[str, str]:
     """(reliability, resolution) SQL over the 30 pivoted per-bin
     integer columns n_0..9 / y_0..9 / s6_0..9 — fixed textual
@@ -4637,45 +4729,14 @@ _BRIER_REL, _BRIER_RES = _brier_bin_folds()
 @query(
     "llm_eval_brier",
     oracle=f"""
-    WITH feats AS (
-      SELECT doc_id,
-             len(string_split(text, ' ')) AS n_words,
-             CAST(len(list_filter(string_split(text, ' '),
-                                  w -> w IN ({_sql_list(_EN_STOP)}))) AS DOUBLE)
-               / len(string_split(text, ' ')) AS stop_ratio,
-             CAST(length(replace(text, ' ', '')) AS DOUBLE)
-               / len(string_split(text, ' ')) AS mean_word_len
-      FROM documents
-    ),
-    scored AS (
-      SELECT round(1.0 / (1.0 + exp(-(-1.0
-               + 2.5 * (least(n_words, 200) / 200.0)
-               + 1.5 * stop_ratio
-               + 0.8 * (CASE WHEN mean_word_len BETWEEN 3 AND 8
-                             THEN 1.0 ELSE 0.0 END)))), 6) AS p,
-             CASE WHEN (least(n_words, 200) / 200.0 * 0.4
-                        + least(stop_ratio * 4, 1.0) * 0.3
-                        + CASE WHEN mean_word_len BETWEEN 3 AND 8
-                               THEN 0.3 ELSE 0.0 END) >= 0.5
-                  THEN 1 ELSE 0 END AS y
-      FROM feats
-    ),
+    {_SCORED_CTE}
     g AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS nn,
              CAST(SUM(y) AS BIGINT) AS yy,
              CAST(SUM((CAST(p AS DECIMAL(18,6)) - y)
                       * (CAST(p AS DECIMAL(18,6)) - y)) AS DECIMAL(38,12))
                AS sq_sum,
-             {", ".join(
-                 f"CAST(SUM(CASE WHEN least(floor(p * 10), 9) = {k} "
-                 f"THEN 1 ELSE 0 END) AS BIGINT) AS n_{k}, "
-                 f"CAST(SUM(CASE WHEN least(floor(p * 10), 9) = {k} "
-                 f"THEN y ELSE 0 END) AS BIGINT) AS y_{k}, "
-                 f"CAST(SUM(CASE WHEN least(floor(p * 10), 9) = {k} "
-                 f"THEN CAST(CAST(p AS DECIMAL(18,6)) * 1000000 AS BIGINT) "
-                 f"ELSE 0 END) AS BIGINT) AS s6_{k}"
-                 for k in range(10)
-             )}
+             {_BIN_PIVOT_SQL}
       FROM scored
     )
     SELECT nn AS n_docs,
@@ -4710,55 +4771,16 @@ def llm_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mechanism). Scale: ONE corpus pass, one global conditional
     aggregate, output is one row — no join, no second scan (the
     no-exchange-reuse doctrine)."""
-    d = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    n_words = F.size(words).cast("long")
-    stop_ratio = _stop_count(words, _EN_STOP).cast("double") / n_words
-    mean_word_len = F.length(
-        F.replace(F.col("text"), F.lit(" "), F.lit(""))
-    ).cast("double") / n_words
-    logit = (
-        F.lit(-1.0)
-        + 2.5 * (F.least(n_words, F.lit(200)) / 200.0)
-        + 1.5 * stop_ratio
-        + 0.8 * F.when(mean_word_len.between(3, 8), 1.0).otherwise(0.0)
-    )
-    p = F.round(1.0 / (1.0 + F.exp(-logit)), 6)
-    quality = (
-        F.least(n_words, F.lit(200)) / 200.0 * 0.4
-        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.3
-        + F.when(mean_word_len.between(3, 8), 0.3).otherwise(0.0)
-    )
-    scored = d.select(
-        p.alias("p"), F.when(quality >= 0.5, 1).otherwise(0).alias("y")
-    )
+    scored = _quality_scored(load_table(spark, sf_dir, "documents"))
     pdec = F.col("p").cast("decimal(18,6)")
-    bin_col = F.least(F.floor(F.col("p") * 10), F.lit(9))
-    aggs = [
+    g = scored.agg(
         F.count(F.lit(1)).cast("long").alias("nn"),
         F.sum("y").cast("long").alias("yy"),
         F.sum((pdec - F.col("y")) * (pdec - F.col("y")))
         .cast("decimal(38,12)")
         .alias("sq_sum"),
-    ]
-    for k in range(10):
-        in_bin = bin_col == k
-        aggs.append(
-            F.sum(F.when(in_bin, 1).otherwise(0)).cast("long").alias(f"n_{k}")
-        )
-        aggs.append(
-            F.sum(F.when(in_bin, F.col("y")).otherwise(0))
-            .cast("long")
-            .alias(f"y_{k}")
-        )
-        aggs.append(
-            F.sum(
-                F.when(in_bin, (pdec * 1000000).cast("long")).otherwise(0)
-            )
-            .cast("long")
-            .alias(f"s6_{k}")
-        )
-    g = scored.agg(*aggs)
+        *_bin_pivot_cols(),
+    )
     nn_d = F.col("nn").cast("double")
     return g.select(
         F.col("nn").alias("n_docs"),
@@ -4799,41 +4821,10 @@ _ECE_EXPR, _MCE_EXPR = _ece_sql()
 @query(
     "llm_eval_ece",
     oracle=f"""
-    WITH feats AS (
-      SELECT doc_id,
-             len(string_split(text, ' ')) AS n_words,
-             CAST(len(list_filter(string_split(text, ' '),
-                                  w -> w IN ({_sql_list(_EN_STOP)}))) AS DOUBLE)
-               / len(string_split(text, ' ')) AS stop_ratio,
-             CAST(length(replace(text, ' ', '')) AS DOUBLE)
-               / len(string_split(text, ' ')) AS mean_word_len
-      FROM documents
-    ),
-    scored AS (
-      SELECT round(1.0 / (1.0 + exp(-(-1.0
-               + 2.5 * (least(n_words, 200) / 200.0)
-               + 1.5 * stop_ratio
-               + 0.8 * (CASE WHEN mean_word_len BETWEEN 3 AND 8
-                             THEN 1.0 ELSE 0.0 END)))), 6) AS p,
-             CASE WHEN (least(n_words, 200) / 200.0 * 0.4
-                        + least(stop_ratio * 4, 1.0) * 0.3
-                        + CASE WHEN mean_word_len BETWEEN 3 AND 8
-                               THEN 0.3 ELSE 0.0 END) >= 0.5
-                  THEN 1 ELSE 0 END AS y
-      FROM feats
-    ),
+    {_SCORED_CTE}
     g AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS nn,
-             {", ".join(
-                 f"CAST(SUM(CASE WHEN least(floor(p * 10), 9) = {k} "
-                 f"THEN 1 ELSE 0 END) AS BIGINT) AS n_{k}, "
-                 f"CAST(SUM(CASE WHEN least(floor(p * 10), 9) = {k} "
-                 f"THEN y ELSE 0 END) AS BIGINT) AS y_{k}, "
-                 f"CAST(SUM(CASE WHEN least(floor(p * 10), 9) = {k} "
-                 f"THEN CAST(CAST(p AS DECIMAL(18,6)) * 1000000 AS BIGINT) "
-                 f"ELSE 0 END) AS BIGINT) AS s6_{k}"
-                 for k in range(10)
-             )}
+             {_BIN_PIVOT_SQL}
       FROM scored
     )
     SELECT nn AS n_docs,
@@ -4855,49 +4846,10 @@ def llm_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     MCE folds the ten per-bin quotients through greatest() on one
     shared tree. Scale: ONE corpus pass, one global conditional
     aggregate, one output row."""
-    d = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    n_words = F.size(words).cast("long")
-    stop_ratio = _stop_count(words, _EN_STOP).cast("double") / n_words
-    mean_word_len = F.length(
-        F.replace(F.col("text"), F.lit(" "), F.lit(""))
-    ).cast("double") / n_words
-    logit = (
-        F.lit(-1.0)
-        + 2.5 * (F.least(n_words, F.lit(200)) / 200.0)
-        + 1.5 * stop_ratio
-        + 0.8 * F.when(mean_word_len.between(3, 8), 1.0).otherwise(0.0)
+    scored = _quality_scored(load_table(spark, sf_dir, "documents"))
+    g = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"), *_bin_pivot_cols()
     )
-    p = F.round(1.0 / (1.0 + F.exp(-logit)), 6)
-    quality = (
-        F.least(n_words, F.lit(200)) / 200.0 * 0.4
-        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.3
-        + F.when(mean_word_len.between(3, 8), 0.3).otherwise(0.0)
-    )
-    scored = d.select(
-        p.alias("p"), F.when(quality >= 0.5, 1).otherwise(0).alias("y")
-    )
-    pdec = F.col("p").cast("decimal(18,6)")
-    bin_col = F.least(F.floor(F.col("p") * 10), F.lit(9))
-    aggs = [F.count(F.lit(1)).cast("long").alias("nn")]
-    for k in range(10):
-        in_bin = bin_col == k
-        aggs.append(
-            F.sum(F.when(in_bin, 1).otherwise(0)).cast("long").alias(f"n_{k}")
-        )
-        aggs.append(
-            F.sum(F.when(in_bin, F.col("y")).otherwise(0))
-            .cast("long")
-            .alias(f"y_{k}")
-        )
-        aggs.append(
-            F.sum(
-                F.when(in_bin, (pdec * 1000000).cast("long")).otherwise(0)
-            )
-            .cast("long")
-            .alias(f"s6_{k}")
-        )
-    g = scored.agg(*aggs)
     return g.select(
         F.col("nn").alias("n_docs"),
         F.expr(_ECE_EXPR).alias("ece"),

@@ -796,13 +796,18 @@ def clip_polygons(
         return s
 
     def _fmt(v: Fraction) -> str:
-        from decimal import Decimal, ROUND_HALF_UP
-
-        return str(
-            (Decimal(v.numerator) / Decimal(v.denominator)).quantize(
-                Decimal("0.000000001"), rounding=ROUND_HALF_UP
-            )
-        )
+        """Exact HALF_UP quantization of a rational to 9 dp — pure
+        integer arithmetic. (A Decimal division would evaluate at the
+        28-significant-digit context first; S-H intersection
+        denominators grow multiplicatively per pass, and a value
+        sitting within ~1e-25 below a 9-dp midpoint would double-
+        round ONTO it — the exact failure class the midpoint ledger
+        rules exist for; r13 self-review.)"""
+        n, d = v.numerator, v.denominator  # d > 0 by Fraction invariant
+        scaled = abs(n) * 10**9
+        q = (2 * scaled + d) // (2 * d)  # half away from zero
+        sign = "-" if n < 0 and q != 0 else ""
+        return f"{sign}{q // 10**9}.{q % 10**9:09d}"
 
     def batches(it):
         for pdf in it:

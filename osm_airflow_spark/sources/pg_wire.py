@@ -91,13 +91,15 @@ class PGConnection:
         a stale 'Z' and return empty (measured: the first error left
         the following SELECT answering []). On startup-phase errors
         the server closes instead — tolerate that."""
-        try:
-            while True:
+        while True:
+            try:
                 mtype, _ = self._read_message()
-                if mtype == b"Z":
-                    return
-        except (PGError, ConnectionError, OSError):
-            return
+            except PGError:
+                continue  # a second ErrorResponse: keep draining to Z
+            except (ConnectionError, OSError):
+                return
+            if mtype == b"Z":
+                return
 
     # -- session -------------------------------------------------------------
 
@@ -182,13 +184,23 @@ class PGConnection:
         row count."""
         q = copy_sql.encode() + b"\0"
         self._send(b"Q" + struct.pack("!i", len(q) + 4) + q)
-        try:
-            mtype, _ = self._read_message()
-        except PGError:
-            self._drain_to_ready()
-            raise
-        if mtype != b"G":
-            raise PGError({"S": "ERROR", "M": f"expected CopyInResponse, got {mtype!r}"})
+        while True:
+            try:
+                mtype, _ = self._read_message()
+            except PGError:
+                self._drain_to_ready()
+                raise
+            if mtype == b"G":
+                break
+            if mtype in (b"N", b"S"):  # async Notice/ParameterStatus
+                continue
+            # anything else (e.g. 'C'+'Z' for a statement that is not
+            # a COPY): drain to ready so the session stays usable
+            if mtype != b"Z":
+                self._drain_to_ready()
+            raise PGError(
+                {"S": "ERROR", "M": f"expected CopyInResponse, got {mtype!r}"}
+            )
         buf = bytearray()
         for line in lines:
             buf += line.encode() + b"\n"

@@ -295,8 +295,18 @@ def running_distinct_stream(
             seen, hi_us = set(), None
         rows = pd.concat(list(batches), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"])
-        ts_us = rows["ts"].astype("int64") // 1000  # ns → µs
         if guarded:
+            # NULL ts: unordered, drop (ts IS NOT NULL convention) —
+            # NaT astypes to int64-min and would read maximally late
+            rows = rows[rows["ts"].notna()]
+            if rows.empty:
+                state.update((sorted(seen), hi_us))
+                yield pd.DataFrame(
+                    {"user_id": [], "event_id": [],
+                     "distinct_types_so_far": []}
+                )
+                return
+            ts_us = rows["ts"].astype("int64") // 1000  # ns → µs
             if hi_us is not None:
                 rows = rows[ts_us >= hi_us - late_delay_seconds * 1_000_000]
             new_hi = int(ts_us.max())
@@ -371,6 +381,14 @@ def late_row_filter(
     ) -> Iterator[pd.DataFrame]:
         hi_us = state.get[0] if state.exists else None
         rows = pd.concat(list(batches), ignore_index=True)
+        # NULL event times cannot be ordered: drop them explicitly
+        # (the engine-wide ts IS NOT NULL convention) — NaT would
+        # otherwise astype to int64-min and read as maximally late,
+        # and an all-NaT batch would poison the high-water mark
+        rows = rows[rows[ts_col].notna()]
+        if rows.empty:
+            yield rows[names]
+            return
         ts_us = rows[ts_col].astype("int64") // 1000  # ns → µs
         if hi_us is not None:
             keep = rows[ts_us >= hi_us - delay_seconds * 1_000_000]

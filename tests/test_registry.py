@@ -243,6 +243,16 @@ ROUND_AUDITED = {
     "statistic)",
     "llm_tfidf_topk": "libm (ln)",
     "llm_bm25_topk": "libm (ln — idf rounded at the transcendental)",
+    "llm_eval_brier": "libm (p is the quality_logit 6-dp sigmoid — exp "
+    "rounds at the transcendental) + ulp (Brier is a >2^53-unscaled "
+    "DECIMAL(38,12) ratio — the acf 9 dp emission; rel/res/unc fold "
+    "exact-int per-bin ingredients unrounded)",
+    "llm_eval_ece": "libm (the same 6-dp sigmoid p; ECE/MCE themselves "
+    "are exact-integer arithmetic with no further rounding)",
+    "llm_cluster_silhouette": "term (float32 components pre-rounded to "
+    "6 dp into the decimal centroid mean — float32 granularity keeps "
+    "6 dp far from midpoints, the agg_vector_centroid recipe; per-"
+    "vector s rounds sqrt-quotient digits at 6 dp, decimal-meaned)",
     "llm_hybrid_rrf": "libm (ln via the shared BM25 CTE)",
     "llm_sample_weighted": "libm (ln of exact-int uniform, pre-rank)",
     "llm_char_entropy": "libm (ln of exact ints) + term (decimal-summed)",
