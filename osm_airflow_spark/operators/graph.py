@@ -713,3 +713,113 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("assortativity"),
         )
     )
+
+
+def bfs_hops_multi(und: DataFrame, seeds: DataFrame, max_rounds: int = 8) -> DataFrame:
+    """Seed-TAGGED frontier BFS: ``seeds`` is (sid, node, hops=0);
+    labels/frontier key on (sid, node), so k sources expand in ONE
+    loop instead of k loops — the Eppstein–Wang sampled-centrality
+    shape (at planet scale the per-round shuffle carries k× the
+    frontier, not k× the rounds). Same discipline as ``bfs_hops``:
+    lineage cut per round, driver sees only take(1) emptiness
+    probes. Returns (sid, node, hops) = per-seed first-discovery
+    depth."""
+    labels, frontier = seeds, seeds
+    for depth in range(1, max_rounds + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["a"])
+            .select("sid", F.col("b").alias("node"))
+            .distinct()
+            .join(labels, ["sid", "node"], "left_anti")
+            .select("sid", "node", F.lit(depth).alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        labels = labels.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return labels
+
+
+@query(
+    "graph_closeness",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_EDGE_SQL}
+    ),
+    und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    nodes AS (SELECT DISTINCT a AS v FROM und),
+    seeds AS (SELECT v AS s FROM nodes ORDER BY v LIMIT 4),
+    walk(s, v, d) AS (
+      SELECT s, s, 0 FROM seeds
+      UNION
+      SELECT w.s, u.b, w.d + 1 FROM walk w JOIN und u ON u.a = w.v
+      WHERE w.d < 8
+    ),
+    dist AS (SELECT s, v, CAST(MIN(d) AS BIGINT) AS d FROM walk GROUP BY 1, 2),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    h AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN d > 0 THEN 840 // d ELSE 0 END) AS BIGINT)
+               AS h840,
+             CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_seeds_reached
+      FROM dist GROUP BY v
+    )
+    SELECT h.v AS node, h.n_seeds_reached, h.h840,
+           CAST(h.h840 AS DOUBLE) / 840.0 / 4.0 * (nn.n - 1)
+             AS harmonic_centrality
+    FROM h, nn
+    """,
+)
+def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r13) — sampled HARMONIC closeness centrality
+    (Eppstein–Wang 2004 sampling; Boldi–Vigna's harmonic form, which
+    handles disconnection without the 1/Σd blow-up): for every node,
+    ĥ(v) = (n−1)/k · Σ_{{s ∈ seeds}} 1/d(s, v), estimated from the
+    k = 4 alphabetically-first seed nodes. Completes the centrality
+    family beside PageRank (eigenvector-ish), k-core (degeneracy)
+    and BFS eccentricity.
+
+    Determinism: distances are exact BFS integers; every reciprocal
+    clears to an integer because lcm(1..8) = 840 divides each 840/d
+    exactly (the diameter cap IS the lcm bound), so Σ 840/d is an
+    exact BIGINT and the emitted estimate is fixed-order IEEE on
+    exact operands — no rounding anywhere. Seeds derive in-plan
+    (ORDER BY node LIMIT 4), no driver scalar.
+
+    Scale: ONE seed-tagged frontier loop (bfs_hops_multi) — per
+    round one shuffle keyed (sid, node); the undirected edge list is
+    checkpointed once; at planet scale pre-bucket edges by source so
+    the frontier join is one-sided, and k grows as O(log n / ε²) for
+    an ε-approximation, independent of graph size."""
+    edges = trade_edges(spark, sf_dir)
+    und = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select(F.col("a").alias("v")).distinct()
+    seeds = (
+        nodes.orderBy("v")
+        .limit(4)
+        .select(F.col("v").alias("sid"), F.col("v").alias("node"),
+                F.lit(0).alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    dist = bfs_hops_multi(und, seeds)
+    h = dist.groupBy("node").agg(
+        F.sum(
+            F.when(F.col("hops") > 0, F.floor(840 / F.col("hops"))).otherwise(0)
+        ).cast("long").alias("h840"),
+        F.sum(F.when(F.col("hops") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_seeds_reached"),
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return h.crossJoin(F.broadcast(nn)).select(
+        "node",
+        "n_seeds_reached",
+        "h840",
+        (
+            F.col("h840").cast("double") / 840.0 / 4.0 * (F.col("n") - 1)
+        ).alias("harmonic_centrality"),
+    )

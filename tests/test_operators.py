@@ -1581,3 +1581,73 @@ def test_win_atr_hand_fixture(spark, tmp_path):
     )
     want = con.execute(ORACLES["win_atr"]).fetchall()
     assert [tuple(r) for r in got] == want
+
+
+def test_graph_closeness_matches_python_bfs_replica(spark, sf_dir):
+    """Third implementation: pure-Python BFS from the same 4
+    alphabetically-first seeds over the collected trade edge list
+    must reproduce every (n_seeds_reached, h840, harmonic) exactly —
+    h840 is an exact integer (840 = lcm(1..8) clears each reciprocal)
+    so the comparison is equality, no tolerance. Also pins the
+    multi-seed kernel on a hand star graph: the hub is 1 hop from
+    every seed, rim nodes are 2 from every seed but 1 from
+    themselves-as-seed."""
+    from collections import deque
+
+    from osm_airflow_spark.operators.graph import (
+        bfs_hops_multi,
+        trade_edges,
+    )
+    from osm_airflow_spark.registry import all_queries
+
+    edges = [(r["a"], r["b"]) for r in trade_edges(spark, sf_dir).collect()]
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    seeds = nodes[:4]
+    n = len(nodes)
+
+    def bfs(s):
+        d = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            if d[v] >= 8:
+                continue
+            for w in adj[v]:
+                if w not in d:
+                    d[w] = d[v] + 1
+                    q.append(w)
+        return d
+
+    dists = {s: bfs(s) for s in seeds}
+    want = {}
+    for v in nodes:
+        ds = [dists[s].get(v) for s in seeds]
+        h840 = sum(840 // d for d in ds if d is not None and d > 0)
+        reached = sum(1 for d in ds if d is not None and d > 0)
+        want[v] = (reached, h840, h840 / 840.0 / 4.0 * (n - 1))
+
+    got = {
+        r["node"]: (r["n_seeds_reached"], r["h840"], r["harmonic_centrality"])
+        for r in all_queries()["graph_closeness"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+    # hand star: hub H, rim r1..r4 (seeds = H,r1,r2,r3 alphabetically)
+    star = spark.createDataFrame(
+        [("H", x) for x in ("r1", "r2", "r3", "r4")], "a string, b string"
+    )
+    und = star.union(star.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    seed_df = spark.createDataFrame(
+        [(s, s, 0) for s in ("H", "r1", "r2", "r3")],
+        "sid string, node string, hops int",
+    )
+    d = {
+        (r["sid"], r["node"]): r["hops"]
+        for r in bfs_hops_multi(und, seed_df).collect()
+    }
+    assert d[("H", "r4")] == 1 and d[("r1", "r4")] == 2
+    assert d[("r1", "r2")] == 2 and d[("r1", "H")] == 1
