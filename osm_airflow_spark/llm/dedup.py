@@ -1295,3 +1295,63 @@ def llm_dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_cut"),
     )
+
+
+@query(
+    "llm_edit_distance",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE doc_id % 97 = 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance,
+           1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                 / greatest(a.n, b.n, 1) AS edit_similarity
+    FROM s a JOIN s b ON b.doc_id = a.doc_id + 97
+    """,
+)
+def llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r13) — exact LEVENSHTEIN distance between sampled
+    document pairs: the character-level ground-truth metric the
+    token-level dedup family (MinHash Jaccard, SimHash Hamming,
+    winnowing fingerprints) approximates — used to adjudicate
+    near-dup candidates and to score OCR/extraction noise. Both
+    engines run their native integer DP (Spark's levenshtein expr,
+    DuckDB's levenshtein), so the distance is exact by construction
+    and the normalized similarity is one shared IEEE division of
+    exact integers (greatest(..., 1) guards empty-string pairs).
+
+    Scale: edit distance is O(|a|·|b|) PER PAIR — quadratic cost
+    lives inside the row, so the contract matches llm_sim_pairwise:
+    ALWAYS sample/block first (here the content-keyed doc_id % 97
+    grid joined to its successor — linear pair count), never a
+    corpus cross join; production adjudicates only LSH candidate
+    pairs this way (the llm_dedup_near bucket output is exactly the
+    right input)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.where(F.col("doc_id") % 97 == 0).select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    a = s.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("ta"),
+        F.col("n").alias("na"),
+    )
+    b = s.select(
+        (F.col("doc_id") - 97).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("tb"),
+        F.col("n").alias("nb"),
+    )
+    lev = F.levenshtein("ta", "tb")
+    return a.join(b, "doc_a").select(
+        "doc_a",
+        "doc_b",
+        lev.cast("long").alias("edit_distance"),
+        (
+            1.0
+            - lev.cast("double")
+            / F.greatest(F.col("na"), F.col("nb"), F.lit(1))
+        ).alias("edit_similarity"),
+    )

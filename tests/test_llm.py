@@ -2842,3 +2842,45 @@ def test_eval_ece_matches_pure_python_replica(spark, sf_dir):
     assert abs(row["ece"] - ece) < 1e-12
     assert abs(row["mce"] - mce) < 1e-12
     assert row["ece"] <= row["mce"] + 1e-12
+
+
+def test_edit_distance_known_answers_and_symmetry(spark, tmp_path):
+    """Levenshtein ground truths through the registered key: planted
+    docs at the sampled grid (0, 97, 194, 291) with hand-counted
+    distances — substitution+insertion (kitten→sitting = 3), pure
+    append, identical (0, similarity 1.0), and the empty-string
+    guard; plus oracle replay."""
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    docs = [
+        (0, "kitten"),
+        (97, "sitting"),
+        (194, "sitting here"),
+        (291, "sitting here"),
+        (388, ""),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    clear_plan_cache()
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["edit_distance"], r["edit_similarity"])
+        for r in QUERIES["llm_edit_distance"](spark, str(tmp_path)).collect()
+    }
+    clear_plan_cache()
+    assert got[(0, 97)] == (3, 1.0 - 3.0 / 7.0)
+    assert got[(97, 194)] == (5, 1.0 - 5.0 / 12.0)
+    assert got[(194, 291)] == (0, 1.0)
+    assert got[(291, 388)] == (12, 1.0 - 12.0 / 12.0)  # vs empty
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(ORACLES["llm_edit_distance"]).fetchall()
+    }
+    assert got == want
