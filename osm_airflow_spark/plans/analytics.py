@@ -9705,3 +9705,245 @@ def pipeline_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("no_trend")
         .alias("trend"),
     )
+
+
+def _strength_folds() -> tuple[str, str, str]:
+    """(ssr, str_sum, str_sq) SQL folds over the 12 pivoted per-month
+    -of-year columns — fixed textual order mo 1→12 (one shared IEEE
+    tree; empty months contribute 0.0). Per-mo ingredients are EXACT
+    decimals: within a month-of-year the seasonal denominator
+    24·n_years is CONSTANT, so residual×24·ny and deseasonalized
+    ×24·ny stay decimal until one cast per mo."""
+    def fold(terms):
+        out = terms[0]
+        for t in terms[1:]:
+            out = f"({out}) + ({t})"
+        return out
+
+    ssr = fold([
+        f"(CASE WHEN ny_{k} > 0 THEN CAST(qv_{k} AS DOUBLE) "
+        f"/ ((24.0 * ny_{k}) * (24.0 * ny_{k})) ELSE 0.0 END)"
+        for k in range(1, 13)
+    ])
+    trs = fold([
+        f"(CASE WHEN ny_{k} > 0 THEN CAST(sw_{k} AS DOUBLE) "
+        f"/ (24.0 * ny_{k}) ELSE 0.0 END)"
+        for k in range(1, 13)
+    ])
+    trq = fold([
+        f"(CASE WHEN ny_{k} > 0 THEN CAST(qw_{k} AS DOUBLE) "
+        f"/ ((24.0 * ny_{k}) * (24.0 * ny_{k})) ELSE 0.0 END)"
+        for k in range(1, 13)
+    ])
+    return ssr, trs, trq
+
+
+_STRENGTH_SSR, _STRENGTH_TRS, _STRENGTH_TRQ = _strength_folds()
+
+_STRENGTH_PIVOT = ", ".join(
+    f"MAX(CASE WHEN mo = {k} THEN ny END) AS ny_{k}, "
+    f"MAX(CASE WHEN mo = {k} THEN qv END) AS qv_{k}, "
+    f"MAX(CASE WHEN mo = {k} THEN sw END) AS sw_{k}, "
+    f"MAX(CASE WHEN mo = {k} THEN qw END) AS qw_{k}"
+    for k in range(1, 13)
+)
+
+
+@query(
+    "pipeline_seasonality_strength",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS mi,
+             CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS rdec
+      FROM orders GROUP BY 1, 2
+    ),
+    trend AS (
+      SELECT a.mi, a.mo, a.rdec,
+             CAST(SUM(CASE WHEN abs(b.mi - a.mi) = 6 THEN b.rdec
+                      ELSE 2 * b.rdec END) AS DECIMAL(18,2)) AS t24,
+             COUNT(*) AS n_frame
+      FROM monthly a JOIN monthly b ON b.mi BETWEEN a.mi - 6 AND a.mi + 6
+      GROUP BY a.mi, a.mo, a.rdec
+    ),
+    detr AS (
+      SELECT mi, mo, rdec,
+             CAST(24 * rdec - t24 AS DECIMAL(18,2)) AS d24
+      FROM trend WHERE n_frame = 13
+    ),
+    seas AS (
+      SELECT mo, CAST(SUM(d24) AS DECIMAL(18,2)) AS a_mo,
+             CAST(COUNT(*) AS DECIMAL(4,0)) AS ny
+      FROM detr GROUP BY mo
+    ),
+    permo AS (
+      -- squares need DECIMAL(28,2) operands: DuckDB's decimal
+      -- multiply does NOT widen ((18,2)x(18,2) -> DECIMAL(18,4),
+      -- int64 overflow — measured); (28,2) operands bind (38,4)
+      SELECT d.mo, s.ny,
+             SUM(CAST(d.d24 * s.ny - s.a_mo AS DECIMAL(28,2))
+                 * CAST(d.d24 * s.ny - s.a_mo AS DECIMAL(28,2))) AS qv,
+             SUM(CAST(24 * s.ny * d.rdec - s.a_mo AS DECIMAL(18,2))) AS sw,
+             SUM(CAST(24 * s.ny * d.rdec - s.a_mo AS DECIMAL(28,2))
+                 * CAST(24 * s.ny * d.rdec - s.a_mo AS DECIMAL(28,2))) AS qw
+      FROM detr d JOIN seas s USING (mo)
+      GROUP BY d.mo, s.ny
+    ),
+    gstats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(d24) AS DECIMAL(18,2)) AS sd,
+             CAST(SUM(CAST(d24 AS DECIMAL(28,2))
+                      * CAST(d24 AS DECIMAL(28,2))) AS DECIMAL(38,4)) AS qd
+      FROM detr
+    ),
+    wide AS (SELECT {_STRENGTH_PIVOT} FROM permo),
+    v AS (
+      SELECT g.m,
+             ({_STRENGTH_SSR}) / g.m AS var_resid,
+             CAST(g.qd AS DOUBLE) / 576.0 / g.m
+               - (CAST(g.sd AS DOUBLE) / 24.0 / g.m)
+                 * (CAST(g.sd AS DOUBLE) / 24.0 / g.m) AS var_sr,
+             ({_STRENGTH_TRQ}) / g.m
+               - (({_STRENGTH_TRS}) / g.m) * (({_STRENGTH_TRS}) / g.m)
+               AS var_tr
+      FROM gstats g, wide
+    )
+    SELECT m AS n_months,
+           CASE WHEN var_sr > 0 THEN
+             round(greatest(0.0, 1.0 - var_resid / var_sr), 9) + 0.0 END
+             AS f_seasonal,
+           CASE WHEN var_tr > 0 THEN
+             round(greatest(0.0, 1.0 - var_resid / var_tr), 9) + 0.0 END
+             AS f_trend
+    FROM v
+    """,
+)
+def pipeline_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r13) — SEASONALITY / TREND STRENGTH of monthly
+    revenue (Hyndman's tsfeatures F_s = max(0, 1 − Var(R)/Var(S+R)),
+    F_t = max(0, 1 − Var(R)/Var(T+R))): the single-number follow-up
+    to pipeline_seasonal_decompose — 'is the seasonal component worth
+    modeling' before anyone reads 84 rows of decomposition.
+
+    Exactness strategy: the seasonal component is the per-month-of-
+    year MEAN of the detrended series, so Var(R) is a WITHIN-GROUP
+    sum of squares — and within one month-of-year the seasonal
+    denominator 24·n_years is CONSTANT, so residual·24·ny =
+    d24·ny − Σ_mo d24 and deseasonalized·24·ny = 24·ny·r − Σ_mo d24
+    stay EXACT DECIMAL through their squares (DECIMAL(18,2)² =
+    (37,4), no precision-loss cap); each month-of-year contributes
+    one exact aggregate, folded 12-wide in fixed textual order (the
+    brier/ece pattern). Σ residual ≡ 0 exactly (residuals of group
+    means), so Var(R) needs only the square fold. The >2^53-unscaled
+    decimal→double casts can split one ulp between engines (SCALE
+    r9), so F_s/F_t emit at the house 9-dp ratio recipe; degenerate
+    zero-variance series emit NULL, never a divide-by-zero.
+
+    Scale: one corpus pass to the months spine; the ±6 frame is the
+    decompose key's bounded self-join; everything after is 12-row
+    control plane."""
+    o = load_table(spark, sf_dir, "orders")
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("long")
+    monthly = (
+        o.groupBy(
+            mi.alias("mi"), F.month("o_orderdate").cast("int").alias("mo")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rdec")
+        )
+        .localCheckpoint(eager=True)
+    )
+    b = monthly.select(F.col("mi").alias("bmi"), F.col("rdec").alias("brdec"))
+    w24 = F.when(
+        F.abs(F.col("bmi") - F.col("mi")) == 6, F.col("brdec")
+    ).otherwise(2 * F.col("brdec"))
+    trend = (
+        monthly.join(
+            F.broadcast(b),
+            F.col("bmi").between(F.col("mi") - 6, F.col("mi") + 6),
+        )
+        .groupBy("mi", "mo", "rdec")
+        .agg(
+            F.sum(w24).cast("decimal(18,2)").alias("t24"),
+            F.count(F.lit(1)).alias("n_frame"),
+        )
+    )
+    detr = (
+        trend.where(F.col("n_frame") == 13)
+        .select(
+            "mi", "mo", "rdec",
+            (24 * F.col("rdec") - F.col("t24"))
+            .cast("decimal(18,2)")
+            .alias("d24"),
+        )
+        .localCheckpoint(eager=True)  # seas + permo + glob read it
+    )
+    seas = detr.groupBy("mo").agg(
+        F.sum("d24").cast("decimal(18,2)").alias("a_mo"),
+        F.count(F.lit(1)).cast("decimal(4,0)").alias("ny"),
+    )
+    v_col = (F.col("d24") * F.col("ny") - F.col("a_mo")).cast("decimal(18,2)")
+    w_col = (24 * F.col("ny") * F.col("rdec") - F.col("a_mo")).cast(
+        "decimal(18,2)"
+    )
+    permo = (
+        detr.join(F.broadcast(seas), "mo")
+        .groupBy("mo", "ny")
+        .agg(
+            F.sum(v_col * v_col).alias("qv"),
+            F.sum(w_col).alias("sw"),
+            F.sum(w_col * w_col).alias("qw"),
+        )
+    )
+    glob = detr.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("d24").cast("decimal(18,2)").alias("sd"),
+        F.sum(F.col("d24").cast("decimal(18,2)") * F.col("d24").cast("decimal(18,2)"))
+        .cast("decimal(38,4)")
+        .alias("qd"),
+    )
+    pivot_cols = []
+    for k in range(1, 13):
+        is_k = F.col("mo") == k
+        pivot_cols.append(F.max(F.when(is_k, F.col("ny"))).alias(f"ny_{k}"))
+        pivot_cols.append(F.max(F.when(is_k, F.col("qv"))).alias(f"qv_{k}"))
+        pivot_cols.append(F.max(F.when(is_k, F.col("sw"))).alias(f"sw_{k}"))
+        pivot_cols.append(F.max(F.when(is_k, F.col("qw"))).alias(f"qw_{k}"))
+    wide = permo.agg(*pivot_cols)
+    v = glob.crossJoin(F.broadcast(wide)).select(
+        "m",
+        (F.expr(_STRENGTH_SSR) / F.col("m")).alias("var_resid"),
+        (
+            F.col("qd").cast("double") / 576.0 / F.col("m")
+            - (F.col("sd").cast("double") / 24.0 / F.col("m"))
+            * (F.col("sd").cast("double") / 24.0 / F.col("m"))
+        ).alias("var_sr"),
+        (
+            F.expr(_STRENGTH_TRQ) / F.col("m")
+            - (F.expr(_STRENGTH_TRS) / F.col("m"))
+            * (F.expr(_STRENGTH_TRS) / F.col("m"))
+        ).alias("var_tr"),
+    )
+    return v.select(
+        F.col("m").alias("n_months"),
+        F.when(
+            F.col("var_sr") > 0,
+            F.round(
+                F.greatest(F.lit(0.0), 1.0 - F.col("var_resid") / F.col("var_sr")),
+                9,
+            )
+            + F.lit(0.0),
+        ).alias("f_seasonal"),
+        F.when(
+            F.col("var_tr") > 0,
+            F.round(
+                F.greatest(F.lit(0.0), 1.0 - F.col("var_resid") / F.col("var_tr")),
+                9,
+            )
+            + F.lit(0.0),
+        ).alias("f_trend"),
+    )

@@ -2122,3 +2122,55 @@ def test_mann_kendall_planted_trend_and_ties(spark, tmp_path):
     assert (r["s_stat"], r["var_s18"], r["z_stat"], r["trend"]) == (
         0, 0, None, "no_trend",
     )
+
+
+def test_seasonality_strength_pure_cases(spark, tmp_path):
+    """Closed-form regime pins: a purely periodic series (constant
+    base + exact month-of-year offsets) has ZERO residual, so
+    f_seasonal == 1.0 exactly and the deseasonalized series is
+    constant → f_trend NULL (zero variance, guarded); a pure linear
+    ramp detrends to zero, so f_seasonal is NULL and f_trend == 1.0.
+    Both replayed against the DuckDB oracle end to end."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    offsets = [0, 50, -30, 80, 10, -60, 40, -20, 70, -50, 20, -10]
+    cases = {
+        "seasonal": lambda mi: 1000.0 + offsets[mi % 12],
+        "ramp": lambda mi: 100.0 * mi,
+    }
+    for name, fn in cases.items():
+        base = tmp_path / name
+        base.mkdir()
+        rows = [
+            (mi, datetime.date(2020 + mi // 12, mi % 12 + 1, 15), fn(mi))
+            for mi in range(36)
+        ]
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+        ).coalesce(1).write.parquet(str(base / "orders.parquet"))
+        clear_plan_cache()
+        got = QUERIES["pipeline_seasonality_strength"](
+            spark, str(base)
+        ).collect()
+        clear_plan_cache()
+        assert len(got) == 1
+        r = got[0]
+        assert r["n_months"] == 24  # 36 months minus 6 trimmed each end
+        if name == "seasonal":
+            assert r["f_seasonal"] == 1.0
+            assert r["f_trend"] is None
+        else:
+            assert r["f_seasonal"] is None
+            assert r["f_trend"] == 1.0
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM read_parquet("
+            f"'{base}/orders.parquet/*.parquet')"
+        )
+        want = con.execute(ORACLES["pipeline_seasonality_strength"]).fetchall()
+        assert [tuple(x) for x in got] == want
+        con.close()
