@@ -1049,3 +1049,133 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 + element_at(arr, CAST(n - n div 20 AS INT)))
                 AS DOUBLE) / n AS winsor_mean""",
     )
+
+
+@query(
+    "agg_moments",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderpriority AS prio,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      FROM orders
+    ),
+    pw AS (
+      SELECT prio, p,
+             CAST(CAST(p AS DECIMAL(19,2)) * CAST(p AS DECIMAL(19,2))
+                  AS DECIMAL(19,4)) AS p2
+      FROM x
+    ),
+    sums AS (
+      SELECT prio,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(p) AS DECIMAL(38,2)) AS s1,
+             CAST(SUM(p2) AS DECIMAL(38,4)) AS s2,
+             CAST(SUM(CAST(p2 AS DECIMAL(28,4))
+                      * CAST(p AS DECIMAL(10,2))) AS DECIMAL(38,6)) AS s3,
+             CAST(SUM(CAST(p2 AS DECIMAL(19,4))
+                      * CAST(p2 AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS s4
+      FROM pw GROUP BY prio
+    ),
+    mom AS (
+      SELECT prio, n,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM sums
+    ),
+    cen AS (
+      SELECT prio, n, mu,
+             r2 - mu * mu AS m2,
+             r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+             r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                - 3.0 * mu * mu * mu * mu AS m4
+      FROM mom
+    )
+    SELECT prio, n,
+           round(mu, 6) + 0.0 AS mean_price,
+           CASE WHEN m2 > 0 THEN
+             round(m3 / sqrt(m2 * m2 * m2), 9) + 0.0 END AS skewness,
+           CASE WHEN m2 > 0 THEN
+             round(m4 / (m2 * m2) - 3.0, 9) + 0.0 END AS excess_kurtosis
+    FROM cen
+    """,
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (r13) — population SKEWNESS and EXCESS KURTOSIS of
+    order value per priority class: the shape moments beside the
+    existing mean/σ screens (is the value distribution fat-tailed or
+    lopsided per segment — the pricing-anomaly cousin of
+    pipeline_jarque_bera, which consumes exactly these two numbers).
+
+    Determinism: the four raw power sums are EXACT decimals — prices
+    are cents-exact DECIMAL(18,2); p² binds (19,2)×(19,2)→(38,4) in
+    DuckDB (its multiply does NOT widen, the r13 ledger rule, so
+    operands are pre-cast) and (39→38,4) losslessly in Spark; p³/p⁴
+    build from p² with operand widths chosen so BOTH engines keep
+    exact integers under the 38-digit cap through sf~1 (Σp⁴ ≈ 6·10²⁸
+    at sf0.1, scale 8 → 37 digits; the documented headroom knob is
+    dollars-not-cents quantization). Central moments derive from the
+    raw sums in ONE shared IEEE tree per engine (>2^53 decimal→double
+    casts can split an ulp — the 9-dp ratio emission absorbs it);
+    zero-variance groups emit NULL, never NaN.
+
+    Scale: one corpus pass, one 5-group aggregate — partial
+    aggregation does the map-side combine; no joins, no windows."""
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    pw = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        p.alias("p"),
+        (p.cast("decimal(19,2)") * p.cast("decimal(19,2)"))
+        .cast("decimal(19,4)")
+        .alias("p2"),
+    )
+    sums = pw.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("p").cast("decimal(38,2)").alias("s1"),
+        F.sum("p2").cast("decimal(38,4)").alias("s2"),
+        F.sum(
+            F.col("p2").cast("decimal(28,4)") * F.col("p").cast("decimal(10,2)")
+        )
+        .cast("decimal(38,6)")
+        .alias("s3"),
+        F.sum(
+            F.col("p2").cast("decimal(19,4)") * F.col("p2").cast("decimal(19,4)")
+        )
+        .cast("decimal(38,8)")
+        .alias("s4"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    r2 = F.col("s2").cast("double") / F.col("n")
+    r3 = F.col("s3").cast("double") / F.col("n")
+    r4 = F.col("s4").cast("double") / F.col("n")
+    cen = sums.select(
+        "prio", "n",
+        mu.alias("mu"),
+        (r2 - mu * mu).alias("m2"),
+        (r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu).alias("m3"),
+        (
+            r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+            - 3.0 * mu * mu * mu * mu
+        ).alias("m4"),
+    )
+    return cen.select(
+        "prio",
+        "n",
+        (F.round(F.col("mu"), 6) + F.lit(0.0)).alias("mean_price"),
+        F.when(
+            F.col("m2") > 0,
+            F.round(
+                F.col("m3")
+                / F.sqrt(F.col("m2") * F.col("m2") * F.col("m2")),
+                9,
+            )
+            + F.lit(0.0),
+        ).alias("skewness"),
+        F.when(
+            F.col("m2") > 0,
+            F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0, 9)
+            + F.lit(0.0),
+        ).alias("excess_kurtosis"),
+    )

@@ -1651,3 +1651,51 @@ def test_graph_closeness_matches_python_bfs_replica(spark, sf_dir):
     }
     assert d[("H", "r4")] == 1 and d[("r1", "r4")] == 2
     assert d[("r1", "r2")] == 2 and d[("r1", "H")] == 1
+
+
+def test_agg_moments_closed_form_distributions(spark, tmp_path):
+    """Closed forms: a symmetric two-point distribution has skewness
+    0 and excess kurtosis −2 exactly (Bernoulli(½) shape); a constant
+    group is zero-variance → NULL moments, never NaN; and a planted
+    one-sided outlier drives skewness positive. Replayed on the
+    oracle."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    rows = []
+    k = 0
+    for _ in range(10):  # symmetric two-point: 100 and 300
+        for v in (100.0, 300.0):
+            rows.append((k, datetime.date(2024, 1, 1), "A-SYM", v)); k += 1
+    for _ in range(8):  # constant group
+        rows.append((k, datetime.date(2024, 1, 1), "B-CONST", 42.0)); k += 1
+    for v in [100.0] * 9 + [1000.0]:  # right outlier
+        rows.append((k, datetime.date(2024, 1, 1), "C-SKEW", v)); k += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderdate date, o_orderpriority string,"
+        " o_totalprice double",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    clear_plan_cache()
+    got = {
+        r["prio"]: r
+        for r in QUERIES["agg_moments"](spark, str(tmp_path)).collect()
+    }
+    clear_plan_cache()
+    assert got["A-SYM"]["skewness"] == 0.0
+    assert got["A-SYM"]["excess_kurtosis"] == -2.0
+    assert got["A-SYM"]["mean_price"] == 200.0
+    assert got["B-CONST"]["skewness"] is None
+    assert got["B-CONST"]["excess_kurtosis"] is None
+    assert got["C-SKEW"]["skewness"] > 2.0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/orders.parquet/*.parquet')"
+    )
+    want = {r[0]: r for r in con.execute(ORACLES["agg_moments"]).fetchall()}
+    for prio, r in got.items():
+        assert tuple(r) == want[prio]

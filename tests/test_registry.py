@@ -253,6 +253,12 @@ ROUND_AUDITED = {
     "6 dp into the decimal centroid mean — float32 granularity keeps "
     "6 dp far from midpoints, the agg_vector_centroid recipe; per-"
     "vector s rounds sqrt-quotient digits at 6 dp, decimal-meaned)",
+    "pipeline_seasonality_strength": "ulp (F_s/F_t are ratios of "
+    ">2^53-unscaled exact-decimal-derived doubles — the acf 9 dp "
+    "ratio emission; Σresid ≡ 0 exactly so only square folds round)",
+    "agg_moments": "ulp (central moments derive from >2^53-unscaled "
+    "exact decimal power sums — 9 dp ratio emission for skew/kurt, "
+    "6 dp for the mean; zero-variance groups NULL before any round)",
     "llm_hybrid_rrf": "libm (ln via the shared BM25 CTE)",
     "llm_sample_weighted": "libm (ln of exact-int uniform, pre-rank)",
     "llm_char_entropy": "libm (ln of exact ints) + term (decimal-summed)",
