@@ -1258,3 +1258,101 @@ def win_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("trng").cast("double").alias("true_range"),
         (F.col("frame_cents").cast("double") / 100.0 / 14.0).alias("atr_14"),
     )
+
+
+@query(
+    "win_donchian",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS hi,
+             CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS lo,
+             CAST(max_by(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+                  AS DECIMAL(18,2)) AS cl
+      FROM orders GROUP BY 1
+    ),
+    frame AS (
+      SELECT a.day, a.cl,
+             MAX(b.hi) AS hi14, MIN(b.lo) AS lo14, COUNT(*) AS n_days
+      FROM daily a JOIN daily b
+        ON b.day BETWEEN a.day - INTERVAL 13 DAY AND a.day
+      GROUP BY a.day, a.cl
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(hi14 AS DOUBLE) AS channel_high,
+           CAST(lo14 AS DOUBLE) AS channel_low,
+           CASE WHEN hi14 > lo14 THEN
+             round(CAST(cl - lo14 AS DOUBLE) / CAST(hi14 - lo14 AS DOUBLE), 9)
+               + 0.0 END AS channel_position
+    FROM frame WHERE n_days = 14
+    """,
+)
+def win_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r13) — DONCHIAN CHANNEL over the daily series: trailing
+    14-calendar-day high/low band + where today's close sits inside
+    it (the breakout screen beside win_bollinger's σ-bands, win_rsi's
+    momentum and win_atr's width — channel_position ∈ [0,1], 1 =
+    closing on the channel high). Only frames with all 14 calendar
+    days present emit — a gapped frame would silently narrow the
+    band.
+
+    Determinism: prices cast once to DECIMAL(18,2); hi/lo/close,
+    the frame MAX/MIN and both differences are exact decimal
+    (min/max are pure selection — no arithmetic to diverge); the
+    position is one ratio of exact-decimal-derived doubles at the
+    9-dp house emission, NULL on a flat channel.
+
+    Scale + lint: windowless by construction — the trailing frame is
+    a BOUNDED calendar self-join of the daily table (the
+    seasonal_decompose precedent: offsets fix running sums, not
+    sliding MIN/MAX, so bucket-offset machinery doesn't apply and a
+    global window is lint-banned); days² at a decade is control-plane
+    sized and broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    daily = (
+        o.groupBy(
+            F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+        )
+        .agg(
+            F.max(price).alias("hi"),
+            F.min(price).alias("lo"),
+            F.expr(
+                "max_by(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)"
+            ).alias("cl"),
+        )
+        .localCheckpoint(eager=True)  # both self-join sides
+    )
+    b = daily.select(
+        F.col("day").alias("bday"), F.col("hi").alias("bhi"),
+        F.col("lo").alias("blo"),
+    )
+    frame = (
+        daily.join(
+            F.broadcast(b),
+            F.col("bday").between(F.date_sub(F.col("day"), 13), F.col("day")),
+        )
+        .groupBy("day", "cl")
+        .agg(
+            F.max("bhi").alias("hi14"),
+            F.min("blo").alias("lo14"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .where(F.col("n_days") == 14)
+    )
+    return frame.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("hi14").cast("double").alias("channel_high"),
+        F.col("lo14").cast("double").alias("channel_low"),
+        F.when(
+            F.col("hi14") > F.col("lo14"),
+            F.round(
+                (F.col("cl") - F.col("lo14")).cast("double")
+                / (F.col("hi14") - F.col("lo14")).cast("double"),
+                9,
+            )
+            + F.lit(0.0),
+        ).alias("channel_position"),
+    )

@@ -1699,3 +1699,50 @@ def test_agg_moments_closed_form_distributions(spark, tmp_path):
     want = {r[0]: r for r in con.execute(ORACLES["agg_moments"]).fetchall()}
     for prio, r in got.items():
         assert tuple(r) == want[prio]
+
+
+def test_win_donchian_rising_series_and_gap(spark, tmp_path):
+    """Closed forms: a strictly rising dense daily series closes on
+    its channel high every day (position == 1.0 exactly; channel_low
+    = price 13 days back); removing one calendar day kills exactly
+    the 14 frames that needed it. Oracle replayed."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    def run(days, sub):
+        base = tmp_path / sub
+        base.mkdir()
+        rows = [
+            (i, datetime.date(2024, 1, 1) + datetime.timedelta(days=d),
+             1000.0 + 10.0 * d)
+            for i, d in enumerate(days)
+        ]
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+        ).coalesce(1).write.parquet(str(base / "orders.parquet"))
+        clear_plan_cache()
+        got = QUERIES["win_donchian"](spark, str(base)).collect()
+        clear_plan_cache()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM read_parquet("
+            f"'{base}/orders.parquet/*.parquet')"
+        )
+        want = con.execute(ORACLES["win_donchian"]).fetchall()
+        assert sorted(tuple(r) for r in got) == sorted(want)
+        return {r["day"]: r for r in got}
+
+    dense = run(list(range(20)), "dense")
+    assert len(dense) == 7  # days 14..20 own full frames
+    r = dense["2024-01-20"]
+    assert r["channel_position"] == 1.0  # rising: close IS the high
+    assert r["channel_high"] == 1000.0 + 10.0 * 19
+    assert r["channel_low"] == 1000.0 + 10.0 * 6  # 13 days back
+
+    gapped = run([d for d in range(20) if d != 10], "gapped")
+    # every frame that includes day 10 (i.e. anchor days 10..23 of
+    # the span → anchors 14..20 here all include it except day 24+)
+    assert len(gapped) == 0
