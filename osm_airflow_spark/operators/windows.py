@@ -1356,3 +1356,275 @@ def win_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0),
         ).alias("channel_position"),
     )
+
+
+@query(
+    "win_obv",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(max_by(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+                  AS DECIMAL(18,2)) AS cl,
+             COUNT(*) AS vol
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT day, vol, cl, LAG(cl) OVER (ORDER BY day) AS pc
+      FROM daily
+    ),
+    flows AS (
+      SELECT day,
+             CASE WHEN cl > pc THEN vol
+                  WHEN cl < pc THEN -vol
+                  ELSE 0 END AS flow
+      FROM lagged WHERE pc IS NOT NULL
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(flow AS BIGINT) AS flow,
+           CAST(SUM(flow) OVER (ORDER BY day) AS BIGINT) AS obv
+    FROM flows
+    """,
+)
+def win_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r13) — ON-BALANCE VOLUME over the daily series (Granville
+    1963): each day's order count flows with the close-to-close price
+    direction (up-day adds volume, down-day subtracts, flat adds
+    nothing) and OBV is the running total — the volume-confirmation
+    readout beside win_rsi's momentum and win_donchian's breakout
+    band. Daily proxies match the ATR/donchian family: close =
+    max_by(price, o_orderkey) (unique-key tie-break), volume = order
+    count. The series starts at the first day WITH a predecessor (the
+    ATR rn >= 2 convention): OBV is an anchored cumulative, so the
+    anchor day itself emits no row.
+
+    Determinism: prices cast once to DECIMAL(18,2); the close lag,
+    the three-way sign, and the running sum are all exact
+    integer/decimal arithmetic — zero float exposure in any column.
+
+    Scale + lint: no global window — the day rank, the lag-1
+    predecessor, and the anchored cumulative all ride
+    ``bucketed_running`` (B-way parallel windows + exact offsets)
+    exactly as win_atr; days are calendar-bounded so both extra
+    passes are control-plane sized. The DuckDB oracle keeps its plain
+    window form — only values must match."""
+    from osm_airflow_spark.bucketing import bucketed_running
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(
+        F.expr(
+            "max_by(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)"
+        ).alias("cl"),
+        F.count(F.lit(1)).alias("vol"),
+    )
+    daily = daily.select(
+        "*", F.datediff("day", F.lit("1970-01-01")).alias("day_i"),
+        F.lit(1).alias("one"),
+    )
+    ranked, _ = bucketed_running(daily, "day_i", ["one"])
+    d1 = ranked.select(
+        "day", "cl", "vol", F.col("run_one").cast("long").alias("rn")
+    )
+    prev = d1.select((F.col("rn") + 1).alias("rn"), F.col("cl").alias("pc"))
+    flows = d1.join(prev, "rn").select(
+        "rn", "day",
+        F.when(F.col("cl") > F.col("pc"), F.col("vol"))
+        .when(F.col("cl") < F.col("pc"), -F.col("vol"))
+        .otherwise(F.lit(0)).cast("long").alias("flow"),
+    )
+    run, _ = bucketed_running(flows, "rn", ["flow"])
+    return run.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("flow").cast("long").alias("flow"),
+        F.col("run_flow").cast("long").alias("obv"),
+    )
+
+
+@query(
+    "win_aroon",
+    oracle="""
+    WITH daily0 AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS hi_c,
+             CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS lo_c
+      FROM orders GROUP BY 1
+    ),
+    daily AS (
+      SELECT *, CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT)
+                  AS day_i
+      FROM daily0
+    ),
+    frame AS (
+      SELECT a.day, a.day_i,
+             MAX(b.hi_c * 32768 + b.day_i) AS enc_hi,
+             MIN(b.lo_c * 32768 + (32767 - b.day_i)) AS enc_lo,
+             COUNT(*) AS n_days
+      FROM daily a JOIN daily b
+        ON b.day BETWEEN a.day - INTERVAL 13 DAY AND a.day
+      GROUP BY a.day, a.day_i
+    ),
+    since AS (
+      SELECT day,
+             day_i - (enc_hi % 32768) AS dsh,
+             day_i - (32767 - (enc_lo % 32768)) AS dsl
+      FROM frame WHERE n_days = 14
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(dsh AS BIGINT) AS days_since_high,
+           CAST(dsl AS BIGINT) AS days_since_low,
+           CAST((14 - dsh) * 100 AS DOUBLE) / 14.0 AS aroon_up,
+           CAST((14 - dsl) * 100 AS DOUBLE) / 14.0 AS aroon_down,
+           CAST((14 - dsh) * 100 AS DOUBLE) / 14.0
+             - CAST((14 - dsl) * 100 AS DOUBLE) / 14.0 AS aroon_osc
+    FROM since
+    """,
+)
+def win_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r13) — AROON indicator (Chande 1995) over the daily
+    series: how recently the trailing 14-calendar-day high and low
+    were set. aroon_up = 100·(14 − days_since_high)/14 (100 = the
+    high is today, fading as it ages); the oscillator (up − down) is
+    the trend-direction readout beside win_donchian's band POSITION —
+    donchian says where the close sits, aroon says how FRESH each
+    band edge is. Only full 14-day frames emit (the donchian gap
+    rule).
+
+    Determinism: the frame argmax/argmin ride ONE exact integer
+    encoding — cents·32768 + day_index (cents ≤ 5·10⁷ from
+    DECIMAL(18,2) prices, day_index < 32768 through year 2059, so the
+    encode is < 2^53 and collision-free) — MAX picks the highest
+    price breaking ties toward the LATEST day; the low side mirrors
+    the day index (32767 − i) so MIN also tie-breaks latest. Both
+    engines decode with the same % — every column is exact integer
+    until the two shared single-division IEEE trees.
+
+    Scale + lint: windowless — the donchian bounded calendar
+    self-join (days² at a decade is control-plane sized, broadcast);
+    one groupBy over the frame."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    daily = (
+        o.groupBy(
+            F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+        )
+        .agg(
+            (F.max(price) * 100).cast("long").alias("hi_c"),
+            (F.min(price) * 100).cast("long").alias("lo_c"),
+        )
+        .select(
+            "*",
+            F.datediff("day", F.lit("1970-01-01")).cast("long").alias("day_i"),
+        )
+        .localCheckpoint(eager=True)  # both self-join sides
+    )
+    b = daily.select(
+        F.col("day").alias("bday"),
+        (F.col("hi_c") * 32768 + F.col("day_i")).alias("benc_hi"),
+        (F.col("lo_c") * 32768 + (32767 - F.col("day_i"))).alias("benc_lo"),
+    )
+    frame = (
+        daily.join(
+            F.broadcast(b),
+            F.col("bday").between(F.date_sub(F.col("day"), 13), F.col("day")),
+        )
+        .groupBy("day", "day_i")
+        .agg(
+            F.max("benc_hi").alias("enc_hi"),
+            F.min("benc_lo").alias("enc_lo"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .where(F.col("n_days") == 14)
+    )
+    dsh = F.col("day_i") - F.col("enc_hi") % 32768
+    dsl = F.col("day_i") - (32767 - F.col("enc_lo") % 32768)
+    up = ((14 - dsh) * 100).cast("double") / 14.0
+    down = ((14 - dsl) * 100).cast("double") / 14.0
+    return frame.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        dsh.cast("long").alias("days_since_high"),
+        dsl.cast("long").alias("days_since_low"),
+        up.alias("aroon_up"),
+        down.alias("aroon_down"),
+        (up - down).alias("aroon_osc"),
+    )
+
+
+@query(
+    "win_vwap",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(EXTRACT(year FROM l_shipdate) * 12
+                  + EXTRACT(month FROM l_shipdate) - 1 AS BIGINT) AS mi,
+             CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS pq_c,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    run AS (
+      SELECT day,
+             CAST(SUM(pq_c) OVER w AS BIGINT) AS run_pq,
+             CAST(SUM(q) OVER w AS BIGINT) AS run_q
+      FROM daily
+      WINDOW w AS (PARTITION BY mi ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           run_q AS cum_qty,
+           CAST(run_pq AS DOUBLE) / run_q / 100.0 AS vwap
+    FROM run
+    """,
+)
+def win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r13) — month-ANCHORED VWAP over lineitem: the cumulative
+    quantity-weighted average price from each month's first shipping
+    day through the current day (the execution-quality benchmark the
+    finance family was missing — OBV weights direction by volume,
+    VWAP weights PRICE by volume; the anchor resets monthly, the
+    intraday-session convention lifted to the fixture's daily grain).
+
+    Determinism: l_extendedprice is ALREADY price·qty by TPC-H
+    construction, so the numerator is its exact cent sum (cast once
+    to DECIMAL(18,2), ·100 exact) and the denominator sums
+    l_quantity (integral by construction) as BIGINT — both running
+    sums exact; vwap is one shared two-division IEEE tree over
+    exact-long casts, unrounded. Integer headroom: a month's cent
+    total stays < 2^53 through sf ≈ 1000; past that the documented
+    decimal(38,0) upgrade applies (the kruskal n³−n knob).
+
+    Scale + lint: the running sum is a window PARTITIONED by month
+    (≤ 31 rows per partition — never global, lint-clean) over the
+    pre-aggregated daily table, so the corpus is touched exactly
+    once by the groupBy; day is unique within a month, so the frame
+    order is total and partition-count independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+        .cast("long").alias("mi"),
+        F.date_trunc("day", F.col("l_shipdate")).cast("date").alias("day"),
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)") * 100
+        ).cast("long").alias("pq_c"),
+        F.sum(F.col("l_quantity").cast("long")).alias("q"),
+    )
+    w = (
+        Window.partitionBy("mi")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = daily.select(
+        "day",
+        F.sum("pq_c").over(w).cast("long").alias("run_pq"),
+        F.sum("q").over(w).cast("long").alias("run_q"),
+    )
+    return run.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("run_q").alias("cum_qty"),
+        (F.col("run_pq").cast("double") / F.col("run_q") / 100.0).alias(
+            "vwap"
+        ),
+    )

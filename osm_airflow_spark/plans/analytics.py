@@ -9947,3 +9947,387 @@ def pipeline_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame
             + F.lit(0.0),
         ).alias("f_trend"),
     )
+
+
+# Brown–Forsythe wide-pivot chains (the anova fixed-order rule): per
+# weekday d the exact-long sufficient stats of the doubled absolute
+# deviation z = |2v − m2_d| are pivoted to columns so every
+# cross-group double reduction is one left-associated IEEE tree.
+_BF_DAYS = list(range(7))
+
+
+@query(
+    "pipeline_levene",
+    oracle=f"""
+    WITH pur AS (
+      SELECT (EXTRACT(isodow FROM ts) - 1) AS g,
+             CAST(CAST(round(value, 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+        AND ts IS NOT NULL
+    ),
+    ranked AS (
+      SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM pur
+    ),
+    m2 AS (
+      SELECT g,
+             CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN v ELSE 0 END)
+                  + SUM(CASE WHEN rn = (n + 2) // 2 THEN v ELSE 0 END)
+                  AS BIGINT) AS m2
+      FROM ranked GROUP BY g
+    ),
+    z AS (
+      SELECT p.g, ABS(2 * p.v - m.m2) AS z2
+      FROM pur p JOIN m2 m ON m.g = p.g
+    ),
+    stats AS (
+      SELECT g, COUNT(*) AS n,
+             CAST(SUM(z2) AS BIGINT) AS sz,
+             CAST(SUM(z2 * z2) AS BIGINT) AS szz
+      FROM z GROUP BY g
+    ),
+    wide AS (
+      SELECT
+        {', '.join(f"MAX(CASE WHEN g = {d} THEN n END) AS n{d}, "
+                   f"CAST(MAX(CASE WHEN g = {d} THEN sz END) AS DOUBLE)"
+                   f" AS s{d}, "
+                   f"CAST(MAX(CASE WHEN g = {d} THEN szz END) AS DOUBLE)"
+                   f" AS q{d}"
+                   for d in _BF_DAYS)}
+      FROM stats
+    )
+    SELECT CAST({' + '.join(f'n{d}' for d in _BF_DAYS)} AS BIGINT) AS n,
+           CAST(7 AS BIGINT) AS k,
+           ({' + '.join(f's{d} * s{d} / n{d}' for d in _BF_DAYS)})
+             - ({' + '.join(f's{d}' for d in _BF_DAYS)})
+               * ({' + '.join(f's{d}' for d in _BF_DAYS)})
+               / ({' + '.join(f'n{d}' for d in _BF_DAYS)}) AS ss_between,
+           ({' + '.join(f'q{d}' for d in _BF_DAYS)})
+             - ({' + '.join(f's{d} * s{d} / n{d}' for d in _BF_DAYS)})
+             AS ss_within,
+           CASE WHEN ({' + '.join(f'q{d}' for d in _BF_DAYS)})
+                  - ({' + '.join(f's{d} * s{d} / n{d}' for d in _BF_DAYS)})
+                  > 0 THEN
+             ((({' + '.join(f's{d} * s{d} / n{d}' for d in _BF_DAYS)})
+               - ({' + '.join(f's{d}' for d in _BF_DAYS)})
+                 * ({' + '.join(f's{d}' for d in _BF_DAYS)})
+                 / ({' + '.join(f'n{d}' for d in _BF_DAYS)})) / 6.0)
+             / ((({' + '.join(f'q{d}' for d in _BF_DAYS)})
+                 - ({' + '.join(f's{d} * s{d} / n{d}' for d in _BF_DAYS)}))
+                / (({' + '.join(f'n{d}' for d in _BF_DAYS)}) - 7.0))
+           END AS f_stat
+    FROM wide
+    WHERE {' AND '.join(f'n{d} IS NOT NULL' for d in _BF_DAYS)}
+    """,
+)
+def pipeline_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN–FORSYTHE variance-homogeneity test (Brown & Forsythe
+    1974 — Levene's test with the MEDIAN center, the robust form) of
+    purchase value across the seven weekdays: one-way ANOVA on the
+    absolute deviations from each group's median. The
+    homoscedasticity GATE pipeline_anova silently assumes — run this
+    first; a significant F here means anova's pooled-variance F is
+    suspect and pipeline_kruskal_wallis is the safer weekday readout.
+
+    Exactness — three house patterns composed: (1) values quantize
+    once to integer CENTS (round(value,2) then an exact 2-dp→decimal
+    cast — the statistic is DEFINED on cent-quantized values, dodging
+    the raw-double deep-scale midpoint trap); (2) each group median
+    rides the DOUBLED order-statistic identity m2 = v(lo) + v(hi)
+    (lo = ⌊(n+1)/2⌋, hi = ⌊(n+2)/2⌋), so z = |2v − m2| is an exact
+    integer with no halves — Spark selects v(lo)/v(hi) from the
+    kruskal-style distinct-value cumulative (bucket-offset, no
+    global window) with the positions as literals from
+    ``bucketed_running``'s by-product totals (control-plane exact);
+    (3) the 7-group F reduces over the anova WIDE PIVOT so every
+    cross-group double sum is a fixed-order IEEE tree over exact-long
+    casts (sz ≤ 2^31, szz ≤ 2.5·10¹⁴ at sf0.1 — the documented
+    decimal(38,0) knob applies past sf ≈ 3), F unrounded. Scaling z
+    by 2 and by cents cancels in F. Emits only when all 7 weekdays
+    are populated (both engines filter identically); all-constant
+    deviation groups (ssw = 0) emit NULL F in both engines, never an
+    ANSI divide crash (pinned by the degenerate test — the hampel
+    lesson applied).
+
+    Scale: one corpus pass to the distinct-value table, one broadcast
+    of the 7 medians back over the corpus for the deviation stats;
+    everything else is control-plane."""
+    from osm_airflow_spark.bucketing import bucketed_running
+
+    e = load_table(spark, sf_dir, "events")
+    pur = e.where(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select(
+        F.weekday("ts").alias("g"),
+        (F.round("value", 2).cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v"),
+    )
+    by_val = (
+        pur.groupBy("v")
+        .agg(
+            *[
+                F.sum(F.when(F.col("g") == d, 1).otherwise(0)).alias(f"c{d}")
+                for d in _BF_DAYS
+            ]
+        )
+        .localCheckpoint(eager=True)  # distinct-value-bounded
+    )
+    out, totals = bucketed_running(by_val, "v", [f"c{d}" for d in _BF_DAYS])
+    if any(totals[f"c{d}"] == 0 for d in _BF_DAYS):
+        # a weekday with zero purchases: the 7-group statistic is
+        # undefined — emit the same zero rows as the oracle's
+        # all-present filter, with the full schema
+        return out.limit(0).select(
+            F.lit(0).cast("long").alias("n"),
+            F.lit(7).cast("long").alias("k"),
+            F.lit(0.0).alias("ss_between"),
+            F.lit(0.0).alias("ss_within"),
+            F.lit(0.0).alias("f_stat"),
+        )
+    sel = []
+    for d in _BF_DAYS:
+        n_d = totals[f"c{d}"]
+        lo, hi = (n_d + 1) // 2, (n_d + 2) // 2
+        run, cnt = F.col(f"run_c{d}"), F.col(f"c{d}")
+        for tag, pos in (("lo", lo), ("hi", hi)):
+            sel.append(
+                F.min(
+                    F.when((run >= pos) & (run - cnt < pos), F.col("v"))
+                ).alias(f"{tag}{d}")
+            )
+    med = out.agg(*sel).select(
+        *[
+            (F.col(f"lo{d}") + F.col(f"hi{d}")).alias(f"m2_{d}")
+            for d in _BF_DAYS
+        ]
+    )
+    z = pur.join(F.broadcast(med)).select(
+        "g",
+        F.abs(
+            2 * F.col("v")
+            - F.coalesce(
+                *[
+                    F.when(F.col("g") == d, F.col(f"m2_{d}"))
+                    for d in _BF_DAYS
+                ]
+            )
+        ).alias("z2"),
+    )
+    stats = z.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z2").cast("long").alias("sz"),
+        F.sum(F.col("z2") * F.col("z2")).cast("long").alias("szz"),
+    )
+    wide = stats.agg(
+        *[
+            F.max(F.when(F.col("g") == d, F.col(c)))
+            .cast(t)
+            .alias(f"{a}{d}")
+            for d in _BF_DAYS
+            for c, a, t in (
+                ("n", "n", "long"),
+                ("sz", "s", "double"),
+                ("szz", "q", "double"),
+            )
+        ]
+    )
+
+    def _chain(make):
+        o = make(0)
+        for d in _BF_DAYS[1:]:
+            o = o + make(d)
+        return o
+
+    n_tot = _chain(lambda d: F.col(f"n{d}"))
+    s_tot = _chain(lambda d: F.col(f"s{d}"))
+    t_tot = _chain(lambda d: F.col(f"q{d}"))
+    q_tot = _chain(lambda d: F.col(f"s{d}") * F.col(f"s{d}") / F.col(f"n{d}"))
+    ssb = q_tot - s_tot * s_tot / n_tot
+    ssw = t_tot - q_tot
+    cond = None
+    for d in _BF_DAYS:
+        c = F.col(f"n{d}").isNotNull()
+        cond = c if cond is None else (cond & c)
+    return wide.where(cond).select(
+        n_tot.cast("long").alias("n"),
+        F.lit(7).cast("long").alias("k"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        F.when(
+            ssw > 0, (ssb / F.lit(6.0)) / (ssw / (n_tot - F.lit(7.0)))
+        ).alias("f_stat"),
+    )
+
+
+_TUKEY_PAIRS = [(i, j) for i in range(7) for j in range(i + 1, 7)]
+
+
+@query(
+    "pipeline_tukey_hsd",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT (EXTRACT(isodow FROM ts) - 1) AS g, value
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        AND ts IS NOT NULL
+    ),
+    stats AS (
+      SELECT g,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(24,6)))
+                  AS DOUBLE) AS sxx
+      FROM assigned GROUP BY g
+    ),
+    wide AS (
+      SELECT
+        {', '.join(f"MAX(CASE WHEN g = {d} THEN n END) AS n{d}, "
+                   f"MAX(CASE WHEN g = {d} THEN sx END) AS s{d}, "
+                   f"MAX(CASE WHEN g = {d} THEN sxx END) AS q{d}"
+                   for d in range(7))}
+      FROM stats
+      HAVING {' AND '.join(f'MAX(CASE WHEN g = {d} THEN n END) IS NOT NULL'
+                           for d in range(7))}
+    ),
+    msw AS (
+      SELECT *,
+             (({' + '.join(f'q{d}' for d in range(7))})
+              - ({' + '.join(f's{d} * s{d} / n{d}' for d in range(7))}))
+             / (({' + '.join(f'n{d}' for d in range(7))}) - 7.0) AS ms_within
+      FROM wide
+    ),
+    pairs AS (
+      SELECT * FROM msw CROSS JOIN (VALUES
+        {', '.join(f'({i}, {j})' for i, j in _TUKEY_PAIRS)}
+      ) AS p(i, j)
+    ),
+    scored AS (
+      SELECT CAST(i AS INT) AS day_i, CAST(j AS INT) AS day_j,
+             (CASE {' '.join(f'WHEN i = {d} THEN n{d}' for d in range(7))}
+              END) AS n_i,
+             (CASE {' '.join(f'WHEN j = {d} THEN n{d}' for d in range(7))}
+              END) AS n_j,
+             (CASE {' '.join(f'WHEN i = {d} THEN s{d} / n{d}'
+                             for d in range(7))} END) AS mean_i,
+             (CASE {' '.join(f'WHEN j = {d} THEN s{d} / n{d}'
+                             for d in range(7))} END) AS mean_j,
+             ms_within
+      FROM pairs
+    )
+    SELECT day_i, day_j,
+           CAST(n_i AS BIGINT) AS n_i, CAST(n_j AS BIGINT) AS n_j,
+           mean_i, mean_j,
+           mean_i - mean_j AS mean_diff,
+           CASE WHEN ms_within > 0 THEN (mean_i - mean_j)
+             / sqrt(ms_within * 0.5 * (1.0 / n_i + 1.0 / n_j)) END AS q_stat,
+           abs(CASE WHEN ms_within > 0 THEN (mean_i - mean_j)
+               / sqrt(ms_within * 0.5 * (1.0 / n_i + 1.0 / n_j)) END) > 4.17
+             AS significant
+    FROM scored
+    ORDER BY day_i, day_j
+    """,
+)
+def pipeline_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUKEY HSD post-hoc (Tukey 1949) over the weekday design: all
+    21 pairwise mean contrasts with the studentized-range q statistic
+    q_ij = (x̄_i − x̄_j)/√(MSW/2·(1/n_i + 1/n_j)) — the key
+    pipeline_anova hands off to when its omnibus F is significant
+    ('WHICH days differ?'), at the k=7/df=∞ 5% critical value 4.17
+    with family-wise error held at α (the reason this beats 21 naive
+    pipeline_ab_test t-tests).
+
+    Exactness: group sufficient statistics are EXACTLY anova's
+    (exact decimal Σx, term-rounded Σx²; both cast to double once);
+    the 21 q trees each reference the 7-group WIDE PIVOT through
+    CASE chains with identical shape in both engines, so every q is
+    one shared fixed-order IEEE tree — unrounded; the decision reads
+    |q| against the short literal 4.17 (NULL on a zero MSW — the
+    degenerate guard, never an ANSI divide crash). Emits only when
+    all 7 weekdays are populated (HAVING mirrors the Spark filter).
+
+    Scale: one corpus pass to 7×3 sufficient statistics; the pivot,
+    the 21-row pair explode and every q are control-plane sized."""
+    e = load_table(spark, sf_dir, "events")
+    assigned = e.where(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select(F.weekday("ts").alias("g"), "value")
+    stats = assigned.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(
+            F.round(F.col("value") * F.col("value"), 6).cast("decimal(24,6)")
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+    wide = stats.agg(
+        *[
+            F.max(F.when(F.col("g") == d, F.col(c))).alias(f"{a}{d}")
+            for d in range(7)
+            for c, a in (("n", "n"), ("sx", "s"), ("sxx", "q"))
+        ]
+    )
+    cond = None
+    for d in range(7):
+        c = F.col(f"n{d}").isNotNull()
+        cond = c if cond is None else (cond & c)
+    wide = wide.where(cond)
+
+    def _chain(make):
+        o = make(0)
+        for d in range(1, 7):
+            o = o + make(d)
+        return o
+
+    msw = (
+        _chain(lambda d: F.col(f"q{d}"))
+        - _chain(lambda d: F.col(f"s{d}") * F.col(f"s{d}") / F.col(f"n{d}"))
+    ) / (_chain(lambda d: F.col(f"n{d}")) - F.lit(7.0))
+    pairs = wide.select(
+        "*",
+        msw.alias("ms_within"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), F.lit(j).alias("j")
+                    )
+                    for i, j in _TUKEY_PAIRS
+                ]
+            )
+        ).alias("p"),
+    ).select("*", F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+
+    def _case(side, make):
+        out = None
+        for d in range(7):
+            w = F.when(F.col(side) == d, make(d))
+            out = w if out is None else out.when(F.col(side) == d, make(d))
+        return out
+
+    n_i = _case("i", lambda d: F.col(f"n{d}"))
+    n_j = _case("j", lambda d: F.col(f"n{d}"))
+    mean_i = _case("i", lambda d: F.col(f"s{d}") / F.col(f"n{d}"))
+    mean_j = _case("j", lambda d: F.col(f"s{d}") / F.col(f"n{d}"))
+    q = F.when(
+        F.col("ms_within") > 0,
+        (mean_i - mean_j)
+        / F.sqrt(F.col("ms_within") * 0.5 * (1.0 / n_i + 1.0 / n_j)),
+    )
+    return pairs.select(
+        F.col("i").cast("int").alias("day_i"),
+        F.col("j").cast("int").alias("day_j"),
+        n_i.cast("long").alias("n_i"),
+        n_j.cast("long").alias("n_j"),
+        mean_i.alias("mean_i"),
+        mean_j.alias("mean_j"),
+        (mean_i - mean_j).alias("mean_diff"),
+        q.alias("q_stat"),
+        (F.abs(q) > 4.17).alias("significant"),
+    )

@@ -166,11 +166,14 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # the meantime). Staleness computed from CORRECTNESS_r01-r12 (newest
 # proof round per key).
 #
-# r14 rotation queue (in order): the 14 never-checked r13 additions
+# r14 rotation queue (in order): the never-checked r13 additions
 # (osm_polygon_clip_area, osm_polygon_clip, osm_tile_overlay,
 # pipeline_mann_kendall, llm_eval_brier, llm_eval_ece,
 # llm_cluster_silhouette, mm_audio_zcr, win_atr, graph_closeness, llm_edit_distance,
-# pipeline_seasonality_strength, agg_moments, win_donchian),
+# pipeline_seasonality_strength, agg_moments, win_donchian, plus the
+# continuation-session keys: win_obv, win_aroon, win_vwap,
+# graph_clustering_coefficient and everything after them in
+# COVERAGE.md's r13 tally),
 # then the 5 deferred r7 keys above, then the oldest r8-proof cohort.
 # ---------------------------------------------------------------------------
 

@@ -1746,3 +1746,164 @@ def test_win_donchian_rising_series_and_gap(spark, tmp_path):
     # every frame that includes day 10 (i.e. anchor days 10..23 of
     # the span → anchors 14..20 here all include it except day 24+)
     assert len(gapped) == 0
+
+
+def test_win_obv_hand_fixture(spark, tmp_path):
+    """Hand-walkable OBV: one order per day (vol=1) except day 3
+    (two orders → vol=2, close = price of the MAX orderkey);
+    directions up,up,down,flat → flows +1,+2,-1,0 and OBV walks
+    1,3,2,2. Day 1 anchors and emits nothing. Oracle replayed."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    rows = [
+        (1, datetime.date(2024, 1, 1), 100.0),
+        (2, datetime.date(2024, 1, 2), 110.0),
+        # day 3: close is max-orderkey price (120), not the larger 130
+        (3, datetime.date(2024, 1, 3), 130.0),
+        (4, datetime.date(2024, 1, 3), 120.0),
+        (5, datetime.date(2024, 1, 4), 90.0),
+        (6, datetime.date(2024, 1, 5), 90.0),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    clear_plan_cache()
+    got = QUERIES["win_obv"](spark, str(tmp_path)).collect()
+    clear_plan_cache()
+    assert [(r["day"], r["flow"], r["obv"]) for r in got] == [
+        ("2024-01-02", 1, 1),
+        ("2024-01-03", 2, 3),
+        ("2024-01-04", -1, 2),
+        ("2024-01-05", 0, 2),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/orders.parquet/*.parquet')"
+    )
+    want = con.execute(ORACLES["win_obv"]).fetchall()
+    assert sorted(tuple(r) for r in got) == sorted(want)
+
+
+def test_win_aroon_rising_and_flat(spark, tmp_path):
+    """Closed forms: a strictly rising daily series sets its 14-day
+    high TODAY (aroon_up = 100) and its low 13 days back
+    (aroon_down = 100·1/14); a FLAT series ties every day and both
+    sides tie-break to the LATEST day → up = down = 100, osc = 0.
+    Oracle replayed on both."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    def run(prices, sub):
+        base = tmp_path / sub
+        base.mkdir()
+        rows = [
+            (i, datetime.date(2024, 1, 1) + datetime.timedelta(days=i), p)
+            for i, p in enumerate(prices)
+        ]
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+        ).coalesce(1).write.parquet(str(base / "orders.parquet"))
+        clear_plan_cache()
+        got = QUERIES["win_aroon"](spark, str(base)).collect()
+        clear_plan_cache()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM read_parquet("
+            f"'{base}/orders.parquet/*.parquet')"
+        )
+        want = con.execute(ORACLES["win_aroon"]).fetchall()
+        assert sorted(tuple(r) for r in got) == sorted(want)
+        return {r["day"]: r for r in got}
+
+    rising = run([1000.0 + 10.0 * i for i in range(16)], "rising")
+    assert len(rising) == 3  # days 14..16 own full frames
+    r = rising["2024-01-16"]
+    assert r["days_since_high"] == 0 and r["aroon_up"] == 100.0
+    assert r["days_since_low"] == 13
+    assert r["aroon_down"] == 100.0 / 14.0
+    assert r["aroon_osc"] == 100.0 - 100.0 / 14.0
+
+    flat = run([500.0] * 15, "flat")
+    f = flat["2024-01-15"]
+    assert f["days_since_high"] == 0 and f["days_since_low"] == 0
+    assert f["aroon_up"] == 100.0 and f["aroon_osc"] == 0.0
+
+
+def test_win_vwap_monthly_anchor_resets(spark, tmp_path):
+    """Hand-walkable anchored VWAP: Jan day 1 ships 2 units @ 10.00
+    (vwap 10), day 2 adds 2 units @ 20.00 (cum vwap 15); Feb resets
+    the anchor (first day's vwap is its own price again). Oracle
+    replayed."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    rows = [
+        (datetime.date(2024, 1, 1), 20.0, 2.0),   # extprice = price*qty
+        (datetime.date(2024, 1, 2), 40.0, 2.0),
+        (datetime.date(2024, 2, 1), 30.0, 1.0),
+    ]
+    spark.createDataFrame(
+        rows, "l_shipdate date, l_extendedprice double, l_quantity double"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    clear_plan_cache()
+    got = QUERIES["win_vwap"](spark, str(tmp_path)).collect()
+    clear_plan_cache()
+    assert [(r["day"], r["cum_qty"], r["vwap"]) for r in got] == [
+        ("2024-01-01", 2, 10.0),
+        ("2024-01-02", 4, 15.0),
+        ("2024-02-01", 1, 30.0),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/lineitem.parquet/*.parquet')"
+    )
+    want = con.execute(ORACLES["win_vwap"]).fetchall()
+    assert sorted(tuple(r) for r in got) == sorted(want)
+
+
+def test_graph_clustering_coefficient_matches_python_replica(spark, sf_dir):
+    """Third implementation: pure-Python triangle/wedge count over
+    the collected trade edge list must reproduce every (degree,
+    n_triangles, clustering_coefficient) exactly — the coefficient is
+    one IEEE division of exact ints, so equality needs no tolerance.
+    Also pins the closed forms: a triangle node has cc 1.0, a pure
+    star hub has cc 0.0, a leaf (degree 1) is NULL."""
+    from itertools import combinations
+
+    from osm_airflow_spark.operators.graph import trade_edges
+    from osm_airflow_spark.registry import all_queries
+
+    edges = {
+        tuple(sorted((r["a"], r["b"])))
+        for r in trade_edges(spark, sf_dir).collect()
+    }
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for v, nb in adj.items():
+        d = len(nb)
+        t = sum(1 for x, y in combinations(sorted(nb), 2) if (x, y) in edges)
+        want[v] = (d, t, (2 * t) / (d * (d - 1)) if d >= 2 else None)
+
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering_coefficient"])
+        for r in all_queries()["graph_clustering_coefficient"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0

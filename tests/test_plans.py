@@ -2174,3 +2174,166 @@ def test_seasonality_strength_pure_cases(spark, tmp_path):
         want = con.execute(ORACLES["pipeline_seasonality_strength"]).fetchall()
         assert [tuple(x) for x in got] == want
         con.close()
+
+
+def test_levene_closed_forms_and_weekday_gate(spark, tmp_path):
+    """Brown–Forsythe closed forms: identical value multisets on all
+    7 weekdays ⇒ the deviation groups are identical ⇒ ss_between = 0
+    and F = 0 exactly; a missing weekday emits ZERO rows (the
+    all-present gate, both engines). Oracle replayed on the full
+    case. 2024-01-01 is a Monday, so days 1..7 cover Mon..Sun."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    def write(days, sub):
+        base = tmp_path / sub
+        base.mkdir()
+        rows = []
+        eid = 0
+        for d in days:
+            ts = datetime.datetime(2024, 1, d, 12, 0, 0)
+            for v in (10.0, 20.0, 20.0, 40.0):
+                rows.append((eid, ts, 1, "purchase", v, "{}"))
+                eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.parquet(str(base / "events.parquet"))
+        return base
+
+    full = write(range(1, 8), "full")
+    clear_plan_cache()
+    got = QUERIES["pipeline_levene"](spark, str(full)).collect()
+    clear_plan_cache()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n"] == 28 and r["k"] == 7
+    assert r["ss_between"] == 0.0 and r["f_stat"] == 0.0
+    assert r["ss_within"] > 0.0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{full}/events.parquet/*.parquet')"
+    )
+    assert [tuple(x) for x in got] == con.execute(
+        ORACLES["pipeline_levene"]
+    ).fetchall()
+
+    gapped = write(range(1, 7), "gapped")  # Sunday missing
+    clear_plan_cache()
+    assert QUERIES["pipeline_levene"](spark, str(gapped)).count() == 0
+    clear_plan_cache()
+
+
+def test_levene_detects_planted_heteroscedasticity(spark, tmp_path):
+    """One weekday with a 100× spread against six tight days must
+    drive the Brown–Forsythe F an order of magnitude past the 5%
+    critical value (F(6, inf) ≈ 2.1); oracle replayed for
+    exactness."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    def write(spread_vals, sub):
+        base = tmp_path / sub
+        base.mkdir()
+        rows = []
+        eid = 0
+        for d in range(1, 8):
+            ts = datetime.datetime(2024, 1, d, 12, 0, 0)
+            vals = spread_vals if d == 3 else [99.0, 101.0] * 10
+            for v in vals:
+                rows.append((eid, ts, 1, "purchase", v, "{}"))
+                eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.parquet(str(base / "events.parquet"))
+        return base
+
+    base = write([0.0, 200.0, 90.0, 110.0] * 5, "spread")
+    clear_plan_cache()
+    got = QUERIES["pipeline_levene"](spark, str(base)).collect()
+    clear_plan_cache()
+    assert len(got) == 1 and got[0]["f_stat"] > 20.0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{base}/events.parquet/*.parquet')"
+    )
+    assert [tuple(x) for x in got] == con.execute(
+        ORACLES["pipeline_levene"]
+    ).fetchall()
+
+    # degenerate: every group's deviations constant -> ssw = 0 ->
+    # F undefined: NULL in BOTH engines, never an ANSI crash (this
+    # exact shape crashed the unguarded draft with DIVIDE_BY_ZERO)
+    dg = write([0.0, 200.0] * 10, "degen")
+    clear_plan_cache()
+    got_d = QUERIES["pipeline_levene"](spark, str(dg)).collect()
+    clear_plan_cache()
+    assert len(got_d) == 1
+    assert got_d[0]["ss_within"] == 0.0 and got_d[0]["f_stat"] is None
+    con2 = duckdb.connect()
+    con2.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{dg}/events.parquet/*.parquet')"
+    )
+    assert [tuple(x) for x in got_d] == con2.execute(
+        ORACLES["pipeline_levene"]
+    ).fetchall()
+
+
+def test_tukey_hsd_null_and_planted_shift(spark, tmp_path):
+    """Identical weekday distributions ⇒ all 21 pairwise q = 0, none
+    significant; shifting ONE day's values by a constant makes
+    exactly its 6 pairs significant and leaves the other 15 at q = 0.
+    Means are exact (6-dp decimal sums), so the zero cases are exact
+    equalities. Oracle replayed."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    rows = []
+    eid = 0
+    for d in range(1, 8):
+        ts = datetime.datetime(2024, 1, d, 12, 0, 0)
+        shift = 1000.0 if d == 5 else 0.0
+        for v in (10.0, 20.0, 30.0) * 10:
+            rows.append((eid, ts, 1, "purchase", v + shift, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    clear_plan_cache()
+    got = QUERIES["pipeline_tukey_hsd"](spark, str(tmp_path)).collect()
+    clear_plan_cache()
+    assert len(got) == 21
+    # day index 4 (Friday, d=5 → weekday()=4) is the shifted group
+    for r in got:
+        touched = 4 in (r["day_i"], r["day_j"])
+        if touched:
+            assert r["significant"] is True
+            assert abs(abs(r["mean_diff"]) - 1000.0) < 1e-9
+        else:
+            assert r["q_stat"] == 0.0 and r["significant"] is False
+            assert r["mean_diff"] == 0.0
+        assert r["n_i"] == 30 and r["n_j"] == 30
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/events.parquet/*.parquet')"
+    )
+    want = con.execute(ORACLES["pipeline_tukey_hsd"]).fetchall()
+    assert sorted(tuple(r) for r in got) == sorted(tuple(w) for w in want)
