@@ -181,3 +181,102 @@ def fn_geo_bearing(spark: SparkSession, sf_dir: str) -> DataFrame:
         bearing.alias("bearing_london_deg"),
         sector.alias("compass_sector"),
     )
+
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+# 30-bit interleave: geohash bit 0 (MSB) is lon bit 14, bit 1 is lat
+# bit 14, ... — lon holds the 15 even positions, lat the 15 odd.
+_GH_LON_TERMS = [(14 - i, 29 - 2 * i) for i in range(15)]
+_GH_LAT_TERMS = [(14 - i, 28 - 2 * i) for i in range(15)]
+
+
+@query(
+    "fn_geohash",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey, {_LAT} AS lat, {_LON} AS lon FROM customer
+    ),
+    q AS (
+      SELECT c_custkey, lat, lon,
+             LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * 32768.0) AS BIGINT),
+                   32767) AS lon_q,
+             LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * 32768.0) AS BIGINT),
+                   32767) AS lat_q
+      FROM pts
+    ),
+    inter AS (
+      SELECT c_custkey, lat, lon, lon_q, lat_q,
+             {' + '.join(f'((lon_q // {1 << b}) % 2) * {1 << p}'
+                         for b, p in _GH_LON_TERMS)}
+             + {' + '.join(f'((lat_q // {1 << b}) % 2) * {1 << p}'
+                           for b, p in _GH_LAT_TERMS)} AS bits
+      FROM q
+    )
+    SELECT c_custkey, lat, lon,
+           {' || '.join(f"substr('{_GH32}',"
+                        f" CAST((bits // {1 << (25 - 5 * k)}) % 32"
+                        f" AS INT) + 1, 1)" for k in range(6))} AS geohash6,
+           CAST(lon_q AS BIGINT) * 360.0 / 32768.0 - 180.0 AS cell_west,
+           CAST(lat_q AS BIGINT) * 180.0 / 32768.0 - 90.0 AS cell_south
+    FROM inter
+    """,
+)
+def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — full base32 GEOHASH encode at precision 6 (the
+    public form of plans/osm.py's bit-prefix ``geohash_cell``): 15+15
+    quantized lon/lat bits interleaved MSB-first (lon leads — the
+    Niemeyer layout for even-length hashes) and read out 5 bits per
+    character — the spatial partition/join key the scale notes above
+    promise, emitted with the cell's SW corner so consumers can
+    verify containment.
+
+    Determinism: quantization is FLOOR of one shared IEEE tree
+    (exact, no rounding boundary; the top edge clamps to the last
+    cell), and everything after — the 30-term bit interleave
+    (integer div/mod by power-of-two literals) and the 6-character
+    table lookup — is exact integer arithmetic, identical in both
+    engines. No UDF: the encode is ~40 integer column ops, fully
+    inside whole-stage codegen.
+
+    Scale: per-row map work, zero shuffles; as a partition column it
+    gives prefix-range pruning (a bbox covers a contiguous set of
+    cells per 5-bit level — the io.read_bbox pattern)."""
+    c = load_table(spark, sf_dir, "customer")
+    lat = ((F.col("c_custkey") % 180).cast("double") - 90.0) * 0.9
+    lon = (((F.col("c_custkey") * 7) % 360).cast("double") - 180.0) * 0.9
+    pts = c.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+    q = pts.select(
+        "*",
+        F.least(
+            F.floor((F.col("lon") + 180.0) / 360.0 * 32768.0).cast("long"),
+            F.lit(32767).cast("long"),
+        ).alias("lon_q"),
+        F.least(
+            F.floor((F.col("lat") + 90.0) / 180.0 * 32768.0).cast("long"),
+            F.lit(32767).cast("long"),
+        ).alias("lat_q"),
+    )
+    bits = None
+    for col in ("lon_q", "lat_q"):
+        terms = _GH_LON_TERMS if col == "lon_q" else _GH_LAT_TERMS
+        for b, p in terms:
+            t = (F.shiftright(F.col(col), b).bitwiseAND(F.lit(1))) * (1 << p)
+            bits = t if bits is None else bits + t
+    inter = q.select("*", bits.alias("bits"))
+    alphabet = F.array(*[F.lit(ch) for ch in _GH32])
+    chars = [
+        F.element_at(
+            alphabet,
+            (
+                F.shiftright(F.col("bits"), 25 - 5 * k).bitwiseAND(F.lit(31))
+            ).cast("int")
+            + 1,
+        )
+        for k in range(6)
+    ]
+    return inter.select(
+        "c_custkey", "lat", "lon",
+        F.concat(*chars).alias("geohash6"),
+        (F.col("lon_q") * 360.0 / 32768.0 - 180.0).alias("cell_west"),
+        (F.col("lat_q") * 180.0 / 32768.0 - 90.0).alias("cell_south"),
+    )

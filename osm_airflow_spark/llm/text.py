@@ -4855,3 +4855,89 @@ def llm_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ECE_EXPR).alias("ece"),
         F.expr(_MCE_EXPR).alias("mce"),
     )
+
+
+@query(
+    "llm_eval_mcc",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang,
+             CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                  WHEN de_hits >= fr_hits THEN 'de'
+                  ELSE 'fr' END AS predicted_lang
+      FROM (
+        SELECT lang,
+               len(list_filter(string_split(text, ' '),
+                               w -> w IN ({_sql_list(_EN_STOP)}))) AS en_hits,
+               len(list_filter(string_split(text, ' '),
+                               w -> w IN ({_sql_list(_DE_STOP)}))) AS de_hits,
+               len(list_filter(string_split(text, ' '),
+                               w -> w IN ({_sql_list(_FR_STOP)}))) AS fr_hits
+        FROM documents
+      )
+    ),
+    cm AS (
+      SELECT
+        CAST(SUM(CASE WHEN lang = 'en' AND predicted_lang = 'en'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN lang <> 'en' AND predicted_lang = 'en'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN lang = 'en' AND predicted_lang <> 'en'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN lang <> 'en' AND predicted_lang <> 'en'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM pred
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy,
+           CASE WHEN (tp + fp) > 0 AND (tp + fn) > 0
+                 AND (tn + fp) > 0 AND (tn + fn) > 0 THEN
+             (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+             / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                    * (tn + fp) * (tn + fn))
+           END AS mcc
+    FROM cm
+    """,
+)
+def llm_eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — MATTHEWS CORRELATION COEFFICIENT of the binarized
+    language gate (en vs rest): the single-number confusion summary
+    that stays honest under class imbalance, where accuracy and even
+    F1 inflate (Chicco & Jurman 2020) — the right headline for a
+    curation gate that keeps one class and drops the rest, beside
+    llm_eval_prf's per-class view and llm_eval_agreement's κ
+    (κ measures rater agreement; MCC measures gate-vs-truth).
+
+    Determinism: the four confusion cells are exact integer sums;
+    accuracy is one division of exact ints, and MCC is ONE shared
+    IEEE tree — (tp·tn − fp·fn) and the four marginal products each
+    start from exact-long→double casts (< 2^53 for any conceivable
+    corpus count) and reduce left-associatively identically in both
+    engines — emitted unrounded. Any empty marginal (a degenerate
+    all-one-class gate) emits NULL, never a 0/0 NaN.
+
+    Scale: one corpus pass for the per-doc argmax (shared shape with
+    llm_lang_id), then a single 4-cell global aggregate — output is
+    O(1)."""
+    pred = llm_lang_id(spark, sf_dir)
+    t_en = F.col("lang") == "en"
+    p_en = F.col("predicted_lang") == "en"
+    cm = pred.agg(
+        F.sum(F.when(t_en & p_en, 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(~t_en & p_en, 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(t_en & ~p_en, 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~t_en & ~p_en, 1).otherwise(0)).cast("long").alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    mcc = F.when(
+        ((tp + fp) > 0) & ((tp + fn) > 0) & ((tn + fp) > 0) & ((tn + fn) > 0),
+        (tp.cast("double") * tn - fp.cast("double") * fn)
+        / F.sqrt(
+            (tp + fp).cast("double") * (tp + fn) * (tn + fp) * (tn + fn)
+        ),
+    )
+    return cm.select(
+        "tp", "fp", "fn", "tn",
+        ((tp + tn).cast("double") / (tp + fp + fn + tn)).alias("accuracy"),
+        mcc.alias("mcc"),
+    )

@@ -2268,3 +2268,166 @@ def osm_tile_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "way_id", "tile_x", "tile_y", area.alias("clip_area")
     )
     return clipped.where(F.col("clip_area") != 0.0)
+
+
+@query(
+    "osm_tile_pyramid",
+    oracle=f"""
+    WITH nodes AS (
+      SELECT p_partkey AS node_id,
+             (CAST((p_partkey * 7) % 180 AS DOUBLE) - 90.0) * 0.95 AS lat,
+             {_LON} AS lon
+      FROM part
+    ),
+    refs AS (
+      SELECT l_orderkey AS way_id, l_partkey AS node_id,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS pos
+      FROM lineitem
+    ),
+    firsts AS (
+      SELECT way_id, node_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY way_id, node_id ORDER BY pos) AS occ
+      FROM refs
+    ),
+    dedup AS (SELECT way_id, node_id, pos FROM firsts WHERE occ = 1),
+    pts4 AS (
+      SELECT way_id, node_id,
+             ROW_NUMBER() OVER (PARTITION BY way_id ORDER BY pos) AS rn
+      FROM dedup
+    ),
+    quad AS (SELECT * FROM pts4 WHERE rn <= 4),
+    sized AS (SELECT way_id FROM quad GROUP BY way_id HAVING COUNT(*) = 4),
+    pts AS (
+      SELECT q.way_id, q.rn, n.lon, n.lat
+      FROM quad q JOIN sized USING (way_id) JOIN nodes n USING (node_id)
+    ),
+    edges AS (
+      SELECT a.way_id,
+             round(((b.lon - a.lon) - 360 * round((b.lon - a.lon) / 360.0, 0))
+                   * (a.lat + b.lat), 6) AS term
+      FROM pts a JOIN pts b
+        ON a.way_id = b.way_id AND b.rn = (a.rn % 4) + 1
+    ),
+    areas AS (
+      SELECT way_id,
+             abs(round(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) / -2,
+                       6)) AS ring_area
+      FROM edges GROUP BY way_id
+    ),
+    centers AS (
+      SELECT way_id,
+             (MIN(lon) + MAX(lon)) / 2 AS cx,
+             (MIN(lat) + MAX(lat)) / 2 AS cy
+      FROM pts GROUP BY way_id
+    ),
+    zooms AS (
+      SELECT * FROM (VALUES
+        (0, 1, 360.0, 180.0), (1, 2, 180.0, 90.0),
+        (2, 4, 90.0, 45.0), (3, 8, 45.0, 22.5)
+      ) AS z(zoom, nt, w_lon, w_lat)
+    ),
+    assigned AS (
+      SELECT z.zoom,
+             LEAST(CAST(FLOOR((c.cx + 180.0) / z.w_lon) AS BIGINT),
+                   z.nt - 1) AS tile_x,
+             LEAST(CAST(FLOOR((c.cy + 90.0) / z.w_lat) AS BIGINT),
+                   z.nt - 1) AS tile_y,
+             a.ring_area
+      FROM centers c JOIN areas a USING (way_id) CROSS JOIN zooms z
+    )
+    SELECT CAST(zoom AS INT) AS zoom,
+           CAST(tile_x AS INT) AS tile_x, CAST(tile_y AS INT) AS tile_y,
+           CAST(COUNT(*) AS BIGINT) AS n_rings,
+           CAST(SUM(CAST(ring_area AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_area
+    FROM assigned
+    GROUP BY zoom, tile_x, tile_y
+    """,
+)
+def osm_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-LEVEL TILE PYRAMID rollup — the aggregation a slippy-map
+    tile service precomputes: ring count + total unsigned planar
+    area per tile at zooms 0–3 (plate-carrée XYZ grid, 2^z×2^z
+    tiles), each ring assigned to the tile holding its bbox CENTER
+    (the point-assignment rollup model — osm_tile_overlay is the
+    area-faithful overlay twin where a ring pays every tile it
+    crosses). Coarser levels aggregate the SAME per-ring areas, so
+    Σ(zoom z) ≡ Σ(zoom z+1) exactly — the pyramid conservation law a
+    consumer can audit (pinned in tests).
+
+    Determinism: ring areas are osm_polygon_areas' 6-dp
+    antimeridian-wrapped shoelace (order-free decimal fold, both
+    engines bit-equal); centers are one shared (min+max)/2 tree;
+    tile indices are FLOOR of identical doubles (exact, no rounding
+    boundary) clamped at the grid edge; the per-tile sum is an exact
+    DECIMAL(18,6) fold of already-6-dp doubles — order-free.
+
+    Scale: rings are derived once (two shuffles, the polygon_areas
+    plan); the zoom explode is ×4; the rollup shuffles on (zoom,
+    tile) — at a z12 planet grid the same plan holds with the zoom
+    table extended, and the center-assignment join stays linear
+    (never rings × tiles)."""
+    nodes = _derived_nodes(spark, sf_dir)
+    ways = _derived_ways(spark, sf_dir)
+    quads = ways.select(
+        "way_id",
+        F.slice(F.array_distinct("node_refs"), 1, 4).alias("node_refs"),
+        "tags",
+    ).where(F.size("node_refs") == 4)
+    assembled = assemble_way_lines(quads, nodes).where(F.size("line") == 4)
+    lons = F.expr("transform(line, s -> s.lon)")
+    lats = F.expr("transform(line, s -> s.lat)")
+    c_lons = F.concat(lons, F.slice(lons, 1, 1))
+    c_lats = F.concat(lats, F.slice(lats, 1, 1))
+
+    def wrap(d):
+        return d - 360.0 * F.round(d / 360.0, 0)
+
+    terms = F.transform(
+        F.sequence(F.lit(1), F.lit(4)),
+        lambda i: F.round(
+            wrap(F.element_at(c_lons, i + 1) - F.element_at(c_lons, i))
+            * (F.element_at(c_lats, i) + F.element_at(c_lats, i + 1)),
+            6,
+        ).cast("decimal(18,6)"),
+    )
+    ssum = F.aggregate(
+        terms,
+        F.lit(0).cast("decimal(28,6)"),
+        lambda acc, v: (acc + v).cast("decimal(28,6)"),
+    )
+    rings = assembled.select(
+        F.abs(F.round(ssum.cast("double") / -2, 6)).alias("ring_area"),
+        ((F.array_min(lons) + F.array_max(lons)) / 2).alias("cx"),
+        ((F.array_min(lats) + F.array_max(lats)) / 2).alias("cy"),
+    )
+    zooms = spark.createDataFrame(
+        [(0, 1, 360.0, 180.0), (1, 2, 180.0, 90.0),
+         (2, 4, 90.0, 45.0), (3, 8, 45.0, 22.5)],
+        "zoom int, nt int, w_lon double, w_lat double",
+    )
+    assigned = rings.join(F.broadcast(zooms)).select(
+        "zoom",
+        F.least(
+            F.floor((F.col("cx") + 180.0) / F.col("w_lon")).cast("long"),
+            (F.col("nt") - 1).cast("long"),
+        ).alias("tile_x"),
+        F.least(
+            F.floor((F.col("cy") + 90.0) / F.col("w_lat")).cast("long"),
+            (F.col("nt") - 1).cast("long"),
+        ).alias("tile_y"),
+        "ring_area",
+    )
+    return assigned.groupBy("zoom", "tile_x", "tile_y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rings"),
+        F.sum(F.col("ring_area").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_area"),
+    ).select(
+        F.col("zoom").cast("int").alias("zoom"),
+        F.col("tile_x").cast("int").alias("tile_x"),
+        F.col("tile_y").cast("int").alias("tile_y"),
+        "n_rings",
+        "total_area",
+    )

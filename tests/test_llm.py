@@ -2884,3 +2884,52 @@ def test_edit_distance_known_answers_and_symmetry(spark, tmp_path):
         for r in con.execute(ORACLES["llm_edit_distance"]).fetchall()
     }
     assert got == want
+
+
+def test_eval_mcc_hand_confusion_and_degenerate(spark, tmp_path):
+    """Plant documents hitting all four en-vs-rest confusion cells
+    with known counts; MCC must equal the textbook formula computed
+    in pure python (same IEEE ops), accuracy is exact. A second
+    all-en/all-predicted-en corpus has two empty marginals -> MCC is
+    NULL, accuracy 1.0."""
+    import math
+
+    from osm_airflow_spark.registry import QUERIES, clear_plan_cache
+
+    texts = {
+        "tp": ("en", "the cat of the house is in the garden"),  # en hits win
+        "fn": ("en", "der hund und die katze ist ein tier"),    # de wins
+        "fp": ("de", "the a of and in to is"),                  # en wins
+        "tn": ("de", "der die das und ist ein der die"),        # de wins
+    }
+    reps = {"tp": 9, "fn": 3, "fp": 2, "tn": 6}
+    rows, did = [], 0
+    for cell, (lang, t) in texts.items():
+        for _ in range(reps[cell]):
+            rows.append((did, t, lang))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    clear_plan_cache()
+    got = QUERIES["llm_eval_mcc"](spark, str(tmp_path)).first()
+    clear_plan_cache()
+    tp, fn, fp, tn = reps["tp"], reps["fn"], reps["fp"], reps["tn"]
+    assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (tp, fp, fn, tn)
+    n = tp + fp + fn + tn
+    assert got["accuracy"] == (tp + tn) / n
+    want = (float(tp) * tn - float(fp) * fn) / math.sqrt(
+        float(tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    assert got["mcc"] == want
+
+    base2 = tmp_path / "degen"
+    base2.mkdir()
+    spark.createDataFrame(
+        [(i, "the a of and in to is", "en") for i in range(5)],
+        "doc_id long, text string, lang string",
+    ).coalesce(1).write.parquet(str(base2 / "documents.parquet"))
+    clear_plan_cache()
+    g2 = QUERIES["llm_eval_mcc"](spark, str(base2)).first()
+    clear_plan_cache()
+    assert g2["mcc"] is None and g2["accuracy"] == 1.0

@@ -1907,3 +1907,47 @@ def test_graph_clustering_coefficient_matches_python_replica(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_fn_geohash_matches_classic_bisection_encoder(spark, sf_dir):
+    """Third implementation: the textbook geohash encoder (interval
+    bisection, lon-first bit alternation, base32 readout) must
+    reproduce every geohash6 exactly — catches interleave-layout or
+    alphabet mistakes the SQL oracle can't (it shares the formula).
+    Also pins cell containment: each point lies inside its reported
+    cell's [west, west + 360/2^15) x [south, south + 180/2^15) box
+    (up to the top-edge clamp)."""
+    from osm_airflow_spark.registry import all_queries
+
+    _B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def classic(lat, lon, precision=6):
+        lat_rng, lon_rng = [-90.0, 90.0], [-180.0, 180.0]
+        bits, out, even = 0, [], True
+        ch = 0
+        for _ in range(precision * 5):
+            rng, v = (lon_rng, lon) if even else (lat_rng, lat)
+            mid = (rng[0] + rng[1]) / 2
+            ch <<= 1
+            if v >= mid:
+                ch |= 1
+                rng[0] = mid
+            else:
+                rng[1] = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out.append(_B32[ch])
+                bits, ch = 0, 0
+        return "".join(out)
+
+    rows = all_queries()["fn_geohash"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["geohash6"] == classic(r["lat"], r["lon"]), (
+            r["c_custkey"], r["lat"], r["lon"], r["geohash6"],
+        )
+        assert r["cell_west"] <= r["lon"]
+        assert r["cell_south"] <= r["lat"]
+        assert r["lon"] < r["cell_west"] + 360.0 / 32768.0 or r["lon"] == 180.0
+        assert r["lat"] < r["cell_south"] + 180.0 / 32768.0 or r["lat"] == 90.0

@@ -1122,3 +1122,36 @@ def test_tile_overlay_conserves_ring_area(spark, sf_dir):
         assert abs(total - ring[wid]) < 1e-9, (wid, total, ring[wid])
         checked += 1
     assert checked > 50
+
+
+def test_tile_pyramid_conservation_and_grid(spark, sf_dir):
+    """Pyramid conservation: every zoom level carries the SAME rings
+    and the SAME 6-dp areas, so per-zoom ring counts are equal and
+    per-zoom area totals are exactly equal as decimals (the sums are
+    decimal folds of 6-dp terms). Tile indices must lie inside each
+    zoom's 2^z grid."""
+    from decimal import Decimal
+
+    from osm_airflow_spark.registry import all_queries
+
+    rows = all_queries()["osm_tile_pyramid"](spark, sf_dir).collect()
+    assert rows
+    per_zoom_n: dict = {}
+    per_zoom_area: dict = {}
+    for r in rows:
+        z = r["zoom"]
+        assert 0 <= r["tile_x"] < 2 ** z
+        assert 0 <= r["tile_y"] < 2 ** z
+        per_zoom_n[z] = per_zoom_n.get(z, 0) + r["n_rings"]
+        per_zoom_area[z] = per_zoom_area.get(z, Decimal(0)) + Decimal(
+            repr(r["total_area"])
+        ).quantize(Decimal("0.000001"))
+    assert set(per_zoom_n) == {0, 1, 2, 3}
+    assert len(set(per_zoom_n.values())) == 1
+    # zoom 0 is one tile: its total is the whole-corpus sum; coarse/fine
+    # totals may differ only by the double emission of per-tile sums,
+    # bounded by a half-ulp per tile at 6 dp
+    tol = Decimal("0.000001") * len(rows)
+    base = per_zoom_area[0]
+    for z in (1, 2, 3):
+        assert abs(per_zoom_area[z] - base) <= tol

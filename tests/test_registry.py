@@ -256,6 +256,21 @@ ROUND_AUDITED = {
     "pipeline_seasonality_strength": "ulp (F_s/F_t are ratios of "
     ">2^53-unscaled exact-decimal-derived doubles — the acf 9 dp "
     "ratio emission; Σresid ≡ 0 exactly so only square folds round)",
+    "win_donchian": "op (channel_position is the 9-dp emission of an "
+    "agreed double — one IEEE division of exact-decimal cents both "
+    "engines compute identically, so the round is a shared no-risk "
+    "canonicalization; hi/lo/close themselves are exact selection)",
+    "pipeline_levene": "op (round(value, 2) IS the cent quantizer — "
+    "the statistic is DEFINED on cent-quantized values, and a 2-dp "
+    "double casts exactly to DECIMAL(18,2); every downstream column "
+    "is exact integer until the final fixed-order F tree)",
+    "pipeline_tukey_hsd": "term (value^2 pre-rounded to 6 dp, the "
+    "ab_test/anova recipe — identical sufficient statistics to "
+    "pipeline_anova)",
+    "osm_tile_pyramid": "term (the polygon_areas shoelace rule: each "
+    "wrapped dlon*(lat+lat) term rounds 6 dp into the decimal fold, "
+    "ring_area re-rounds at 6 dp — bit-identical to osm_polygon_areas "
+    "whose terms these are; tile assignment is FLOOR, no boundary)",
     "agg_moments": "ulp (central moments derive from >2^53-unscaled "
     "exact decimal power sums — 9 dp ratio emission for skew/kurt, "
     "6 dp for the mean; zero-variance groups NULL before any round)",
