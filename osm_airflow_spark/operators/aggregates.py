@@ -1179,3 +1179,224 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0),
         ).alias("excess_kurtosis"),
     )
+
+
+_WM_FLAGS = ["A", "N", "R"]
+
+
+@query(
+    "agg_weighted_median",
+    oracle=f"""
+    WITH by_val AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             {', '.join(
+                 "CAST(SUM(CASE WHEN l_returnflag = '" + f + "' "
+                 "THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)"
+                 f" AS w_{f.lower()}"
+                 for f in _WM_FLAGS)}
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT cents,
+             {', '.join(
+                 f"w_{f.lower()}, "
+                 f"SUM(w_{f.lower()}) OVER (ORDER BY cents)"
+                 f" AS run_{f.lower()}"
+                 for f in _WM_FLAGS)}
+      FROM by_val
+    ),
+    tot AS (
+      SELECT {', '.join(
+          f'CAST(SUM(w_{f.lower()}) AS BIGINT) AS t_{f.lower()}'
+          for f in _WM_FLAGS)}
+      FROM by_val
+    ),
+    sel AS (
+      SELECT {', '.join(
+          f"MIN(CASE WHEN run_{f.lower()} >= (t_{f.lower()} + 1) // 2 "
+          f"THEN cents END) AS med_{f.lower()}"
+          for f in _WM_FLAGS)}
+      FROM cum, tot
+    )
+    SELECT u.flag AS l_returnflag, u.total_qty, u.median_price
+    FROM (
+      SELECT * FROM sel, tot
+    ) s, LATERAL (VALUES
+      {', '.join(
+          f"('{f}', s.t_{f.lower()},"
+          f" CAST(s.med_{f.lower()} AS DOUBLE) / 100.0)"
+          for f in _WM_FLAGS)}
+    ) AS u(flag, total_qty, median_price)
+    WHERE u.total_qty > 0
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — exact WEIGHTED MEDIAN (lower-median convention):
+    the price at which half the shipped QUANTITY sits below, per
+    return flag — the inventory-weighted sibling of agg_percentile's
+    row-weighted quantiles (a handful of huge orders can't drag it;
+    a cheap high-volume SKU can). Convention: smallest value v with
+    cumweight(v) ≥ ⌈W/2⌉ — for even W this is the lower weighted
+    median, so the result is always an observed price.
+
+    Exactness: prices quantize once to exact integer cents (2-dp by
+    TPC-H construction), quantities are integral BIGINTs; the
+    per-flag cumulative runs over the bounded distinct-value table
+    via bucket-offsets (flags ride as a wide pivot so one pass serves
+    all three), the crossing position (W+1)//2 is an exact
+    control-plane literal from ``bucketed_running``'s totals, and the
+    selection MIN over the monotone cumulative is pure — the only
+    double is the final cents/100 emission.
+
+    Scale: one corpus pass to distinct (price → per-flag weights);
+    everything after is distinct-value-bounded (pre-quantize
+    continuous values at 100 TB — the kruskal note)."""
+    from osm_airflow_spark.bucketing import bucketed_running
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wcols = [f"w_{f.lower()}" for f in _WM_FLAGS]
+    by_val = (
+        li.groupBy(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.col("l_returnflag") == f,
+                        F.col("l_quantity").cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                )
+                .cast("long")
+                .alias(f"w_{f.lower()}")
+                for f in _WM_FLAGS
+            ]
+        )
+        .localCheckpoint(eager=True)  # distinct-value-bounded
+    )
+    out, totals = bucketed_running(by_val, "cents", wcols)
+    sel = out.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col(f"run_w_{f.lower()}")
+                    >= F.lit((totals[f"w_{f.lower()}"] + 1) // 2),
+                    F.col("cents"),
+                )
+            ).alias(f"med_{f.lower()}")
+            for f in _WM_FLAGS
+        ]
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(f).alias("flag"),
+                    F.lit(totals[f"w_{f.lower()}"])
+                    .cast("long")
+                    .alias("total_qty"),
+                    (F.col(f"med_{f.lower()}").cast("double") / 100.0).alias(
+                        "median_price"
+                    ),
+                )
+                for f in _WM_FLAGS
+            ]
+        )
+    )
+    return (
+        sel.select(rows.alias("r"))
+        .select(
+            F.col("r.flag").alias("l_returnflag"),
+            F.col("r.total_qty").alias("total_qty"),
+            F.col("r.median_price").alias("median_price"),
+        )
+        .where(F.col("total_qty") > 0)
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    WITH ext AS (
+      SELECT CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS lo,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n_total
+      FROM orders
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) - e.lo AS DOUBLE)
+               / (CAST(e.hi - e.lo AS DOUBLE) / 20.0)) AS BIGINT), 19)
+               AS bin,
+             e.n_total, CAST(e.lo AS DOUBLE) AS lo_d,
+             CAST(e.hi - e.lo AS DOUBLE) / 20.0 AS w
+      FROM orders, ext e
+      WHERE e.hi > e.lo
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           lo_d + bin * w AS bin_low,
+           lo_d + (bin + 1) * w AS bin_high,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE) / n_total AS share
+    FROM binned
+    GROUP BY bin, lo_d, w, n_total
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — equi-width HISTOGRAM (20 bins) of order totals
+    with DATA-DRIVEN edges: the profiling aggregate beside
+    agg_percentile (quantiles say where the mass is, the histogram
+    says what the shape is) — and the distributed-scalar shape: the
+    min/max extent rides as a broadcast 1-row aggregate
+    cross-joined into the binning expression, never a driver-side
+    collect (the pagerank |V| doctrine).
+
+    Determinism: the extent is exact decimal selection; bin
+    assignment is FLOOR over one shared IEEE tree of exact-decimal-
+    derived doubles (no rounding boundary — FLOOR is exact; ties at
+    a bin edge land identically in both engines because the doubles
+    are bit-identical), clamped so x = max lands in the last bin.
+    Edges and share are shared trees over the same agreed doubles,
+    unrounded. A degenerate single-value corpus (hi = lo) emits zero
+    rows in both engines rather than a zero-width division.
+
+    Scale: two corpus passes (extent + counts — Spark cannot reuse
+    the scan subtree, the exchange-reuse ledger), 20-row output; at
+    100 TB the extent pass prunes to one column."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    ext = o.agg(
+        F.min(price).alias("lo"),
+        F.max(price).alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    w = (F.col("hi") - F.col("lo")).cast("double") / 20.0
+    binned = (
+        o.join(F.broadcast(ext))
+        .where(F.col("hi") > F.col("lo"))
+        .select(
+            F.least(
+                F.floor(
+                    (price - F.col("lo")).cast("double") / w
+                ).cast("long"),
+                F.lit(19).cast("long"),
+            ).alias("bin"),
+            F.col("n_total"),
+            F.col("lo").cast("double").alias("lo_d"),
+            w.alias("w"),
+        )
+    )
+    return binned.groupBy("bin", "lo_d", "w", "n_total").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select(
+        F.col("bin").cast("int").alias("bin"),
+        (F.col("lo_d") + F.col("bin") * F.col("w")).alias("bin_low"),
+        (F.col("lo_d") + (F.col("bin") + 1) * F.col("w")).alias("bin_high"),
+        "n",
+        (F.col("n").cast("double") / F.col("n_total")).alias("share"),
+    )

@@ -1628,3 +1628,123 @@ def win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vwap"
         ),
     )
+
+
+@query(
+    "win_stochastic",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS hi,
+             CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS lo,
+             CAST(max_by(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+                  AS DECIMAL(18,2)) AS cl
+      FROM orders GROUP BY 1
+    ),
+    frame AS (
+      SELECT a.day, a.cl,
+             MAX(b.hi) AS hi14, MIN(b.lo) AS lo14, COUNT(*) AS n_days
+      FROM daily a JOIN daily b
+        ON b.day BETWEEN a.day - INTERVAL 13 DAY AND a.day
+      GROUP BY a.day, a.cl
+    ),
+    k AS (
+      SELECT day,
+             CASE WHEN hi14 > lo14 THEN
+               100.0 * CAST(cl - lo14 AS DOUBLE)
+                 / CAST(hi14 - lo14 AS DOUBLE) END AS pct_k,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn
+      FROM frame WHERE n_days = 14
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, pct_k,
+           (pct_k + LAG(pct_k, 1) OVER w + LAG(pct_k, 2) OVER w) / 3.0
+             AS pct_d
+    FROM k
+    WINDOW w AS (ORDER BY rn)
+    """,
+)
+def win_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r13) — STOCHASTIC OSCILLATOR (Lane 1950s): %K = where
+    today's close sits in the trailing 14-calendar-day range on a
+    0–100 scale (win_donchian's position × 100, same daily OHLC
+    proxies), %D = the 3-frame simple mean of %K — the smoothed
+    signal line traders cross against %K. Only full 14-day frames
+    emit; the first two frame days carry NULL %D (no 3-frame
+    history), and a flat channel carries NULL %K which propagates
+    into any %D touching it — identical in both engines.
+
+    Determinism: hi/lo/close and the frame extremes are exact
+    decimal selection; %K is one shared IEEE tree over exact-cent
+    casts (< 2^53), and %D is the FIXED-ORDER tree
+    (k₀ + k₋₁ + k₋₂)/3 of bit-identical doubles — both unrounded
+    (a 3-term fixed-order sum is not an order-free aggregate, so the
+    win_ewma round-the-sum rule does not apply).
+
+    Scale + lint: the frame is the donchian bounded calendar
+    self-join; the frame-day rank rides ``bucketed_running`` (no
+    global window) and the two lags are broadcast control-plane
+    self-joins on rank."""
+    from osm_airflow_spark.bucketing import bucketed_running
+
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    daily = (
+        o.groupBy(
+            F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+        )
+        .agg(
+            F.max(price).alias("hi"),
+            F.min(price).alias("lo"),
+            F.expr(
+                "max_by(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)"
+            ).alias("cl"),
+        )
+        .localCheckpoint(eager=True)  # both self-join sides
+    )
+    b = daily.select(
+        F.col("day").alias("bday"), F.col("hi").alias("bhi"),
+        F.col("lo").alias("blo"),
+    )
+    frame = (
+        daily.join(
+            F.broadcast(b),
+            F.col("bday").between(F.date_sub(F.col("day"), 13), F.col("day")),
+        )
+        .groupBy("day", "cl")
+        .agg(
+            F.max("bhi").alias("hi14"),
+            F.min("blo").alias("lo14"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .where(F.col("n_days") == 14)
+    )
+    pct_k = F.when(
+        F.col("hi14") > F.col("lo14"),
+        100.0
+        * (F.col("cl") - F.col("lo14")).cast("double")
+        / (F.col("hi14") - F.col("lo14")).cast("double"),
+    )
+    kdf = frame.select(
+        "day", pct_k.alias("pct_k"),
+        F.datediff("day", F.lit("1970-01-01")).alias("day_i"),
+        F.lit(1).alias("one"),
+    )
+    ranked, _ = bucketed_running(kdf, "day_i", ["one"])
+    kr = ranked.select(
+        "day", "pct_k", F.col("run_one").cast("long").alias("rn")
+    ).localCheckpoint(eager=True)  # three join legs
+    l1 = kr.select((F.col("rn") + 1).alias("rn"), F.col("pct_k").alias("k1"))
+    l2 = kr.select((F.col("rn") + 2).alias("rn"), F.col("pct_k").alias("k2"))
+    return (
+        kr.join(F.broadcast(l1), "rn", "left")
+        .join(F.broadcast(l2), "rn", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "pct_k",
+            ((F.col("pct_k") + F.col("k1") + F.col("k2")) / 3.0).alias(
+                "pct_d"
+            ),
+        )
+    )

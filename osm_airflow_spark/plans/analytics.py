@@ -10331,3 +10331,266 @@ def pipeline_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.alias("q_stat"),
         (F.abs(q) > 4.17).alias("significant"),
     )
+
+
+@query(
+    "pipeline_lorenz",
+    oracle=f"""
+    WITH cust_rev AS (
+      SELECT o_custkey,
+             {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT CAST(CAST(revenue AS DECIMAL(18,4)) * 10000 AS BIGINT) AS units,
+             ROW_NUMBER() OVER (ORDER BY revenue, o_custkey) AS i
+      FROM cust_rev
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(units) AS BIGINT) AS t
+      FROM ranked
+    ),
+    sel AS (
+      SELECT g.k, (g.k * tot.n) // 10 AS m, tot.n, tot.t
+      FROM generate_series(1, 10) AS g(k), tot
+    ),
+    nums AS (
+      SELECT s.k, s.m, s.n, s.t,
+             CAST(COALESCE(SUM(r.units), 0) AS BIGINT) AS num
+      FROM sel s LEFT JOIN ranked r ON r.i <= s.m
+      GROUP BY s.k, s.m, s.n, s.t
+    )
+    SELECT CAST(k AS INT) AS decile,
+           m AS n_customers_cum,
+           CAST(num AS DOUBLE) / 10000.0 AS cum_revenue,
+           CAST(num AS DOUBLE) / t AS cum_share,
+           CAST(m AS DOUBLE) / n AS pop_share
+    FROM nums
+    WHERE m > 0
+    ORDER BY k
+    """,
+)
+def pipeline_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LORENZ CURVE decile points over customer revenue — the curve
+    pipeline_gini's coefficient summarizes: for each population
+    decile (customers ascending by revenue), the cumulative share of
+    total revenue held — the concentration readout a revenue team
+    reads directly ('the bottom half holds x%').
+
+    Exactness: revenues are exact DECIMAL(18,4) sums scaled to
+    integer 10⁻⁴-units; the cumulative at each decile boundary is
+    EXACT even mid-tie — the boundary row's tie group contributes
+    (m − cum_before)·v, which is order-free because tied customers
+    are interchangeable (so Spark's value-contiguous cumulative and
+    the oracle's arbitrary within-tie ROW_NUMBER agree exactly).
+    Decile positions m = ⌊k·n/10⌋ ride as exact control-plane
+    literals from ``bucketed_running``'s by-product totals; every
+    emitted double is one shared cast/division of < 2^53 exact longs,
+    unrounded.
+
+    Scale: one corpus pass to per-customer revenue, one groupBy to
+    the distinct-value table, the bucket-offset cumulative (B-way
+    parallel, no global window), then a broadcast 10-row boundary
+    join — output is O(10)."""
+    from osm_airflow_spark.bucketing import bucketed_running
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cust_rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(dsum(_rev(), 4).alias("revenue"))
+    )
+    by_val = (
+        cust_rev.groupBy("revenue")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            (F.col("revenue").cast("decimal(18,4)") * 10000)
+            .cast("long")
+            .alias("units"),
+            "c",
+        )
+        .withColumn("rv", F.col("units") * F.col("c"))
+        .localCheckpoint(eager=True)  # distinct-value-bounded
+    )
+    out, totals = bucketed_running(by_val, "units", ["c", "rv"])
+    n, t = totals["c"], totals["rv"]
+    if n == 0:
+        return out.limit(0).select(
+            F.lit(0).cast("int").alias("decile"),
+            F.lit(0).cast("long").alias("n_customers_cum"),
+            F.lit(0.0).alias("cum_revenue"),
+            F.lit(0.0).alias("cum_share"),
+            F.lit(0.0).alias("pop_share"),
+        )
+    deciles = spark.createDataFrame(
+        [(k, (k * n) // 10) for k in range(1, 11) if (k * n) // 10 > 0],
+        "k int, m long",
+    )
+    hit = out.join(
+        F.broadcast(deciles),
+        (F.col("run_c") >= F.col("m"))
+        & (F.col("run_c") - F.col("c") < F.col("m")),
+    )
+    num = (
+        F.col("run_rv")
+        - F.col("rv")
+        + (F.col("m") - (F.col("run_c") - F.col("c"))) * F.col("units")
+    )
+    return hit.select(
+        F.col("k").cast("int").alias("decile"),
+        F.col("m").cast("long").alias("n_customers_cum"),
+        (num.cast("double") / 10000.0).alias("cum_revenue"),
+        (num.cast("double") / F.lit(t).cast("long")).alias("cum_share"),
+        (F.col("m").cast("double") / F.lit(n).cast("long")).alias(
+            "pop_share"
+        ),
+    )
+
+
+_NV_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query(
+    "pipeline_newsvendor",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS prio,
+             CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS demand
+      FROM orders GROUP BY 1, 2
+    ),
+    by_val AS (
+      SELECT demand,
+             {', '.join(
+                 "CAST(SUM(CASE WHEN prio = '" + p + "' THEN 1 ELSE 0 END)"
+                 f" AS BIGINT) AS c{i}"
+                 for i, p in enumerate(_NV_PRIOS))}
+      FROM daily GROUP BY demand
+    ),
+    cum AS (
+      SELECT demand,
+             {', '.join(
+                 f'c{i}, SUM(c{i}) OVER (ORDER BY demand) AS run{i}'
+                 for i in range(len(_NV_PRIOS)))}
+      FROM by_val
+    ),
+    tot AS (
+      SELECT {', '.join(
+          f'CAST(SUM(c{i}) AS BIGINT) AS n{i}, '
+          f'CAST(SUM(demand * c{i}) AS BIGINT) AS d{i}'
+          for i in range(len(_NV_PRIOS)))}
+      FROM by_val
+    ),
+    sel AS (
+      SELECT {', '.join(
+          f'MIN(CASE WHEN run{i} >= (3 * t.n{i} + 3) // 4 '
+          f'THEN demand END) AS q{i}'
+          for i in range(len(_NV_PRIOS)))}
+      FROM cum, tot t
+    )
+    SELECT u.prio AS o_orderpriority, u.n_days, u.total_demand,
+           CAST(u.total_demand AS DOUBLE) / u.n_days AS mean_demand,
+           0.75 AS service_level,
+           u.q_opt
+    FROM (SELECT * FROM sel, tot) s, LATERAL (VALUES
+      {', '.join(
+          f"('{p}', s.n{i}, s.d{i}, s.q{i})"
+          for i, p in enumerate(_NV_PRIOS))}
+    ) AS u(prio, n_days, total_demand, q_opt)
+    WHERE u.n_days > 0
+    ORDER BY u.prio
+    """,
+)
+def pipeline_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWSVENDOR critical-fractile stocking (Arrow–Harris–Marschak
+    1951) per order priority: with underage:overage cost 3:1 the
+    optimal stock is the 75% fractile of the daily demand
+    distribution — q* = min{q : F(q) ≥ cu/(cu+co)} — the inventory
+    sizing decision beside pipeline_excess_stock's after-the-fact
+    screen. Demand = orders per (priority, day); emits each
+    priority's day count, mean daily demand and q*.
+
+    Exactness: demand values and day counts are exact integers; the
+    per-priority CDF rides the distinct-value cumulative (5-way wide
+    pivot, bucket-offsets — no global window), the fractile position
+    ⌈3n/4⌉ = (3n+3)//4 is an exact control-plane literal from
+    ``bucketed_running``'s totals, and q* is a pure MIN selection
+    over the monotone cumulative. mean_demand is one division of
+    exact longs; service_level is the short literal 0.75.
+
+    Scale: one corpus pass to (priority, day) counts (days ×
+    priorities bounded), then distinct-value-bounded everywhere."""
+    from osm_airflow_spark.bucketing import bucketed_running
+
+    o = load_table(spark, sf_dir, "orders")
+    np_ = len(_NV_PRIOS)
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("demand"))
+    by_val = (
+        daily.groupBy("demand")
+        .agg(
+            *[
+                F.sum(F.when(F.col("prio") == p, 1).otherwise(0))
+                .cast("long")
+                .alias(f"c{i}")
+                for i, p in enumerate(_NV_PRIOS)
+            ]
+        )
+        .localCheckpoint(eager=True)  # distinct-value-bounded
+    )
+    # demand totals ride as a broadcast 1-row aggregate (house
+    # doctrine: never a driver-side collect for a global scalar)
+    tot = by_val.agg(
+        *[
+            F.sum(F.col("demand") * F.col(f"c{i}"))
+            .cast("long")
+            .alias(f"d{i}")
+            for i in range(np_)
+        ]
+    )
+    out, totals = bucketed_running(by_val, "demand", [f"c{i}" for i in range(np_)])
+    sel = out.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col(f"run_c{i}")
+                    >= F.lit((3 * totals[f"c{i}"] + 3) // 4),
+                    F.col("demand"),
+                )
+            ).alias(f"q{i}")
+            for i in range(np_)
+        ]
+    ).join(F.broadcast(tot))
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("prio"),
+                    F.lit(totals[f"c{i}"]).cast("long").alias("n_days"),
+                    F.coalesce(F.col(f"d{i}"), F.lit(0))
+                    .cast("long")
+                    .alias("total_demand"),
+                    F.col(f"q{i}").alias("q_opt"),
+                )
+                for i, p in enumerate(_NV_PRIOS)
+            ]
+        )
+    )
+    return (
+        sel.select(rows.alias("r"))
+        .select(
+            F.col("r.prio").alias("o_orderpriority"),
+            F.col("r.n_days").alias("n_days"),
+            F.col("r.total_demand").alias("total_demand"),
+            (
+                F.col("r.total_demand").cast("double") / F.col("r.n_days")
+            ).alias("mean_demand"),
+            F.lit(0.75).alias("service_level"),
+            F.col("r.q_opt").alias("q_opt"),
+        )
+        .where(F.col("n_days") > 0)
+    )

@@ -1951,3 +1951,121 @@ def test_fn_geohash_matches_classic_bisection_encoder(spark, sf_dir):
         assert r["cell_south"] <= r["lat"]
         assert r["lon"] < r["cell_west"] + 360.0 / 32768.0 or r["lon"] == 180.0
         assert r["lat"] < r["cell_south"] + 180.0 / 32768.0 or r["lat"] == 90.0
+
+
+def test_weighted_median_hand_and_missing_flag(spark, tmp_path):
+    """Hand-walkable lower weighted median: flag A prices 10/20/30
+    with quantities 1/2/1 → W=4, crossing position 2 → median 20;
+    a single-row flag N returns its own price; flag R absent from
+    the fixture emits no row. Oracle replayed."""
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    rows = [
+        (10.0, 1.0, "A"),
+        (20.0, 2.0, "A"),
+        (30.0, 1.0, "A"),
+        (77.0, 5.0, "N"),
+    ]
+    spark.createDataFrame(
+        rows, "l_extendedprice double, l_quantity double, l_returnflag string"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    clear_plan_cache()
+    got = {
+        r["l_returnflag"]: r
+        for r in QUERIES["agg_weighted_median"](spark, str(tmp_path)).collect()
+    }
+    clear_plan_cache()
+    assert set(got) == {"A", "N"}
+    assert got["A"]["total_qty"] == 4 and got["A"]["median_price"] == 20.0
+    assert got["N"]["total_qty"] == 5 and got["N"]["median_price"] == 77.0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/lineitem.parquet/*.parquet')"
+    )
+    want = con.execute(ORACLES["agg_weighted_median"]).fetchall()
+    assert sorted(tuple(r) for r in got.values()) == sorted(
+        tuple(w) for w in want
+    )
+
+
+def test_agg_histogram_edges_clamp_and_degenerate(spark, tmp_path):
+    """Prices 0..200 in steps of 10 over 20 equal bins of width 10:
+    every bin holds exactly one price except the last (190 AND the
+    200 maximum, which clamps into bin 19); shares sum to 1. A
+    single-value corpus (zero extent) emits no rows. Oracle
+    replayed."""
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    def run(prices, sub):
+        base = tmp_path / sub
+        base.mkdir()
+        spark.createDataFrame(
+            [(i, p) for i, p in enumerate(prices)],
+            "o_orderkey long, o_totalprice double",
+        ).coalesce(1).write.parquet(str(base / "orders.parquet"))
+        clear_plan_cache()
+        got = QUERIES["agg_histogram"](spark, str(base)).collect()
+        clear_plan_cache()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM read_parquet("
+            f"'{base}/orders.parquet/*.parquet')"
+        )
+        want = con.execute(ORACLES["agg_histogram"]).fetchall()
+        assert sorted(tuple(r) for r in got) == sorted(tuple(w) for w in want)
+        return {r["bin"]: r for r in got}
+
+    h = run([10.0 * k for k in range(21)], "grid")
+    assert len(h) == 20
+    assert h[19]["n"] == 2  # 190 and the clamped 200
+    assert all(h[b]["n"] == 1 for b in range(19))
+    assert abs(sum(r["share"] for r in h.values()) - 1.0) < 1e-12
+    assert h[0]["bin_low"] == 0.0 and h[0]["bin_high"] == 10.0
+    assert h[19]["bin_high"] == 200.0
+
+    assert run([42.0] * 5, "flat") == {}
+
+
+def test_win_stochastic_rising_series(spark, tmp_path):
+    """A strictly rising dense series closes on its 14-day high every
+    day: %K = 100 exactly; %D = 100 from the third frame day and NULL
+    before (no 3-frame history). Oracle replayed."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    rows = [
+        (i, datetime.date(2024, 1, 1) + datetime.timedelta(days=i),
+         1000.0 + 10.0 * i)
+        for i in range(18)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    clear_plan_cache()
+    got = {r["day"]: r for r in
+           QUERIES["win_stochastic"](spark, str(tmp_path)).collect()}
+    clear_plan_cache()
+    assert len(got) == 5  # days 14..18 own full frames
+    for day, r in got.items():
+        assert r["pct_k"] == 100.0
+    assert got["2024-01-14"]["pct_d"] is None
+    assert got["2024-01-15"]["pct_d"] is None
+    assert got["2024-01-16"]["pct_d"] == 100.0
+    assert got["2024-01-18"]["pct_d"] == 100.0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/orders.parquet/*.parquet')"
+    )
+    want = con.execute(ORACLES["win_stochastic"]).fetchall()
+    assert sorted(tuple(r) for r in got.values()) == sorted(
+        tuple(w) for w in want
+    )

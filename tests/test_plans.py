@@ -2337,3 +2337,104 @@ def test_tukey_hsd_null_and_planted_shift(spark, tmp_path):
     )
     want = con.execute(ORACLES["pipeline_tukey_hsd"]).fetchall()
     assert sorted(tuple(r) for r in got) == sorted(tuple(w) for w in want)
+
+
+def test_lorenz_hand_deciles_and_equality_line(spark, tmp_path):
+    """Ten customers with revenues 10,20,...,100 (one lineitem each,
+    no discount): decile k holds the k poorest, cum_share =
+    k(k+1)/110; identical revenues instead ⇒ the curve IS the
+    equality line (cum_share == pop_share exactly, mid-tie splits
+    included). Oracle replayed on both."""
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    def run(revs, sub):
+        base = tmp_path / sub
+        base.mkdir()
+        orders = [(i, i) for i in range(1, len(revs) + 1)]  # okey, custkey
+        items = [
+            (i, float(r), 0.0) for i, r in enumerate(revs, start=1)
+        ]
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long"
+        ).coalesce(1).write.parquet(str(base / "orders.parquet"))
+        spark.createDataFrame(
+            items, "l_orderkey long, l_extendedprice double, l_discount double"
+        ).coalesce(1).write.parquet(str(base / "lineitem.parquet"))
+        clear_plan_cache()
+        got = QUERIES["pipeline_lorenz"](spark, str(base)).collect()
+        clear_plan_cache()
+        con = duckdb.connect()
+        for t in ("orders", "lineitem"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+                f"'{base}/{t}.parquet/*.parquet')"
+            )
+        want = con.execute(ORACLES["pipeline_lorenz"]).fetchall()
+        assert sorted(tuple(r) for r in got) == sorted(tuple(w) for w in want)
+        return {r["decile"]: r for r in got}
+
+    ramp = run([10.0 * k for k in range(1, 11)], "ramp")
+    assert len(ramp) == 10
+    total = sum(10.0 * k for k in range(1, 11))
+    for k in range(1, 11):
+        r = ramp[k]
+        assert r["n_customers_cum"] == k
+        assert r["pop_share"] == k / 10
+        assert r["cum_share"] == sum(10.0 * j for j in range(1, k + 1)) / total
+    assert ramp[10]["cum_share"] == 1.0
+
+    flat = run([50.0] * 10, "flat")
+    for k in range(1, 11):
+        assert flat[k]["cum_share"] == flat[k]["pop_share"]
+
+
+def test_newsvendor_hand_fractiles(spark, tmp_path):
+    """Hand-walkable 75% fractiles: a priority with daily order
+    counts [1,1,1,2] stocks q*=1 (position ceil(3·4/4)=3 of the
+    sorted demands); [1,2,3,4] stocks q*=3. Oracle replayed."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    rows = []
+    okey = 0
+    # 1-URGENT: four days with 1,1,1,2 orders
+    for d, cnt in enumerate([1, 1, 1, 2]):
+        for _ in range(cnt):
+            rows.append(
+                (okey, datetime.date(2024, 1, 1 + d), "1-URGENT")
+            )
+            okey += 1
+    # 5-LOW: four days with 1,2,3,4 orders
+    for d, cnt in enumerate([1, 2, 3, 4]):
+        for _ in range(cnt):
+            rows.append((okey, datetime.date(2024, 1, 1 + d), "5-LOW"))
+            okey += 1
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_orderpriority string"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    clear_plan_cache()
+    got = {
+        r["o_orderpriority"]: r
+        for r in QUERIES["pipeline_newsvendor"](spark, str(tmp_path)).collect()
+    }
+    clear_plan_cache()
+    assert set(got) == {"1-URGENT", "5-LOW"}  # absent priorities drop
+    u = got["1-URGENT"]
+    assert (u["n_days"], u["total_demand"], u["q_opt"]) == (4, 5, 1)
+    assert u["mean_demand"] == 5 / 4 and u["service_level"] == 0.75
+    lo = got["5-LOW"]
+    assert (lo["n_days"], lo["total_demand"], lo["q_opt"]) == (4, 10, 3)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/orders.parquet/*.parquet')"
+    )
+    want = con.execute(ORACLES["pipeline_newsvendor"]).fetchall()
+    assert sorted(tuple(r) for r in got.values()) == sorted(
+        tuple(w) for w in want
+    )
