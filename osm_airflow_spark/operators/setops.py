@@ -205,3 +205,56 @@ def set_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit tiebreak instead)."""
     c = load_table(spark, sf_dir, "customer")
     return c.select("c_nationkey", "c_mktsegment").dropDuplicates()
+
+
+@query(
+    "set_symmetric_diff",
+    oracle="""
+    WITH early AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    ),
+    late AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    )
+    SELECT o_custkey, 'early_only' AS side FROM early
+    WHERE o_custkey NOT IN (SELECT o_custkey FROM late)
+    UNION ALL
+    SELECT o_custkey, 'late_only' AS side FROM late
+    WHERE o_custkey NOT IN (SELECT o_custkey FROM early)
+    """,
+)
+def set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-family completion — SYMMETRIC DIFFERENCE with side
+    attribution: customers active in exactly ONE era (early-only
+    churned before 1996, late-only are new) — the churn/acquisition
+    split a plain EXCEPT hides (set_except keeps only one direction
+    and loses which). Tagged UNION of two anti-joins.
+
+    Determinism: pure set membership on exact keys — no arithmetic
+    at all; the side tag is a literal.
+
+    Scale: two DISTINCT projections of the same scan (this build
+    re-executes shared subtrees — the exchange-reuse ledger — but
+    each leg prunes to one column + the pushed date filter), then two
+    LEFT ANTI hash joins on the key; at 100 TB both anti-joins
+    shuffle on o_custkey once and AQE broadcasts whichever era set
+    is small."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1996-01-01").cast("timestamp")
+    early = (
+        o.where(F.col("o_orderdate") < cut).select("o_custkey").distinct()
+    )
+    late = (
+        o.where(F.col("o_orderdate") >= cut).select("o_custkey").distinct()
+    )
+    return (
+        early.join(late, "o_custkey", "left_anti")
+        .select("o_custkey", F.lit("early_only").alias("side"))
+        .unionAll(
+            late.join(early, "o_custkey", "left_anti").select(
+                "o_custkey", F.lit("late_only").alias("side")
+            )
+        )
+    )

@@ -2431,3 +2431,168 @@ def osm_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rings",
         "total_area",
     )
+
+
+@query(
+    "osm_way_intersections",
+    oracle="""
+    WITH segs AS (
+      SELECT o_orderkey AS way_id,
+             CAST((o_orderkey * 13) % 100000 AS BIGINT) AS x1,
+             CAST((o_orderkey * 7) % 100000 AS BIGINT) AS y1,
+             CAST((o_orderkey * 13) % 100000
+                  + ((o_orderkey * 11) % 2001 - 1000) AS BIGINT) AS x2,
+             CAST((o_orderkey * 7) % 100000
+                  + ((o_orderkey * 17) % 2001 - 1000) AS BIGINT) AS y2
+      FROM orders
+      WHERE o_orderkey % 4 = 0
+        AND NOT ((o_orderkey * 11) % 2001 = 1000
+                 AND (o_orderkey * 17) % 2001 = 1000)
+    ),
+    cells AS (
+      -- extent <= 1000 < the 2000 pitch, so a segment spans at most
+      -- two cells per axis: both corner cells cover it exactly
+      SELECT DISTINCT s.*, u.cx, v.cy
+      FROM segs s,
+           LATERAL unnest([LEAST(s.x1, s.x2) // 2000,
+                           GREATEST(s.x1, s.x2) // 2000]) AS u(cx),
+           LATERAL unnest([LEAST(s.y1, s.y2) // 2000,
+                           GREATEST(s.y1, s.y2) // 2000]) AS v(cy)
+    ),
+    cand AS (
+      SELECT DISTINCT
+             a.way_id AS way_a, b.way_id AS way_b,
+             a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+             b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2
+      FROM cells a JOIN cells b
+        ON a.cx = b.cx AND a.cy = b.cy AND a.way_id < b.way_id
+    ),
+    tested AS (
+      SELECT *,
+             (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1) AS d1,
+             (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1) AS d2,
+             (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1) AS d3,
+             (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1) AS d4
+      FROM cand
+    )
+    SELECT way_a, way_b,
+           CAST(ax1 AS DOUBLE)
+             + CAST(d3 AS DOUBLE) / (d3 - d4) * (ax2 - ax1) AS ix,
+           CAST(ay1 AS DOUBLE)
+             + CAST(d3 AS DOUBLE) / (d3 - d4) * (ay2 - ay1) AS iy
+    FROM tested
+    WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+      AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
+    """,
+)
+def osm_way_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAY×WAY INTERSECTION detection — the road-crossing overlay
+    (the osm2pgsql routing-prep operation bbox containment can't
+    approximate): every pair of street segments that PROPERLY cross,
+    with the crossing point. Streets are fixture-derived synthetic
+    segments in a 1°×1° city square: integer micro-unit endpoints
+    with a bounded ±1000-unit extent (real road segments are short —
+    the derivation encodes that), keyed 1-in-4 sample (the
+    llm_sim_pairwise bound).
+
+    Exactness: endpoints are exact integers, so all four orientation
+    cross-products are EXACT longs (≤ 2001·10⁵ terms — no float
+    anywhere in the decision); strict sign opposition excludes
+    endpoint touches and collinear overlaps (documented, the
+    ring_is_simple convention). The crossing point is the only
+    double: t = d3/(d3−d4) and p + t·d are shared IEEE trees over
+    exact-long casts, unrounded.
+
+    Scale: THE anti-all-pairs shape — segments explode to the ≤4
+    grid cells (2000-unit pitch ≥ the max segment extent) their bbox
+    overlaps, candidates pair only within a cell (equi-join on the
+    cell key), and the DISTINCT collapses shared-cell duplicates
+    before testing; at 100 TB the grid pitch is the documented knob
+    (pitch ≈ segment extent keeps pairs/cell constant). Never
+    segments × segments."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    segs = (
+        o.where(
+            (k % 4 == 0)
+            & ~(((k * 11) % 2001 == 1000) & ((k * 17) % 2001 == 1000))
+        )
+        .select(
+            k.alias("way_id"),
+            ((k * 13) % 100000).cast("long").alias("x1"),
+            ((k * 7) % 100000).cast("long").alias("y1"),
+            ((k * 13) % 100000 + ((k * 11) % 2001 - 1000))
+            .cast("long")
+            .alias("x2"),
+            ((k * 7) % 100000 + ((k * 17) % 2001 - 1000))
+            .cast("long")
+            .alias("y2"),
+        )
+        .localCheckpoint(eager=True)  # both self-join sides
+    )
+    # extent <= 1000 < the 2000 pitch: at most two cells per axis
+    cells = segs.select(
+        "*",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(F.least("x1", "x2") / 2000).cast("long"),
+                    F.floor(F.greatest("x1", "x2") / 2000).cast("long"),
+                )
+            )
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(F.least("y1", "y2") / 2000).cast("long"),
+                    F.floor(F.greatest("y1", "y2") / 2000).cast("long"),
+                )
+            )
+        ).alias("cy"),
+    )
+    a = cells.select(
+        F.col("way_id").alias("way_a"), F.col("x1").alias("ax1"),
+        F.col("y1").alias("ay1"), F.col("x2").alias("ax2"),
+        F.col("y2").alias("ay2"), "cx", "cy",
+    )
+    b = cells.select(
+        F.col("way_id").alias("way_b"), F.col("x1").alias("bx1"),
+        F.col("y1").alias("by1"), F.col("x2").alias("bx2"),
+        F.col("y2").alias("by2"), "cx", "cy",
+    )
+    cand = (
+        a.join(b, ["cx", "cy"])
+        .where(F.col("way_a") < F.col("way_b"))
+        .drop("cx", "cy")
+        .distinct()
+    )
+    d1 = (F.col("ax2") - F.col("ax1")) * (F.col("by1") - F.col("ay1")) - (
+        F.col("ay2") - F.col("ay1")
+    ) * (F.col("bx1") - F.col("ax1"))
+    d2 = (F.col("ax2") - F.col("ax1")) * (F.col("by2") - F.col("ay1")) - (
+        F.col("ay2") - F.col("ay1")
+    ) * (F.col("bx2") - F.col("ax1"))
+    d3 = (F.col("bx2") - F.col("bx1")) * (F.col("ay1") - F.col("by1")) - (
+        F.col("by2") - F.col("by1")
+    ) * (F.col("ax1") - F.col("bx1"))
+    d4 = (F.col("bx2") - F.col("bx1")) * (F.col("ay2") - F.col("by1")) - (
+        F.col("by2") - F.col("by1")
+    ) * (F.col("ax2") - F.col("bx1"))
+    tested = cand.select(
+        "*", d1.alias("d1"), d2.alias("d2"), d3.alias("d3"), d4.alias("d4")
+    )
+    t = F.col("d3").cast("double") / (F.col("d3") - F.col("d4"))
+    return tested.where(
+        (((F.col("d1") > 0) & (F.col("d2") < 0))
+         | ((F.col("d1") < 0) & (F.col("d2") > 0)))
+        & (((F.col("d3") > 0) & (F.col("d4") < 0))
+           | ((F.col("d3") < 0) & (F.col("d4") > 0)))
+    ).select(
+        "way_a", "way_b",
+        (F.col("ax1").cast("double")
+         + t * (F.col("ax2") - F.col("ax1"))).alias("ix"),
+        (F.col("ay1").cast("double")
+         + t * (F.col("ay2") - F.col("ay1"))).alias("iy"),
+    )

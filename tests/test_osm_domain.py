@@ -1155,3 +1155,64 @@ def test_tile_pyramid_conservation_and_grid(spark, sf_dir):
     base = per_zoom_area[0]
     for z in (1, 2, 3):
         assert abs(per_zoom_area[z] - base) <= tol
+
+
+def test_way_intersections_matches_brute_force_replica(spark):
+    """Third implementation: brute-force ALL-PAIRS exact-integer
+    orientation tests over the same derived segments must find
+    exactly the same crossing pairs and the same intersection points
+    (t = d3/(d3-d4) replayed with the same IEEE ops) — proving the
+    grid-bucketing loses no pair (pitch >= max extent) and
+    double-counts none. Runs at sf0.001 where all-pairs is trivial;
+    also pins a hand crossing and a sharing-endpoint NON-crossing."""
+    from osm_airflow_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    okeys = [
+        r[0]
+        for r in spark.read.parquet(f"{sf}/orders.parquet")
+        .select("o_orderkey")
+        .collect()
+    ]
+    segs = {}
+    for k in okeys:
+        if k % 4 != 0:
+            continue
+        dx, dy = (k * 11) % 2001 - 1000, (k * 17) % 2001 - 1000
+        if dx == 0 and dy == 0:
+            continue
+        x1, y1 = (k * 13) % 100000, (k * 7) % 100000
+        segs[k] = (x1, y1, x1 + dx, y1 + dy)
+
+    def cross(a, b):
+        ax1, ay1, ax2, ay2 = a
+        bx1, by1, bx2, by2 = b
+        d1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+        d2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+        d3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+        d4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+        if ((d1 > 0) != (d2 > 0) and d1 != 0 and d2 != 0
+                and (d3 > 0) != (d4 > 0) and d3 != 0 and d4 != 0):
+            t = float(d3) / (d3 - d4)
+            return (float(ax1) + t * (ax2 - ax1),
+                    float(ay1) + t * (ay2 - ay1))
+        return None
+
+    want = {}
+    ks = sorted(segs)
+    for i, ka in enumerate(ks):
+        for kb in ks[i + 1:]:
+            pt = cross(segs[ka], segs[kb])
+            if pt is not None:
+                want[(ka, kb)] = pt
+
+    got = {
+        (r["way_a"], r["way_b"]): (r["ix"], r["iy"])
+        for r in all_queries()["osm_way_intersections"](spark, sf).collect()
+    }
+    assert got == want
+
+    # hand pins on the pure test: a plus-sign crossing at (5, 5)...
+    assert cross((0, 5, 10, 5), (5, 0, 5, 10)) == (5.0, 5.0)
+    # ...and segments sharing an endpoint do NOT properly cross
+    assert cross((0, 0, 10, 0), (10, 0, 10, 10)) is None
