@@ -1355,3 +1355,69 @@ def llm_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.col("na"), F.col("nb"), F.lit(1))
         ).alias("edit_similarity"),
     )
+
+
+@query(
+    "llm_dup_size_histogram",
+    oracle="""
+    WITH groups AS (
+      SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM documents GROUP BY md5(text)
+    ),
+    hist AS (
+      SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+      FROM groups GROUP BY cluster_size
+    ),
+    tot AS (
+      SELECT CAST(SUM(cluster_size * n_clusters) AS BIGINT) AS n_docs
+      FROM hist
+    )
+    SELECT cluster_size, n_clusters,
+           cluster_size * n_clusters AS n_docs_in,
+           CAST(cluster_size * n_clusters AS DOUBLE) / t.n_docs
+             AS doc_share,
+           CAST((cluster_size - 1) * n_clusters AS DOUBLE) / t.n_docs
+             AS removable_share
+    FROM hist, tot t
+    """,
+)
+def llm_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 companion — DUPLICATE-CLUSTER SIZE DISTRIBUTION: how many
+    exact-dup clusters exist at each multiplicity, what share of the
+    corpus sits in them, and what share dedup would REMOVE (the
+    capacity-planning readout run before llm_dedup_exact: a corpus
+    where removable_share is 40% needs the dedup stage sized very
+    differently from one at 2%). Σ removable_share over rows = the
+    corpus dup ratio llm_source_profile reports per source.
+
+    Determinism: md5 grouping and every count are exact; the two
+    shares are single divisions of exact longs against the
+    broadcast 1-row total (never a driver collect), unrounded.
+
+    Scale: one corpus pass to digest groups (the dedup_exact
+    shuffle), then the histogram lives on the cluster-size value
+    space (tiny); output is O(distinct sizes)."""
+    d = load_table(spark, sf_dir, "documents")
+    groups = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    hist = groups.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    tot = hist.agg(
+        F.sum(F.col("cluster_size") * F.col("n_clusters"))
+        .cast("long")
+        .alias("n_docs")
+    )
+    return hist.join(F.broadcast(tot)).select(
+        "cluster_size", "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs_in"),
+        (
+            (F.col("cluster_size") * F.col("n_clusters")).cast("double")
+            / F.col("n_docs")
+        ).alias("doc_share"),
+        (
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).cast("double")
+            / F.col("n_docs")
+        ).alias("removable_share"),
+    )

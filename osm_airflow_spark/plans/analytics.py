@@ -10594,3 +10594,181 @@ def pipeline_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_days") > 0)
     )
+
+
+_HURST_SIZES = [8, 16, 32]
+
+
+@query(
+    "pipeline_hurst",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rdec
+      FROM orders GROUP BY 1
+    ),
+    z AS (
+      SELECT CAST(FLOOR(CAST(rdec AS DOUBLE) / 1000) AS BIGINT) AS z,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn
+      FROM daily
+    ),
+    blocks AS (
+      SELECT m.m, (rn - 1) // m.m AS blk, (rn - 1) % m.m AS pos, z
+      FROM z, (VALUES (8), (16), (32)) AS m(m)
+    ),
+    bsum AS (
+      SELECT m, blk,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(z) AS BIGINT) AS s,
+             CAST(SUM(z * z) AS BIGINT) AS q
+      FROM blocks GROUP BY m, blk
+    ),
+    full_blocks AS (SELECT * FROM bsum WHERE cnt = m),
+    walk AS (
+      SELECT b.m, b.blk, f.s, f.q,
+             SUM(b.m * b.z - f.s) OVER (
+               PARTITION BY b.m, b.blk ORDER BY b.pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w
+      FROM blocks b JOIN full_blocks f ON f.m = b.m AND f.blk = b.blk
+    ),
+    per_block AS (
+      SELECT m, blk,
+             CAST(GREATEST(MAX(w), 0) - LEAST(MIN(w), 0) AS BIGINT) AS r_scaled,
+             CAST(MAX(m) * MAX(q) - MAX(s) * MAX(s) AS BIGINT) AS var_scaled
+      FROM walk GROUP BY m, blk
+    ),
+    rs AS (
+      SELECT m,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(CAST(round(CAST(r_scaled AS DOUBLE)
+                                 / sqrt(CAST(var_scaled AS DOUBLE)), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_rs
+      FROM per_block WHERE var_scaled > 0
+      GROUP BY m
+    ),
+    wide AS (
+      SELECT
+        {', '.join(f"MAX(CASE WHEN m = {m} THEN n_blocks END) AS n{m}, "
+                   f"MAX(CASE WHEN m = {m} THEN round(log2(mean_rs), 6) END)"
+                   f" AS y{m}"
+                   for m in _HURST_SIZES)}
+      FROM rs
+    )
+    SELECT {', '.join(f'n{m} AS n_blocks_{m}' for m in _HURST_SIZES)},
+           {', '.join(f'y{m} AS log2_rs_{m}' for m in _HURST_SIZES)},
+           (y32 - y8) / 2.0 AS hurst
+    FROM wide
+    WHERE n8 IS NOT NULL AND n16 IS NOT NULL AND n32 IS NOT NULL
+    """,
+)
+def pipeline_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HURST EXPONENT via rescaled-range analysis (Hurst 1951,
+    Mandelbrot & Wallis 1969) on the daily revenue series: the
+    long-memory diagnostic beside pipeline_dickey_fuller's unit-root
+    gate and pipeline_acf's short-lag correlations — H ≈ 0.5 is a
+    memoryless walk, H > 0.5 trending persistence, H < 0.5 mean
+    reversion. Trading-day blocks of m ∈ {{8,16,32}}; per block
+    R/S = (max−min cumulative deviation)/σ; H = the least-squares
+    slope of log2(mean R/S) on log2(m), which over the equally
+    spaced {{3,4,5}} collapses to (y₃₂ − y₈)/2.
+
+    Exactness — the m-CANCELLATION identity: with deviations n-scaled
+    (D = m·z − S), R_scaled = max W − min W and m²·σ² = m·Σz² − S²
+    are BOTH exact longs and R/S = R_scaled/√(m·Σz²−S²) exactly (the
+    m's cancel), so each block's R/S is one shared sqrt-division tree
+    over exact longs — rounded 6 dp at the block (the term rule: the
+    cross-block mean is an order-free aggregate) and decimal-meaned;
+    log2 rounds at the transcendental (libm rule) and H is exact
+    decimal arithmetic on the rounded y's. The walk extremes bracket
+    0 (GREATEST/LEAST vs 0 — W ends at 0, and the textbook R takes
+    max(W,0)−min(W,0)). Zero-variance blocks are excluded in both
+    engines; emits only when all three sizes have a full block.
+
+    Scale: one corpus pass to daily totals; everything after lives on
+    the days-bounded series (rank via ``bucketed_running``, the walk
+    in ≤32-row partitioned windows — no global window)."""
+    from osm_airflow_spark.bucketing import bucketed_running
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rdec"))
+    daily = daily.select(
+        F.floor(F.col("rdec").cast("double") / 1000).cast("long").alias("z"),
+        F.datediff("day", F.lit("1970-01-01")).alias("day_i"),
+        F.lit(1).alias("one"),
+    )
+    ranked, _ = bucketed_running(daily, "day_i", ["one"])
+    zdf = ranked.select("z", F.col("run_one").cast("long").alias("rn"))
+    sizes = spark.createDataFrame([(m,) for m in _HURST_SIZES], "m long")
+    blocks = zdf.join(F.broadcast(sizes)).select(
+        "m", "z",
+        ((F.col("rn") - 1) / F.col("m")).cast("long").alias("blk"),
+        ((F.col("rn") - 1) % F.col("m")).alias("pos"),
+    ).localCheckpoint(eager=True)  # days-bounded; feeds sums + walk
+    bsum = blocks.groupBy("m", "blk").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("z").cast("long").alias("s"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("q"),
+    )
+    full = bsum.where(F.col("cnt") == F.col("m")).select("m", "blk", "s", "q")
+    from pyspark.sql import Window
+
+    w_win = (
+        Window.partitionBy("m", "blk")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = blocks.join(F.broadcast(full), ["m", "blk"]).select(
+        "m", "blk", "s", "q",
+        F.sum(F.col("m") * F.col("z") - F.col("s")).over(w_win).alias("w"),
+    )
+    per_block = walk.groupBy("m", "blk").agg(
+        (
+            F.greatest(F.max("w"), F.lit(0).cast("long"))
+            - F.least(F.min("w"), F.lit(0).cast("long"))
+        ).cast("long").alias("r_scaled"),
+        (F.max("m") * F.max("q") - F.max("s") * F.max("s"))
+        .cast("long")
+        .alias("var_scaled"),
+    )
+    rs = (
+        per_block.where(F.col("var_scaled") > 0)
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            (
+                F.sum(
+                    F.round(
+                        F.col("r_scaled").cast("double")
+                        / F.sqrt(F.col("var_scaled").cast("double")),
+                        6,
+                    ).cast("decimal(18,6)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_rs"),
+        )
+    )
+    wide = rs.agg(
+        *[
+            c
+            for m in _HURST_SIZES
+            for c in (
+                F.max(F.when(F.col("m") == m, F.col("n_blocks"))).alias(
+                    f"n{m}"
+                ),
+                F.max(
+                    F.when(F.col("m") == m, F.round(F.log2("mean_rs"), 6))
+                ).alias(f"y{m}"),
+            )
+        ]
+    )
+    return wide.where(
+        F.col("n8").isNotNull()
+        & F.col("n16").isNotNull()
+        & F.col("n32").isNotNull()
+    ).select(
+        *[F.col(f"n{m}").alias(f"n_blocks_{m}") for m in _HURST_SIZES],
+        *[F.col(f"y{m}").alias(f"log2_rs_{m}") for m in _HURST_SIZES],
+        ((F.col("y32") - F.col("y8")) / 2.0).alias("hurst"),
+    )

@@ -2933,3 +2933,49 @@ def test_eval_mcc_hand_confusion_and_degenerate(spark, tmp_path):
     g2 = QUERIES["llm_eval_mcc"](spark, str(base2)).first()
     clear_plan_cache()
     assert g2["mcc"] is None and g2["accuracy"] == 1.0
+
+
+def test_dup_size_histogram_planted_multiplicities(spark, tmp_path):
+    """Plant clusters of sizes 1,1,1,2,2,5 (12 docs): histogram rows
+    (1,3),(2,2),(5,1); doc shares 3/12, 4/12, 5/12; removable shares
+    0, 2/12, 4/12 — total removable 6/12 matches dedup keeping 6
+    survivors. Oracle replayed."""
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    rows, did = [], 0
+    for size, copies in ((1, 3), (2, 2), (5, 1)):
+        for c in range(copies):
+            text = f"cluster size {size} copy-set {c}"
+            for _ in range(size):
+                rows.append((did, text))
+                did += 1
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    clear_plan_cache()
+    got = {
+        r["cluster_size"]: r
+        for r in QUERIES["llm_dup_size_histogram"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    clear_plan_cache()
+    assert {(k, v["n_clusters"]) for k, v in got.items()} == {
+        (1, 3), (2, 2), (5, 1)
+    }
+    assert got[1]["doc_share"] == 3 / 12 and got[1]["removable_share"] == 0.0
+    assert got[2]["doc_share"] == 4 / 12
+    assert got[2]["removable_share"] == 2 / 12
+    assert got[5]["removable_share"] == 4 / 12
+    assert sum(r["removable_share"] for r in got.values()) == 6 / 12
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = con.execute(ORACLES["llm_dup_size_histogram"]).fetchall()
+    assert sorted(tuple(r) for r in got.values()) == sorted(
+        tuple(w) for w in want
+    )

@@ -2438,3 +2438,54 @@ def test_newsvendor_hand_fractiles(spark, tmp_path):
     assert sorted(tuple(r) for r in got.values()) == sorted(
         tuple(w) for w in want
     )
+
+
+def test_hurst_closed_forms(spark, tmp_path):
+    """Closed forms for the R/S machinery: a strict ALTERNATION
+    (daily revenue 1k,3k,1k,...) has R/S = 1 at EVERY block size —
+    the walk bounces between −m and 0 (range m) with variance m² —
+    so log2(RS) ≡ 0 and H = 0.0
+    exactly (maximal mean reversion); a pure RAMP trends with
+    R/S ∝ m, driving H above 0.9; an all-constant series has zero
+    variance in every block and emits NO row. Oracle replayed on the
+    alternating case."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    def run(thousands, sub):
+        base = tmp_path / sub
+        base.mkdir()
+        rows = [
+            (i, datetime.date(2024, 1, 1) + datetime.timedelta(days=i),
+             1000.0 * v)
+            for i, v in enumerate(thousands)
+        ]
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+        ).coalesce(1).write.parquet(str(base / "orders.parquet"))
+        clear_plan_cache()
+        got = QUERIES["pipeline_hurst"](spark, str(base)).collect()
+        clear_plan_cache()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM read_parquet("
+            f"'{base}/orders.parquet/*.parquet')"
+        )
+        want = con.execute(ORACLES["pipeline_hurst"]).fetchall()
+        assert sorted(tuple(r) for r in got) == sorted(tuple(w) for w in want)
+        return got
+
+    alt = run([1, 3] * 32, "alt")  # 64 days
+    assert len(alt) == 1
+    r = alt[0]
+    assert (r["n_blocks_8"], r["n_blocks_16"], r["n_blocks_32"]) == (8, 4, 2)
+    assert r["log2_rs_8"] == 0.0 and r["log2_rs_32"] == 0.0
+    assert r["hurst"] == 0.0
+
+    ramp = run(list(range(1, 65)), "ramp")
+    assert len(ramp) == 1 and ramp[0]["hurst"] > 0.9
+
+    assert run([5] * 64, "flat") == []

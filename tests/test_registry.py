@@ -271,6 +271,11 @@ ROUND_AUDITED = {
     "wrapped dlon*(lat+lat) term rounds 6 dp into the decimal fold, "
     "ring_area re-rounds at 6 dp — bit-identical to osm_polygon_areas "
     "whose terms these are; tile assignment is FLOOR, no boundary)",
+    "pipeline_hurst": "term (each block R/S — a shared sqrt-division "
+    "tree over exact longs via the m-cancellation — rounds 6 dp "
+    "before the order-free cross-block decimal mean) + libm (log2 of "
+    "the agreed mean rounds at the transcendental; H is exact decimal "
+    "arithmetic on the rounded y's)",
     "agg_moments": "ulp (central moments derive from >2^53-unscaled "
     "exact decimal power sums — 9 dp ratio emission for skew/kurt, "
     "6 dp for the mean; zero-variance groups NULL before any round)",
