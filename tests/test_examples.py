@@ -20,6 +20,7 @@ EXAMPLES = [
     "eval_report",
     "metrics_health",
     "experiment_design",
+    "market_indicators",
 ]
 
 
