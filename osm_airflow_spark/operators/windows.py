@@ -1748,3 +1748,124 @@ def win_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "win_ichimoku",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS hi_c,
+             CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS lo_c
+      FROM orders GROUP BY 1
+    ),
+    frame AS (
+      SELECT a.day,
+             MAX(CASE WHEN b.day >= a.day - INTERVAL 8 DAY
+                      THEN b.hi_c END) AS hi9,
+             MIN(CASE WHEN b.day >= a.day - INTERVAL 8 DAY
+                      THEN b.lo_c END) AS lo9,
+             SUM(CASE WHEN b.day >= a.day - INTERVAL 8 DAY
+                      THEN 1 ELSE 0 END) AS n9,
+             MAX(CASE WHEN b.day >= a.day - INTERVAL 25 DAY
+                      THEN b.hi_c END) AS hi26,
+             MIN(CASE WHEN b.day >= a.day - INTERVAL 25 DAY
+                      THEN b.lo_c END) AS lo26,
+             SUM(CASE WHEN b.day >= a.day - INTERVAL 25 DAY
+                      THEN 1 ELSE 0 END) AS n26,
+             MAX(b.hi_c) AS hi52, MIN(b.lo_c) AS lo52,
+             COUNT(*) AS n52
+      FROM daily a JOIN daily b
+        ON b.day BETWEEN a.day - INTERVAL 51 DAY AND a.day
+      GROUP BY a.day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(hi9 + lo9 AS DOUBLE) / 200.0 AS tenkan,
+           CAST(hi26 + lo26 AS DOUBLE) / 200.0 AS kijun,
+           CAST((hi9 + lo9) + (hi26 + lo26) AS DOUBLE) / 400.0 AS senkou_a,
+           CAST(hi52 + lo52 AS DOUBLE) / 200.0 AS senkou_b,
+           CAST((hi9 + lo9) + (hi26 + lo26) AS DOUBLE) / 400.0
+             > CAST(hi52 + lo52 AS DOUBLE) / 200.0 AS cloud_bullish
+    FROM frame
+    WHERE n9 = 9 AND n26 = 26 AND n52 = 52
+    """,
+)
+def win_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r13) — ICHIMOKU component lines (Hosoda 1969) over the
+    daily series: Tenkan (9-day midrange), Kijun (26-day midrange),
+    Senkou A = their mean, Senkou B (52-day midrange), and the
+    cloud-direction bit — the MULTI-HORIZON trend stack beside the
+    single-horizon donchian/aroon (all three lines are pure
+    range-midpoints at different lookbacks; A above B reads bullish).
+    Projection shifts (plotting the spans 26 days forward) are a
+    chart convention, not a data transform, and are omitted. Only
+    days where ALL THREE calendar frames are full emit (the donchian
+    gap rule at the strictest horizon).
+
+    Determinism: everything is exact integer-cent selection (MAX/MIN
+    of cents, conditional on calendar bounds) until four final
+    shared single-division IEEE trees (summed cents /200 — never a
+    decimal division, which binds different scales per engine); the
+    cloud bit compares two of those identical doubles.
+
+    Scale + lint: windowless — ONE bounded 52-day calendar self-join
+    serves all three horizons via conditional aggregation (not three
+    joins); days² at a decade is control-plane sized and
+    broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    daily = (
+        o.groupBy(
+            F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+        )
+        .agg(
+            (F.max(price) * 100).cast("long").alias("hi_c"),
+            (F.min(price) * 100).cast("long").alias("lo_c"),
+        )
+        .localCheckpoint(eager=True)  # both self-join sides
+    )
+    b = daily.select(
+        F.col("day").alias("bday"), F.col("hi_c").alias("bhi"),
+        F.col("lo_c").alias("blo"),
+    )
+
+    def in_horizon(days_back):
+        return F.col("bday") >= F.date_sub(F.col("day"), days_back)
+
+    frame = (
+        daily.join(
+            F.broadcast(b),
+            F.col("bday").between(F.date_sub(F.col("day"), 51), F.col("day")),
+        )
+        .groupBy("day")
+        .agg(
+            F.max(F.when(in_horizon(8), F.col("bhi"))).alias("hi9"),
+            F.min(F.when(in_horizon(8), F.col("blo"))).alias("lo9"),
+            F.sum(F.when(in_horizon(8), 1).otherwise(0)).alias("n9"),
+            F.max(F.when(in_horizon(25), F.col("bhi"))).alias("hi26"),
+            F.min(F.when(in_horizon(25), F.col("blo"))).alias("lo26"),
+            F.sum(F.when(in_horizon(25), 1).otherwise(0)).alias("n26"),
+            F.max("bhi").alias("hi52"),
+            F.min("blo").alias("lo52"),
+            F.count(F.lit(1)).alias("n52"),
+        )
+        .where(
+            (F.col("n9") == 9) & (F.col("n26") == 26) & (F.col("n52") == 52)
+        )
+    )
+    tenkan = (F.col("hi9") + F.col("lo9")).cast("double") / 200.0
+    kijun = (F.col("hi26") + F.col("lo26")).cast("double") / 200.0
+    senkou_a = (
+        (F.col("hi9") + F.col("lo9")) + (F.col("hi26") + F.col("lo26"))
+    ).cast("double") / 400.0
+    senkou_b = (F.col("hi52") + F.col("lo52")).cast("double") / 200.0
+    return frame.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        tenkan.alias("tenkan"),
+        kijun.alias("kijun"),
+        senkou_a.alias("senkou_a"),
+        senkou_b.alias("senkou_b"),
+        (senkou_a > senkou_b).alias("cloud_bullish"),
+    )

@@ -2069,3 +2069,44 @@ def test_win_stochastic_rising_series(spark, tmp_path):
     assert sorted(tuple(r) for r in got.values()) == sorted(
         tuple(w) for w in want
     )
+
+
+def test_win_ichimoku_rising_series(spark, tmp_path):
+    """A strictly rising dense series (hi = lo = price): every
+    midrange line is (price_today + price_lookback_ago)/2, so tenkan
+    > kijun > senkou_b and the cloud is bullish on every emitted day;
+    only days 52+ own all three full frames. Oracle replayed."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    rows = [
+        (i, datetime.date(2024, 1, 1) + datetime.timedelta(days=i),
+         1000.0 + 10.0 * i)
+        for i in range(55)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    clear_plan_cache()
+    got = {r["day"]: r for r in
+           QUERIES["win_ichimoku"](spark, str(tmp_path)).collect()}
+    clear_plan_cache()
+    assert len(got) == 4  # days 52..55 (indices 51..54)
+    r = got["2024-02-24"]  # index 54, price 1540
+    assert r["tenkan"] == (1540.0 + 1460.0) / 2   # 9-day: idx 46..54
+    assert r["kijun"] == (1540.0 + 1290.0) / 2    # 26-day: idx 29..54
+    assert r["senkou_b"] == (1540.0 + 1030.0) / 2  # 52-day: idx 3..54
+    assert r["senkou_a"] == (r["tenkan"] + r["kijun"]) / 2
+    assert all(v["cloud_bullish"] for v in got.values())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/orders.parquet/*.parquet')"
+    )
+    want = con.execute(ORACLES["win_ichimoku"]).fetchall()
+    assert sorted(tuple(r) for r in got.values()) == sorted(
+        tuple(w) for w in want
+    )
