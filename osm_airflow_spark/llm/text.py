@@ -31,6 +31,30 @@ def _sql_list(words: tuple[str, ...]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
+# Shared oracle fragment: the stopword-argmax language prediction CTE
+# body (lang, predicted_lang per document). One definition serves the
+# llm_eval_mcc oracle (and any future gate-eval key); llm_lang_id's
+# and llm_eval_prf's oracles keep their original inline copies —
+# driver-proven keys are not churned, and their text is verbatim this.
+def _pred_cte_sql() -> str:
+    return f"""pred AS (
+      SELECT lang,
+             CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                  WHEN de_hits >= fr_hits THEN 'de'
+                  ELSE 'fr' END AS predicted_lang
+      FROM (
+        SELECT lang,
+               len(list_filter(string_split(text, ' '),
+                               w -> w IN ({_sql_list(_EN_STOP)}))) AS en_hits,
+               len(list_filter(string_split(text, ' '),
+                               w -> w IN ({_sql_list(_DE_STOP)}))) AS de_hits,
+               len(list_filter(string_split(text, ' '),
+                               w -> w IN ({_sql_list(_FR_STOP)}))) AS fr_hits
+        FROM documents
+      )
+    )"""
+
+
 @query(
     "llm_text_stats",
     oracle="""
@@ -4860,22 +4884,7 @@ def llm_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_eval_mcc",
     oracle=f"""
-    WITH pred AS (
-      SELECT lang,
-             CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
-                  WHEN de_hits >= fr_hits THEN 'de'
-                  ELSE 'fr' END AS predicted_lang
-      FROM (
-        SELECT lang,
-               len(list_filter(string_split(text, ' '),
-                               w -> w IN ({_sql_list(_EN_STOP)}))) AS en_hits,
-               len(list_filter(string_split(text, ' '),
-                               w -> w IN ({_sql_list(_DE_STOP)}))) AS de_hits,
-               len(list_filter(string_split(text, ' '),
-                               w -> w IN ({_sql_list(_FR_STOP)}))) AS fr_hits
-        FROM documents
-      )
-    ),
+    WITH {_pred_cte_sql()},
     cm AS (
       SELECT
         CAST(SUM(CASE WHEN lang = 'en' AND predicted_lang = 'en'

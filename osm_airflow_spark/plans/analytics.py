@@ -10542,17 +10542,21 @@ def pipeline_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # distinct-value-bounded
     )
-    # demand totals ride as a broadcast 1-row aggregate (house
-    # doctrine: never a driver-side collect for a global scalar)
-    tot = by_val.agg(
+    # demand totals thread through bucketed_running's by-product
+    # totals exactly like the day counts (the lorenz rv pattern) —
+    # no extra aggregation pass, no extra join
+    by_val = by_val.select(
+        "*",
         *[
-            F.sum(F.col("demand") * F.col(f"c{i}"))
-            .cast("long")
-            .alias(f"d{i}")
+            (F.col("demand") * F.col(f"c{i}")).alias(f"d{i}")
             for i in range(np_)
-        ]
+        ],
     )
-    out, totals = bucketed_running(by_val, "demand", [f"c{i}" for i in range(np_)])
+    out, totals = bucketed_running(
+        by_val,
+        "demand",
+        [f"c{i}" for i in range(np_)] + [f"d{i}" for i in range(np_)],
+    )
     sel = out.agg(
         *[
             F.min(
@@ -10564,16 +10568,16 @@ def pipeline_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"q{i}")
             for i in range(np_)
         ]
-    ).join(F.broadcast(tot))
+    )
     rows = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(p).alias("prio"),
                     F.lit(totals[f"c{i}"]).cast("long").alias("n_days"),
-                    F.coalesce(F.col(f"d{i}"), F.lit(0))
-                    .cast("long")
-                    .alias("total_demand"),
+                    F.lit(totals[f"d{i}"]).cast("long").alias(
+                        "total_demand"
+                    ),
                     F.col(f"q{i}").alias("q_opt"),
                 )
                 for i, p in enumerate(_NV_PRIOS)
