@@ -4950,3 +4950,152 @@ def llm_eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((tp + tn).cast("double") / (tp + fp + fn + tn)).alias("accuracy"),
         mcc.alias("mcc"),
     )
+
+
+@query(
+    "llm_heaps_law",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, text,
+             ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+             SUM(len(string_split(text, ' ')))
+               OVER (ORDER BY doc_id) AS run_toks
+      FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked),
+    firsts AS (
+      SELECT w.word, CAST(MIN(r.rn) AS BIGINT) AS first_rn
+      FROM ranked r, LATERAL unnest(string_split(r.text, ' ')) AS w(word)
+      GROUP BY w.word
+    ),
+    deciles AS (
+      SELECT g.k, (g.k * t.n) // 10 AS m
+      FROM generate_series(1, 10) AS g(k), tot t
+    ),
+    prefix AS (
+      SELECT d.k, d.m, CAST(r.run_toks AS BIGINT) AS tokens,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts f
+              WHERE f.first_rn <= d.m) AS types
+      FROM deciles d JOIN ranked r ON r.rn = d.m
+      WHERE d.m > 0
+    ),
+    beta AS (
+      SELECT (round(ln(MAX(CASE WHEN k = 10 THEN types END)), 6)
+              - round(ln(MIN(CASE WHEN k = 1 THEN types END)), 6))
+             / (round(ln(MAX(CASE WHEN k = 10 THEN tokens END)), 6)
+                - round(ln(MIN(CASE WHEN k = 1 THEN tokens END)), 6))
+               AS heaps_beta
+      FROM prefix
+    )
+    SELECT CAST(p.k AS INT) AS decile, p.m AS n_docs,
+           p.tokens, p.types, b.heaps_beta
+    FROM prefix p, beta b
+    """,
+)
+def llm_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-LAW vocabulary growth curve (Heaps 1978): distinct word
+    types vs cumulative tokens at each corpus decile (docs in doc_id
+    order), plus the β exponent from the endpoint log–log slope —
+    the companion diagnostic to llm_zipf_fit (Zipf says how mass
+    concentrates in the vocabulary you HAVE; Heaps says how fast new
+    vocabulary ARRIVES — β ≈ 0.5 natural text, β → 1 synthetic/noisy,
+    β → 0 templated). The curve is what sizes tokenizer vocabularies
+    and dedup hash tables before a full-corpus pass.
+
+    Determinism: token counts, prefix positions m = ⌊k·n/10⌋ (exact
+    literals from ``bucketed_running`` totals), running token sums
+    and first-occurrence ranks are all exact integers; type counts
+    per decile are conditional counts over the word→first-rank
+    table; β rounds each ln at the transcendental (libm rule), so
+    the slope is one ratio of 6-dp decimal differences — identical
+    in both engines. Uses the house single-space split convention
+    (llm_token_count parity).
+
+    Scale: one corpus pass to per-doc token counts, one explode pass
+    to word→min(rank) (shuffle on word, the vocabulary space); the
+    decile frame is O(10). The vocab growth estimate at 100 TB runs
+    on a doc SAMPLE upstream — the curve shape, not the corpus, is
+    the product."""
+    from osm_airflow_spark.bucketing import bucketed_running
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_toks"),
+        F.lit(1).alias("one"),
+    )
+    ranked, totals = bucketed_running(docs, "doc_id", ["one", "n_toks"])
+    n = totals["one"]
+    if n == 0:
+        return ranked.limit(0).select(
+            F.lit(0).cast("int").alias("decile"),
+            F.lit(0).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("tokens"),
+            F.lit(0).cast("long").alias("types"),
+            F.lit(0.0).alias("heaps_beta"),
+        )
+    ranked = ranked.select(
+        "doc_id",
+        F.col("run_one").cast("long").alias("rn"),
+        F.col("run_n_toks").cast("long").alias("run_toks"),
+    ).localCheckpoint(eager=True)  # feeds firsts join + decile join
+    firsts = (
+        d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("word"))
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("fdoc"))
+        .join(
+            ranked.select(
+                F.col("doc_id").alias("fdoc"), F.col("rn").alias("first_rn")
+            ),
+            "fdoc",
+        )
+    )
+    ms = [(k, (k * n) // 10) for k in range(1, 11) if (k * n) // 10 > 0]
+    types_wide = firsts.agg(
+        *[
+            F.sum(F.when(F.col("first_rn") <= m, 1).otherwise(0))
+            .cast("long")
+            .alias(f"ty{k}")
+            for k, m in ms
+        ]
+    )
+    deciles = spark.createDataFrame(ms, "k int, m long")
+    prefix = ranked.join(
+        F.broadcast(deciles), F.col("rn") == F.col("m")
+    ).select("k", "m", F.col("run_toks").alias("tokens"))
+    joined = prefix.join(F.broadcast(types_wide))
+    types_col = F.coalesce(
+        *[F.when(F.col("k") == k, F.col(f"ty{k}")) for k, _ in ms]
+    )
+    out = joined.select(
+        F.col("k").cast("int").alias("decile"),
+        F.col("m").alias("n_docs"),
+        "tokens",
+        types_col.alias("types"),
+        *[F.col(f"ty{k}") for k, _ in ms],
+    )
+    # beta pins its endpoints to deciles 1 and 10 EXACTLY like the
+    # oracle: on a corpus of < 10 docs decile 1 has m = 0 and beta is
+    # NULL in both engines
+    have = {k for k, _ in ms}
+    tok_wide = prefix.agg(
+        *[
+            F.max(F.when(F.col("k") == k, F.col("tokens"))).alias(f"tk{k}")
+            for k in (1, 10)
+            if k in have
+        ]
+    )
+    out = out.join(F.broadcast(tok_wide))
+
+    if 1 in have and 10 in have:
+        beta_full = (
+            F.round(F.log(F.col("ty10")), 6) - F.round(F.log(F.col("ty1")), 6)
+        ) / (
+            F.round(F.log(F.col("tk10")), 6) - F.round(F.log(F.col("tk1")), 6)
+        )
+    else:
+        beta_full = F.lit(None).cast("double")
+    return out.select(
+        "decile", "n_docs", "tokens", "types",
+        beta_full.alias("heaps_beta"),
+    )

@@ -912,3 +912,68 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("degree") * (F.col("degree") - 1)),
         ).alias("clustering_coefficient"),
     )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH e AS (
+{_EDGE_SQL}
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY node
+    ),
+    hist AS (
+      SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM deg GROUP BY degree
+    ),
+    tot AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS n FROM hist)
+    SELECT h.degree, h.n_nodes,
+           CAST(h.n_nodes AS DOUBLE) / t.n AS share,
+           CAST((SELECT SUM(h2.n_nodes) FROM hist h2
+                 WHERE h2.degree >= h.degree) AS DOUBLE) / t.n AS ccdf
+    FROM hist h, tot t
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — DEGREE DISTRIBUTION of the trade graph: node count,
+    share and complementary CDF per degree — the first thing a graph
+    practitioner plots (a heavy CCDF tail says hubs exist, which
+    decides salting/skew strategy for every other graph key; the
+    zipf_fit of graphs). Degree-1 leaves through max-degree hubs all
+    appear.
+
+    Determinism: counts exact; share and ccdf are single divisions of
+    exact longs against the broadcast 1-row total. The CCDF tail sum
+    is a bounded theta self-join over the DISTINCT-degree table
+    (degrees ≤ node count — control-plane), mirroring the oracle's
+    correlated subquery.
+
+    Scale: edge list + one degree groupBy; everything after lives on
+    the distinct-degree value space."""
+    e = trade_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    ).localCheckpoint(eager=True)  # total + both tail-join sides
+    tot = hist.agg(F.sum("n_nodes").cast("long").alias("n"))
+    tail = hist.select(
+        F.col("degree").alias("d2"), F.col("n_nodes").alias("nn2")
+    )
+    ccdf_num = (
+        hist.join(F.broadcast(tail), F.col("d2") >= F.col("degree"))
+        .groupBy("degree", "n_nodes")
+        .agg(F.sum("nn2").cast("long").alias("tail_n"))
+    )
+    return ccdf_num.join(F.broadcast(tot)).select(
+        "degree", "n_nodes",
+        (F.col("n_nodes").cast("double") / F.col("n")).alias("share"),
+        (F.col("tail_n").cast("double") / F.col("n")).alias("ccdf"),
+    )

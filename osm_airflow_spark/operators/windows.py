@@ -1869,3 +1869,88 @@ def win_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
         senkou_b.alias("senkou_b"),
         (senkou_a > senkou_b).alias("cloud_bullish"),
     )
+
+
+@query(
+    "win_pivot_points",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS hi_c,
+             CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS lo_c,
+             CAST(max_by(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+                  * 100 AS BIGINT) AS cl_c
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT day,
+             LAG(hi_c) OVER w AS ph, LAG(lo_c) OVER w AS pl,
+             LAG(cl_c) OVER w AS pc
+      FROM daily WINDOW w AS (ORDER BY day)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(ph + pl + pc AS DOUBLE) / 300.0 AS pivot,
+           CAST(2 * (ph + pl + pc) - 3 * pl AS DOUBLE) / 300.0 AS r1,
+           CAST(2 * (ph + pl + pc) - 3 * ph AS DOUBLE) / 300.0 AS s1,
+           CAST((ph + pl + pc) + 3 * (ph - pl) AS DOUBLE) / 300.0 AS r2,
+           CAST((ph + pl + pc) - 3 * (ph - pl) AS DOUBLE) / 300.0 AS s2
+    FROM lagged WHERE pc IS NOT NULL
+    """,
+)
+def win_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r13) — classic floor-trader PIVOT POINTS from the PRIOR
+    day's OHLC: P = (H+L+C)/3, R1 = 2P−L, S1 = 2P−H, R2 = P+(H−L),
+    S2 = P−(H−L) — the support/resistance levels published before
+    each session opens (today's row carries YESTERDAY's levels, the
+    convention). Completes the finance-window family's intraday leg
+    beside the trailing-frame indicators.
+
+    Determinism: all five levels are exact integer-CENT arithmetic
+    (3P = H+L+C in cents; every level is an integer-cent combination
+    over /300) until one shared division each — unrounded, zero
+    accumulation. The close tie-break is max_by on the unique order
+    key (the ATR convention).
+
+    Scale + lint: the lag-1 predecessor rides ``bucketed_running``'s
+    day rank + a broadcast self-join (the OBV shape) — no global
+    window; days-bounded control plane throughout."""
+    from osm_airflow_spark.bucketing import bucketed_running
+
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(
+        (F.max(price) * 100).cast("long").alias("hi_c"),
+        (F.min(price) * 100).cast("long").alias("lo_c"),
+        F.expr(
+            "CAST(max_by(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)"
+            " * 100 AS BIGINT)"
+        ).alias("cl_c"),
+    )
+    daily = daily.select(
+        "*", F.datediff("day", F.lit("1970-01-01")).alias("day_i"),
+        F.lit(1).alias("one"),
+    )
+    ranked, _ = bucketed_running(daily, "day_i", ["one"])
+    d1 = ranked.select(
+        "day", "hi_c", "lo_c", "cl_c",
+        F.col("run_one").cast("long").alias("rn"),
+    )
+    prev = d1.select(
+        (F.col("rn") + 1).alias("rn"), F.col("hi_c").alias("ph"),
+        F.col("lo_c").alias("pl"), F.col("cl_c").alias("pc"),
+    )
+    j = d1.join(F.broadcast(prev), "rn")
+    p3 = F.col("ph") + F.col("pl") + F.col("pc")  # 3·pivot in cents
+    rng3 = 3 * (F.col("ph") - F.col("pl"))
+    return j.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (p3.cast("double") / 300.0).alias("pivot"),
+        ((2 * p3 - 3 * F.col("pl")).cast("double") / 300.0).alias("r1"),
+        ((2 * p3 - 3 * F.col("ph")).cast("double") / 300.0).alias("s1"),
+        ((p3 + rng3).cast("double") / 300.0).alias("r2"),
+        ((p3 - rng3).cast("double") / 300.0).alias("s2"),
+    )

@@ -10776,3 +10776,116 @@ def pipeline_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"y{m}").alias(f"log2_rs_{m}") for m in _HURST_SIZES],
         ((F.col("y32") - F.col("y8")) / 2.0).alias("hurst"),
     )
+
+
+@query(
+    "pipeline_little_law",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey,
+             CAST(date_trunc('day', o.o_orderdate) AS DATE) AS od,
+             CAST(MAX(date_trunc('day', l.l_shipdate)) AS DATE) AS sd
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, 2
+    ),
+    win AS (
+      SELECT DATE '1997-01-01' AS w0, DATE '1997-12-31' AS w1,
+             CAST(365 AS BIGINT) AS wdays
+    ),
+    occ AS (
+      SELECT CAST(SUM(GREATEST(
+               date_diff('day', GREATEST(s.od, w.w0), LEAST(s.sd, w.w1)) + 1,
+               0)) AS BIGINT) AS occ_days
+      FROM spans s, win w
+      WHERE s.od <= w.w1 AND s.sd >= w.w0
+    ),
+    arr AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+             CAST(SUM(date_diff('day', s.od, s.sd) + 1) AS BIGINT)
+               AS arr_days
+      FROM spans s, win w
+      WHERE s.od BETWEEN w.w0 AND w.w1
+    )
+    SELECT w.wdays AS window_days,
+           a.n_arrivals,
+           CAST(o.occ_days AS DOUBLE) / w.wdays AS l_avg_open,
+           CAST(a.n_arrivals AS DOUBLE) / w.wdays AS lambda_per_day,
+           CAST(a.arr_days AS DOUBLE) / a.n_arrivals AS w_mean_days,
+           CAST(o.occ_days AS DOUBLE) / a.arr_days AS little_ratio
+    FROM occ o, arr a, win w
+    WHERE a.n_arrivals > 0
+    """,
+)
+def pipeline_little_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LITTLE'S LAW audit (Little 1961, L = λW) over the 1997
+    fulfillment window: average open orders per day (L, from clamped
+    interval occupancy — an order is open from o_orderdate through
+    its LAST ship day), arrival rate (λ, 1997 arrivals/365) and mean
+    time-in-system of those arrivals (W, inclusive days). On a
+    TRUNCATED window the identity holds only under stationarity, so
+    little_ratio = L/(λW) = occupancy_days/arrival_days quantifies
+    edge/nonstationarity effects — the queueing sanity check beside
+    pipeline_open_orders_per_day's per-day curve (≈ 1 healthy;
+    drifting says the window bites in-flight seasonality). On
+    complete data with matching conventions the ratio is exactly 1
+    by telescoping — the truncation is what makes it informative.
+
+    Determinism: every ingredient (clamped overlaps, inclusive
+    durations, counts) is an exact integer-day sum; the four emitted
+    measures are single divisions of exact longs, unrounded.
+
+    Scale: one join + groupBy to per-order spans, then two
+    global 1-row aggregates (no spine explode — occupancy sums the
+    CLOSED-FORM clamped overlap per order, the open_orders lesson
+    generalized); output is O(1)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "o_orderkey",
+            F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("od"),
+        )
+        .agg(
+            F.max(F.date_trunc("day", F.col("l_shipdate")).cast("date")).alias(
+                "sd"
+            )
+        )
+        .localCheckpoint(eager=True)  # feeds both window aggregates
+    )
+    w0, w1 = F.lit("1997-01-01").cast("date"), F.lit("1997-12-31").cast("date")
+    occ = spans.where((F.col("od") <= w1) & (F.col("sd") >= w0)).agg(
+        F.sum(
+            F.greatest(
+                F.datediff(F.least(F.col("sd"), w1), F.greatest(F.col("od"), w0))
+                + 1,
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("occ_days")
+    )
+    arr = spans.where(F.col("od").between(w0, w1)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+        F.sum(F.datediff(F.col("sd"), F.col("od")) + 1)
+        .cast("long")
+        .alias("arr_days"),
+    )
+    return (
+        occ.join(F.broadcast(arr))
+        .where(F.col("n_arrivals") > 0)
+        .select(
+            F.lit(365).cast("long").alias("window_days"),
+            "n_arrivals",
+            (F.col("occ_days").cast("double") / 365).alias("l_avg_open"),
+            (F.col("n_arrivals").cast("double") / 365).alias(
+                "lambda_per_day"
+            ),
+            (F.col("arr_days").cast("double") / F.col("n_arrivals")).alias(
+                "w_mean_days"
+            ),
+            (F.col("occ_days").cast("double") / F.col("arr_days")).alias(
+                "little_ratio"
+            ),
+        )
+    )

@@ -2979,3 +2979,49 @@ def test_dup_size_histogram_planted_multiplicities(spark, tmp_path):
     assert sorted(tuple(r) for r in got.values()) == sorted(
         tuple(w) for w in want
     )
+
+
+def test_heaps_law_closed_forms(spark, tmp_path):
+    """Closed forms: 20 docs of 'base w{i}' grow one new type per doc
+    — types(m) = m+1, tokens(m) = 2m at every decile; an identical-
+    doc corpus has constant vocabulary so beta == 0.0 exactly; a
+    corpus under 10 docs has no decile 1 and beta is NULL in both
+    engines. Oracle replayed on all three."""
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    def run(texts, sub):
+        base = tmp_path / sub
+        base.mkdir()
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        ).coalesce(1).write.parquet(str(base / "documents.parquet"))
+        clear_plan_cache()
+        got = QUERIES["llm_heaps_law"](spark, str(base)).collect()
+        clear_plan_cache()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{base}/documents.parquet/*.parquet')"
+        )
+        want = con.execute(ORACLES["llm_heaps_law"]).fetchall()
+        assert sorted(tuple(r) for r in got) == sorted(tuple(w) for w in want)
+        return {r["decile"]: r for r in got}
+
+    grow = run([f"base w{i}" for i in range(20)], "grow")
+    assert len(grow) == 10
+    for k in range(1, 11):
+        m = 2 * k
+        assert grow[k]["n_docs"] == m
+        assert grow[k]["tokens"] == 2 * m
+        assert grow[k]["types"] == m + 1
+    assert grow[10]["heaps_beta"] is not None
+
+    flat = run(["same text here"] * 20, "flat")
+    assert all(r["types"] == 3 for r in flat.values())
+    assert flat[10]["heaps_beta"] == 0.0
+
+    tiny = run([f"w{i}" for i in range(5)], "tiny")
+    assert all(r["heaps_beta"] is None for r in tiny.values())

@@ -2110,3 +2110,75 @@ def test_win_ichimoku_rising_series(spark, tmp_path):
     assert sorted(tuple(r) for r in got.values()) == sorted(
         tuple(w) for w in want
     )
+
+
+def test_win_pivot_points_hand_fixture(spark, tmp_path):
+    """Hand-walkable pivots: day 1 has H=120, L=80, C=100 (close =
+    max orderkey's price) → day 2 carries P=100, R1=120, S1=80,
+    R2=140, S2=60; day 1 itself emits nothing (no prior day). Oracle
+    replayed."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    rows = [
+        (1, datetime.date(2024, 1, 1), 120.0),
+        (2, datetime.date(2024, 1, 1), 80.0),
+        (3, datetime.date(2024, 1, 1), 100.0),  # max key -> close
+        (4, datetime.date(2024, 1, 2), 500.0),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    clear_plan_cache()
+    got = QUERIES["win_pivot_points"](spark, str(tmp_path)).collect()
+    clear_plan_cache()
+    assert len(got) == 1
+    r = got[0]
+    assert r["day"] == "2024-01-02"
+    assert (r["pivot"], r["r1"], r["s1"], r["r2"], r["s2"]) == (
+        100.0, 120.0, 80.0, 140.0, 60.0
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/orders.parquet/*.parquet')"
+    )
+    assert [tuple(x) for x in got] == con.execute(
+        ORACLES["win_pivot_points"]
+    ).fetchall()
+
+
+def test_graph_degree_distribution_matches_replica(spark, sf_dir):
+    """Pure-Python degree histogram + CCDF over the collected trade
+    edges must match exactly (shares are single divisions of exact
+    ints); shares sum to 1 and ccdf is monotone non-increasing in
+    degree."""
+    from collections import Counter
+
+    from osm_airflow_spark.operators.graph import trade_edges
+    from osm_airflow_spark.registry import all_queries
+
+    edges = [(r["a"], r["b"]) for r in trade_edges(spark, sf_dir).collect()]
+    degc = Counter()
+    for a, b in edges:
+        degc[a] += 1
+        degc[b] += 1
+    hist = Counter(degc.values())
+    n = sum(hist.values())
+    want = {
+        d: (c, c / n, sum(c2 for d2, c2 in hist.items() if d2 >= d) / n)
+        for d, c in hist.items()
+    }
+    got = {
+        r["degree"]: (r["n_nodes"], r["share"], r["ccdf"])
+        for r in all_queries()["graph_degree_distribution"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+    assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-12
+    seq = [got[d][2] for d in sorted(got)]
+    assert all(x >= y for x, y in zip(seq, seq[1:]))

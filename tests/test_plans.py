@@ -2489,3 +2489,54 @@ def test_hurst_closed_forms(spark, tmp_path):
     assert len(ramp) == 1 and ramp[0]["hurst"] > 0.9
 
     assert run([5] * 64, "flat") == []
+
+
+def test_little_law_hand_window(spark, tmp_path):
+    """Hand-walkable window accounting: two 1997 arrivals with
+    inclusive spans 10 and 20 days (W = 15), one straddler ordered in
+    1996 contributing 10 occupancy days but NOT an arrival, one 1998
+    order contributing nothing: occ = 40, ratio = 40/30. Oracle
+    replayed."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    orders = [
+        (1, datetime.date(1997, 3, 1)),    # arrival, span 10
+        (2, datetime.date(1997, 6, 1)),    # arrival, span 20
+        (3, datetime.date(1996, 12, 1)),   # straddler -> 10 occ days
+        (4, datetime.date(1998, 2, 1)),    # outside
+    ]
+    items = [
+        (1, datetime.date(1997, 3, 10)),
+        (2, datetime.date(1997, 6, 10)),   # decoy: max ship wins
+        (2, datetime.date(1997, 6, 20)),
+        (3, datetime.date(1997, 1, 10)),
+        (4, datetime.date(1998, 2, 5)),
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_orderdate date"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        items, "l_orderkey long, l_shipdate date"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    clear_plan_cache()
+    got = QUERIES["pipeline_little_law"](spark, str(tmp_path)).collect()
+    clear_plan_cache()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_arrivals"] == 2
+    assert r["w_mean_days"] == 15.0
+    assert r["l_avg_open"] == 40 / 365
+    assert r["lambda_per_day"] == 2 / 365
+    assert r["little_ratio"] == 40 / 30
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    want = con.execute(ORACLES["pipeline_little_law"]).fetchall()
+    assert [tuple(x) for x in got] == want

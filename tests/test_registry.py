@@ -276,6 +276,9 @@ ROUND_AUDITED = {
     "before the order-free cross-block decimal mean) + libm (log2 of "
     "the agreed mean rounds at the transcendental; H is exact decimal "
     "arithmetic on the rounded y's)",
+    "llm_heaps_law": "libm (the four endpoint ln's round at the "
+    "transcendental — beta is one ratio of 6-dp decimal differences; "
+    "every count/position/running sum is exact integer)",
     "agg_moments": "ulp (central moments derive from >2^53-unscaled "
     "exact decimal power sums — 9 dp ratio emission for skew/kurt, "
     "6 dp for the mean; zero-variance groups NULL before any round)",
