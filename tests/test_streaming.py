@@ -1801,3 +1801,101 @@ def test_late_row_filter_standalone_evicts_and_chaining_is_rejected(
         ).writeStream.format("memory").queryName("t_chain").option(
             "checkpointLocation", str(tmp_path / "ckpt4")
         ).start()
+
+
+def test_heavy_hitters_stream_exact_and_bounded(spark, tmp_path):
+    """Space-Saving contracts over a 3-chunk replay: (1) EXACTNESS —
+    with k >= distinct users, every est_count equals the exact batch
+    groupBy count with max_err 0, accumulated ACROSS micro-batches;
+    (2) BOUNDS under pressure — with k=2 over a skewed 6-user stream
+    the hot user is tracked, true <= est <= true + max_err, and any
+    user with true count > n_seen/k is present in the final
+    snapshot."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.streaming.stateful import heavy_hitters_stream
+
+    # stream: type 'hot' — user 7 dominates (12 events), users
+    # 1..5 get 2 each; type 'cold' — users 1,2 get 3/1
+    plan = [("hot", 7)] * 12 + [
+        ("hot", u) for u in (1, 1, 2, 2, 3, 3, 4, 4, 5, 5)
+    ] + [("cold", 1)] * 3 + [("cold", 2)]
+    rows = []
+    for i, (etype, uid) in enumerate(plan):
+        rows.append(
+            {"event_id": i, "user_id": uid, "event_type": etype,
+             "ts_us": 1_704_067_200_000_000 + i * 60_000_000}
+        )
+
+    def feed(sub, op):
+        src = tmp_path / sub
+        src.mkdir()
+        bounds = [(0, 9), (9, 18), (18, len(rows))]
+        for ci, (lo, hi) in enumerate(bounds):
+            p = src / f"chunk{ci}.json"
+            with open(p, "w") as f:
+                for r in rows[lo:hi]:
+                    f.write(json.dumps(r) + "\n")
+            os.utime(p, (1_700_000_000 + ci * 10,) * 2)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts_us long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .select(
+                "event_id", "user_id", "event_type",
+                F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            )
+        )
+        name = f"t_hh_{sub}"
+        q = (
+            op(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{sub}"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    # (1) exactness with roomy k
+    out = feed("roomy", lambda s: heavy_hitters_stream(s, k=8))
+    latest_us = {}
+    for r in out:
+        latest_us[r["event_type"]] = max(
+            latest_us.get(r["event_type"], 0), r["batch_hi_us"]
+        )
+    final = {
+        (r["event_type"], r["user_id"]): r
+        for r in out
+        if r["batch_hi_us"] == latest_us[r["event_type"]]
+    }
+    true = {}
+    for etype, uid in plan:
+        true[(etype, uid)] = true.get((etype, uid), 0) + 1
+    assert {kk: v["est_count"] for kk, v in final.items()} == true
+    assert all(v["max_err"] == 0 for v in final.values())
+    assert final[("hot", 7)]["n_seen"] == 22
+
+    # (2) bounds under pressure
+    out2 = feed("tight", lambda s: heavy_hitters_stream(s, k=2))
+    latest2 = max(
+        r["batch_hi_us"] for r in out2 if r["event_type"] == "hot"
+    )
+    snap = {
+        r["user_id"]: r
+        for r in out2
+        if r["event_type"] == "hot" and r["batch_hi_us"] == latest2
+    }
+    assert len(snap) == 2
+    assert 7 in snap  # true 12 > n_seen/k = 11 -> guaranteed tracked
+    for uid, r in snap.items():
+        t = true.get(("hot", uid), 0)
+        assert t <= r["est_count"] <= t + r["max_err"]
+    assert snap[7]["n_seen"] == 22
