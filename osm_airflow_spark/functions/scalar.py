@@ -488,3 +488,95 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+# Luhn digit terms: payload digit i (0 = rightmost) doubles on even i
+# (the position adjacent to the appended check digit), with 2d > 9
+# folding to 2d - 9. Unrolled for a fixed 12-digit payload.
+def _luhn_sum_sql(expr: str) -> str:
+    terms = []
+    for i in range(12):
+        d = f"(({expr}) // {10 ** i}) % 10"
+        if i % 2 == 0:
+            terms.append(
+                f"(CASE WHEN 2 * ({d}) > 9 THEN 2 * ({d}) - 9"
+                f" ELSE 2 * ({d}) END)"
+            )
+        else:
+            terms.append(f"({d})")
+    return " + ".join(terms)
+
+
+@query(
+    "fn_luhn",
+    oracle=f"""
+    WITH acct AS (
+      SELECT c_custkey,
+             CAST((c_custkey * 1000003) % 1000000000000 AS BIGINT) AS payload
+      FROM customer
+    ),
+    scored AS (
+      SELECT c_custkey, payload,
+             CAST((10 - ({_luhn_sum_sql('payload')}) % 10) % 10 AS BIGINT)
+               AS check_digit
+      FROM acct
+    )
+    SELECT c_custkey,
+           lpad(CAST(payload AS VARCHAR), 12, '0')
+             || CAST(check_digit AS VARCHAR) AS account_number,
+           check_digit,
+           (({_luhn_sum_sql('payload')}) + check_digit) % 10 = 0 AS valid,
+           (({_luhn_sum_sql('payload')}) + ((check_digit + 1) % 10)) % 10 = 0
+             AS corrupted_valid
+    FROM scored
+    """,
+)
+def fn_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension — LUHN check-digit computation and validation
+    (ISO/IEC 7812 mod-10): synthesize a 12-digit account payload per
+    customer, append its Luhn digit, and validate both the correct
+    number (always true — the self-consistency contract) and a
+    corrupted check digit (always false: a single-digit error is
+    exactly what Luhn detects) — the ingest data-quality screen for
+    identifier columns, beside fn_string_shape's structural checks.
+
+    Determinism: everything is integer digit arithmetic (div/mod by
+    power-of-ten literals, the doubling fold unrolled 12 wide) —
+    no floats anywhere; the padded string render is locale-free.
+
+    Scale: per-row map work inside whole-stage codegen, zero
+    shuffles, ~40 integer ops/row."""
+    c = load_table(spark, sf_dir, "customer")
+    payload = ((F.col("c_custkey") * 1000003) % 1000000000000).cast("long")
+    acct = c.select("c_custkey", payload.alias("payload"))
+
+    def luhn_sum(col):
+        s = None
+        for i in range(12):
+            d = (col / (10 ** i)).cast("long") % 10
+            t = F.when(2 * d > 9, 2 * d - 9).otherwise(2 * d) if i % 2 == 0 else d
+            s = t if s is None else s + t
+        return s
+
+    scored = acct.select(
+        "c_custkey", "payload",
+        ((10 - luhn_sum(F.col("payload")) % 10) % 10)
+        .cast("long")
+        .alias("check_digit"),
+    )
+    return scored.select(
+        "c_custkey",
+        F.concat(
+            F.lpad(F.col("payload").cast("string"), 12, "0"),
+            F.col("check_digit").cast("string"),
+        ).alias("account_number"),
+        "check_digit",
+        (
+            (luhn_sum(F.col("payload")) + F.col("check_digit")) % 10 == 0
+        ).alias("valid"),
+        (
+            (luhn_sum(F.col("payload")) + (F.col("check_digit") + 1) % 10)
+            % 10
+            == 0
+        ).alias("corrupted_valid"),
+    )

@@ -10889,3 +10889,57 @@ def pipeline_little_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "pipeline_eoq",
+    oracle="""
+    WITH demand AS (
+      SELECT p.p_brand AS brand,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS d_units
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    )
+    SELECT brand, d_units,
+           sqrt(2.0 * d_units * 100.0 / 2.0) AS eoq_units,
+           CAST(d_units AS DOUBLE) / sqrt(2.0 * d_units * 100.0 / 2.0)
+             AS orders_per_period,
+           sqrt(2.0 * d_units * 100.0 * 2.0) AS period_cost
+    FROM demand
+    WHERE d_units > 0
+    """,
+)
+def pipeline_eoq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECONOMIC ORDER QUANTITY (Harris 1913) per part brand: the
+    deterministic-demand stocking rule beside pipeline_newsvendor's
+    stochastic fractile — EOQ = √(2DS/H) with ordering cost S = 100
+    and holding cost H = 2 per unit-period (short literals), plus
+    the implied order cadence D/EOQ and the optimal total cost
+    √(2DSH) (at the optimum, ordering and holding costs are equal —
+    the closed form the n_orders·S + q/2·H curve minimizes to).
+
+    Determinism: per-brand demand is an exact BIGINT quantity sum
+    (TPC-H quantities are integral); every emitted measure is one
+    shared IEEE sqrt/division tree over the exact-long cast with
+    short exact literals — unrounded.
+
+    Scale: one broadcast-dim join + groupBy(brand) — sums all the
+    way down; output is O(brands)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    demand = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("d_units"))
+        .where(F.col("d_units") > 0)
+    )
+    eoq = F.sqrt(2.0 * F.col("d_units") * 100.0 / 2.0)
+    return demand.select(
+        "brand", "d_units",
+        eoq.alias("eoq_units"),
+        (F.col("d_units").cast("double") / eoq).alias("orders_per_period"),
+        F.sqrt(2.0 * F.col("d_units") * 100.0 * 2.0).alias("period_cost"),
+    )

@@ -2182,3 +2182,33 @@ def test_graph_degree_distribution_matches_replica(spark, sf_dir):
     assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-12
     seq = [got[d][2] for d in sorted(got)]
     assert all(x >= y for x, y in zip(seq, seq[1:]))
+
+
+def test_fn_luhn_matches_python_replica(spark, sf_dir):
+    """Third implementation: the textbook right-to-left Luhn fold
+    over each emitted 13-char account string must reproduce validity
+    — every generated number validates, every corrupted check digit
+    fails, and the check digit equals the replica's."""
+    from osm_airflow_spark.registry import all_queries
+
+    def luhn_ok(num: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(num)):
+            d = int(ch)
+            if i % 2 == 1:  # alternate digits from the check digit
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    rows = all_queries()["fn_luhn"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        acct = r["account_number"]
+        assert len(acct) == 13
+        assert r["valid"] is True and luhn_ok(acct)
+        assert r["corrupted_valid"] is False
+        assert int(acct[-1]) == r["check_digit"]
+    # classic vector through the same replica (sanity of the replica)
+    assert luhn_ok("79927398713") and not luhn_ok("79927398710")

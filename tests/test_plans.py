@@ -2540,3 +2540,40 @@ def test_little_law_hand_window(spark, tmp_path):
         )
     want = con.execute(ORACLES["pipeline_little_law"]).fetchall()
     assert [tuple(x) for x in got] == want
+
+
+def test_eoq_closed_form(spark, tmp_path):
+    """EOQ closed form: demand 800 with S=100, H=2 gives
+    EOQ = sqrt(2*800*100/2) = sqrt(80000); at the optimum the total
+    cost sqrt(2DSH) doubles the one-sided cost exactly. Oracle
+    replayed; a zero-demand brand emits nothing."""
+    import math
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    spark.createDataFrame(
+        [(1, "BRAND#A"), (2, "BRAND#B")], "p_partkey long, p_brand string"
+    ).coalesce(1).write.parquet(str(tmp_path / "part.parquet"))
+    spark.createDataFrame(
+        [(1, 500.0), (1, 300.0)], "l_partkey long, l_quantity double"
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    clear_plan_cache()
+    got = QUERIES["pipeline_eoq"](spark, str(tmp_path)).collect()
+    clear_plan_cache()
+    assert len(got) == 1  # BRAND#B never shipped
+    r = got[0]
+    assert r["brand"] == "BRAND#A" and r["d_units"] == 800
+    assert r["eoq_units"] == math.sqrt(2.0 * 800 * 100.0 / 2.0)
+    assert r["period_cost"] == math.sqrt(2.0 * 800 * 100.0 * 2.0)
+    assert r["orders_per_period"] == 800.0 / r["eoq_units"]
+    con = duckdb.connect()
+    for t in ("part", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    assert [tuple(x) for x in got] == con.execute(
+        ORACLES["pipeline_eoq"]
+    ).fetchall()
