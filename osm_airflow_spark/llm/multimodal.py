@@ -1090,6 +1090,48 @@ def audio_mcr(media: DataFrame, window: int = 64) -> DataFrame:
     )
 
 
+def audio_peaks(media: DataFrame, window: int = 64) -> DataFrame:
+    """Windowed PEAK DETECTION over PCM16-LE mono payloads: strict
+    local maxima (s_{j-1} < s_j > s_{j+1}) per window, their density
+    over the window's interior positions, and the loudest sample —
+    the onset/percussiveness screen completing the audio triple
+    (rms = loudness, mcr = noisiness, peaks = transient density).
+    Same Arrow-batched mapInPandas kernel shape; the decision rule is
+    pure integer comparison, so counts/max are exact and the density
+    is one agreed division."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "media_id": [], "window_idx": [], "n_peaks": [],
+                "peak_density": [], "max_sample": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                raw = raw[: len(raw) - (len(raw) % 2)]
+                samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                for wi in range(len(samples) // window):
+                    c = samples[wi * window : (wi + 1) * window]
+                    inner = c[1:-1]
+                    peaks = int(
+                        np.count_nonzero((inner > c[:-2]) & (inner > c[2:]))
+                    )
+                    out["media_id"].append(mid)
+                    out["window_idx"].append(wi)
+                    out["n_peaks"].append(peaks)
+                    out["peak_density"].append(peaks / (window - 2))
+                    out["max_sample"].append(int(c.max()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, window_idx int, n_peaks int, peak_density double,"
+        " max_sample long",
+    )
+
+
 @query(
     "mm_audio_zcr",
     oracle="""
@@ -1146,3 +1188,63 @@ def mm_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
     )
     return audio_mcr(media, window=64)
+
+
+@query(
+    "mm_audio_peaks",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id AS media_id, rpad(text, 512, 'x') AS t FROM documents
+      WHERE octet_length(encode(text)) = length(text)
+    ),
+    samp AS (
+      SELECT media_id, wi, j,
+             CAST(ascii(substr(t, (wi * 64 + j) * 2 + 1, 1))
+                  + 256 * ascii(substr(t, (wi * 64 + j) * 2 + 2, 1))
+                  AS BIGINT) AS sample
+      FROM s, generate_series(0, 3) AS gw(wi), generate_series(0, 63) AS gj(j)
+    ),
+    tri AS (
+      SELECT b.media_id, b.wi,
+             CASE WHEN b.sample > a.sample AND b.sample > c.sample
+                  THEN 1 ELSE 0 END AS is_peak
+      FROM samp b
+      JOIN samp a ON a.media_id = b.media_id AND a.wi = b.wi
+                 AND a.j = b.j - 1
+      JOIN samp c ON c.media_id = b.media_id AND c.wi = b.wi
+                 AND c.j = b.j + 1
+    ),
+    pk AS (
+      SELECT media_id, wi, CAST(SUM(is_peak) AS INT) AS n_peaks
+      FROM tri GROUP BY 1, 2
+    ),
+    mx AS (
+      SELECT media_id, wi, CAST(MAX(sample) AS BIGINT) AS max_sample
+      FROM samp GROUP BY 1, 2
+    )
+    SELECT p.media_id, CAST(p.wi AS INT) AS window_idx, p.n_peaks,
+           CAST(p.n_peaks AS DOUBLE) / 62 AS peak_density,
+           m.max_sample
+    FROM pk p JOIN mx m ON m.media_id = p.media_id AND m.wi = p.wi
+    """,
+)
+def mm_audio_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 — audio PEAK DENSITY per 64-sample window: strict local
+    maxima counted over the window interior, plus the loudest sample
+    — the transient/onset statistic completing the audio-curation
+    triple (rms loudness, mcr noisiness, peak density
+    percussiveness). Same in-column PCM16-LE synthesis and ASCII
+    guard as the RMS/ZCR keys; DuckDB re-derives each sample from
+    character codes and replays the pure integer-comparison rule, so
+    counts and maxima match exactly and the density is one agreed
+    division by the interior size 62.
+
+    Scale: the Spark side is the Arrow-batched ``audio_peaks``
+    mapInPandas kernel — narrow map end to end, output O(windows)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.substring(F.encode(F.rpad("text", 512, "x"), "utf-8"), 1, 512)
+    media = (
+        d.where(F.octet_length("text") == F.length("text"))
+        .select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    )
+    return audio_peaks(media, window=64)

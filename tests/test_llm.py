@@ -3025,3 +3025,40 @@ def test_heaps_law_closed_forms(spark, tmp_path):
 
     tiny = run([f"w{i}" for i in range(5)], "tiny")
     assert all(r["heaps_beta"] is None for r in tiny.values())
+
+
+def test_audio_peaks_kernel_known_patterns(spark):
+    """Hand PCM through the peaks kernel: a period-4 sawtooth
+    0,1000,0,-1000 has exactly one strict local maximum per period
+    (the 1000s), a monotone ramp has none, a constant window has
+    none (strict inequality), and negative samples decode correctly
+    (max of an all-negative window is the least-negative value)."""
+    import struct
+
+    from osm_airflow_spark.llm.multimodal import audio_peaks
+
+    def pcm(vals):
+        return struct.pack(f"<{len(vals)}h", *vals)
+
+    saw = [0, 1000, 0, -1000] * 4      # window 16: peaks at j=1,5,9,13
+    ramp = list(range(-8, 8))          # monotone: 0 peaks
+    flat = [5] * 16                    # constant: 0 peaks
+    neg = [-100, -50, -200, -50] * 4   # peaks at the -50 after -200? j where s> both nbrs
+    media = spark.createDataFrame(
+        [(1, bytearray(pcm(saw))), (2, bytearray(pcm(ramp))),
+         (3, bytearray(pcm(flat))), (4, bytearray(pcm(neg)))],
+        "media_id long, payload binary",
+    )
+    got = {
+        (r["media_id"], r["window_idx"]): r
+        for r in audio_peaks(media, window=16).collect()
+    }
+    assert got[(1, 0)]["n_peaks"] == 4
+    assert got[(1, 0)]["max_sample"] == 1000
+    assert got[(1, 0)]["peak_density"] == 4 / 14
+    assert got[(2, 0)]["n_peaks"] == 0
+    assert got[(3, 0)]["n_peaks"] == 0
+    assert got[(4, 0)]["max_sample"] == -50
+    # -50 at j=1 beats 0? neighbors -100,-200 -> peak; j=3 (-50) vs
+    # -200,-100 -> peak; j=5.. pattern: interior -50s are peaks
+    assert got[(4, 0)]["n_peaks"] == 7
