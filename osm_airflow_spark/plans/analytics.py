@@ -10943,3 +10943,137 @@ def pipeline_eoq(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d_units").cast("double") / eoq).alias("orders_per_period"),
         F.sqrt(2.0 * F.col("d_units") * 100.0 * 2.0).alias("period_cost"),
     )
+
+
+_ABC_ERA_SQL = """
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                           AS DECIMAL(18,4)) * 10000) AS BIGINT) AS units
+      FROM lineitem WHERE l_shipdate {cond}
+      GROUP BY l_partkey
+"""
+
+_ABC_CLASS_SQL = """
+      SELECT v.units,
+             CASE WHEN CAST(v.cum AS DOUBLE) / t.total <= 0.8 THEN 'A'
+                  WHEN CAST(v.cum AS DOUBLE) / t.total <= 0.95 THEN 'B'
+                  ELSE 'C' END AS cls
+      FROM (
+        SELECT units,
+               SUM(units * n) OVER (ORDER BY units DESC
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM (SELECT units, COUNT(*) AS n FROM {era} GROUP BY units)
+      ) v, (SELECT CAST(SUM(units) AS DOUBLE) AS total FROM {era}) t
+"""
+
+
+@query(
+    "pipeline_abc_migration",
+    oracle=f"""
+    WITH era1 AS ({_ABC_ERA_SQL.format(cond="<  TIMESTAMP '1998-01-01'")}),
+    era2 AS ({_ABC_ERA_SQL.format(cond=">= TIMESTAMP '1998-01-01'")}),
+    cls1 AS ({_ABC_CLASS_SQL.format(era='era1')}),
+    cls2 AS ({_ABC_CLASS_SQL.format(era='era2')}),
+    p1 AS (SELECT e.l_partkey, c.cls FROM era1 e JOIN cls1 c USING (units)),
+    p2 AS (SELECT e.l_partkey, c.cls FROM era2 e JOIN cls2 c USING (units)),
+    m AS (
+      SELECT COALESCE(p1.cls, '-') AS class_before,
+             COALESCE(p2.cls, '-') AS class_after
+      FROM p1 FULL OUTER JOIN p2 ON p1.l_partkey = p2.l_partkey
+    ),
+    agg AS (
+      SELECT class_before, class_after,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM m GROUP BY 1, 2
+    )
+    SELECT class_before, class_after, n_parts,
+           class_before <> class_after AS moved
+    FROM agg
+    """,
+)
+def pipeline_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC CLASS MIGRATION matrix across the 1998 era split: every
+    part's Pareto class (A ≤ 80% cumulative revenue share, B ≤ 95%,
+    C rest) computed independently for pre-1998 and 1998+ shipments,
+    then the before×after transition counts with '-' for parts absent
+    from an era — the inventory-DYNAMICS readout pipeline_pareto_abc's
+    static snapshot can't give (a B→A climber and an A→C faller need
+    opposite stocking responses; the '-'→A column is new-product
+    velocity).
+
+    Exactness: revenues quantize per-row (4-dp round then exact
+    decimal — the dsum recipe) to integer 10⁻⁴-units; classes assign
+    at the DISTINCT-VALUE grain with the tie-INCLUSIVE cumulative
+    (every part of equal revenue shares one class — no arbitrary
+    tie split to mirror), so the share is a ratio of exact longs and
+    each class boundary reads one agreed double against short
+    literals. Both eras' cumulatives ride ``bucketed_running`` over
+    the distinct revenue values (DESC via negated order key — no
+    global window).
+
+    Scale: two filtered corpus passes to per-part revenue (the date
+    predicate pushes to the scan), two distinct-value cumulatives,
+    one full-outer join on partkey; output ≤ 16 rows."""
+    from osm_airflow_spark.bucketing import bucketed_running
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-01-01").cast("timestamp")
+
+    def era_classes(cond):
+        rev = (
+            li.where(cond)
+            .groupBy("l_partkey")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                        4,
+                    ).cast("decimal(18,4)")
+                    * 10000
+                )
+                .cast("long")
+                .alias("units")
+            )
+        )
+        by_val = (
+            rev.groupBy("units")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "units", "n",
+                (-F.col("units")).alias("neg_units"),
+                (F.col("units") * F.col("n")).alias("contrib"),
+            )
+            .localCheckpoint(eager=True)  # distinct-value-bounded
+        )
+        out, totals = bucketed_running(by_val, "neg_units", ["contrib"])
+        total = totals["contrib"]
+        share = F.col("run_contrib").cast("double") / F.lit(total).cast(
+            "long"
+        )
+        cls = out.select(
+            "units",
+            F.when(share <= 0.8, "A")
+            .when(share <= 0.95, "B")
+            .otherwise("C")
+            .alias("cls"),
+        )
+        return rev.join(cls, "units").select("l_partkey", "cls")
+
+    p1 = era_classes(F.col("l_shipdate") < cut).select(
+        F.col("l_partkey").alias("k1"), F.col("cls").alias("c1")
+    )
+    p2 = era_classes(F.col("l_shipdate") >= cut).select(
+        F.col("l_partkey").alias("k2"), F.col("cls").alias("c2")
+    )
+    m = p1.join(p2, F.col("k1") == F.col("k2"), "full_outer").select(
+        F.coalesce(F.col("c1"), F.lit("-")).alias("class_before"),
+        F.coalesce(F.col("c2"), F.lit("-")).alias("class_after"),
+    )
+    return (
+        m.groupBy("class_before", "class_after")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .select(
+            "class_before", "class_after", "n_parts",
+            (F.col("class_before") != F.col("class_after")).alias("moved"),
+        )
+    )

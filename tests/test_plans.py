@@ -2577,3 +2577,48 @@ def test_eoq_closed_form(spark, tmp_path):
     assert [tuple(x) for x in got] == con.execute(
         ORACLES["pipeline_eoq"]
     ).fetchall()
+
+
+def test_abc_migration_planted_transitions(spark, tmp_path):
+    """Engineered 80/15/5 revenue splits in both eras with rotated
+    owners: part 1 is A then absent, part 2 climbs B->A, part 3
+    C->B, part 4 enters as C — four matrix cells of one part each,
+    'moved' true except never for identical classes. Oracle
+    replayed. Boundary semantics pinned: cumulative share exactly
+    0.8 is still class A (<=)."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    e1 = datetime.date(1997, 5, 1)
+    e2 = datetime.date(1999, 5, 1)
+    rows = [
+        (1, 80.0, 0.0, e1), (2, 15.0, 0.0, e1), (3, 5.0, 0.0, e1),
+        (2, 80.0, 0.0, e2), (3, 15.0, 0.0, e2), (4, 5.0, 0.0, e2),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_partkey long, l_extendedprice double, l_discount double,"
+        " l_shipdate date",
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    clear_plan_cache()
+    got = {
+        (r["class_before"], r["class_after"]): r
+        for r in QUERIES["pipeline_abc_migration"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    clear_plan_cache()
+    assert set(got) == {("A", "-"), ("B", "A"), ("C", "B"), ("-", "C")}
+    assert all(r["n_parts"] == 1 and r["moved"] is True for r in got.values())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/lineitem.parquet/*.parquet')"
+    )
+    want = con.execute(ORACLES["pipeline_abc_migration"]).fetchall()
+    assert sorted(tuple(r) for r in got.values()) == sorted(
+        tuple(w) for w in want
+    )

@@ -279,6 +279,9 @@ ROUND_AUDITED = {
     "llm_heaps_law": "libm (the four endpoint ln's round at the "
     "transcendental — beta is one ratio of 6-dp decimal differences; "
     "every count/position/running sum is exact integer)",
+    "pipeline_abc_migration": "term (per-row revenue rounds 4 dp into "
+    "the exact decimal sum — the sql_dsum recipe verbatim; classes "
+    "read exact-long share ratios against short literals)",
     "agg_moments": "ulp (central moments derive from >2^53-unscaled "
     "exact decimal power sums — 9 dp ratio emission for skew/kurt, "
     "6 dp for the mean; zero-variance groups NULL before any round)",
