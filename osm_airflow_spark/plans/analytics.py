@@ -11077,3 +11077,69 @@ def pipeline_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("class_before") != F.col("class_after")).alias("moved"),
         )
     )
+
+
+@query(
+    "pipeline_control_chart",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    base AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.c AS n_orders,
+           CAST(b.total AS DOUBLE) / b.n_days AS center_line,
+           CAST(b.total AS DOUBLE) / b.n_days
+             + 3.0 * sqrt(CAST(b.total AS DOUBLE) / b.n_days) AS ucl,
+           greatest(CAST(b.total AS DOUBLE) / b.n_days
+             - 3.0 * sqrt(CAST(b.total AS DOUBLE) / b.n_days), 0.0) AS lcl,
+           d.c > CAST(b.total AS DOUBLE) / b.n_days
+             + 3.0 * sqrt(CAST(b.total AS DOUBLE) / b.n_days)
+           OR d.c < greatest(CAST(b.total AS DOUBLE) / b.n_days
+             - 3.0 * sqrt(CAST(b.total AS DOUBLE) / b.n_days), 0.0)
+             AS out_of_control
+    FROM daily d, base b
+    """,
+)
+def pipeline_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHEWHART c-CHART (Shewhart 1931) over daily order counts: the
+    Poisson count-control chart — center line c̄, control limits
+    c̄ ± 3√c̄ (LCL floored at 0), and the out-of-control flag per
+    day. The MEMORYLESS alarm beside the engine's sequential
+    monitors (cusum/page_hinkley catch small persistent shifts;
+    the Shewhart chart catches single large excursions — SPC runs
+    both). At 100 TB the same plan monitors any keyed count stream.
+
+    Determinism: counts are exact; c̄ rides the broadcast 1-row
+    aggregate as one exact-long division, the limits are one shared
+    sqrt tree over that agreed double, and the flag compares exact
+    integer counts against the identical limit doubles — all
+    unrounded.
+
+    Scale: one groupBy(day) pass + a broadcast scalar; output is
+    days-bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    base = daily.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    j = daily.join(F.broadcast(base))
+    cl = F.col("total").cast("double") / F.col("n_days")
+    ucl = cl + 3.0 * F.sqrt(cl)
+    lcl = F.greatest(cl - 3.0 * F.sqrt(cl), F.lit(0.0))
+    return j.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("c").alias("n_orders"),
+        cl.alias("center_line"),
+        ucl.alias("ucl"),
+        lcl.alias("lcl"),
+        ((F.col("c") > ucl) | (F.col("c") < lcl)).alias("out_of_control"),
+    )

@@ -2596,3 +2596,70 @@ def osm_way_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ay1").cast("double")
          + t * (F.col("ay2") - F.col("ay1"))).alias("iy"),
     )
+
+
+@query(
+    "osm_junctions",
+    oracle="""
+    WITH refs AS (
+      SELECT DISTINCT l_orderkey AS way_id, l_partkey AS node_id
+      FROM lineitem
+    ),
+    shared AS (
+      SELECT node_id, CAST(COUNT(*) AS BIGINT) AS n_ways
+      FROM refs GROUP BY node_id
+      HAVING COUNT(*) >= 2
+    )
+    SELECT s.node_id, s.n_ways,
+           CASE WHEN s.n_ways >= 4 THEN 'major'
+                WHEN s.n_ways = 3 THEN 'tee'
+                ELSE 'crossing' END AS junction_class,
+           (CAST((s.node_id * 7) % 180 AS DOUBLE) - 90.0) * 0.95 AS lat,
+           (CAST((s.node_id * 13) % 360 AS DOUBLE) - 180.0) * 0.95 AS lon
+    FROM shared s
+    """,
+)
+def osm_junctions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JUNCTION detection — nodes referenced by TWO OR MORE ways: the
+    routing-graph preparation step osm2pgsql-based router pipelines
+    run first (a way is only splittable into routable edges at its
+    shared nodes), classified by way count (2 = simple crossing,
+    3 = tee, ≥ 4 = major junction) and emitted with the node's
+    coordinates for map placement. Complements
+    osm_way_intersections: that key finds GEOMETRIC crossings of
+    segments that do NOT share a node; this one finds TOPOLOGICAL
+    shared-node connectivity — a router needs both (the first is a
+    data-quality signal, missing junction nodes; the second is the
+    graph itself).
+
+    Determinism: pure distinct-set counting on exact keys; the class
+    is a literal CASE; coordinates are the standard derived-node
+    shared IEEE trees.
+
+    Scale: one DISTINCT projection (two columns, pushed to the scan)
+    + one groupBy(node) — shuffle on node_id only; the HAVING
+    prunes the output to actual junctions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    refs = li.select(
+        F.col("l_orderkey").alias("way_id"),
+        F.col("l_partkey").alias("node_id"),
+    ).distinct()
+    shared = (
+        refs.groupBy("node_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ways"))
+        .where(F.col("n_ways") >= 2)
+    )
+    k = F.col("node_id")
+    return shared.select(
+        "node_id", "n_ways",
+        F.when(F.col("n_ways") >= 4, "major")
+        .when(F.col("n_ways") == 3, "tee")
+        .otherwise("crossing")
+        .alias("junction_class"),
+        (((k * 7) % 180).cast("double") - 90.0).alias("_lat_raw"),
+        (((k * 13) % 360).cast("double") - 180.0).alias("_lon_raw"),
+    ).select(
+        "node_id", "n_ways", "junction_class",
+        (F.col("_lat_raw") * 0.95).alias("lat"),
+        (F.col("_lon_raw") * 0.95).alias("lon"),
+    )

@@ -1216,3 +1216,36 @@ def test_way_intersections_matches_brute_force_replica(spark):
     assert cross((0, 5, 10, 5), (5, 0, 5, 10)) == (5.0, 5.0)
     # ...and segments sharing an endpoint do NOT properly cross
     assert cross((0, 0, 10, 0), (10, 0, 10, 10)) is None
+
+
+def test_osm_junctions_planted_topology(spark, tmp_path):
+    """Planted way->node references: node 10 on two ways (crossing),
+    node 20 on three (tee), node 30 on four (major), node 40 on one
+    way only (not a junction); a repeated reference within ONE way
+    must not inflate its count (DISTINCT guard)."""
+    from osm_airflow_spark.registry import QUERIES, clear_plan_cache
+
+    rows = []
+    # way 1 references node 40 twice -> still only one way for 40
+    refs = {
+        1: [10, 20, 30, 40, 40],
+        2: [10, 20, 30],
+        3: [20, 30],
+        4: [30],
+    }
+    for way, nodes in refs.items():
+        for n in nodes:
+            rows.append((way, n))
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    clear_plan_cache()
+    got = {
+        r["node_id"]: r
+        for r in QUERIES["osm_junctions"](spark, str(tmp_path)).collect()
+    }
+    clear_plan_cache()
+    assert set(got) == {10, 20, 30}
+    assert got[10]["n_ways"] == 2 and got[10]["junction_class"] == "crossing"
+    assert got[20]["n_ways"] == 3 and got[20]["junction_class"] == "tee"
+    assert got[30]["n_ways"] == 4 and got[30]["junction_class"] == "major"

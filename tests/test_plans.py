@@ -2622,3 +2622,50 @@ def test_abc_migration_planted_transitions(spark, tmp_path):
     assert sorted(tuple(r) for r in got.values()) == sorted(
         tuple(w) for w in want
     )
+
+
+def test_control_chart_planted_excursion(spark, tmp_path):
+    """30 quiet days of exactly 9 orders plus one 100-order spike:
+    only the spike flags out-of-control (c-bar ~ 11.9, UCL ~ 22.3);
+    the quiet days sit inside the band; LCL floors at max(.,0).
+    Oracle replayed."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    rows = []
+    okey = 0
+    for d in range(30):
+        for _ in range(9):
+            rows.append(
+                (okey,
+                 datetime.date(2024, 1, 1) + datetime.timedelta(days=d))
+            )
+            okey += 1
+    for _ in range(100):  # the excursion day
+        rows.append((okey, datetime.date(2024, 2, 15)))
+        okey += 1
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    clear_plan_cache()
+    got = {r["day"]: r for r in
+           QUERIES["pipeline_control_chart"](spark, str(tmp_path)).collect()}
+    clear_plan_cache()
+    assert len(got) == 31
+    flagged = {d for d, r in got.items() if r["out_of_control"]}
+    assert flagged == {"2024-02-15"}
+    r = got["2024-01-05"]
+    assert r["n_orders"] == 9
+    assert r["lcl"] >= 0.0 and r["lcl"] < r["center_line"] < r["ucl"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/orders.parquet/*.parquet')"
+    )
+    want = con.execute(ORACLES["pipeline_control_chart"]).fetchall()
+    assert sorted(tuple(x) for x in got.values()) == sorted(
+        tuple(w) for w in want
+    )
