@@ -11143,3 +11143,105 @@ def pipeline_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         lcl.alias("lcl"),
         ((F.col("c") > ucl) | (F.col("c") < lcl)).alias("out_of_control"),
     )
+
+
+@query(
+    "pipeline_xmr_chart",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS x_c
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT day, x_c, LAG(x_c) OVER (ORDER BY day) AS px
+      FROM daily
+    ),
+    mr AS (
+      SELECT day, x_c, ABS(x_c - px) AS mr_c
+      FROM lagged WHERE px IS NOT NULL
+    ),
+    base AS (
+      SELECT CAST(SUM(x_c) AS BIGINT) AS sx,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(mr_c) AS BIGINT) AS smr
+      FROM mr
+    )
+    SELECT strftime(m.day, '%Y-%m-%d') AS day,
+           CAST(m.x_c AS DOUBLE) / 100.0 AS x,
+           CAST(m.mr_c AS DOUBLE) / 100.0 AS moving_range,
+           CAST(b.sx AS DOUBLE) / b.n / 100.0 AS center_line,
+           (CAST(b.sx AS DOUBLE) / b.n
+            + 2.66 * (CAST(b.smr AS DOUBLE) / b.n)) / 100.0 AS ucl,
+           (CAST(b.sx AS DOUBLE) / b.n
+            - 2.66 * (CAST(b.smr AS DOUBLE) / b.n)) / 100.0 AS lcl,
+           m.x_c > CAST(b.sx AS DOUBLE) / b.n
+                    + 2.66 * (CAST(b.smr AS DOUBLE) / b.n)
+           OR m.x_c < CAST(b.sx AS DOUBLE) / b.n
+                       - 2.66 * (CAST(b.smr AS DOUBLE) / b.n)
+             AS out_of_control
+    FROM mr m, base b
+    """,
+)
+def pipeline_xmr_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR INDIVIDUALS chart (Shewhart's I-MR) over daily revenue:
+    each day's total against limits x̄ ± 2.66·M̄R (the moving-range
+    estimate of short-term variation — 2.66 = 3/d₂ at n=2) — the
+    CONTINUOUS-variable control chart beside pipeline_control_chart's
+    Poisson counts; together they are the standard SPC pair. Days
+    after the first emit (the anchored MR convention).
+
+    Determinism: daily totals and moving ranges are exact integer
+    CENTS (decimal sums, lag via the bucket-offset rank join — the
+    OBV shape); x̄ and M̄R ride the broadcast 1-row aggregate as
+    exact-long divisions; limits are one shared tree over those
+    agreed doubles with the short literal 2.66, and the flag compares
+    through the IDENTICAL expression text in both engines (the
+    comparison is on the same tree, so no rounding boundary) —
+    all unrounded.
+
+    Scale: one groupBy(day) pass + days-bounded control plane."""
+    from osm_airflow_spark.bucketing import bucketed_running
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("x_c")
+    )
+    daily = daily.select(
+        "*", F.datediff("day", F.lit("1970-01-01")).alias("day_i"),
+        F.lit(1).alias("one"),
+    )
+    ranked, _ = bucketed_running(daily, "day_i", ["one"])
+    d1 = ranked.select(
+        "day", "x_c", F.col("run_one").cast("long").alias("rn")
+    )
+    prev = d1.select((F.col("rn") + 1).alias("rn"), F.col("x_c").alias("px"))
+    mr = d1.join(F.broadcast(prev), "rn").select(
+        "day", "x_c", F.abs(F.col("x_c") - F.col("px")).alias("mr_c")
+    )
+    base = mr.agg(
+        F.sum("x_c").cast("long").alias("sx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("mr_c").cast("long").alias("smr"),
+    )
+    j = mr.join(F.broadcast(base))
+    xbar = F.col("sx").cast("double") / F.col("n")
+    mrbar = F.col("smr").cast("double") / F.col("n")
+    ucl_c = xbar + 2.66 * mrbar  # cents scale: compared against x_c
+    lcl_c = xbar - 2.66 * mrbar
+    return j.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.col("x_c").cast("double") / 100.0).alias("x"),
+        (F.col("mr_c").cast("double") / 100.0).alias("moving_range"),
+        (xbar / 100.0).alias("center_line"),
+        ((xbar + 2.66 * mrbar) / 100.0).alias("ucl"),
+        ((xbar - 2.66 * mrbar) / 100.0).alias("lcl"),
+        ((F.col("x_c") > ucl_c) | (F.col("x_c") < lcl_c)).alias(
+            "out_of_control"
+        ),
+    )

@@ -2669,3 +2669,47 @@ def test_control_chart_planted_excursion(spark, tmp_path):
     assert sorted(tuple(x) for x in got.values()) == sorted(
         tuple(w) for w in want
     )
+
+
+def test_xmr_chart_planted_spike(spark, tmp_path):
+    """30 alternating-revenue days (1000/1010 -> every MR = 10,
+    MRbar = 10, limits ~ x-bar ± 26.6) plus one 5000 spike: only the
+    spike day and its successor's huge moving range day flag — the
+    spike itself breaches UCL; closed forms on center/limits. Oracle
+    replayed."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    rows = []
+    for d in range(30):
+        rows.append(
+            (d, datetime.date(2024, 1, 1) + datetime.timedelta(days=d),
+             1000.0 if d % 2 == 0 else 1010.0)
+        )
+    rows.append((30, datetime.date(2024, 1, 31), 5000.0))
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    clear_plan_cache()
+    got = {r["day"]: r for r in
+           QUERIES["pipeline_xmr_chart"](spark, str(tmp_path)).collect()}
+    clear_plan_cache()
+    assert len(got) == 30  # day 1 anchors
+    assert got["2024-01-02"]["moving_range"] == 10.0
+    assert got["2024-01-31"]["x"] == 5000.0
+    assert got["2024-01-31"]["out_of_control"] is True
+    quiet = [d for d, r in got.items()
+             if not r["out_of_control"] and d != "2024-01-31"]
+    assert len(quiet) == 29  # every alternating day sits inside
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/orders.parquet/*.parquet')"
+    )
+    want = con.execute(ORACLES["pipeline_xmr_chart"]).fetchall()
+    assert sorted(tuple(x) for x in got.values()) == sorted(
+        tuple(w) for w in want
+    )
