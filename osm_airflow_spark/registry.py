@@ -153,83 +153,75 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ``tests/test_registry.py`` pins the exact list so adding a key can
 # never reshuffle the window unreviewed.
 #
-# Round-13 window: per VERDICT r12 next-round #1 and #3. Head: ALL 24
-# keys with no driver-side evidence in any CORRECTNESS_r* (the r12
-# statistics/graph/eval/osm additions). Tail: 26 of the 31 SURVEY §2
-# keys whose newest driver proof is r7 (the 5-round-stale cohort).
-# Five §2-r7 keys do not fit the 50-slot window and are scheduled to
-# LEAD the r14 window instead: agg_approx_distinct and udf_grouped_map
-# (both rows-only — a driver re-check repeats the weaker rows>0 check
-# the r7 record already holds, lowest incremental evidence), plus
-# project_columns / project_map_promote / project_computed (narrowest
-# plans of the cohort; covered by the local --matrix triple-SF gate in
-# the meantime). Staleness computed from CORRECTNESS_r01-r12 (newest
-# proof round per key).
+# Round-14 window: per VERDICT r13 next-round #1 and #2. Head: ALL 44
+# keys with no driver-side evidence in any CORRECTNESS_r01..r13 (the
+# r13 finance-window/SPC/graph/osm-geometry/eval/agg additions). Tail:
+# the 5 §2 keys deferred from the r13 rotation (project_columns /
+# project_map_promote / project_computed at r7; agg_approx_distinct and
+# udf_grouped_map, rows-only, r7) plus fn_datetime (r8) — exactly 50.
 #
-# r14 rotation queue (in order): the never-checked r13 additions
-# (osm_polygon_clip_area, osm_polygon_clip, osm_tile_overlay,
-# pipeline_mann_kendall, llm_eval_brier, llm_eval_ece,
-# llm_cluster_silhouette, mm_audio_zcr, win_atr, graph_closeness, llm_edit_distance,
-# pipeline_seasonality_strength, agg_moments, win_donchian, plus the
-# continuation-session keys: win_obv, win_aroon, win_vwap,
-# graph_clustering_coefficient and everything after them in
-# COVERAGE.md's r13 tally),
-# then the 5 deferred r7 keys above, then the oldest r8-proof cohort.
+# r15 rotation queue (in order, the half that waits per VERDICT r13
+# #2): the remaining r8-proof cohort — win_time_tumbling,
+# win_time_sliding, win_time_session (operators/timewindows.py), then
+# the five K-block keys llm_dedup_exact, llm_dedup_near (rows-only),
+# llm_sim_pairwise, llm_sim_topk, llm_text_stats — followed by any
+# keys round 14 adds. Staleness computed from CORRECTNESS_r01-r13
+# (newest proof round per key).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-checked: the 24 r12 additions --
-    "graph_jaccard",
-    "graph_assortativity",
-    "win_rolling_slope",
-    "llm_readability",
-    "llm_eval_chrf",
-    "pipeline_two_proportion_z",
-    "pipeline_kruskal_wallis",
-    "pipeline_ljung_box",
-    "pipeline_price_elasticity",
-    "pipeline_nelson_aalen",
-    "pipeline_logrank",
-    "pipeline_wilcoxon_signed_rank",
-    "pipeline_friedman",
-    "pipeline_holm",
-    "pipeline_page_trend",
-    "pipeline_dickey_fuller",
-    "pipeline_rdd",
-    "pipeline_granger",
-    "pipeline_page_hinkley",
-    "pipeline_weibull_fit",
-    "pipeline_srm",
-    "pipeline_jarque_bera",
-    "pipeline_cointegration",
-    "osm_bearing_rose",
-    # -- staleness re-checks: 26 of the 31 §2 keys last proved r7 --
-    "filter_compound",
-    "join_theta",
-    "join_range",
-    "join_cross",
-    "agg_grouping_sets",
-    "win_ntile",
-    "sort_global",
-    "sort_topk",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_drop_duplicates",
-    "fn_string",
-    "fn_regex",
-    "fn_math",
-    "fn_conditional",
-    "fn_map_json",
-    "fn_array_explode",
-    "fn_json",
-    "fn_hash",
-    "fn_geo_distance",
-    "fn_geo_bbox",
-    "udf_scalar",
-    "udf_pandas",
-    "udf_grouped_agg",
+    # -- never driver-checked: the 44 r13 additions --
+    "agg_moments",
+    "agg_weighted_median",
+    "agg_histogram",
+    "graph_closeness",
+    "graph_clustering_coefficient",
+    "graph_degree_distribution",
+    "set_symmetric_diff",
+    "win_atr",
+    "win_donchian",
+    "win_obv",
+    "win_aroon",
+    "win_vwap",
+    "win_stochastic",
+    "win_ichimoku",
+    "win_pivot_points",
+    "fn_luhn",
+    "fn_geohash",
+    "llm_eval_brier",
+    "llm_eval_ece",
+    "llm_eval_mcc",
+    "llm_heaps_law",
+    "llm_cluster_silhouette",
+    "llm_edit_distance",
+    "llm_dup_size_histogram",
+    "mm_audio_zcr",
+    "mm_audio_peaks",
+    "pipeline_mann_kendall",
+    "pipeline_seasonality_strength",
+    "pipeline_levene",
+    "pipeline_tukey_hsd",
+    "pipeline_lorenz",
+    "pipeline_newsvendor",
+    "pipeline_hurst",
+    "pipeline_little_law",
+    "pipeline_eoq",
+    "pipeline_abc_migration",
+    "pipeline_control_chart",
+    "pipeline_xmr_chart",
+    "osm_polygon_clip_area",
+    "osm_polygon_clip",
+    "osm_tile_overlay",
+    "osm_tile_pyramid",
+    "osm_way_intersections",
+    "osm_junctions",
+    # -- staleness re-checks: the r7 cohort deferred from r13 + oldest r8 --
+    "project_columns",
+    "project_map_promote",
+    "project_computed",
+    "agg_approx_distinct",
+    "udf_grouped_map",
+    "fn_datetime",
 ]
 
 
