@@ -58,33 +58,6 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_signature_cols(hs_col: str, n_hashes: int = N_MINHASH) -> list[Column]:
-    """One minhash per seeded hash family member, as an IN-ARRAY fold
-    over the doc's already-hashed distinct shingles (a long array):
-    ``array_min(transform(hs, h -> xxhash64(seed, h)))`` — a narrow
-    projection, NO exchange. The previous formulation exploded
-    shingles and groupBy-min'd them back, shuffling one row per
-    (doc, shingle); signatures now never leave their input partition
-    and the near-dup pipeline's first shuffle is the band bucket
-    window (values bit-identical: same hash computations, same min
-    over the same multiset — measured 2.4x faster at sf0.01).
-
-    Built with ``F.expr`` lambdas, deliberately: sixteen Python-side
-    ``F.transform(..., lambda h: xxhash64(lit(i), h))`` calls in ONE
-    projection collide their lambda variables during resolution and
-    all sixteen collapse to a single seed's value (measured, this
-    Spark build) — the SQL parser binds each expression's lambda
-    variable independently. Same min-wise family quality class; the
-    recall-vs-exact-Jaccard bound in tests/test_llm.py gates the
-    family."""
-    return [
-        F.expr(f"array_min(transform({hs_col}, h -> xxhash64({i}, h)))").alias(
-            f"mh_{i}"
-        )
-        for i in range(n_hashes)
-    ]
-
-
 def shingle_array(words_col: str = "words", n: int = 3) -> Column:
     """Word n-gram shingles over a pre-split word array (split once,
     shingle from the array — re-splitting inside the lambda costs a
@@ -114,30 +87,45 @@ def banded_signature_rows(
     minhash → band leg of the near-dup pipeline, extracted (r10) so
     the STREAMING ingest (near_dedup_ingest_stream) persists exactly
     the rows the batch key joins on. No exchange: signatures fold
-    in-array inside the input partition; posexplode multiplies rows
-    by n_bands only."""
-    hashed = (
-        docs.select("doc_id", F.split("text", " ").alias("words"))
-        .select(
-            "doc_id",
-            F.transform(
-                F.array_distinct(shingle_array("words", shingle_n)),
-                lambda sh: F.xxhash64(sh),
-            ).alias("hs"),
-        )
-    )
-    sigs = hashed.select("doc_id", *_minhash_signature_cols("hs", n_hashes))
+    in-array inside the input partition; the band explode multiplies
+    rows by n_bands only.
 
-    rows_per_band = n_hashes // n_bands
-    sig_array = F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)])
-    bands = F.array(
-        *[
-            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
-            for b in range(n_bands)
-        ]
-    )
-    return sigs.select(
-        "doc_id", sig_array.alias("sig"), F.posexplode(bands).alias("band_idx", "band_hash")
+    The whole shingle-hash → minhash → band chain is ONE expression
+    (r14). The previous three-projection formulation
+    (hs → mh_0..mh_{k-1} → array(mh_*) + band hashes) let
+    ProjectCollapse inline each minhash tree into both the sig array
+    and its band hash — recomputing the shingle/minhash work ~2x per
+    row (transform lambdas sit outside codegen CSE). SQL has no let
+    binding, so the chain binds its intermediates the only way
+    expressions can: a one-element ``transform(array(x), v -> body)
+    [0]`` evaluates ``x`` exactly once no matter how many times
+    ``v`` appears in ``body``. Output rows are bit-identical to the
+    old form (verified exceptAll both ways at sf0.1; same hash
+    calls, same order); measured 1.11 s → 0.84 s for the banded leg
+    at sf0.1. SQL-parsed lambdas, deliberately: Python-side
+    ``F.transform(..., lambda ...)`` calls sharing one projection
+    collide their lambda variable names during resolution (measured,
+    this Spark build — sixteen seeds all collapsed to one value);
+    the SQL parser binds each lambda independently, and the distinct
+    names here (sh_/hs/i/h/sig/b) keep the nesting unambiguous."""
+    rpb = n_hashes // n_bands
+    band_args = ", ".join(f"sig[b*{rpb}+{r}]" for r in range(rpb))
+    chain = f"""
+      transform(array(transform(shs, sh_ -> xxhash64(sh_))), hs ->
+        transform(
+          array(transform(sequence(0, {n_hashes - 1}),
+                          i -> array_min(transform(hs, h -> xxhash64(i, h))))),
+          sig -> transform(sequence(0, {n_bands - 1}), b ->
+            struct(sig as sig, int(b) as band_idx,
+                   xxhash64({band_args}) as band_hash))
+        )[0]
+      )[0]
+    """
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+        .select("doc_id", F.array_distinct(shingle_array("words", shingle_n)).alias("shs"))
+        .select("doc_id", F.explode(F.expr(chain)).alias("r"))
+        .select("doc_id", "r.sig", "r.band_idx", "r.band_hash")
     )
 
 
