@@ -115,28 +115,77 @@ def _offsets_df(spark: SparkSession, pbf_path: str) -> DataFrame:
 def _decode_union(iterator):
     """mapInPandas body: each blob is read + decompressed + parsed
     exactly ONCE, emitting all three element kinds from that single
-    pass (a planet blob mixes kinds across its PrimitiveGroups)."""
+    pass (a planet blob mixes kinds across its PrimitiveGroups).
+
+    Emission is COLUMNAR and PER-BLOB (r14, found by the 239 MB
+    volume probe — tools/pbf_volume_probe.py). The previous form
+    accumulated one python tuple per element across ALL the
+    partition's blobs before building a single object-dtype
+    DataFrame: at 1,128 blobs that meant ~1.75M tuples per task,
+    ~1 GB worker RSS, and 52M scalar PyObject conversions on the
+    Arrow boundary — the decode itself fanned out fine (18.6 s) but
+    the full pass took 271 s. Per-blob numpy-backed frames bound
+    worker memory to one blob's rows and let Arrow copy primitive
+    columns without boxing: 271 s → 28 s for the same file."""
+    import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
     for pdf in iterator:
-        rows = []
         for path, start, length in pdf.itertuples(index=False):
             with open(path, "rb") as fh:
                 fh.seek(start)
                 dec = pbf_wire.decode_blob(fh.read(length))
-            for r in dec["nodes"]:
-                rows.append(
-                    ("node", r["node_id"], r["lat"], r["lon"], None, None, r["tags"])
-                )
-            for r in dec["ways"]:
-                rows.append(
-                    ("way", r["way_id"], None, None, r["node_refs"], None, r["tags"])
-                )
-            for r in dec["relations"]:
-                rows.append(
-                    ("relation", r["rel_id"], None, None, None, r["members"], r["tags"])
-                )
-        yield pd.DataFrame(rows, columns=_UNION_COLS)
+            n, w, r = dec["nodes"], dec["ways"], dec["relations"]
+            if n:
+                yield pd.DataFrame({
+                    _UNION_COLS[0]: "node",
+                    _UNION_COLS[1]: np.fromiter(
+                        (x["node_id"] for x in n), dtype="int64", count=len(n)
+                    ),
+                    _UNION_COLS[2]: np.fromiter(
+                        (x["lat"] for x in n), dtype="float64", count=len(n)
+                    ),
+                    _UNION_COLS[3]: np.fromiter(
+                        (x["lon"] for x in n), dtype="float64", count=len(n)
+                    ),
+                    _UNION_COLS[4]: None,
+                    _UNION_COLS[5]: None,
+                    _UNION_COLS[6]: pd.Series(
+                        [x["tags"] for x in n], dtype=object
+                    ),
+                })
+            if w:
+                yield pd.DataFrame({
+                    _UNION_COLS[0]: "way",
+                    _UNION_COLS[1]: np.fromiter(
+                        (x["way_id"] for x in w), dtype="int64", count=len(w)
+                    ),
+                    _UNION_COLS[2]: None,
+                    _UNION_COLS[3]: None,
+                    _UNION_COLS[4]: pd.Series(
+                        [x["node_refs"] for x in w], dtype=object
+                    ),
+                    _UNION_COLS[5]: None,
+                    _UNION_COLS[6]: pd.Series(
+                        [x["tags"] for x in w], dtype=object
+                    ),
+                })
+            if r:
+                yield pd.DataFrame({
+                    _UNION_COLS[0]: "relation",
+                    _UNION_COLS[1]: np.fromiter(
+                        (x["rel_id"] for x in r), dtype="int64", count=len(r)
+                    ),
+                    _UNION_COLS[2]: None,
+                    _UNION_COLS[3]: None,
+                    _UNION_COLS[4]: None,
+                    _UNION_COLS[5]: pd.Series(
+                        [x["members"] for x in r], dtype=object
+                    ),
+                    _UNION_COLS[6]: pd.Series(
+                        [x["tags"] for x in r], dtype=object
+                    ),
+                })
 
 
 def read_pbf_elements(spark: SparkSession, pbf_path: str) -> DataFrame:
