@@ -272,6 +272,15 @@ def main() -> None:
         cached[key] = round(time.time() - t0, 3)
     cached_total = round(sum(cached.values()), 3)
     partitioned = _partitioned_pass(spark, sf_dir)
+
+    # PBF ingest volume line (VERDICT r13 #5): decode fan-out over a
+    # cached 64 MB dense-planet file (tools/make_dense_pbf.py — ~300
+    # blobs, one InputPartition each). The 256 MB probe lives in
+    # tools/pbf_volume_probe.py + SCALE.md; this smaller per-round
+    # line tracks decode throughput drift.
+    from tools.pbf_volume_probe import probe as pbf_probe
+
+    pbf_ingest = pbf_probe(spark, 64)
     print(
         json.dumps(
             {
@@ -298,6 +307,7 @@ def main() -> None:
                 "cached_total": cached_total,
                 "cached": cached,
                 "partitioned": partitioned,
+                "pbf_ingest": pbf_ingest,
             }
         )
     )

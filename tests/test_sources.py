@@ -1150,3 +1150,47 @@ def test_pbf_missing_osmheader_refused(tmp_path):
             pbf_wire.encode_primitive_block(), "OSMHeader"))
     with pytest.raises(ValueError, match="OSMHeader"):
         pbf_wire.validated_data_offsets(swapped)
+
+
+def test_dense_volume_file_decodes_exactly(spark, tmp_path):
+    """Volume-proof generator contract (r14, tools/make_dense_pbf.py):
+    the dense-planet file's advertised element counts are what the
+    full Spark fan-out decodes; node ids are globally unique across
+    blobs (the per-blob first-delta re-prefix really does advance the
+    base), way refs resolve to in-file node ids, and the ~10% tag
+    density survives the columnar per-blob emission path."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.make_dense_pbf import build
+
+    from osm_airflow_spark.sources.pbf import read_pbf_elements
+
+    path = str(tmp_path / "dense.osm.pbf")
+    facts = build(path, target_mb=8)
+    assert facts["blobs"] >= 4
+
+    union = read_pbf_elements(spark, path)
+    counts = dict(union.groupBy("kind").count().collect())
+    assert counts["node"] == facts["nodes"]
+    assert counts["way"] == facts["ways"]
+
+    nodes = union.where("kind = 'node'")
+    stats = nodes.agg(
+        F.countDistinct("elem_id").alias("uniq"),
+        F.count(F.when(F.size("tags") > 0, 1)).alias("tagged"),
+        F.min("lat").alias("lat_lo"),
+        F.max("lat").alias("lat_hi"),
+    ).first()
+    assert stats["uniq"] == facts["nodes"]  # no id reuse across blobs
+    assert stats["tagged"] == facts["nodes"] // 10
+    assert 40.0 < stats["lat_lo"] < stats["lat_hi"] < 50.0
+
+    # every way ref points at a decoded node (anti-join is empty)
+    refs = union.where("kind = 'way'").select(
+        F.explode("node_refs").alias("ref")
+    )
+    dangling = refs.join(
+        nodes.select(F.col("elem_id").alias("ref")), "ref", "left_anti"
+    ).count()
+    assert dangling == 0
