@@ -239,7 +239,15 @@ def import_all_operators() -> None:
     from osm_airflow_spark.functions import scalar, geo  # noqa: F401
     from osm_airflow_spark.llm import dedup, multimodal, similarity, text, udfs  # noqa: F401
     from osm_airflow_spark import sources  # noqa: F401
-    from osm_airflow_spark.plans import analytics, flagship, osm_queries  # noqa: F401
+    from osm_airflow_spark.plans import (  # noqa: F401
+        analytics,
+        experiments,
+        flagship,
+        ops,
+        osm_queries,
+        stats,
+        timeseries,
+    )
 
 
 def _window_first(registered: dict[str, Any]) -> dict[str, Any]:

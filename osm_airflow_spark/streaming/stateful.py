@@ -457,7 +457,7 @@ def sprt_monitor_stream(daily: DataFrame) -> DataFrame:
     Scale: one shuffle per micro-batch on event_type, O(types) state,
     unbounded stream length — the 100 TB-stream form of the batch
     key's calendar-bounded window walk."""
-    from osm_airflow_spark.plans.analytics import _SPRT_A, _SPRT_C0, _SPRT_C1
+    from osm_airflow_spark.plans.experiments import _SPRT_A, _SPRT_C0, _SPRT_C1
 
     def update(
         key: tuple, batches: Iterable[pd.DataFrame], state: GroupState

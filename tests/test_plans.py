@@ -819,7 +819,7 @@ def test_sprt_planted_crossings(spark, tmp_path):
     derive from the same scaled-integer constants the key uses."""
     import datetime
 
-    from osm_airflow_spark.plans.analytics import _SPRT_A, _SPRT_C0, _SPRT_C1
+    from osm_airflow_spark.plans.experiments import _SPRT_A, _SPRT_C0, _SPRT_C1
 
     # drift: 5 success + 5 failure per day -> per-day llr step
     step = 5 * _SPRT_C1 - 5 * _SPRT_C0
@@ -987,7 +987,7 @@ def test_conformal_histogram_is_conservative(spark, tmp_path):
     order statistic (q_hist >= q_exact, within one bin) so coverage
     stays >= 1 - alpha — checked against the exact key on the same
     planted calibration residuals."""
-    from osm_airflow_spark.plans.analytics import conformal_qhat_histogram
+    from osm_airflow_spark.plans.experiments import conformal_qhat_histogram
 
     rows = []
     ok = 0
@@ -1117,7 +1117,7 @@ def test_poisson_bootstrap_generic_brackets_mean(spark, sf_dir):
     CI, full replica survival at fixture n, deterministic across two
     invocations (content-derived weights, no rand())."""
     from osm_airflow_spark.io import load_table
-    from osm_airflow_spark.plans.analytics import poisson_bootstrap_ci
+    from osm_airflow_spark.plans.experiments import poisson_bootstrap_ci
 
     o = load_table(spark, sf_dir, "orders")
     r1 = poisson_bootstrap_ci(o, spark, "o_orderkey", "o_totalprice").collect()[0]
@@ -1138,7 +1138,7 @@ def test_poisson_bootstrap_ranks_derive_from_b(spark, sf_dir):
     import pytest
 
     from osm_airflow_spark.io import load_table
-    from osm_airflow_spark.plans.analytics import poisson_bootstrap_ci
+    from osm_airflow_spark.plans.experiments import poisson_bootstrap_ci
 
     o = load_table(spark, sf_dir, "orders")
     r = poisson_bootstrap_ci(o, spark, "o_orderkey", "o_totalprice", b=100).collect()[0]
@@ -1248,7 +1248,7 @@ def test_split_conformal_qhat_generic(spark, sf_dir):
     import collections
 
     from osm_airflow_spark.io import load_table
-    from osm_airflow_spark.plans.analytics import split_conformal_qhat
+    from osm_airflow_spark.plans.experiments import split_conformal_qhat
 
     o = load_table(spark, sf_dir, "orders")
     calib = o.select(

@@ -490,7 +490,7 @@ def test_conformal_histogram_dominates_exact(spark, resids, width):
     (coverage-conservative) and exceeds it by at most one bin."""
 
 
-    from osm_airflow_spark.plans.analytics import conformal_qhat_histogram
+    from osm_airflow_spark.plans.experiments import conformal_qhat_histogram
 
     df = spark.createDataFrame(
         [("g", float(r)) for r in resids], "prio string, resid double"
