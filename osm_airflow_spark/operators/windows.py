@@ -1954,3 +1954,111 @@ def win_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((p3 + rng3).cast("double") / 300.0).alias("r2"),
         ((p3 - rng3).cast("double") / 300.0).alias("s2"),
     )
+
+
+@query(
+    "win_cci",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             + CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             + CAST(max_by(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+                    * 100 AS BIGINT) AS s
+      FROM orders GROUP BY 1
+    ),
+    frame AS (
+      SELECT a.day, a.s AS s_t, COUNT(*) AS n, SUM(b.s) AS sum_s
+      FROM daily a JOIN daily b
+        ON b.day BETWEEN a.day - INTERVAL 13 DAY AND a.day
+      GROUP BY a.day, a.s
+      HAVING COUNT(*) = 14
+    ),
+    dev AS (
+      SELECT f.day, f.s_t, f.n, f.sum_s,
+             SUM(abs(f.n * b.s - f.sum_s)) AS dsum
+      FROM frame f JOIN daily b
+        ON b.day BETWEEN f.day - INTERVAL 13 DAY AND f.day
+      GROUP BY f.day, f.s_t, f.n, f.sum_s
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(s_t AS DOUBLE) / 300.0 AS typical_price,
+           CASE WHEN dsum > 0 THEN
+             CAST(n * (n * s_t - sum_s) AS DOUBLE)
+               / (0.015 * CAST(dsum AS DOUBLE)) END AS cci
+    FROM dev
+    """,
+)
+def win_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r14) — COMMODITY CHANNEL INDEX (Lambert 1980) over the
+    daily OHLC proxies: CCI = (TP − SMA₁₄(TP)) / (0.015·MD₁₄) with
+    TP = (high+low+close)/3 and MD the mean absolute deviation of TP
+    from its own 14-frame mean — the mean-reversion oscillator the
+    finance family (ATR/stochastic/donchian) lacks a
+    deviation-normalized form of. Only full 14-calendar-day frames
+    emit; a zero-deviation (flat) frame carries NULL.
+
+    Determinism: the ÷3 of the typical price CANCELS between
+    numerator and denominator — the identity
+    CCI = n·(n·s_t − Σs) / (0.015·Σ|n·sⱼ − Σs|) runs ENTIRELY in
+    exact integer cent sums (s = hi+lo+close cents < 2e8; every
+    window term < 2^45), with exactly one double division at the end
+    (0.015 a short exact literal). ``typical_price`` is the single
+    exact-int / 300.0 tree.
+
+    Scale + lint: two broadcast bounded calendar self-joins (the
+    donchian/stochastic frame pattern — day-bounded, never
+    all-pairs), daily localCheckpointed once for all three legs; no
+    global window."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    daily = (
+        o.groupBy(
+            F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+        )
+        .agg(
+            (
+                (F.max(price) * 100).cast("bigint")
+                + (F.min(price) * 100).cast("bigint")
+                + F.expr(
+                    "CAST(max_by(CAST(o_totalprice AS DECIMAL(18,2)),"
+                    " o_orderkey) * 100 AS BIGINT)"
+                )
+            ).alias("s")
+        )
+        .localCheckpoint(eager=True)  # three join legs
+    )
+    b = daily.select(F.col("day").alias("bday"), F.col("s").alias("bs"))
+    frame = (
+        daily.join(
+            F.broadcast(b),
+            F.col("bday").between(F.date_sub(F.col("day"), 13), F.col("day")),
+        )
+        .groupBy("day", "s")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("bs").alias("sum_s"))
+        .where(F.col("n") == 14)
+        .withColumnRenamed("s", "s_t")
+    )
+    dev = (
+        frame.join(
+            F.broadcast(b),
+            F.col("bday").between(F.date_sub(F.col("day"), 13), F.col("day")),
+        )
+        .groupBy("day", "s_t", "n", "sum_s")
+        .agg(
+            F.sum(
+                F.abs(F.col("n") * F.col("bs") - F.col("sum_s"))
+            ).alias("dsum")
+        )
+    )
+    return dev.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.col("s_t").cast("double") / 300.0).alias("typical_price"),
+        F.when(
+            F.col("dsum") > 0,
+            (F.col("n") * (F.col("n") * F.col("s_t") - F.col("sum_s"))).cast(
+                "double"
+            )
+            / (F.lit(0.015) * F.col("dsum").cast("double")),
+        ).alias("cci"),
+    )

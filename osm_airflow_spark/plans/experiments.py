@@ -1647,3 +1647,64 @@ def pipeline_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("p_approx"),
         (p < 0.001).alias("srm_detected"),
     )
+
+
+@query(
+    "pipeline_wilson_ci",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE l_returnflag = 'R') AS k
+      FROM lineitem
+    )
+    SELECT n, k,
+           CAST(k AS DOUBLE) / n AS p_hat,
+           (CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n)
+            - 1.96 * sqrt(CAST(k AS DOUBLE) / n
+                          * (1.0 - CAST(k AS DOUBLE) / n) / n
+                          + 1.96 * 1.96 / (4.0 * n * n)))
+             / (1.0 + 1.96 * 1.96 / n) AS lo,
+           (CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n)
+            + 1.96 * sqrt(CAST(k AS DOUBLE) / n
+                          * (1.0 - CAST(k AS DOUBLE) / n) / n
+                          + 1.96 * 1.96 / (4.0 * n * n)))
+             / (1.0 + 1.96 * 1.96 / n) AS hi
+    FROM s
+    """,
+)
+def pipeline_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r14) — WILSON SCORE INTERVAL (1927) for the return-rate
+    proportion: the 95% CI for P(l_returnflag = 'R') that stays
+    inside [0,1] and behaves at small n / extreme p̂ where the Wald
+    interval collapses — the per-proportion counterpart to
+    pipeline_two_proportion_z's difference test (that key reports a
+    z; this one the actionable bracket).
+
+    Determinism: n and k are exact counts; lo/hi are ONE
+    fixed-order IEEE tree written identically in both engines —
+    every constant (1.96, 2.0, 4.0, 1.0) a short exact literal,
+    sqrt correctly rounded, no reassociation between the engines
+    because the parse trees match token-for-token.
+
+    Scale + lint: a single conditional-count aggregate over the
+    scan; no join, no window; 1 row out."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("k"),
+    )
+    n = F.col("n")
+    p = F.col("k").cast("double") / n
+    z2 = F.lit(1.96) * F.lit(1.96)
+    center = p + z2 / (F.lit(2.0) * n)
+    half = F.lit(1.96) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    denom = F.lit(1.0) + z2 / n
+    return s.select(
+        "n",
+        "k",
+        p.alias("p_hat"),
+        ((center - half) / denom).alias("lo"),
+        ((center + half) / denom).alias("hi"),
+    )

@@ -1274,3 +1274,146 @@ def pipeline_xmr_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             "out_of_control"
         ),
     )
+
+
+@query(
+    "pipeline_cpk",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,0))
+                      * CAST(l_quantity AS DECIMAL(28,0))) AS DOUBLE) AS sx2
+      FROM lineitem
+    )
+    SELECT n,
+           sx / n AS mu,
+           sqrt((sx2 - sx * sx / n) / (n - 1)) AS sigma,
+           (50.5 - sx / n) / (3.0 * sqrt((sx2 - sx * sx / n) / (n - 1)))
+             AS cpu,
+           (sx / n - 0.5) / (3.0 * sqrt((sx2 - sx * sx / n) / (n - 1)))
+             AS cpl,
+           LEAST(
+             (50.5 - sx / n) / (3.0 * sqrt((sx2 - sx * sx / n) / (n - 1))),
+             (sx / n - 0.5) / (3.0 * sqrt((sx2 - sx * sx / n) / (n - 1)))
+           ) AS cpk
+    FROM s
+    """,
+)
+def pipeline_cpk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r14) — PROCESS CAPABILITY INDEX Cpk over line-item
+    quantity against spec limits [0.5, 50.5] (the quantity domain is
+    integral 1..50 by TPC-H construction, so the half-open literals
+    bracket it symmetrically): Cpk = min(USL−μ, μ−LSL) / 3σ — the SPC
+    summary the control-chart family (pipeline_control_chart /
+    xmr_chart) reports per-window but never as the single
+    capability number.
+
+    Determinism: n, Σx are exact integer aggregates; Σx² runs in
+    DECIMAL(28,0)×DECIMAL(28,0) so BOTH engines bind an
+    exact-int128-backed product (the SCALE.md r13 DuckDB
+    no-widening rule), each cast once to double; μ, σ and the two
+    one-sided indices are one FIXED-ORDER IEEE tree over those
+    three exact casts — bit-identical across engines and
+    partitionings. Spec limits are short literals (exact parse).
+
+    Scale + lint: one full-scan aggregate, no window, no join; the
+    1-row output rides the standard global-aggregate reduction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q28 = F.col("l_quantity").cast("decimal(28,0)")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("double").alias("sx"),
+        F.sum(q28 * q28).cast("double").alias("sx2"),
+    )
+    mu = F.col("sx") / F.col("n")
+    sigma = F.sqrt(
+        (F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    cpu = (F.lit(50.5) - mu) / (F.lit(3.0) * sigma)
+    cpl = (mu - F.lit(0.5)) / (F.lit(3.0) * sigma)
+    return s.select(
+        "n",
+        mu.alias("mu"),
+        sigma.alias("sigma"),
+        cpu.alias("cpu"),
+        cpl.alias("cpl"),
+        F.least(cpu, cpl).alias("cpk"),
+    )
+
+
+@query(
+    "pipeline_safety_stock",
+    oracle="""
+    WITH daily AS (
+      SELECT p_brand, CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT p_brand, COUNT(*) AS n_days,
+             CAST(SUM(d) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(d AS DECIMAL(28,0)) * CAST(d AS DECIMAL(28,0)))
+                  AS DOUBLE) AS sx2
+      FROM daily GROUP BY 1
+    )
+    SELECT p_brand, n_days,
+           sx / n_days AS mu_daily,
+           sqrt((sx2 - sx * sx / n_days) / (n_days - 1)) AS sigma_daily,
+           1.645 * sqrt((sx2 - sx * sx / n_days) / (n_days - 1))
+             * sqrt(7.0) AS safety_stock,
+           sx / n_days * 7.0
+             + 1.645 * sqrt((sx2 - sx * sx / n_days) / (n_days - 1))
+               * sqrt(7.0) AS reorder_point
+    FROM s WHERE n_days > 1 ORDER BY p_brand
+    """,
+)
+def pipeline_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r14) — SAFETY STOCK / REORDER POINT per part brand (the
+    classical σ√L policy): daily brand demand from shipped
+    quantities, z = 1.645 (95% cycle-service), lead time L = 7 days
+    → safety = z·σ_daily·√L, ROP = μ_daily·L + safety. Completes the
+    inventory-policy family (EOQ gives the order SIZE, newsvendor
+    the single-period quantile, Little's-law the flow time — this is
+    the WHEN-to-order threshold). Demand days are observed ship
+    days; zero-demand days are not imputed (documented convention).
+
+    Determinism: per-brand n, Σd exact integers; Σd² in
+    DECIMAL(28,0) products (both engines int128-exact, the SCALE.md
+    rule); one fixed-order IEEE tree from the three exact casts —
+    z and L short literals, sqrt correctly rounded in both engines.
+
+    Scale + lint: part is the broadcast dim; one shuffle to (brand,
+    day), one to brand; no windows; output |brands| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    daily = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.date_trunc("day", F.col("l_shipdate")).cast("date").alias("day"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("d"))
+    )
+    d28 = F.col("d").cast("decimal(28,0)")
+    s = daily.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("d").cast("double").alias("sx"),
+        F.sum(d28 * d28).cast("double").alias("sx2"),
+    ).where(F.col("n_days") > 1)
+    mu = F.col("sx") / F.col("n_days")
+    sigma = F.sqrt(
+        (F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n_days"))
+        / (F.col("n_days") - 1)
+    )
+    safety = F.lit(1.645) * sigma * F.sqrt(F.lit(7.0))
+    return s.select(
+        "p_brand",
+        "n_days",
+        mu.alias("mu_daily"),
+        sigma.alias("sigma_daily"),
+        safety.alias("safety_stock"),
+        (mu * F.lit(7.0) + safety).alias("reorder_point"),
+    ).orderBy("p_brand")

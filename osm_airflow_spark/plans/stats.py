@@ -3237,3 +3237,92 @@ def pipeline_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.alias("q_stat"),
         (F.abs(q) > 4.17).alias("significant"),
     )
+
+
+@query(
+    "pipeline_grubbs",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(x AS DECIMAL(28,0)) * CAST(x AS DECIMAL(28,0)))
+                  AS DOUBLE) AS sx2
+      FROM daily
+    ),
+    dev AS (
+      SELECT day,
+             abs(CAST(x AS DOUBLE) - sx / n) AS adev,
+             n, sx, sx2
+      FROM daily CROSS JOIN s
+    )
+    SELECT n,
+           adev / sqrt((sx2 - sx * sx / n) / (n - 1)) AS g,
+           strftime(day, '%Y-%m-%d') AS outlier_day
+    FROM dev
+    ORDER BY adev DESC, day ASC
+    LIMIT 1
+    """,
+)
+def pipeline_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r14) — GRUBBS' OUTLIER STATISTIC (1950) on daily order
+    revenue: G = max|xᵢ − x̄| / s, plus WHICH day attains it — the
+    single-most-discordant-observation screen the anomaly family
+    (z-score / MAD / Hampel) lacks a maximum-normed-residual form
+    of. The critical-value comparison is left to the caller (it
+    needs a t quantile; the engine emits the exact statistic).
+
+    Determinism: daily revenue is the exact cent sum (decimal ×100
+    → BIGINT, the win_vwap recipe); n, Σx exact; Σx² in
+    DECIMAL(28,0) products (int128-exact in both engines); G is one
+    fixed-order IEEE tree over the exact casts. The arg-max day
+    breaks |dev| ties on the EARLIEST day (total order), and the
+    top-1 rides ORDER BY + LIMIT (TakeOrderedAndProject — no global
+    window, lint-clean).
+
+    Scale + lint: the corpus is reduced to days once; the 1-row
+    moment aggregate broadcasts back over the daily table (the
+    standing global-scalar pattern), and the arg-max is a bounded
+    top-k. Re-executing the daily subtree for the broadcast leg is
+    the documented no-exchange-reuse tradeoff."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x")
+    )
+    x28 = F.col("x").cast("decimal(28,0)")
+    s = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(x28 * x28).cast("double").alias("sx2"),
+    )
+    dev = daily.join(F.broadcast(s)).select(
+        "day",
+        F.abs(F.col("x").cast("double") - F.col("sx") / F.col("n")).alias(
+            "adev"
+        ),
+        "n",
+        "sx",
+        "sx2",
+    )
+    g = F.col("adev") / F.sqrt(
+        (F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return (
+        dev.orderBy(F.col("adev").desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            "n",
+            g.alias("g"),
+            F.date_format("day", "yyyy-MM-dd").alias("outlier_day"),
+        )
+    )
