@@ -134,58 +134,78 @@ def _decode_union(iterator):
         for path, start, length in pdf.itertuples(index=False):
             with open(path, "rb") as fh:
                 fh.seek(start)
-                dec = pbf_wire.decode_blob(fh.read(length))
-            n, w, r = dec["nodes"], dec["ways"], dec["relations"]
-            if n:
-                yield pd.DataFrame({
-                    _UNION_COLS[0]: "node",
-                    _UNION_COLS[1]: np.fromiter(
-                        (x["node_id"] for x in n), dtype="int64", count=len(n)
-                    ),
-                    _UNION_COLS[2]: np.fromiter(
-                        (x["lat"] for x in n), dtype="float64", count=len(n)
-                    ),
-                    _UNION_COLS[3]: np.fromiter(
-                        (x["lon"] for x in n), dtype="float64", count=len(n)
-                    ),
-                    _UNION_COLS[4]: None,
-                    _UNION_COLS[5]: None,
-                    _UNION_COLS[6]: pd.Series(
-                        [x["tags"] for x in n], dtype=object
-                    ),
-                })
-            if w:
-                yield pd.DataFrame({
-                    _UNION_COLS[0]: "way",
-                    _UNION_COLS[1]: np.fromiter(
-                        (x["way_id"] for x in w), dtype="int64", count=len(w)
-                    ),
-                    _UNION_COLS[2]: None,
-                    _UNION_COLS[3]: None,
-                    _UNION_COLS[4]: pd.Series(
-                        [x["node_refs"] for x in w], dtype=object
-                    ),
-                    _UNION_COLS[5]: None,
-                    _UNION_COLS[6]: pd.Series(
-                        [x["tags"] for x in w], dtype=object
-                    ),
-                })
-            if r:
-                yield pd.DataFrame({
-                    _UNION_COLS[0]: "relation",
-                    _UNION_COLS[1]: np.fromiter(
-                        (x["rel_id"] for x in r), dtype="int64", count=len(r)
-                    ),
-                    _UNION_COLS[2]: None,
-                    _UNION_COLS[3]: None,
-                    _UNION_COLS[4]: None,
-                    _UNION_COLS[5]: pd.Series(
-                        [x["members"] for x in r], dtype=object
-                    ),
-                    _UNION_COLS[6]: pd.Series(
-                        [x["tags"] for x in r], dtype=object
-                    ),
-                })
+                chunks = pbf_wire.decode_blob_columnar(fh.read(length))
+            for kind, payload in chunks:
+                if kind == "dense":
+                    yield pd.DataFrame({
+                        _UNION_COLS[0]: "node",
+                        _UNION_COLS[1]: payload["node_id"],
+                        _UNION_COLS[2]: payload["lat"],
+                        _UNION_COLS[3]: payload["lon"],
+                        _UNION_COLS[4]: None,
+                        _UNION_COLS[5]: None,
+                        _UNION_COLS[6]: pd.Series(
+                            payload["tags"], dtype=object
+                        ),
+                    })
+                elif kind == "nodes":
+                    n = payload
+                    yield pd.DataFrame({
+                        _UNION_COLS[0]: "node",
+                        _UNION_COLS[1]: np.fromiter(
+                            (x["node_id"] for x in n), dtype="int64",
+                            count=len(n),
+                        ),
+                        _UNION_COLS[2]: np.fromiter(
+                            (x["lat"] for x in n), dtype="float64",
+                            count=len(n),
+                        ),
+                        _UNION_COLS[3]: np.fromiter(
+                            (x["lon"] for x in n), dtype="float64",
+                            count=len(n),
+                        ),
+                        _UNION_COLS[4]: None,
+                        _UNION_COLS[5]: None,
+                        _UNION_COLS[6]: pd.Series(
+                            [x["tags"] for x in n], dtype=object
+                        ),
+                    })
+                elif kind == "ways":
+                    w = payload
+                    yield pd.DataFrame({
+                        _UNION_COLS[0]: "way",
+                        _UNION_COLS[1]: np.fromiter(
+                            (x["way_id"] for x in w), dtype="int64",
+                            count=len(w),
+                        ),
+                        _UNION_COLS[2]: None,
+                        _UNION_COLS[3]: None,
+                        _UNION_COLS[4]: pd.Series(
+                            [x["node_refs"] for x in w], dtype=object
+                        ),
+                        _UNION_COLS[5]: None,
+                        _UNION_COLS[6]: pd.Series(
+                            [x["tags"] for x in w], dtype=object
+                        ),
+                    })
+                else:
+                    r = payload
+                    yield pd.DataFrame({
+                        _UNION_COLS[0]: "relation",
+                        _UNION_COLS[1]: np.fromiter(
+                            (x["rel_id"] for x in r), dtype="int64",
+                            count=len(r),
+                        ),
+                        _UNION_COLS[2]: None,
+                        _UNION_COLS[3]: None,
+                        _UNION_COLS[4]: None,
+                        _UNION_COLS[5]: pd.Series(
+                            [x["members"] for x in r], dtype=object
+                        ),
+                        _UNION_COLS[6]: pd.Series(
+                            [x["tags"] for x in r], dtype=object
+                        ),
+                    })
 
 
 def read_pbf_elements(spark: SparkSession, pbf_path: str) -> DataFrame:

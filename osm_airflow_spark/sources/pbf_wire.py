@@ -151,14 +151,25 @@ def decode_packed(buf: bytes, signed: bool = False, delta: bool = False) -> list
     don't wrap; numpy would). Measured ~6x on a 50k-node DenseNodes
     blob; values bit-identical on every golden/adversarial fixture
     (tests/test_sources.py)."""
-    if len(buf) < 64:
+    arr = _decode_packed_np(buf, signed, delta)
+    if arr is None:
         return _decode_packed_scalar(buf, signed, delta)
+    return arr.tolist()
+
+
+def _decode_packed_np(buf: bytes, signed: bool, delta: bool):
+    """The vectorized core of decode_packed; returns a numpy array,
+    or None when the stream needs the scalar loop (short buffers,
+    truncated trailing varint, >9-byte varints, unsigned delta sums
+    crossing 2^62)."""
+    if len(buf) < 64:
+        return None
     import numpy as np  # noqa: PLC0415
 
     b = np.frombuffer(buf, dtype=np.uint8)
     term = (b & 0x80) == 0
     if not term[-1]:
-        return _decode_packed_scalar(buf, signed, delta)
+        return None
     ends = np.flatnonzero(term)
     starts = np.empty_like(ends)
     starts[0] = 0
@@ -167,7 +178,7 @@ def decode_packed(buf: bytes, signed: bool = False, delta: bool = False) -> list
         # 10-byte varints can carry bits past 2^63 (full sint64
         # zigzag range / non-canonical encodings) where uint64
         # shift-wrap and python-int accumulation diverge — scalar
-        return _decode_packed_scalar(buf, signed, delta)
+        return None
     gid = np.zeros(len(b), dtype=np.int64)
     gid[1:] = np.cumsum(term[:-1])
     pos_in_group = (np.arange(len(b), dtype=np.int64) - starts[gid]).astype(
@@ -183,9 +194,9 @@ def decode_packed(buf: bytes, signed: bool = False, delta: bool = False) -> list
         vals = sums
     if delta:
         if not signed and int(sums.max()) >= (1 << 62):
-            return _decode_packed_scalar(buf, signed, delta)
+            return None
         vals = np.cumsum(vals.astype(np.int64))
-    return vals.tolist()
+    return vals
 
 
 def encode_field(field_no: int, wire_type: int, payload: bytes | int) -> bytes:
@@ -431,6 +442,172 @@ def _decode_blob(blob_bytes: bytes) -> dict:
             )
 
     return {"nodes": nodes, "ways": ways, "relations": relations}
+
+
+def decode_blob_columnar(blob_bytes: bytes) -> list[tuple[str, object]]:
+    """One OSMData Blob → ordered chunks for the COLUMNAR Spark path
+    (r14 volume probe): ``[("dense", cols), ("nodes", rows),
+    ("ways", rows), ("relations", rows), ...]`` in PrimitiveGroup
+    order. ``dense`` chunks carry numpy arrays (node_id/lat/lon) plus
+    a tags list — the dominant planet payload crosses into pandas/
+    Arrow without 50k-per-blob python dicts; the three minority kinds
+    stay row dicts identical to ``decode_blob``'s.
+
+    Numeric identity with the scalar path: coordinates compute
+    ``NANO * (offset + granularity * raw)`` with the integer part
+    exact in int64 (|raw·gran + off| < 2^53 for legal coordinates)
+    and one int→float round-to-nearest conversion — the same IEEE
+    ops CPython performs. Differential-pinned against decode_blob on
+    the golden, adversarial and dense fixtures
+    (tests/test_sources.py)."""
+    import numpy as np  # noqa: PLC0415
+
+    data = inflate_blob(blob_bytes)
+    block = parse_message(data)
+    strings = [
+        s.decode("utf-8") for s in parse_message(first(block, 1, b"")).get(1, [])
+    ]
+    granularity = first(block, 17, 100)
+    lat_offset = _signed64(first(block, 19, 0))
+    lon_offset = _signed64(first(block, 20, 0))
+
+    def to_deg_np(offset: int, raw) -> "np.ndarray":
+        return NANO * (offset + granularity * raw)
+
+    chunks: list[tuple[str, object]] = []
+    for group_buf in block.get(2, []):
+        group = parse_message(group_buf)
+
+        dense_buf = first(group, 2)
+        if dense_buf is not None:
+            dn = parse_message(dense_buf)
+            ids = _decode_packed_np(first(dn, 1, b""), True, True)
+            lats = _decode_packed_np(first(dn, 8, b""), True, True)
+            lons = _decode_packed_np(first(dn, 9, b""), True, True)
+            if ids is None or lats is None or lons is None:
+                # outside the vectorized bounds: exact scalar decode
+                ids = np.array(
+                    decode_packed(first(dn, 1, b""), signed=True, delta=True),
+                    dtype=np.int64,
+                )
+                lats = np.array(
+                    decode_packed(first(dn, 8, b""), signed=True, delta=True),
+                    dtype=np.int64,
+                )
+                lons = np.array(
+                    decode_packed(first(dn, 9, b""), signed=True, delta=True),
+                    dtype=np.int64,
+                )
+            n = len(ids)
+            kv_buf = first(dn, 10, b"")
+            if kv_buf:
+                kvs = decode_packed(kv_buf)
+                tags: list[dict] = []
+                kv_pos = 0
+                m = len(kvs)
+                for _i in range(n):
+                    if kv_pos >= m:
+                        tags.append({})
+                        continue
+                    t: dict[str, str] = {}
+                    while kv_pos < m and kvs[kv_pos] != 0:
+                        t[strings[kvs[kv_pos]]] = strings[kvs[kv_pos + 1]]
+                        kv_pos += 2
+                    kv_pos += 1
+                    tags.append(t)
+            else:
+                empty: dict[str, str] = {}
+                tags = [empty] * n  # read-only placeholders
+            chunks.append(
+                (
+                    "dense",
+                    {
+                        "node_id": ids,
+                        "lat": to_deg_np(lat_offset, lats),
+                        "lon": to_deg_np(lon_offset, lons),
+                        "tags": tags,
+                    },
+                )
+            )
+
+        plain = group.get(1, [])
+        if plain:
+            rows = []
+            for node_buf in plain:
+                nd = parse_message(node_buf)
+                rows.append(
+                    {
+                        "node_id": zigzag_decode(first(nd, 1, 0)),
+                        "lat": to_deg(
+                            lat_offset, granularity, zigzag_decode(first(nd, 8, 0))
+                        ),
+                        "lon": to_deg(
+                            lon_offset, granularity, zigzag_decode(first(nd, 9, 0))
+                        ),
+                        "tags": _tags(
+                            decode_packed(first(nd, 2, b"")),
+                            decode_packed(first(nd, 3, b"")),
+                            strings,
+                        ),
+                    }
+                )
+            chunks.append(("nodes", rows))
+
+        wy_bufs = group.get(3, [])
+        if wy_bufs:
+            rows = []
+            for way_buf in wy_bufs:
+                wy = parse_message(way_buf)
+                rows.append(
+                    {
+                        "way_id": first(wy, 1, 0),
+                        "node_refs": decode_packed(
+                            first(wy, 8, b""), signed=True, delta=True
+                        ),
+                        "tags": _tags(
+                            decode_packed(first(wy, 2, b"")),
+                            decode_packed(first(wy, 3, b"")),
+                            strings,
+                        ),
+                    }
+                )
+            chunks.append(("ways", rows))
+
+        rel_bufs = group.get(4, [])
+        if rel_bufs:
+            rows = []
+            for rel_buf in rel_bufs:
+                rl = parse_message(rel_buf)
+                roles = decode_packed(first(rl, 8, b""))
+                memids = decode_packed(first(rl, 9, b""), signed=True, delta=True)
+                types = decode_packed(first(rl, 10, b""))
+                rows.append(
+                    {
+                        "rel_id": first(rl, 1, 0),
+                        "members": [
+                            {
+                                "mtype": _MEMBER_TYPES[types[i]],
+                                "ref": memids[i],
+                                "role": strings[roles[i]],
+                            }
+                            for i in range(len(memids))
+                        ],
+                        "tags": _tags(
+                            decode_packed(first(rl, 2, b"")),
+                            decode_packed(first(rl, 3, b"")),
+                            strings,
+                        ),
+                    }
+                )
+            chunks.append(("relations", rows))
+
+    return chunks
+
+
+def to_deg(offset: int, granularity: int, raw: int) -> float:
+    """Module-level twin of _decode_blob's inner to_deg (shared by
+    the columnar path's plain-node leg)."""
+    return NANO * (offset + granularity * raw)
 
 
 def scan_blob_offsets(pbf_path: str) -> list[tuple[int, int, str]]:

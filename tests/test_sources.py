@@ -1194,3 +1194,57 @@ def test_dense_volume_file_decodes_exactly(spark, tmp_path):
         nodes.select(F.col("elem_id").alias("ref")), "ref", "left_anti"
     ).count()
     assert dangling == 0
+
+
+def test_columnar_decode_identical_to_dict_decode(tmp_path):
+    """decode_blob_columnar (the Arrow-bound hot path) must agree
+    with decode_blob bit-for-bit — including float coordinates (the
+    int64 → float64 conversion is the same IEEE op in numpy and
+    CPython) and tag dicts — across the maximal-adversarial file
+    (DenseInfo, unknown fields, coordinate corners, 2^40 deltas, the
+    >16 MB blob, zlib-without-raw_size) and a dense-volume file."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import tools.make_adversarial_pbf as adv
+    from tools.make_dense_pbf import build
+
+    from osm_airflow_spark.sources import pbf_wire
+
+    adv_path = str(tmp_path / "adv.osm.pbf")
+    adv.build(adv_path)
+    dense_path = str(tmp_path / "dense.osm.pbf")
+    build(dense_path, target_mb=4)
+
+    def flatten(chunks):
+        out = {"nodes": [], "ways": [], "relations": []}
+        for kind, payload in chunks:
+            if kind == "dense":
+                ids = payload["node_id"].tolist()
+                lats = payload["lat"].tolist()
+                lons = payload["lon"].tolist()
+                out["nodes"].extend(
+                    {
+                        "node_id": ids[i],
+                        "lat": lats[i],
+                        "lon": lons[i],
+                        "tags": payload["tags"][i],
+                    }
+                    for i in range(len(ids))
+                )
+            elif kind == "nodes":
+                out["nodes"].extend(payload)
+            elif kind == "ways":
+                out["ways"].extend(payload)
+            else:
+                out["relations"].extend(payload)
+        return out
+
+    for path in (adv_path, dense_path):
+        with open(path, "rb") as fh:
+            for s, l in pbf_wire.validated_data_offsets(path):
+                fh.seek(s)
+                blob = fh.read(l)
+                assert pbf_wire.decode_blob(blob) == flatten(
+                    pbf_wire.decode_blob_columnar(blob)
+                ), (path, s)
