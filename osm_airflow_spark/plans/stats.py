@@ -14,7 +14,7 @@ aggregates — see SCALE.md.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from osm_airflow_spark.io import load_table
@@ -3325,4 +3325,239 @@ def pipeline_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
             g.alias("g"),
             F.date_format("day", "yyyy-MM-dd").alias("outlier_day"),
         )
+    )
+
+
+@query(
+    "pipeline_mcnemar",
+    oracle="""
+    WITH flags AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+                      THEN 1 ELSE 0 END) AS a97,
+             MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1998
+                      THEN 1 ELSE 0 END) AS a98
+      FROM orders GROUP BY 1
+    ),
+    pop AS (
+      SELECT COALESCE(f.a97, 0) AS a97, COALESCE(f.a98, 0) AS a98
+      FROM customer c LEFT JOIN flags f ON c.c_custkey = f.o_custkey
+    ),
+    cells AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a97 = 1 AND a98 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n11,
+             CAST(SUM(CASE WHEN a97 = 1 AND a98 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN a97 = 0 AND a98 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN a97 = 0 AND a98 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n00
+      FROM pop
+    )
+    SELECT n, n11, n10, n01, n00,
+           CASE WHEN n10 + n01 > 0 THEN
+             CAST((n10 - n01) * (n10 - n01) AS DOUBLE) / (n10 + n01)
+           END AS chi2,
+           CASE WHEN n10 + n01 > 0 THEN
+             CAST(GREATEST(ABS(n10 - n01) - 1, 0)
+                  * GREATEST(ABS(n10 - n01) - 1, 0) AS DOUBLE)
+               / (n10 + n01)
+           END AS chi2_cc,
+           CASE WHEN n10 + n01 > 0 THEN
+             CAST((n10 - n01) * (n10 - n01) AS DOUBLE) / (n10 + n01)
+               > 3.841459
+           END AS significant
+    FROM cells
+    """,
+)
+def pipeline_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r14) — McNEMAR'S TEST (1947) for marginal homogeneity of
+    PAIRED binary outcomes: each customer is its own control — was
+    the customer active (>=1 order) in 1997 vs in 1998? The test
+    asks whether the activation flow 97-only vs 98-only is balanced,
+    using ONLY the discordant cells (n10, n01) — the within-subject
+    design the independent-sample two_proportion_z key cannot
+    express. Emits the full 2x2 (concordant cells for context), the
+    plain chi2 = (n10-n01)^2/(n10+n01), the Edwards
+    continuity-corrected variant ((|n10-n01|-1)^2, clamped at 0 so a
+    perfectly balanced table reads 0 rather than +1), and the 5%
+    verdict against the dof=1 critical value 3.841459 (short exact
+    literal). No discordant pairs => NULL statistics, never a
+    divide-by-zero.
+
+    Determinism: the population is the full customer table (LEFT
+    join, unordered customers count as (0,0)); every cell is an
+    exact BIGINT conditional count and both statistics are ONE IEEE
+    division of exact integers (squares < 2^53 through sf ~ 1000) —
+    unrounded, no transcendentals.
+
+    Scale + lint: one orders groupBy(custkey) shuffle + one
+    customer-flags join on the same key (co-partitioned at scale) +
+    one 1-row global aggregate — no windows, no broadcast of
+    corpus-sized sides. Parity framing follows the reference's
+    dated-snapshot comparison model (osm_etl.py pgosm_date eras)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    flags = o.groupBy("o_custkey").agg(
+        F.max(F.when(F.year("o_orderdate") == 1997, 1).otherwise(0)).alias(
+            "f97"
+        ),
+        F.max(F.when(F.year("o_orderdate") == 1998, 1).otherwise(0)).alias(
+            "f98"
+        ),
+    )
+    pop = (
+        c.join(flags, c["c_custkey"] == flags["o_custkey"], "left")
+        .select(
+            F.coalesce(F.col("f97"), F.lit(0)).alias("a97"),
+            F.coalesce(F.col("f98"), F.lit(0)).alias("a98"),
+        )
+    )
+    cells = pop.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when((F.col("a97") == 1) & (F.col("a98") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when((F.col("a97") == 1) & (F.col("a98") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when((F.col("a97") == 0) & (F.col("a98") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when((F.col("a97") == 0) & (F.col("a98") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    d = F.col("n10") - F.col("n01")
+    disc = F.col("n10") + F.col("n01")
+    dcc = F.greatest(F.abs(d) - 1, F.lit(0))
+    chi2 = F.when(disc > 0, (d * d).cast("double") / disc)
+    chi2_cc = F.when(disc > 0, (dcc * dcc).cast("double") / disc)
+    return cells.select(
+        "n", "n11", "n10", "n01", "n00",
+        chi2.alias("chi2"),
+        chi2_cc.alias("chi2_cc"),
+        F.when(disc > 0, (d * d).cast("double") / disc > 3.841459).alias(
+            "significant"
+        ),
+    )
+
+
+@query(
+    "pipeline_cochran_q",
+    oracle="""
+    WITH flags AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+                      THEN 1 ELSE 0 END) AS a96,
+             MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+                      THEN 1 ELSE 0 END) AS a97,
+             MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1998
+                      THEN 1 ELSE 0 END) AS a98
+      FROM orders GROUP BY 1
+    ),
+    pop AS (
+      SELECT COALESCE(f.a96, 0) AS a96, COALESCE(f.a97, 0) AS a97,
+             COALESCE(f.a98, 0) AS a98
+      FROM customer c LEFT JOIN flags f ON c.c_custkey = f.o_custkey
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a96) AS BIGINT) AS g96,
+             CAST(SUM(a97) AS BIGINT) AS g97,
+             CAST(SUM(a98) AS BIGINT) AS g98,
+             CAST(SUM((a96 + a97 + a98) * (a96 + a97 + a98)) AS BIGINT)
+               AS sl2
+      FROM pop
+    )
+    SELECT n, g96, g97, g98,
+           g96 + g97 + g98 AS t, sl2,
+           CASE WHEN 3 * (g96 + g97 + g98) - sl2 > 0 THEN
+             CAST(2 * ((3 * g96 - (g96 + g97 + g98))
+                         * (3 * g96 - (g96 + g97 + g98))
+                       + (3 * g97 - (g96 + g97 + g98))
+                         * (3 * g97 - (g96 + g97 + g98))
+                       + (3 * g98 - (g96 + g97 + g98))
+                         * (3 * g98 - (g96 + g97 + g98))) AS DOUBLE)
+               / (3 * (3 * (g96 + g97 + g98) - sl2))
+           END AS q_stat,
+           CASE WHEN 3 * (g96 + g97 + g98) - sl2 > 0 THEN
+             CAST(2 * ((3 * g96 - (g96 + g97 + g98))
+                         * (3 * g96 - (g96 + g97 + g98))
+                       + (3 * g97 - (g96 + g97 + g98))
+                         * (3 * g97 - (g96 + g97 + g98))
+                       + (3 * g98 - (g96 + g97 + g98))
+                         * (3 * g98 - (g96 + g97 + g98))) AS DOUBLE)
+               / (3 * (3 * (g96 + g97 + g98) - sl2)) > 5.991465
+           END AS significant
+    FROM s
+    """,
+)
+def pipeline_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r14) — COCHRAN'S Q TEST (1950), the k-treatment
+    generalization of McNemar: did customer activation differ across
+    the THREE years 1996/1997/1998, with each customer as its own
+    block? Uses the integer identity
+    Q = (k-1) * SUM_j (k*G_j - T)^2 / (k * (k*T - SUM_i L_i^2))
+    (G_j = per-year activation total, L_i = per-customer row total,
+    T = SUM G_j = SUM L_i), which clears the textbook N-bar fractions
+    so EVERYTHING up to the final division is exact BIGINT
+    arithmetic. All-concordant blocks (L_i in {0, k}) can zero the
+    denominator => NULL, never an ANSI crash; 5% verdict against the
+    dof=2 critical value 5.991465 (short exact literal).
+
+    Determinism: exact integer cells over the full customer
+    population (LEFT join, the McNemar framing); squares stay
+    < 2^53 through sf ~ 300 (per-year totals ~ 1.5e7 at sf100 ->
+    summands ~ 2e15); past that the documented decimal(38,0)
+    upgrade applies (the kruskal n^3 knob). ONE IEEE division.
+
+    Scale + lint: identical plan family to pipeline_mcnemar — one
+    key-partitioned groupBy, one co-keyed join, one global 1-row
+    aggregate; no windows, no collects."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def yr_flag(y: int) -> Column:
+        return F.max(
+            F.when(F.year("o_orderdate") == y, 1).otherwise(0)
+        )
+
+    flags = o.groupBy("o_custkey").agg(
+        yr_flag(1996).alias("f96"),
+        yr_flag(1997).alias("f97"),
+        yr_flag(1998).alias("f98"),
+    )
+    pop = (
+        c.join(flags, c["c_custkey"] == flags["o_custkey"], "left")
+        .select(
+            F.coalesce(F.col("f96"), F.lit(0)).alias("a96"),
+            F.coalesce(F.col("f97"), F.lit(0)).alias("a97"),
+            F.coalesce(F.col("f98"), F.lit(0)).alias("a98"),
+        )
+    )
+    li = F.col("a96") + F.col("a97") + F.col("a98")
+    s = pop.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a96").cast("long").alias("g96"),
+        F.sum("a97").cast("long").alias("g97"),
+        F.sum("a98").cast("long").alias("g98"),
+        F.sum(li * li).cast("long").alias("sl2"),
+    )
+    t = F.col("g96") + F.col("g97") + F.col("g98")
+    num = 2 * (
+        (3 * F.col("g96") - t) * (3 * F.col("g96") - t)
+        + (3 * F.col("g97") - t) * (3 * F.col("g97") - t)
+        + (3 * F.col("g98") - t) * (3 * F.col("g98") - t)
+    )
+    den = 3 * (3 * t - F.col("sl2"))
+    q = F.when(den > 0, num.cast("double") / den)
+    return s.select(
+        "n", "g96", "g97", "g98",
+        t.alias("t"), "sl2",
+        q.alias("q_stat"),
+        F.when(den > 0, num.cast("double") / den > 5.991465).alias(
+            "significant"
+        ),
     )

@@ -2713,3 +2713,115 @@ def test_xmr_chart_planted_spike(spark, tmp_path):
     assert sorted(tuple(x) for x in got.values()) == sorted(
         tuple(w) for w in want
     )
+
+
+def test_mcnemar_hand_cells_and_degenerate(spark, tmp_path):
+    """Hand 2x2: 10 customers — 3 active both years, 2 in 1997 only,
+    1 in 1998 only, 4 never ⇒ chi2 = (2-1)²/3 = 1/3, continuity-
+    corrected (|1|-1)²/3 = 0. Then a fully concordant population
+    (no discordant pairs) ⇒ NULL statistics, no crash. Oracle
+    replayed on both fixtures."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    def build(base, custs_97, custs_98, n_cust):
+        base.mkdir()
+        rows, ok = [], 1
+        for ck in sorted(set(custs_97)):
+            rows.append((ok, ck, datetime.date(1997, 6, 1))); ok += 1
+        for ck in sorted(set(custs_98)):
+            rows.append((ok, ck, datetime.date(1998, 6, 1))); ok += 1
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_orderdate date"
+        ).coalesce(1).write.parquet(str(base / "orders.parquet"))
+        spark.createDataFrame(
+            [(k,) for k in range(1, n_cust + 1)], "c_custkey long"
+        ).coalesce(1).write.parquet(str(base / "customer.parquet"))
+
+    def run(base):
+        clear_plan_cache()
+        got = QUERIES["pipeline_mcnemar"](spark, str(base)).collect()
+        clear_plan_cache()
+        con = duckdb.connect()
+        for t in ("orders", "customer"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+                f"'{base}/{t}.parquet/*.parquet')"
+            )
+        want = con.execute(ORACLES["pipeline_mcnemar"]).fetchall()
+        assert [tuple(r) for r in got] == [tuple(w) for w in want]
+        return got[0]
+
+    # both={1,2,3}, 97-only={4,5}, 98-only={6}, never={7..10}
+    build(tmp_path / "a", [1, 2, 3, 4, 5], [1, 2, 3, 6], 10)
+    r = run(tmp_path / "a")
+    assert (r["n"], r["n11"], r["n10"], r["n01"], r["n00"]) == (10, 3, 2, 1, 4)
+    assert abs(r["chi2"] - 1.0 / 3.0) < 1e-15
+    assert r["chi2_cc"] == 0.0 and r["significant"] is False
+
+    build(tmp_path / "b", [1, 2], [1, 2], 4)  # concordant only
+    r = run(tmp_path / "b")
+    assert (r["n10"], r["n01"]) == (0, 0)
+    assert r["chi2"] is None and r["chi2_cc"] is None
+    assert r["significant"] is None
+
+
+def test_cochran_q_hand_blocks_and_degenerate(spark, tmp_path):
+    """Hand blocks over k=3 years: customers 1-4 active patterns
+    (1,1,1), (1,0,0), (1,0,0), (0,0,0) ⇒ G=(3,1,1), T=5, ΣL²=11,
+    Q = 2·((9-5)²+(3-5)²+(3-5)²)/(3·(15-11)) = 48/12 = 4, not
+    significant at dof=2. All-concordant blocks (everyone active all
+    years) ⇒ zero denominator ⇒ NULL. Oracle replayed."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    def build(base, actives, n_cust):
+        base.mkdir()
+        rows, ok = [], 1
+        for yr, custs in actives.items():
+            for ck in custs:
+                rows.append((ok, ck, datetime.date(yr, 3, 1))); ok += 1
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_orderdate date"
+        ).coalesce(1).write.parquet(str(base / "orders.parquet"))
+        spark.createDataFrame(
+            [(k,) for k in range(1, n_cust + 1)], "c_custkey long"
+        ).coalesce(1).write.parquet(str(base / "customer.parquet"))
+
+    def run(base):
+        clear_plan_cache()
+        got = QUERIES["pipeline_cochran_q"](spark, str(base)).collect()
+        clear_plan_cache()
+        con = duckdb.connect()
+        for t in ("orders", "customer"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+                f"'{base}/{t}.parquet/*.parquet')"
+            )
+        want = con.execute(ORACLES["pipeline_cochran_q"]).fetchall()
+        assert [tuple(r) for r in got] == [tuple(w) for w in want]
+        return got[0]
+
+    build(
+        tmp_path / "a",
+        {1996: [1, 2, 3], 1997: [1], 1998: [1]},
+        4,
+    )
+    r = run(tmp_path / "a")
+    assert (r["g96"], r["g97"], r["g98"], r["t"], r["sl2"]) == (3, 1, 1, 5, 11)
+    assert r["q_stat"] == 4.0 and r["significant"] is False
+
+    build(
+        tmp_path / "b",
+        {1996: [1, 2], 1997: [1, 2], 1998: [1, 2]},
+        2,
+    )
+    r = run(tmp_path / "b")
+    assert r["sl2"] == 18 and r["t"] == 6
+    assert r["q_stat"] is None and r["significant"] is None
