@@ -977,3 +977,207 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_nodes").cast("double") / F.col("n")).alias("share"),
         (F.col("tail_n").cast("double") / F.col("n")).alias("ccdf"),
     )
+
+
+_DIRECTED_EDGE_SQL = """
+      SELECT ns.n_name AS a, nc.n_name AS b
+      FROM lineitem l
+      JOIN orders o    ON l.l_orderkey = o.o_orderkey
+      JOIN customer c  ON o.o_custkey = c.c_custkey
+      JOIN nation nc   ON c.c_nationkey = nc.n_nationkey
+      JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns   ON s.s_nationkey = ns.n_nationkey
+      WHERE ns.n_name <> nc.n_name
+      GROUP BY ns.n_name, nc.n_name
+      HAVING COUNT(*) >= (SELECT COUNT(*) FROM lineitem) / 1000.0
+"""
+
+
+def trade_edges_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED nation-trade edge list: supplier nation → customer
+    nation (who ships to whom), self-loops dropped, thresholded at
+    total-lineitems/1000 (half the undirected floor — a directed
+    pair splits the undirected pair's weight, so the graph keeps a
+    comparable density). Same single multiway-join + groupBy plan as
+    ``trade_edges``; the scalar floor rides the same broadcast 1-row
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    total = li.agg((F.count(F.lit(1)) / 1000.0).alias("w_floor"))  # 1 row
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            F.col("supp_nation").alias("a"), F.col("cust_nation").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .join(F.broadcast(total))  # 1-row cross join: scalar threshold
+        .where(F.col("w") >= F.col("w_floor"))
+        .select("a", "b")
+    )
+
+
+@query(
+    "graph_reciprocity",
+    oracle=f"""
+    WITH e AS (
+{_DIRECTED_EDGE_SQL}
+    ),
+    r AS (
+      SELECT e.a, CASE WHEN x.a IS NOT NULL THEN 1 ELSE 0 END AS m
+      FROM e LEFT JOIN e x ON x.a = e.b AND x.b = e.a
+    ),
+    outs AS (
+      SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS out_deg,
+             CAST(SUM(m) AS BIGINT) AS mutual_out
+      FROM r GROUP BY a
+    ),
+    ins AS (SELECT b AS node, CAST(COUNT(*) AS BIGINT) AS in_deg
+            FROM e GROUP BY b)
+    SELECT COALESCE(o.node, i.node) AS node,
+           COALESCE(o.out_deg, 0) AS out_deg,
+           COALESCE(i.in_deg, 0) AS in_deg,
+           COALESCE(o.mutual_out, 0) AS mutual_out,
+           CASE WHEN o.out_deg > 0 THEN
+             CAST(o.mutual_out AS DOUBLE) / o.out_deg END AS reciprocity
+    FROM outs o FULL OUTER JOIN ins i ON o.node = i.node
+    """,
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r14) — EDGE RECIPROCITY on the DIRECTED trade graph
+    (supplier nation → customer nation): for each node, how many of
+    its out-edges are returned (the partner also ships the other
+    way)? The directed complement to the undirected centrality
+    family — reciprocity is THE first-order directed-graph statistic
+    (Newman; trade-network literature reads it as bilateral trade
+    balance). Emits per-node out/in degree, mutual-edge count and
+    reciprocity = mutual/out (NULL for pure sinks).
+
+    Determinism: the edge list is a thresholded exact count groupBy
+    (floor = lineitems/1000 as a broadcast 1-row scalar, mirroring
+    ``trade_edges``); mutuality is an exact left-join existence
+    flag; reciprocity is ONE IEEE division of exact BIGINTs.
+
+    Scale + lint: the corpus is touched once by the edge-list
+    groupBy; the reverse-edge probe, per-node rollups and the final
+    full-outer stitch all live on the nation-bounded edge list
+    (≤ n² ≤ 625 rows — broadcast control plane); no windows.
+    Reference parity: the reference models directed member roles
+    (way→node, relation→member refs resolved by joins,
+    /root/reference/README.md:80); this lifts the same
+    directed-reference idea to an analyzable graph statistic."""
+    e = trade_edges_directed(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # three legs: reverse probe + out rollup + in rollup
+    rev = e.select(
+        F.col("b").alias("a"), F.col("a").alias("b"), F.lit(1).alias("has_rev")
+    )
+    flagged = e.join(F.broadcast(rev), ["a", "b"], "left").select(
+        "a", F.coalesce(F.col("has_rev"), F.lit(0)).alias("m")
+    )
+    outs = flagged.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg"),
+        F.sum("m").cast("long").alias("mutual_out"),
+    )
+    ins = e.groupBy(F.col("b").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg")
+    )
+    j = outs.join(ins, "node", "full_outer")
+    return j.select(
+        "node",
+        F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"),
+        F.coalesce(F.col("in_deg"), F.lit(0)).alias("in_deg"),
+        F.coalesce(F.col("mutual_out"), F.lit(0)).alias("mutual_out"),
+        F.when(
+            F.col("out_deg") > 0,
+            F.col("mutual_out").cast("double") / F.col("out_deg"),
+        ).alias("reciprocity"),
+    )
+
+
+@query(
+    "graph_eccentricity",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_EDGE_SQL}
+    ),
+    und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    nodes AS (SELECT DISTINCT a AS v FROM und),
+    walk(s, v, d) AS (
+      SELECT v, v, 0 FROM nodes
+      UNION
+      SELECT w.s, u.b, w.d + 1 FROM walk w JOIN und u ON u.a = w.v
+      WHERE w.d < 8
+    ),
+    dist AS (SELECT s, v, MIN(d) AS d FROM walk GROUP BY 1, 2),
+    ecc AS (
+      SELECT s AS node, CAST(MAX(d) AS BIGINT) AS eccentricity,
+             CAST(COUNT(*) AS BIGINT) AS n_reached
+      FROM dist GROUP BY s
+    ),
+    g AS (SELECT MAX(eccentricity) AS diam, MIN(eccentricity) AS rad
+          FROM ecc)
+    SELECT node, n_reached, eccentricity,
+           eccentricity = g.diam AS is_peripheral,
+           eccentricity = g.rad AS is_central
+    FROM ecc, g
+    """,
+)
+def graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r14) — per-node ECCENTRICITY (max shortest-path distance
+    to any reachable node) on the undirected trade graph, with the
+    derived diameter/radius structure: peripheral nodes sit at
+    eccentricity = diameter, central nodes at = radius — the exact
+    metric-structure complement to the sampled harmonic closeness
+    (which averages; this takes the worst case). Disconnected
+    fragments measure within their component (``n_reached``
+    discloses coverage); hop cap 8 = the closeness/BFS family bound.
+
+    Determinism: distances are exact BFS integers (first-discovery
+    depth = shortest path); eccentricity/diameter/radius are integer
+    MAX/MIN — no floating point anywhere; the verdict bits compare
+    exact integers.
+
+    Scale + lint: ONE seed-tagged frontier loop (``bfs_hops_multi``)
+    with ALL nodes as seeds — correct here because the node space is
+    nation-bounded (≤ 25); at planet scale exact all-pairs
+    eccentricity is the iFUB algorithm (BFS from a high-degree root,
+    prune by level bounds) or the sampled variant, both riding this
+    same per-round (sid, node)-keyed shuffle. The global
+    diameter/radius ride a broadcast 1-row aggregate, never a
+    driver collect."""
+    edges = trade_edges(spark, sf_dir)
+    und = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select(F.col("a").alias("v")).distinct()
+    seeds = nodes.select(
+        F.col("v").alias("sid"), F.col("v").alias("node"),
+        F.lit(0).alias("hops"),
+    ).localCheckpoint(eager=True)
+    dist = bfs_hops_multi(und, seeds)
+    ecc = dist.groupBy(F.col("sid").alias("node")).agg(
+        F.max("hops").cast("long").alias("eccentricity"),
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+    )
+    g = ecc.agg(
+        F.max("eccentricity").alias("diam"), F.min("eccentricity").alias("rad")
+    )
+    return ecc.join(F.broadcast(g)).select(
+        "node", "n_reached", "eccentricity",
+        (F.col("eccentricity") == F.col("diam")).alias("is_peripheral"),
+        (F.col("eccentricity") == F.col("rad")).alias("is_central"),
+    )

@@ -2212,3 +2212,86 @@ def test_fn_luhn_matches_python_replica(spark, sf_dir):
         assert int(acct[-1]) == r["check_digit"]
     # classic vector through the same replica (sanity of the replica)
     assert luhn_ok("79927398713") and not luhn_ok("79927398710")
+
+
+def test_graph_reciprocity_matches_python_replica(spark, sf_dir):
+    """Third implementation: pure-Python reciprocity over the
+    collected DIRECTED trade edge list must reproduce every
+    (out_deg, in_deg, mutual_out, reciprocity) exactly — the ratio
+    is one IEEE division of exact ints, so equality needs no
+    tolerance. Also pins the structural invariants: mutual_out is
+    symmetric in aggregate (total mutual edges is even) and bounded
+    by out_deg."""
+    from osm_airflow_spark.operators.graph import trade_edges_directed
+    from osm_airflow_spark.registry import all_queries
+
+    edges = {
+        (r["a"], r["b"])
+        for r in trade_edges_directed(spark, sf_dir).collect()
+    }
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    want = {}
+    for v in nodes:
+        outs = [(a, b) for a, b in edges if a == v]
+        ins = [(a, b) for a, b in edges if b == v]
+        mut = sum(1 for a, b in outs if (b, a) in edges)
+        want[v] = (
+            len(outs), len(ins), mut,
+            mut / len(outs) if outs else None,
+        )
+    got = {
+        r["node"]: (
+            r["out_deg"], r["in_deg"], r["mutual_out"], r["reciprocity"]
+        )
+        for r in all_queries()["graph_reciprocity"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    total_mutual = sum(v[2] for v in want.values())
+    assert total_mutual % 2 == 0  # mutual edges come in pairs
+    for v, (o, _i, m, _r) in want.items():
+        assert m <= o
+
+
+def test_graph_eccentricity_matches_python_bfs(spark, sf_dir):
+    """Third implementation: pure-Python BFS from every node over
+    the collected undirected trade edge list must reproduce every
+    (n_reached, eccentricity) exactly, and the derived
+    diameter/radius flags must match the replica's max/min. Also
+    pins radius <= diameter <= 2*radius (metric space law) on the
+    largest component when all nodes reach the same set."""
+    from collections import deque
+
+    from osm_airflow_spark.operators.graph import trade_edges
+    from osm_airflow_spark.registry import all_queries
+
+    und: dict = {}
+    for r in trade_edges(spark, sf_dir).collect():
+        und.setdefault(r["a"], set()).add(r["b"])
+        und.setdefault(r["b"], set()).add(r["a"])
+    want = {}
+    for s in und:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            if dist[v] >= 8:  # the key's hop cap
+                continue
+            for u in und[v]:
+                if u not in dist:
+                    dist[u] = dist[v] + 1
+                    q.append(u)
+        want[s] = (len(dist), max(dist.values()))
+    diam = max(e for _, e in want.values())
+    rad = min(e for _, e in want.values())
+    got = {
+        r["node"]: (
+            r["n_reached"], r["eccentricity"],
+            r["is_peripheral"], r["is_central"],
+        )
+        for r in all_queries()["graph_eccentricity"](spark, sf_dir).collect()
+    }
+    assert len(got) == len(want) > 0
+    for v, (nr, ecc) in want.items():
+        assert got[v] == (nr, ecc, ecc == diam, ecc == rad)
+    assert rad <= diam <= 2 * rad
