@@ -2062,3 +2062,136 @@ def win_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(0.015) * F.col("dsum").cast("double")),
         ).alias("cci"),
     )
+
+
+@query(
+    "win_mfi",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             + CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             + CAST(max_by(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+                    * 100 AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT day, s, v, ROW_NUMBER() OVER (ORDER BY day) AS rn
+      FROM daily
+    ),
+    dirs AS (
+      SELECT day, rn, s, v,
+             CASE WHEN s > LAG(s) OVER w THEN 1
+                  WHEN s < LAG(s) OVER w THEN -1 ELSE 0 END AS dir,
+             LAG(s) OVER w IS NULL AS no_prev
+      FROM ranked WINDOW w AS (ORDER BY rn)
+    ),
+    d2 AS (SELECT * FROM dirs WHERE NOT no_prev),
+    frame AS (
+      SELECT a.day,
+             CAST(SUM(CASE WHEN b.dir = 1 THEN b.s * b.v ELSE 0 END)
+                  AS BIGINT) AS pos_mf,
+             CAST(SUM(CASE WHEN b.dir = -1 THEN b.s * b.v ELSE 0 END)
+                  AS BIGINT) AS neg_mf,
+             COUNT(*) AS n
+      FROM d2 a JOIN d2 b ON b.rn BETWEEN a.rn - 13 AND a.rn
+      GROUP BY a.day
+      HAVING COUNT(*) = 14
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, pos_mf, neg_mf,
+           CASE WHEN pos_mf + neg_mf > 0 THEN
+             100.0 * CAST(pos_mf AS DOUBLE) / (pos_mf + neg_mf)
+           END AS mfi
+    FROM frame
+    """,
+)
+def win_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r14) — MONEY FLOW INDEX (Quong–Soudack) over the daily
+    series: the volume-weighted RSI. Raw money flow = typical price
+    x volume, signed by whether TP rose or fell vs the prior trading
+    day (flat days contribute to neither side — the textbook rule);
+    MFI = 100·pos/(pos+neg) over a 14-PERIOD (row) frame — the
+    volume leg the finance family lacks (OBV signs volume by close
+    direction; MFI weights PRICE FLOW by volume). Volume proxies as
+    the daily order count; the first trading day (no prior) is
+    excluded and only full 14-period frames emit.
+
+    Determinism: s = (high+low+close) in exact cents (the CCI sum —
+    the /3 of TP cancels inside the pos/(pos+neg) ratio, so money
+    flow rides as the exact BIGINT s*v), direction compares exact
+    longs, and MFI is ONE IEEE division of exact BIGINTs (frame sums
+    < 2^47 at sf100). pos_mf/neg_mf emit in 3*cents*orders units —
+    exact, documented. A zero-flow frame (all flat) is NULL, never a
+    crash.
+
+    Scale + lint: period ranks ride ``bucketed_running`` (no global
+    window); the prior-day direction and the 14-period frame are
+    TWO broadcast rank-range self-joins over the days-bounded
+    control plane (the stochastic/CCI shape)."""
+    from osm_airflow_spark.bucketing import bucketed_running
+
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(
+        (
+            (F.max(price) * 100).cast("bigint")
+            + (F.min(price) * 100).cast("bigint")
+            + F.expr(
+                "CAST(max_by(CAST(o_totalprice AS DECIMAL(18,2)),"
+                " o_orderkey) * 100 AS BIGINT)"
+            )
+        ).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    daily = daily.select(
+        "*", F.datediff("day", F.lit("1970-01-01")).alias("day_i"),
+        F.lit(1).alias("one"),
+    )
+    ranked, _ = bucketed_running(daily, "day_i", ["one"])
+    r = ranked.select(
+        "day", "s", "v", F.col("run_one").cast("long").alias("rn")
+    ).localCheckpoint(eager=True)  # self-join legs
+    prev = r.select((F.col("rn") + 1).alias("rn"), F.col("s").alias("ps"))
+    dirs = (
+        r.join(F.broadcast(prev), "rn")  # inner: drops the first day
+        .select(
+            "day", "rn", "s", "v",
+            F.when(F.col("s") > F.col("ps"), 1)
+            .when(F.col("s") < F.col("ps"), -1)
+            .otherwise(0)
+            .alias("dir"),
+        )
+        .localCheckpoint(eager=True)  # both frame legs
+    )
+    b = dirs.select(
+        F.col("rn").alias("brn"), F.col("dir").alias("bdir"),
+        (F.col("s") * F.col("v")).alias("bmf"),
+    )
+    frame = (
+        dirs.join(
+            F.broadcast(b),
+            F.col("brn").between(F.col("rn") - 13, F.col("rn")),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("bdir") == 1, F.col("bmf")).otherwise(0))
+            .cast("long")
+            .alias("pos_mf"),
+            F.sum(F.when(F.col("bdir") == -1, F.col("bmf")).otherwise(0))
+            .cast("long")
+            .alias("neg_mf"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") == 14)
+    )
+    flow = F.col("pos_mf") + F.col("neg_mf")
+    return frame.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "pos_mf", "neg_mf",
+        F.when(
+            flow > 0, 100.0 * F.col("pos_mf").cast("double") / flow
+        ).alias("mfi"),
+    )

@@ -2295,3 +2295,66 @@ def test_graph_eccentricity_matches_python_bfs(spark, sf_dir):
     for v, (nr, ecc) in want.items():
         assert got[v] == (nr, ecc, ecc == diam, ecc == rad)
     assert rad <= diam <= 2 * rad
+
+
+def test_win_mfi_rising_flat_down_hand(spark, tmp_path):
+    """Hand-walkable MFI: 16 strictly-rising single-order days ⇒ all
+    directions up, the two full frames read MFI = 100 with pos_mf =
+    the exact 3·cents sum of their 14 frame days. A variant with a
+    flat pair and a terminal drop: the flat day joins neither side
+    and the last frame's neg_mf is exactly the dropped day's flow.
+    Oracle replayed on both fixtures."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    def build(base, prices):
+        base.mkdir()
+        rows = [
+            (i + 1, datetime.date(2024, 1, i + 1), float(p))
+            for i, p in enumerate(prices)
+        ]
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+        ).coalesce(1).write.parquet(str(base / "orders.parquet"))
+
+    def run(base):
+        clear_plan_cache()
+        got = QUERIES["win_mfi"](spark, str(base)).collect()
+        clear_plan_cache()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM read_parquet("
+            f"'{base}/orders.parquet/*.parquet')"
+        )
+        want = con.execute(ORACLES["win_mfi"]).fetchall()
+        assert sorted(tuple(r) for r in got) == sorted(
+            tuple(w) for w in want
+        )
+        return {r["day"]: r for r in got}
+
+    rising = [100.0 + 10.0 * i for i in range(16)]
+    got = build(tmp_path / "a", rising) or run(tmp_path / "a")
+    assert sorted(got) == ["2024-01-15", "2024-01-16"]
+    for day, first_rn in (("2024-01-15", 2), ("2024-01-16", 3)):
+        r = got[day]
+        # single order/day: s = 3 * price cents, v = 1
+        frame_days = range(first_rn, first_rn + 14)
+        assert r["pos_mf"] == sum(
+            3 * int(rising[d - 1] * 100) for d in frame_days
+        )
+        assert r["neg_mf"] == 0 and r["mfi"] == 100.0
+
+    # 17 days: day2 flat vs day1, day17 drops; frames at rn 15..17
+    prices = [100.0, 100.0] + [110.0 + 10.0 * i for i in range(14)]
+    prices.append(50.0)
+    got = build(tmp_path / "b", prices) or run(tmp_path / "b")
+    last = got["2024-01-17"]
+    assert last["neg_mf"] == 3 * 5000  # only the dropped day
+    flat_frame = got["2024-01-15"]  # contains the flat day 2
+    assert flat_frame["pos_mf"] + flat_frame["neg_mf"] < sum(
+        3 * int(p * 100) for p in prices[1:15]
+    )  # the flat day joined neither side
+    assert flat_frame["neg_mf"] == 0
