@@ -1208,7 +1208,8 @@ def win_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(price).alias("hi"),
         F.min(price).alias("lo"),
         F.expr(
-            "max_by(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)"
+            "CAST(max_by(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)"
+            " AS DECIMAL(9,2))"
         ).alias("cl"),
     )
     # GLOBW-free global order: bucket-offset running count = the day's
@@ -1414,7 +1415,8 @@ def win_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
     ).agg(
         F.expr(
-            "max_by(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)"
+            "CAST(max_by(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)"
+            " AS DECIMAL(9,2))"
         ).alias("cl"),
         F.count(F.lit(1)).alias("vol"),
     )
@@ -2194,4 +2196,164 @@ def win_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             flow > 0, 100.0 * F.col("pos_mf").cast("double") / flow
         ).alias("mfi"),
+    )
+# Finite-horizon EMA kernels for win_macd, exact-decimal alphas so
+# every tap terminates at <= 11 decimal digits and the whole dot
+# product runs in EXACT decimal (the win_ewma discipline — a
+# round(w*x, 6)-of-doubles draft hit the shortest-repr vs exact-value
+# rounding split at a 6-dp midpoint; see SCALE.md r8/r14). Taps are
+# alpha*(1-alpha)^j; the LAST tap carries the tail mass (1-alpha)^h
+# so each kernel sums to exactly 1 (the win_ewma convention).
+_MACD_FAST = ["0.5", "0.25", "0.125", "0.0625", "0.03125", "0.015625",
+              "0.0078125", "0.0078125"]                # alpha=1/2, h=8
+_MACD_SLOW = ["0.2", "0.16", "0.128", "0.1024", "0.08192", "0.065536",
+              "0.0524288", "0.04194304", "0.033554432", "0.0268435456",
+              "0.02147483648", "0.08589934592"]        # alpha=1/5, h=12
+_MACD_SIG = ["0.25", "0.1875", "0.140625", "0.10546875",
+             "0.31640625"]                             # alpha=1/4, h=5
+
+
+def _kernel_sql(col: str, diff: str, taps: list[str]) -> str:
+    """Exact-decimal CASE-chain dot-product term, shared verbatim by
+    the Spark expr and the DuckDB oracle: tap * col with the tap an
+    exact DECIMAL(19,11) literal (width > 18 forces DuckDB's int128
+    decimal path — at width 13 it multiplies in int64 and overflows),
+    0 outside the kernel."""
+    whens = " ".join(f"WHEN {d} THEN '{w}'" for d, w in enumerate(taps))
+    return (
+        f"CAST(CASE {diff} {whens} ELSE '0' END AS DECIMAL(19,11)) * {col}"
+    )
+
+
+@query(
+    "win_macd",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(max_by(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+                  AS DECIMAL(9,2)) AS cl
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT day, cl, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    emas AS (
+      SELECT a.day, a.rn,
+             CAST(SUM({_kernel_sql('b.cl', 'a.rn - b.rn', _MACD_FAST)})
+                  AS DECIMAL(24,13)) AS fast,
+             CAST(SUM({_kernel_sql('b.cl', 'a.rn - b.rn', _MACD_SLOW)})
+                  AS DECIMAL(24,13)) AS slow,
+             COUNT(*) AS n
+      FROM ranked a JOIN ranked b ON b.rn BETWEEN a.rn - 11 AND a.rn
+      GROUP BY a.day, a.rn
+      HAVING COUNT(*) = 12
+    ),
+    macd AS (
+      SELECT day, rn,
+             CAST(round(fast - slow, 6) AS DECIMAL(13,6)) AS m
+      FROM emas
+    ),
+    sig AS (
+      SELECT a.day, a.m,
+             CAST(round(SUM({_kernel_sql('b.m', 'a.rn - b.rn', _MACD_SIG)}),
+                        6) AS DECIMAL(13,6)) AS s,
+             COUNT(*) AS n
+      FROM macd a JOIN macd b ON b.rn BETWEEN a.rn - 4 AND a.rn
+      GROUP BY a.day, a.m, a.rn
+      HAVING COUNT(*) = 5
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(m AS DOUBLE) AS macd,
+           CAST(s AS DOUBLE) AS signal,
+           CAST(m - s AS DOUBLE) AS histogram
+    FROM sig
+    """,
+)
+def win_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r14) — MACD (Appel) over the daily close series, the
+    EXACT-DECIMAL-alpha finite-horizon adaptation MACD(3,9) with a
+    7-period signal line: fast/slow EMAs use alpha = 1/2 and 1/5
+    (alphas whose kernel taps terminate at <= 11 decimal digits —
+    the win_ewma alpha-selection rule), each a FIXED 8/12-tap dot
+    product whose last tap carries the tail mass so weights sum to
+    exactly 1; macd = fast - slow; signal = the 5-tap alpha=1/4
+    kernel over macd; histogram = macd - signal. Rows emit once both
+    EMA horizons and the signal horizon are full (rn >= 16).
+
+    Determinism: the ENTIRE computation is exact decimal — taps are
+    DECIMAL(19,11) string-literal casts, the close is the exact
+    DECIMAL(18,2) tie-broken by order key, products/sums never leave
+    decimal (downcast to DECIMAL(24,13) is exact: values terminate
+    at 13 dp and fit), and macd/signal are rounded to 6 dp IN
+    DECIMAL (exact-value HALF_UP in both engines — never the
+    round-of-double shortest-repr trap, which a draft of this key
+    measurably hit) before the three final double casts (< 2^53
+    unscaled — exact). The recursive EMA is order-dependent; the
+    finite-horizon kernel is the documented equivalence (win_ewma).
+
+    Scale + lint: period ranks ride ``bucketed_running`` (no global
+    window); ONE bounded rank-range self-join serves BOTH EMAs via
+    conditional kernels (the ichimoku multi-horizon trick) and a
+    second ONE serves the signal — all broadcast, days-bounded."""
+    from osm_airflow_spark.bucketing import bucketed_running
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(
+        F.expr(
+            "CAST(max_by(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)"
+            " AS DECIMAL(9,2))"
+        ).alias("cl")
+    )
+    daily = daily.select(
+        "*", F.datediff("day", F.lit("1970-01-01")).alias("day_i"),
+        F.lit(1).alias("one"),
+    )
+    ranked, _ = bucketed_running(daily, "day_i", ["one"])
+    r = ranked.select(
+        "day", "cl", F.col("run_one").cast("long").alias("rn")
+    ).localCheckpoint(eager=True)  # both self-join sides
+    b = r.select(F.col("rn").alias("brn"), F.col("cl").alias("bcl"))
+    emas = (
+        r.join(F.broadcast(b),
+               F.col("brn").between(F.col("rn") - 11, F.col("rn")))
+        .groupBy("day", "rn")
+        .agg(
+            F.sum(F.expr(_kernel_sql("bcl", "rn - brn", _MACD_FAST)))
+            .cast("decimal(24,13)")
+            .alias("fast"),
+            F.sum(F.expr(_kernel_sql("bcl", "rn - brn", _MACD_SLOW)))
+            .cast("decimal(24,13)")
+            .alias("slow"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") == 12)
+    )
+    macd = emas.select(
+        "day", "rn",
+        F.round(F.col("fast") - F.col("slow"), 6)
+        .cast("decimal(13,6)")
+        .alias("m"),
+    ).localCheckpoint(eager=True)  # both signal-join sides
+    mb = macd.select(F.col("rn").alias("brn"), F.col("m").alias("bm"))
+    sig = (
+        macd.join(F.broadcast(mb),
+                  F.col("brn").between(F.col("rn") - 4, F.col("rn")))
+        .groupBy("day", "m", "rn")
+        .agg(
+            F.round(
+                F.sum(F.expr(_kernel_sql("bm", "rn - brn", _MACD_SIG))), 6
+            )
+            .cast("decimal(13,6)")
+            .alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") == 5)
+    )
+    return sig.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("m").cast("double").alias("macd"),
+        F.col("s").cast("double").alias("signal"),
+        (F.col("m") - F.col("s")).cast("double").alias("histogram"),
     )

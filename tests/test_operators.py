@@ -2358,3 +2358,68 @@ def test_win_mfi_rising_flat_down_hand(spark, tmp_path):
         3 * int(p * 100) for p in prices[1:15]
     )  # the flat day joined neither side
     assert flat_frame["neg_mf"] == 0
+
+
+def test_win_macd_constant_and_ramp_closed_forms(spark, tmp_path):
+    """Closed forms: a CONSTANT close series has fast = slow = close
+    (kernels sum to exactly 1) ⇒ macd = signal = histogram = 0. A
+    LINEAR ramp (slope 1/day) gives EMA_t = cl_t − D (D = Σ j·w_j,
+    the kernel delay) once the horizon fills ⇒ macd is the exact
+    constant D_slow − D_fast (rounded to 6 dp), the signal of a
+    constant equals it, histogram = 0. D is recomputed here from the
+    tap lists with Fraction — a third implementation of the kernel
+    algebra. Oracle replayed on both fixtures."""
+    import datetime
+    from decimal import ROUND_HALF_UP, Decimal
+    from fractions import Fraction
+
+    import duckdb
+
+    from osm_airflow_spark.operators.windows import _MACD_FAST, _MACD_SLOW
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    def build(base, prices):
+        base.mkdir()
+        rows = [
+            (i + 1, datetime.date(2024, 1, i + 1), float(p))
+            for i, p in enumerate(prices)
+        ]
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+        ).coalesce(1).write.parquet(str(base / "orders.parquet"))
+
+    def run(base):
+        clear_plan_cache()
+        got = QUERIES["win_macd"](spark, str(base)).collect()
+        clear_plan_cache()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM read_parquet("
+            f"'{base}/orders.parquet/*.parquet')"
+        )
+        want = con.execute(ORACLES["win_macd"]).fetchall()
+        assert sorted(tuple(r) for r in got) == sorted(
+            tuple(w) for w in want
+        )
+        return got
+
+    build(tmp_path / "flat", [500.0] * 20)
+    rows = run(tmp_path / "flat")
+    assert len(rows) == 5  # rn 16..20
+    for r in rows:
+        assert (r["macd"], r["signal"], r["histogram"]) == (0.0, 0.0, 0.0)
+
+    build(tmp_path / "ramp", [100.0 + i for i in range(30)])
+    rows = run(tmp_path / "ramp")
+    assert len(rows) == 15  # rn 16..30
+    d_fast = sum(j * Fraction(w) for j, w in enumerate(_MACD_FAST))
+    d_slow = sum(j * Fraction(w) for j, w in enumerate(_MACD_SLOW))
+    delta = d_slow - d_fast
+    expect = float(
+        (Decimal(delta.numerator) / Decimal(delta.denominator))
+        .quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+    assert expect > 0  # the slow EMA lags more on a rising ramp
+    for r in rows:
+        assert r["macd"] == expect and r["signal"] == expect
+        assert r["histogram"] == 0.0
