@@ -2669,3 +2669,87 @@ def item_cf_capped(
     )
     w = Window.partitionBy("item_a").orderBy(F.col("cos_sim").desc(), F.col("item_b"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+@query(
+    "pipeline_nrr",
+    oracle="""
+    WITH cy AS (
+      SELECT o_custkey AS ck, EXTRACT(year FROM o_orderdate) AS y,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT * FROM cy WHERE y + 1 IN (SELECT DISTINCT y FROM cy)
+    ),
+    j AS (
+      SELECT b.y, b.rev AS rev0, n.rev AS rev1
+      FROM base b LEFT JOIN cy n ON n.ck = b.ck AND n.y = b.y + 1
+    )
+    SELECT CAST(y AS BIGINT) AS year,
+           CAST(COUNT(*) AS BIGINT) AS n_base,
+           CAST(SUM(CASE WHEN rev1 IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           CAST(SUM(rev0) AS DOUBLE) AS base_rev,
+           CAST(SUM(COALESCE(rev1, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE)
+             AS retained_rev,
+           CAST(SUM(COALESCE(rev1, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE)
+             / CAST(SUM(rev0) AS DOUBLE) AS nrr
+    FROM j GROUP BY y
+    """,
+)
+def pipeline_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r14) — NET REVENUE RETENTION by calendar-year cohort: for
+    each year y that has a successor year in the data, take the
+    customers who bought in y (the base book), and divide their
+    TOTAL year-y+1 revenue (churned customers contribute 0,
+    expansion counts in full — the SaaS NRR convention) by their
+    year-y revenue. The revenue-weighted complement to the
+    count-based retention_cohort key: NRR > 1 means expansion
+    outruns churn. Emits base/retained customer counts alongside.
+
+    Determinism: per-customer-year revenue is an exact decimal(18,2)
+    sum; both cohort totals re-sum those decimals exactly and cast
+    to double ONCE (< 2^53 cents through sf ~ 1000); nrr is one IEEE
+    division of those two doubles. base_rev > 0 by construction
+    (o_totalprice is positive), so the division never sees zero.
+
+    Scale + lint: one orders groupBy(custkey, year); the
+    year-over-year match is a LEFT join co-keyed on (custkey, year)
+    (shift y-1 on the build side — co-partitioned at scale, no
+    broadcast of corpus-sized sides); the successor-year filter is a
+    broadcast semi-join against the tiny distinct-year list; final
+    rollup is per-year. cy is localCheckpointed once for its three
+    legs (the engine-wide no-exchange-reuse workaround)."""
+    o = load_table(spark, sf_dir, "orders")
+    cy = (
+        o.groupBy(
+            F.col("o_custkey").alias("ck"),
+            F.year("o_orderdate").cast("long").alias("y"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+        .localCheckpoint(eager=True)  # base + next + year-list legs
+    )
+    have_next = cy.select((F.col("y") - 1).alias("y")).distinct()
+    base = cy.join(F.broadcast(have_next), "y", "semi")
+    nxt = cy.select(
+        "ck", (F.col("y") - 1).alias("y"), F.col("rev").alias("rev1")
+    )
+    j = base.join(nxt, ["ck", "y"], "left")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return j.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_base"),
+        F.sum(F.when(F.col("rev1").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum("rev").cast("double").alias("base_rev"),
+        F.sum(F.coalesce(F.col("rev1"), zero)).cast("double").alias(
+            "retained_rev"
+        ),
+        (
+            F.sum(F.coalesce(F.col("rev1"), zero)).cast("double")
+            / F.sum("rev").cast("double")
+        ).alias("nrr"),
+    ).withColumnRenamed("y", "year")

@@ -2825,3 +2825,42 @@ def test_cochran_q_hand_blocks_and_degenerate(spark, tmp_path):
     r = run(tmp_path / "b")
     assert r["sl2"] == 18 and r["t"] == 6
     assert r["q_stat"] is None and r["significant"] is None
+
+
+def test_nrr_hand_churn_expansion_new(spark, tmp_path):
+    """Hand NRR: 1996 base = c1 ($100) + c2 ($200); in 1997 c1
+    expands to $150, c2 churns, c3 is NEW ($999, excluded from NRR)
+    ⇒ nrr = 150/300, n_base = 2, n_retained = 1. 1997 has no
+    successor year ⇒ no row. Oracle replayed."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    rows = [
+        (1, 1, datetime.date(1996, 2, 1), 100.0),
+        (2, 2, datetime.date(1996, 3, 1), 200.0),
+        (3, 1, datetime.date(1997, 2, 1), 150.0),
+        (4, 3, datetime.date(1997, 5, 1), 999.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate date,"
+        " o_totalprice double",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    clear_plan_cache()
+    got = QUERIES["pipeline_nrr"](spark, str(tmp_path)).collect()
+    clear_plan_cache()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["year"], r["n_base"], r["n_retained"]) == (1996, 2, 1)
+    assert (r["base_rev"], r["retained_rev"]) == (300.0, 150.0)
+    assert r["nrr"] == 0.5
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/orders.parquet/*.parquet')"
+    )
+    want = con.execute(ORACLES["pipeline_nrr"]).fetchall()
+    assert [tuple(r) for r in got] == [tuple(w) for w in want]
