@@ -1417,3 +1417,142 @@ def pipeline_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         safety.alias("safety_stock"),
         (mu * F.lit(7.0) + safety).alias("reorder_point"),
     ).orderBy("p_brand")
+
+
+def _erlang_b_chain(a: str, depth: int = 8) -> list[str]:
+    """Erlang-B recursion B(k) = a*B(k-1) / (k + a*B(k-1)) unrolled
+    to ``depth`` as SQL expression strings over the column name
+    ``a`` (B(0) = 1 folded into B(1) = a/(1+a)). The SAME strings
+    feed Spark's F.expr and the DuckDB oracle, so both engines
+    evaluate the identical fixed-order IEEE tree (the tukey_hsd
+    CASE-chain discipline). String size doubles per level but every
+    leaf is a column REFERENCE, not a subtree — ~2^depth refs, fine
+    at depth 8."""
+    chain = []
+    prev = f"({a} / (1.0 + {a}))"
+    chain.append(prev)
+    for k in range(2, depth + 1):
+        prev = f"(({a} * {prev}) / ({k}.0 + ({a} * {prev})))"
+        chain.append(prev)
+    return chain
+
+
+def _erlang_c_sql() -> dict[str, str]:
+    """Shared Spark/DuckDB expression fragments for pipeline_erlang_c
+    (identical IEEE trees in both engines)."""
+    a = "a"
+    bs = _erlang_b_chain(a)
+    b_pick = "CASE c " + " ".join(
+        f"WHEN {k} THEN {b}" for k, b in enumerate(bs, start=1)
+    ) + " END"
+    erlc = (
+        f"(c * ({b_pick})) / (c - {a} * (1.0 - ({b_pick})))"
+    )
+    return {"erlang_c": erlc}
+
+
+@query(
+    "pipeline_erlang_c",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total_n,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM counts
+    ),
+    days AS (
+      SELECT CAST(COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE))
+                  AS BIGINT) AS n_days
+      FROM events
+    ),
+    load AS (
+      SELECT event_type, n, total_n, n_types, n_days,
+             CAST(n * n_types AS DOUBLE) / total_n AS a,
+             CAST(LEAST(FLOOR(CAST(n * n_types AS DOUBLE) / total_n)
+                        + 1, 8.0) AS BIGINT) AS c
+      FROM counts, tot, days
+    )
+    SELECT event_type, n,
+           CAST(n AS DOUBLE) / n_days AS lambda_per_day,
+           a, c,
+           CASE WHEN a < c THEN {_erlang_c_sql()['erlang_c']} END
+             AS p_wait,
+           CASE WHEN a < c THEN
+             ({_erlang_c_sql()['erlang_c']})
+               / ((c - a) * (CAST(total_n AS DOUBLE) / n_types / n_days))
+           END AS wq_days
+    FROM load
+    """,
+)
+def pipeline_erlang_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r14) — ERLANG-C STAFFING TABLE (M/M/c queueing) per event
+    type: arrival rate lambda from the event stream, service rate mu
+    = the MEAN per-type daily rate (so traffic intensity a =
+    lambda/mu = n*n_types/total — an EXACT integer ratio), servers
+    c = floor(a)+1 (the minimum stable pool) clamped to 8. Emits the
+    Erlang-C probability of waiting, P(W>0) = c*B(c) / (c -
+    a*(1-B(c))) via the Erlang-B recursion unrolled to the clamp
+    depth, and the mean queue wait Wq = C/((c-a)*mu) in days — the
+    STOCHASTIC counterpart to the deterministic Little's-law audit
+    beside it (little_law measures L = lambda*W ex post; Erlang C
+    predicts the wait from rates alone). A clamped-unstable type
+    (a >= c) emits NULL waits, never a negative denominator.
+
+    Determinism: a is ONE IEEE division of exact BIGINTs; c is
+    floor of that double (+1, clamp) — integer-exact in both
+    engines; B(1..8) and the C formula are the SAME generated SQL
+    string fed to Spark's F.expr and the DuckDB oracle, so both
+    evaluate the identical fixed-order IEEE tree (the tukey_hsd
+    discipline — no transcendentals, only +,*,/ on shared operands).
+
+    Scale + lint: one events groupBy(event_type); the totals and
+    day-span ride broadcast 1-row aggregates (never a driver
+    collect); the per-type Erlang tree is pure column arithmetic on
+    a types-bounded table. The distinct-day count is one exact
+    aggregate over the corpus — co-planned with the count scan."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = counts.agg(
+        F.sum("n").cast("long").alias("total_n"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    days = e.agg(
+        F.countDistinct(
+            F.date_trunc("day", F.col("ts")).cast("date")
+        ).cast("long").alias("n_days")
+    )
+    load = (
+        counts.join(F.broadcast(tot))
+        .join(F.broadcast(days))
+        .select(
+            "event_type", "n", "total_n", "n_types", "n_days",
+            ((F.col("n") * F.col("n_types")).cast("double") / F.col("total_n"))
+            .alias("a"),
+            F.least(
+                F.floor(
+                    (F.col("n") * F.col("n_types")).cast("double")
+                    / F.col("total_n")
+                ) + 1,
+                F.lit(8).cast("long"),
+            ).cast("long").alias("c"),
+        )
+    )
+    erlc = _erlang_c_sql()["erlang_c"]
+    return load.select(
+        "event_type", "n",
+        (F.col("n").cast("double") / F.col("n_days")).alias(
+            "lambda_per_day"
+        ),
+        "a", "c",
+        F.expr(f"CASE WHEN a < c THEN {erlc} END").alias("p_wait"),
+        F.expr(
+            f"CASE WHEN a < c THEN ({erlc})"
+            " / ((c - a) * (CAST(total_n AS DOUBLE) / n_types / n_days))"
+            " END"
+        ).alias("wq_days"),
+    )

