@@ -237,6 +237,11 @@ ROUND_AUDITED = {
     "pipeline_forecast_backtest": "term (per-month sMAPE ratio "
     "pre-rounded to 6 dp, decimal-summed; MAE/MASE stay exact-decimal "
     "until one final cast)",
+    "win_macd": "exact-decimal (round(x, 6) is applied to EXACT decimals "
+    "— the fast-slow EMA difference and the signal dot product never "
+    "leave decimal, so both engines round the same exact value HALF_UP; "
+    "never a round-of-double; see the key's SCALE.md r14 ledger on the "
+    "shortest-repr draft this replaced)",
     "llm_eval_agreement": "ulp (kappa/mcnemar are ratios of exact "
     "DECIMAL(19,0)² products whose magnitudes pass 2^53 at ~1e8 docs — "
     "the 9 dp decimal-ratio emission; significance reads the rounded "
