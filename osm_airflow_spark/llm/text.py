@@ -5099,3 +5099,103 @@ def llm_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile", "n_docs", "tokens", "types",
         beta_full.alias("heaps_beta"),
     )
+
+
+@query(
+    "llm_pmi_collocations",
+    oracle="""
+    WITH g AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1])) AS bg
+      FROM documents
+    ),
+    bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_pair FROM g GROUP BY bg),
+    sp AS (
+      SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+             n_pair
+      FROM bc
+    ),
+    fc AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_first
+           FROM sp GROUP BY 1),
+    sc AS (SELECT w2, CAST(SUM(n_pair) AS BIGINT) AS n_second
+           FROM sp GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_bg FROM sp)
+    SELECT w1, w2, n_pair, n_first, n_second,
+           round(ln(CAST(n_pair AS DOUBLE) * n_bg
+                    / (CAST(n_first AS DOUBLE) * n_second)), 6) AS pmi
+    FROM sp JOIN fc USING (w1) JOIN sc USING (w2), tot
+    WHERE n_pair >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 100
+    """,
+)
+def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r14) — POINTWISE MUTUAL INFORMATION collocations (Church
+    & Hanks 1990): the top-100 adjacent word pairs that co-occur far
+    more than their positional unigram frequencies predict —
+    PMI = ln(p(w1,w2) / (p1(w1)·p2(w2))) with position-conditioned
+    marginals (w1 as a bigram head, w2 as a tail), count floor 5
+    (the classic sparse-PMI guard). The association-strength
+    complement to llm_bigram_lm's directional P(w2|w1): the LM ranks
+    successors per head; PMI ranks PAIRS corpus-wide — the
+    collocation/phrase-mining primitive of a training-data pipeline
+    (multiword expressions, tokenizer merge candidates).
+
+    Determinism: all counts are exact BIGINTs; the PMI argument is
+    ONE shared IEEE tree (n_pair·N / (n_first·n_second), products
+    < 2^53 through sf ~ 10 for this corpus' vocab); ln is rounded at
+    the transcendental to 6 dp (the benford/mutual_info libm rule)
+    and the top-100 order reads the ROUNDED pmi with a (w1, w2)
+    lexicographic tie-break — a total order, so LIMIT is
+    deterministic.
+
+    Scale + lint: one corpus explode + one groupBy(bigram); the
+    positional marginals are WINDOWS over the aggregated bigram
+    table (partition = one word's successor/predecessor set, bounded
+    by |V| — the bigram_lm no-join-back rule); the corpus total
+    rides a broadcast 1-row aggregate over the localCheckpointed
+    bigram table (checkpoint bounded by distinct bigrams ≤ |V|²,
+    never the corpus); top-k is TakeOrderedAndProject, no global
+    sort."""
+    from pyspark.sql import Window
+
+    from osm_airflow_spark.llm.dedup import shingle_array
+
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = (
+        d.select(F.split("text", " ").alias("words"))
+        .filter(F.size("words") >= 2)
+        .select(F.explode(shingle_array("words", 2)).alias("bg"))
+    )
+    bc = (
+        bigrams.groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .localCheckpoint(eager=True)  # window legs + the total scalar
+    )
+    parts = F.split("bg", " ")
+    sp = bc.select(
+        parts.getItem(0).alias("w1"), parts.getItem(1).alias("w2"), "n_pair"
+    )
+    tot = sp.agg(F.sum("n_pair").cast("long").alias("n_bg"))
+    n_first = F.sum("n_pair").over(Window.partitionBy("w1")).cast("long")
+    n_second = F.sum("n_pair").over(Window.partitionBy("w2")).cast("long")
+    enriched = (
+        sp.withColumn("n_first", n_first)
+        .withColumn("n_second", n_second)
+        .where(F.col("n_pair") >= 5)
+        .join(F.broadcast(tot))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair").cast("double") * F.col("n_bg"))
+            / (F.col("n_first").cast("double") * F.col("n_second"))
+        ),
+        6,
+    )
+    return (
+        enriched.select("w1", "w2", "n_pair", "n_first", "n_second",
+                        pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(100)
+    )

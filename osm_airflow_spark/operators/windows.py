@@ -2357,3 +2357,115 @@ def win_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("double").alias("signal"),
         (F.col("m") - F.col("s")).cast("double").alias("histogram"),
     )
+
+
+@query(
+    "win_ulcer_index",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(max_by(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)
+                  * 100 AS BIGINT) AS cl_c
+      FROM orders GROUP BY 1
+    ),
+    dd AS (
+      SELECT a.day, a.cl_c, MAX(b.cl_c) AS mx_c, COUNT(*) AS n
+      FROM daily a JOIN daily b
+        ON b.day BETWEEN a.day - INTERVAL 13 DAY AND a.day
+      GROUP BY a.day, a.cl_c
+      HAVING COUNT(*) = 14
+    ),
+    dsq AS (
+      SELECT day,
+             100.0 * CAST(cl_c - mx_c AS DOUBLE) / mx_c AS dd_pct,
+             CAST(round(
+               (100.0 * CAST(cl_c - mx_c AS DOUBLE) / mx_c)
+               * (100.0 * CAST(cl_c - mx_c AS DOUBLE) / mx_c), 6)
+               AS DECIMAL(18,6)) AS ddsq
+      FROM dd
+    ),
+    ui AS (
+      SELECT a.day, a.dd_pct,
+             CAST(SUM(b.ddsq) AS DECIMAL(24,6)) AS ssq, COUNT(*) AS n
+      FROM dsq a JOIN dsq b
+        ON b.day BETWEEN a.day - INTERVAL 13 DAY AND a.day
+      GROUP BY a.day, a.dd_pct
+      HAVING COUNT(*) = 14
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, dd_pct,
+           sqrt(CAST(ssq AS DOUBLE) / 14.0) AS ulcer_index
+    FROM ui
+    """,
+)
+def win_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r14) — ULCER INDEX (Martin 1987) over the daily close
+    series: the RMS of the trailing 14-day percentage drawdown —
+    the DOWNSIDE-only risk measure beside win_max_drawdown (which
+    takes the single worst dip) and win_bollinger (which penalizes
+    up-moves symmetrically). Each day's drawdown is measured against
+    the max close of ITS trailing 14-calendar-day frame; the index
+    then root-mean-squares those drawdowns over a second 14-day
+    frame. Only days where both frames are full emit.
+
+    Determinism: dd_pct is one shared IEEE tree over exact cent
+    longs (identical in both engines); its square is pre-rounded to
+    6 dp and decimal-summed (the term rule — the square of an agreed
+    double is itself agreed, and a quotient's square can never sit
+    on an exact 7-dp midpoint, see the r14 SCALE ledger note), the
+    mean divides the exact decimal sum cast ONCE to double by the
+    literal 14.0, and sqrt is IEEE-correctly-rounded in both
+    engines (unlike exp/ln, sqrt has a single admissible result).
+
+    Scale + lint: the donchian/CCI pattern — TWO chained bounded
+    calendar self-joins (broadcast, days-bounded control plane), the
+    daily table localCheckpointed once for all legs; no global
+    window, no collects."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+        )
+        .agg(
+            F.expr(
+                "CAST(max_by(CAST(o_totalprice AS DECIMAL(18,2)),"
+                " o_orderkey) * 100 AS BIGINT)"
+            ).alias("cl_c")
+        )
+        .localCheckpoint(eager=True)  # both frame-1 legs
+    )
+    b = daily.select(F.col("day").alias("bday"), F.col("cl_c").alias("bcl"))
+    dd = (
+        daily.join(
+            F.broadcast(b),
+            F.col("bday").between(F.date_sub(F.col("day"), 13), F.col("day")),
+        )
+        .groupBy("day", "cl_c")
+        .agg(F.max("bcl").alias("mx_c"), F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") == 14)
+    )
+    dd_pct = (
+        100.0 * (F.col("cl_c") - F.col("mx_c")).cast("double") / F.col("mx_c")
+    )
+    dsq = dd.select(
+        "day",
+        dd_pct.alias("dd_pct"),
+        F.round(dd_pct * dd_pct, 6).cast("decimal(18,6)").alias("ddsq"),
+    ).localCheckpoint(eager=True)  # both frame-2 legs
+    b2 = dsq.select(F.col("day").alias("bday"), F.col("ddsq").alias("bsq"))
+    ui = (
+        dsq.join(
+            F.broadcast(b2),
+            F.col("bday").between(F.date_sub(F.col("day"), 13), F.col("day")),
+        )
+        .groupBy("day", "dd_pct")
+        .agg(
+            F.sum("bsq").cast("decimal(24,6)").alias("ssq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") == 14)
+    )
+    return ui.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dd_pct",
+        F.sqrt(F.col("ssq").cast("double") / 14.0).alias("ulcer_index"),
+    )

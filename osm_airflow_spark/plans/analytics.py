@@ -2753,3 +2753,118 @@ def pipeline_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("rev").cast("double")
         ).alias("nrr"),
     ).withColumnRenamed("y", "year")
+
+
+@query(
+    "pipeline_price_index",
+    oracle="""
+    WITH py AS (
+      SELECT l_partkey AS pk,
+             EXTRACT(year FROM l_shipdate) AS y,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS v_c
+      FROM lineitem
+      WHERE EXTRACT(year FROM l_shipdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    ),
+    up AS (
+      SELECT pk, y, q, (2 * v_c + q) // (2 * q) AS p_c FROM py
+    ),
+    both_eras AS (
+      SELECT b.pk, p.p_brand,
+             b.p_c AS p0, b.q AS q0, c.p_c AS p1, c.q AS q1
+      FROM up b JOIN up c ON c.pk = b.pk AND b.y = 1996 AND c.y = 1997
+      JOIN part p ON p.p_partkey = b.pk
+    ),
+    sums AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(p1 * q0) AS BIGINT) AS s_p1q0,
+             CAST(SUM(p0 * q0) AS BIGINT) AS s_p0q0,
+             CAST(SUM(p1 * q1) AS BIGINT) AS s_p1q1,
+             CAST(SUM(p0 * q1) AS BIGINT) AS s_p0q1
+      FROM both_eras GROUP BY 1
+    )
+    SELECT p_brand, n_parts,
+           CAST(s_p1q0 AS DOUBLE) / s_p0q0 AS laspeyres,
+           CAST(s_p1q1 AS DOUBLE) / s_p0q1 AS paasche,
+           sqrt((CAST(s_p1q0 AS DOUBLE) / s_p0q0)
+                * (CAST(s_p1q1 AS DOUBLE) / s_p0q1)) AS fisher
+    FROM sums
+    """,
+)
+def pipeline_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r14) — LASPEYRES / PAASCHE / FISHER price indices per
+    brand across the 1996→1997 era split: the index-number theory
+    triple (base-weighted, current-weighted, and their geometric
+    mean — Fisher's "ideal" index satisfying time reversal) over
+    parts traded in BOTH eras. Per-part era unit price is DEFINED as
+    era revenue / era quantity rounded HALF-UP to the integer CENT —
+    the bookkeeping convention that makes the whole basket
+    arithmetic exact: a round(p·q, 6)-of-doubles draft of this key
+    split from the oracle by one 6-dp term (the r14 win_macd ledger
+    class — p·q products frequently TERMINATE in decimal and sit on
+    round boundaries). The macro-economics complement to the micro
+    price_elasticity key.
+
+    Determinism: per-part-era (q, v) are exact BIGINT/decimal sums;
+    the cent price is pure integer arithmetic ((2v+q) // (2q) —
+    floor-division HALF-UP, identical in both engines for the
+    positive operands here); every p·q term and basket sum is exact
+    BIGINT (< 2^53 through sf ~ 100; the documented decimal(38,0)
+    upgrade past that); the three indices are single IEEE trees over
+    exact longs (sqrt is correctly-rounded). The inner era join
+    guarantees non-empty, positive denominators.
+
+    Scale + lint: one lineitem groupBy(partkey, year) with the year
+    predicate PUSHED to the scan; the era match is a self-join
+    co-keyed on partkey (co-partitioned at scale); the part dim is
+    broadcast; the final rollup is per-brand. py is
+    localCheckpointed once for its two era legs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    yr = F.year("l_shipdate")
+    py = (
+        li.where(yr.isin(1996, 1997))
+        .groupBy(
+            F.col("l_partkey").alias("pk"), yr.cast("long").alias("y")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("v_c"),
+        )
+        .localCheckpoint(eager=True)  # both era legs
+    )
+    up = py.select(
+        "pk", "y", "q",
+        F.expr("(2 * v_c + q) DIV (2 * q)").alias("p_c"),
+    )
+    base = up.where(F.col("y") == 1996).select(
+        "pk", F.col("p_c").alias("p0"), F.col("q").alias("q0")
+    )
+    cur = up.where(F.col("y") == 1997).select(
+        F.col("pk").alias("pk2"), F.col("p_c").alias("p1"),
+        F.col("q").alias("q1"),
+    )
+    brand = p.select(F.col("p_partkey").alias("pk"), "p_brand")
+    j = base.join(cur, F.col("pk") == F.col("pk2")).join(
+        F.broadcast(brand), "pk"
+    )
+    sums = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.col("p1") * F.col("q0")).cast("long").alias("s_p1q0"),
+        F.sum(F.col("p0") * F.col("q0")).cast("long").alias("s_p0q0"),
+        F.sum(F.col("p1") * F.col("q1")).cast("long").alias("s_p1q1"),
+        F.sum(F.col("p0") * F.col("q1")).cast("long").alias("s_p0q1"),
+    )
+    lasp = F.col("s_p1q0").cast("double") / F.col("s_p0q0")
+    paas = F.col("s_p1q1").cast("double") / F.col("s_p0q1")
+    return sums.select(
+        "p_brand", "n_parts",
+        lasp.alias("laspeyres"),
+        paas.alias("paasche"),
+        F.sqrt(lasp * paas).alias("fisher"),
+    )

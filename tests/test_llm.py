@@ -3062,3 +3062,40 @@ def test_audio_peaks_kernel_known_patterns(spark):
     # -50 at j=1 beats 0? neighbors -100,-200 -> peak; j=3 (-50) vs
     # -200,-100 -> peak; j=5.. pattern: interior -50s are peaks
     assert got[(4, 0)]["n_peaks"] == 7
+
+
+def test_pmi_collocations_hand_counts_and_floor(spark, tmp_path):
+    """Hand PMI: bigram counts a-b=8, a-c=2, c-b=2, d-d=5 (N=17,
+    positional marginals first(a)=10, second(b)=10, first(d)=
+    second(d)=5). Floor 5 keeps only (a,b) and (d,d);
+    PMI(d,d) = ln(5·17/25) = ln(3.4) outranks
+    PMI(a,b) = ln(8·17/100) = ln(1.36). Oracle replayed."""
+    import math
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    rows, did = [], 0
+    for text, n in (("a b", 8), ("a c", 2), ("c b", 2), ("d d", 5)):
+        for _ in range(n):
+            rows.append((did, text)); did += 1
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    clear_plan_cache()
+    got = QUERIES["llm_pmi_collocations"](spark, str(tmp_path)).collect()
+    clear_plan_cache()
+    assert [(r["w1"], r["w2"]) for r in got] == [("d", "d"), ("a", "b")]
+    dd, ab = got
+    assert (dd["n_pair"], dd["n_first"], dd["n_second"]) == (5, 5, 5)
+    assert (ab["n_pair"], ab["n_first"], ab["n_second"]) == (8, 10, 10)
+    assert abs(dd["pmi"] - math.log(3.4)) < 1.1e-6
+    assert abs(ab["pmi"] - math.log(1.36)) < 1.1e-6
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = con.execute(ORACLES["llm_pmi_collocations"]).fetchall()
+    assert [tuple(r) for r in got] == [tuple(w) for w in want]

@@ -2423,3 +2423,71 @@ def test_win_macd_constant_and_ramp_closed_forms(spark, tmp_path):
     for r in rows:
         assert r["macd"] == expect and r["signal"] == expect
         assert r["histogram"] == 0.0
+
+
+def test_win_ulcer_index_flat_and_single_dip(spark, tmp_path):
+    """Closed forms: a CONSTANT series never draws down ⇒ every
+    ulcer_index = 0. A series flat at 200 with ONE day dipping to
+    150 (-25%): that day's dd_pct = -25, each subsequent full RMS
+    frame containing it reads sqrt(625·k/14) for the k frame days
+    whose own trailing max saw the dip... with a single dip only the
+    dip day itself has nonzero dd (later days recover to the flat
+    max), so UI = sqrt(625/14) exactly while the dip day sits in the
+    frame. Oracle replayed on both fixtures."""
+    import datetime
+    import math
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    def build(base, prices):
+        base.mkdir()
+        d0 = datetime.date(2024, 1, 1)
+        rows = [
+            (i + 1, d0 + datetime.timedelta(days=i), float(p))
+            for i, p in enumerate(prices)
+        ]
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+        ).coalesce(1).write.parquet(str(base / "orders.parquet"))
+
+    def run(base):
+        clear_plan_cache()
+        got = QUERIES["win_ulcer_index"](spark, str(base)).collect()
+        clear_plan_cache()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM read_parquet("
+            f"'{base}/orders.parquet/*.parquet')"
+        )
+        want = con.execute(ORACLES["win_ulcer_index"]).fetchall()
+        assert sorted(tuple(r) for r in got) == sorted(
+            tuple(w) for w in want
+        )
+        return {r["day"]: r for r in got}
+
+    build(tmp_path / "flat", [200.0] * 30)
+    got = run(tmp_path / "flat")
+    assert len(got) == 4  # days 27..30 have both frames full
+    assert all(r["ulcer_index"] == 0.0 and r["dd_pct"] == 0.0
+               for r in got.values())
+
+    # dip on day 20 of 40 flat-200 days
+    prices = [200.0] * 40
+    prices[19] = 150.0
+    build(tmp_path / "dip", prices)
+    got = run(tmp_path / "dip")
+    dipped = math.sqrt(625.0 / 14.0)
+    d0 = datetime.date(2024, 1, 1)
+    for day, r in got.items():
+        d = (datetime.date.fromisoformat(day) - d0).days + 1
+        if d == 20:
+            assert r["dd_pct"] == -25.0
+        else:
+            assert r["dd_pct"] == 0.0
+        # RMS frame [d-13, d] contains day 20's dd iff 20 <= d <= 33
+        if 27 <= d <= 33:  # emitting days start at 27
+            assert abs(r["ulcer_index"] - dipped) < 1e-12
+        else:
+            assert r["ulcer_index"] == 0.0

@@ -2949,3 +2949,59 @@ def test_erlang_c_hand_rationals_and_clamp(spark, tmp_path):
         assert got["whale"]["wq_days"] is None
     else:  # keep the intent honest if arithmetic drifts
         assert got["whale"]["c"] <= 8
+
+
+def test_price_index_hand_basket_and_cent_rounding(spark, tmp_path):
+    """Hand basket, brand X: part 1 (p0 $10 q0 10 → p1 $12 q1 5) and
+    part 2 (p0 $10 q0 4 → p1 $8 q1 8) ⇒ Laspeyres = 15200/14000 =
+    38/35, Paasche = 12400/13000 = 62/65, Fisher = sqrt(L·P). Brand
+    Y: one part whose 1996 unit price 10.01/2 = 5.005 rounds HALF-UP
+    to 501 cents ⇒ L = 500/501 exactly. A part present in one era
+    only is excluded. Oracle replayed."""
+    import datetime
+    import math
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    li = []  # (l_partkey, l_shipdate, l_quantity, l_extendedprice)
+    d96, d97 = datetime.date(1996, 6, 1), datetime.date(1997, 6, 1)
+    li += [(1, d96, 10.0, 100.0), (1, d97, 5.0, 60.0)]
+    li += [(2, d96, 4.0, 40.0), (2, d97, 8.0, 64.0)]
+    li += [(3, d96, 2.0, 10.01), (3, d97, 2.0, 10.0)]
+    li += [(4, d96, 1.0, 999.0)]  # 1996-only: excluded
+    spark.createDataFrame(
+        li,
+        "l_partkey long, l_shipdate date, l_quantity double,"
+        " l_extendedprice double",
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "X"), (2, "X"), (3, "Y"), (4, "X")],
+        "p_partkey long, p_brand string",
+    ).coalesce(1).write.parquet(str(tmp_path / "part.parquet"))
+    clear_plan_cache()
+    got = {r["p_brand"]: r
+           for r in QUERIES["pipeline_price_index"](spark, str(tmp_path))
+           .collect()}
+    clear_plan_cache()
+    x = got["X"]
+    assert x["n_parts"] == 2
+    assert x["laspeyres"] == 15200.0 / 14000
+    assert x["paasche"] == 12400.0 / 13000
+    assert x["fisher"] == math.sqrt(
+        (15200.0 / 14000) * (12400.0 / 13000)
+    )
+    y = got["Y"]
+    assert y["n_parts"] == 1
+    assert y["laspeyres"] == 1000.0 / 1002  # p0 = 501c HALF-UP
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    want = con.execute(ORACLES["pipeline_price_index"]).fetchall()
+    assert sorted(tuple(r) for r in got.values()) == sorted(
+        tuple(w) for w in want
+    )

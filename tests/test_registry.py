@@ -237,6 +237,14 @@ ROUND_AUDITED = {
     "pipeline_forecast_backtest": "term (per-month sMAPE ratio "
     "pre-rounded to 6 dp, decimal-summed; MAE/MASE stay exact-decimal "
     "until one final cast)",
+    "win_ulcer_index": "term (squared trailing-drawdown pct — the square "
+    "of an agreed shared-IEEE-tree double; a quotient's square cannot sit "
+    "on an exact 7-dp midpoint, so the 6-dp pre-round is engine-agreed — "
+    "decimal-summed; sqrt is IEEE-correctly-rounded)",
+    "llm_pmi_collocations": "libm (ln of an agreed exact-int-ratio double, "
+    "rounded at the transcendental to 6 dp — the benford/mutual_info rule; "
+    "the top-100 ordering reads the ROUNDED pmi with a lexicographic "
+    "tie-break)",
     "win_macd": "exact-decimal (round(x, 6) is applied to EXACT decimals "
     "— the fast-slow EMA difference and the signal dot product never "
     "leave decimal, so both engines round the same exact value HALF_UP; "
