@@ -112,3 +112,68 @@ def bucketed_running(
         ],
     )
     return out, {c: running[i] for i, c in enumerate(sum_cols)}
+
+
+def bucketed_running_max(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Exact EXCLUSIVE-prefix running MAX of integer ``val_col`` over
+    ``df`` ordered by ``order_col``, without a global window — the
+    dominance-test primitive (skyline/Pareto queries): row i gets
+    ``run_max_<val_col>`` = MAX(val) over all rows STRICTLY before it
+    in ``order_col`` order (NULL for the global first row).
+
+    Same discipline as ``bucketed_running``: value-contiguous buckets
+    from approx-percentile cuts (equal order values share a bucket),
+    per-bucket parallel windows with an EXCLUSIVE frame, and ≤B
+    collected per-bucket maxima lifted to cross-bucket offsets —
+    max is reorder-safe, so the offset lift is exact under any
+    partitioning. ``order_col`` values must be DISTINCT."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(
+        F.percentile_approx(order_col, probs, 10_000).alias("c")
+    ).head()[0]
+    if cuts is None:
+        return df.select(
+            "*",
+            F.lit(0).cast("int").alias("_bkt"),
+            F.lit(None).cast(
+                df.schema[val_col].dataType
+            ).alias(f"run_max_{val_col}"),
+        )
+    bucket: Column = F.lit(0)
+    for cut in cuts:
+        bucket = bucket + F.when(F.col(order_col) > F.lit(cut), 1).otherwise(0)
+    bucketed = df.withColumn("_bkt", bucket.cast("int"))
+    per_bucket = {
+        r["_bkt"]: r["_m"]
+        for r in bucketed.groupBy("_bkt")
+        .agg(F.max(val_col).alias("_m"))
+        .collect()
+    }
+    offset: Column = F.lit(None).cast(df.schema[val_col].dataType)
+    running = None
+    for bkt in range(n_buckets):
+        if running is not None:
+            offset = F.when(F.col("_bkt") == bkt, F.lit(running)).otherwise(
+                offset
+            )
+        if bkt in per_bucket and per_bucket[bkt] is not None:
+            m = per_bucket[bkt]
+            running = m if running is None else max(running, m)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return bucketed.select(
+        "*",
+        F.greatest(F.max(val_col).over(w), offset).alias(
+            f"run_max_{val_col}"
+        ),
+    )

@@ -1556,3 +1556,88 @@ def pipeline_erlang_c(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END"
         ).alias("wq_days"),
     )
+
+
+@query(
+    "pipeline_skyline",
+    oracle="""
+    WITH pp AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vol,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS v_c
+      FROM lineitem GROUP BY 1
+    ),
+    up AS (
+      SELECT pk, vol, (2 * v_c + vol) // (2 * vol) AS p_c FROM pp
+    ),
+    pairs AS (
+      SELECT p_c, vol, CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM up GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT p_c, vol, n_parts,
+             MAX(vol) OVER (ORDER BY p_c ASC, vol DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS rm
+      FROM pairs
+    )
+    SELECT CAST(p_c AS DOUBLE) / 100.0 AS unit_price,
+           vol AS volume, n_parts
+    FROM s WHERE rm IS NULL OR vol > rm
+    """,
+)
+def pipeline_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r14) — SKYLINE / PARETO-FRONTIER operator (Börzsönyi et
+    al. 2001) over parts: the (unit price, volume) pairs not
+    DOMINATED by any other pair (cheaper-or-equal AND
+    higher-or-equal-volume with one strict) — the classic
+    multi-criteria "best offers" operator the engine's top-k/rank
+    family can't express (no single scoring function). Pairs are
+    grouped first (equal pairs are mutually incomparable and all
+    survive, carried as n_parts); unit price is the exact HALF-UP
+    integer-cent convention from pipeline_price_index.
+
+    Determinism: after pair-grouping, a pair survives iff its volume
+    STRICTLY exceeds the running max volume over the (price asc,
+    volume desc) EXCLUSIVE prefix — an exact-integer criterion
+    (proof: any prefix witness has p' < p, or p' = p with v' > v,
+    and v' >= v — always a strict dominance; conversely any
+    dominator sorts into the prefix with v' >= v). No floating
+    point anywhere but the final display division.
+
+    Scale + lint: one lineitem groupBy(partkey) + one pair groupBy;
+    the prefix max rides ``bucketed_running_max`` (value-contiguous
+    buckets on the composite (price, -volume) key, 8-way parallel
+    EXCLUSIVE windows, <=8 collected bucket maxima — no global
+    window); the composite key p_c * 2^33 - vol is injective while
+    volumes stay under 2^33 (sf ~ 10^5) and keys stay under 2^63
+    (cent prices < 2^29 — TPC-H prices are sf-independent)."""
+    from osm_airflow_spark.bucketing import bucketed_running_max
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pp = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("vol"),
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("v_c"),
+    )
+    pairs = (
+        pp.select(
+            F.expr("(2 * v_c + vol) DIV (2 * vol)").alias("p_c"), "vol"
+        )
+        .groupBy("p_c", "vol")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .withColumn(
+            "skey",
+            F.col("p_c") * F.lit(2**33).cast("long") - F.col("vol"),
+        )
+    )
+    sky = bucketed_running_max(pairs, "skey", "vol")
+    return sky.where(
+        F.col("run_max_vol").isNull() | (F.col("vol") > F.col("run_max_vol"))
+    ).select(
+        (F.col("p_c").cast("double") / 100.0).alias("unit_price"),
+        F.col("vol").alias("volume"),
+        "n_parts",
+    )

@@ -3005,3 +3005,72 @@ def test_price_index_hand_basket_and_cent_rounding(spark, tmp_path):
     assert sorted(tuple(r) for r in got.values()) == sorted(
         tuple(w) for w in want
     )
+
+
+def test_bucketed_running_max_matches_prefix_replica(spark):
+    """The exclusive-prefix running max helper must equal the
+    sorted-order Python replica on a deterministic 500-row frame
+    (distinct keys, shuffled input, values with long plateaus so
+    cross-bucket offsets matter), and the empty frame must return
+    the NULL-columned degenerate schema."""
+    from osm_airflow_spark.bucketing import bucketed_running_max
+
+    rows = [((i * 7919) % 4999, ((i * i) % 83) + (i // 100))
+            for i in range(500)]
+    assert len({k for k, _ in rows}) == 500
+    df = spark.createDataFrame(rows, "k long, v long").repartition(13)
+    out = bucketed_running_max(df, "k", "v").collect()
+    srt = sorted(rows)
+    want, run = {}, None
+    for k, v in srt:
+        want[k] = run
+        run = v if run is None else max(run, v)
+    assert len(out) == 500
+    for r in out:
+        assert r["run_max_v"] == want[r["k"]], r["k"]
+
+    empty = spark.createDataFrame([], "k long, v long")
+    e = bucketed_running_max(empty, "k", "v")
+    assert e.count() == 0 and "run_max_v" in e.columns
+
+
+def test_skyline_hand_dominance(spark, tmp_path):
+    """Hand skyline over five parts: pairs ($5,10), ($10,100)×2,
+    ($20,200) survive; ($10,50) loses to ($10,100) (same price,
+    less volume) and ($20,100) loses to ($10,100) (pricier, same
+    volume). The duplicate pair is carried once with n_parts = 2.
+    Oracle replayed."""
+    import datetime
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    d = datetime.date(1997, 1, 1)
+    li = [  # one lineitem per part: qty=v, extprice = p*v dollars
+        (1, d, 10.0, 50.0),      # $5, v=10       -> keep
+        (2, d, 100.0, 1000.0),   # $10, v=100     -> keep (dup pair)
+        (3, d, 100.0, 1000.0),   # $10, v=100     -> keep (dup pair)
+        (4, d, 50.0, 500.0),     # $10, v=50      -> dominated
+        (5, d, 200.0, 4000.0),   # $20, v=200     -> keep
+        (6, d, 100.0, 2000.0),   # $20, v=100     -> dominated
+    ]
+    spark.createDataFrame(
+        li,
+        "l_partkey long, l_shipdate date, l_quantity double,"
+        " l_extendedprice double",
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    clear_plan_cache()
+    got = QUERIES["pipeline_skyline"](spark, str(tmp_path)).collect()
+    clear_plan_cache()
+    assert sorted((r["unit_price"], r["volume"], r["n_parts"])
+                  for r in got) == [
+        (5.0, 10, 1), (10.0, 100, 2), (20.0, 200, 1),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/lineitem.parquet/*.parquet')"
+    )
+    want = con.execute(ORACLES["pipeline_skyline"]).fetchall()
+    assert sorted(tuple(r) for r in got) == sorted(tuple(w) for w in want)
