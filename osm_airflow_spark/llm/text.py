@@ -5199,3 +5199,143 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(100)
     )
+
+
+@query(
+    "llm_rake_keywords",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, u.i AS pos, string_split(text, ' ')[u.i] AS w
+      FROM documents,
+           UNNEST(generate_series(1, len(string_split(text, ' '))))
+             AS u(i)
+    ),
+    seg AS (
+      SELECT doc_id, pos, w,
+             CASE WHEN w IN ({{stops}}) THEN 1 ELSE 0 END AS st,
+             SUM(CASE WHEN w IN ({{stops}}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+      FROM w
+    ),
+    ph AS (
+      SELECT doc_id, sid,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS n_words
+      FROM seg WHERE st = 0 GROUP BY doc_id, sid
+      HAVING COUNT(*) BETWEEN 1 AND 4
+    ),
+    pw AS (
+      SELECT phrase, n_words, unnest(string_split(phrase, ' ')) AS w
+      FROM ph
+    ),
+    stats AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(n_words) AS BIGINT) AS deg
+      FROM pw GROUP BY w
+    ),
+    dp AS (
+      SELECT phrase, n_words, CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM ph GROUP BY 1, 2
+    ),
+    dpw AS (
+      SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM dp
+    ),
+    scored AS (
+      SELECT d.phrase,
+             SUM(CAST(round(CAST(s.deg AS DOUBLE) / s.freq, 6)
+                      AS DECIMAL(18,6))) AS score
+      FROM dpw d JOIN stats s USING (w) GROUP BY d.phrase
+    )
+    SELECT p.phrase, p.n_words, p.n_occ, CAST(s.score AS DOUBLE) AS score
+    FROM dp p JOIN scored s USING (phrase)
+    ORDER BY score DESC, phrase LIMIT 50
+    """.replace("{stops}", _sql_list(_EN_STOP)),
+)
+def llm_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r14) — RAKE keyword extraction (Rose et al. 2010):
+    candidate phrases are maximal stopword-free word runs (the
+    engine's English stopword gate delimits them; runs longer than 4
+    words are discarded — the standard length cap), each word scores
+    deg(w)/freq(w) (degree counts every co-member of every phrase
+    occurrence, frequency the occurrences), and a phrase scores the
+    sum over its word INSTANCES — the unsupervised keyphrase miner
+    beside TF-IDF (which needs a document axis) and PMI collocations
+    (which only sees adjacent pairs). Top 50 by score.
+
+    Determinism: deg/freq are exact BIGINTs; each word score is one
+    shared IEEE division rounded at 6 dp (the quotient term rule)
+    and phrase scores DECIMAL-SUM those rounded terms (order-free —
+    never a float sum over an unordered word set); the top-50 reads
+    the exact decimal score with a lexicographic phrase tie-break —
+    a total order. Phrase reassembly is
+    array_sort(collect_list(struct(pos, w))) per the collections
+    rule (string_agg ORDER BY in the oracle).
+
+    Scale + lint: the segment id is a RUNNING stopword count
+    windowed PER DOCUMENT (bounded partition — the F-family
+    contract); word stats are one corpus-bounded groupBy(word) and
+    rejoin distinct phrases on word (the per-word join-back the
+    no-exchange-reuse rule allows); phrase table localCheckpointed
+    once for its stats/distinct legs; top-k is
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    ).withColumn("st", F.col("w").isin(*_EN_STOP).cast("int"))
+    sid = F.sum("st").over(
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = w.withColumn("sid", sid).where(F.col("st") == 0)
+    ph = (
+        seg.groupBy("doc_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+        .where(F.col("n_words").between(1, 4))
+        .localCheckpoint(eager=True)  # stats leg + distinct leg
+    )
+    pw = ph.select(
+        "phrase", "n_words", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    stats = pw.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("n_words").cast("long").alias("deg"),
+    )
+    dp = ph.groupBy("phrase", "n_words").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    dpw = dp.select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+    scored = (
+        dpw.join(stats, "w")
+        .groupBy("phrase")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("deg").cast("double") / F.col("freq"), 6
+                ).cast("decimal(18,6)")
+            ).alias("score")
+        )
+    )
+    return (
+        dp.join(scored, "phrase")
+        .select(
+            "phrase", "n_words", "n_occ",
+            F.col("score").cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(50)
+    )

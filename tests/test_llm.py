@@ -3099,3 +3099,40 @@ def test_pmi_collocations_hand_counts_and_floor(spark, tmp_path):
     )
     want = con.execute(ORACLES["llm_pmi_collocations"]).fetchall()
     assert [tuple(r) for r in got] == [tuple(w) for w in want]
+
+
+def test_rake_keywords_hand_scores_and_cap(spark, tmp_path):
+    """Hand RAKE: corpus 'deep learning of deep learning' + 'fast
+    data and deep learning is fast' + an uncapped 5-word run.
+    Word scores deg/freq: deep = learning = 6/3 = 2, fast = 3/2,
+    data = 2/1 ⇒ phrases score 'deep learning' 4.0 (3 occurrences),
+    'fast data' 3.5, 'fast' 1.5; the 5-word run is discarded by the
+    length cap. Oracle replayed."""
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    rows = [
+        (1, "deep learning of deep learning"),
+        (2, "fast data and deep learning is fast"),
+        (3, "w1 w2 w3 w4 w5"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    clear_plan_cache()
+    got = QUERIES["llm_rake_keywords"](spark, str(tmp_path)).collect()
+    clear_plan_cache()
+    assert [(r["phrase"], r["n_words"], r["n_occ"], r["score"])
+            for r in got] == [
+        ("deep learning", 2, 3, 4.0),
+        ("fast data", 2, 1, 3.5),
+        ("fast", 1, 1, 1.5),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = con.execute(ORACLES["llm_rake_keywords"]).fetchall()
+    assert [tuple(r) for r in got] == [tuple(w) for w in want]

@@ -241,6 +241,10 @@ ROUND_AUDITED = {
     "of an agreed shared-IEEE-tree double; a quotient's square cannot sit "
     "on an exact 7-dp midpoint, so the 6-dp pre-round is engine-agreed — "
     "decimal-summed; sqrt is IEEE-correctly-rounded)",
+    "llm_rake_keywords": "term (deg/freq word scores — single agreed IEEE "
+    "quotients of exact BIGINTs — pre-rounded to 6 dp and decimal-summed "
+    "per phrase, so the unordered word-instance sum is order-free; the "
+    "top-50 reads the exact decimal image)",
     "llm_pmi_collocations": "libm (ln of an agreed exact-int-ratio double, "
     "rounded at the transcendental to 6 dp — the benford/mutual_info rule; "
     "the top-100 ordering reads the ROUNDED pmi with a lexicographic "
