@@ -8,8 +8,11 @@ extensions) over the bundled fixtures' daily order series:
   trend         Aroon up/down freshness (win_aroon) and the Donchian
                 channel position (win_donchian)
   volatility    ATR-14 width (win_atr)
-  volume        on-balance volume direction (win_obv) and the
-                month-anchored VWAP benchmark (win_vwap)
+  volume        on-balance volume direction (win_obv), the Money
+                Flow Index (win_mfi) and the month-anchored VWAP
+                benchmark (win_vwap)
+  convergence   MACD line vs signal (win_macd)
+  risk          trailing drawdown RMS (win_ulcer_index)
 
 All the panel indicators share the same daily OHLC proxies over the
 orders series, so the join on `day` is exact. Run:
@@ -40,12 +43,18 @@ def main() -> None:
     don = q["win_donchian"](spark, sf_dir).select("day", "channel_position")
     atr = q["win_atr"](spark, sf_dir).select("day", "atr_14")
     obv = q["win_obv"](spark, sf_dir).select("day", "obv")
+    macd = q["win_macd"](spark, sf_dir).select("day", "macd", "signal")
+    mfi = q["win_mfi"](spark, sf_dir).select("day", "mfi")
+    ulcer = q["win_ulcer_index"](spark, sf_dir).select("day", "ulcer_index")
 
     panel = (
         sto.join(aroon, "day", "left")
         .join(don, "day", "left")
         .join(atr, "day", "left")
         .join(obv, "day", "left")
+        .join(macd, "day", "left")
+        .join(mfi, "day", "left")
+        .join(ulcer, "day", "left")
     )
     n = panel.count()
     print(f"== indicator panel: {n} trading days with full history")
@@ -66,12 +75,18 @@ def main() -> None:
         F.sum(F.when(F.col("pct_k") > 80, 1).otherwise(0)).alias("overbought"),
         F.sum(F.when(F.col("pct_k") < 20, 1).otherwise(0)).alias("oversold"),
         F.sum(F.when(F.col("aroon_osc") > 0, 1).otherwise(0)).alias("uptrend"),
+        F.sum(
+            F.when(F.col("macd") > F.col("signal"), 1).otherwise(0)
+        ).alias("macd_bull"),
+        F.sum(F.when(F.col("mfi") > 80, 1).otherwise(0)).alias("mfi_hot"),
     ).first()
     if sig is not None and n:
         print(
             f"== regime days: overbought(%K>80) {sig['overbought']}, "
             f"oversold(%K<20) {sig['oversold']}, "
-            f"aroon uptrend {sig['uptrend']}"
+            f"aroon uptrend {sig['uptrend']}, "
+            f"macd bullish {sig['macd_bull']}, "
+            f"mfi hot(>80) {sig['mfi_hot']}"
         )
 
     vwap = q["win_vwap"](spark, sf_dir)
