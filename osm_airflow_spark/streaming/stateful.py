@@ -734,3 +734,113 @@ def heavy_hitters_stream(events: DataFrame, k: int = 8) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- Deterministic bottom-k sample ----------------------------------
+
+BOTTOMK_STATE = T.StructType(
+    [
+        T.StructField("hs", T.ArrayType(T.LongType())),
+        T.StructField("eids", T.ArrayType(T.LongType())),
+        T.StructField("uids", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+BOTTOMK_OUTPUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("h", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("batch_hi_us", T.LongType()),
+    ]
+)
+
+
+def bottomk_sample_stream(events: DataFrame, k: int = 8) -> DataFrame:
+    """Streaming DETERMINISTIC UNIFORM SAMPLE per event type — the
+    bottom-k sketch (Cohen & Kaplan 2007): keep the k events whose
+    content hash is smallest, maintained incrementally with O(k)
+    state per type. Because the "randomness" is xxhash64(event_id)
+    derived IN-PLAN (the engine-wide no-rand() rule), the stream
+    state after any prefix EXACTLY equals the batch bottom-k over
+    that prefix — replay-stable, mergeable across partitions and
+    micro-batches, and restartable from checkpoints without sampling
+    drift. The subsampling primitive of a training-data pipeline at
+    100 TB (pair with llm_sample_weighted's batch twin): a uniform
+    k-sample per stratum whose membership is reproducible across
+    reruns, engines and partitionings.
+
+    Each micro-batch emits the full current sample snapshot per type
+    (at most k rows) stamped with the batch's max event-time (µs) —
+    the heavy_hitters_stream snapshot convention. Ties are
+    impossible: the sort key (h, event_id) is unique per event.
+
+    Scale: one shuffle per micro-batch on event_type; state is three
+    k-length arrays per type. Cross-run determinism is the point —
+    a resumed or re-partitioned job reproduces the identical
+    sample."""
+    from pyspark.sql import functions as F
+
+    hashed = events.withColumn("h", F.xxhash64("event_id"))
+
+    def update(
+        key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        if state.exists:
+            triples = list(
+                zip(state.get[0], state.get[1], state.get[2])
+            )
+            n_seen = int(state.get[3])
+        else:
+            triples, n_seen = [], 0
+        rows = pd.concat(list(batches), ignore_index=True)
+        rows = rows[rows["ts"].notna()]
+        hi_us = (
+            int(rows["ts"].astype("int64").max() // 1000)
+            if len(rows)
+            else None
+        )
+        n_seen += int(len(rows))
+        for h, eid, uid in zip(
+            rows["h"].astype("int64"),
+            rows["event_id"].astype("int64"),
+            rows["user_id"].astype("int64"),
+        ):
+            triples.append((int(h), int(eid), int(uid)))
+        triples.sort(key=lambda t: (t[0], t[1]))
+        triples = triples[:k]
+        state.update(
+            (
+                [t[0] for t in triples],
+                [t[1] for t in triples],
+                [t[2] for t in triples],
+                n_seen,
+            )
+        )
+        if hi_us is None:
+            yield pd.DataFrame(
+                {c.name: [] for c in BOTTOMK_OUTPUT.fields}
+            )
+            return
+        yield pd.DataFrame(
+            {
+                "event_type": [etype] * len(triples),
+                "event_id": [t[1] for t in triples],
+                "user_id": [t[2] for t in triples],
+                "h": [t[0] for t in triples],
+                "n_seen": [n_seen] * len(triples),
+                "batch_hi_us": [hi_us] * len(triples),
+            }
+        )
+
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=BOTTOMK_OUTPUT,
+        stateStructType=BOTTOMK_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1899,3 +1899,104 @@ def test_heavy_hitters_stream_exact_and_bounded(spark, tmp_path):
         t = true.get(("hot", uid), 0)
         assert t <= r["est_count"] <= t + r["max_err"]
     assert snap[7]["n_seen"] == 22
+
+
+def test_bottomk_sample_stream_equals_batch_and_accumulates(spark, tmp_path):
+    """Bottom-k determinism contracts over a 3-chunk replay: after
+    EVERY micro-batch, each type's snapshot EXACTLY equals the batch
+    bottom-k (xxhash64(event_id), event_id) over the stream prefix
+    seen so far — the replay-stability/mergeability contract — and
+    with k >= the type's volume the final sample is the whole type.
+    n_seen accumulates across batches."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.streaming.stateful import bottomk_sample_stream
+
+    plan = [("hot", u % 5) for u in range(20)] + [("cold", 9)] * 3
+    rows = []
+    for i, (etype, uid) in enumerate(plan):
+        rows.append(
+            {"event_id": i * 11 + 3, "user_id": uid, "event_type": etype,
+             "ts_us": 1_704_067_200_000_000 + i * 60_000_000}
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    bounds = [(0, 8), (8, 16), (16, len(rows))]
+    for ci, (lo, hi) in enumerate(bounds):
+        p = src / f"chunk{ci}.json"
+        with open(p, "w") as f:
+            for r in rows[lo:hi]:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (1_700_000_000 + ci * 10,) * 2)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts_us long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select(
+            "event_id", "user_id", "event_type",
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        )
+    )
+    q = (
+        bottomk_sample_stream(stream, k=4)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_bottomk")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM t_bottomk").collect()
+
+    # batch twin per prefix: bottom-4 by (xxhash64(event_id), event_id)
+    def batch_bottomk(prefix_rows, etype, k=4):
+        sub = [r for r in prefix_rows if r["event_type"] == etype]
+        if not sub:
+            return []
+        df = spark.createDataFrame(
+            [(r["event_id"], r["user_id"]) for r in sub],
+            "event_id long, user_id long",
+        ).select("*", F.xxhash64("event_id").alias("h"))
+        return sorted(
+            (r["h"], r["event_id"], r["user_id"])
+            for r in df.orderBy("h", "event_id").limit(k).collect()
+        )
+
+    prefixes = {}
+    for ci, (lo, hi) in enumerate(bounds):
+        hi_us = 1_704_067_200_000_000 + (hi - 1) * 60_000_000
+        prefixes[hi_us] = rows[:hi]
+    by_batch = {}
+    for r in out:
+        by_batch.setdefault((r["event_type"], r["batch_hi_us"]), []).append(r)
+    assert by_batch  # every chunk produced snapshots
+    for (etype, hi_us), snap in by_batch.items():
+        # the batch stamp is the max ts of rows of ANY type in that
+        # micro-batch for this group's rows; locate the prefix by
+        # scanning known chunk-end stamps >= this stamp
+        prefix = None
+        for end_us in sorted(prefixes):
+            if hi_us <= end_us:
+                prefix = prefixes[end_us]
+                break
+        assert prefix is not None
+        got = sorted((r["h"], r["event_id"], r["user_id"]) for r in snap)
+        assert got == batch_bottomk(prefix, etype)
+        n_true = sum(1 for r in prefix if r["event_type"] == etype)
+        assert all(r["n_seen"] == n_true for r in snap)
+
+    # roomy k: the final cold sample IS all 3 cold events
+    cold_final = [
+        r for r in out if r["event_type"] == "cold"
+        and r["batch_hi_us"] == max(
+            x["batch_hi_us"] for x in out if x["event_type"] == "cold"
+        )
+    ]
+    assert len(cold_final) == 3
