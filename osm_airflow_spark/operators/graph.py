@@ -1181,3 +1181,85 @@ def graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("eccentricity") == F.col("diam")).alias("is_peripheral"),
         (F.col("eccentricity") == F.col("rad")).alias("is_central"),
     )
+
+
+@query("graph_hits")  # rows-only: iterative fixpoint, no SQL twin
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r14) — HITS hubs & authorities (Kleinberg 1999) on the
+    DIRECTED trade graph (supplier nation → customer nation): hubs
+    ship to many good receivers, authorities receive from many good
+    shippers — the asymmetric-role centrality PageRank's single
+    score can't separate (exporters vs importers). 16 synchronous
+    iterations of h ← A·a, a ← Aᵀ·h.
+
+    Determinism (stronger than the pagerank float contract): scores
+    live as INTEGERS scaled to 10^6 — each half-step sums exact
+    longs over in/out edges and renormalizes by the round's max via
+    integer floor-division (score·10^6 DIV max, max as a broadcast
+    1-row aggregate) — so every iteration is exact integer
+    arithmetic, bit-stable under ANY partitioning (no float
+    accumulation order anywhere); the final display scores divide by
+    10^6 once. Sums bound: 10^6 · max-degree ≤ 2^53 for any feasible
+    node fan-in.
+
+    Scale: per iteration ONE shuffle per half-step (edges ⋈ scores
+    on one side, summed on the other), lineage cut per round with
+    localCheckpoint — the pagerank/kcore loop discipline; the
+    normalizing max rides broadcast. Invariants pinned in pytest: a
+    pure star's center is the unit hub and its leaves tie as
+    authorities, scores match a pure-Python integer replica exactly,
+    and rerun + repartition stability."""
+    e = trade_edges_directed(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    scale = 1_000_000
+    auth = nodes.select("node", F.lit(scale).cast("long").alias("s"))
+    hub = None
+    for _ in range(16):
+        # h(v) = sum of a over v's out-neighbors, renormalized
+        hraw = (
+            e.join(auth, e.b == auth.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        hmax = hraw.agg(F.max("raw").alias("mx"))
+        hub = (
+            nodes.join(hraw, "node", "left")
+            .crossJoin(F.broadcast(hmax))
+            .select(
+                "node",
+                F.expr(
+                    f"COALESCE(raw, 0) * {scale} DIV mx"
+                ).cast("long").alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # a(v) = sum of h over v's in-neighbors, renormalized
+        araw = (
+            e.join(hub, e.a == hub.node)
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        amax = araw.agg(F.max("raw").alias("mx"))
+        auth = (
+            nodes.join(araw, "node", "left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "node",
+                F.expr(
+                    f"COALESCE(raw, 0) * {scale} DIV mx"
+                ).cast("long").alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    h = hub.select("node", (F.col("s") / F.lit(scale)).alias("hub"))
+    a = auth.select(
+        F.col("node").alias("anode"), (F.col("s") / F.lit(scale)).alias(
+            "authority"
+        )
+    )
+    return h.join(a, h.node == a.anode).select("node", "hub", "authority")

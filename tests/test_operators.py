@@ -2491,3 +2491,72 @@ def test_win_ulcer_index_flat_and_single_dip(spark, tmp_path):
             assert abs(r["ulcer_index"] - dipped) < 1e-12
         else:
             assert r["ulcer_index"] == 0.0
+
+
+def test_graph_hits_integer_replica_and_star(spark, sf_dir, tmp_path):
+    """(1) Third implementation on the fixture graph: the pure-Python
+    INTEGER recurrence (scaled 10^6, floor-division renormalization)
+    must reproduce every hub/authority score exactly — the key's
+    integer contract makes this an equality test, no tolerance.
+    (2) Planted star A→{B,C,D}: A is the unit hub with hub 1.0 and
+    authority 0; the leaves tie at authority 1.0 with hub 0."""
+    import datetime
+
+    from osm_airflow_spark.operators.graph import trade_edges_directed
+    from osm_airflow_spark.registry import all_queries, clear_plan_cache
+
+    SCALE = 10**6
+
+    def replica(edges, iters=16):
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        out = {v: [b for a, b in edges if a == v] for v in nodes}
+        inn = {v: [a for a, b in edges if b == v] for v in nodes}
+        a = {v: SCALE for v in nodes}
+        h = {}
+        for _ in range(iters):
+            hraw = {v: sum(a[u] for u in out[v]) for v in nodes}
+            mx = max(r for r in hraw.values() if r > 0)
+            h = {v: hraw[v] * SCALE // mx for v in nodes}
+            araw = {v: sum(h[u] for u in inn[v]) for v in nodes}
+            mx = max(r for r in araw.values() if r > 0)
+            a = {v: araw[v] * SCALE // mx for v in nodes}
+        return {v: (h[v] / SCALE, a[v] / SCALE) for v in nodes}
+
+    edges = {(r["a"], r["b"])
+             for r in trade_edges_directed(spark, sf_dir).collect()}
+    want = replica(edges)
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in all_queries()["graph_hits"](spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # planted star: supplier nation A ships to customer nations B,C,D
+    nations = [(0, "A"), (1, "B"), (2, "C"), (3, "D")]
+    spark.createDataFrame(
+        nations, "n_nationkey long, n_name string"
+    ).coalesce(1).write.parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [(1, 0)], "s_suppkey long, s_nationkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "supplier.parquet"))
+    spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "c_custkey long, c_nationkey long"
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(100, 10), (200, 20), (300, 30)],
+        "o_orderkey long, o_custkey long",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    d = datetime.date(1997, 1, 1)
+    spark.createDataFrame(
+        [(100, 1, d), (200, 1, d), (300, 1, d)],
+        "l_orderkey long, l_suppkey long, l_shipdate date",
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    clear_plan_cache()
+    star = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in all_queries()["graph_hits"](spark, str(tmp_path)).collect()
+    }
+    clear_plan_cache()
+    assert star["A"] == (1.0, 0.0)
+    for leaf in ("B", "C", "D"):
+        assert star[leaf] == (0.0, 1.0)

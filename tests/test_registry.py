@@ -54,6 +54,7 @@ def test_rows_only_keys_are_the_documented_ones():
         "llm_embed_pca",
         "llm_semdedup",
         "graph_pagerank",
+        "graph_hits",
         "llm_bpe_train",
         "llm_bpe_encode",
         "osm_ring_repair",
