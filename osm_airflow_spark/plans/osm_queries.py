@@ -2663,3 +2663,129 @@ def osm_junctions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_lat_raw") * 0.95).alias("lat"),
         (F.col("_lon_raw") * 0.95).alias("lon"),
     )
+
+
+def _polyline_enc_sql(d: str, div: str) -> str:
+    """Google encoded-polyline encoding of ONE integer delta ``d`` as
+    a SQL expression string — zigzag sign fold then base-32 chunks
+    low-to-high, continuation bit 0x20, +63 printable offset
+    (the classic algorithm, unrolled to the 6 chunks that cover
+    |delta| <= 2*180*95000 < 32^6). ``div`` is the engine's integer
+    floor-division token ('//' DuckDB, 'DIV' Spark); operands are
+    non-negative after the fold, so floor = truncate in both. The
+    SAME generated string feeds both engines (the erlang_c
+    discipline)."""
+    v = f"(CASE WHEN {d} < 0 THEN -2*({d})-1 ELSE 2*({d}) END)"
+    chars = []
+    for i in range(6):
+        p, nxt = 32**i, 32 ** (i + 1)
+        chunk = f"(({v}) {div} {p}) % 32"
+        more = f"CASE WHEN {v} >= {nxt} THEN 32 ELSE 0 END"
+        ch = f"chr(CAST(63 + {chunk} + {more} AS INT))"
+        if i == 0:
+            chars.append(ch)
+        else:
+            chars.append(f"CASE WHEN {v} >= {p} THEN {ch} ELSE '' END")
+    return "CONCAT(" + ", ".join(chars) + ")"
+
+
+@query(
+    "osm_polyline_encode",
+    oracle=f"""
+    WITH nodes AS (
+      SELECT p_partkey AS node_id,
+             ((p_partkey * 7) % 180 - 90) * 95000 AS lat5,
+             ((p_partkey * 13) % 360 - 180) * 95000 AS lon5
+      FROM part
+    ),
+    refs AS (
+      SELECT l_orderkey AS way_id, l_partkey AS node_id,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS pos
+      FROM lineitem
+    ),
+    pts AS (
+      SELECT way_id, pos, lat5, lon5,
+             lat5 - COALESCE(LAG(lat5) OVER w, 0) AS dlat,
+             lon5 - COALESCE(LAG(lon5) OVER w, 0) AS dlon
+      FROM refs JOIN nodes USING (node_id)
+      WINDOW w AS (PARTITION BY way_id ORDER BY pos)
+    ),
+    enc AS (
+      SELECT way_id, pos,
+             CONCAT({_polyline_enc_sql('dlat', '//')},
+                    {_polyline_enc_sql('dlon', '//')}) AS e
+      FROM pts
+    )
+    SELECT way_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           string_agg(e, '' ORDER BY pos) AS polyline
+    FROM enc GROUP BY way_id
+    """,
+)
+def osm_polyline_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r14) — GOOGLE ENCODED POLYLINE export of the assembled
+    ways: the compact delta/zigzag/base-32 text format every slippy-
+    map client and routing API consumes (the reference publishes
+    geometries for map rendering — README.md:70; this is the wire
+    format a tile/export sink would emit). Coordinates use the
+    fixture's deterministic node grid at 1e-5 degree precision held
+    as EXACT integers (lat·1e5 = ((k·7)%180−90)·95000 — never a
+    double), deltas chain point-to-point within each way (first
+    point deltas from the origin, the format's convention).
+
+    Determinism: the ENTIRE encode is integer arithmetic and chr()
+    on 63..126 — the per-delta chunk expansion is one generated SQL
+    string shared by both engines (the erlang_c discipline), the
+    in-way ordering is the assembly (pos) tie-broken order, and the
+    final string is an ORDERED aggregation
+    (array_sort(collect_list(struct)) / string_agg ORDER BY — the
+    collections rule). A pure-Python classic encoder replica pins a
+    third implementation in pytest.
+
+    Scale + lint: the same refs⋈nodes resolution join as
+    osm_assemble_ways (node dim co-keyed), per-way windows (bounded
+    partitions — the F-family contract), one final groupBy(way) —
+    no global window, no collects; output strings are ~2 bytes per
+    5-digit chunk, the format's point."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    nodes = p.select(
+        F.col("p_partkey").alias("node_id"),
+        (((F.col("p_partkey") * 7) % 180 - 90) * 95000).alias("lat5"),
+        (((F.col("p_partkey") * 13) % 360 - 180) * 95000).alias("lon5"),
+    )
+    wq = Window.partitionBy("way_id").orderBy("l_linenumber", "node_id")
+    refs = li.select(
+        F.col("l_orderkey").alias("way_id"),
+        F.col("l_partkey").alias("node_id"),
+        "l_linenumber",
+    ).withColumn("pos", F.row_number().over(wq))
+    pts = refs.join(nodes, "node_id")
+    wl = Window.partitionBy("way_id").orderBy("pos")
+    pts = pts.select(
+        "way_id", "pos",
+        (F.col("lat5") - F.coalesce(F.lag("lat5").over(wl), F.lit(0)))
+        .alias("dlat"),
+        (F.col("lon5") - F.coalesce(F.lag("lon5").over(wl), F.lit(0)))
+        .alias("dlon"),
+    )
+    enc = pts.select(
+        "way_id", "pos",
+        F.expr(
+            f"CONCAT({_polyline_enc_sql('dlat', 'DIV')},"
+            f" {_polyline_enc_sql('dlon', 'DIV')})"
+        ).alias("e"),
+    )
+    return enc.groupBy("way_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "e"))),
+                lambda s: s["e"],
+            ),
+            "",
+        ).alias("polyline"),
+    )

@@ -3074,3 +3074,51 @@ def test_skyline_hand_dominance(spark, tmp_path):
     )
     want = con.execute(ORACLES["pipeline_skyline"]).fetchall()
     assert sorted(tuple(r) for r in got) == sorted(tuple(w) for w in want)
+
+
+def test_osm_polyline_encode_matches_classic_encoder(spark, sf_dir):
+    """Third implementation: the textbook polyline encoder (zigzag,
+    5-bit chunks, continuation bit, +63) — first validated against
+    Google's published example — must reproduce every way's polyline
+    exactly from the same integer coordinate grid."""
+    from osm_airflow_spark.registry import all_queries
+
+    def classic(coords_e5):
+        out, plat, plon = [], 0, 0
+        for lat5, lon5 in coords_e5:
+            for d in (lat5 - plat, lon5 - plon):
+                v = ~(d << 1) if d < 0 else (d << 1)
+                while v >= 0x20:
+                    out.append(chr((0x20 | (v & 31)) + 63))
+                    v >>= 5
+                out.append(chr(v + 63))
+            plat, plon = lat5, lon5
+        return "".join(out)
+
+    # Google's documented example pins the replica itself
+    assert classic(
+        [(3850000, -12020000), (4070000, -12095000), (4325200, -12645300)]
+    ) == "_p~iF~ps|U_ulLnnqC_mqNvxq`@"
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    ).collect()
+    ways: dict = {}
+    for r in li:
+        ways.setdefault(r["l_orderkey"], []).append(
+            (r["l_linenumber"], r["l_partkey"])
+        )
+    want = {}
+    for wid, refs in ways.items():
+        coords = [
+            (((k * 7) % 180 - 90) * 95000, ((k * 13) % 360 - 180) * 95000)
+            for _, k in sorted(refs)
+        ]
+        want[wid] = (len(coords), classic(coords))
+    got = {
+        r["way_id"]: (r["n_points"], r["polyline"])
+        for r in all_queries()["osm_polyline_encode"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want and len(got) > 0
