@@ -2469,3 +2469,98 @@ def win_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dd_pct",
         F.sqrt(F.col("ssq").cast("double") / 14.0).alias("ulcer_index"),
     )
+
+
+@query(
+    "win_parkinson",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS hi_c,
+             CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS lo_c
+      FROM orders GROUP BY 1
+    ),
+    terms AS (
+      SELECT day,
+             ln(CAST(hi_c AS DOUBLE) / lo_c) AS log_range,
+             CAST(round(ln(CAST(hi_c AS DOUBLE) / lo_c)
+                        * ln(CAST(hi_c AS DOUBLE) / lo_c), 6)
+                  AS DECIMAL(18,6)) AS sq
+      FROM daily
+    ),
+    frame AS (
+      SELECT a.day, a.log_range,
+             CAST(SUM(b.sq) AS DECIMAL(24,6)) AS ssq, COUNT(*) AS n
+      FROM terms a JOIN terms b
+        ON b.day BETWEEN a.day - INTERVAL 13 DAY AND a.day
+      GROUP BY a.day, a.log_range
+      HAVING COUNT(*) = 14
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           round(log_range, 6) AS log_range,
+           sqrt(CAST(ssq AS DOUBLE) / 14.0 * 0.360673760222241)
+             AS parkinson_sigma
+    FROM frame
+    """,
+)
+def win_parkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext (r14) — PARKINSON (1980) high-low range volatility over
+    the daily series: sigma_P = sqrt(mean(ln(hi/lo)^2) / (4 ln 2))
+    on a trailing 14-calendar-day frame — the range-based estimator
+    that is ~5x more statistically efficient than close-to-close
+    variance at the same horizon, completing the volatility family
+    (ATR measures the range in PRICE units, Bollinger close-to-close
+    dispersion, ulcer downside-only; Parkinson is the LOG-range
+    variance estimator proper). hi > 0 always; a flat day
+    contributes ln(1)^2 = 0.
+
+    Determinism: the daily log-range is libm ln of ONE shared IEEE
+    division of exact cents, emitted ROUNDED at the transcendental
+    (JVM Math.log and C libm disagree by 1 ulp on real fixture
+    inputs — measured on this key's draft); its square
+    is pre-rounded to 6 dp and decimal-summed (term rule — the
+    square of an agreed transcendental image cannot systematically
+    sit on rounding midpoints, unlike terminating products; r14
+    SCALE ledger); 1/(4 ln 2) rides as the 15-digit literal
+    0.360673760222241 (no second libm site) and sqrt is
+    IEEE-correctly-rounded.
+
+    Scale + lint: the donchian single bounded calendar self-join
+    (broadcast, days-bounded); daily localCheckpointed once; no
+    global window."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(
+        (F.max(price) * 100).cast("long").alias("hi_c"),
+        (F.min(price) * 100).cast("long").alias("lo_c"),
+    )
+    lnr = F.log(F.col("hi_c").cast("double") / F.col("lo_c"))
+    terms = daily.select(
+        "day",
+        lnr.alias("log_range"),
+        F.round(lnr * lnr, 6).cast("decimal(18,6)").alias("sq"),
+    ).localCheckpoint(eager=True)  # both frame legs
+    b = terms.select(F.col("day").alias("bday"), F.col("sq").alias("bsq"))
+    frame = (
+        terms.join(
+            F.broadcast(b),
+            F.col("bday").between(F.date_sub(F.col("day"), 13), F.col("day")),
+        )
+        .groupBy("day", "log_range")
+        .agg(
+            F.sum("bsq").cast("decimal(24,6)").alias("ssq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") == 14)
+    )
+    return frame.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("log_range", 6).alias("log_range"),
+        F.sqrt(
+            F.col("ssq").cast("double") / 14.0 * 0.360673760222241
+        ).alias("parkinson_sigma"),
+    )

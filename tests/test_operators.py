@@ -2560,3 +2560,60 @@ def test_graph_hits_integer_replica_and_star(spark, sf_dir, tmp_path):
     assert star["A"] == (1.0, 0.0)
     for leaf in ("B", "C", "D"):
         assert star[leaf] == (0.0, 1.0)
+
+
+def test_win_parkinson_flat_and_constant_range(spark, tmp_path):
+    """Closed forms: days where hi = lo (one order/day) have
+    log_range 0 and sigma 0; a series with every day spanning
+    exactly 100→200 (two orders) reads log_range = ln 2 and
+    sigma = sqrt(round(ln2², 6)·/(4 ln 2)) on every full frame.
+    Oracle replayed on both fixtures."""
+    import datetime
+    import math
+
+    import duckdb
+
+    from osm_airflow_spark.registry import ORACLES, QUERIES, clear_plan_cache
+
+    def build(base, two_level):
+        base.mkdir()
+        d0 = datetime.date(2024, 1, 1)
+        rows, ok = [], 1
+        for i in range(20):
+            d = d0 + datetime.timedelta(days=i)
+            rows.append((ok, d, 100.0)); ok += 1
+            if two_level:
+                rows.append((ok, d, 200.0)); ok += 1
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+        ).coalesce(1).write.parquet(str(base / "orders.parquet"))
+
+    def run(base):
+        clear_plan_cache()
+        got = QUERIES["win_parkinson"](spark, str(base)).collect()
+        clear_plan_cache()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM read_parquet("
+            f"'{base}/orders.parquet/*.parquet')"
+        )
+        want = con.execute(ORACLES["win_parkinson"]).fetchall()
+        assert sorted(tuple(r) for r in got) == sorted(
+            tuple(w) for w in want
+        )
+        return got
+
+    build(tmp_path / "flat", two_level=False)
+    flat = run(tmp_path / "flat")
+    assert len(flat) == 7  # days 14..20
+    assert all(r["log_range"] == 0.0 and r["parkinson_sigma"] == 0.0
+               for r in flat)
+
+    build(tmp_path / "span", two_level=True)
+    span = run(tmp_path / "span")
+    assert len(span) == 7
+    sq6 = round(math.log(2.0) ** 2, 6)  # ln2² is far from a midpoint
+    want_sigma = math.sqrt(sq6 * 0.360673760222241)
+    for r in span:
+        assert abs(r["log_range"] - math.log(2.0)) < 1e-6
+        assert abs(r["parkinson_sigma"] - want_sigma) < 1e-12

@@ -242,6 +242,11 @@ ROUND_AUDITED = {
     "of an agreed shared-IEEE-tree double; a quotient's square cannot sit "
     "on an exact 7-dp midpoint, so the 6-dp pre-round is engine-agreed — "
     "decimal-summed; sqrt is IEEE-correctly-rounded)",
+    "win_parkinson": "libm (ln of the agreed cent-ratio double — JVM vs "
+    "C libm differ by 1 ulp on real inputs, measured on this key's draft — "
+    "emitted rounded at the transcendental) + term (its square pre-rounded "
+    "to 6 dp, decimal-summed; the 1/(4 ln 2) constant is a 15-digit "
+    "literal, no second libm site)",
     "llm_rake_keywords": "term (deg/freq word scores — single agreed IEEE "
     "quotients of exact BIGINTs — pre-rounded to 6 dp and decimal-summed "
     "per phrase, so the unordered word-instance sum is order-free; the "
