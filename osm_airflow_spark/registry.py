@@ -164,9 +164,17 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # #2): the remaining r8-proof cohort — win_time_tumbling,
 # win_time_sliding, win_time_session (operators/timewindows.py), then
 # the five K-block keys llm_dedup_exact, llm_dedup_near (rows-only),
-# llm_sim_pairwise, llm_sim_topk, llm_text_stats — followed by any
-# keys round 14 adds. Staleness computed from CORRECTNESS_r01-r13
-# (newest proof round per key).
+# llm_sim_pairwise, llm_sim_topk, llm_text_stats — followed by the
+# round-14 additions, oldest first: the first-stretch five (win_cci,
+# pipeline_cpk, pipeline_safety_stock, pipeline_grubbs,
+# pipeline_wilson_ci), then the continuation's seventeen
+# (pipeline_mcnemar, pipeline_cochran_q, graph_reciprocity,
+# graph_eccentricity, win_mfi, win_macd, pipeline_nrr,
+# pipeline_erlang_c, win_ulcer_index, pipeline_price_index,
+# llm_pmi_collocations, pipeline_skyline, llm_rake_keywords,
+# graph_hits (rows-only), osm_polyline_encode, win_parkinson).
+# Staleness computed from CORRECTNESS_r01-r13 (newest proof round
+# per key).
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
