@@ -172,28 +172,99 @@ def minhash_lsh_pairs(
        keep pairs ≥ threshold.
     """
     banded = banded_signature_rows(docs, n_hashes, n_bands, shingle_n)
-    bucket_w = Window.partitionBy("band_idx", "band_hash")
-    banded = banded.withColumn("bucket_n", F.count(F.lit(1)).over(bucket_w))
-    if observation is not None:
-        over = F.col("bucket_n") > max_bucket
-        banded = banded.observe(
-            observation,
-            F.count(F.when(over, 1)).alias("lsh_rows_skipped"),
-            F.approx_count_distinct(
-                F.when(over, F.concat_ws(":", "band_idx", "band_hash"))
-            ).alias("lsh_buckets_skipped_approx"),
-        )
-    banded = banded.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
 
     # Pairs come from collecting each bucket and generating (i < j)
     # combinations IN-ARRAY — not a self-equi-join, which would
     # re-execute the whole shingle+minhash subtree for the second
     # side (this build never reuses exchanges; SCALE.md round-4
-    # ledger). Safe to collect: the mega-bucket cap above bounds
-    # every array at max_bucket members, and it ran BEFORE this
-    # collect precisely so a degenerate bucket can never materialize.
-    # The groupBy reuses the bucket window's (band_idx, band_hash)
-    # partitioning — no additional exchange.
+    # ledger). The mega-bucket cap is a size filter on the collected
+    # array (r14: it was a count-over-(band, hash) Window BEFORE the
+    # groupBy — same survivors, but that paid an extra Sort of every
+    # banded row just to drop whole buckets the aggregate already
+    # materializes; guide §2.4). Bounded state either way: a bucket's
+    # members list tops out at the bucket's doc count, and degenerate
+    # buckets are dropped as one array instead of row-by-row.
+    #
+    # The OBSERVED variant keeps the r13 formulation verbatim
+    # (per-row Window cap, dedup-then-score): when every candidate is
+    # capped away, AQE's empty-relation propagation rewrites the
+    # now-empty subtree to an empty LocalRelation and the
+    # CollectMetrics node vanishes with it — ``observation.get`` then
+    # fails instead of reporting the drop counts (measured, this
+    # build; SCALE.md round-14 optimization ledger). The r13 plan
+    # happens to survive that rewrite, so monitored runs keep it and
+    # pay its extra Sorts; the hot path (observation=None — the
+    # registered key, clustering, streaming ingest) takes the
+    # window-free plan below.
+    if observation is not None:
+        return _lsh_pairs_observed(
+            banded, observation, n_hashes, threshold, max_bucket
+        )
+    buckets = banded.groupBy("band_idx", "band_hash").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("members")
+    )
+    buckets = buckets.where(
+        (F.size("members") >= 2) & (F.size("members") <= max_bucket)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "members",
+                lambda x, i: F.transform(
+                    F.slice(F.col("members"), i + 2, F.size("members")),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    )
+    # Score each candidate occurrence IN the bucket partition, filter,
+    # THEN dedup (doc_a, doc_b) — a pair's est_jaccard is a pure
+    # function of its two full signatures, so every band that emits
+    # the pair emits the same score and distinct() on the scored row
+    # equals the old dedup-then-score. This turns the pair exchange
+    # from first(sig)-over-(pair) SortAggregates carrying two
+    # 16-element arrays into a plain HashAggregate distinct over
+    # (long, long, double), and only pairs ≥ threshold are shuffled
+    # at all (guide §2.3: aggregate before you shuffle, shuffle keys
+    # not payloads).
+    est = est_jaccard_expr(
+        F.col("p.a.sig"), F.col("p.b.sig"), N_MINHASH if n_hashes is None else n_hashes
+    )
+    return (
+        buckets.select(pair.alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            est.alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .distinct()
+    )
+
+
+def _lsh_pairs_observed(
+    banded: DataFrame,
+    observation,
+    n_hashes: int,
+    threshold: float,
+    max_bucket: int,
+) -> DataFrame:
+    """The r13 minhash_lsh_pairs tail, kept for observed runs only —
+    same rows as the fast path (proven by the shared fixture tests);
+    its per-row Window cap and first(sig) dedup survive AQE
+    empty-relation propagation when the cap drops everything, which
+    the fast path's deterministic distinct() does not (see caller)."""
+    bucket_w = Window.partitionBy("band_idx", "band_hash")
+    banded = banded.withColumn("bucket_n", F.count(F.lit(1)).over(bucket_w))
+    over = F.col("bucket_n") > max_bucket
+    banded = banded.observe(
+        observation,
+        F.count(F.when(over, 1)).alias("lsh_rows_skipped"),
+        F.approx_count_distinct(
+            F.when(over, F.concat_ws(":", "band_idx", "band_hash"))
+        ).alias("lsh_buckets_skipped_approx"),
+    )
+    banded = banded.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
     buckets = (
         banded.groupBy("band_idx", "band_hash")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("members"))
@@ -220,11 +291,9 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-
-    est = est_jaccard_expr("sig_a", "sig_b", N_MINHASH if n_hashes is None else n_hashes)
-    return (
-        candidates.select("doc_a", "doc_b", est.alias("est_jaccard"))
-        .where(F.col("est_jaccard") >= threshold)
+    est = est_jaccard_expr("sig_a", "sig_b", n_hashes)
+    return candidates.select("doc_a", "doc_b", est.alias("est_jaccard")).where(
+        F.col("est_jaccard") >= threshold
     )
 
 

@@ -230,26 +230,47 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D9 — as-of join: latest snapshot ≤ a point in time — the
     relational form of the reference's ``--pgosm-date`` pinning
-    (osm_etl.py:13). Implemented as join + max(struct): the struct
-    max is lexicographic (orderdate, then orderkey — the same
-    deterministic tie-break as a DESC/DESC window) but aggregates
-    map-side, so the shuffle carries one row per event instead of
-    one per (event × matching order) — the shape that survives a
-    deep history at 100 TB. The window-rank formulation is what the
-    oracle states; results are identical."""
+    (osm_etl.py:13). Implemented as join + max over a single
+    lexicographic encoding: (orderdate, orderkey) packs into ONE
+    decimal(38,0) as epoch_µs·10¹⁸ + orderkey, whose numeric order
+    equals the (orderdate, orderkey) struct order (both components
+    non-negative, orderkey < 10¹⁸ — epoch µs tops out at ~4·10¹⁵ for
+    year-2100 dates, so the product stays under 10³⁵ ≪ 10³⁸). The
+    aggregate still map-side-combines, so the shuffle carries one
+    row per event instead of one per (event × matching order) — and
+    unlike the r13 max(STRUCT(...)) form the buffer is a fixed-width
+    decimal, so the whole aggregation is a HashAggregate instead of
+    SortAggregate + a full Sort of the join-multiplied rows on each
+    side of the exchange (r14, guide §1.2 step 2; plans/r14
+    before/after). The window-rank formulation is what the oracle
+    states; results are identical (decode is exact integer div/mod,
+    and the session TZ is pinned UTC so the NTZ↔TZ casts round-trip
+    bit-exactly)."""
     e = load_table(spark, sf_dir, "events")
     o = load_table(spark, sf_dir, "orders")
-    best = F.max(F.struct("o_orderdate", "o_orderkey")).alias("best")
+    ten18 = F.lit(1_000_000_000_000_000_000).cast("decimal(38,0)")
+    enc = (
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).cast("decimal(38,0)") * ten18
+        + F.col("o_orderkey")
+    ).alias("enc")
     return (
         e.join(o, (F.col("o_custkey") == F.col("user_id")) & (F.col("o_orderdate") <= F.col("ts")))
+        .select("event_id", "ts", "user_id", enc)
         .groupBy("event_id", "ts", "user_id")
-        .agg(best)
+        .agg(F.max("enc").alias("best"))
         .select(
             "event_id",
             "ts",
             "user_id",
-            F.col("best.o_orderkey").alias("asof_orderkey"),
-            F.col("best.o_orderdate").alias("asof_orderdate"),
+            (F.col("best") % ten18).cast("long").alias("asof_orderkey"),
+            # divide only the exact multiple (best - best % 10¹⁸) so the
+            # decimal division has zero remainder — no scale rounding to
+            # reason about, the long cast is exact by construction
+            F.timestamp_micros(
+                ((F.col("best") - F.col("best") % ten18) / ten18).cast("long")
+            )
+            .cast("timestamp_ntz")
+            .alias("asof_orderdate"),
         )
     )
 

@@ -88,13 +88,18 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4 — union with duplicate elimination (same element arriving
-    from overlapping extracts)."""
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderpriority", "o_orderstatus"
+    from overlapping extracts). UNION's dedup makes the two branches
+    algebraically one: distinct(σ_F(t) ⊎ σ_O(t)) = distinct(σ_{F∨O}(t)),
+    so the engine plan reads the table ONCE with a pushed IN filter
+    instead of two scans feeding a Union (r14, guide §2.4 — this
+    build never shares scan subtrees, so the two-branch form really
+    paid the scan twice; the oracle keeps the UNION spelling)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderstatus").isin("F", "O"))
+        .select("o_custkey", "o_orderpriority")
+        .distinct()
     )
-    left = o.where(F.col("o_orderstatus") == "F").select("o_custkey", "o_orderpriority")
-    right = o.where(F.col("o_orderstatus") == "O").select("o_custkey", "o_orderpriority")
-    return left.union(right).distinct()
 
 
 @query(
