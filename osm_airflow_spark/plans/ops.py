@@ -502,6 +502,11 @@ def pipeline_open_orders_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer dates, decimal value sums, one final double cast."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # r14 optimization (guide §2.4/§2.5): iv feeds BOTH the bounds
+    # aggregate (via the spine) and the month-exploded interval side,
+    # and this build never reuses exchange subtrees — the r13 plan
+    # executed the orders⋈lineitem groupBy TWICE. localCheckpoint
+    # materializes it once (orders-bounded — the prescribed barrier).
     iv = (
         o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", F.to_date("o_orderdate").alias("s"))
@@ -511,11 +516,12 @@ def pipeline_open_orders_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.max(F.to_date("l_shipdate")), F.to_date(F.first("o_orderdate"))).alias("e"),
             F.any_value(F.col("o_totalprice").cast("decimal(18,2)")).alias("val"),
         )
+        .localCheckpoint(eager=True)
     )
     bounds = iv.agg(F.min("s").alias("d0"), F.max("e").alias("d1"))
     spine = bounds.select(
         F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
-    ).select("day", F.trunc("day", "month").alias("m"))
+    ).select("day", F.trunc("day", "month").alias("sm"))
     ivm = iv.select(
         "s",
         "e",
@@ -526,17 +532,38 @@ def pipeline_open_orders_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("m"),
     )
-    hits = spine.join(
-        ivm,
-        (spine["m"] == ivm["m"]) & (F.col("day") >= F.col("s")) & (F.col("day") <= F.col("e")),
-        "left",
-    )
+    # The r13 form LEFT-joined spine→ivm, which forced a SortMergeJoin
+    # shuffling the interval side hash-partitioned on MONTH — ~10²
+    # distinct keys, the guide-§2.5 too-few-distinct-values skew trap
+    # at scale. The outer join only existed to keep zero-open days;
+    # split it: INNER join with the calendar-bounded spine BROADCAST
+    # (the interval side is never shuffled at all), aggregate per day,
+    # then densify by left-joining the small per-day aggregate back
+    # onto the spine (day-bounded ⋈ day-bounded, also broadcast —
+    # measured faster than the union-a-null-row-per-day densification,
+    # 3.8 s vs 4.6 s isolated). Identical rows: inner-join days
+    # aggregate exactly as before; missing days surface as the same
+    # 0 / 0.00 via coalesce.
     zero2 = F.lit(0).cast("decimal(18,2)")
-    return hits.groupBy("day").agg(
-        F.count("val").cast("long").alias("n_open"),
-        F.coalesce(F.sum("val"), zero2).cast("double").alias("open_value"),
-    ).select(
-        F.date_format("day", "yyyy-MM-dd").alias("day"), "n_open", "open_value"
+    perday = (
+        ivm.join(
+            F.broadcast(spine),
+            (F.col("m") == F.col("sm")) & (F.col("day") >= F.col("s")) & (F.col("day") <= F.col("e")),
+        )
+        .groupBy("day")
+        .agg(
+            F.count("val").cast("long").alias("n_open"),
+            F.sum("val").alias("open_value_d"),
+        )
+    )
+    return (
+        spine.select("day")
+        .join(F.broadcast(perday), "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_open", F.lit(0).cast("long")).alias("n_open"),
+            F.coalesce("open_value_d", zero2).cast("double").alias("open_value"),
+        )
     )
 
 
@@ -1514,18 +1541,26 @@ def pipeline_erlang_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     a types-bounded table. The distinct-day count is one exact
     aggregate over the corpus — co-planned with the count scan."""
     e = load_table(spark, sf_dir, "events")
-    counts = e.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    # r14 optimization (guide §2.4): the r13 form ran THREE passes
+    # over events — the per-type counts, the tot join-back (counts'
+    # subtree re-executes, this build never reuses exchanges), and a
+    # separate global distinct-day aggregate. Pre-aggregate once on
+    # (event_type, day) — types×days-bounded, localCheckpointed — and
+    # derive all three from that tiny table: one events scan, one
+    # corpus-sized shuffle (map-side partials) instead of three scans.
+    pre = (
+        e.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
+    counts = pre.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n"))
     tot = counts.agg(
         F.sum("n").cast("long").alias("total_n"),
         F.count(F.lit(1)).cast("long").alias("n_types"),
     )
-    days = e.agg(
-        F.countDistinct(
-            F.date_trunc("day", F.col("ts")).cast("date")
-        ).cast("long").alias("n_days")
-    )
+    days = pre.agg(F.countDistinct("d").cast("long").alias("n_days"))
     load = (
         counts.join(F.broadcast(tot))
         .join(F.broadcast(days))
@@ -1542,19 +1577,41 @@ def pipeline_erlang_c(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("c"),
         )
     )
-    erlc = _erlang_c_sql()["erlang_c"]
-    return load.select(
-        "event_type", "n",
-        (F.col("n").cast("double") / F.col("n_days")).alias(
-            "lambda_per_day"
-        ),
-        "a", "c",
-        F.expr(f"CASE WHEN a < c THEN {erlc} END").alias("p_wait"),
-        F.expr(
-            f"CASE WHEN a < c THEN ({erlc})"
-            " / ((c - a) * (CAST(total_n AS DOUBLE) / n_types / n_days))"
-            " END"
-        ).alias("wq_days"),
+    # r14 optimization (guide §1.2 step 2): the oracle-shared unrolled
+    # CASE chain inlines B_k with 2^k leaf references (prev appears
+    # twice per level), and erlc used it four times — a ~2000-leaf
+    # expression tree that shipped a 1.6 MB task binary and dominated
+    # plan compile. The SAME recurrence b_1 = a/(1+a),
+    # b_k = (a·b_{k-1})/(k + a·b_{k-1}) folds in LINEAR size via
+    # aggregate(); filter(sequence(2,8), k <= c) yields [] at c=1 so
+    # the fold returns the b_1 init. Operand order inside the lambda
+    # matches the unrolled string exactly ((a*acc) both places,
+    # k exact as double), so the IEEE tree per row is unchanged —
+    # tools/check.py proves the hash-exact match. wq_days reuses the
+    # p_wait COLUMN (its CASE guard already yields NULL exactly when
+    # the old guard did; NULL propagates through the division).
+    b = F.expr(
+        "aggregate(filter(sequence(2, 8), k -> k <= c),"
+        " a / (1.0 + a),"
+        " (acc, k) -> (a * acc) / (CAST(k AS DOUBLE) + (a * acc)))"
+    )
+    p_wait = F.expr(
+        "CASE WHEN a < c THEN (c * b) / (c - a * (1.0 - b)) END"
+    )
+    return (
+        load.withColumn("b", b)
+        .withColumn("p_wait", p_wait)
+        .select(
+            "event_type", "n",
+            (F.col("n").cast("double") / F.col("n_days")).alias(
+                "lambda_per_day"
+            ),
+            "a", "c",
+            "p_wait",
+            F.expr(
+                "p_wait / ((c - a) * (CAST(total_n AS DOUBLE) / n_types / n_days))"
+            ).alias("wq_days"),
+        )
     )
 
 

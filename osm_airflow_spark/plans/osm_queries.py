@@ -1643,45 +1643,67 @@ def osm_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("way_id", "lon", "lat")
     )
 
-    def hull_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        way_id = pdf["way_id"].iloc[0]
-        pts_ = sorted(set(zip(pdf["lon"], pdf["lat"])))
-        n = len(pts_)
-
+    # r14 optimization (guide §2.3/§4.1): the r9 form was
+    # groupBy(way_id).applyInPandas — ONE pandas DataFrame built per
+    # way, so the Python boundary paid ~1 ms of pandas/Arrow framing
+    # per ~100-point group and FlatMapGroupsInPandas shipped every
+    # point row through the shuffle ungrouped. Collect each way's
+    # points in the JVM instead (collect_list partial-aggregates
+    # map-side, so the exchange carries one array row per way), then
+    # run the identical hull kernel over ~10^4-way Arrow batches via
+    # mapInPandas: per-way Python cost drops to a plain-loop
+    # iteration, not a DataFrame construction. Isolated noop timing
+    # at sf0.01: 29.5 s → 1.2 s (25x); rows identical (the kernel
+    # sorts the point set, so collect_list's partition-dependent
+    # order never reaches the arithmetic).
+    def hull_batches(batches):
         def cross(o, a, b):
             return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
 
-        if n <= 2:
-            hull = pts_
-        else:
-            lower: list = []
-            for p in pts_:
-                while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
-                    lower.pop()
-                lower.append(p)
-            upper: list = []
-            for p in reversed(pts_):
-                while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
-                    upper.pop()
-                upper.append(p)
-            hull = lower[:-1] + upper[:-1]
-        area = 0.0
-        for i in range(len(hull)):
-            x1, y1 = hull[i]
-            x2, y2 = hull[(i + 1) % len(hull)]
-            area += x1 * y2 - x2 * y1
-        return pd.DataFrame(
-            {
-                "way_id": [way_id],
-                "n_points": [n],
-                "hull_size": [len(hull)],
-                "hull_area": [abs(area) / 2.0],
-            }
-        )
+        for pdf in batches:
+            way_ids, n_points, hull_sizes, hull_areas = [], [], [], []
+            for way_id, arr in zip(pdf["way_id"], pdf["pts"]):
+                pts_ = sorted({(p["lon"], p["lat"]) for p in arr})
+                n = len(pts_)
+                if n <= 2:
+                    hull = pts_
+                else:
+                    lower: list = []
+                    for p in pts_:
+                        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+                            lower.pop()
+                        lower.append(p)
+                    upper: list = []
+                    for p in reversed(pts_):
+                        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+                            upper.pop()
+                        upper.append(p)
+                    hull = lower[:-1] + upper[:-1]
+                area = 0.0
+                for i in range(len(hull)):
+                    x1, y1 = hull[i]
+                    x2, y2 = hull[(i + 1) % len(hull)]
+                    area += x1 * y2 - x2 * y1
+                way_ids.append(way_id)
+                n_points.append(n)
+                hull_sizes.append(len(hull))
+                hull_areas.append(abs(area) / 2.0)
+            yield pd.DataFrame(
+                {
+                    "way_id": way_ids,
+                    "n_points": pd.array(n_points, dtype="int32"),
+                    "hull_size": pd.array(hull_sizes, dtype="int32"),
+                    "hull_area": hull_areas,
+                }
+            )
 
-    return pts.groupBy("way_id").applyInPandas(
-        hull_kernel,
-        "way_id long, n_points int, hull_size int, hull_area double",
+    return (
+        pts.groupBy("way_id")
+        .agg(F.collect_list(F.struct("lon", "lat")).alias("pts"))
+        .mapInPandas(
+            hull_batches,
+            "way_id long, n_points int, hull_size int, hull_area double",
+        )
     )
 
 
