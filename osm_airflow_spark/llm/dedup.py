@@ -24,7 +24,7 @@ from __future__ import annotations
 from functools import reduce
 
 from pyspark.errors import AnalysisException
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from osm_airflow_spark.io import load_table
@@ -528,6 +528,7 @@ def cluster_pairs(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", ma
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)  # round 1 reads it three times
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -539,6 +540,7 @@ def cluster_pairs(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", ma
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
                     "label"
                 ),
@@ -548,24 +550,33 @@ def cluster_pairs(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", ma
         # label, collapsing chains in O(log diameter) rounds instead
         # of O(diameter)
         via = labels.select(F.col("node").alias("l_node"), F.col("label").alias("l_label"))
+        # r14 (guide §1.1/§1.2): the old loop ran TWO jobs per round —
+        # a changed-count probe that executed the round's full join
+        # lineage, then an eager checkpoint that executed it AGAIN.
+        # Carry the previous label through the round and let an
+        # .observe() metric count changes DURING the checkpoint action:
+        # one job per round, the whole lineage runs exactly once.
+        obs = Observation()
         new_labels = (
             stepped.join(via, stepped["label"] == via["l_node"], "left")
             .select(
                 "node",
+                "old_label",
                 F.least(F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))).alias(
                     "label"
                 ),
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("label") != F.col("old_label")).cast("long")
+                ).alias("changed"),
+            )
+            .select("node", "label")
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.localCheckpoint(eager=True)  # cut the lineage per round
-        if changed == 0:
+        labels = new_labels
+        if not obs.get["changed"]:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
@@ -593,8 +604,17 @@ def cluster_pairs_star(
     * converged when the canonical edge set stops changing — then
       every component is a star centered at its minimum, and labels
       read directly off the adjacency."""
+    # r14 (guide §1.2/§2.4): state is kept CANONICAL ((max, min) per
+    # undirected edge) across rounds. sym() only depends on the
+    # undirected edge set — sym(canon(e)) == sym(e) for self-loop-free
+    # e — so the star steps are unchanged, while the convergence probe
+    # compares two already-canonical checkpointed sets instead of
+    # re-running canon (two distinct exchanges per side) every round.
     edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
         .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
@@ -602,11 +622,6 @@ def cluster_pairs_star(
 
     def sym(e: DataFrame) -> DataFrame:
         return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-
-    def canon(e: DataFrame) -> DataFrame:
-        return e.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
 
     def large_star(s: DataFrame) -> DataFrame:
         mins = (
@@ -637,14 +652,26 @@ def cluster_pairs_star(
             .distinct()
         )
 
+    n_edges = edges.count()
     for _ in range(max_iter):
-        stepped = small_star(sym(large_star(sym(edges)))).localCheckpoint(eager=True)
-        delta = (
-            canon(stepped).exceptAll(canon(edges)).limit(1).count()
-            + canon(edges).exceptAll(canon(stepped)).limit(1).count()
+        # small_star's output is already canonical: both its legs
+        # emit (a, b) with a > b (re-attach: b = min Γ<(u) ≤ v = a;
+        # center: b = min Γ<(u) < u = a) and it ends in distinct()
+        stepped = small_star(sym(large_star(sym(edges)))).localCheckpoint(
+            eager=True
         )
-        edges = stepped
-        if delta == 0:
+        # set-equality probe on canonical sets: when the sizes differ
+        # the sets differ (no exceptAll needed at all); when they
+        # match, |A| = |B| ∧ A∖B = ∅ ⟺ A = B, so ONE one-sided
+        # exceptAll over the two checkpointed sets settles it — the
+        # old probe ran exceptAll BOTH ways and re-ran canon (two
+        # distinct exchanges per side) inside each.
+        n_stepped = stepped.count()
+        changed = n_stepped != n_edges or bool(
+            stepped.exceptAll(edges).limit(1).count()
+        )
+        edges, n_edges = stepped, n_stepped
+        if not changed:
             break
 
     s = sym(edges)
@@ -717,18 +744,36 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(e, k=8, iters=2)
 
-    dist2 = F.aggregate(
-        F.zip_with(_as_double("embedding"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    # r14 (guide §2.4): assignment is an in-row argmin over the
+    # broadcast centroid array — array_min of struct<dist_to_cent,
+    # cent_id> is the identical (dist, cent_id) order the old
+    # per-vector row_number window used (same zip_with/aggregate
+    # IEEE fold), and the corpus-wide Exchange+Sort is gone.
+    cents_arr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cvec"))).alias("cents")
     )
-    best = Window.partitionBy("vec_id").orderBy(F.col("dist_to_cent"), F.col("cent_id"))
+    emb_d = _as_double("embedding")
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(emb_d, c["cvec"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("dist_to_cent"),
+                c["cent_id"].alias("cent_id"),
+            ),
+        )
+    )
     assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cent_id", dist2.alias("dist_to_cent"))
-        .withColumn("rn", F.row_number().over(best))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        e.crossJoin(F.broadcast(cents_arr))
+        .select(
+            "vec_id",
+            "embedding",
+            best["cent_id"].alias("cent_id"),
+            best["dist_to_cent"].alias("dist_to_cent"),
+        )
         .localCheckpoint(eager=True)  # cut the Lloyd lineage once; reused 3×
     )
 

@@ -65,24 +65,45 @@ def l2sq_expr(a, b) -> Column:
     )
 
 
+def centroid_array(centroids: DataFrame, id_name: str = "cent_id", vec_name: str = "cvec") -> DataFrame:
+    """Fold a tiny (id, vec) centroid/codebook table into ONE sorted
+    array row for broadcast — the in-row argmin/top-k pattern
+    (r14, guide §2.4): ranking against k broadcast centroids needs
+    no per-vector window, so the corpus-wide Exchange+Sort the old
+    row_number formulation paid disappears into a narrow map."""
+    return centroids.agg(
+        F.array_sort(F.collect_list(F.struct(id_name, vec_name))).alias("cents")
+    )
+
+
 def probe_selection(qv: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
     """(query_id, qvec) × (cent_id, cvec) → each query's nprobe
     nearest centroids: the probe-ranking block both batch ANN routes
     share (llm_sim_topk_batch, query_ivf_index_batch — r10 review:
     a tie-break or pruning fix must not be able to drift between
-    them). One N×k broadcast product, one per-query window."""
-    wq = Window.partitionBy("query_id").orderBy(F.col("qd"), F.col("cent_id"))
+    them). r14 (guide §2.4): the k centroids ride as ONE broadcast
+    array row and each query ranks them IN-ROW — slice(array_sort)
+    over struct<qd, cent_id> is the identical (qd, cent_id)
+    lexicographic order the old per-query window used (l2sq_expr is
+    the same IEEE fold), and the N×k Exchange+Sort is gone."""
+    qvec_d = _as_double("qvec")
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    l2sq_expr(qvec_d, c["cvec"]).alias("qd"),
+                    c["cent_id"].alias("cent_id"),
+                ),
+            )
+        ),
+        1,
+        nprobe,
+    )
     return (
-        qv.crossJoin(F.broadcast(cents))
-        .select(
-            "query_id",
-            "qvec",
-            "cent_id",
-            l2sq_expr(_as_double("qvec"), F.col("cvec")).alias("qd"),
-        )
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select("query_id", "qvec", "cent_id")
+        qv.crossJoin(F.broadcast(centroid_array(cents)))
+        .select("query_id", "qvec", F.explode(ranked).alias("p"))
+        .select("query_id", "qvec", F.col("p.cent_id").alias("cent_id"))
     )
 
 
@@ -258,21 +279,30 @@ def llm_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("vec_id").between(1, 8))
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
     )
-    scored = (
-        e.crossJoin(F.broadcast(cents))
+    # r14 (guide §2.4): rank the 8 broadcast centroids IN-ROW.
+    # struct<c, -cent_id> makes array_max/reverse(array_sort) the
+    # exact (c DESC, cent_id ASC) order the old per-vector window
+    # used (incl. NaN-greatest), with no corpus Exchange+Sort.
+    scored_arr = F.transform(
+        "cents",
+        lambda c: F.struct(
+            cosine_expr("embedding", c["cvec"]).alias("c"),
+            (-c["cent_id"]).alias("negcent"),
+        ),
+    )
+    best = F.array_max(scored_arr)
+    base = e.crossJoin(F.broadcast(centroid_array(cents)))
+    assigned = base.select(
+        "vec_id", "label", "embedding", (-best["negcent"]).alias("cent_id")
+    )
+    q = (
+        base.where(F.col("vec_id") == 0)
         .select(
-            "vec_id", "label", "embedding", "cent_id", cosine_expr("embedding", "cvec").alias("c")
+            F.col("embedding").alias("qvec"),
+            # nprobe=3 (see docstring)
+            F.explode(F.slice(F.reverse(F.array_sort(scored_arr)), 1, 3)).alias("p"),
         )
-    )
-    best = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("cent_id"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(best)).where(F.col("rn") == 1)
-        .select("vec_id", "label", "embedding", "cent_id")
-    )
-    q = scored.where((F.col("vec_id") == 0)).withColumn(
-        "rn", F.row_number().over(best)
-    ).where(F.col("rn") <= 3).select(  # nprobe=3 (see docstring)
-        F.col("embedding").alias("qvec"), F.col("cent_id").alias("qcent")
+        .select("qvec", (-F.col("p.negcent")).alias("qcent"))
     )
     return (
         assigned.join(F.broadcast(q), F.col("cent_id") == F.col("qcent"))
@@ -436,13 +466,31 @@ def kmeans_centroids(
     )
     centroids = init
     for _ in range(iters):
-        dist = l2sq_expr(_as_double(vec_col), F.col("cvec"))
-        best = Window.partitionBy(id_col).orderBy(F.col("dist"), F.col("cent_id"))
-        assigned = (
-            vectors.crossJoin(F.broadcast(centroids))
-            .select(id_col, vec_col, "cent_id", dist.alias("dist"))
-            .withColumn("rn", F.row_number().over(best))
-            .where(F.col("rn") == 1)
+        # r14 (guide §2.4): the assign step was crossJoin(k) + a
+        # row_number window partitioned on vec_id — a full corpus×k
+        # shuffle AND sort per Lloyd iteration. The k centroids are
+        # broadcast anyway, so fold them into ONE array row and take
+        # the argmin IN-ROW: array_min over struct<dist, cent_id> is
+        # the same (dist, cent_id) lexicographic tie-break the window
+        # had, l2sq_expr is the identical IEEE fold, and the exchange
+        # disappears entirely — assignment is now a narrow map.
+        cents_arr = centroids.agg(
+            F.array_sort(F.collect_list(F.struct("cent_id", "cvec"))).alias(
+                "cents"
+            )
+        )
+        vec_d = _as_double(vec_col)
+        best = F.array_min(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    l2sq_expr(vec_d, c["cvec"]).alias("dist"),
+                    c["cent_id"].alias("cent_id"),
+                ),
+            )
+        )
+        assigned = vectors.crossJoin(F.broadcast(cents_arr)).select(
+            id_col, vec_col, best["cent_id"].alias("cent_id")
         )
         centroids = (
             assigned.select("cent_id", F.posexplode(_as_double(vec_col)).alias("dim", "val"))
@@ -469,17 +517,31 @@ def llm_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(e, k=8, iters=3)
 
-    dist = l2sq_expr(_as_double("embedding"), F.col("cvec"))
-    best = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cent_id"))
-    ranked = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "label", "embedding", "cent_id", dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(best))
+    # r14 (guide §2.4): in-row ranking against the 8 broadcast
+    # centroids — array_min / slice(array_sort) over struct<dist,
+    # cent_id> is the same (dist, cent_id) order the old per-vector
+    # window used, with no corpus Exchange+Sort.
+    emb_d = _as_double("embedding")
+    ranked_arr = F.array_sort(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                l2sq_expr(emb_d, c["cvec"]).alias("dist"),
+                c["cent_id"].alias("cent_id"),
+            ),
+        )
     )
-    assigned = ranked.where(F.col("rn") == 1).select("vec_id", "label", "embedding", "cent_id")
+    base = e.crossJoin(F.broadcast(centroid_array(cents)))
+    assigned = base.select(
+        "vec_id", "label", "embedding", ranked_arr[0]["cent_id"].alias("cent_id")
+    )
     probes = (
-        ranked.where((F.col("vec_id") == 0) & (F.col("rn") <= 2))  # nprobe=2
-        .select(F.col("embedding").alias("qvec"), F.col("cent_id").alias("probe_cent"))
+        base.where(F.col("vec_id") == 0)
+        .select(
+            F.col("embedding").alias("qvec"),
+            F.explode(F.slice(ranked_arr, 1, 2)).alias("p"),  # nprobe=2
+        )
+        .select("qvec", F.col("p.cent_id").alias("probe_cent"))
     )
     return (
         assigned.join(F.broadcast(probes), F.col("cent_id") == F.col("probe_cent"))
@@ -616,13 +678,24 @@ def llm_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = codebook.localCheckpoint(eager=True)  # 4×8 rows, reused twice
 
     dist2 = l2sq_expr(F.col("subvec"), F.col("cvec"))
-    best = Window.partitionBy("vec_id", "m").orderBy(F.col("d"), F.col("code"))
-    codes = (
-        sub.join(F.broadcast(codebook), "m")
-        .select("vec_id", "m", "code", dist2.alias("d"))
-        .withColumn("rn", F.row_number().over(best))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "m", "code")
+    # r14 (guide §2.4): encode via in-row argmin over the broadcast
+    # per-subspace codebook array — array_min of struct<d, code> is
+    # the old (d, code) window order without the (corpus×M)-row
+    # Exchange+Sort the row_number formulation paid.
+    cb_by_m = codebook.groupBy("m").agg(
+        F.array_sort(F.collect_list(F.struct("code", "cvec"))).alias("codes_arr")
+    )
+    best_code = F.array_min(
+        F.transform(
+            "codes_arr",
+            lambda c: F.struct(
+                l2sq_expr(F.col("subvec"), c["cvec"]).alias("d"),
+                c["code"].alias("code"),
+            ),
+        )
+    )
+    codes = sub.join(F.broadcast(cb_by_m), "m").select(
+        "vec_id", "m", best_code["code"].alias("code")
     )
 
     # ADC: query (vec_id 0) distance table, broadcast, summed by code
@@ -809,15 +882,23 @@ def assign_to_centroids(
 ) -> DataFrame:
     """Nearest-centroid assignment (broadcast centroids, argmin L2,
     cent_id tie-break) — the ingest-time hop of a persisted IVF
-    index, shared by build and incremental add."""
-    dist = l2sq_expr(_as_double(vec_col), F.col("cvec"))
-    best = Window.partitionBy(id_col).orderBy(F.col("dist"), F.col("cent_id"))
-    return (
-        vectors.crossJoin(F.broadcast(centroids))
-        .select(*vectors.columns, "cent_id", dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(best))
-        .where(F.col("rn") == 1)
-        .drop("rn", "dist")
+    index, shared by build and incremental add. r14 (guide §2.4):
+    in-row argmin over the broadcast centroid array — array_min of
+    struct<dist, cent_id> is the same lexicographic tie-break the
+    old per-vector row_number window had, without its corpus-wide
+    Exchange+Sort; assignment is a narrow map over the scan."""
+    vec_d = _as_double(vec_col)
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                l2sq_expr(vec_d, c["cvec"]).alias("dist"),
+                c["cent_id"].alias("cent_id"),
+            ),
+        )
+    )
+    return vectors.crossJoin(F.broadcast(centroid_array(centroids))).select(
+        *vectors.columns, best["cent_id"].alias("cent_id")
     )
 
 
@@ -1163,17 +1244,34 @@ def llm_sim_ann_ivf_rq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(e, k=8, iters=2)
 
-    dist = l2sq_expr(_as_double("embedding"), F.col("cvec"))
-    best = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cent_id"))
-    ranked = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "label", "embedding", "cent_id", "cvec", dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(best))
+    # r14 (guide §2.4): coarse assignment + probe ranking happen
+    # IN-ROW against the 8 broadcast centroids — array_sort over
+    # struct<dist, cent_id, cvec> is the old (dist, cent_id) window
+    # order (cent_id is unique, so the carried cvec never compares),
+    # and the corpus Exchange+Sort disappears. The residual fold is
+    # the identical zip_with, now over the in-row best centroid.
+    emb_d = _as_double("embedding")
+    ranked_arr = F.array_sort(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                l2sq_expr(emb_d, c["cvec"]).alias("dist"),
+                c["cent_id"].alias("cent_id"),
+                c["cvec"].alias("cvec"),
+            ),
+        )
     )
-    residual = F.zip_with(_as_double("embedding"), F.col("cvec"), lambda x, y: x - y)
+    base = e.crossJoin(F.broadcast(centroid_array(cents)))
+
+    def residual_against(cvec_col) -> Column:
+        return F.zip_with(emb_d, cvec_col, lambda x, y: x - y)
+
     res = (
-        ranked.where(F.col("rn") == 1)
-        .select("vec_id", "cent_id", residual.alias("rvec"))
+        base.select(
+            "vec_id",
+            ranked_arr[0]["cent_id"].alias("cent_id"),
+            residual_against(ranked_arr[0]["cvec"]).alias("rvec"),
+        )
         .localCheckpoint(eager=True)  # feeds 4 trainings + encode
     )
     sub = res.select(
@@ -1212,18 +1310,32 @@ def llm_sim_ann_ivf_rq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = codebook.localCheckpoint(eager=True)  # 4×8 rows
 
     dist2 = l2sq_expr(F.col("subvec"), F.col("cvec"))
-    best_code = Window.partitionBy("vec_id", "m").orderBy(F.col("d"), F.col("code"))
-    codes = (
-        sub.join(F.broadcast(codebook), "m")
-        .select("vec_id", "cent_id", "m", "code", dist2.alias("d"))
-        .withColumn("rn", F.row_number().over(best_code))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cent_id", "m", "code")
+    # r14 (guide §2.4): in-row argmin over the broadcast per-subspace
+    # codebook array, same (d, code) order, no (corpus×M) window
+    cb_by_m = codebook.groupBy("m").agg(
+        F.array_sort(F.collect_list(F.struct("code", "cvec"))).alias("codes_arr")
+    )
+    best_code = F.array_min(
+        F.transform(
+            "codes_arr",
+            lambda c: F.struct(
+                l2sq_expr(F.col("subvec"), c["cvec"]).alias("d"),
+                c["code"].alias("code"),
+            ),
+        )
+    )
+    codes = sub.join(F.broadcast(cb_by_m), "m").select(
+        "vec_id", "cent_id", "m", best_code["code"].alias("code")
     )
 
     # query residual PER PROBED LIST → one ADC table per probe
-    qres = ranked.where((F.col("vec_id") == 0) & (F.col("rn") <= nprobe)).select(
-        F.col("cent_id").alias("probe_cent"), residual.alias("qr")
+    qres = (
+        base.where(F.col("vec_id") == 0)
+        .select("embedding", F.explode(F.slice(ranked_arr, 1, nprobe)).alias("p"))
+        .select(
+            F.col("p.cent_id").alias("probe_cent"),
+            residual_against(F.col("p.cvec")).alias("qr"),
+        )
     )
     qsub = qres.select(
         "probe_cent",
@@ -1296,7 +1408,10 @@ def nn_descent_graph(
         F.col(id_col).alias("_vid"), _as_double(vec_col).alias("_vec")
     ).localCheckpoint(eager=True)
 
-    # init: 3 LSH tables × 4 bits → bucket-mates as first candidates
+    # init: 3 LSH tables × 4 bits → bucket-mates as first candidates.
+    # r14 (guide §1.2): sigs feeds SIX join legs (a and b per table)
+    # and this build never reuses exchange subtrees, so without the
+    # checkpoint the 12-plane signature computation re-ran 6×.
     sigs = vectors.select(
         F.col(id_col).alias("_vid"),
         *[
@@ -1305,7 +1420,7 @@ def nn_descent_graph(
             )
             for t in range(3)
         ],
-    )
+    ).localCheckpoint(eager=True)
     mates = None
     for t in range(3):
         a = sigs.select(F.col("_vid").alias("src"), F.col(f"b{t}").alias("bk"))
@@ -1315,9 +1430,13 @@ def nn_descent_graph(
     edges = mates.dropDuplicates(["src", "dst"])
 
     def score_topk(cand: DataFrame) -> DataFrame:
+        # dst vectors attach FIRST, src vectors LAST: the src join
+        # leaves the rows hash-partitioned on src, which is exactly
+        # the top-k window's partitioning — one Exchange fewer per
+        # refinement round than the old src-then-dst order (§2.4)
         scored = (
-            cand.join(v.select(F.col("_vid").alias("src"), F.col("_vec").alias("_sv")), "src")
-            .join(v.select(F.col("_vid").alias("dst"), F.col("_vec").alias("_dv")), "dst")
+            cand.join(v.select(F.col("_vid").alias("dst"), F.col("_vec").alias("_dv")), "dst")
+            .join(v.select(F.col("_vid").alias("src"), F.col("_vec").alias("_sv")), "src")
             .select("src", "dst", cosine_expr("_sv", "_dv").alias("cos"))
         )
         w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
@@ -1527,6 +1646,12 @@ def llm_sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     beam = score(entry).localCheckpoint(eager=True)
     scored_all = beam
+    # r14 (guide §1.2): the loop ran THREE eager checkpoints per hop
+    # (new_scored, scored_all, beam) — pure job overhead on ≤ beam·k
+    # control-plane rows. Checkpoint ONLY the accumulated score set
+    # (each hop's single real action); the beam is a lazy TakeOrdered
+    # over that checkpointed set, referenced exactly once by the next
+    # hop's frontier join, so nothing re-executes.
     for _ in range(hops):
         nxt = (
             beam.select("vec_id")
@@ -1536,13 +1661,12 @@ def llm_sim_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .dropDuplicates(["vec_id"])
             .join(scored_all.select("vec_id"), "vec_id", "left_anti")
         )
-        new_scored = score(F.broadcast(nxt)).localCheckpoint(eager=True)
-        scored_all = scored_all.unionByName(new_scored).localCheckpoint(eager=True)
-        beam = (
-            scored_all.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-            .limit(beam_w)
-            .localCheckpoint(eager=True)
-        )
+        scored_all = scored_all.unionByName(
+            score(F.broadcast(nxt))
+        ).localCheckpoint(eager=True)
+        beam = scored_all.orderBy(
+            F.col("cos_sim").desc(), F.col("vec_id")
+        ).limit(beam_w)
     return (
         scored_all.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(topk)

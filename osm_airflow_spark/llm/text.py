@@ -2125,17 +2125,43 @@ def bpe_learn(
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, int]] = []
+    # r14 (guide §1.2): the loop ran TWO jobs per round — the argmax
+    # TakeOrdered AND an eager checkpoint of the merged form table.
+    # The vocabulary is bounded and each merge fold is a narrow JVM
+    # map, so the checkpoint bought nothing: chain the folds LAZILY
+    # over the one checkpointed base table instead. Round r re-runs
+    # the r-1 earlier folds over vocab rows (cheap codegen work,
+    # quadratic in ROUNDS but rounds is a small constant) and the
+    # job count halves; merge results are bit-identical because the
+    # fold expressions are unchanged, only their materialization is.
     for rank in range(1, rounds + 1):
+        # single-reference let binding (the banded_signature_rows
+        # idiom): the old where-size>=2 + ls + rs referenced syms
+        # THREE times, and ProjectCollapse would inline the whole
+        # lazy fold chain into each site. transform(array(syms),
+        # s_ -> ...)[0] evaluates the chain once per row; the where
+        # is subsumed — a 1-symbol form yields empty slices, an
+        # empty zip, and explode drops the row (same survivors).
         pairs = (
-            forms.where(F.size("syms") >= 2)
-            .select(
+            forms.select(
                 "cnt",
-                F.expr("slice(syms, 1, size(syms) - 1)").alias("ls"),
-                F.expr("slice(syms, 2, size(syms) - 1)").alias("rs"),
+                F.explode(
+                    F.expr(
+                        # explicit size guard, NOT sequence(1, 0):
+                        # Spark auto-steps a descending sequence (the
+                        # llm_distinct_ngrams lesson) and ANSI mode
+                        # errors on the out-of-bounds access
+                        "transform(array(syms), s_ -> CASE"
+                        " WHEN size(s_) < 2 THEN"
+                        "  cast(array() as array<struct<l_:string,r_:string>>)"
+                        " ELSE transform(sequence(1, size(s_) - 1),"
+                        "  i_ -> struct(s_[i_ - 1] AS l_, s_[i_] AS r_))"
+                        " END)[0]"
+                    )
+                ).alias("p"),
             )
-            .select("cnt", F.explode(F.arrays_zip("ls", "rs")).alias("p"))
             .groupBy(
-                F.col("p.ls").alias("left"), F.col("p.rs").alias("right")
+                F.col("p.l_").alias("left"), F.col("p.r_").alias("right")
             )
             .agg(F.sum("cnt").alias("n"))
         )
@@ -2159,7 +2185,7 @@ def bpe_learn(
                     ),
                 ).otherwise(F.concat(acc, F.array(x))),
             ),
-        ).localCheckpoint(eager=True)
+        )
     return merges, forms
 
 

@@ -164,13 +164,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = base.crossJoin(
         F.broadcast(base.agg(F.count(F.lit(1)).alias("n_nodes")))
     ).localCheckpoint(eager=True)
-    degs = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # rank vector joined with static degree once, reused every round
+    # r14 (guide §1.2): outdeg is STATIC — the old loop re-executed
+    # the degree groupBy AND paid a second join every iteration
+    # (degs was lazy; this build never reuses exchange subtrees).
+    # Stapling outdeg onto the edge table once turns each iteration
+    # into one join + one aggregate over a materialized edge list.
+    edges = (
+        edges.join(
+            edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src"
+        )
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.select("node", (F.lit(1.0) / F.col("n_nodes")).alias("rank"))
     for _ in range(15):
         contribs = (
             edges.join(ranks, edges.src == ranks.node)
-            .join(degs, "src")
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("in_sum"))
@@ -1219,43 +1227,40 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = 1_000_000
     auth = nodes.select("node", F.lit(scale).cast("long").alias("s"))
     hub = None
+
+    def half_step(scores: DataFrame, edge_key, out_key) -> DataFrame:
+        # r14 (guide §1.2/§2.4): the raw-sum subtree (edges ⋈ scores
+        # + groupBy) used to execute TWICE per half-step — once under
+        # the broadcast 1-row max and once under the rejoin (this
+        # build never reuses exchange subtrees). Checkpoint the raw
+        # sums (ONE join+aggregate per half-step, the only real work)
+        # and leave the renormalizing rejoin LAZY: both its consumers
+        # (the next half-step's join; the final output join) reference
+        # it exactly once, so nothing re-executes, and the action
+        # count per half-step stays at one.
+        raw = (
+            e.join(scores, edge_key == scores.node)
+            .groupBy(out_key.alias("node"))
+            .agg(F.sum("s").alias("raw"))
+            .localCheckpoint(eager=True)
+        )
+        mx = raw.agg(F.max("raw").alias("mx"))
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.expr(
+                    f"COALESCE(raw, 0) * {scale} DIV mx"
+                ).cast("long").alias("s"),
+            )
+        )
+
     for _ in range(16):
         # h(v) = sum of a over v's out-neighbors, renormalized
-        hraw = (
-            e.join(auth, e.b == auth.node)
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.sum("s").alias("raw"))
-        )
-        hmax = hraw.agg(F.max("raw").alias("mx"))
-        hub = (
-            nodes.join(hraw, "node", "left")
-            .crossJoin(F.broadcast(hmax))
-            .select(
-                "node",
-                F.expr(
-                    f"COALESCE(raw, 0) * {scale} DIV mx"
-                ).cast("long").alias("s"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        hub = half_step(auth, e.b, F.col("a"))
         # a(v) = sum of h over v's in-neighbors, renormalized
-        araw = (
-            e.join(hub, e.a == hub.node)
-            .groupBy(F.col("b").alias("node"))
-            .agg(F.sum("s").alias("raw"))
-        )
-        amax = araw.agg(F.max("raw").alias("mx"))
-        auth = (
-            nodes.join(araw, "node", "left")
-            .crossJoin(F.broadcast(amax))
-            .select(
-                "node",
-                F.expr(
-                    f"COALESCE(raw, 0) * {scale} DIV mx"
-                ).cast("long").alias("s"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        auth = half_step(hub, e.a, F.col("b"))
     h = hub.select("node", (F.col("s") / F.lit(scale)).alias("hub"))
     a = auth.select(
         F.col("node").alias("anode"), (F.col("s") / F.lit(scale)).alias(
