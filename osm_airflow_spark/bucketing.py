@@ -48,7 +48,20 @@ def bucketed_running(
     decimal running sums scale to integer micros first (the
     pipeline_survival_km recipe). Cost: one ≤B-row collect plus one
     B-way parallel window pass; input is expected to be bounded
-    (distinct values of a value space, never a raw corpus)."""
+    (distinct values of a value space, never a raw corpus).
+
+    r14 (guide §1.2): the input executes THREE times here (the cuts
+    agg, the per-bucket offset collect, the output pass) and this
+    build never reuses exchange subtrees — so the input is
+    localCheckpoint-ed once at the head unless the caller already
+    passed a materialized checkpoint (LogicalRDD). Callers no longer
+    need their own pre-checkpoint, and the ones without one stop
+    re-running their whole upstream twice."""
+    if (
+        df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+        != "LogicalRDD"
+    ):
+        df = df.localCheckpoint(eager=True)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = df.agg(
         F.percentile_approx(order_col, probs, 10_000).alias("c")
@@ -131,7 +144,15 @@ def bucketed_running_max(
     per-bucket parallel windows with an EXCLUSIVE frame, and ≤B
     collected per-bucket maxima lifted to cross-bucket offsets —
     max is reorder-safe, so the offset lift is exact under any
-    partitioning. ``order_col`` values must be DISTINCT."""
+    partitioning. ``order_col`` values must be DISTINCT.
+
+    r14: same guarded head checkpoint as ``bucketed_running`` — the
+    input feeds the cuts agg, the offset collect AND the output pass."""
+    if (
+        df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+        != "LogicalRDD"
+    ):
+        df = df.localCheckpoint(eager=True)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = df.agg(
         F.percentile_approx(order_col, probs, 10_000).alias("c")

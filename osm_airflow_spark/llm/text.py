@@ -2941,12 +2941,14 @@ def llm_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora (no unigram match / no 4-gram slots) emit NULL BLEU in
     both engines.
 
-    Scale: three corpus passes (length totals; candidate grams;
-    reference grams — separate scans because this build never reuses
-    exchange subtrees), then one (doc_id, gram)-keyed shuffle join
-    whose volume is ∝ corpus grams — the llm_contamination_check
-    shape, linear, never pairwise. The n marker rides IN the gram
-    string so all four orders share one explode and one join. Uses
+    Scale: two corpus passes (length totals; ONE side-tagged gram
+    pass — r14, guide §2.3/§2.4: candidate and reference multisets
+    count in a single explode and a single (doc_id, gram) exchange
+    carrying a side flag, replacing two separate gram scans plus
+    their shuffle join), volume ∝ corpus grams — the
+    llm_contamination_check shape, linear, never pairwise. The n
+    marker rides IN the gram string so all four orders share one
+    explode. Uses
     explode_outer + null post-filter, NOT explode — Catalyst's
     InferFiltersFromGenerate would otherwise inline the gram-build
     lambda into an inferred pre-filter and cube the per-row cost
@@ -2968,19 +2970,35 @@ def llm_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    def gram_counts(arr: Column, cnt_name: str) -> DataFrame:
+    # r14 (guide §2.3/§2.4): candidate and reference gram multisets
+    # count in ONE corpus pass — each gram rides a side flag, one
+    # (doc_id, gram) exchange carries both counts, and the old
+    # cg ⋈ rg join disappears. Inner-join semantics are preserved
+    # exactly: a gram missing on either side gets a zero count and
+    # least(c, 0) = 0, so every m_n sum is the identical integer.
+    def side_grams(arr: Column, is_cand: bool) -> Column:
         allg = F.concat(*[_bleu_grams(arr, n) for n in (1, 2, 3, 4)])
-        return (
-            d.select("doc_id", F.explode_outer(allg).alias("gram"))
-            .where(F.col("gram").isNotNull())
-            .groupBy("doc_id", "gram")
-            .agg(F.count(F.lit(1)).alias(cnt_name))
+        return F.transform(
+            allg,
+            lambda g: F.struct(g.alias("gram"), F.lit(is_cand).alias("is_c")),
         )
 
-    cg = gram_counts(cw, "c_cnt")
-    rg = gram_counts(rw, "r_cnt")
+    counts = (
+        d.select(
+            "doc_id",
+            F.explode_outer(
+                F.concat(side_grams(cw, True), side_grams(rw, False))
+            ).alias("sg"),
+        )
+        .where(F.col("sg").isNotNull())
+        .groupBy("doc_id", F.col("sg.gram").alias("gram"))
+        .agg(
+            F.sum(F.when(F.col("sg.is_c"), 1).otherwise(0)).alias("c_cnt"),
+            F.sum(F.when(~F.col("sg.is_c"), 1).otherwise(0)).alias("r_cnt"),
+        )
+    )
     clipped = F.least(F.col("c_cnt"), F.col("r_cnt"))
-    m = cg.join(rg, ["doc_id", "gram"]).agg(
+    m = counts.agg(
         *[
             F.sum(
                 F.when(F.substring("gram", 1, 1) == str(n), clipped).otherwise(
@@ -4018,19 +4036,33 @@ def llm_eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    def gram_counts(arr: Column, cnt_name: str) -> DataFrame:
+    # r14 (guide §2.3/§2.4): same single-pass rewrite as
+    # llm_eval_bleu — both sides' gram multisets count in one tagged
+    # explode and one (doc_id, gram) exchange; least(c, 0) = 0 keeps
+    # the old inner-join sums identical.
+    def side_grams(arr: Column, is_cand: bool) -> Column:
         allg = F.concat(*[_bleu_grams(arr, n) for n in (1, 2)])
-        return (
-            d.select("doc_id", F.explode_outer(allg).alias("gram"))
-            .where(F.col("gram").isNotNull())
-            .groupBy("doc_id", "gram")
-            .agg(F.count(F.lit(1)).alias(cnt_name))
+        return F.transform(
+            allg,
+            lambda g: F.struct(g.alias("gram"), F.lit(is_cand).alias("is_c")),
         )
 
+    counts = (
+        d.select(
+            "doc_id",
+            F.explode_outer(
+                F.concat(side_grams(cw, True), side_grams(rw, False))
+            ).alias("sg"),
+        )
+        .where(F.col("sg").isNotNull())
+        .groupBy("doc_id", F.col("sg.gram").alias("gram"))
+        .agg(
+            F.sum(F.when(F.col("sg.is_c"), 1).otherwise(0)).alias("c_cnt"),
+            F.sum(F.when(~F.col("sg.is_c"), 1).otherwise(0)).alias("r_cnt"),
+        )
+    )
     clipped = F.least(F.col("c_cnt"), F.col("r_cnt"))
-    m = gram_counts(cw, "c_cnt").join(
-        gram_counts(rw, "r_cnt"), ["doc_id", "gram"]
-    ).agg(
+    m = counts.agg(
         *[
             F.sum(
                 F.when(
@@ -4568,11 +4600,12 @@ def llm_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     slots / P = R = 0) emit NULL. Uses explode_outer + null
     post-filter (the InferFiltersFromGenerate r9 trap).
 
-    Scale: three corpus passes (lengths; candidate grams; reference
-    grams — separate scans under no-exchange-reuse), then one
-    (doc_id, gram)-keyed shuffle join linear in corpus chars ×6.
-    Char 6-grams are ~6× the text volume — the documented cost of
-    the metric itself, not a plan artifact."""
+    Scale: two corpus passes (lengths; ONE side-tagged gram pass —
+    r14, guide §2.3/§2.4: both sides count in a single explode and a
+    single (doc_id, gram) exchange, replacing two gram scans plus
+    their shuffle join), linear in corpus chars ×6. Char 6-grams are
+    ~6× the text volume — the documented cost of the metric itself,
+    not a plan artifact."""
     d = load_table(spark, sf_dir, "documents")
     rw = F.split("text", " ")
     cw = F.filter(rw, lambda x, i: ((i + F.lit(1)) % 7) != 0)
@@ -4599,19 +4632,33 @@ def llm_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    def gram_counts(src_col: str, cnt_name: str) -> DataFrame:
+    # r14 (guide §2.3/§2.4): same single-pass rewrite as
+    # llm_eval_bleu — both sides' char-gram multisets count in one
+    # tagged explode and one (doc_id, gram) exchange; least(c, 0) = 0
+    # keeps the old inner-join sums identical.
+    def side_grams(src_col: str, is_cand: bool) -> Column:
         allg = F.concat(*[_chrf_grams(F.col(src_col), n) for n in _CHRF_NS])
-        return (
-            base.select("doc_id", F.explode_outer(allg).alias("gram"))
-            .where(F.col("gram").isNotNull())
-            .groupBy("doc_id", "gram")
-            .agg(F.count(F.lit(1)).alias(cnt_name))
+        return F.transform(
+            allg,
+            lambda g: F.struct(g.alias("gram"), F.lit(is_cand).alias("is_c")),
         )
 
-    cg = gram_counts("cs", "c_cnt")
-    rg = gram_counts("rs", "r_cnt")
+    counts = (
+        base.select(
+            "doc_id",
+            F.explode_outer(
+                F.concat(side_grams("cs", True), side_grams("rs", False))
+            ).alias("sg"),
+        )
+        .where(F.col("sg").isNotNull())
+        .groupBy("doc_id", F.col("sg.gram").alias("gram"))
+        .agg(
+            F.sum(F.when(F.col("sg.is_c"), 1).otherwise(0)).alias("c_cnt"),
+            F.sum(F.when(~F.col("sg.is_c"), 1).otherwise(0)).alias("r_cnt"),
+        )
+    )
     clipped = F.least(F.col("c_cnt"), F.col("r_cnt"))
-    m = cg.join(rg, ["doc_id", "gram"]).agg(
+    m = counts.agg(
         *[
             F.sum(
                 F.when(

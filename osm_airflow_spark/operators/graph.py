@@ -24,6 +24,8 @@ data movement.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -318,9 +320,17 @@ def bfs_hops(und: DataFrame, seed: DataFrame, max_rounds: int = 8) -> DataFrame:
     undirected graphs), ``seed`` is (node, hops=0) labels. Per round:
     frontier⋈edges, anti-join out labeled nodes, label survivors with
     the round number; stops at frontier exhaustion or ``max_rounds``.
-    Returns (node, hops) = first-discovery depth per reachable node."""
-    labels, frontier = seed, seed
+    Returns (node, hops) = first-discovery depth per reachable node.
+
+    r14 (guide §1.2): the label set is the UNION of the per-round
+    frontiers, each already checkpointed — the old per-round
+    labels.union(nxt).localCheckpoint re-WROTE the whole growing
+    label set every round (O(rounds × labels) checkpoint I/O and a
+    second job per round). The anti-join now reads a lazy union of
+    the materialized legs instead: same rows, one job per round."""
+    frontiers, frontier = [seed], seed
     for depth in range(1, max_rounds + 1):
+        labels = reduce(DataFrame.union, frontiers)
         nxt = (
             frontier.join(und, frontier["node"] == und["a"])
             .select(F.col("b").alias("node"))
@@ -331,9 +341,9 @@ def bfs_hops(und: DataFrame, seed: DataFrame, max_rounds: int = 8) -> DataFrame:
         )
         if not nxt.take(1):
             break
-        labels = labels.union(nxt).localCheckpoint(eager=True)
+        frontiers.append(nxt)
         frontier = nxt
-    return labels
+    return reduce(DataFrame.union, frontiers)
 
 
 @query("graph_kcore")  # rows-only: iterative peeling fixpoint, no SQL twin
@@ -731,9 +741,14 @@ def bfs_hops_multi(und: DataFrame, seeds: DataFrame, max_rounds: int = 8) -> Dat
     frontier, not k× the rounds). Same discipline as ``bfs_hops``:
     lineage cut per round, driver sees only take(1) emptiness
     probes. Returns (sid, node, hops) = per-seed first-discovery
-    depth."""
-    labels, frontier = seeds, seeds
+    depth.
+
+    r14 (guide §1.2): labels ride as a lazy union of the
+    checkpointed per-round frontiers (the bfs_hops rewrite) — the
+    growing label set is no longer re-checkpointed every round."""
+    frontiers, frontier = [seeds], seeds
     for depth in range(1, max_rounds + 1):
+        labels = reduce(DataFrame.union, frontiers)
         nxt = (
             frontier.join(und, frontier["node"] == und["a"])
             .select("sid", F.col("b").alias("node"))
@@ -744,9 +759,9 @@ def bfs_hops_multi(und: DataFrame, seeds: DataFrame, max_rounds: int = 8) -> Dat
         )
         if not nxt.take(1):
             break
-        labels = labels.union(nxt).localCheckpoint(eager=True)
+        frontiers.append(nxt)
         frontier = nxt
-    return labels
+    return reduce(DataFrame.union, frontiers)
 
 
 @query(
@@ -1228,39 +1243,51 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     auth = nodes.select("node", F.lit(scale).cast("long").alias("s"))
     hub = None
 
-    def half_step(scores: DataFrame, edge_key, out_key) -> DataFrame:
-        # r14 (guide §1.2/§2.4): the raw-sum subtree (edges ⋈ scores
-        # + groupBy) used to execute TWICE per half-step — once under
-        # the broadcast 1-row max and once under the rejoin (this
-        # build never reuses exchange subtrees). Checkpoint the raw
-        # sums (ONE join+aggregate per half-step, the only real work)
-        # and leave the renormalizing rejoin LAZY: both its consumers
-        # (the next half-step's join; the final output join) reference
-        # it exactly once, so nothing re-executes, and the action
-        # count per half-step stays at one.
-        raw = (
-            e.join(scores, edge_key == scores.node)
-            .groupBy(out_key.alias("node"))
+    # r14 NOTE (guide §1.1 "measure first"): two restructures of this
+    # loop were tried and BOTH measured slower than this original at
+    # sf0.01 (quiet-box noop: original 14.7/15.9/15.9 s; lazy-rejoin
+    # variant 25.3 s; checkpoint-both variant ~2× on first probe) —
+    # the duplicated raw-sum subtree under the 1-row max broadcast is
+    # cheaper than the extra checkpoint traffic / deeper lazy trees on
+    # this tiny per-iteration state. Kept as-is; ledgered in
+    # OPTIMIZATION_r14.md "Negative results".
+    for _ in range(16):
+        # h(v) = sum of a over v's out-neighbors, renormalized
+        hraw = (
+            e.join(auth, e.b == auth.node)
+            .groupBy(F.col("a").alias("node"))
             .agg(F.sum("s").alias("raw"))
-            .localCheckpoint(eager=True)
         )
-        mx = raw.agg(F.max("raw").alias("mx"))
-        return (
-            nodes.join(raw, "node", "left")
-            .crossJoin(F.broadcast(mx))
+        hmax = hraw.agg(F.max("raw").alias("mx"))
+        hub = (
+            nodes.join(hraw, "node", "left")
+            .crossJoin(F.broadcast(hmax))
             .select(
                 "node",
                 F.expr(
                     f"COALESCE(raw, 0) * {scale} DIV mx"
                 ).cast("long").alias("s"),
             )
+            .localCheckpoint(eager=True)
         )
-
-    for _ in range(16):
-        # h(v) = sum of a over v's out-neighbors, renormalized
-        hub = half_step(auth, e.b, F.col("a"))
         # a(v) = sum of h over v's in-neighbors, renormalized
-        auth = half_step(hub, e.a, F.col("b"))
+        araw = (
+            e.join(hub, e.a == hub.node)
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        amax = araw.agg(F.max("raw").alias("mx"))
+        auth = (
+            nodes.join(araw, "node", "left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "node",
+                F.expr(
+                    f"COALESCE(raw, 0) * {scale} DIV mx"
+                ).cast("long").alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
     h = hub.select("node", (F.col("s") / F.lit(scale)).alias("hub"))
     a = auth.select(
         F.col("node").alias("anode"), (F.col("s") / F.lit(scale)).alias(

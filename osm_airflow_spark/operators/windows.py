@@ -187,9 +187,16 @@ def distributed_ntile(
     collected bucket offsets (control-plane, B tiny rows); the tile
     is pure arithmetic on the exact rank. Matches global-window NTILE
     bit-for-bit because buckets are range-contiguous and (metric, id)
-    is a total order."""
+    is a total order.
+
+    r14 (guide §1.2): the working frame feeds the cuts agg, the
+    bucket-count collect AND the output pass — three executions of
+    the caller's upstream under no-exchange-reuse — so it is
+    localCheckpoint-ed once at the head (the bucketed_running fix)."""
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    work = df.withColumn("_m", metric_col.cast("double"))
+    work = df.withColumn("_m", metric_col.cast("double")).localCheckpoint(
+        eager=True
+    )
     cuts = work.agg(
         F.percentile_approx("_m", probs, 10_000).alias("cuts")
     ).head()[0]

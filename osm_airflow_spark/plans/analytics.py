@@ -17,7 +17,7 @@ These four are the bench.py headliners most representative of the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from osm_airflow_spark.io import load_table
@@ -2063,38 +2063,51 @@ def pipeline_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def chase_to_roots(parent_of: DataFrame, max_rounds: int = 16) -> DataFrame:
-    """Iterative pointer chase: advance every id's cursor one hop up
-    the (pid, parent) edge table per round until every cursor sits on
-    a root (parent < 1). Returns (id, cur=root). Each frontier is
-    localCheckpoint-ed so lineage stays O(1) across rounds; the
-    convergence probe is a take(1) existence check — control plane,
-    not a data collect.
+    """POINTER-DOUBLING chase up the (pid, parent) edge table until
+    every cursor sits on a root (parent < 1). Returns (id, cur=root).
 
-    Non-convergence within ``max_rounds`` RAISES instead of returning
-    part-way labels: a silently truncated chase would mislabel every
-    deeper node's root, and at 100 TB nobody eyeballs the output. A
-    deeper hierarchy is a config decision (raise max_rounds, or
-    switch to pointer-doubling for log-depth rounds), not a silent
-    data-quality regression."""
-    labels = parent_of.select(F.col("pid").alias("id"), F.col("pid").alias("cur"))
+    r14 (guide §1.2, algorithm level): the cursor table is seeded
+    with the one-hop parent (roots absorb: a root's cursor is
+    itself), then each round self-joins the cursor table — after
+    round r every cursor has advanced min(2^r, depth) hops, so a
+    depth-D hierarchy converges in ceil(log2 D) + 1 rounds instead
+    of D. The per-round shuffle is the same two-N-row join the
+    one-hop chase paid, so total shuffled bytes drop ~D/log D at
+    scale. Each frontier is localCheckpoint-ed so lineage stays O(1);
+    the convergence probe rides the checkpoint action itself as an
+    ``Observation`` metric (one job per round — the cluster_pairs
+    idiom), not a second count job.
+
+    Non-convergence within ``max_rounds`` (i.e. depth > 2^max_rounds)
+    RAISES instead of returning part-way labels: a silently truncated
+    chase would mislabel every deeper node's root, and at 100 TB
+    nobody eyeballs the output. A deeper hierarchy is a config
+    decision (raise max_rounds), not a silent data-quality
+    regression."""
+    labels = parent_of.select(
+        F.col("pid").alias("id"),
+        F.when(F.col("parent") >= 1, F.col("parent"))
+        .otherwise(F.col("pid"))
+        .alias("cur"),
+    ).localCheckpoint(eager=True)
     for _ in range(max_rounds):
-        step = (
-            labels.join(parent_of, F.col("cur") == F.col("pid"))
-            .select(
-                "id",
-                F.when(F.col("parent") >= 1, F.col("parent"))
-                .otherwise(F.col("cur"))
-                .alias("cur"),
-                (F.col("parent") >= 1).alias("moved"),
+        jump = labels.select(F.col("id").alias("j_id"), F.col("cur").alias("j_cur"))
+        obs = Observation()
+        labels = (
+            labels.join(jump, F.col("cur") == F.col("j_id"))
+            .select("id", F.col("cur").alias("old_cur"), F.col("j_cur").alias("cur"))
+            .observe(
+                obs,
+                F.sum((F.col("cur") != F.col("old_cur")).cast("long")).alias("moved"),
             )
-        ).localCheckpoint(eager=True)
-        labels = step.select("id", "cur")
-        if not step.where(F.col("moved")).take(1):
+            .select("id", "cur")
+            .localCheckpoint(eager=True)
+        )
+        if not obs.get["moved"]:
             return labels
     raise RuntimeError(
-        f"hierarchy pointer chase did not converge in {max_rounds} rounds; "
-        "hierarchy is deeper than the cap — raise max_rounds or use "
-        "pointer doubling"
+        f"hierarchy pointer chase did not converge in {max_rounds} doubling "
+        "rounds; hierarchy is deeper than 2^max_rounds — raise max_rounds"
     )
 
 

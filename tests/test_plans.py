@@ -272,8 +272,10 @@ def test_concurrent_queries_share_one_session_safely(spark, sf_dir):
 def test_chase_to_roots_raises_at_depth_cap(spark):
     """VERDICT r5 item 8: a hierarchy deeper than the round cap must
     fail LOUDLY — part-way labels would silently mislabel every deep
-    node's root. A 6-deep linear chain (1←2←...←6, root parent 0)
-    converges in 6 rounds and raises under a 3-round cap."""
+    node's root. r14: the chase is pointer-doubling, so ``max_rounds``
+    caps 2^rounds hops — a 6-deep chain converges well inside 8
+    rounds, and the raise case uses a 20-deep chain (19 hops) under a
+    3-round cap (2^3 = 8 hops reachable < 19)."""
     from osm_airflow_spark.plans.analytics import chase_to_roots
 
     chain = spark.createDataFrame(
@@ -285,8 +287,11 @@ def test_chase_to_roots_raises_at_depth_cap(spark):
     }
     assert labels == {i: 1 for i in range(1, 7)}  # every node reaches root 1
 
+    deep = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 21)], "pid long, parent long"
+    ).localCheckpoint(eager=True)
     with pytest.raises(RuntimeError, match="did not converge"):
-        chase_to_roots(chain, max_rounds=3)
+        chase_to_roots(deep, max_rounds=3)
 
 
 def test_cem_matching_recovers_planted_effect(spark, tmp_path):
