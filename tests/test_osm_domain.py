@@ -1056,6 +1056,60 @@ def test_clip_ring_convex_matches_independent_reference_and_green():
     assert checked >= 300
 
 
+def test_clip_ring_hom_matches_fraction_kernel():
+    """The r14 homogeneous-integer production kernel produces the
+    IDENTICAL exact rationals as the Fraction reference kernel — every
+    clipped vertex, the emptiness decision, and the signed area — on
+    random float rings (convex, concave, and self-crossing) against
+    integer- and float-vertex windows."""
+    import random
+    from fractions import Fraction
+
+    from osm_airflow_spark.plans.osm import (
+        _area2_hom,
+        _clip_ring_hom,
+        _hom,
+        _hom_edges,
+        clip_ring_convex,
+    )
+
+    def area2(closed):
+        s = Fraction(0)
+        for i in range(len(closed) - 1):
+            s += closed[i][0] * closed[i + 1][1] - closed[i + 1][0] * closed[i][1]
+        return s
+
+    rect = [(-60, -30), (60, -30), (60, 30), (-60, 30)]
+    hexa = [(45, 0), (22, 39), (-22, 39), (-45, 0), (-22, -39), (22, -39)]
+    # float vertices exercise _hom_edges' denominator clearing
+    fwin = [(-50.25, -20.5), (50.75, -20.5), (50.75, 20.125), (-50.25, 20.125)]
+    rng = random.Random(20260817)
+    checked = 0
+    for _ in range(300):
+        n = rng.randint(3, 8)
+        ring = [
+            (rng.uniform(-170.0, 170.0), rng.uniform(-85.0, 85.0))
+            for _ in range(n)
+        ]
+        ring = ring + [ring[0]]
+        for window in (rect, hexa, fwin):
+            fring = [(Fraction(x), Fraction(y)) for x, y in ring]
+            c_old = clip_ring_convex(fring, window)
+            ph = [_hom(x, y) for x, y in ring[:-1]]
+            c_new = _clip_ring_hom(ph, _hom_edges(window))
+            assert bool(c_old) == bool(c_new)
+            if not c_old:
+                continue
+            assert len(c_old) == len(c_new)
+            for (fx, fy), (X, Y, W) in zip(c_old, c_new):
+                assert W > 0
+                assert fx == Fraction(X, W) and fy == Fraction(Y, W)
+            num, den = _area2_hom(c_new)
+            assert den > 0 and area2(c_old) == Fraction(num, den)
+            checked += 1
+    assert checked >= 400
+
+
 def test_osm_polygon_clip_key_invariants(spark, sf_dir):
     """The registered rows-only key: every emitted part is inside the
     hexagon window, areas are monotone, flags consistent; and the
