@@ -2042,10 +2042,50 @@ def osm_polygon_clip_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(lons, F.slice(lons, 1, 1)).alias("cx"),
         F.concat(lats, F.slice(lats, 1, 1)).alias("cy"),
     )
+    # r14: the textual _clip_combo_sum inlined the quad-term tree 16×
+    # (a ~90 KB expression: ~8 s of parse/analysis per call and a
+    # janino 64 KB-method compile failure that forced interpreted
+    # eval of the duplicated subtrees). Same shared-tree doubles via
+    # the osm_tile_overlay formulation: one let-bound combo inside a
+    # transform over the 4 edges, left-folded from a 0.0 seed — which
+    # equals the oracle's fixed-order ((t1+t2)+t3)+t4 for every
+    # double except an all-(-0.0) chain, normalized identically by
+    # the trailing +0.0 in both engines (the proven tile_overlay
+    # argument; this key stays hash-checked against the unchanged
+    # textual oracle).
+    edges = F.transform(
+        F.sequence(F.lit(1), F.lit(4)),
+        lambda i: F.struct(
+            F.element_at("cx", i).alias("px"),
+            F.element_at("cy", i).alias("py"),
+            F.element_at("cx", i + 1).alias("qx"),
+            F.element_at("cy", i + 1).alias("qy"),
+        ),
+    )
+    terms = F.transform(
+        edges,
+        lambda e: _clip_edge_combo_col(
+            e.getField("px"), e.getField("py"),
+            e.getField("qx"), e.getField("qy"),
+            F.lit(-60.0), F.lit(60.0), F.lit(-30.0), F.lit(30.0),
+        ),
+    )
+    sh_terms = F.transform(
+        edges,
+        lambda e: e.getField("px") * e.getField("qy")
+        - e.getField("qx") * e.getField("py"),
+    )
+    clip_area = (
+        F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v) + F.lit(0.0)
+    )
+    ring_area = (
+        F.aggregate(sh_terms, F.lit(0.0), lambda acc, v: acc + v) / 2
+        + F.lit(0.0)
+    )
     return rings.select(
         "way_id",
-        (F.expr(_clip_combo_sum(_spark_coord)) + F.lit(0.0)).alias("clip_area"),
-        (F.expr(_shoelace_sum(_spark_coord)) / 2 + F.lit(0.0)).alias("ring_area"),
+        clip_area.alias("clip_area"),
+        ring_area.alias("ring_area"),
     )
 
 
@@ -2104,28 +2144,73 @@ def _quad_term_col(a, b, px, py, qx, qy):
     because inlining the textual combo 16× into a join stage blew
     whole-stage codegen's 64 KB method limit (measured,
     osm_tile_overlay first draft); a transform/aggregate fold emits
-    the combo ONCE and evaluates it per edge."""
-    dx, dy = qx - px, qy - py
+    the combo ONCE and evaluates it per edge.
+
+    r14: HOF bodies evaluate INTERPRETED (higher-order functions are
+    CodegenFallback), and interpreted eval re-walks a repeated
+    subtree at every reference — dx/dy appear ~8× and lo/hi ~4× in
+    the final CASE, which re-derived the whole lox/hix/loy/hiy chain
+    each time. The shared values are now LET-BOUND through
+    single-element transform() structs (the bpe-fold trick: a lambda
+    variable is materialized once, so each field evaluates exactly
+    once per row). Same ops on the same operands in the same order —
+    bit-identical doubles, just no recomputation; the oracle gate
+    hash-checks both consumer keys."""
     zero, one = F.lit(0.0), F.lit(1.0)
-    lox = F.when(dx > 0, zero).otherwise((a - px) / dx)
-    hix = F.when(dx > 0, (a - px) / dx).otherwise(one)
-    loy = (
-        F.when(dy == 0, F.when(py <= b, zero).otherwise(one))
-        .when(dy > 0, zero)
-        .otherwise((b - py) / dy)
-    )
-    hiy = (
-        F.when(dy == 0, F.when(py <= b, one).otherwise(zero))
-        .when(dy > 0, (b - py) / dy)
-        .otherwise(one)
-    )
-    lo = F.greatest(zero, lox, loy)
-    hi = F.least(one, hix, hiy)
-    return (
-        F.when(dx == 0, zero)
-        .when(hi > lo, dx * ((py - b) * (hi - lo) + dy * ((hi * hi - lo * lo) / 2)))
-        .otherwise(zero)
-    )
+
+    def outer(d):
+        dx, dy = d.getField("dx"), d.getField("dy")
+        # The textual tree never divides by a zero dx: the FINAL
+        # "WHEN dx = 0 THEN 0.0" arm short-circuits first. The let
+        # struct evaluates lo/hi eagerly, so guard the divisor —
+        # safe_dx == dx bit-for-bit on every row whose lo/hi the
+        # final CASE actually uses (ANSI mode would otherwise raise
+        # DIVIDE_BY_ZERO on vertical edges).
+        safe_dx = F.when(dx == 0, one).otherwise(dx)
+        lox = F.when(dx > 0, zero).otherwise((a - px) / safe_dx)
+        hix = F.when(dx > 0, (a - px) / safe_dx).otherwise(one)
+        loy = (
+            F.when(dy == 0, F.when(py <= b, zero).otherwise(one))
+            .when(dy > 0, zero)
+            .otherwise((b - py) / dy)
+        )
+        hiy = (
+            F.when(dy == 0, F.when(py <= b, one).otherwise(zero))
+            .when(dy > 0, (b - py) / dy)
+            .otherwise(one)
+        )
+
+        def inner(lh):
+            lo, hi = lh.getField("lo"), lh.getField("hi")
+            return (
+                F.when(dx == 0, zero)
+                .when(
+                    hi > lo,
+                    dx
+                    * (
+                        (py - b) * (hi - lo)
+                        + dy * ((hi * hi - lo * lo) / 2)
+                    ),
+                )
+                .otherwise(zero)
+            )
+
+        return F.transform(
+            F.array(
+                F.struct(
+                    F.greatest(zero, lox, loy).alias("lo"),
+                    F.least(one, hix, hiy).alias("hi"),
+                )
+            ),
+            inner,
+        )[0]
+
+    return F.transform(
+        F.array(
+            F.struct((qx - px).alias("dx"), (qy - py).alias("dy"))
+        ),
+        outer,
+    )[0]
 
 
 def _clip_edge_combo_col(px, py, qx, qy, x0, x1, y0, y1):
