@@ -2941,14 +2941,15 @@ def llm_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora (no unigram match / no 4-gram slots) emit NULL BLEU in
     both engines.
 
-    Scale: two corpus passes (length totals; ONE side-tagged gram
-    pass — r14, guide §2.3/§2.4: candidate and reference multisets
-    count in a single explode and a single (doc_id, gram) exchange
-    carrying a side flag, replacing two separate gram scans plus
-    their shuffle join), volume ∝ corpus grams — the
-    llm_contamination_check shape, linear, never pairwise. The n
-    marker rides IN the gram string so all four orders share one
-    explode. Uses
+    Scale: ONE corpus text pass (r14, guide §2.3/§2.4: candidate and
+    reference multisets count in a single explode and a single
+    (doc_id, gram) exchange carrying a side flag; the slot totals
+    t_n, ref_len and cand_len are side-tagged sums over that same
+    counts table, so the old length-totals re-scan is gone — only
+    n_docs touches the table again, as a doc_id-only count), volume
+    ∝ corpus grams — the llm_contamination_check shape, linear,
+    never pairwise. The n marker rides IN the gram string so all
+    four orders share one explode. Uses
     explode_outer + null post-filter, NOT explode — Catalyst's
     InferFiltersFromGenerate would otherwise inline the gram-build
     lambda into an inferred pre-filter and cube the per-row cost
@@ -2956,19 +2957,14 @@ def llm_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     rw = F.split("text", " ")
     cw = F.filter(rw, lambda x, i: ((i + F.lit(1)) % 7) != 0)
-    lens = d.select(
-        F.size(rw).alias("rl"), F.size(cw).alias("cl")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("rl").cast("long").alias("ref_len"),
-        F.sum("cl").cast("long").alias("cand_len"),
-        *[
-            F.sum(F.greatest(F.col("cl") - (n - 1), F.lit(0)))
-            .cast("long")
-            .alias(f"t{n}")
-            for n in (1, 2, 3, 4)
-        ],
-    )
+    # r14 second pass (guide §2.3): the old lens aggregate re-read and
+    # re-tokenized the whole corpus just to count gram SLOTS — but the
+    # builders emit exactly max(len - n + 1, 0) grams per doc, so every
+    # total (t_n, ref_len = reference unigrams, cand_len = candidate
+    # unigrams) is the side-tagged SUM over the very counts table the
+    # clipped matches come from: one text scan per key, not two. Only
+    # n_docs still needs the table, as a doc_id-only count.
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
 
     # r14 (guide §2.3/§2.4): candidate and reference gram multisets
     # count in ONE corpus pass — each gram rides a side flag, one
@@ -2998,18 +2994,24 @@ def llm_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     clipped = F.least(F.col("c_cnt"), F.col("r_cnt"))
+    marker = F.substring("gram", 1, 1)
     m = counts.agg(
         *[
-            F.sum(
-                F.when(F.substring("gram", 1, 1) == str(n), clipped).otherwise(
-                    0
-                )
-            )
+            F.sum(F.when(marker == str(n), clipped).otherwise(0))
             .cast("long")
             .alias(f"m{n}")
             for n in (1, 2, 3, 4)
-        ]
-    )
+        ],
+        *[
+            F.sum(F.when(marker == str(n), F.col("c_cnt")).otherwise(0))
+            .cast("long")
+            .alias(f"t{n}")
+            for n in (1, 2, 3, 4)
+        ],
+        F.sum(F.when(marker == "1", F.col("r_cnt")).otherwise(0))
+        .cast("long")
+        .alias("ref_len"),
+    ).withColumn("cand_len", F.col("t1"))
     p1 = F.col("m1").cast("double") / F.col("t1")
     ps = {1: p1}
     for n in (2, 3, 4):
@@ -3026,7 +3028,7 @@ def llm_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ok = (F.col("m1") > 0) & (F.col("t4") > 0)
     log_bleu = F.when(ok, bp_log + log_mean)
-    return lens.crossJoin(F.broadcast(m)).select(
+    return nd.crossJoin(F.broadcast(m)).select(
         "n_docs",
         F.col("cand_len").alias("cand_tokens"),
         F.col("ref_len").alias("ref_tokens"),
@@ -4014,32 +4016,21 @@ def llm_eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel, n=1,2 only); each emitted metric is one or two exact-int
     divisions and a shared three-node F1 tree over them — no
     transcendental, no rounding, NULL guards mirrored. Scale: same
-    as BLEU — one (doc_id, gram) shuffle ∝ corpus grams, totals from
-    a lengths pass; output ONE row."""
+    as BLEU — one (doc_id, gram) shuffle ∝ corpus grams, totals as
+    side-tagged sums over the same counts table (r14: the text is
+    read exactly once); output ONE row."""
     d = load_table(spark, sf_dir, "documents")
     rw = F.split("text", " ")
     cw = F.filter(rw, lambda x, i: ((i + F.lit(1)) % 7) != 0)
-    lens = d.select(
-        F.size(rw).alias("rl"), F.size(cw).alias("cl")
-    ).agg(
-        *[
-            F.sum(F.greatest(F.col("cl") - (n - 1), F.lit(0)))
-            .cast("long")
-            .alias(f"t{n}")
-            for n in (1, 2)
-        ],
-        *[
-            F.sum(F.greatest(F.col("rl") - (n - 1), F.lit(0)))
-            .cast("long")
-            .alias(f"r{n}")
-            for n in (1, 2)
-        ],
-    )
 
     # r14 (guide §2.3/§2.4): same single-pass rewrite as
     # llm_eval_bleu — both sides' gram multisets count in one tagged
     # explode and one (doc_id, gram) exchange; least(c, 0) = 0 keeps
-    # the old inner-join sums identical.
+    # the old inner-join sums identical. Second pass: the t_n/r_n
+    # slot totals are the side-tagged sums over the same counts table
+    # (the builders emit exactly max(len - n + 1, 0) grams per doc),
+    # so the separate corpus-retokenizing lens aggregate is gone —
+    # this key now reads the text exactly once.
     def side_grams(arr: Column, is_cand: bool) -> Column:
         allg = F.concat(*[_bleu_grams(arr, n) for n in (1, 2)])
         return F.transform(
@@ -4062,17 +4053,26 @@ def llm_eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     clipped = F.least(F.col("c_cnt"), F.col("r_cnt"))
+    marker = F.substring("gram", 1, 1)
     m = counts.agg(
         *[
-            F.sum(
-                F.when(
-                    F.substring("gram", 1, 1) == str(n), clipped
-                ).otherwise(0)
-            )
+            F.sum(F.when(marker == str(n), clipped).otherwise(0))
             .cast("long")
             .alias(f"m{n}")
             for n in (1, 2)
-        ]
+        ],
+        *[
+            F.sum(F.when(marker == str(n), F.col("c_cnt")).otherwise(0))
+            .cast("long")
+            .alias(f"t{n}")
+            for n in (1, 2)
+        ],
+        *[
+            F.sum(F.when(marker == str(n), F.col("r_cnt")).otherwise(0))
+            .cast("long")
+            .alias(f"r{n}")
+            for n in (1, 2)
+        ],
     )
 
     def triple(n: int):
@@ -4084,7 +4084,7 @@ def llm_eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p1, r1, f1 = triple(1)
     p2, r2, f2 = triple(2)
-    return lens.crossJoin(F.broadcast(m)).select(
+    return m.select(
         "m1",
         "m2",
         p1.alias("rouge1_p"),
@@ -4600,12 +4600,13 @@ def llm_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     slots / P = R = 0) emit NULL. Uses explode_outer + null
     post-filter (the InferFiltersFromGenerate r9 trap).
 
-    Scale: two corpus passes (lengths; ONE side-tagged gram pass —
-    r14, guide §2.3/§2.4: both sides count in a single explode and a
-    single (doc_id, gram) exchange, replacing two gram scans plus
-    their shuffle join), linear in corpus chars ×6. Char 6-grams are
-    ~6× the text volume — the documented cost of the metric itself,
-    not a plan artifact."""
+    Scale: ONE corpus text pass (r14, guide §2.3/§2.4: both sides
+    count in a single explode and a single (doc_id, gram) exchange;
+    the slot/char totals are side-tagged sums over that same counts
+    table — only n_docs touches the table again, as a doc_id-only
+    count), linear in corpus chars ×6. Char 6-grams are ~6× the text
+    volume — the documented cost of the metric itself, not a plan
+    artifact."""
     d = load_table(spark, sf_dir, "documents")
     rw = F.split("text", " ")
     cw = F.filter(rw, lambda x, i: ((i + F.lit(1)) % 7) != 0)
@@ -4614,23 +4615,13 @@ def llm_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("text"), F.lit(" "), F.lit("")).alias("rs"),
         F.array_join(cw, "").alias("cs"),
     )
-    lens = base.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.length("rs")).cast("long").alias("ref_chars"),
-        F.sum(F.length("cs")).cast("long").alias("cand_chars"),
-        *[
-            a
-            for n in _CHRF_NS
-            for a in (
-                F.sum(F.greatest(F.length("cs") - (n - 1), F.lit(0)))
-                .cast("long")
-                .alias(f"ct{n}"),
-                F.sum(F.greatest(F.length("rs") - (n - 1), F.lit(0)))
-                .cast("long")
-                .alias(f"rt{n}"),
-            )
-        ],
-    )
+    # r14 second pass (guide §2.3): the ct_n/rt_n slot totals and the
+    # char totals (= the 1-gram slots) are side-tagged sums over the
+    # counts table itself (the builders emit exactly
+    # max(len - n + 1, 0) grams per string), so the separate
+    # corpus-rebuilding lens aggregate is gone; only n_docs still
+    # touches the table, as a doc_id-only count.
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
 
     # r14 (guide §2.3/§2.4): same single-pass rewrite as
     # llm_eval_bleu — both sides' char-gram multisets count in one
@@ -4658,17 +4649,26 @@ def llm_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     clipped = F.least(F.col("c_cnt"), F.col("r_cnt"))
+    marker = F.substring("gram", 1, 1)
     m = counts.agg(
         *[
-            F.sum(
-                F.when(
-                    F.substring("gram", 1, 1) == str(n), clipped
-                ).otherwise(0)
-            )
+            F.sum(F.when(marker == str(n), clipped).otherwise(0))
             .cast("long")
             .alias(f"m{n}")
             for n in _CHRF_NS
-        ]
+        ],
+        *[
+            a
+            for n in _CHRF_NS
+            for a in (
+                F.sum(F.when(marker == str(n), F.col("c_cnt")).otherwise(0))
+                .cast("long")
+                .alias(f"ct{n}"),
+                F.sum(F.when(marker == str(n), F.col("r_cnt")).otherwise(0))
+                .cast("long")
+                .alias(f"rt{n}"),
+            )
+        ],
     )
     p_chain = None
     r_chain = None
@@ -4677,10 +4677,10 @@ def llm_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         rt = F.col(f"m{n}").cast("double") / F.col(f"rt{n}")
         p_chain = pt if p_chain is None else p_chain + pt
         r_chain = rt if r_chain is None else r_chain + rt
-    f_ = lens.crossJoin(F.broadcast(m)).select(
+    f_ = nd.crossJoin(F.broadcast(m)).select(
         "n_docs",
-        "cand_chars",
-        "ref_chars",
+        F.col("ct1").alias("cand_chars"),
+        F.col("rt1").alias("ref_chars"),
         F.when(F.col("ct6") > 0, p_chain / 6.0).alias("macro_p"),
         F.when(F.col("rt6") > 0, r_chain / 6.0).alias("macro_r"),
     )
