@@ -1800,6 +1800,12 @@ def llm_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("p").cast("decimal(18,6)")).cast("double").alias("s"),
             F.count(F.lit(1)).alias("n"),
         )
+        # r14 (guide §1.2): sums feeds THREE consumers (pairs + the
+        # mean_i/mean_j broadcast join-backs); under this build's
+        # no-exchange-reuse the corpus explode+aggregate re-executed
+        # 3x (measured: 3 Generate nodes in the plan). Materialize
+        # the ≤2144-row aggregate once.
+        .localCheckpoint(eager=True)
     )
     singles = sums.where(F.col("j") == 0).select(
         F.col("i").alias("k"),
