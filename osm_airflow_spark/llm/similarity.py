@@ -1723,6 +1723,93 @@ def agg_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gram_micro_partials(it):
+    """Per-partition exact Gram partials for ``llm_embed_covariance``
+    (r15, guide §4): consumes Arrow batches of the bare ``embedding``
+    column, accumulates Σ round(xᵢ·xⱼ, 6)·10⁶ over the upper triangle
+    (plus the j = 0 raw-value sentinel per dim) as int64 micro-units,
+    and yields ONE partial frame per partition: (i, j, s, n).
+
+    Bit-faithfulness contract: Spark's ``round(double, 6)`` is
+    BigDecimal.valueOf(x).setScale(6, HALF_UP) — i.e. HALF_UP on the
+    SHORTEST DECIMAL REPR of the double (the CLAUDE.md engine-skew
+    rule). The vectorized fast path rounds the ×1e6-scaled double
+    (exact away from the .5 boundary); inside a ±tol midpoint band —
+    where scaled-multiplication error or the repr-vs-exact gap could
+    flip the digit — it falls back to Decimal(repr(x)) quantized
+    HALF_UP, which is exactly Java's path (Python repr and Java
+    Double.toString emit the same shortest round-trip decimal).
+    Integer micro sums are order-independent, so partial-per-partition
+    + final sum reproduces the old decimal(18,6) explode-sum
+    value-for-value. int64 bounds the per-cell micro sum at ~9.2e18
+    (Σ|p| ≤ 9.2e12 — far past the old decimal(18,6) per-TERM bound);
+    past it the final ANSI long sum errors loudly, never silently.
+
+    Latent edge (fixtures never hit it): a zero-length embedding is
+    skipped here, where the old sequence(1, 0) form would have
+    produced a descending [1, 0] index walk and an ANSI element_at
+    error; NULL embeddings contribute nothing in both forms."""
+    import numpy as np
+    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
+
+    six = Decimal("0.000001")
+
+    def micros(a):
+        scaled = a * 1e6
+        fl = np.floor(scaled)
+        frac = scaled - fl
+        out = np.where(frac >= 0.5, fl + 1.0, fl)
+        tol = 1e-6 + 8.0 * np.spacing(np.abs(scaled))
+        sus = np.abs(frac - 0.5) < tol
+        if sus.any():
+            flat_a = a.reshape(-1)
+            flat_o = out.reshape(-1)
+            for ix in np.flatnonzero(sus.reshape(-1)):
+                q = Decimal(repr(float(flat_a[ix]))).quantize(
+                    six, ROUND_HALF_UP
+                )
+                flat_o[ix] = float(q.scaleb(6))
+            out = flat_o.reshape(a.shape)
+        return out.astype(np.int64)
+
+    acc: dict = {}  # d -> [n, singles int64 (d,), pairs int64 (t,)]
+    chunk = 1024  # bounds the b×d×d outer-product intermediate
+    for pdf in it:
+        vecs = [v for v in pdf["embedding"] if v is not None and len(v)]
+        by_len: dict = {}
+        for v in vecs:
+            by_len.setdefault(len(v), []).append(v)
+        for d, vs in by_len.items():
+            if d not in acc:
+                acc[d] = [0, np.zeros(d, np.int64),
+                          np.zeros(d * (d + 1) // 2, np.int64)]
+            a = acc[d]
+            iu0, iu1 = np.triu_indices(d)
+            for lo in range(0, len(vs), chunk):
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64)
+                     for v in vs[lo:lo + chunk]]
+                )
+                P = np.einsum("bi,bj->bij", X, X)[:, iu0, iu1]
+                a[1] += micros(X).sum(axis=0, dtype=np.int64)
+                a[2] += micros(P).sum(axis=0, dtype=np.int64)
+            a[0] += len(vs)
+    if acc:
+        ii, jj, ss, nn = [], [], [], []
+        for d, (n, sm, pm) in acc.items():
+            iu0, iu1 = np.triu_indices(d)
+            ii.extend(range(1, d + 1))
+            jj.extend([0] * d)
+            ss.extend(int(x) for x in sm)
+            nn.extend([n] * d)
+            ii.extend(int(x) + 1 for x in iu0)
+            jj.extend(int(x) + 1 for x in iu1)
+            ss.extend(int(x) for x in pm)
+            nn.extend([n] * len(iu0))
+        yield pd.DataFrame({"i": ii, "j": jj, "s": ss, "n": nn})
+
+
 @query(
     "llm_embed_covariance",
     oracle="""
@@ -1772,39 +1859,43 @@ def llm_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism (the agg_vector_centroid recipe): every summed term
     — raw value or raw product — is a float-derived double rounded
-    to 6 dp BEFORE the exact decimal cast-and-sum, so aggregation
-    order cannot matter and the decimal cast is exact; the final
-    covariance is one shared IEEE tree over agreed doubles, emitted
-    UNROUNDED. At much larger d, swap the relational outer product
-    for a mapInPandas Gram-matrix partial (d×d numpy per partition,
-    summed); at d=64 the relational form IS the efficient plan."""
+    to 6 dp BEFORE the exact sum, so aggregation order cannot matter;
+    the final covariance is one shared IEEE tree over agreed doubles,
+    emitted UNROUNDED.
+
+    r15 (guide §4): the relational outer product (2144 interpreted-HOF
+    struct allocations per row feeding an explode) is replaced by the
+    mapInPandas Gram partial the r9 docstring predicted: one Arrow
+    pass ships ONLY the embedding column, each partition accumulates
+    Σ round(xᵢxⱼ, 6)·10⁶ as exact int64 micro-units with a vectorized
+    NumPy outer product (``_gram_micro_partials`` reproduces Spark's
+    double ``round`` bit-for-bit — shortest-repr HALF_UP, with an
+    exact-Decimal fallback inside the midpoint band), and the final
+    (i, j) aggregate sums integer micros and scales back in decimal —
+    the identical decimal value the old decimal(18,6) sum produced,
+    hence the identical double cast. Shuffle stays dims²-bounded
+    (≤2144 rows per partition partial). Oracle unchanged, hash-green
+    at all three SFs."""
     e = load_table(spark, sf_dir, "embeddings")
-    terms = F.expr(
-        """
-        concat(
-          transform(sequence(1, size(embedding)), i ->
-            named_struct('i', i, 'j', 0,
-              'p', round(cast(element_at(embedding, i) as double), 6))),
-          flatten(transform(sequence(1, size(embedding)), i ->
-            transform(sequence(i, size(embedding)), j ->
-              named_struct('i', i, 'j', j,
-                'p', round(cast(element_at(embedding, i) as double)
-                           * cast(element_at(embedding, j) as double), 6))))))
-        """
+    parts = e.select("embedding").mapInPandas(
+        _gram_micro_partials, "i int, j int, s long, n long"
     )
     sums = (
-        e.select(F.explode(terms).alias("t"))
-        .select("t.i", "t.j", "t.p")
-        .groupBy("i", "j")
+        parts.groupBy("i", "j")
         .agg(
-            F.sum(F.col("p").cast("decimal(18,6)")).cast("double").alias("s"),
-            F.count(F.lit(1)).alias("n"),
+            # exact scale-back: micros → decimal(20,0) × 0.000001 →
+            # decimal(27,6), bit-identical cast to double as the old
+            # decimal(28,6) sum of the same value (value-based cast)
+            F.expr(
+                "cast(cast(sum(s) as decimal(20,0)) * 0.000001 as double)"
+            ).alias("s"),
+            F.sum("n").alias("n"),
         )
         # r14 (guide §1.2): sums feeds THREE consumers (pairs + the
         # mean_i/mean_j broadcast join-backs); under this build's
-        # no-exchange-reuse the corpus explode+aggregate re-executed
-        # 3x (measured: 3 Generate nodes in the plan). Materialize
-        # the ≤2144-row aggregate once.
+        # no-exchange-reuse the corpus pass re-executed 3x. Materialize
+        # the ≤2144-row aggregate once. (Cluster-scale note: swap for a
+        # reliable checkpoint dir — localCheckpoint is executor-local.)
         .localCheckpoint(eager=True)
     )
     singles = sums.where(F.col("j") == 0).select(
