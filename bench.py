@@ -73,6 +73,47 @@ HEADLINE = [
 ]
 
 
+def _scaling_probe_df(spark, sf_dir: str):
+    """Deliberately COMPUTE-HEAVY, embarrassingly parallel probe
+    (VERDICT r14 #6): at sf0.1 every headline query is scheduling/
+    plan-compile-bound, so the driver's 8-vs-32-core scaling block
+    measured ratios ≈ 1 for everything and could not distinguish
+    parallel from serial. This probe chains 48 xxhash64 calls over a
+    ×128 explode of lineitem keys (~3.7e9 hash units at sf0.1) spread
+    over 4×defaultParallelism partitions — whole-stage-codegen map
+    work feeding one 1-row sum, no Python, negligible I/O — so its
+    low/high-core ratio tracks cores. Reported as an ADDITIVE entry
+    in ``queries`` (median of the same passes, same gc+count
+    methodology); EXCLUDED from ``value`` so the r1-comparable
+    17-key total stays comparable across rounds."""
+    from pyspark.sql import functions as F
+
+    from osm_airflow_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    rows = li.repartition(spark.sparkContext.defaultParallelism * 4)
+    h = F.xxhash64("l_orderkey", "l_partkey", "r")
+    for _ in range(48):
+        h = F.xxhash64(h)
+    return (
+        rows.select(
+            "l_orderkey",
+            "l_partkey",
+            F.explode(F.sequence(F.lit(1), F.lit(128))).alias("r"),
+        )
+        # % bounds the summand so the ANSI long sum can't overflow
+        .select((h % 1024).alias("u"))
+        .agg(F.sum("u").alias("probe_sum"))
+        # the timed action is count() (the r1-comparable methodology),
+        # which would prune an unused aggregate column and skip the
+        # entire hash chain (guide §1.4) — filtering ON the sum forces
+        # the computation while keeping count() as the action
+        .where(F.col("probe_sum").isNotNull())
+    )
+
+
 def _calibrate_jvm(spark, rows: int = 20_000_000, reps: int = 3) -> float:
     """Fixed-work single-task JVM calibration (seconds, median of reps).
 
@@ -245,6 +286,12 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).count()
             timings[key] = round(time.time() - t0, 3)
+        # r15 additive scaling probe — same gc+count methodology,
+        # same passes; see _scaling_probe_df. NOT in `value`.
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.time()
+        _scaling_probe_df(spark, sf_dir).count()
+        timings["scaling_probe"] = round(time.time() - t0, 3)
         passes.append(timings)
 
     import statistics
@@ -252,9 +299,12 @@ def main() -> None:
     # statistics.median averages the middle two for even pass counts
     # (the [n // 2] pick would report the upper one — biased high)
     median = {
-        k: round(statistics.median(p[k] for p in passes), 3) for k in queries
+        k: round(statistics.median(p[k] for p in passes), 3)
+        for k in passes[0]
     }
-    total = round(sum(median.values()), 3)
+    # `value` stays the sum over the 17 r1-comparable HEADLINE keys;
+    # the scaling probe rides in `queries` as an additive entry only.
+    total = round(sum(median[k] for k in queries), 3)
     one_shot = passes[0]
 
     # the r10 cached-plan path, measured separately: same DataFrame

@@ -466,17 +466,17 @@ def llm_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm.py). The fixture corpus tops out at cos ~0.51, so
     the emitted threshold matches llm_dedup_embed's 0.3 tail; output
     is deterministic given the fixed plane family → rows-only."""
-    from osm_airflow_spark.llm.similarity import hyperplane_signature
+    from osm_airflow_spark.llm.similarity import with_hyperplane_columns
 
     bands, bits = 4, 4
     e = load_table(spark, sf_dir, "embeddings")
-    sigs = e.select(
-        "vec_id",
-        *[
-            hyperplane_signature("embedding", n_planes=bits, plane_offset=b * bits).alias(f"sig{b}")
-            for b in range(bands)
-        ],
-    )
+    # r15 (guide §4): all 4 band signatures in one Arrow pass —
+    # bit-identical to the stacked hyperplane_signature expressions
+    # (see with_hyperplane_columns).
+    sigs = with_hyperplane_columns(
+        e.select("vec_id", "embedding"),
+        sig_specs=[(f"sig{b}", bits, b * bits) for b in range(bands)],
+    ).drop("embedding")
     keyed = sigs.select(
         "vec_id",
         F.explode(

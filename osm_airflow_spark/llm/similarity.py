@@ -211,6 +211,102 @@ def hyperplane_signature(
     return F.when(dim_ok.isNull(), sig)
 
 
+def with_hyperplane_columns(
+    df: DataFrame,
+    sig_specs: list[tuple[str, int, int]] | None = None,
+    margin_specs: list[tuple[str, int, int]] | None = None,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Append hyperplane LSH signature (long) and/or margin
+    (array<double>) columns in ONE Arrow pass — the §4 replacement for
+    stacking per-plane ``hyperplane_signature``/``hyperplane_margins``
+    column expressions. Each spec is (out_col, n_planes, plane_offset).
+
+    Why (r15, measured): a k-plane signature expression embeds k
+    64-literal plane arrays and k interpreted HOF folds — for the
+    12-table families that is a ~3000-literal tree whose ANALYSIS and
+    codegen dominate the key (the corpus is small), and whose folds
+    evaluate interpreted per element. Here the planes are NumPy
+    constants inside the task and the fold vectorizes across rows.
+
+    Bit-exactness contract (pinned by
+    tests/test_llm.py::test_hyperplane_arrow_matches_expression):
+    the JVM fold is aggregate(zip_with(v, plane, x*y), 0.0, acc+v) —
+    a strict left fold of IEEE double mul/add from a 0.0 seed. The
+    NumPy loop ``acc += X[:, k] * w[k]`` performs the identical op
+    sequence per row (ufunc mul then add, no FMA, float32→float64
+    widening exact), so dots — and hence ``dot > 0`` sign bits and
+    margin arrays — are bit-identical to the expression form. The
+    dim guard raises like the expression's assert_true."""
+    sig_specs = list(sig_specs or [])
+    margin_specs = list(margin_specs or [])
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql import types as T
+
+    planes = {
+        (np_, off): [
+            [_plane_component(p, i) for i in range(dim)]
+            for p in range(off, off + np_)
+        ]
+        for (_, np_, off) in sig_specs + margin_specs
+    }
+
+    fields = list(df.schema.fields)
+    for name, _, _ in sig_specs:
+        fields.append(T.StructField(name, T.LongType()))
+    for name, _, _ in margin_specs:
+        fields.append(T.StructField(name, T.ArrayType(T.DoubleType())))
+    out_schema = T.StructType(fields)
+
+    def compute(it):
+        import numpy as np
+
+        w = {
+            key: np.asarray(ps, dtype=np.float64)
+            for key, ps in planes.items()
+        }
+
+        def dots(X, key):
+            # strict left fold per plane, vectorized across rows —
+            # the exact op order of the JVM aggregate/zip_with fold
+            W = w[key]
+            out = np.zeros((X.shape[0], W.shape[0]))
+            for p in range(W.shape[0]):
+                acc = np.zeros(X.shape[0])
+                for k in range(dim):
+                    acc = acc + X[:, k] * W[p, k]
+                out[:, p] = acc
+            return out
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            for v in pdf[vec_col]:
+                if v is None or len(v) != dim:
+                    got = "NULL" if v is None else str(len(v))
+                    raise ValueError(
+                        f"with_hyperplane_columns: planes have dim={dim} "
+                        f"but vector has {got} elements"
+                    )
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            out = pdf.copy()
+            for name, np_, off in sig_specs:
+                D = dots(X, (np_, off))
+                sig = np.zeros(len(pdf), dtype=np.int64)
+                for b in range(np_):
+                    sig |= (D[:, b] > 0).astype(np.int64) << b
+                out[name] = sig
+            for name, np_, off in margin_specs:
+                D = dots(X, (np_, off))
+                out[name] = list(D)
+            yield out
+
+    return df.mapInPandas(compute, out_schema)
+
+
 @query("llm_sim_ann_lsh")  # rows-only: recall depends on the hash family
 def llm_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension — multi-table LSH approximate nearest neighbors: the
@@ -231,18 +327,23 @@ def llm_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-family-specific → rows-only."""
     n_tables, n_bits = 12, 4
     e = load_table(spark, sf_dir, "embeddings")
+    # r15 (guide §4): all 12 table signatures in ONE Arrow pass —
+    # bit-identical to the stacked hyperplane_signature expressions
+    # (see with_hyperplane_columns), whose 12×4-plane literal tree
+    # dominated this key's analysis+codegen time.
+    sigged = with_hyperplane_columns(
+        e.select("vec_id", "label", "embedding"),
+        sig_specs=[(f"_sig{t}", n_bits, t * n_bits) for t in range(n_tables)],
+    )
     sigs = F.array(
         *[
-            F.struct(
-                F.lit(t).alias("t"),
-                hyperplane_signature(
-                    "embedding", n_planes=n_bits, plane_offset=t * n_bits
-                ).alias("b"),
-            )
+            F.struct(F.lit(t).alias("t"), F.col(f"_sig{t}").alias("b"))
             for t in range(n_tables)
         ]
     )
-    tabbed = e.select("vec_id", "label", "embedding", F.explode(sigs).alias("s")).select(
+    tabbed = sigged.select(
+        "vec_id", "label", "embedding", F.explode(sigs).alias("s")
+    ).select(
         "vec_id", "label", "embedding", F.col("s.t").alias("t"), F.col("s.b").alias("b")
     )
     probes = tabbed.where(F.col("vec_id") == 0).select(
@@ -365,8 +466,16 @@ def llm_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     id with a 93-row broadcast probe list."""
     e = load_table(spark, sf_dir, "embeddings")
     n_planes, budget = 8, 93
-    sig = hyperplane_signature("embedding", n_planes=n_planes)
-    bucketed = e.select("vec_id", "label", "embedding", sig.alias("bucket"))
+    # r15 (guide §4): bucket signature AND boundary margins in one
+    # Arrow pass (bit-identical; see with_hyperplane_columns) — the
+    # margins ride along for the query row instead of re-deriving the
+    # 8-plane literal fold on the probes branch.
+    bucketed_m = with_hyperplane_columns(
+        e.select("vec_id", "label", "embedding"),
+        sig_specs=[("bucket", n_planes, 0)],
+        margin_specs=[("_margins", n_planes, 0)],
+    )
+    bucketed = bucketed_m.select("vec_id", "label", "embedding", "bucket")
 
     masks = [0]
     masks += [1 << b for b in range(n_planes)]
@@ -388,7 +497,6 @@ def llm_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b3 in range(b2 + 1, n_planes)
         for b4 in range(b3 + 1, n_planes)
     ]
-    margins = hyperplane_margins("embedding", n_planes=n_planes)
     cands = F.array(
         *[
             F.struct(
@@ -406,8 +514,8 @@ def llm_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     probes = (
-        bucketed.where(F.col("vec_id") == 0)
-        .select("embedding", "bucket", margins.alias("m"))
+        bucketed_m.where(F.col("vec_id") == 0)
+        .select("embedding", "bucket", F.col("_margins").alias("m"))
         .select(
             F.col("embedding").alias("qvec"),
             "bucket",
@@ -1412,15 +1520,17 @@ def nn_descent_graph(
     # r14 (guide §1.2): sigs feeds SIX join legs (a and b per table)
     # and this build never reuses exchange subtrees, so without the
     # checkpoint the 12-plane signature computation re-ran 6×.
-    sigs = vectors.select(
-        F.col(id_col).alias("_vid"),
-        *[
-            hyperplane_signature(vec_col, n_planes=4, plane_offset=t * 4).alias(
-                f"b{t}"
-            )
-            for t in range(3)
-        ],
-    ).localCheckpoint(eager=True)
+    # r15 (guide §4): signatures via one Arrow pass (bit-identical;
+    # see with_hyperplane_columns).
+    sigs = (
+        with_hyperplane_columns(
+            vectors.select(F.col(id_col).alias("_vid"), vec_col),
+            sig_specs=[(f"b{t}", 4, t * 4) for t in range(3)],
+            vec_col=vec_col,
+        )
+        .drop(vec_col)
+        .localCheckpoint(eager=True)
+    )
     mates = None
     for t in range(3):
         a = sigs.select(F.col("_vid").alias("src"), F.col(f"b{t}").alias("bk"))

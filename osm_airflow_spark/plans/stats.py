@@ -2960,8 +2960,6 @@ def pipeline_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one corpus pass to the distinct-value table, one broadcast
     of the 7 medians back over the corpus for the deviation stats;
     everything else is control-plane."""
-    from osm_airflow_spark.bucketing import bucketed_running
-
     e = load_table(spark, sf_dir, "events")
     pur = e.where(
         (F.col("event_type") == "purchase")
@@ -2983,35 +2981,60 @@ def pipeline_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # distinct-value-bounded
     )
-    out, totals = bucketed_running(by_val, "v", [f"c{d}" for d in _BF_DAYS])
-    if any(totals[f"c{d}"] == 0 for d in _BF_DAYS):
+    # r15 (guide §1.2): the per-day order statistics previously rode
+    # bucketed_running (cuts head + offsets collect + a bucketed
+    # window pass — three extra jobs over a ~2k-row distinct-value
+    # table). The same v(lo)/v(hi) now come from ONE in-row fold over
+    # the sorted distinct-value array: first element whose cumulative
+    # day count reaches the literal position — identical selection
+    # (first hit ⇔ run ≥ pos ∧ run − cnt < pos), identical m2 values,
+    # oracle unchanged. The collected array is VALUE-SPACE-bounded
+    # (distinct cents), never corpus-bounded; totals stay a
+    # control-plane 1-row head like bucketed_running's by-product.
+    totals = by_val.agg(
+        *[F.sum(f"c{d}").alias(f"c{d}") for d in _BF_DAYS]
+    ).head()
+    if any((totals[f"c{d}"] or 0) == 0 for d in _BF_DAYS):
         # a weekday with zero purchases: the 7-group statistic is
         # undefined — emit the same zero rows as the oracle's
         # all-present filter, with the full schema
-        return out.limit(0).select(
+        return by_val.limit(0).select(
             F.lit(0).cast("long").alias("n"),
             F.lit(7).cast("long").alias("k"),
             F.lit(0.0).alias("ss_between"),
             F.lit(0.0).alias("ss_within"),
             F.lit(0.0).alias("f_stat"),
         )
-    sel = []
+    arr = by_val.agg(
+        F.array_sort(
+            F.collect_list(F.struct("v", *[f"c{d}" for d in _BF_DAYS]))
+        ).alias("arr")
+    )
+
+    def order_stat(d: int, pos: int) -> Column:
+        # fold state: (cum day-d count so far, first v whose cum >= pos)
+        return F.aggregate(
+            "arr",
+            F.struct(
+                F.lit(0).cast("long").alias("cum"),
+                F.lit(None).cast("long").alias("hit"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x[f"c{d}"]).alias("cum"),
+                F.coalesce(
+                    acc["hit"],
+                    F.when(acc["cum"] + x[f"c{d}"] >= pos, x["v"]),
+                ).alias("hit"),
+            ),
+            lambda acc: acc["hit"],
+        )
+
+    med_cols = []
     for d in _BF_DAYS:
         n_d = totals[f"c{d}"]
         lo, hi = (n_d + 1) // 2, (n_d + 2) // 2
-        run, cnt = F.col(f"run_c{d}"), F.col(f"c{d}")
-        for tag, pos in (("lo", lo), ("hi", hi)):
-            sel.append(
-                F.min(
-                    F.when((run >= pos) & (run - cnt < pos), F.col("v"))
-                ).alias(f"{tag}{d}")
-            )
-    med = out.agg(*sel).select(
-        *[
-            (F.col(f"lo{d}") + F.col(f"hi{d}")).alias(f"m2_{d}")
-            for d in _BF_DAYS
-        ]
-    )
+        med_cols.append((order_stat(d, lo) + order_stat(d, hi)).alias(f"m2_{d}"))
+    med = arr.select(*med_cols)
     z = pur.join(F.broadcast(med)).select(
         "g",
         F.abs(

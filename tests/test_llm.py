@@ -394,6 +394,42 @@ def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
     assert recall_multi >= recall_single
 
 
+def test_hyperplane_arrow_matches_expression(spark, sf_dir):
+    """The r15 Arrow signature pass (with_hyperplane_columns) must be
+    BIT-identical to the expression forms it replaced — signatures
+    (strict-left-fold dots → sign bits) and raw margin doubles — on
+    the full fixture corpus, across a multi-table family with a
+    nonzero plane offset."""
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.llm.similarity import (
+        hyperplane_margins,
+        hyperplane_signature,
+        with_hyperplane_columns,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    expr_df = e.select(
+        "vec_id",
+        hyperplane_signature("embedding", n_planes=4, plane_offset=0).alias("s0"),
+        hyperplane_signature("embedding", n_planes=4, plane_offset=8).alias("s2"),
+        hyperplane_margins("embedding", n_planes=8, plane_offset=0).alias("m"),
+    )
+    arrow_df = with_hyperplane_columns(
+        e.select("vec_id", "embedding"),
+        sig_specs=[("s0", 4, 0), ("s2", 4, 8)],
+        margin_specs=[("m", 8, 0)],
+    ).drop("embedding")
+    want = {r["vec_id"]: (r["s0"], r["s2"], list(r["m"])) for r in expr_df.collect()}
+    got = {r["vec_id"]: (r["s0"], r["s2"], list(r["m"])) for r in arrow_df.collect()}
+    assert want == got  # exact doubles: bit-identity, not approx
+
+    with pytest.raises(Exception, match="dim"):
+        with_hyperplane_columns(
+            e.limit(1).select("vec_id", F.slice("embedding", 1, 8).alias("embedding")),
+            sig_specs=[("s", 4, 0)],
+        ).collect()
+
+
 def test_kmeans_centroids_shape_and_stability(spark, sf_dir):
     from osm_airflow_spark.llm.similarity import kmeans_centroids
 
