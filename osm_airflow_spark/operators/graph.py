@@ -327,23 +327,49 @@ def bfs_hops(und: DataFrame, seed: DataFrame, max_rounds: int = 8) -> DataFrame:
     labels.union(nxt).localCheckpoint re-WROTE the whole growing
     label set every round (O(rounds × labels) checkpoint I/O and a
     second job per round). The anti-join now reads a lazy union of
-    the materialized legs instead: same rows, one job per round."""
+    the materialized legs instead: same rows, one job per round.
+
+    r15 (guide §3.1, VERDICT r14 #7): while the frontier / label set
+    is small (typical for early and late hops — and always, on
+    fixture graphs), it BROADCASTS into the expansion join and the
+    anti-join, so the big edge table is never exchanged per round;
+    past ``SPARK_GRAFT_BFS_BROADCAST_ROWS`` (default 2e6 rows ≈ tens
+    of MB of (sid,node,hops) longs) the round falls back to the
+    shuffle join. The emptiness probe is the checkpoint-scan count()
+    that feeds the decision — still one job per round."""
     frontiers, frontier = [seed], seed
+    counts = [seed.count()]
+    cap = _bfs_broadcast_rows()
     for depth in range(1, max_rounds + 1):
         labels = reduce(DataFrame.union, frontiers)
+        f = F.broadcast(frontier) if counts[-1] <= cap else frontier
+        lab = F.broadcast(labels) if sum(counts) <= cap else labels
         nxt = (
-            frontier.join(und, frontier["node"] == und["a"])
+            f.join(und, f["node"] == und["a"])
             .select(F.col("b").alias("node"))
             .distinct()
-            .join(labels, "node", "left_anti")
+            .join(lab, "node", "left_anti")
             .select("node", F.lit(depth).alias("hops"))
             .localCheckpoint(eager=True)
         )
-        if not nxt.take(1):
+        c = nxt.count()
+        if not c:
             break
         frontiers.append(nxt)
+        counts.append(c)
         frontier = nxt
     return reduce(DataFrame.union, frontiers)
+
+
+def _bfs_broadcast_rows() -> int:
+    """Row cap under which BFS frontiers/labels broadcast (env
+    ``SPARK_GRAFT_BFS_BROADCAST_ROWS``, default 2e6 — scale-adaptive
+    via config, never a local-core constant). Cluster note: sized so
+    the built hash relation stays tens of MB; raise/lower with
+    executor memory."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_BFS_BROADCAST_ROWS", "2000000"))
 
 
 @query("graph_kcore")  # rows-only: iterative peeling fixpoint, no SQL twin
@@ -745,21 +771,32 @@ def bfs_hops_multi(und: DataFrame, seeds: DataFrame, max_rounds: int = 8) -> Dat
 
     r14 (guide §1.2): labels ride as a lazy union of the
     checkpointed per-round frontiers (the bfs_hops rewrite) — the
-    growing label set is no longer re-checkpointed every round."""
+    growing label set is no longer re-checkpointed every round.
+
+    r15 (guide §3.1, VERDICT r14 #7): frontier/labels broadcast into
+    the per-round joins while under the row cap (see bfs_hops) — the
+    edge table stops being exchanged every round; shuffle-join
+    fallback past the cap."""
     frontiers, frontier = [seeds], seeds
+    counts = [seeds.count()]
+    cap = _bfs_broadcast_rows()
     for depth in range(1, max_rounds + 1):
         labels = reduce(DataFrame.union, frontiers)
+        f = F.broadcast(frontier) if counts[-1] <= cap else frontier
+        lab = F.broadcast(labels) if sum(counts) <= cap else labels
         nxt = (
-            frontier.join(und, frontier["node"] == und["a"])
+            f.join(und, f["node"] == und["a"])
             .select("sid", F.col("b").alias("node"))
             .distinct()
-            .join(labels, ["sid", "node"], "left_anti")
+            .join(lab, ["sid", "node"], "left_anti")
             .select("sid", "node", F.lit(depth).alias("hops"))
             .localCheckpoint(eager=True)
         )
-        if not nxt.take(1):
+        c = nxt.count()
+        if not c:
             break
         frontiers.append(nxt)
+        counts.append(c)
         frontier = nxt
     return reduce(DataFrame.union, frontiers)
 
