@@ -2955,8 +2955,6 @@ def llm_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     lambda into an inferred pre-filter and cube the per-row cost
     (the measured r9 trap, SCALE.md)."""
     d = load_table(spark, sf_dir, "documents")
-    rw = F.split("text", " ")
-    cw = F.filter(rw, lambda x, i: ((i + F.lit(1)) % 7) != 0)
     # r14 second pass (guide §2.3): the old lens aggregate re-read and
     # re-tokenized the whole corpus just to count gram SLOTS — but the
     # builders emit exactly max(len - n + 1, 0) grams per doc, so every
@@ -2972,6 +2970,10 @@ def llm_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cg ⋈ rg join disappears. Inner-join semantics are preserved
     # exactly: a gram missing on either side gets a zero count and
     # least(c, 0) = 0, so every m_n sum is the identical integer.
+    # r15: rw/cw become Project ATTRIBUTES under the Generate (the
+    # chrf pattern) — identical grams, but the gram lambdas read the
+    # tokenized arrays O(1) instead of re-inlining (and, interpreted,
+    # re-evaluating per ELEMENT) the split/filter source trees.
     def side_grams(arr: Column, is_cand: bool) -> Column:
         allg = F.concat(*[_bleu_grams(arr, n) for n in (1, 2, 3, 4)])
         return F.transform(
@@ -2979,11 +2981,19 @@ def llm_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda g: F.struct(g.alias("gram"), F.lit(is_cand).alias("is_c")),
         )
 
+    base = d.select("doc_id", F.split("text", " ").alias("rw")).select(
+        "doc_id",
+        "rw",
+        F.filter("rw", lambda x, i: ((i + F.lit(1)) % 7) != 0).alias("cw"),
+    )
     counts = (
-        d.select(
+        base.select(
             "doc_id",
             F.explode_outer(
-                F.concat(side_grams(cw, True), side_grams(rw, False))
+                F.concat(
+                    side_grams(F.col("cw"), True),
+                    side_grams(F.col("rw"), False),
+                )
             ).alias("sg"),
         )
         .where(F.col("sg").isNotNull())
@@ -4020,8 +4030,6 @@ def llm_eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
     side-tagged sums over the same counts table (r14: the text is
     read exactly once); output ONE row."""
     d = load_table(spark, sf_dir, "documents")
-    rw = F.split("text", " ")
-    cw = F.filter(rw, lambda x, i: ((i + F.lit(1)) % 7) != 0)
 
     # r14 (guide §2.3/§2.4): same single-pass rewrite as
     # llm_eval_bleu — both sides' gram multisets count in one tagged
@@ -4031,6 +4039,9 @@ def llm_eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the builders emit exactly max(len - n + 1, 0) grams per doc),
     # so the separate corpus-retokenizing lens aggregate is gone —
     # this key now reads the text exactly once.
+    # r15: rw/cw become Project ATTRIBUTES under the Generate (the
+    # chrf pattern) — identical grams, O(1) source reads inside the
+    # gram lambdas.
     def side_grams(arr: Column, is_cand: bool) -> Column:
         allg = F.concat(*[_bleu_grams(arr, n) for n in (1, 2)])
         return F.transform(
@@ -4038,11 +4049,19 @@ def llm_eval_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda g: F.struct(g.alias("gram"), F.lit(is_cand).alias("is_c")),
         )
 
+    base = d.select("doc_id", F.split("text", " ").alias("rw")).select(
+        "doc_id",
+        "rw",
+        F.filter("rw", lambda x, i: ((i + F.lit(1)) % 7) != 0).alias("cw"),
+    )
     counts = (
-        d.select(
+        base.select(
             "doc_id",
             F.explode_outer(
-                F.concat(side_grams(cw, True), side_grams(rw, False))
+                F.concat(
+                    side_grams(F.col("cw"), True),
+                    side_grams(F.col("rw"), False),
+                )
             ).alias("sg"),
         )
         .where(F.col("sg").isNotNull())
@@ -4608,13 +4627,6 @@ def llm_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume — the documented cost of the metric itself, not a plan
     artifact."""
     d = load_table(spark, sf_dir, "documents")
-    rw = F.split("text", " ")
-    cw = F.filter(rw, lambda x, i: ((i + F.lit(1)) % 7) != 0)
-    base = d.select(
-        "doc_id",
-        F.replace(F.col("text"), F.lit(" "), F.lit("")).alias("rs"),
-        F.array_join(cw, "").alias("cs"),
-    )
     # r14 second pass (guide §2.3): the ct_n/rt_n slot totals and the
     # char totals (= the 1-gram slots) are side-tagged sums over the
     # counts table itself (the builders emit exactly
@@ -4626,7 +4638,18 @@ def llm_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r14 (guide §2.3/§2.4): same single-pass rewrite as
     # llm_eval_bleu — both sides' char-gram multisets count in one
     # tagged explode and one (doc_id, gram) exchange; least(c, 0) = 0
-    # keeps the old inner-join sums identical.
+    # keeps the old inner-join sums identical. cs/rs stay Project
+    # ATTRIBUTES under the Generate (the pattern bleu/rouge adopt in
+    # r15): the gram lambdas read them O(1), never re-deriving the
+    # source strings per element.
+    rw = F.split("text", " ")
+    cw = F.filter(rw, lambda x, i: ((i + F.lit(1)) % 7) != 0)
+    base = d.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" "), F.lit("")).alias("rs"),
+        F.array_join(cw, "").alias("cs"),
+    )
+
     def side_grams(src_col: str, is_cand: bool) -> Column:
         allg = F.concat(*[_chrf_grams(F.col(src_col), n) for n in _CHRF_NS])
         return F.transform(
