@@ -335,6 +335,28 @@ def simhash_expr(words_col: Column, n_bits: int = 32) -> Column:
     return reduce(lambda a, b: a + b, bits)
 
 
+def _simhash_from_hashes(hs: Column, n_bits: int = 32) -> Column:
+    """``simhash_expr`` over PRE-HASHED word longs (r15): same per-bit
+    majority test — Σ((h >> i) & 1) · 2 > n_words — folded over the
+    hash array attribute, so the word hash computes once per word
+    instead of once per (word, bit)."""
+    n_words = F.size(hs)
+    bits = [
+        (
+            F.aggregate(
+                hs,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)),
+            )
+            * 2
+            > n_words
+        ).cast("long")
+        * F.lit(2**i)
+        for i in range(n_bits)
+    ]
+    return reduce(lambda a, b: a + b, bits)
+
+
 @query("llm_dedup_simhash")  # rows-only: hash-family dependent
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension — SimHash near-dup candidates within Hamming
@@ -343,8 +365,20 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk → equi-join per chunk (no cross join). Exact Hamming check
     with bit_count afterwards."""
     d = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    fp = d.select("doc_id", simhash_expr(words).alias("simhash"))
+    # r15 (guide §1.2 per-task work): each word hashes ONCE into an
+    # attribute array; the 32 per-bit folds then read the cached longs
+    # O(1) instead of re-evaluating xxhash64 per word PER BIT (32× the
+    # hash work under interpreted HOF evaluation). Identical bit math
+    # to simhash_expr — pinned by test_simhash_hash_once_identical.
+    hashed = d.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select(
+        "doc_id",
+        F.transform("w", lambda w: F.xxhash64(w)).alias("hs"),
+    )
+    fp = hashed.select(
+        "doc_id", _simhash_from_hashes(F.col("hs")).alias("simhash")
+    )
 
     chunks = fp.select(
         "doc_id",
@@ -476,7 +510,12 @@ def llm_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = with_hyperplane_columns(
         e.select("vec_id", "embedding"),
         sig_specs=[(f"sig{b}", bits, b * bits) for b in range(bands)],
-    ).drop("embedding")
+    )
+    # (r15 negative result, ledgered: scoring in-bucket BEFORE the
+    # pair dedup — the llm_dedup_near recipe — measured SLOWER here,
+    # 9.9 -> 11.4 s at sf0.1: the re-attach joins are broadcast at
+    # this corpus size while the interpreted cosine fold pays per
+    # RAW band-duplicate candidate. Dedup-then-attach stands.)
     keyed = sigs.select(
         "vec_id",
         F.explode(

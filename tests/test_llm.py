@@ -164,6 +164,34 @@ def test_simhash_identical_docs_same_fingerprint(docs):
     assert fp[1] != fp[4]
 
 
+def test_simhash_hash_once_identical(spark, sf_dir):
+    """The r15 hash-once formulation (_simhash_from_hashes over a
+    pre-hashed attribute array) must reproduce simhash_expr exactly
+    on the full fixture corpus — integer bit math, strict equality."""
+    from osm_airflow_spark.io import load_table
+    from osm_airflow_spark.llm.dedup import _simhash_from_hashes
+
+    d = load_table(spark, sf_dir, "documents")
+    want = {
+        r["doc_id"]: r["s"]
+        for r in d.select(
+            "doc_id", simhash_expr(F.split("text", " ")).alias("s")
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["s"]
+        for r in d.select(
+            "doc_id", F.split("text", " ").alias("w")
+        )
+        .select(
+            "doc_id", F.transform("w", lambda w: F.xxhash64(w)).alias("hs")
+        )
+        .select("doc_id", _simhash_from_hashes(F.col("hs")).alias("s"))
+        .collect()
+    }
+    assert want == got
+
+
 def test_cosine_expr_exact_values(spark):
     df = spark.createDataFrame(
         [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([3.0, 4.0], [3.0, 4.0])],
