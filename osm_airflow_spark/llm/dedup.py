@@ -551,6 +551,7 @@ def cluster_pairs(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", ma
     clusters are shallow — a handful of rounds); each round is one
     join + one groupBy, all partitioned on the node id, so the whole
     thing scales like the pair list, never like pairs².
+     Cluster-scale caveat: the per-round localCheckpoint is executor-local — swap in a reliable checkpoint dir on real clusters (see bucketing.py).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -642,7 +643,8 @@ def cluster_pairs_star(
       m = min(Γ<(u));
     * converged when the canonical edge set stops changing — then
       every component is a star centered at its minimum, and labels
-      read directly off the adjacency."""
+      read directly off the adjacency. Cluster-scale caveat: the per-round localCheckpoint is executor-local — swap in a reliable checkpoint dir on real clusters (see bucketing.py).
+    """
     # r14 (guide §1.2/§2.4): state is kept CANONICAL ((max, min) per
     # undirected edge) across rounds. sym() only depends on the
     # undirected edge set — sym(canon(e)) == sym(e) for self-loop-free

@@ -2939,7 +2939,13 @@ def llm_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent). Gram builders guard short arrays explicitly (the
     llm_distinct_ngrams descending-sequence lesson); degenerate
     corpora (no unigram match / no 4-gram slots) emit NULL BLEU in
-    both engines.
+    both engines. NULL-guard edge (ADVICE r14, latent — any non-NULL
+    text yields ≥1 unigram so fixtures can't reach it): on a corpus
+    where EVERY text is NULL the counts table is empty and the
+    side-tagged totals (t_n / ref_len / cand_len, and rouge/chrf's
+    twins) become NULL where the pre-r14 lens aggregate emitted 0 —
+    if these keys are ever exposed to arbitrary corpora, wrap those
+    sums in coalesce(..., 0) to restore the empty-corpus zeros.
 
     Scale: ONE corpus text pass (r14, guide §2.3/§2.4: candidate and
     reference multisets count in a single explode and a single

@@ -147,7 +147,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor via a left join. Deterministic: fixed iteration count,
     content-derived edges, no sampling — invariants (Σrank = 1,
     positivity, monotone degree→rank trend, rerun-stability) are
-    pytest-asserted."""
+    pytest-asserted. Cluster-scale caveat: the per-round localCheckpoint is executor-local — swap in a reliable checkpoint dir on real clusters (see bucketing.py).
+    """
     d = 0.85
     und = trade_edges(spark, sf_dir)
     edges = (
@@ -336,7 +337,8 @@ def bfs_hops(und: DataFrame, seed: DataFrame, max_rounds: int = 8) -> DataFrame:
     past ``SPARK_GRAFT_BFS_BROADCAST_ROWS`` (default 2e6 rows ≈ tens
     of MB of (sid,node,hops) longs) the round falls back to the
     shuffle join. The emptiness probe is the checkpoint-scan count()
-    that feeds the decision — still one job per round."""
+    that feeds the decision — still one job per round. Cluster-scale caveat: the per-round localCheckpoint is executor-local — swap in a reliable checkpoint dir on real clusters (see bucketing.py).
+    """
     frontiers, frontier = [seed], seed
     counts = [seed.count()]
     cap = _bfs_broadcast_rows()
@@ -408,7 +410,8 @@ def kcore_peel(edges: DataFrame, max_k: int = 64) -> DataFrame:
     synthetic edge list (and a small ``max_k``) directly: ``edges``
     is an (a, b) directed list, symmetrized here. Raises ValueError
     if the graph's degeneracy exceeds ``max_k`` (silently labeling
-    survivors max_k would be WRONG with no signal — ADVICE r9)."""
+    survivors max_k would be WRONG with no signal — ADVICE r9). Cluster-scale caveat: the per-round localCheckpoint is executor-local — swap in a reliable checkpoint dir on real clusters (see bucketing.py).
+    """
     und = (
         edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .localCheckpoint(eager=True)
@@ -776,7 +779,8 @@ def bfs_hops_multi(und: DataFrame, seeds: DataFrame, max_rounds: int = 8) -> Dat
     r15 (guide §3.1, VERDICT r14 #7): frontier/labels broadcast into
     the per-round joins while under the row cap (see bfs_hops) — the
     edge table stops being exchanged every round; shuffle-join
-    fallback past the cap."""
+    fallback past the cap. Cluster-scale caveat: the per-round localCheckpoint is executor-local — swap in a reliable checkpoint dir on real clusters (see bucketing.py).
+    """
     frontiers, frontier = [seeds], seeds
     counts = [seeds.count()]
     cap = _bfs_broadcast_rows()
@@ -1268,7 +1272,8 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalizing max rides broadcast. Invariants pinned in pytest: a
     pure star's center is the unit hub and its leaves tie as
     authorities, scores match a pure-Python integer replica exactly,
-    and rerun + repartition stability."""
+    and rerun + repartition stability. Cluster-scale caveat: the per-round localCheckpoint is executor-local — swap in a reliable checkpoint dir on real clusters (see bucketing.py).
+    """
     e = trade_edges_directed(spark, sf_dir).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("a").alias("node"))

@@ -784,13 +784,24 @@ def _hom_edges(win):
     """Integer half-plane functionals for the window's CCW edges:
     L(P) = cA*Y + cB*X + cC*W has the sign of _cross(a, b, p) * W
     (positive scaling leaves both the sign test and the intersection
-    parameter t = dp/(dp-dc) unchanged)."""
+    parameter t = dp/(dp-dc) unchanged).
+
+    Vertices coerce to Fraction FIRST (ADVICE r14): the differences
+    and the ey·ax − ex·ay product must be exact, and a raw float
+    window would compute them in binary double arithmetic — silently
+    rounded functionals that diverge from the Fraction reference
+    kernel. clip_polygons pre-converts, but the exactness contract
+    shouldn't depend on the caller."""
     from fractions import Fraction
     from math import lcm
 
     edges = []
     for i in range(len(win)):
-        a, b = win[i], win[(i + 1) % len(win)]
+        a = (Fraction(win[i][0]), Fraction(win[i][1]))
+        b = (
+            Fraction(win[(i + 1) % len(win)][0]),
+            Fraction(win[(i + 1) % len(win)][1]),
+        )
         ex, ey = b[0] - a[0], b[1] - a[1]
         cA, cB, cC = ex, -ey, ey * a[0] - ex * a[1]
         den = lcm(
