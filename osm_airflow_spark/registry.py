@@ -153,83 +153,75 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # ``tests/test_registry.py`` pins the exact list so adding a key can
 # never reshuffle the window unreviewed.
 #
-# Round-14 window: per VERDICT r13 next-round #1 and #2. Head: ALL 44
-# keys with no driver-side evidence in any CORRECTNESS_r01..r13 (the
-# r13 finance-window/SPC/graph/osm-geometry/eval/agg additions). Tail:
-# the 5 §2 keys deferred from the r13 rotation (project_columns /
-# project_map_promote / project_computed at r7; agg_approx_distinct and
-# udf_grouped_map, rows-only, r7) plus fn_datetime (r8) — exactly 50.
-#
-# r15 rotation queue (in order, the half that waits per VERDICT r13
-# #2): the remaining r8-proof cohort — win_time_tumbling,
-# win_time_sliding, win_time_session (operators/timewindows.py), then
-# the five K-block keys llm_dedup_exact, llm_dedup_near (rows-only),
-# llm_sim_pairwise, llm_sim_topk, llm_text_stats — followed by the
-# round-14 additions, oldest first: the first-stretch five (win_cci,
-# pipeline_cpk, pipeline_safety_stock, pipeline_grubbs,
-# pipeline_wilson_ci), then the continuation's seventeen
-# (pipeline_mcnemar, pipeline_cochran_q, graph_reciprocity,
-# graph_eccentricity, win_mfi, win_macd, pipeline_nrr,
-# pipeline_erlang_c, win_ulcer_index, pipeline_price_index,
-# llm_pmi_collocations, pipeline_skyline, llm_rake_keywords,
-# graph_hits (rows-only), osm_polyline_encode, win_parkinson).
-# Staleness computed from CORRECTNESS_r01-r13 (newest proof round
-# per key).
+# Round-15 window: per VERDICT r14 #9 ("rotate DRIVER_WINDOW per the
+# r15 queue already staged"). Head: the staged queue verbatim — the
+# remaining r8-proof cohort (win_time_*, the five K-block keys
+# incl. llm_dedup_near rows-only), the round-14-addition cohort with
+# no driver-side evidence in any CORRECTNESS_r01..r14 (first-stretch
+# five + continuation sixteen incl. graph_hits rows-only). Middle:
+# the hash-checked keys RESTRUCTURED by the r15 optimization round
+# (llm_embed_covariance, pipeline_levene, llm_eval_bleu/rouge/chrf,
+# graph_closeness/shortest_path — graph_eccentricity is already in
+# the queue), so the driver re-proves exactly what changed. Tail:
+# the stalest remaining oracled keys (r7 proof cohort + two r8).
+# Staleness computed from CORRECTNESS_r01-r14 hash_match rounds.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-checked: the 44 r13 additions --
-    "agg_moments",
-    "agg_weighted_median",
-    "agg_histogram",
-    "graph_closeness",
-    "graph_clustering_coefficient",
-    "graph_degree_distribution",
-    "set_symmetric_diff",
-    "win_atr",
-    "win_donchian",
-    "win_obv",
-    "win_aroon",
-    "win_vwap",
-    "win_stochastic",
-    "win_ichimoku",
-    "win_pivot_points",
-    "fn_luhn",
-    "fn_geohash",
-    "llm_eval_brier",
-    "llm_eval_ece",
-    "llm_eval_mcc",
-    "llm_heaps_law",
-    "llm_cluster_silhouette",
-    "llm_edit_distance",
-    "llm_dup_size_histogram",
-    "mm_audio_zcr",
-    "mm_audio_peaks",
-    "pipeline_mann_kendall",
-    "pipeline_seasonality_strength",
+    # -- staged r15 queue: r8-stale cohort --
+    "win_time_tumbling",
+    "win_time_sliding",
+    "win_time_session",
+    "llm_dedup_exact",
+    "llm_dedup_near",
+    "llm_sim_pairwise",
+    "llm_sim_topk",
+    "llm_text_stats",
+    # -- staged r15 queue: never-driver-checked r14 additions --
+    "win_cci",
+    "pipeline_cpk",
+    "pipeline_safety_stock",
+    "pipeline_grubbs",
+    "pipeline_wilson_ci",
+    "pipeline_mcnemar",
+    "pipeline_cochran_q",
+    "graph_reciprocity",
+    "graph_eccentricity",
+    "win_mfi",
+    "win_macd",
+    "pipeline_nrr",
+    "pipeline_erlang_c",
+    "win_ulcer_index",
+    "pipeline_price_index",
+    "llm_pmi_collocations",
+    "pipeline_skyline",
+    "llm_rake_keywords",
+    "graph_hits",
+    "osm_polyline_encode",
+    "win_parkinson",
+    # -- r15-restructured hash keys: re-prove what changed --
+    "llm_embed_covariance",
     "pipeline_levene",
-    "pipeline_tukey_hsd",
-    "pipeline_lorenz",
-    "pipeline_newsvendor",
-    "pipeline_hurst",
-    "pipeline_little_law",
-    "pipeline_eoq",
-    "pipeline_abc_migration",
-    "pipeline_control_chart",
-    "pipeline_xmr_chart",
-    "osm_polygon_clip_area",
-    "osm_polygon_clip",
-    "osm_tile_overlay",
-    "osm_tile_pyramid",
-    "osm_way_intersections",
-    "osm_junctions",
-    # -- staleness re-checks: the r7 cohort deferred from r13 + oldest r8 --
-    "project_columns",
-    "project_map_promote",
-    "project_computed",
-    "agg_approx_distinct",
-    "udf_grouped_map",
-    "fn_datetime",
+    "llm_eval_bleu",
+    "llm_eval_rouge",
+    "llm_eval_chrf",
+    "graph_closeness",
+    "graph_shortest_path",
+    # -- staleness re-checks: r7 proof cohort + oldest r8 --
+    "agg_unpivot",
+    "agg_collect_set",
+    "agg_incremental_merge",
+    "agg_mode",
+    "graph_triangle_count",
+    "join_asof_tolerance",
+    "er_blocked_match",
+    "fn_edit_distance",
+    "fn_bitwise",
+    "fn_string_shape",
+    "fn_array_ops",
+    "fn_null_safety",
+    "agg_countmin_sketch",
+    "win_dedup_time_window",
 ]
 
 
