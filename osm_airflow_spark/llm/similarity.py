@@ -1531,12 +1531,30 @@ def nn_descent_graph(
         .drop(vec_col)
         .localCheckpoint(eager=True)
     )
-    mates = None
-    for t in range(3):
-        a = sigs.select(F.col("_vid").alias("src"), F.col(f"b{t}").alias("bk"))
-        b = sigs.select(F.col("_vid").alias("dst"), F.col(f"b{t}").alias("bk"))
-        m = a.join(b, "bk").where(F.col("src") != F.col("dst")).select("src", "dst")
-        mates = m if mates is None else mates.unionByName(m)
+    # r15 (guide §2.4): the three per-table bucket self-joins fuse
+    # into ONE self-join keyed (t, bk) over the unpivoted signature
+    # rows — the per-table joins' union is exactly the (t, bk)
+    # equi-join's output, and the dropDuplicates dedups cross-table
+    # repeats identically. One join + one exchange key instead of
+    # three joins unioned.
+    tabbed = sigs.select(
+        "_vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bk"))
+                    for t in range(3)
+                ]
+            )
+        ).alias("s"),
+    ).select("_vid", F.col("s.t").alias("t"), F.col("s.bk").alias("bk"))
+    a = tabbed.select(F.col("_vid").alias("src"), "t", "bk")
+    b = tabbed.select(F.col("_vid").alias("dst"), "t", "bk")
+    mates = (
+        a.join(b, ["t", "bk"])
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
     edges = mates.dropDuplicates(["src", "dst"])
 
     def score_topk(cand: DataFrame) -> DataFrame:

@@ -12,7 +12,18 @@ SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", shuffle_partitions=8)
+    # r15 (VERDICT r14 #2 — the driver's pytest run timed out): the
+    # suite is ~1200 tests issuing thousands of TINY actions, where
+    # local[32] scheduler overhead dominates. Measured on
+    # test_operators.py: 357 s at 32 threads → 178 s at 8 → 162 s at
+    # 4. Cap the TEST session at 8 threads (keeps the explicit
+    # repartition(≤8) partition-independence tests honest); override
+    # via SPARK_GRAFT_TEST_CPUS. Engine defaults for production
+    # sessions are untouched (session.py still honors
+    # SPARK_GRAFT_CPUS).
+    cpus = min(8, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    cpus = int(os.environ.get("SPARK_GRAFT_TEST_CPUS", str(cpus)))
+    s = get_spark("tests", master=f"local[{cpus}]", shuffle_partitions=8)
     yield s
 
 
