@@ -510,7 +510,7 @@ def llm_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = with_hyperplane_columns(
         e.select("vec_id", "embedding"),
         sig_specs=[(f"sig{b}", bits, b * bits) for b in range(bands)],
-    )
+    ).drop("embedding")
     # (r15 negative result, ledgered: scoring in-bucket BEFORE the
     # pair dedup — the llm_dedup_near recipe — measured SLOWER here,
     # 9.9 -> 11.4 s at sf0.1: the re-attach joins are broadcast at
